@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+import graft.operators.{ApplyChanges, EventShaping}
+
+/** CDC pipeline operators (SURVEY.md §2.2/§2.3) demonstrated on the
+  * synthetic `events` / `orders` tables, each checked against a DuckDB
+  * oracle that re-states the operator's semantics in plain SQL.
+  *
+  * The `events` table plays the role of a CDC log: `user_id` is the
+  * record key, (`ts`,`event_id`) the total order (≈ source.lsn), and
+  * `event_type` maps onto envelope ops.
+  */
+object QueriesCdc {
+
+  def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06)
+
+  /** op mapping used throughout: signup→c(reate), error→d(elete),
+    * everything else → u(pdate). */
+  private val opCol =
+    when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "error", "d")
+      .otherwise("u")
+  private val opSql =
+    "CASE WHEN event_type = 'signup' THEN 'c' WHEN event_type = 'error' THEN 'd' ELSE 'u' END"
+
+  /** Group-by-destination delivery batching — what every sink does
+    * before writing (FlussChangeConsumer.java:137-140,
+    * KinesisChangeConsumer.java:136). */
+  private def cdc01 = Q("cdc01_group_by_destination",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("destination", concat(lit("testc.app."), col("event_type")))
+        .groupBy(col("destination"))
+        .agg(count(lit(1)).as("n_records"),
+             sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+        .orderBy(col("destination")),
+    Some("""SELECT concat('testc.app.', event_type) AS destination,
+           |  count(*) AS n_records,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+           |FROM events
+           |GROUP BY 1
+           |ORDER BY destination""".stripMargin))
+
+  /** Upsert materialization: replay the keyed change log and keep the
+    * final state per key; keys whose last op is a delete disappear —
+    * the op routing every upsert sink performs
+    * (MilvusChangeConsumer.java:133-151). */
+  private def cdc02 = Q("cdc02_apply_changes",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("op", opCol)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      ApplyChanges.latestState(ev,
+          keyCols = Seq(col("user_id")),
+          orderCols = Seq(col("ts_us"), col("event_id")),
+          opCol = col("op"))
+        .select(col("user_id"), col("op"), col("event_type"), col("value"), col("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, op, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id
+            |             ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+            |  FROM events) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin))
+
+  /** Stream-name mapping + per-sink physical name sanitization
+    * (Fluss: [^a-zA-Z0-9_-]→_, FlussChangeConsumer.java:236-240;
+    * Milvus: dots→_, MilvusChangeConsumer.java:115-117). */
+  private def cdc03 = Q("cdc03_route_sanitize",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(concat(lit("testc."), col("source"), lit("."), col("lang"), lit("#v 1")).as("destination"))
+        .distinct()
+        .withColumn("fluss_table", EventShaping.sanitizeFluss(col("destination")))
+        .withColumn("milvus_collection", EventShaping.sanitizeMilvus(col("destination")))
+        .orderBy(col("destination")),
+    Some("""SELECT destination,
+           |  regexp_replace(destination, '[^a-zA-Z0-9_\-]', '_', 'g') AS fluss_table,
+           |  regexp_replace(destination, '\.', '_', 'g') AS milvus_collection
+           |FROM (SELECT DISTINCT concat('testc.', source, '.', lang, '#v 1') AS destination FROM documents) t
+           |ORDER BY destination""".stripMargin))
+
+  /** Ordered delivery partition routing: hash(key) % N, the EventHubs /
+    * RocketMQ pattern (DynamicPartitionRoutingStrategy.java:8-21,
+    * RocketMqChangeConsumer.java:166) via the engine-portable md5 hash. */
+  private def cdc04 = Q("cdc04_hash_partition",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("partition_id", Portable.partitionFor(col("user_id"), 16))
+        .groupBy(col("partition_id"))
+        .agg(count(lit(1)).as("n_records"),
+             countDistinct(col("user_id")).as("n_keys"))
+        .orderBy(col("partition_id")),
+    Some(s"""SELECT ${Portable.duckPartitionFor("user_id", 16)} AS partition_id,
+            |  count(*) AS n_records,
+            |  count(DISTINCT user_id) AS n_keys
+            |FROM events
+            |GROUP BY 1
+            |ORDER BY partition_id""".stripMargin))
+
+  /** ExtractNewRecordState: build envelopes from `orders`, flatten back
+    * to after-state rows, dropping deletes — the oracle states the same
+    * semantics directly on the base table (metamorphic check). */
+  private def cdc05 = Q("cdc05_extract_new_record_state",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val o = Tables.orders(s, dir)
+      val rowType = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType), StructField("o_orderstatus", StringType)))
+      val row = struct(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val op = when(col("o_orderkey") % 13 === 0, "d")
+        .when(col("o_orderstatus") === "O", "c").otherwise("u")
+      val records = o.select(
+        lit("testc.sales.orders").as("destination"),
+        struct(col("o_orderkey").as("id")).as("key"),
+        struct(op.as("op"),
+               when(op === "d", row).otherwise(lit(null).cast(rowType)).as("before"),
+               when(op =!= "d", row).otherwise(lit(null).cast(rowType)).as("after"),
+               lit(null).cast(graft.model.Envelope.sourceSchema).as("source"),
+               lit(0L).as("ts_ms")).as("value"))
+      EventShaping.extractNewRecordState(records)
+        .select(col("destination"), col("o_orderkey"), col("o_custkey"),
+                col("o_totalprice"), col("o_orderstatus"), col("__deleted"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT 'testc.sales.orders' AS destination, o_orderkey, o_custkey,
+           |       o_totalprice, o_orderstatus, false AS __deleted
+           |FROM orders
+           |WHERE o_orderkey % 13 <> 0
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** Tombstone + heartbeat filtering on a synthesized record stream
+    * (TombstoneSupportProducer.java:33-42,
+    * RedisStreamChangeConsumer.java:199-204). */
+  private def cdc06 = Q("cdc06_tombstone_heartbeat",
+    (s, dir) => {
+      val recs = Tables.events(s, dir)
+        .select(
+          when(col("event_id") % 50 === 0, concat(lit(graft.model.Envelope.HeartbeatPrefix), lit(".testc")))
+            .otherwise(concat(lit("testc.app."), col("event_type"))).as("destination"),
+          col("event_id"),
+          when(col("event_id") % 7 === 0, lit(null).cast("string")).otherwise(col("props")).as("value"))
+      val shaped = EventShaping.dropHeartbeats(recs)
+      shaped.filter(col("value").isNotNull) // sink without tombstone support
+        .groupBy(col("destination"))
+        .agg(count(lit(1)).as("n_delivered"))
+        .orderBy(col("destination"))
+    },
+    Some("""SELECT destination, count(*) AS n_delivered FROM (
+           |  SELECT CASE WHEN event_id % 50 = 0 THEN '__debezium-heartbeat.testc'
+           |              ELSE concat('testc.app.', event_type) END AS destination,
+           |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS value
+           |  FROM events) t
+           |WHERE destination NOT LIKE '\_\_debezium-heartbeat%' ESCAPE '\'
+           |  AND value IS NOT NULL
+           |GROUP BY destination
+           |ORDER BY destination""".stripMargin))
+}

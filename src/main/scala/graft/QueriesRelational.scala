@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operators on the TPC-H-ish tables: scan, project,
+  * filter, aggregate, join (broadcast + shuffle), window, top-k,
+  * semi/anti join, set ops, scalar functions.
+  *
+  * The reference has no relational query layer (SURVEY.md §2.4) — these
+  * exercise the Spark substrate every other graft operator builds on,
+  * and double as the BENCH headline queries.
+  */
+object QueriesRelational {
+
+  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08)
+
+  /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
+    * 4-column projection push down to the parquet scan; sums are
+    * decimal-exact so AQE partition coalescing can't perturb them. */
+  private def q01 = Q("q01_agg_pricing_summary",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(28,10)"))
+            .cast("decimal(38,10)").as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+            .cast("decimal(28,10)")).cast("decimal(38,10)").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS sum_disc_price,
+           |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS sum_charge,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** Selective filter + narrow projection: the plan must show
+    * PushedFilters + a 4-column ReadSchema (verified in PlanSpec). */
+  private def q02 = Q("q02_filter_project",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1996-04-01").cast("timestamp") &&
+                col("l_discount") > lit(0.05))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+           |  AND l_discount > 0.05
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** Multi-way join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    * nation/region are broadcast explicitly (tiny dims); the
+    * lineitem⋈orders join shuffles on orderkey and AQE picks the rest. */
+  private def q03 = Q("q03_join_revenue_by_nation",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      val n  = Tables.nation(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(28,10)"))
+               .cast("decimal(38,10)").as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+           |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue,
+           |  count(*) AS n_items
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_name
+           |ORDER BY revenue DESC, n_name""".stripMargin))
+
+  /** Top-k with full deterministic tiebreak (sort + limit → Spark plans
+    * a TakeOrderedAndProject, no full sort at scale). */
+  private def q04 = Q("q04_topk_orders",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+           |FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey
+           |LIMIT 10""".stripMargin))
+
+  /** Window function: latest order per customer (one shuffle on
+    * custkey + in-partition sort). */
+  private def q05 = Q("q05_window_latest_order",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           |  FROM orders) t
+           |WHERE rn = 1
+           |ORDER BY o_custkey""".stripMargin))
+
+  /** Semi + anti join — customers with open orders vs without any. */
+  private def q06 = Q("q06_semi_anti_join",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_orders"))
+      withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+                coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+                coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""WITH w AS (
+           |  SELECT c_mktsegment, count(*) AS n_with_orders FROM customer
+           |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |  GROUP BY c_mktsegment),
+           |wo AS (
+           |  SELECT c_mktsegment, count(*) AS n_without_orders FROM customer
+           |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |  GROUP BY c_mktsegment)
+           |SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+           |       coalesce(n_with_orders, 0) AS n_with_orders,
+           |       coalesce(n_without_orders, 0) AS n_without_orders
+           |FROM w FULL OUTER JOIN wo USING (c_mktsegment)
+           |ORDER BY c_mktsegment""".stripMargin))
+
+  /** Set operators: nations that have customers vs suppliers. */
+  private def q07 = Q("q07_set_ops",
+    (s, dir) => {
+      val cn = Tables.customer(s, dir).select(col("c_nationkey").cast("int").as("nk")).distinct()
+      val sn = Tables.supplier(s, dir).select(col("s_nationkey").cast("int").as("nk")).distinct()
+      val both     = cn.intersect(sn).withColumn("tag", lit("both"))
+      val custOnly = cn.except(sn).withColumn("tag", lit("customer_only"))
+      val suppOnly = sn.except(cn).withColumn("tag", lit("supplier_only"))
+      both.unionByName(custOnly).unionByName(suppOnly).orderBy(col("nk"), col("tag"))
+    },
+    Some("""WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS nk FROM customer),
+           |     sn AS (SELECT DISTINCT CAST(s_nationkey AS INT) AS nk FROM supplier)
+           |SELECT nk, 'both' AS tag FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+           |UNION ALL
+           |SELECT nk, 'customer_only' AS tag FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+           |UNION ALL
+           |SELECT nk, 'supplier_only' AS tag FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)
+           |ORDER BY nk, tag""".stripMargin))
+
+  /** Scalar-function parity pack — the reference's string/hash toolkit
+    * (HashFunction.java:18-63 md5/sha; name sanitization regexes;
+    * base64 at HttpChangeConsumer.java:206-209) as Spark builtins. */
+  private def q08 = Q("q08_scalar_funcs",
+    (s, dir) =>
+      Tables.part(s, dir)
+        .filter(col("p_partkey") <= 100)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          md5(col("p_name")).as("md5_hex"),
+          sha2(col("p_name"), 256).as("sha256_hex"),
+          base64(col("p_name").cast("binary")).as("b64"),
+          regexp_replace(col("p_type"), "\\s+", "_").as("type_snake"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_brand"), 1, 5).as("brand5"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+           |  upper(p_name) AS uname,
+           |  md5(p_name) AS md5_hex,
+           |  sha256(p_name) AS sha256_hex,
+           |  to_base64(encode(p_name)) AS b64,
+           |  regexp_replace(p_type, '\s+', '_', 'g') AS type_snake,
+           |  CAST(length(p_name) AS INT) AS name_len,
+           |  substr(p_brand, 1, 5) AS brand5,
+           |  concat_ws('|', p_brand, p_type) AS brand_type
+           |FROM part
+           |WHERE p_partkey <= 100
+           |ORDER BY p_partkey""".stripMargin))
+}

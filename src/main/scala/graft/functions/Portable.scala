@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable deterministic functions.
+  *
+  * The reference hashes record keys for partition routing with pluggable
+  * digests (debezium-server-eventhubs/.../HashFunction.java:18-63: java,
+  * md5, sha1, sha256). We standardize on an md5-derived 64-bit hash that
+  * is reproducible in ANY engine with an md5() builtin (Spark, DuckDB,
+  * Trino, ...): take the first 15 hex chars (60 bits, fits a signed
+  * int64) of md5 and parse base-16.
+  *
+  * Spark:  conv(substr(md5(x), 1, 15), 16, 10)::long
+  * DuckDB: cast('0x' || substr(md5(x), 1, 15) as bigint)
+  *
+  * This is codegen'd end-to-end (md5/conv/substring are all Catalyst
+  * built-ins with doGenCode), so it stays inside WholeStageCodegen on
+  * the 100 TB scan path.
+  */
+object Portable {
+
+  /** 60-bit non-negative hash of any column's string form. */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: mixes a seed tag into the input. Used to derive the
+    * k independent hash functions MinHash needs. */
+  def hash64(c: Column, seed: Int): Column =
+    hash64(concat(lit(s"s$seed:"), c.cast("string")))
+
+  /** DuckDB rendering of [[hash64]] over a SQL fragment — keeps the
+    * oracle SQL in one place so Spark and oracle can't drift. */
+  def duckHash64(sqlExpr: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($sqlExpr AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  def duckHash64(sqlExpr: String, seed: Int): String =
+    duckHash64(s"concat('s$seed:', CAST($sqlExpr AS VARCHAR))")
+
+  /** Partition id for key-ordered delivery — the Spark analog of
+    * EventHubs' hash%partitionCount routing
+    * (debezium-server-eventhubs/.../DynamicPartitionRoutingStrategy.java:8-21). */
+  def partitionFor(key: Column, numPartitions: Int): Column =
+    pmod(hash64(key), lit(numPartitions.toLong))
+
+  def duckPartitionFor(sqlExpr: String, numPartitions: Int): String =
+    s"(${duckHash64(sqlExpr)} % $numPartitions)"
+}

@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Deduplication operators for training-data pipelines at 100 TB.
+  *
+  * The reference's precedent for content-addressed processing is its
+  * hash toolkit (debezium-server-eventhubs/.../HashFunction.java:18-63)
+  * and the LLM-training-data sink
+  * (debezium-server-instructlab/.../InstructLabSinkConsumer.java); these
+  * operators extend that to corpus-level dedup.
+  *
+  * Scale design:
+  *  - exact dedup = one hash shuffle on a 64-bit content hash (not the
+  *    full text!) — group keys are 8 bytes, so the shuffle moves
+  *    ~n*(8+carried cols) bytes regardless of document size;
+  *  - MinHash/LSH = explode to (band, bucket) keys, shuffle once on the
+  *    bucket, pair only within buckets — candidate pairs, never n².
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id document per distinct content.
+    * Grouping is on hash64(text) so the shuffle key is fixed-width; the
+    * (astronomically unlikely) 60-bit collision is accepted — use
+    * sha2-256 via `contentHash` for a stricter key.
+    */
+  def exact(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    df.groupBy(Portable.hash64(textCol).as("content_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Character n-gram shingles (distinct) as an array column. Pure
+    * Column algebra (sequence/transform/substr are codegen'd builtins),
+    * no UDF on the scan path. */
+  def shingles(textCol: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(textCol) - (n - 1), lit(1))),
+      i => textCol.substr(i, lit(n))))
+
+  /** Word token array: split on whitespace runs, dropping empties. */
+  def tokens(textCol: Column): Column =
+    filter(split(textCol, "\\s+"), t => length(t) > 0)
+
+  /** MinHash signature: for each of k seeded hash functions, the min
+    * portable hash over the document's shingle set. Computed by
+    * exploding shingles then one groupBy(doc) with k min() aggregates —
+    * map-side partial aggregation keeps the shuffle at k longs per doc.
+    */
+  def minhashSignature(df: DataFrame, idCol: Column, shinglesCol: Column, k: Int): DataFrame = {
+    val exploded = df.select(idCol.as("doc_id"), explode(shinglesCol).as("shingle"))
+    val aggs = (0 until k).map(i => min(Portable.hash64(col("shingle"), i)).as(s"mh$i"))
+    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the k-wide signature into bands of `rowsPerBand`
+    * and emit one (band, bucket-hash) per doc. Docs sharing any bucket
+    * are near-dup candidates. */
+  def lshBuckets(signatures: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"),
+             Portable.hash64(concat_ws("_", cols: _*)).as("bucket"))
+    }
+    signatures.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs from LSH buckets: self-join within (band, bucket),
+    * id< to avoid dupes/self, distinct across bands. The join key is the
+    * bucket, so at scale this is one shuffle and pairs stay local. */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+}

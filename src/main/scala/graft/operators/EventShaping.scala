@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Envelope
+
+/** Event-shaping operators (SURVEY.md §2.2) — the SMT layer, rebuilt as
+  * composable `DataFrame => DataFrame` stages. Each stage is pure
+  * Column algebra, so Catalyst folds the whole chain into one projection
+  * and keeps it inside WholeStageCodegen: at 100 TB this layer costs one
+  * pass over the scan, no shuffle.
+  */
+object EventShaping {
+
+  /** A single-message-transform stage, optionally gated by a predicate —
+    * the reference's `debezium.transforms.*` + `debezium.predicates.*`
+    * pairing (debezium-server-core/.../DebeziumServerConfigSourceFactory.java:107-117).
+    * When gated, un-matching rows pass through unchanged.
+    */
+  final case class Smt(name: String,
+                       transform: DataFrame => DataFrame,
+                       predicate: Option[Column] = None,
+                       negate: Boolean = false)
+
+  /** Apply an ordered SMT chain. Predicated per-column transforms are
+    * expressed with `when(pred, transformed).otherwise(original)` so the
+    * plan stays a single projection; whole-frame transforms with a
+    * predicate split-union (rare path). */
+  def applyChain(df: DataFrame, chain: Seq[Smt]): DataFrame =
+    chain.foldLeft(df) { (d, smt) =>
+      smt.predicate match {
+        case None => smt.transform(d)
+        case Some(p0) =>
+          val p = if (smt.negate) !p0 else p0
+          val matched = smt.transform(d.filter(p))
+          val rest    = d.filter(!coalesce(p, lit(false)))
+          matched.unionByName(rest, allowMissingColumns = true)
+      }
+    }
+
+  /** ExtractNewRecordState: flatten envelope → after-state row
+    * (the reference ships this SMT from upstream; flattened events are
+    * recognized at FlussChangeConsumer.java:195-199). Deletes are
+    * dropped unless `keepDeletes` (then before-state is surfaced with a
+    * `__deleted` marker, mirroring the SMT's delete.handling.mode). */
+  def extractNewRecordState(df: DataFrame, keepDeletes: Boolean = false): DataFrame = {
+    val isDelete = col("value.op") === Envelope.OpDelete
+    val base =
+      if (keepDeletes)
+        df.withColumn("__deleted", isDelete)
+          .withColumn("__row", when(isDelete, col("value.before")).otherwise(col("value.after")))
+      else
+        df.filter(!coalesce(isDelete, lit(false)))
+          .withColumn("__deleted", lit(false))
+          .withColumn("__row", col("value.after"))
+    base.select(col("destination"), col("__row.*"), col("__deleted"))
+  }
+
+  /** Heartbeat skip (RedisStreamChangeConsumer.java:199-204). */
+  def dropHeartbeats(df: DataFrame, prefix: String = Envelope.HeartbeatPrefix): DataFrame =
+    df.filter(!col("destination").startsWith(prefix))
+
+  /** Tombstone handling: keep null-value records only when the sink
+    * supports them (TombstoneSupportProducer.java:33-42). */
+  def filterTombstones(df: DataFrame, sinkSupportsTombstones: Boolean): DataFrame =
+    if (sinkSupportsTombstones) df else df.filter(col("value").isNotNull)
+
+  /** StreamNameMapper (BaseChangeConsumer.java:35-46): logical → physical
+    * stream name, default identity. */
+  def mapStreamName(df: DataFrame, f: Column => Column): DataFrame =
+    df.withColumn("destination", f(col("destination")))
+
+  /** Fluss-style physical name sanitization: [^a-zA-Z0-9_-] → "_"
+    * (FlussChangeConsumer.java:236-240). */
+  def sanitizeFluss(name: Column): Column =
+    regexp_replace(name, "[^a-zA-Z0-9_\\-]", "_")
+
+  /** Milvus-style: dots → underscores (MilvusChangeConsumer.java:115-117). */
+  def sanitizeMilvus(name: Column): Column =
+    regexp_replace(name, "\\.", "_")
+
+  /** Content-based router: recompute destination from row content —
+    * the reference's ContentBasedRouter SMT. */
+  def route(df: DataFrame, destination: Column): DataFrame =
+    df.withColumn("destination", destination)
+
+  /** Header projection to sink metadata: uppercased keys + optional
+    * prefix (BaseChangeConsumer.java:101-108; HTTP adds a prefix,
+    * HttpChangeConsumer.java:336-346). */
+  def projectHeaders(headers: Column, prefix: String = ""): Column =
+    map_from_entries(transform(map_entries(headers),
+      e => struct(concat(lit(prefix), upper(e.getField("key"))).as("key"),
+                  e.getField("value").as("value"))))
+}

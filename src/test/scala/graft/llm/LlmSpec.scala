@@ -1,0 +1,74 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup collapses identical content") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
+    val out = Dedup.exact(df, col("text"), col("id"))
+      .select("keep_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles produce distinct n-grams") {
+    val out = Seq("abcab").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s")).head().getSeq[String](0)
+    assert(out.toSet == Set("abc", "bca", "cab"))
+  }
+
+  test("minhash signatures: identical docs agree, different docs differ") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+                   (2L, "the quick brown fox jumps over the lazy dog"),
+                   (3L, "completely unrelated content about spark engines")).toDF("id", "text")
+    val sig = Dedup.minhashSignature(
+      docs.withColumn("sh", Dedup.shingles(col("text"), 4)), col("id"), col("sh"), k = 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("lsh candidate pairs find the near-duplicate") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+                   (2L, "the quick brown fox jumps over the lazy dog tonight"),
+                   (3L, "completely unrelated content about spark engines and shuffles")).toDF("id", "text")
+    val sig = Dedup.minhashSignature(
+      docs.withColumn("sh", Dedup.shingles(col("text"), 4)), col("id"), col("sh"), k = 12)
+    val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sig, k = 12, rowsPerBand = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+    val ce = df.select(Similarity.cosineExact(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(ce - 1.0) < 1e-9)
+  }
+
+  test("bruteForceTopK ranks the nearest vector first") {
+    val corpus = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)), (12L, Seq(0.0f, 1.0f)))
+      .toDF("cid", "cv")
+    val queries = Seq((1L, Seq(1.0f, 0.0f))).toDF("qid", "qv")
+    val top = Similarity.bruteForceTopK(corpus, "cid", "cv", queries, "qid", "qv", 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("cid") == 10L)
+    assert(top(1).getAs[Long]("cid") == 11L)
+  }
+
+  test("text analysis basics") {
+    val df = Seq("The quick brown fox, and the lazy dog!").toDF("t")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("t")).as("n"),
+      TextAnalysis.punctRatio(col("t")).as("p"),
+      TextAnalysis.stopwordRatio(col("t")).as("s")).head()
+    assert(r.getAs[Int]("n") == 8)
+    assert(r.getAs[Double]("p") > 0.0 && r.getAs[Double]("p") < 0.2)
+    assert(r.getAs[Double]("s") > 0.2) // "The", "and", "the"
+  }
+}
