@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.model.Envelope
+import graft.operators.EventShaping
+import graft.sinks.SinkConnector
+import graft.sources.EnvelopeLogSource
+
+/** Pipeline assembly — the Spark rebuild of the reference's boot path
+  * (SURVEY.md §3.1): config → source → SMT chain → sink, where the
+  * engine's offset store becomes the Spark checkpoint and the batch
+  * handler boundary becomes foreachBatch.
+  *
+  * Property names keep `debezium.*` shapes for parity
+  * (FIXTURES.md §4); the per-stream schemas are passed programmatically
+  * (per-record schema variance collapses to per-stream, SURVEY.md §1.4).
+  */
+final case class PipelineSpec(
+    sourcePath: String,
+    keySchema: StructType,
+    rowSchema: StructType,
+    sink: SinkConnector,
+    transforms: Seq[EventShaping.Smt] = Nil,
+    tableIncludeList: Seq[String] = Nil,
+    streamNameMapper: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None,
+    checkpointDir: Option[String] = None,
+    maxFilesPerTrigger: Option[Int] = None)
+
+object PipelineSpec {
+  /** Build from debezium-style properties + schemas + sink registry.
+    * Mirrors the config assembly in
+    * DebeziumServerConfigSourceFactory.java:74-155. */
+  def fromProperties(props: Map[String, String],
+                     keySchema: StructType, rowSchema: StructType,
+                     registry: graft.sinks.SinkRegistry): PipelineSpec = {
+    val sinkType = props.getOrElse("debezium.sink.type",
+      throw new IllegalArgumentException("debezium.sink.type is required"))
+    PipelineSpec(
+      sourcePath = props.getOrElse("debezium.source.path",
+        throw new IllegalArgumentException("debezium.source.path is required")),
+      keySchema = keySchema,
+      rowSchema = rowSchema,
+      sink = registry.resolve(sinkType),
+      tableIncludeList = props.get("debezium.source.table.include.list")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      checkpointDir = props.get("debezium.checkpoint.dir"))
+  }
+}
+
+object CdcPipeline {
+
+  /** The shared shaping applied between source and sink: heartbeat
+    * skip always (heartbeats only keep the connection alive,
+    * RedisStreamChangeConsumer.java:199-204), then the configured SMT
+    * chain, then stream-name mapping. Tombstone gating happens in the
+    * sink adapter (per-sink capability). */
+  def shape(records: DataFrame, spec: PipelineSpec): DataFrame = {
+    val noHb = EventShaping.dropHeartbeats(records)
+    val transformed = EventShaping.applyChain(noHb, spec.transforms)
+    spec.streamNameMapper.fold(transformed)(f => EventShaping.mapStreamName(transformed, f))
+  }
+
+  /** One-shot batch run (testing / bounded replay): the snapshot phase
+    * of the reference collapses to this. */
+  def runBatch(spark: SparkSession, spec: PipelineSpec): Unit = {
+    spec.sink.validate()
+    val records = EnvelopeLogSource.read(spark, spec.sourcePath,
+      spec.keySchema, spec.rowSchema, spec.tableIncludeList)
+    spec.sink.foreachBatchFn(shape(records, spec), 0L)
+  }
+
+  /** Continuous run: Structured Streaming file source → foreachBatch
+    * sink, exactly-once via checkpoint + idempotent sinks. */
+  def start(spark: SparkSession, spec: PipelineSpec,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spec.sink.validate()
+    val records = EnvelopeLogSource.readStream(spark, spec.sourcePath,
+      spec.keySchema, spec.rowSchema, spec.tableIncludeList, spec.maxFilesPerTrigger)
+    var writer = records.transform(shape(_, spec)).writeStream
+      .foreachBatch(spec.sink.foreachBatchFn)
+      .trigger(trigger)
+    spec.checkpointDir.foreach(d => writer = writer.option("checkpointLocation", d))
+    writer.start()
+  }
+}
