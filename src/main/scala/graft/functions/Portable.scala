@@ -30,6 +30,16 @@ object Portable {
   def hash64(c: Column, seed: Int): Column =
     hash64(concat(lit(s"s$seed:"), c.cast("string")))
 
+  /** JVM-side mirror of [[hash64]] — same function computed driver-side
+    * (e.g. to pre-fold LSH hyperplanes into literals instead of hashing
+    * per row per element). */
+  def hash64Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** DuckDB rendering of [[hash64]] over a SQL fragment — keeps the
     * oracle SQL in one place so Spark and oracle can't drift. */
   def duckHash64(sqlExpr: String): String =

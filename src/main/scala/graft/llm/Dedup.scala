@@ -77,4 +77,32 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
+
+  /** n-gram Jaccard similarity between two shingle-set columns: a
+    * single deterministic double division over exact set sizes. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** SimHash sketch: one bit per position j — the sign of the vote
+    * sum over the document's distinct tokens of (bit j of hash(token)
+    * ? +1 : -1). Near-identical docs differ in few bits. Computed as
+    * explode + one groupBy with `bits` conditional sums (map-side
+    * partial agg → the shuffle carries `bits` ints per doc). */
+  def simhash(df: DataFrame, idCol: Column, textCol: Column, bits: Int = 32): DataFrame = {
+    require(bits <= 60, "hash64 yields 60 usable bits")
+    val toks = df.select(idCol.as("doc_id"), explode(array_distinct(tokens(textCol))).as("tok"))
+      .withColumn("h", Portable.hash64(col("tok")))
+    val votes = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j"))
+    val agg = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until bits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((x, y) => x + y)
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash sketches (bit_count of XOR)
+    * — the verify step after LSH candidate generation. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media as opaque `binary` columns with a
+  * typed metadata struct, mirroring how the reference carries opaque
+  * payloads next to typed fields (binary format,
+  * DebeziumSerializationProducer.java; vector/JSON columns,
+  * MilvusSchema.java:110-148).
+  *
+  * The Spark-side plumbing — schema, batch shape, partition-preserving
+  * mapPartitions — is real; the actual media decode is a STUB
+  * (`decodeStub`): the image/audio codecs are not in this environment.
+  * A production deployment replaces `decodeStub` with the codec call;
+  * nothing else changes.
+  */
+object Multimodal {
+
+  /** media metadata carried next to the bytes. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("content_md5", StringType)))
+
+  /** Wrap a text/blob column as (binary, metadata) — the ingestion
+    * step for media columns. Pure Column algebra. */
+  def asMedia(df: DataFrame, contentCol: String, mediaType: String): DataFrame = {
+    val bin = col(contentCol).cast("binary")
+    df.withColumn("media", bin)
+      .withColumn("media_meta", struct(
+        lit(mediaType).as("media_type"),
+        length(bin).cast("long").as("n_bytes"),
+        md5(bin).as("content_md5")))
+  }
+
+  /** Feature-extraction output schema: fixed-width float vector. */
+  def featureSchema(dim: Int): StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("features", ArrayType(FloatType, containsNull = false))))
+
+  /** ??? in spirit — a deterministic fake decoder so the distributed
+    * plumbing is testable: derives `dim` floats from the content hash.
+    * Replace with the real codec (image resize / audio frames / video
+    * frame-sample) in production. */
+  private[llm] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    Array.tabulate(dim)(i => ((md(i % md.length) & 0xff) / 255.0f))
+  }
+
+  /** Batched feature extraction over the media column: one
+    * mapPartitions pass (the Scala analog of mapInPandas batches) —
+    * partition-preserving, no shuffle, codec instantiated once per
+    * partition rather than per row. */
+  def extractFeatures(df: DataFrame, idCol: String, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long").as("doc_id"), col("media"))
+    val outSchema = featureSchema(dim)
+    val rdd = input.rdd.mapPartitions { rows =>
+      // per-partition codec setup would go here
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("media")
+        Row(r.getLong(0), decodeStub(bytes, dim).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

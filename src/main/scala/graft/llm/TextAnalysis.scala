@@ -59,13 +59,19 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
   }
 
+  /** Greedy argmax with first-wins ties, built as a when-chain so the
+    * exact same CASE expression is writable in any SQL dialect: lang i
+    * wins iff its score >= every later language's score (equivalent to
+    * first-index argmax). All-zero scores → "unknown". */
   def langId(text: Column): Column = {
-    // argmax over (score, -lang) via a sorted struct array
-    val scored = langMarkers.map { case (lang, m) =>
-      struct(langScore(text, m).as("score"), lit(lang).as("lang"))
+    val scores = langMarkers.map { case (lang, m) => lang -> langScore(text, m) }
+    val allZero = scores.map(_._2).reduce(_ + _) === 0
+    val chain = scores.zipWithIndex.init.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), rest) =>
+        val laterMax = scores.drop(i + 1).map(_._2)
+        when(laterMax.map(s >= _).reduce(_ && _), lang).otherwise(rest)
     }
-    val best = array_max(array(scored.reverse: _*)) // max by (score, then lang desc→ reverse keeps first asc)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unknown"))
+    when(allZero, "unknown").otherwise(chain)
   }
 
   /** Document fingerprint: min token hash (winnowing-lite, k=1) — an
