@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line for the driver's BENCH_r{N}.json.
+  *
+  * Each query is materialized through the built-in `noop` DataSource V2
+  * sink, not `.count()`: a count lets Catalyst prune unreferenced
+  * projections and drop sorts (round-1 verdict: q08's hash columns and
+  * q04's TakeOrdered were partially unmeasured), whereas a noop write
+  * evaluates every output column of every row and discards them
+  * executor-side — full query work, zero sink cost, no driver collect.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,9 +24,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: initialize parquet reader, codegen, and the noop sink once
+    // so the first measured query isn't charged JVM/classload time
+    try spark.read.parquet(s"$sfDir/nation.parquet")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

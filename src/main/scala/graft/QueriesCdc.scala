@@ -34,11 +34,14 @@ object QueriesCdc {
         .withColumn("destination", concat(lit("testc.app."), col("event_type")))
         .groupBy(col("destination"))
         .agg(count(lit(1)).as("n_records"),
-             sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+             // decimal-exact accumulation, final cast to double: the
+             // driver hash trips on decimals' physical representation
+             // (round-1: values exact, hash_match=false)
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy(col("destination")),
     Some("""SELECT concat('testc.app.', event_type) AS destination,
            |  count(*) AS n_records,
-           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
            |FROM events
            |GROUP BY 1
            |ORDER BY destination""".stripMargin))

@@ -9,7 +9,7 @@ import graft.llm.{Dedup, Similarity, TextAnalysis}
   */
 object QueriesLlm {
 
-  def all: Seq[Q] = Seq(llm01, llm02, llm03)
+  def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05)
 
   /** Exact dedup: union the corpus with an id-shifted copy of itself so
     * every document has exactly one duplicate, then keep the lowest id
@@ -100,4 +100,104 @@ object QueriesLlm {
            |SELECT qid, cid, sim, rank FROM r
            |WHERE rank <= 5
            |ORDER BY qid, rank""".stripMargin))
+
+  /** DuckDB rendering of the RHP-LSH bucket over an embedding column:
+    * per plane, sign of the exact quantized dot product with the
+    * driver-side hyperplane literals — the SAME coefficients
+    * Similarity.rhpSignature embeds, so Spark and oracle cannot drift. */
+  private def duckRhpBucket(embExpr: String, dims: Int, planes: Int): String =
+    Similarity.rhpCoefficients(dims, planes).zipWithIndex.map { case (cs, p) =>
+      val lits = cs.mkString("[", ",", "]")
+      s"""(CASE WHEN list_sum(list_transform(list_zip($embExpr, $lits),
+         |   z -> CAST(floor(CAST(z[1] AS DOUBLE) * 1000000.0) AS BIGINT) * z[2])) >= 0
+         | THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  /** LSH-bucketed ANN — the 100 TB similarity path (llm03 is the
+    * brute-force baseline): random-hyperplane signatures bucket the
+    * corpus, the bucket join prunes candidates ~2^-planes, exact
+    * quantized cosine within buckets, distributed top-k. */
+  private def llm04 = Q("llm04_lsh_ann",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus  = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.lshTopK(corpus, "cid", "cv", queries, "qid", "qv",
+          k = 5, dims = 64, planes = 8, exact = true)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cv,
+            |             ${duckRhpBucket("embedding", 64, 8)} AS bucket FROM embeddings),
+            |qb AS (SELECT vec_id AS qid, embedding AS qv,
+            |         ${duckRhpBucket("embedding", 64, 8)} AS bucket
+            |       FROM embeddings WHERE vec_id < 5),
+            |p AS (SELECT qid, cid, qv, cv FROM qb JOIN cb USING (bucket) WHERE cid <> qid),
+            |d AS (SELECT qid, cid,
+            |        sum(CAST(floor(CAST(qv[i] AS DOUBLE) * 1e6) AS BIGINT)
+            |          * CAST(floor(CAST(cv[i] AS DOUBLE) * 1e6) AS BIGINT)) AS dot,
+            |        sum(CAST(floor(CAST(qv[i] AS DOUBLE) * 1e6) AS BIGINT)
+            |          * CAST(floor(CAST(qv[i] AS DOUBLE) * 1e6) AS BIGINT)) AS nq,
+            |        sum(CAST(floor(CAST(cv[i] AS DOUBLE) * 1e6) AS BIGINT)
+            |          * CAST(floor(CAST(cv[i] AS DOUBLE) * 1e6) AS BIGINT)) AS nc
+            |      FROM p CROSS JOIN generate_series(1, 64) AS g(i)
+            |      GROUP BY qid, cid),
+            |sc AS (SELECT qid, cid,
+            |         CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) AS sim
+            |       FROM d),
+            |r AS (SELECT qid, cid, sim,
+            |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+            |      FROM sc)
+            |SELECT qid, cid, sim, rank FROM r
+            |WHERE rank <= 5
+            |ORDER BY qid, rank""".stripMargin))
+
+  /** MinHash + LSH-banding near-dedup candidate pairs: the corpus is
+    * documents plus a lightly-mutated copy of itself (' qx' appended →
+    * only the trailing shingles change), so copies land in a shared
+    * band bucket. 9-char shingles, 12 seeded min-hashes, 3 bands of 4
+    * — explode→bucket→within-bucket pairs, never n². Parameters tuned
+    * so random vocabulary overlap does NOT pair (b·J^r ≪ 1 for
+    * unrelated docs at J≈0.4) while the planted near-identical copies
+    * all do: at sf0.01, 602 candidate pairs of which 500 are the
+    * planted mutations — loose bands (r=2) flagged 100k. */
+  private def llm05 = Q("llm05_minhash_pairs",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 100000L).as("doc_id"),
+                 concat(col("text"), lit(" qx")).as("text")))
+      val sigs = Dedup.minhashSignature(
+        corpus.withColumn("sh", Dedup.shingles(col("text"), 9)),
+        col("doc_id"), col("sh"), k = 12)
+      Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val hashes = (0 until 12).map(i =>
+        s"${Portable.duckSeededHash("shingle", i)} AS h$i").mkString(",\n            ")
+      val mins = (0 until 12).map(i => s"min(h$i) AS mh$i").mkString(", ")
+      val bandRows = (0 until 3).map { b =>
+        val cols = (4 * b until 4 * (b + 1)).map(i => s"mh$i").mkString(", ")
+        val bucket = Portable.duckHash64(s"concat_ws('_', $cols)")
+        s"SELECT doc_id, $b AS band, $bucket AS bucket FROM mh"
+      }.mkString("\n            UNION ALL ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' qx' FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS shingle
+         |       FROM corpus CROSS JOIN generate_series(1, 4096) AS g(i)
+         |       WHERE i <= greatest(length(text) - 8, 1)),
+         |h AS (SELECT doc_id,
+         |            $hashes
+         |      FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+         |bk AS (
+         |            $bandRows)
+         |SELECT * FROM (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id < b.doc_id) t
+         |ORDER BY id_a, id_b""".stripMargin
+    })
 }

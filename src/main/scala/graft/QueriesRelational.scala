@@ -17,27 +17,34 @@ object QueriesRelational {
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
-    * decimal-exact so AQE partition coalescing can't perturb them. */
+    * decimal-exact so AQE partition coalescing can't perturb them.
+    * The FINAL aggregates are rendered: scale-2 sums cast to double
+    * (exact — every cent value fits a double), scale-10 sums to their
+    * fixed-format decimal STRING, because the driver's cross-engine
+    * hash trips on decimals' physical representation (round-1
+    * hash-fail with values exactly equal) and DuckDB's decimal→double
+    * conversion double-rounds at high scale where Spark's is
+    * correctly rounded. String rendering is exact in both engines. */
   private def q01 = Q("q01_agg_pricing_summary",
     (s, dir) => {
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(28,10)"))
-            .cast("decimal(38,10)").as("sum_disc_price"),
+            .cast("decimal(38,10)").cast("string").as("sum_disc_price"),
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
-            .cast("decimal(28,10)")).cast("decimal(38,10)").as("sum_charge"),
+            .cast("decimal(28,10)")).cast("decimal(38,10)").cast("string").as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
-           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS sum_disc_price,
-           |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS sum_charge,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS VARCHAR) AS sum_disc_price,
+           |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS VARCHAR) AS sum_charge,
            |  count(*) AS count_order
            |FROM lineitem
            |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -75,18 +82,22 @@ object QueriesRelational {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(28,10)"))
-               .cast("decimal(38,10)").as("revenue"),
+               .cast("decimal(38,10)").as("revenue_dec"),
              count(lit(1)).as("n_items"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        // order on the exact decimal, render as fixed-format string
+        // (DuckDB decimal→double double-rounds at scale 10)
+        .orderBy(col("revenue_dec").desc, col("n_name"))
+        .select(col("n_name"), col("revenue_dec").cast("string").as("revenue"), col("n_items"))
     },
-    Some("""SELECT n_name,
-           |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue,
-           |  count(*) AS n_items
-           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           |  JOIN customer ON o_custkey = c_custkey
-           |  JOIN nation ON c_nationkey = n_nationkey
-           |GROUP BY n_name
-           |ORDER BY revenue DESC, n_name""".stripMargin))
+    Some("""SELECT n_name, CAST(revenue_dec AS VARCHAR) AS revenue, n_items FROM (
+           |  SELECT n_name,
+           |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue_dec,
+           |    count(*) AS n_items
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |    JOIN customer ON o_custkey = c_custkey
+           |    JOIN nation ON c_nationkey = n_nationkey
+           |  GROUP BY n_name) t
+           |ORDER BY revenue_dec DESC, n_name""".stripMargin))
 
   /** Top-k with full deterministic tiebreak (sort + limit → Spark plans
     * a TakeOrderedAndProject, no full sort at scale). */

@@ -30,6 +30,26 @@ object Portable {
   def hash64(c: Column, seed: Int): Column =
     hash64(concat(lit(s"s$seed:"), c.cast("string")))
 
+  /** k hash functions from ONE md5 via Kirsch–Mitzenmacher double
+    * hashing: h_i = h1 + i·h2 with h1 = first 60 bits, h2 = next 60
+    * bits reduced to 40 (so h1 + 11·h2 can't overflow int64 — DuckDB
+    * raises on bigint overflow instead of wrapping, so the math must
+    * stay in range in BOTH engines). 12× fewer digests than seeded
+    * md5 per function on the MinHash hot path. */
+  def seededHashes(c: Column, k: Int): Seq[Column] = {
+    val hex = md5(c.cast("string"))
+    val h1 = conv(substring(hex, 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(hex, 17, 15), 16, 10).cast("long") % lit(1099511627776L)
+    (0 until k).map(i => h1 + lit(i.toLong) * h2)
+  }
+
+  /** DuckDB rendering of [[seededHashes]] element i. */
+  def duckSeededHash(sqlExpr: String, i: Int): String = {
+    val s = s"CAST($sqlExpr AS VARCHAR)"
+    s"(CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)" +
+      s" + $i * (CAST(concat('0x', substr(md5($s), 17, 15)) AS BIGINT) % 1099511627776))"
+  }
+
   /** JVM-side mirror of [[hash64]] — same function computed driver-side
     * (e.g. to pre-fold LSH hyperplanes into literals instead of hashing
     * per row per element). */

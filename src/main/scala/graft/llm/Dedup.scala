@@ -42,14 +42,17 @@ object Dedup {
   def tokens(textCol: Column): Column =
     filter(split(textCol, "\\s+"), t => length(t) > 0)
 
-  /** MinHash signature: for each of k seeded hash functions, the min
-    * portable hash over the document's shingle set. Computed by
-    * exploding shingles then one groupBy(doc) with k min() aggregates —
-    * map-side partial aggregation keeps the shuffle at k longs per doc.
-    */
+  /** MinHash signature: for each of k hash functions, the min portable
+    * hash over the document's shingle set. Computed by exploding
+    * shingles then one groupBy(doc) with k min() aggregates — map-side
+    * partial aggregation keeps the shuffle at k longs per doc. The k
+    * functions are Kirsch–Mitzenmacher double hashes off a single md5
+    * per shingle (Portable.seededHashes) — one digest, not k, per
+    * shingle on the scan path. */
   def minhashSignature(df: DataFrame, idCol: Column, shinglesCol: Column, k: Int): DataFrame = {
     val exploded = df.select(idCol.as("doc_id"), explode(shinglesCol).as("shingle"))
-    val aggs = (0 until k).map(i => min(Portable.hash64(col("shingle"), i)).as(s"mh$i"))
+    val hs = Portable.seededHashes(col("shingle"), k)
+    val aggs = hs.zipWithIndex.map { case (h, i) => min(h).as(s"mh$i") }
     exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
