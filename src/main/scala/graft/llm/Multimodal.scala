@@ -49,21 +49,16 @@ object Multimodal {
     Array.tabulate(dim)(i => ((md(i % md.length) & 0xff) / 255.0f))
   }
 
-  /** Batched feature extraction over the media column: one
-    * mapPartitions pass (the Scala analog of mapInPandas batches) —
-    * partition-preserving, no shuffle, codec instantiated once per
-    * partition rather than per row. */
+  /** Feature extraction over the media column as a Scala UDF returning
+    * `array<float>` — stays INSIDE the DataFrame plan (no RDD
+    * round-trip: predicate pushdown, column pruning, and AQE all keep
+    * working on the surrounding query; the UDF is the only non-codegen
+    * expression, not a plan break). The decode itself is the stub; a
+    * production deployment swaps the function body for the codec call
+    * (or a Pandas UDF over mapInPandas when the codec is Python). */
   def extractFeatures(df: DataFrame, idCol: String, dim: Int): DataFrame = {
-    val spark = df.sparkSession
-    val input = df.select(col(idCol).cast("long").as("doc_id"), col("media"))
-    val outSchema = featureSchema(dim)
-    val rdd = input.rdd.mapPartitions { rows =>
-      // per-partition codec setup would go here
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("media")
-        Row(r.getLong(0), decodeStub(bytes, dim).toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    val decode = udf((bytes: Array[Byte]) => decodeStub(bytes, dim))
+    df.select(col(idCol).cast("long").as("doc_id"),
+              decode(col("media")).as("features"))
   }
 }

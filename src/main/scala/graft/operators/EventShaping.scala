@@ -22,10 +22,30 @@ object EventShaping {
                        predicate: Option[Column] = None,
                        negate: Boolean = false)
 
-  /** Apply an ordered SMT chain. Predicated per-column transforms are
-    * expressed with `when(pred, transformed).otherwise(original)` so the
-    * plan stays a single projection; whole-frame transforms with a
-    * predicate split-union (rare path). */
+  object Smt {
+    /** Predicated COLUMN-LEVEL transform: each (column → expression)
+      * pair is wrapped in `when(pred, expr).otherwise(original)`, so
+      * the whole gated stage stays ONE projection — single scan, fully
+      * codegen'd. Prefer this over a predicated whole-frame transform
+      * whenever the SMT only rewrites columns (routing, renames,
+      * masking — most of the reference's SMT catalog). */
+    def columnLevel(name: String, columns: Map[String, Column],
+                    predicate: Column, negate: Boolean = false): Smt = {
+      val p0 = if (negate) !predicate else predicate
+      val p = coalesce(p0, lit(false))
+      Smt(name, df => columns.foldLeft(df) { case (d, (c, expr)) =>
+        d.withColumn(c, when(p, expr).otherwise(col(c)))
+      })
+    }
+  }
+
+  /** Apply an ordered SMT chain. Column-level predicated stages
+    * (Smt.columnLevel) fold into a single projection. A predicated
+    * WHOLE-FRAME transform is the rare path: it splits on the
+    * predicate and re-unions, which evaluates the upstream plan twice
+    * and does not preserve row order — chain several and the scan
+    * count grows per stage. Use Smt.columnLevel when possible, or
+    * cache the input frame before a predicated whole-frame stage. */
   def applyChain(df: DataFrame, chain: Seq[Smt]): DataFrame =
     chain.foldLeft(df) { (d, smt) =>
       smt.predicate match {

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import graft.services.{Retry, RetryPolicy}
 import java.net.URI
@@ -15,10 +15,12 @@ import java.time.Duration
   * the reference — here a header-provider function so tests can
   * exercise the flow without a token service).
   *
-  * The JSON-array join happens distributed (per partition chunk) and
-  * only the HTTP calls run on executors — but as a test sink we post
-  * from the driver over collected chunks: batch sizes at the HTTP sink
-  * are protocol-bounded (the reference chunks too), not data-bounded.
+  * Fully distributed: the JSON serialization is Column algebra and the
+  * POSTs run on EXECUTORS via foreachPartition — one HttpClient per
+  * partition, chunked bodies, no driver collect (at 100 TB the driver
+  * never sees a record). Record order is preserved within a partition,
+  * matching the reference's per-batch ordering guarantee, which is
+  * per-key once upstream routing keys the partitions.
   */
 final class HttpSink(endpoint: String,
                      batchMode: Boolean = true,
@@ -31,24 +33,31 @@ final class HttpSink(endpoint: String,
   override def name: String = "http"
   override def tombstoneSupport: Boolean = false
 
-  private lazy val client = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofSeconds(10)).build()
-
   override def validate(): Unit = {
     require(endpoint.startsWith("http"), s"bad endpoint $endpoint")
   }
 
   override def write(batch: DataFrame, epochId: Long): Unit = {
-    val values = batch
-      .select(to_json(col("value")).as("v"))
-      .collect().map(_.getString(0))
-    if (batchMode)
-      values.grouped(chunkSize).foreach(chunk => post(chunk.mkString("[", ",", "]")))
-    else
-      values.foreach(post)
+    // capture only serializable leaves, not `this`
+    val (ep, bm, cs, rp, ah, sl) = (endpoint, batchMode, chunkSize, retry, authHeaders, sleeper)
+    batch.select(to_json(col("value")).as("v"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.hasNext) {
+          val client = HttpClient.newBuilder()
+            .connectTimeout(Duration.ofSeconds(10)).build()
+          val values = rows.map(_.getString(0))
+          if (bm) values.grouped(cs).foreach(chunk =>
+            HttpSink.post(client, ep, chunk.mkString("[", ",", "]"), rp, ah, sl))
+          else values.foreach(v => HttpSink.post(client, ep, v, rp, ah, sl))
+        }
+      }
   }
+}
 
-  private def post(body: String): Unit =
+object HttpSink {
+  private[sinks] def post(client: HttpClient, endpoint: String, body: String,
+                          retry: RetryPolicy, authHeaders: () => Map[String, String],
+                          sleeper: Long => Unit): Unit =
     Retry(retry, sleeper) { _ =>
       val builder = HttpRequest.newBuilder(URI.create(endpoint))
         .header("Content-Type", "application/json")

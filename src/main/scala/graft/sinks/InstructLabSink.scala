@@ -69,6 +69,17 @@ final class InstructLabSink(baseDir: String,
     }
   }
 
+  /** YAML double-quoted scalar escaping: backslash, quote, and ALL C0
+    * control characters (\n \r \t named, the rest \xXX) — a raw CR or
+    * tab inside the scalar would corrupt qna.yml. */
   private def quote(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\x${c.toInt}%02x"
+      case c => c.toString
+    } + "\""
 }

@@ -1,29 +1,55 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.model.Envelope
+import graft.functions.Portable
 import graft.operators.ApplyChanges
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
+import scala.jdk.CollectionConverters._
 
-/** MERGE-upsert sink over parquet tables — the semantic stand-in for
-  * the reference's jdbc/fluss sinks (insert/upsert/delete routing:
-  * FlussChangeConsumer.java:170-220; JDBC insert modes:
-  * JdbcChangeConsumer.java:128). One directory per destination
-  * (Fluss-sanitized name), rows = current state + __lsn bookkeeping.
+/** MERGE-upsert sink over bucketed parquet tables — the semantic
+  * stand-in for the reference's jdbc/fluss sinks (insert/upsert/delete
+  * routing: FlussChangeConsumer.java:170-220; JDBC insert modes:
+  * JdbcChangeConsumer.java:128).
   *
-  * Scale note: on a cluster this exact contract is Delta/Iceberg
-  * `MERGE INTO` (SURVEY.md §2.3) — the read-merge-swap here mirrors a
-  * copy-on-write merge and keeps the same op semantics so tests carry
-  * over. The merge itself is fully distributed: one shuffle on the key,
-  * no driver-side row handling.
+  * Layout (per destination, Fluss-sanitized dir name):
   *
-  * Idempotency: per-destination `_epoch` marker; a replayed epoch is
-  * skipped (the foreachBatch exactly-once pattern replacing per-record
-  * commit, SURVEY.md §7.5).
+  *   <table>/_manifest            current epoch + bucket → epoch-dir map
+  *   <table>/data-<epoch>/__bucket=<b>/part-….parquet   immutable data files
+  *
+  * A key lives in bucket pmod(hash64(key), numBuckets). Each epoch:
+  *
+  *  1. ONE pass stages the whole micro-batch partitioned by
+  *     (destination, bucket) — no per-destination re-filtering.
+  *  2. Per destination, only the buckets that actually contain changed
+  *     keys are merged (existing live files for those buckets + staged
+  *     changes → latest-state) and rewritten under data-<epoch>/.
+  *     Untouched buckets keep their existing files byte-for-byte — the
+  *     new manifest simply keeps pointing at them.
+  *  3. The manifest is atomically swapped (tmp + ATOMIC_MOVE), THEN
+  *     superseded epoch dirs are garbage-collected. A crash at any
+  *     point leaves the previous manifest and every file it references
+  *     intact — the replayed epoch redoes staging and merge.
+  *
+  * This is the same metadata-pointer-over-immutable-files design as
+  * Delta/Iceberg `MERGE INTO` (SURVEY.md §2.3), which is what this
+  * sink becomes on a real lakehouse; per-epoch cost is O(changed
+  * buckets), not O(table).
+  *
+  * Merge order per key: highest (__lsn, __incoming, __tb) wins, where
+  * __lsn falls back to envelope ts_ms when the source has no LSN,
+  * __incoming prefers batch records over already-stored state on ties
+  * (an lsn-less update still applies), and __tb is a deterministic
+  * content hash so lsn-less same-key ties within one batch resolve
+  * identically on every replay.
+  *
+  * Idempotency: manifest records the last applied epoch; a replayed
+  * epoch is skipped (the foreachBatch exactly-once pattern replacing
+  * per-record commit, SURVEY.md §7.5).
   */
-final class ParquetUpsertSink(baseDir: String, keyFields: Seq[String] = Seq("id"))
+final class ParquetUpsertSink(baseDir: String, keyFields: Seq[String] = Seq("id"),
+                              numBuckets: Int = 16)
     extends SinkConnector {
 
   override def name: String = "parquet-upsert"
@@ -35,70 +61,160 @@ final class ParquetUpsertSink(baseDir: String, keyFields: Seq[String] = Seq("id"
     val p = Paths.get(baseDir)
     if (!Files.exists(p)) Files.createDirectories(p)
     require(Files.isWritable(p), s"$baseDir not writable")
+    require(numBuckets > 0, "numBuckets must be positive")
   }
 
   override def write(batch: DataFrame, epochId: Long): Unit = {
     val spark = batch.sparkSession
-    val dests = batch.select("destination").distinct().collect().map(_.getString(0))
-    dests.foreach { dest =>
-      val table = tableDir(dest)
-      if (lastEpoch(table) == Some(epochId)) () // replayed epoch: skip
-      else {
-        val changes = batch.filter(col("destination") === dest)
-          .select(
-            col("key"),
-            col("value.op").as("__op"),
-            col("value.after").as("__payload"),
-            coalesce(col("value.source.lsn"), lit(Long.MaxValue)).as("__lsn"))
-        val incoming = keyFields.foldLeft(changes) { (df, k) =>
-          df.withColumn(s"__k_$k", col(s"key.$k"))
-        }.drop("key")
+    if (batch.isEmpty) return
 
-        val existingDir = table.resolve("data")
-        val merged =
-          if (Files.exists(existingDir)) {
-            val existing = spark.read.parquet(existingDir.toString)
-            val asCreates = keyFields.foldLeft(
-              existing.select(
-                lit(Envelope.OpCreate).as("__op"),
-                struct(existing.columns.filter(_ != "__lsn").map(col): _*).as("__payload"),
-                col("__lsn"))) { (df, k) => df.withColumn(s"__k_$k", col(s"__payload.$k")) }
-            asCreates.unionByName(incoming)
-          } else incoming
+    // single pass over the micro-batch: project merge columns, route to
+    // (destination, bucket), stage partitioned — per-destination work
+    // below reads only its own staged slice
+    val keyConcat = concat_ws("", keyFields.map(k => col(s"key.$k")): _*)
+    val changes = batch.select(
+        graft.operators.EventShaping.sanitizeFluss(col("destination")).as("__dest"),
+        Portable.partitionFor(keyConcat, numBuckets).as("__bucket"),
+        col("key"),
+        col("value.op").as("__op"),
+        col("value.after").as("__payload"),
+        coalesce(col("value.source.lsn"), col("value.ts_ms"), lit(0L)).as("__lsn"),
+        lit(1).as("__incoming"),
+        xxhash64(to_json(struct(col("value.op"), col("value.after")))).as("__tb"))
+    val incoming = keyFields.foldLeft(changes) { (df, k) =>
+      df.withColumn(s"__k_$k", col(s"key.$k"))
+    }.drop("key")
 
-        val survivors = ApplyChanges.latestState(merged,
-            keyCols = keyFields.map(k => col(s"__k_$k")),
-            orderCols = Seq(col("__lsn")),
-            opCol = col("__op"))
-          .select(col("__payload.*"), col("__lsn"))
+    val staging = Paths.get(baseDir, s"_staging-$epochId")
+    incoming.write.mode(SaveMode.Overwrite)
+      .partitionBy("__dest", "__bucket").parquet(staging.toString)
 
-        // copy-on-write swap: write fresh, then promote
-        val tmp = table.resolve(s"data.tmp-$epochId")
-        survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        deleteRecursively(existingDir)
-        Files.move(tmp, existingDir, StandardCopyOption.ATOMIC_MOVE)
-        Files.writeString(table.resolve("_epoch"), epochId.toString)
+    try {
+      listPartitionDirs(staging, "__dest=").foreach { destDir =>
+        val dest = destDir.getFileName.toString.stripPrefix("__dest=")
+        val table = tableDir(dest)
+        val manifest = Manifest.read(table)
+        if (manifest.epoch == Some(epochId)) () // replayed epoch: skip
+        else {
+          val dirtyBuckets = listPartitionDirs(destDir, "__bucket=")
+            .map(_.getFileName.toString.stripPrefix("__bucket=").toInt)
+          val staged = spark.read.option("basePath", destDir.toString)
+            .parquet(destDir.toString)
+
+          // existing live files for dirty buckets only, read per epoch
+          // dir so the bucket partition column survives
+          val dirtySet = dirtyBuckets.toSet
+          val liveDirty = manifest.buckets.filter { case (b, _) => dirtySet(b) }
+          val existing = liveDirty.groupBy(_._2).map { case (epochDir, entries) =>
+            val paths = entries.keys.map(b => s"$table/$epochDir/__bucket=$b").toSeq
+            spark.read.option("basePath", s"$table/$epochDir").parquet(paths: _*)
+          }.reduceOption(_ unionByName _)
+
+          val existingAsChanges = existing.map { ex =>
+            val payloadCols = ex.columns
+              .filterNot(c => c.startsWith("__")).map(col)
+            val asCreates = ex.select(
+              col("__bucket"),
+              lit(graft.model.Envelope.OpCreate).as("__op"),
+              struct(payloadCols.toIndexedSeq: _*).as("__payload"),
+              col("__lsn"), lit(0).as("__incoming"), lit(0L).as("__tb"))
+            keyFields.foldLeft(asCreates) { (df, k) =>
+              df.withColumn(s"__k_$k", col(s"__payload.$k"))
+            }
+          }
+
+          val stagedAligned = staged.select(
+            (Seq(col("__bucket"), col("__op"), col("__payload"), col("__lsn"),
+                 col("__incoming"), col("__tb")) ++
+              keyFields.map(k => col(s"__k_$k"))): _*)
+          val merged = existingAsChanges.fold(stagedAligned)(_.unionByName(stagedAligned))
+
+          val survivors = ApplyChanges.latestState(merged,
+              keyCols = keyFields.map(k => col(s"__k_$k")),
+              orderCols = Seq(col("__lsn"), col("__incoming"), col("__tb")),
+              opCol = col("__op"))
+            .select(col("__payload.*"), col("__lsn"), col("__bucket"))
+
+          // write ONLY dirty buckets under the new epoch dir
+          val epochDirName = s"data-$epochId"
+          survivors.write.mode(SaveMode.Overwrite)
+            .partitionBy("__bucket").parquet(table.resolve(epochDirName).toString)
+
+          // a dirty bucket with zero survivors (all keys deleted) writes
+          // no files — its manifest entry must still move off the old dir
+          val writtenBuckets = listPartitionDirs(table.resolve(epochDirName), "__bucket=")
+            .map(_.getFileName.toString.stripPrefix("__bucket=").toInt).toSet
+          val newBuckets = (manifest.buckets -- dirtySet) ++
+            writtenBuckets.map(_ -> epochDirName)
+          Manifest(Some(epochId), newBuckets).writeAtomic(table)
+          gcUnreferenced(table, newBuckets.values.toSet + epochDirName)
+        }
       }
-    }
+    } finally deleteRecursively(staging)
   }
 
-  /** Current state of a destination's table. */
-  def readTable(spark: org.apache.spark.sql.SparkSession, destination: String): DataFrame =
-    spark.read.parquet(tableDir(destination).resolve("data").toString).drop("__lsn")
+  /** Current state of a destination's table (resolved via manifest). */
+  def readTable(spark: SparkSession, destination: String): DataFrame = {
+    val table = tableDir(sanitize(destination))
+    val manifest = Manifest.read(table)
+    require(manifest.epoch.isDefined, s"no committed state for $destination")
+    manifest.buckets.groupBy(_._2).map { case (epochDir, entries) =>
+      val paths = entries.keys.map(b => s"$table/$epochDir/__bucket=$b").toSeq
+      spark.read.option("basePath", s"$table/$epochDir").parquet(paths: _*)
+    }.reduceOption(_ unionByName _)
+     .map(_.drop("__lsn", "__bucket"))
+     .getOrElse(spark.emptyDataFrame)
+  }
 
-  private def tableDir(dest: String): Path = {
-    val sanitized = dest.replaceAll("[^a-zA-Z0-9_\\-]", "_") // Fluss rule
-    val p = Paths.get(baseDir, sanitized)
+  private def sanitize(dest: String): String =
+    dest.replaceAll("[^a-zA-Z0-9_\\-]", "_") // Fluss rule
+
+  private def tableDir(sanitizedDest: String): Path = {
+    val p = Paths.get(baseDir, sanitizedDest)
     Files.createDirectories(p)
     p
   }
 
-  private def lastEpoch(table: Path): Option[Long] = {
-    val f = table.resolve("_epoch")
-    if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
-  }
+  private def listPartitionDirs(dir: Path, prefix: String): Seq[Path] =
+    if (!Files.exists(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
+      .toSeq
+
+  private def gcUnreferenced(table: Path, referenced: Set[String]): Unit =
+    Files.list(table).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data-"))
+      .filterNot(p => referenced(p.getFileName.toString))
+      .foreach(deleteRecursively)
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+
+  /** Table metadata: last applied epoch + bucket → epoch-dir map.
+    * Plain line format: "epoch <n>" then "<bucket> <epochDir>" lines. */
+  private case class Manifest(epoch: Option[Long], buckets: Map[Int, String]) {
+    def writeAtomic(table: Path): Unit = {
+      val lines = s"epoch ${epoch.getOrElse(-1L)}" +:
+        buckets.toSeq.sortBy(_._1).map { case (b, d) => s"$b $d" }
+      val tmp = table.resolve(s"_manifest.tmp")
+      Files.writeString(tmp, lines.mkString("\n") + "\n")
+      Files.move(tmp, table.resolve("_manifest"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+  private object Manifest {
+    def read(table: Path): Manifest = {
+      val f = table.resolve("_manifest")
+      if (!Files.exists(f)) Manifest(None, Map.empty)
+      else {
+        val lines = Files.readAllLines(f).asScala.filter(_.nonEmpty)
+        val epoch = lines.head.stripPrefix("epoch ").trim.toLong
+        val buckets = lines.tail.map { l =>
+          val Array(b, d) = l.split(" ", 2); b.toInt -> d
+        }.toMap
+        Manifest(if (epoch < 0) None else Some(epoch), buckets)
+      }
+    }
+  }
 }

@@ -71,4 +71,24 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Double]("p") > 0.0 && r.getAs[Double]("p") < 0.2)
     assert(r.getAs[Double]("s") > 0.2) // "The", "and", "the"
   }
+
+  test("multimodal: asMedia wraps bytes + metadata; extractFeatures stays in the plan") {
+    val df = Seq((1L, "hello media"), (2L, "other bytes")).toDF("doc_id", "content")
+    val media = Multimodal.asMedia(df, "content", "text/plain")
+    val meta = media.filter(col("doc_id") === 1L).select("media_meta.*").head()
+    assert(meta.getAs[String]("media_type") == "text/plain")
+    assert(meta.getAs[Long]("n_bytes") == 11L)
+
+    val feats = Multimodal.extractFeatures(media, "doc_id", dim = 8)
+    val rows = feats.orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    val v1 = rows(0).getAs[scala.collection.Seq[Float]]("features").toList
+    assert(v1.length == 8 && v1.forall(f => f >= 0f && f <= 1f))
+    // deterministic: same content → same features
+    val again = Multimodal.extractFeatures(media, "doc_id", dim = 8)
+      .orderBy("doc_id").collect()(0).getAs[scala.collection.Seq[Float]]("features").toList
+    assert(v1 == again)
+    // no RDD plan break: the physical plan is scan→project, no custom RDD scan node
+    assert(!feats.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+  }
 }

@@ -82,6 +82,24 @@ class EventShapingSpec extends SparkSpec {
     assert(out == Map("X-DEBEZIUM-H1" -> "v1"))
   }
 
+  test("columnLevel smt gates per-row in a single projection") {
+    val chain = Seq(EventShaping.Smt.columnLevel(
+      "route-customers",
+      Map("destination" -> concat(col("destination"), lit(".routed"))),
+      predicate = col("destination").startsWith("testc.")))
+    val out = EventShaping.applyChain(fixture, chain)
+    assert(out.filter(col("destination").endsWith(".routed")).count() == 7)
+    assert(out.filter(col("destination") === "__debezium-heartbeat.testc").count() == 1)
+    // single scan: no Union in the plan (whole-frame predicated SMTs split-union)
+    assert(!out.queryExecution.optimizedPlan.toString.contains("Union"))
+    // negate flips the gate
+    val neg = EventShaping.applyChain(fixture, Seq(EventShaping.Smt.columnLevel(
+      "route-others",
+      Map("destination" -> lit("other")),
+      predicate = col("destination").startsWith("testc."), negate = true)))
+    assert(neg.filter(col("destination") === "other").count() == 1)
+  }
+
   test("smt chain with predicate leaves non-matching rows unchanged") {
     val chain = Seq(EventShaping.Smt(
       "route-customers",

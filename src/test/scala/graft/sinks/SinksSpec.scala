@@ -10,6 +10,25 @@ import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicInteger
 import scala.collection.mutable.ArrayBuffer
 
+/** Shared in-JVM store standing in for an external KV service — static
+  * so executor threads (same JVM in local mode) and the test see one
+  * store. */
+object TestKvStore {
+  import java.util.concurrent.ConcurrentHashMap
+  val data = new ConcurrentHashMap[String, String]()
+  def clear(): Unit = data.clear()
+  def get(dest: String, k: String): Option[String] = Option(data.get(s"$dest|$k"))
+}
+
+final class TestKvClient(maxBytes: Long) extends ForeachKvSink.KvClient with Serializable {
+  override def putAll(destination: String, entries: Seq[(String, String)]): Unit =
+    entries.foreach { case (k, v) => TestKvStore.data.put(s"$destination|$k", v) }
+  override def delete(destination: String, key: String): Unit =
+    TestKvStore.data.remove(s"$destination|$key")
+  override def memory(): (Long, Long) = (0L, maxBytes)
+  override def close(): Unit = ()
+}
+
 class SinksSpec extends SparkSpec {
 
   private val keySchema = StructType(Seq(StructField("id", IntegerType)))
@@ -67,7 +86,8 @@ class SinksSpec extends SparkSpec {
       val sink = new HttpSink(s"http://localhost:${server.getAddress.getPort}/hook",
         batchMode = true, chunkSize = 2,
         authHeaders = () => Map("X-Auth" -> "tok"), sleeper = _ => ())
-      sink.write(records(3), epochId = 0)
+      // one partition so the per-partition chunking is deterministic
+      sink.write(records(3).coalesce(1), epochId = 0)
       assert(received.size == 2) // 3 records, chunk 2 → 2 posts
       assert(received.forall(_.startsWith("tok|[")))
       assert(received.mkString.contains("\"question 1\""))
@@ -96,5 +116,78 @@ class SinksSpec extends SparkSpec {
     sink.write(records(2), epochId = 7) // replay of same epoch
     val n = sink.readTable(spark, "testc.faq.items").count()
     assert(n == 2)
+  }
+
+  private def recordsWithLsn(rows: Seq[(Int, String, String, String, java.lang.Long)]) = {
+    val schema = graft.model.Envelope.recordSchema(keySchema, rowSchema)
+    val rws = rows.map { case (id, op, q, a, lsn) =>
+      val payload = Row(id, q, a)
+      Row("testc.faq.items", Row(id),
+          Row(op, if (op == "d") payload else null, if (op == "d") null else payload,
+              Row("pg", "db", "faq", "items", lsn, "false", 0L), 5L),
+          Map("src" -> "unit"))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rws), schema)
+  }
+
+  test("parquet upsert sink rewrites only dirty buckets; clean bucket files survive untouched") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-up3").toString
+    val sink = new ParquetUpsertSink(dir, Seq("id"), numBuckets = 8)
+    sink.write(recordsWithLsn((1 to 16).map(i =>
+      (i, "c", s"q$i", s"a$i", java.lang.Long.valueOf(i.toLong))).toSeq), epochId = 1)
+
+    def dataFiles() = Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p)).toMap
+    val before = dataFiles()
+
+    // epoch 2 touches a single key → a single bucket
+    sink.write(recordsWithLsn(Seq((1, "u", "q1b", "a1b", java.lang.Long.valueOf(100L)))), epochId = 2)
+    val after = dataFiles()
+    val surviving = before.keySet.intersect(after.keySet)
+    assert(surviving.nonEmpty, "clean buckets must keep their original files")
+    surviving.foreach(f => assert(before(f) == after(f), s"$f was rewritten"))
+    // the updated key reads back the new value; table row count unchanged
+    val state = sink.readTable(spark, "testc.faq.items").orderBy("id").collect()
+    assert(state.length == 16)
+    assert(state.find(_.getAs[Int]("id") == 1).get.getAs[String]("q") == "q1b")
+  }
+
+  test("foreach kv sink puts from executors, honors tombstones and memory admission") {
+    TestKvStore.clear()
+    val sink = new ForeachKvSink(() => new TestKvClient(maxBytes = Long.MaxValue), batchSize = 2)
+    val schema = graft.model.Envelope.recordSchema(keySchema, rowSchema)
+    val rows = Seq(
+      Row("testc.faq.items", Row(1), Row("c", null, Row(1, "q1", "a1"),
+          Row("pg", "db", "faq", "items", 1L, "false", 0L), 0L), Map.empty[String, String]),
+      Row("testc.faq.items", Row(2), Row("c", null, Row(2, "q2", "a2"),
+          Row("pg", "db", "faq", "items", 2L, "false", 0L), 0L), Map.empty[String, String]),
+      Row("testc.faq.items", Row(1), null, Map.empty[String, String])) // tombstone
+    val batch = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    sink.write(batch, 0)
+    assert(TestKvStore.get("testc.faq.items", """{"id":2}""").isDefined)
+    assert(TestKvStore.get("testc.faq.items", """{"id":1}""").isEmpty)
+
+    // a store that reports no headroom rejects the chunk after retries
+    val full = new ForeachKvSink(() => new TestKvClient(maxBytes = 1),
+      admissionRetries = 1, sleeper = _ => ())
+    val e = intercept[org.apache.spark.SparkException] { full.write(batch, 1) }
+    assert(e.getMessage.contains("memory threshold") ||
+           Option(e.getCause).exists(_.getMessage.contains("memory threshold")))
+  }
+
+  test("parquet upsert sink: incoming beats stored state on lsn ties; deletes win by order") {
+    val dir = Files.createTempDirectory("graft-up4").toString
+    val sink = new ParquetUpsertSink(dir, Seq("id"))
+    // lsn-less envelopes: __lsn falls back to ts_ms (5) for every record
+    sink.write(recordsWithLsn(Seq((1, "c", "q1", "a1", null))), epochId = 1)
+    // same key, same (null) lsn: the incoming update must still apply
+    sink.write(recordsWithLsn(Seq((1, "u", "q1-new", "a1-new", null))), epochId = 2)
+    val state = sink.readTable(spark, "testc.faq.items").collect()
+    assert(state.length == 1 && state.head.getAs[String]("q") == "q1-new")
+    // delete with a real lsn removes the key
+    sink.write(recordsWithLsn(Seq((1, "d", "q1-new", "a1-new", java.lang.Long.valueOf(50L)))), epochId = 3)
+    assert(sink.readTable(spark, "testc.faq.items").count() == 0)
   }
 }
