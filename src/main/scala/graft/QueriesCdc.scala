@@ -14,7 +14,7 @@ import graft.operators.{ApplyChanges, EventShaping}
   */
 object QueriesCdc {
 
-  def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06)
+  def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -137,6 +137,56 @@ object QueriesCdc {
            |FROM orders
            |WHERE o_orderkey % 13 <> 0
            |ORDER BY o_orderkey""".stripMargin))
+
+  /** End-to-end through the DSv2 `graft-cdc` SOURCE: events become a
+    * WAL of envelope records (lsn = event_id), read back through the
+    * source's LSN-ranged scan with include-list pushdown, then apply
+    * changes to final state — the oracle restates the same semantics
+    * directly over the base table (metamorphic check of the whole
+    * source→shape→materialize path). */
+  private def cdc07 = Q("cdc07_cdc_source_replay",
+    (s, dir) => {
+      import java.nio.file.Files
+      val db = Files.createTempDirectory("graft-cdc07")
+      val rowDdl = "user_id BIGINT, event_type STRING, value DOUBLE, ts_us BIGINT"
+      val rowT = s"struct<user_id:bigint,event_type:string,value:double,ts_us:bigint>"
+      val ev = Tables.events(s, dir)
+      val rowStruct = struct(col("user_id"), col("event_type"), col("value"),
+                             unix_micros(col("ts")).as("ts_us"))
+      val line = to_json(struct(
+        lit("testc.app.events").as("destination"),
+        struct(col("user_id")).as("key"),
+        struct(opCol.as("op"),
+               when(opCol === "d", rowStruct).otherwise(lit(null).cast(rowT)).as("before"),
+               when(opCol =!= "d", rowStruct).otherwise(lit(null).cast(rowT)).as("after"),
+               struct(lit("pg").as("connector"), lit("db").as("db"), lit("app").as("schema"),
+                      lit("events").as("table"), col("event_id").as("lsn"),
+                      lit("false").as("snapshot"), lit(0L).as("ts_ms")).as("source"),
+               lit(0L).as("ts_ms")).as("value")))
+      ev.select(line.as("value")).write.mode("overwrite").text(db.resolve("wal").toString)
+
+      val records = s.read.format("graft-cdc")
+        .option("path", db.toString)
+        .option("keySchema", "user_id BIGINT").option("rowSchema", rowDdl)
+        .option("table.include.list", "app.events")
+        .load()
+      ApplyChanges.latestState(records,
+          keyCols = Seq(col("key.user_id")),
+          orderCols = Seq(col("value.source.lsn")),
+          opCol = col("value.op"))
+        .select(col("key.user_id").as("user_id"), col("value.op").as("op"),
+                col("value.after.event_type").as("event_type"),
+                col("value.after.value").as("value"),
+                col("value.after.ts_us").as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, op, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin))
 
   /** Tombstone + heartbeat filtering on a synthesized record stream
     * (TombstoneSupportProducer.java:33-42,

@@ -1,0 +1,325 @@
+package graft.sources.cdc
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, StringEndsWith, StringStartsWith}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.model.Envelope
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 CDC source (`format("graft-cdc")`) — the Spark-native
+  * rebuild of the reference's connector left half (SURVEY.md §2.1):
+  * snapshot phase then WAL streaming with LSN offsets, as a real
+  * `MicroBatchStream` whose offsets ARE log positions, not file names.
+  *
+  * The "database" is an on-disk layout standing in for a live server
+  * (no DB daemons in this environment — a production deployment
+  * implements the same contract against pgoutput/binlog):
+  *
+  *   <db>/snapshot/_lsn                     LSN the snapshot is consistent at
+  *   <db>/snapshot/<schema>.<table>.jsonl   row dumps (one JSON object/line)
+  *   <db>/wal/wal-….jsonl                   envelope records, value.source.lsn
+  *                                          strictly increasing across the log
+  *
+  * Phases (DebeziumMetrics.java:115-131 semantics):
+  *  - initial offset = LSN -1; the FIRST micro-batch advances to the
+  *    snapshot LSN and delivers every snapshot row as op='r' with
+  *    source.snapshot='true' (the reference's snapshot read events);
+  *  - subsequent batches advance through WAL LSN ranges `(start, end]`
+  *    — replaying a checkpointed offset range yields identical rows,
+  *    which is what makes downstream epoch-idempotent sinks
+  *    exactly-once.
+  *
+  * Scale + pushdown:
+  *  - one InputPartition per WAL file (files are the log's natural
+  *    parallelism unit; a pgoutput tailer partitions by slot);
+  *  - `table.include.list` AND Catalyst-pushed destination filters
+  *    (EqualTo / StartsWith / EndsWith via SupportsPushDownFilters)
+  *    are evaluated in the partition reader BEFORE rows surface, so
+  *    excluded tables never leave the scan (the reference pushes its
+  *    include list into the connector the same way,
+  *    DebeziumServerTest.java:70-79).
+  */
+final class GraftCdcSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftCdcSource.recordSchema(options.asScala.toMap)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new CdcTable(properties.asScala.toMap)
+}
+
+object GraftCdcSource {
+  def recordSchema(options: Map[String, String]): StructType = {
+    val key = StructType.fromDDL(req(options, "keyschema"))
+    val row = StructType.fromDDL(req(options, "rowschema"))
+    Envelope.recordSchema(key, row)
+  }
+  private[cdc] def req(options: Map[String, String], k: String): String =
+    options.getOrElse(k, throw new IllegalArgumentException(s"graft-cdc: option '$k' required"))
+}
+
+private[cdc] final class CdcTable(options0: Map[String, String]) extends Table with SupportsRead {
+  private val options = options0.map { case (k, v) => k.toLowerCase -> v }
+  override def name(): String = s"graft-cdc:${options.getOrElse("path", "?")}"
+  override def schema(): StructType = GraftCdcSource.recordSchema(options)
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    new CdcScanBuilder(options ++ caseInsensitive.asScala.map { case (k, v) => k.toLowerCase -> v })
+}
+
+private[cdc] final class CdcScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept destination-column filters; everything else stays in Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("destination", _: String)          => true
+      case StringStartsWith("destination", _)         => true
+      case StringEndsWith("destination", _)           => true
+      case _                                          => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new CdcScan(options, pushed)
+}
+
+private[cdc] final class CdcScan(options: Map[String, String], pushed: Array[Filter])
+    extends Scan {
+  override def readSchema(): StructType = GraftCdcSource.recordSchema(options)
+  override def description(): String =
+    s"GraftCdcScan(pushed=[${pushed.mkString(", ")}])"
+  override def toBatch: Batch = new CdcBatch(options, pushed)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcMicroBatchStream(options, pushed)
+}
+
+/** LSN position offset — the stream's notion of progress is the log
+  * position, exactly like the reference's connector offsets. */
+private[cdc] final case class CdcOffset(lsn: Long) extends Offset {
+  override def json(): String = s"""{"lsn":$lsn}"""
+}
+private[cdc] object CdcOffset {
+  def fromJson(s: String): CdcOffset =
+    CdcOffset("""-?\d+""".r.findFirstIn(s).map(_.toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset: $s")))
+}
+
+private[cdc] object CdcLayout {
+  def dbDir(options: Map[String, String]): Path =
+    Paths.get(GraftCdcSource.req(options, "path"))
+
+  def snapshotLsn(db: Path): Long = {
+    val f = db.resolve("snapshot").resolve("_lsn")
+    if (Files.exists(f)) Files.readString(f).trim.toLong else -1L
+  }
+
+  def snapshotTables(db: Path): Seq[Path] = {
+    val d = db.resolve("snapshot")
+    if (!Files.exists(d)) Nil
+    else Files.list(d).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".jsonl")).toSeq.sortBy(_.toString)
+  }
+
+  def walFiles(db: Path): Seq[Path] = {
+    val d = db.resolve("wal")
+    if (!Files.exists(d)) Nil
+    else Files.list(d).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq.sortBy(_.toString)
+  }
+
+  /** Current end of the log — a real tailer asks the server
+    * (pg_current_wal_lsn()); the fixture scans the wal dir. */
+  def maxLsn(db: Path): Long = {
+    val wals = walFiles(db)
+    if (wals.isEmpty) snapshotLsn(db)
+    else math.max(snapshotLsn(db), wals.iterator.flatMap { f =>
+      Files.lines(f).iterator().asScala.filter(_.nonEmpty).map(lsnOf)
+    }.foldLeft(-1L)(math.max))
+  }
+
+  def lsnOf(line: String): Long = {
+    val n = JsonRows.parse(line)
+    val v = n.get("value")
+    if (v == null || v.isNull) -1L
+    else {
+      val s = v.get("source")
+      if (s == null || s.isNull || s.get("lsn") == null) -1L else s.get("lsn").asLong()
+    }
+  }
+}
+
+/** Batch scan: snapshot + entire WAL (bounded replay). */
+private[cdc] final class CdcBatch(options: Map[String, String], pushed: Array[Filter])
+    extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val db = CdcLayout.dbDir(options)
+    val snapLsn = CdcLayout.snapshotLsn(db)
+    val snaps = CdcLayout.snapshotTables(db).map(p =>
+      CdcPartition(p.toString, isSnapshot = true, snapLsn, Long.MaxValue): InputPartition)
+    val wals = CdcLayout.walFiles(db).map(p =>
+      CdcPartition(p.toString, isSnapshot = false, snapLsn, Long.MaxValue): InputPartition)
+    (snaps ++ wals).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(options, pushed)
+}
+
+/** Micro-batch stream over LSN ranges. */
+private[cdc] final class CdcMicroBatchStream(options: Map[String, String], pushed: Array[Filter])
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+  private val db = CdcLayout.dbDir(options)
+  private val snapLsn = CdcLayout.snapshotLsn(db)
+  // Trigger.AvailableNow: pin the end of the log at query start so the
+  // query drains exactly to that position and stops
+  private var availableNowTarget: Option[CdcOffset] = None
+
+  override def initialOffset(): Offset = CdcOffset(-1L)
+  override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
+  override def latestOffset(): Offset =
+    availableNowTarget.getOrElse(CdcOffset(CdcLayout.maxLsn(db)))
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(CdcOffset(CdcLayout.maxLsn(db)))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = CdcOffset(CdcLayout.maxLsn(db))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CdcOffset].lsn
+    val e = end.asInstanceOf[CdcOffset].lsn
+    // snapshot phase: everything at or below the snapshot LSN comes from
+    // the row dumps, not the WAL (the reference streams from the
+    // snapshot-consistent LSN after its initial snapshot)
+    val snaps =
+      if (s < snapLsn && e >= snapLsn)
+        CdcLayout.snapshotTables(db).map(p =>
+          CdcPartition(p.toString, isSnapshot = true, snapLsn, e): InputPartition)
+      else Nil
+    val wals =
+      if (e > math.max(s, snapLsn))
+        CdcLayout.walFiles(db).map(p =>
+          CdcPartition(p.toString, isSnapshot = false, math.max(s, snapLsn), e): InputPartition)
+      else Nil
+    (snaps ++ wals).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(options, pushed)
+}
+
+/** One file of the snapshot or WAL, bounded to an LSN range
+  * `(fromLsn, toLsn]` (snapshot partitions deliver at fromLsn). */
+private[cdc] final case class CdcPartition(file: String, isSnapshot: Boolean,
+                                           fromLsn: Long, toLsn: Long) extends InputPartition
+
+private[cdc] final class CdcReaderFactory(options: Map[String, String], pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdcPartition]
+    new CdcPartitionReader(p, options, pushed)
+  }
+}
+
+private[cdc] final class CdcPartitionReader(p: CdcPartition,
+                                            options: Map[String, String],
+                                            pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val keySchema = StructType.fromDDL(GraftCdcSource.req(options, "keyschema"))
+  private val rowSchema = StructType.fromDDL(GraftCdcSource.req(options, "rowschema"))
+  private val recordSchema = Envelope.recordSchema(keySchema, rowSchema)
+  private val includes: Seq[String] =
+    options.get("table.include.list").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  private val lines = Files.lines(Paths.get(p.file))
+  private val it = lines.iterator().asScala.filter(_.trim.nonEmpty)
+  private var current: InternalRow = _
+  // LSN position of the last seen WAL record: records WITHOUT an lsn
+  // (tombstones, heartbeats) are anchored to their predecessor's
+  // position so each is delivered in exactly one micro-batch
+  private var lastLsn: Long = 0L
+
+  // destination for snapshot rows: <prefix>.<table-file-name>
+  private val topicPrefix = options.getOrElse("topic.prefix", "testc")
+  private val snapTable = Paths.get(p.file).getFileName.toString.stripSuffix(".jsonl")
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && it.hasNext) {
+      val line = it.next()
+      val row = if (p.isSnapshot) snapshotRow(line) else walRow(line)
+      if (row != null) current = row
+    }
+    current != null
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+
+  private def destOk(dest: String): Boolean = {
+    val incl = includes.isEmpty || includes.exists(t => dest.endsWith("." + t)) ||
+      dest.startsWith(Envelope.HeartbeatPrefix)
+    incl && pushed.forall {
+      case EqualTo("destination", v: String)  => dest == v
+      case StringStartsWith("destination", v) => dest.startsWith(v)
+      case StringEndsWith("destination", v)   => dest.endsWith(v)
+      case _                                  => true
+    }
+  }
+
+  /** Snapshot dump line = plain row object → op='r' envelope at the
+    * snapshot LSN with source.snapshot='true'. */
+  private def snapshotRow(line: String): InternalRow = {
+    if (p.fromLsn > p.toLsn) return null
+    val dest = s"$topicPrefix.$snapTable"
+    if (!destOk(dest)) return null
+    val node = JsonRows.parse(line)
+    val after = JsonRows.toInternalRow(node, rowSchema)
+    val key = JsonRows.toInternalRow(node, keySchema)
+    val source = new GenericInternalRow(Array[Any](
+      UTF8String.fromString("snapshot"), null,
+      UTF8String.fromString(schemaOf(snapTable)), UTF8String.fromString(tableOf(snapTable)),
+      p.fromLsn, UTF8String.fromString("true"), 0L))
+    val value = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(Envelope.OpRead), null, after, source, 0L))
+    new GenericInternalRow(Array[Any](UTF8String.fromString(dest), key, value, null))
+  }
+
+  private def schemaOf(table: String): String =
+    table.split("\\.").dropRight(1).mkString(".")
+  private def tableOf(table: String): String = table.split("\\.").last
+
+  /** WAL line = full change record; delivered iff lsn ∈ (fromLsn, toLsn]
+    * (lsn-less records use their predecessor's position). */
+  private def walRow(line: String): InternalRow = {
+    val rawLsn = CdcLayout.lsnOf(line)
+    val lsn = if (rawLsn >= 0) { lastLsn = rawLsn; rawLsn } else lastLsn
+    if (lsn <= p.fromLsn || lsn > p.toLsn) return null
+    val node = JsonRows.parse(line)
+    val destNode = node.get("destination")
+    if (destNode == null || destNode.isNull) return null
+    val dest = destNode.asText()
+    if (!destOk(dest)) return null
+    JsonRows.toInternalRow(node, recordSchema)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.Envelope
+
+/** Streaming stateful operators (SURVEY.md §7.2 step 8, §7.5 item 5) —
+  * the continuous counterparts of the batch operators:
+  *
+  *  - [[dedupExactStream]] ↔ graft.llm.Dedup.exact: watermarked
+  *    streaming dedup on the 64-bit content hash;
+  *  - [[latestStateStream]] ↔ graft.operators.ApplyChanges.latestState:
+  *    per-key newest-change state via flatMapGroupsWithState, emitting
+  *    a changelog in Update mode.
+  *
+  * State sizing at 100 TB: state is keyed by the record key and holds
+  * ONE compact row per key (lsn + op + serialized payload) — the
+  * RocksDB state store backend
+  * (spark.sql.streaming.stateStore.providerClass) keeps it off-heap;
+  * dedup state is bounded by the watermark horizon. Both operators
+  * shuffle once on their key and scale horizontally with
+  * spark.sql.shuffle.partitions.
+  */
+object StreamingOps {
+
+  /** Streaming exact dedup: first occurrence of each content hash
+    * passes, duplicates arriving within the watermark horizon are
+    * dropped, and state for hashes older than the watermark is evicted
+    * (bounded state — the Spark analog of a TTL'd dedup cache).
+    * `tsCol` must be an event-time timestamp column. */
+  def dedupExactStream(df: DataFrame, contentCol: Column,
+                       tsCol: String, watermarkDelay: String): DataFrame =
+    df.withColumn("__content_hash", graft.functions.Portable.hash64(contentCol))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__content_hash")
+
+  /** One keyed change as carried through the stateful operator: the
+    * key and payload travel as JSON strings so ONE state schema serves
+    * any table schema (per-stream schemas stay dynamic, SURVEY.md §1.4). */
+  final case class ChangeIn(key: String, op: String, payload: String, lsn: Long)
+
+  /** Kept state per key: the newest applied change. */
+  final case class KeyState(lsn: Long, op: String, payload: String)
+
+  /** Changelog emission: current state of a key after a trigger; op
+    * "d" means the key was deleted (downstream removes it). */
+  final case class StateOut(key: String, op: String, payload: String, lsn: Long)
+
+  /** Streaming apply-changes: keeps the newest change per key (by lsn,
+    * then a deterministic content tiebreak) and emits each key's
+    * current state whenever it changes — the same semantics as the
+    * batch ApplyChanges.latestState, as a continuously-maintained
+    * changelog. Deletes clear state and emit an op="d" marker.
+    *
+    * Input: canonical change records (Envelope.recordSchema shape with
+    * `key`, `value.op`, `value.after`, `value.source.lsn`, `value.ts_ms`). */
+  def latestStateStream(records: DataFrame): Dataset[StateOut] = {
+    val ds = records.select(
+        to_json(col("key")).as("key"),
+        col("value.op").as("op"),
+        to_json(col("value.after")).as("payload"),
+        coalesce(col("value.source.lsn"), col("value.ts_ms"), lit(0L)).as("lsn"))
+      .na.fill("", Seq("payload"))
+      .as(Encoders.product[ChangeIn])
+
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        applyGroup)(Encoders.product[KeyState], Encoders.product[StateOut])
+  }
+
+  /** Deterministic "newer" ordering: (lsn, content-hash tiebreak) —
+    * mirrors the batch merge order in ParquetUpsertSink so replays and
+    * arbitrary group iteration order converge to the same winner. */
+  private def newer(a: KeyState, b: KeyState): KeyState =
+    if (a.lsn != b.lsn) { if (a.lsn > b.lsn) a else b }
+    else { if (a.payload.## >= b.payload.##) a else b }
+
+  private def applyGroup(key: String, changes: Iterator[ChangeIn],
+                         state: GroupState[KeyState]): Iterator[StateOut] = {
+    val incoming = changes.map(c => KeyState(c.lsn, c.op, c.payload))
+      .reduceOption(newer)
+    incoming match {
+      case None => Iterator.empty
+      case Some(cand) =>
+        val winner = state.getOption.fold(cand)(cur => newer(cand, cur))
+        if (state.getOption.contains(winner)) Iterator.empty // no change
+        else if (winner.op == Envelope.OpDelete) {
+          state.remove()
+          Iterator.single(StateOut(key, Envelope.OpDelete, "", winner.lsn))
+        } else {
+          state.update(winner)
+          Iterator.single(StateOut(key, winner.op, winner.payload, winner.lsn))
+        }
+    }
+  }
+
+  /** Compact a changelog (e.g. collected StateOut emissions) to final
+    * state: newest emission per key wins, deleted keys drop out — the
+    * helper that makes streaming and batch results directly comparable. */
+  def compactChangelog(changelog: DataFrame): DataFrame = {
+    graft.operators.ApplyChanges.latestState(changelog,
+      keyCols = Seq(col("key")),
+      orderCols = Seq(col("lsn")),
+      opCol = col("op"))
+  }
+}

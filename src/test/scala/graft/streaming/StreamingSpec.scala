@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.Envelope
+import graft.operators.ApplyChanges
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming stateful layer: the flatMapGroupsWithState apply-changes
+  * must reach the same final state as the batch ApplyChanges over the
+  * same change log (cdc02 semantics), and watermarked dedup must drop
+  * in-batch and cross-batch duplicates. */
+class StreamingSpec extends SparkSpec {
+
+  private val keySchema = StructType(Seq(StructField("id", IntegerType)))
+  private val rowSchema = StructType(Seq(
+    StructField("id", IntegerType), StructField("v", StringType)))
+
+  private def line(id: Int, op: String, v: String, lsn: Long): String = {
+    val row = s"""{"id":$id,"v":"$v"}"""
+    val after = if (op == "d") "null" else row
+    s"""{"destination":"t.s.x","key":{"id":$id},"value":{"op":"$op","before":null,"after":$after,"source":{"connector":"pg","db":"d","schema":"s","table":"x","lsn":$lsn,"snapshot":"false","ts_ms":0},"ts_ms":0},"headers":{}}"""
+  }
+
+  test("latestStateStream matches batch ApplyChanges over the same log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val records = input.toDF()
+      .select(from_json(col("value"), Envelope.recordSchema(keySchema, rowSchema)).as("r"))
+      .select("r.*")
+    val changelog = StreamingOps.latestStateStream(records)
+
+    val q = changelog.writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try {
+      val batch1 = Seq(line(1, "c", "a1", 1), line(2, "c", "a2", 2), line(3, "c", "a3", 3))
+      input.addData(batch1)
+      q.processAllAvailable()
+      assert(spark.table("state_out").count() == 3)
+
+      // update k2, delete k3, and a STALE update for k1 (lsn 0 < current 1)
+      val batch2 = Seq(line(2, "u", "a2-new", 5), line(3, "d", "a3", 6), line(1, "u", "stale", 0))
+      input.addData(batch2)
+      q.processAllAvailable()
+
+      val emissions = spark.table("state_out")
+      // stale k1 update produced no emission
+      assert(emissions.filter(col("payload").contains("stale")).count() == 0)
+
+      val streamed = StreamingOps.compactChangelog(emissions)
+        .select(get_json_object(col("key"), "$.id").cast("int").as("id"),
+                get_json_object(col("payload"), "$.v").as("v"))
+        .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+
+      // batch reference over the full log
+      val allLines = (Seq(line(1, "c", "a1", 1), line(2, "c", "a2", 2), line(3, "c", "a3", 3)) ++
+        Seq(line(2, "u", "a2-new", 5), line(3, "d", "a3", 6), line(1, "u", "stale", 0)))
+      val batchDf = spark.createDataset(allLines)
+        .select(from_json(col("value"), Envelope.recordSchema(keySchema, rowSchema)).as("r"))
+        .select("r.*")
+      val batched = ApplyChanges.latestState(batchDf,
+          keyCols = Seq(col("key.id")),
+          orderCols = Seq(coalesce(col("value.source.lsn"), lit(0L))),
+          opCol = col("value.op"))
+        .select(col("key.id").as("id"), col("value.after.v").as("v"))
+        .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+
+      assert(streamed == batched)
+      assert(streamed == Seq((1, "a1"), (2, "a2-new")))
+    } finally q.stop()
+  }
+
+  test("dedupExactStream drops in-batch and cross-batch duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val deduped = StreamingOps.dedupExactStream(df, col("text"), "ts", "10 minutes")
+
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:01:00")
+      input.addData(Seq((t0, "doc A"), (t0, "doc A"), (t0, "doc B")))
+      q.processAllAvailable()
+      input.addData(Seq((t1, "doc A"), (t1, "doc C"))) // cross-batch dup + new
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(texts == Seq("doc A", "doc B", "doc C"))
+    } finally q.stop()
+  }
+}
