@@ -14,7 +14,7 @@ import graft.operators.{ApplyChanges, EventShaping}
   */
 object QueriesCdc {
 
-  def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07)
+  def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -187,6 +187,84 @@ object QueriesCdc {
             |  FROM events) t
             |WHERE rn = 1 AND op <> 'd'
             |ORDER BY user_id""".stripMargin))
+
+  /** Queue-family delivery geometry (QueueSink.planBatches): ordering
+    * key with the reference's precedence (message-group header →
+    * record key → null.key; SnsChangeConsumer.java:221-228) and ≤500
+    * chunking per destination in (ts, event_id) order
+    * (KinesisChangeConsumerConfig.java:18). */
+  private def cdc08 = Q("cdc08_queue_delivery_plan",
+    (s, dir) => {
+      val recs = Tables.events(s, dir).select(
+        concat(lit("testc.app."), col("event_type")).as("destination"),
+        struct(col("user_id")).as("key"),
+        struct(unix_micros(col("ts")).as("ts_us"), col("event_id")).as("value"),
+        when(col("event_id") % 10 === 0,
+             map(lit(graft.sinks.QueueSink.OrderingKeyHeader),
+                 concat(lit("grp-"), (col("user_id") % 4).cast("string"))))
+          .otherwise(lit(null).cast("map<string,string>")).as("headers"))
+      graft.sinks.QueueSink.planBatches(recs,
+          orderCols = Seq(col("value.ts_us"), col("value.event_id")), maxBatchSize = 500)
+        .groupBy(col("destination"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_records"),
+             countDistinct(col("ordering_key")).as("n_keys"))
+        .orderBy(col("destination"), col("chunk_id"))
+    },
+    Some("""WITH r AS (
+           |  SELECT concat('testc.app.', event_type) AS destination,
+           |         CASE WHEN event_id % 10 = 0 THEN concat('grp-', CAST(user_id % 4 AS VARCHAR))
+           |              ELSE concat('{"user_id":', CAST(user_id AS VARCHAR), '}') END AS ordering_key,
+           |         epoch_ns(ts) // 1000 AS ts_us, event_id
+           |  FROM events),
+           |w AS (SELECT destination, ordering_key,
+           |        CAST((row_number() OVER (PARTITION BY destination ORDER BY ts_us, event_id) - 1) // 500 AS INT) AS chunk_id
+           |      FROM r)
+           |SELECT destination, chunk_id, count(*) AS n_records,
+           |       count(DISTINCT ordering_key) AS n_keys
+           |FROM w GROUP BY 1, 2
+           |ORDER BY destination, chunk_id""".stripMargin))
+
+  /** Logical type round-trip (graft.model.LogicalTypes ↔
+    * FlussTypeConverter.java:112-237): orders rows are first rendered
+    * to Debezium WIRE values (epoch-days int, epoch-micros long,
+    * zoned ISO string, decimal, float vector) then converted back
+    * through the type mapper; the oracle computes the same typed
+    * values directly — if any conversion is lossy or shifted, the
+    * round-trip breaks. */
+  private def cdc09 = Q("cdc09_logical_types",
+    (s, dir) => {
+      import graft.model.LogicalTypes
+      val o = Tables.orders(s, dir).filter(col("o_orderkey") <= 2000)
+        // parquet scans the date as TIMESTAMP_NTZ; session tz is UTC so
+        // the cast to TIMESTAMP is wall-clock-identical
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      // wire encoding (what a connector emits)
+      val wire = o.select(
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("w_epoch_days"),
+        unix_micros(col("o_orderdate")).as("w_epoch_us"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("w_zoned"),
+        col("o_totalprice").cast("decimal(18,2)").as("w_dec"),
+        array((col("o_orderkey") % 7).cast("float"), (col("o_orderkey") % 11).cast("float")).as("w_vec"))
+      // decode through the logical type mapper
+      wire.select(
+        col("o_orderkey"),
+        LogicalTypes.date(col("w_epoch_days")).as("d"),
+        LogicalTypes.timestampMicros(col("w_epoch_us")).as("ts"),
+        LogicalTypes.zonedTimestamp(col("w_zoned")).as("ts_z"),
+        col("w_dec").cast("double").as("price"),
+        LogicalTypes.floatVectorToDouble(col("w_vec")).as("vec"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+           |  CAST(o_orderdate AS DATE) AS d,
+           |  o_orderdate AS ts,
+           |  o_orderdate AS ts_z,
+           |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+           |  [CAST(o_orderkey % 7 AS DOUBLE), CAST(o_orderkey % 11 AS DOUBLE)] AS vec
+           |FROM orders
+           |WHERE o_orderkey <= 2000
+           |ORDER BY o_orderkey""".stripMargin))
 
   /** Tombstone + heartbeat filtering on a synthesized record stream
     * (TombstoneSupportProducer.java:33-42,

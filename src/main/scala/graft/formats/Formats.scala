@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * `debezium.format.{key,value,header}` layer
   * (DebeziumSerializationProducer.java:60-68,103-154: json,
   * jsonbytearray, avro, protobuf, cloudevents, binary, simplestring,
-  * connect). Each format is a Column transform over the typed record,
-  * so serialization fuses into the same codegen stage as the SMT chain.
+  * connect, clientprovided). Each format is a Column transform over
+  * the typed record, so serialization fuses into the same codegen
+  * stage as the SMT chain (Avro's row-level encode is the one UDF hop).
   *
   * Implemented: json, jsonbytearray, simplestring, connect (identity —
   * keep the typed struct end-to-end, DebeziumServerConnectFormatIT),
-  * cloudevents (JSON envelope per the CloudEvents 1.0 attribute set).
-  * avro/protobuf need their connector jars (not shipped here); the
-  * registry rejects them with the same fail-at-startup behavior as the
+  * cloudevents (JSON envelope per the CloudEvents 1.0 attribute set),
+  * avro (real binary encoding via the Avro library, AvroFormat),
+  * binary (bytes pass-through), clientprovided (caller-supplied
+  * Column function — the @CustomConsumerBuilder analog). protobuf has
+  * no serializer here and FAILS AT STARTUP by name, exactly like the
   * reference's unknown-format error.
   */
 object Formats {
@@ -51,26 +54,71 @@ object Formats {
     def serialize(c: Column): Column = c
   }
 
-  def forName(name: String): Format = name match {
+  /** Raw bytes pass-through (binary format): binary columns unchanged,
+    * strings as UTF-8 bytes. */
+  case object Binary extends Format {
+    val name = "binary"
+    def serialize(c: Column): Column = c.cast("binary")
+  }
+
+  /** CloudEvents 1.0 JSON envelope as a column-level format. `id` is
+    * destination + source position (unique per change), `source` the
+    * configured URI. NOTE: needs the whole record (destination +
+    * envelope), so serialize expects the full record struct. */
+  final case class CloudEvents(sourceUri: String) extends Format {
+    val name = "cloudevents"
+    def serialize(record: Column): Column =
+      to_json(struct(
+        lit("1.0").as("specversion"),
+        concat(record.getField("destination"), lit("-"),
+               coalesce(record.getField("value").getField("source").getField("lsn"), lit(0L))).as("id"),
+        lit(sourceUri).as("source"),
+        lit("io.debezium.connector.datachangeevent").as("type"),
+        lit("application/json").as("datacontenttype"),
+        record.getField("value").as("data")))
+  }
+
+  /** Real Avro binary encoding (AvroFormat) — needs the struct's
+    * Spark schema at configure time, like the reference resolves
+    * converters against the record schema. */
+  final case class Avro(schema: org.apache.spark.sql.types.StructType) extends Format {
+    val name = "avro"
+    private val enc = AvroFormat.encoder(schema)
+    def serialize(c: Column): Column = enc(c)
+  }
+
+  /** Caller-supplied serializer — the `clientprovided` format /
+    * @CustomConsumerBuilder extension point. */
+  final case class ClientProvided(fn: Column => Column) extends Format {
+    val name = "clientprovided"
+    def serialize(c: Column): Column = fn(c)
+  }
+
+  /** Resolve by `debezium.format.*` name. `valueSchema` feeds the
+    * schema-hungry formats (avro); cloudevents takes its source URI
+    * from `props("cloudevents.source")` (default "/graft"). Unknown
+    * names — protobuf included, its serializer isn't shipped — fail
+    * here, at startup (DebeziumSerializationProducer behavior). */
+  def forName(name: String,
+              valueSchema: Option[org.apache.spark.sql.types.StructType] = None,
+              props: Map[String, String] = Map.empty): Format = name match {
     case "json"          => Json
     case "jsonbytearray" => JsonByteArray
     case "simplestring"  => SimpleString
     case "connect"       => Connect
+    case "binary"        => Binary
+    case "cloudevents"   => CloudEvents(props.getOrElse("cloudevents.source", "/graft"))
+    case "avro" => Avro(valueSchema.getOrElse(throw new IllegalArgumentException(
+      "format 'avro' needs the record schema (pass valueSchema)")))
     case other => throw new IllegalArgumentException(
-      s"unsupported format '$other' (supported: json, jsonbytearray, simplestring, connect)")
+      s"unsupported format '$other' (supported: json, jsonbytearray, simplestring, connect, " +
+        "binary, cloudevents, avro, clientprovided)")
   }
 
-  /** CloudEvents 1.0 JSON envelope around the serialized value —
-    * the reference's cloudevents format (id = source position, type =
-    * io.debezium.<connector>.datachangeevent convention). */
+  /** CloudEvents over a whole record frame (helper kept for
+    * DataFrame-level use; same attributes as [[CloudEvents]]). */
   def cloudEvents(df: DataFrame, sourceUri: String): DataFrame =
-    df.withColumn("ce", to_json(struct(
-      lit("1.0").as("specversion"),
-      concat(col("destination"), lit("-"), coalesce(col("value.source.lsn"), lit(0L))).as("id"),
-      lit(sourceUri).as("source"),
-      lit("io.debezium.connector.datachangeevent").as("type"),
-      lit("application/json").as("datacontenttype"),
-      col("value").as("data"))))
+    df.withColumn("ce", CloudEvents(sourceUri).serialize(struct(col("destination"), col("value"))))
 
   /** Apply key/value formats, producing the wire frame
     * {destination, key, value, headers} with serialized payloads. */

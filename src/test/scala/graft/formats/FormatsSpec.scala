@@ -1,0 +1,111 @@
+package graft.formats
+
+import graft.SparkSpec
+import graft.model.LogicalTypes
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class FormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowSchema = StructType(Seq(
+    StructField("id", IntegerType), StructField("name", StringType),
+    StructField("score", DoubleType),
+    StructField("tags", ArrayType(StringType)),
+    StructField("attrs", MapType(StringType, StringType)),
+    StructField("nested", StructType(Seq(StructField("x", LongType))))))
+
+  private def frame() = {
+    val rows = Seq(
+      Row(1, "alice", 1.5, Seq("a", "b"), Map("k" -> "v"), Row(7L)),
+      Row(2, null, null, null, null, null))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), rowSchema)
+  }
+
+  test("format registry resolves every supported name; protobuf/unknown fail at startup") {
+    assert(Formats.forName("json").name == "json")
+    assert(Formats.forName("jsonbytearray").name == "jsonbytearray")
+    assert(Formats.forName("simplestring").name == "simplestring")
+    assert(Formats.forName("connect").name == "connect")
+    assert(Formats.forName("binary").name == "binary")
+    assert(Formats.forName("cloudevents").name == "cloudevents")
+    assert(Formats.forName("avro", Some(rowSchema)).name == "avro")
+    intercept[IllegalArgumentException](Formats.forName("protobuf"))
+    intercept[IllegalArgumentException](Formats.forName("avro")) // schema required
+    intercept[IllegalArgumentException](Formats.forName("nope"))
+  }
+
+  test("json round-trips through from_json including explicit nulls") {
+    val df = frame()
+    val back = df.select(from_json(Formats.Json.serialize(struct(df.columns.map(col).toIndexedSeq: _*)),
+      rowSchema).as("r")).select("r.*")
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("avro encodes and decodes every field shape") {
+    val df = frame()
+    val bytes = df.filter(col("id") === 1)
+      .select(Formats.Avro(rowSchema).serialize(struct(df.columns.map(col).toIndexedSeq: _*)).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val rec = AvroFormat.decode(bytes, rowSchema)
+    assert(rec.get("id") == 1)
+    assert(rec.get("name").toString == "alice")
+    assert(rec.get("score") == 1.5)
+    assert(rec.get("tags").toString == "[a, b]")
+    assert(rec.get("nested").asInstanceOf[org.apache.avro.generic.GenericRecord].get("x") == 7L)
+    // null-heavy row also encodes
+    val bytes2 = df.filter(col("id") === 2)
+      .select(Formats.Avro(rowSchema).serialize(struct(df.columns.map(col).toIndexedSeq: _*)).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val rec2 = AvroFormat.decode(bytes2, rowSchema)
+    assert(rec2.get("id") == 2 && rec2.get("name") == null)
+  }
+
+  test("cloudevents carries the CE 1.0 attributes and the envelope as data") {
+    val keySchema = StructType(Seq(StructField("id", IntegerType)))
+    val schema = graft.model.Envelope.recordSchema(keySchema, StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))))
+    val rows = Seq(Row("testc.s.t", Row(1),
+      Row("c", null, Row(1, "x"), Row("pg", "db", "s", "t", 42L, "false", 0L), 0L),
+      Map.empty[String, String]))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val ce = Formats.forName("cloudevents", props = Map("cloudevents.source" -> "/graft/test"))
+      .serialize(struct(col("destination"), col("value")))
+    val json = df.select(ce.as("ce")).head().getString(0)
+    assert(json.contains(""""specversion":"1.0""""))
+    assert(json.contains(""""id":"testc.s.t-42""""))
+    assert(json.contains(""""source":"/graft/test""""))
+    assert(json.contains(""""data":{"""))
+  }
+
+  test("logical types map wire values to typed columns") {
+    val df = Seq((19723, 1700000000123L, 1700000000123456L, "2023-11-14T22:13:20.123456+02:00"))
+      .toDF("epoch_days", "epoch_ms", "epoch_us", "zoned")
+    val out = df.select(
+      LogicalTypes.date(col("epoch_days")).as("d"),
+      LogicalTypes.timestampMillis(col("epoch_ms")).as("ts_ms"),
+      LogicalTypes.timestampMicros(col("epoch_us")).as("ts_us"),
+      LogicalTypes.zonedTimestamp(col("zoned")).as("ts_z")).head()
+    assert(out.getAs[java.sql.Date]("d").toString == "2024-01-01")
+    assert(out.getAs[java.sql.Timestamp]("ts_ms").toInstant.toEpochMilli == 1700000000123L)
+    assert(out.getAs[java.sql.Timestamp]("ts_z").toInstant.getEpochSecond == 1700000000L - 2 * 3600)
+
+    // VariableScaleDecimal: unscaled bytes + scale → exact decimal string
+    val vsd = Seq((Array[Byte](0x07, 0x5B.toByte, 0xCD.toByte, 0x15), 4)).toDF("unscaled", "scale")
+    val s = vsd.select(LogicalTypes.variableScaleDecimal(col("scale"), col("unscaled")).as("v"))
+      .head().getString(0)
+    assert(s == "12345.6789")
+
+    // vectors: float wire → double math side
+    val vec = Seq(Seq(1.5f, 2.5f)).toDF("v")
+    val dv = vec.select(LogicalTypes.floatVectorToDouble(col("v")).as("d"))
+      .head().getAs[scala.collection.Seq[Double]]("d").toList
+    assert(dv == List(1.5, 2.5))
+
+    assert(LogicalTypes.sparkTypeFor(LogicalTypes.DateName) == DateType)
+    assert(LogicalTypes.sparkTypeFor(LogicalTypes.FloatVectorName) == ArrayType(FloatType))
+    assert(LogicalTypes.sparkTypeFor(LogicalTypes.DecimalName,
+      Map("connect.decimal.precision" -> "18", "scale" -> "2")) == DecimalType(18, 2))
+  }
+}
