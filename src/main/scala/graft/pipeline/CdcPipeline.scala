@@ -72,16 +72,59 @@ object CdcPipeline {
   }
 
   /** Continuous run: Structured Streaming file source → foreachBatch
-    * sink, exactly-once via checkpoint + idempotent sinks. */
+    * sink, exactly-once via checkpoint + idempotent sinks. The record
+    * stream carries the MBean observables (lag + snapshot phase,
+    * graft.services.Metrics.observePipeline) and the sink's close()
+    * hook fires on query termination (DebeziumServerSink lifecycle,
+    * api/DebeziumServerSink.java:32-87). */
   def start(spark: SparkSession, spec: PipelineSpec,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     spec.sink.validate()
     val records = EnvelopeLogSource.readStream(spark, spec.sourcePath,
       spec.keySchema, spec.rowSchema, spec.tableIncludeList, spec.maxFilesPerTrigger)
-    var writer = records.transform(shape(_, spec)).writeStream
+    val observed = graft.services.Metrics.observePipeline(records)
+    var writer = observed.transform(shape(_, spec)).writeStream
       .foreachBatch(spec.sink.foreachBatchFn)
       .trigger(trigger)
     spec.checkpointDir.foreach(d => writer = writer.option("checkpointLocation", d))
-    writer.start()
+    val q = writer.start()
+    registerCloseHook(spark, q, spec.sink)
+    q
   }
+
+  /** Close the sink exactly once when ITS query terminates
+    * (@PreDestroy analog; the listener deregisters itself). */
+  private[pipeline] def registerCloseHook(spark: SparkSession,
+                                          q: StreamingQuery,
+                                          sink: SinkConnector): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          try sink.close() finally spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+  }
+
+  /** Act on pending control signals (SignalResource semantics): "stop"
+    * gracefully stops the named query; "log" records its data field;
+    * unknown types are returned for caller-specific handling. */
+  def processSignals(spark: SparkSession,
+                     channel: graft.services.Signals.Channel,
+                     queries: Map[String, StreamingQuery]): Seq[graft.services.Signals.Signal] =
+    channel.poll().flatMap { sig =>
+      sig.`type` match {
+        case "stop" =>
+          queries.get(sig.data).orElse(queries.values.headOption).foreach(_.stop())
+          None
+        case "log" =>
+          org.slf4j.LoggerFactory.getLogger(getClass).info(s"signal log: ${sig.data}")
+          None
+        case _ => Some(sig)
+      }
+    }
 }

@@ -10,14 +10,36 @@ import java.util.concurrent.ConcurrentHashMap
   * OpenLineage-style per-query lineage stubs
   * (DefaultChangeConsumer.java:79-100).
   */
-final class GraftMetricsListener extends StreamingQueryListener {
+object Metrics {
+  /** Name of the observed-metrics block [[observePipeline]] attaches. */
+  val ObservationName = "graft_pipeline"
+
+  /** Attach the reference's MBean observables to the record stream
+    * (before shaping): max source ts_ms → MilliSecondsBehindSource
+    * (DebeziumMetrics.java:146-153), snapshot-row count → snapshot
+    * running/completed (:115-131). Computed by `observe` inside the
+    * running query — zero extra passes. */
+  def observePipeline(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.observe(ObservationName,
+      max(col("value.source.ts_ms")).as("max_source_ts_ms"),
+      count(when(col("value.source.snapshot") === "true", 1)).as("snapshot_rows"),
+      count(lit(1)).as("rows"))
+  }
+}
+
+final class GraftMetricsListener(clock: () => Long = System.currentTimeMillis)
+    extends StreamingQueryListener {
 
   final case class QueryMetrics(name: String,
                                 inputRowsPerSecond: Double,
                                 processedRowsPerSecond: Double,
                                 numInputRows: Long,
                                 batchId: Long,
-                                running: Boolean)
+                                running: Boolean,
+                                msBehindSource: Long = -1L,
+                                snapshotRunning: Boolean = false,
+                                snapshotCompleted: Boolean = false)
 
   private val state = new ConcurrentHashMap[java.util.UUID, QueryMetrics]()
 
@@ -26,11 +48,25 @@ final class GraftMetricsListener extends StreamingQueryListener {
 
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
     val p = e.progress
+    val prev = Option(state.get(p.id))
+    // MilliSecondsBehindSource + snapshot phase from the observed block
+    val obs = Option(p.observedMetrics.get(Metrics.ObservationName))
+    val msBehind = obs.flatMap(r => Option(r.getAs[Any]("max_source_ts_ms")))
+      .collect { case ts: Long => math.max(0L, clock() - ts) }
+      .getOrElse(prev.map(_.msBehindSource).getOrElse(-1L))
+    val snapRows = obs.map(_.getAs[Long]("snapshot_rows")).getOrElse(0L)
+    val hadSnapshot = prev.exists(m => m.snapshotRunning || m.snapshotCompleted)
+    // completed is sticky: once snapshot rows were seen and a batch
+    // arrives without any, the snapshot phase is over
+    val snapshotCompleted = prev.exists(_.snapshotCompleted) || (hadSnapshot && snapRows == 0)
     state.put(p.id, QueryMetrics(
       Option(p.name).getOrElse(p.id.toString),
       Option(p.inputRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0),
       Option(p.processedRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0),
-      p.numInputRows, p.batchId, running = true))
+      p.numInputRows, p.batchId, running = true,
+      msBehindSource = msBehind,
+      snapshotRunning = snapRows > 0 && !snapshotCompleted,
+      snapshotCompleted = snapshotCompleted))
   }
 
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {

@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * primitives, nested structs, arrays, and string→string maps
   * (graft.model.Envelope + SURVEY.md §1.3).
   */
-private[cdc] object JsonRows {
+private[graft] object JsonRows {
   private val mapper = new ObjectMapper()
 
   def parse(line: String): JsonNode = mapper.readTree(line)

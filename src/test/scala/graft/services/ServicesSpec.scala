@@ -1,0 +1,80 @@
+package graft.services
+
+import graft.SparkSpec
+import graft.pipeline.{CdcPipeline, PipelineSpec}
+import graft.sinks.KvSink
+import org.apache.spark.sql.types._
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+class ServicesSpec extends SparkSpec {
+
+  test("signals: REST endpoint appends to the channel; poll consumes; disabled by default") {
+    val dir = Files.createTempDirectory("graft-signals")
+    val channel = new Signals.Channel(dir)
+
+    intercept[IllegalArgumentException](new Signals.Server(channel).start()) // gated off
+
+    val server = new Signals.Server(channel, enabled = true)
+    val port = server.start()
+    try {
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/api/signals"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"id":"sig-1","type":"ad-hoc-snapshot","data":"inventory.customers"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.discarding())
+      assert(resp.statusCode() == 202)
+      val sigs = channel.poll()
+      assert(sigs == Seq(Signals.Signal("sig-1", "ad-hoc-snapshot", "inventory.customers")))
+      assert(channel.poll().isEmpty) // consumed
+    } finally server.stop()
+  }
+
+  test("processSignals: stop signal stops the query, unknown types surface") {
+    val dir = Files.createTempDirectory("graft-signals2")
+    val channel = new Signals.Channel(dir)
+    channel.send(Signals.Signal("1", "custom-thing", "payload"))
+    val leftover = CdcPipeline.processSignals(spark, channel, Map.empty)
+    assert(leftover.map(_.`type`) == Seq("custom-thing"))
+  }
+
+  test("pipeline observes lag + snapshot phase; sink close fires on termination") {
+    val keySchema = StructType(Seq(StructField("id", IntegerType)))
+    val rowSchema = StructType(Seq(StructField("id", IntegerType), StructField("v", StringType)))
+    val logDir = Files.createTempDirectory("graft-obs")
+    val nowMs = 1700000000000L
+    def line(id: Int, lsn: Long, snapshot: String): String =
+      s"""{"destination":"testc.s.t","key":{"id":$id},"value":{"op":"c","before":null,"after":{"id":$id,"v":"x"},"source":{"connector":"pg","db":"d","schema":"s","table":"t","lsn":$lsn,"snapshot":"$snapshot","ts_ms":${nowMs - 5000}},"ts_ms":${nowMs - 5000}},"headers":{}}"""
+    Files.writeString(logDir.resolve("log.jsonl"),
+      (1 to 3).map(i => line(i, i.toLong, if (i <= 2) "true" else "false")).mkString("\n") + "\n")
+
+    val listener = new GraftMetricsListener(clock = () => nowMs)
+    spark.streams.addListener(listener)
+    @volatile var closed = false
+    val inner = new KvSink
+    val sink = new graft.sinks.SinkConnector {
+      override def name: String = "kv-closing"
+      override def write(batch: org.apache.spark.sql.DataFrame, epochId: Long): Unit =
+        inner.write(batch, epochId)
+      override def close(): Unit = closed = true
+    }
+    try {
+      val spec = PipelineSpec(sourcePath = logDir.toString,
+        keySchema = keySchema, rowSchema = rowSchema, sink = sink)
+      val q = CdcPipeline.start(spark, spec)
+      q.awaitTermination(60000)
+      // lag = clock - max source ts_ms = 5000; snapshot rows were in the batch
+      val m = listener.snapshot.values.find(_.numInputRows == 3)
+      assert(m.isDefined, s"no progress captured: ${listener.snapshot}")
+      assert(m.get.msBehindSource == 5000L)
+      assert(m.get.snapshotRunning) // single batch contained snapshot rows
+      // close hook ran after termination (listener dispatch is async)
+      var waited = 0
+      while (!closed && waited < 10000) { Thread.sleep(100); waited += 100 }
+      assert(closed, "sink close() not invoked on query termination")
+    } finally spark.streams.removeListener(listener)
+  }
+}
