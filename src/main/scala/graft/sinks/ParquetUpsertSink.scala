@@ -48,8 +48,25 @@ import scala.jdk.CollectionConverters._
   * epoch is skipped (the foreachBatch exactly-once pattern replacing
   * per-record commit, SURVEY.md §7.5).
   */
+object ParquetUpsertSink {
+  /** Sink-side schema evolution modes — the JDBC sink's
+    * `schema.evolution` (JdbcChangeConsumer.java:128) / Fluss
+    * auto-create-from-record-schema (FlussChangeConsumer.java:284-313):
+    * `None` rejects payload schema drift against the stored table;
+    * `Basic` widens the table with new nullable columns (existing rows
+    * read them as null) and keeps dropped columns as nulls for new
+    * rows. First write always auto-creates from the record schema. */
+  sealed trait SchemaEvolution
+  object SchemaEvolution {
+    case object None  extends SchemaEvolution
+    case object Basic extends SchemaEvolution
+  }
+}
+
 final class ParquetUpsertSink(baseDir: String, keyFields: Seq[String] = Seq("id"),
-                              numBuckets: Int = 16)
+                              numBuckets: Int = 16,
+                              schemaEvolution: ParquetUpsertSink.SchemaEvolution =
+                                ParquetUpsertSink.SchemaEvolution.Basic)
     extends SinkConnector {
 
   override def name: String = "parquet-upsert"
@@ -105,10 +122,12 @@ final class ParquetUpsertSink(baseDir: String, keyFields: Seq[String] = Seq("id"
           // dir so the bucket partition column survives
           val dirtySet = dirtyBuckets.toSet
           val liveDirty = manifest.buckets.filter { case (b, _) => dirtySet(b) }
+          // epoch dirs written before a schema evolution have fewer
+          // payload columns — align with nulls
           val existing = liveDirty.groupBy(_._2).map { case (epochDir, entries) =>
             val paths = entries.keys.map(b => s"$table/$epochDir/__bucket=$b").toSeq
             spark.read.option("basePath", s"$table/$epochDir").parquet(paths: _*)
-          }.reduceOption(_ unionByName _)
+          }.reduceOption(_.unionByName(_, allowMissingColumns = true))
 
           val existingAsChanges = existing.map { ex =>
             val payloadCols = ex.columns
@@ -127,7 +146,21 @@ final class ParquetUpsertSink(baseDir: String, keyFields: Seq[String] = Seq("id"
             (Seq(col("__bucket"), col("__op"), col("__payload"), col("__lsn"),
                  col("__incoming"), col("__tb")) ++
               keyFields.map(k => col(s"__k_$k"))): _*)
-          val merged = existingAsChanges.fold(stagedAligned)(_.unionByName(stagedAligned))
+          // schema drift check between stored payload and incoming payload
+          existingAsChanges.foreach { ex =>
+            val stored = ex.schema("__payload").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+            val incomingT = stagedAligned.schema("__payload").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+            if (stored.fieldNames.toSeq != incomingT.fieldNames.toSeq &&
+                schemaEvolution == ParquetUpsertSink.SchemaEvolution.None)
+              throw new IllegalStateException(
+                s"schema drift for $dest with schema.evolution=none: " +
+                  s"stored=${stored.fieldNames.mkString(",")} incoming=${incomingT.fieldNames.mkString(",")}")
+          }
+          // Basic evolution: unionByName(allowMissingColumns) widens the
+          // merged payload to the union of stored + incoming fields —
+          // struct columns merge field-wise, missing fields become null
+          val merged = existingAsChanges.fold(stagedAligned)(
+            _.unionByName(stagedAligned, allowMissingColumns = true))
 
           val survivors = ApplyChanges.latestState(merged,
               keyCols = keyFields.map(k => col(s"__k_$k")),
@@ -161,7 +194,7 @@ final class ParquetUpsertSink(baseDir: String, keyFields: Seq[String] = Seq("id"
     manifest.buckets.groupBy(_._2).map { case (epochDir, entries) =>
       val paths = entries.keys.map(b => s"$table/$epochDir/__bucket=$b").toSeq
       spark.read.option("basePath", s"$table/$epochDir").parquet(paths: _*)
-    }.reduceOption(_ unionByName _)
+    }.reduceOption(_.unionByName(_, allowMissingColumns = true))
      .map(_.drop("__lsn", "__bucket"))
      .getOrElse(spark.emptyDataFrame)
   }

@@ -61,6 +61,33 @@ object QueueSink {
       .withColumn("chunk_id", ((col("seq_no") - 1) / maxBatchSize).cast("int"))
   }
 
+  /** Chunk by record count AND estimated payload bytes — the EventHubs
+    * BatchManager contract (debezium-server-eventhubs/.../BatchManager.java:
+    * 22-…: per-partition EventDataBatch accumulation with size caps and
+    * mid-batch flush when the next event doesn't fit). A single message
+    * larger than the byte cap fails fast, like tryAdd rejecting an
+    * oversized event. */
+  private[sinks] def chunkBySize(ms: Iterator[Message], maxCount: Int,
+                                 maxBytes: Long): Iterator[Seq[Message]] =
+    new Iterator[Seq[Message]] {
+      private val it = ms.buffered
+      override def hasNext: Boolean = it.hasNext
+      override def next(): Seq[Message] = {
+        val chunk = scala.collection.mutable.ArrayBuffer[Message]()
+        var bytes = 0L
+        var full = false
+        while (!full && it.hasNext && chunk.length < maxCount) {
+          val sz = it.head.payload.length.toLong
+          if (sz > maxBytes)
+            throw new IllegalArgumentException(
+              s"single message of $sz bytes exceeds the $maxBytes-byte batch cap")
+          if (chunk.nonEmpty && bytes + sz > maxBytes) full = true // mid-batch flush
+          else { chunk += it.next(); bytes += sz }
+        }
+        chunk.toSeq
+      }
+    }
+
   /** Resubmit loop over one chunk: retries ONLY failed entries.
     * Exposed for direct unit testing. */
   private[sinks] def publishChunk(client: QueueClient, chunk: Seq[Message],
@@ -86,6 +113,7 @@ object QueueSink {
 
 final class QueueSink(clientFactory: () => QueueSink.QueueClient,
                       maxBatchSize: Int = 500,
+                      maxBatchBytes: Long = 1L << 20, // EventHubs-style size cap
                       retry: RetryPolicy = RetryPolicy(maxAttempts = 5, initialIntervalMs = 10),
                       sleeper: Long => Unit = Thread.sleep)
     extends SinkConnector {
@@ -95,15 +123,14 @@ final class QueueSink(clientFactory: () => QueueSink.QueueClient,
   override def tombstoneSupport: Boolean = false
 
   override def write(batch: DataFrame, epochId: Long): Unit = {
-    val (cf, mb, rp, sl) = (clientFactory, maxBatchSize, retry, sleeper)
+    val (cf, mb, mbb, rp, sl) = (clientFactory, maxBatchSize, maxBatchBytes, retry, sleeper)
     batch.select(col("destination"), orderingKey.as("okey"), to_json(col("value")).as("payload"))
       .foreachPartition { (rows: Iterator[Row]) =>
         if (rows.hasNext) {
           val client = cf()
           try {
-            rows.map(r => Message(r.getString(0), r.getString(1), r.getString(2)))
-              .grouped(mb)
-              .foreach(chunk => publishChunk(client, chunk.toSeq, rp, sl))
+            chunkBySize(rows.map(r => Message(r.getString(0), r.getString(1), r.getString(2))), mb, mbb)
+              .foreach(chunk => publishChunk(client, chunk, rp, sl))
           } finally client.close()
         }
       }

@@ -177,6 +177,55 @@ class SinksSpec extends SparkSpec {
            Option(e.getCause).exists(_.getMessage.contains("memory threshold")))
   }
 
+  test("queue chunker flushes mid-batch on the byte cap and rejects oversize singles") {
+    def msg(n: Int, size: Int) = QueueSink.Message("d", s"k$n", "x" * size)
+    val chunks = QueueSink.chunkBySize(
+      Iterator(msg(1, 40), msg(2, 40), msg(3, 40), msg(4, 10)), maxCount = 10, maxBytes = 100)
+      .map(_.map(_.orderingKey)).toSeq
+    assert(chunks == Seq(Seq("k1", "k2"), Seq("k3", "k4"))) // 40+40 fits, +40 flushes
+    val counted = QueueSink.chunkBySize(
+      (1 to 5).iterator.map(i => msg(i, 1)), maxCount = 2, maxBytes = 100).toSeq
+    assert(counted.map(_.length) == Seq(2, 2, 1))
+    intercept[IllegalArgumentException] {
+      QueueSink.chunkBySize(Iterator(msg(1, 200)), 10, 100).next()
+    }
+  }
+
+  test("parquet upsert sink evolves schema (basic) or rejects drift (none)") {
+    val schemaV2 = StructType(Seq(
+      StructField("id", IntegerType), StructField("q", StringType),
+      StructField("a", StringType), StructField("rating", IntegerType)))
+    def recordsV2(ids: Seq[Int], lsnBase: Long) = {
+      val schema = graft.model.Envelope.recordSchema(keySchema, schemaV2)
+      val rows = ids.map { i =>
+        Row("testc.faq.items", Row(i),
+            Row("u", null, Row(i, s"q$i-v2", s"a$i-v2", i * 10),
+                Row("pg", "db", "faq", "items", lsnBase + i, "false", 0L), 0L),
+            Map.empty[String, String])
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    }
+
+    val dir = Files.createTempDirectory("graft-up-evo").toString
+    val sink = new ParquetUpsertSink(dir, Seq("id"))
+    sink.write(records(2), epochId = 1) // v1 schema: id,q,a
+    sink.write(recordsV2(Seq(2, 3), 100L), epochId = 2) // v2 adds rating
+    val state = sink.readTable(spark, "testc.faq.items").orderBy("id").collect()
+    assert(state.map(_.getAs[Int]("id")).toSeq == Seq(1, 2, 3))
+    // old row reads the new column as null; updated row carries it
+    assert(state.find(_.getAs[Int]("id") == 1).get.isNullAt(state.head.fieldIndex("rating")))
+    assert(state.find(_.getAs[Int]("id") == 2).get.getAs[Int]("rating") == 20)
+
+    val strictDir = Files.createTempDirectory("graft-up-strict").toString
+    val strict = new ParquetUpsertSink(strictDir, Seq("id"),
+      schemaEvolution = ParquetUpsertSink.SchemaEvolution.None)
+    strict.write(records(2), epochId = 1)
+    val e = intercept[Exception] { strict.write(recordsV2(Seq(2), 100L), epochId = 2) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("schema drift")))
+  }
+
   test("parquet upsert sink: incoming beats stored state on lsn ties; deletes win by order") {
     val dir = Files.createTempDirectory("graft-up4").toString
     val sink = new ParquetUpsertSink(dir, Seq("id"))
