@@ -9,7 +9,7 @@ import graft.llm.{Dedup, Similarity, TextAnalysis}
   */
 object QueriesLlm {
 
-  def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05)
+  def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06)
 
   /** Exact dedup: union the corpus with an id-shifted copy of itself so
     * every document has exactly one duplicate, then keep the lowest id
@@ -100,6 +100,39 @@ object QueriesLlm {
            |SELECT qid, cid, sim, rank FROM r
            |WHERE rank <= 5
            |ORDER BY qid, rank""".stripMargin))
+
+  /** Multimodal column pipeline (graft.llm.Multimodal): wrap text as
+    * an opaque media binary with typed metadata, then run the batched
+    * feature extraction — the oracle recomputes the deterministic
+    * decode (md5-derived features) in SQL, so the whole media →
+    * features plumbing (schema, UDF signature, batch shape) is
+    * value-checked, not just smoke-tested. */
+  private def llm06 = Q("llm06_multimodal_features",
+    (s, dir) => {
+      import graft.llm.Multimodal
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val media = Multimodal.asMedia(d, "text", "text/plain")
+      val feats = Multimodal.extractFeatures(media, "doc_id", dim = 8)
+      media.select(col("doc_id"),
+                   col("media_meta.media_type").as("media_type"),
+                   col("media_meta.n_bytes").as("n_bytes"),
+                   col("media_meta.content_md5").as("content_md5"))
+        .join(feats, "doc_id")
+        .withColumn("features", transform(col("features"), x => x.cast("double")))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val feat = (0 until 8).map { i =>
+        s"CAST(CAST(CAST(concat('0x', substr(md5(text), ${2 * i + 1}, 2)) AS INT) / 255.0 AS REAL) AS DOUBLE)"
+      }.mkString("[", ",\n            ", "]")
+      s"""SELECT doc_id,
+         |  'text/plain' AS media_type,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  md5(text) AS content_md5,
+         |  $feat AS features
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    })
 
   /** DuckDB rendering of the RHP-LSH bucket over an embedding column:
     * per plane, sign of the exact quantized dot product with the

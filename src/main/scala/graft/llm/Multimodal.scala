@@ -46,7 +46,10 @@ object Multimodal {
     * frame-sample) in production. */
   private[llm] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-    Array.tabulate(dim)(i => ((md(i % md.length) & 0xff) / 255.0f))
+    // double divide THEN narrow: any engine computing byte/255.0 in
+    // double and casting to float reproduces these bit-for-bit (the
+    // llm06 oracle does exactly that in SQL)
+    Array.tabulate(dim)(i => ((md(i % md.length) & 0xff) / 255.0).toFloat)
   }
 
   /** Feature extraction over the media column as a Scala UDF returning

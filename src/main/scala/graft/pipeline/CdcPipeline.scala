@@ -26,12 +26,16 @@ final case class PipelineSpec(
     tableIncludeList: Seq[String] = Nil,
     streamNameMapper: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None,
     checkpointDir: Option[String] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    /** "envelope-log" (JSON-lines replay) or "graft-cdc" (the DSv2
+      * snapshot+WAL source with LSN offsets). */
+    sourceType: String = "envelope-log")
 
 object PipelineSpec {
   /** Build from debezium-style properties + schemas + sink registry.
     * Mirrors the config assembly in
-    * DebeziumServerConfigSourceFactory.java:74-155. */
+    * DebeziumServerConfigSourceFactory.java:74-155; the SMT chain
+    * comes from `debezium.transforms.*` via SmtFactory. */
   def fromProperties(props: Map[String, String],
                      keySchema: StructType, rowSchema: StructType,
                      registry: graft.sinks.SinkRegistry): PipelineSpec = {
@@ -43,9 +47,11 @@ object PipelineSpec {
       keySchema = keySchema,
       rowSchema = rowSchema,
       sink = registry.resolve(sinkType),
+      transforms = graft.operators.SmtFactory.fromProperties(props),
       tableIncludeList = props.get("debezium.source.table.include.list")
         .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
-      checkpointDir = props.get("debezium.checkpoint.dir"))
+      checkpointDir = props.get("debezium.checkpoint.dir"),
+      sourceType = props.getOrElse("debezium.source.type", "envelope-log"))
   }
 }
 
@@ -62,13 +68,41 @@ object CdcPipeline {
     spec.streamNameMapper.fold(transformed)(f => EventShaping.mapStreamName(transformed, f))
   }
 
+  private def batchSource(spark: SparkSession, spec: PipelineSpec): DataFrame =
+    spec.sourceType match {
+      case "graft-cdc" =>
+        var r = spark.read.format("graft-cdc")
+          .option("path", spec.sourcePath)
+          .option("keySchema", spec.keySchema.toDDL)
+          .option("rowSchema", spec.rowSchema.toDDL)
+        if (spec.tableIncludeList.nonEmpty)
+          r = r.option("table.include.list", spec.tableIncludeList.mkString(","))
+        r.load()
+      case _ =>
+        EnvelopeLogSource.read(spark, spec.sourcePath,
+          spec.keySchema, spec.rowSchema, spec.tableIncludeList)
+    }
+
+  private def streamSource(spark: SparkSession, spec: PipelineSpec): DataFrame =
+    spec.sourceType match {
+      case "graft-cdc" =>
+        var r = spark.readStream.format("graft-cdc")
+          .option("path", spec.sourcePath)
+          .option("keySchema", spec.keySchema.toDDL)
+          .option("rowSchema", spec.rowSchema.toDDL)
+        if (spec.tableIncludeList.nonEmpty)
+          r = r.option("table.include.list", spec.tableIncludeList.mkString(","))
+        r.load()
+      case _ =>
+        EnvelopeLogSource.readStream(spark, spec.sourcePath,
+          spec.keySchema, spec.rowSchema, spec.tableIncludeList, spec.maxFilesPerTrigger)
+    }
+
   /** One-shot batch run (testing / bounded replay): the snapshot phase
     * of the reference collapses to this. */
   def runBatch(spark: SparkSession, spec: PipelineSpec): Unit = {
     spec.sink.validate()
-    val records = EnvelopeLogSource.read(spark, spec.sourcePath,
-      spec.keySchema, spec.rowSchema, spec.tableIncludeList)
-    spec.sink.foreachBatchFn(shape(records, spec), 0L)
+    spec.sink.foreachBatchFn(shape(batchSource(spark, spec), spec), 0L)
   }
 
   /** Continuous run: Structured Streaming file source → foreachBatch
@@ -80,8 +114,7 @@ object CdcPipeline {
   def start(spark: SparkSession, spec: PipelineSpec,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     spec.sink.validate()
-    val records = EnvelopeLogSource.readStream(spark, spec.sourcePath,
-      spec.keySchema, spec.rowSchema, spec.tableIncludeList, spec.maxFilesPerTrigger)
+    val records = streamSource(spark, spec)
     val observed = graft.services.Metrics.observePipeline(records)
     var writer = observed.transform(shape(_, spec)).writeStream
       .foreachBatch(spec.sink.foreachBatchFn)

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Physical-plan audits: the catalog queries must produce the plans
+  * they claim (pushdown, pruning, broadcast, TakeOrdered, WSCG) — a
+  * regression here is a scale bug even while results stay correct.
+  * Runs on sf0.001 (plans, not data, are under test).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+  private def planString(name: String): String = {
+    val df = Queries.byName(name)(spark, sfSmoke)
+    val p = planOf(df)
+    p.toString
+  }
+
+  test("q02: filter pushes into the parquet scan and only 5 columns are read") {
+    val s = planString("q02_filter_project")
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate)") || s.contains("PushedFilters: [*IsNotNull"),
+      s"expected pushed filters in:\n$s")
+    // projection pruning: ReadSchema carries the 4 selected + filter columns, not all 16
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"expected pruned ReadSchema, got: $readSchema")
+  }
+
+  test("q03: small dimension joins broadcast; no shuffle of nation") {
+    val s = planString("q03_join_revenue_by_nation")
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$s")
+  }
+
+  test("q04: top-k plans TakeOrderedAndProject, not a global sort") {
+    val s = planString("q04_topk_orders")
+    assert(s.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$s")
+  }
+
+  test("q01: aggregation is two-phase (partial then final) — map-side combine") {
+    val s = planString("q01_agg_pricing_summary")
+    assert(s.contains("partial_sum") || "HashAggregate".r.findAllIn(s).size >= 2,
+      s"expected partial+final aggregates in:\n$s")
+  }
+
+  test("llm02: text stats is a single scan with zero shuffles") {
+    val df = Queries.byName("llm02_text_stats")(spark, sfSmoke)
+    val p = planOf(df)
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    // only the final orderBy may shuffle; the stats themselves must not
+    assert(shuffles.size <= 1, s"expected at most the sort shuffle, got ${shuffles.size}:\n$p")
+  }
+
+  test("llm04: LSH signature contains no md5 on the scan path") {
+    val df = Queries.byName("llm04_lsh_ann")(spark, sfSmoke)
+    // the signature must be literal-array arithmetic; md5 would show as
+    // an expression in the plan tree
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.toLowerCase.contains("md5"),
+      "hyperplane hashing leaked into the per-row plan")
+  }
+
+  test("cdc07: the CDC path scans through the DSv2 source") {
+    val s = planString("cdc07_cdc_source_replay")
+    assert(s.contains("BatchScan") && s.contains("graft-cdc"),
+      s"expected a DSv2 BatchScan of graft-cdc in:\n$s")
+  }
+}

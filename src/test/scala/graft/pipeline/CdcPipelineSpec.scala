@@ -108,6 +108,68 @@ class CdcPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("kv"))
   }
 
+  test("config-driven SMT chain: unwrap + predicated router + filter from properties") {
+    val props = Map(
+      "debezium.transforms" -> "rt,flt",
+      "debezium.transforms.rt.type" -> "ContentBasedRouter",
+      "debezium.transforms.rt.expression" -> "concat(destination, '.routed')",
+      "debezium.transforms.rt.predicate" -> "isc",
+      "debezium.predicates.isc.expr" -> "value.op = 'c'",
+      "debezium.transforms.flt.type" -> "Filter",
+      "debezium.transforms.flt.condition" -> "key.id < 1004")
+    val chain = graft.operators.SmtFactory.fromProperties(props)
+    assert(chain.map(_.name) == Seq("rt", "flt"))
+    val schema = graft.model.Envelope.recordSchema(keySchema, rowSchema)
+    val rows = Seq(
+      org.apache.spark.sql.Row("t.a", org.apache.spark.sql.Row(1001),
+        org.apache.spark.sql.Row("c", null, org.apache.spark.sql.Row(1001, "a", "b", "c"),
+          org.apache.spark.sql.Row("pg", "d", "s", "t", 1L, "false", 0L), 0L), Map.empty[String, String]),
+      org.apache.spark.sql.Row("t.a", org.apache.spark.sql.Row(1002),
+        org.apache.spark.sql.Row("u", null, org.apache.spark.sql.Row(1002, "a", "b", "c"),
+          org.apache.spark.sql.Row("pg", "d", "s", "t", 2L, "false", 0L), 0L), Map.empty[String, String]),
+      org.apache.spark.sql.Row("t.a", org.apache.spark.sql.Row(1005),
+        org.apache.spark.sql.Row("c", null, org.apache.spark.sql.Row(1005, "a", "b", "c"),
+          org.apache.spark.sql.Row("pg", "d", "s", "t", 3L, "false", 0L), 0L), Map.empty[String, String]))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = graft.operators.EventShaping.applyChain(df, chain)
+    val dests = out.select("destination", "key.id").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    // 1001: create → routed; 1002: update → unrouted; 1005: filtered out
+    assert(dests == Set(("t.a.routed", 1001), ("t.a", 1002)))
+
+    intercept[IllegalArgumentException] {
+      graft.operators.SmtFactory.fromProperties(Map(
+        "debezium.transforms" -> "x", "debezium.transforms.x.type" -> "Exotic"))
+    }
+  }
+
+  test("pipeline reads through the graft-cdc source when configured") {
+    import java.nio.file.Files
+    val db = Files.createTempDirectory("graft-cdcdb-pipe")
+    val snap = Files.createDirectories(db.resolve("snapshot"))
+    Files.writeString(snap.resolve("_lsn"), "2")
+    Files.writeString(snap.resolve("inventory.customers.jsonl"),
+      """{"id":1,"first_name":"A","last_name":"B","email":"a@b"}""" + "\n" +
+      """{"id":2,"first_name":"C","last_name":"D","email":"c@d"}""" + "\n")
+    Files.createDirectories(db.resolve("wal"))
+    Files.writeString(db.resolve("wal").resolve("wal-0.jsonl"),
+      envelopeLine(3, "c", "E", "F", "e@f", 3) + "\n")
+
+    val out = Files.createTempDirectory("graft-cdc-pipe-sink").toString
+    val sink = new ParquetUpsertSink(out, keyFields = Seq("id"))
+    val reg = new SinkRegistry(Seq(sink))
+    val spec = PipelineSpec.fromProperties(Map(
+      "debezium.sink.type" -> "parquet-upsert",
+      "debezium.source.type" -> "graft-cdc",
+      "debezium.source.path" -> db.toString,
+      "debezium.source.table.include.list" -> "inventory.customers"),
+      keySchema, rowSchema, reg)
+    CdcPipeline.runBatch(spark, spec)
+    val ids = sink.readTable(spark, "testc.inventory.customers")
+      .orderBy("id").collect().map(_.getAs[Int]("id")).toSeq
+    assert(ids == Seq(1, 2, 3)) // 2 snapshot rows + 1 wal insert
+  }
+
   test("spec fromProperties mirrors debezium.* config") {
     val reg = new SinkRegistry(Seq(new KvSink))
     val spec = PipelineSpec.fromProperties(Map(
