@@ -30,24 +30,39 @@ object Portable {
   def hash64(c: Column, seed: Int): Column =
     hash64(concat(lit(s"s$seed:"), c.cast("string")))
 
-  /** k hash functions from ONE md5 via Kirsch–Mitzenmacher double
-    * hashing: h_i = h1 + i·h2 with h1 = first 60 bits, h2 = next 60
-    * bits reduced to 40 (so h1 + 11·h2 can't overflow int64 — DuckDB
-    * raises on bigint overflow instead of wrapping, so the math must
-    * stay in range in BOTH engines). 12× fewer digests than seeded
-    * md5 per function on the MinHash hot path. */
+  /** Modulus of the universal-hash permutation family (2^31 - 1,
+    * prime). 31 bits keeps a_i·h within int64 in every engine (DuckDB
+    * raises on bigint overflow instead of wrapping). */
+  val UniversalP = 2147483647L
+
+  /** k independent hash functions from ONE md5 via a universal-hash
+    * permutation family: h_i(x) = (a_i·h(x) + b_i) mod p over the
+    * 31-bit reduction of the base hash, with per-i constants derived
+    * from [[hash64Jvm]] driver-side. One digest per row, and — unlike
+    * double hashing, which MinHash must not use because min(h1 + i·h2)
+    * is dominated by h1's argmin for every i — each h_i induces an
+    * (approximately) independent ordering, which is exactly what
+    * MinHash needs. */
   def seededHashes(c: Column, k: Int): Seq[Column] = {
-    val hex = md5(c.cast("string"))
-    val h1 = conv(substring(hex, 1, 15), 16, 10).cast("long")
-    val h2 = conv(substring(hex, 17, 15), 16, 10).cast("long") % lit(1099511627776L)
-    (0 until k).map(i => h1 + lit(i.toLong) * h2)
+    val h = baseHash31(c)
+    (0 until k).map { i =>
+      val (a, b) = universalCoeffs(i)
+      (h * lit(a) + lit(b)) % lit(UniversalP)
+    }
   }
+
+  /** 31-bit base hash column for [[seededHashes]] — project this once
+    * per row, then derive the k permutations from the plain column. */
+  def baseHash31(c: Column): Column = hash64(c) % lit(UniversalP)
+
+  /** Per-function permutation constants (deterministic, engine-free). */
+  def universalCoeffs(i: Int): (Long, Long) =
+    (hash64Jvm(s"mh-a$i") % (UniversalP - 1) + 1, hash64Jvm(s"mh-b$i") % UniversalP)
 
   /** DuckDB rendering of [[seededHashes]] element i. */
   def duckSeededHash(sqlExpr: String, i: Int): String = {
-    val s = s"CAST($sqlExpr AS VARCHAR)"
-    s"(CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)" +
-      s" + $i * (CAST(concat('0x', substr(md5($s), 17, 15)) AS BIGINT) % 1099511627776))"
+    val (a, b) = universalCoeffs(i)
+    s"(((${duckHash64(sqlExpr)} % $UniversalP) * $a + $b) % $UniversalP)"
   }
 
   /** JVM-side mirror of [[hash64]] — same function computed driver-side

@@ -50,9 +50,15 @@ object Dedup {
     * per shingle (Portable.seededHashes) — one digest, not k, per
     * shingle on the scan path. */
   def minhashSignature(df: DataFrame, idCol: Column, shinglesCol: Column, k: Int): DataFrame = {
+    // project the digest ONCE per shingle; the k aggregate inputs are
+    // then pure integer arithmetic (universal-hash permutations) over
+    // the base-hash column
     val exploded = df.select(idCol.as("doc_id"), explode(shinglesCol).as("shingle"))
-    val hs = Portable.seededHashes(col("shingle"), k)
-    val aggs = hs.zipWithIndex.map { case (h, i) => min(h).as(s"mh$i") }
+      .select(col("doc_id"), Portable.baseHash31(col("shingle")).as("__h"))
+    val aggs = (0 until k).map { i =>
+      val (a, b) = Portable.universalCoeffs(i)
+      min((col("__h") * lit(a) + lit(b)) % lit(Portable.UniversalP)).as(s"mh$i")
+    }
     exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
