@@ -9,7 +9,7 @@ import graft.llm.{Dedup, Similarity, TextAnalysis}
   */
 object QueriesLlm {
 
-  def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06)
+  def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08, llm09, llm10)
 
   /** Exact dedup: union the corpus with an id-shifted copy of itself so
     * every document has exactly one duplicate, then keep the lowest id
@@ -132,6 +132,198 @@ object QueriesLlm {
          |  $feat AS features
          |FROM documents
          |ORDER BY doc_id""".stripMargin
+    })
+
+  /** Language id + BPE-ish token counting + fingerprint — the text
+    * curation trio round 1 left oracle-less (langId had no oracle).
+    * The argmax CASE chain and the pre-tokenizer regex are written in
+    * the RE2 ∩ Java-regex subset so both engines match literally. */
+  private def llm07 = Q("llm07_lang_tokens",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        TextAnalysis.fingerprintMin(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id")),
+    Some {
+      val langs = TextAnalysis.langMarkers
+      val scores = langs.map { case (lang, ms) =>
+        s"len(list_filter(ltoks, x -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
+      }.mkString(",\n            ")
+      // first-wins argmax: lang i wins iff its score >= every later score
+      val chain = langs.zipWithIndex.init.foldRight(s"'${langs.last._1}'") {
+        case (((lang, _), i), rest) =>
+          val later = langs.drop(i + 1).map { case (l, _) => s"s_$lang >= s_$l" }.mkString(" AND ")
+          s"CASE WHEN $later THEN '$lang' ELSE $rest END"
+      }
+      val allZero = langs.map { case (l, _) => s"s_$l" }.mkString(" + ") + " = 0"
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ltoks,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |sc AS (SELECT doc_id, text, toks,
+         |            $scores
+         |       FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN $allZero THEN 'unknown' ELSE $chain END AS lang,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern.replace("'", "''")}')) AS INT) AS n_bpeish,
+         |  CAST(len(toks) AS INT) AS n_ws,
+         |  list_aggregate(list_transform(toks, x -> ${Portable.duckHash64("x")}), 'min') AS fingerprint
+         |FROM sc
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  /** Embedding-cosine near-dup: the corpus plus a perturbed copy
+    * (element 0 shifted by +0.01 → cosine ≈ 0.9999), bucketed by the
+    * SAME random-hyperplane signature as llm04, exact quantized cosine
+    * within buckets, pairs above 0.99 — the vector-space analog of
+    * llm05's MinHash path (no natural near-dups exist in the corpus:
+    * every true pair is planted, recovery is whatever survives the
+    * bucketing, deterministically). */
+  private def llm08 = Q("llm08_embedding_neardup",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x)).as("embedding"))
+      val corpus = emb.unionByName(perturbed)
+        .withColumn("bucket", Similarity.rhpSignature(col("embedding"), dims = 64, planes = 8))
+      val a = corpus.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = corpus.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .withColumn("sim", Similarity.cosineExact(col("va"), col("vb")))
+        .filter(col("sim") >= 0.99)
+        .select(col("id_a"), col("id_b"), col("sim")).distinct()
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+            |pert AS (SELECT vec_id + 100000 AS vec_id,
+            |           list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
+            |             z -> CASE WHEN z[2] = 1 THEN CAST(CAST(z[1] AS REAL) + CAST(0.01 AS REAL) AS REAL)
+            |                       ELSE z[1] END) AS embedding
+            |         FROM base),
+            |corpus AS (SELECT vec_id, embedding, ${duckRhpBucket("embedding", 64, 8)} AS bucket
+            |           FROM (SELECT * FROM base UNION ALL SELECT * FROM pert) u),
+            |p AS (SELECT a.vec_id id_a, b.vec_id id_b, a.embedding va, b.embedding vb
+            |      FROM corpus a JOIN corpus b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            |d AS (SELECT id_a, id_b,
+            |        list_sum(list_transform(list_zip(va, vb),
+            |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * 1e6) AS BIGINT)
+            |             * CAST(floor(CAST(z[2] AS DOUBLE) * 1e6) AS BIGINT))) AS dot,
+            |        list_sum(list_transform(va, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+            |             * CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS na,
+            |        list_sum(list_transform(vb, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+            |             * CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS nb
+            |      FROM p)
+            |SELECT DISTINCT id_a, id_b,
+            |       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim
+            |FROM d
+            |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.99
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  /** n-gram Jaccard VERIFY over the MinHash candidates — the exact
+    * similarity pass that turns llm05's candidate pairs into confirmed
+    * near-duplicates (candidates whose true shingle Jaccard < 0.5 are
+    * LSH false positives and drop out). Jaccard is one double division
+    * of exact set sizes — bit-identical in any engine. */
+  private def llm09 = Q("llm09_jaccard_verify",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // the shingled corpus feeds three branches (signatures + both
+      // join sides) — persist so the shingle arrays build once
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 100000L).as("doc_id"),
+                 concat(col("text"), lit(" qx")).as("text")))
+        .withColumn("sh", Dedup.shingles(col("text"), 9))
+        .persist()
+      val sigs = Dedup.minhashSignature(corpus, col("doc_id"), col("sh"), k = 12)
+      val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
+      val a = corpus.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = corpus.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val hashes = (0 until 12).map(i =>
+        s"${Portable.duckSeededHash("shingle", i)} AS h$i").mkString(",\n            ")
+      val mins = (0 until 12).map(i => s"min(h$i) AS mh$i").mkString(", ")
+      val bandRows = (0 until 3).map { b =>
+        val cols = (4 * b until 4 * (b + 1)).map(i => s"mh$i").mkString(", ")
+        s"SELECT doc_id, $b AS band, ${Portable.duckHash64(s"concat_ws('_', $cols)")} AS bucket FROM mh"
+      }.mkString("\n            UNION ALL ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' qx' FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS shingle
+         |       FROM corpus CROSS JOIN generate_series(1, 4096) AS g(i)
+         |       WHERE i <= greatest(length(text) - 8, 1)),
+         |h AS (SELECT doc_id,
+         |            $hashes
+         |      FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+         |bk AS (
+         |            $bandRows),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |          WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.id_a, p.id_b, count(*) AS ni
+         |          FROM pairs p
+         |          JOIN sh a ON a.doc_id = p.id_a
+         |          JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+         |          GROUP BY p.id_a, p.id_b)
+         |SELECT i.id_a, i.id_b,
+         |       CAST(i.ni AS DOUBLE) / CAST(sa.n + sb.n - i.ni AS DOUBLE) AS jaccard
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+         |WHERE CAST(i.ni AS DOUBLE) / CAST(sa.n + sb.n - i.ni AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    })
+
+  /** SimHash + Hamming distance: 32-bit majority-vote sketches; the
+    * planted mutation differs from its base in few bits, so the
+    * Hamming distance between each (doc, doc+100000) pair is small —
+    * the sketch-based verify path (vs llm09's exact Jaccard). */
+  private def llm10 = Q("llm10_simhash_hamming",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 100000L).as("doc_id"),
+                 concat(col("text"), lit(" qx")).as("text")))
+      val sigs = Dedup.simhash(corpus, col("doc_id"), col("text"), bits = 32)
+      val base = sigs.filter(col("doc_id") < 100000L)
+        .select(col("doc_id"), col("simhash").as("sig_base"))
+      val copy = sigs.filter(col("doc_id") >= 100000L)
+        .select((col("doc_id") - 100000L).as("doc_id"), col("simhash").as("sig_copy"))
+      base.join(copy, "doc_id")
+        .withColumn("hamming", Dedup.hammingDistance(col("sig_base"), col("sig_copy")).cast("int"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val votes = (0 until 32).map(j =>
+        s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n            ")
+      val sig = (0 until 32).map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' qx' FROM documents),
+         |toks AS (SELECT DISTINCT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tok
+         |  FROM corpus) t),
+         |h0 AS (SELECT doc_id, ${Portable.duckHash64("tok")} AS h FROM toks),
+         |v AS (SELECT doc_id,
+         |            $votes
+         |      FROM h0 GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v)
+         |SELECT b.doc_id, b.simhash AS sig_base, c.simhash AS sig_copy,
+         |       CAST(bit_count(xor(b.simhash, c.simhash)) AS INT) AS hamming
+         |FROM sig b JOIN sig c ON c.doc_id = b.doc_id + 100000
+         |WHERE b.doc_id < 100000
+         |ORDER BY b.doc_id""".stripMargin
     })
 
   /** DuckDB rendering of the RHP-LSH bucket over an embedding column:

@@ -79,4 +79,18 @@ object TextAnalysis {
     * generalization. */
   def fingerprintMin(text: Column): Column =
     array_min(transform(tokens(text), t => Portable.hash64(t)))
+
+  /** GPT-2-style pre-tokenizer pattern (simplified to the portable
+    * RE2 ∩ Java-regex subset): contractions, letter runs, digit runs,
+    * and symbol runs, each with an optional leading space. Whitespace
+    * itself is not a token. */
+  val BpeishPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  /** Token count under the BPE-ish pre-tokenizer — the cheap proxy for
+    * "how many LLM tokens is this document" used in data-pipeline
+    * budget accounting (whitespace `tokenCount` undercounts code and
+    * punctuation-dense text). */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishPattern))
 }
