@@ -19,12 +19,25 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // runtime re-plan of skewed joins: at 100 TB a hot key (one huge
+      // customer, one hot destination) otherwise pins a single task
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // the synthetic events table carries parquet TIMESTAMP(NANOS);
       // Spark has no nanos timestamp type — surface as LongType nanos
       // and convert explicitly (see Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+
+  /** Extra configs for stateful streaming at scale: the RocksDB state
+    * store keeps per-key state (apply-changes, dedup horizons) off the
+    * executor heap — on 100 TB the state store, not the shuffle, is
+    * what breaks first with the in-memory provider. Apply on the
+    * builder when running the streaming layer in production. */
+  val streamingStateConfigs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

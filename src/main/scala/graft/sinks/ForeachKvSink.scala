@@ -24,7 +24,12 @@ final class ForeachKvSink(clientFactory: () => ForeachKvSink.KvClient,
                           batchSize: Int = 500,
                           memoryRatio: Double = 0.85,
                           admissionRetries: Int = 3,
-                          sleeper: Long => Unit = Thread.sleep)
+                          sleeper: Long => Unit = Thread.sleep,
+                          /** Redis stream message shapes
+                            * (RedisStreamChangeConsumer.java:96-118):
+                            * compact = value only; extended = value +
+                            * headers in one JSON document. */
+                          extendedFormat: Boolean = false)
     extends SinkConnector {
   import ForeachKvSink._
 
@@ -34,7 +39,12 @@ final class ForeachKvSink(clientFactory: () => ForeachKvSink.KvClient,
   override def write(batch: DataFrame, epochId: Long): Unit = {
     val (cf, bs, ratio, retries, sl) =
       (clientFactory, batchSize, memoryRatio, admissionRetries, sleeper)
-    batch.select(col("destination"), to_json(col("key")).as("k"), to_json(col("value")).as("v"))
+    val valueCol =
+      if (extendedFormat)
+        when(col("value").isNull, lit(null).cast("string"))
+          .otherwise(to_json(struct(col("value").as("value"), col("headers").as("headers"))))
+      else to_json(col("value"))
+    batch.select(col("destination"), to_json(col("key")).as("k"), valueCol.as("v"))
       .foreachPartition { (rows: Iterator[Row]) =>
         if (rows.hasNext) {
           val client = cf()

@@ -68,6 +68,33 @@ class PlanSpec extends SparkSpec {
       "hyperplane hashing leaked into the per-row plan")
   }
 
+  test("bucketed co-located join is shuffle-free") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-buckets")
+    val orders = Tables.orders(spark, sfSmoke).select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Tables.customer(spark, sfSmoke).select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    graft.operators.Bucketing.writeBucketed(orders, "b_orders", "o_custkey", 4,
+      Some(base.resolve("o").toString))
+    graft.operators.Bucketing.writeBucketed(customer, "b_customer", "o_custkey", 4,
+      Some(base.resolve("c").toString))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try {
+      // at smoke scale the planner would broadcast; force the
+      // sort-merge path so the bucketed co-location is observable
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = graft.operators.Bucketing.cooperativeJoin(spark, "b_orders", "b_customer", "o_custkey")
+      joined.collect()
+      val s = planOf(joined).toString
+      assert(!s.contains("Exchange"), s"expected shuffle-free bucketed join, got:\n$s")
+      assert(s.contains("SortMergeJoin"), s"expected sort-merge over buckets, got:\n$s")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("cdc07: the CDC path scans through the DSv2 source") {
     val s = planString("cdc07_cdc_source_replay")
     assert(s.contains("BatchScan") && s.contains("graft-cdc"),

@@ -175,6 +175,14 @@ class SinksSpec extends SparkSpec {
     val e = intercept[org.apache.spark.SparkException] { full.write(batch, 1) }
     assert(e.getMessage.contains("memory threshold") ||
            Option(e.getCause).exists(_.getMessage.contains("memory threshold")))
+
+    // extended format carries headers in the stored document
+    TestKvStore.clear()
+    val ext = new ForeachKvSink(() => new TestKvClient(maxBytes = Long.MaxValue),
+      extendedFormat = true)
+    ext.write(batch, 2)
+    val stored = TestKvStore.get("testc.faq.items", """{"id":2}""").get
+    assert(stored.contains(""""headers":""") && stored.contains(""""value":"""))
   }
 
   test("queue chunker flushes mid-batch on the byte cap and rejects oversize singles") {
