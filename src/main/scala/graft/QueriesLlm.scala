@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators (SURVEY.md §7.2 step 8) over
   * the `documents` and `embeddings` tables.
   */
 object QueriesLlm {
 
-  def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08, llm09, llm10)
+  def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
+                        llm09, llm10, llm11, llm12)
 
   /** Exact dedup: union the corpus with an id-shifted copy of itself so
     * every document has exactly one duplicate, then keep the lowest id
@@ -324,6 +325,102 @@ object QueriesLlm {
          |FROM sig b JOIN sig c ON c.doc_id = b.doc_id + 100000
          |WHERE b.doc_id < 100000
          |ORDER BY b.doc_id""".stripMargin
+    })
+
+  /** Quantized-integer dot product fragment (DuckDB): exact, order-
+    * independent int64 sums — see Similarity.dotExact. */
+  private def duckQDot(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       | z -> CAST(floor(CAST(z[1] AS DOUBLE) * 1e6) AS BIGINT)
+       |    * CAST(floor(CAST(z[2] AS DOUBLE) * 1e6) AS BIGINT)))""".stripMargin
+  private def duckQCos(a: String, b: String): String =
+    s"(CAST(${duckQDot(a, b)} AS DOUBLE) / (sqrt(CAST(${duckQDot(a, a)} AS DOUBLE)) * sqrt(CAST(${duckQDot(b, b)} AS DOUBLE))))"
+
+  /** IVF ANN (Similarity.ivfTopK): deterministic coarse quantizer (16
+    * lowest-id vectors), corpus partitioned by nearest centroid,
+    * queries probe their 4 nearest cells — the data-adaptive
+    * complement of llm04's data-oblivious RHP buckets. */
+  private def llm11 = Q("llm11_ivf_ann",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus  = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfTopK(corpus, "cid", "cv", queries, "qid", "qv",
+          k = 5, nCentroids = 16, nProbe = 4, exact = true)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+            |cent AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings
+            |         ORDER BY vec_id LIMIT 16),
+            |ad AS (SELECT cid, cv, cent_id,
+            |         -${duckQCos("cv", "cent_vec")} AS d
+            |       FROM c CROSS JOIN cent),
+            |assigned AS (SELECT cid, cv, cent_id AS cell FROM (
+            |  SELECT cid, cv, cent_id, row_number() OVER (PARTITION BY cid ORDER BY d, cent_id) AS rn
+            |  FROM ad) t WHERE rn = 1),
+            |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            |qd AS (SELECT qid, qv, cent_id,
+            |         -${duckQCos("qv", "cent_vec")} AS d
+            |       FROM q CROSS JOIN cent),
+            |probes AS (SELECT qid, qv, cent_id AS cell FROM (
+            |  SELECT qid, qv, cent_id, row_number() OVER (PARTITION BY qid ORDER BY d, cent_id) AS rn
+            |  FROM qd) t WHERE rn <= 4),
+            |cand AS (SELECT p.qid, p.qv, a.cid, a.cv
+            |         FROM probes p JOIN assigned a USING (cell)
+            |         WHERE a.cid <> p.qid),
+            |sc AS (SELECT qid, cid, ${duckQCos("qv", "cv")} AS sim FROM cand),
+            |r AS (SELECT qid, cid, sim,
+            |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+            |      FROM sc)
+            |SELECT qid, cid, sim, rank FROM r
+            |WHERE rank <= 5
+            |ORDER BY qid, rank""".stripMargin))
+
+  /** Composed curation pipeline (Curation.curate): quality gate →
+    * language filter → exact dedup, the one-pass-then-one-shuffle
+    * shape of a production corpus clean. */
+  private def llm12 = Q("llm12_curation",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // duplicate the corpus so the dedup stage has work to do
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Curation.curate(corpus, col("doc_id"), col("text"),
+          Curation.Config(minTokens = 8, maxPunctRatio = 0.3, keepLangs = Set("en")))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val langs = TextAnalysis.langMarkers
+      val scores = langs.map { case (lang, ms) =>
+        s"len(list_filter(ltoks, x -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
+      }.mkString(",\n            ")
+      val chain = langs.zipWithIndex.init.foldRight(s"'${langs.last._1}'") {
+        case (((lang, _), i), rest) =>
+          val later = langs.drop(i + 1).map { case (l, _) => s"s_$lang >= s_$l" }.mkString(" AND ")
+          s"CASE WHEN $later THEN '$lang' ELSE $rest END"
+      }
+      val allZero = langs.map { case (l, _) => s"s_$l" }.mkString(" + ") + " = 0"
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |t AS (SELECT doc_id, text,
+         |        list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+         |        list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ltoks
+         |      FROM corpus),
+         |sc AS (SELECT doc_id, text, toks,
+         |            $scores
+         |       FROM t),
+         |g AS (SELECT doc_id, text, ${Portable.duckHash64("text")} AS content_hash
+         |      FROM sc
+         |      WHERE len(toks) >= 8
+         |        AND CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |            / CAST(greatest(length(text), 1) AS DOUBLE) <= 0.3
+         |        AND (CASE WHEN $allZero THEN 'unknown' ELSE $chain END) = 'en'),
+         |keep AS (SELECT content_hash, min(doc_id) AS doc_id FROM g GROUP BY 1)
+         |SELECT g.doc_id, g.text, g.content_hash
+         |FROM g JOIN keep USING (content_hash, doc_id)
+         |ORDER BY doc_id""".stripMargin
     })
 
   /** DuckDB rendering of the RHP-LSH bucket over an embedding column:

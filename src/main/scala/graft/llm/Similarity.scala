@@ -112,6 +112,42 @@ object Similarity {
     bits.reduce((a, b) => a + b)
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the
+    * `nCentroids` lowest-id corpus vectors — partitions the corpus by
+    * nearest centroid; each query probes its `nProbe` nearest
+    * centroids' cells only. Complements [[lshTopK]]: IVF adapts to the
+    * data distribution where RHP-LSH is data-oblivious. All argmins
+    * use min(struct(dist, id)) so ties break identically everywhere.
+    * At scale: centroids broadcast, one shuffle on centroid id for the
+    * cell join, candidates ≈ corpus·nProbe/nCentroids. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, nCentroids: Int, nProbe: Int, exact: Boolean = false): DataFrame = {
+    def sim(a: Column, b: Column) = if (exact) cosineExact(a, b) else cosine(a, b)
+    val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+
+    // corpus cell assignment: argmax similarity = min(struct(-sim, cent))
+    val assigned = corpus.join(broadcast(centroids))
+      .withColumn("__d", negate(sim(col(vecCol), col("cent_vec"))))
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+           min(struct(col("__d"), col("cent_id"))).getField("cent_id").as("cell"))
+
+    // query probes: the nProbe nearest centroids per query
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("__d"), col("cent_id"))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("__d", negate(sim(col(qvecCol), col("cent_vec"))))
+      .withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= nProbe)
+      .select(col(qidCol), col(qvecCol), col("cent_id").as("cell"))
+
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("sim", sim(col(qvecCol), col(vecCol)))
+    topKPerQuery(scored, qidCol, idCol, k)
+  }
+
   /** Bucketed ANN: join corpus and queries on the LSH bucket, then
     * cosine within buckets, top-k per query. Probes only matching
     * buckets — the candidate set shrinks ~2^-planes. */

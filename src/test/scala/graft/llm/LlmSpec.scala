@@ -1,7 +1,9 @@
 package graft.llm
 
 import graft.SparkSpec
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 class LlmSpec extends SparkSpec {
   import spark.implicits._
@@ -70,6 +72,55 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Int]("n") == 8)
     assert(r.getAs[Double]("p") > 0.0 && r.getAs[Double]("p") < 0.2)
     assert(r.getAs[Double]("s") > 0.2) // "The", "and", "the"
+  }
+
+  test("ivfTopK finds the nearest vector through its centroid cell") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.tabulate(4)(d => (math.sin(i * 0.7 + d) * 0.5).toFloat))
+    }
+    val corpus = vecs.toDF("cid", "cv")
+    val queries = corpus.filter(col("cid") < 2).toDF("qid", "qv")
+    val top = Similarity.ivfTopK(corpus, "cid", "cv", queries, "qid", "qv",
+      k = 3, nCentroids = 8, nProbe = 8) // nProbe = all cells → exhaustive
+    val brute = Similarity.bruteForceTopK(corpus, "cid", "cv", queries, "qid", "qv", k = 3)
+    // probing every cell must agree with brute force exactly
+    val a = top.orderBy("qid", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = brute.orderBy("qid", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
+
+  test("curation composes gates + dedup and keeps the lowest id per content") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (3L, "short text"), // fails minTokens
+      (4L, "!!! ??? *** ### $$$ %%% ^^^ &&& @@@ ;;; ::: ~~~"), // punct-heavy
+      (5L, "der hund und die katze und der vogel und die maus sind hier")) // german
+      .toDF("doc_id", "text")
+    val out = Curation.curate(docs, col("doc_id"), col("text"),
+      Curation.Config(minTokens = 8, maxPunctRatio = 0.3, keepLangs = Set("en")))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("keyOrdered routes each key to one partition in LSN order") {
+    val schema = graft.model.Envelope.recordSchema(
+      StructType(Seq(StructField("id", IntegerType))),
+      StructType(Seq(StructField("id", IntegerType), StructField("v", StringType))))
+    val rows = for (id <- 1 to 10; lsn <- Seq(3L, 1L, 2L)) yield
+      Row(s"t.s.x", Row(id), Row("u", null, Row(id, s"v$lsn"),
+          Row("pg", "d", "s", "x", lsn * 10 + id, "false", 0L), 0L), Map.empty[String, String])
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 6), schema)
+    val ordered = graft.operators.OrderedDelivery.keyOrdered(df, numPartitions = 4)
+    val check = ordered.select(col("key.id"), graft.operators.OrderedDelivery.lsnCol.as("lsn"),
+        spark_partition_id().as("pid"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    // each key lives in exactly one partition
+    assert(check.groupBy(_._1).forall { case (_, rs) => rs.map(_._3).distinct.length == 1 })
+    // within the collected order (partition-major), each key's lsns ascend
+    check.groupBy(_._1).foreach { case (_, rs) =>
+      val lsns = rs.map(_._2).toSeq
+      assert(lsns == lsns.sorted, s"key out of order: $lsns")
+    }
   }
 
   test("multimodal: asMedia wraps bytes + metadata; extractFeatures stays in the plan") {
