@@ -80,6 +80,17 @@ object EventShaping {
   def dropHeartbeats(df: DataFrame, prefix: String = Envelope.HeartbeatPrefix): DataFrame =
     df.filter(!col("destination").startsWith(prefix))
 
+  /** Schema-change (DDL) events travel on a side stream the data path
+    * must not apply (vector sinks skip them,
+    * MilvusChangeConsumer.java:119-123,217-220; SURVEY.md §7.5 item 3
+    * models them as a control stream). Split on the destination
+    * suffix: (data records, schema-change records). */
+  val SchemaChangeSuffix = ".schema-changes"
+  def splitSchemaChanges(df: DataFrame): (DataFrame, DataFrame) = {
+    val isDdl = col("destination").endsWith(SchemaChangeSuffix)
+    (df.filter(!isDdl), df.filter(isDdl))
+  }
+
   /** Tombstone handling: keep null-value records only when the sink
     * supports them (TombstoneSupportProducer.java:33-42). */
   def filterTombstones(df: DataFrame, sinkSupportsTombstones: Boolean): DataFrame =

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.SparkSpec
-import graft.sinks.{KvSink, ParquetUpsertSink, SinkRegistry}
+import graft.sinks.{EnvelopeLogSink, KvSink, ParquetUpsertSink, SinkRegistry}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
@@ -168,6 +168,35 @@ class CdcPipelineSpec extends SparkSpec {
     val ids = sink.readTable(spark, "testc.inventory.customers")
       .orderBy("id").collect().map(_.getAs[Int]("id")).toSeq
     assert(ids == Seq(1, 2, 3)) // 2 snapshot rows + 1 wal insert
+  }
+
+  test("envelope-log sink round-trips: captured log replays to the same state") {
+    val logOut = Files.createTempDirectory("graft-logsink").toString
+    val logSink = new EnvelopeLogSink(logOut)
+    val spec1 = PipelineSpec(sourcePath = writeLog(goldenLog),
+      keySchema = keySchema, rowSchema = rowSchema, sink = logSink,
+      tableIncludeList = Seq("inventory.customers"))
+    CdcPipeline.runBatch(spark, spec1)
+
+    // replay the captured log into an upsert sink → golden final state
+    val out = Files.createTempDirectory("graft-logsink-upsert").toString
+    val upsert = new ParquetUpsertSink(out, keyFields = Seq("id"))
+    val spec2 = PipelineSpec(sourcePath = s"$logOut/epoch=0",
+      keySchema = keySchema, rowSchema = rowSchema, sink = upsert)
+    CdcPipeline.runBatch(spark, spec2)
+    val ids = upsert.readTable(spark, "testc.inventory.customers")
+      .orderBy("id").collect().map(_.getAs[Int]("id")).toSeq
+    assert(ids == Seq(1001, 1002, 1004, 1005))
+  }
+
+  test("schema-change events split onto the control stream") {
+    val log = Seq(
+      envelopeLine(1, "c", "A", "B", "a@b", 1),
+      envelopeLine(0, "c", "ddl", "ddl", "-", 2, dest = "testc.inventory.customers.schema-changes"))
+    val records = graft.sources.EnvelopeLogSource.read(spark, writeLog(log), keySchema, rowSchema)
+    val (data, ddl) = graft.operators.EventShaping.splitSchemaChanges(records)
+    assert(data.count() == 1 && ddl.count() == 1)
+    assert(ddl.head().getAs[String]("destination").endsWith(".schema-changes"))
   }
 
   test("spec fromProperties mirrors debezium.* config") {
