@@ -186,7 +186,8 @@ private[cdc] final class CdcBatch(options: Map[String, String], pushed: Array[Fi
 /** Micro-batch stream over LSN ranges. */
 private[cdc] final class CdcMicroBatchStream(options: Map[String, String], pushed: Array[Filter])
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
   private val db = CdcLayout.dbDir(options)
   private val snapLsn = CdcLayout.snapshotLsn(db)
@@ -205,6 +206,21 @@ private[cdc] final class CdcMicroBatchStream(options: Map[String, String], pushe
   override def reportLatestOffset(): Offset = CdcOffset(CdcLayout.maxLsn(db))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  /** The DebeziumMetrics queue/position analog
+    * (DebeziumMetrics.java:106-153) surfaced per progress event:
+    * current log end, consumed position, and the LSN backlog between
+    * them (the "queue remaining" of a log-backed source). */
+  override def metrics(latestConsumed: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val maxLsn = CdcLayout.maxLsn(db)
+    val consumed = if (latestConsumed.isPresent)
+      latestConsumed.get.asInstanceOf[CdcOffset].lsn else -1L
+    java.util.Map.of(
+      "maxLsn", maxLsn.toString,
+      "consumedLsn", consumed.toString,
+      "pendingLsns", math.max(0L, maxLsn - math.max(consumed, 0L)).toString,
+      "snapshotLsn", snapLsn.toString)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CdcOffset].lsn

@@ -82,6 +82,25 @@ class CdcSourceSpec extends SparkSpec {
     assert(scanDesc.contains("destination"), s"expected pushed destination filter in: $scanDesc")
   }
 
+  test("source reports LSN position metrics in query progress") {
+    val db = fixtureDb()
+    val stream = spark.readStream.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", keyDdl).option("rowSchema", rowDdl)
+      .load()
+    val q = stream.writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val progress = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+      .recentProgress.lastOption
+    assert(progress.isDefined)
+    val m = progress.get.sources.head.metrics
+    assert(m.get("maxLsn") == "8")
+    assert(m.get("snapshotLsn") == "4")
+    assert(m.get("pendingLsns") == "0") // drained by AvailableNow
+  }
+
   test("streaming: snapshot phase then WAL drives the upsert sink to the golden state") {
     val db = fixtureDb()
     val out = Files.createTempDirectory("graft-cdc-sink").toString
