@@ -31,14 +31,18 @@ object Curation {
   }
 
   /** Curate: gates, then keep the lowest-id doc per distinct content.
-    * Returns the surviving (id, text) rows plus the curation columns
-    * used, for auditability. */
+    * The dedup is ONE window over the content hash (rank-1 per hash) —
+    * a single shuffle and a single evaluation of the gated scan, where
+    * a groupBy+semi-join would evaluate it twice. Returns the
+    * surviving (id, text) rows plus the content hash for audit. */
   def curate(docs: DataFrame, idCol: Column, textCol: Column, cfg: Config = Config()): DataFrame = {
-    val gated = docs.filter(qualityGate(textCol, cfg))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    docs.filter(qualityGate(textCol, cfg))
       .select(idCol.as("doc_id"), textCol.as("text"),
               Portable.hash64(textCol).as("content_hash"))
-    val keep = gated.groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
-    gated.join(keep, Seq("content_hash", "doc_id"), "left_semi")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .select(col("doc_id"), col("text"), col("content_hash"))
   }
 }
