@@ -53,12 +53,21 @@ final class ForeachKvSink(clientFactory: () => ForeachKvSink.KvClient,
               val estBytes = chunk.iterator.map(r =>
                 r.getString(1).length + (if (r.isNullAt(2)) 0 else r.getString(2).length)).sum.toLong
               ForeachKvSink.admit(client, estBytes, ratio, retries, sl)
-              chunk.groupBy(_.getString(0)).foreach { case (dest, destRows) =>
-                val (tombs, puts) = destRows.partition(_.isNullAt(2))
-                if (puts.nonEmpty)
-                  client.putAll(dest, puts.map(r => r.getString(1) -> r.getString(2)).toSeq)
-                tombs.foreach(r => client.delete(dest, r.getString(1)))
+              // batch CONSECUTIVE puts per destination, but flush before
+              // any tombstone for that destination — a blind
+              // puts-then-deletes split would apply a later re-insert
+              // before an earlier delete and lose the row
+              val pending = scala.collection.mutable.LinkedHashMap[String,
+                scala.collection.mutable.ArrayBuffer[(String, String)]]()
+              def flush(dest: String): Unit =
+                pending.remove(dest).filter(_.nonEmpty).foreach(b => client.putAll(dest, b.toSeq))
+              chunk.foreach { r =>
+                val dest = r.getString(0)
+                if (r.isNullAt(2)) { flush(dest); client.delete(dest, r.getString(1)) }
+                else pending.getOrElseUpdate(dest,
+                  scala.collection.mutable.ArrayBuffer()) += (r.getString(1) -> r.getString(2))
               }
+              pending.keys.toSeq.foreach(flush)
             }
           } finally client.close()
         }

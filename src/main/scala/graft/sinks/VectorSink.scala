@@ -108,19 +108,42 @@ final class VectorSink(clientFactory: () => VectorSink.VectorClient,
     projected.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val client = cf()
+        // batched per collection, flushing a collection's pending batch
+        // whenever the op kind flips — one RPC per run of same-op
+        // records, with per-collection op order preserved (the
+        // reference accumulates the same way before its flush,
+        // FlussChangeConsumer.java:339-357)
+        val maxBatch = 500
+        val upserts = scala.collection.mutable.LinkedHashMap[String,
+          scala.collection.mutable.ArrayBuffer[Point]]()
+        val deletes = scala.collection.mutable.LinkedHashMap[String,
+          scala.collection.mutable.ArrayBuffer[String]]()
+        def flushUpserts(c: String): Unit =
+          upserts.remove(c).filter(_.nonEmpty).foreach(b => client.upsert(c, b.toSeq))
+        def flushDeletes(c: String): Unit =
+          deletes.remove(c).filter(_.nonEmpty).foreach(b => client.delete(c, b.toSeq))
         try {
           rows.foreach { r =>
             val collection = r.getString(0)
             val id = r.getString(1)
             if (keyIsString) require(isUuid(id), s"string key must be a UUID, got '$id'")
             r.getString(2) match {
-              case Envelope.OpDelete => client.delete(collection, Seq(id))
+              case Envelope.OpDelete =>
+                flushUpserts(collection)
+                val b = deletes.getOrElseUpdate(collection, scala.collection.mutable.ArrayBuffer())
+                b += id
+                if (b.length >= maxBatch) flushDeletes(collection)
               case _ =>
+                flushDeletes(collection)
                 val v = Option(r.getSeq[Float](3)).getOrElse(Seq.empty)
                 val payload = Option(r.getMap[String, String](4)).map(_.toMap).getOrElse(Map.empty)
-                client.upsert(collection, Seq(Point(id, v, payload)))
+                val b = upserts.getOrElseUpdate(collection, scala.collection.mutable.ArrayBuffer())
+                b += Point(id, v, payload)
+                if (b.length >= maxBatch) flushUpserts(collection)
             }
           }
+          upserts.keys.toSeq.foreach(flushUpserts)
+          deletes.keys.toSeq.foreach(flushDeletes)
         } finally client.close()
       }
     }

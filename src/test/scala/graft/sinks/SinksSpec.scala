@@ -164,7 +164,9 @@ class SinksSpec extends SparkSpec {
       Row("testc.faq.items", Row(2), Row("c", null, Row(2, "q2", "a2"),
           Row("pg", "db", "faq", "items", 2L, "false", 0L), 0L), Map.empty[String, String]),
       Row("testc.faq.items", Row(1), null, Map.empty[String, String])) // tombstone
-    val batch = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    // one partition: cross-partition put/tombstone order for one key is
+    // undefined (keys must be routed, OrderedDelivery.keyOrdered)
+    val batch = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
     sink.write(batch, 0)
     assert(TestKvStore.get("testc.faq.items", """{"id":2}""").isDefined)
     assert(TestKvStore.get("testc.faq.items", """{"id":1}""").isEmpty)
@@ -183,6 +185,21 @@ class SinksSpec extends SparkSpec {
     ext.write(batch, 2)
     val stored = TestKvStore.get("testc.faq.items", """{"id":2}""").get
     assert(stored.contains(""""headers":""") && stored.contains(""""value":"""))
+
+    // tombstone THEN re-insert of the same key in one chunk must leave
+    // the re-inserted value (order-preserving flush, not puts-then-deletes)
+    TestKvStore.clear()
+    val schema2 = graft.model.Envelope.recordSchema(keySchema, rowSchema)
+    val reinsert = Seq(
+      Row("testc.faq.items", Row(9), Row("c", null, Row(9, "old", "old"),
+          Row("pg", "db", "faq", "items", 1L, "false", 0L), 0L), Map.empty[String, String]),
+      Row("testc.faq.items", Row(9), null, Map.empty[String, String]), // tombstone
+      Row("testc.faq.items", Row(9), Row("c", null, Row(9, "new", "new"),
+          Row("pg", "db", "faq", "items", 2L, "false", 0L), 0L), Map.empty[String, String]))
+    val ordered = spark.createDataFrame(spark.sparkContext.parallelize(reinsert, 1), schema2)
+    new ForeachKvSink(() => new TestKvClient(maxBytes = Long.MaxValue)).write(ordered, 3)
+    val fin = TestKvStore.get("testc.faq.items", """{"id":9}""")
+    assert(fin.isDefined && fin.get.contains("\"new\""), s"tombstone clobbered the re-insert: $fin")
   }
 
   test("queue chunker flushes mid-batch on the byte cap and rejects oversize singles") {

@@ -9,14 +9,19 @@ import scala.jdk.CollectionConverters._
 object TestVectorStore {
   val upserts = new ConcurrentLinkedQueue[(String, VectorSink.Point)]()
   val deletes = new ConcurrentLinkedQueue[(String, String)]()
-  def clear(): Unit = { upserts.clear(); deletes.clear() }
+  val calls = new ConcurrentLinkedQueue[String]() // "upsert:n" / "delete:n" per RPC
+  def clear(): Unit = { upserts.clear(); deletes.clear(); calls.clear() }
 }
 
 final class TestVectorClient extends VectorSink.VectorClient with Serializable {
-  override def upsert(c: String, ps: Seq[VectorSink.Point]): Unit =
+  override def upsert(c: String, ps: Seq[VectorSink.Point]): Unit = {
+    TestVectorStore.calls.add(s"upsert:${ps.length}")
     ps.foreach(p => TestVectorStore.upserts.add(c -> p))
-  override def delete(c: String, ids: Seq[String]): Unit =
+  }
+  override def delete(c: String, ids: Seq[String]): Unit = {
+    TestVectorStore.calls.add(s"delete:${ids.length}")
     ids.foreach(id => TestVectorStore.deletes.add(c -> id))
+  }
   override def close(): Unit = ()
 }
 
@@ -78,6 +83,24 @@ class VectorTxnSpec extends SparkSpec {
     assert(p1.vector == Seq(0.5f, 1.5f)) // double→float narrowing
     assert(p1.payload == Map("title" -> "one")) // id + vector excluded
     assert(TestVectorStore.deletes.asScala.toSeq == Seq("testc_docs_items" -> "3"))
+  }
+
+  test("vector sink batches same-op runs into one RPC, preserving op order per collection") {
+    TestVectorStore.clear()
+    val schema = graft.model.Envelope.recordSchema(keySchema, rowSchema)
+    def rec(id: Long, op: String) =
+      Row("testc.docs.items", Row(id),
+          Row(op, if (op == "d") Row(id, s"t$id", Seq(1.0, 2.0)) else null,
+              if (op == "d") null else Row(id, s"t$id", Seq(1.0, 2.0)),
+              Row("pg", "db", "docs", "items", id, "false", 0L), 0L),
+          Map.empty[String, String])
+    // run of 3 upserts, delete id 2, re-upsert id 2 — one partition
+    val rows = Seq(rec(1, "c"), rec(2, "c"), rec(3, "c"), rec(2, "d"), rec(2, "u"))
+    val batch = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    new VectorSink(() => new TestVectorClient).write(batch, 0)
+    val calls = TestVectorStore.calls.asScala.toSeq
+    // 3-upsert batch, 1 delete, then the re-upsert — order preserved
+    assert(calls == Seq("upsert:3", "delete:1", "upsert:1"), s"got $calls")
   }
 
   test("vector sink key validation rejects bad key shapes") {
