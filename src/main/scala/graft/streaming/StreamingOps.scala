@@ -35,6 +35,19 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__content_hash")
 
+  /** Watermarked tumbling-window aggregation over a change stream —
+    * e.g. changes-per-table-per-minute for rate dashboards. Late rows
+    * beyond the watermark are dropped and window state is evicted, so
+    * state is bounded by (horizon / window) × #groups regardless of
+    * stream length. Append mode emits each window once, when it
+    * finalizes. */
+  def windowedCounts(df: DataFrame, tsCol: String, groupCol: String,
+                     windowDuration: String, watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(groupCol))
+      .agg(count(lit(1)).as("n_changes"))
+      .select(col("window.start").as("window_start"), col(groupCol), col("n_changes"))
+
   /** One keyed change as carried through the stateful operator: the
     * key and payload travel as JSON strings so ONE state schema serves
     * any table schema (per-stream schemas stay dynamic, SURVEY.md §1.4). */

@@ -251,6 +251,42 @@ class SinksSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("schema drift")))
   }
 
+  test("multi-epoch upsert converges to the batch apply-changes state (randomized)") {
+    import org.apache.spark.sql.functions.{col, coalesce, lit}
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic test
+    val schema = graft.model.Envelope.recordSchema(keySchema, rowSchema)
+    var lsn = 0L
+    def randomEpoch(n: Int) = (1 to n).map { _ =>
+      lsn += 1
+      val id = rnd.nextInt(20)
+      val op = rnd.nextInt(10) match { case 0 | 1 => "d"; case 2 => "c"; case _ => "u" }
+      val payload = Row(id, s"q$id-$lsn", s"a$id-$lsn")
+      Row("testc.faq.items", Row(id),
+          Row(op, if (op == "d") payload else null, if (op == "d") null else payload,
+              Row("pg", "db", "faq", "items", lsn, "false", 0L), 0L),
+          Map.empty[String, String])
+    }
+    val epochs = (1 to 5).map(_ => randomEpoch(40))
+    val dir = Files.createTempDirectory("graft-up-rand").toString
+    val sink = new ParquetUpsertSink(dir, Seq("id"), numBuckets = 4)
+    epochs.zipWithIndex.foreach { case (rows, i) =>
+      sink.write(spark.createDataFrame(spark.sparkContext.parallelize(rows), schema), i.toLong)
+    }
+    val incremental = sink.readTable(spark, "testc.faq.items")
+      .select("id", "q", "a").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+
+    val all = spark.createDataFrame(spark.sparkContext.parallelize(epochs.flatten), schema)
+    val batch = graft.operators.ApplyChanges.latestState(all,
+        keyCols = Seq(col("key.id")),
+        orderCols = Seq(coalesce(col("value.source.lsn"), lit(0L))),
+        opCol = col("value.op"))
+      .select(col("key.id").as("id"), col("value.after.q").as("q"), col("value.after.a").as("a"))
+      .orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(incremental == batch, s"incremental=$incremental\nbatch=$batch")
+  }
+
   test("parquet upsert sink: incoming beats stored state on lsn ties; deletes win by order") {
     val dir = Files.createTempDirectory("graft-up4").toString
     val sink = new ParquetUpsertSink(dir, Seq("id"))

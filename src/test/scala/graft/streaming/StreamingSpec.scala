@@ -72,6 +72,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedCounts finalizes windows behind the watermark and drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "dest")
+    val counts = StreamingOps.windowedCounts(df, "ts", "dest", "1 minute", "2 minutes")
+    val q = counts.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(Seq((t("2024-01-01 10:00:10"), "a"), (t("2024-01-01 10:00:20"), "a"),
+                        (t("2024-01-01 10:01:10"), "b")))
+      q.processAllAvailable()
+      // advance the watermark far past the first windows so they emit
+      input.addData(Seq((t("2024-01-01 10:10:00"), "a")))
+      q.processAllAvailable()
+      // a LATE row for the long-closed first window must be dropped
+      input.addData(Seq((t("2024-01-01 10:00:30"), "a")))
+      q.processAllAvailable()
+      input.addData(Seq((t("2024-01-01 10:20:00"), "a"))) // close everything
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "a", 2L))) // late row NOT counted
+      assert(rows.contains(("2024-01-01 10:01:00.0", "b", 1L)))
+    } finally q.stop()
+  }
+
   test("dedupExactStream drops in-batch and cross-batch duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
