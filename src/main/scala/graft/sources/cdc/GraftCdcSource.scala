@@ -191,6 +191,11 @@ private[cdc] final class CdcMicroBatchStream(options: Map[String, String], pushe
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
   private val db = CdcLayout.dbDir(options)
   private val snapLsn = CdcLayout.snapshotLsn(db)
+  /** Admission control — the engine-queue-capacity analog
+    * (DebeziumMetrics.java:106-144 / maxOffsetsPerTrigger): each
+    * micro-batch advances at most this many LSNs past the start, so a
+    * huge backlog drains in bounded batches instead of one giant one. */
+  private val maxLsnsPerTrigger: Option[Long] = options.get("maxlsnspertrigger").map(_.toLong)
   // Trigger.AvailableNow: pin the end of the log at query start so the
   // query drains exactly to that position and stops
   private var availableNowTarget: Option[CdcOffset] = None
@@ -201,7 +206,18 @@ private[cdc] final class CdcMicroBatchStream(options: Map[String, String], pushe
     availableNowTarget.getOrElse(CdcOffset(CdcLayout.maxLsn(db)))
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(CdcOffset(CdcLayout.maxLsn(db)))
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = latestOffset().asInstanceOf[CdcOffset].lsn
+    val s = start.asInstanceOf[CdcOffset].lsn
+    // the snapshot phase always completes whole (a partial snapshot is
+    // not a consistent state); rate limiting applies to the WAL tail
+    val capped = maxLsnsPerTrigger match {
+      case Some(cap) if s >= snapLsn => math.min(target, s + cap)
+      case Some(cap)                 => math.min(target, math.max(snapLsn, s + cap))
+      case None                      => target
+    }
+    CdcOffset(capped)
+  }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def reportLatestOffset(): Offset = CdcOffset(CdcLayout.maxLsn(db))
   override def commit(end: Offset): Unit = ()

@@ -82,6 +82,24 @@ class CdcSourceSpec extends SparkSpec {
     assert(scanDesc.contains("destination"), s"expected pushed destination filter in: $scanDesc")
   }
 
+  test("maxLsnsPerTrigger drains the WAL in bounded micro-batches") {
+    val db = fixtureDb()
+    val stream = spark.readStream.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", keyDdl).option("rowSchema", rowDdl)
+      .option("maxLsnsPerTrigger", "1")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("rate_limited")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // all rows arrive…
+    assert(spark.table("rate_limited").count() == 10)
+    // …but over multiple micro-batches: snapshot batch + 1 LSN per batch
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 4, s"expected bounded batches, got ${batches.length}")
+  }
+
   test("source reports LSN position metrics in query progress") {
     val db = fixtureDb()
     val stream = spark.readStream.format("graft-cdc")
