@@ -87,6 +87,15 @@ object Formats {
     def serialize(c: Column): Column = enc(c)
   }
 
+  /** Protobuf wire-format encoding (ProtobufFormat): field numbers =
+    * 1-based StructType positions — the deterministic schema→message
+    * mapping; no generated classes or runtime dependency. */
+  final case class Protobuf(schema: org.apache.spark.sql.types.StructType) extends Format {
+    val name = "protobuf"
+    private val enc = ProtobufFormat.encoder(schema)
+    def serialize(c: Column): Column = enc(c)
+  }
+
   /** Caller-supplied serializer — the `clientprovided` format /
     * @CustomConsumerBuilder extension point. */
   final case class ClientProvided(fn: Column => Column) extends Format {
@@ -95,10 +104,10 @@ object Formats {
   }
 
   /** Resolve by `debezium.format.*` name. `valueSchema` feeds the
-    * schema-hungry formats (avro); cloudevents takes its source URI
-    * from `props("cloudevents.source")` (default "/graft"). Unknown
-    * names — protobuf included, its serializer isn't shipped — fail
-    * here, at startup (DebeziumSerializationProducer behavior). */
+    * schema-hungry formats (avro, protobuf); cloudevents takes its
+    * source URI from `props("cloudevents.source")` (default "/graft").
+    * Unknown names fail here, at startup
+    * (DebeziumSerializationProducer behavior). */
   def forName(name: String,
               valueSchema: Option[org.apache.spark.sql.types.StructType] = None,
               props: Map[String, String] = Map.empty): Format = name match {
@@ -110,9 +119,11 @@ object Formats {
     case "cloudevents"   => CloudEvents(props.getOrElse("cloudevents.source", "/graft"))
     case "avro" => Avro(valueSchema.getOrElse(throw new IllegalArgumentException(
       "format 'avro' needs the record schema (pass valueSchema)")))
+    case "protobuf" => Protobuf(valueSchema.getOrElse(throw new IllegalArgumentException(
+      "format 'protobuf' needs the record schema (pass valueSchema)")))
     case other => throw new IllegalArgumentException(
       s"unsupported format '$other' (supported: json, jsonbytearray, simplestring, connect, " +
-        "binary, cloudevents, avro, clientprovided)")
+        "binary, cloudevents, avro, protobuf, clientprovided)")
   }
 
   /** CloudEvents over a whole record frame (helper kept for

@@ -23,7 +23,7 @@ class FormatsSpec extends SparkSpec {
     spark.createDataFrame(spark.sparkContext.parallelize(rows), rowSchema)
   }
 
-  test("format registry resolves every supported name; protobuf/unknown fail at startup") {
+  test("format registry resolves every supported name; schema-less/unknown fail at startup") {
     assert(Formats.forName("json").name == "json")
     assert(Formats.forName("jsonbytearray").name == "jsonbytearray")
     assert(Formats.forName("simplestring").name == "simplestring")
@@ -31,9 +31,41 @@ class FormatsSpec extends SparkSpec {
     assert(Formats.forName("binary").name == "binary")
     assert(Formats.forName("cloudevents").name == "cloudevents")
     assert(Formats.forName("avro", Some(rowSchema)).name == "avro")
-    intercept[IllegalArgumentException](Formats.forName("protobuf"))
+    assert(Formats.forName("protobuf", Some(rowSchema)).name == "protobuf")
+    intercept[IllegalArgumentException](Formats.forName("protobuf")) // schema required
     intercept[IllegalArgumentException](Formats.forName("avro")) // schema required
     intercept[IllegalArgumentException](Formats.forName("nope"))
+  }
+
+  test("protobuf encodes the documented wire format and round-trips") {
+    // golden check against hand-computed wire bytes:
+    // message {int32 a=1; string b=2;} with a=150, b="testing"
+    // → 08 96 01 12 07 74 65 73 74 69 6e 67 (protobuf docs example)
+    val mini = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    val bytes = ProtobufFormat.encodeRow(Row(150, "testing"), mini)
+    assert(bytes.map(b => f"${b & 0xff}%02x").mkString(" ") ==
+      "08 96 01 12 07 74 65 73 74 69 6e 67")
+
+    // full shape round-trip through the Spark column encoder
+    val df = frame()
+    val wire = df.filter(col("id") === 1)
+      .select(Formats.Protobuf(rowSchema)
+        .serialize(struct(df.columns.map(col).toIndexedSeq: _*)).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val dec = ProtobufFormat.decode(wire, rowSchema)
+    assert(dec("id") == 1)
+    assert(dec("name") == "alice")
+    assert(dec("score") == 1.5)
+    assert(dec("tags") == Seq("a", "b"))
+    assert(dec("attrs") == Map("k" -> "v"))
+    assert(dec("nested").asInstanceOf[Map[String, Any]]("x") == 7L)
+    // null-heavy row: absent fields stay absent (proto3 semantics)
+    val wire2 = df.filter(col("id") === 2)
+      .select(Formats.Protobuf(rowSchema)
+        .serialize(struct(df.columns.map(col).toIndexedSeq: _*)).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val dec2 = ProtobufFormat.decode(wire2, rowSchema)
+    assert(dec2("id") == 2 && !dec2.contains("name"))
   }
 
   test("json round-trips through from_json including explicit nulls") {
