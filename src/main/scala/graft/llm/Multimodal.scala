@@ -52,6 +52,34 @@ object Multimodal {
     Array.tabulate(dim)(i => ((md(i % md.length) & 0xff) / 255.0).toFloat)
   }
 
+  /** Frame sampling over a media byte stream: fixed-size windows every
+    * `stride` bytes — REAL logic for raw formats (PCM audio frames,
+    * uncompressed video planes); for encoded media the container
+    * parsing goes where the slicing is. Plan-preserving UDF returning
+    * array<binary>; pair with posexplode for per-frame rows. */
+  def frameSample(df: DataFrame, mediaCol: String, frameSize: Int, stride: Int): DataFrame = {
+    require(frameSize > 0 && stride > 0, "frameSize and stride must be positive")
+    val sample = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else Iterator.range(0, math.max(bytes.length - frameSize + 1, 0), stride)
+        .map(off => java.util.Arrays.copyOfRange(bytes, off, off + frameSize))
+        .toArray
+    }
+    df.withColumn("frames", sample(col(mediaCol)))
+  }
+
+  /** Naive resize by decimation: keep every `factor`-th byte — real
+    * downsampling for raw byte streams (e.g. 1-byte PCM), a
+    * deterministic stand-in for codec-aware resampling otherwise. */
+  def decimate(df: DataFrame, mediaCol: String, factor: Int): DataFrame = {
+    require(factor > 0, "factor must be positive")
+    val dec = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else Iterator.range(0, bytes.length, factor).map(bytes(_)).toArray
+    }
+    df.withColumn("media_resized", dec(col(mediaCol)))
+  }
+
   /** Feature extraction over the media column as a Scala UDF returning
     * `array<float>` — stays INSIDE the DataFrame plan (no RDD
     * round-trip: predicate pushdown, column pruning, and AQE all keep

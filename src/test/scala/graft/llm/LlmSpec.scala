@@ -123,6 +123,18 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: frame sampling and decimation slice byte streams deterministically") {
+    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "content")
+    val media = Multimodal.asMedia(df, "content", "audio/pcm")
+    val frames = Multimodal.frameSample(media, "media", frameSize = 4, stride = 3)
+      .select(org.apache.spark.sql.functions.explode(col("frames")).as("f"))
+      .collect().map(r => new String(r.getAs[Array[Byte]]("f")))
+    assert(frames.toSeq == Seq("abcd", "defg", "ghij"))
+    val resized = Multimodal.decimate(media, "media", factor = 3)
+      .select("media_resized").head().getAs[Array[Byte]](0)
+    assert(new String(resized) == "adgj")
+  }
+
   test("multimodal: asMedia wraps bytes + metadata; extractFeatures stays in the plan") {
     val df = Seq((1L, "hello media"), (2L, "other bytes")).toDF("doc_id", "content")
     val media = Multimodal.asMedia(df, "content", "text/plain")

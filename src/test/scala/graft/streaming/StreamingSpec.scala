@@ -100,6 +100,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latestStateStream runs under the RocksDB state store (production config)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = graft.GraftSession.streamingStateConfigs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      graft.GraftSession.streamingStateConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val input = MemoryStream[String]
+      val records = input.toDF()
+        .select(from_json(col("value"), Envelope.recordSchema(keySchema, rowSchema)).as("r"))
+        .select("r.*")
+      val q = StreamingOps.latestStateStream(records)
+        .writeStream.format("memory").queryName("rocks_out").outputMode("update").start()
+      try {
+        input.addData(Seq(line(1, "c", "a1", 1), line(1, "u", "a1-new", 2)))
+        q.processAllAvailable()
+        val payloads = spark.table("rocks_out").select("payload")
+          .collect().map(_.getString(0))
+        assert(payloads.exists(_.contains("a1-new")))
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("dedupExactStream drops in-batch and cross-batch duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
