@@ -25,6 +25,20 @@ object Portable {
   def hash64(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Digest-algorithm variants — the reference's pluggable hash
+    * functions (HashFunction.java:18-63: java, md5, sha1, sha256).
+    * Same 60-bit hex-prefix construction over each digest; "java"
+    * maps to Spark's built-in 32-bit murmur (String.hashCode's role:
+    * fast, non-cryptographic). */
+  def hash64(c: Column, algo: String): Column = algo match {
+    case "md5"    => hash64(c)
+    case "sha1"   => conv(substring(sha1(c.cast("string")), 1, 15), 16, 10).cast("long")
+    case "sha256" => conv(substring(sha2(c.cast("string"), 256), 1, 15), 16, 10).cast("long")
+    case "java"   => abs(hash(c.cast("string"))).cast("long")
+    case other    => throw new IllegalArgumentException(
+      s"unknown hash '$other' (supported: java, md5, sha1, sha256)")
+  }
+
   /** Seeded variant: mixes a seed tag into the input. Used to derive the
     * k independent hash functions MinHash needs. */
   def hash64(c: Column, seed: Int): Column =

@@ -35,4 +35,29 @@ object Routing {
   /** RocketMQ/EventHubs hash-routed queue id for a key column. */
   def queueFor(key: Column, queueCount: Int): Column =
     Portable.partitionFor(key, queueCount)
+
+  /** EventHubs partition-routing strategies
+    * (DynamicPartitionRoutingStrategy.java:8-21):
+    *  - DEFAULT: service-assigned — here a stable spread over the
+    *    record's own position (round-robin analog without state);
+    *  - KEY: hash(key) % partitions with a pluggable digest
+    *    (HashFunction.java:18-63);
+    *  - PARTITIONID: explicit partition id from a record column
+    *    (header/config-driven). */
+  sealed trait PartitionStrategy
+  case object DefaultRouting extends PartitionStrategy
+  final case class KeyRouting(hashAlgo: String = "md5") extends PartitionStrategy
+  final case class PartitionIdRouting(idColumn: Column) extends PartitionStrategy
+
+  def partitionRouting(strategy: PartitionStrategy, key: Column, nPartitions: Int): Column =
+    strategy match {
+      case DefaultRouting =>
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(nPartitions.toLong))
+      case KeyRouting(algo) =>
+        pmod(Portable.hash64(key, algo), lit(nPartitions.toLong))
+      case PartitionIdRouting(idCol) =>
+        val p = idCol.cast("long")
+        when(p >= 0 && p < nPartitions, p).otherwise(
+          raise_error(concat(lit(s"partition id out of range [0,$nPartitions): "), p.cast("string"))))
+    }
 }

@@ -50,6 +50,34 @@ class ConfigLineageSpec extends SparkSpec {
     assert(r.getLong(4) >= 0 && r.getLong(4) < 8)
   }
 
+  test("partition routing strategies: key hash variants, explicit id, range check") {
+    import spark.implicits._
+    import graft.functions.Portable
+    val df = Seq(("k1", 2), ("k2", 7)).toDF("k", "pid")
+    val r = df.select(
+      Routing.partitionRouting(Routing.KeyRouting("md5"), col("k"), 8).as("md5p"),
+      Routing.partitionRouting(Routing.KeyRouting("sha256"), col("k"), 8).as("shap"),
+      Routing.partitionRouting(Routing.PartitionIdRouting(col("pid")), col("k"), 8).as("explicit"),
+      Routing.partitionRouting(Routing.DefaultRouting, col("k"), 8).as("default"))
+      .collect()
+    assert(r.forall(row => (0 until 4).forall(i => row.getLong(i) >= 0 && row.getLong(i) < 8)))
+    assert(r.map(_.getLong(2)).toSeq == Seq(2L, 7L)) // explicit ids pass through
+    // out-of-range explicit id fails the task
+    intercept[Exception] {
+      Seq(("k", 9)).toDF("k", "pid")
+        .select(Routing.partitionRouting(Routing.PartitionIdRouting(col("pid")), col("k"), 8))
+        .collect()
+    }
+    // digest variants are all deterministic and (generally) distinct routings
+    val h = Seq("x").toDF("k").select(
+      Portable.hash64(col("k"), "md5").as("a"),
+      Portable.hash64(col("k"), "sha1").as("b"),
+      Portable.hash64(col("k"), "sha256").as("c"),
+      Portable.hash64(col("k"), "java").as("d")).head()
+    assert(Set(h.getLong(0), h.getLong(1), h.getLong(2), h.getLong(3)).size == 4)
+    intercept[IllegalArgumentException](Portable.hash64(col("k"), "crc32"))
+  }
+
   test("lineage listener spools START/RUNNING/COMPLETE events with datasets") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
