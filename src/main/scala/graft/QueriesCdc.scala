@@ -253,18 +253,21 @@ object QueriesCdc {
         LogicalTypes.timestampMicros(col("w_epoch_us")).as("ts"),
         LogicalTypes.zonedTimestamp(col("w_zoned")).as("ts_z"),
         col("w_dec").cast("double").as("price"),
-        LogicalTypes.floatVectorToDouble(col("w_vec")).as("vec"))
+        // string-rendered at the output boundary: the driver's row
+        // sorter cannot hash array columns (round-2 `err`); quantized
+        // render keeps the round-trip check 1e-6-sensitive
+        Portable.renderVecQ6(LogicalTypes.floatVectorToDouble(col("w_vec"))).as("vec"))
         .orderBy(col("o_orderkey"))
     },
-    Some("""SELECT o_orderkey,
-           |  CAST(o_orderdate AS DATE) AS d,
-           |  o_orderdate AS ts,
-           |  o_orderdate AS ts_z,
-           |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
-           |  [CAST(o_orderkey % 7 AS DOUBLE), CAST(o_orderkey % 11 AS DOUBLE)] AS vec
-           |FROM orders
-           |WHERE o_orderkey <= 2000
-           |ORDER BY o_orderkey""".stripMargin))
+    Some(s"""SELECT o_orderkey,
+            |  CAST(o_orderdate AS DATE) AS d,
+            |  o_orderdate AS ts,
+            |  o_orderdate AS ts_z,
+            |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+            |  ${Portable.duckRenderVecQ6("[CAST(o_orderkey % 7 AS DOUBLE), CAST(o_orderkey % 11 AS DOUBLE)]")} AS vec
+            |FROM orders
+            |WHERE o_orderkey <= 2000
+            |ORDER BY o_orderkey""".stripMargin))
 
   /** Tombstone + heartbeat filtering on a synthesized record stream
     * (TombstoneSupportProducer.java:33-42,

@@ -119,13 +119,15 @@ object QueriesLlm {
                    col("media_meta.n_bytes").as("n_bytes"),
                    col("media_meta.content_md5").as("content_md5"))
         .join(feats, "doc_id")
-        .withColumn("features", transform(col("features"), x => x.cast("double")))
+        // string-rendered at the output boundary: the driver's row
+        // sorter cannot hash array columns (round-2 `err`)
+        .withColumn("features", Portable.renderVecQ6(col("features")))
         .orderBy(col("doc_id"))
     },
     Some {
-      val feat = (0 until 8).map { i =>
-        s"CAST(CAST(CAST(concat('0x', substr(md5(text), ${2 * i + 1}, 2)) AS INT) / 255.0 AS REAL) AS DOUBLE)"
-      }.mkString("[", ",\n            ", "]")
+      val feat = Portable.duckRenderVecQ6((0 until 8).map { i =>
+        s"CAST(CAST(concat('0x', substr(md5(text), ${2 * i + 1}, 2)) AS INT) / 255.0 AS REAL)"
+      }.mkString("[", ",\n            ", "]"))
       s"""SELECT doc_id,
          |  'text/plain' AS media_type,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -97,6 +97,26 @@ object Portable {
   def duckHash64(sqlExpr: String, seed: Int): String =
     duckHash64(s"concat('s$seed:', CAST($sqlExpr AS VARCHAR))")
 
+  /** Render an array<numeric> column as a deterministic STRING for
+    * cross-engine output comparison: each element quantized to
+    * floor(x·1e6) — an exact int64 both engines compute identically
+    * (one IEEE double multiply + floor) — joined as "[a,b,…]".
+    * Float FORMATTING (Java's Double.toString vs DuckDB's
+    * shortest-round-trip) is the one thing that cannot be made
+    * portable across engines; integer rendering is, and stays
+    * sensitive to any value drift above 1e-6. Array math stays typed
+    * upstream — this is an output-boundary rendering only. */
+  def renderVecQ6(c: Column): Column =
+    concat(lit("["),
+      concat_ws(",", transform(c,
+        x => floor(x.cast("double") * lit(1000000.0d)).cast("long").cast("string"))),
+      lit("]"))
+
+  /** DuckDB rendering of [[renderVecQ6]] over a list-typed SQL fragment. */
+  def duckRenderVecQ6(sqlExpr: String): String =
+    s"'[' || array_to_string(list_transform($sqlExpr, " +
+      "x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR)), ',') || ']'"
+
   /** Partition id for key-ordered delivery — the Spark analog of
     * EventHubs' hash%partitionCount routing
     * (debezium-server-eventhubs/.../DynamicPartitionRoutingStrategy.java:8-21). */
