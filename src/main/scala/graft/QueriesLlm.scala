@@ -180,11 +180,14 @@ object QueriesLlm {
     })
 
   /** Embedding-cosine near-dup: the corpus plus a perturbed copy
-    * (element 0 shifted by +0.01 → cosine ≈ 0.9999), bucketed by the
-    * SAME random-hyperplane signature as llm04, exact quantized cosine
-    * within buckets, pairs above 0.99 — the vector-space analog of
-    * llm05's MinHash path (no natural near-dups exist in the corpus:
-    * every true pair is planted, recovery is whatever survives the
+    * (element 0 shifted by +0.01 → cosine ≈ 0.9999), candidate pairs
+    * from BANDED random-hyperplane signatures (4 bands × 16 planes,
+    * Similarity.rhpBandedBuckets — per-band bucket space 2^16, so the
+    * within-bucket self-join never goes quadratic the way round 2's
+    * single fixed-2^8 signature did), exact quantized cosine on
+    * candidates, pairs above 0.99 — the vector-space analog of llm05's
+    * MinHash banding (no natural near-dups exist in the corpus: every
+    * true pair is planted, recovery is whatever survives the
     * bucketing, deterministically). */
   private def llm08 = Q("llm08_embedding_neardup",
     (s, dir) => {
@@ -193,39 +196,50 @@ object QueriesLlm {
         transform(col("embedding"),
           (x, i) => when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x)).as("embedding"))
       val corpus = emb.unionByName(perturbed)
-        .withColumn("bucket", Similarity.rhpSignature(col("embedding"), dims = 64, planes = 8))
-      val a = corpus.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = corpus.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
-      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      val pairs = Dedup.candidatePairs(Similarity.rhpBandedBuckets(
+        corpus, "vec_id", "embedding", dims = 64, planesPerBand = 16, bands = 4))
+      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      pairs.join(a, "id_a").join(b, "id_b")
         .withColumn("sim", Similarity.cosineExact(col("va"), col("vb")))
         .filter(col("sim") >= 0.99)
-        .select(col("id_a"), col("id_b"), col("sim")).distinct()
+        .select(col("id_a"), col("id_b"), col("sim"))
         .orderBy(col("id_a"), col("id_b"))
     },
-    Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
-            |pert AS (SELECT vec_id + 100000 AS vec_id,
-            |           list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
-            |             z -> CASE WHEN z[2] = 1 THEN CAST(CAST(z[1] AS REAL) + CAST(0.01 AS REAL) AS REAL)
-            |                       ELSE z[1] END) AS embedding
-            |         FROM base),
-            |corpus AS (SELECT vec_id, embedding, ${duckRhpBucket("embedding", 64, 8)} AS bucket
-            |           FROM (SELECT * FROM base UNION ALL SELECT * FROM pert) u),
-            |p AS (SELECT a.vec_id id_a, b.vec_id id_b, a.embedding va, b.embedding vb
-            |      FROM corpus a JOIN corpus b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-            |d AS (SELECT id_a, id_b,
-            |        list_sum(list_transform(list_zip(va, vb),
-            |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * 1e6) AS BIGINT)
-            |             * CAST(floor(CAST(z[2] AS DOUBLE) * 1e6) AS BIGINT))) AS dot,
-            |        list_sum(list_transform(va, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
-            |             * CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS na,
-            |        list_sum(list_transform(vb, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
-            |             * CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS nb
-            |      FROM p)
-            |SELECT DISTINCT id_a, id_b,
-            |       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim
-            |FROM d
-            |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.99
-            |ORDER BY id_a, id_b""".stripMargin))
+    Some {
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT vec_id, $b AS band, ${duckRhpBandBucket("embedding", 64, 16, 4, b)} AS bucket FROM corpus"
+      }.mkString("\n            UNION ALL ")
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |pert AS (SELECT vec_id + 100000 AS vec_id,
+         |           list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
+         |             z -> CASE WHEN z[2] = 1 THEN CAST(CAST(z[1] AS REAL) + CAST(0.01 AS REAL) AS REAL)
+         |                       ELSE z[1] END) AS embedding
+         |         FROM base),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+         |bk AS (
+         |            $bandRows),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |          FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |          WHERE a.vec_id < b.vec_id),
+         |p AS (SELECT id_a, id_b, ca.embedding va, cb.embedding vb
+         |      FROM pairs JOIN corpus ca ON ca.vec_id = id_a
+         |                 JOIN corpus cb ON cb.vec_id = id_b),
+         |d AS (SELECT id_a, id_b,
+         |        list_sum(list_transform(list_zip(va, vb),
+         |          z -> CAST(floor(CAST(z[1] AS DOUBLE) * 1e6) AS BIGINT)
+         |             * CAST(floor(CAST(z[2] AS DOUBLE) * 1e6) AS BIGINT))) AS dot,
+         |        list_sum(list_transform(va, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+         |             * CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS na,
+         |        list_sum(list_transform(vb, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+         |             * CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS nb
+         |      FROM p)
+         |SELECT id_a, id_b,
+         |       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim
+         |FROM d
+         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin
+    })
 
   /** n-gram Jaccard VERIFY over the MinHash candidates — the exact
     * similarity pass that turns llm05's candidate pairs into confirmed
@@ -430,7 +444,17 @@ object QueriesLlm {
     * driver-side hyperplane literals — the SAME coefficients
     * Similarity.rhpSignature embeds, so Spark and oracle cannot drift. */
   private def duckRhpBucket(embExpr: String, dims: Int, planes: Int): String =
-    Similarity.rhpCoefficients(dims, planes).zipWithIndex.map { case (cs, p) =>
+    duckRhpSig(embExpr, Similarity.rhpCoefficients(dims, planes))
+
+  /** DuckDB rendering of band `band` of Similarity.rhpBandSignatures —
+    * the same disjoint slice of the shared coefficient matrix. */
+  private def duckRhpBandBucket(embExpr: String, dims: Int, planesPerBand: Int,
+                                bands: Int, band: Int): String =
+    duckRhpSig(embExpr, Similarity.rhpCoefficients(dims, planesPerBand * bands)
+      .slice(band * planesPerBand, (band + 1) * planesPerBand))
+
+  private def duckRhpSig(embExpr: String, coefs: Seq[Seq[Long]]): String =
+    coefs.zipWithIndex.map { case (cs, p) =>
       val lits = cs.mkString("[", ",", "]")
       s"""(CASE WHEN list_sum(list_transform(list_zip($embExpr, $lits),
          |   z -> CAST(floor(CAST(z[1] AS DOUBLE) * 1000000.0) AS BIGINT) * z[2])) >= 0

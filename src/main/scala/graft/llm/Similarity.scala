@@ -112,6 +112,45 @@ object Similarity {
     bits.reduce((a, b) => a + b)
   }
 
+  /** Banded random-hyperplane signatures — the scale path for
+    * embedding NEAR-DUP candidate generation, where BOTH join sides
+    * are the corpus (unlike [[lshTopK]], whose query side is
+    * broadcast-small). A single p-plane signature has a FIXED bucket
+    * space of 2^p, so the within-bucket self-join degrades to
+    * Θ(n²/2^p) as the corpus grows — a quadratic scale-killer.
+    * Banding mirrors [[Dedup.lshBuckets]]: `bands` independent
+    * signatures of `planesPerBand` planes each (disjoint hyperplane
+    * seeds per band), candidate = sharing ANY band's bucket. Per-band
+    * bucket space is 2^planesPerBand (2^16 at r=16 vs 2^8 total for
+    * the old single signature) and occupancy tracks the data: for a
+    * planted near-dup at angle θ, pair recall is
+    * 1-(1-(1-θ/π)^r)^b ≈ 1 for θ→0, while random pairs collide at
+    * ~b·2^-r per pair and are discarded by the exact verify. */
+  def rhpBandSignatures(vec: Column, dims: Int, planesPerBand: Int, bands: Int): Seq[Column] = {
+    val all = rhpCoefficients(dims, planesPerBand * bands)
+    (0 until bands).map { b =>
+      all.slice(b * planesPerBand, (b + 1) * planesPerBand).zipWithIndex.map { case (cs, i) =>
+        val contrib = aggregate(
+          zip_with(vec, typedLit(cs), (x, c) => qint(x) * c),
+          lit(0L), (acc, x) => acc + x)
+        when(contrib >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a + b)
+    }
+  }
+
+  /** (doc_id, band, bucket) rows for the banded RHP signatures —
+    * shaped for [[Dedup.candidatePairs]], exactly like
+    * [[Dedup.lshBuckets]] output. One projection computes all bands
+    * (the hyperplanes are literals — integer multiply-adds in one
+    * codegen stage), then explodes to `bands` rows per vector; the
+    * candidate join shuffles once on (band, bucket). */
+  def rhpBandedBuckets(df: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, planesPerBand: Int, bands: Int): DataFrame = {
+    val sigs = rhpBandSignatures(col(vecCol), dims, planesPerBand, bands)
+    df.select(col(idCol).as("doc_id"),
+              posexplode(array(sigs: _*)).as(Seq("band", "bucket")))
+  }
+
   /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the
     * `nCentroids` lowest-id corpus vectors — partitions the corpus by
     * nearest centroid; each query probes its `nProbe` nearest

@@ -74,6 +74,35 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Double]("s") > 0.2) // "The", "and", "the"
   }
 
+  test("banded RHP buckets: near-dups pair, bucket occupancy stays bounded") {
+    // deterministic pseudo-random 16-dim corpus + a perturbed copy of
+    // the first 50 vectors (planted near-dups)
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 400L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val planted = base.take(50).map { case (i, v) =>
+      (i + 100000L, (v.head + 0.005f) +: v.tail) }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+
+    val buckets = Similarity.rhpBandedBuckets(corpus, "vec_id", "embedding",
+      dims = 16, planesPerBand = 16, bands = 4)
+    val pairs = Dedup.candidatePairs(buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall: every planted pair shares at least one band bucket
+    (0L until 50L).foreach(i => assert(pairs.contains((i, i + 100000L)),
+      s"planted pair $i missing"))
+
+    // occupancy: per-band bucket space is 2^16, so random vectors
+    // spread out — max bucket size stays O(1) where the old single
+    // 8-plane signature (256 buckets for 450 vectors) cannot
+    val occ = buckets.groupBy("band", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(occ <= 8L, s"banded bucket occupancy $occ — expected bounded")
+    val occOld = corpus
+      .withColumn("bucket", Similarity.rhpSignature(col("embedding"), dims = 16, planes = 8))
+      .groupBy("bucket").count().agg(max("count")).head().getLong(0)
+    assert(occOld > occ, s"single-signature occupancy $occOld should exceed banded $occ")
+  }
+
   test("ivfTopK finds the nearest vector through its centroid cell") {
     val vecs = (0L until 40L).map { i =>
       (i, Seq.tabulate(4)(d => (math.sin(i * 0.7 + d) * 0.5).toFloat))
