@@ -89,6 +89,18 @@ object Portable {
     java.lang.Long.parseLong(hex, 16)
   }
 
+  /** JVM-side mirror of Spark's `xxhash64(string)` (seed 42) — the
+    * shared streaming/batch content tiebreak: StreamingOps.newer
+    * computes THIS over the same "<op>|<payload-json>" string that
+    * ParquetUpsertSink's `__tb` column hashes, so on an LSN tie both
+    * paths crown the same winner (round-2 verdict: `payload.##` vs
+    * xxhash64 could diverge). Equality with the Column form is
+    * asserted in FunctionsSpec. */
+  def xxhash64Jvm(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
+
   /** DuckDB rendering of [[hash64]] over a SQL fragment — keeps the
     * oracle SQL in one place so Spark and oracle can't drift. */
   def duckHash64(sqlExpr: String): String =

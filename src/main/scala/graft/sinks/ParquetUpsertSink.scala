@@ -97,7 +97,11 @@ final class ParquetUpsertSink(baseDir: String, keyFields: Seq[String] = Seq("id"
         col("value.after").as("__payload"),
         coalesce(col("value.source.lsn"), col("value.ts_ms"), lit(0L)).as("__lsn"),
         lit(1).as("__incoming"),
-        xxhash64(to_json(struct(col("value.op"), col("value.after")))).as("__tb"))
+        // "<op>|<payload-json>" — the SAME string StreamingOps.newer
+        // hashes JVM-side (Portable.xxhash64Jvm), so streaming and
+        // batch resolve LSN ties identically
+        xxhash64(concat_ws("|", col("value.op"),
+          coalesce(to_json(col("value.after")), lit("")))).as("__tb"))
     val incoming = keyFields.foldLeft(changes) { (df, k) =>
       df.withColumn(s"__k_$k", col(s"key.$k"))
     }.drop("key")

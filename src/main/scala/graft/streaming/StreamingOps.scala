@@ -82,12 +82,21 @@ object StreamingOps {
         applyGroup)(Encoders.product[KeyState], Encoders.product[StateOut])
   }
 
-  /** Deterministic "newer" ordering: (lsn, content-hash tiebreak) —
-    * mirrors the batch merge order in ParquetUpsertSink so replays and
-    * arbitrary group iteration order converge to the same winner. */
+  /** The batch sink's `__tb` content tiebreak computed JVM-side: the
+    * xxhash64 of the SAME "<op>|<payload-json>" string
+    * ParquetUpsertSink hashes as a Column — one tiebreak function for
+    * both paths (round-2 verdict: `payload.##` here could crown a
+    * different winner than the batch merge on an LSN tie). */
+  private def tb(k: KeyState): Long =
+    graft.functions.Portable.xxhash64Jvm(k.op + "|" + k.payload)
+
+  /** Deterministic "newer" ordering WITHIN a batch: (lsn, content-hash
+    * tiebreak) — mirrors the batch merge order (__lsn, __incoming,
+    * __tb); both within-batch records have __incoming=1, so the
+    * content hash breaks the tie. */
   private def newer(a: KeyState, b: KeyState): KeyState =
     if (a.lsn != b.lsn) { if (a.lsn > b.lsn) a else b }
-    else { if (a.payload.## >= b.payload.##) a else b }
+    else { if (tb(a) >= tb(b)) a else b }
 
   private def applyGroup(key: String, changes: Iterator[ChangeIn],
                          state: GroupState[KeyState]): Iterator[StateOut] = {
@@ -96,7 +105,10 @@ object StreamingOps {
     incoming match {
       case None => Iterator.empty
       case Some(cand) =>
-        val winner = state.getOption.fold(cand)(cur => newer(cand, cur))
+        // vs stored state the batch order is (__lsn, __incoming): an
+        // incoming change at the SAME lsn beats stored state (an
+        // lsn-less update still applies) — not the content hash
+        val winner = state.getOption.fold(cand)(cur => if (cand.lsn >= cur.lsn) cand else cur)
         if (state.getOption.contains(winner)) Iterator.empty // no change
         else if (winner.op == Envelope.OpDelete) {
           state.remove()

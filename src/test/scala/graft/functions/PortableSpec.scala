@@ -28,6 +28,15 @@ class PortableSpec extends SparkSpec {
     assert(h0 != h1)
   }
 
+  test("xxhash64Jvm mirrors the xxhash64 Column bit-for-bit") {
+    val inputs = Seq("", "c|", "d|", """c|{"id":1,"v":"a"}""", "üñïçødé|x")
+    val fromCol = inputs.toDF("s")
+      .select(org.apache.spark.sql.functions.xxhash64(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    val fromJvm = inputs.map(Portable.xxhash64Jvm)
+    assert(fromCol.toSeq == fromJvm)
+  }
+
   test("partitionFor lands in [0, n)") {
     val parts = (1 to 100).map(_.toString).toDF("s")
       .select(Portable.partitionFor(col("s"), 16).as("p"))

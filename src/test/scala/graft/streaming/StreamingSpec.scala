@@ -72,6 +72,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deliberate LSN ties: streaming and batch crown the same winner") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two same-key changes at the SAME lsn in one batch — only the
+    // shared content tiebreak decides; plus a same-lsn update arriving
+    // in a LATER batch, which must beat the stored state (__incoming)
+    val tied = Seq(line(7, "u", "first", 9), line(7, "u", "second", 9))
+    val lateSameLsn = Seq(line(7, "u", "third", 9))
+
+    val input = MemoryStream[String]
+    val records = input.toDF()
+      .select(from_json(col("value"), Envelope.recordSchema(keySchema, rowSchema)).as("r"))
+      .select("r.*")
+    val q = StreamingOps.latestStateStream(records)
+      .writeStream.format("memory").queryName("tie_out").outputMode("update").start()
+    try {
+      input.addData(tied)
+      q.processAllAvailable()
+      // within one batch the winner must match the batch tiebreak:
+      // the SAME (__lsn, __tb) order the upsert sink uses
+      val batchDf = spark.createDataset(tied)
+        .select(from_json(col("value"), Envelope.recordSchema(keySchema, rowSchema)).as("r"))
+        .select("r.*")
+      val batchedV = ApplyChanges.latestState(batchDf,
+          keyCols = Seq(col("key.id")),
+          orderCols = Seq(coalesce(col("value.source.lsn"), lit(0L)),
+            xxhash64(concat_ws("|", col("value.op"),
+              coalesce(to_json(col("value.after")), lit(""))))),
+          opCol = col("value.op"))
+        .select(col("value.after.v")).head().getString(0)
+      val firstBatchWinner = spark.table("tie_out")
+        .select(get_json_object(col("payload"), "$.v").as("v"))
+        .head().getString(0)
+      assert(firstBatchWinner == batchedV)
+
+      // a same-lsn update in a LATER batch beats stored state
+      // (incoming wins the lsn tie, like the sink's __incoming)
+      input.addData(lateSameLsn)
+      q.processAllAvailable()
+      assert(spark.table("tie_out").filter(col("payload").contains("third")).count() == 1)
+
+      // replaying the identical change must be a no-op (winner equals
+      // stored state → no emission) — proving state holds "third"
+      val before = spark.table("tie_out").count()
+      input.addData(lateSameLsn)
+      q.processAllAvailable()
+      assert(spark.table("tie_out").count() == before)
+    } finally q.stop()
+  }
+
   test("windowedCounts finalizes windows behind the watermark and drops late rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
