@@ -1,0 +1,191 @@
+package graft.sources.cdc
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.sql.{DriverManager, ResultSet}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+object JdbcPollingTailer {
+  /** One captured table: JDBC schema.table, its key columns, and a
+    * strictly-increasing integer watermark column (serial id, epoch)
+    * that orders new rows. */
+  final case class TableSpec(schema: String, table: String,
+                             keyCols: Seq[String], watermarkCol: String) {
+    def qualified: String = s"$schema.$table"
+  }
+}
+
+/** JDBC polling tailer — the live "left half" of the CDC connector
+  * (the reference selects a connector per database in
+  * debezium-server-dist/pom.xml:359-389): takes a consistent SNAPSHOT
+  * of the configured tables over any JDBC connection, then POLLS each
+  * table's high watermark incrementally, appending change records as
+  * WAL segments in the SAME on-disk `CdcLayout` the `graft-cdc` DSv2
+  * source reads. Everything downstream — LSN offsets, include lists,
+  * pushed filters, the upsert sink — is unchanged; a production
+  * deployment swaps the polling loop for a protocol decoder
+  * (pgoutput/binlog) writing the identical contract.
+  *
+  * Semantics:
+  *  - [[snapshot]] runs in ONE repeatable-read transaction: every
+  *    table's rows dump to `snapshot/<schema>.<table>.jsonl`, the
+  *    snapshot LSN is written to `snapshot/_lsn`, and each table's
+  *    max watermark is recorded so polling starts exactly where the
+  *    snapshot ended (the reference's snapshot→streaming handoff).
+  *  - [[poll]] selects rows with watermark beyond the stored one,
+  *    assigns each the next LSN from a global counter (the log's
+  *    total order), and writes ONE new immutable WAL segment
+  *    atomically (tmp + ATOMIC_MOVE — the DSv2 reader never sees a
+  *    partial file). High-watermark polling observes INSERTS (op='c');
+  *    updates/deletes need the protocol decoder — the classic JDBC
+  *    polling capture boundary, declared in COVERAGE.md.
+  *  - Crash between segment write and state write replays rows into a
+  *    later segment at higher LSNs — at-least-once, which the
+  *    epoch-idempotent / latest-state-by-LSN downstream converges.
+  */
+final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
+                              tables: Seq[JdbcPollingTailer.TableSpec],
+                              topicPrefix: String = "testc",
+                              connectorName: String = "jdbc",
+                              dbName: String = "db") {
+  import JdbcPollingTailer.TableSpec
+
+  private val stateFile = dbDir.resolve("_tailer_state")
+
+  /** Consistent snapshot of all configured tables → CdcLayout
+    * snapshot dir + initial tailer state. */
+  def snapshot(): Unit = {
+    val snapDir = Files.createDirectories(dbDir.resolve("snapshot"))
+    Files.createDirectories(dbDir.resolve("wal"))
+    val conn = DriverManager.getConnection(jdbcUrl)
+    try {
+      conn.setAutoCommit(false)
+      conn.setTransactionIsolation(java.sql.Connection.TRANSACTION_REPEATABLE_READ)
+      val watermarks = mutable.Map.empty[String, Long]
+      tables.foreach { t =>
+        val rows = mutable.ArrayBuffer.empty[String]
+        var wm = Long.MinValue
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"SELECT * FROM ${t.qualified} ORDER BY ${t.watermarkCol}")
+          while (rs.next()) {
+            val m = rowMap(rs)
+            wm = math.max(wm, longOf(m(t.watermarkCol.toLowerCase)))
+            rows += jsonObject(m)
+          }
+        } finally st.close()
+        watermarks(t.qualified) = wm
+        val tmp = snapDir.resolve(s".${t.qualified}.jsonl.tmp")
+        Files.writeString(tmp, rows.mkString("", "\n", "\n"))
+        Files.move(tmp, snapDir.resolve(s"${t.qualified}.jsonl"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+      conn.commit()
+      // the snapshot is consistent at LSN 0; polled changes follow at 1…
+      Files.writeString(snapDir.resolve("_lsn"), "0")
+      writeState(0L, watermarks.toMap)
+    } finally conn.close()
+  }
+
+  /** One incremental poll: captures rows past each table's stored
+    * watermark into one new WAL segment. Returns the number of
+    * captured changes (0 writes no segment). */
+  def poll(): Int = {
+    require(Files.exists(stateFile), "tailer: snapshot() must run before poll()")
+    val (lsn0, wms0) = readState()
+    var lsn = lsn0
+    val wms = mutable.Map(wms0.toSeq: _*)
+    val lines = mutable.ArrayBuffer.empty[String]
+    val conn = DriverManager.getConnection(jdbcUrl)
+    try {
+      tables.foreach { t =>
+        val from = wms.getOrElse(t.qualified, Long.MinValue)
+        val ps = conn.prepareStatement(
+          s"SELECT * FROM ${t.qualified} WHERE ${t.watermarkCol} > ? ORDER BY ${t.watermarkCol}")
+        try {
+          ps.setLong(1, from)
+          val rs = ps.executeQuery()
+          while (rs.next()) {
+            val m = rowMap(rs)
+            lsn += 1
+            wms(t.qualified) = math.max(
+              wms.getOrElse(t.qualified, Long.MinValue), longOf(m(t.watermarkCol.toLowerCase)))
+            lines += envelopeLine(t, m, lsn)
+          }
+        } finally ps.close()
+      }
+    } finally conn.close()
+    if (lines.nonEmpty) {
+      val walDir = Files.createDirectories(dbDir.resolve("wal"))
+      val seq = CdcLayout.walFiles(dbDir).size
+      val tmp = walDir.resolve(f".wal-$seq%06d.jsonl.tmp")
+      Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+      Files.move(tmp, walDir.resolve(f"wal-$seq%06d.jsonl"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      writeState(lsn, wms.toMap)
+    }
+    lines.size
+  }
+
+  /** lowercased column → value map for the current result-set row. */
+  private def rowMap(rs: ResultSet): Map[String, Any] = {
+    val md = rs.getMetaData
+    (1 to md.getColumnCount).map { i =>
+      md.getColumnLabel(i).toLowerCase -> rs.getObject(i)
+    }.toMap
+  }
+
+  private def longOf(v: Any): Long = v match {
+    case n: Number => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"tailer: watermark column must be integer-typed, got $other")
+  }
+
+  private def envelopeLine(t: TableSpec, row: Map[String, Any], lsn: Long): String = {
+    val key = jsonObject(t.keyCols.map(k => k.toLowerCase -> row(k.toLowerCase)).toMap)
+    s"""{"destination":"$topicPrefix.${t.qualified}","key":$key,""" +
+      s""""value":{"op":"c","before":null,"after":${jsonObject(row)},""" +
+      s""""source":{"connector":"$connectorName","db":"$dbName","schema":"${t.schema}",""" +
+      s""""table":"${t.table}","lsn":$lsn,"snapshot":"false","ts_ms":0},"ts_ms":0},"headers":{}}"""
+  }
+
+  private def jsonObject(m: Map[String, Any]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${jsonValue(v)}""" }
+      .mkString("{", ",", "}")
+
+  private def jsonValue(v: Any): String = v match {
+    case null                      => "null"
+    case b: java.lang.Boolean      => b.toString
+    case d: java.math.BigDecimal   => d.toPlainString
+    case n: Number                 => n.toString
+    case other                     => "\"" + other.toString.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+  }
+
+  /** State file: "lsn <n>" + "wm <schema.table> <watermark>" lines. */
+  private def writeState(lsn: Long, wms: Map[String, Long]): Unit = {
+    val tmp = dbDir.resolve("_tailer_state.tmp")
+    Files.writeString(tmp,
+      (s"lsn $lsn" +: wms.toSeq.sorted.map { case (t, w) => s"wm $t $w" })
+        .mkString("", "\n", "\n"))
+    Files.move(tmp, stateFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readState(): (Long, Map[String, Long]) = {
+    val lines = Files.readAllLines(stateFile).asScala.filter(_.nonEmpty)
+    val lsn = lines.head.stripPrefix("lsn ").trim.toLong
+    val wms = lines.tail.map { l =>
+      val Array(_, t, w) = l.split(" ", 3); t -> w.toLong
+    }.toMap
+    (lsn, wms)
+  }
+}

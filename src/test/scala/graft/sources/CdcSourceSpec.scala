@@ -119,6 +119,60 @@ class CdcSourceSpec extends SparkSpec {
     assert(m.get("pendingLsns") == "0") // drained by AvailableNow
   }
 
+  test("JDBC polling tailer: snapshot → poll → stream reaches the live table state") {
+    import graft.sources.cdc.JdbcPollingTailer
+    import JdbcPollingTailer.TableSpec
+    // a REAL JDBC database (embedded Derby, in-memory)
+    val url = s"jdbc:derby:memory:tailer${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE SCHEMA inventory")
+    st.execute("CREATE TABLE inventory.customers (id INT PRIMARY KEY, " +
+      "first_name VARCHAR(64), last_name VARCHAR(64), email VARCHAR(64))")
+    def ins(id: Int, fn: String, ln: String, em: String): Unit =
+      st.execute(s"INSERT INTO inventory.customers VALUES ($id, '$fn', '$ln', '$em')")
+    ins(1001, "Sally", "Thomas", "sally.thomas@acme.com")
+    ins(1002, "George", "Bailey", "gbailey@foobar.com")
+
+    val db = Files.createTempDirectory("graft-tailer")
+    val tailer = new JdbcPollingTailer(url, db,
+      Seq(TableSpec("inventory", "customers", Seq("id"), "id")))
+    tailer.snapshot()
+
+    ins(1003, "Edward", "Walker", "ed@walker.com")
+    ins(1004, "Anne", "Kretchmar", "annek@noanswer.org")
+    assert(tailer.poll() == 2)
+    assert(tailer.poll() == 0) // nothing new: no segment written
+    ins(1005, "Jon", "Snow", "jon@got.com")
+    assert(tailer.poll() == 1)
+
+    // the tailer's layout IS the graft-cdc contract: snapshot rows
+    // surface as op='r', polled rows as 'c' at increasing LSNs
+    val batch = readerFor(db).load()
+    assert(batch.filter(col("value.op") === "r").count() == 2)
+    assert(batch.filter(col("value.op") === "c").count() == 3)
+    assert(batch.agg(max(col("value.source.lsn"))).head().getLong(0) == 3L)
+
+    // stream through the DSv2 source into the upsert sink → the final
+    // state equals the live JDBC table
+    val out = Files.createTempDirectory("graft-tailer-sink").toString
+    val ckpt = Files.createTempDirectory("graft-tailer-ckpt").toString
+    val sink = new ParquetUpsertSink(out, keyFields = Seq("id"))
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", keyDdl).option("rowSchema", rowDdl)
+      .load()
+      .writeStream.foreachBatch(sink.foreachBatchFn)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val state = sink.readTable(spark, "testc.inventory.customers").orderBy("id").collect()
+    assert(state.map(_.getAs[Int]("id")).toSeq == Seq(1001, 1002, 1003, 1004, 1005))
+    assert(state.find(_.getAs[Int]("id") == 1005).get.getAs[String]("email") == "jon@got.com")
+    conn.close()
+  }
+
   test("streaming: snapshot phase then WAL drives the upsert sink to the golden state") {
     val db = fixtureDb()
     val out = Files.createTempDirectory("graft-cdc-sink").toString
