@@ -143,12 +143,56 @@ object CdcPipeline {
     spark.streams.addListener(listener)
   }
 
+  /** Ad-hoc bounded re-snapshot of one table — the reference's
+    * headline `execute-snapshot` signal (SignalResource.java:32-43,
+    * exercised in DebeziumServerIT.java:109-141: incremental snapshot
+    * events re-deliver the table's rows). Spark analog (SURVEY §3.3):
+    * a TRIGGERED BATCH READ of the table's current state — the change
+    * log replayed to latest via ApplyChanges — reshaped to op='r'
+    * envelopes with source.snapshot='incremental', run through the
+    * SAME shaping chain, and delivered to the sink as one ad-hoc
+    * epoch derived from the signal id. The streaming query is never
+    * touched (signals act between batches, like the reference's
+    * HTTP-thread → engine-thread boundary); epoch-idempotent sinks
+    * make a replayed signal id exactly-once. Returns rows delivered. */
+  def executeSnapshot(spark: SparkSession, spec: PipelineSpec,
+                      table: String, signalId: String): Long = {
+    import org.apache.spark.sql.functions._
+    val log = batchSource(spark, spec)
+      .filter(col("destination").endsWith("." + table))
+      .filter(col("value").isNotNull) // tombstones carry no state
+    val state = graft.operators.ApplyChanges.latestState(log,
+      keyCols = Seq(col("key")),
+      orderCols = Seq(coalesce(col("value.source.lsn"), lit(-1L))),
+      opCol = col("value.op"))
+    val reshaped = state.withColumn("value", struct(
+      lit(Envelope.OpRead).as("op"),
+      lit(null).cast(spec.rowSchema).as("before"),
+      col("value.after").as("after"),
+      struct(
+        col("value.source.connector").as("connector"),
+        col("value.source.db").as("db"),
+        col("value.source.schema").as("schema"),
+        col("value.source.table").as("table"),
+        col("value.source.lsn").as("lsn"),
+        lit("incremental").as("snapshot"),
+        col("value.source.ts_ms").as("ts_ms")).as("source"),
+      col("value.ts_ms").as("ts_ms")))
+    val shaped = shape(reshaped, spec)
+    val n = shaped.count()
+    spec.sink.foreachBatchFn(shaped, graft.functions.Portable.hash64Jvm(s"execute-snapshot:$signalId"))
+    n
+  }
+
   /** Act on pending control signals (SignalResource semantics): "stop"
     * gracefully stops the named query; "log" records its data field;
-    * unknown types are returned for caller-specific handling. */
+    * "execute-snapshot" re-snapshots the named table into the sink
+    * (needs `spec`); unknown types are returned for caller-specific
+    * handling. */
   def processSignals(spark: SparkSession,
                      channel: graft.services.Signals.Channel,
-                     queries: Map[String, StreamingQuery]): Seq[graft.services.Signals.Signal] =
+                     queries: Map[String, StreamingQuery],
+                     spec: Option[PipelineSpec] = None): Seq[graft.services.Signals.Signal] =
     channel.poll().flatMap { sig =>
       sig.`type` match {
         case "stop" =>
@@ -156,6 +200,9 @@ object CdcPipeline {
           None
         case "log" =>
           org.slf4j.LoggerFactory.getLogger(getClass).info(s"signal log: ${sig.data}")
+          None
+        case "execute-snapshot" if spec.isDefined =>
+          executeSnapshot(spark, spec.get, sig.data, sig.id)
           None
         case _ => Some(sig)
       }

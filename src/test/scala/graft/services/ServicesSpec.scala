@@ -41,6 +41,43 @@ class ServicesSpec extends SparkSpec {
     assert(leftover.map(_.`type`) == Seq("custom-thing"))
   }
 
+  test("execute-snapshot signal re-delivers the table's current rows exactly once") {
+    val keySchema = StructType(Seq(StructField("id", IntegerType)))
+    val rowSchema = StructType(Seq(StructField("id", IntegerType), StructField("v", StringType)))
+    val logDir = Files.createTempDirectory("graft-adhoc")
+    def line(id: Int, op: String, v: String, lsn: Long): String = {
+      val row = s"""{"id":$id,"v":"$v"}"""
+      val after = if (op == "d") "null" else row
+      s"""{"destination":"testc.inventory.customers","key":{"id":$id},"value":{"op":"$op","before":null,"after":$after,"source":{"connector":"pg","db":"d","schema":"inventory","table":"customers","lsn":$lsn,"snapshot":"false","ts_ms":0},"ts_ms":0},"headers":{}}"""
+    }
+    // live state after the log: 1 (updated), 3 (created); 2 deleted
+    Files.writeString(logDir.resolve("log.jsonl"), Seq(
+      line(1, "c", "a1", 1), line(2, "c", "a2", 2),
+      line(1, "u", "a1-new", 3), line(2, "d", "a2", 4), line(3, "c", "a3", 5)
+    ).mkString("\n") + "\n")
+
+    val sink = new KvSink
+    val spec = PipelineSpec(sourcePath = logDir.toString,
+      keySchema = keySchema, rowSchema = rowSchema, sink = sink)
+    val dir = Files.createTempDirectory("graft-signals3")
+    val channel = new Signals.Channel(dir)
+    channel.send(Signals.Signal("snap-1", "execute-snapshot", "inventory.customers"))
+
+    val leftover = CdcPipeline.processSignals(spark, channel, Map.empty, Some(spec))
+    assert(leftover.isEmpty)
+    // the sink received exactly the table's LIVE state as op='r'
+    // incremental-snapshot envelopes: deleted key 2 is absent
+    assert(sink.size("testc.inventory.customers") == 2)
+    val v1 = sink.get("testc.inventory.customers", """{"id":1}""").get
+    assert(v1.contains(""""op":"r"""") && v1.contains("a1-new")
+      && v1.contains(""""snapshot":"incremental""""))
+    assert(sink.get("testc.inventory.customers", """{"id":2}""").isEmpty)
+
+    // the signal was consumed: a second processing pass delivers nothing
+    assert(CdcPipeline.processSignals(spark, channel, Map.empty, Some(spec)).isEmpty)
+    assert(sink.size("testc.inventory.customers") == 2)
+  }
+
   test("pipeline observes lag + snapshot phase; sink close fires on termination") {
     val keySchema = StructType(Seq(StructField("id", IntegerType)))
     val rowSchema = StructType(Seq(StructField("id", IntegerType), StructField("v", StringType)))
