@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * Implemented: json, jsonbytearray, simplestring, connect (identity —
   * keep the typed struct end-to-end, DebeziumServerConnectFormatIT),
   * cloudevents (JSON envelope per the CloudEvents 1.0 attribute set),
-  * avro (real binary encoding via the Avro library, AvroFormat),
-  * binary (bytes pass-through), clientprovided (caller-supplied
-  * Column function — the @CustomConsumerBuilder analog). protobuf has
-  * no serializer here and FAILS AT STARTUP by name, exactly like the
-  * reference's unknown-format error.
+  * avro (real binary encoding via the Avro library, AvroFormat;
+  * optionally schema-registry framed — magic byte + schema id),
+  * protobuf (hand-rolled against the public wire format,
+  * ProtobufFormat), binary (bytes pass-through), clientprovided
+  * (caller-supplied Column function — the @CustomConsumerBuilder
+  * analog). Unknown names fail at startup, like the reference's
+  * unknown-format error.
   */
 object Formats {
 
@@ -80,10 +82,19 @@ object Formats {
 
   /** Real Avro binary encoding (AvroFormat) — needs the struct's
     * Spark schema at configure time, like the reference resolves
-    * converters against the record schema. */
-  final case class Avro(schema: org.apache.spark.sql.types.StructType) extends Format {
+    * converters against the record schema. With a `registry`, output
+    * is schema-registry FRAMED (magic byte 0x00 + 4-byte schema id +
+    * Avro binary — the Confluent wire format the reference's registry
+    * integrations produce, DebeziumServerWithSchemaRegistryIT.java /
+    * DebeziumServerWithApicurioIT.java). */
+  final case class Avro(schema: org.apache.spark.sql.types.StructType,
+                        registry: Option[AvroFormat.SchemaRegistryClient] = None,
+                        subject: String = "graft-value") extends Format {
     val name = "avro"
-    private val enc = AvroFormat.encoder(schema)
+    private val enc = registry match {
+      case Some(r) => AvroFormat.framedEncoder(schema, r, subject)
+      case None    => AvroFormat.encoder(schema)
+    }
     def serialize(c: Column): Column = enc(c)
   }
 

@@ -11,9 +11,13 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * (:158-188, MappingValue :240-249), appending seed examples to
   * per-taxonomy `qna.yml` files (:107-149, QnaFile.java).
   *
-  * The extraction is pure Column algebra (distributed); only the final
-  * yaml append per taxonomy file is driver-side, mirroring the
-  * reference's per-batch file grouping.
+  * The extraction AND the per-record yaml rendering are distributed
+  * (Column algebra + a render UDF), aggregated executor-side to ONE
+  * row per taxonomy file (`collect_list` with map-side partial
+  * aggregation); the driver materializes only the final per-file
+  * string to append — its footprint is per-taxonomy, not per-record.
+  * The file append itself is inherently single-host (the reference's
+  * sink writes a local taxonomy tree).
   */
 object InstructLabSink {
   /** Where a mapped value comes from: `value:<field>` (post-envelope
@@ -34,6 +38,41 @@ object InstructLabSink {
   final case class TaxonomyMapping(topicRegex: String, taxonomyPath: String,
                                    question: MappingValue, answer: MappingValue,
                                    context: Option[MappingValue] = None)
+
+  /** YAML double-quoted scalar escaping: backslash, quote, and ALL C0
+    * control characters (\n \r \t named, the rest \xXX) — a raw CR or
+    * tab inside the scalar would corrupt qna.yml. Object-level so the
+    * render UDF serializes without capturing the sink instance. */
+  private[sinks] def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\x${c.toInt}%02x"
+      case c => c.toString
+    } + "\""
+
+  /** ONE-row aggregate per taxonomy mapping: (n_records, yaml) — the
+    * per-record extraction, escaping, and snippet rendering run on
+    * executors; only the concatenated per-file string reaches the
+    * driver. */
+  private[sinks] def taxonomyYaml(batch: DataFrame, m: TaxonomyMapping): DataFrame = {
+    val esc = udf((s: String) => if (s == null) null else quote(s))
+    val entry = concat(
+      lit("  - questions_and_answers:\n      - question: "), esc(col("q")),
+      lit("\n        answer: "), esc(col("a")), lit("\n"),
+      when(col("c").isNotNull, concat(lit("    context: "), esc(col("c")), lit("\n")))
+        .otherwise(lit("")))
+    batch
+      .filter(col("destination").rlike(m.topicRegex))
+      .select(m.question.toColumn.as("q"), m.answer.toColumn.as("a"),
+              m.context.map(_.toColumn).getOrElse(lit(null).cast("string")).as("c"))
+      .filter(col("q").isNotNull && col("a").isNotNull)
+      .select(entry.as("y"))
+      .agg(count(lit(1)).as("n"), concat_ws("", collect_list(col("y"))).as("yaml"))
+  }
 }
 
 final class InstructLabSink(baseDir: String,
@@ -48,38 +87,16 @@ final class InstructLabSink(baseDir: String,
 
   override def write(batch: DataFrame, epochId: Long): Unit = {
     mappings.foreach { m =>
-      val rows = batch
-        .filter(col("destination").rlike(m.topicRegex))
-        .select(m.question.toColumn.as("q"), m.answer.toColumn.as("a"),
-                m.context.map(_.toColumn).getOrElse(lit(null)).as("c"))
-        .filter(col("q").isNotNull && col("a").isNotNull)
-        .collect()
-      if (rows.nonEmpty) {
+      val agg = taxonomyYaml(batch, m).head()
+      if (agg.getLong(0) > 0) {
         val dir = Paths.get(baseDir, m.taxonomyPath)
         Files.createDirectories(dir)
         val f = dir.resolve("qna.yml")
         if (!Files.exists(f))
           Files.writeString(f, "version: 3\nseed_examples:\n", StandardOpenOption.CREATE)
-        val yaml = rows.map { r =>
-          val ctx = Option(r.getString(2)).map(c => s"    context: ${quote(c)}\n").getOrElse("")
-          s"  - questions_and_answers:\n      - question: ${quote(r.getString(0))}\n        answer: ${quote(r.getString(1))}\n$ctx"
-        }.mkString
-        Files.writeString(f, yaml, StandardOpenOption.APPEND)
+        Files.writeString(f, agg.getString(1), StandardOpenOption.APPEND)
       }
     }
   }
 
-  /** YAML double-quoted scalar escaping: backslash, quote, and ALL C0
-    * control characters (\n \r \t named, the rest \xXX) — a raw CR or
-    * tab inside the scalar would corrupt qna.yml. */
-  private def quote(s: String): String =
-    "\"" + s.flatMap {
-      case '\\' => "\\\\"
-      case '"'  => "\\\""
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\x${c.toInt}%02x"
-      case c => c.toString
-    } + "\""
 }

@@ -94,6 +94,30 @@ class FormatsSpec extends SparkSpec {
     assert(rec2.get("id") == 2 && rec2.get("name") == null)
   }
 
+  test("registry-framed avro: magic byte + schema id header round-trips") {
+    val registry = new AvroFormat.InMemorySchemaRegistry
+    val df = frame()
+    val bytes = df.filter(col("id") === 1)
+      .select(Formats.Avro(rowSchema, Some(registry), "t-value")
+        .serialize(struct(df.columns.map(col).toIndexedSeq: _*)).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    // Confluent wire format: 0x00 magic + 4-byte big-endian schema id
+    assert(bytes(0) == 0x00)
+    val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
+    assert(id == registry.register("t-value", AvroFormat.avroSchema(rowSchema))) // idempotent
+    val rec = AvroFormat.decodeFramed(bytes, registry)
+    assert(rec.get("id") == 1 && rec.get("name").toString == "alice")
+    // unframed bytes are rejected by the framed decoder
+    val raw = df.filter(col("id") === 1)
+      .select(Formats.Avro(rowSchema).serialize(struct(df.columns.map(col).toIndexedSeq: _*)).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    assert(raw.length == bytes.length - 5) // header is exactly 5 bytes
+    // a different subject/schema gets a different id
+    val id2 = registry.register("other-value",
+      AvroFormat.avroSchema(StructType(Seq(StructField("z", LongType)))))
+    assert(id2 != id)
+  }
+
   test("cloudevents carries the CE 1.0 attributes and the envelope as data") {
     val keySchema = StructType(Seq(StructField("id", IntegerType)))
     val schema = graft.model.Envelope.recordSchema(keySchema, StructType(Seq(

@@ -109,6 +109,22 @@ class SinksSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dir, "other")))
   }
 
+  test("instructlab aggregation reaches the driver as ONE row per taxonomy") {
+    import InstructLabSink._
+    val m = TaxonomyMapping("testc\\.faq\\..*", "knowledge/faq",
+      FromValue("q"), FromValue("a"))
+    val big = records(200)
+    val agg = InstructLabSink.taxonomyYaml(big, m)
+    // batch-size-independent driver footprint: the aggregate is a
+    // single row carrying (count, rendered-yaml) regardless of records
+    assert(agg.count() == 1)
+    val row = agg.head()
+    assert(row.getLong(0) == 200)
+    assert(row.getString(1).split("questions_and_answers").length - 1 == 200)
+    // escaping runs executor-side inside the rendered string
+    assert(row.getString(1).contains("question: \"question 1\""))
+  }
+
   test("parquet upsert sink skips a replayed epoch (idempotency)") {
     val dir = Files.createTempDirectory("graft-up2").toString
     val sink = new ParquetUpsertSink(dir, Seq("id"))
