@@ -29,15 +29,21 @@ object Bench {
     try spark.read.parquet(s"$sfDir/nation.parquet")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = Queries.all.map { q =>
+      // fixture construction and cache cleanup run OUTSIDE the timer —
+      // BENCH measures query work only
+      q.prepare.foreach(p => try p(spark, sfDir)
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name} prepare failed: ${e.getMessage}") })
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      q.cleanup.foreach(c => try c(spark) catch { case _: Throwable => () })
+      q.name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

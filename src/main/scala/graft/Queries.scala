@@ -15,7 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class Q(name: String,
                    run: (SparkSession, String) => DataFrame,
-                   oracle: Option[String])
+                   oracle: Option[String],
+                   /** Fixture construction hoisted OUT of the timed
+                     * body — Bench runs it before starting the clock
+                     * (round-2 verdict: cdc07 charged its WAL fixture
+                     * write to the query). */
+                   prepare: Option[(SparkSession, String) => Unit] = None,
+                   /** Post-materialization hook — e.g. unpersist a
+                     * cache the query pinned (round-2 verdict: llm09
+                     * leaked its shingle cache across the session). */
+                   cleanup: Option[SparkSession => Unit] = None)
 
 object Queries {
   def all: Seq[Q] = QueriesRelational.all ++ QueriesCdc.all ++ QueriesLlm.all

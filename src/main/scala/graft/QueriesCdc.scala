@@ -144,29 +144,43 @@ object QueriesCdc {
     * changes to final state — the oracle restates the same semantics
     * directly over the base table (metamorphic check of the whole
     * source→shape→materialize path). */
+  private val cdc07RowDdl = "user_id BIGINT, event_type STRING, value DOUBLE, ts_us BIGINT"
+
+  /** cdc07's WAL fixture — events rendered as envelope WAL lines under
+    * a deterministic per-sf-dir path, built at most once per JVM.
+    * Exposed through Q.prepare so BENCH builds it OUTSIDE the timer
+    * (round-2 verdict: fixture construction was charged to the query). */
+  private def cdc07Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val db = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-cdc07-${graft.functions.Portable.hash64Jvm(dir)}")
+    if (!Files.exists(db.resolve("wal").resolve("_SUCCESS"))) this.synchronized {
+      if (!Files.exists(db.resolve("wal").resolve("_SUCCESS"))) {
+        val rowT = s"struct<user_id:bigint,event_type:string,value:double,ts_us:bigint>"
+        val ev = Tables.events(s, dir)
+        val rowStruct = struct(col("user_id"), col("event_type"), col("value"),
+                               unix_micros(col("ts")).as("ts_us"))
+        val line = to_json(struct(
+          lit("testc.app.events").as("destination"),
+          struct(col("user_id")).as("key"),
+          struct(opCol.as("op"),
+                 when(opCol === "d", rowStruct).otherwise(lit(null).cast(rowT)).as("before"),
+                 when(opCol =!= "d", rowStruct).otherwise(lit(null).cast(rowT)).as("after"),
+                 struct(lit("pg").as("connector"), lit("db").as("db"), lit("app").as("schema"),
+                        lit("events").as("table"), col("event_id").as("lsn"),
+                        lit("false").as("snapshot"), lit(0L).as("ts_ms")).as("source"),
+                 lit(0L).as("ts_ms")).as("value")))
+        ev.select(line.as("value")).write.mode("overwrite").text(db.resolve("wal").toString)
+      }
+    }
+    db
+  }
+
   private def cdc07 = Q("cdc07_cdc_source_replay",
     (s, dir) => {
-      import java.nio.file.Files
-      val db = Files.createTempDirectory("graft-cdc07")
-      val rowDdl = "user_id BIGINT, event_type STRING, value DOUBLE, ts_us BIGINT"
-      val rowT = s"struct<user_id:bigint,event_type:string,value:double,ts_us:bigint>"
-      val ev = Tables.events(s, dir)
-      val rowStruct = struct(col("user_id"), col("event_type"), col("value"),
-                             unix_micros(col("ts")).as("ts_us"))
-      val line = to_json(struct(
-        lit("testc.app.events").as("destination"),
-        struct(col("user_id")).as("key"),
-        struct(opCol.as("op"),
-               when(opCol === "d", rowStruct).otherwise(lit(null).cast(rowT)).as("before"),
-               when(opCol =!= "d", rowStruct).otherwise(lit(null).cast(rowT)).as("after"),
-               struct(lit("pg").as("connector"), lit("db").as("db"), lit("app").as("schema"),
-                      lit("events").as("table"), col("event_id").as("lsn"),
-                      lit("false").as("snapshot"), lit(0L).as("ts_ms")).as("source"),
-               lit(0L).as("ts_ms")).as("value")))
-      ev.select(line.as("value")).write.mode("overwrite").text(db.resolve("wal").toString)
-
+      val rowDdl = cdc07RowDdl
       val records = s.read.format("graft-cdc")
-        .option("path", db.toString)
+        .option("path", cdc07Db(s, dir).toString)
         .option("keySchema", "user_id BIGINT").option("rowSchema", rowDdl)
         .option("table.include.list", "app.events")
         .load()
@@ -186,7 +200,8 @@ object QueriesCdc {
             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
             |  FROM events) t
             |WHERE rn = 1 AND op <> 'd'
-            |ORDER BY user_id""".stripMargin))
+            |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc07Db(s, dir); () }))
 
   /** Queue-family delivery geometry (QueueSink.planBatches): ordering
     * key with the reference's precedence (message-group header →
