@@ -34,6 +34,29 @@ class ConfigLineageSpec extends SparkSpec {
     assert(!props.keys.exists(_.startsWith("debezium.source.schema.history.internal.redis.")))
   }
 
+  test("config-only expression-routed pipeline: expr() router + predicate + filter") {
+    import spark.implicits._
+    // the scripting-SMT parity path: the entire chain — router
+    // expression, gating predicate, filter condition — comes from
+    // debezium.* config STRINGS (the reference's Groovy router/filter,
+    // debezium-server-dist/pom.xml:389-393), parsed by Spark expr()
+    val props = Map(
+      "debezium.transforms" -> "rt,keep",
+      "debezium.transforms.rt.type" -> "ContentBasedRouter",
+      "debezium.transforms.rt.expression" -> "concat(destination, '.big')",
+      "debezium.transforms.rt.predicate" -> "isbig",
+      "debezium.transforms.keep.type" -> "Filter",
+      "debezium.transforms.keep.condition" -> "amount >= 10",
+      "debezium.predicates.isbig.expr" -> "amount > 100")
+    val chain = graft.operators.SmtFactory.fromProperties(props)
+    val df = Seq(("testc.t", 5L), ("testc.t", 50L), ("testc.t", 500L))
+      .toDF("destination", "amount")
+    val out = graft.operators.EventShaping.applyChain(df, chain)
+      .orderBy("amount").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // amount 5 filtered out; 50 keeps its destination; 500 routed
+    assert(out == Seq(("testc.t", 50L), ("testc.t.big", 500L)))
+  }
+
   test("routing helpers compute exchange/subject/queue") {
     import spark.implicits._
     val df = Seq(("testc.inventory.customers", 42L)).toDF("destination", "k")
