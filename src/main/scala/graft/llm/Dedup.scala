@@ -78,10 +78,29 @@ object Dedup {
 
   /** Candidate pairs from LSH buckets: self-join within (band, bucket),
     * id< to avoid dupes/self, distinct across bands. The join key is the
-    * bucket, so at scale this is one shuffle and pairs stay local. */
-  def candidatePairs(buckets: DataFrame): DataFrame = {
-    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    * bucket, so at scale this is one shuffle and pairs stay local.
+    *
+    * `maxBucketSize` is the HOT-BUCKET CAP for corpus scale: a bucket
+    * of size s contributes s·(s−1)/2 pairs, and real corpora hash
+    * boilerplate (shared headers/footers, templates) into a few
+    * mega-buckets that would dominate the join quadratically. Buckets
+    * over the cap are dropped whole — standard LSH practice; a
+    * genuinely near-dup pair still surfaces through its other, less
+    * crowded bands. The cap costs one extra aggregation on the SAME
+    * (band, bucket) key — co-partitioned with the join, no new
+    * shuffle boundary. Default off (exhaustive, the oracle-checked
+    * configuration). */
+  def candidatePairs(buckets: DataFrame, maxBucketSize: Option[Int] = None): DataFrame = {
+    val pruned = maxBucketSize match {
+      case None => buckets
+      case Some(cap) =>
+        val ok = buckets.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+          .select(col("band"), col("bucket"))
+        buckets.join(ok, Seq("band", "bucket"), "left_semi")
+    }
+    val a = pruned.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val b = pruned.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()

@@ -95,6 +95,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("llm08: banded near-dup is an equi-join on (band, bucket) — no cartesian, no md5") {
+    val df = Queries.byName("llm08_embedding_neardup")(spark, sfSmoke)
+    val p = planOf(df)
+    val s = p.toString
+    // the candidate join must be a hash/merge equi-join keyed on the
+    // band bucket, never a cross/nested-loop product of the corpus
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"banded candidate join degenerated to a product:\n$s")
+    // hyperplanes are pre-folded literals: no digest on the scan path
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.toLowerCase.contains("md5"),
+      "banded hyperplane hashing leaked into the per-row plan")
+  }
+
   test("cdc07: the CDC path scans through the DSv2 source") {
     val s = planString("cdc07_cdc_source_replay")
     assert(s.contains("BatchScan") && s.contains("graft-cdc"),

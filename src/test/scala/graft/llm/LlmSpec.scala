@@ -74,6 +74,21 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Double]("s") > 0.2) // "The", "and", "the"
   }
 
+  test("hot-bucket cap drops mega-buckets; pairs from other bands survive") {
+    // band 0: a mega-bucket of 10 docs (boilerplate collision) that
+    // would contribute 45 pairs; band 1: docs 1,2 share a small bucket
+    val mega = (1L to 10L).map(id => (0, 777L, id))
+    val small = Seq((1, 42L, 1L), (1, 42L, 2L)) ++ (3L to 10L).map(id => (1, 1000L + id, id))
+    val buckets = (mega ++ small).toDF("band", "bucket", "doc_id")
+
+    val uncapped = Dedup.candidatePairs(buckets).count()
+    assert(uncapped == 45) // dominated by the mega-bucket
+    val capped = Dedup.candidatePairs(buckets, maxBucketSize = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the mega-bucket is dropped whole; the (1,2) pair survives via band 1
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("banded RHP buckets: near-dups pair, bucket occupancy stays bounded") {
     // deterministic pseudo-random 16-dim corpus + a perturbed copy of
     // the first 50 vectors (planted near-dups)
