@@ -45,10 +45,16 @@ object Dedup {
   /** MinHash signature: for each of k hash functions, the min portable
     * hash over the document's shingle set. Computed by exploding
     * shingles then one groupBy(doc) with k min() aggregates — map-side
-    * partial aggregation keeps the shuffle at k longs per doc. The k
-    * functions are Kirsch–Mitzenmacher double hashes off a single md5
-    * per shingle (Portable.seededHashes) — one digest, not k, per
-    * shingle on the scan path. */
+    * partial aggregation keeps the shuffle at k longs per doc, and the
+    * digest runs ONCE per shingle in a codegen'd projection. (A
+    * shuffle-free array-transform formulation was measured SLOWER:
+    * higher-order-function lambdas are interpreted, so the shared
+    * base-hash subexpression gets re-evaluated inside each of the k
+    * array_min lambdas — k digests per shingle. The tiny k-longs/doc
+    * shuffle is the cheaper trade at every scale.) The k functions are
+    * independent universal-hash permutations, NOT double hashes —
+    * min(h1 + i·h2) is dominated by h1's argmin for every i, which
+    * collapses the signatures (round-2 fix). */
   def minhashSignature(df: DataFrame, idCol: Column, shinglesCol: Column, k: Int): DataFrame = {
     // project the digest ONCE per shingle; the k aggregate inputs are
     // then pure integer arithmetic (universal-hash permutations) over
