@@ -152,8 +152,14 @@ object QueriesCdc {
     * (round-2 verdict: fixture construction was charged to the query). */
   private def cdc07Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
+    // cache key includes the source file's (mtime, size): regenerated
+    // testdata under the same path invalidates the fixture instead of
+    // silently replaying stale WAL against a fresh oracle
+    val src = Paths.get(dir, "events.parquet")
+    val stamp = if (Files.exists(src))
+      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
     val db = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-cdc07-${graft.functions.Portable.hash64Jvm(dir)}")
+      s"graft-cdc07-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
     if (!Files.exists(db.resolve("wal").resolve("_SUCCESS"))) this.synchronized {
       if (!Files.exists(db.resolve("wal").resolve("_SUCCESS"))) {
         val rowT = s"struct<user_id:bigint,event_type:string,value:double,ts_us:bigint>"
