@@ -170,6 +170,35 @@ class SinksSpec extends SparkSpec {
     assert(state.find(_.getAs[Int]("id") == 1).get.getAs[String]("q") == "q1b")
   }
 
+  test("upsert sink: a crash before the manifest flip loses nothing; replay converges") {
+    val dir = Files.createTempDirectory("graft-up4").toString
+    val sink = new ParquetUpsertSink(dir, Seq("id"), numBuckets = 8)
+    sink.write(recordsWithLsn((1 to 16).map(i =>
+      (i, "c", s"q$i", s"a$i", java.lang.Long.valueOf(i.toLong))).toSeq), epochId = 1)
+    val table = Paths.get(dir, "testc_faq_items")
+    val manifestV1 = Files.readAllBytes(table.resolve("_manifest"))
+
+    // epoch 2 updates one key (one dirty bucket), then we simulate a
+    // crash BETWEEN the epoch-dir write and the manifest flip by
+    // restoring the previous manifest: the exact on-disk state a crash
+    // there leaves behind (both epoch dirs present, pointer on v1)
+    val epoch2 = recordsWithLsn(Seq((1, "u", "q1-crash", "a1b", java.lang.Long.valueOf(100L))))
+    sink.write(epoch2, epochId = 2)
+    Files.write(table.resolve("_manifest"), manifestV1)
+
+    // pre-crash state is fully intact — nothing was deleted before the flip
+    val preReplay = sink.readTable(spark, "testc.faq.items").orderBy("id").collect()
+    assert(preReplay.length == 16)
+    assert(preReplay.find(_.getAs[Int]("id") == 1).get.getAs[String]("q") == "q1")
+
+    // the replayed epoch merges against the intact v1 state and converges
+    sink.write(epoch2, epochId = 2)
+    val state = sink.readTable(spark, "testc.faq.items").orderBy("id").collect()
+    assert(state.length == 16)
+    assert(state.find(_.getAs[Int]("id") == 1).get.getAs[String]("q") == "q1-crash")
+    assert(state.find(_.getAs[Int]("id") == 16).get.getAs[String]("q") == "q16")
+  }
+
   test("foreach kv sink puts from executors, honors tombstones and memory admission") {
     TestKvStore.clear()
     val sink = new ForeachKvSink(() => new TestKvClient(maxBytes = Long.MaxValue), batchSize = 2)
