@@ -78,6 +78,38 @@ class ServicesSpec extends SparkSpec {
     assert(sink.size("testc.inventory.customers") == 2)
   }
 
+  test("schema history: control-stream DDL events append, survive restart, fold to latest") {
+    val keySchema = StructType(Seq(StructField("id", IntegerType)))
+    val rowSchema = StructType(Seq(StructField("id", IntegerType), StructField("v", StringType)))
+    val schema = graft.model.Envelope.recordSchema(keySchema, rowSchema)
+    import org.apache.spark.sql.Row
+    def ddl(dest: String, lsn: Long, v: String) =
+      Row(dest, Row(1), Row("c", null, Row(1, v),
+        Row("pg", "d", "s", "t", lsn, "false", 0L), 0L), Map.empty[String, String])
+    val batch = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      ddl("testc.s.t1.schema-changes", 1L, "CREATE-t1-v1"),
+      ddl("testc.s.t2.schema-changes", 2L, "CREATE-t2-v1"),
+      ddl("testc.s.t1.schema-changes", 3L, "ALTER-t1-v2"),
+      ddl("testc.s.t1", 4L, "data-row-not-ddl"))), schema)
+
+    val dir = Files.createTempDirectory("graft-schemahist")
+    val hist = new SchemaHistory(dir)
+    // only the control slice is recorded — the data slice flows to sinks
+    val (_, ddlStream) = graft.operators.EventShaping.splitSchemaChanges(batch)
+    hist.record(ddlStream)
+
+    // a "restarted" pipeline replays from disk
+    val recovered = new SchemaHistory(dir)
+    assert(recovered.replay().map(_.lsn) == Seq(1L, 2L, 3L))
+    val current = recovered.currentSchemas()
+    assert(current.keySet == Set("testc.s.t1.schema-changes", "testc.s.t2.schema-changes"))
+    assert(current("testc.s.t1.schema-changes").contains("ALTER-t1-v2"))
+    // appends accumulate (append-only log, never rewritten)
+    recovered.record(ddlStream.filter(
+      org.apache.spark.sql.functions.col("value.source.lsn") === 1L))
+    assert(new SchemaHistory(dir).replay().size == 4)
+  }
+
   test("pipeline observes lag + snapshot phase; sink close fires on termination") {
     val keySchema = StructType(Seq(StructField("id", IntegerType)))
     val rowSchema = StructType(Seq(StructField("id", IntegerType), StructField("v", StringType)))
