@@ -20,8 +20,16 @@ import graft.operators.EventShaping.Smt
   *
   * Supported types (short or class-style names): ExtractNewRecordState
   * / unwrap, ContentBasedRouter / route (`expression` recomputes
-  * destination), Filter / filter (`condition` keeps matching rows).
-  * Unknown types fail at assembly — startup, not runtime.
+  * destination), Filter / filter (`condition` keeps matching rows),
+  * and the upstream Kafka-Connect SMT staples users ship with the
+  * reference: MaskField (`fields`, optional string `replacement`),
+  * ReplaceField (`exclude` drops after-state fields), ValueToKey
+  * (`fields` rebuilds the key struct), HeaderToValue (`headers` +
+  * `fields` copy header values into after-state), InsertField
+  * (`static.field`/`static.value`). All are single-projection Column
+  * algebra over the envelope (`withField`/`dropFields`) — the chain
+  * still folds into one codegen'd pass. Unknown types fail at
+  * assembly — startup, not runtime.
   */
 object SmtFactory {
 
@@ -38,21 +46,49 @@ object SmtFactory {
         expr(e)
       }
       val negate = props.get(s"$p.negate").exists(_.toBoolean)
+      def req(k: String): String = props.getOrElse(s"$p.$k",
+        throw new IllegalArgumentException(s"missing $p.$k"))
+      def list(k: String): Seq[String] =
+        req(k).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val base = tpe.split("\\.").last match {
         case "ExtractNewRecordState" | "unwrap" =>
           Smt(n, df => EventShaping.extractNewRecordState(df,
             keepDeletes = props.get(s"$p.delete.handling.mode").contains("rewrite")))
         case "ContentBasedRouter" | "route" =>
-          val e = props.getOrElse(s"$p.expression",
-            throw new IllegalArgumentException(s"missing $p.expression"))
-          Smt(n, df => EventShaping.route(df, expr(e)))
+          Smt(n, df => EventShaping.route(df, expr(req("expression"))))
         case "Filter" | "filter" =>
-          val e = props.getOrElse(s"$p.condition",
-            throw new IllegalArgumentException(s"missing $p.condition"))
-          Smt(n, df => df.filter(expr(e)))
+          Smt(n, df => df.filter(expr(req("condition"))))
+        case "MaskField" | "mask" =>
+          // string fields masked with `replacement` (default null) —
+          // the upstream SMT's semantics for string masking
+          val repl = props.get(s"$p.replacement")
+            .map(r => lit(r)).getOrElse(lit(null).cast("string"))
+          Smt(n, df => list("fields").foldLeft(df)((d, f) =>
+            d.withColumn("value", col("value").withField(s"after.$f", repl))))
+        case "ReplaceField" | "replacefield" =>
+          val excl = list("exclude")
+          Smt(n, df => df.withColumn("value",
+            col("value").withField("after", col("value.after").dropFields(excl: _*))))
+        case "ValueToKey" | "valuetokey" =>
+          val fields = list("fields")
+          Smt(n, df => df.withColumn("key",
+            struct(fields.map(f => col(s"value.after.$f").as(f)): _*)))
+        case "HeaderToValue" | "headertovalue" =>
+          val headers = list("headers"); val fields = list("fields")
+          require(headers.size == fields.size,
+            s"$p: 'headers' and 'fields' must pair up")
+          Smt(n, df => headers.zip(fields).foldLeft(df) { case (d, (h, f)) =>
+            d.withColumn("value",
+              col("value").withField(s"after.$f", element_at(col("headers"), h)))
+          })
+        case "InsertField" | "insertfield" =>
+          Smt(n, df => df.withColumn("value",
+            col("value").withField(s"after.${req("static.field")}", lit(req("static.value")))))
         case other =>
           throw new IllegalArgumentException(
-            s"unsupported transform type '$other' (supported: ExtractNewRecordState, ContentBasedRouter, Filter)")
+            s"unsupported transform type '$other' (supported: ExtractNewRecordState, " +
+              "ContentBasedRouter, Filter, MaskField, ReplaceField, ValueToKey, " +
+              "HeaderToValue, InsertField)")
       }
       base.copy(predicate = predicate, negate = negate)
     }

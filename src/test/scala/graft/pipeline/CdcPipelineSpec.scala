@@ -143,6 +143,41 @@ class CdcPipelineSpec extends SparkSpec {
     }
   }
 
+  test("upstream SMT staples from config: mask, replace, value-to-key, header-to-value, insert") {
+    import org.apache.spark.sql.Row
+    val props = Map(
+      "debezium.transforms" -> "mask,v2k,h2v,ins,repl",
+      "debezium.transforms.mask.type" -> "MaskField",
+      "debezium.transforms.mask.fields" -> "email",
+      "debezium.transforms.mask.replacement" -> "***",
+      "debezium.transforms.v2k.type" -> "ValueToKey",
+      "debezium.transforms.v2k.fields" -> "email",
+      "debezium.transforms.h2v.type" -> "HeaderToValue",
+      "debezium.transforms.h2v.headers" -> "tenant",
+      "debezium.transforms.h2v.fields" -> "last_name",
+      "debezium.transforms.ins.type" -> "InsertField",
+      "debezium.transforms.ins.static.field" -> "first_name",
+      "debezium.transforms.ins.static.value" -> "redacted",
+      "debezium.transforms.repl.type" -> "ReplaceField",
+      "debezium.transforms.repl.exclude" -> "id")
+    val chain = graft.operators.SmtFactory.fromProperties(props)
+    val schema = graft.model.Envelope.recordSchema(keySchema, rowSchema)
+    val rows = Seq(Row("t.a", Row(7),
+      Row("c", null, Row(7, "Ann", "K", "ann@x.com"),
+        Row("pg", "d", "s", "t", 1L, "false", 0L), 0L),
+      Map("tenant" -> "acme")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = graft.operators.EventShaping.applyChain(df, chain).head()
+    val value = out.getAs[Row]("value")
+    val after = value.getAs[Row]("after")
+    // MaskField ran BEFORE ValueToKey in chain order → key gets the mask
+    assert(out.getAs[Row]("key").getAs[String]("email") == "***")
+    assert(after.getAs[String]("email") == "***")          // masked
+    assert(after.getAs[String]("last_name") == "acme")     // header copied
+    assert(after.getAs[String]("first_name") == "redacted") // inserted
+    assert(!after.schema.fieldNames.contains("id"))         // dropped
+  }
+
   test("pipeline reads through the graft-cdc source when configured") {
     import java.nio.file.Files
     val db = Files.createTempDirectory("graft-cdcdb-pipe")
