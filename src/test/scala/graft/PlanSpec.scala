@@ -54,9 +54,10 @@ class PlanSpec extends SparkSpec {
   test("llm02: text stats is a single scan with zero shuffles") {
     val df = Queries.byName("llm02_text_stats")(spark, sfSmoke)
     val p = planOf(df)
-    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
-    // only the final orderBy may shuffle; the stats themselves must not
-    assert(shuffles.size <= 1, s"expected at most the sort shuffle, got ${shuffles.size}:\n$p")
+    // recurse into AQE stages (a plain collect sees zero and proves
+    // nothing); only the final orderBy may shuffle — the stats must not
+    val shuffles = shufflePartitionings(p)
+    assert(shuffles.size <= 1, s"expected at most the sort shuffle, got $shuffles:\n$p")
   }
 
   test("llm04: LSH signature contains no md5 on the scan path") {
@@ -93,6 +94,31 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
+  }
+
+  /** All shuffle partitionings in an (adaptive) plan — AQE wraps every
+    * materialized stage (including the final ResultQueryStageExec) in
+    * LEAF QueryStageExec nodes, so a plain collect over the final plan
+    * sees zero shuffles and proves nothing; recurse into each stage's
+    * inner plan. */
+  private def shufflePartitionings(p: SparkPlan): Seq[String] =
+    p.collect {
+      case s: ShuffleExchangeExec => Seq(s.outputPartitioning.toString)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        shufflePartitionings(q.plan)
+    }.flatten
+
+  test("llm01: exact dedup shuffles on the fixed-width content hash, never the text") {
+    val df = Queries.byName("llm01_dedup_exact")(spark, sfSmoke)
+    val partitionings = shufflePartitionings(planOf(df))
+    // Catalyst aliases the groupBy expression to _groupingexpression —
+    // that IS the 8-byte content hash; the raw text column must never
+    // be a shuffle key
+    assert(partitionings.exists(s =>
+      s.contains("content_hash") || s.contains("_groupingexpression")),
+      s"expected hash partitioning on the content hash, got: $partitionings")
+    assert(!partitionings.exists(_.contains("text#")),
+      s"shuffle keys must be the 8-byte hash, not document text: $partitionings")
   }
 
   test("llm08: banded near-dup is an equi-join on (band, bucket) — no cartesian, no md5") {
