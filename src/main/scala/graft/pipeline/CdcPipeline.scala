@@ -125,11 +125,35 @@ object CdcPipeline {
     q
   }
 
+  /** Live end-to-end pipeline: JDBC database → polling tailer daemon →
+    * `graft-cdc` DSv2 stream → shaping → sink. The tailer snapshots on
+    * FIRST start (no persisted tailer state at the layout path), then
+    * polls on `pollIntervalMs`; the daemon's lifetime is tied to the
+    * query (closed by the termination hook, like the sink). This is
+    * the reference's whole runtime shape — connector thread + engine
+    * loop + consumer — as one call. */
+  def startLive(spark: SparkSession, spec: PipelineSpec,
+                tailer: graft.sources.cdc.JdbcPollingTailer,
+                pollIntervalMs: Long = 1000L,
+                trigger: Trigger = Trigger.ProcessingTime(1000L)): StreamingQuery = {
+    import java.nio.file.{Files, Paths}
+    if (!Files.exists(Paths.get(spec.sourcePath, "_tailer_state")))
+      tailer.snapshot()
+    val daemon = new graft.sources.cdc.JdbcPollingTailer.Daemon(tailer, pollIntervalMs).start()
+    val q = start(spark, spec.copy(sourceType = "graft-cdc"), trigger)
+    registerTerminationHook(spark, q, () => daemon.close())
+    q
+  }
+
   /** Close the sink exactly once when ITS query terminates
     * (@PreDestroy analog; the listener deregisters itself). */
   private[pipeline] def registerCloseHook(spark: SparkSession,
                                           q: StreamingQuery,
-                                          sink: SinkConnector): Unit = {
+                                          sink: SinkConnector): Unit =
+    registerTerminationHook(spark, q, () => sink.close())
+
+  private def registerTerminationHook(spark: SparkSession, q: StreamingQuery,
+                                      onTerminate: () => Unit): Unit = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     val listener = new StreamingQueryListener {
@@ -137,7 +161,7 @@ object CdcPipeline {
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         if (e.id == q.id) {
-          try sink.close() finally spark.streams.removeListener(this)
+          try onTerminate() finally spark.streams.removeListener(this)
         }
     }
     spark.streams.addListener(listener)

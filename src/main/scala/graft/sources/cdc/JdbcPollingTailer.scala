@@ -13,6 +13,55 @@ object JdbcPollingTailer {
                              keyCols: Seq[String], watermarkCol: String) {
     def qualified: String = s"$schema.$table"
   }
+
+  /** Config-driven construction — the `debezium.source.*` namespace
+    * for the polling connector:
+    *
+    *   debezium.source.jdbc.url    = jdbc:...
+    *   debezium.source.jdbc.tables = schema.table:key1+key2:wmCol[,…]
+    *   debezium.source.path        = <CdcLayout dir the DSv2 source reads>
+    */
+  def fromProperties(props: Map[String, String]): JdbcPollingTailer = {
+    def req(k: String) = props.getOrElse(k,
+      throw new IllegalArgumentException(s"missing $k"))
+    val tables = req("debezium.source.jdbc.tables").split(",").map(_.trim).filter(_.nonEmpty)
+      .map { spec =>
+        spec.split(":") match {
+          case Array(qual, keys, wm) =>
+            val Array(schema, table) = qual.split("\\.", 2)
+            TableSpec(schema, table, keys.split("\\+").toSeq, wm)
+          case _ => throw new IllegalArgumentException(
+            s"bad table spec '$spec' (want schema.table:key1+key2:watermarkCol)")
+        }
+      }.toSeq
+    new JdbcPollingTailer(req("debezium.source.jdbc.url"),
+      java.nio.file.Paths.get(req("debezium.source.path")), tables,
+      topicPrefix = props.getOrElse("debezium.source.topic.prefix", "testc"))
+  }
+
+  /** Background poll loop for a live pipeline: calls `tailer.poll()`
+    * every `intervalMs` on a daemon thread until closed — the Spark
+    * deployment shape of the reference's connector thread. Errors are
+    * counted and retried next tick (transient DB hiccups must not
+    * kill capture); `close()` is idempotent and joins the thread. */
+  final class Daemon(tailer: JdbcPollingTailer, intervalMs: Long,
+                     onPoll: Int => Unit = _ => ()) extends AutoCloseable {
+    private val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile private var errors = 0L
+    private val thread = new Thread(() => {
+      while (!stop.get()) {
+        try onPoll(tailer.poll())
+        catch { case _: Throwable if !stop.get() => errors += 1 }
+        try Thread.sleep(intervalMs) catch { case _: InterruptedException => () }
+      }
+    }, "graft-jdbc-tailer")
+    thread.setDaemon(true)
+
+    def start(): this.type = { thread.start(); this }
+    def errorCount: Long = errors
+    override def close(): Unit =
+      if (stop.compareAndSet(false, true)) { thread.interrupt(); thread.join(5000) }
+  }
 }
 
 /** JDBC polling tailer — the live "left half" of the CDC connector

@@ -173,6 +173,47 @@ class CdcSourceSpec extends SparkSpec {
     conn.close()
   }
 
+  test("live pipeline: JDBC inserts flow through the tailer daemon into the sink") {
+    import graft.sources.cdc.JdbcPollingTailer
+    val url = s"jdbc:derby:memory:live${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE SCHEMA inventory")
+    st.execute("CREATE TABLE inventory.customers (id INT PRIMARY KEY, " +
+      "first_name VARCHAR(64), last_name VARCHAR(64), email VARCHAR(64))")
+    st.execute("INSERT INTO inventory.customers VALUES (1, 'Sally', 'Thomas', 's@x.com')")
+
+    val db = Files.createTempDirectory("graft-live")
+    // config-driven construction: the debezium.source.* namespace
+    val tailer = JdbcPollingTailer.fromProperties(Map(
+      "debezium.source.jdbc.url" -> url,
+      "debezium.source.jdbc.tables" -> "inventory.customers:id:id",
+      "debezium.source.path" -> db.toString))
+    val sink = new graft.sinks.KvSink
+    val spec = graft.pipeline.PipelineSpec(sourcePath = db.toString,
+      keySchema = org.apache.spark.sql.types.StructType.fromDDL(keyDdl),
+      rowSchema = org.apache.spark.sql.types.StructType.fromDDL(rowDdl),
+      sink = sink, sourceType = "graft-cdc")
+    val q = graft.pipeline.CdcPipeline.startLive(spark, spec, tailer,
+      pollIntervalMs = 100L,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+    try {
+      def waitFor(n: Int): Unit = {
+        var ms = 0
+        while (sink.size("testc.inventory.customers") < n && ms < 60000) {
+          Thread.sleep(100); ms += 100
+        }
+        assert(sink.size("testc.inventory.customers") >= n,
+          s"sink has ${sink.size("testc.inventory.customers")} keys, wanted $n")
+      }
+      waitFor(1) // the snapshot row arrives
+      // a LIVE insert is captured by the polling daemon and streamed
+      st.execute("INSERT INTO inventory.customers VALUES (2, 'Jon', 'Snow', 'j@x.com')")
+      waitFor(2)
+      assert(sink.get("testc.inventory.customers", """{"id":2}""").get.contains("Jon"))
+    } finally { q.stop(); conn.close() }
+  }
+
   test("streaming: snapshot phase then WAL drives the upsert sink to the golden state") {
     val db = fixtureDb()
     val out = Files.createTempDirectory("graft-cdc-sink").toString
