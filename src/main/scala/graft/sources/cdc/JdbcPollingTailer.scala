@@ -7,10 +7,20 @@ import scala.jdk.CollectionConverters._
 
 object JdbcPollingTailer {
   /** One captured table: JDBC schema.table, its key columns, and a
-    * strictly-increasing integer watermark column (serial id, epoch)
-    * that orders new rows. */
+    * strictly-increasing integer watermark column that orders changes.
+    *
+    * Capture modes by watermark choice (the JDBC-source trade-offs):
+    *  - serial id → INSERT-only capture;
+    *  - monotonic version/updated-at column → inserts AND updates
+    *    (an updated row re-crosses the watermark, re-emits with a
+    *    higher LSN, and latest-state-by-LSN downstream upserts it);
+    *  - plus `softDeleteCol` (a boolean) → DELETEs too: rows flagged
+    *    true emit op='d' (before = row, after = null), completing
+    *    C/U/D over polling. Hard deletes still need the log protocol.
+    */
   final case class TableSpec(schema: String, table: String,
-                             keyCols: Seq[String], watermarkCol: String) {
+                             keyCols: Seq[String], watermarkCol: String,
+                             softDeleteCol: Option[String] = None) {
     def qualified: String = s"$schema.$table"
   }
 
@@ -30,8 +40,11 @@ object JdbcPollingTailer {
           case Array(qual, keys, wm) =>
             val Array(schema, table) = qual.split("\\.", 2)
             TableSpec(schema, table, keys.split("\\+").toSeq, wm)
+          case Array(qual, keys, wm, softDel) =>
+            val Array(schema, table) = qual.split("\\.", 2)
+            TableSpec(schema, table, keys.split("\\+").toSeq, wm, Some(softDel))
           case _ => throw new IllegalArgumentException(
-            s"bad table spec '$spec' (want schema.table:key1+key2:watermarkCol)")
+            s"bad table spec '$spec' (want schema.table:key1+key2:watermarkCol[:softDeleteCol])")
         }
       }.toSeq
     new JdbcPollingTailer(req("debezium.source.jdbc.url"),
@@ -120,8 +133,10 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
             s"SELECT * FROM ${t.qualified} ORDER BY ${t.watermarkCol}")
           while (rs.next()) {
             val m = rowMap(rs)
+            // the watermark advances over soft-deleted rows, but a
+            // snapshot is CURRENT state — deleted rows don't appear
             wm = math.max(wm, longOf(m(t.watermarkCol.toLowerCase)))
-            rows += jsonObject(m)
+            if (!isSoftDeleted(t, m)) rows += jsonObject(m)
           }
         } finally st.close()
         watermarks(t.qualified) = wm
@@ -191,10 +206,20 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
       s"tailer: watermark column must be integer-typed, got $other")
   }
 
+  private def isSoftDeleted(t: TableSpec, row: Map[String, Any]): Boolean =
+    t.softDeleteCol.exists(c => row.get(c.toLowerCase) match {
+      case Some(b: java.lang.Boolean) => b.booleanValue()
+      case Some(n: Number)            => n.longValue() != 0L
+      case _                          => false
+    })
+
   private def envelopeLine(t: TableSpec, row: Map[String, Any], lsn: Long): String = {
     val key = jsonObject(t.keyCols.map(k => k.toLowerCase -> row(k.toLowerCase)).toMap)
+    val (op, before, after) =
+      if (isSoftDeleted(t, row)) ("d", jsonObject(row), "null")
+      else ("c", "null", jsonObject(row))
     s"""{"destination":"$topicPrefix.${t.qualified}","key":$key,""" +
-      s""""value":{"op":"c","before":null,"after":${jsonObject(row)},""" +
+      s""""value":{"op":"$op","before":$before,"after":$after,""" +
       s""""source":{"connector":"$connectorName","db":"$dbName","schema":"${t.schema}",""" +
       s""""table":"${t.table}","lsn":$lsn,"snapshot":"false","ts_ms":0},"ts_ms":0},"headers":{}}"""
   }

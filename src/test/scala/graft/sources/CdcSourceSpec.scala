@@ -173,6 +173,48 @@ class CdcSourceSpec extends SparkSpec {
     conn.close()
   }
 
+  test("tailer C/U/D capture: version watermark takes updates, soft-delete column takes deletes") {
+    import graft.sources.cdc.JdbcPollingTailer
+    import JdbcPollingTailer.TableSpec
+    val url = s"jdbc:derby:memory:cud${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    // "app" is Derby's default (auto-created) schema for the default user
+    st.execute("CREATE TABLE app.items (id INT PRIMARY KEY, v VARCHAR(32), " +
+      "version BIGINT, deleted BOOLEAN)")
+    st.execute("INSERT INTO app.items VALUES (1, 'one', 1, false)")
+    st.execute("INSERT INTO app.items VALUES (2, 'two', 2, false)")
+
+    val db = Files.createTempDirectory("graft-cud")
+    // watermark = version column (monotonic across inserts AND updates)
+    val tailer = new JdbcPollingTailer(url, db,
+      Seq(TableSpec("app", "items", Seq("id"), "version", softDeleteCol = Some("deleted"))))
+    tailer.snapshot()
+
+    // UPDATE: bump the version past the stored watermark
+    st.execute("UPDATE app.items SET v = 'one-v2', version = 3 WHERE id = 1")
+    // DELETE: soft-delete flag + version bump
+    st.execute("UPDATE app.items SET deleted = true, version = 4 WHERE id = 2")
+    assert(tailer.poll() == 2)
+
+    val records = spark.read.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", "id INT")
+      .option("rowSchema", "id INT, v STRING, version BIGINT, deleted BOOLEAN")
+      .load()
+    val ops = records.select("value.op").collect().map(_.getString(0)).sorted.toSeq
+    assert(ops == Seq("c", "d", "r", "r")) // snapshot pair + update + delete
+    // final state: id 1 updated, id 2 gone
+    val state = graft.operators.ApplyChanges.latestState(records,
+        keyCols = Seq(col("key.id")),
+        orderCols = Seq(coalesce(col("value.source.lsn"), lit(-1L))),
+        opCol = col("value.op"))
+      .select(col("key.id").as("id"), col("value.after.v").as("v"))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(state == Seq((1, "one-v2")))
+    conn.close()
+  }
+
   test("live pipeline: JDBC inserts flow through the tailer daemon into the sink") {
     import graft.sources.cdc.JdbcPollingTailer
     val url = s"jdbc:derby:memory:live${System.nanoTime()};create=true"
