@@ -48,6 +48,21 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_changes"))
       .select(col("window.start").as("window_start"), col(groupCol), col("n_changes"))
 
+  /** Session-windowed activity per group over a change stream: events
+    * closer than `gapDuration` merge into one session; a gap closes
+    * it (Spark's native session_window keeps state per OPEN session
+    * only, bounded by the watermark — the sessionization shape for
+    * "bursts of changes per table/tenant" analytics). Append mode
+    * emits each session once, when the watermark passes its end. */
+  def sessionCounts(df: DataFrame, tsCol: String, groupCol: String,
+                    gapDuration: String, watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gapDuration), col(groupCol))
+      .agg(count(lit(1)).as("n_changes"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col(groupCol), col("n_changes"))
+
   /** One keyed change as carried through the stateful operator: the
     * key and payload travel as JSON strings so ONE state schema serves
     * any table schema (per-stream schemas stay dynamic, SURVEY.md §1.4). */

@@ -176,6 +176,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionCounts merges events within the gap and closes sessions across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "dest")
+    val sessions = StreamingOps.sessionCounts(df, "ts", "dest", "1 minute", "2 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // burst of 3 events ≤1 min apart → ONE session; then a 10-min gap
+      input.addData(Seq((t("2024-01-01 10:00:00"), "a"), (t("2024-01-01 10:00:30"), "a"),
+                        (t("2024-01-01 10:01:10"), "a")))
+      q.processAllAvailable()
+      input.addData(Seq((t("2024-01-01 10:12:00"), "a"))) // new session, advances watermark
+      q.processAllAvailable()
+      input.addData(Seq((t("2024-01-01 10:30:00"), "a"))) // close everything open
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3))).toSet
+      // the burst merged into one 3-event session ending 10:02:10
+      assert(rows.contains(("2024-01-01 10:00:00.0", "a", 3L)), s"got $rows")
+      assert(rows.contains(("2024-01-01 10:12:00.0", "a", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("dedupExactStream drops in-batch and cross-batch duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
