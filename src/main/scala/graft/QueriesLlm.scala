@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
-import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 
 /** LLM training-data pipeline operators (SURVEY.md §7.2 step 8) over
   * the `documents` and `embeddings` tables.
@@ -10,7 +10,27 @@ import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 object QueriesLlm {
 
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
-                        llm09, llm10, llm11, llm12)
+                        llm09, llm10, llm11, llm12, llm13)
+
+  /** KMV distinct-count sketch over the corpus's 9-char shingle space
+    * (~20k distinct at sf0.01 — large enough to exercise the k-th
+    * order statistic) — the PORTABLE approximate-distinct
+    * (Sketches.kmvDistinct): unlike HLL++, the estimate is a pure
+    * function of the portable hash's order statistics, so DuckDB
+    * reproduces it bit-for-bit and the sketch itself is
+    * oracle-checkable (n_exact is the verification column; a
+    * production pipeline drops it). */
+  private def llm13 = Q("llm13_kmv_distinct",
+    (s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(explode(Dedup.shingles(col("text"), 9)).as("shingle"))
+      Sketches.kmvDistinct(sh, col("shingle"), k = 256)
+    },
+    Some(Sketches.duckKmvDistinct(
+      "(SELECT DISTINCT substr(text, i, 9) AS shingle FROM documents " +
+        "CROSS JOIN generate_series(1, 4096) AS g(i) " +
+        "WHERE i <= greatest(length(text) - 8, 1)) sh",
+      "shingle", 256)))
 
   /** Exact dedup: union the corpus with an id-shifted copy of itself so
     * every document has exactly one duplicate, then keep the lowest id

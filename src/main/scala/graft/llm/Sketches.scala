@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Deterministic, engine-portable sketches.
+  *
+  * Spark's built-in sketches (HLL++ `approx_count_distinct`,
+  * `approx_percentile`) are fast but implementation-defined — two
+  * engines (or two Spark versions) produce different estimates, so
+  * they cannot be value-checked across engines. The KMV
+  * (k-minimum-values) sketch is the portable alternative: built
+  * ONLY from the portable 60-bit hash and order statistics, any
+  * engine computes the bit-identical estimate. Reference precedent
+  * for content-hash toolkits:
+  * debezium-server-eventhubs/.../HashFunction.java:18-63.
+  *
+  * Estimator (Bar-Yossef et al., "Counting distinct elements in a
+  * data stream", RANDOM 2002): with hashes uniform on [0, M), the
+  * k-th smallest distinct hash h_(k) estimates the distinct count as
+  *   D ≈ (k−1) · M / h_(k)
+  * Error ~ 1/√k (k=256 → ~6%). Both factors are exactly-representable
+  * doubles (M = 2^60 is a power of two), so the estimate is one IEEE
+  * multiply + divide — deterministic everywhere.
+  *
+  * Scale shape: distinct() shuffles FIXED-WIDTH 8-byte hashes (never
+  * the values), then TakeOrdered keeps k rows — the sketch state is
+  * k longs no matter how large the corpus; no value ever leaves the
+  * scan stage.
+  */
+object Sketches {
+
+  /** Hash space size of [[Portable.hash64]]: 60 bits. */
+  val HashSpace: Double = math.pow(2, 60)
+
+  /** One-row DataFrame: (n_exact, kmv_estimate) distinct counts of
+    * `valueCol` in `df`. `n_exact` is the verification column — a
+    * production sketch-only pipeline drops it and never pays the
+    * exact count. When fewer than k distinct values exist the sketch
+    * IS the exact count. */
+  def kmvDistinct(df: DataFrame, valueCol: Column, k: Int = 256): DataFrame = {
+    require(k >= 2, "kmv needs k >= 2")
+    val hashes = df.select(Portable.hash64(valueCol).as("h")).distinct()
+    val kmin = hashes.orderBy(col("h")).limit(k)
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("n_k"))
+    val exact = hashes.agg(count(lit(1)).as("n_exact"))
+    kmin.crossJoin(exact).select(
+      col("n_exact"),
+      when(col("n_k") < k, col("n_k").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / col("kth").cast("double"))
+        .as("kmv_estimate"))
+  }
+
+  /** DuckDB rendering of [[kmvDistinct]] over a SQL fragment yielding
+    * one value per row — same hash, same order statistic, same two
+    * IEEE ops. */
+  def duckKmvDistinct(fromClause: String, valueExpr: String, k: Int = 256): String =
+    s"""WITH hs AS (SELECT DISTINCT ${Portable.duckHash64(valueExpr)} AS h FROM $fromClause),
+       |km AS (SELECT max(h) AS kth, count(*) AS n_k FROM (SELECT h FROM hs ORDER BY h LIMIT $k) t),
+       |ex AS (SELECT count(*) AS n_exact FROM hs)
+       |SELECT n_exact,
+       |       CASE WHEN n_k < $k THEN CAST(n_k AS DOUBLE)
+       |            ELSE CAST(${(k - 1).toDouble} AS DOUBLE) * ${HashSpace} / CAST(kth AS DOUBLE)
+       |       END AS kmv_estimate
+       |FROM km CROSS JOIN ex""".stripMargin
+}

@@ -74,6 +74,17 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Double]("s") > 0.2) // "The", "and", "the"
   }
 
+  test("KMV sketch: exact under k, ~1/sqrt(k) accurate above it") {
+    val small = (1 to 100).map(i => s"v$i").toDF("v")
+    val r1 = Sketches.kmvDistinct(small, col("v"), k = 256).head()
+    assert(r1.getLong(0) == 100 && r1.getDouble(1) == 100.0) // n < k → exact
+    val big = (1 to 20000).map(i => s"item-$i").toDF("v")
+    val r2 = Sketches.kmvDistinct(big, col("v"), k = 256).head()
+    assert(r2.getLong(0) == 20000)
+    val est = r2.getDouble(1)
+    assert(math.abs(est - 20000) / 20000.0 < 0.2, s"estimate $est too far from 20000")
+  }
+
   test("hot-bucket cap drops mega-buckets; pairs from other bands survive") {
     // band 0: a mega-bucket of 10 docs (boilerplate collision) that
     // would contribute 45 pairs; band 1: docs 1,2 share a small bucket
