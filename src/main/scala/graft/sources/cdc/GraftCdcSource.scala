@@ -129,11 +129,24 @@ private[cdc] object CdcLayout {
     if (Files.exists(f)) Files.readString(f).trim.toLong else -1L
   }
 
+  /** Snapshot dump units: a table's dump is either one FILE
+    * `<schema>.<table>.jsonl` (driver-written) or a DIRECTORY of part
+    * files under `<schema>.<table>.jsonl/` (a distributed snapshot,
+    * e.g. Spark's partitioned JDBC read) — each part becomes its own
+    * input partition, so big snapshots scan in parallel. */
   def snapshotTables(db: Path): Seq[Path] = {
     val d = db.resolve("snapshot")
     if (!Files.exists(d)) Nil
     else Files.list(d).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".jsonl")).toSeq.sortBy(_.toString)
+      .flatMap { p =>
+        if (Files.isDirectory(p))
+          Files.list(p).iterator().asScala.filter { f =>
+            val n = f.getFileName.toString
+            Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+          }.toSeq.sortBy(_.toString)
+        else Seq(p)
+      }
   }
 
   def walFiles(db: Path): Seq[Path] = {
@@ -292,9 +305,16 @@ private[cdc] final class CdcPartitionReader(p: CdcPartition,
   // position so each is delivered in exactly one micro-batch
   private var lastLsn: Long = 0L
 
-  // destination for snapshot rows: <prefix>.<table-file-name>
+  // destination for snapshot rows: <prefix>.<table-name>, where the
+  // table name comes from the dump file OR its parent directory (a
+  // distributed snapshot writes part files under <table>.jsonl/)
   private val topicPrefix = options.getOrElse("topic.prefix", "testc")
-  private val snapTable = Paths.get(p.file).getFileName.toString.stripSuffix(".jsonl")
+  private val snapTable = {
+    val f = Paths.get(p.file)
+    val parent = Option(f.getParent).map(_.getFileName.toString).getOrElse("")
+    val base = if (parent.endsWith(".jsonl")) parent else f.getFileName.toString
+    base.stripSuffix(".jsonl")
+  }
 
   override def next(): Boolean = {
     current = null

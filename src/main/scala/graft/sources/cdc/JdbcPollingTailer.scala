@@ -152,6 +152,59 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
     } finally conn.close()
   }
 
+  /** DISTRIBUTED snapshot — the 100 TB path: each table reads through
+    * Spark's partitioned JDBC source (`numPartitions` parallel
+    * executor-side connections split on the watermark column) instead
+    * of one driver-side loop. Consistency WITHOUT a cross-connection
+    * transaction comes from the watermark bound: `max(watermark)` is
+    * read FIRST and the snapshot takes only rows at or below it — any
+    * row committed later has a higher watermark and belongs to the
+    * first poll. The dump for table T is a DIRECTORY `T.jsonl/` of
+    * part files; the DSv2 source scans each part as its own input
+    * partition. */
+  def snapshotDistributed(spark: org.apache.spark.sql.SparkSession,
+                          numPartitions: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val snapDir = Files.createDirectories(dbDir.resolve("snapshot"))
+    Files.createDirectories(dbDir.resolve("wal"))
+    val watermarks = mutable.Map.empty[String, Long]
+    tables.foreach { t =>
+      // bound first: the snapshot's consistency point on the watermark
+      val conn = DriverManager.getConnection(jdbcUrl)
+      val (lo, hi) = try {
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT min(${t.watermarkCol}), max(${t.watermarkCol}) FROM ${t.qualified}")
+        if (rs.next() && rs.getObject(2) != null) (rs.getLong(1), rs.getLong(2))
+        else (0L, -1L) // empty table
+      } finally conn.close()
+      watermarks(t.qualified) = if (hi < lo) Long.MinValue else hi
+      val target = snapDir.resolve(s"${t.qualified}.jsonl")
+      if (hi < lo) {
+        Files.writeString(target, "") // empty dump file
+      } else {
+        val df = spark.read.format("jdbc")
+          .option("url", jdbcUrl)
+          .option("dbtable",
+            s"(SELECT * FROM ${t.qualified} WHERE ${t.watermarkCol} <= $hi) snap")
+          .option("partitionColumn", t.watermarkCol)
+          .option("lowerBound", lo.toString).option("upperBound", (hi + 1).toString)
+          .option("numPartitions", numPartitions.toString)
+          .load()
+        val lowered = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c.toLowerCase))
+        val live = t.softDeleteCol match {
+          case Some(c) => lowered.filter(!org.apache.spark.sql.functions
+            .coalesce(col(c.toLowerCase).cast("boolean"),
+              org.apache.spark.sql.functions.lit(false)))
+          case None => lowered
+        }
+        live.select(to_json(struct(live.columns.sorted.map(col).toIndexedSeq: _*)).as("value"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(target.toString)
+      }
+    }
+    Files.writeString(snapDir.resolve("_lsn"), "0")
+    writeState(0L, watermarks.toMap)
+  }
+
   /** One incremental poll: captures rows past each table's stored
     * watermark into one new WAL segment. Returns the number of
     * captured changes (0 writes no segment). */

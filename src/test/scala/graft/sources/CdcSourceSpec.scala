@@ -215,6 +215,44 @@ class CdcSourceSpec extends SparkSpec {
     conn.close()
   }
 
+  test("distributed snapshot: partitioned JDBC read writes a multi-part dump the source scans") {
+    import graft.sources.cdc.JdbcPollingTailer
+    import JdbcPollingTailer.TableSpec
+    import scala.jdk.CollectionConverters._
+    val url = s"jdbc:derby:memory:dist${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE SCHEMA inventory")
+    st.execute("CREATE TABLE inventory.customers (id INT PRIMARY KEY, " +
+      "first_name VARCHAR(64), last_name VARCHAR(64), email VARCHAR(64))")
+    (1 to 20).foreach(i =>
+      st.execute(s"INSERT INTO inventory.customers VALUES ($i, 'fn$i', 'ln$i', 'e$i@x.com')"))
+
+    val db = Files.createTempDirectory("graft-dist")
+    val tailer = new JdbcPollingTailer(url, db,
+      Seq(TableSpec("inventory", "customers", Seq("id"), "id")))
+    tailer.snapshotDistributed(spark, numPartitions = 3)
+
+    // the dump is a DIRECTORY of part files (parallel snapshot scan)
+    val dump = db.resolve("snapshot").resolve("inventory.customers.jsonl")
+    assert(Files.isDirectory(dump))
+    val parts = Files.list(dump).iterator().asScala
+      .count(f => !f.getFileName.toString.startsWith("_") &&
+                  !f.getFileName.toString.startsWith("."))
+    assert(parts > 1, s"expected a multi-part dump, got $parts part(s)")
+
+    // polling picks up exactly where the watermark bound left off
+    st.execute("INSERT INTO inventory.customers VALUES (21, 'Jon', 'Snow', 'j@x.com')")
+    assert(tailer.poll() == 1)
+
+    val records = readerFor(db).load()
+    assert(records.filter(col("value.op") === "r").count() == 20)
+    assert(records.filter(col("value.op") === "c").count() == 1)
+    val ids = records.select("key.id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(ids == (1 to 21).toSeq)
+    conn.close()
+  }
+
   test("live pipeline: JDBC inserts flow through the tailer daemon into the sink") {
     import graft.sources.cdc.JdbcPollingTailer
     val url = s"jdbc:derby:memory:live${System.nanoTime()};create=true"
