@@ -202,10 +202,15 @@ object CdcPipeline {
         lit("incremental").as("snapshot"),
         col("value.source.ts_ms").as("ts_ms")).as("source"),
       col("value.ts_ms").as("ts_ms")))
-    val shaped = shape(reshaped, spec)
-    val n = shaped.count()
-    spec.sink.foreachBatchFn(shaped, graft.functions.Portable.hash64Jvm(s"execute-snapshot:$signalId"))
-    n
+    // persist so the bounded snapshot evaluates ONCE for both the
+    // count and the delivery (not two full replays of the change log)
+    val shaped = shape(reshaped, spec).persist()
+    try {
+      val n = shaped.count()
+      spec.sink.foreachBatchFn(shaped,
+        graft.functions.Portable.hash64Jvm(s"execute-snapshot:$signalId"))
+      n
+    } finally shaped.unpersist()
   }
 
   /** Act on pending control signals (SignalResource semantics): "stop"
