@@ -169,6 +169,27 @@ private[cdc] object CdcLayout {
     }.foldLeft(-1L)(math.max))
   }
 
+  /** Effective (minLsn, maxLsn) of a WAL segment, mirroring the
+    * reader's anchoring exactly: lsn-less records (heartbeats,
+    * tombstones) take their predecessor's position (0 at file start).
+    * Segments are IMMUTABLE once visible (the tailer moves them in
+    * atomically), so the stream caches bounds forever and prunes
+    * out-of-range files from each micro-batch — without this, a
+    * long-running stream reopens every segment ever written on every
+    * trigger. An empty segment yields (-1, MaxValue): never pruned. */
+  def segmentBounds(f: Path): (Long, Long) = {
+    var last = 0L
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    val s = Files.lines(f)
+    try s.iterator().asScala.filter(_.trim.nonEmpty).foreach { line =>
+      val raw = lsnOf(line)
+      val eff = if (raw >= 0) { last = raw; raw } else last
+      lo = math.min(lo, eff); hi = math.max(hi, eff)
+    } finally s.close()
+    if (hi == Long.MinValue) (-1L, Long.MaxValue) else (lo, hi)
+  }
+
   def lsnOf(line: String): Long = {
     val n = JsonRows.parse(line)
     val v = n.get("value")
@@ -262,13 +283,22 @@ private[cdc] final class CdcMicroBatchStream(options: Map[String, String], pushe
         CdcLayout.snapshotTables(db).map(p =>
           CdcPartition(p.toString, isSnapshot = true, snapLsn, e): InputPartition)
       else Nil
+    val from = math.max(s, snapLsn)
     val wals =
-      if (e > math.max(s, snapLsn))
-        CdcLayout.walFiles(db).map(p =>
-          CdcPartition(p.toString, isSnapshot = false, math.max(s, snapLsn), e): InputPartition)
+      if (e > from)
+        CdcLayout.walFiles(db)
+          // prune segments wholly outside (from, e] via cached bounds —
+          // segments are immutable, so bounds are computed once ever
+          .filter { p =>
+            val (lo, hi) = boundsCache.getOrElseUpdate(p.toString, CdcLayout.segmentBounds(p))
+            hi > from && lo <= e
+          }
+          .map(p =>
+            CdcPartition(p.toString, isSnapshot = false, from, e): InputPartition)
       else Nil
     (snaps ++ wals).toArray
   }
+  private val boundsCache = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(options, pushed)
 }
