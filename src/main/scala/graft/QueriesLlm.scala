@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
-import graft.llm.{Curation, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** LLM training-data pipeline operators (SURVEY.md §7.2 step 8) over
   * the `documents` and `embeddings` tables.
@@ -10,7 +10,37 @@ import graft.llm.{Curation, Dedup, Multimodal, Similarity, Sketches, TextAnalysi
 object QueriesLlm {
 
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
-                        llm09, llm10, llm11, llm12, llm13)
+                        llm09, llm10, llm11, llm12, llm13, llm14)
+
+  /** Deterministic hash-based train/val/test split + per-language
+    * stratified down-sampling (Sampling) — membership is a pure
+    * function of (salt, doc_id), so the same document lands in the
+    * same split on any engine, run, or cluster size (seeded RNG
+    * sampling is partition-order dependent and NOT reproducible).
+    * The split boundaries interpolate the same Scala doubles into
+    * both sides, so cumulative-sum float artifacts can't diverge. */
+  private def llm14 = Q("llm14_hash_sampling",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val split = Sampling.hashSplit(d, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Sampling.stratifiedSample(split, col("doc_id"), col("lang"),
+          rates = Map("en" -> 0.5), defaultRate = 1.0)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val us = Sampling.duckUnitInterval("doc_id", "split")
+      val ut = Sampling.duckUnitInterval("doc_id", "strata")
+      val b1 = 0.8
+      val b2 = 0.8 + 0.1 // NOT 0.9: the exact cumulative double both sides use
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $us < $b1 THEN 'train'
+         |       WHEN $us < $b2 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents
+         |WHERE $ut < (CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END)
+         |ORDER BY doc_id""".stripMargin
+    })
 
   /** KMV distinct-count sketch over the corpus's 9-char shingle space
     * (~20k distinct at sf0.01 — large enough to exercise the k-th

@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Deterministic hash-based sampling and dataset splitting for
+  * training-data pipelines.
+  *
+  * Seeded RNG sampling (`df.sample`, `sampleBy`) is partition-order
+  * dependent: a repartition, a retry, or a different engine yields a
+  * DIFFERENT sample. Hash-based sampling decides per RECORD — keep
+  * iff hash(salt:id)/2^60 < rate — so the same document lands in the
+  * same split on every run, every engine, every cluster size: the
+  * property training pipelines need for reproducible corpus versions
+  * and leak-free train/test separation. Changing the salt draws an
+  * independent sample. All Column algebra over the portable hash —
+  * codegen'd, no shuffle, oracle-checkable.
+  */
+object Sampling {
+
+  /** Deterministic unit-interval value for a record id: U(id) ∈ [0,1),
+    * uniform under the 60-bit portable hash. */
+  def unitInterval(idCol: Column, salt: String): Column =
+    Portable.hash64(concat(lit(salt + ":"), idCol.cast("string")))
+      .cast("double") / lit(Sketches.HashSpace)
+
+  /** DuckDB rendering of [[unitInterval]]. */
+  def duckUnitInterval(idExpr: String, salt: String): String =
+    s"(CAST(${Portable.duckHash64(s"concat('$salt:', CAST($idExpr AS VARCHAR))")} AS DOUBLE)" +
+      s" / ${Sketches.HashSpace})"
+
+  /** Keep a deterministic `rate` fraction of records. */
+  def hashSample(df: DataFrame, idCol: Column, rate: Double, salt: String = "sample"): DataFrame =
+    df.filter(unitInterval(idCol, salt) < lit(rate))
+
+  /** Assign every record a split label by cumulative fraction —
+    * e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Splits are
+    * disjoint and exhaustive (fractions must sum to 1 within 1e-9),
+    * and membership depends only on (salt, id). */
+  def hashSplit(df: DataFrame, idCol: Column,
+                splits: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split fractions must sum to 1")
+    val u = unitInterval(idCol, salt)
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.zip(bounds).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), rest) => when(u < lit(hi), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Per-stratum keep rates (e.g. down-sample dominant languages):
+    * strata not in `rates` keep `defaultRate`. */
+  def stratifiedSample(df: DataFrame, idCol: Column, strataCol: Column,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "strata"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate): Column) { case (acc, (k, r)) =>
+      when(strataCol === lit(k), lit(r)).otherwise(acc)
+    }
+    df.filter(unitInterval(idCol, salt) < rate)
+  }
+}

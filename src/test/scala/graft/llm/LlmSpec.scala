@@ -74,6 +74,28 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Double]("s") > 0.2) // "The", "and", "the"
   }
 
+  test("hash split is disjoint, exhaustive, deterministic; stratified rates hold") {
+    val ids = (1L to 10000L).map(i => (i, if (i % 3 == 0) "en" else "de")).toDF("id", "lang")
+    val split = Sampling.hashSplit(ids, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L) // exhaustive
+    assert(math.abs(counts("train") - 8000L) < 400, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000L) < 200 && math.abs(counts("test") - 1000L) < 200)
+    // deterministic: a re-run assigns identical splits
+    val again = Sampling.hashSplit(ids, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+
+    val sampled = Sampling.stratifiedSample(ids, col("id"), col("lang"),
+      rates = Map("en" -> 0.25), defaultRate = 1.0)
+    val byLang = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 6667L) // default rate 1.0 keeps everything
+    assert(math.abs(byLang("en") - 833L) < 150, s"en=${byLang("en")}")
+  }
+
   test("KMV sketch: exact under k, ~1/sqrt(k) accurate above it") {
     val small = (1 to 100).map(i => s"v$i").toDF("v")
     val r1 = Sketches.kmvDistinct(small, col("v"), k = 256).head()
