@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
-import graft.llm.{Curation, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** LLM training-data pipeline operators (SURVEY.md §7.2 step 8) over
   * the `documents` and `embeddings` tables.
@@ -10,7 +10,38 @@ import graft.llm.{Curation, Dedup, Multimodal, Sampling, Similarity, Sketches, T
 object QueriesLlm {
 
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
-                        llm09, llm10, llm11, llm12, llm13, llm14)
+                        llm09, llm10, llm11, llm12, llm13, llm14, llm15)
+
+  /** Shard-local sequence packing (Packing.packBudgeted): documents
+    * route to shards by portable hash, a per-shard running token
+    * offset assigns each document to the 2048-token pack its start
+    * falls in, and the manifest aggregates docs/tokens per pack —
+    * the batch-construction step of a training pipeline, with the
+    * running sum distributed one window per shard (never one global
+    * sort). */
+  private def llm15 = Q("llm15_sequence_packing",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val packed = Packing.packBudgeted(d, col("doc_id"), col("n_tokens"),
+        seqLen = 2048, nShards = 8)
+      Packing.packManifest(packed, col("n_tokens"))
+        .orderBy(col("shard"), col("pack_id"))
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id,
+            |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+            |    (${Portable.duckHash64("doc_id")} % 8) AS shard
+            |  FROM documents),
+            |o AS (SELECT doc_id, n_tokens, shard,
+            |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+            |      FROM d)
+            |SELECT shard, CAST(off // 2048 AS BIGINT) AS pack_id,
+            |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            |FROM o
+            |GROUP BY 1, 2
+            |ORDER BY shard, pack_id""".stripMargin))
 
   /** Deterministic hash-based train/val/test split + per-language
     * stratified down-sampling (Sampling) — membership is a pure

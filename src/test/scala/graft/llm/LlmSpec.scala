@@ -74,6 +74,25 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Double]("s") > 0.2) // "The", "and", "the"
   }
 
+  test("sequence packing: per-shard offsets are contiguous, packs respect the budget") {
+    val docs = (1L to 200L).map(i => (i, 100L + (i % 7) * 10)).toDF("id", "n")
+    val packed = Packing.packBudgeted(docs, col("id"), col("n"), seqLen = 512, nShards = 4)
+      .orderBy("shard", "id").collect()
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      var expectedOffset = 0L
+      rows.foreach { r =>
+        assert(r.getAs[Long]("offset") == expectedOffset) // contiguous, no gaps
+        assert(r.getAs[Long]("pack_id") == expectedOffset / 512)
+        expectedOffset += r.getAs[Long]("n")
+      }
+    }
+    // the manifest covers every document exactly once
+    val m = Packing.packManifest(
+      Packing.packBudgeted(docs, col("id"), col("n"), 512, 4), col("n"))
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    assert(m == 200L)
+  }
+
   test("hash split is disjoint, exhaustive, deterministic; stratified rates hold") {
     val ids = (1L to 10000L).map(i => (i, if (i % 3 == 0) "en" else "de")).toDF("id", "lang")
     val split = Sampling.hashSplit(ids, col("id"),
