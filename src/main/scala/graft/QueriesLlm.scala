@@ -10,7 +10,54 @@ import graft.llm.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, Sk
 object QueriesLlm {
 
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
-                        llm09, llm10, llm11, llm12, llm13, llm14, llm15)
+                        llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16)
+
+  /** Eval-set decontamination (Dedup.contamination): every 50th
+    * document, lightly mutated, plays the eval set; each must map
+    * back to its training source with rare-shingle overlap 1.0 and a
+    * contaminated flag. Common shingles (train DF > 20) are dropped
+    * before the inverted-index join — the rare-n-gram practice that
+    * keeps the check linear at corpus scale. */
+  private def llm16 = Q("llm16_decontamination",
+    (s, dir) => {
+      val train = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val evalSet = train.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+                concat(col("text"), lit(" zz")).as("text"))
+      Dedup.contamination(
+          train.withColumn("sh", Dedup.shingles(col("text"), 9)),
+          col("doc_id"), col("sh"),
+          evalSet.withColumn("sh", Dedup.shingles(col("text"), 9)),
+          col("doc_id"), col("sh"),
+          maxDf = 20)
+        .withColumn("contaminated", col("overlap") >= 0.8)
+        .orderBy(col("eval_id"))
+    },
+    Some("""WITH train AS (SELECT doc_id AS train_id, text FROM documents),
+           |ev AS (SELECT doc_id + 200000 AS eval_id, text || ' zz' AS text
+           |       FROM documents WHERE doc_id % 50 = 0),
+           |tsh AS (SELECT DISTINCT train_id, substr(text, i, 9) AS sh FROM train
+           |        CROSS JOIN generate_series(1, 4096) AS g(i)
+           |        WHERE i <= greatest(length(text) - 8, 1)),
+           |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM tsh GROUP BY sh) t
+           |         WHERE df <= 20),
+           |trare AS (SELECT train_id, sh FROM tsh JOIN rare USING (sh)),
+           |esh AS (SELECT DISTINCT eval_id, substr(text, i, 9) AS sh FROM ev
+           |        CROSS JOIN generate_series(1, 4096) AS g(i)
+           |        WHERE i <= greatest(length(text) - 8, 1)),
+           |erare AS (SELECT eval_id, sh FROM esh JOIN rare USING (sh)),
+           |ec AS (SELECT eval_id, count(*) AS n_eval FROM erare GROUP BY 1),
+           |shared AS (SELECT eval_id, train_id, count(*) AS n_shared
+           |           FROM erare JOIN trare USING (sh) GROUP BY 1, 2),
+           |scored AS (SELECT s.eval_id, s.train_id,
+           |             CAST(s.n_shared AS DOUBLE) / CAST(ec.n_eval AS DOUBLE) AS overlap,
+           |             row_number() OVER (PARTITION BY s.eval_id
+           |               ORDER BY CAST(s.n_shared AS DOUBLE) / CAST(ec.n_eval AS DOUBLE) DESC,
+           |                        s.train_id DESC) AS rn
+           |           FROM shared s JOIN ec USING (eval_id))
+           |SELECT eval_id, train_id, overlap, overlap >= 0.8 AS contaminated
+           |FROM scored WHERE rn = 1
+           |ORDER BY eval_id""".stripMargin))
 
   /** Shard-local sequence packing (Packing.packBudgeted): documents
     * route to shards by portable hash, a per-shard running token

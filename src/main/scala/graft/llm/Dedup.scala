@@ -139,4 +139,41 @@ object Dedup {
   /** Hamming distance between two simhash sketches (bit_count of XOR)
     * — the verify step after LSH candidate generation. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Cross-corpus contamination check — the eval-set DECONTAMINATION
+    * step of a training pipeline: for each eval document, the best
+    * rare-shingle overlap ratio against any training document
+    * (1.0 = the eval doc's distinctive content is fully inside some
+    * training doc).
+    *
+    * Scale design: shingles with training document-frequency > maxDf
+    * are dropped BEFORE the join — common shingles carry no signal
+    * and would fan the inverted-index join out to ~every document;
+    * the rare-n-gram index keeps the join linear in genuine matches
+    * (the standard decontamination practice). Shuffles are on shingle
+    * values then (eval, train) id pairs; ties in best-match rank
+    * break on the higher train id, deterministically. Eval docs with
+    * zero rare shingles have no distinctive content to test and drop
+    * out. */
+  def contamination(train: DataFrame, trainId: Column, trainShinglesCol: Column,
+                    evalDf: DataFrame, evalId: Column, evalShinglesCol: Column,
+                    maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tsh = train.select(trainId.as("train_id"), explode(trainShinglesCol).as("sh")).distinct()
+    val rare = tsh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val trare = tsh.join(rare, "sh")
+    val erare = evalDf.select(evalId.as("eval_id"), explode(evalShinglesCol).as("sh"))
+      .distinct().join(rare, "sh")
+    val ec = erare.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
+    val shared = erare.join(trare, "sh")
+      .groupBy(col("eval_id"), col("train_id")).agg(count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy(col("eval_id"))
+      .orderBy(col("overlap").desc, col("train_id").desc)
+    shared.join(ec, "eval_id")
+      .withColumn("overlap", col("n_shared").cast("double") / col("n_eval").cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("eval_id"), col("train_id"), col("overlap"))
+  }
 }
