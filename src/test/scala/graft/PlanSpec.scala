@@ -135,6 +135,14 @@ class PlanSpec extends SparkSpec {
       "banded hyperplane hashing leaked into the per-row plan")
   }
 
+  test("llm14: hash sampling is a pure scan filter — no shuffle before the sort") {
+    val df = Queries.byName("llm14_hash_sampling")(spark, sfSmoke)
+    val shuffles = shufflePartitionings(planOf(df))
+    // split + stratified filter are row-local Column algebra; only the
+    // final orderBy may exchange
+    assert(shuffles.size <= 1, s"sampling must not shuffle, got $shuffles")
+  }
+
   test("cdc07: the CDC path scans through the DSv2 source") {
     val s = planString("cdc07_cdc_source_replay")
     assert(s.contains("BatchScan") && s.contains("graft-cdc"),

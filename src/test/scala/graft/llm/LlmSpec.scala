@@ -74,6 +74,24 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Double]("s") > 0.2) // "The", "and", "the"
   }
 
+  test("contamination: copied eval doc flags against its source; clean doc scores low") {
+    val train = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "kilo lima mike november oscar papa quebec romeo sierra tango")).toDF("id", "text")
+    val evalSet = Seq(
+      (10L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"), // copy of 1
+      (11L, "uniform victor whiskey xray yankee zulu one two three four"))     // clean
+      .toDF("id", "text")
+    val out = Dedup.contamination(
+        train.withColumn("sh", Dedup.shingles(col("text"), 5)), col("id"), col("sh"),
+        evalSet.withColumn("sh", Dedup.shingles(col("text"), 5)), col("id"), col("sh"),
+        maxDf = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(10L)._1 == 1L && out(10L)._2 == 1.0) // exact copy → source, overlap 1
+    // the clean doc either shares nothing (absent) or scores well below threshold
+    assert(out.get(11L).forall(_._2 < 0.5), s"clean doc scored ${out.get(11L)}")
+  }
+
   test("sequence packing: per-shard offsets are contiguous, packs respect the budget") {
     val docs = (1L to 200L).map(i => (i, 100L + (i % 7) * 10)).toDF("id", "n")
     val packed = Packing.packBudgeted(docs, col("id"), col("n"), seqLen = 512, nShards = 4)
