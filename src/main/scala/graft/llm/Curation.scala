@@ -30,6 +30,18 @@ object Curation {
       (TextAnalysis.punctRatio(text) <= cfg.maxPunctRatio) && langOk
   }
 
+  /** STREAMING curation: the same quality gates (pure Column filters —
+    * stateless, streaming-safe) composed with watermarked streaming
+    * dedup — continuous ingestion of a document stream into a curated
+    * corpus. The gates run before the stateful dedup so state only
+    * holds survivors; dedup state is bounded by the watermark horizon
+    * (graft.streaming.StreamingOps.dedupExactStream semantics: first
+    * occurrence passes, duplicates within the horizon drop). */
+  def curateStream(docs: DataFrame, textCol: Column, cfg: Config,
+                   tsCol: String, watermarkDelay: String): DataFrame =
+    graft.streaming.StreamingOps.dedupExactStream(
+      docs.filter(qualityGate(textCol, cfg)), textCol, tsCol, watermarkDelay)
+
   /** Curate: gates, then keep the lowest-id doc per distinct content.
     * The dedup is ONE window over the content hash (rank-1 per hash) —
     * a single shuffle and a single evaluation of the gated scan, where

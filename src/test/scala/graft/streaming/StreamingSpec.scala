@@ -176,6 +176,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("curateStream gates low-quality docs and dedups the survivors continuously") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val good = "the quick brown fox jumps over the lazy dog again and again today"
+    val curated = graft.llm.Curation.curateStream(df, col("text"),
+      graft.llm.Curation.Config(minTokens = 8, maxPunctRatio = 0.3, keepLangs = Set("en")),
+      "ts", "10 minutes")
+    val q = curated.writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      input.addData(Seq(
+        (t0, 1L, good),
+        (t0, 2L, "too short"),                    // gated: under minTokens
+        (t0, 3L, "!!! ??? *** !!! ??? *** !!! ??? *** !!!"), // gated: punctuation
+        (t0, 4L, good)))                          // in-batch duplicate of 1
+      q.processAllAvailable()
+      input.addData(Seq((t0, 5L, good)))          // cross-batch duplicate
+      q.processAllAvailable()
+      val ids = spark.table("curate_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L), s"expected only doc 1 to survive, got $ids")
+    } finally q.stop()
+  }
+
   test("sessionCounts merges events within the gap and closes sessions across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
