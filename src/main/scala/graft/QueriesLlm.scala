@@ -10,7 +10,64 @@ import graft.llm.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, Sk
 object QueriesLlm {
 
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
-                        llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16)
+                        llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17)
+
+  /** The minhash band-bucket CTE chain shared by llm05/llm17 oracles —
+    * one generator so the two cannot drift. Ends at a `pairs` CTE of
+    * DISTINCT (id_a, id_b) candidates. */
+  private def duckMinhashPairCtes: String = {
+    val hashes = (0 until 12).map(i =>
+      s"${Portable.duckSeededHash("shingle", i)} AS h$i").mkString(",\n            ")
+    val mins = (0 until 12).map(i => s"min(h$i) AS mh$i").mkString(", ")
+    val bandRows = (0 until 3).map { b =>
+      val cols = (4 * b until 4 * (b + 1)).map(i => s"mh$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, ${Portable.duckHash64(s"concat_ws('_', $cols)")} AS bucket FROM mh"
+    }.mkString("\n            UNION ALL ")
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text || ' qx' FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS shingle
+       |       FROM corpus CROSS JOIN generate_series(1, 4096) AS g(i)
+       |       WHERE i <= greatest(length(text) - 8, 1)),
+       |h AS (SELECT doc_id,
+       |            $hashes
+       |      FROM sh),
+       |mh AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+       |bk AS (
+       |            $bandRows),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+       |          WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Near-dup CLUSTERS from the llm05 candidate pairs
+    * (Dedup.connectedComponents): pairwise dedup can't decide what to
+    * keep when (a,b) and (b,c) both pair — components give each
+    * duplicate family one representative (the min doc id). The oracle
+    * computes the same fixpoint as a recursive transitive closure. */
+  private def llm17 = Q("llm17_dedup_clusters",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 100000L).as("doc_id"),
+                 concat(col("text"), lit(" qx")).as("text")))
+      val sigs = Dedup.minhashSignature(
+        corpus.withColumn("sh", Dedup.shingles(col("text"), 9)),
+        col("doc_id"), col("sh"), k = 12)
+      val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
+      Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $duckMinhashPairCtes,
+            |verts AS (SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs),
+            |edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs
+            |          UNION SELECT id_b, id_a FROM pairs),
+            |reach(v, r) AS (
+            |  SELECT v, v FROM verts
+            |  UNION
+            |  SELECT e.eb, reach.r FROM edges e JOIN reach ON reach.v = e.ea)
+            |SELECT v AS doc_id, min(r) AS cluster_id
+            |FROM reach GROUP BY v
+            |ORDER BY doc_id""".stripMargin))
 
   /** Eval-set decontamination (Dedup.contamination): every 50th
     * document, lightly mutated, plays the eval set; each must map
@@ -659,31 +716,7 @@ object QueriesLlm {
       Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
         .orderBy(col("id_a"), col("id_b"))
     },
-    Some {
-      val hashes = (0 until 12).map(i =>
-        s"${Portable.duckSeededHash("shingle", i)} AS h$i").mkString(",\n            ")
-      val mins = (0 until 12).map(i => s"min(h$i) AS mh$i").mkString(", ")
-      val bandRows = (0 until 3).map { b =>
-        val cols = (4 * b until 4 * (b + 1)).map(i => s"mh$i").mkString(", ")
-        val bucket = Portable.duckHash64(s"concat_ws('_', $cols)")
-        s"SELECT doc_id, $b AS band, $bucket AS bucket FROM mh"
-      }.mkString("\n            UNION ALL ")
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 100000, text || ' qx' FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS shingle
-         |       FROM corpus CROSS JOIN generate_series(1, 4096) AS g(i)
-         |       WHERE i <= greatest(length(text) - 8, 1)),
-         |h AS (SELECT doc_id,
-         |            $hashes
-         |      FROM sh),
-         |mh AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
-         |bk AS (
-         |            $bandRows)
-         |SELECT * FROM (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
-         |  WHERE a.doc_id < b.doc_id) t
-         |ORDER BY id_a, id_b""".stripMargin
-    })
+    Some(s"""WITH $duckMinhashPairCtes
+            |SELECT id_a, id_b FROM pairs
+            |ORDER BY id_a, id_b""".stripMargin))
 }

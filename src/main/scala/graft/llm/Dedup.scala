@@ -140,6 +140,49 @@ object Dedup {
     * — the verify step after LSH candidate generation. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over a near-dup pair graph — the step that
+    * turns verified PAIRS into duplicate CLUSTERS with one
+    * representative each (cluster id = min doc id in the component):
+    * pairs (a,b),(b,c) must keep ONE of {a,b,c}, which pairwise
+    * dedup alone cannot decide.
+    *
+    * Iterative min-label propagation: each superstep every vertex
+    * takes the min of its own and its neighbors' labels (one join +
+    * one groupBy-min per step, all on 8-byte ids); converges in
+    * O(component diameter) supersteps — duplicate families are
+    * shallow — with early exit at fixpoint. The same per-step plan is
+    * the building block of large-star/small-star if extreme-diameter
+    * graphs ever appear. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("v")).distinct()
+      .withColumn("label", col("v")).persist()
+    try {
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        val fromNbrs = edges.join(labels.withColumnRenamed("v", "b"), "b")
+          .select(col("a").as("v"), col("label"))
+        val next = labels.unionByName(fromNbrs)
+          .groupBy("v").agg(min("label").as("label")).persist()
+        val changed = next.join(labels.withColumnRenamed("label", "__old"), "v")
+          .filter(col("label") =!= col("__old")).limit(1).count() > 0
+        labels.unpersist()
+        labels = next
+        done = !changed
+        iter += 1
+      }
+      // materialize once and truncate the iterative lineage (the
+      // superstep cache is released here; the checkpoint frees on GC)
+      val result = labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      result
+    } finally edges.unpersist()
+  }
+
   /** Cross-corpus contamination check — the eval-set DECONTAMINATION
     * step of a training pipeline: for each eval document, the best
     * rare-shingle overlap ratio against any training document

@@ -74,6 +74,15 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Double]("s") > 0.2) // "The", "and", "the"
   }
 
+  test("connected components: chains collapse to one cluster, islands stay apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L) // chain 1-2-3
+    assert(comp(5L) == 5L && comp(6L) == 5L)                   // island
+    assert(comp(7L) == 7L && comp(8L) == 7L && comp(9L) == 7L) // joined via 9
+  }
+
   test("contamination: copied eval doc flags against its source; clean doc scores low") {
     val train = Seq(
       (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
