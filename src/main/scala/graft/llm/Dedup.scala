@@ -154,33 +154,37 @@ object Dedup {
     * the building block of large-star/small-star if extreme-diameter
     * graphs ever appear. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .persist()
+    // Iterative frames use EAGER localCheckpoint, not persist:
+    // (a) the candidate pipeline materializes exactly once (the union
+    //     below references it twice, and concurrently-scheduled union
+    //     branches RACE an unfilled cache into double computation);
+    // (b) every superstep starts from a shallow checkpointed parent,
+    //     so per-iteration plans stay constant-size — with persist,
+    //     unpersisting a parent mid-loop invalidates dependent caches
+    //     and each later superstep recomputes a compounding lineage
+    //     (measured: 1.5s → 5.4s per iteration before this).
+    // Checkpoint blocks free on GC.
+    val p0 = pairs.localCheckpoint(true)
+    val edges = p0.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(p0.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint(true)
     var labels = edges.select(col("a").as("v")).distinct()
-      .withColumn("label", col("v")).persist()
-    try {
-      var iter = 0
-      var done = false
-      while (!done && iter < maxIter) {
-        val fromNbrs = edges.join(labels.withColumnRenamed("v", "b"), "b")
-          .select(col("a").as("v"), col("label"))
-        val next = labels.unionByName(fromNbrs)
-          .groupBy("v").agg(min("label").as("label")).persist()
-        val changed = next.join(labels.withColumnRenamed("label", "__old"), "v")
-          .filter(col("label") =!= col("__old")).limit(1).count() > 0
-        labels.unpersist()
-        labels = next
-        done = !changed
-        iter += 1
-      }
-      // materialize once and truncate the iterative lineage (the
-      // superstep cache is released here; the checkpoint frees on GC)
-      val result = labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("label", col("v")).localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val fromNbrs = edges.join(labels.withColumnRenamed("v", "b"), "b")
+        .select(col("a").as("v"), col("label"))
+      val next = labels.unionByName(fromNbrs)
+        .groupBy("v").agg(min("label").as("label"))
         .localCheckpoint(true)
-      labels.unpersist()
-      result
-    } finally edges.unpersist()
+      val changed = next.join(labels.withColumnRenamed("label", "__old"), "v")
+        .filter(col("label") =!= col("__old")).count() > 0
+      labels = next
+      done = !changed
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Cross-corpus contamination check — the eval-set DECONTAMINATION
