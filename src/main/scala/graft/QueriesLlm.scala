@@ -10,7 +10,36 @@ import graft.llm.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, Sk
 object QueriesLlm {
 
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
-                        llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17)
+                        llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
+                        llm18)
+
+  /** Budgeted corpus mixing (Sampling.budgetedMix): per-source token
+    * budgets — src0 capped low, src1 excluded, everything else at the
+    * default — with documents admitted in deterministic hash order
+    * until each budget is reached. */
+  private def llm18 = Q("llm18_budgeted_mix",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.budgetedMix(d, col("doc_id"), col("source"), col("n_tokens"),
+          budgets = Map("src0" -> 300L, "src1" -> 0L), defaultBudget = 600L)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val u = Sampling.duckUnitInterval("doc_id", "mix")
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+         |    $u AS u
+         |  FROM documents),
+         |w AS (SELECT doc_id, source, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+         |      FROM d)
+         |SELECT doc_id, source, n_tokens FROM w
+         |WHERE cb < (CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 0 ELSE 600 END)
+         |ORDER BY doc_id""".stripMargin
+    })
 
   /** The minhash band-bucket CTE chain shared by llm05/llm17 oracles —
     * one generator so the two cannot drift. Ends at a `pairs` CTE of

@@ -49,6 +49,29 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Budgeted corpus MIXING: per group (source/domain), keep documents
+    * in deterministic hash order until the group's token budget is met
+    * — the mixture-weights step of corpus assembly ("this much web,
+    * this much books"). The document that straddles the budget is
+    * kept (budgets are reached, not undershot); a zero budget excludes
+    * the group. One window per group over (unit-interval, id) order —
+    * the cut is a pure function of (salt, ids), reproducible on any
+    * engine or cluster size, and groups window independently so the
+    * sort distributes. */
+  def budgetedMix(df: DataFrame, idCol: Column, groupCol: Column, nTokensCol: Column,
+                  budgets: Map[String, Long], defaultBudget: Long,
+                  salt: String = "mix"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(unitInterval(idCol, salt), idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.foldLeft(lit(defaultBudget): Column) { case (acc, (k, b)) =>
+      when(groupCol === lit(k), lit(b)).otherwise(acc)
+    }
+    df.withColumn("__cum_before", sum(nTokensCol).over(w) - nTokensCol)
+      .filter(col("__cum_before") < budget)
+      .drop("__cum_before")
+  }
+
   /** Per-stratum keep rates (e.g. down-sample dominant languages):
     * strata not in `rates` keep `defaultRate`. */
   def stratifiedSample(df: DataFrame, idCol: Column, strataCol: Column,

@@ -74,6 +74,23 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Double]("s") > 0.2) // "The", "and", "the"
   }
 
+  test("budgeted mix: budgets are reached not undershot, zero budget excludes") {
+    val docs = (1L to 100L).map(i => (i, if (i <= 50) "a" else "b", 10L))
+      .toDF("id", "src", "n")
+    val mixed = Sampling.budgetedMix(docs, col("id"), col("src"), col("n"),
+      budgets = Map("b" -> 0L), defaultBudget = 95L)
+    val bySrc = mixed.groupBy("src").agg(
+        org.apache.spark.sql.functions.sum("n").as("tok"),
+        org.apache.spark.sql.functions.count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!bySrc.contains("b"))           // zero budget: excluded
+    assert(bySrc("a") == (100L, 10L))      // 95-token budget → 10 docs (straddler kept)
+    // deterministic: identical selection on re-run
+    val again = Sampling.budgetedMix(docs, col("id"), col("src"), col("n"),
+      budgets = Map("b" -> 0L), defaultBudget = 95L)
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+  }
+
   test("connected components: chains collapse to one cluster, islands stay apart") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L)).toDF("id_a", "id_b")
     val comp = Dedup.connectedComponents(pairs)
