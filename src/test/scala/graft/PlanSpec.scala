@@ -143,6 +143,18 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"sampling must not shuffle, got $shuffles")
   }
 
+  test("llm15/llm18: windowed ops shuffle only on their group keys plus the final sort") {
+    val packing = Queries.byName("llm15_sequence_packing")(spark, sfSmoke)
+    val sPack = shufflePartitionings(planOf(packing))
+    // shard window + manifest groupBy + output sort — nothing else
+    assert(sPack.size <= 3, s"packing shuffles: $sPack")
+    assert(sPack.exists(_.contains("shard")), s"expected a shard-keyed exchange: $sPack")
+    val mix = Queries.byName("llm18_budgeted_mix")(spark, sfSmoke)
+    val sMix = shufflePartitionings(planOf(mix))
+    // per-source window + output sort
+    assert(sMix.size <= 2, s"mixing shuffles: $sMix")
+  }
+
   test("cdc07: the CDC path scans through the DSv2 source") {
     val s = planString("cdc07_cdc_source_replay")
     assert(s.contains("BatchScan") && s.contains("graft-cdc"),
