@@ -159,35 +159,54 @@ private[cdc] object CdcLayout {
       }.toSeq.sortBy(_.toString)
   }
 
-  /** Current end of the log — a real tailer asks the server
-    * (pg_current_wal_lsn()); the fixture scans the wal dir. */
-  def maxLsn(db: Path): Long = {
-    val wals = walFiles(db)
-    if (wals.isEmpty) snapshotLsn(db)
-    else math.max(snapshotLsn(db), wals.iterator.flatMap { f =>
-      Files.lines(f).iterator().asScala.filter(_.nonEmpty).map(lsnOf)
-    }.foldLeft(-1L)(math.max))
-  }
+  /** Current end of the log, computed through a per-segment stats
+    * function — a real tailer asks the server (pg_current_wal_lsn())
+    * and never re-reads the log; the fixture equivalent is the stream's
+    * immutable-segment stats CACHE, so each trigger pays one directory
+    * listing plus a scan of only the segments it has never seen. */
+  def maxLsn(db: Path, stats: Path => SegStats): Long =
+    walFiles(db).foldLeft(snapshotLsn(db))((m, f) => math.max(m, stats(f).maxRaw))
 
-  /** Effective (minLsn, maxLsn) of a WAL segment, mirroring the
-    * reader's anchoring exactly: lsn-less records (heartbeats,
-    * tombstones) take their predecessor's position (0 at file start).
+  /** Uncached variant for one-shot (non-streaming) callers. */
+  def maxLsn(db: Path): Long = maxLsn(db, segmentStats)
+
+  /** Per-segment LSN statistics, one pass over the file:
+    *  - (lo, hi): effective bounds mirroring the reader's anchoring
+    *    exactly — lsn-less records (heartbeats, tombstones) take their
+    *    predecessor's position (0 at file start); an empty segment
+    *    yields (-1, MaxValue): never pruned;
+    *  - maxRaw: max RAW lsn (-1 if none), the segment's contribution to
+    *    the log end.
     * Segments are IMMUTABLE once visible (the tailer moves them in
-    * atomically), so the stream caches bounds forever and prunes
-    * out-of-range files from each micro-batch — without this, a
+    * atomically), so streams cache stats forever — without this, a
     * long-running stream reopens every segment ever written on every
-    * trigger. An empty segment yields (-1, MaxValue): never pruned. */
-  def segmentBounds(f: Path): (Long, Long) = {
+    * trigger, both when pruning micro-batch plans and when answering
+    * latestOffset/metrics. */
+  final case class SegStats(lo: Long, hi: Long, maxRaw: Long)
+
+  /** Count of full segment scans ever performed — observability for the
+    * read-each-segment-at-most-once property (asserted in tests). */
+  val segmentScans = new java.util.concurrent.atomic.LongAdder
+
+  def segmentStats(f: Path): SegStats = {
+    segmentScans.increment()
     var last = 0L
     var lo = Long.MaxValue
     var hi = Long.MinValue
+    var maxRaw = -1L
     val s = Files.lines(f)
     try s.iterator().asScala.filter(_.trim.nonEmpty).foreach { line =>
       val raw = lsnOf(line)
       val eff = if (raw >= 0) { last = raw; raw } else last
       lo = math.min(lo, eff); hi = math.max(hi, eff)
+      maxRaw = math.max(maxRaw, raw)
     } finally s.close()
-    if (hi == Long.MinValue) (-1L, Long.MaxValue) else (lo, hi)
+    if (hi == Long.MinValue) SegStats(-1L, Long.MaxValue, -1L) else SegStats(lo, hi, maxRaw)
+  }
+
+  def segmentBounds(f: Path): (Long, Long) = {
+    val st = segmentStats(f)
+    (st.lo, st.hi)
   }
 
   def lsnOf(line: String): Long = {
@@ -237,9 +256,9 @@ private[cdc] final class CdcMicroBatchStream(options: Map[String, String], pushe
   override def initialOffset(): Offset = CdcOffset(-1L)
   override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
   override def latestOffset(): Offset =
-    availableNowTarget.getOrElse(CdcOffset(CdcLayout.maxLsn(db)))
+    availableNowTarget.getOrElse(CdcOffset(maxLsnCached()))
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(CdcOffset(CdcLayout.maxLsn(db)))
+    availableNowTarget = Some(CdcOffset(maxLsnCached()))
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val target = latestOffset().asInstanceOf[CdcOffset].lsn
     val s = start.asInstanceOf[CdcOffset].lsn
@@ -253,7 +272,7 @@ private[cdc] final class CdcMicroBatchStream(options: Map[String, String], pushe
     CdcOffset(capped)
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def reportLatestOffset(): Offset = CdcOffset(CdcLayout.maxLsn(db))
+  override def reportLatestOffset(): Offset = CdcOffset(maxLsnCached())
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -262,7 +281,7 @@ private[cdc] final class CdcMicroBatchStream(options: Map[String, String], pushe
     * current log end, consumed position, and the LSN backlog between
     * them (the "queue remaining" of a log-backed source). */
   override def metrics(latestConsumed: java.util.Optional[Offset]): java.util.Map[String, String] = {
-    val maxLsn = CdcLayout.maxLsn(db)
+    val maxLsn = maxLsnCached()
     val consumed = if (latestConsumed.isPresent)
       latestConsumed.get.asInstanceOf[CdcOffset].lsn else -1L
     java.util.Map.of(
@@ -290,15 +309,23 @@ private[cdc] final class CdcMicroBatchStream(options: Map[String, String], pushe
           // prune segments wholly outside (from, e] via cached bounds —
           // segments are immutable, so bounds are computed once ever
           .filter { p =>
-            val (lo, hi) = boundsCache.getOrElseUpdate(p.toString, CdcLayout.segmentBounds(p))
-            hi > from && lo <= e
+            val st = statsOf(p)
+            st.hi > from && st.lo <= e
           }
           .map(p =>
             CdcPartition(p.toString, isSnapshot = false, from, e): InputPartition)
       else Nil
     (snaps ++ wals).toArray
   }
-  private val boundsCache = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  /** ONE stats cache shared by planning, latestOffset, reportLatestOffset
+    * and metrics: driver I/O per trigger is O(segments never seen before),
+    * not O(total log) — the tailer analog of asking the server for
+    * pg_current_wal_lsn() instead of re-reading the log. */
+  private val statsCache = scala.collection.concurrent.TrieMap.empty[String, CdcLayout.SegStats]
+  private def statsOf(p: Path): CdcLayout.SegStats =
+    statsCache.getOrElseUpdate(p.toString, CdcLayout.segmentStats(p))
+  private def maxLsnCached(): Long = CdcLayout.maxLsn(db, statsOf)
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(options, pushed)
 }

@@ -35,6 +35,33 @@ class SegmentPruningSpec extends SparkSpec {
     assert(CdcLayout.segmentBounds(wals(2)) == (9L, 9L))
   }
 
+  test("latestOffset/metrics never re-scan a segment: driver I/O is O(new segments) per trigger") {
+    val db = db3()
+    val opts = Map("path" -> db.toString,
+      "keyschema" -> "id INT", "rowschema" -> "id INT")
+    val stream = new CdcMicroBatchStream(opts, Array.empty)
+
+    val before = CdcLayout.segmentScans.sum()
+    // a long-running stream: many idle triggers, each asking for the log
+    // end (latestOffset), the progress report (reportLatestOffset) and
+    // metrics — with 3 immutable segments this must cost exactly 3 scans
+    // TOTAL, not 3 per call
+    (1 to 10).foreach { _ =>
+      assert(stream.latestOffset().asInstanceOf[CdcOffset].lsn == 9L)
+      assert(stream.reportLatestOffset().asInstanceOf[CdcOffset].lsn == 9L)
+      stream.metrics(java.util.Optional.empty())
+      stream.planInputPartitions(CdcOffset(-1L), CdcOffset(9L))
+    }
+    assert(CdcLayout.segmentScans.sum() - before == 3L)
+
+    // a NEW segment appears: the next trigger scans only it
+    java.nio.file.Files.writeString(db.resolve("wal").resolve("wal-003.jsonl"),
+      line(7, 11) + "\n")
+    assert(stream.latestOffset().asInstanceOf[CdcOffset].lsn == 11L)
+    stream.metrics(java.util.Optional.empty())
+    assert(CdcLayout.segmentScans.sum() - before == 4L)
+  }
+
   test("planInputPartitions opens only segments overlapping the LSN range") {
     val db = db3()
     val opts = Map("path" -> db.toString,
