@@ -152,9 +152,25 @@ object Dedup {
     * O(component diameter) supersteps — duplicate families are
     * shallow — with early exit at fixpoint. The same per-step plan is
     * the building block of large-star/small-star if extreme-diameter
-    * graphs ever appear. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // Iterative frames use EAGER localCheckpoint, not persist:
+    * graphs ever appear.
+    *
+    * `checkpointDir`: when set, supersteps use RELIABLE checkpoints
+    * (`df.checkpoint` into that directory) — local checkpoints store
+    * blocks only on executors, so on a real cluster an executor loss
+    * mid-computation kills the query (no lineage left to recompute);
+    * a long-running 100 TB clustering job should pay the HDFS write
+    * for restartability. Default (None) keeps the faster
+    * executor-local checkpoints.
+    *
+    * Throws if `maxIter` supersteps pass without reaching the
+    * fixpoint: a silent early exit would return PARTIALLY propagated
+    * labels — one component split into several cluster ids — which is
+    * data corruption for a dedup pipeline. Components deeper than the
+    * default 20 mean an unusually chained duplicate family: raise
+    * maxIter (cost is per-superstep, not quadratic). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    // Iterative frames use EAGER checkpoints, not persist:
     // (a) the candidate pipeline materializes exactly once (the union
     //     below references it twice, and concurrently-scheduled union
     //     branches RACE an unfilled cache into double computation);
@@ -163,27 +179,33 @@ object Dedup {
     //     unpersisting a parent mid-loop invalidates dependent caches
     //     and each later superstep recomputes a compounding lineage
     //     (measured: 1.5s → 5.4s per iteration before this).
-    // Checkpoint blocks free on GC.
-    val p0 = pairs.localCheckpoint(true)
-    val edges = p0.select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionByName(p0.select(col("id_b").as("a"), col("id_a").as("b")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("a").as("v")).distinct()
-      .withColumn("label", col("v")).localCheckpoint(true)
+    // Local checkpoint blocks free on GC; reliable ones live in
+    // checkpointDir until the application cleans it.
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val p0 = save(pairs)
+    val edges = save(p0.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(p0.select(col("id_b").as("a"), col("id_a").as("b"))))
+    var labels = save(edges.select(col("a").as("v")).distinct()
+      .withColumn("label", col("v")))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val fromNbrs = edges.join(labels.withColumnRenamed("v", "b"), "b")
         .select(col("a").as("v"), col("label"))
-      val next = labels.unionByName(fromNbrs)
-        .groupBy("v").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      val next = save(labels.unionByName(fromNbrs)
+        .groupBy("v").agg(min("label").as("label")))
       val changed = next.join(labels.withColumnRenamed("label", "__old"), "v")
         .filter(col("label") =!= col("__old")).count() > 0
       labels = next
       done = !changed
       iter += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter supersteps — a component has " +
+        s"diameter > $maxIter and its labels are only partially propagated; raise maxIter")
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -206,7 +228,13 @@ object Dedup {
                     evalDf: DataFrame, evalId: Column, evalShinglesCol: Column,
                     maxDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The exploded-distinct train shingles feed TWO consumers — the
+    // rare-shingle document frequencies and the posting list joined
+    // against eval — so materialize them once (eager, same rationale
+    // as connectedComponents: lazy persist lets concurrently-scheduled
+    // branches race an unfilled cache into double explosion).
     val tsh = train.select(trainId.as("train_id"), explode(trainShinglesCol).as("sh")).distinct()
+      .localCheckpoint(true)
     val rare = tsh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
     val trare = tsh.join(rare, "sh")

@@ -54,22 +54,47 @@ object Sampling {
     * — the mixture-weights step of corpus assembly ("this much web,
     * this much books"). The document that straddles the budget is
     * kept (budgets are reached, not undershot); a zero budget excludes
-    * the group. One window per group over (unit-interval, id) order —
-    * the cut is a pure function of (salt, ids), reproducible on any
-    * engine or cluster size, and groups window independently so the
-    * sort distributes. */
+    * the group. The cut is a pure function of (salt, ids), reproducible
+    * on any engine or cluster size.
+    *
+    * Scale shape: the admission order is (unit-interval, id), and the
+    * unit interval is RANGE-sharded into `nShards` contiguous slices —
+    * shard = floor(u·n) — so the global running sum decomposes exactly
+    * into (sum of whole lower shards) + (running sum within the shard).
+    * The heavy sort-window partitions by (group, shard) — n spillable
+    * tasks per group spread over the cluster — while the cross-shard
+    * prefix is a broadcast-joined aggregate of (groups × shards) rows.
+    * A single window per group would drag each source's ENTIRE corpus
+    * through one task's sort: a few ~10 TB single-task sorts at 100 TB. */
   def budgetedMix(df: DataFrame, idCol: Column, groupCol: Column, nTokensCol: Column,
                   budgets: Map[String, Long], defaultBudget: Long,
-                  salt: String = "mix"): DataFrame = {
+                  salt: String = "mix", nShards: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(groupCol).orderBy(unitInterval(idCol, salt), idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    require(nShards > 0, "nShards must be positive")
     val budget = budgets.foldLeft(lit(defaultBudget): Column) { case (acc, (k, b)) =>
       when(groupCol === lit(k), lit(b)).otherwise(acc)
     }
-    df.withColumn("__cum_before", sum(nTokensCol).over(w) - nTokensCol)
-      .filter(col("__cum_before") < budget)
-      .drop("__cum_before")
+    // u ∈ [0,1) ⇒ floor(u·n) ∈ [0,n); least() guards IEEE edge cases
+    val withShard = df
+      .withColumn("__u", unitInterval(idCol, salt))
+      .withColumn("__shard", least(floor(col("__u") * nShards), lit(nShards - 1L)))
+    // tokens admitted BEFORE each shard = prefix sum over the tiny
+    // per-(group, shard) totals — broadcast back, never a global sort
+    val wPrefix = Window.partitionBy(col("__g")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = withShard
+      .select(groupCol.as("__g"), col("__shard").as("__s"), nTokensCol.as("__n"))
+      .groupBy(col("__g"), col("__s")).agg(sum(col("__n")).as("__t"))
+      .withColumn("__before_shard", sum(col("__t")).over(wPrefix) - col("__t"))
+      .select(col("__g"), col("__s"), col("__before_shard"))
+    val wShard = Window.partitionBy(groupCol, col("__shard")).orderBy(col("__u"), idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withShard
+      .withColumn("__cum_in_shard", sum(nTokensCol).over(wShard) - nTokensCol)
+      .join(broadcast(prefixes),
+        groupCol === col("__g") && col("__shard") === col("__s"))
+      .filter(col("__before_shard") + col("__cum_in_shard") < budget)
+      .drop("__u", "__shard", "__cum_in_shard", "__g", "__s", "__before_shard")
   }
 
   /** Per-stratum keep rates (e.g. down-sample dominant languages):

@@ -91,6 +91,31 @@ class LlmSpec extends SparkSpec {
     assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
   }
 
+  test("budgeted mix: one dominant source spreads its sort over many shards, result unchanged") {
+    import org.apache.spark.sql.expressions.Window
+    // 2000 docs, ALL one source — the single-window shape would sort them in ONE task
+    val docs = (1L to 2000L).map(i => (i, "web", 7L)).toDF("id", "src", "n")
+    val mixed = Sampling.budgetedMix(docs, col("id"), col("src"), col("n"),
+      budgets = Map.empty, defaultBudget = 4900L, nShards = 8)
+
+    // reference = the global single-window formulation (what we replaced)
+    val wRef = Window.partitionBy(col("src"))
+      .orderBy(Sampling.unitInterval(col("id"), "mix"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs.withColumn("cb", sum(col("n")).over(wRef) - col("n"))
+      .filter(col("cb") < 4900L).drop("cb")
+    assert(mixed.exceptAll(ref).isEmpty && ref.exceptAll(mixed).isEmpty)
+
+    // the heavy window partitions by (src, __shard): >1 distinct key for one source
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(plan.contains("__shard"), "heavy window must partition by the unit-interval shard")
+    val shardCount = docs
+      .withColumn("u", Sampling.unitInterval(col("id"), "mix"))
+      .select(least(floor(col("u") * 8), lit(7L)).as("s"))
+      .distinct().count()
+    assert(shardCount > 1, s"dominant source must span >1 shard, got $shardCount")
+  }
+
   test("connected components: chains collapse to one cluster, islands stay apart") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L)).toDF("id_a", "id_b")
     val comp = Dedup.connectedComponents(pairs)
@@ -98,6 +123,21 @@ class LlmSpec extends SparkSpec {
     assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L) // chain 1-2-3
     assert(comp(5L) == 5L && comp(6L) == 5L)                   // island
     assert(comp(7L) == 7L && comp(8L) == 7L && comp(9L) == 7L) // joined via 9
+  }
+
+  test("connected components: reliable checkpointDir variant matches; non-convergence throws") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L)).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+                           7L -> 7L, 8L -> 7L, 9L -> 7L))
+    // a 6-deep chain cannot finish in 3 supersteps: partial labels must
+    // THROW, not silently split the component into several cluster ids
+    val chain = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 3).collect()
+    }
   }
 
   test("contamination: copied eval doc flags against its source; clean doc scores low") {
