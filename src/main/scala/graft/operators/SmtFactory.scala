@@ -70,9 +70,15 @@ object SmtFactory {
           Smt(n, df => df.withColumn("value",
             col("value").withField("after", col("value.after").dropFields(excl: _*))))
         case "ValueToKey" | "valuetokey" =>
+          // Delete envelopes carry after=null — fall back to the
+          // before-image so a delete keeps the key that identifies the
+          // row it removes (matches the upstream SMT on unwrapped
+          // deletes; without it downstream upsert/routing sees an
+          // all-null key and can't match the delete to its row).
           val fields = list("fields")
           Smt(n, df => df.withColumn("key",
-            struct(fields.map(f => col(s"value.after.$f").as(f)): _*)))
+            struct(fields.map(f =>
+              coalesce(col(s"value.after.$f"), col(s"value.before.$f")).as(f)): _*)))
         case "HeaderToValue" | "headertovalue" =>
           val headers = list("headers"); val fields = list("fields")
           require(headers.size == fields.size,

@@ -30,11 +30,17 @@ final class SchemaHistory(dir: Path) {
     * shaped stream). Expects canonical record columns; the DDL payload
     * is carried as the serialized value struct. */
   def record(schemaChanges: DataFrame): Unit = {
+    // collect() returns rows in PARTITION order, not lsn order — a
+    // multi-partition control batch can hand back two DDLs for one
+    // table reversed, and the latest-wins fold in currentSchemas would
+    // resurrect the stale schema. Stable-sort by lsn (ties keep
+    // arrival order) before appending.
     val rows = schemaChanges.select(
         col("destination"),
         coalesce(col("value.source.lsn"), lit(-1L)).as("lsn"),
         to_json(col("value")).as("ddl"))
       .collect() // control stream: DDL-rate, driver-side by design
+      .sortBy(_.getLong(1))
     if (rows.nonEmpty) {
       val lines = rows.map { r =>
         s"""{"destination":${q(r.getString(0))},"lsn":${r.getLong(1)},"ddl":${q(r.getString(2))}}"""

@@ -108,6 +108,21 @@ class ServicesSpec extends SparkSpec {
     recovered.record(ddlStream.filter(
       org.apache.spark.sql.functions.col("value.source.lsn") === 1L))
     assert(new SchemaHistory(dir).replay().size == 4)
+
+    // ORDERING: collect() returns partition order, not lsn order — two
+    // DDLs for the same table deliberately placed in different
+    // partitions in REVERSED lsn order must still append lsn-sorted,
+    // or the latest-wins fold resurrects the stale schema
+    val shuffled = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        ddl("testc.s.t9.schema-changes", 20L, "ALTER-t9-NEW"),
+        ddl("testc.s.t9.schema-changes", 10L, "CREATE-t9-OLD")), numSlices = 2),
+      schema)
+    val dir2 = Files.createTempDirectory("graft-schemahist2")
+    val hist2 = new SchemaHistory(dir2)
+    hist2.record(graft.operators.EventShaping.splitSchemaChanges(shuffled)._2)
+    assert(hist2.replay().map(_.lsn) == Seq(10L, 20L))
+    assert(hist2.currentSchemas()("testc.s.t9.schema-changes").contains("ALTER-t9-NEW"))
   }
 
   test("pipeline observes lag + snapshot phase; sink close fires on termination") {
