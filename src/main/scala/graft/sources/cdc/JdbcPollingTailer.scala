@@ -96,11 +96,14 @@ object JdbcPollingTailer {
   *    snapshot ended (the reference's snapshot→streaming handoff).
   *  - [[poll]] selects rows with watermark beyond the stored one,
   *    assigns each the next LSN from a global counter (the log's
-  *    total order), and writes ONE new immutable WAL segment
-  *    atomically (tmp + ATOMIC_MOVE — the DSv2 reader never sees a
-  *    partial file). High-watermark polling observes INSERTS (op='c');
-  *    updates/deletes need the protocol decoder — the classic JDBC
-  *    polling capture boundary, declared in COVERAGE.md.
+  *    total order), and streams them into bounded immutable WAL
+  *    segments, each written atomically (tmp + ATOMIC_MOVE — the DSv2
+  *    reader never sees a partial file). Single-numeric-key tables
+  *    get insert/update discrimination via the tracked key high-water
+  *    (op='c' vs op='u' with before=null — default-replica-identity
+  *    shape); soft-delete columns yield op='d'. HARD deletes and the
+  *    prior row image still need the protocol decoder — the classic
+  *    JDBC polling capture boundary, declared in COVERAGE.md.
   *  - Crash between segment write and state write replays rows into a
   *    later segment at higher LSNs — at-least-once, which the
   *    epoch-idempotent / latest-state-by-LSN downstream converges.
@@ -124,6 +127,7 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
       conn.setAutoCommit(false)
       conn.setTransactionIsolation(java.sql.Connection.TRANSACTION_REPEATABLE_READ)
       val watermarks = mutable.Map.empty[String, Long]
+      val maxKeys = mutable.Map.empty[String, Long]
       tables.foreach { t =>
         val rows = mutable.ArrayBuffer.empty[String]
         var wm = Long.MinValue
@@ -136,6 +140,9 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
             // the watermark advances over soft-deleted rows, but a
             // snapshot is CURRENT state — deleted rows don't appear
             wm = math.max(wm, longOf(m(t.watermarkCol.toLowerCase)))
+            // key high-water (soft-deleted rows still occupy keys)
+            serialKey(t, m).foreach(k =>
+              maxKeys(t.qualified) = math.max(maxKeys.getOrElse(t.qualified, Long.MinValue), k))
             if (!isSoftDeleted(t, m)) rows += jsonObject(m)
           }
         } finally st.close()
@@ -148,7 +155,7 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
       conn.commit()
       // the snapshot is consistent at LSN 0; polled changes follow at 1…
       Files.writeString(snapDir.resolve("_lsn"), "0")
-      writeState(0L, watermarks.toMap)
+      writeState(0L, watermarks.toMap, maxKeys.toMap)
     } finally conn.close()
   }
 
@@ -168,14 +175,26 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
     val snapDir = Files.createDirectories(dbDir.resolve("snapshot"))
     Files.createDirectories(dbDir.resolve("wal"))
     val watermarks = mutable.Map.empty[String, Long]
+    val maxKeys = mutable.Map.empty[String, Long]
     tables.foreach { t =>
       // bound first: the snapshot's consistency point on the watermark
       val conn = DriverManager.getConnection(jdbcUrl)
       val (lo, hi) = try {
         val rs = conn.createStatement().executeQuery(
           s"SELECT min(${t.watermarkCol}), max(${t.watermarkCol}) FROM ${t.qualified}")
-        if (rs.next() && rs.getObject(2) != null) (rs.getLong(1), rs.getLong(2))
-        else (0L, -1L) // empty table
+        val bounds = if (rs.next() && rs.getObject(2) != null) (rs.getLong(1), rs.getLong(2))
+          else (0L, -1L) // empty table
+        // key high-water at the same consistency point (single
+        // numeric-key tables only — the insert/update discriminator)
+        singleKeyCol(t).foreach { k =>
+          val krs = conn.createStatement().executeQuery(
+            s"SELECT max($k) FROM ${t.qualified} WHERE ${t.watermarkCol} <= ${bounds._2}")
+          if (krs.next()) krs.getObject(1) match {
+            case n: Number => maxKeys(t.qualified) = n.longValue()
+            case _ => ()
+          }
+        }
+        bounds
       } finally conn.close()
       watermarks(t.qualified) = if (hi < lo) Long.MinValue else hi
       val target = snapDir.resolve(s"${t.qualified}.jsonl")
@@ -202,22 +221,55 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
       }
     }
     Files.writeString(snapDir.resolve("_lsn"), "0")
-    writeState(0L, watermarks.toMap)
+    writeState(0L, watermarks.toMap, maxKeys.toMap)
   }
 
   /** One incremental poll: captures rows past each table's stored
-    * watermark into one new WAL segment. Returns the number of
-    * captured changes (0 writes no segment). */
-  def poll(): Int = {
+    * watermark into new WAL segments. Returns the number of captured
+    * changes (0 writes no segment).
+    *
+    * Bounded memory: rows stream from the result set into segments of
+    * at most `maxSegmentRecords` lines — a large backlog after
+    * downtime becomes MANY segments, never one driver-resident
+    * buffer. The state file advances after EVERY segment flush, so a
+    * crash mid-backlog replays only rows past the last flushed
+    * segment's watermark (at-least-once, converged downstream).
+    *
+    * Op fidelity: for tables whose key is a single numeric column,
+    * the snapshot/last-poll key high-water discriminates inserts from
+    * updates — a polled row whose key is at or below the high-water
+    * existed before, so it emits op='u' (before=null, the shape a
+    * Postgres decoder emits under default REPLICA IDENTITY — no prior
+    * image retained); a higher key is new → op='c'. Composite or
+    * non-numeric keys fall back to 'c' (latest-state downstream is
+    * unaffected; only op-code consumers see the difference). */
+  def poll(maxSegmentRecords: Int = 10000): Int = {
     require(Files.exists(stateFile), "tailer: snapshot() must run before poll()")
-    val (lsn0, wms0) = readState()
+    require(maxSegmentRecords > 0, "maxSegmentRecords must be positive")
+    val (lsn0, wms0, mks0) = readState()
     var lsn = lsn0
     val wms = mutable.Map(wms0.toSeq: _*)
-    val lines = mutable.ArrayBuffer.empty[String]
+    val mks = mutable.Map(mks0.toSeq: _*)
+    val buf = mutable.ArrayBuffer.empty[String]
+    var total = 0
+    val walDir = Files.createDirectories(dbDir.resolve("wal"))
+    var seq = CdcLayout.walFiles(dbDir).size
+    def flush(): Unit = if (buf.nonEmpty) {
+      val tmp = walDir.resolve(f".wal-$seq%06d.jsonl.tmp")
+      Files.writeString(tmp, buf.mkString("", "\n", "\n"))
+      Files.move(tmp, walDir.resolve(f"wal-$seq%06d.jsonl"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      seq += 1
+      writeState(lsn, wms.toMap, mks.toMap)
+      total += buf.size
+      buf.clear()
+    }
     val conn = DriverManager.getConnection(jdbcUrl)
     try {
       tables.foreach { t =>
         val from = wms.getOrElse(t.qualified, Long.MinValue)
+        // fixed at poll start: keys at/below this existed before
+        val keyHighWater = mks.getOrElse(t.qualified, Long.MinValue)
         val ps = conn.prepareStatement(
           s"SELECT * FROM ${t.qualified} WHERE ${t.watermarkCol} > ? ORDER BY ${t.watermarkCol}")
         try {
@@ -228,21 +280,18 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
             lsn += 1
             wms(t.qualified) = math.max(
               wms.getOrElse(t.qualified, Long.MinValue), longOf(m(t.watermarkCol.toLowerCase)))
-            lines += envelopeLine(t, m, lsn)
+            val k = serialKey(t, m)
+            val existedBefore = k.exists(_ <= keyHighWater)
+            k.foreach(v => mks(t.qualified) =
+              math.max(mks.getOrElse(t.qualified, Long.MinValue), v))
+            buf += envelopeLine(t, m, lsn, existedBefore)
+            if (buf.size >= maxSegmentRecords) flush()
           }
         } finally ps.close()
       }
     } finally conn.close()
-    if (lines.nonEmpty) {
-      val walDir = Files.createDirectories(dbDir.resolve("wal"))
-      val seq = CdcLayout.walFiles(dbDir).size
-      val tmp = walDir.resolve(f".wal-$seq%06d.jsonl.tmp")
-      Files.writeString(tmp, lines.mkString("", "\n", "\n"))
-      Files.move(tmp, walDir.resolve(f"wal-$seq%06d.jsonl"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      writeState(lsn, wms.toMap)
-    }
-    lines.size
+    flush()
+    total
   }
 
   /** lowercased column → value map for the current result-set row. */
@@ -259,6 +308,16 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
       s"tailer: watermark column must be integer-typed, got $other")
   }
 
+  /** The single key column, when there is exactly one — the
+    * insert/update discriminator only works for serial-style keys. */
+  private def singleKeyCol(t: TableSpec): Option[String] =
+    t.keyCols match { case Seq(k) => Some(k.toLowerCase); case _ => None }
+
+  /** This row's key as a Long, when the table has a single numeric
+    * key column. */
+  private def serialKey(t: TableSpec, row: Map[String, Any]): Option[Long] =
+    singleKeyCol(t).flatMap(k => row.get(k)).collect { case n: Number => n.longValue() }
+
   private def isSoftDeleted(t: TableSpec, row: Map[String, Any]): Boolean =
     t.softDeleteCol.exists(c => row.get(c.toLowerCase) match {
       case Some(b: java.lang.Boolean) => b.booleanValue()
@@ -266,10 +325,12 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
       case _                          => false
     })
 
-  private def envelopeLine(t: TableSpec, row: Map[String, Any], lsn: Long): String = {
+  private def envelopeLine(t: TableSpec, row: Map[String, Any], lsn: Long,
+                           existedBefore: Boolean): String = {
     val key = jsonObject(t.keyCols.map(k => k.toLowerCase -> row(k.toLowerCase)).toMap)
     val (op, before, after) =
       if (isSoftDeleted(t, row)) ("d", jsonObject(row), "null")
+      else if (existedBefore) ("u", "null", jsonObject(row))
       else ("c", "null", jsonObject(row))
     s"""{"destination":"$topicPrefix.${t.qualified}","key":$key,""" +
       s""""value":{"op":"$op","before":$before,"after":$after,""" +
@@ -297,22 +358,26 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
     } + "\""
   }
 
-  /** State file: "lsn <n>" + "wm <schema.table> <watermark>" lines. */
-  private def writeState(lsn: Long, wms: Map[String, Long]): Unit = {
+  /** State file: "lsn <n>" + "wm <schema.table> <watermark>" +
+    * "mk <schema.table> <max key>" lines. */
+  private def writeState(lsn: Long, wms: Map[String, Long],
+                         mks: Map[String, Long]): Unit = {
     val tmp = dbDir.resolve("_tailer_state.tmp")
     Files.writeString(tmp,
-      (s"lsn $lsn" +: wms.toSeq.sorted.map { case (t, w) => s"wm $t $w" })
+      (s"lsn $lsn" +:
+        (wms.toSeq.sorted.map { case (t, w) => s"wm $t $w" } ++
+         mks.toSeq.sorted.map { case (t, k) => s"mk $t $k" }))
         .mkString("", "\n", "\n"))
     Files.move(tmp, stateFile,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def readState(): (Long, Map[String, Long]) = {
+  private def readState(): (Long, Map[String, Long], Map[String, Long]) = {
     val lines = Files.readAllLines(stateFile).asScala.filter(_.nonEmpty)
     val lsn = lines.head.stripPrefix("lsn ").trim.toLong
-    val wms = lines.tail.map { l =>
+    def section(tag: String) = lines.tail.filter(_.startsWith(tag + " ")).map { l =>
       val Array(_, t, w) = l.split(" ", 3); t -> w.toLong
     }.toMap
-    (lsn, wms)
+    (lsn, section("wm"), section("mk"))
   }
 }

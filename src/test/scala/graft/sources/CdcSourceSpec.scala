@@ -203,7 +203,9 @@ class CdcSourceSpec extends SparkSpec {
       .option("rowSchema", "id INT, v STRING, version BIGINT, deleted BOOLEAN")
       .load()
     val ops = records.select("value.op").collect().map(_.getString(0)).sorted.toSeq
-    assert(ops == Seq("c", "d", "r", "r")) // snapshot pair + update + delete
+    // snapshot pair + UPDATE (key 1 is below the snapshot key
+    // high-water → op='u', before=null) + soft DELETE
+    assert(ops == Seq("d", "r", "r", "u"))
     // final state: id 1 updated, id 2 gone
     val state = graft.operators.ApplyChanges.latestState(records,
         keyCols = Seq(col("key.id")),
@@ -212,6 +214,57 @@ class CdcSourceSpec extends SparkSpec {
       .select(col("key.id").as("id"), col("value.after.v").as("v"))
       .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(state == Seq((1, "one-v2")))
+    conn.close()
+  }
+
+  test("tailer op fidelity + chunked backlog: c/u/d sequence, bounded segments") {
+    import graft.sources.cdc.JdbcPollingTailer
+    import JdbcPollingTailer.TableSpec
+    val url = s"jdbc:derby:memory:opfid${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE app.items (id INT PRIMARY KEY, v VARCHAR(32), " +
+      "version BIGINT, deleted BOOLEAN)")
+    st.execute("INSERT INTO app.items VALUES (1, 'seed', 1, false)")
+
+    val db = Files.createTempDirectory("graft-opfid")
+    val tailer = new JdbcPollingTailer(url, db,
+      Seq(TableSpec("app", "items", Seq("id"), "version", softDeleteCol = Some("deleted"))))
+    tailer.snapshot()
+
+    // lifecycle of one row: INSERT → UPDATE → soft DELETE, one poll each
+    st.execute("INSERT INTO app.items VALUES (2, 'born', 2, false)")
+    assert(tailer.poll() == 1)
+    st.execute("UPDATE app.items SET v = 'changed', version = 3 WHERE id = 2")
+    assert(tailer.poll() == 1)
+    st.execute("UPDATE app.items SET deleted = true, version = 4 WHERE id = 2")
+    assert(tailer.poll() == 1)
+
+    val records = spark.read.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", "id INT")
+      .option("rowSchema", "id INT, v STRING, version BIGINT, deleted BOOLEAN")
+      .load()
+    val life = records.filter(col("key.id") === 2)
+      .orderBy(coalesce(col("value.source.lsn"), lit(-1L)))
+      .select("value.op").collect().map(_.getString(0)).toSeq
+    assert(life == Seq("c", "u", "d"), s"expected c/u/d lifecycle, got $life")
+
+    // a big backlog streams into BOUNDED segments, not one buffer:
+    // 120 new rows at maxSegmentRecords=50 → 3 new segments
+    val before = Files.list(db.resolve("wal")).count()
+    (10 to 129).foreach(i =>
+      st.execute(s"INSERT INTO app.items VALUES ($i, 'r$i', ${100 + i}, false)"))
+    assert(tailer.poll(maxSegmentRecords = 50) == 120)
+    val after = Files.list(db.resolve("wal")).count()
+    assert(after - before == 3, s"expected 3 bounded segments, got ${after - before}")
+    // the chunked backlog is still one contiguous LSN range
+    val all = spark.read.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", "id INT")
+      .option("rowSchema", "id INT, v STRING, version BIGINT, deleted BOOLEAN")
+      .load()
+    assert(all.filter(col("value.op") === "c").count() == 121) // id=2 + 120 backlog
     conn.close()
   }
 
