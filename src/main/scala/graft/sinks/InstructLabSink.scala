@@ -54,24 +54,33 @@ object InstructLabSink {
       case c => c.toString
     } + "\""
 
-  /** ONE-row aggregate per taxonomy mapping: (n_records, yaml) — the
-    * per-record extraction, escaping, and snippet rendering run on
-    * executors; only the concatenated per-file string reaches the
-    * driver. */
-  private[sinks] def taxonomyYaml(batch: DataFrame, m: TaxonomyMapping): DataFrame = {
+  /** ONE aggregate row per taxonomy mapping, computed in ONE pass:
+    * every record evaluates all m mappings (an array of
+    * (mapping-index, rendered-snippet-or-null) structs, exploded),
+    * then a single groupBy(mapping-index) with map-side partial
+    * aggregation. m mappings cost one scan of the batch — not m
+    * filter+agg jobs — and only ≤m (count, per-file yaml) rows reach
+    * the driver. */
+  private[sinks] def taxonomyAggs(batch: DataFrame,
+                                  mappings: Seq[TaxonomyMapping]): DataFrame = {
     val esc = udf((s: String) => if (s == null) null else quote(s))
-    val entry = concat(
-      lit("  - questions_and_answers:\n      - question: "), esc(col("q")),
-      lit("\n        answer: "), esc(col("a")), lit("\n"),
-      when(col("c").isNotNull, concat(lit("    context: "), esc(col("c")), lit("\n")))
-        .otherwise(lit("")))
-    batch
-      .filter(col("destination").rlike(m.topicRegex))
-      .select(m.question.toColumn.as("q"), m.answer.toColumn.as("a"),
-              m.context.map(_.toColumn).getOrElse(lit(null).cast("string")).as("c"))
-      .filter(col("q").isNotNull && col("a").isNotNull)
-      .select(entry.as("y"))
-      .agg(count(lit(1)).as("n"), concat_ws("", collect_list(col("y"))).as("yaml"))
+    val tagged = mappings.zipWithIndex.map { case (m, i) =>
+      val q = m.question.toColumn
+      val a = m.answer.toColumn
+      val c = m.context.map(_.toColumn).getOrElse(lit(null).cast("string"))
+      val entry = concat(
+        lit("  - questions_and_answers:\n      - question: "), esc(q),
+        lit("\n        answer: "), esc(a), lit("\n"),
+        when(c.isNotNull, concat(lit("    context: "), esc(c), lit("\n")))
+          .otherwise(lit("")))
+      struct(lit(i).as("i"),
+        when(col("destination").rlike(m.topicRegex) && q.isNotNull && a.isNotNull,
+          entry).as("y"))
+    }
+    batch.select(explode(array(tagged: _*)).as("e"))
+      .filter(col("e.y").isNotNull)
+      .groupBy(col("e.i").as("i"))
+      .agg(count(lit(1)).as("n"), concat_ws("", collect_list(col("e.y"))).as("yaml"))
   }
 }
 
@@ -86,16 +95,17 @@ final class InstructLabSink(baseDir: String,
   override def validate(): Unit = Files.createDirectories(Paths.get(baseDir))
 
   override def write(batch: DataFrame, epochId: Long): Unit = {
-    mappings.foreach { m =>
-      val agg = taxonomyYaml(batch, m).head()
-      if (agg.getLong(0) > 0) {
-        val dir = Paths.get(baseDir, m.taxonomyPath)
-        Files.createDirectories(dir)
-        val f = dir.resolve("qna.yml")
-        if (!Files.exists(f))
-          Files.writeString(f, "version: 3\nseed_examples:\n", StandardOpenOption.CREATE)
-        Files.writeString(f, agg.getString(1), StandardOpenOption.APPEND)
-      }
+    if (mappings.isEmpty) return
+    // One Spark job for the whole batch; mappings with zero matching
+    // records simply have no output row.
+    taxonomyAggs(batch, mappings).collect().foreach { r =>
+      val m = mappings(r.getInt(0))
+      val dir = Paths.get(baseDir, m.taxonomyPath)
+      Files.createDirectories(dir)
+      val f = dir.resolve("qna.yml")
+      if (!Files.exists(f))
+        Files.writeString(f, "version: 3\nseed_examples:\n", StandardOpenOption.CREATE)
+      Files.writeString(f, r.getString(2), StandardOpenOption.APPEND)
     }
   }
 

@@ -114,15 +114,56 @@ class SinksSpec extends SparkSpec {
     val m = TaxonomyMapping("testc\\.faq\\..*", "knowledge/faq",
       FromValue("q"), FromValue("a"))
     val big = records(200)
-    val agg = InstructLabSink.taxonomyYaml(big, m)
+    val agg = InstructLabSink.taxonomyAggs(big, Seq(m))
     // batch-size-independent driver footprint: the aggregate is a
-    // single row carrying (count, rendered-yaml) regardless of records
+    // single row carrying (mapping-idx, count, rendered-yaml)
+    // regardless of records
     assert(agg.count() == 1)
     val row = agg.head()
-    assert(row.getLong(0) == 200)
-    assert(row.getString(1).split("questions_and_answers").length - 1 == 200)
+    assert(row.getInt(0) == 0)
+    assert(row.getLong(1) == 200)
+    assert(row.getString(2).split("questions_and_answers").length - 1 == 200)
     // escaping runs executor-side inside the rendered string
-    assert(row.getString(1).contains("question: \"question 1\""))
+    assert(row.getString(2).contains("question: \"question 1\""))
+  }
+
+  test("instructlab job count is independent of the mapping count (one pass)") {
+    import InstructLabSink._
+    // count the Spark jobs a write() submits (listener events post
+    // asynchronously — poll until the count is stable)
+    def jobsFor(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        val deadline = System.currentTimeMillis() + 5000
+        var last = -1
+        while (System.currentTimeMillis() < deadline && jobs.get() != last) {
+          last = jobs.get(); Thread.sleep(150)
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    val one = Seq(
+      TaxonomyMapping("testc\\.faq\\..*", "knowledge/a", FromValue("q"), FromValue("a")))
+    val three = one ++ Seq(
+      TaxonomyMapping("testc\\.faq\\..*", "knowledge/b", FromValue("a"), FromValue("q")),
+      TaxonomyMapping("no\\.match\\..*", "knowledge/c", FromValue("q"), FromValue("a")))
+    val dir1 = Files.createTempDirectory("graft-ilab-j1").toString
+    val dir3 = Files.createTempDirectory("graft-ilab-j3").toString
+    val j1 = jobsFor(new InstructLabSink(dir1, one).write(records(4), 0))
+    val j3 = jobsFor(new InstructLabSink(dir3, three).write(records(4), 0))
+    // the whole batch is ONE aggregation pass: 3 mappings cost the
+    // same jobs as 1 (the old per-mapping loop ran m filter+agg jobs)
+    assert(j3 == j1, s"expected mapping-count-independent jobs, saw $j1 (1 mapping) vs $j3 (3)")
+    // both matching mappings produced files, the non-matching one none
+    assert(Files.exists(Paths.get(dir3, "knowledge/a/qna.yml")))
+    assert(Files.exists(Paths.get(dir3, "knowledge/b/qna.yml")))
+    assert(!Files.exists(Paths.get(dir3, "knowledge/c")))
   }
 
   test("parquet upsert sink skips a replayed epoch (idempotency)") {
