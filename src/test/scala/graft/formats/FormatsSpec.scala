@@ -118,6 +118,58 @@ class FormatsSpec extends SparkSpec {
     assert(id2 != id)
   }
 
+  test("http registry client speaks the Confluent wire protocol end-to-end") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    // a live HTTP registry backed by the in-memory store: the two
+    // Confluent REST endpoints the client uses
+    val store = new AvroFormat.InMemorySchemaRegistry
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    def reply(x: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      x.sendResponseHeaders(code, b.length)
+      x.getResponseBody.write(b); x.close()
+    }
+    server.createContext("/", new HttpHandler {
+      private val post = "/subjects/([^/]+)/versions".r
+      private val get = "/schemas/ids/(\\d+)".r
+      override def handle(x: HttpExchange): Unit = x.getRequestURI.getPath match {
+        case post(subject) =>
+          val req = graft.sources.cdc.JsonRows.parse(
+            new String(x.getRequestBody.readAllBytes(), "UTF-8"))
+          val schema = new org.apache.avro.Schema.Parser().parse(req.get("schema").asText())
+          val id = store.register(java.net.URLDecoder.decode(subject, "UTF-8"), schema)
+          reply(x, 200, s"""{"id":$id}""")
+        case get(id) =>
+          try {
+            val s = store.byId(id.toInt).toString
+            reply(x, 200, s"""{"schema":${com.fasterxml.jackson.databind.node.TextNode.valueOf(s).toString}}""")
+          } catch { case _: IllegalArgumentException =>
+            reply(x, 404, """{"error_code":40403,"message":"Schema not found"}""") }
+        case _ => reply(x, 404, "{}")
+      }
+    })
+    server.start()
+    try {
+      val client = new HttpSchemaRegistryClient(
+        s"http://localhost:${server.getAddress.getPort}")
+      val df = frame()
+      val bytes = df.filter(col("id") === 1)
+        .select(Formats.Avro(rowSchema, Some(client), "t-value")
+          .serialize(struct(df.columns.map(col).toIndexedSeq: _*)).as("b"))
+        .head().getAs[Array[Byte]]("b")
+      assert(bytes(0) == 0x00)
+      // registration is idempotent across clients (same schema → same id)
+      assert(client.register("t-value", AvroFormat.avroSchema(rowSchema)) ==
+        java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt)
+      // consumer side resolves the id over HTTP and decodes the body
+      val rec = AvroFormat.decodeFramed(bytes, client)
+      assert(rec.get("id") == 1 && rec.get("name").toString == "alice")
+      // unknown id surfaces the server error
+      val err = intercept[IllegalStateException](client.byId(999999))
+      assert(err.getMessage.contains("404"))
+    } finally server.stop(0)
+  }
+
   test("cloudevents carries the CE 1.0 attributes and the envelope as data") {
     val keySchema = StructType(Seq(StructField("id", IntegerType)))
     val schema = graft.model.Envelope.recordSchema(keySchema, StructType(Seq(
