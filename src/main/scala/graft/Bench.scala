@@ -10,6 +10,13 @@ import org.apache.spark.sql.SparkSession
   * q04's TakeOrdered were partially unmeasured), whereas a noop write
   * evaluates every output column of every row and discards them
   * executor-side — full query work, zero sink cost, no driver collect.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and
+  * reports the per-query MEDIAN; total = sum of medians. Single runs
+  * on this class of host swing ±3× across sessions (round-3/4
+  * measured llm05 at 2.2 ↔ 6.9 s on identical code), which made
+  * round-over-round comparison noise-dominated; the median absorbs
+  * one-off GC/page-cache/JIT outliers while staying cheap.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,17 +41,20 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = Queries.all.map { q =>
       // fixture construction and cache cleanup run OUTSIDE the timer —
       // BENCH measures query work only
       q.prepare.foreach(p => try p(spark, sfDir)
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name} prepare failed: ${e.getMessage}") })
-      val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
       q.cleanup.foreach(c => try c(spark) catch { case _: Throwable => () })
-      q.name -> dt
+      q.name -> times.sorted.apply(times.size / 2) // median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
