@@ -42,6 +42,53 @@ object Curation {
     graft.streaming.StreamingOps.dedupExactStream(
       docs.filter(qualityGate(textCol, cfg)), textCol, tsCol, watermarkDelay)
 
+  /** Near-dup stage knobs — the PRODUCTION configuration of the
+    * MinHash/LSH pipeline, including the two 100 TB switches the
+    * oracle queries keep off: `maxBucketSize` (the hot-bucket cap —
+    * real corpora hash boilerplate into a few mega-buckets whose
+    * s·(s−1)/2 pairs would dominate the candidate join; capped buckets
+    * drop whole and true near-dups still pair through their other
+    * bands) and `checkpointDir` (reliable checkpoints for the
+    * clustering supersteps — survives executor loss). */
+  final case class NearDupConfig(shingleN: Int = 5,
+                                 k: Int = 16,
+                                 rowsPerBand: Int = 4,
+                                 jaccardThreshold: Double = 0.8,
+                                 maxBucketSize: Option[Int] = None,
+                                 checkpointDir: Option[String] = None)
+
+  /** NEAR-dup curation: quality gates → MinHash signatures → LSH
+    * candidate pairs (hot-bucket cap per `cfgNd`) → exact Jaccard
+    * verify → connected components → keep the min-id representative
+    * per duplicate cluster. Returns surviving (doc_id, text) rows.
+    *
+    * Scale shape: one shingle explosion feeds both the signature
+    * aggregation and the verify join (materialized once, eagerly —
+    * same rationale as `Dedup.contamination`); pair generation is
+    * bucketed, never all-pairs; clustering runs on the verified 8-byte
+    * edge list only. */
+  def curateNearDup(docs: DataFrame, idCol: Column, textCol: Column,
+                    cfg: Config = Config(),
+                    cfgNd: NearDupConfig = NearDupConfig()): DataFrame = {
+    val gated = docs.filter(qualityGate(textCol, cfg))
+      .select(idCol.as("doc_id"), textCol.as("text"),
+              Dedup.shingles(textCol, cfgNd.shingleN).as("sh"))
+      .localCheckpoint(true)
+    val sig = Dedup.minhashSignature(gated, col("doc_id"), col("sh"), cfgNd.k)
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBuckets(sig, cfgNd.k, cfgNd.rowsPerBand), cfgNd.maxBucketSize)
+    val verified = pairs
+      .join(gated.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(gated.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= cfgNd.jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val dropIds = Dedup.connectedComponents(verified, checkpointDir = cfgNd.checkpointDir)
+      .filter(col("doc_id") =!= col("cluster_id")) // non-representatives
+      .select(col("doc_id"))
+    gated.join(dropIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+  }
+
   /** Curate: gates, then keep the lowest-id doc per distinct content.
     * The dedup is ONE window over the content hash (rank-1 per hash) —
     * a single shuffle and a single evaluation of the gated scan, where

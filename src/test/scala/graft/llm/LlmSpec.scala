@@ -269,6 +269,68 @@ class LlmSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("repetition gate drops degenerate docs; PII scrub counts and masks") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"), // 7/8 dup tokens
+      (2L, "a perfectly normal sentence with distinct words throughout entirely"),
+      (3L, "alpha beta alpha beta alpha beta alpha beta alpha beta")) // 2-gram loop
+      .toDF("doc_id", "text")
+    val kept = docs.filter(TextAnalysis.repetitionGate(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L))
+    // n-gram construction itself
+    val g2 = docs.filter(col("doc_id") === 3)
+      .select(TextAnalysis.wordNgrams(col("text"), 2).as("g")).head().getSeq[String](0)
+    assert(g2.take(2) == Seq("alpha beta", "beta alpha") && g2.length == 9)
+
+    val pii = Seq(
+      (1L, "write to bob.smith+x@example.com or call 212-555-1234 today"),
+      (2L, "no contact details here at all"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Pii.emailCount(col("text")).as("e"),
+        Pii.phoneCount(col("text")).as("p"), Pii.mask(col("text")).as("m"),
+        Pii.clean(col("text")).as("clean"))
+      .orderBy("doc_id").collect()
+    assert(pii(0).getInt(1) == 1 && pii(0).getInt(2) == 1 && !pii(0).getBoolean(4))
+    assert(pii(0).getString(3) == "write to <EMAIL> or call <PHONE> today")
+    assert(pii(1).getInt(1) == 0 && pii(1).getInt(2) == 0 && pii(1).getBoolean(4))
+    assert(pii(1).getString(3) == "no contact details here at all")
+  }
+
+  test("curateNearDup clusters near-dups; hot-bucket cap bounds mega-bucket pairs") {
+    // a 12-doc boilerplate family (identical text → one mega-bucket in
+    // EVERY band), one genuine near-dup pair (1,2), five distinct docs
+    val boiler = "all rights reserved copyright notice and terms of service apply to every " +
+      "page of this site including archived and cached copies thereof"
+    val mega = (100L to 111L).map(i => (i, boiler))
+    val near1 = (1L, "the quick brown fox jumps over the lazy dog near the quiet river bank " +
+      "while the morning sun rises slowly over the distant misty hills today")
+    val near2 = (2L, "the quick brown fox jumps over the lazy dog near the quiet river bank " +
+      "while the morning sun rises slowly over the distant misty hills now")
+    val others = (10L to 14L).map(i => (i,
+      s"completely unrelated document number $i with its own distinctive vocabulary " +
+      s"and rare tokens zebra$i quasar$i obelisk$i"))
+    val docs = (mega ++ Seq(near1, near2) ++ others).toDF("doc_id", "text")
+    val cfg = Curation.Config(minTokens = 8, maxPunctRatio = 0.5, keepLangs = Set.empty)
+
+    // uncapped: the mega family collapses to its min-id representative,
+    // the near-dup pair keeps doc 1, distinct docs survive
+    val kept = Curation.curateNearDup(docs, col("doc_id"), col("text"), cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L))
+    assert(kept.intersect((100L to 111L).toSet) == Set(100L))
+    assert((10L to 14L).forall(kept.contains))
+
+    // capped at 5: the 12-doc mega-buckets drop WHOLE (bounded pair
+    // generation — no s·(s−1)/2 blowup), so the family is left alone;
+    // the small (1,2) bucket still pairs and dedups
+    val keptCapped = Curation.curateNearDup(docs, col("doc_id"), col("text"), cfg,
+        Curation.NearDupConfig(maxBucketSize = Some(5)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptCapped.contains(1L) && !keptCapped.contains(2L))
+    assert(keptCapped.intersect((100L to 111L).toSet) == (100L to 111L).toSet)
+  }
+
   test("curation composes gates + dedup and keeps the lowest id per content") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
