@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
-import graft.llm.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Packing, Pii, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** LLM training-data pipeline operators (SURVEY.md §7.2 step 8) over
   * the `documents` and `embeddings` tables.
@@ -11,7 +11,88 @@ object QueriesLlm {
 
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
-                        llm18)
+                        llm18, llm19, llm20)
+
+  /** Gopher-style repetition stats (TextAnalysis.wordNgrams /
+    * dupFraction / repetitionGate): duplicate token / 2-gram / 3-gram
+    * fractions plus the keep flag — one codegen'd projection over the
+    * document scan. */
+  private def llm19 = Q("llm19_repetition",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = TextAnalysis.tokens(col("text"))
+      d.select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          TextAnalysis.dupFraction(toks).as("dup_token_frac"),
+          TextAnalysis.dupFraction(TextAnalysis.wordNgrams(col("text"), 2)).as("dup_2gram_frac"),
+          TextAnalysis.dupFraction(TextAnalysis.wordNgrams(col("text"), 3)).as("dup_3gram_frac"))
+        .withColumn("keep",
+          col("dup_token_frac") <= 0.7 && col("dup_2gram_frac") <= 0.2 &&
+            col("dup_3gram_frac") <= 0.15)
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |         [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS g2,
+        |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |            for i in range(1, len(toks)-1)] AS g3
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE (len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE)
+        |    END AS dup_token_frac,
+        |    CASE WHEN len(g2) = 0 THEN 0.0
+        |         ELSE (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE)
+        |    END AS dup_2gram_frac,
+        |    CASE WHEN len(g3) = 0 THEN 0.0
+        |         ELSE (len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE)
+        |    END AS dup_3gram_frac
+        |  FROM g)
+        |SELECT doc_id, n_tokens, dup_token_frac, dup_2gram_frac, dup_3gram_frac,
+        |       (dup_token_frac <= 0.7 AND dup_2gram_frac <= 0.2 AND dup_3gram_frac <= 0.15)
+        |         AS keep
+        |FROM f ORDER BY doc_id""".stripMargin))
+
+  /** PII scrub (Pii.emailCount/phoneCount/mask): the corpus text has
+    * no PII, so the query plants a deterministic email + phone per
+    * document (derived from doc_id, identically in both engines) and
+    * checks counts and the redacted text. */
+  private def llm20 = Q("llm20_pii_scrub",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val synth = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today"))
+      d.select(col("doc_id"), synth.as("t"))
+        .select(col("doc_id"),
+          Pii.emailCount(col("t")).cast("long").as("n_emails"),
+          Pii.phoneCount(col("t")).cast("long").as("n_phones"),
+          Pii.mask(col("t")).as("masked"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '([0-9]{3}-)?[0-9]{3}-[0-9]{4}'))
+        |    AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{3}-)?[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked
+        |FROM t ORDER BY doc_id""".stripMargin))
 
   /** Budgeted corpus mixing (Sampling.budgetedMix): per-source token
     * budgets — src0 capped low, src1 excluded, everything else at the

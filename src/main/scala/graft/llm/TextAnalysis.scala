@@ -80,6 +80,40 @@ object TextAnalysis {
   def fingerprintMin(text: Column): Column =
     array_min(transform(tokens(text), t => Portable.hash64(t)))
 
+  /** Word n-grams (space-joined) — the unit of repetition measurement.
+    * Pure Column algebra (sequence/transform/element_at) so the n-gram
+    * build stays in the same single pass as the rest of the text
+    * stats; an empty/short document yields an empty array. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 2, "use tokens() for 1-grams")
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of array elements that are repeats of an earlier
+    * element: (len − distinct)/len, 0 for empty. Exact integer counts
+    * and ONE IEEE division — bit-reproducible across engines. */
+  def dupFraction(arr: Column): Column =
+    when(size(arr) <= 0, lit(0.0))
+      .otherwise((size(arr) - size(array_distinct(arr))).cast("double") /
+        size(arr).cast("double"))
+
+  /** Gopher-style repetition gate (Rae et al. 2021, table A1 shape):
+    * drop documents dominated by repeated tokens / 2-grams / 3-grams —
+    * boilerplate, keyword stuffing, and degenerate generations all
+    * light these up. Thresholds are corpus-tunable; the stats are a
+    * single codegen'd projection over the scan. */
+  def repetitionGate(text: Column,
+                     maxDupTokenFrac: Double = 0.7,
+                     maxDup2gramFrac: Double = 0.2,
+                     maxDup3gramFrac: Double = 0.15): Column =
+    (dupFraction(tokens(text)) <= maxDupTokenFrac) &&
+      (dupFraction(wordNgrams(text, 2)) <= maxDup2gramFrac) &&
+      (dupFraction(wordNgrams(text, 3)) <= maxDup3gramFrac)
+
   /** GPT-2-style pre-tokenizer pattern (simplified to the portable
     * RE2 ∩ Java-regex subset): contractions, letter runs, digit runs,
     * and symbol runs, each with an optional leading space. Whitespace

@@ -151,8 +151,15 @@ class PlanSpec extends SparkSpec {
     assert(sPack.exists(_.contains("shard")), s"expected a shard-keyed exchange: $sPack")
     val mix = Queries.byName("llm18_budgeted_mix")(spark, sfSmoke)
     val sMix = shufflePartitionings(planOf(mix))
-    // per-source window + output sort
-    assert(sMix.size <= 2, s"mixing shuffles: $sMix")
+    // round-4 sharded shape: the only FULL-data exchanges are the
+    // (group, shard) window — n spillable tasks per source, never one
+    // task per source — and the output sort; the (group, shard) totals
+    // and their prefix-sum window exchange only #groups × #shards
+    // aggregate rows
+    assert(sMix.size <= 4, s"mixing shuffles: $sMix")
+    val heavy = sMix.filter(s => !s.startsWith("rangepartitioning") && !s.contains("__g"))
+    assert(heavy.size == 1 && heavy.head.contains("__shard"),
+      s"the full-data exchange must key on (group, shard): $sMix")
   }
 
   test("cdc07: the CDC path scans through the DSv2 source") {
