@@ -42,7 +42,11 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = Queries.all.map { q =>
+    // SPARK_GRAFT_BENCH_ONLY=llm19,llm05 — comma-separated name prefixes
+    // for single-query iteration; unset = full catalog (driver mode).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val catalog = only.fold(Queries.all)(ps => Queries.all.filter(q => ps.exists(q.name.startsWith)))
+    val results = catalog.map { q =>
       // fixture construction and cache cleanup run OUTSIDE the timer —
       // BENCH measures query work only
       q.prepare.foreach(p => try p(spark, sfDir)

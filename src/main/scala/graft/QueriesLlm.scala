@@ -20,12 +20,18 @@ object QueriesLlm {
   private def llm19 = Q("llm19_repetition",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      val toks = TextAnalysis.tokens(col("text"))
-      d.select(col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
-          TextAnalysis.dupFraction(toks).as("dup_token_frac"),
-          TextAnalysis.dupFraction(TextAnalysis.wordNgrams(col("text"), 2)).as("dup_2gram_frac"),
-          TextAnalysis.dupFraction(TextAnalysis.wordNgrams(col("text"), 3)).as("dup_3gram_frac"))
+      // Tokenize once, then derive both gram orders from the bound
+      // array column — the n-gram build is slice/zip_with over an
+      // attribute, so nothing re-tokenizes per element.
+      d.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("__toks"),
+          TextAnalysis.ngramsOfTokens(col("__toks"), 2).as("__g2"),
+          TextAnalysis.ngramsOfTokens(col("__toks"), 3).as("__g3"))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          TextAnalysis.dupFraction(col("__toks")).as("dup_token_frac"),
+          TextAnalysis.dupFraction(col("__g2")).as("dup_2gram_frac"),
+          TextAnalysis.dupFraction(col("__g3")).as("dup_3gram_frac"))
         .withColumn("keep",
           col("dup_token_frac") <= 0.7 && col("dup_2gram_frac") <= 0.2 &&
             col("dup_3gram_frac") <= 0.15)

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated name prefixes for targeted
+    // re-verification while iterating; driver passes two args = full run
+    val catalog = if (args.length > 2)
+      Queries.all.filter(q => args(2).split(",").exists(q.name.startsWith))
+    else Queries.all
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +24,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    Queries.all.foreach { q =>
+    catalog.foreach { q =>
       try {
         q.prepare.foreach(_(spark, sfDir))
         q.run(spark, sfDir).coalesce(1).write.mode("overwrite")

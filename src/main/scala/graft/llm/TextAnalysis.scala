@@ -80,18 +80,28 @@ object TextAnalysis {
   def fingerprintMin(text: Column): Column =
     array_min(transform(tokens(text), t => Portable.hash64(t)))
 
-  /** Word n-grams (space-joined) — the unit of repetition measurement.
-    * Pure Column algebra (sequence/transform/element_at) so the n-gram
-    * build stays in the same single pass as the rest of the text
-    * stats; an empty/short document yields an empty array. */
-  def wordNgrams(text: Column, n: Int): Column = {
+  /** Word n-grams (space-joined) from a token-array column — the unit
+    * of repetition measurement. Built by zipping n aligned slices of
+    * the array, so `toks` is evaluated a constant number of times per
+    * row, never per element. (The naive transform(sequence(1, T-n+1),
+    * i => element_at(toks, i+j)) form re-runs the whole expression
+    * behind `toks` for EVERY n-gram position — higher-order-function
+    * lambdas are interpreted with no subexpression reuse — making the
+    * pass O(tokens²) per document when `toks` is the tokenizer itself:
+    * measured 108 s vs ~1 s at sf0.1 for the repetition query.)
+    * A document shorter than n tokens yields an empty array. */
+  def ngramsOfTokens(toks: Column, n: Int): Column = {
     require(n >= 2, "use tokens() for 1-grams")
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
+    val len = greatest(size(toks) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), len), (a, b) => concat(a, lit(" "), b))
+    }
   }
+
+  /** Word n-grams straight from text; prefer binding `tokens(text)` to
+    * a real column first (one tokenizer run per row) when computing
+    * several gram orders over the same document. */
+  def wordNgrams(text: Column, n: Int): Column = ngramsOfTokens(tokens(text), n)
 
   /** Fraction of array elements that are repeats of an earlier
     * element: (len − distinct)/len, 0 for empty. Exact integer counts
