@@ -93,11 +93,11 @@ object QueriesLlm {
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
         |    AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(t, '([0-9]{3}-)?[0-9]{3}-[0-9]{4}'))
+        |  CAST(len(regexp_extract_all(t, '(^|[^0-9-])(([0-9]{3}-)?[0-9]{3}-[0-9]{4})($|[^0-9-])'))
         |    AS BIGINT) AS n_phones,
         |  regexp_replace(regexp_replace(t,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '([0-9]{3}-)?[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked
+        |    '(^|[^0-9-])(([0-9]{3}-)?[0-9]{3}-[0-9]{4})($|[^0-9-])', '\1<PHONE>\4', 'g') AS masked
         |FROM t ORDER BY doc_id""".stripMargin))
 
   /** Budgeted corpus mixing (Sampling.budgetedMix): per-source token

@@ -33,7 +33,11 @@ final class HttpSchemaRegistryClient(baseUrl: String,
     new java.util.concurrent.ConcurrentHashMap[Integer, Schema]()
 
   override def register(subject: String, schema: Schema): Int = {
+    // URLEncoder does FORM encoding: a space becomes '+', which a
+    // registry server decodes as a literal '+' in the path segment and
+    // registers under the wrong subject — re-encode as %20.
     val enc = java.net.URLEncoder.encode(subject, StandardCharsets.UTF_8)
+      .replace("+", "%20")
     val body = s"""{"schema":${jsonQuote(schema.toString)}}"""
     val node = graft.sources.cdc.JsonRows.parse(
       send(HttpRequest.newBuilder(URI.create(s"$base/subjects/$enc/versions"))

@@ -75,10 +75,15 @@ object SmtFactory {
           // row it removes (matches the upstream SMT on unwrapped
           // deletes; without it downstream upsert/routing sees an
           // all-null key and can't match the delete to its row).
+          // Gate on the WHOLE after struct, not per field: an update
+          // envelope with both images and a legitimately-NULL key field
+          // in after must keep that NULL, not resurrect the stale
+          // before value (upstream extracts from one image only).
           val fields = list("fields")
           Smt(n, df => df.withColumn("key",
             struct(fields.map(f =>
-              coalesce(col(s"value.after.$f"), col(s"value.before.$f")).as(f)): _*)))
+              when(col("value.after").isNull, col(s"value.before.$f"))
+                .otherwise(col(s"value.after.$f")).as(f)): _*)))
         case "HeaderToValue" | "headertovalue" =>
           val headers = list("headers"); val fields = list("fields")
           require(headers.size == fields.size,

@@ -17,10 +17,20 @@ object JdbcPollingTailer {
     *  - plus `softDeleteCol` (a boolean) → DELETEs too: rows flagged
     *    true emit op='d' (before = row, after = null), completing
     *    C/U/D over polling. Hard deletes still need the log protocol.
-    */
+    *
+    * `serialKeyOps` opts IN to the insert/update op-code discriminator
+    * for tables whose single numeric key is assigned monotonically
+    * (serial/identity): a polled row whose key is at/below the key
+    * high-water recorded at poll start emits op='u', new keys emit
+    * op='c'. It is OFF by default because the heuristic is silently
+    * wrong for non-serial keys — an explicit insert at a low key, key
+    * reuse after delete, or crash-replayed rows would flip 'c'→'u';
+    * without it every non-soft-deleted polled row emits 'c' and
+    * downstream latest-state still converges. */
   final case class TableSpec(schema: String, table: String,
                              keyCols: Seq[String], watermarkCol: String,
-                             softDeleteCol: Option[String] = None) {
+                             softDeleteCol: Option[String] = None,
+                             serialKeyOps: Boolean = false) {
     def qualified: String = s"$schema.$table"
   }
 
@@ -37,14 +47,16 @@ object JdbcPollingTailer {
     val tables = req("debezium.source.jdbc.tables").split(",").map(_.trim).filter(_.nonEmpty)
       .map { spec =>
         spec.split(":") match {
-          case Array(qual, keys, wm) =>
+          case Array(qual, keys, wm, rest @ _*) if rest.size <= 2 =>
             val Array(schema, table) = qual.split("\\.", 2)
-            TableSpec(schema, table, keys.split("\\+").toSeq, wm)
-          case Array(qual, keys, wm, softDel) =>
-            val Array(schema, table) = qual.split("\\.", 2)
-            TableSpec(schema, table, keys.split("\\+").toSeq, wm, Some(softDel))
+            // trailing segments: the literal token `serial` opts into
+            // the serial-key op discriminator; any other segment is
+            // the soft-delete column
+            val serial = rest.contains("serial")
+            val softDel = rest.filterNot(_ == "serial").headOption
+            TableSpec(schema, table, keys.split("\\+").toSeq, wm, softDel, serial)
           case _ => throw new IllegalArgumentException(
-            s"bad table spec '$spec' (want schema.table:key1+key2:watermarkCol[:softDeleteCol])")
+            s"bad table spec '$spec' (want schema.table:key1+key2:watermarkCol[:softDeleteCol][:serial])")
         }
       }.toSeq
     new JdbcPollingTailer(req("debezium.source.jdbc.url"),
@@ -114,6 +126,9 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
                               connectorName: String = "jdbc",
                               dbName: String = "db") {
   import JdbcPollingTailer.TableSpec
+
+  /** The configured capture list (read-only view for config tests). */
+  def tableSpecs: Seq[TableSpec] = tables
 
   private val stateFile = dbDir.resolve("_tailer_state")
 
@@ -281,7 +296,7 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
             wms(t.qualified) = math.max(
               wms.getOrElse(t.qualified, Long.MinValue), longOf(m(t.watermarkCol.toLowerCase)))
             val k = serialKey(t, m)
-            val existedBefore = k.exists(_ <= keyHighWater)
+            val existedBefore = t.serialKeyOps && k.exists(_ <= keyHighWater)
             k.foreach(v => mks(t.qualified) =
               math.max(mks.getOrElse(t.qualified, Long.MinValue), v))
             buf += envelopeLine(t, m, lsn, existedBefore)

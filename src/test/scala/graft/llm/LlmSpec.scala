@@ -285,7 +285,8 @@ class LlmSpec extends SparkSpec {
 
     val pii = Seq(
       (1L, "write to bob.smith+x@example.com or call 212-555-1234 today"),
-      (2L, "no contact details here at all"))
+      (2L, "no contact details here at all"),
+      (3L, "card 4111-1111-1111-1111 and id 123-456-7890-X end 555-1234"))
       .toDF("doc_id", "text")
       .select(col("doc_id"), Pii.emailCount(col("text")).as("e"),
         Pii.phoneCount(col("text")).as("p"), Pii.mask(col("text")).as("m"),
@@ -295,6 +296,11 @@ class LlmSpec extends SparkSpec {
     assert(pii(0).getString(3) == "write to <EMAIL> or call <PHONE> today")
     assert(pii(1).getInt(1) == 0 && pii(1).getInt(2) == 0 && pii(1).getBoolean(4))
     assert(pii(1).getString(3) == "no contact details here at all")
+    // boundary guards: longer digit/hyphen runs are NOT partially
+    // masked mid-token; a genuine trailing phone still is
+    assert(pii(2).getInt(2) == 1)
+    assert(pii(2).getString(3) ==
+      "card 4111-1111-1111-1111 and id 123-456-7890-X end <PHONE>")
   }
 
   test("curateNearDup clusters near-dups; hot-bucket cap bounds mega-bucket pairs") {

@@ -188,7 +188,7 @@ class CdcSourceSpec extends SparkSpec {
     val db = Files.createTempDirectory("graft-cud")
     // watermark = version column (monotonic across inserts AND updates)
     val tailer = new JdbcPollingTailer(url, db,
-      Seq(TableSpec("app", "items", Seq("id"), "version", softDeleteCol = Some("deleted"))))
+      Seq(TableSpec("app", "items", Seq("id"), "version", softDeleteCol = Some("deleted"), serialKeyOps = true)))
     tailer.snapshot()
 
     // UPDATE: bump the version past the stored watermark
@@ -229,7 +229,7 @@ class CdcSourceSpec extends SparkSpec {
 
     val db = Files.createTempDirectory("graft-opfid")
     val tailer = new JdbcPollingTailer(url, db,
-      Seq(TableSpec("app", "items", Seq("id"), "version", softDeleteCol = Some("deleted"))))
+      Seq(TableSpec("app", "items", Seq("id"), "version", softDeleteCol = Some("deleted"), serialKeyOps = true)))
     tailer.snapshot()
 
     // lifecycle of one row: INSERT → UPDATE → soft DELETE, one poll each
@@ -266,6 +266,48 @@ class CdcSourceSpec extends SparkSpec {
       .load()
     assert(all.filter(col("value.op") === "c").count() == 121) // id=2 + 120 backlog
     conn.close()
+  }
+
+  test("serial-key discriminator is opt-in: default spec emits 'c' even below the key high-water") {
+    import graft.sources.cdc.JdbcPollingTailer
+    import JdbcPollingTailer.TableSpec
+    val url = s"jdbc:derby:memory:optin${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE app.items (id INT PRIMARY KEY, v VARCHAR(32), " +
+      "version BIGINT, deleted BOOLEAN)")
+    st.execute("INSERT INTO app.items VALUES (10, 'seed', 1, false)")
+    val db = Files.createTempDirectory("graft-optin")
+    // serialKeyOps left at the default (false): keys are NOT serial here
+    val tailer = new JdbcPollingTailer(url, db,
+      Seq(TableSpec("app", "items", Seq("id"), "version", softDeleteCol = Some("deleted"))))
+    tailer.snapshot()
+    // an explicit insert BELOW the recorded key high-water (10) — with
+    // the discriminator on this would be silently mislabeled 'u'
+    st.execute("INSERT INTO app.items VALUES (3, 'low-key insert', 2, false)")
+    assert(tailer.poll() == 1)
+    val records = spark.read.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", "id INT")
+      .option("rowSchema", "id INT, v STRING, version BIGINT, deleted BOOLEAN")
+      .load()
+    val op = records.filter(col("key.id") === 3)
+      .select("value.op").collect().map(_.getString(0)).toSeq
+    assert(op == Seq("c"), s"non-serial table must emit 'c' for a genuinely new row, got $op")
+    conn.close()
+  }
+
+  test("table-spec parser: trailing 'serial' token opts into the discriminator") {
+    import graft.sources.cdc.JdbcPollingTailer
+    val t = JdbcPollingTailer.fromProperties(Map(
+      "debezium.source.jdbc.url" -> "jdbc:derby:memory:parse;create=true",
+      "debezium.source.jdbc.tables" ->
+        "a.t1:id:version,a.t2:id:version:deleted,a.t3:id:version:serial,a.t4:id:version:deleted:serial",
+      "debezium.source.path" -> Files.createTempDirectory("graft-parse").toString))
+    val specs = t.tableSpecs
+    assert(specs.map(s => (s.qualified, s.softDeleteCol, s.serialKeyOps)) == Seq(
+      ("a.t1", None, false), ("a.t2", Some("deleted"), false),
+      ("a.t3", None, true), ("a.t4", Some("deleted"), true)))
   }
 
   test("distributed snapshot: partitioned JDBC read writes a multi-part dump the source scans") {
