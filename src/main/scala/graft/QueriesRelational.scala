@@ -13,7 +13,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object QueriesRelational {
 
-  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08)
+  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -208,4 +208,88 @@ object QueriesRelational {
            |FROM part
            |WHERE p_partkey <= 100
            |ORDER BY p_partkey""".stripMargin))
+
+  /** As-of join (operators.TemporalJoin.asOf): each click event picks
+    * up the latest purchase by the same user at or before its
+    * timestamp — the temporal-join shape a CDC consumer uses to enrich
+    * a fact stream with Debezium-fed dimension state at event time.
+    * One shuffle + one sort, no join explosion (see TemporalJoin).
+    * Oracle = DuckDB's native ASOF LEFT JOIN over the same frames. */
+  private def q09 = Q("q09_asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("matched_event_id"),
+          col("value").as("matched_value"))
+      graft.operators.TemporalJoin.asOf(l, r,
+          keyCols = Seq("user_id"), leftTime = "ts_us", rightTime = "ts_us",
+          payloadCols = Seq("matched_event_id", "matched_value"),
+          tiebreakCols = Seq("matched_event_id"),
+          matchedTimeAs = Some("matched_ts_us"))
+        .orderBy(col("event_id"))
+    },
+    Some(
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
+        |  FROM events WHERE event_type = 'click'),
+        |r0 AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (  -- ties on (user, ts) resolved to the max event id, like
+        |        -- the Spark side's ascending tiebreak (last wins)
+        |  SELECT user_id, ts_us, max_by(event_id, event_id) AS matched_event_id,
+        |         max_by(value, event_id) AS matched_value
+        |  FROM r0 GROUP BY user_id, ts_us)
+        |SELECT l.event_id, l.user_id, l.ts_us, l.value,
+        |       r.matched_event_id, r.matched_value, r.ts_us AS matched_ts_us
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+        |ORDER BY l.event_id""".stripMargin))
+
+  /** Point-in-range (interval) join (operators.TemporalJoin
+    * .pointInRange): clicks landing inside the 5-minute window opened
+    * by each error event of the same user, aggregated per window.
+    * Planned as an EQUI join on (user, time bin) — not the
+    * BroadcastNestedLoopJoin Spark gives a raw inequality join —
+    * so it shuffles once and scales linearly in matches. */
+  private def q10 = Q("q10_range_join",
+    (s, dir) => {
+      val win = 300000000L // 5 minutes in micros = the bin width
+      val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val r = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("range_id"), col("user_id"),
+          col("ts_us").as("w_start"), (col("ts_us") + win).as("w_end"))
+      val p = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("p_ts"),
+          col("event_id").as("p_id"), col("value").as("p_value"))
+      val joined = graft.operators.TemporalJoin.pointInRange(p, r,
+        keyCols = Seq("user_id"), pointTime = "p_ts",
+        rangeStart = "w_start", rangeEnd = "w_end", binWidth = win)
+      val agg = joined.groupBy(col("range_id"))
+        .agg(count(col("p_id")).as("n_clicks"),
+          sum(col("p_value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      r.join(agg, Seq("range_id"), "left")
+        .select(col("range_id"), col("user_id"), col("w_start"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"), col("sum_value"))
+        .orderBy(col("range_id"))
+    },
+    Some(
+      """WITH r AS (
+        |  SELECT event_id AS range_id, user_id,
+        |         epoch_ns(ts) // 1000 AS w_start,
+        |         epoch_ns(ts) // 1000 + 300000000 AS w_end
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS p_ts, event_id AS p_id, value AS p_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT r.range_id, r.user_id, r.w_start,
+        |       count(p.p_id) AS n_clicks,
+        |       CAST(sum(CAST(p.p_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM r LEFT JOIN p
+        |  ON r.user_id = p.user_id AND p.p_ts >= r.w_start AND p.p_ts <= r.w_end
+        |GROUP BY r.range_id, r.user_id, r.w_start
+        |ORDER BY r.range_id""".stripMargin))
 }
