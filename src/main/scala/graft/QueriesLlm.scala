@@ -11,7 +11,88 @@ object QueriesLlm {
 
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
-                        llm18, llm19, llm20)
+                        llm18, llm19, llm20, llm21, llm22, llm23)
+
+  /** Sub-document (passage-level) dedup stats (Dedup.passages /
+    * passageDupStats): Dolma-style paragraph dedup generalized to
+    * fixed 8-token chunks. Half the corpus is planted as a duplicated
+    * copy so the stats are non-trivial; passages travel as 8-byte
+    * hashes after the explode. */
+  private def llm21 = Q("llm21_passage_dedup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val half = d.filter(col("doc_id") < 250)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      Dedup.passageDupStats(d.unionByName(half), col("doc_id"), col("text"), size = 8)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH a AS (SELECT doc_id, text FROM documents
+            |           UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 250),
+            |t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM a),
+            |p AS (SELECT doc_id, unnest([array_to_string(toks[(i-1)*8+1:i*8], ' ')
+            |                             for i in range(1, len(toks)//8 + 1)]) AS passage FROM t),
+            |hh AS (SELECT doc_id, ${Portable.duckHash64("passage")} AS h FROM p),
+            |dfq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM hh GROUP BY h),
+            |agg AS (SELECT doc_id, count(*) AS n_passages,
+            |          CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages
+            |        FROM hh JOIN dfq USING (h) GROUP BY doc_id)
+            |SELECT a.doc_id, coalesce(n_passages, 0) AS n_passages,
+            |  coalesce(n_dup_passages, 0) AS n_dup_passages,
+            |  CASE WHEN coalesce(n_passages, 0) = 0 THEN 0.0
+            |       ELSE coalesce(n_dup_passages, 0) / CAST(n_passages AS DOUBLE)
+            |  END AS dup_passage_frac
+            |FROM a LEFT JOIN agg USING (doc_id)
+            |ORDER BY doc_id""".stripMargin))
+
+  /** Characteristic-term extraction (TextAnalysis.topTerms): top-3
+    * terms per document by integer-exact (tf desc, df asc, term)
+    * ranking — the transcendental-free tf-idf (see topTerms scaladoc
+    * for why no floating log crosses the engine boundary). */
+  private def llm22 = Q("llm22_top_terms",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 100)
+      TextAnalysis.topTerms(d, col("doc_id"), col("text"), k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+           |tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+           |                             x -> len(x) > 0)) AS term FROM d),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+           |SELECT doc_id, rank, term, tf, df FROM (
+           |  SELECT tf.doc_id, CAST(row_number() OVER (PARTITION BY tf.doc_id
+           |           ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS INT) AS rank,
+           |         tf.term, tf.tf, dfq.df
+           |  FROM tf JOIN dfq USING (term)) r
+           |WHERE rank <= 3
+           |ORDER BY doc_id, rank""".stripMargin))
+
+  /** Per-source rank-based quality gating
+    * (Curation.keepTopQualityPerGroup): keep the top half of each
+    * source by quality score — FineWeb-style per-dump stratified
+    * filtering that an absolute threshold can't express. */
+  private def llm23 = Q("llm23_quality_gate_per_source",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      Curation.keepTopQualityPerGroup(d, col("doc_id"), col("source"),
+          col("quality"), keepFraction = 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, source,
+           |    (CAST(least(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)), 64) AS DOUBLE) / 64.0)
+           |      * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+           |               / CAST(greatest(length(text), 1) AS DOUBLE)) AS quality
+           |  FROM documents),
+           |r AS (SELECT doc_id, source, quality,
+           |        row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk,
+           |        count(*) OVER (PARTITION BY source) AS n
+           |      FROM d)
+           |SELECT doc_id, source, quality FROM r
+           |WHERE rk <= floor(n * 0.5)
+           |ORDER BY doc_id""".stripMargin))
 
   /** Gopher-style repetition stats (TextAnalysis.wordNgrams /
     * dupFraction / repetitionGate): duplicate token / 2-gram / 3-gram

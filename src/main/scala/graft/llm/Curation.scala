@@ -89,6 +89,32 @@ object Curation {
       .select(col("doc_id"), col("text"))
   }
 
+  /** Rank-based quality gating WITHIN each group (source/dump/domain):
+    * keep the top `keepFraction` of documents per group by score —
+    * FineWeb-style per-dump stratified filtering, which an absolute
+    * threshold can't express when score distributions differ by
+    * source. Deterministic: ties break on the id column; a group of n
+    * keeps floor(n·keepFraction) documents (so keepFraction=0.5 keeps
+    * exactly the top half, rounding down). Two windows over ONE
+    * shuffle on the group key — rank and group size share the same
+    * partitioning, and at 100 TB a handful of group keys is the
+    * known skew risk (same caveat as any per-source window; salt or
+    * pre-aggregate a pathological source). */
+  def keepTopQualityPerGroup(docs: DataFrame, idCol: Column, groupCol: Column,
+                             scoreCol: Column, keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.partitionBy(col("__g"))
+      .orderBy(col("__score").desc, col("__id").asc)
+    val all = Window.partitionBy(col("__g"))
+    docs.withColumn("__g", groupCol).withColumn("__score", scoreCol)
+      .withColumn("__id", idCol)
+      .withColumn("__rank", row_number().over(byScore))
+      .withColumn("__n", count(lit(1)).over(all))
+      .filter(col("__rank") <= floor(col("__n") * keepFraction))
+      .drop("__g", "__score", "__id", "__rank", "__n")
+  }
+
   /** Curate: gates, then keep the lowest-id doc per distinct content.
     * The dedup is ONE window over the content hash (rank-1 per hash) —
     * a single shuffle and a single evaluation of the gated scan, where

@@ -112,6 +112,51 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Non-overlapping fixed-size token passages (space-joined) — the
+    * sub-document dedup unit (Dolma-style paragraph dedup generalized
+    * to fixed chunks for corpora without paragraph breaks). Only full
+    * chunks are emitted: a trailing partial chunk is dropped, and a
+    * document shorter than `size` tokens yields no passages —
+    * deterministic and engine-portable. Bind the token array to a real
+    * column first (one tokenizer run per row); the slice inside the
+    * lambda then reads an attribute, not a recomputed expression. */
+  def passages(toks: Column, n: Int): Column = {
+    require(n >= 1, "passage size must be >= 1")
+    val cnt = (size(toks) / n).cast("int")
+    // sequence(1, 0) yields a DESCENDING [1, 0], not empty — guard the
+    // under-one-chunk case explicitly
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(toks, (i - lit(1)) * n + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document passage-duplication stats over a corpus: how much of
+    * each document consists of passages that also appear in OTHER
+    * documents. The passage travels as an 8-byte content hash after
+    * the explode, so the shuffle is fixed-width regardless of passage
+    * length; document frequency is one count-distinct per hash —
+    * linear, the standard sub-document dedup scan. Repeats WITHIN one
+    * document don't count as duplication (df is distinct docs).
+    * Returns one row per input document: n_passages, n_dup_passages,
+    * dup_passage_frac (0.0 for documents too short for any passage).
+    */
+  def passageDupStats(df: DataFrame, idCol: Column, textCol: Column,
+                      size: Int): DataFrame = {
+    val docs = df.select(idCol.as("doc_id"), tokens(textCol).as("__toks"))
+      .select(col("doc_id"), explode_outer(passages(col("__toks"), size)).as("passage"))
+      .select(col("doc_id"), Portable.hash64(col("passage")).as("__h"))
+    val dfreq = docs.filter(col("__h").isNotNull)
+      .groupBy(col("__h")).agg(count_distinct(col("doc_id")).as("__nd"))
+    docs.join(dfreq, Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("__h")).as("n_passages"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_dup_passages"))
+      .withColumn("dup_passage_frac",
+        when(col("n_passages") === 0, lit(0.0))
+          .otherwise(col("n_dup_passages").cast("double") / col("n_passages").cast("double")))
+  }
+
   /** n-gram Jaccard similarity between two shingle-set columns: a
     * single deterministic double division over exact set sizes. */
   def jaccard(a: Column, b: Column): Column =

@@ -124,6 +124,30 @@ object TextAnalysis {
       (dupFraction(wordNgrams(text, 2)) <= maxDup2gramFrac) &&
       (dupFraction(wordNgrams(text, 3)) <= maxDup3gramFrac)
 
+  /** Top-k characteristic terms per document, TF-IDF-flavored but with
+    * INTEGER-EXACT ordering: rank by (term frequency desc, document
+    * frequency asc, term asc). For a fixed tf, idf-ranking is monotone
+    * in 1/df, so the (tf, df) lexicographic order is the
+    * transcendental-free version of tf·log(N/df) — engine-portable
+    * where a floating log is not (cross-engine libm drift would flip
+    * near-tie ranks). One explode + two hash aggregations + one
+    * window; the shuffle keys are the term strings (bounded by the
+    * vocabulary, not the corpus). Returns (doc_id, rank, term, tf, df).
+    */
+  def topTerms(df: org.apache.spark.sql.DataFrame, idCol: Column,
+               textCol: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
   /** GPT-2-style pre-tokenizer pattern (simplified to the portable
     * RE2 ∩ Java-regex subset): contractions, letter runs, digit runs,
     * and symbol runs, each with an optional leading space. Whitespace

@@ -402,4 +402,42 @@ class LlmSpec extends SparkSpec {
     // no RDD plan break: the physical plan is scan→project, no custom RDD scan node
     assert(!feats.queryExecution.executedPlan.toString.contains("ExistingRDD"))
   }
+
+  test("passages: full chunks only, short docs yield none, within-doc repeats are not corpus dups") {
+    val docs = Seq(
+      (1L, "a b c d e f g h tail dropped"),        // 10 toks → one 8-chunk, tail dropped
+      (2L, "a b c d e f g h tail dropped"),        // exact copy of doc 1 → its passage is a dup
+      (3L, "short doc"),                           // < 8 tokens → 0 passages
+      (4L, "x x x x y y y y x x x x y y y y"))     // same passage TWICE in one doc → not a dup
+      .toDF("doc_id", "text")
+    val out = Dedup.passageDupStats(docs, col("doc_id"), col("text"), size = 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 0L, 0L), (4L, 2L, 0L)))
+  }
+
+  test("topTerms: tf wins, then rarity, then lexicographic; exactly k rows per doc") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry"), // tf: apple=2 → rank1; banana/cherry tf=1
+      (2L, "banana date date"))          // banana appears in both docs (df=2), date only here
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.topTerms(docs, col("doc_id"), col("text"), k = 2)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    // doc1: apple (tf=2); then cherry beats banana (df 1 < 2)
+    // doc2: date (tf=2); then banana
+    assert(out == Seq((1L, 1, "apple"), (1L, 2, "cherry"),
+                      (2L, 1, "date"), (2L, 2, "banana")))
+  }
+
+  test("keepTopQualityPerGroup keeps floor(n*frac) per group, ties break on id") {
+    val docs = Seq(
+      (1L, "s1", 0.9), (2L, "s1", 0.5), (3L, "s1", 0.5), // n=3 → keep 1 (floor 1.5)
+      (4L, "s2", 0.1), (5L, "s2", 0.2))                  // n=2 → keep 1
+      .toDF("doc_id", "source", "q")
+    val kept = Curation.keepTopQualityPerGroup(docs, col("doc_id"), col("source"),
+        col("q"), keepFraction = 0.5)
+      .select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L, 5L))
+  }
 }
