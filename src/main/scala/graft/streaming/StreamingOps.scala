@@ -135,6 +135,82 @@ object StreamingOps {
     }
   }
 
+  /** One event in the streaming as-of: side 1 = left (fact, to be
+    * enriched), side 0 = right (dimension/state history). Payloads are
+    * JSON strings so one state schema serves any table (same rationale
+    * as [[ChangeIn]]). */
+  final case class AsOfIn(side: Int, key: String, ts: java.sql.Timestamp, payload: String)
+  final case class AsOfEvt(t: Long, payload: String)
+  final case class AsOfState(lefts: List[AsOfEvt], rights: List[AsOfEvt])
+  final case class AsOfOut(key: String, t: Long, payload: String,
+                           matchedT: Option[Long], matchedPayload: Option[String])
+
+  /** STREAMING as-of enrichment — the continuous counterpart of
+    * graft.operators.TemporalJoin.asOf: each left event is enriched
+    * with the latest right event at or before its event time, per key.
+    *
+    * Both inputs must be shaped (key STRING, ts TIMESTAMP, payload
+    * STRING). Correctness under out-of-order arrival comes from the
+    * WATERMARK, not arrival order: a left event is held in state until
+    * the event-time watermark passes its timestamp — by the watermark
+    * contract every right event at or before it has then arrived — and
+    * only then emitted (Append semantics, each left exactly once).
+    * Right-side ties on t resolve to the max content hash
+    * (deterministic under replay; align the batch tiebreak when
+    * comparing engines, or keep right times unique per key).
+    *
+    * Bounded state: buffered lefts drain as the watermark advances
+    * (an event-time timeout fires even if the key goes quiet), and
+    * right history keeps ONLY the newest row at or below the
+    * watermark plus rows above it — a right row strictly older than a
+    * newer ≤-watermark row can never win an as-of match again. Left
+    * events arriving LATER than the watermark (which upstream
+    * watermarked ops would drop) are enriched best-effort against the
+    * pruned history and emitted immediately. One shuffle on the key;
+    * per-key state is O(in-flight horizon), not O(stream). */
+  def asOfEnrichStream(left: DataFrame, right: DataFrame,
+                       watermarkDelay: String): Dataset[AsOfOut] = {
+    // the WATERMARKED ts column itself must reach the stateful operator
+    // (projecting it away drops the event-time tag and the analyzer
+    // rejects the event-time timeout) — ms conversion happens in state
+    val l = left.withWatermark("ts", watermarkDelay)
+      .select(lit(1).as("side"), col("key"), col("ts"), col("payload"))
+    val r = right.withWatermark("ts", watermarkDelay)
+      .select(lit(0).as("side"), col("key"), col("ts"), col("payload"))
+    l.unionByName(r).as(Encoders.product[AsOfIn])
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        asOfGroup)(Encoders.product[AsOfState], Encoders.product[AsOfOut])
+  }
+
+  private def evtTb(e: AsOfEvt): Long = graft.functions.Portable.xxhash64Jvm(e.payload)
+
+  private def asOfGroup(key: String, events: Iterator[AsOfIn],
+                        state: GroupState[AsOfState]): Iterator[AsOfOut] = {
+    val wm = state.getCurrentWatermarkMs()
+    val cur = state.getOption.getOrElse(AsOfState(Nil, Nil))
+    val (ls, rs) = events.toList.partition(_.side == 1)
+    val rights = (cur.rights ++ rs.map(e => AsOfEvt(e.ts.getTime, e.payload)))
+      .sortBy(e => (e.t, evtTb(e)))
+    val (ready, pending) = (cur.lefts ++ ls.map(e => AsOfEvt(e.ts.getTime, e.payload)))
+      .partition(_.t <= wm)
+    val out = ready.sortBy(e => (e.t, evtTb(e))).map { le =>
+      val m = rights.takeWhile(_.t <= le.t).lastOption
+      AsOfOut(key, le.t, le.payload, m.map(_.t), m.map(_.payload))
+    }
+    // prune: newest right at/below the watermark + everything above it
+    val (past, future) = rights.partition(_.t <= wm)
+    val keep = past.lastOption.toList ++ future
+    if (pending.isEmpty && keep.isEmpty) state.remove()
+    else {
+      state.update(AsOfState(pending, keep))
+      // drain buffered lefts even if this key receives no more input:
+      // fire when the watermark passes the oldest pending left
+      if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_.t).min + 1)
+    }
+    out.iterator
+  }
+
   /** Compact a changelog (e.g. collected StateOut emissions) to final
     * state: newest emission per key wins, deleted keys drop out — the
     * helper that makes streaming and batch results directly comparable. */

@@ -250,4 +250,74 @@ class StreamingSpec extends SparkSpec {
       assert(texts == Seq("doc A", "doc B", "doc C"))
     } finally q.stop()
   }
+
+  test("asOfEnrichStream matches batch asOf under out-of-order arrival; quiet keys drain by timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val lIn = MemoryStream[(java.sql.Timestamp, String, String)]
+    val rIn = MemoryStream[(java.sql.Timestamp, String, String)]
+    def shape(ms: MemoryStream[(java.sql.Timestamp, String, String)]) =
+      ms.toDF().toDF("ts", "key", "payload")
+    val out = StreamingOps.asOfEnrichStream(shape(lIn), shape(rIn), "5 seconds")
+    val q = out.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      // batch1: left@9 BEFORE its right@10 exists yet; left@15 pending
+      lIn.addData((ts(9), "k1", "L9"), (ts(15), "k1", "L15"))
+      // k2 gets one left then goes quiet — must drain via timeout
+      lIn.addData((ts(12), "k2", "Q12"))
+      rIn.addData((ts(10), "k1", "R10"), (ts(11), "k2", "R11"))
+      q.processAllAvailable()
+      // batch2: right@20 arrives AFTER left@15 was buffered (out of order)
+      rIn.addData((ts(20), "k1", "R20"))
+      lIn.addData((ts(25), "k1", "L25"))
+      q.processAllAvailable()
+      // batch3: watermark pushed to 35 by left@40 (stays pending) — k1
+      // drains in-function, quiet k2 drains via the event-time timeout
+      lIn.addData((ts(40), "k1", "L40"))
+      q.processAllAvailable()
+      // the GLOBAL watermark is the min across BOTH input streams
+      // (multipleWatermarkPolicy=min) and applies one batch after the
+      // event arrives — advance the right stream too, then nudge one
+      // more batch (unrelated key) so the timeouts actually fire
+      rIn.addData((ts(41), "k3", "rnudge"))
+      q.processAllAvailable()
+      lIn.addData((ts(41), "k3", "nudge"))
+      q.processAllAvailable()
+
+      val got = spark.table("asof_out")
+        .select(col("key"), col("t"), col("payload"),
+          col("matchedT"), col("matchedPayload"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getString(4)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      // L9 precedes every right → null; L15 → R10; L25 → R20; Q12 → R11
+      assert(got == Seq(
+        ("k1", 9000L, "L9", -1L, null),
+        ("k1", 15000L, "L15", 10000L, "R10"),
+        ("k1", 25000L, "L25", 20000L, "R20"),
+        ("k2", 12000L, "Q12", 11000L, "R11")),
+        s"got $got")
+
+      // batch reference: TemporalJoin.asOf over the SAME emitted events
+      val lb = Seq(("k1", 9000L, "L9"), ("k1", 15000L, "L15"), ("k1", 25000L, "L25"),
+          ("k2", 12000L, "Q12")).toDF("key", "t", "payload")
+      val rb = Seq(("k1", 10000L, "R10"), ("k1", 20000L, "R20"),
+          ("k2", 11000L, "R11"))
+        .toDF("key", "rt", "matchedPayload")
+        .withColumn("tb", lit(0L))
+      val batch = graft.operators.TemporalJoin.asOf(lb, rb,
+          keyCols = Seq("key"), leftTime = "t", rightTime = "rt",
+          payloadCols = Seq("matchedPayload"), tiebreakCols = Seq("tb"),
+          matchedTimeAs = Some("matchedT"))
+        .select(col("key"), col("t"), col("payload"), col("matchedT"), col("matchedPayload"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getString(4)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
 }
