@@ -278,12 +278,21 @@ object Dedup {
     // against eval — so materialize them once (eager, same rationale
     // as connectedComponents: lazy persist lets concurrently-scheduled
     // branches race an unfilled cache into double explosion).
-    val tsh = train.select(trainId.as("train_id"), explode(trainShinglesCol).as("sh")).distinct()
+    // Shingles travel as 8-byte xxhash64 values from the explode on:
+    // every downstream shuffle/join/distinct keys on a fixed-width
+    // long instead of the shingle string (~3x narrower rows, integer
+    // comparisons). The hash never crosses the engine boundary — the
+    // outputs are overlap COUNTS, identical modulo a full-64-bit
+    // collision merging two shingles (~n²/2^65, vanishing), the same
+    // accepted trade as `exact` dedup's content hash.
+    val tsh = train.select(trainId.as("train_id"), explode(trainShinglesCol).as("__s"))
+      .select(col("train_id"), xxhash64(col("__s")).as("sh")).distinct()
       .localCheckpoint(true)
     val rare = tsh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
     val trare = tsh.join(rare, "sh")
-    val erare = evalDf.select(evalId.as("eval_id"), explode(evalShinglesCol).as("sh"))
+    val erare = evalDf.select(evalId.as("eval_id"), explode(evalShinglesCol).as("__s"))
+      .select(col("eval_id"), xxhash64(col("__s")).as("sh"))
       .distinct().join(rare, "sh")
     val ec = erare.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
     val shared = erare.join(trare, "sh")
