@@ -639,16 +639,21 @@ object QueriesLlm {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       // the shingled corpus feeds three branches (signatures + both
       // join sides) — persist so the shingle arrays build once
+      // `sh` (strings) feeds the signatures — their md5-based mins must
+      // stay portable to the oracle; `shh` (xxhash64 longs) feeds the
+      // verify join — jaccard counts are hash-invariant, and the join
+      // moves fixed-width long arrays instead of shingle strings
       val corpus = d.unionByName(
         d.select((col("doc_id") + 100000L).as("doc_id"),
                  concat(col("text"), lit(" qx")).as("text")))
         .withColumn("sh", Dedup.shingles(col("text"), 9))
+        .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
         .persist()
       Option(llm09Cache.getAndSet(corpus)).foreach(_.unpersist())
       val sigs = Dedup.minhashSignature(corpus, col("doc_id"), col("sh"), k = 12)
       val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
-      val a = corpus.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = corpus.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val a = corpus.select(col("doc_id").as("id_a"), col("shh").as("sh_a"))
+      val b = corpus.select(col("doc_id").as("id_b"), col("shh").as("sh_b"))
       pairs.join(a, "id_a").join(b, "id_b")
         .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= 0.5)
