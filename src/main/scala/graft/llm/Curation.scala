@@ -70,16 +70,21 @@ object Curation {
   def curateNearDup(docs: DataFrame, idCol: Column, textCol: Column,
                     cfg: Config = Config(),
                     cfgNd: NearDupConfig = NearDupConfig()): DataFrame = {
+    // `sh` (strings) feeds the signature aggregation; `shh` (xxhash64
+    // longs) feeds the verify join — jaccard counts are hash-invariant
+    // and the join moves fixed-width long arrays (same trade as the
+    // decontamination pipeline)
     val gated = docs.filter(qualityGate(textCol, cfg))
       .select(idCol.as("doc_id"), textCol.as("text"),
               Dedup.shingles(textCol, cfgNd.shingleN).as("sh"))
+      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
       .localCheckpoint(true)
     val sig = Dedup.minhashSignature(gated, col("doc_id"), col("sh"), cfgNd.k)
     val pairs = Dedup.candidatePairs(
       Dedup.lshBuckets(sig, cfgNd.k, cfgNd.rowsPerBand), cfgNd.maxBucketSize)
     val verified = pairs
-      .join(gated.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(gated.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(gated.select(col("doc_id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(gated.select(col("doc_id").as("id_b"), col("shh").as("sh_b")), "id_b")
       .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= cfgNd.jaccardThreshold)
       .select(col("id_a"), col("id_b"))
     val dropIds = Dedup.connectedComponents(verified, checkpointDir = cfgNd.checkpointDir)
