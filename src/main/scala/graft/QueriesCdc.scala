@@ -14,7 +14,7 @@ import graft.operators.{ApplyChanges, EventShaping}
   */
 object QueriesCdc {
 
-  def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09)
+  def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -289,6 +289,61 @@ object QueriesCdc {
             |FROM orders
             |WHERE o_orderkey <= 2000
             |ORDER BY o_orderkey""".stripMargin))
+
+  /** Outbox EventRouter (io.debezium.transforms.outbox.EventRouter,
+    * shipped in the reference distribution): `orders` plays an
+    * insert-only outbox table — each row carries the aggregate type /
+    * id / serialized payload. The SMT chain (assembled from the
+    * reference's `debezium.transforms.*` config surface) re-routes to
+    * the per-aggregate topic, rebuilds the key from the aggregate id,
+    * and unwraps the payload; updates are dropped (outbox rows are
+    * write-once), snapshot reads ride along. The oracle restates the
+    * routing in plain SQL. */
+  private def cdc10 = Q("cdc10_outbox_route",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val op = when(col("o_orderkey") % 11 === 0, "u")
+        .when(col("o_orderkey") % 7 === 0, "r").otherwise("c")
+      val aggType = when(col("o_orderstatus") === "O", "order")
+        .when(col("o_orderstatus") === "F", "fulfillment").otherwise("payment")
+      val after = struct(
+        aggType.as("aggregatetype"),
+        col("o_custkey").cast("string").as("aggregateid"),
+        concat(lit("{\"order\":"), col("o_orderkey").cast("string"),
+               lit(",\"cust\":"), col("o_custkey").cast("string"), lit("}")).as("payload"))
+      val outboxRowType = StructType(Seq(
+        StructField("aggregatetype", StringType), StructField("aggregateid", StringType),
+        StructField("payload", StringType)))
+      val records = Tables.orders(s, dir).select(
+        lit("testc.app.outbox").as("destination"),
+        struct(col("o_orderkey").as("id")).as("key"),
+        struct(op.as("op"),
+               lit(null).cast(outboxRowType).as("before"), after.as("after"),
+               lit(null).cast(graft.model.Envelope.sourceSchema).as("source"),
+               lit(0L).as("ts_ms")).as("value"))
+      val chain = SmtFactory.fromProperties(Map(
+        "debezium.transforms" -> "outbox",
+        "debezium.transforms.outbox.type" -> "EventRouter",
+        "debezium.transforms.outbox.route.topic.replacement" -> "testc.outbox.${routedByValue}.events"))
+      EventShaping.applyChain(records, chain)
+        .select(col("destination"), col("key.aggregateid").as("aggregate_id"),
+                col("value").as("payload"))
+        .orderBy(col("destination"), col("aggregate_id"), col("payload"))
+    },
+    Some("""SELECT concat('testc.outbox.', aggtype, '.events') AS destination,
+           |       CAST(o_custkey AS VARCHAR) AS aggregate_id,
+           |       concat('{"order":', CAST(o_orderkey AS VARCHAR),
+           |              ',"cust":', CAST(o_custkey AS VARCHAR), '}') AS payload
+           |FROM (SELECT o_orderkey, o_custkey,
+           |        CASE WHEN o_orderstatus = 'O' THEN 'order'
+           |             WHEN o_orderstatus = 'F' THEN 'fulfillment'
+           |             ELSE 'payment' END AS aggtype,
+           |        CASE WHEN o_orderkey % 11 = 0 THEN 'u'
+           |             WHEN o_orderkey % 7 = 0 THEN 'r'
+           |             ELSE 'c' END AS op
+           |      FROM orders) t
+           |WHERE op IN ('c', 'r')
+           |ORDER BY destination, aggregate_id, payload""".stripMargin))
 
   /** Tombstone + heartbeat filtering on a synthesized record stream
     * (TombstoneSupportProducer.java:33-42,

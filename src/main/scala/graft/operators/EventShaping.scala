@@ -115,6 +115,38 @@ object EventShaping {
   def route(df: DataFrame, destination: Column): DataFrame =
     df.withColumn("destination", destination)
 
+  /** Outbox EventRouter (debezium's
+    * io.debezium.transforms.outbox.EventRouter, shipped with the
+    * reference distribution): turn change events captured from an
+    * insert-only outbox table into domain events — the destination is
+    * the route-by field (default `aggregatetype`) spliced into the
+    * topic template, the key is rebuilt from the aggregate-id field so
+    * partitioning follows the AGGREGATE not the outbox row, and the
+    * value is replaced by the raw payload the writer serialized.
+    * Snapshot reads ride along with inserts (op 'r' — the upstream SMT
+    * routes snapshotted outbox rows too); updates/deletes/tombstones
+    * are dropped (outbox rows are written once, then purged). One
+    * filter + one projection — no shuffle, stays in codegen. */
+  def outboxRoute(df: DataFrame,
+                  routeByField: String = "aggregatetype",
+                  keyField: String = "aggregateid",
+                  payloadField: String = "payload",
+                  topicTemplate: String = "outbox.event.${routedByValue}"): DataFrame = {
+    val routedBy = col(s"value.after.$routeByField").cast("string")
+    val placeholder = "${routedByValue}"
+    val i = topicTemplate.indexOf(placeholder)
+    val dest =
+      if (i < 0) lit(topicTemplate)
+      else concat(lit(topicTemplate.substring(0, i)), routedBy,
+                  lit(topicTemplate.substring(i + placeholder.length)))
+    df.filter(col("value").isNotNull &&
+              (col("value.op") === Envelope.OpCreate || col("value.op") === Envelope.OpRead))
+      .withColumn("destination", dest)
+      .withColumn("key",
+        struct(col(s"value.after.$keyField").cast("string").as(keyField)))
+      .withColumn("value", col(s"value.after.$payloadField"))
+  }
+
   /** Header projection to sink metadata: uppercased keys + optional
     * prefix (BaseChangeConsumer.java:101-108; HTTP adds a prefix,
     * HttpChangeConsumer.java:336-346). */

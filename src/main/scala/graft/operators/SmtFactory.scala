@@ -95,11 +95,20 @@ object SmtFactory {
         case "InsertField" | "insertfield" =>
           Smt(n, df => df.withColumn("value",
             col("value").withField(s"after.${req("static.field")}", lit(req("static.value")))))
+        case "EventRouter" | "outbox" =>
+          // the upstream outbox SMT's option names, same defaults
+          // (io.debezium.transforms.outbox.EventRouterConfigDefinition)
+          Smt(n, df => EventShaping.outboxRoute(df,
+            routeByField = props.getOrElse(s"$p.route.by.field", "aggregatetype"),
+            keyField = props.getOrElse(s"$p.table.field.event.key", "aggregateid"),
+            payloadField = props.getOrElse(s"$p.table.field.event.payload", "payload"),
+            topicTemplate = props.getOrElse(s"$p.route.topic.replacement",
+              "outbox.event.${routedByValue}")))
         case other =>
           throw new IllegalArgumentException(
             s"unsupported transform type '$other' (supported: ExtractNewRecordState, " +
               "ContentBasedRouter, Filter, MaskField, ReplaceField, ValueToKey, " +
-              "HeaderToValue, InsertField)")
+              "HeaderToValue, InsertField, EventRouter)")
       }
       base.copy(predicate = predicate, negate = negate)
     }
