@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
-import graft.operators.{ApplyChanges, EventShaping}
+import graft.operators.{ApplyChanges, EventShaping, SmtFactory}
 
 /** CDC pipeline operators (SURVEY.md §2.2/§2.3) demonstrated on the
   * synthetic `events` / `orders` tables, each checked against a DuckDB
