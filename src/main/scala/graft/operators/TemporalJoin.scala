@@ -34,8 +34,10 @@ object TemporalJoin {
     * keep NULL payloads (left-outer semantics).
     *
     * Right rows tied on (key, time) are resolved deterministically by
-    * `tiebreakCols` ascending — the LAST in that order wins (equals
-    * DuckDB `max_by` on the tiebreak).
+    * `tiebreakCols` ascending in their NATIVE type order — the LAST in
+    * that order wins (equals DuckDB `max_by` on the tiebreak). A
+    * non-orderable tiebreak type fails at analysis rather than
+    * silently degrading.
     *
     * `leftTime`/`rightTime` must be mutually comparable (same type);
     * `payloadCols` (and `matchedTimeAs`) must not collide with left
@@ -67,13 +69,13 @@ object TemporalJoin {
         Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
         leftCols.filterNot(keyCols.contains).map(col) ++
         payloadCols.map(c => nullOf(rightSchema, c).as(c)) ++
-        tb.map(c => lit(null).cast("long").as(c)): _*)
+        tiebreakCols.zip(tb).map { case (c, a) => nullOf(rightSchema, c).as(a) }: _*)
     val r2 = right.select(
       keyCols.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
         leftCols.filterNot(keyCols.contains).map(c => nullOf(leftSchema, c).as(c)) ++
         payloadCols.map(col) ++
-        tiebreakCols.zip(tb).map { case (c, a) => col(c).cast("long").as(a) }: _*)
+        tiebreakCols.zip(tb).map { case (c, a) => col(c).as(a) }: _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t").asc +: col("__side").asc +: tb.map(col(_).asc_nulls_first): _*)

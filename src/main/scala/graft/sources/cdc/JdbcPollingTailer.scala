@@ -49,12 +49,17 @@ object JdbcPollingTailer {
         spec.split(":") match {
           case Array(qual, keys, wm, rest @ _*) if rest.size <= 2 =>
             val Array(schema, table) = qual.split("\\.", 2)
-            // trailing segments: the literal token `serial` opts into
-            // the serial-key op discriminator; any other segment is
-            // the soft-delete column
-            val serial = rest.contains("serial")
-            val softDel = rest.filterNot(_ == "serial").headOption
-            TableSpec(schema, table, keys.split("\\+").toSeq, wm, softDel, serial)
+            // trailing segments in the documented order
+            // [:softDeleteCol][:serial] — the LAST segment `serial` is
+            // the reserved flag token opting into the serial-key op
+            // discriminator. A soft-delete column literally named
+            // `serial` is written `:serial:serial`.
+            val (serial, softRest) =
+              if (rest.lastOption.contains("serial")) (true, rest.dropRight(1))
+              else (false, rest)
+            if (softRest.size > 1) throw new IllegalArgumentException(
+              s"bad table spec '$spec' (want schema.table:key1+key2:watermarkCol[:softDeleteCol][:serial])")
+            TableSpec(schema, table, keys.split("\\+").toSeq, wm, softRest.headOption, serial)
           case _ => throw new IllegalArgumentException(
             s"bad table spec '$spec' (want schema.table:key1+key2:watermarkCol[:softDeleteCol][:serial])")
         }

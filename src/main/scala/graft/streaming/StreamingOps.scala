@@ -166,10 +166,16 @@ object StreamingOps {
     * newer ≤-watermark row can never win an as-of match again. Left
     * events arriving LATER than the watermark (which upstream
     * watermarked ops would drop) are enriched best-effort against the
-    * pruned history and emitted immediately. One shuffle on the key;
-    * per-key state is O(in-flight horizon), not O(stream). */
+    * pruned history and emitted immediately. A key holding ONLY right
+    * history (no pending lefts) is dropped once it has been quiet for
+    * `historyTtlMs` of event time — without that TTL, unbounded key
+    * cardinality would grow state forever; a left arriving after the
+    * TTL simply finds no match (same best-effort contract as
+    * late-past-watermark arrivals). One shuffle on the key; per-key
+    * state is O(in-flight horizon), not O(stream). */
   def asOfEnrichStream(left: DataFrame, right: DataFrame,
-                       watermarkDelay: String): Dataset[AsOfOut] = {
+                       watermarkDelay: String,
+                       historyTtlMs: Long = 24L * 3600 * 1000): Dataset[AsOfOut] = {
     // the WATERMARKED ts column itself must reach the stateful operator
     // (projecting it away drops the event-time tag and the analyzer
     // rejects the event-time timeout) — ms conversion happens in state
@@ -180,12 +186,12 @@ object StreamingOps {
     l.unionByName(r).as(Encoders.product[AsOfIn])
       .groupByKey(_.key)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        asOfGroup)(Encoders.product[AsOfState], Encoders.product[AsOfOut])
+        asOfGroup(historyTtlMs))(Encoders.product[AsOfState], Encoders.product[AsOfOut])
   }
 
   private def evtTb(e: AsOfEvt): Long = graft.functions.Portable.xxhash64Jvm(e.payload)
 
-  private def asOfGroup(key: String, events: Iterator[AsOfIn],
+  private def asOfGroup(ttlMs: Long)(key: String, events: Iterator[AsOfIn],
                         state: GroupState[AsOfState]): Iterator[AsOfOut] = {
     val wm = state.getCurrentWatermarkMs()
     val cur = state.getOption.getOrElse(AsOfState(Nil, Nil))
@@ -201,12 +207,22 @@ object StreamingOps {
     // prune: newest right at/below the watermark + everything above it
     val (past, future) = rights.partition(_.t <= wm)
     val keep = past.lastOption.toList ++ future
-    if (pending.isEmpty && keep.isEmpty) state.remove()
+    // history TTL: a key left with ONLY right rows, all at least ttlMs
+    // below the watermark, has been quiet for the retention horizon —
+    // drop it so unbounded key cardinality cannot grow state forever
+    val expired = state.hasTimedOut && pending.isEmpty && keep.nonEmpty &&
+      keep.map(_.t).max + ttlMs <= wm
+    if (pending.isEmpty && (keep.isEmpty || expired)) state.remove()
     else {
       state.update(AsOfState(pending, keep))
-      // drain buffered lefts even if this key receives no more input:
-      // fire when the watermark passes the oldest pending left
-      if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_.t).min + 1)
+      // drain buffered lefts even if this key receives no more input
+      // (fire when the watermark passes the oldest pending left); with
+      // no pending lefts, arm the history-retention TTL instead.
+      // Timeouts must sit strictly above the current watermark.
+      val next =
+        if (pending.nonEmpty) pending.map(_.t).min + 1
+        else keep.map(_.t).max + ttlMs
+      state.setTimeoutTimestamp(math.max(next, wm + 1))
     }
     out.iterator
   }

@@ -302,12 +302,22 @@ class CdcSourceSpec extends SparkSpec {
     val t = JdbcPollingTailer.fromProperties(Map(
       "debezium.source.jdbc.url" -> "jdbc:derby:memory:parse;create=true",
       "debezium.source.jdbc.tables" ->
-        "a.t1:id:version,a.t2:id:version:deleted,a.t3:id:version:serial,a.t4:id:version:deleted:serial",
+        "a.t1:id:version,a.t2:id:version:deleted,a.t3:id:version:serial," +
+          "a.t4:id:version:deleted:serial,a.t5:id:version:serial:serial",
       "debezium.source.path" -> Files.createTempDirectory("graft-parse").toString))
     val specs = t.tableSpecs
     assert(specs.map(s => (s.qualified, s.softDeleteCol, s.serialKeyOps)) == Seq(
       ("a.t1", None, false), ("a.t2", Some("deleted"), false),
-      ("a.t3", None, true), ("a.t4", Some("deleted"), true)))
+      ("a.t3", None, true), ("a.t4", Some("deleted"), true),
+      // a soft-delete column literally named `serial` is expressible
+      ("a.t5", Some("serial"), true)))
+    // segment order is enforced: the flag token must come LAST
+    intercept[IllegalArgumentException] {
+      JdbcPollingTailer.fromProperties(Map(
+        "debezium.source.jdbc.url" -> "jdbc:derby:memory:parse;create=true",
+        "debezium.source.jdbc.tables" -> "a.tx:id:version:serial:deleted",
+        "debezium.source.path" -> Files.createTempDirectory("graft-parse2").toString))
+    }
   }
 
   test("distributed snapshot: partitioned JDBC read writes a multi-part dump the source scans") {
