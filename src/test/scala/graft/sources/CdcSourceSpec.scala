@@ -302,8 +302,8 @@ class CdcSourceSpec extends SparkSpec {
     val t = JdbcPollingTailer.fromProperties(Map(
       "debezium.source.jdbc.url" -> "jdbc:derby:memory:parse;create=true",
       "debezium.source.jdbc.tables" ->
-        "a.t1:id:version,a.t2:id:version:deleted,a.t3:id:version:serial," +
-          "a.t4:id:version:deleted:serial,a.t5:id:version:serial:serial",
+        ("a.t1:id:version,a.t2:id:version:deleted,a.t3:id:version:serial," +
+          "a.t4:id:version:deleted:serial,a.t5:id:version:serial:serial"),
       "debezium.source.path" -> Files.createTempDirectory("graft-parse").toString))
     val specs = t.tableSpecs
     assert(specs.map(s => (s.qualified, s.softDeleteCol, s.serialKeyOps)) == Seq(
