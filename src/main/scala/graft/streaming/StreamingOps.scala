@@ -141,7 +141,15 @@ object StreamingOps {
     * as [[ChangeIn]]). */
   final case class AsOfIn(side: Int, key: String, ts: java.sql.Timestamp, payload: String)
   final case class AsOfEvt(t: Long, payload: String)
-  final case class AsOfState(lefts: List[AsOfEvt], rights: List[AsOfEvt])
+
+  /** `lastActivity` = max event time seen on EITHER side of this key —
+    * the history TTL clock. (Right-history age alone is wrong: a key
+    * with continuous left traffic but an old dimension row would lose
+    * its state and silently enrich to null.) Adding this field changed
+    * the state encoder schema vs rounds ≤7 — restart streaming queries
+    * from a fresh checkpoint. */
+  final case class AsOfState(lefts: List[AsOfEvt], rights: List[AsOfEvt],
+                             lastActivity: Long)
   final case class AsOfOut(key: String, t: Long, payload: String,
                            matchedT: Option[Long], matchedPayload: Option[String])
 
@@ -163,16 +171,22 @@ object StreamingOps {
     * (an event-time timeout fires even if the key goes quiet), and
     * right history keeps ONLY the newest row at or below the
     * watermark plus rows above it — a right row strictly older than a
-    * newer ≤-watermark row can never win an as-of match again. Left
-    * events arriving LATER than the watermark (which upstream
-    * watermarked ops would drop) are enriched best-effort against the
-    * pruned history and emitted immediately. A key holding ONLY right
-    * history (no pending lefts) is dropped once it has been quiet for
-    * `historyTtlMs` of event time — without that TTL, unbounded key
-    * cardinality would grow state forever; a left arriving after the
-    * TTL simply finds no match (same best-effort contract as
-    * late-past-watermark arrivals). One shuffle on the key; per-key
-    * state is O(in-flight horizon), not O(stream). */
+    * newer ≤-watermark row can never win an as-of match again. Events
+    * on EITHER side arriving later than the watermark are dropped by
+    * the stateful operator's standard late-event filter (the same
+    * watermark contract as every watermarked op; verified in
+    * StreamingSpec — they never reach the state function). A key
+    * holding ONLY right history (no pending lefts) is dropped once
+    * NEITHER side has seen an event for `historyTtlMs` of event time
+    * (the clock is the max event time across BOTH sides — left
+    * traffic keeps a key's dimension state alive) — without that TTL,
+    * unbounded key cardinality would grow state forever; a left
+    * arriving after the TTL finds no match (best-effort null
+    * enrichment). `historyTtlMs <= 0` or
+    * `Long.MaxValue` disables the TTL (state for right-only keys then
+    * lives forever — only safe with bounded key cardinality). One
+    * shuffle on the key; per-key state is O(in-flight horizon), not
+    * O(stream). */
   def asOfEnrichStream(left: DataFrame, right: DataFrame,
                        watermarkDelay: String,
                        historyTtlMs: Long = 24L * 3600 * 1000): Dataset[AsOfOut] = {
@@ -191,11 +205,23 @@ object StreamingOps {
 
   private def evtTb(e: AsOfEvt): Long = graft.functions.Portable.xxhash64Jvm(e.payload)
 
+  /** Overflow-safe `t + ttl`: a huge TTL (e.g. Long.MaxValue used to
+    * mean "never") must saturate, not wrap negative — a wrapped sum
+    * would make `deadline <= wm` trivially true and drop state
+    * immediately instead of never. */
+  private def satAdd(t: Long, ttl: Long): Long =
+    if (ttl > Long.MaxValue - t) Long.MaxValue else t + ttl
+
   private def asOfGroup(ttlMs: Long)(key: String, events: Iterator[AsOfIn],
                         state: GroupState[AsOfState]): Iterator[AsOfOut] = {
+    val noTtl = ttlMs <= 0 || ttlMs == Long.MaxValue
     val wm = state.getCurrentWatermarkMs()
-    val cur = state.getOption.getOrElse(AsOfState(Nil, Nil))
+    val cur = state.getOption.getOrElse(AsOfState(Nil, Nil, Long.MinValue))
     val (ls, rs) = events.toList.partition(_.side == 1)
+    // the TTL clock: newest event time seen on EITHER side — a key
+    // whose lefts keep arriving is active even if its dimension row
+    // is ancient
+    val lastActivity = (cur.lastActivity +: (ls ++ rs).map(_.ts.getTime)).max
     val rights = (cur.rights ++ rs.map(e => AsOfEvt(e.ts.getTime, e.payload)))
       .sortBy(e => (e.t, evtTb(e)))
     val (ready, pending) = (cur.lefts ++ ls.map(e => AsOfEvt(e.ts.getTime, e.payload)))
@@ -207,22 +233,24 @@ object StreamingOps {
     // prune: newest right at/below the watermark + everything above it
     val (past, future) = rights.partition(_.t <= wm)
     val keep = past.lastOption.toList ++ future
-    // history TTL: a key left with ONLY right rows, all at least ttlMs
-    // below the watermark, has been quiet for the retention horizon —
-    // drop it so unbounded key cardinality cannot grow state forever
+    // history TTL: a key with ONLY right rows whose last activity on
+    // EITHER side is at least ttlMs below the watermark has been quiet
+    // for the retention horizon — drop it so unbounded key cardinality
+    // cannot grow state forever
     val expired = state.hasTimedOut && pending.isEmpty && keep.nonEmpty &&
-      keep.map(_.t).max + ttlMs <= wm
+      !noTtl && satAdd(lastActivity, ttlMs) <= wm
     if (pending.isEmpty && (keep.isEmpty || expired)) state.remove()
     else {
-      state.update(AsOfState(pending, keep))
+      state.update(AsOfState(pending, keep, lastActivity))
       // drain buffered lefts even if this key receives no more input
       // (fire when the watermark passes the oldest pending left); with
-      // no pending lefts, arm the history-retention TTL instead.
+      // no pending lefts, arm the history-retention TTL instead (none
+      // when the TTL is disabled — state then simply persists).
       // Timeouts must sit strictly above the current watermark.
-      val next =
-        if (pending.nonEmpty) pending.map(_.t).min + 1
-        else keep.map(_.t).max + ttlMs
-      state.setTimeoutTimestamp(math.max(next, wm + 1))
+      if (pending.nonEmpty)
+        state.setTimeoutTimestamp(math.max(pending.map(_.t).min + 1, wm + 1))
+      else if (!noTtl)
+        state.setTimeoutTimestamp(math.max(satAdd(lastActivity, ttlMs), wm + 1))
     }
     out.iterator
   }

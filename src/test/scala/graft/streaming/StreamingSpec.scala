@@ -320,4 +320,94 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("asOf history TTL: left traffic keeps an old dimension row alive; quiet keys expire; MaxValue disables") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val lIn = MemoryStream[(java.sql.Timestamp, String, String)]
+    val rIn = MemoryStream[(java.sql.Timestamp, String, String)]
+    def shape(ms: MemoryStream[(java.sql.Timestamp, String, String)]) =
+      ms.toDF().toDF("ts", "key", "payload")
+    // tight TTL (10 s of event time) so expiry is reachable in-test;
+    // watermark delay 5 s; nudge BOTH streams (global wm = min across streams)
+    val out = StreamingOps.asOfEnrichStream(shape(lIn), shape(rIn), "5 seconds",
+      historyTtlMs = 10000L)
+    val q = out.writeStream.format("memory").queryName("asof_ttl_out")
+      .outputMode("append").start()
+    try {
+      def nudge(sec: Long): Unit = {
+        lIn.addData((ts(sec), "kx", s"ln$sec")); rIn.addData((ts(sec), "kx", s"rn$sec"))
+        q.processAllAvailable()
+      }
+      def matchOf(payload: String): Option[String] = {
+        val rows = spark.table("asof_ttl_out").filter(col("payload") === payload)
+          .select("matchedPayload").collect()
+        assert(rows.length == 1, s"expected exactly one emission for $payload")
+        Option(rows(0).getString(0))
+      }
+      // k2's dimension row is at t=10; its left traffic continues far
+      // past 10+TTL. Right-history age alone would expire the key
+      // (10+TTL=20 is behind the watermark from t=25 on) — the
+      // both-sides activity clock must not.
+      rIn.addData((ts(10), "k2", "R10")); lIn.addData((ts(11), "k2", "L11"))
+      q.processAllAvailable()
+      lIn.addData((ts(22), "k2", "L22")); nudge(22)
+      lIn.addData((ts(29), "k2", "L29")); nudge(29)
+      lIn.addData((ts(36), "k2", "L36")); nudge(36)
+      nudge(48) // wm 43 ≥ 20: drains L36 by timeout with NO pending lefts —
+                // a right-age-only TTL would remove the state right here
+                // (keep.max 10 + TTL 10 ≤ 43); activity at 36 is within TTL
+      // the probe left arrives ABOVE the watermark (44 > 43 — not late)
+      // and drains later: it must still find R10
+      lIn.addData((ts(44), "k2", "L44"))
+      q.processAllAvailable()
+      nudge(60) // wm 55: drains L44; afterwards lastActivity(44)+TTL(10) ≤ 55
+                // → the same invocation expires the now-quiet key
+      Seq("L11", "L22", "L29", "L36", "L44").foreach { p =>
+        assert(matchOf(p) == Some("R10"), s"$p must enrich from the kept dimension row")
+      }
+      // post-expiry: a fresh above-watermark left finds nothing
+      lIn.addData((ts(56), "k2", "L56"))
+      q.processAllAvailable()
+      nudge(70) // wm 65: drains L56 against removed state
+      assert(matchOf("L56") == None, "post-TTL left must enrich to null")
+    } finally q.stop()
+  }
+
+  test("asOf history TTL = Long.MaxValue disables expiry (no overflow wrap)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val lIn = MemoryStream[(java.sql.Timestamp, String, String)]
+    val rIn = MemoryStream[(java.sql.Timestamp, String, String)]
+    def shape(ms: MemoryStream[(java.sql.Timestamp, String, String)]) =
+      ms.toDF().toDF("ts", "key", "payload")
+    val out = StreamingOps.asOfEnrichStream(shape(lIn), shape(rIn), "5 seconds",
+      historyTtlMs = Long.MaxValue)
+    val q = out.writeStream.format("memory").queryName("asof_nottl_out")
+      .outputMode("append").start()
+    try {
+      // right-only key, then a long quiet stretch: a wrapped
+      // lastActivity+ttl would drop the state at the first timeout
+      rIn.addData((ts(10), "k1", "R10")); lIn.addData((ts(10), "kx", "ln10"))
+      q.processAllAvailable()
+      Seq(100L, 101L, 102L).foreach { s =>
+        lIn.addData((ts(s), "kx", s"ln$s")); rIn.addData((ts(s), "kx", s"rn$s"))
+        q.processAllAvailable()
+      }
+      // an above-watermark left far past any finite horizon still
+      // matches once it drains (wm 97 → left at 103, drains at wm 110)
+      lIn.addData((ts(103), "k1", "L103"))
+      q.processAllAvailable()
+      Seq(115L, 116L).foreach { s =>
+        lIn.addData((ts(s), "kx", s"ln$s")); rIn.addData((ts(s), "kx", s"rn$s"))
+        q.processAllAvailable()
+      }
+      val m = spark.table("asof_nottl_out").filter(col("payload") === "L103")
+        .select("matchedPayload").collect()
+      assert(m.length == 1 && m(0).getString(0) == "R10",
+        "disabled TTL must retain dimension state indefinitely")
+    } finally q.stop()
+  }
 }
