@@ -98,26 +98,59 @@ object Curation {
     * keep the top `keepFraction` of documents per group by score —
     * FineWeb-style per-dump stratified filtering, which an absolute
     * threshold can't express when score distributions differ by
-    * source. Deterministic: ties break on the id column; a group of n
-    * keeps floor(n·keepFraction) documents (so keepFraction=0.5 keeps
-    * exactly the top half, rounding down). Two windows over ONE
-    * shuffle on the group key — rank and group size share the same
-    * partitioning, and at 100 TB a handful of group keys is the
-    * known skew risk (same caveat as any per-source window; salt or
-    * pre-aggregate a pathological source). */
+    * source. Deterministic: ties break on the id column (ids assumed
+    * unique); a group of n keeps floor(n·keepFraction) documents (so
+    * keepFraction=0.5 keeps exactly the top half, rounding down).
+    *
+    * Scale shape — a corpus has a handful of sources, so
+    * `Window.partitionBy(group)` would sort each group's billions of
+    * rows in ONE task. Instead the rank is computed DISTRIBUTED and
+    * exact:
+    *   1. range-repartition on the full sort key
+    *      (group, score desc, id) — each group spans many ordered
+    *      partitions, each partition holds ~n/P rows regardless of
+    *      group skew;
+    *   2. per-(partition, group) row counts → prefix-sum offsets, on
+    *      a tiny frame (≤ P rows per group) that broadcast-joins back;
+    *   3. row_number windows partitioned by (partition id, group) —
+    *      every window partition is bounded by a single range
+    *      partition's rows, never by a group's.
+    * offset + within-partition row_number = exact global rank within
+    * the group, independent of where the (sampled) range boundaries
+    * fall, because the partition order follows the total sort order.
+    * Group sizes (the quota) come from a plain aggregate, one row per
+    * group, broadcast. */
   def keepTopQualityPerGroup(docs: DataFrame, idCol: Column, groupCol: Column,
                              scoreCol: Column, keepFraction: Double): DataFrame = {
     require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val byScore = Window.partitionBy(col("__g"))
-      .orderBy(col("__score").desc, col("__id").asc)
-    val all = Window.partitionBy(col("__g"))
-    docs.withColumn("__g", groupCol).withColumn("__score", scoreCol)
+    val tagged = docs.withColumn("__g", groupCol).withColumn("__score", scoreCol)
       .withColumn("__id", idCol)
-      .withColumn("__rank", row_number().over(byScore))
-      .withColumn("__n", count(lit(1)).over(all))
-      .filter(col("__rank") <= floor(col("__n") * keepFraction))
-      .drop("__g", "__score", "__id", "__rank", "__n")
+    // materialize the range shuffle once: both the counts branch and
+    // the rank branch read it, and the partition ids MUST be identical
+    // in both (a recomputed range shuffle may sample different
+    // boundaries, misaligning offsets with ranks)
+    val ranged = tagged
+      .repartitionByRange(col("__g"), col("__score").desc, col("__id").asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy(col("__pid"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val quotas = counts.groupBy(col("__g"))
+      .agg(floor(sum(col("__c")) * keepFraction).as("__quota"))
+    val wOff = Window.partitionBy(col("__g")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__g"), col("__off"))
+    val wRank = Window.partitionBy(col("__pid"), col("__g"))
+      .orderBy(col("__score").desc, col("__id").asc)
+    ranged
+      .withColumn("__rank", row_number().over(wRank))
+      .join(broadcast(offsets), Seq("__pid", "__g"))
+      .join(broadcast(quotas), Seq("__g"))
+      .filter(col("__off") + col("__rank") <= col("__quota"))
+      .drop("__g", "__score", "__id", "__pid", "__rank", "__off", "__quota")
   }
 
   /** Curate: gates, then keep the lowest-id doc per distinct content.

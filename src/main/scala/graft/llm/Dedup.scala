@@ -268,10 +268,18 @@ object Dedup {
     * values then (eval, train) id pairs; ties in best-match rank
     * break on the higher train id, deterministically. Eval docs with
     * zero rare shingles have no distinctive content to test and drop
-    * out. */
+    * out.
+    *
+    * `checkpointDir`: when set, the materialized train-shingle frame
+    * uses a RELIABLE checkpoint instead of an executor-local one —
+    * same trade as [[connectedComponents]]: local checkpoint blocks
+    * die with their executor (no lineage left to recompute), so a
+    * long 100 TB decontamination run should pay the durable write for
+    * restartability. Default (None) keeps the faster local
+    * checkpoint. */
   def contamination(train: DataFrame, trainId: Column, trainShinglesCol: Column,
                     evalDf: DataFrame, evalId: Column, evalShinglesCol: Column,
-                    maxDf: Int): DataFrame = {
+                    maxDf: Int, checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The exploded-distinct train shingles feed TWO consumers — the
     // rare-shingle document frequencies and the posting list joined
@@ -285,9 +293,12 @@ object Dedup {
     // outputs are overlap COUNTS, identical modulo a full-64-bit
     // collision merging two shingles (~n²/2^65, vanishing), the same
     // accepted trade as `exact` dedup's content hash.
-    val tsh = train.select(trainId.as("train_id"), explode(trainShinglesCol).as("__s"))
-      .select(col("train_id"), xxhash64(col("__s")).as("sh")).distinct()
-      .localCheckpoint(true)
+    checkpointDir.foreach(train.sparkSession.sparkContext.setCheckpointDir)
+    def save(d: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) d.checkpoint(true) else d.localCheckpoint(true)
+    val tsh = save(
+      train.select(trainId.as("train_id"), explode(trainShinglesCol).as("__s"))
+        .select(col("train_id"), xxhash64(col("__s")).as("sh")).distinct())
     val rare = tsh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
     val trare = tsh.join(rare, "sh")

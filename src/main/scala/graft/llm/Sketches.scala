@@ -34,22 +34,44 @@ object Sketches {
   /** Hash space size of [[Portable.hash64]]: 60 bits. */
   val HashSpace: Double = math.pow(2, 60)
 
-  /** One-row DataFrame: (n_exact, kmv_estimate) distinct counts of
-    * `valueCol` in `df`. `n_exact` is the verification column — a
-    * production sketch-only pipeline drops it and never pays the
-    * exact count. When fewer than k distinct values exist the sketch
-    * IS the exact count. */
+  /** The estimate expression shared by both entry points: exact when
+    * fewer than k distinct hashes exist, else the order-statistic
+    * formula. */
+  private def estimate(k: Int): Column =
+    when(col("n_k") < k, col("n_k").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / col("kth").cast("double"))
+      .as("kmv_estimate")
+
+  /** PRODUCTION path — one-row DataFrame with `kmv_estimate` only.
+    * One distinct shuffle of 8-byte hashes, then TakeOrdered keeps k
+    * rows; the exact count is never computed. This is the entry point
+    * a 100 TB pipeline calls. */
+  def kmvEstimate(df: DataFrame, valueCol: Column, k: Int = 256): DataFrame = {
+    require(k >= 2, "kmv needs k >= 2")
+    df.select(Portable.hash64(valueCol).as("h")).distinct()
+      .orderBy(col("h")).limit(k)
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("n_k"))
+      .select(estimate(k))
+  }
+
+  /** VERIFICATION path — one-row DataFrame: (n_exact, kmv_estimate)
+    * distinct counts of `valueCol` in `df`. `n_exact` exists to check
+    * the sketch against the truth (and to oracle-check the estimator
+    * across engines); production pipelines call [[kmvEstimate]] and
+    * never pay it. The distinct hash set feeds BOTH the order
+    * statistic and the exact count, so it is materialized once
+    * (eagerly — the crossJoin schedules both branches concurrently,
+    * and a lazy cache lets them race an unfilled cache into double
+    * computation, the same rationale as Dedup.connectedComponents);
+    * without it this method scanned and shuffled the input twice. */
   def kmvDistinct(df: DataFrame, valueCol: Column, k: Int = 256): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")
     val hashes = df.select(Portable.hash64(valueCol).as("h")).distinct()
+      .localCheckpoint(true)
     val kmin = hashes.orderBy(col("h")).limit(k)
       .agg(max(col("h")).as("kth"), count(lit(1)).as("n_k"))
     val exact = hashes.agg(count(lit(1)).as("n_exact"))
-    kmin.crossJoin(exact).select(
-      col("n_exact"),
-      when(col("n_k") < k, col("n_k").cast("double"))
-        .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / col("kth").cast("double"))
-        .as("kmv_estimate"))
+    kmin.crossJoin(exact).select(col("n_exact"), estimate(k))
   }
 
   /** DuckDB rendering of [[kmvDistinct]] over a SQL fragment yielding

@@ -208,9 +208,13 @@ object StreamingOps {
   /** Overflow-safe `t + ttl`: a huge TTL (e.g. Long.MaxValue used to
     * mean "never") must saturate, not wrap negative — a wrapped sum
     * would make `deadline <= wm` trivially true and drop state
-    * immediately instead of never. */
-  private def satAdd(t: Long, ttl: Long): Long =
-    if (ttl > Long.MaxValue - t) Long.MaxValue else t + ttl
+    * immediately instead of never. Saturation is only possible when
+    * t > 0 (ttl is known positive on this path — noTtl filters
+    * ttlMs <= 0); for t <= 0 the naive guard `Long.MaxValue - t`
+    * itself wraps negative and would wrongly saturate every pre-epoch
+    * timestamp, permanently disabling the TTL for those keys. */
+  private[streaming] def satAdd(t: Long, ttl: Long): Long =
+    if (t > 0 && ttl > Long.MaxValue - t) Long.MaxValue else t + ttl
 
   private def asOfGroup(ttlMs: Long)(key: String, events: Iterator[AsOfIn],
                         state: GroupState[AsOfState]): Iterator[AsOfOut] = {

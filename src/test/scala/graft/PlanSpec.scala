@@ -162,6 +162,50 @@ class PlanSpec extends SparkSpec {
       s"the full-data exchange must key on (group, shard): $sMix")
   }
 
+  test("q09: as-of is union + window — no join node, one key shuffle plus the output sort") {
+    val df = Queries.byName("q09_asof_join")(spark, sfSmoke)
+    val p = planOf(df)
+    val s = p.toString
+    // TemporalJoin.asOf's whole scale claim: the enrichment never
+    // plans a join of any kind (no candidate-pair explosion possible)
+    assert(!s.contains("Join"), s"asOf must not plan a join:\n$s")
+    val shuffles = shufflePartitionings(p)
+    val hash = shuffles.filterNot(_.startsWith("rangepartitioning"))
+    assert(hash.size == 1 && hash.head.contains("user_id"),
+      s"expected exactly ONE hash shuffle on the as-of key (plus the output sort), got: $shuffles")
+  }
+
+  test("q10: point-in-range plans an EQUI join on (key, time bin) — never a nested-loop product") {
+    val df = Queries.byName("q10_range_join")(spark, sfSmoke)
+    // the bin must be an equi-join key in the optimized plan — that is
+    // what keeps the inequality join off the BroadcastNestedLoopJoin path
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__bin"), s"expected the time bin as an equi-join key in:\n$opt")
+    val s = planOf(df).toString
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"range join degenerated to a product:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin")
+        || s.contains("ShuffledHashJoin"),
+      s"expected a hash/merge equi-join in:\n$s")
+  }
+
+  test("llm23: per-source rank never sorts a whole group in one task") {
+    val df = Queries.byName("llm23_quality_gate_per_source")(spark, sfSmoke)
+    val p = planOf(df)
+    // the full-data window must partition by (__pid, __g) — a window
+    // partitioned by the group alone is the single-task-per-source sort
+    // the distributed rank exists to avoid
+    val s = p.toString
+    val windowSpecs = s.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // the rank window is the only one ordering by __score; it must be
+    // partitioned by __pid too (the offsets window runs on the tiny
+    // per-(partition, group) counts frame and is exempt)
+    assert(windowSpecs.exists(w => w.contains("__score") && w.contains("__pid")),
+      s"expected a (__pid, __g)-partitioned rank window, got:\n${windowSpecs.mkString("\n")}")
+    assert(!windowSpecs.exists(w => w.contains("__score") && !w.contains("__pid")),
+      s"a full-data window partitioned by the bare group key survived:\n${windowSpecs.mkString("\n")}")
+  }
+
   test("cdc07: the CDC path scans through the DSv2 source") {
     val s = planString("cdc07_cdc_source_replay")
     assert(s.contains("BatchScan") && s.contains("graft-cdc"),

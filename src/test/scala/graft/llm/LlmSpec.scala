@@ -440,4 +440,28 @@ class LlmSpec extends SparkSpec {
       .select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(1L, 5L))
   }
+
+  test("keepTopQualityPerGroup: rank stays exact when one group spans many range partitions") {
+    // one skewed group (the 100 TB shape the distributed rank exists
+    // for) plus a small one; heavy score ties so correctness depends
+    // on the cross-partition offset + id tiebreak, not luck
+    val docs = ((1 to 1000).map(i => (i.toLong, "big", (i % 7).toDouble)) ++
+        (2001 to 2010).map(i => (i.toLong, "small", i.toDouble)))
+      .toDF("doc_id", "source", "q")
+    val kept = Curation.keepTopQualityPerGroup(docs, col("doc_id"), col("source"),
+        col("q"), keepFraction = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val refBig = (1 to 1000).map(i => (i.toLong, (i % 7).toDouble))
+      .sortBy { case (id, q) => (-q, id) }.take(300).map(_._1)
+    val refSmall = (2001 to 2010).map(_.toLong).sortBy(-_).take(3)
+    assert(kept == (refBig ++ refSmall).toSet)
+  }
+
+  test("kmvEstimate (production path) equals kmvDistinct's estimate, sans exact column") {
+    val big = (1 to 20000).map(i => s"item-$i").toDF("v")
+    val est = Sketches.kmvEstimate(big, col("v"), k = 256).head()
+    assert(est.schema.fieldNames.toSeq == Seq("kmv_estimate"))
+    val both = Sketches.kmvDistinct(big, col("v"), k = 256).head()
+    assert(est.getDouble(0) == both.getDouble(1))
+  }
 }

@@ -375,6 +375,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("satAdd saturates only when t > 0; pre-epoch t must not disable the TTL") {
+    // positive t near the ceiling: saturate instead of wrapping negative
+    assert(StreamingOps.satAdd(Long.MaxValue - 5, 10L) == Long.MaxValue)
+    assert(StreamingOps.satAdd(1L, Long.MaxValue) == Long.MaxValue)
+    // t <= 0 can never overflow for positive ttl — the old guard
+    // (`ttl > Long.MaxValue - t` alone) wrapped for negative t and
+    // wrongly saturated, permanently disabling the history TTL for
+    // pre-epoch lastActivity values
+    assert(StreamingOps.satAdd(0L, 10L) == 10L)
+    assert(StreamingOps.satAdd(-1000L, 10L) == -990L)
+    assert(StreamingOps.satAdd(-1000L, Long.MaxValue) == Long.MaxValue - 1000L)
+    assert(StreamingOps.satAdd(Long.MinValue, Long.MaxValue) == -1L)
+  }
+
   test("asOf history TTL = Long.MaxValue disables expiry (no overflow wrap)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
