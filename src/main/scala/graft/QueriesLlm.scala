@@ -13,6 +13,23 @@ object QueriesLlm {
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23)
 
+  /** Per-query tracker slot for operators that materialize frames the
+    * result still references ([[graft.operators.Materialize.Tracker]]):
+    * each run swaps in a fresh tracker and releases the previous run's
+    * executor blocks; the query's cleanup hook drains the last one.
+    * Round-9 verdict: without this, 43 queries × 3 runs of accumulated
+    * checkpoint blocks turned a 63 s bench session into 96 s. */
+  private final class TrackerSlot {
+    private val ref =
+      new java.util.concurrent.atomic.AtomicReference[graft.operators.Materialize.Tracker]()
+    def fresh(): graft.operators.Materialize.Tracker = {
+      val t = new graft.operators.Materialize.Tracker
+      Option(ref.getAndSet(t)).foreach(_.releaseAll())
+      t
+    }
+    def drain(): Unit = Option(ref.getAndSet(null)).foreach(_.releaseAll())
+  }
+
   /** Sub-document (passage-level) dedup stats (Dedup.passages /
     * passageDupStats): Dolma-style paragraph dedup generalized to
     * fixed 8-token chunks. Half the corpus is planted as a duplicated
@@ -71,13 +88,14 @@ object QueriesLlm {
     * (Curation.keepTopQualityPerGroup): keep the top half of each
     * source by quality score — FineWeb-style per-dump stratified
     * filtering that an absolute threshold can't express. */
+  private val llm23Slot = new TrackerSlot
   private def llm23 = Q("llm23_quality_gate_per_source",
     (s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
       Curation.keepTopQualityPerGroup(d, col("doc_id"), col("source"),
-          col("quality"), keepFraction = 0.5)
+          col("quality"), keepFraction = 0.5, tracker = Some(llm23Slot.fresh()))
         .orderBy(col("doc_id"))
     },
     Some("""WITH d AS (
@@ -92,7 +110,8 @@ object QueriesLlm {
            |      FROM d)
            |SELECT doc_id, source, quality FROM r
            |WHERE rk <= floor(n * 0.5)
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin),
+    cleanup = Some(_ => llm23Slot.drain()))
 
   /** Gopher-style repetition stats (TextAnalysis.wordNgrams /
     * dupFraction / repetitionGate): duplicate token / 2-gram / 3-gram
@@ -242,6 +261,7 @@ object QueriesLlm {
     * keep when (a,b) and (b,c) both pair — components give each
     * duplicate family one representative (the min doc id). The oracle
     * computes the same fixpoint as a recursive transitive closure. */
+  private val llm17Slot = new TrackerSlot
   private def llm17 = Q("llm17_dedup_clusters",
     (s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -252,7 +272,8 @@ object QueriesLlm {
         corpus.withColumn("sh", Dedup.shingles(col("text"), 9)),
         col("doc_id"), col("sh"), k = 12)
       val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
-      Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+      Dedup.connectedComponents(pairs, tracker = Some(llm17Slot.fresh()))
+        .orderBy(col("doc_id"))
     },
     Some(s"""WITH RECURSIVE $duckMinhashPairCtes,
             |verts AS (SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs),
@@ -264,7 +285,8 @@ object QueriesLlm {
             |  SELECT e.eb, reach.r FROM edges e JOIN reach ON reach.v = e.ea)
             |SELECT v AS doc_id, min(r) AS cluster_id
             |FROM reach GROUP BY v
-            |ORDER BY doc_id""".stripMargin))
+            |ORDER BY doc_id""".stripMargin),
+    cleanup = Some(_ => llm17Slot.drain()))
 
   /** Eval-set decontamination (Dedup.contamination): every 50th
     * document, lightly mutated, plays the eval set; each must map
@@ -272,6 +294,7 @@ object QueriesLlm {
     * contaminated flag. Common shingles (train DF > 20) are dropped
     * before the inverted-index join — the rare-n-gram practice that
     * keeps the check linear at corpus scale. */
+  private val llm16Slot = new TrackerSlot
   private def llm16 = Q("llm16_decontamination",
     (s, dir) => {
       val train = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -283,7 +306,7 @@ object QueriesLlm {
           col("doc_id"), col("sh"),
           evalSet.withColumn("sh", Dedup.shingles(col("text"), 9)),
           col("doc_id"), col("sh"),
-          maxDf = 20)
+          maxDf = 20, tracker = Some(llm16Slot.fresh()))
         .withColumn("contaminated", col("overlap") >= 0.8)
         .orderBy(col("eval_id"))
     },
@@ -311,7 +334,8 @@ object QueriesLlm {
            |           FROM shared s JOIN ec USING (eval_id))
            |SELECT eval_id, train_id, overlap, overlap >= 0.8 AS contaminated
            |FROM scored WHERE rn = 1
-           |ORDER BY eval_id""".stripMargin))
+           |ORDER BY eval_id""".stripMargin),
+    cleanup = Some(_ => llm16Slot.drain()))
 
   /** Shard-local sequence packing (Packing.packBudgeted): documents
     * route to shards by portable hash, a per-shard running token
@@ -382,17 +406,19 @@ object QueriesLlm {
     * reproduces it bit-for-bit and the sketch itself is
     * oracle-checkable (n_exact is the verification column; a
     * production pipeline drops it). */
+  private val llm13Slot = new TrackerSlot
   private def llm13 = Q("llm13_kmv_distinct",
     (s, dir) => {
       val sh = Tables.documents(s, dir)
         .select(explode(Dedup.shingles(col("text"), 9)).as("shingle"))
-      Sketches.kmvDistinct(sh, col("shingle"), k = 256)
+      Sketches.kmvDistinct(sh, col("shingle"), k = 256, tracker = Some(llm13Slot.fresh()))
     },
     Some(Sketches.duckKmvDistinct(
       "(SELECT DISTINCT substr(text, i, 9) AS shingle FROM documents " +
         "CROSS JOIN generate_series(1, 4096) AS g(i) " +
         "WHERE i <= greatest(length(text) - 8, 1)) sh",
-      "shingle", 256)))
+      "shingle", 256)),
+    cleanup = Some(_ => llm13Slot.drain()))
 
   /** Exact dedup: union the corpus with an id-shifted copy of itself so
     * every document has exactly one duplicate, then keep the lowest id

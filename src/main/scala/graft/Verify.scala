@@ -31,7 +31,14 @@ object Verify {
           .parquet(s"$outDir/${q.name}")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
-      } finally q.cleanup.foreach(c => try c(spark) catch { case _: Throwable => () })
+      } finally {
+        q.cleanup.foreach(c => try c(spark) catch { case _: Throwable => () })
+        // same between-query hygiene as Bench: no query's materialized
+        // blocks may outlive it (round-9 session-contamination fix)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(r => try r.unpersist(blocking = false) catch { case _: Throwable => () })
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
+import graft.operators.Materialize
 
 /** Composed corpus-curation pipeline — the operators a 100 TB
   * training-data run chains in one pass over the scan:
@@ -66,19 +67,22 @@ object Curation {
     * aggregation and the verify join (materialized once, eagerly —
     * same rationale as `Dedup.contamination`); pair generation is
     * bucketed, never all-pairs; clustering runs on the verified 8-byte
-    * edge list only. */
+    * edge list only. The gated corpus and the final cluster labels are
+    * what the RESULT plan reads — pass a `tracker` and release after
+    * consumption to free their executor blocks. */
   def curateNearDup(docs: DataFrame, idCol: Column, textCol: Column,
                     cfg: Config = Config(),
-                    cfgNd: NearDupConfig = NearDupConfig()): DataFrame = {
+                    cfgNd: NearDupConfig = NearDupConfig(),
+                    tracker: Option[Materialize.Tracker] = None): DataFrame = {
     // `sh` (strings) feeds the signature aggregation; `shh` (xxhash64
     // longs) feeds the verify join — jaccard counts are hash-invariant
     // and the join moves fixed-width long arrays (same trade as the
     // decontamination pipeline)
-    val gated = docs.filter(qualityGate(textCol, cfg))
+    val gated = Materialize.eager(docs.filter(qualityGate(textCol, cfg))
       .select(idCol.as("doc_id"), textCol.as("text"),
               Dedup.shingles(textCol, cfgNd.shingleN).as("sh"))
-      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
-      .localCheckpoint(true)
+      .withColumn("shh", transform(col("sh"), s => xxhash64(s))))
+    tracker.foreach(_.track(gated))
     val sig = Dedup.minhashSignature(gated, col("doc_id"), col("sh"), cfgNd.k)
     val pairs = Dedup.candidatePairs(
       Dedup.lshBuckets(sig, cfgNd.k, cfgNd.rowsPerBand), cfgNd.maxBucketSize)
@@ -87,7 +91,8 @@ object Curation {
       .join(gated.select(col("doc_id").as("id_b"), col("shh").as("sh_b")), "id_b")
       .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= cfgNd.jaccardThreshold)
       .select(col("id_a"), col("id_b"))
-    val dropIds = Dedup.connectedComponents(verified, checkpointDir = cfgNd.checkpointDir)
+    val dropIds = Dedup.connectedComponents(verified,
+        checkpointDir = cfgNd.checkpointDir, tracker = tracker)
       .filter(col("doc_id") =!= col("cluster_id")) // non-representatives
       .select(col("doc_id"))
     gated.join(dropIds, Seq("doc_id"), "left_anti")
@@ -119,9 +124,27 @@ object Curation {
     * the group, independent of where the (sampled) range boundaries
     * fall, because the partition order follows the total sort order.
     * Group sizes (the quota) come from a plain aggregate, one row per
-    * group, broadcast. */
+    * group, broadcast.
+    *
+    * `checkpointDir`: when set, the materialized ranged frame (the
+    * ENTIRE corpus, all columns) uses a RELIABLE checkpoint — same
+    * trade as [[Dedup.connectedComponents]]: executor-local blocks die
+    * with their executor, and a 100 TB ranging pass should pay the
+    * durable write for restartability. Default (None) keeps fast
+    * in-memory materialization; the RESULT plan reads the ranged
+    * frame, so pass a `tracker` and release after consumption.
+    *
+    * `numPartitions`: explicit range-partition count. Default (None)
+    * lets AQE pick — which on a SMALL input may coalesce the range
+    * shuffle to one partition (correct either way: both branches read
+    * the same materialized partition ids). Pass an explicit count to
+    * pin the multi-partition path (tests do, to actually exercise the
+    * cross-partition offsets). */
   def keepTopQualityPerGroup(docs: DataFrame, idCol: Column, groupCol: Column,
-                             scoreCol: Column, keepFraction: Double): DataFrame = {
+                             scoreCol: Column, keepFraction: Double,
+                             checkpointDir: Option[String] = None,
+                             tracker: Option[Materialize.Tracker] = None,
+                             numPartitions: Option[Int] = None): DataFrame = {
     require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     val tagged = docs.withColumn("__g", groupCol).withColumn("__score", scoreCol)
@@ -130,10 +153,14 @@ object Curation {
     // the rank branch read it, and the partition ids MUST be identical
     // in both (a recomputed range shuffle may sample different
     // boundaries, misaligning offsets with ranks)
-    val ranged = tagged
-      .repartitionByRange(col("__g"), col("__score").desc, col("__id").asc)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    val sortKeys = Seq(col("__g"), col("__score").desc, col("__id").asc)
+    val rangedInput = numPartitions match {
+      case Some(n) => tagged.repartitionByRange(n, sortKeys: _*)
+      case None => tagged.repartitionByRange(sortKeys: _*)
+    }
+    val ranged = Materialize.eagerOrCheckpoint(
+      rangedInput.withColumn("__pid", spark_partition_id()), checkpointDir)
+    tracker.foreach(_.track(ranged))
     val counts = ranged.groupBy(col("__pid"), col("__g"))
       .agg(count(lit(1)).as("__c"))
     val quotas = counts.groupBy(col("__g"))

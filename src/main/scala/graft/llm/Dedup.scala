@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
+import graft.operators.Materialize
 
 /** Deduplication operators for training-data pipelines at 100 TB.
   *
@@ -200,12 +201,23 @@ object Dedup {
     * graphs ever appear.
     *
     * `checkpointDir`: when set, supersteps use RELIABLE checkpoints
-    * (`df.checkpoint` into that directory) — local checkpoints store
-    * blocks only on executors, so on a real cluster an executor loss
-    * mid-computation kills the query (no lineage left to recompute);
-    * a long-running 100 TB clustering job should pay the HDFS write
-    * for restartability. Default (None) keeps the faster
-    * executor-local checkpoints.
+    * (`df.checkpoint` into that directory) — executor-local blocks
+    * die with their executor mid-computation; a long-running 100 TB
+    * clustering job should pay the HDFS write for restartability.
+    * Default (None) uses fast in-memory materialization
+    * ([[graft.operators.Materialize.eager]]).
+    *
+    * Block hygiene (round-9 fix): every superseded superstep frame is
+    * RELEASED as soon as its successor is materialized, so the loop
+    * holds at most edges + two label frames of executor storage at any
+    * moment — O(1) frames, not O(supersteps). The FINAL label frame is
+    * what the returned plan reads; pass a `tracker` and call
+    * `tracker.releaseAll()` after consuming the result to free it too
+    * (without a tracker it is freed when the JVM collects the handle,
+    * the pre-round-10 behavior). The convergence probe rides the
+    * materialization job itself (`eagerCountingFlag` counts changed
+    * labels in the same pass that stores the blocks), so each local
+    * superstep is ONE job — no per-iteration join+count.
     *
     * Throws if `maxIter` supersteps pass without reaching the
     * fixpoint: a silent early exit would return PARTIALLY propagated
@@ -214,24 +226,22 @@ object Dedup {
     * default 20 mean an unusually chained duplicate family: raise
     * maxIter (cost is per-superstep, not quadratic). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
-    // Iterative frames use EAGER checkpoints, not persist:
+                          checkpointDir: Option[String] = None,
+                          tracker: Option[Materialize.Tracker] = None): DataFrame = {
+    // Iterative frames use EAGER materialization, not lazy persist:
     // (a) the candidate pipeline materializes exactly once (the union
     //     below references it twice, and concurrently-scheduled union
     //     branches RACE an unfilled cache into double computation);
-    // (b) every superstep starts from a shallow checkpointed parent,
-    //     so per-iteration plans stay constant-size — with persist,
-    //     unpersisting a parent mid-loop invalidates dependent caches
-    //     and each later superstep recomputes a compounding lineage
-    //     (measured: 1.5s → 5.4s per iteration before this).
-    // Local checkpoint blocks free on GC; reliable ones live in
-    // checkpointDir until the application cleans it.
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    // (b) every superstep starts from a constant-size LogicalRDD leaf —
+    //     with lazy persist, unpersisting a parent mid-loop invalidates
+    //     dependent caches and each later superstep recomputes a
+    //     compounding lineage (measured: 1.5s → 5.4s per iteration).
+    def save(df: DataFrame): DataFrame = Materialize.eagerOrCheckpoint(df, checkpointDir)
+    val reliable = checkpointDir.isDefined
     val p0 = save(pairs)
     val edges = save(p0.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(p0.select(col("id_b").as("a"), col("id_a").as("b"))))
+    Materialize.release(p0) // edges is materialized; nothing reads p0 again
     var labels = save(edges.select(col("a").as("v")).distinct()
       .withColumn("label", col("v")))
     var iter = 0
@@ -239,18 +249,38 @@ object Dedup {
     while (!done && iter < maxIter) {
       val fromNbrs = edges.join(labels.withColumnRenamed("v", "b"), "b")
         .select(col("a").as("v"), col("label"))
-      val next = save(labels.unionByName(fromNbrs)
-        .groupBy("v").agg(min("label").as("label")))
-      val changed = next.join(labels.withColumnRenamed("label", "__old"), "v")
-        .filter(col("label") =!= col("__old")).count() > 0
-      labels = next
+      // Each vertex's own row rides the union tagged __own, so the
+      // min-label aggregation ALSO yields the previous label — the
+      // changed-flag comes out of the same shuffle, replacing the old
+      // per-superstep join+count convergence pass.
+      val stepped = labels.withColumn("__own", lit(true))
+        .unionByName(fromNbrs.withColumn("__own", lit(false)))
+        .groupBy("v")
+        .agg(min("label").as("label"),
+             min(when(col("__own"), col("label"))).as("__old"))
+        .select(col("v"), col("label"),
+                coalesce(col("label") =!= col("__old"), lit(true)).as("__changed"))
+      val (next, changed) =
+        if (reliable) {
+          val n = save(stepped)
+          // reliable path: the probe is a limit-1 scan of the durable
+          // checkpoint — cheap, and the frame carries no executor blocks
+          (n, !n.filter(col("__changed")).isEmpty)
+        } else {
+          val (n, c) = Materialize.eagerCountingFlag(stepped, "__changed")
+          (n, c > 0L)
+        }
+      Materialize.release(labels) // superseded; `next` is materialized
+      labels = next.drop("__changed") // cheap projection over the materialized leaf
       done = !changed
       iter += 1
     }
+    Materialize.release(edges)
     if (!done)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter supersteps — a component has " +
         s"diameter > $maxIter and its labels are only partially propagated; raise maxIter")
+    tracker.foreach(_.track(labels))
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -275,11 +305,16 @@ object Dedup {
     * same trade as [[connectedComponents]]: local checkpoint blocks
     * die with their executor (no lineage left to recompute), so a
     * long 100 TB decontamination run should pay the durable write for
-    * restartability. Default (None) keeps the faster local
-    * checkpoint. */
+    * restartability. (The directory is a JVM-global SparkContext
+    * setting; it is only applied when none is configured yet — see
+    * [[graft.operators.Materialize.eagerOrCheckpoint]].) Default
+    * (None) keeps fast in-memory materialization; the RESULT plan
+    * reads the materialized frame, so pass a `tracker` and release it
+    * after consumption to free the executor blocks. */
   def contamination(train: DataFrame, trainId: Column, trainShinglesCol: Column,
                     evalDf: DataFrame, evalId: Column, evalShinglesCol: Column,
-                    maxDf: Int, checkpointDir: Option[String] = None): DataFrame = {
+                    maxDf: Int, checkpointDir: Option[String] = None,
+                    tracker: Option[Materialize.Tracker] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The exploded-distinct train shingles feed TWO consumers — the
     // rare-shingle document frequencies and the posting list joined
@@ -293,12 +328,11 @@ object Dedup {
     // outputs are overlap COUNTS, identical modulo a full-64-bit
     // collision merging two shingles (~n²/2^65, vanishing), the same
     // accepted trade as `exact` dedup's content hash.
-    checkpointDir.foreach(train.sparkSession.sparkContext.setCheckpointDir)
-    def save(d: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) d.checkpoint(true) else d.localCheckpoint(true)
-    val tsh = save(
+    val tsh = Materialize.eagerOrCheckpoint(
       train.select(trainId.as("train_id"), explode(trainShinglesCol).as("__s"))
-        .select(col("train_id"), xxhash64(col("__s")).as("sh")).distinct())
+        .select(col("train_id"), xxhash64(col("__s")).as("sh")).distinct(),
+      checkpointDir)
+    tracker.foreach(_.track(tsh))
     val rare = tsh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
     val trare = tsh.join(rare, "sh")

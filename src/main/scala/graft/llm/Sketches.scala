@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
+import graft.operators.Materialize
 
 /** Deterministic, engine-portable sketches.
   *
@@ -63,11 +64,15 @@ object Sketches {
     * (eagerly — the crossJoin schedules both branches concurrently,
     * and a lazy cache lets them race an unfilled cache into double
     * computation, the same rationale as Dedup.connectedComponents);
-    * without it this method scanned and shuffled the input twice. */
-  def kmvDistinct(df: DataFrame, valueCol: Column, k: Int = 256): DataFrame = {
+    * without it this method scanned and shuffled the input twice.
+    * The RESULT plan reads the materialized hash set — pass a
+    * `tracker` and release after consumption to free its blocks. */
+  def kmvDistinct(df: DataFrame, valueCol: Column, k: Int = 256,
+                  tracker: Option[Materialize.Tracker] = None): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")
-    val hashes = df.select(Portable.hash64(valueCol).as("h")).distinct()
-      .localCheckpoint(true)
+    val hashes = Materialize.eager(
+      df.select(Portable.hash64(valueCol).as("h")).distinct())
+    tracker.foreach(_.track(hashes))
     val kmin = hashes.orderBy(col("h")).limit(k)
       .agg(max(col("h")).as("kth"), count(lit(1)).as("n_k"))
     val exact = hashes.agg(count(lit(1)).as("n_exact"))

@@ -26,11 +26,23 @@ object JdbcPollingTailer {
     * wrong for non-serial keys — an explicit insert at a low key, key
     * reuse after delete, or crash-replayed rows would flip 'c'→'u';
     * without it every non-soft-deleted polled row emits 'c' and
-    * downstream latest-state still converges. */
+    * downstream latest-state still converges.
+    *
+    * `snapshotOverride`: per-table snapshot SELECT pushed to the
+    * source database instead of `SELECT * FROM schema.table` — the
+    * reference's `snapshot.select.statement.overrides.<table>` knob
+    * (debezium-server-core DebeziumServerTest.java:77-79): snapshot
+    * only a filtered/projected slice of a huge table while streaming
+    * still captures every change. The statement SHOULD return the
+    * watermark column — without it the table's snapshot watermark
+    * stays unset and the first poll re-captures all rows (converged
+    * downstream, but wasteful); the distributed snapshot REQUIRES it
+    * (partitioned read splits on the watermark). */
   final case class TableSpec(schema: String, table: String,
                              keyCols: Seq[String], watermarkCol: String,
                              softDeleteCol: Option[String] = None,
-                             serialKeyOps: Boolean = false) {
+                             serialKeyOps: Boolean = false,
+                             snapshotOverride: Option[String] = None) {
     def qualified: String = s"$schema.$table"
   }
 
@@ -40,8 +52,14 @@ object JdbcPollingTailer {
     *   debezium.source.jdbc.url    = jdbc:...
     *   debezium.source.jdbc.tables = schema.table:key1+key2:wmCol[,…]
     *   debezium.source.path        = <CdcLayout dir the DSv2 source reads>
+    *   debezium.source.snapshot.select.statement.overrides.<schema>.<table>
+    *                               = SELECT … (per-table snapshot SQL;
+    *                                 the upstream list-form key is
+    *                                 accepted and ignored — presence of
+    *                                 the per-table key is what binds)
     */
   def fromProperties(props: Map[String, String]): JdbcPollingTailer = {
+    val overridePrefix = "debezium.source.snapshot.select.statement.overrides."
     def req(k: String) = props.getOrElse(k,
       throw new IllegalArgumentException(s"missing $k"))
     val tables = req("debezium.source.jdbc.tables").split(",").map(_.trim).filter(_.nonEmpty)
@@ -59,7 +77,8 @@ object JdbcPollingTailer {
               else (false, rest)
             if (softRest.size > 1) throw new IllegalArgumentException(
               s"bad table spec '$spec' (want schema.table:key1+key2:watermarkCol[:softDeleteCol][:serial])")
-            TableSpec(schema, table, keys.split("\\+").toSeq, wm, softRest.headOption, serial)
+            TableSpec(schema, table, keys.split("\\+").toSeq, wm, softRest.headOption, serial,
+              snapshotOverride = props.get(overridePrefix + qual))
           case _ => throw new IllegalArgumentException(
             s"bad table spec '$spec' (want schema.table:key1+key2:watermarkCol[:softDeleteCol][:serial])")
         }
@@ -153,13 +172,15 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
         var wm = Long.MinValue
         val st = conn.createStatement()
         try {
-          val rs = st.executeQuery(
-            s"SELECT * FROM ${t.qualified} ORDER BY ${t.watermarkCol}")
+          val rs = st.executeQuery(t.snapshotOverride.getOrElse(
+            s"SELECT * FROM ${t.qualified} ORDER BY ${t.watermarkCol}"))
           while (rs.next()) {
             val m = rowMap(rs)
             // the watermark advances over soft-deleted rows, but a
-            // snapshot is CURRENT state — deleted rows don't appear
-            wm = math.max(wm, longOf(m(t.watermarkCol.toLowerCase)))
+            // snapshot is CURRENT state — deleted rows don't appear.
+            // An override statement may project the watermark away —
+            // then wm stays unset and the first poll re-captures.
+            m.get(t.watermarkCol.toLowerCase).foreach(v => wm = math.max(wm, longOf(v)))
             // key high-water (soft-deleted rows still occupy keys)
             serialKey(t, m).foreach(k =>
               maxKeys(t.qualified) = math.max(maxKeys.getOrElse(t.qualified, Long.MinValue), k))
@@ -197,15 +218,22 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
     val watermarks = mutable.Map.empty[String, Long]
     val maxKeys = mutable.Map.empty[String, Long]
     tables.foreach { t =>
+      // an override statement replaces the base relation everywhere in
+      // the snapshot path (bounds, key high-water, partitioned read) —
+      // it MUST return the watermark column here, since the
+      // distributed read splits on it
+      val rel = t.snapshotOverride.map(o => s"($o) ovr").getOrElse(t.qualified)
       // bound first: the snapshot's consistency point on the watermark
       val conn = DriverManager.getConnection(jdbcUrl)
       val (lo, hi) = try {
         val rs = conn.createStatement().executeQuery(
-          s"SELECT min(${t.watermarkCol}), max(${t.watermarkCol}) FROM ${t.qualified}")
+          s"SELECT min(${t.watermarkCol}), max(${t.watermarkCol}) FROM $rel")
         val bounds = if (rs.next() && rs.getObject(2) != null) (rs.getLong(1), rs.getLong(2))
           else (0L, -1L) // empty table
         // key high-water at the same consistency point (single
-        // numeric-key tables only — the insert/update discriminator)
+        // numeric-key tables only — the insert/update discriminator).
+        // NOTE: reads the BASE table, not the override — keys outside
+        // the snapshot slice still occupy key space.
         singleKeyCol(t).foreach { k =>
           val krs = conn.createStatement().executeQuery(
             s"SELECT max($k) FROM ${t.qualified} WHERE ${t.watermarkCol} <= ${bounds._2}")
@@ -224,7 +252,7 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
         val df = spark.read.format("jdbc")
           .option("url", jdbcUrl)
           .option("dbtable",
-            s"(SELECT * FROM ${t.qualified} WHERE ${t.watermarkCol} <= $hi) snap")
+            s"(SELECT * FROM $rel WHERE ${t.watermarkCol} <= $hi) snap")
           .option("partitionColumn", t.watermarkCol)
           .option("lowerBound", lo.toString).option("upperBound", (hi + 1).toString)
           .option("numPartitions", numPartitions.toString)

@@ -403,6 +403,44 @@ class LlmSpec extends SparkSpec {
     assert(!feats.queryExecution.executedPlan.toString.contains("ExistingRDD"))
   }
 
+  test("multimodal: real PNG decodes via javax.imageio into width/height/luminance features") {
+    // a REAL 8×4 PNG: left half black, right half white — luminance
+    // features are exactly 0.0 / 1.0 at known lattice positions
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 4)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+
+    val df = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.extractImageInfo(df, "doc_id", dim = 16)
+      .orderBy("doc_id").collect()
+
+    val p = out(0)
+    assert(p.getAs[Int]("width") == 8 && p.getAs[Int]("height") == 4)
+    val feats = p.getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.length == 16)
+    // 4×4 lattice over an 8-wide image: columns 0,1 sample black
+    // pixels (x=0,2), columns 2,3 sample white (x=4,6)
+    assert(feats.toList == List.tabulate(16)(i => if (i % 4 < 2) 0.0f else 1.0f))
+
+    // non-image bytes: dims null, stub features (pipeline never fails)
+    val np = out(1)
+    assert(np.isNullAt(np.fieldIndex("width")) && np.isNullAt(np.fieldIndex("height")))
+    assert(np.getAs[scala.collection.Seq[Float]]("features").length == 16)
+
+    // the typed dispatch seam: image/* routes through the codec,
+    // anything else through the deterministic stub — same bytes
+    def typedFeats(mediaType: String): List[Float] = Multimodal.extractFeaturesTyped(
+      Multimodal.asMedia(Seq((1L, "x")).toDF("doc_id", "c"), "c", mediaType)
+        .withColumn("media", org.apache.spark.sql.functions.lit(png)),
+      "doc_id", dim = 16).head().getAs[scala.collection.Seq[Float]]("features").toList
+    assert(typedFeats("image/png") == feats.toList)
+    assert(typedFeats("text/plain") != feats.toList)
+  }
+
   test("passages: full chunks only, short docs yield none, within-doc repeats are not corpus dups") {
     val docs = Seq(
       (1L, "a b c d e f g h tail dropped"),        // 10 toks → one 8-chunk, tail dropped
@@ -448,8 +486,22 @@ class LlmSpec extends SparkSpec {
     val docs = ((1 to 1000).map(i => (i.toLong, "big", (i % 7).toDouble)) ++
         (2001 to 2010).map(i => (i.toLong, "small", i.toDouble)))
       .toDF("doc_id", "source", "q")
+    // guard the fixture itself: the cross-partition offset path is only
+    // exercised if the big group actually SPANS multiple range
+    // partitions under this session's shuffle-partition setting —
+    // with 1 partition the test silently degrades to the trivial case
+    // explicit partition count pins the multi-partition path (AQE
+    // would coalesce this tiny shuffle to ONE partition and silently
+    // degrade the test to the trivial case)
+    val bigSpan = docs
+      .repartitionByRange(4, col("source"), col("q").desc, col("doc_id").asc)
+      .withColumn("p", org.apache.spark.sql.functions.spark_partition_id())
+      .where(col("source") === "big")
+      .select("p").distinct().count()
+    assert(bigSpan > 1,
+      s"fixture must span >1 range partition (got $bigSpan) — raise rows or lower shuffle partitions")
     val kept = Curation.keepTopQualityPerGroup(docs, col("doc_id"), col("source"),
-        col("q"), keepFraction = 0.3)
+        col("q"), keepFraction = 0.3, numPartitions = Some(4))
       .select("doc_id").as[Long].collect().toSet
     val refBig = (1 to 1000).map(i => (i.toLong, (i % 7).toDouble))
       .sortBy { case (id, q) => (-q, id) }.take(300).map(_._1)

@@ -320,6 +320,41 @@ class CdcSourceSpec extends SparkSpec {
     }
   }
 
+  test("snapshot.select.statement.overrides: per-table snapshot SQL filters/projects the dump") {
+    import graft.sources.cdc.JdbcPollingTailer
+    val url = s"jdbc:derby:memory:ovr${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE SCHEMA shop")
+    st.execute("CREATE TABLE shop.items (id INT PRIMARY KEY, name VARCHAR(64), secret VARCHAR(64))")
+    (1 to 4).foreach(i => st.execute(
+      s"INSERT INTO shop.items VALUES ($i, 'item$i', 'classified$i')"))
+
+    val db = Files.createTempDirectory("graft-ovr")
+    // the reference's per-table snapshot override
+    // (DebeziumServerTest.java:77-79): filtered AND projected — the
+    // `secret` column never leaves the source database
+    val tailer = JdbcPollingTailer.fromProperties(Map(
+      "debezium.source.jdbc.url" -> url,
+      "debezium.source.jdbc.tables" -> "shop.items:id:id",
+      "debezium.source.snapshot.select.statement.overrides.shop.items" ->
+        "SELECT id, name FROM shop.items WHERE id <= 2",
+      "debezium.source.path" -> db.toString))
+    assert(tailer.tableSpecs.head.snapshotOverride.exists(_.contains("id <= 2")))
+    tailer.snapshot()
+
+    val dump = Files.readAllLines(db.resolve("snapshot/shop.items.jsonl"))
+    assert(dump.size == 2, s"override must snapshot only the filtered slice: $dump")
+    assert(dump.get(0).contains("\"name\":\"item1\"") && !dump.get(0).contains("secret"),
+      s"override must project away unselected columns: ${dump.get(0)}")
+
+    // streaming still covers the full table: rows 3 & 4 sit past the
+    // override slice's watermark high-water → the first poll takes them
+    assert(tailer.poll() == 2)
+    assert(tailer.poll() == 0)
+    conn.close()
+  }
+
   test("distributed snapshot: partitioned JDBC read writes a multi-part dump the source scans") {
     import graft.sources.cdc.JdbcPollingTailer
     import JdbcPollingTailer.TableSpec
