@@ -268,9 +268,9 @@ object QueriesLlm {
       val corpus = d.unionByName(
         d.select((col("doc_id") + 100000L).as("doc_id"),
                  concat(col("text"), lit(" qx")).as("text")))
-      val sigs = Dedup.minhashSignature(
-        corpus.withColumn("sh", Dedup.shingles(col("text"), 9)),
-        col("doc_id"), col("sh"), k = 12)
+      // same text-path signatures as llm05 — clustering consumes only
+      // the 8-byte pair list, never the shingle arrays
+      val sigs = Dedup.minhashSignatureText(corpus, col("doc_id"), col("text"), n = 9, k = 12)
       val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
       Dedup.connectedComponents(pairs, tracker = Some(llm17Slot.fresh()))
         .orderBy(col("doc_id"))
@@ -938,9 +938,9 @@ object QueriesLlm {
       val corpus = d.unionByName(
         d.select((col("doc_id") + 100000L).as("doc_id"),
                  concat(col("text"), lit(" qx")).as("text")))
-      val sigs = Dedup.minhashSignature(
-        corpus.withColumn("sh", Dedup.shingles(col("text"), 9)),
-        col("doc_id"), col("sh"), k = 12)
+      // text-path signatures: pair generation never needs the shingle
+      // arrays, so skip building them (≈35% of the signature stage)
+      val sigs = Dedup.minhashSignatureText(corpus, col("doc_id"), col("text"), n = 9, k = 12)
       Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
         .orderBy(col("id_a"), col("id_b"))
     },

@@ -33,6 +33,19 @@ class LlmSpec extends SparkSpec {
     assert(sig(1L) != sig(3L))
   }
 
+  test("minhashSignatureText (position-explode fast path) equals the array path exactly") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+                   (2L, "the quick brown fox leaps over the lazy dog"),
+                   (3L, "ab"), // shorter than n → single clamped shingle
+                   (4L, "aaaaaaaaaaaa")).toDF("id", "text") // repeated shingles
+    val viaArrays = Dedup.minhashSignature(
+      docs.withColumn("sh", Dedup.shingles(col("text"), 4)), col("id"), col("sh"), k = 8)
+      .orderBy("doc_id").collect().toSeq
+    val viaText = Dedup.minhashSignatureText(docs, col("id"), col("text"), n = 4, k = 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaText == viaArrays)
+  }
+
   test("lsh candidate pairs find the near-duplicate") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog today"),
                    (2L, "the quick brown fox jumps over the lazy dog tonight"),
