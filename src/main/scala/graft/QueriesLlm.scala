@@ -301,12 +301,12 @@ object QueriesLlm {
       val evalSet = train.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 200000L).as("doc_id"),
                 concat(col("text"), lit(" zz")).as("text"))
-      Dedup.contamination(
-          train.withColumn("sh", Dedup.shingles(col("text"), 9)),
-          col("doc_id"), col("sh"),
-          evalSet.withColumn("sh", Dedup.shingles(col("text"), 9)),
-          col("doc_id"), col("sh"),
-          maxDf = 20, tracker = Some(llm16Slot.fresh()))
+      // text-path: decontamination only consumes shingle HASHES, so
+      // skip building the per-doc shingle arrays entirely
+      Dedup.contaminationText(
+          train, col("doc_id"), col("text"),
+          evalSet, col("doc_id"), col("text"),
+          n = 9, maxDf = 20, tracker = Some(llm16Slot.fresh()))
         .withColumn("contaminated", col("overlap") >= 0.8)
         .orderBy(col("eval_id"))
     },

@@ -340,7 +340,40 @@ object Dedup {
   def contamination(train: DataFrame, trainId: Column, trainShinglesCol: Column,
                     evalDf: DataFrame, evalId: Column, evalShinglesCol: Column,
                     maxDf: Int, checkpointDir: Option[String] = None,
-                    tracker: Option[Materialize.Tracker] = None): DataFrame = {
+                    tracker: Option[Materialize.Tracker] = None): DataFrame =
+    contaminationFrom(
+      train.select(trainId.as("train_id"), explode(trainShinglesCol).as("__s"))
+        .select(col("train_id"), xxhash64(col("__s")).as("sh")),
+      evalDf.select(evalId.as("eval_id"), explode(evalShinglesCol).as("__s"))
+        .select(col("eval_id"), xxhash64(col("__s")).as("sh")),
+      maxDf, checkpointDir, tracker)
+
+  /** [[contamination]] straight from TEXT columns — the fast path when
+    * the caller has no other use for the shingle arrays: character
+    * positions explode and each n-gram substring hashes inside one
+    * codegen'd projection (same trade as [[minhashSignatureText]]; the
+    * per-doc distinct moves onto the 8-byte hashes, where it was
+    * already going). Results are value-identical to building
+    * `shingles(text, n)` first. */
+  def contaminationText(train: DataFrame, trainId: Column, trainText: Column,
+                        evalDf: DataFrame, evalId: Column, evalText: Column,
+                        n: Int, maxDf: Int, checkpointDir: Option[String] = None,
+                        tracker: Option[Materialize.Tracker] = None): DataFrame = {
+    def posHashes(df: DataFrame, id: Column, text: Column, outId: String) =
+      df.select(id.as(outId), text.as("__t"))
+        .select(col(outId), col("__t"),
+          explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"))
+        .select(col(outId), xxhash64(col("__t").substr(col("__i"), lit(n))).as("sh"))
+    contaminationFrom(posHashes(train, trainId, trainText, "train_id"),
+      posHashes(evalDf, evalId, evalText, "eval_id"), maxDf, checkpointDir, tracker)
+  }
+
+  /** Shared decontamination core over per-doc shingle-hash streams
+    * (columns: train_id/sh and eval_id/sh, repeats allowed — the
+    * distinct lands here, on fixed-width hashes). */
+  private def contaminationFrom(trainSh: DataFrame, evalSh: DataFrame,
+                                maxDf: Int, checkpointDir: Option[String],
+                                tracker: Option[Materialize.Tracker]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The exploded-distinct train shingles feed TWO consumers — the
     // rare-shingle document frequencies and the posting list joined
@@ -354,17 +387,12 @@ object Dedup {
     // outputs are overlap COUNTS, identical modulo a full-64-bit
     // collision merging two shingles (~n²/2^65, vanishing), the same
     // accepted trade as `exact` dedup's content hash.
-    val tsh = Materialize.eagerOrCheckpoint(
-      train.select(trainId.as("train_id"), explode(trainShinglesCol).as("__s"))
-        .select(col("train_id"), xxhash64(col("__s")).as("sh")).distinct(),
-      checkpointDir)
+    val tsh = Materialize.eagerOrCheckpoint(trainSh.distinct(), checkpointDir)
     tracker.foreach(_.track(tsh))
     val rare = tsh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
     val trare = tsh.join(rare, "sh")
-    val erare = evalDf.select(evalId.as("eval_id"), explode(evalShinglesCol).as("__s"))
-      .select(col("eval_id"), xxhash64(col("__s")).as("sh"))
-      .distinct().join(rare, "sh")
+    val erare = evalSh.distinct().join(rare, "sh")
     val ec = erare.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
     val shared = erare.join(trare, "sh")
       .groupBy(col("eval_id"), col("train_id")).agg(count(lit(1)).as("n_shared"))
