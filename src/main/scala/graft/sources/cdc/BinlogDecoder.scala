@@ -1,0 +1,246 @@
+package graft.sources.cdc
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
+/** Decoder for MySQL binary-log ROW events (binlog format v4, the wire
+  * format documented in the MySQL manual's "Binary Log" / replication
+  * protocol internals), emitting change envelopes into the same
+  * [[CdcLayout]] contract as [[PgOutputDecoder]] and the polling
+  * tailer.
+  *
+  * This is the MySQL half of the log-protocol seam (the reference
+  * ships one connector per database —
+  * debezium-server-dist/pom.xml:359-389): row-based replication events
+  * carry the change shapes polling cannot observe — hard DELETEs, and
+  * UPDATEs with FULL before images (`binlog_row_image=FULL`, the MySQL
+  * default, puts the complete old row on the wire — richer than
+  * Postgres' default replica identity).
+  *
+  * Supported events (type codes): FORMAT_DESCRIPTION 0x0f, QUERY 0x02,
+  * XID 0x10, TABLE_MAP 0x13, WRITE_ROWS_v2 0x1e, UPDATE_ROWS_v2 0x1f,
+  * DELETE_ROWS_v2 0x20; ROTATE/GTID/others are ignored bookkeeping.
+  * Column types: TINY/SHORT/INT24/LONG/LONGLONG (1/2/9/3/8),
+  * FLOAT/DOUBLE (4/5), VARCHAR/VAR_STRING (15/253, 1- or 2-byte
+  * length per the TABLE_MAP metadata). Checksums: the
+  * FORMAT_DESCRIPTION checksum-algorithm byte is honored — when it
+  * declares CRC32, every later event's 4-byte trailer is trimmed
+  * before parsing (contents are not re-verified).
+  *
+  * The binlog carries NO column names (a live connector reads them
+  * from information_schema at connect time, as the reference does via
+  * its schema snapshot) — register each table's column names and key
+  * columns with [[registerTable]] before feeding DML.
+  *
+  * LSN assignment mirrors [[PgOutputDecoder]]: a monotonic counter
+  * seeded at construction, one step per ROW (one multi-row event emits
+  * several envelopes). Event-header timestamps (epoch seconds) stamp
+  * `ts_ms`.
+  */
+final class BinlogDecoder(startLsn: Long = 0L,
+                          topicPrefix: String = "testc",
+                          dbName: String = "db") {
+  import BinlogDecoder._
+
+  private val tableMaps = mutable.Map.empty[Long, TableMap]
+  private val columnRegistry = mutable.Map.empty[String, (Seq[String], Set[String])]
+  private var lsn = startLsn
+  private var checksummed = false
+
+  def currentLsn: Long = lsn
+
+  /** Register the column names (binlog order) and key columns for
+    * `schema.table` — the information_schema lookup a live connector
+    * performs. Must precede the first DML for the table. */
+  def registerTable(qualified: String, columns: Seq[String], keyCols: Seq[String]): Unit =
+    columnRegistry(qualified) = (columns, keyCols.toSet)
+
+  /** Decode one binlog event (header + body, no magic prefix). Control
+    * events update decoder state and return no envelopes; each ROW of
+    * a DML event returns one envelope line. */
+  def decode(event: Array[Byte]): Seq[String] = {
+    val buf = ByteBuffer.wrap(event).order(ByteOrder.LITTLE_ENDIAN)
+    val tsMs = (buf.getInt.toLong & 0xffffffffL) * 1000L
+    val eventType = buf.get() & 0xff
+    buf.getInt // server_id
+    buf.getInt // event_size
+    buf.getInt // log_pos
+    buf.getShort // flags
+    // CRC32 trailer: declared by FORMAT_DESCRIPTION, present on every
+    // later event — trim it so value parsing never reads into it
+    if (checksummed && eventType != FormatDescription)
+      buf.limit(buf.limit() - 4)
+    eventType match {
+      case FormatDescription =>
+        // binlog_version(2) + server_version(50) + create_ts(4) +
+        // header_len(1) + post-header lens (one per event type) +
+        // [checksum_alg(1) + checksum(4)] since 5.6.1
+        buf.position(buf.position() + 2 + 50 + 4 + 1)
+        // remaining = per-event post-header lengths + checksum alg + crc
+        if (buf.remaining() >= 5) {
+          val alg = buf.get(buf.limit() - 5) & 0xff
+          checksummed = alg == 1 // CRC32
+        }
+        Nil
+      case Query | Xid | Rotate | Gtid | AnonymousGtid | PreviousGtids | Stop | Heartbeat =>
+        Nil
+      case TableMapEvent =>
+        val tableId = uint48(buf)
+        buf.getShort // flags
+        val schema = lpString1(buf); buf.get() // NUL
+        val table = lpString1(buf); buf.get() // NUL
+        val ncols = lenenc(buf).toInt
+        val types = Array.fill(ncols)(buf.get() & 0xff)
+        val metaLen = lenenc(buf).toInt
+        val metaEnd = buf.position() + metaLen
+        val meta = types.map {
+          case Varchar | VarString => buf.getShort.toInt & 0xffff // max length
+          case Float_ | Double_ => buf.get() & 0xff // pack length
+          case _ => 0
+        }
+        buf.position(metaEnd)
+        val qualified = s"$schema.$table"
+        val (names, keys) = columnRegistry.getOrElse(qualified,
+          throw new IllegalStateException(
+            s"binlog: TABLE_MAP for unregistered table $qualified — call registerTable " +
+            "first (the binlog wire format carries no column names)"))
+        require(names.size == ncols,
+          s"binlog: $qualified registered ${names.size} columns, TABLE_MAP declares $ncols")
+        tableMaps(tableId) = TableMap(schema, table, types, meta, names, keys)
+        Nil
+      case WriteRows | UpdateRows | DeleteRows =>
+        val tableId = uint48(buf)
+        buf.getShort // flags
+        val extraLen = buf.getShort.toInt & 0xffff
+        buf.position(buf.position() + math.max(extraLen - 2, 0))
+        val tm = tableMaps.getOrElse(tableId, throw new IllegalStateException(
+          s"binlog: ROWS event for unknown table id $tableId — TABLE_MAP not seen"))
+        val ncols = lenenc(buf).toInt
+        val present1 = bitmap(buf, ncols)
+        val present2 = if (eventType == UpdateRows) bitmap(buf, ncols) else present1
+        val out = mutable.ArrayBuffer.empty[String]
+        while (buf.remaining() > 0) {
+          eventType match {
+            case WriteRows =>
+              val row = readRow(buf, tm, present1)
+              out += envelope(tm, "c", tsMs, before = None, after = Some(row), keyFrom = row)
+            case DeleteRows =>
+              val row = readRow(buf, tm, present1)
+              out += envelope(tm, "d", tsMs, before = Some(row), after = None, keyFrom = row)
+            case UpdateRows =>
+              val before = readRow(buf, tm, present1)
+              val after = readRow(buf, tm, present2)
+              out += envelope(tm, "u", tsMs, before = Some(before), after = Some(after),
+                keyFrom = after)
+          }
+        }
+        out.toSeq
+      case other => Nil // unknown bookkeeping events pass through silently
+    }
+  }
+
+  /** Decode a whole event batch into envelope lines (order preserved). */
+  def decodeAll(events: Seq[Array[Byte]]): Seq[String] = events.flatMap(decode)
+
+  /** One row image: (column name → JSON literal) for columns present in
+    * the bitmap; null-bitmap bits index PRESENT columns only. */
+  private def readRow(buf: ByteBuffer, tm: TableMap, present: Array[Boolean]): Seq[(String, String)] = {
+    val presentIdx = (0 until tm.types.length).filter(present)
+    val nulls = bitmap(buf, presentIdx.size)
+    presentIdx.zipWithIndex.map { case (col, pi) =>
+      val name = tm.names(col)
+      if (nulls(pi)) name -> "null"
+      else name -> readValue(buf, tm.types(col), tm.meta(col))
+    }
+  }
+
+  private def readValue(buf: ByteBuffer, typeCode: Int, meta: Int): String = typeCode match {
+    case Tiny => (buf.get().toInt).toString
+    case Short_ => buf.getShort.toInt.toString
+    case Int24 =>
+      val v = (buf.get() & 0xff) | ((buf.get() & 0xff) << 8) | (buf.get().toInt << 16)
+      v.toString
+    case Long_ => buf.getInt.toString
+    case LongLong => buf.getLong.toString
+    case Float_ => java.lang.Float.intBitsToFloat(buf.getInt).toString
+    case Double_ => java.lang.Double.longBitsToDouble(buf.getLong).toString
+    case Varchar | VarString =>
+      val len = if (meta > 255) buf.getShort.toInt & 0xffff else buf.get() & 0xff
+      val bytes = new Array[Byte](len); buf.get(bytes)
+      jsonString(new String(bytes, StandardCharsets.UTF_8))
+    case other => throw new IllegalArgumentException(
+      s"binlog: unsupported column type $other (supported: TINY/SHORT/INT24/LONG/" +
+      "LONGLONG/FLOAT/DOUBLE/VARCHAR/VAR_STRING)")
+  }
+
+  private def envelope(tm: TableMap, op: String, tsMs: Long,
+                       before: Option[Seq[(String, String)]],
+                       after: Option[Seq[(String, String)]],
+                       keyFrom: Seq[(String, String)]): String = {
+    lsn += 1
+    val key = jsonObj(keyFrom.filter { case (n, _) => tm.keyCols.contains(n) })
+    s"""{"destination":"$topicPrefix.${tm.schema}.${tm.table}","key":$key,""" +
+      s""""value":{"op":"$op","before":${before.fold("null")(jsonObj)},""" +
+      s""""after":${after.fold("null")(jsonObj)},""" +
+      s""""source":{"connector":"mysql","db":"$dbName","schema":"${tm.schema}",""" +
+      s""""table":"${tm.table}","lsn":$lsn,"snapshot":"false","ts_ms":$tsMs},""" +
+      s""""ts_ms":$tsMs},"headers":{}}"""
+  }
+}
+
+object BinlogDecoder {
+  // event type codes (binlog v4)
+  val Query = 0x02; val Stop = 0x03; val Rotate = 0x04
+  val FormatDescription = 0x0f; val Xid = 0x10; val Heartbeat = 0x1b
+  val TableMapEvent = 0x13
+  val WriteRows = 0x1e; val UpdateRows = 0x1f; val DeleteRows = 0x20
+  val Gtid = 0x21; val AnonymousGtid = 0x22; val PreviousGtids = 0x23
+
+  // column type codes
+  val Tiny = 1; val Short_ = 2; val Long_ = 3; val Float_ = 4; val Double_ = 5
+  val LongLong = 8; val Int24 = 9; val Varchar = 15; val VarString = 253
+
+  final case class TableMap(schema: String, table: String,
+                            types: Array[Int], meta: Array[Int],
+                            names: Seq[String], keyCols: Set[String])
+
+  /** MySQL length-encoded integer. */
+  private def lenenc(buf: ByteBuffer): Long = (buf.get() & 0xff) match {
+    case v if v < 0xfb => v.toLong
+    case 0xfc => buf.getShort.toLong & 0xffffL
+    case 0xfd => (buf.get() & 0xffL) | ((buf.get() & 0xffL) << 8) | ((buf.get() & 0xffL) << 16)
+    case 0xfe => buf.getLong
+    case v => throw new IllegalArgumentException(s"bad length-encoded int prefix $v")
+  }
+
+  /** 6-byte little-endian unsigned (table ids). */
+  private def uint48(buf: ByteBuffer): Long =
+    (0 until 6).map(i => (buf.get() & 0xffL) << (8 * i)).reduce(_ | _)
+
+  /** 1-byte-length-prefixed string (TABLE_MAP schema/table names). */
+  private def lpString1(buf: ByteBuffer): String = {
+    val len = buf.get() & 0xff
+    val b = new Array[Byte](len); buf.get(b)
+    new String(b, StandardCharsets.UTF_8)
+  }
+
+  /** Little-endian bitmap over n slots → per-slot booleans. */
+  private def bitmap(buf: ByteBuffer, n: Int): Array[Boolean] = {
+    val bytes = new Array[Byte]((n + 7) / 8); buf.get(bytes)
+    Array.tabulate(n)(i => (bytes(i / 8) & (1 << (i % 8))) != 0)
+  }
+
+  private def jsonString(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def jsonObj(fields: Seq[(String, String)]): String =
+    fields.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+}
