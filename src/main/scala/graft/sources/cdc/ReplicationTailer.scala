@@ -1,0 +1,83 @@
+package graft.sources.cdc
+
+import java.nio.file.{Files, Path}
+
+/** A replication message feed — the seam between a live server session
+  * and a protocol decoder. A production implementation wraps the
+  * socket stream (PostgreSQL `START_REPLICATION` on a logical slot,
+  * MySQL `COM_BINLOG_DUMP`); tests use in-memory fixtures. `poll()`
+  * returns the next batch of raw protocol messages (empty = nothing
+  * new); messages must be returned in log order, each exactly once per
+  * session (re-delivery after a crash is fine — the downstream layout
+  * is at-least-once and LSN-converged). */
+trait ReplicationFeed extends AutoCloseable {
+  def poll(): Seq[Array[Byte]]
+  override def close(): Unit = ()
+}
+
+/** Drains a [[ReplicationFeed]] through a protocol decoder into the
+  * [[CdcLayout]] WAL of `db` — the deployment shape that REPLACES
+  * [[JdbcPollingTailer]]'s polling loop when log access exists: same
+  * layout, same DSv2 source, same sinks downstream; only the capture
+  * mechanism changes (and with it, hard deletes + before images
+  * appear).
+  *
+  * `decode` is any bytes→envelopes function — [[PgOutputDecoder]] and
+  * [[BinlogDecoder]] both fit (`dec.decode`). Decoded lines append as
+  * immutable WAL segments of at most `maxSegmentRecords` lines each
+  * (atomic tmp+move, the tailer's protocol), so a large backlog after
+  * downtime becomes many bounded segments, never one driver-resident
+  * buffer.
+  */
+final class ReplicationTailer(feed: ReplicationFeed,
+                              decode: Array[Byte] => Seq[String],
+                              db: Path,
+                              maxSegmentRecords: Int = 10000) extends AutoCloseable {
+  require(maxSegmentRecords > 0, "maxSegmentRecords must be positive")
+
+  Files.createDirectories(db.resolve("wal"))
+
+  /** One drain: poll the feed once, decode, append segments. Returns
+    * the number of envelope lines written. */
+  def drainOnce(): Int = {
+    val msgs = feed.poll()
+    if (msgs.isEmpty) 0
+    else {
+      var written = 0
+      // decode message-by-message so a malformed frame fails BEFORE any
+      // segment from this batch lands (the feed re-delivers on restart)
+      val lines = msgs.flatMap(decode)
+      lines.grouped(maxSegmentRecords).foreach { chunk =>
+        PgOutputDecoder.appendSegment(db, chunk)
+        written += chunk.size
+      }
+      written
+    }
+  }
+
+  /** Background drain loop on a daemon thread — the deployment shape of
+    * the reference's connector task. Errors count and retry next tick
+    * (a transient server hiccup must not kill capture). */
+  def daemon(intervalMs: Long, onDrain: Int => Unit = _ => ()): Daemon =
+    new Daemon(intervalMs, onDrain)
+
+  final class Daemon(intervalMs: Long, onDrain: Int => Unit) extends AutoCloseable {
+    private val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile private var errors = 0L
+    private val thread = new Thread(() => {
+      while (!stop.get()) {
+        try onDrain(drainOnce())
+        catch { case _: Throwable if !stop.get() => errors += 1 }
+        try Thread.sleep(intervalMs) catch { case _: InterruptedException => () }
+      }
+    }, "graft-replication-tailer")
+    thread.setDaemon(true)
+
+    def start(): this.type = { thread.start(); this }
+    def errorCount: Long = errors
+    override def close(): Unit =
+      if (stop.compareAndSet(false, true)) { thread.interrupt(); thread.join(5000) }
+  }
+
+  override def close(): Unit = feed.close()
+}

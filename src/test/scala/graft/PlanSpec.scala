@@ -69,6 +69,25 @@ class PlanSpec extends SparkSpec {
       "hyperplane hashing leaked into the per-row plan")
   }
 
+  test("llm05/llm17: minhash runs the position-explode path — no shingle arrays in the plan") {
+    // the text fast path must not regress back to building per-doc
+    // shingle arrays: array construction + array-explode was ~35% of
+    // the signature stage (interpreted higher-order lambdas)
+    Seq("llm05_minhash_pairs", "llm17_dedup_clusters").foreach { name =>
+      val analyzed = Queries.byName(name)(spark, sfSmoke).queryExecution.analyzed.toString
+      assert(!analyzed.contains("array_distinct") && !analyzed.contains("transform("),
+        s"$name builds shingle arrays — use minhashSignatureText")
+    }
+  }
+
+  test("llm16: decontamination runs the position-explode path and keys joins on 8-byte hashes") {
+    val analyzed = Queries.byName("llm16_decontamination")(spark, sfSmoke)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("array_distinct"),
+      "llm16 builds shingle arrays — use contaminationText")
+    assert(analyzed.contains("xxhash64"), "shingles must travel as 8-byte hashes")
+  }
+
   test("bucketed co-located join is shuffle-free") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft-buckets")

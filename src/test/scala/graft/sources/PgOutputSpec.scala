@@ -126,6 +126,72 @@ class PgOutputSpec extends SparkSpec {
     assert(dv.getAs[Long]("ts_ms") == 820454400000L + 946684800000L)
   }
 
+  test("replication tailer: feed → decoder → layout → stream → upsert sink end-to-end") {
+    import graft.sources.cdc.{ReplicationFeed, ReplicationTailer}
+    // snapshot: 2 rows; live feed: one txn inserting 1003, updating
+    // 1001's email, hard-deleting 1002
+    val db = Files.createTempDirectory("graft-repl")
+    val snap = Files.createDirectories(db.resolve("snapshot"))
+    Files.writeString(snap.resolve("_lsn"), "2")
+    Files.writeString(snap.resolve("inventory.customers.jsonl"),
+      """{"id":1001,"first_name":"Sally","last_name":"Thomas","email":"sally@acme.com"}""" + "\n" +
+      """{"id":1002,"first_name":"George","last_name":"Bailey","email":"gb@foobar.com"}""" + "\n")
+
+    val rel = relationMsg(55, "inventory", "customers", 'f', Seq(
+      ("id", 23, true), ("first_name", 25, false), ("last_name", 25, false), ("email", 25, false)))
+    val txn = Seq(
+      msg { b => b.put('B'.toByte); b.putLong(1L); b.putLong(0L); b.putInt(1) },
+      rel,
+      msg { b =>
+        b.put('I'.toByte); b.putInt(55); b.put('N'.toByte)
+        tup(b, Seq(Some("1003"), Some("Edward"), Some("Walker"), Some("ed@walker.com")))
+      },
+      msg { b =>
+        b.put('U'.toByte); b.putInt(55); b.put('N'.toByte)
+        tup(b, Seq(Some("1001"), Some("Sally"), Some("Thomas"), Some("sally@example.org")))
+      },
+      msg { b =>
+        b.put('D'.toByte); b.putInt(55); b.put('K'.toByte); tup(b, Seq(Some("1002")))
+      },
+      msg { b => b.put('C'.toByte); b.put(0.toByte); b.putLong(1L); b.putLong(2L); b.putLong(0L) })
+
+    // a feed that delivers the transaction across two polls then dries up
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Array[Byte]]]()
+    batches.add(txn.take(3)); batches.add(txn.drop(3))
+    val feed = new ReplicationFeed {
+      override def poll(): Seq[Array[Byte]] = Option(batches.poll()).getOrElse(Nil)
+    }
+    val dec = new graft.sources.cdc.PgOutputDecoder(startLsn = 2)
+    val tailer = new ReplicationTailer(feed, dec.decode, db, maxSegmentRecords = 2)
+    val daemon = tailer.daemon(intervalMs = 50).start()
+    def walCount: Long = Files.list(db.resolve("wal")).filter(p =>
+      !p.getFileName.toString.startsWith(".")).count()
+    try {
+      val deadline = System.nanoTime() + 30e9.toLong
+      // batch 1 (B,R,I) → 1 line; batch 2 (U,D,C) → 2 lines: 2 segments
+      while (walCount < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+    } finally daemon.close()
+    assert(daemon.errorCount == 0)
+
+    // stream the layout into the upsert sink: final state = live table
+    val out = Files.createTempDirectory("graft-repl-sink").toString
+    val ckpt = Files.createTempDirectory("graft-repl-ckpt").toString
+    val sink = new graft.sinks.ParquetUpsertSink(out, keyFields = Seq("id"))
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", "id INT")
+      .option("rowSchema", "id INT, first_name STRING, last_name STRING, email STRING")
+      .load()
+      .writeStream.foreachBatch(sink.foreachBatchFn)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val state = sink.readTable(spark, "testc.inventory.customers").orderBy("id").collect()
+    assert(state.map(_.getAs[Int]("id")).toSeq == Seq(1001, 1003)) // 1002 hard-deleted
+    assert(state.head.getAs[String]("email") == "sally@example.org")
+  }
+
   test("pgoutput: null columns, toast sentinel, numeric/bool typing, unknown relation throws") {
     val dec = new PgOutputDecoder(startLsn = 0)
     // DML before its Relation message is a protocol error
