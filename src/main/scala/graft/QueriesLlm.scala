@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
-import graft.llm.{Curation, Dedup, Multimodal, Packing, Pii, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.llm.{Curation, Dedup, LanguageModel, Multimodal, Packing, Pii, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** LLM training-data pipeline operators (SURVEY.md §7.2 step 8) over
   * the `documents` and `embeddings` tables.
@@ -11,7 +11,7 @@ object QueriesLlm {
 
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
-                        llm18, llm19, llm20, llm21, llm22, llm23)
+                        llm18, llm19, llm20, llm21, llm22, llm23, llm24)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -112,6 +112,36 @@ object QueriesLlm {
            |WHERE rk <= floor(n * 0.5)
            |ORDER BY doc_id""".stripMargin),
     cleanup = Some(_ => llm23Slot.drain()))
+
+  /** Corpus bigram typicality (LanguageModel.bigramScore) — the
+    * CCNet-style perplexity-filtering signal: add-one-smoothed bigram
+    * likelihood of each document under the corpus's own transition
+    * counts. Per-bigram probabilities quantize to 1e-9 before the
+    * per-doc mean so the double arithmetic is one division + one
+    * multiply in a fixed order — bit-identical across engines. */
+  private def llm24 = Q("llm24_bigram_typicality",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      LanguageModel.bigramScore(d, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |              list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           |            FROM documents),
+           |bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           |       FROM t CROSS JOIN generate_series(1, 4096) AS g(i)
+           |       WHERE i <= len(toks) - 1),
+           |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+           |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+           |v AS (SELECT count(DISTINCT tok) AS v
+           |      FROM (SELECT unnest(toks) AS tok FROM t)),
+           |q AS (SELECT bi.doc_id,
+           |        CAST(floor((CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)) * 1e9) AS BIGINT) AS q
+           |      FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |       CAST(sum(q) AS DOUBLE) / count(*) / 1e9 AS avg_bigram_p
+           |FROM q GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin))
 
   /** Gopher-style repetition stats (TextAnalysis.wordNgrams /
     * dupFraction / repetitionGate): duplicate token / 2-gram / 3-gram

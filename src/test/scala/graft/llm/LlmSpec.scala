@@ -522,6 +522,25 @@ class LlmSpec extends SparkSpec {
     assert(kept == (refBig ++ refSmall).toSet)
   }
 
+  test("bigramScore: hand-computed add-one-smoothed probabilities; short docs drop out") {
+    // corpus: doc1 "a b a", doc2 "a b", doc3 "x" (no bigrams)
+    // c(a,b)=2 c(b,a)=1; c(a,·)=2 c(b,·)=1; V=3 {a,b,x}
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "x")).toDF("id", "text")
+    val out = LanguageModel.bigramScore(docs, col("id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc3 has no transitions
+    val pAB = math.floor((2 + 1).toDouble / (2 + 3) * 1e9) // p(b|a)=3/5
+    val pBA = math.floor((1 + 1).toDouble / (1 + 3) * 1e9) // p(a|b)=1/2
+    assert(out(0).getLong(1) == 2L)
+    assert(out(0).getDouble(2) == (pAB + pBA) / 2 / 1e9)
+    assert(out(1).getLong(1) == 1L)
+    assert(out(1).getDouble(2) == pAB / 1e9)
+
+    val band = LanguageModel.keepTypicalityBand(docs, col("id"), col("text"),
+      lo = 0.55, hi = 0.59).collect()
+    assert(band.map(_.getLong(0)).toSeq == Seq(1L)) // doc1 avg 0.55 in band; doc2 0.6 above
+  }
+
   test("kmvEstimate (production path) equals kmvDistinct's estimate, sans exact column") {
     val big = (1 to 20000).map(i => s"item-$i").toDF("v")
     val est = Sketches.kmvEstimate(big, col("v"), k = 256).head()
