@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
-import graft.llm.{Curation, Dedup, LanguageModel, Multimodal, Packing, Pii, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.llm.{Curation, Dedup, LanguageModel, Multimodal, Packing, Pii, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** LLM training-data pipeline operators (SURVEY.md §7.2 step 8) over
   * the `documents` and `embeddings` tables.
@@ -11,7 +11,7 @@ object QueriesLlm {
 
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
-                        llm18, llm19, llm20, llm21, llm22, llm23, llm24)
+                        llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -140,6 +140,42 @@ object QueriesLlm {
            |      FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
            |SELECT doc_id, count(*) AS n_bigrams,
            |       CAST(sum(q) AS DOUBLE) / count(*) / 1e9 AS avg_bigram_p
+           |FROM q GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin))
+
+  /** BM25 retrieval scoring (Retrieval.bm25, odds-idf mode — the
+    * engine-portable variant; the log-idf production mode is
+    * unit-tested) for a 3-term domain query: the retrieval-based
+    * curation signal. The oracle mirrors every double operation in
+    * the SAME order — including spelling k1+1 as `(1.2 + 1.0)`, which
+    * differs from the literal `2.2` by one ulp. */
+  private def llm25 = Q("llm25_bm25_retrieval",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Retrieval.bm25(d, col("doc_id"), col("text"),
+          queryTerms = Seq("spark", "join", "window"), idfMode = Retrieval.OddsIdf)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |              list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           |            FROM documents),
+           |wl AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+           |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM wl),
+           |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM wl)
+           |       WHERE tok IN ('spark', 'join', 'window')
+           |       GROUP BY 1, 2, 3),
+           |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+           |q AS (SELECT tf.doc_id,
+           |        CAST(floor(
+           |          (((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           |           * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+           |              / (CAST(tf AS DOUBLE)
+           |                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+           |                                         / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))))
+           |          * 1e6) AS BIGINT) AS q
+           |      FROM tf JOIN dfq USING (tok) CROSS JOIN stats)
+           |SELECT doc_id, count(*) AS n_matched, CAST(sum(q) AS DOUBLE) / 1e6 AS score
            |FROM q GROUP BY doc_id
            |ORDER BY doc_id""".stripMargin))
 

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval scoring over the corpus — the retrieval-based
+  * curation step of a training pipeline (select documents relevant to
+  * a target domain described as a bag of query terms; the lexical
+  * complement of the embedding ANN operators in [[Similarity]]).
+  *
+  * BM25 (Robertson et al., TREC-3): for query terms t,
+  *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·dl/avgdl))
+  *
+  * Two IDF modes:
+  *  - [[LogIdf]] — the standard ln((N − df + 0.5)/(df + 0.5) + 1):
+  *    what a production deployment wants. `ln` is NOT guaranteed
+  *    bit-identical across engines (JVM Math.log vs a C++ libm), so
+  *    this mode is unit-tested, not oracle-hashed.
+  *  - [[OddsIdf]] — the same Robertson–Sparck-Jones odds WITHOUT the
+  *    monotone log: (N − df + 0.5)/(df + 0.5). One double division —
+  *    bit-identical everywhere, so the cross-engine oracle checks this
+  *    mode. (Per-term idf is transformed monotonically vs LogIdf;
+  *    multi-term totals can rank differently — it is a sibling scoring
+  *    function, not a claim of BM25-rank-equivalence.)
+  *
+  * 100 TB shape: the scan filters to query terms BEFORE any shuffle
+  * (an `isin` over a literal set — codegen'd, prunable), so the tf
+  * groupBy only moves matching (doc, term) pairs; document length and
+  * term df come from the same filtered pass plus one corpus-length
+  * aggregate that rides a one-row broadcast. Scores quantize to 1e-6
+  * before the per-document sum (exact long addition, shuffle-order
+  * independent — the repo's standard float discipline).
+  */
+object Retrieval {
+
+  sealed trait IdfMode
+  /** Standard BM25 log-idf — production mode (not cross-engine-hashable). */
+  case object LogIdf extends IdfMode
+  /** Log-free odds idf — bit-identical across engines (oracle mode). */
+  case object OddsIdf extends IdfMode
+
+  /** Per-document BM25 scores for `queryTerms`: (doc_id, n_matched,
+    * score), documents matching no term drop out. Deterministic ties:
+    * callers ordering by (score, doc_id) get a stable ranking. */
+  def bm25(docs: DataFrame, idCol: Column, textCol: Column,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           idfMode: IdfMode = LogIdf): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = docs.select(idCol.as("doc_id"), Dedup.tokens(textCol).as("__toks"))
+    val withLen = toks.select(col("doc_id"), col("__toks"), size(col("__toks")).as("__dl"))
+    // one-row corpus stats: N and avgdl (exact long arithmetic until
+    // the single division)
+    val stats = withLen.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+    // filter to query terms BEFORE the shuffle — only matching pairs move
+    val tf = withLen
+      .select(col("doc_id"), col("__dl"), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isin(queryTerms.map(lit(_)): _*))
+      .groupBy(col("doc_id"), col("__dl"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val df_ = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val joined = tf.join(df_, "__t").crossJoin(broadcast(stats))
+    val odds = (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
+      (col("__df").cast("double") + lit(0.5))
+    val idf = idfMode match {
+      case LogIdf => log(odds + lit(1.0))
+      case OddsIdf => odds
+    }
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val tfNorm = (col("__tf").cast("double") * lit(k1 + 1.0)) /
+      (col("__tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / avgdl)))
+    joined
+      .select(col("doc_id"), floor((idf * tfNorm) * lit(1e6)).cast("long").as("__q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("__q")).as("__sq"))
+      .select(col("doc_id"), col("n_matched"),
+        (col("__sq").cast("double") / lit(1e6)).as("score"))
+  }
+
+  /** Top-k retrieval: the k most relevant documents, deterministic
+    * order (score desc, doc_id asc) — plans TakeOrdered, never a
+    * global sort. */
+  def bm25TopK(docs: DataFrame, idCol: Column, textCol: Column,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idfMode: IdfMode = LogIdf): DataFrame = {
+    require(k > 0, "k must be positive")
+    bm25(docs, idCol, textCol, queryTerms, k1, b, idfMode)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+}

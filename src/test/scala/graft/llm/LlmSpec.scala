@@ -541,6 +541,33 @@ class LlmSpec extends SparkSpec {
     assert(band.map(_.getLong(0)).toSeq == Seq(1L)) // doc1 avg 0.55 in band; doc2 0.6 above
   }
 
+  test("bm25: more query-term occurrences rank higher; idf rewards rare terms; topK plans TakeOrdered") {
+    val docs = Seq(
+      (1L, "spark spark spark filler filler filler filler filler"), // tf(spark)=3
+      (2L, "spark filler filler filler filler filler filler full"),  // tf(spark)=1
+      (3L, "rare filler filler filler filler filler filler filler"), // rare term, df=1
+      (4L, "filler filler filler filler filler filler filler text")) // no match
+      .toDF("id", "text")
+    val scores = Retrieval.bm25(docs, col("id"), col("text"), Seq("spark", "rare"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!scores.contains(4L)) // no matching term → drops out
+    assert(scores(1L) > scores(2L), "higher tf must score higher at equal dl")
+    // df(spark)=2, df(rare)=1 → rare's idf exceeds spark's: doc3 (tf=1
+    // of the rarer term) must beat doc2 (tf=1 of the commoner term)
+    assert(scores(3L) > scores(2L), "rarer term must carry higher idf")
+
+    val topPlan = Retrieval.bm25TopK(docs, col("id"), col("text"), Seq("spark"), k = 2)
+    assert(topPlan.queryExecution.executedPlan.toString.contains("TakeOrdered"),
+      "top-k must plan TakeOrderedAndProject, not a global sort")
+    assert(topPlan.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+
+    // odds mode matches log mode's per-doc ordering on a single term
+    val odds = Retrieval.bm25(docs, col("id"), col("text"), Seq("spark"),
+        idfMode = Retrieval.OddsIdf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(odds(1L) > odds(2L))
+  }
+
   test("kmvEstimate (production path) equals kmvDistinct's estimate, sans exact column") {
     val big = (1 to 20000).map(i => s"item-$i").toDF("v")
     val est = Sketches.kmvEstimate(big, col("v"), k = 256).head()
