@@ -145,6 +145,24 @@ object CdcPipeline {
     q
   }
 
+  /** Live end-to-end pipeline over a LOG-PROTOCOL capture: replication
+    * feed → decoder → WAL segments → `graft-cdc` DSv2 stream →
+    * shaping → sink. The protocol sibling of [[startLive]]: when log
+    * access exists (pgoutput slot, binlog dump — or their file-capture
+    * form via `FileReplicationFeed`), the polling tailer retires and
+    * hard deletes + before images flow; everything downstream is
+    * unchanged. The drain daemon's lifetime is tied to the query, and
+    * the feed closes with it. */
+  def startReplication(spark: SparkSession, spec: PipelineSpec,
+                       tailer: graft.sources.cdc.ReplicationTailer,
+                       drainIntervalMs: Long = 1000L,
+                       trigger: Trigger = Trigger.ProcessingTime(1000L)): StreamingQuery = {
+    val daemon = tailer.daemon(drainIntervalMs).start()
+    val q = start(spark, spec.copy(sourceType = "graft-cdc"), trigger)
+    registerTerminationHook(spark, q, () => { daemon.close(); tailer.close() })
+    q
+  }
+
   /** Close the sink exactly once when ITS query terminates
     * (@PreDestroy analog; the listener deregisters itself). */
   private[pipeline] def registerCloseHook(spark: SparkSession,

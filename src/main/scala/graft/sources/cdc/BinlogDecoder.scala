@@ -40,7 +40,11 @@ import scala.collection.mutable
   */
 final class BinlogDecoder(startLsn: Long = 0L,
                           topicPrefix: String = "testc",
-                          dbName: String = "db") {
+                          dbName: String = "db",
+                          /** Emit a compaction tombstone (value=null)
+                            * after every deleted row — the reference's
+                            * `tombstones.on.delete` default. */
+                          emitTombstones: Boolean = true) {
   import BinlogDecoder._
 
   private val tableMaps = mutable.Map.empty[Long, TableMap]
@@ -128,6 +132,7 @@ final class BinlogDecoder(startLsn: Long = 0L,
             case DeleteRows =>
               val row = readRow(buf, tm, present1)
               out += envelope(tm, "d", tsMs, before = Some(row), after = None, keyFrom = row)
+              if (emitTombstones) out += tombstone(tm, row)
             case UpdateRows =>
               val before = readRow(buf, tm, present1)
               val after = readRow(buf, tm, present2)
@@ -172,6 +177,12 @@ final class BinlogDecoder(startLsn: Long = 0L,
     case other => throw new IllegalArgumentException(
       s"binlog: unsupported column type $other (supported: TINY/SHORT/INT24/LONG/" +
       "LONGLONG/FLOAT/DOUBLE/VARCHAR/VAR_STRING)")
+  }
+
+  private def tombstone(tm: TableMap, keyFrom: Seq[(String, String)]): String = {
+    val key = jsonObj(keyFrom.filter { case (n, _) => tm.keyCols.contains(n) })
+    s"""{"destination":"$topicPrefix.${tm.schema}.${tm.table}","key":$key,""" +
+      s""""value":null,"headers":{}}"""
   }
 
   private def envelope(tm: TableMap, op: String, tsMs: Long,

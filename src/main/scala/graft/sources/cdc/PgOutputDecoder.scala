@@ -48,7 +48,14 @@ import scala.collection.mutable
   */
 final class PgOutputDecoder(startLsn: Long = 0L,
                             topicPrefix: String = "testc",
-                            dbName: String = "db") {
+                            dbName: String = "db",
+                            /** Emit a compaction tombstone (value=null)
+                              * after every DELETE — the reference's
+                              * `tombstones.on.delete` default; KV/compacted
+                              * sinks drop the key on it. Tombstones carry
+                              * no LSN (they anchor to their predecessor's
+                              * position, like heartbeats). */
+                            emitTombstones: Boolean = true) {
   import PgOutputDecoder._
 
   private val relations = mutable.Map.empty[Int, Relation]
@@ -104,7 +111,8 @@ final class PgOutputDecoder(startLsn: Long = 0L,
         val tag = buf.get().toChar
         require(tag == 'K' || tag == 'O', s"pgoutput DELETE: expected old/key tuple, got '$tag'")
         val old = tuple(buf, rel)
-        Seq(envelope(rel, "d", before = Some(old), after = None, keyFrom = old))
+        val del = envelope(rel, "d", before = Some(old), after = None, keyFrom = old)
+        if (emitTombstones) Seq(del, tombstone(rel, old)) else Seq(del)
       case other =>
         throw new IllegalArgumentException(s"unknown pgoutput message type '$other'")
     }
@@ -135,6 +143,13 @@ final class PgOutputDecoder(startLsn: Long = 0L,
           throw new IllegalArgumentException(s"unknown tuple column tag '$other'")
       }
     }
+  }
+
+  private def tombstone(rel: Relation, keyFrom: Seq[(String, String)]): String = {
+    val keyCols = rel.columns.filter(_.keyPart).map(_.name).toSet
+    val key = jsonObj(keyFrom.filter { case (n, _) => keyCols.contains(n) })
+    s"""{"destination":"$topicPrefix.${rel.namespace}.${rel.name}","key":$key,""" +
+      s""""value":null,"headers":{}}"""
   }
 
   private def envelope(rel: Relation, op: String,

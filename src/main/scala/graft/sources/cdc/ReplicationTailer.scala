@@ -15,6 +15,47 @@ trait ReplicationFeed extends AutoCloseable {
   override def close(): Unit = ()
 }
 
+/** File-based [[ReplicationFeed]]: reads raw protocol-message files
+  * from a directory in name order (one message per file; writers use
+  * tmp+rename so a partial file is never visible) — the replayable
+  * fixture/capture form of a replication session, and the config
+  * surface (`debezium.source.protocol.dir`) for driving a decoder
+  * without a live socket. `offsetFile` persists consumed file names so
+  * a restarted feed resumes instead of re-delivering (re-delivery is
+  * still safe downstream — at-least-once). New files appearing later
+  * ARE picked up: each poll lists the directory and returns only
+  * not-yet-consumed names. */
+final class FileReplicationFeed(dir: Path, offsetFile: Option[Path] = None)
+    extends ReplicationFeed {
+  import scala.jdk.CollectionConverters._
+  private var consumed: Set[String] =
+    offsetFile.filter(Files.exists(_))
+      .map(f => Files.readAllLines(f).asScala.filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  override def poll(): Seq[Array[Byte]] = {
+    if (!Files.exists(dir)) return Nil
+    val fresh = Files.list(dir).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith(".") && !n.startsWith("_") &&
+          !consumed.contains(n)
+      }
+      .toSeq.sortBy(_.getFileName.toString)
+    val out = fresh.map(Files.readAllBytes)
+    if (fresh.nonEmpty) {
+      consumed ++= fresh.map(_.getFileName.toString)
+      offsetFile.foreach { f =>
+        val tmp = f.resolveSibling("." + f.getFileName.toString + ".tmp")
+        Files.writeString(tmp, consumed.toSeq.sorted.mkString("", "\n", "\n"))
+        Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    out
+  }
+}
+
 /** Drains a [[ReplicationFeed]] through a protocol decoder into the
   * [[CdcLayout]] WAL of `db` — the deployment shape that REPLACES
   * [[JdbcPollingTailer]]'s polling loop when log access exists: same

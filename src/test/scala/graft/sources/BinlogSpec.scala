@@ -92,8 +92,10 @@ class BinlogSpec extends SparkSpec {
     val xid = event(BinlogDecoder.Xid)(b => b.putLong(77))
 
     val lines = dec.decodeAll(Seq(fde, tableMap(), ins, upd, del, xid))
-    assert(lines.size == 4, s"2 writes + 1 update + 1 delete:\n${lines.mkString("\n")}")
-    assert(dec.currentLsn == 8)
+    assert(lines.size == 5,
+      s"2 writes + 1 update + 1 delete + 1 tombstone:\n${lines.mkString("\n")}")
+    assert(lines.count(_.contains("\"value\":null")) == 1)
+    assert(dec.currentLsn == 8) // tombstones take no LSN
 
     val db = Files.createTempDirectory("graft-binlog")
     Files.createDirectories(db.resolve("snapshot"))
@@ -105,8 +107,10 @@ class BinlogSpec extends SparkSpec {
       .option("rowSchema", "id INT, email STRING, score DOUBLE")
       .load()
 
-    assert(batch.select("value.op").collect().map(_.getString(0)).sorted.toSeq ==
+    assert(batch.filter(col("value").isNotNull)
+      .select("value.op").collect().map(_.getString(0)).sorted.toSeq ==
       Seq("c", "c", "d", "u"))
+    assert(batch.filter(col("value").isNull).count() == 1) // the tombstone
 
     // NULL column decoded through the null bitmap
     val c1002 = batch.filter(col("value.op") === "c" && col("key.id") === 1002).head()

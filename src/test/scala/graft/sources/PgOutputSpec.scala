@@ -84,8 +84,10 @@ class PgOutputSpec extends SparkSpec {
 
     val lines = dec.decodeAll(
       Seq(begin, relFull, ins, upd, del, relDefault, delKeyOnly, commit))
-    assert(lines.size == 4, s"4 DML envelopes expected:\n${lines.mkString("\n")}")
-    assert(dec.currentLsn == 8) // seeded at 4, one per DML
+    // 4 DML envelopes + 2 compaction tombstones (one per delete)
+    assert(lines.size == 6, s"4 DML + 2 tombstones expected:\n${lines.mkString("\n")}")
+    assert(lines.count(_.contains("\"value\":null")) == 2)
+    assert(dec.currentLsn == 8) // seeded at 4, one per DML; tombstones take none
 
     // into the layout, read back through the DSv2 source
     val db = Files.createTempDirectory("graft-pgout")
@@ -98,9 +100,11 @@ class PgOutputSpec extends SparkSpec {
       .option("rowSchema", "id INT, first_name STRING, last_name STRING, email STRING")
       .load()
 
-    val byOpLsn = batch.select("value.op", "value.source.lsn").collect()
+    val byOpLsn = batch.filter(col("value").isNotNull)
+      .select("value.op", "value.source.lsn").collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._2)
     assert(byOpLsn.toSeq == Seq("c" -> 5L, "u" -> 6L, "d" -> 7L, "d" -> 8L))
+    assert(batch.filter(col("value").isNull).count() == 2) // the tombstones
 
     // the UPDATE carries the full before image (old email), after has the new
     val u = batch.filter(col("value.op") === "u").head()
@@ -168,8 +172,9 @@ class PgOutputSpec extends SparkSpec {
       !p.getFileName.toString.startsWith(".")).count()
     try {
       val deadline = System.nanoTime() + 30e9.toLong
-      // batch 1 (B,R,I) → 1 line; batch 2 (U,D,C) → 2 lines: 2 segments
-      while (walCount < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      // batch 1 (B,R,I) → 1 line; batch 2 (U,D,C) → 3 lines (update,
+      // delete, tombstone) at 2 lines/segment: 3 segments total
+      while (walCount < 3 && System.nanoTime() < deadline) Thread.sleep(50)
     } finally daemon.close()
     assert(daemon.errorCount == 0)
 
@@ -190,6 +195,76 @@ class PgOutputSpec extends SparkSpec {
     val state = sink.readTable(spark, "testc.inventory.customers").orderBy("id").collect()
     assert(state.map(_.getAs[Int]("id")).toSeq == Seq(1001, 1003)) // 1002 hard-deleted
     assert(state.head.getAs[String]("email") == "sally@example.org")
+  }
+
+  test("config-shape live pipeline: file feed → pgoutput decoder → stream → kv sink, live appends + hard delete") {
+    import graft.sources.cdc.{FileReplicationFeed, PgOutputDecoder, ReplicationTailer}
+    val db = Files.createTempDirectory("graft-replpipe")
+    val snap = Files.createDirectories(db.resolve("snapshot"))
+    Files.writeString(snap.resolve("_lsn"), "1")
+    Files.writeString(snap.resolve("inventory.customers.jsonl"),
+      """{"id":1,"first_name":"Sally","last_name":"Thomas","email":"s@x.com"}""" + "\n")
+
+    val feedDir = Files.createTempDirectory("graft-feed")
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      val tmp = feedDir.resolve("." + name + ".tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, feedDir.resolve(name), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val rel = relationMsg(55, "inventory", "customers", 'f', Seq(
+      ("id", 23, true), ("first_name", 25, false), ("last_name", 25, false), ("email", 25, false)))
+    put("000001.msg", msg { b => b.put('B'.toByte); b.putLong(1L); b.putLong(0L); b.putInt(1) })
+    put("000002.msg", rel)
+    put("000003.msg", msg { b =>
+      b.put('I'.toByte); b.putInt(55); b.put('N'.toByte)
+      tup(b, Seq(Some("2"), Some("Jon"), Some("Snow"), Some("j@x.com")))
+    })
+
+    val tailer = new ReplicationTailer(
+      new FileReplicationFeed(feedDir, offsetFile = Some(db.resolve("_feed_offset"))),
+      new PgOutputDecoder(startLsn = 1).decode, db)
+    val sink = new graft.sinks.KvSink
+    val spec = graft.pipeline.PipelineSpec(sourcePath = db.toString,
+      keySchema = org.apache.spark.sql.types.StructType.fromDDL("id INT"),
+      rowSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id INT, first_name STRING, last_name STRING, email STRING"),
+      sink = sink, sourceType = "graft-cdc")
+    val q = graft.pipeline.CdcPipeline.startReplication(spark, spec, tailer,
+      drainIntervalMs = 100L,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+    try {
+      def waitUntil(cond: => Boolean, what: String): Unit = {
+        var ms = 0
+        while (!cond && ms < 60000) { Thread.sleep(100); ms += 100 }
+        assert(cond, s"timed out waiting for $what")
+      }
+      waitUntil(sink.size("testc.inventory.customers") >= 2, "snapshot + decoded insert")
+      assert(sink.get("testc.inventory.customers", """{"id":2}""").get.contains("Jon"))
+      // a LIVE protocol message appears in the feed dir: hard delete of
+      // the snapshot row — the shape polling could never capture
+      put("000004.msg", msg { b =>
+        b.put('D'.toByte); b.putInt(55); b.put('K'.toByte); tup(b, Seq(Some("1")))
+      })
+      waitUntil(sink.get("testc.inventory.customers", """{"id":1}""").isEmpty,
+        "hard delete applied to the kv sink")
+      assert(sink.get("testc.inventory.customers", """{"id":2}""").isDefined)
+    } finally q.stop()
+  }
+
+  test("file replication feed: name-ordered delivery, offset restart, late files picked up") {
+    import graft.sources.cdc.FileReplicationFeed
+    val dir = Files.createTempDirectory("graft-feedoff")
+    val off = dir.resolve("_offsets")
+    Files.write(dir.resolve("b.msg"), Array[Byte](2))
+    Files.write(dir.resolve("a.msg"), Array[Byte](1))
+    val feed = new FileReplicationFeed(dir, Some(off))
+    assert(feed.poll().map(_.head).toSeq == Seq(1.toByte, 2.toByte)) // name order
+    assert(feed.poll().isEmpty)
+    // restart: consumed names persisted, nothing re-delivered
+    val feed2 = new FileReplicationFeed(dir, Some(off))
+    assert(feed2.poll().isEmpty)
+    Files.write(dir.resolve("c.msg"), Array[Byte](3))
+    assert(feed2.poll().map(_.head).toSeq == Seq(3.toByte)) // late arrival
   }
 
   test("pgoutput: null columns, toast sentinel, numeric/bool typing, unknown relation throws") {
