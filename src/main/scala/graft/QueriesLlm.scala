@@ -11,7 +11,7 @@ object QueriesLlm {
 
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
-                        llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25)
+                        llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -176,6 +176,52 @@ object QueriesLlm {
            |          * 1e6) AS BIGINT) AS q
            |      FROM tf JOIN dfq USING (tok) CROSS JOIN stats)
            |SELECT doc_id, count(*) AS n_matched, CAST(sum(q) AS DOUBLE) / 1e6 AS score
+           |FROM q GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin))
+
+  /** DSIR-style importance scoring (LanguageModel.importanceScore):
+    * per-document mean ratio of target-domain vs corpus bigram
+    * likelihood — the importance-resampling signal for matching
+    * pretraining data to a target distribution. Target = the `src0`
+    * slice of the corpus; absent transitions hit the add-one smoothing
+    * floor through LEFT joins. */
+  private def llm26 = Q("llm26_importance_score",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      LanguageModel.importanceScore(d, col("doc_id"), col("text"),
+          d.filter(col("source") === "src0"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |              list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           |            FROM documents),
+           |tt AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           |       FROM documents WHERE source = 'src0'),
+           |bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           |       FROM t CROSS JOIN generate_series(1, 4096) AS g(i)
+           |       WHERE i <= len(toks) - 1),
+           |tbi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+           |        FROM tt CROSS JOIN generate_series(1, 4096) AS g(i)
+           |        WHERE i <= len(toks) - 1),
+           |rc12 AS (SELECT w1, w2, count(*) AS rc12 FROM bi GROUP BY 1, 2),
+           |rc1 AS (SELECT w1, count(*) AS rc1 FROM bi GROUP BY 1),
+           |tc12 AS (SELECT w1, w2, count(*) AS tc12 FROM tbi GROUP BY 1, 2),
+           |tc1 AS (SELECT w1, count(*) AS tc1 FROM tbi GROUP BY 1),
+           |rv AS (SELECT count(DISTINCT tok) AS rv
+           |       FROM (SELECT unnest(toks) AS tok FROM t)),
+           |tv AS (SELECT count(DISTINCT tok) AS tv
+           |       FROM (SELECT unnest(toks) AS tok FROM tt)),
+           |q AS (SELECT bi.doc_id,
+           |        CAST(floor(
+           |          ((CAST(COALESCE(tc12.tc12, 0) + 1 AS DOUBLE)
+           |            / CAST(COALESCE(tc1.tc1, 0) + tv.tv AS DOUBLE))
+           |           / (CAST(rc12.rc12 + 1 AS DOUBLE) / CAST(rc1.rc1 + rv.rv AS DOUBLE)))
+           |          * 1e6) AS BIGINT) AS q
+           |      FROM bi JOIN rc12 USING (w1, w2) JOIN rc1 USING (w1)
+           |              LEFT JOIN tc12 USING (w1, w2) LEFT JOIN tc1 USING (w1)
+           |              CROSS JOIN rv CROSS JOIN tv)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |       CAST(sum(q) AS DOUBLE) / count(*) / 1e6 AS avg_ratio
            |FROM q GROUP BY doc_id
            |ORDER BY doc_id""".stripMargin))
 

@@ -30,30 +30,42 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModel {
 
-  /** Per-document corpus-typicality score: (doc_id, n_bigrams,
-    * avg_bigram_p) where avg_bigram_p is the mean smoothed bigram
-    * probability (higher = more typical of the corpus; extremely high
-    * = boilerplate, extremely low = gibberish/noise). */
-  def bigramScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val toks = df.select(idCol.as("doc_id"), Dedup.tokens(textCol).as("__toks"))
-    // bigram stream: HOF lambdas are interpreted, so only ATTRIBUTE
-    // references appear inside the lambda (the tokenizer is bound to
-    // __toks first — the round-6 O(n²) lesson)
-    val bi = toks.select(col("doc_id"), explode(
+  /** Tokenized frame: (doc_id, __toks). */
+  private def tokenized(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), Dedup.tokens(textCol).as("__toks"))
+
+  /** Bigram stream (doc_id, __h12, __h1): HOF lambdas are interpreted,
+    * so only ATTRIBUTE references appear inside the lambda (the
+    * tokenizer is bound to __toks first — the round-6 O(n²) lesson).
+    * Space-joined bigram hashing: tokens are whitespace-split, so " "
+    * can never occur inside one — ("ab","c") and ("a","bc") cannot
+    * collide. */
+  private def bigramStream(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), explode(
         when(size(col("__toks")) >= 2,
           transform(sequence(lit(1), size(col("__toks")) - 1),
             i => struct(element_at(col("__toks"), i).as("w1"),
                         element_at(col("__toks"), i + 1).as("w2"))))
           .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
       .select(col("doc_id"),
-        // space-joined: tokens are whitespace-split, so " " can never
-        // occur inside one — ("ab","c") and ("a","bc") cannot collide
         xxhash64(concat_ws(" ", col("b.w1"), col("b.w2"))).as("__h12"),
         xxhash64(col("b.w1")).as("__h1"))
+
+  /** One-row vocabulary size of a tokenized frame (hashed distinct). */
+  private def vocabSize(toks: DataFrame, as: String): DataFrame =
+    toks.select(explode(col("__toks")).as("__t"))
+      .agg(count_distinct(xxhash64(col("__t"))).as(as))
+
+  /** Per-document corpus-typicality score: (doc_id, n_bigrams,
+    * avg_bigram_p) where avg_bigram_p is the mean smoothed bigram
+    * probability (higher = more typical of the corpus; extremely high
+    * = boilerplate, extremely low = gibberish/noise). */
+  def bigramScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = tokenized(df, idCol, textCol)
+    val bi = bigramStream(toks)
     val c12 = bi.groupBy(col("__h12")).agg(count(lit(1)).as("__c12"))
     val c1 = bi.groupBy(col("__h1")).agg(count(lit(1)).as("__c1"))
-    val vocab = toks.select(explode(col("__toks")).as("__t"))
-      .agg(count_distinct(xxhash64(col("__t"))).as("__v"))
+    val vocab = vocabSize(toks, "__v")
     // one double division per bigram, quantized to integer 1e-9 steps so
     // the per-doc mean is an exact long sum (shuffle-order independent)
     val q = bi.join(c12, "__h12").join(c1, "__h1").crossJoin(broadcast(vocab))
@@ -64,6 +76,49 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__q")).as("__sq"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("__sq").cast("double") / col("n_bigrams") / lit(1e9)).as("avg_bigram_p"))
+  }
+
+  /** DSIR-style importance score: how much more likely each raw
+    * document's word transitions are under the TARGET domain's bigram
+    * model than under the raw corpus's own — the importance-resampling
+    * signal for selecting pretraining data that matches a target
+    * distribution (Xie et al., "Data Selection for Language Models via
+    * Importance Resampling", hashed-n-gram variant). Per bigram the
+    * ratio p_target(w2|w1) / p_raw(w2|w1), both add-one smoothed (a
+    * bigram unseen in the target backs off to 1/(c_t(w1)+V_t), never
+    * zero); a document's score is the mean ratio, quantized to 1e-6
+    * before the long-sum mean — bit-identical across engines. Higher =
+    * more target-like; resample raw data proportionally (or keep the
+    * top fraction via [[Curation.keepTopQualityPerGroup]]).
+    *
+    * Shape: raw counts exactly as [[bigramScore]]; target counts are
+    * the same two hash-keyed groupBys over the (usually much smaller)
+    * target corpus, LEFT-joined so absent transitions hit the smoothing
+    * floor. Returns (doc_id, n_bigrams, avg_ratio). */
+  def importanceScore(raw: DataFrame, rawId: Column, rawText: Column,
+                      target: DataFrame, targetText: Column): DataFrame = {
+    val rToks = tokenized(raw, rawId, rawText)
+    val rBi = bigramStream(rToks)
+    val rc12 = rBi.groupBy(col("__h12")).agg(count(lit(1)).as("__rc12"))
+    val rc1 = rBi.groupBy(col("__h1")).agg(count(lit(1)).as("__rc1"))
+    val rv = vocabSize(rToks, "__rv")
+    val tToks = tokenized(target, lit(0L), targetText)
+    val tBi = bigramStream(tToks)
+    val tc12 = tBi.groupBy(col("__h12")).agg(count(lit(1)).as("__tc12"))
+    val tc1 = tBi.groupBy(col("__h1")).agg(count(lit(1)).as("__tc1"))
+    val tv = vocabSize(tToks, "__tv")
+    val pT = (coalesce(col("__tc12"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("__tc1"), lit(0L)) + col("__tv")).cast("double")
+    val pR = (col("__rc12") + 1).cast("double") /
+      (col("__rc1") + col("__rv")).cast("double")
+    rBi.join(rc12, "__h12").join(rc1, "__h1")
+      .join(tc12, Seq("__h12"), "left").join(tc1, Seq("__h1"), "left")
+      .crossJoin(broadcast(rv)).crossJoin(broadcast(tv))
+      .select(col("doc_id"), floor((pT / pR) * lit(1e6)).cast("long").as("__q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__q")).as("__sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__sq").cast("double") / col("n_bigrams") / lit(1e6)).as("avg_ratio"))
   }
 
   /** Band filter over [[bigramScore]] — CCNet-style: keep documents

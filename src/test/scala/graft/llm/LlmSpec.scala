@@ -541,6 +541,22 @@ class LlmSpec extends SparkSpec {
     assert(band.map(_.getLong(0)).toSeq == Seq(1L)) // doc1 avg 0.55 in band; doc2 0.6 above
   }
 
+  test("importanceScore: target-like docs score above out-of-domain docs; unseen bigrams back off") {
+    val raw = Seq(
+      (1L, "alpha beta alpha beta alpha beta"), // matches the target exactly
+      (2L, "gamma delta gamma delta gamma delta")) // no overlap with target
+      .toDF("id", "text")
+    val target = Seq("alpha beta alpha beta").toDF("text")
+    val out = LanguageModel.importanceScore(raw, col("id"), col("text"),
+        target, col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(2L),
+      s"target-matching doc must carry higher importance: $out")
+    // the out-of-domain doc's transitions are unseen in the target:
+    // every ratio hits the smoothing floor but stays positive
+    assert(out(2L) > 0.0)
+  }
+
   test("bm25: more query-term occurrences rank higher; idf rewards rare terms; topK plans TakeOrdered") {
     val docs = Seq(
       (1L, "spark spark spark filler filler filler filler filler"), // tf(spark)=3
