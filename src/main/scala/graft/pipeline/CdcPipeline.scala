@@ -163,6 +163,22 @@ object CdcPipeline {
     q
   }
 
+  /** Config-dispatched live pipeline — the reference's
+    * `debezium.source.connector.class` selection as one call: build
+    * the capture with `CaptureFactory.fromProperties`, then run
+    * whichever live mode it selected (polling tailer vs log-protocol
+    * decoder), identical downstream either way. */
+  def startCapture(spark: SparkSession, spec: PipelineSpec,
+                   capture: graft.sources.cdc.CaptureFactory.Capture,
+                   intervalMs: Long = 1000L,
+                   trigger: Trigger = Trigger.ProcessingTime(1000L)): StreamingQuery =
+    capture match {
+      case graft.sources.cdc.CaptureFactory.PollingCapture(t) =>
+        startLive(spark, spec, t, intervalMs, trigger)
+      case graft.sources.cdc.CaptureFactory.ProtocolCapture(t) =>
+        startReplication(spark, spec, t, intervalMs, trigger)
+    }
+
   /** Close the sink exactly once when ITS query terminates
     * (@PreDestroy analog; the listener deregisters itself). */
   private[pipeline] def registerCloseHook(spark: SparkSession,
