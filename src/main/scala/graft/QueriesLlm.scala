@@ -521,8 +521,12 @@ object QueriesLlm {
   private val llm13Slot = new TrackerSlot
   private def llm13 = Q("llm13_kmv_distinct",
     (s, dir) => {
+      // position-explode (no shingle arrays): kmv global-distincts the
+      // hashes, so per-doc repeats are irrelevant — same estimate
       val sh = Tables.documents(s, dir)
-        .select(explode(Dedup.shingles(col("text"), 9)).as("shingle"))
+        .select(col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 8, lit(1)))).as("__i"))
+        .select(col("text").substr(col("__i"), lit(9)).as("shingle"))
       Sketches.kmvDistinct(sh, col("shingle"), k = 256, tracker = Some(llm13Slot.fresh()))
     },
     Some(Sketches.duckKmvDistinct(
@@ -788,6 +792,11 @@ object QueriesLlm {
         .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
         .persist()
       Option(llm09Cache.getAndSet(corpus)).foreach(_.unpersist())
+      // NOTE: the position-explode signature path is NOT used here —
+      // the verify joins materialize the distinct shingle arrays
+      // anyway, so signatures off the cached arrays hash fewer
+      // shingles than per-position md5 would (measured: a wash at
+      // best; the fast path only wins when the arrays are never built)
       val sigs = Dedup.minhashSignature(corpus, col("doc_id"), col("sh"), k = 12)
       val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
       val a = corpus.select(col("doc_id").as("id_a"), col("shh").as("sh_a"))
