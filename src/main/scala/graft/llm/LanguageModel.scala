@@ -34,22 +34,23 @@ object LanguageModel {
   private def tokenized(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
     df.select(idCol.as("doc_id"), Dedup.tokens(textCol).as("__toks"))
 
-  /** Bigram stream (doc_id, __h12, __h1): HOF lambdas are interpreted,
-    * so only ATTRIBUTE references appear inside the lambda (the
-    * tokenizer is bound to __toks first — the round-6 O(n²) lesson).
-    * Space-joined bigram hashing: tokens are whitespace-split, so " "
-    * can never occur inside one — ("ab","c") and ("a","bc") cannot
-    * collide. */
+  /** Bigram stream (doc_id, __h12, __h1) by POSITION explode: no
+    * intermediate struct array is built — positions explode off the
+    * (already needed) token array and both hashes compute in one
+    * codegen'd projection via element_at. The `size >= 2` filter runs
+    * BEFORE the sequence so the `sequence(1, 0)` descending-array trap
+    * never fires. Space-joined bigram hashing: tokens are
+    * whitespace-split, so " " can never occur inside one — ("ab","c")
+    * and ("a","bc") cannot collide. */
   private def bigramStream(toks: DataFrame): DataFrame =
-    toks.select(col("doc_id"), explode(
-        when(size(col("__toks")) >= 2,
-          transform(sequence(lit(1), size(col("__toks")) - 1),
-            i => struct(element_at(col("__toks"), i).as("w1"),
-                        element_at(col("__toks"), i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+    toks.filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"))
       .select(col("doc_id"),
-        xxhash64(concat_ws(" ", col("b.w1"), col("b.w2"))).as("__h12"),
-        xxhash64(col("b.w1")).as("__h1"))
+        xxhash64(concat_ws(" ",
+          element_at(col("__toks"), col("__i")),
+          element_at(col("__toks"), col("__i") + 1))).as("__h12"),
+        xxhash64(element_at(col("__toks"), col("__i"))).as("__h1"))
 
   /** One-row vocabulary size of a tokenized frame (hashed distinct). */
   private def vocabSize(toks: DataFrame, as: String): DataFrame =
