@@ -122,6 +122,61 @@ object LanguageModel {
         (col("__sq").cast("double") / col("n_bigrams") / lit(1e6)).as("avg_ratio"))
   }
 
+  /** A fitted bigram model: transition counts keyed on 8-byte hashes
+    * plus the vocabulary size — the offline artifact a streaming
+    * scorer joins against. `c12` has (__h12, __c12), `c1` has
+    * (__h1, __c1); at 100 TB persist both to parquet and reload. */
+  final case class BigramModel(c12: DataFrame, c1: DataFrame, vocabSize: Long)
+
+  /** Fit the corpus bigram model — the offline half of streaming
+    * scoring. One token explosion, two hash-keyed groupBys; the only
+    * driver-side value is the single vocabulary-size long. */
+  def fitBigramModel(df: DataFrame, textCol: Column): BigramModel = {
+    val toks = tokenized(df, lit(0L), textCol)
+    val bi = bigramStream(toks)
+    BigramModel(
+      bi.groupBy(col("__h12")).agg(count(lit(1)).as("__c12")),
+      bi.groupBy(col("__h1")).agg(count(lit(1)).as("__c1")),
+      vocabSize(toks, "__v").head().getLong(0))
+  }
+
+  /** STREAMING typicality scoring — the online deployment shape of
+    * [[bigramScore]]: documents arrive as a stream and score against a
+    * STATIC model fitted offline ([[fitBigramModel]]); transitions the
+    * model never saw hit the add-one smoothing floor through the
+    * stream-static LEFT joins (never zero, never a state lookup). The
+    * per-document mean is a watermarked windowed aggregation, so the
+    * query is append-mode and its state is bounded by the watermark
+    * horizon. Output: (window, doc_id, n_bigrams, avg_bigram_p) per
+    * finalized window. Scoring a static frame with the SAME corpus as
+    * the model reproduces [[bigramScore]] exactly (StreamingSpec). */
+  def bigramScoreStream(stream: DataFrame, idCol: Column, textCol: Column,
+                        model: BigramModel, tsCol: String,
+                        watermarkDelay: String,
+                        windowDuration: String = "1 minute"): DataFrame = {
+    val toks = stream.select(idCol.as("doc_id"), col(tsCol).as("__ts"),
+      Dedup.tokens(textCol).as("__toks"))
+    val bi = toks.filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), col("__ts"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"))
+      .select(col("doc_id"), col("__ts"),
+        xxhash64(concat_ws(" ",
+          element_at(col("__toks"), col("__i")),
+          element_at(col("__toks"), col("__i") + 1))).as("__h12"),
+        xxhash64(element_at(col("__toks"), col("__i"))).as("__h1"))
+    bi.join(model.c12, Seq("__h12"), "left")
+      .join(model.c1, Seq("__h1"), "left")
+      .select(col("doc_id"), col("__ts"),
+        floor(((coalesce(col("__c12"), lit(0L)) + 1).cast("double") /
+               (coalesce(col("__c1"), lit(0L)) + lit(model.vocabSize)).cast("double")) *
+          lit(1e9)).cast("long").as("__q"))
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(window(col("__ts"), windowDuration), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__q")).as("__sq"))
+      .select(col("window"), col("doc_id"), col("n_bigrams"),
+        (col("__sq").cast("double") / col("n_bigrams") / lit(1e9)).as("avg_bigram_p"))
+  }
+
   /** Band filter over [[bigramScore]] — CCNet-style: keep documents
     * whose typicality sits inside [lo, hi] (drop gibberish below,
     * boilerplate above). Returns the surviving (doc_id, n_bigrams,

