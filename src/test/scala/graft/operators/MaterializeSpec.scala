@@ -62,6 +62,24 @@ class MaterializeSpec extends SparkSpec {
       "tracker release must leave zero persistent RDDs from the call")
   }
 
+  test("eagerOrCheckpoint respects an already-set JVM-global checkpoint dir") {
+    val sc = spark.sparkContext
+    val first = java.nio.file.Files.createTempDirectory("graft-ckpt-a").toString
+    val second = java.nio.file.Files.createTempDirectory("graft-ckpt-b").toString
+    val df = (1 to 10).toDF("n")
+    // first caller with no dir configured: sets it
+    if (sc.getCheckpointDir.isEmpty) {
+      Materialize.eagerOrCheckpoint(df, Some(first))
+      assert(sc.getCheckpointDir.exists(_.contains(new java.io.File(first).getName)))
+    }
+    val before = sc.getCheckpointDir
+    // a second pipeline passing a DIFFERENT dir must not clobber the
+    // global setting mid-run (files still land somewhere durable)
+    val out = Materialize.eagerOrCheckpoint(df, Some(second))
+    assert(out.count() == 10)
+    assert(sc.getCheckpointDir == before, "JVM-global checkpoint dir was clobbered")
+  }
+
   test("kmvDistinct with a tracker leaves zero persistent RDDs after release") {
     val before = persistedIds
     val tracker = new Materialize.Tracker
