@@ -11,7 +11,8 @@ object QueriesLlm {
 
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
-                        llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26)
+                        llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
+                        llm27)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -224,6 +225,50 @@ object QueriesLlm {
            |       CAST(sum(q) AS DOUBLE) / count(*) / 1e6 AS avg_ratio
            |FROM q GROUP BY doc_id
            |ORDER BY doc_id""".stripMargin))
+
+  /** Quality-aware cluster representatives (Dedup.bestPerCluster):
+    * after near-dup clustering, keep the CLEANEST member of each
+    * duplicate family — the production dedup policy when
+    * near-identical copies differ in quality (min-id, llm17's
+    * convention, keeps an arbitrary copy). Per-cluster windows are
+    * safe at any scale: duplicate families are small by
+    * construction. */
+  private val llm27Slot = new TrackerSlot
+  private def llm27 = Q("llm27_cluster_representatives",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 100000L).as("doc_id"),
+                 concat(col("text"), lit(" qx")).as("text")))
+      val sigs = Dedup.minhashSignatureText(corpus, col("doc_id"), col("text"), n = 9, k = 12)
+      val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
+      val clusters = Dedup.connectedComponents(pairs, tracker = Some(llm27Slot.fresh()))
+      Dedup.bestPerCluster(clusters,
+          corpus.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q")),
+          col("doc_id"), col("q"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""WITH RECURSIVE $duckMinhashPairCtes,
+            |verts AS (SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs),
+            |edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs
+            |          UNION SELECT id_b, id_a FROM pairs),
+            |reach(v, r) AS (
+            |  SELECT v, v FROM verts
+            |  UNION
+            |  SELECT e.eb, reach.r FROM edges e JOIN reach ON reach.v = e.ea),
+            |comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+            |qual AS (SELECT doc_id,
+            |    (CAST(least(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)), 64) AS DOUBLE) / 64.0)
+            |      * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+            |               / CAST(greatest(length(text), 1) AS DOUBLE)) AS score
+            |  FROM corpus),
+            |r AS (SELECT comp.cluster_id, comp.doc_id, qual.score,
+            |        row_number() OVER (PARTITION BY comp.cluster_id
+            |          ORDER BY qual.score DESC, comp.doc_id ASC) AS rn
+            |      FROM comp JOIN qual USING (doc_id))
+            |SELECT cluster_id, doc_id, score FROM r WHERE rn = 1
+            |ORDER BY cluster_id""".stripMargin),
+    cleanup = Some(_ => llm27Slot.drain()))
 
   /** Gopher-style repetition stats (TextAnalysis.wordNgrams /
     * dupFraction / repetitionGate): duplicate token / 2-gram / 3-gram

@@ -310,6 +310,31 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Quality-aware cluster representative selection: keep the
+    * BEST-SCORING member of each duplicate cluster instead of
+    * [[connectedComponents]]' min-id convention — the production
+    * dedup policy (when near-identical documents differ, keep the
+    * cleanest copy, not the lowest id). Deterministic: ties break on
+    * the lower doc id.
+    *
+    * Scale shape: one join of the cluster labels with the score frame
+    * on the 8-byte doc id, then a row_number window PARTITIONED BY
+    * CLUSTER — safe at any corpus size because duplicate families are
+    * small by construction (a window by a handful of rows per
+    * partition key), unlike per-source windows which
+    * [[Curation.keepTopQualityPerGroup]] exists to avoid. Returns one
+    * row per cluster: (cluster_id, doc_id, score). */
+  def bestPerCluster(clusters: DataFrame, scores: DataFrame,
+                     scoreId: Column, scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    clusters.join(scores.select(scoreId.as("doc_id"), scoreCol.as("score")), "doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("score"))
+  }
+
   /** Cross-corpus contamination check — the eval-set DECONTAMINATION
     * step of a training pipeline: for each eval document, the best
     * rare-shingle overlap ratio against any training document

@@ -153,6 +153,18 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("bestPerCluster keeps the highest-scoring member; ties break on lower id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (5L, 0.4), (6L, 0.1))
+      .toDF("id", "s")
+    val reps = Dedup.bestPerCluster(clusters, scores, col("id"), col("s"))
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // cluster 1: 2 and 3 tie at 0.9 → lower id 2 wins (NOT min-id 1)
+    assert(reps == Seq((1L, 2L, 0.9), (5L, 5L, 0.4)))
+  }
+
   test("contamination: copied eval doc flags against its source; clean doc scores low") {
     val train = Seq(
       (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
