@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
-import graft.llm.{Curation, Dedup, LanguageModel, Multimodal, Packing, Pii, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.llm.{CorpusReport, Curation, Dedup, LanguageModel, Multimodal, Packing, Pii, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** LLM training-data pipeline operators (SURVEY.md §7.2 step 8) over
   * the `documents` and `embeddings` tables.
@@ -12,7 +12,7 @@ object QueriesLlm {
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
-                        llm27)
+                        llm27, llm28)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -269,6 +269,46 @@ object QueriesLlm {
             |SELECT cluster_id, doc_id, score FROM r WHERE rn = 1
             |ORDER BY cluster_id""".stripMargin),
     cleanup = Some(_ => llm27Slot.drain()))
+
+  /** Per-source corpus health report (CorpusReport.bySource): volume,
+    * length, language mix, exact-dup rate, mean quality per source in
+    * ONE scan + one grouped aggregation. Duplicates are planted (an
+    * id-shifted copy of the low-id slice) so dup_rate is non-trivial;
+    * quality quantizes to 1e-6 before the mean. */
+  private def llm28 = Q("llm28_corpus_report",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val corpus = d.unionByName(d.filter(col("doc_id") < 250)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"),
+                col("lang"), col("source")))
+      CorpusReport.bySource(corpus, col("text"), col("source"), col("lang"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT text, lang, source FROM documents
+            |  UNION ALL SELECT text, lang, source FROM documents WHERE doc_id < 250),
+            |d AS (SELECT source,
+            |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS nt,
+            |    lang = 'en' AS is_en,
+            |    CAST(floor(((CAST(least(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)), 64) AS DOUBLE) / 64.0)
+            |      * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+            |               / CAST(greatest(length(text), 1) AS DOUBLE))) * 1e6) AS BIGINT) AS q6,
+            |    ${Portable.duckHash64("text")} AS h
+            |  FROM corpus),
+            |agg AS (SELECT source, count(*) AS n_docs,
+            |          CAST(sum(nt) AS BIGINT) AS n_tokens,
+            |          CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+            |          count(DISTINCT h) AS nd,
+            |          CAST(sum(q6) AS BIGINT) AS sq6
+            |        FROM d GROUP BY source)
+            |SELECT source, n_docs, n_tokens,
+            |       CAST(n_tokens AS DOUBLE) / n_docs AS avg_doc_tokens,
+            |       n_lang,
+            |       CAST(n_docs - nd AS DOUBLE) / n_docs AS dup_rate,
+            |       CAST(sq6 AS DOUBLE) / n_docs / 1e6 AS avg_quality
+            |FROM agg
+            |ORDER BY source""".stripMargin))
 
   /** Gopher-style repetition stats (TextAnalysis.wordNgrams /
     * dupFraction / repetitionGate): duplicate token / 2-gram / 3-gram

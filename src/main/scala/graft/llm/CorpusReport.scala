@@ -1,0 +1,47 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** One-pass per-source corpus health report — the first query a data
+  * engineer runs on a new crawl dump before any curation: volume,
+  * length, language mix, exact-duplicate rate, and mean quality, per
+  * source, from a SINGLE scan + one grouped aggregation.
+  *
+  * Scale shape: every per-document signal (token count, language flag,
+  * quantized quality, 8-byte content hash) computes in one codegen'd
+  * projection over the scan; the groupBy carries fixed-width values
+  * only (the text never shuffles). `count_distinct` over the content
+  * hash is the standard two-phase distinct expansion — the only extra
+  * shuffle, still keyed on (source, 8-byte hash). Quality quantizes to
+  * 1e-6 BEFORE the sum so the mean is an exact long sum
+  * (shuffle-order independent, engine-portable — the repo's standard
+  * float discipline).
+  */
+object CorpusReport {
+
+  /** Per-source summary: (source, n_docs, n_tokens, avg_doc_tokens,
+    * n_lang, dup_rate, avg_quality), where `n_lang` counts documents
+    * whose `langCol` equals `lang` and `dup_rate` is the fraction of
+    * documents whose exact content already occurred (1 − distinct/n). */
+  def bySource(df: DataFrame, textCol: Column, sourceCol: Column,
+               langCol: Column, lang: String = "en"): DataFrame = {
+    val base = df.select(sourceCol.as("source"),
+      TextAnalysis.tokenCount(textCol).cast("long").as("__nt"),
+      (langCol === lang).as("__lang"),
+      floor(TextAnalysis.qualityScore(textCol) * lit(1e6)).cast("long").as("__q6"),
+      Portable.hash64(textCol).as("__h"))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("__nt")).as("n_tokens"),
+           sum(when(col("__lang"), 1L).otherwise(0L)).as("n_lang"),
+           count_distinct(col("__h")).as("__nd"),
+           sum(col("__q6")).as("__sq6"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("avg_doc_tokens"),
+        col("n_lang"),
+        ((col("n_docs") - col("__nd")).cast("double") / col("n_docs")).as("dup_rate"),
+        (col("__sq6").cast("double") / col("n_docs") / lit(1e6)).as("avg_quality"))
+  }
+}

@@ -153,6 +153,24 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("corpus report: per-source volume, language mix, dup rate, mean quality in one pass") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "s1"),
+      (2L, "alpha beta gamma", "en", "s1"), // exact dup of 1
+      (3L, "uno dos", "es", "s1"),
+      (4L, "eins zwei drei vier", "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = CorpusReport.bySource(docs, col("text"), col("source"), col("lang"))
+      .orderBy("source").collect()
+    val s1 = rows(0)
+    assert(s1.getAs[Long]("n_docs") == 3 && s1.getAs[Long]("n_tokens") == 8)
+    assert(s1.getAs[Long]("n_lang") == 2) // two English docs
+    assert(s1.getAs[Double]("dup_rate") == 1.0 / 3.0) // one of three is a dup
+    assert(s1.getAs[Double]("avg_doc_tokens") == 8.0 / 3.0)
+    val s2 = rows(1)
+    assert(s2.getAs[Long]("n_docs") == 1 && s2.getAs[Double]("dup_rate") == 0.0)
+  }
+
   test("bestPerCluster keeps the highest-scoring member; ties break on lower id") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
       .toDF("doc_id", "cluster_id")
