@@ -62,8 +62,25 @@ final class BinlogDecoder(startLsn: Long = 0L,
 
   /** Decode one binlog event (header + body, no magic prefix). Control
     * events update decoder state and return no envelopes; each ROW of
-    * a DML event returns one envelope line. */
-  def decode(event: Array[Byte]): Seq[String] = {
+    * a DML event returns one envelope line. A truncated or malformed
+    * event fails with the event type and length in the error (never a
+    * bare buffer underflow) and emits nothing — the feed re-delivers
+    * after the caller recovers. */
+  def decode(event: Array[Byte]): Seq[String] =
+    try decodeUnsafe(event)
+    catch {
+      case e: java.nio.BufferUnderflowException =>
+        val t = if (event.length > 4) f"0x${event(4) & 0xff}%02x" else "?"
+        throw new IllegalArgumentException(
+          s"binlog: truncated event (type $t, ${event.length} bytes) — " +
+          "frame boundary corrupted upstream", e)
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("newLimit") =>
+        throw new IllegalArgumentException(
+          s"binlog: event shorter than its declared CRC32 trailer (${event.length} bytes)", e)
+    }
+
+  private def decodeUnsafe(event: Array[Byte]): Seq[String] = {
     val buf = ByteBuffer.wrap(event).order(ByteOrder.LITTLE_ENDIAN)
     val tsMs = (buf.getInt.toLong & 0xffffffffL) * 1000L
     val eventType = buf.get() & 0xff

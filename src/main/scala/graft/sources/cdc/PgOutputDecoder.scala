@@ -67,8 +67,20 @@ final class PgOutputDecoder(startLsn: Long = 0L,
 
   /** Decode one pgoutput message. Control messages (Begin/Commit/
     * Relation/Type/Origin/Truncate) update decoder state and return
-    * no envelopes; DML messages return exactly one envelope line. */
-  def decode(msg: Array[Byte]): Seq[String] = {
+    * no envelopes; DML messages return exactly one envelope line. A
+    * truncated or malformed frame fails with the message type and
+    * length in the error (never a bare buffer underflow) and leaves no
+    * partial output — the feed re-delivers after the caller recovers. */
+  def decode(msg: Array[Byte]): Seq[String] =
+    try decodeUnsafe(msg)
+    catch {
+      case e: java.nio.BufferUnderflowException =>
+        throw new IllegalArgumentException(
+          s"pgoutput: truncated '${if (msg.nonEmpty) msg(0).toChar else '?'}' message " +
+          s"(${msg.length} bytes) — frame boundary corrupted upstream", e)
+    }
+
+  private def decodeUnsafe(msg: Array[Byte]): Seq[String] = {
     val buf = ByteBuffer.wrap(msg) // pgoutput is big-endian, ByteBuffer's default
     buf.get().toChar match {
       case 'B' => // final LSN (8), commit ts (8, micros since 2000), xid (4)

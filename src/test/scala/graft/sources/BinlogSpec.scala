@@ -152,5 +152,18 @@ class BinlogSpec extends SparkSpec {
 
     val dec2 = new BinlogDecoder()
     intercept[IllegalStateException] { dec2.decode(tableMap()) }
+
+    // truncated event → contextual error, decoder stays usable
+    val whole = event(BinlogDecoder.WriteRows) { b =>
+      rowsPreamble(b, BinlogDecoder.WriteRows)
+      row(b, 8, Some("a@b.c"), 1.0)
+      b.putInt(0) // CRC32 trailer (dec has checksums on)
+    }
+    val e = intercept[IllegalArgumentException] {
+      dec.decode(java.util.Arrays.copyOfRange(whole, 0, whole.length - 9))
+    }
+    assert(e.getMessage.contains("truncated event") ||
+      e.getMessage.contains("CRC32 trailer"), e.getMessage)
+    assert(dec.decode(whole).size == 1)
   }
 }

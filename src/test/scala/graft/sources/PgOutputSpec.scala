@@ -290,5 +290,17 @@ class PgOutputSpec extends SparkSpec {
     assert(line.contains(""""after":{"id":9,"note":"__graft_unavailable_value","ok":true,"score":null}"""),
       s"typed tuple rendering: $line")
     assert(line.contains(""""key":{"id":9}"""))
+
+    // a TRUNCATED frame fails with message context (not a raw buffer
+    // underflow), emits nothing, and the decoder stays usable
+    val whole = msg { b =>
+      b.put('I'.toByte); b.putInt(7); b.put('N'.toByte)
+      tup(b, Seq(Some("10"), Some("t"), Some("1.0"), Some("x")))
+    }
+    val e = intercept[IllegalArgumentException] {
+      dec.decode(java.util.Arrays.copyOfRange(whole, 0, whole.length - 3))
+    }
+    assert(e.getMessage.contains("truncated 'I'"), e.getMessage)
+    assert(dec.decode(whole).size == 1) // intact frame still decodes
   }
 }
