@@ -12,6 +12,13 @@ import java.nio.file.{Files, Path}
   * is at-least-once and LSN-converged). */
 trait ReplicationFeed extends AutoCloseable {
   def poll(): Seq[Array[Byte]]
+  /** Acknowledge the messages returned by the LAST [[poll]] — only now
+    * may the feed advance its (durable) position. A poll that is never
+    * committed (the decoder threw, the process died) is re-delivered
+    * by the next poll, so a decode failure can never LOSE messages;
+    * it can only re-deliver them (at-least-once, converged
+    * downstream). */
+  def commit(): Unit = ()
   override def close(): Unit = ()
 }
 
@@ -32,9 +39,12 @@ final class FileReplicationFeed(dir: Path, offsetFile: Option[Path] = None)
     offsetFile.filter(Files.exists(_))
       .map(f => Files.readAllLines(f).asScala.filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+  private var pending: Seq[String] = Nil
 
   override def poll(): Seq[Array[Byte]] = {
     if (!Files.exists(dir)) return Nil
+    // un-committed names from the previous poll are INCLUDED again —
+    // a failed decode re-delivers instead of losing them
     val fresh = Files.list(dir).iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
@@ -42,17 +52,19 @@ final class FileReplicationFeed(dir: Path, offsetFile: Option[Path] = None)
           !consumed.contains(n)
       }
       .toSeq.sortBy(_.getFileName.toString)
-    val out = fresh.map(Files.readAllBytes)
-    if (fresh.nonEmpty) {
-      consumed ++= fresh.map(_.getFileName.toString)
-      offsetFile.foreach { f =>
-        val tmp = f.resolveSibling("." + f.getFileName.toString + ".tmp")
-        Files.writeString(tmp, consumed.toSeq.sorted.mkString("", "\n", "\n"))
-        Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+    pending = fresh.map(_.getFileName.toString)
+    fresh.map(Files.readAllBytes)
+  }
+
+  override def commit(): Unit = if (pending.nonEmpty) {
+    consumed ++= pending
+    pending = Nil
+    offsetFile.foreach { f =>
+      val tmp = f.resolveSibling("." + f.getFileName.toString + ".tmp")
+      Files.writeString(tmp, consumed.toSeq.sorted.mkString("", "\n", "\n"))
+      Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    out
   }
 }
 
@@ -78,20 +90,25 @@ final class ReplicationTailer(feed: ReplicationFeed,
 
   Files.createDirectories(db.resolve("wal"))
 
-  /** One drain: poll the feed once, decode, append segments. Returns
-    * the number of envelope lines written. */
+  /** One drain: poll the feed once, decode, append segments, COMMIT
+    * the feed position. Returns the number of envelope lines written.
+    * Failure ordering is the at-least-once contract: a malformed frame
+    * throws BEFORE any segment from the batch lands and the feed is
+    * never committed, so the next drain re-delivers the whole poll —
+    * messages can be re-decoded, never lost. (A crash between
+    * appendSegment and commit re-appends the batch at new LSNs; the
+    * epoch-idempotent / latest-state-by-LSN downstream converges.) */
   def drainOnce(): Int = {
     val msgs = feed.poll()
     if (msgs.isEmpty) 0
     else {
       var written = 0
-      // decode message-by-message so a malformed frame fails BEFORE any
-      // segment from this batch lands (the feed re-delivers on restart)
       val lines = msgs.flatMap(decode)
       lines.grouped(maxSegmentRecords).foreach { chunk =>
         PgOutputDecoder.appendSegment(db, chunk)
         written += chunk.size
       }
+      feed.commit()
       written
     }
   }

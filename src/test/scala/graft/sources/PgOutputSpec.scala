@@ -251,7 +251,7 @@ class PgOutputSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("file replication feed: name-ordered delivery, offset restart, late files picked up") {
+  test("file replication feed: name order, at-least-once commit, offset restart, late files") {
     import graft.sources.cdc.FileReplicationFeed
     val dir = Files.createTempDirectory("graft-feedoff")
     val off = dir.resolve("_offsets")
@@ -259,12 +259,43 @@ class PgOutputSpec extends SparkSpec {
     Files.write(dir.resolve("a.msg"), Array[Byte](1))
     val feed = new FileReplicationFeed(dir, Some(off))
     assert(feed.poll().map(_.head).toSeq == Seq(1.toByte, 2.toByte)) // name order
+    // an UN-COMMITTED poll re-delivers (the decode failed downstream) —
+    // messages are never lost to a failed drain
+    assert(feed.poll().map(_.head).toSeq == Seq(1.toByte, 2.toByte))
+    feed.commit()
     assert(feed.poll().isEmpty)
-    // restart: consumed names persisted, nothing re-delivered
+    // restart: committed names persisted, nothing re-delivered
     val feed2 = new FileReplicationFeed(dir, Some(off))
     assert(feed2.poll().isEmpty)
     Files.write(dir.resolve("c.msg"), Array[Byte](3))
     assert(feed2.poll().map(_.head).toSeq == Seq(3.toByte)) // late arrival
+    // crash BEFORE commit: a fresh feed re-delivers the unacked file
+    val feed3 = new FileReplicationFeed(dir, Some(off))
+    assert(feed3.poll().map(_.head).toSeq == Seq(3.toByte))
+    feed3.commit()
+    assert(new FileReplicationFeed(dir, Some(off)).poll().isEmpty)
+  }
+
+  test("replication tailer: a failed decode leaves no segment and the next drain re-delivers") {
+    import graft.sources.cdc.{ReplicationFeed, ReplicationTailer, PgOutputDecoder}
+    val db = Files.createTempDirectory("graft-redeliver")
+    val rel = relationMsg(55, "s", "t", 'd', Seq(("id", 23, true)))
+    val good = msg { b =>
+      b.put('I'.toByte); b.putInt(55); b.put('N'.toByte); tup(b, Seq(Some("1")))
+    }
+    val bad = java.util.Arrays.copyOfRange(good, 0, good.length - 2) // truncated
+    var healed = false
+    val feed = new ReplicationFeed {
+      override def poll(): Seq[Array[Byte]] =
+        if (healed) Seq(rel, good) else Seq(rel, good, bad)
+    }
+    val tailer = new ReplicationTailer(feed, new PgOutputDecoder().decode, db)
+    intercept[IllegalArgumentException] { tailer.drainOnce() }
+    // nothing landed: the failed batch produced NO partial segment
+    assert(Files.list(db.resolve("wal")).count() == 0)
+    healed = true // upstream fixed the frame; the feed re-delivers
+    assert(tailer.drainOnce() == 1)
+    assert(Files.list(db.resolve("wal")).count() == 1)
   }
 
   test("pgoutput: null columns, toast sentinel, numeric/bool typing, unknown relation throws") {
