@@ -88,6 +88,33 @@ class PlanSpec extends SparkSpec {
     assert(analyzed.contains("xxhash64"), "shingles must travel as 8-byte hashes")
   }
 
+  test("llm24/llm26: bigram stream is position-exploded and joins key on hashes, not strings") {
+    Seq("llm24_bigram_typicality", "llm26_importance_score").foreach { name =>
+      val analyzed = Queries.byName(name)(spark, sfSmoke).queryExecution.analyzed.toString
+      assert(!analyzed.contains("transform("),
+        s"$name builds a bigram struct array — use the position-explode stream")
+      assert(analyzed.contains("xxhash64"),
+        s"$name must key its count joins on 8-byte hashes")
+    }
+  }
+
+  test("llm25: query-term filter runs before the tf shuffle; stats broadcast") {
+    val df = Queries.byName("llm25_bm25_retrieval")(spark, sfSmoke)
+    df.collect()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    // the one-row corpus stats must arrive via broadcast, never shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"corpus stats must broadcast:\n$plan")
+    // the isin(queryTerms) filter must sit under the first aggregate
+    // (pre-shuffle): no Exchange may appear below the filter node
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("IN (spark,join,window)") || analyzed.toLowerCase.contains("__t IN"),
+      s"query-term filter missing from the plan:\n$analyzed")
+  }
+
   test("bucketed co-located join is shuffle-free") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft-buckets")
