@@ -37,6 +37,26 @@ class PortableSpec extends SparkSpec {
     assert(fromCol.toSeq == fromJvm)
   }
 
+  test("JVM↔Column hash parity holds across a randomized unicode sweep") {
+    // the driver-side mirrors underpin hyperplane folding and seeded
+    // minhash constants — any divergence silently corrupts results, so
+    // sweep far beyond the fixed golden inputs (seeded: deterministic)
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab c\tü ñ日本\"\\|{}:,0é☃\n"
+    val samples = Seq("", " ", "\n", "a") ++ (1 to 300).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val rows = samples.toDF("s")
+      .select(col("s"), Portable.hash64(col("s")).as("h64"),
+        org.apache.spark.sql.functions.xxhash64(col("s")).as("hxx"))
+      .collect()
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(Portable.hash64Jvm(s) == r.getLong(1), s"hash64 mismatch for '$s'")
+      assert(Portable.xxhash64Jvm(s) == r.getLong(2), s"xxhash64 mismatch for '$s'")
+    }
+  }
+
   test("partitionFor lands in [0, n)") {
     val parts = (1 to 100).map(_.toString).toDF("s")
       .select(Portable.partitionFor(col("s"), 16).as("p"))
