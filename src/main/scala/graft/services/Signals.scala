@@ -33,8 +33,8 @@ object Signals {
 
     /** Read and CONSUME all pending signals, oldest first. */
     def poll(): Seq[Signal] = {
-      val files = Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+      val files = graft.Fs.children(dir)
+        .filter(_.getFileName.toString.endsWith(".json")).sortBy(_.toString)
       files.map { f =>
         val n = graft.sources.cdc.JsonRows.parse(Files.readString(f))
         Files.delete(f)

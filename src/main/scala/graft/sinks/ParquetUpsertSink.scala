@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Portable
 import graft.operators.ApplyChanges
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
+
 import scala.jdk.CollectionConverters._
 
 /** MERGE-upsert sink over bucketed parquet tables — the semantic
@@ -187,7 +187,7 @@ final class ParquetUpsertSink(baseDir: String, keyFields: Seq[String] = Seq("id"
           gcUnreferenced(table, newBuckets.values.toSet + epochDirName)
         }
       }
-    } finally deleteRecursively(staging)
+    } finally graft.Fs.deleteRecursively(staging)
   }
 
   /** Current state of a destination's table (resolved via manifest). */
@@ -213,20 +213,14 @@ final class ParquetUpsertSink(baseDir: String, keyFields: Seq[String] = Seq("id"
   }
 
   private def listPartitionDirs(dir: Path, prefix: String): Seq[Path] =
-    if (!Files.exists(dir)) Nil
-    else Files.list(dir).iterator().asScala
+    graft.Fs.children(dir)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
-      .toSeq
 
   private def gcUnreferenced(table: Path, referenced: Set[String]): Unit =
-    Files.list(table).iterator().asScala
+    graft.Fs.children(table)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data-"))
       .filterNot(p => referenced(p.getFileName.toString))
-      .foreach(deleteRecursively)
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+      .foreach(graft.Fs.deleteRecursively)
 
   /** Table metadata: last applied epoch + bucket → epoch-dir map.
     * Plain line format: "epoch <n>" then "<bucket> <epochDir>" lines. */

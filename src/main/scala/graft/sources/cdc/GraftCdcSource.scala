@@ -137,14 +137,14 @@ private[cdc] object CdcLayout {
   def snapshotTables(db: Path): Seq[Path] = {
     val d = db.resolve("snapshot")
     if (!Files.exists(d)) Nil
-    else Files.list(d).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".jsonl")).toSeq.sortBy(_.toString)
+    else graft.Fs.children(d)
+      .filter(p => p.getFileName.toString.endsWith(".jsonl")).sortBy(_.toString)
       .flatMap { p =>
         if (Files.isDirectory(p))
-          Files.list(p).iterator().asScala.filter { f =>
+          graft.Fs.children(p).filter { f =>
             val n = f.getFileName.toString
             Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
-          }.toSeq.sortBy(_.toString)
+          }.sortBy(_.toString)
         else Seq(p)
       }
   }
@@ -152,11 +152,11 @@ private[cdc] object CdcLayout {
   def walFiles(db: Path): Seq[Path] = {
     val d = db.resolve("wal")
     if (!Files.exists(d)) Nil
-    else Files.list(d).iterator().asScala
+    else graft.Fs.children(d)
       .filter { p =>
         val n = p.getFileName.toString
         Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
-      }.toSeq.sortBy(_.toString)
+      }.sortBy(_.toString)
   }
 
   /** Current end of the log, computed through a per-segment stats

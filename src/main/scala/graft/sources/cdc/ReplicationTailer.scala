@@ -45,13 +45,13 @@ final class FileReplicationFeed(dir: Path, offsetFile: Option[Path] = None)
     if (!Files.exists(dir)) return Nil
     // un-committed names from the previous poll are INCLUDED again —
     // a failed decode re-delivers instead of losing them
-    val fresh = Files.list(dir).iterator().asScala
+    val fresh = graft.Fs.children(dir)
       .filter { p =>
         val n = p.getFileName.toString
         Files.isRegularFile(p) && !n.startsWith(".") && !n.startsWith("_") &&
           !consumed.contains(n)
       }
-      .toSeq.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
     pending = fresh.map(_.getFileName.toString)
     fresh.map(Files.readAllBytes)
   }

@@ -276,6 +276,24 @@ class PgOutputSpec extends SparkSpec {
     assert(new FileReplicationFeed(dir, Some(off)).poll().isEmpty)
   }
 
+  test("file replication feed: polling does not leak directory file descriptors") {
+    import graft.sources.cdc.FileReplicationFeed
+    val dir = Files.createTempDirectory("graft-feedfd")
+    (1 to 5).foreach(i => Files.write(dir.resolve(f"m$i%03d.msg"), Array[Byte](i.toByte)))
+    val feed = new FileReplicationFeed(dir)
+    // no GC between measurements: a leaked stream's handle is only
+    // reclaimed by finalization, so the count must stay flat WITHOUT it
+    def fdCount(): Int =
+      Files.list(java.nio.file.Paths.get("/proc/self/fd")).count().toInt
+    feed.poll() // warm any lazily-initialized machinery
+    val before = fdCount()
+    // the daemon polls at 1 Hz forever — 500 polls models ~8 minutes of
+    // uptime; an unclosed Files.list would leak one FD per poll
+    (1 to 500).foreach(_ => feed.poll())
+    val after = fdCount()
+    assert(after - before < 20, s"FD count grew $before -> $after over 500 polls")
+  }
+
   test("replication tailer: a failed decode leaves no segment and the next drain re-delivers") {
     import graft.sources.cdc.{ReplicationFeed, ReplicationTailer, PgOutputDecoder}
     val db = Files.createTempDirectory("graft-redeliver")
