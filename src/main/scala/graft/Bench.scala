@@ -19,6 +19,35 @@ import org.apache.spark.sql.SparkSession
   * one-off GC/page-cache/JIT outliers while staying cheap.
   */
 object Bench {
+  /** Blackhole for the canary loop result — a volatile store the JIT
+    * cannot eliminate, so the fixed work is never dead-code'd away. */
+  @volatile private var canarySink: Long = 0L
+
+  /** Calibration canary: a FIXED amount of single-threaded integer work
+    * (xorshift64), timed. Its wall-clock depends only on how fast the
+    * host actually runs this JVM *right now* — host-level CPU steal or
+    * thermal throttling (invisible to guest load metrics) inflates it
+    * in direct proportion. Round-10 verdict: the archived bench showed
+    * llm17 at 209 s where an idle host measures 4.4 s, and nothing in
+    * the artifact could tell a throttled run from a real regression.
+    * The canary is that missing signal: measured before every query
+    * run and emitted per query, it lets any reader normalize timings
+    * across sessions and localize a mid-session throttling window. */
+  private val CanaryIters = 20_000_000
+  private def canaryMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < CanaryIters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    canarySink = x
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -46,16 +75,25 @@ object Bench {
     // for single-query iteration; unset = full catalog (driver mode).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val catalog = only.fold(Queries.all)(ps => Queries.all.filter(q => ps.exists(q.name.startsWith)))
-    val results = catalog.map { q =>
+
+    // JIT-warm the canary loop so the first measured value reflects host
+    // speed, not compilation tiers
+    (1 to 5).foreach(_ => canaryMs())
+
+    /** One timed pass over a query: canary before every run (host-speed
+      * sample), then the query through the noop sink. Returns
+      * (median seconds, median canary ms). */
+    def timeQuery(q: Q): (Double, Double) = {
       // fixture construction and cache cleanup run OUTSIDE the timer —
       // BENCH measures query work only
       q.prepare.foreach(p => try p(spark, sfDir)
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name} prepare failed: ${e.getMessage}") })
-      val times = (1 to runs).map { _ =>
+      val samples = (1 to runs).map { _ =>
+        val c = canaryMs()
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, c)
       }
       q.cleanup.foreach(c => try c(spark) catch { case _: Throwable => () })
       // Session hygiene BETWEEN queries, outside the timer: drop any
@@ -66,18 +104,49 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(r => try r.unpersist(blocking = false) catch { case _: Throwable => () })
       try spark.catalog.clearCache() catch { case _: Throwable => () }
-      q.name -> times.sorted.apply(times.size / 2) // median
+      (median(samples.map(_._1)), median(samples.map(_._2)))
     }
+
+    val firstPass = catalog.map(q => q.name -> timeQuery(q)).toMap
+    // Throttle detection: the canary is fixed work, so its FASTEST
+    // observation this session approximates the unthrottled host; any
+    // query whose accompanying canary ran >2.5× slower was measured
+    // inside a throttling window and its timing is not a statement
+    // about the engine. Those queries get ONE re-run after a cooldown
+    // (absorbs short windows; a 20-minute window stays flagged).
+    val sessionBaseline = firstPass.values.map(_._2).min
+    val suspectRatio = 2.5
+    val suspects = catalog.filter(q => firstPass(q.name)._2 > suspectRatio * sessionBaseline)
+    if (suspects.nonEmpty) {
+      System.err.println(s"[bench] throttle-suspect queries (canary > ${suspectRatio}× baseline " +
+        f"$sessionBaseline%.1f ms): ${suspects.map(_.name).mkString(",")} — re-running after cooldown")
+      Thread.sleep(3000)
+    }
+    val reruns = suspects.map(q => q.name -> timeQuery(q)).toMap
+    // final per-query value: the measurement taken on the faster host
+    // state (lower canary wins — same engine, cleaner measurement)
+    val results = catalog.map { q =>
+      val first = firstPass(q.name)
+      q.name -> reruns.get(q.name).filter(_._2 < first._2).getOrElse(first)
+    }
+    val finalBaseline = results.map(_._2._2).min
+    val throttled = results.exists(_._2._2 > suspectRatio * finalBaseline)
+
     // end-of-session invariant: every query + cleanup pass leaves zero
     // persistent RDDs behind (round-9 verdict task: prove the session
     // ends clean, not just that each query runs)
     val leftover = spark.sparkContext.getPersistentRDDs.size
     System.err.println(s"[bench] persistent RDDs after last query: $leftover" +
       (if (leftover == 0) " (clean session)" else " — LEAK, inspect query cleanup hooks"))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, (s, _)) => k -> s })
+    val canaries = jmap(results.map { case (k, (_, c)) => k -> c })
+    val rerunned = jmap(suspects.map(q => q.name -> firstPass(q.name)._1))
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""canary_ms":$canaries,"canary_baseline_ms":$finalBaseline,""" +
+      s""""throttled":$throttled,"rerun_initial":$rerunned,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -153,8 +153,20 @@ final class BinlogDecoder(startLsn: Long = 0L,
             case UpdateRows =>
               val before = readRow(buf, tm, present1)
               val after = readRow(buf, tm, present2)
-              out += envelope(tm, "u", tsMs, before = Some(before), after = Some(after),
-                keyFrom = after)
+              def keyImage(t: Seq[(String, String)]) =
+                t.filter { case (n, _) => tm.keyCols.contains(n) }.sortBy(_._1)
+              if (keyImage(before).nonEmpty && keyImage(before) != keyImage(after)) {
+                // primary-key UPDATE: Debezium semantics — retire the old
+                // key (delete + tombstone) and create under the new key,
+                // so compacted/upsert sinks never keep a stale row
+                out += envelope(tm, "d", tsMs, before = Some(before), after = None,
+                  keyFrom = before)
+                if (emitTombstones) out += tombstone(tm, before)
+                out += envelope(tm, "c", tsMs, before = None, after = Some(after),
+                  keyFrom = after)
+              } else
+                out += envelope(tm, "u", tsMs, before = Some(before), after = Some(after),
+                  keyFrom = after)
           }
         }
         out.toSeq

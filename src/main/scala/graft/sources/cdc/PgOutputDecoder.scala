@@ -117,7 +117,23 @@ final class PgOutputDecoder(startLsn: Long = 0L,
         }
         require(newTag == 'N', s"pgoutput UPDATE: expected new tuple, got '$newTag'")
         val after = tuple(buf, rel)
-        Seq(envelope(rel, "u", before = old, after = Some(after), keyFrom = after))
+        val keyCols = rel.columns.filter(_.keyPart).map(_.name).toSet
+        def keyImage(t: Seq[(String, String)]) =
+          t.filter { case (n, _) => keyCols(n) }.sortBy(_._1)
+        old match {
+          case Some(o) if keyImage(o).nonEmpty && keyImage(o) != keyImage(after) =>
+            // primary-key UPDATE (the server only sends the old tuple
+            // when the replica identity changed): Debezium semantics —
+            // retire the old key (delete + tombstone) and create the row
+            // under the new key, so compacted/upsert sinks never keep a
+            // stale row under the old key (reference:
+            // debezium-core key-change handling in RelationalChangeRecordEmitter)
+            val del = envelope(rel, "d", before = Some(o), after = None, keyFrom = o)
+            val cre = envelope(rel, "c", before = None, after = Some(after), keyFrom = after)
+            if (emitTombstones) Seq(del, tombstone(rel, o), cre) else Seq(del, cre)
+          case _ =>
+            Seq(envelope(rel, "u", before = old, after = Some(after), keyFrom = after))
+        }
       case 'D' =>
         val rel = relation(buf.getInt)
         val tag = buf.get().toChar
@@ -189,11 +205,14 @@ object PgOutputDecoder {
   private val PgEpochMs = 946684800000L
   private def pgMicrosToEpochMs(micros: Long): Long = micros / 1000L + PgEpochMs
 
+  /** NUL-terminated identifier. PostgreSQL sends UTF-8 — accumulate the
+    * raw bytes and decode ONCE (per-byte toChar would decode Latin-1
+    * and garble multibyte schema/table/column names). */
   private def cstring(buf: ByteBuffer): String = {
-    val sb = new java.lang.StringBuilder
+    val out = new java.io.ByteArrayOutputStream(32)
     var b = buf.get()
-    while (b != 0) { sb.append(b.toChar); b = buf.get() }
-    sb.toString
+    while (b != 0) { out.write(b.toInt); b = buf.get() }
+    new String(out.toByteArray, StandardCharsets.UTF_8)
   }
 
   /** Text-form value → JSON literal, by type OID: integers/floats/
@@ -203,7 +222,12 @@ object PgOutputDecoder {
   private def jsonOf(text: String, typeOid: Int): String = typeOid match {
     case 16 => if (text == "t") "true" else "false"
     case 20 | 21 | 23 | 26 => text // int8/int2/int4/oid
-    case 700 | 701 | 1700 => text // float4/float8/numeric (text form is valid JSON)
+    case 700 | 701 | 1700 =>
+      // float4/float8/numeric text is usually a valid JSON number, but
+      // PostgreSQL can emit NaN/Infinity/-Infinity — quote those (bare,
+      // they would poison the whole envelope line)
+      if (text == "NaN" || text == "Infinity" || text == "-Infinity") s""""$text""""
+      else text
     case _ => "\"" + text.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

@@ -132,6 +132,33 @@ class BinlogSpec extends SparkSpec {
     assert(d.getAs[Long]("ts_ms") == 1767139200000L)
   }
 
+  test("binlog: primary-key UPDATE retires the old key (delete+tombstone) and creates under the new") {
+    val dec = new BinlogDecoder()
+    dec.registerTable("inventory.customers", Seq("id", "email", "score"), Seq("id"))
+    val fde = event(BinlogDecoder.FormatDescription) { b =>
+      b.putShort(4); b.put(new Array[Byte](50)); b.putInt(0); b.put(19.toByte)
+    }
+    val updPk = event(BinlogDecoder.UpdateRows) { b =>
+      rowsPreamble(b, BinlogDecoder.UpdateRows)
+      row(b, 1001, Some("s@x.com"), 1.0)
+      row(b, 2001, Some("s@x.com"), 1.0) // id — the PK — changed
+    }
+    val lines = dec.decodeAll(Seq(fde, tableMap(), updPk))
+    assert(lines.size == 3, lines.mkString("\n"))
+    assert(lines(0).contains(""""op":"d"""") && lines(0).contains(""""key":{"id":1001}"""), lines(0))
+    assert(lines(1).contains(""""value":null""") && lines(1).contains(""""key":{"id":1001}"""), lines(1))
+    assert(lines(2).contains(""""op":"c"""") && lines(2).contains(""""key":{"id":2001}"""), lines(2))
+
+    // a same-key update still emits a single 'u'
+    val upd = event(BinlogDecoder.UpdateRows) { b =>
+      rowsPreamble(b, BinlogDecoder.UpdateRows)
+      row(b, 2001, Some("s@x.com"), 1.0)
+      row(b, 2001, Some("t@x.com"), 2.0)
+    }
+    val u = dec.decode(upd)
+    assert(u.size == 1 && u.head.contains(""""op":"u""""), u.mkString("\n"))
+  }
+
   test("binlog: CRC32 checksum declared by FDE is trimmed; unregistered table throws") {
     val dec = new BinlogDecoder()
     dec.registerTable("inventory.customers", Seq("id", "email", "score"), Seq("id"))

@@ -316,6 +316,67 @@ class PgOutputSpec extends SparkSpec {
     assert(Files.list(db.resolve("wal")).count() == 1)
   }
 
+  test("pgoutput: PK update retires the old key (delete+tombstone+create); UTF-8 identifiers; non-finite floats") {
+    val dec = new PgOutputDecoder(startLsn = 0)
+    // UTF-8 table and column names — PostgreSQL sends identifiers UTF-8
+    val rel = relationMsg(60, "inventory", "bücher", 'f', Seq(
+      ("id", 23, true), ("prix", 701, false), ("título", 25, false)))
+    assert(dec.decode(rel).isEmpty)
+
+    // NaN float4/8: bare it would poison the JSON line — must be quoted
+    val ins = msg { b =>
+      b.put('I'.toByte); b.putInt(60); b.put('N'.toByte)
+      tup(b, Seq(Some("1"), Some("NaN"), Some("Gödel, Escher, Bach")))
+    }
+    val Seq(insLine) = dec.decode(ins)
+    assert(insLine.contains(""""prix":"NaN""""), insLine)
+    assert(insLine.contains("inventory.bücher"), insLine)
+
+    // same-key update: a single 'u' (Infinity also quoted)
+    val updSame = msg { b =>
+      b.put('U'.toByte); b.putInt(60)
+      b.put('O'.toByte); tup(b, Seq(Some("1"), Some("NaN"), Some("Gödel, Escher, Bach")))
+      b.put('N'.toByte); tup(b, Seq(Some("1"), Some("-Infinity"), Some("Gödel, Escher, Bach")))
+    }
+    val uLines = dec.decode(updSame)
+    assert(uLines.size == 1 && uLines.head.contains(""""op":"u""""), uLines.mkString("\n"))
+    assert(uLines.head.contains(""""prix":"-Infinity""""), uLines.head)
+
+    // PRIMARY-KEY update (old tuple on the wire, key columns differ):
+    // Debezium semantics — delete under the old key + tombstone + create
+    // under the new key, so compacted/upsert sinks drop the stale row
+    val updPk = msg { b =>
+      b.put('U'.toByte); b.putInt(60)
+      b.put('O'.toByte); tup(b, Seq(Some("1"), Some("3.5"), Some("x")))
+      b.put('N'.toByte); tup(b, Seq(Some("2"), Some("3.5"), Some("x")))
+    }
+    val pk = dec.decode(updPk)
+    assert(pk.size == 3, pk.mkString("\n"))
+    assert(pk(0).contains(""""op":"d"""") && pk(0).contains(""""key":{"id":1}"""), pk(0))
+    assert(pk(1).contains(""""value":null""") && pk(1).contains(""""key":{"id":1}"""), pk(1))
+    assert(pk(2).contains(""""op":"c"""") && pk(2).contains(""""key":{"id":2}"""), pk(2))
+
+    // every line is valid JSON the DSv2 source parses: UTF-8 names and
+    // quoted NaN/-Infinity round-trip (Spark's JSON reader maps the
+    // quoted forms back to the IEEE values for DOUBLE columns)
+    val db = Files.createTempDirectory("graft-pgutf8")
+    Files.createDirectories(db.resolve("snapshot"))
+    Files.writeString(db.resolve("snapshot/_lsn"), "0")
+    PgOutputDecoder.appendSegment(db, Seq(insLine) ++ uLines ++ pk)
+    val batch = spark.read.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", "id INT")
+      .option("rowSchema", "id INT, prix DOUBLE, `título` STRING")
+      .load()
+    val rows = batch.filter(col("value").isNotNull)
+    assert(rows.count() == 4)
+    assert(rows.filter(col("value.source.table") === "bücher").count() == 4)
+    val after = rows.filter(col("value.op") === "c" && col("key.id") === 1).head()
+      .getAs[org.apache.spark.sql.Row]("value").getAs[org.apache.spark.sql.Row]("after")
+    assert(after.getAs[Double]("prix").isNaN)
+    assert(after.getAs[String]("título") == "Gödel, Escher, Bach")
+  }
+
   test("pgoutput: null columns, toast sentinel, numeric/bool typing, unknown relation throws") {
     val dec = new PgOutputDecoder(startLsn = 0)
     // DML before its Relation message is a protocol error
