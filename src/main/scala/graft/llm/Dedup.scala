@@ -84,6 +84,39 @@ object Dedup {
     minAggs(exploded, k)
   }
 
+  /** MinHash signatures AND the hashed shingle SET in one pass over
+    * character positions — the verify-pipeline variant (LSH candidates
+    * THEN exact jaccard, e.g. llm09): where [[minhashSignatureText]]
+    * serves pure pair generation and [[minhashSignature]] serves
+    * callers that already built shingle arrays, this serves callers
+    * that need both signatures and an exact-verify set WITHOUT ever
+    * building a string array: one codegen'd position explode projects
+    * the n-gram substring once and hashes it twice (the portable
+    * signature hash + the 8-byte verify hash), and ONE groupBy carries
+    * k min()s and the collect_set together — one shuffle where the
+    * array path took an array build + array_distinct + transform + a
+    * separate signature shuffle. The persisted output is fixed-width
+    * longs per doc (signature) + one long per DISTINCT shingle (set) —
+    * strings never shuffle and never persist. Signatures are
+    * value-identical to the other two paths; jaccard over the hashed
+    * sets equals shingle-set jaccard (xxhash64 collisions aside —
+    * negligible at 2^-64 per pair, the same trade every hashed-verify
+    * stage in the pipeline makes). */
+  def minhashSignatureAndSets(df: DataFrame, idCol: Column, textCol: Column,
+                              n: Int, k: Int): DataFrame = {
+    val exploded = df.select(idCol.as("doc_id"), textCol.as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"))
+      .select(col("doc_id"), col("__t").substr(col("__i"), lit(n)).as("__s"))
+      .select(col("doc_id"), Portable.baseHash31(col("__s")).as("__h"),
+              xxhash64(col("__s")).as("__x"))
+    val aggs = (0 until k).map { i =>
+      val (a, b) = Portable.universalCoeffs(i)
+      min((col("__h") * lit(a) + lit(b)) % lit(Portable.UniversalP)).as(s"mh$i")
+    } :+ collect_set(col("__x")).as("shh")
+    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Shared signature aggregation: k universal-hash min()s over the
     * base-hash column — map-side partial agg keeps the shuffle at k
     * longs per doc. */
@@ -302,10 +335,14 @@ object Dedup {
       iter += 1
     }
     Materialize.release(edges)
-    if (!done)
+    if (!done) {
+      // the error path must not strand the last label frame — the caller
+      // never sees it, so nothing downstream could release it
+      Materialize.release(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter supersteps — a component has " +
         s"diameter > $maxIter and its labels are only partially propagated; raise maxIter")
+    }
     tracker.foreach(_.track(labels))
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
   }

@@ -133,15 +133,86 @@ object Multimodal {
     } catch { case _: Throwable => None }
   }
 
-  /** Media-type-dispatched decode — the codec seam: image/ media types go
-    * through the real [[decodeImage]] codec, anything else (and any
-    * image that fails to parse) through the deterministic
-    * [[decodeStub]], so the oracle-checked stub path and the real
-    * codec coexist behind one call. */
+  // ------------------------------------------------------------------
+  // Real audio codec (javax.sound.sampled — WAV/AIFF/AU in every JVM)
+
+  /** Output schema of [[extractAudioInfo]]: container metadata plus the
+    * sampled feature vector; sample_rate/channels/duration_us are null
+    * when the bytes did not parse as audio. */
+  val audioInfoSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", FloatType),
+    StructField("channels", IntegerType),
+    StructField("duration_us", LongType),
+    StructField("features", ArrayType(FloatType, containsNull = false))))
+
+  /** REAL audio decode for audio media types: javax.sound.sampled
+    * parses the container (WAV/AIFF/AU — in the JVM, no external dep),
+    * yielding (sampleRate, channels, duration µs, features). Features
+    * are `dim` mean-absolute-amplitude windows over the first channel,
+    * normalized to [0,1] — the cheap loudness-envelope fingerprint for
+    * dedup/similarity, deterministic across JVMs (integer PCM in,
+    * fixed-order double accumulation). PCM 8-bit (signed/unsigned) and
+    * 16-bit (either endianness) are decoded; anything else, corrupt
+    * bytes, or null yields None and callers fall back to the hash stub
+    * — a bad blob NEVER kills a 100 TB scan. */
+  private[llm] def decodeAudio(bytes: Array[Byte], dim: Int): Option[(Float, Int, Long, Array[Float])] = {
+    if (bytes == null) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val channels = fmt.getChannels
+        val data = ais.readAllBytes()
+        val bytesPerSample = bits / 8
+        val frameBytes = bytesPerSample * channels
+        val nFrames = if (frameBytes > 0) data.length / frameBytes else 0
+        if (nFrames <= 0 || (bits != 8 && bits != 16)) None
+        else {
+          val signed = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val big = fmt.isBigEndian
+          // first-channel sample → |amplitude| in [0,1]
+          def amp(frame: Int): Double = {
+            val off = frame * frameBytes
+            if (bits == 8) {
+              val v = if (signed) data(off).toInt else (data(off) & 0xff) - 128
+              math.abs(v / 128.0)
+            } else {
+              val (b0, b1) = if (big) (data(off), data(off + 1)) else (data(off + 1), data(off))
+              val v = (b0.toInt << 8) | (b1 & 0xff)
+              math.abs(v / 32768.0)
+            }
+          }
+          val feats = Array.tabulate(dim) { w =>
+            val from = (w.toLong * nFrames / dim).toInt
+            val until = (((w + 1).toLong * nFrames / dim).toInt).max(from + 1).min(nFrames)
+            var s = 0.0
+            var i = from
+            while (i < until) { s += amp(i); i += 1 }
+            (s / (until - from)).toFloat
+          }
+          val durationUs = math.round(nFrames * 1e6d / fmt.getSampleRate)
+          Some((fmt.getSampleRate, channels, durationUs, feats))
+        }
+      } finally ais.close()
+    } catch { case _: Throwable => None }
+  }
+
+  /** Media-type-dispatched decode — the codec seam: image/ media types
+    * go through the real [[decodeImage]] codec, audio/ through the real
+    * [[decodeAudio]] codec, anything else (video remains a declared
+    * stub — no video codec ships with the JVM — and any media that
+    * fails to parse) through the deterministic [[decodeStub]], so the
+    * oracle-checked stub path and the real codecs coexist behind one
+    * call. */
   private[llm] def decodeByType(bytes: Array[Byte], mediaType: String, dim: Int): Array[Float] =
     if (bytes == null) Array.empty[Float]
     else if (mediaType != null && mediaType.startsWith("image/"))
       decodeImage(bytes, dim).map(_._3).getOrElse(decodeStub(bytes, dim))
+    else if (mediaType != null && mediaType.startsWith("audio/"))
+      decodeAudio(bytes, dim).map(_._4).getOrElse(decodeStub(bytes, dim))
     else decodeStub(bytes, dim)
 
   /** Typed feature extraction dispatching on `media_meta.media_type`
@@ -152,6 +223,22 @@ object Multimodal {
     val decode = udf((bytes: Array[Byte], mt: String) => decodeByType(bytes, mt, dim))
     df.select(col(idCol).cast("long").as("doc_id"),
               decode(col("media"), col("media_meta.media_type")).as("features"))
+  }
+
+  /** Audio metadata + features in one decode pass: (doc_id,
+    * sample_rate, channels, duration_us, features); metadata null
+    * (features stub) for rows that are not decodable audio. */
+  def extractAudioInfo(df: DataFrame, idCol: String, dim: Int): DataFrame = {
+    val info = udf { (bytes: Array[Byte]) =>
+      decodeAudio(bytes, dim) match {
+        case Some((sr, ch, dur, f)) => (Some(sr), Some(ch), Some(dur), f)
+        case None => (Option.empty[Float], Option.empty[Int], Option.empty[Long],
+          if (bytes == null) Array.empty[Float] else decodeStub(bytes, dim))
+      }
+    }
+    df.select(col(idCol).cast("long").as("doc_id"), info(col("media")).as("__a"))
+      .select(col("doc_id"), col("__a._1").as("sample_rate"), col("__a._2").as("channels"),
+              col("__a._3").as("duration_us"), col("__a._4").as("features"))
   }
 
   /** Image metadata + features in one decode pass: (doc_id, width,

@@ -23,10 +23,24 @@ import scala.collection.mutable
   * DELETE_ROWS_v2 0x20; ROTATE/GTID/others are ignored bookkeeping.
   * Column types: TINY/SHORT/INT24/LONG/LONGLONG (1/2/9/3/8),
   * FLOAT/DOUBLE (4/5), VARCHAR/VAR_STRING (15/253, 1- or 2-byte
-  * length per the TABLE_MAP metadata). Checksums: the
-  * FORMAT_DESCRIPTION checksum-algorithm byte is honored — when it
-  * declares CRC32, every later event's 4-byte trailer is trimmed
-  * before parsing (contents are not re-verified).
+  * length per the TABLE_MAP metadata), and the logical-type surface
+  * the reference maps per-sink (FlussTypeConverter.java:112-237):
+  * DATE (10), YEAR (13), DATETIME2 (18), TIMESTAMP2 (17), TIME2 (19),
+  * NEWDECIMAL (246), BLOB family (252, covers TINY/MEDIUM/LONG BLOB
+  * and TEXT — the binlog collapses them all to 252 with a length-size
+  * metadata byte), JSON (245, MySQL binary-JSON format). Envelope
+  * renderings follow the reference's semantic types: DATE → epoch-days
+  * number (io.debezium.time.Date), DATETIME2 → epoch-micros number
+  * (MicroTimestamp — DATETIME is wall-clock, rendered as-if-UTC),
+  * TIMESTAMP2 → ISO-8601 UTC string (ZonedTimestamp — TIMESTAMP is a
+  * point in time), TIME2 → micros-of-day number (MicroTime),
+  * NEWDECIMAL → bare decimal text (exact; same convention as
+  * pgoutput's numeric pass-through), BLOB → base64 string (Connect
+  * bytes), JSON → the serialized JSON text as a string
+  * (io.debezium.data.Json). Checksums: the FORMAT_DESCRIPTION
+  * checksum-algorithm byte is honored — when it declares CRC32, every
+  * later event's 4-byte trailer is trimmed before parsing (contents
+  * are not re-verified).
   *
   * The binlog carries NO column names (a live connector reads them
   * from information_schema at connect time, as the reference does via
@@ -118,6 +132,10 @@ final class BinlogDecoder(startLsn: Long = 0L,
         val meta = types.map {
           case Varchar | VarString => buf.getShort.toInt & 0xffff // max length
           case Float_ | Double_ => buf.get() & 0xff // pack length
+          case NewDecimal => // precision byte then scale byte, packed
+            ((buf.get() & 0xff) << 8) | (buf.get() & 0xff)
+          case DateTime2 | Timestamp2 | Time2 => buf.get() & 0xff // fsp
+          case Blob | Json => buf.get() & 0xff // length-prefix width (1..4)
           case _ => 0
         }
         buf.position(metaEnd)
@@ -203,9 +221,54 @@ final class BinlogDecoder(startLsn: Long = 0L,
       val len = if (meta > 255) buf.getShort.toInt & 0xffff else buf.get() & 0xff
       val bytes = new Array[Byte](len); buf.get(bytes)
       jsonString(new String(bytes, StandardCharsets.UTF_8))
+    case Date =>
+      // 3 bytes LE packed: day(5) | month(4)<<5 | year<<9 → epoch days
+      val v = leUint(buf, 3).toInt
+      val (y, m, d) = (v >> 9, (v >> 5) & 0xf, v & 0x1f)
+      if (v == 0) "null" // MySQL zero-date has no epoch rendering
+      else java.time.LocalDate.of(y, m, d).toEpochDay.toString
+    case Year => (1900 + (buf.get() & 0xff)).toString
+    case DateTime2 =>
+      // 5 bytes BE packed: sign(1) ym(17) day(5) hour(5) min(6) sec(6),
+      // ym = year*13+month; fractional seconds follow per fsp
+      val p = beUint(buf, 5)
+      val micros = fracMicros(buf, meta)
+      val ym = ((p >> 22) & 0x1ffff).toInt
+      val dt = java.time.LocalDateTime.of(ym / 13, ym % 13, ((p >> 17) & 0x1f).toInt,
+        ((p >> 12) & 0x1f).toInt, ((p >> 6) & 0x3f).toInt, (p & 0x3f).toInt)
+      (dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + micros).toString
+    case Timestamp2 =>
+      // 4 bytes BE epoch seconds + fractional per fsp → ISO-8601 UTC
+      val sec = beUint(buf, 4)
+      val micros = fracMicros(buf, meta)
+      // Instant.toString always renders full seconds ("…T00:00:00Z"),
+      // unlike OffsetDateTime which drops a zero seconds field
+      jsonString(java.time.Instant.ofEpochSecond(sec, micros * 1000L).toString)
+    case Time2 =>
+      // One big-endian word over all 3+frac bytes, biased at
+      // 0x800000<<8n (so negative times are a plain subtraction, frac
+      // borrow included): top 24 bits pack hour(10) min(6) sec(6), the
+      // low 8n bits the fractional value → signed micros of day
+      val n = (meta + 1) / 2
+      val signed = beUint(buf, 3 + n) - (0x800000L << (8 * n))
+      val m = math.abs(signed)
+      val fm = if (n == 0) 0L else (m & ((1L << (8 * n)) - 1)) * Array(1L, 10000L, 100L, 1L)(n)
+      val tp = m >> (8 * n)
+      val base = (((tp >> 12) & 0x3ff) * 3600L + ((tp >> 6) & 0x3f) * 60L + (tp & 0x3f)) * 1000000L
+      (if (signed < 0) -(base + fm) else base + fm).toString
+    case NewDecimal => decodeDecimal(buf, precision = meta >> 8, scale = meta & 0xff)
+    case Blob =>
+      val len = leUint(buf, meta).toInt
+      val bytes = new Array[Byte](len); buf.get(bytes)
+      jsonString(java.util.Base64.getEncoder.encodeToString(bytes))
+    case Json =>
+      val len = leUint(buf, meta).toInt
+      val bytes = new Array[Byte](len); buf.get(bytes)
+      jsonString(decodeBinaryJson(bytes))
     case other => throw new IllegalArgumentException(
       s"binlog: unsupported column type $other (supported: TINY/SHORT/INT24/LONG/" +
-      "LONGLONG/FLOAT/DOUBLE/VARCHAR/VAR_STRING)")
+      "LONGLONG/FLOAT/DOUBLE/VARCHAR/VAR_STRING/DATE/YEAR/DATETIME2/TIMESTAMP2/" +
+      "TIME2/NEWDECIMAL/BLOB/JSON)")
   }
 
   private def tombstone(tm: TableMap, keyFrom: Seq[(String, String)]): String = {
@@ -240,6 +303,9 @@ object BinlogDecoder {
   // column type codes
   val Tiny = 1; val Short_ = 2; val Long_ = 3; val Float_ = 4; val Double_ = 5
   val LongLong = 8; val Int24 = 9; val Varchar = 15; val VarString = 253
+  val Date = 10; val Year = 13
+  val Timestamp2 = 17; val DateTime2 = 18; val Time2 = 19
+  val Json = 245; val NewDecimal = 246; val Blob = 252 // 252 covers all BLOB/TEXT widths
 
   final case class TableMap(schema: String, table: String,
                             types: Array[Int], meta: Array[Int],
@@ -263,6 +329,127 @@ object BinlogDecoder {
     val len = buf.get() & 0xff
     val b = new Array[Byte](len); buf.get(b)
     new String(b, StandardCharsets.UTF_8)
+  }
+
+  /** n-byte little-endian unsigned (BLOB/JSON length prefixes, DATE). */
+  private def leUint(buf: ByteBuffer, n: Int): Long =
+    (0 until n).foldLeft(0L)((acc, i) => acc | ((buf.get() & 0xffL) << (8 * i)))
+
+  /** n-byte BIG-endian unsigned — the temporal2/decimal types are the
+    * one corner of the binlog stored big-endian (memcmp-able keys). */
+  private def beUint(buf: ByteBuffer, n: Int): Long =
+    (0 until n).foldLeft(0L)((acc, _) => (acc << 8) | (buf.get() & 0xffL))
+
+  /** Fractional-seconds tail of DATETIME2/TIMESTAMP2/TIME2: ceil(fsp/2)
+    * bytes big-endian holding 2 digits per byte → microseconds. */
+  private def fracMicros(buf: ByteBuffer, fsp: Int): Long = {
+    val n = (fsp + 1) / 2
+    if (n == 0) 0L else beUint(buf, n) * Array(1L, 10000L, 100L, 1L)(n)
+  }
+
+  /** Digits-to-bytes map for MySQL packed decimal (9 digits = 4 bytes,
+    * partial groups use the minimal width). */
+  private val Dig2Bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4)
+
+  /** MySQL NEWDECIMAL wire format → exact decimal text. Digits pack in
+    * base-10^9 groups of 4 bytes big-endian, a leading/trailing partial
+    * group in 1–4 bytes; the first byte's MSB is the sign (set =
+    * positive) and NEGATIVE values store the one's complement of every
+    * byte. */
+  private[cdc] def decodeDecimal(buf: ByteBuffer, precision: Int, scale: Int): String = {
+    val intg = precision - scale
+    val intg0 = intg / 9; val intgx = intg % 9
+    val frac0 = scale / 9; val fracx = scale % 9
+    val n = intg0 * 4 + Dig2Bytes(intgx) + frac0 * 4 + Dig2Bytes(fracx)
+    val b = new Array[Byte](n); buf.get(b)
+    val positive = (b(0) & 0x80) != 0
+    b(0) = (b(0) ^ 0x80).toByte
+    if (!positive) (0 until n).foreach(i => b(i) = (~b(i)).toByte)
+    var pos = 0
+    def group(nBytes: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < nBytes) { v = (v << 8) | (b(pos) & 0xffL); pos += 1; i += 1 }
+      v
+    }
+    val ints = new StringBuilder
+    if (intgx > 0) ints.append(group(Dig2Bytes(intgx)).toString)
+    (0 until intg0).foreach { _ =>
+      val g = group(4)
+      if (ints.isEmpty) ints.append(g.toString) else ints.append(f"$g%09d")
+    }
+    val intPart = ints.toString.dropWhile(_ == '0') match {
+      case "" => "0"
+      case s => s
+    }
+    val fracs = new StringBuilder
+    (0 until frac0).foreach(_ => fracs.append(f"${group(4)}%09d"))
+    if (fracx > 0) fracs.append(("%0" + fracx + "d").format(group(Dig2Bytes(fracx))))
+    val sign = if (positive) "" else "-"
+    if (scale == 0) s"$sign$intPart" else s"$sign$intPart.$fracs"
+  }
+
+  /** MySQL binary-JSON (what the binlog carries for JSON columns) →
+    * serialized JSON text. Covers every scalar type and the SMALL
+    * object/array containers; large containers (whole document ≥64 KiB)
+    * are rejected loudly — typical CDC rows stay far below, and a
+    * silent wrong decode would be worse than a fail-fast. */
+  private[cdc] def decodeBinaryJson(bytes: Array[Byte]): String = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    jsonBinValue(buf.get() & 0xff, buf, bytes)
+  }
+
+  private def jsonBinValue(t: Int, buf: ByteBuffer, all: Array[Byte]): String = t match {
+    case 0x00 | 0x02 => // small object / small array
+      val isObj = t == 0x00
+      val start = buf.position() // container offsets are relative to here
+      val count = buf.getShort & 0xffff
+      buf.getShort // total container size — length prefix already framed us
+      val keys = if (isObj)
+        (0 until count).map(_ => (buf.getShort & 0xffff, buf.getShort & 0xffff))
+      else Seq.empty
+      val vals = (0 until count).map(_ => (buf.get() & 0xff, buf.getShort & 0xffff))
+      val keyStrs = keys.map { case (off, len) =>
+        new String(all, start + off, len, StandardCharsets.UTF_8)
+      }
+      val valStrs = vals.map { case (vt, ov) =>
+        vt match {
+          // small containers inline literals and 16-bit ints in the
+          // 2-byte offset slot
+          case 0x04 => ov match { case 1 => "true"; case 2 => "false"; case _ => "null" }
+          case 0x05 => ov.toShort.toString
+          case 0x06 => ov.toString
+          case _ =>
+            val vb = ByteBuffer.wrap(all).order(ByteOrder.LITTLE_ENDIAN)
+            vb.position(start + ov)
+            jsonBinValue(vt, vb, all)
+        }
+      }
+      if (isObj)
+        keyStrs.zip(valStrs).map { case (k, v) => s"${jsonString(k)}:$v" }
+          .mkString("{", ",", "}")
+      else valStrs.mkString("[", ",", "]")
+    case 0x01 | 0x03 => throw new IllegalArgumentException(
+      "binlog JSON: large container (document ≥64 KiB) not supported")
+    case 0x04 => (buf.get() & 0xff) match {
+      case 1 => "true"; case 2 => "false"; case _ => "null"
+    }
+    case 0x05 => buf.getShort.toString
+    case 0x06 => (buf.getShort & 0xffff).toString
+    case 0x07 => buf.getInt.toString
+    case 0x08 => (buf.getInt & 0xffffffffL).toString
+    case 0x09 => buf.getLong.toString
+    case 0x0a => java.lang.Long.toUnsignedString(buf.getLong)
+    case 0x0b => buf.getDouble.toString
+    case 0x0c => // utf8 string: varint length (7 bits/byte) then bytes
+      var len = 0; var shift = 0; var b = 0x80
+      while ((b & 0x80) != 0) {
+        b = buf.get() & 0xff; len |= (b & 0x7f) << shift; shift += 7
+      }
+      val s = new Array[Byte](len); buf.get(s)
+      jsonString(new String(s, StandardCharsets.UTF_8))
+    case other => throw new IllegalArgumentException(
+      f"binlog JSON: unsupported value type 0x$other%02x")
   }
 
   /** Little-endian bitmap over n slots → per-slot booleans. */

@@ -12,8 +12,9 @@ import java.nio.file.Paths
   *
   *  - `…PostgresConnector` → [[PgOutputDecoder]] over a replication
   *    feed (`debezium.source.protocol.dir` — a [[FileReplicationFeed]]
-  *    of captured pgoutput messages; a live deployment substitutes the
-  *    `START_REPLICATION` socket feed);
+  *    of captured pgoutput messages — or
+  *    `debezium.source.protocol.socket` = `host:port` — a live
+  *    [[SocketReplicationFeed]] session);
   *  - `…MySqlConnector` → [[BinlogDecoder]] over the same feed shape,
   *    with column names registered from
   *    `debezium.source.binlog.columns.<schema>.<table> = c1,c2,…` and
@@ -38,12 +39,25 @@ object CaptureFactory {
     val dbDir = Paths.get(props.getOrElse("debezium.source.path",
       throw new IllegalArgumentException("debezium.source.path is required")))
     val prefix = props.getOrElse("debezium.source.topic.prefix", "testc")
-    def feed = {
-      val dir = props.getOrElse("debezium.source.protocol.dir",
-        throw new IllegalArgumentException(
-          s"$connectorClass needs debezium.source.protocol.dir (captured protocol messages)"))
-      new FileReplicationFeed(Paths.get(dir),
-        offsetFile = Some(dbDir.resolve("_feed_offset")))
+    // live socket session (`host:port`) wins over a captured-message
+    // directory; exactly one of the two must be configured
+    def feed: ReplicationFeed = props.get("debezium.source.protocol.socket") match {
+      case Some(hostPort) =>
+        val (host, port) = hostPort.split(":", 2) match {
+          case Array(h, p) if p.forall(_.isDigit) && p.nonEmpty => (h, p.toInt)
+          case _ => throw new IllegalArgumentException(
+            s"debezium.source.protocol.socket must be host:port, got '$hostPort'")
+        }
+        new SocketReplicationFeed(host, port,
+          startCommand = props.getOrElse("debezium.source.protocol.start.command",
+            "START_REPLICATION"))
+      case None =>
+        val dir = props.getOrElse("debezium.source.protocol.dir",
+          throw new IllegalArgumentException(
+            s"$connectorClass needs debezium.source.protocol.dir (captured protocol " +
+            "messages) or debezium.source.protocol.socket (live session host:port)"))
+        new FileReplicationFeed(Paths.get(dir),
+          offsetFile = Some(dbDir.resolve("_feed_offset")))
     }
     if (connectorClass.endsWith("PostgresConnector")) {
       val dec = new PgOutputDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
@@ -59,7 +73,14 @@ object CaptureFactory {
         "(the binlog wire format carries no column names)")
       tables.foreach { qual =>
         val cols = props(colPrefix + qual).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val keys = props.getOrElse(s"debezium.source.binlog.keys.$qual", cols.head)
+        // keys are REQUIRED alongside columns: silently defaulting to the
+        // first column would mis-key every envelope/tombstone whenever it
+        // is not the primary key, and downstream upsert sinks would merge
+        // unrelated rows with no warning
+        val keys = props.getOrElse(s"debezium.source.binlog.keys.$qual",
+            throw new IllegalArgumentException(
+              s"debezium.source.binlog.keys.$qual is required (the key columns of " +
+              s"$qual — mis-keyed envelopes corrupt compacted/upsert sinks silently)"))
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         dec.registerTable(qual, cols, keys)
       }

@@ -36,6 +36,18 @@ private[graft] object JsonRows {
       case FloatType     => n.asDouble().toFloat
       case BooleanType   => n.asBoolean()
       case BinaryType    => n.binaryValue()
+      case d: DecimalType =>
+        // exact decimal text (NEWDECIMAL / numeric envelopes) → Decimal
+        Decimal(new java.math.BigDecimal(n.asText()), d.precision, d.scale)
+      case DateType => // epoch-days number, or an ISO date string
+        if (n.isNumber) n.asInt()
+        else java.time.LocalDate.parse(n.asText()).toEpochDay.toInt
+      case TimestampType => // epoch-micros number, or an ISO-8601 instant
+        if (n.isNumber) n.asLong()
+        else {
+          val i = java.time.Instant.parse(n.asText())
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
       case s: StructType => toInternalRow(n, s)
       case ArrayType(et, _) =>
         val it = n.elements()

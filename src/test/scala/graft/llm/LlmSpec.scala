@@ -484,6 +484,48 @@ class LlmSpec extends SparkSpec {
     assert(typedFeats("text/plain") != feats.toList)
   }
 
+  test("multimodal: real WAV decodes via javax.sound.sampled into rate/channels/duration/envelope features") {
+    import javax.sound.sampled._
+    // 1 s of 16-bit mono PCM at 8 kHz: first half silence, second half
+    // a full-scale square wave — envelope features are exactly 0 / ~1
+    val n = 8000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- n / 2 until n) {
+      val v = if (i % 2 == 0) 32767 else -32767
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val df = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val out = Multimodal.extractAudioInfo(df, "doc_id", dim = 4).orderBy("doc_id").collect()
+    val a = out(0)
+    assert(a.getAs[Float]("sample_rate") == 8000f)
+    assert(a.getAs[Int]("channels") == 1)
+    assert(a.getAs[Long]("duration_us") == 1000000L)
+    val feats = a.getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.length == 4)
+    assert(feats(0) == 0f && feats(1) == 0f, feats)
+    assert(feats(2) > 0.99f && feats(3) > 0.99f, feats)
+
+    // non-audio bytes: metadata null, stub features (pipeline never fails)
+    val nb = out(1)
+    assert(nb.isNullAt(nb.fieldIndex("sample_rate")) && nb.isNullAt(nb.fieldIndex("duration_us")))
+    assert(nb.getAs[scala.collection.Seq[Float]]("features").length == 4)
+
+    // the typed dispatch seam: audio/* routes through the codec — same
+    // features as the direct decode; other types hit the stub
+    def typedFeats(mediaType: String): List[Float] = Multimodal.extractFeaturesTyped(
+      Multimodal.asMedia(Seq((1L, "x")).toDF("doc_id", "c"), "c", mediaType)
+        .withColumn("media", org.apache.spark.sql.functions.lit(wav)),
+      "doc_id", dim = 4).head().getAs[scala.collection.Seq[Float]]("features").toList
+    assert(typedFeats("audio/wav") == feats.toList)
+    assert(typedFeats("application/octet-stream") != feats.toList)
+  }
+
   test("passages: full chunks only, short docs yield none, within-doc repeats are not corpus dups") {
     val docs = Seq(
       (1L, "a b c d e f g h tail dropped"),        // 10 toks → one 8-chunk, tail dropped

@@ -62,6 +62,41 @@ class MaterializeSpec extends SparkSpec {
       "tracker release must leave zero persistent RDDs from the call")
   }
 
+  test("connectedComponents at depth: O(1) frames on a deep chain; convergence-throw past maxIter leaks nothing") {
+    val before = persistedIds
+    // one path component of diameter 18 — the worst propagation shape
+    // (min-label travels ONE hop per superstep), near the default cap
+    val chain = (1L until 19L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    @volatile var peak = 0
+    @volatile var stop = false
+    val sampler = new Thread(() => {
+      while (!stop) {
+        peak = math.max(peak, (persistedIds -- before).size)
+        Thread.sleep(1)
+      }
+    })
+    sampler.setDaemon(true); sampler.start()
+    val tracker = new Materialize.Tracker
+    val cc = try Dedup.connectedComponents(chain, maxIter = 25, tracker = Some(tracker))
+    finally { stop = true; sampler.join(1000) }
+    // the materialization-release discipline holds at depth: never more
+    // than edges + two label frames alive, no matter how many supersteps
+    assert(peak <= 3, s"peak persistent frames during deep-chain CC was $peak")
+    val rows = cc.collect()
+    assert(rows.length == 19 && rows.map(_.getLong(1)).distinct.toSeq == Seq(1L))
+    tracker.releaseAll()
+    assert((persistedIds -- before).isEmpty)
+
+    // past maxIter the fixpoint guard throws (silent partial labels
+    // would split clusters downstream) — and strands no frame
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 5)
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+    assert((persistedIds -- before).isEmpty,
+      "the convergence-throw path must release every frame it pinned")
+  }
+
   test("eagerOrCheckpoint respects an already-set JVM-global checkpoint dir") {
     val sc = spark.sparkContext
     val first = java.nio.file.Files.createTempDirectory("graft-ckpt-a").toString

@@ -159,6 +159,162 @@ class BinlogSpec extends SparkSpec {
     assert(u.size == 1 && u.head.contains(""""op":"u""""), u.mkString("\n"))
   }
 
+  test("binlog: logical types NEWDECIMAL/DATE/YEAR/DATETIME2/TIMESTAMP2/TIME2/BLOB/JSON decode end-to-end") {
+    import BinlogDecoder._
+    val dec = new BinlogDecoder(startLsn = 0)
+    dec.registerTable("inventory.typed",
+      Seq("id", "price", "born", "y", "created", "updated", "dur", "payload", "doc"), Seq("id"))
+
+    // TABLE_MAP with per-type metadata: decimal(10,3), datetime2(3),
+    // timestamp2(6), time2(2), blob len-width 2, json len-width 4
+    val TypedId = 0x71L
+    val tmap = event(TableMapEvent) { b =>
+      uint48(b, TypedId); b.putShort(0)
+      lpStr(b, "inventory"); lpStr(b, "typed")
+      b.put(9.toByte)
+      b.put(Long_.toByte); b.put(NewDecimal.toByte); b.put(Date.toByte)
+      b.put(Year.toByte); b.put(DateTime2.toByte); b.put(Timestamp2.toByte)
+      b.put(Time2.toByte); b.put(Blob.toByte); b.put(Json.toByte)
+      b.put(7.toByte) // metadata bytes: decimal 2 + dt2 1 + ts2 1 + time2 1 + blob 1 + json 1
+      b.put(10.toByte); b.put(3.toByte) // NEWDECIMAL precision, scale
+      b.put(3.toByte)  // DATETIME2 fsp
+      b.put(6.toByte)  // TIMESTAMP2 fsp
+      b.put(2.toByte)  // TIME2 fsp
+      b.put(2.toByte)  // BLOB length-prefix width
+      b.put(4.toByte)  // JSON length-prefix width
+      bm(b, 9, _ => true)
+    }
+
+    // packed decimal magnitude writer: decimal(10,3) → 4-byte int group
+    // (7 digits) + 2-byte frac group (3 digits), invert for negative,
+    // then flip the first byte's sign bit (MySQL decimal2bin order)
+    def dec103(b: ByteBuffer, intPart: Int, fracPart: Int, neg: Boolean): Unit = {
+      val bytes = ByteBuffer.allocate(6)
+      bytes.putInt(intPart); bytes.putShort(fracPart.toShort)
+      val arr = bytes.array()
+      if (neg) (0 until 6).foreach(i => arr(i) = (~arr(i)).toByte)
+      arr(0) = (arr(0) ^ 0x80).toByte
+      b.put(arr)
+    }
+    def beN(b: ByteBuffer, v: Long, n: Int): Unit =
+      ((n - 1) to 0 by -1).foreach(i => b.put(((v >> (8 * i)) & 0xff).toByte))
+
+    // {"a":1,"b":"x","c":[true,null]} in MySQL binary-JSON small-object
+    // format (offsets relative to the byte after the type tag)
+    val binJson: Array[Byte] = {
+      val b = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0x00.toByte)            // small object
+      b.putShort(3); b.putShort(40) // count, total size
+      b.putShort(25); b.putShort(1) // key "a"
+      b.putShort(26); b.putShort(1) // key "b"
+      b.putShort(27); b.putShort(1) // key "c"
+      b.put(0x05.toByte); b.putShort(1)  // a → inlined int16 1
+      b.put(0x0c.toByte); b.putShort(28) // b → string at 28
+      b.put(0x02.toByte); b.putShort(30) // c → small array at 30
+      b.put('a'.toByte); b.put('b'.toByte); b.put('c'.toByte)
+      b.put(1.toByte); b.put('x'.toByte) // string: varint len 1, "x"
+      b.putShort(2); b.putShort(10)      // array: count, size
+      b.put(0x04.toByte); b.putShort(1)  // inlined literal true
+      b.put(0x04.toByte); b.putShort(0)  // inlined literal null
+      val out = new Array[Byte](b.position()); b.flip(); b.get(out); out
+    }
+
+    val born = java.time.LocalDate.of(2026, 8, 13)
+    val created = java.time.LocalDateTime.of(2026, 3, 15, 12, 34, 56)
+    val ins = event(WriteRows) { b =>
+      uint48(b, TypedId); b.putShort(0)
+      b.putShort(2)
+      b.put(9.toByte)
+      bm(b, 9, _ => true) // all columns present
+      // row 1: the happy path
+      bm(b, 9, _ => false) // no nulls
+      b.putInt(7)                                    // id
+      dec103(b, 1234, 567, neg = false)              // price 1234.567
+      // DATE: 3 bytes LE, day | month<<5 | year<<9
+      val dv = born.getDayOfMonth | (born.getMonthValue << 5) | (born.getYear << 9)
+      b.put((dv & 0xff).toByte); b.put(((dv >> 8) & 0xff).toByte); b.put(((dv >> 16) & 0xff).toByte)
+      b.put(126.toByte)                              // YEAR 2026
+      // DATETIME2(3): 5-byte BE biased pack + 2-byte frac (2n digits)
+      val ym = created.getYear * 13 + created.getMonthValue
+      val packed = (1L << 39) | (ym.toLong << 22) | (created.getDayOfMonth.toLong << 17) |
+        (created.getHour.toLong << 12) | (created.getMinute.toLong << 6) | created.getSecond
+      beN(b, packed, 5); beN(b, 7890, 2)             // .789 s → 7890 (4 digits)
+      // TIMESTAMP2(6): 4-byte BE epoch sec + 3-byte frac (micros)
+      beN(b, 1767139200L, 4); beN(b, 123456, 3)
+      // TIME2(2): biased word over 4 bytes, -10.5 s
+      beN(b, (0x800000L << 8) - ((10L << 8) | 50L), 4)
+      // BLOB: 2-byte LE length + bytes
+      b.putShort(4); b.put(Array[Byte](0xDE.toByte, 0xAD.toByte, 0xBE.toByte, 0xEF.toByte))
+      // JSON: 4-byte LE length + binary-json doc
+      b.putInt(binJson.length); b.put(binJson)
+      // row 2: negative decimal, zero-frac timestamp, scalar JSON
+      bm(b, 9, i => i == 7) // payload NULL
+      b.putInt(8)
+      dec103(b, 0, 12, neg = true)                   // -0.012
+      val dv2 = 1 | (1 << 5) | (2000 << 9)
+      b.put((dv2 & 0xff).toByte); b.put(((dv2 >> 8) & 0xff).toByte); b.put(((dv2 >> 16) & 0xff).toByte)
+      b.put(0.toByte)                                // YEAR 1900
+      val packed2 = (1L << 39) | ((1999 * 13 + 12).toLong << 22) | (31L << 17) |
+        (23L << 12) | (59L << 6) | 59L
+      beN(b, packed2, 5); beN(b, 9990, 2)            // .999 s
+      beN(b, 1L, 4); beN(b, 0, 3)                    // 1970-01-01T00:00:01Z
+      beN(b, (0x800000L << 8) + ((((838L << 12) | (59L << 6) | 58L) << 8) | 0L), 4) // 838:59:58
+      // payload is NULL — nothing on the wire
+      val scalar = Array[Byte](0x0c, 5, 'h', 'e', 'l', 'l', 'o')
+      b.putInt(scalar.length); b.put(scalar)
+    }
+
+    val lines = dec.decodeAll(Seq(tmap, ins))
+    assert(lines.size == 2, lines.mkString("\n"))
+    val l1 = lines.head
+    assert(l1.contains(""""price":1234.567"""), l1)
+    assert(l1.contains(s""""born":${born.toEpochDay}"""), l1)
+    assert(l1.contains(""""y":2026"""), l1)
+    val expectMicros = created.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + 789000L
+    assert(l1.contains(s""""created":$expectMicros"""), l1)
+    assert(l1.contains(""""updated":"2025-12-31T00:00:00.123456Z""""), l1)
+    assert(l1.contains(""""dur":-10500000"""), l1)
+    assert(l1.contains(""""payload":"3q2+7w=="""), l1)
+    assert(l1.contains(""""doc":"{\"a\":1,\"b\":\"x\",\"c\":[true,null]}""""), l1)
+    val l2 = lines(1)
+    assert(l2.contains(""""price":-0.012"""), l2)
+    assert(l2.contains(""""born":10957"""), l2) // 2000-01-01
+    assert(l2.contains(""""y":1900"""), l2)
+    val expectMicros2 = java.time.LocalDateTime.of(1999, 12, 31, 23, 59, 59)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + 999000L
+    assert(l2.contains(s""""created":$expectMicros2"""), l2)
+    assert(l2.contains(""""updated":"1970-01-01T00:00:01Z""""), l2)
+    assert(l2.contains(s""""dur":${(838L * 3600 + 59 * 60 + 58) * 1000000L}"""), l2)
+    assert(l2.contains(""""payload":null"""), l2)
+    assert(l2.contains(""""doc":"\"hello\""""), l2)
+
+    // the lines are valid JSON the DSv2 source parses with typed schema
+    val db = Files.createTempDirectory("graft-binlog-typed")
+    Files.createDirectories(db.resolve("snapshot"))
+    Files.writeString(db.resolve("snapshot/_lsn"), "0")
+    PgOutputDecoder.appendSegment(db, lines)
+    val batch = spark.read.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", "id INT")
+      .option("rowSchema", "id INT, price DECIMAL(10,3), born DATE, y INT, " +
+        "created BIGINT, updated TIMESTAMP, dur BIGINT, payload STRING, doc STRING")
+      .load()
+    val r7 = batch.filter(col("key.id") === 7).head()
+      .getAs[org.apache.spark.sql.Row]("value").getAs[org.apache.spark.sql.Row]("after")
+    assert(r7.getAs[java.math.BigDecimal]("price") ==
+      new java.math.BigDecimal("1234.567"))
+    assert(r7.getAs[java.sql.Date]("born").toLocalDate == born)
+    assert(r7.getAs[java.sql.Timestamp]("updated").toInstant ==
+      java.time.Instant.ofEpochSecond(1767139200L, 123456000L))
+    assert(r7.getAs[Long]("created") == expectMicros)
+    assert(r7.getAs[String]("doc") == """{"a":1,"b":"x","c":[true,null]}""")
+    val r8 = batch.filter(col("key.id") === 8).head()
+      .getAs[org.apache.spark.sql.Row]("value").getAs[org.apache.spark.sql.Row]("after")
+    assert(r8.getAs[java.math.BigDecimal]("price") ==
+      new java.math.BigDecimal("-0.012"))
+    assert(r8.isNullAt(r8.fieldIndex("payload")))
+  }
+
   test("binlog: CRC32 checksum declared by FDE is trimmed; unregistered table throws") {
     val dec = new BinlogDecoder()
     dec.registerTable("inventory.customers", Seq("id", "email", "score"), Seq("id"))

@@ -43,6 +43,96 @@ class CaptureFactorySpec extends AnyFunSuite {
         "debezium.source.connector.class" -> "io.debezium.connector.mysql.MySqlConnector",
         "debezium.source.protocol.dir" -> feedDir))
     }
+    // keys are required too: a silent first-column default would mis-key
+    // envelopes whenever column order ≠ primary key
+    val e = intercept[IllegalArgumentException] {
+      CaptureFactory.fromProperties(base(
+        "debezium.source.connector.class" -> "io.debezium.connector.mysql.MySqlConnector",
+        "debezium.source.protocol.dir" -> feedDir,
+        "debezium.source.binlog.columns.inventory.customers" -> "email, id, score"))
+    }
+    assert(e.getMessage.contains("binlog.keys.inventory.customers"), e.getMessage)
+  }
+
+  // pgoutput wire builders (big-endian, per the protocol docs)
+  private def pgMsg(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(1024)
+    f(b)
+    val out = new Array[Byte](b.position()); b.flip(); b.get(out); out
+  }
+  private def cstr(b: java.nio.ByteBuffer, s: String): Unit = {
+    b.put(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); b.put(0.toByte)
+  }
+  private def ins(oid: Int, vals: String*): Array[Byte] = pgMsg { b =>
+    b.put('I'.toByte); b.putInt(oid); b.put('N'.toByte)
+    b.putShort(vals.size.toShort)
+    vals.foreach { v =>
+      b.put('t'.toByte)
+      val by = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      b.putInt(by.length); b.put(by)
+    }
+  }
+
+  test("protocol.socket streams pgoutput over a live localhost session into the cdc layout") {
+    val srv = new StubReplicationServer
+    try {
+      val rel = pgMsg { b =>
+        b.put('R'.toByte); b.putInt(55); cstr(b, "inventory"); cstr(b, "customers")
+        b.put('d'.toByte); b.putShort(2)
+        b.put(1.toByte); cstr(b, "id"); b.putInt(23); b.putInt(-1)
+        b.put(0.toByte); cstr(b, "email"); b.putInt(25); b.putInt(-1)
+      }
+      srv.enqueue(rel, ins(55, "1", "a@x.com"), ins(55, "2", "b@x.com"))
+
+      val dbDir = Files.createTempDirectory("graft-sockcap")
+      val c = CaptureFactory.fromProperties(Map(
+        "debezium.source.path" -> dbDir.toString,
+        "debezium.source.topic.prefix" -> "testc",
+        "debezium.source.connector.class" -> "io.debezium.connector.postgresql.PostgresConnector",
+        "debezium.source.protocol.socket" -> s"localhost:${srv.port}",
+        "debezium.source.protocol.start.command" ->
+          "START_REPLICATION SLOT graft LOGICAL 0/0"))
+      val ProtocolCapture(tailer) = c: @unchecked
+
+      def walLines(): Seq[String] = {
+        val wal = dbDir.resolve("wal")
+        if (!Files.exists(wal)) Nil
+        else graft.Fs.children(wal).filter(p => !p.getFileName.toString.startsWith("."))
+          .sortBy(_.getFileName.toString)
+          .flatMap(p => Files.readAllLines(p).toArray(Array.empty[String]).toSeq)
+      }
+      // messages travel an actual TCP session — drain until both rows land
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (walLines().size < 2 && System.nanoTime() < deadline) {
+        tailer.drainOnce(); Thread.sleep(20)
+      }
+      val lines = walLines()
+      assert(lines.size == 2, lines.mkString("\n"))
+      assert(lines.head.contains(""""destination":"testc.inventory.customers""""))
+      assert(lines.head.contains(""""email":"a@x.com""""))
+      assert(srv.lastStartCommand.get == "START_REPLICATION SLOT graft LOGICAL 0/0")
+      // the commit acked all three protocol messages (R + 2×I) server-side
+      val ackDeadline = System.nanoTime() + 10e9.toLong
+      while (srv.lastAck.get < 3 && System.nanoTime() < ackDeadline) Thread.sleep(10)
+      assert(srv.lastAck.get == 3)
+
+      // a LATE message on the same session is picked up by later drains
+      srv.enqueue(ins(55, "3", "c@x.com"))
+      val deadline2 = System.nanoTime() + 30e9.toLong
+      while (walLines().size < 3 && System.nanoTime() < deadline2) {
+        tailer.drainOnce(); Thread.sleep(20)
+      }
+      assert(walLines().size == 3)
+      tailer.close() // closes the socket feed
+    } finally srv.close()
+  }
+
+  test("protocol.socket rejects malformed host:port") {
+    intercept[IllegalArgumentException] {
+      CaptureFactory.fromProperties(base(
+        "debezium.source.connector.class" -> "io.debezium.connector.postgresql.PostgresConnector",
+        "debezium.source.protocol.socket" -> "nonsense"))
+    }
   }
 
   test("anything else falls back to the JDBC polling tailer") {
