@@ -25,8 +25,17 @@ import scala.collection.mutable
   * sink) is unchanged.
   *
   * Supported messages: Begin 'B', Commit 'C', Origin 'O', Relation
-  * 'R', Type 'Y', Insert 'I', Update 'U', Delete 'D', Truncate 'T'.
-  * Tuple columns arrive in text form ('t'); 'n' is SQL NULL; 'u'
+  * 'R', Type 'Y', Insert 'I', Update 'U', Delete 'D', Truncate 'T',
+  * and the protocol-v2 streaming set — Stream Start 'S', Stream Stop
+  * 'E', Stream Commit 'c', Stream Abort 'A' (large in-progress
+  * transactions stream before commit; DML inside a stream block
+  * carries a transaction-id prefix and is BUFFERED per xid, emitted
+  * in order at Stream Commit with the commit timestamp, and dropped
+  * at Stream Abort — subtransaction aborts drop only that subxid's
+  * buffered changes, which the per-message xid identifies).
+  * Tuple columns arrive in text form ('t') or binary form ('b' — the
+  * slot's `binary 'true'` option; both render to the SAME envelope
+  * JSON, see [[PgOutputDecoder.binaryJsonOf]]); 'n' is SQL NULL; 'u'
   * (unchanged TOAST value, excluded from the old/new image) renders
   * as the sentinel string `__graft_unavailable_value` — the same
   * convention the reference uses for unavailable TOAST columns.
@@ -61,6 +70,12 @@ final class PgOutputDecoder(startLsn: Long = 0L,
   private val relations = mutable.Map.empty[Int, Relation]
   private var lsn = startLsn
   private var commitTsMs = 0L
+  // protocol-v2 streaming state: inside an 'S'…'E' block, DML buffers
+  // under the block's TOPLEVEL xid tagged with each message's own
+  // (sub)xid; Stream Commit replays in order, Stream Abort discards
+  private var inStream = false
+  private var streamTopXid = 0
+  private val streamBuf = mutable.Map.empty[Int, mutable.ArrayBuffer[(Int, Array[Byte])]]
 
   /** LSN of the most recently emitted change (== startLsn before any). */
   def currentLsn: Long = lsn
@@ -81,6 +96,25 @@ final class PgOutputDecoder(startLsn: Long = 0L,
     }
 
   private def decodeUnsafe(msg: Array[Byte]): Seq[String] = {
+    val t = msg(0).toChar
+    if (inStream && "RYIUDT".indexOf(t) >= 0) {
+      // v2: inside a stream block every message carries its (sub)xid
+      // right after the type byte — strip it and either apply control
+      // messages now (the relation registry is session-global) or
+      // buffer DML raw for replay at Stream Commit
+      val xid = ByteBuffer.wrap(msg, 1, 4).getInt
+      val raw = new Array[Byte](msg.length - 4)
+      raw(0) = msg(0); System.arraycopy(msg, 5, raw, 1, msg.length - 5)
+      t match {
+        case 'R' | 'Y' | 'T' => decodeBody(raw)
+        case _ =>
+          streamBuf.getOrElseUpdate(streamTopXid, mutable.ArrayBuffer.empty) += ((xid, raw))
+          Nil
+      }
+    } else decodeBody(msg)
+  }
+
+  private def decodeBody(msg: Array[Byte]): Seq[String] = {
     val buf = ByteBuffer.wrap(msg) // pgoutput is big-endian, ByteBuffer's default
     buf.get().toChar match {
       case 'B' => // final LSN (8), commit ts (8, micros since 2000), xid (4)
@@ -91,6 +125,26 @@ final class PgOutputDecoder(startLsn: Long = 0L,
       case 'O' => Nil // replication origin — single-origin capture ignores it
       case 'Y' => Nil // type metadata — the JSON envelope carries text values
       case 'T' => Nil // truncate — no row-level envelopes (reference parity: off by default)
+      case 'S' => // stream start: toplevel xid (4), first-segment flag (1)
+        streamTopXid = buf.getInt
+        inStream = true
+        streamBuf.getOrElseUpdate(streamTopXid, mutable.ArrayBuffer.empty)
+        Nil
+      case 'E' => // stream stop: end of this block (more blocks may follow)
+        inStream = false
+        Nil
+      case 'c' => // stream commit: xid, flags, commit LSN, end LSN, commit ts
+        val xid = buf.getInt
+        buf.get(); buf.getLong; buf.getLong
+        commitTsMs = pgMicrosToEpochMs(buf.getLong)
+        streamBuf.remove(xid).fold(Seq.empty[String])(
+          _.flatMap { case (_, raw) => decodeBody(raw) }.toSeq)
+      case 'A' => // stream abort: toplevel xid, aborted (sub)xid
+        val xid = buf.getInt
+        val sub = buf.getInt
+        if (sub == xid) streamBuf.remove(xid)
+        else streamBuf.get(xid).foreach(_.filterInPlace(_._1 != sub))
+        Nil
       case 'R' =>
         val oid = buf.getInt
         val namespace = cstring(buf)
@@ -167,6 +221,10 @@ final class PgOutputDecoder(startLsn: Long = 0L,
           val bytes = new Array[Byte](buf.getInt)
           buf.get(bytes)
           Some(col.name -> jsonOf(new String(bytes, StandardCharsets.UTF_8), col.typeOid))
+        case 'b' => // binary-format value (slot option `binary 'true'`)
+          val bytes = new Array[Byte](buf.getInt)
+          buf.get(bytes)
+          Some(col.name -> binaryJsonOf(bytes, col.typeOid))
         case other =>
           throw new IllegalArgumentException(s"unknown tuple column tag '$other'")
       }
@@ -241,6 +299,82 @@ object PgOutputDecoder {
 
   private def jsonObj(fields: Seq[(String, String)]): String =
     fields.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
+  /** Binary-format value (network byte order, PostgreSQL `send`
+    * functions) → the SAME JSON literal the text path produces, so a
+    * binary-option slot and a text slot yield identical envelopes.
+    * Unsupported OIDs fail loudly — a silently mis-decoded binary
+    * value is worse than a fail-fast (matches [[BinlogDecoder]]'s
+    * unsupported-type policy). */
+  private[cdc] def binaryJsonOf(b: Array[Byte], typeOid: Int): String = {
+    val buf = ByteBuffer.wrap(b)
+    typeOid match {
+      case 16 => if (b(0) != 0) "true" else "false"
+      case 21 => buf.getShort.toString
+      case 23 => buf.getInt.toString
+      case 26 => (buf.getInt & 0xffffffffL).toString
+      case 20 => buf.getLong.toString
+      case 700 => jsonOf(floatText(java.lang.Float.intBitsToFloat(buf.getInt).toDouble), 700)
+      case 701 => jsonOf(floatText(java.lang.Double.longBitsToDouble(buf.getLong)), 701)
+      case 1700 => jsonOf(numericText(buf), 1700)
+      case 25 | 1043 | 18 | 19 => jsonOf(new String(b, StandardCharsets.UTF_8), typeOid)
+      case 17 => // bytea: text form is hex with \x prefix
+        jsonOf("\\x" + b.map(x => f"${x & 0xff}%02x").mkString, 17)
+      case 1082 => // date: int32 days since 2000-01-01
+        jsonOf(java.time.LocalDate.of(2000, 1, 1).plusDays(buf.getInt.toLong).toString, 1082)
+      case 1114 | 1184 => // timestamp[tz]: int64 micros since 2000-01-01 (UTC)
+        val micros = buf.getLong
+        val ldt = java.time.LocalDateTime.of(2000, 1, 1, 0, 0)
+          .plus(micros, java.time.temporal.ChronoUnit.MICROS)
+        val fr = java.lang.Math.floorMod(micros, 1000000L)
+        val frac =
+          if (fr == 0) "" else ("." + f"$fr%06d").reverse.dropWhile(_ == '0').reverse
+        val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+          f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d$frac"
+        jsonOf(if (typeOid == 1184) base + "+00" else base, typeOid)
+      case 2950 => // uuid: 16 bytes
+        jsonOf(new java.util.UUID(buf.getLong, buf.getLong).toString, 2950)
+      case other => throw new IllegalArgumentException(
+        s"pgoutput: unsupported binary-format type OID $other — use a text-mode slot " +
+        "for this column type or extend binaryJsonOf")
+    }
+  }
+
+  /** Double → PostgreSQL-style text: integral values render without an
+    * exponent or trailing `.0` (PG prints `1`, Java prints `1.0`);
+    * non-finite values keep PG's spellings. */
+  private def floatText(d: Double): String =
+    if (d.isNaN) "NaN"
+    else if (d.isPosInfinity) "Infinity"
+    else if (d.isNegInfinity) "-Infinity"
+    else if (d == math.rint(d) && math.abs(d) < 1e15) {
+      val l = d.toLong
+      l.toString
+    } else d.toString
+
+  /** PostgreSQL numeric binary format → exact decimal text: ndigits /
+    * weight / sign / dscale header, then base-10000 digits. */
+  private def numericText(buf: ByteBuffer): String = {
+    val nd = buf.getShort.toInt
+    val weight = buf.getShort.toInt
+    val sign = buf.getShort & 0xffff
+    val dscale = buf.getShort.toInt
+    sign match {
+      case 0xC000 => "NaN"
+      case 0xD000 => "Infinity"
+      case 0xF000 => "-Infinity"
+      case s =>
+        var v = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < nd) {
+          v = v.add(new java.math.BigDecimal(buf.getShort.toInt)
+            .scaleByPowerOfTen(4 * (weight - i)))
+          i += 1
+        }
+        if (s == 0x4000) v = v.negate()
+        v.setScale(dscale).toPlainString
+    }
+  }
 
   /** Append decoded envelope lines as the next immutable WAL segment of
     * `db` — the same atomic tmp+move protocol the tailer uses, so the

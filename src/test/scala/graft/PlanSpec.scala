@@ -80,6 +80,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("llm09: signatures and the verify set come from one position-explode — no string arrays") {
+    // the one-pass shape (minhashSignatureAndSets): no array_distinct /
+    // transform building shingle-string arrays anywhere, and the verify
+    // sets are 8-byte hashes (collect_set over xxhash64), so nothing
+    // heavier than longs shuffles or persists
+    val analyzed = Queries.byName("llm09_jaccard_verify")(spark, sfSmoke)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("array_distinct") && !analyzed.contains("transform("),
+      "llm09 builds shingle-string arrays — use minhashSignatureAndSets")
+    assert(analyzed.contains("xxhash64") && analyzed.contains("collect_set"),
+      "llm09's verify set must be collect_set over 8-byte hashes")
+  }
+
   test("llm16: decontamination runs the position-explode path and keys joins on 8-byte hashes") {
     val analyzed = Queries.byName("llm16_decontamination")(spark, sfSmoke)
       .queryExecution.analyzed.toString

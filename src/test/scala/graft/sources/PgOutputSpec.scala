@@ -377,6 +377,132 @@ class PgOutputSpec extends SparkSpec {
     assert(after.getAs[String]("título") == "Gödel, Escher, Bach")
   }
 
+  test("pgoutput: binary-format tuples render the same envelope JSON as text mode") {
+    val dec = new PgOutputDecoder(startLsn = 0)
+    val rel = relationMsg(70, "s", "typed", 'd', Seq(
+      ("id", 23, true), ("big", 20, false), ("ok", 16, false), ("score", 701, false),
+      ("price", 1700, false), ("note", 25, false), ("raw", 17, false),
+      ("ts", 1114, false), ("tsz", 1184, false), ("d", 1082, false), ("u", 2950, false)))
+    assert(dec.decode(rel).isEmpty)
+
+    def bval(b: ByteBuffer)(f: ByteBuffer => Unit): Unit = {
+      val v = ByteBuffer.allocate(64); f(v)
+      b.put('b'.toByte); b.putInt(v.position())
+      v.flip(); b.put(v)
+    }
+    val ins = msg { b =>
+      b.put('I'.toByte); b.putInt(70); b.put('N'.toByte)
+      b.putShort(11)
+      bval(b)(_.putInt(7))                     // id int4
+      bval(b)(_.putLong(1234567890123L))       // big int8
+      bval(b)(_.put(1.toByte))                 // ok bool
+      bval(b)(_.putLong(java.lang.Double.doubleToLongBits(Double.NaN))) // score float8
+      // numeric 12345.678: base-10000 digits [1, 2345, 6780], weight 1, dscale 3
+      bval(b) { v => v.putShort(3); v.putShort(1); v.putShort(0); v.putShort(3)
+        v.putShort(1); v.putShort(2345); v.putShort(6780) }
+      bval(b)(_.put("héllo".getBytes(StandardCharsets.UTF_8))) // note text
+      bval(b)(_.put(Array[Byte](0xDE.toByte, 0xAD.toByte)))    // raw bytea
+      bval(b)(_.putLong(820454400123456L))     // ts: micros since 2000 → 2025-12-31
+      bval(b)(_.putLong(820454400500000L))     // tsz
+      bval(b)(_.putInt(9721))                  // date: 2000-01-01 + 9721 d = 2026-08-13
+      bval(b) { v => v.putLong(0x0123456789abcdefL); v.putLong(0x0fedcba987654321L) }
+    }
+    val Seq(line) = dec.decode(ins)
+    assert(line.contains(""""id":7"""), line)
+    assert(line.contains(""""big":1234567890123"""), line)
+    assert(line.contains(""""ok":true"""), line)
+    assert(line.contains(""""score":"NaN""""), line) // non-finite stays quoted
+    assert(line.contains(""""price":12345.678"""), line)
+    assert(line.contains(""""note":"héllo""""), line)
+    assert(line.contains(""""raw":"\\xdead""""), line)
+    assert(line.contains(""""ts":"2025-12-31 00:00:00.123456""""), line)
+    assert(line.contains(""""tsz":"2025-12-31 00:00:00.5+00""""), line)
+    assert(line.contains(""""d":"2026-08-13""""), line)
+    assert(line.contains(""""u":"01234567-89ab-cdef-0fed-cba987654321""""), line)
+
+    // negative numeric with leading zero integer part: -0.0420
+    val negNum = msg { b =>
+      b.put('I'.toByte); b.putInt(70); b.put('N'.toByte)
+      b.putShort(11)
+      bval(b)(_.putInt(8))
+      (0 until 3).foreach(_ => b.put('n'.toByte)) // big, ok, score
+      // digits [420] at weight -1 (first group is 1e-4 scale), sign neg, dscale 4
+      bval(b) { v => v.putShort(1); v.putShort(-1); v.putShort(0x4000); v.putShort(4)
+        v.putShort(420) }
+      (0 until 6).foreach(_ => b.put('n'.toByte))
+    }
+    val Seq(line2) = dec.decode(negNum)
+    assert(line2.contains(""""price":-0.0420"""), line2)
+
+    // unsupported binary OID fails loudly, not silently wrong
+    val relBad = relationMsg(71, "s", "bad", 'd', Seq(("id", 23, true), ("poly", 604, false)))
+    dec.decode(relBad)
+    val insBad = msg { b =>
+      b.put('I'.toByte); b.putInt(71); b.put('N'.toByte)
+      b.putShort(2); bval(b)(_.putInt(1)); bval(b)(_.putInt(0))
+    }
+    val e = intercept[IllegalArgumentException] { dec.decode(insBad) }
+    assert(e.getMessage.contains("OID 604"), e.getMessage)
+  }
+
+  test("pgoutput v2: streamed transactions buffer per xid; abort drops a subtransaction; commit emits in order") {
+    val dec = new PgOutputDecoder(startLsn = 0)
+    val rel = relationMsg(55, "inventory", "customers", 'd', Seq(
+      ("id", 23, true), ("email", 25, false)))
+    assert(dec.decode(rel).isEmpty)
+
+    def streamStart(xid: Int, first: Boolean) = msg { b =>
+      b.put('S'.toByte); b.putInt(xid); b.put((if (first) 1 else 0).toByte)
+    }
+    val streamStop = msg(b => b.put('E'.toByte))
+    // DML inside a stream block: xid prefix right after the type byte
+    def insX(xid: Int, id: String, email: String) = msg { b =>
+      b.put('I'.toByte); b.putInt(xid); b.putInt(55); b.put('N'.toByte)
+      tup(b, Seq(Some(id), Some(email)))
+    }
+    val abortSub = msg { b => b.put('A'.toByte); b.putInt(99); b.putInt(100) }
+    val streamCommit = msg { b =>
+      b.put('c'.toByte); b.putInt(99); b.put(0.toByte)
+      b.putLong(10L); b.putLong(11L); b.putLong(820454400000000L)
+    }
+
+    // block 1: toplevel change + subxact 100 change; subxact aborts;
+    // block 2: another toplevel change; then stream commit
+    assert(dec.decode(streamStart(99, first = true)).isEmpty)
+    assert(dec.decode(insX(99, "1", "a@x.com")).isEmpty) // buffered, not emitted
+    assert(dec.decode(insX(100, "2", "sub@x.com")).isEmpty)
+    assert(dec.decode(streamStop).isEmpty)
+    assert(dec.decode(abortSub).isEmpty)
+    assert(dec.decode(streamStart(99, first = false)).isEmpty)
+    assert(dec.decode(insX(99, "3", "c@x.com")).isEmpty)
+    assert(dec.decode(streamStop).isEmpty)
+    val lines = dec.decode(streamCommit)
+    // the aborted subtransaction's row is GONE; order preserved; the
+    // commit timestamp stamps every replayed envelope
+    assert(lines.size == 2, lines.mkString("\n"))
+    assert(lines(0).contains(""""key":{"id":1}""") && lines(1).contains(""""key":{"id":3}"""))
+    assert(lines.forall(_.contains(s""""ts_ms":${820454400000L + 946684800000L}""")))
+    assert(dec.currentLsn == 2)
+
+    // a NON-streamed transaction decodes unchanged after streaming
+    val plain = msg { b =>
+      b.put('I'.toByte); b.putInt(55); b.put('N'.toByte)
+      tup(b, Seq(Some("9"), Some("plain@x.com")))
+    }
+    assert(dec.decode(plain).size == 1)
+
+    // toplevel abort drops everything buffered under the xid
+    assert(dec.decode(streamStart(77, first = true)).isEmpty)
+    assert(dec.decode(insX(77, "4", "gone@x.com")).isEmpty)
+    assert(dec.decode(streamStop).isEmpty)
+    assert(dec.decode(msg { b => b.put('A'.toByte); b.putInt(77); b.putInt(77) }).isEmpty)
+    val commit77 = msg { b =>
+      b.put('c'.toByte); b.putInt(77); b.put(0.toByte)
+      b.putLong(20L); b.putLong(21L); b.putLong(0L)
+    }
+    assert(dec.decode(commit77).isEmpty)
+  }
+
   test("pgoutput: null columns, toast sentinel, numeric/bool typing, unknown relation throws") {
     val dec = new PgOutputDecoder(startLsn = 0)
     // DML before its Relation message is a protocol error
