@@ -34,15 +34,36 @@ object Bench {
     * run and emitted per query, it lets any reader normalize timings
     * across sessions and localize a mid-session throttling window. */
   private val CanaryIters = 20_000_000
-  private def canaryMs(): Double = {
+  private def spin(): Long = {
     var x = 0x9E3779B97F4A7C15L
-    val t0 = System.nanoTime()
     var i = 0
     while (i < CanaryIters) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       i += 1
     }
-    canarySink = x
+    x
+  }
+  private def canaryMs(): Double = {
+    val t0 = System.nanoTime()
+    canarySink = spin()
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** Parallel canary: the SAME fixed work on `threads` concurrent
+    * threads, wall-clock for all to finish. The single-threaded canary
+    * has a blind spot this closes: a guest that still runs ONE thread
+    * at full speed but has most of its vCPUs stolen shows a flat
+    * canary while every shuffle/scan stage crawls (observed in-suite:
+    * llm19 59 s with a 32 ms canary vs 1.4 s isolated minutes later).
+    * On a healthy host par ≈ single (threads are independent); under
+    * multi-core steal par inflates in proportion to the starvation. */
+  private def canaryParMs(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      val t = new Thread(() => { canarySink = spin() })
+      t.start(); t
+    }
+    ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e6
   }
 
@@ -76,24 +97,28 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val catalog = only.fold(Queries.all)(ps => Queries.all.filter(q => ps.exists(q.name.startsWith)))
 
-    // JIT-warm the canary loop so the first measured value reflects host
-    // speed, not compilation tiers
-    (1 to 5).foreach(_ => canaryMs())
+    // JIT-warm the canary loops so the first measured values reflect
+    // host speed, not compilation tiers
+    val nThreads = cpus.toInt.max(1)
+    (1 to 5).foreach { _ => canaryMs(); canaryParMs(nThreads) }
 
-    /** One timed pass over a query: canary before every run (host-speed
-      * sample), then the query through the noop sink. Returns
-      * (median seconds, median canary ms). */
-    def timeQuery(q: Q): (Double, Double) = {
+    final case class Sample(sec: Double, canary: Double, canaryPar: Double)
+
+    /** One timed pass over a query: single- and all-core canaries
+      * before every run (host-speed samples), then the query through
+      * the noop sink. Returns medians. */
+    def timeQuery(q: Q): Sample = {
       // fixture construction and cache cleanup run OUTSIDE the timer —
       // BENCH measures query work only
       q.prepare.foreach(p => try p(spark, sfDir)
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name} prepare failed: ${e.getMessage}") })
       val samples = (1 to runs).map { _ =>
         val c = canaryMs()
+        val cp = canaryParMs(nThreads)
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
-        ((System.nanoTime() - t0) / 1e9, c)
+        Sample((System.nanoTime() - t0) / 1e9, c, cp)
       }
       q.cleanup.foreach(c => try c(spark) catch { case _: Throwable => () })
       // Session hygiene BETWEEN queries, outside the timer: drop any
@@ -104,33 +129,38 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(r => try r.unpersist(blocking = false) catch { case _: Throwable => () })
       try spark.catalog.clearCache() catch { case _: Throwable => () }
-      (median(samples.map(_._1)), median(samples.map(_._2)))
+      Sample(median(samples.map(_.sec)), median(samples.map(_.canary)),
+             median(samples.map(_.canaryPar)))
     }
 
     val firstPass = catalog.map(q => q.name -> timeQuery(q)).toMap
-    // Throttle detection: the canary is fixed work, so its FASTEST
-    // observation this session approximates the unthrottled host; any
-    // query whose accompanying canary ran >2.5× slower was measured
-    // inside a throttling window and its timing is not a statement
-    // about the engine. Those queries get ONE re-run after a cooldown
+    // Throttle detection: both canaries are fixed work, so their
+    // FASTEST observations this session approximate the unthrottled
+    // host; a query whose single-thread canary ran >2.5× slower was
+    // measured under CPU throttling, and one whose ALL-CORE canary ran
+    // >2.5× slower was measured under multi-core steal (invisible to
+    // the single-thread probe). Either way its timing is a statement
+    // about the host, not the engine — re-run ONCE after a cooldown
     // (absorbs short windows; a 20-minute window stays flagged).
-    val sessionBaseline = firstPass.values.map(_._2).min
+    val base1 = firstPass.values.map(_.canary).min
+    val baseP = firstPass.values.map(_.canaryPar).min
     val suspectRatio = 2.5
-    val suspects = catalog.filter(q => firstPass(q.name)._2 > suspectRatio * sessionBaseline)
+    def suspect(s: Sample) =
+      s.canary > suspectRatio * base1 || s.canaryPar > suspectRatio * baseP
+    val suspects = catalog.filter(q => suspect(firstPass(q.name)))
     if (suspects.nonEmpty) {
       System.err.println(s"[bench] throttle-suspect queries (canary > ${suspectRatio}× baseline " +
-        f"$sessionBaseline%.1f ms): ${suspects.map(_.name).mkString(",")} — re-running after cooldown")
+        f"$base1%.1f/$baseP%.1f ms): ${suspects.map(_.name).mkString(",")} — re-running after cooldown")
       Thread.sleep(3000)
     }
     val reruns = suspects.map(q => q.name -> timeQuery(q)).toMap
-    // final per-query value: the measurement taken on the faster host
-    // state (lower canary wins — same engine, cleaner measurement)
+    // final per-query value: the measurement taken on the cleaner host
+    // state (lower all-core canary wins — same engine, same work)
     val results = catalog.map { q =>
       val first = firstPass(q.name)
-      q.name -> reruns.get(q.name).filter(_._2 < first._2).getOrElse(first)
+      q.name -> reruns.get(q.name).filter(_.canaryPar < first.canaryPar).getOrElse(first)
     }
-    val finalBaseline = results.map(_._2._2).min
-    val throttled = results.exists(_._2._2 > suspectRatio * finalBaseline)
+    val throttled = results.exists { case (_, s) => suspect(s) }
 
     // end-of-session invariant: every query + cleanup pass leaves zero
     // persistent RDDs behind (round-9 verdict task: prove the session
@@ -140,12 +170,16 @@ object Bench {
       (if (leftover == 0) " (clean session)" else " — LEAK, inspect query cleanup hooks"))
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, (s, _)) => k -> s })
-    val canaries = jmap(results.map { case (k, (_, c)) => k -> c })
-    val rerunned = jmap(suspects.map(q => q.name -> firstPass(q.name)._1))
-    val total = results.map(_._2._1).sum
+    val qs = jmap(results.map { case (k, s) => k -> s.sec })
+    val canaries = jmap(results.map { case (k, s) => k -> s.canary })
+    val canariesPar = jmap(results.map { case (k, s) => k -> s.canaryPar })
+    val rerunned = jmap(suspects.map(q => q.name -> firstPass(q.name).sec))
+    val total = results.map(_._2.sec).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""canary_ms":$canaries,"canary_baseline_ms":$finalBaseline,""" +
+      s""""canary_ms":$canaries,"canary_par_ms":$canariesPar,""" +
+      s""""canary_baseline_ms":${results.map(_._2.canary).min},""" +
+      s""""canary_par_baseline_ms":${results.map(_._2.canaryPar).min},""" +
+      s""""canary_threads":$nThreads,""" +
       s""""throttled":$throttled,"rerun_initial":$rerunned,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -12,7 +12,7 @@ object QueriesLlm {
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
-                        llm27, llm28)
+                        llm27, llm28, llm29)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1149,4 +1149,51 @@ object QueriesLlm {
     Some(s"""WITH $duckMinhashPairCtes
             |SELECT id_a, id_b FROM pairs
             |ORDER BY id_a, id_b""".stripMargin))
+
+  /** SemDeDup-style semantic dedup (Similarity.semDedup): the corpus
+    * is embeddings plus a first-component-perturbed copy (the llm08
+    * construction — every vector has exactly one semantic duplicate),
+    * clustered by the deterministic IVF coarse quantizer; within each
+    * cluster, vectors with a ≥0.99-cosine smaller-id cellmate drop
+    * (keep-min, like llm01/llm17). Nearly every planted duplicate
+    * shares its base's cell and drops; the few whose perturbation
+    * crosses a cell boundary survive — the cluster-scoped recall
+    * trade the paper accepts by design (sf0.01: 507 survivors of
+    * 1000, 7 of them perturbed). Integer-quantized cosine keeps both
+    * the cell argmax and the threshold verdicts bit-identical to
+    * DuckDB. */
+  private def llm29 = Q("llm29_semantic_dedup",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x)).as("embedding"))
+      val corpus = emb.unionByName(perturbed)
+      Similarity.semDedup(corpus, "vec_id", "embedding",
+          nCentroids = 16, simThreshold = 0.99)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+            |pert AS (SELECT vec_id + 100000 AS vec_id,
+            |           list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
+            |             z -> CASE WHEN z[2] = 1 THEN CAST(CAST(z[1] AS REAL) + CAST(0.01 AS REAL) AS REAL)
+            |                       ELSE z[1] END) AS embedding
+            |         FROM base),
+            |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+            |cent AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM corpus
+            |         ORDER BY vec_id LIMIT 16),
+            |ad AS (SELECT c.vec_id, c.embedding, cent_id,
+            |         -${duckQCos("c.embedding", "cent_vec")} AS d
+            |       FROM corpus c CROSS JOIN cent),
+            |assigned AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+            |  SELECT vec_id, embedding, cent_id,
+            |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+            |  FROM ad) t WHERE rn = 1),
+            |dropped AS (SELECT DISTINCT b.vec_id
+            |            FROM assigned a JOIN assigned b
+            |              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            |            WHERE ${duckQCos("a.embedding", "b.embedding")} >= 0.99)
+            |SELECT vec_id, cell FROM assigned
+            |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+            |ORDER BY vec_id""".stripMargin))
 }

@@ -187,6 +187,42 @@ object Similarity {
     topKPerQuery(scored, qidCol, idCol, k)
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embeddings with the deterministic
+    * IVF coarse quantizer (the `nCentroids` lowest-id vectors — same
+    * quantizer as [[ivfTopK]]), compare pairs WITHIN each cluster
+    * only, and DROP every vector that has a cellmate above the cosine
+    * threshold with a smaller id (keep-min — the same deterministic
+    * convention as exact dedup and connectedComponents). Returns the
+    * survivors as (id, cell).
+    *
+    * Scale shape: centroids broadcast (assignment is a map-side
+    * argmax), then ONE shuffle on the cell key for the within-cell
+    * self-join. Within-cell pair work is Θ(Σ|cell|²) — that is the
+    * algorithm (the paper's k-means k ∝ √N keeps clusters bounded);
+    * size `nCentroids` accordingly, and the integer-quantized exact
+    * cosine keeps verdicts bit-identical across engines. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int, simThreshold: Double): DataFrame = {
+    val centroids = emb.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    val assigned = emb.join(broadcast(centroids))
+      .withColumn("__d", negate(cosineExact(col(vecCol), col("cent_vec"))))
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+           min(struct(col("__d"), col("cent_id"))).getField("cent_id").as("cell"))
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // a vector drops iff SOME smaller-id cellmate clears the threshold
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineExact(col("va"), col("vb")) >= lit(simThreshold))
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
   /** Bucketed ANN: join corpus and queries on the LSH bucket, then
     * cosine within buckets, top-k per query. Probes only matching
     * buckets — the candidate set shrinks ~2^-planes. */

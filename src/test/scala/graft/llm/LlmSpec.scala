@@ -526,6 +526,30 @@ class LlmSpec extends SparkSpec {
     assert(typedFeats("application/octet-stream") != feats.toList)
   }
 
+  test("semDedup: within-cell duplicates drop keep-min; distinct vectors and cross-cell lookalikes survive") {
+    // two well-separated directions in 4-d; the 2 lowest ids become
+    // the centroids (one per direction), ids 3/4 near-duplicate them
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.01f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1.0f, 0.01f)),
+      (3L, Array(1.0f, 0.011f, 0f, 0f)),  // dup of 1 → cell(1), drops
+      (4L, Array(0f, 0f, 0.999f, 0.01f))) // dup of 2 → cell(2), drops
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+        nCentroids = 2, simThreshold = 0.99)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L), out.mkString(","))
+    // each survivor sits in its own cell (keep-min per duplicate family)
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+
+    // threshold no pair can clear (only bit-identical quantized vectors
+    // reach cosine 1.0) → nothing drops
+    val none = Similarity.semDedup(vecs, "vec_id", "embedding",
+        nCentroids = 2, simThreshold = 1.0)
+      .orderBy("vec_id").collect()
+    assert(none.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("passages: full chunks only, short docs yield none, within-doc repeats are not corpus dups") {
     val docs = Seq(
       (1L, "a b c d e f g h tail dropped"),        // 10 toks → one 8-chunk, tail dropped
