@@ -205,19 +205,33 @@ object Similarity {
     * cosine keeps verdicts bit-identical across engines. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int, simThreshold: Double): DataFrame = {
-    val centroids = emb.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
-    val assigned = emb.join(broadcast(centroids))
-      .withColumn("__d", negate(cosineExact(col(vecCol), col("cent_vec"))))
+    // self-norms are computed ONCE per vector and carried as a column:
+    // cosine(a,b) = dot/(|a|·|b|), and the within-cell pair join would
+    // otherwise re-aggregate both 64-element norm sums PER PAIR —
+    // measured 3.4× slower at sf0.1 (higher-order-function lambdas are
+    // interpreted; the per-pair work must be ONE array pass, not three).
+    // sqrt(na)·sqrt(nb) is the exact double expression the oracle's
+    // per-pair form computes, so precomputing sqrt(na) changes nothing.
+    val withNorm = emb.withColumn("__nrm",
+      sqrt(dotExact(col(vecCol), col(vecCol)).cast("double")))
+    val centroids = withNorm.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
+              col("__nrm").as("__cnrm"))
+    val assigned = withNorm.join(broadcast(centroids))
+      .withColumn("__d", negate(dotExact(col(vecCol), col("cent_vec")).cast("double") /
+        (col("__nrm") * col("__cnrm"))))
       .groupBy(col(idCol))
-      .agg(first(col(vecCol)).as(vecCol),
+      .agg(first(col(vecCol)).as(vecCol), first(col("__nrm")).as("__nrm"),
            min(struct(col("__d"), col("cent_id"))).getField("cent_id").as("cell"))
-    val a = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"),
+                            col(vecCol).as("va"), col("__nrm").as("__na"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"),
+                            col(vecCol).as("vb"), col("__nrm").as("__nb"))
     // a vector drops iff SOME smaller-id cellmate clears the threshold
     val dropped = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .filter(cosineExact(col("va"), col("vb")) >= lit(simThreshold))
+      .filter(dotExact(col("va"), col("vb")).cast("double") /
+        (col("__na") * col("__nb")) >= lit(simThreshold))
       .select(col("id_b").as(idCol)).distinct()
     assigned.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cell"))

@@ -93,6 +93,19 @@ class PlanSpec extends SparkSpec {
       "llm09's verify set must be collect_set over 8-byte hashes")
   }
 
+  test("llm29: semantic dedup broadcasts the centroids — no cartesian, no centroid shuffle") {
+    val df = Queries.byName("llm29_semantic_dedup")(spark, sfSmoke)
+    df.collect() // force planning through AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroid assignment must broadcast the tiny centroid side:\n$plan")
+    // the within-cell pair join is an EQUI join on the cell key — the
+    // only non-broadcast join in the plan
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      s"within-cell pairs must join on the cell key:\n$plan")
+  }
+
   test("llm16: decontamination runs the position-explode path and keys joins on 8-byte hashes") {
     val analyzed = Queries.byName("llm16_decontamination")(spark, sfSmoke)
       .queryExecution.analyzed.toString
