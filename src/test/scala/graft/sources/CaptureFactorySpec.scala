@@ -127,6 +127,41 @@ class CaptureFactorySpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("socket feed: reconnect resumes from the server-side acked position, un-acked re-delivers") {
+    import graft.sources.cdc.SocketReplicationFeed
+    val srv = new StubReplicationServer
+    try {
+      srv.enqueue(Array[Byte](1), Array[Byte](2))
+      val feed = new SocketReplicationFeed("localhost", srv.port, "START")
+      def pollUntil(n: Int): Seq[Array[Byte]] = {
+        val deadline = System.nanoTime() + 30e9.toLong
+        var got: Seq[Array[Byte]] = Nil
+        while (got.size < n && System.nanoTime() < deadline) {
+          got = feed.poll(); Thread.sleep(10)
+        }
+        got
+      }
+      // at-least-once WITHIN a session: an un-committed poll re-delivers
+      assert(pollUntil(2).map(_.head).toSeq == Seq(1.toByte, 2.toByte))
+      assert(feed.poll().map(_.head).toSeq == Seq(1.toByte, 2.toByte))
+      feed.commit()
+      assert(feed.ackedCount == 2)
+      // session dies (here: clean close); the position survives SERVER-side
+      // — the replication-slot model — so a fresh session resumes past
+      // everything acked and serves only what arrives next
+      feed.close()
+      srv.enqueue(Array[Byte](3))
+      assert(pollUntil(1).map(_.head).toSeq == Seq(3.toByte))
+      assert(srv.sessionsServed.get == 2)
+      assert(srv.lastStartCommand.get == "START")
+      feed.commit()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (srv.lastAck.get < 3 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(srv.lastAck.get == 3)
+      feed.close()
+    } finally srv.close()
+  }
+
   test("protocol.socket rejects malformed host:port") {
     intercept[IllegalArgumentException] {
       CaptureFactory.fromProperties(base(
