@@ -200,10 +200,94 @@ object Multimodal {
     } catch { case _: Throwable => None }
   }
 
+  // ------------------------------------------------------------------
+  // Real video CONTAINER parsing (ISO-BMFF / MP4 box structure — the
+  // public ISO 14496-12 layout; frame DECODE stays stubbed: no video
+  // codec ships with the JVM)
+
+  /** Output schema of [[extractVideoInfo]]: container metadata plus
+    * the (stub) feature vector; metadata null when the bytes are not
+    * an ISO-BMFF container. */
+  val videoInfoSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("duration_ms", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("features", ArrayType(FloatType, containsNull = false))))
+
+  /** REAL ISO-BMFF (MP4/MOV) container metadata: walks the box tree —
+    * `[size(4) type(4) payload]`, big-endian, size includes the
+    * header — to `moov/mvhd` (timescale + duration → milliseconds)
+    * and `moov/trak/tkhd` (track width/height, 16.16 fixed point).
+    * Box walking is the real production step before any frame work
+    * (demux targeting, corrupt-file triage, duration-based sampling
+    * plans); frame decode itself remains behind [[decodeStub]].
+    * Corrupt or non-BMFF bytes yield None — never an exception. */
+  private[llm] def parseMp4Meta(bytes: Array[Byte]): Option[(Long, Int, Int)] = {
+    if (bytes == null || bytes.length < 16) return None
+    try {
+      val buf = java.nio.ByteBuffer.wrap(bytes) // ISO-BMFF is big-endian
+      def boxes(from: Int, until: Int): Seq[(String, Int, Int)] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+        var p = from
+        while (p + 8 <= until) {
+          val size = buf.getInt(p)
+          val name = new String(bytes, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          if (size < 8 || p + size > until) return out.toSeq // corrupt tail: stop
+          out += ((name, p + 8, p + size))
+          p += size
+        }
+        out.toSeq
+      }
+      val top = boxes(0, bytes.length)
+      if (!top.exists(_._1 == "ftyp")) return None // not an ISO-BMFF file
+      val moov = top.find(_._1 == "moov").getOrElse(return None)
+      val inMoov = boxes(moov._2, moov._3)
+      val durationMs = inMoov.find(_._1 == "mvhd").flatMap { case (_, s, _) =>
+        val version = buf.get(s) & 0xff
+        // v0: ts(4)+mod(4)+timescale(4)+duration(4); v1: 8-byte times
+        val (timescale, duration) =
+          if (version == 1) (buf.getInt(s + 20).toLong, buf.getLong(s + 24))
+          else (buf.getInt(s + 12).toLong, buf.getInt(s + 16).toLong & 0xffffffffL)
+        if (timescale <= 0) None else Some(duration * 1000L / timescale)
+      }
+      val dims = inMoov.filter(_._1 == "trak").flatMap { case (_, s, e) =>
+        boxes(s, e).find(_._1 == "tkhd").map { case (_, ts, _) =>
+          val version = buf.get(ts) & 0xff
+          // v0: vf(4)+creation(4)+modification(4)+track_ID(4)+reserved(4)+duration(4)
+          // v1: vf(4)+creation(8)+modification(8)+track_ID(4)+reserved(4)+duration(8)
+          val base = if (version == 1) ts + 36 else ts + 24
+          // …then reserved(8) + layer(2) + alt(2) + volume(2) + pad(2) + matrix(36)
+          val wOff = base + 8 + 2 + 2 + 2 + 2 + 36
+          (buf.getInt(wOff) >>> 16, buf.getInt(wOff + 4) >>> 16) // 16.16 fixed
+        }
+      }.find { case (w, h) => w > 0 && h > 0 }
+      durationMs.map(d => (d, dims.map(_._1).getOrElse(0), dims.map(_._2).getOrElse(0)))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Video container metadata + (stub) features in one pass: (doc_id,
+    * duration_ms, width, height, features); metadata null for rows
+    * that are not ISO-BMFF containers. */
+  def extractVideoInfo(df: DataFrame, idCol: String, dim: Int): DataFrame = {
+    val info = udf { (bytes: Array[Byte]) =>
+      val feats = if (bytes == null) Array.empty[Float] else decodeStub(bytes, dim)
+      parseMp4Meta(bytes) match {
+        case Some((d, w, h)) =>
+          (Some(d), if (w > 0) Some(w) else None, if (h > 0) Some(h) else None, feats)
+        case None => (Option.empty[Long], Option.empty[Int], Option.empty[Int], feats)
+      }
+    }
+    df.select(col(idCol).cast("long").as("doc_id"), info(col("media")).as("__v"))
+      .select(col("doc_id"), col("__v._1").as("duration_ms"), col("__v._2").as("width"),
+              col("__v._3").as("height"), col("__v._4").as("features"))
+  }
+
   /** Media-type-dispatched decode — the codec seam: image/ media types
     * go through the real [[decodeImage]] codec, audio/ through the real
-    * [[decodeAudio]] codec, anything else (video remains a declared
-    * stub — no video codec ships with the JVM — and any media that
+    * [[decodeAudio]] codec, anything else (video FRAME decode remains a
+    * declared stub — no video codec ships with the JVM; container
+    * metadata is real via [[parseMp4Meta]] — and any media that
     * fails to parse) through the deterministic [[decodeStub]], so the
     * oracle-checked stub path and the real codecs coexist behind one
     * call. */

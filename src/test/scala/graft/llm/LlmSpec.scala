@@ -526,6 +526,48 @@ class LlmSpec extends SparkSpec {
     assert(typedFeats("application/octet-stream") != feats.toList)
   }
 
+  test("multimodal: ISO-BMFF container metadata parses (duration, track dims); non-BMFF yields nulls") {
+    // minimal MP4 built box-by-box per the ISO 14496-12 layout
+    def box(name: String)(payload: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val p = java.nio.ByteBuffer.allocate(256); payload(p)
+      val out = java.nio.ByteBuffer.allocate(8 + p.position())
+      out.putInt(8 + p.position()); out.put(name.getBytes("US-ASCII"))
+      p.flip(); out.put(p)
+      out.array()
+    }
+    val ftyp = box("ftyp")(p => p.put("isom".getBytes("US-ASCII")))
+    val mvhd = box("mvhd") { p =>
+      p.putInt(0)              // version 0 + flags
+      p.putInt(0); p.putInt(0) // creation, modification
+      p.putInt(1000)           // timescale: 1000 units/s
+      p.putInt(5000)           // duration: 5000 units → 5000 ms
+    }
+    val tkhd = box("tkhd") { p =>
+      p.putInt(0)                                         // version + flags
+      p.putInt(0); p.putInt(0); p.putInt(1); p.putInt(0)  // times, track_ID, reserved
+      p.putInt(0)                                         // duration
+      p.put(new Array[Byte](8 + 2 + 2 + 2 + 2 + 36))      // reserved…matrix
+      p.putInt(640 << 16); p.putInt(360 << 16)            // 16.16 fixed dims
+    }
+    val moov = box("moov") { p => p.put(mvhd); p.put(box("trak")(q => q.put(tkhd))) }
+    val mp4 = ftyp ++ moov
+
+    assert(Multimodal.parseMp4Meta(mp4).contains((5000L, 640, 360)))
+    assert(Multimodal.parseMp4Meta("not a video".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseMp4Meta(java.util.Arrays.copyOf(mp4, 20)).isEmpty) // truncated
+
+    val out = Multimodal.extractVideoInfo(
+      Seq((1L, mp4), (2L, "junk bytes".getBytes("UTF-8"))).toDF("doc_id", "media"),
+      "doc_id", dim = 8).orderBy("doc_id").collect()
+    val v = out(0)
+    assert(v.getAs[Long]("duration_ms") == 5000L)
+    assert(v.getAs[Int]("width") == 640 && v.getAs[Int]("height") == 360)
+    assert(v.getAs[scala.collection.Seq[Float]]("features").length == 8) // stub feats
+    val nv = out(1)
+    assert(nv.isNullAt(nv.fieldIndex("duration_ms")))
+    assert(nv.getAs[scala.collection.Seq[Float]]("features").length == 8)
+  }
+
   test("semDedup: within-cell duplicates drop keep-min; distinct vectors and cross-cell lookalikes survive") {
     // two well-separated directions in 4-d; the 2 lowest ids become
     // the centroids (one per direction), ids 3/4 near-duplicate them
