@@ -39,9 +39,12 @@ object Similarity {
   private def qint(c: Column): Column =
     floor(c.cast("double") * lit(1000000.0)).cast("long")
 
-  def dotExact(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => qint(x) * qint(y)),
-              lit(0L), (acc, x) => acc + x)
+  /** Native codegen'd expression (graft.functions.QuantizedDot) — the
+    * Column-algebra form `aggregate(zip_with(a, b, qint·qint), 0L, +)`
+    * computes the same value but runs INTERPRETED (higher-order
+    * lambdas never reach codegen) and allocates the zipped array per
+    * evaluation; the expression is one inlined loop. */
+  def dotExact(a: Column, b: Column): Column = graft.functions.QuantizedDot(a, b)
 
   def cosineExact(a: Column, b: Column): Column =
     dotExact(a, b).cast("double") /

@@ -112,3 +112,13 @@ object EagerFrames {
       case _ => ()
     }
 }
+
+/** Column ↔ catalyst Expression bridge for the engine's native
+  * expressions (`ExpressionUtils` is `private[sql]`; this is the one
+  * sanctioned crossing point, next to [[EagerFrames]]). */
+object ColumnBridge {
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}
