@@ -103,17 +103,13 @@ object Similarity {
     * the quantized dot product with hyperplane p. Both the vector
     * elements (floor(x*1e6)) and the coefficients are int64, so the
     * contribution sum is exact and order-independent — any engine
-    * reproduces the same buckets bit-for-bit. */
-  def rhpSignature(vec: Column, dims: Int, planes: Int): Column = {
-    val coefs = rhpCoefficients(dims, planes)
-    val bits = coefs.zipWithIndex.map { case (cs, p) =>
-      val contrib = aggregate(
-        zip_with(vec, typedLit(cs), (x, c) => qint(x) * c),
-        lit(0L), (acc, x) => acc + x)
-      when(contrib >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a + b)
-  }
+    * reproduces the same buckets bit-for-bit. One native one-pass
+    * expression computes all planes (graft.functions.RhpSignatures);
+    * the old per-plane aggregate(zip_with) traversed the vector once
+    * per plane, interpreted. */
+  def rhpSignature(vec: Column, dims: Int, planes: Int): Column =
+    graft.functions.RhpSignatures(vec, rhpCoefficients(dims, planes),
+      dims, bandSize = planes, bands = 1).getItem(0)
 
   /** Banded random-hyperplane signatures — the scale path for
     * embedding NEAR-DUP candidate generation, where BOTH join sides
@@ -129,30 +125,22 @@ object Similarity {
     * planted near-dup at angle θ, pair recall is
     * 1-(1-(1-θ/π)^r)^b ≈ 1 for θ→0, while random pairs collide at
     * ~b·2^-r per pair and are discarded by the exact verify. */
-  def rhpBandSignatures(vec: Column, dims: Int, planesPerBand: Int, bands: Int): Seq[Column] = {
-    val all = rhpCoefficients(dims, planesPerBand * bands)
-    (0 until bands).map { b =>
-      all.slice(b * planesPerBand, (b + 1) * planesPerBand).zipWithIndex.map { case (cs, i) =>
-        val contrib = aggregate(
-          zip_with(vec, typedLit(cs), (x, c) => qint(x) * c),
-          lit(0L), (acc, x) => acc + x)
-        when(contrib >= 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce((a, b) => a + b)
-    }
-  }
+  def rhpBandSignatures(vec: Column, dims: Int, planesPerBand: Int, bands: Int): Column =
+    graft.functions.RhpSignatures(vec, rhpCoefficients(dims, planesPerBand * bands),
+      dims, bandSize = planesPerBand, bands = bands)
 
   /** (doc_id, band, bucket) rows for the banded RHP signatures —
     * shaped for [[Dedup.candidatePairs]], exactly like
     * [[Dedup.lshBuckets]] output. One projection computes all bands
-    * (the hyperplanes are literals — integer multiply-adds in one
-    * codegen stage), then explodes to `bands` rows per vector; the
-    * candidate join shuffles once on (band, bucket). */
+    * (the hyperplanes ride a plan reference object — integer
+    * multiply-adds in one codegen stage), then explodes to `bands`
+    * rows per vector; the candidate join shuffles once on
+    * (band, bucket). */
   def rhpBandedBuckets(df: DataFrame, idCol: String, vecCol: String,
-                       dims: Int, planesPerBand: Int, bands: Int): DataFrame = {
-    val sigs = rhpBandSignatures(col(vecCol), dims, planesPerBand, bands)
+                       dims: Int, planesPerBand: Int, bands: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-              posexplode(array(sigs: _*)).as(Seq("band", "bucket")))
-  }
+              posexplode(rhpBandSignatures(col(vecCol), dims, planesPerBand, bands))
+                .as(Seq("band", "bucket")))
 
   /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the
     * `nCentroids` lowest-id corpus vectors — partitions the corpus by
