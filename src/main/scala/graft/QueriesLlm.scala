@@ -12,7 +12,7 @@ object QueriesLlm {
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
-                        llm27, llm28, llm29)
+                        llm27, llm28, llm29, llm31)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1196,4 +1196,41 @@ object QueriesLlm {
             |SELECT vec_id, cell FROM assigned
             |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
             |ORDER BY vec_id""".stripMargin))
+
+  /** Sliding-span exact-substring duplication (Dedup.spanDupStats):
+    * offset-invariant cross-document containment — the signal
+    * chunk-level passage dedup (llm21) structurally misses. The
+    * planted duplicates are character-offset SUFFIX copies
+    * (substr(text, 101)), so their token stream is shifted by an
+    * arbitrary amount relative to the original: aligned 8-token
+    * chunks almost never match, while almost every sliding 8-token
+    * window does. */
+  private def llm31 = Q("llm31_span_dup_stats",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val tails = d.filter(col("doc_id") < 250)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          substring(col("text"), 101, 1000000).as("text"))
+      Dedup.spanDupStats(d.unionByName(tails), col("doc_id"), col("text"), n = 8)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH a AS (SELECT doc_id, text FROM documents
+            |           UNION ALL SELECT doc_id + 300000, substr(text, 101, 1000000)
+            |           FROM documents WHERE doc_id < 250),
+            |t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM a),
+            |p AS (SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
+            |                             for i in range(1, len(toks) - 8 + 2)]) AS span
+            |      FROM t WHERE len(toks) >= 8),
+            |hh AS (SELECT doc_id, ${Portable.duckHash64("span")} AS h FROM p),
+            |dfq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM hh GROUP BY h),
+            |agg AS (SELECT doc_id, count(*) AS n_spans,
+            |          CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+            |        FROM hh JOIN dfq USING (h) GROUP BY doc_id)
+            |SELECT a.doc_id, coalesce(n_spans, 0) AS n_spans,
+            |  coalesce(n_dup_spans, 0) AS n_dup_spans,
+            |  CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+            |       ELSE coalesce(n_dup_spans, 0) / CAST(n_spans AS DOUBLE)
+            |  END AS dup_span_frac
+            |FROM a LEFT JOIN agg USING (doc_id)
+            |ORDER BY doc_id""".stripMargin))
 }

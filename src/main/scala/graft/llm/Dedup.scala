@@ -217,6 +217,51 @@ object Dedup {
           .otherwise(col("n_dup_passages").cast("double") / col("n_passages").cast("double")))
   }
 
+  /** Per-document SLIDING-span duplication stats — the exact-substring
+    * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better") approximated at token-span
+    * granularity: every length-`n` token window (positions 1..len-n+1,
+    * overlapping) is hashed, and a window position counts as
+    * duplicated when its span also occurs in ≥1 OTHER document.
+    * Complements [[passageDupStats]]: non-overlapping chunks miss
+    * offset-shifted duplication entirely (a document that embeds
+    * another document's tail at an arbitrary offset shares almost no
+    * aligned chunk, but shares nearly every sliding span) — this is
+    * the operator that catches quote/suffix/boilerplate containment.
+    *
+    * Scale shape: one codegen'd position explode per document (no span
+    * string array is ever built — the slice+concat+digest run inside
+    * the projection), spans travel as 8-byte hashes, document
+    * frequency is one count-distinct per hash, and the join back is
+    * hash-keyed — linear in total token count, the same shape as the
+    * reference-free passage scan. The explode emits ~len(toks) rows
+    * per doc (vs len/n for passages); that factor-of-n is the price of
+    * offset invariance and is the published algorithm's cost too. */
+  def spanDupStats(df: DataFrame, idCol: Column, textCol: Column,
+                   n: Int): DataFrame = {
+    require(n >= 1, "span size must be >= 1")
+    val docs = df.select(idCol.as("doc_id"), tokens(textCol).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        // sequence(1, 0) yields DESCENDING [1, 0], not empty — guard
+        // the too-short case explicitly (same trap as passages())
+        explode_outer(when(size(col("__toks")) >= n,
+            sequence(lit(1), size(col("__toks")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .select(col("doc_id"),
+        when(col("__i").isNotNull,
+          Portable.hash64(concat_ws(" ", slice(col("__toks"), col("__i"), lit(n)))))
+          .as("__h"))
+    val dfreq = docs.filter(col("__h").isNotNull)
+      .groupBy(col("__h")).agg(count_distinct(col("doc_id")).as("__nd"))
+    docs.join(dfreq, Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("__h")).as("n_spans"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(col("n_dup_spans").cast("double") / col("n_spans").cast("double")))
+  }
+
   /** n-gram Jaccard similarity between two shingle-set columns: a
     * single deterministic double division over exact set sizes. */
   def jaccard(a: Column, b: Column): Column =

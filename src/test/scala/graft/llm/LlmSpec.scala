@@ -605,6 +605,19 @@ class LlmSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 0L, 0L), (4L, 2L, 0L)))
   }
 
+  test("spanDupStats: sliding windows catch offset-shifted containment; within-doc repeats don't count") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),                      // 9 toks → 2 spans, both inside doc 2
+      (2L, "z a b c d e f g h i"),                    // doc 1 shifted by one token: spans 2,3 match
+      (3L, "short doc"),                              // < 8 tokens → 0 spans
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8")) // span repeats WITHIN one doc only
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDupStats(docs, col("doc_id"), col("text"), n = 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 0L, 0L), (4L, 9L, 0L)))
+  }
+
   test("topTerms: tf wins, then rarity, then lexicographic; exactly k rows per doc") {
     val docs = Seq(
       (1L, "apple apple banana cherry"), // tf: apple=2 → rank1; banana/cherry tf=1
