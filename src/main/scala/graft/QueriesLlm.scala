@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
-import graft.llm.{CorpusReport, Curation, Dedup, LanguageModel, Multimodal, Packing, Pii, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.llm.{Clustering, CorpusReport, Curation, Dedup, LanguageModel, Multimodal, Packing, Pii, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** LLM training-data pipeline operators (SURVEY.md §7.2 step 8) over
   * the `documents` and `embeddings` tables.
@@ -12,7 +12,7 @@ object QueriesLlm {
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
-                        llm27, llm28, llm29, llm31)
+                        llm27, llm28, llm29, llm30, llm31)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1196,6 +1196,61 @@ object QueriesLlm {
             |SELECT vec_id, cell FROM assigned
             |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
             |ORDER BY vec_id""".stripMargin))
+
+  /** Distributed k-means topic clustering (Clustering.kmeansTopics):
+    * 2 Lloyd iterations at k=8 over the embeddings, every distance an
+    * exact int64 sum on the quantization lattice so the oracle replays
+    * both iterations bit-for-bit (assignment = codegen'd
+    * NearestCentroid map-side pass; update = one (cell,dim) shuffle;
+    * centroids hop the driver between iterations — the MLlib
+    * pattern). */
+  private val llm30Slot = new TrackerSlot
+  private def llm30 = Q("llm30_kmeans_topics",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      Clustering.kmeansTopics(emb, col("vec_id"), col("embedding"),
+          dims = 64, k = 8, iters = 2, tracker = Some(llm30Slot.fresh()))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH emb AS (SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+           |       FROM embeddings),
+           |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, qv AS cv
+           |       FROM (SELECT vec_id, qv FROM emb ORDER BY vec_id LIMIT 8)),
+           |a1 AS (SELECT vec_id, qv, cid FROM (
+           |  SELECT vec_id, qv, cid, dist,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |  FROM (SELECT e.vec_id, e.qv, c.cid,
+           |               CAST(list_sum(list_transform(list_zip(e.qv, c.cv),
+           |                    z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
+           |        FROM emb e CROSS JOIN c0 c) d) t WHERE rn = 1),
+           |u1 AS (SELECT cid, unnest(range(1, len(qv)+1)) AS dim, unnest(qv) AS x FROM a1),
+           |s1 AS (SELECT cid, dim, sum(x) AS s, count(*) AS n FROM u1 GROUP BY 1, 2),
+           |n1 AS (SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY dim) AS cv
+           |       FROM s1 GROUP BY cid),
+           |c1 AS (SELECT c0.cid, coalesce(n1.cv, c0.cv) AS cv FROM c0 LEFT JOIN n1 USING (cid)),
+           |a2 AS (SELECT vec_id, qv, cid FROM (
+           |  SELECT vec_id, qv, cid, dist,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |  FROM (SELECT e.vec_id, e.qv, c.cid,
+           |               CAST(list_sum(list_transform(list_zip(e.qv, c.cv),
+           |                    z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
+           |        FROM emb e CROSS JOIN c1 c) d) t WHERE rn = 1),
+           |u2 AS (SELECT cid, unnest(range(1, len(qv)+1)) AS dim, unnest(qv) AS x FROM a2),
+           |s2 AS (SELECT cid, dim, sum(x) AS s, count(*) AS n FROM u2 GROUP BY 1, 2),
+           |n2 AS (SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY dim) AS cv
+           |       FROM s2 GROUP BY cid),
+           |c2 AS (SELECT c1.cid, coalesce(n2.cv, c1.cv) AS cv FROM c1 LEFT JOIN n2 USING (cid)),
+           |fin AS (SELECT vec_id, cid, dist FROM (
+           |  SELECT vec_id, cid, dist,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |  FROM (SELECT e.vec_id, c.cid,
+           |               CAST(list_sum(list_transform(list_zip(e.qv, c.cv),
+           |                    z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
+           |        FROM emb e CROSS JOIN c2 c) d) t WHERE rn = 1)
+           |SELECT vec_id, CAST(cid AS INT) AS topic, dist AS qdist
+           |FROM fin ORDER BY vec_id""".stripMargin),
+    cleanup = Some(_ => llm30Slot.drain()))
 
   /** Sliding-span exact-substring duplication (Dedup.spanDupStats):
     * offset-invariant cross-document containment — the signal
