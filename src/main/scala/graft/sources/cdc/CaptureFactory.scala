@@ -20,6 +20,8 @@ import java.nio.file.Paths
   *    `debezium.source.binlog.columns.<schema>.<table> = c1,c2,…` and
   *    `debezium.source.binlog.keys.<schema>.<table> = k1[,k2…]`
   *    (the information_schema lookup a live connector performs);
+  *  - `…MongoDbConnector` → [[MongoChangeStreamDecoder]] over the
+  *    same feed shape (each message = one BSON change-stream event);
   *  - anything else (or `debezium.source.jdbc.url` present) →
   *    [[JdbcPollingTailer]], the log-less fallback.
   *
@@ -84,6 +86,10 @@ object CaptureFactory {
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         dec.registerTable(qual, cols, keys)
       }
+      ProtocolCapture(new ReplicationTailer(feed, dec.decode, dbDir))
+    } else if (connectorClass.endsWith("MongoDbConnector")) {
+      val dec = new MongoChangeStreamDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
+        topicPrefix = prefix)
       ProtocolCapture(new ReplicationTailer(feed, dec.decode, dbDir))
     } else {
       PollingCapture(JdbcPollingTailer.fromProperties(props))
