@@ -278,6 +278,28 @@ class PlanSpec extends SparkSpec {
       s"a full-data window partitioned by the bare group key survived:\n${windowSpecs.mkString("\n")}")
   }
 
+  test("llm30: k-means assignment is a map-side pass — no join anywhere, one agg shuffle per update") {
+    val df = Queries.byName("llm30_kmeans_topics")(spark, sfSmoke)
+    val p = planOf(df)
+    val s = p.toString
+    // the returned frame is the FINAL assignment: centroids ride the
+    // NearestCentroid literal matrix, so no join node may exist and the
+    // only exchange is the output sort
+    assert(!s.contains("Join"), s"k-means assignment must not plan a join:\n$s")
+    assert(s.toLowerCase.contains("nearestcentroid"),
+      s"assignment must run through the native expression:\n$s")
+    val shuffles = shufflePartitionings(p)
+    assert(shuffles.size <= 1, s"expected only the output sort exchange, got $shuffles")
+  }
+
+  test("llm31: sliding spans travel as 8-byte hashes — no string shuffle keys") {
+    val df = Queries.byName("llm31_span_dup_stats")(spark, sfSmoke)
+    val shuffles = shufflePartitionings(planOf(df))
+    assert(shuffles.nonEmpty, "span dup stats must aggregate somewhere")
+    assert(!shuffles.exists(s => s.contains("text#") || s.contains("span")),
+      s"shuffle keys must be the span hash / doc id, never strings: $shuffles")
+  }
+
   test("cdc07: the CDC path scans through the DSv2 source") {
     val s = planString("cdc07_cdc_source_replay")
     assert(s.contains("BatchScan") && s.contains("graft-cdc"),
