@@ -12,7 +12,7 @@ object QueriesLlm {
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
-                        llm27, llm28, llm29, llm30, llm31)
+                        llm27, llm28, llm29, llm30, llm31, llm32, llm33)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1288,4 +1288,68 @@ object QueriesLlm {
             |  END AS dup_span_frac
             |FROM a LEFT JOIN agg USING (doc_id)
             |ORDER BY doc_id""".stripMargin))
+
+  /** Per-source quality-score quantiles via the deterministic
+    * histogram sketch (Sketches.histogramQuantiles) — the threshold-
+    * setting step of corpus curation done the way it scales: one
+    * (group, bin) count shuffle, quantiles read off the cumulative
+    * histogram, bit-identical in any engine (unlike
+    * approx_percentile/t-digest, which are implementation-defined). */
+  private def llm32 = Q("llm32_quality_quantiles",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), TextAnalysis.qualityScore(col("text")).as("q"))
+      Sketches.histogramQuantiles(d, col("source"), col("q"),
+          lo = 0.0, hi = 1.0, bins = 32,
+          qs = Seq("p50_bin" -> 0.5, "p90_bin" -> 0.9, "p99_bin" -> 0.99))
+        .withColumnRenamed("g", "source")
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+           |  SELECT source,
+           |    (CAST(least(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)), 64) AS DOUBLE) / 64.0)
+           |      * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+           |               / CAST(greatest(length(text), 1) AS DOUBLE)) AS q
+           |  FROM documents),
+           |b AS (SELECT source,
+           |        least(greatest(CAST(floor((q - 0.0) * 32.0 / 1.0) AS BIGINT), 0), 31) AS bin
+           |      FROM d),
+           |c AS (SELECT source, bin, count(*) AS c FROM b GROUP BY 1, 2),
+           |w AS (SELECT source, bin,
+           |        sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+           |        sum(c) OVER (PARTITION BY source) AS n
+           |      FROM c)
+           |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+           |  min(CASE WHEN cum >= CAST(ceil(CAST(n AS DOUBLE) * 0.5) AS BIGINT) THEN bin END) AS p50_bin,
+           |  min(CASE WHEN cum >= CAST(ceil(CAST(n AS DOUBLE) * 0.9) AS BIGINT) THEN bin END) AS p90_bin,
+           |  min(CASE WHEN cum >= CAST(ceil(CAST(n AS DOUBLE) * 0.99) AS BIGINT) THEN bin END) AS p99_bin
+           |FROM w GROUP BY source
+           |ORDER BY source""".stripMargin))
+
+  /** Incremental exact dedup (Dedup.incrementalExact): a delta batch
+    * dedups against the ingested corpus's hash index, then within
+    * itself. Planted: replays of already-seen docs (dropped by the
+    * index) and within-batch duplicate pairs (collapsed keep-min). */
+  private def llm33 = Q("llm33_incremental_dedup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val seen = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250)
+        .unionByName(d.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+          .select((col("doc_id") + 600000L).as("doc_id"), col("text")))
+      Dedup.incrementalExact(batch, col("text"), col("doc_id"), seen, col("text"))
+        .orderBy(col("keep_id"))
+    },
+    Some(s"""WITH seen AS (SELECT DISTINCT ${Portable.duckHash64("text")} AS content_hash
+            |              FROM documents WHERE doc_id < 250),
+            |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+            |          UNION ALL SELECT doc_id + 500000, text FROM documents WHERE doc_id < 100
+            |          UNION ALL SELECT doc_id + 600000, text FROM documents WHERE doc_id >= 300 AND doc_id < 350),
+            |h AS (SELECT doc_id, ${Portable.duckHash64("text")} AS content_hash FROM batch)
+            |SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+            |FROM h WHERE content_hash NOT IN (SELECT content_hash FROM seen)
+            |GROUP BY content_hash
+            |ORDER BY keep_id""".stripMargin))
 }

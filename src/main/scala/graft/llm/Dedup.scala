@@ -31,6 +31,30 @@ object Dedup {
     df.groupBy(Portable.hash64(textCol).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** INCREMENTAL exact dedup — the daily-delta ingestion shape: a new
+    * batch dedups against the content-hash INDEX of the already-
+    * ingested corpus (left-anti join), then within itself (keep-min,
+    * the same convention as [[exact]]). Returns one row per surviving
+    * hash: (content_hash, keep_id, n_copies). Append the survivors'
+    * hashes to the index and the loop is closed — the full corpus is
+    * never re-scanned per batch.
+    *
+    * Scale shape: the index is fixed-width 8-byte hashes (never text);
+    * the anti-join and the group both key on content_hash, so they
+    * share one shuffle boundary. At 100 TB the index dwarfs every
+    * delta — persist it BUCKETED by content_hash
+    * ([[graft.operators.Bucketing]]) and the anti-join plans
+    * shuffle-free on the index side, touching only the delta's
+    * buckets. */
+  def incrementalExact(batch: DataFrame, batchText: Column, batchId: Column,
+                       seen: DataFrame, seenText: Column): DataFrame = {
+    val idx = seen.select(Portable.hash64(seenText).as("content_hash")).distinct()
+    batch.select(Portable.hash64(batchText).as("content_hash"), batchId.as("doc_id"))
+      .join(idx, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** Character n-gram shingles (distinct) as an array column. Pure
     * Column algebra (sequence/transform/substr are codegen'd builtins),
     * no UDF on the scan path. */

@@ -67,6 +67,52 @@ object Sketches {
     * without it this method scanned and shuffled the input twice.
     * The RESULT plan reads the materialized hash set — pass a
     * `tracker` and release after consumption to free its blocks. */
+  /** Distributed histogram quantiles per group — the deterministic
+    * at-scale alternative to `approx_percentile`/t-digest for
+    * bounded scores (quality gates, ratios, normalized losses):
+    * values land in `bins` fixed-width buckets over [lo, hi], counts
+    * aggregate with map-side combine, and each requested quantile is
+    * the first bin whose cumulative count reaches ceil(q·n).
+    *
+    * Determinism: the only floating-point steps are the bin formula
+    * `floor((v − lo)·bins/(hi − lo))` — three IEEE ops in a fixed
+    * order — and the threshold `ceil(n·q)`; everything else is exact
+    * integer arithmetic, so any engine reproduces the same bins
+    * bit-for-bit (t-digest/GK sketches are implementation-defined
+    * and cannot be value-checked across engines). The answer is a
+    * BIN INDEX (resolution (hi−lo)/bins) — the honest contract: a
+    * threshold picked from it is exactly as accurate as the
+    * histogram, with none of a sketch's data-dependent error.
+    *
+    * Scale shape: one scan; ONE shuffle of fixed-width (group, bin)
+    * counts (≤ groups·bins rows survive the map-side combine
+    * regardless of corpus size); the cumulative window runs on that
+    * tiny frame — ≤ `bins` rows per group per task. Returns one row
+    * per group: (g, n_docs, <one column per requested quantile>). */
+  def histogramQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
+                         lo: Double, hi: Double, bins: Int,
+                         qs: Seq[(String, Double)]): DataFrame = {
+    require(bins >= 2 && hi > lo && qs.nonEmpty, "need bins >= 2, hi > lo, some quantiles")
+    import org.apache.spark.sql.expressions.Window
+    val bin = least(greatest(
+      floor((valueCol - lit(lo)) * lit(bins.toDouble) / lit(hi - lo)).cast("long"),
+      lit(0L)), lit((bins - 1).toLong))
+    val counts = df.select(groupCol.as("g"), bin.as("bin"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val qAggs = qs.map { case (name, q) =>
+      min(when(col("cum") >=
+        ceil(col("n").cast("double") * lit(q)).cast("long"), col("bin"))).as(name)
+    }
+    cum.groupBy(col("g"))
+      .agg(max(col("n")).as("n_docs"), qAggs: _*)
+  }
+
   def kmvDistinct(df: DataFrame, valueCol: Column, k: Int = 256,
                   tracker: Option[Materialize.Tracker] = None): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")

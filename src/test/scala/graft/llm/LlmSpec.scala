@@ -618,6 +618,37 @@ class LlmSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 0L, 0L), (4L, 9L, 0L)))
   }
 
+  test("histogramQuantiles: cumulative-bin quantiles, clamped edges, per-group independence") {
+    // group a: 10 values 0.05..0.95 step 0.1 → bins 1,4,8,11,14,17,20,24,27,30 (32 bins)
+    val a = (0 until 10).map(i => ("a", 0.05 + i * 0.1))
+    // group b: out-of-range values clamp to the edge bins
+    val b = Seq(("b", -5.0), ("b", 0.5), ("b", 99.0))
+    val df = (a ++ b).toDF("g", "v")
+    val out = Sketches.histogramQuantiles(df, col("g"), col("v"), 0.0, 1.0, 32,
+        Seq("p50_bin" -> 0.5, "p90_bin" -> 0.9))
+      .orderBy("g").collect()
+    val ra = out(0)
+    // n=10: p50 → cum >= 5 → 5th value (0.45 → bin 14); p90 → cum >= 9 → 0.85 → bin 27
+    assert(ra.getLong(1) == 10L && ra.getLong(2) == 14L && ra.getLong(3) == 27L, ra.toString)
+    val rb = out(1)
+    // clamped: bins 0, 16, 31; p50 → 2nd value → bin 16; p90 → 3rd → bin 31
+    assert(rb.getLong(1) == 3L && rb.getLong(2) == 16L && rb.getLong(3) == 31L, rb.toString)
+  }
+
+  test("incrementalExact: index drops replays, within-batch dups collapse keep-min") {
+    val seen = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"),           // replay of an ingested doc → dropped by the index
+      (11L, "gamma"), (12L, "gamma"), // within-batch dup → keep 11, n=2
+      (13L, "delta"))           // fresh singleton
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, col("text"), col("doc_id"),
+        seen, col("text"))
+      .orderBy("keep_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((11L, 2L), (13L, 1L)), out.toString)
+  }
+
   test("topTerms: tf wins, then rarity, then lexicographic; exactly k rows per doc") {
     val docs = Seq(
       (1L, "apple apple banana cherry"), // tf: apple=2 → rank1; banana/cherry tf=1
