@@ -12,7 +12,7 @@ object QueriesLlm {
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
-                        llm27, llm28, llm29, llm30, llm31, llm32, llm33)
+                        llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1352,4 +1352,33 @@ object QueriesLlm {
             |FROM h WHERE content_hash NOT IN (SELECT content_hash FROM seen)
             |GROUP BY content_hash
             |ORDER BY keep_id""".stripMargin))
+
+  /** Sliding-window chunking (Packing.chunkWithOverlap): 8-token
+    * windows every 4 tokens — the context-window preparation step;
+    * chunks travel as 8-byte hashes, the whole operator is one
+    * position explode with zero shuffles. */
+  private def llm34 = Q("llm34_chunk_windows",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      Packing.chunkWithOverlap(d, col("doc_id"), col("text"),
+          chunkTokens = 8, stride = 4)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+            |             list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+            |           FROM documents),
+            |n AS (SELECT doc_id, toks, len(toks) AS ln,
+            |        CASE WHEN len(toks) <= 0 THEN 0
+            |             WHEN len(toks) <= 8 THEN 1
+            |             ELSE 1 + CAST(floor(CAST(len(toks) - 8 + 3 AS DOUBLE) / 4.0) AS BIGINT)
+            |        END AS nc
+            |      FROM t),
+            |c AS (SELECT doc_id, unnest(range(0, nc)) AS chunk_id, toks, ln
+            |      FROM n WHERE nc >= 1),
+            |sl AS (SELECT doc_id, chunk_id,
+            |         toks[CAST(chunk_id * 4 + 1 AS BIGINT):least(CAST(chunk_id * 4 + 8 AS BIGINT), ln)] AS ch
+            |       FROM c)
+            |SELECT doc_id, chunk_id, CAST(len(ch) AS BIGINT) AS n_tokens,
+            |  ${Portable.duckHash64("array_to_string(ch, ' ')")} AS chunk_hash
+            |FROM sl ORDER BY doc_id, chunk_id""".stripMargin))
 }

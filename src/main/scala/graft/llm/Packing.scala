@@ -39,4 +39,44 @@ object Packing {
   def packManifest(packed: DataFrame, nTokensCol: Column): DataFrame =
     packed.groupBy(col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(nTokensCol).as("n_tokens"))
+
+  /** Sliding-window document CHUNKING — the context-window preparation
+    * step (long documents split into ≤`chunkTokens`-token windows
+    * starting every `stride` tokens, overlapping when
+    * stride < chunkTokens; the last window starts at the final stride
+    * boundary that still adds uncovered tokens, so the tail is covered
+    * exactly once). Emits one row per chunk: (doc_id, chunk_id,
+    * n_tokens, chunk_hash) — the hash stands in for the chunk text so
+    * nothing longer than 8 bytes leaves the projection (a writer
+    * re-slices the text by (chunk_id·stride, chunkTokens) at
+    * materialization time). Documents with zero tokens emit nothing.
+    *
+    * Scale shape: one codegen'd position explode per document — no
+    * chunk array is ever built, no shuffle at all (the operator is a
+    * pure scan transform; callers group/sort downstream as needed).
+    * Chunk count per doc is 1 + ceil((len − chunk)/stride), computed
+    * with the same fixed-order ops any engine reproduces. */
+  def chunkWithOverlap(df: DataFrame, idCol: Column, textCol: Column,
+                       chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      "need chunkTokens >= stride >= 1")
+    val toks = Dedup.tokens(textCol)
+    val nc = when(size(col("__toks")) <= 0, lit(0L))
+      .when(size(col("__toks")) <= chunkTokens, lit(1L))
+      .otherwise(lit(1L) + floor(
+        (size(col("__toks")) - chunkTokens + (stride - 1)).cast("double") /
+          lit(stride.toDouble)).cast("long"))
+    df.select(idCol.as("doc_id"), toks.as("__toks"))
+      .withColumn("__nc", nc)
+      // sequence(0, -1) would yield DESCENDING [0, -1]: guard zero-chunk docs
+      .filter(col("__nc") >= 1)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkTokens)).as("__c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        Portable.hash64(concat_ws(" ", col("__c"))).as("chunk_hash"))
+  }
 }

@@ -649,6 +649,31 @@ class LlmSpec extends SparkSpec {
     assert(out == Seq((11L, 2L), (13L, 1L)), out.toString)
   }
 
+  test("chunkWithOverlap: stride windows, covered tail, short docs = one chunk, empty = none") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks, chunk 8 stride 4 → 2 chunks (tail covered by start 4)
+      (2L, "a b c"),                           // short → one 3-token chunk
+      (3L, "  "),                              // no tokens → nothing
+      (4L, (1 to 16).map(i => s"w$i").mkString(" "))) // 16 toks → starts 0,4,8 → 3 chunks
+      .toDF("doc_id", "text")
+    val out = Packing.chunkWithOverlap(df, col("doc_id"), col("text"), 8, 4)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 8L), (1L, 1L, 6L),            // second window = toks 5..10
+      (2L, 0L, 3L),
+      (4L, 0L, 8L), (4L, 1L, 8L), (4L, 2L, 8L)), out.toString)
+    // overlapping windows share their overlap: doc 4's chunk 1 = w5..w12
+    val hashes = Packing.chunkWithOverlap(df, col("doc_id"), col("text"), 8, 4)
+      .filter(col("doc_id") === 4).orderBy("chunk_id")
+      .select("chunk_hash").as[Long].collect()
+    val expect = Seq((1 to 8), (5 to 12), (9 to 16)).map(r =>
+      r.map(i => s"w$i").mkString(" "))
+    val direct = Seq(expect: _*).toDF("t")
+      .select(graft.functions.Portable.hash64(col("t"))).as[Long].collect()
+    assert(hashes.toSeq == direct.toSeq)
+  }
+
   test("topTerms: tf wins, then rarity, then lexicographic; exactly k rows per doc") {
     val docs = Seq(
       (1L, "apple apple banana cherry"), // tf: apple=2 → rank1; banana/cherry tf=1
