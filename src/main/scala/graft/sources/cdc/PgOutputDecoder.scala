@@ -26,6 +26,9 @@ import scala.collection.mutable
   *
   * Supported messages: Begin 'B', Commit 'C', Origin 'O', Relation
   * 'R', Type 'Y', Insert 'I', Update 'U', Delete 'D', Truncate 'T',
+  * logical decoding Message 'M' (pg_logical_emit_message → one
+  * envelope on `<prefix>.message`, content base64'd; transactional
+  * ones buffer with their stream like DML),
   * and the protocol-v2 streaming set — Stream Start 'S', Stream Stop
   * 'E', Stream Commit 'c', Stream Abort 'A' (large in-progress
   * transactions stream before commit; DML inside a stream block
@@ -97,7 +100,7 @@ final class PgOutputDecoder(startLsn: Long = 0L,
 
   private def decodeUnsafe(msg: Array[Byte]): Seq[String] = {
     val t = msg(0).toChar
-    if (inStream && "RYIUDT".indexOf(t) >= 0) {
+    if (inStream && "RYIUDTM".indexOf(t) >= 0) {
       // v2: inside a stream block every message carries its (sub)xid
       // right after the type byte — strip it and either apply control
       // messages now (the relation registry is session-global) or
@@ -195,6 +198,28 @@ final class PgOutputDecoder(startLsn: Long = 0L,
         val old = tuple(buf, rel)
         val del = envelope(rel, "d", before = Some(old), after = None, keyFrom = old)
         if (emitTombstones) Seq(del, tombstone(rel, old)) else Seq(del)
+      case 'M' => // logical decoding message (pg_logical_emit_message):
+        // flags (1 = transactional), message LSN, prefix, content.
+        // The reference surfaces these as message events on their own
+        // topic (Debezium's LogicalDecodingMessage path); here they
+        // land on `<prefix>.message` with the content base64'd —
+        // transactional ones ride the v2 stream buffer like DML, so
+        // an aborted transaction's messages never surface. The
+        // layout's LSN counter assigns the position (same policy as
+        // DML; the wire LSN is the server's byte position).
+        buf.get() // transactional flag — ordering is the buffer's concern
+        buf.getLong // message LSN (server byte position, unused)
+        val prefix = cstring(buf)
+        val content = new Array[Byte](buf.getInt)
+        buf.get(content)
+        lsn += 1
+        val b64 = java.util.Base64.getEncoder.encodeToString(content)
+        Seq(s"""{"destination":"$topicPrefix.message","key":{"prefix":${jsonOf(prefix, 0)}},""" +
+          s""""value":{"op":"m","before":null,""" +
+          s""""after":{"content":"$b64","prefix":${jsonOf(prefix, 0)}},""" +
+          s""""source":{"connector":"postgresql","db":"$dbName","schema":"",""" +
+          s""""table":"message","lsn":$lsn,"snapshot":"false","ts_ms":$commitTsMs},""" +
+          s""""ts_ms":$commitTsMs},"headers":{}}""")
       case other =>
         throw new IllegalArgumentException(s"unknown pgoutput message type '$other'")
     }

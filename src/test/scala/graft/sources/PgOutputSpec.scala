@@ -503,6 +503,61 @@ class PgOutputSpec extends SparkSpec {
     assert(dec.decode(commit77).isEmpty)
   }
 
+  test("pgoutput: logical decoding messages land on <prefix>.message; transactional ones ride the stream buffer") {
+    val dec = new PgOutputDecoder(startLsn = 0)
+    def msgM(xid: Option[Int], transactional: Boolean, prefix: String, content: String) = msg { b =>
+      b.put('M'.toByte); xid.foreach(b.putInt)
+      b.put((if (transactional) 1 else 0).toByte)
+      b.putLong(0x99L) // server byte LSN — positional bookkeeping only
+      cstr(b, prefix)
+      val by = content.getBytes(StandardCharsets.UTF_8)
+      b.putInt(by.length); b.put(by)
+    }
+
+    // non-transactional: emits immediately
+    val out = dec.decode(msgM(None, transactional = false, "audit", "hello"))
+    assert(out.size == 1, out.mkString("\n"))
+    val b64 = java.util.Base64.getEncoder.encodeToString("hello".getBytes(StandardCharsets.UTF_8))
+    assert(out.head.contains(""""destination":"testc.message""""))
+    assert(out.head.contains(""""op":"m"""") && out.head.contains(s""""content":"$b64""""))
+    assert(out.head.contains(""""prefix":"audit""""))
+    assert(dec.currentLsn == 1)
+
+    // transactional inside a v2 stream: buffered; aborted stream never surfaces it
+    assert(dec.decode(msg { b => b.put('S'.toByte); b.putInt(50); b.put(1.toByte) }).isEmpty)
+    assert(dec.decode(msgM(Some(50), transactional = true, "audit", "rolled-back")).isEmpty)
+    assert(dec.decode(msg(b => b.put('E'.toByte))).isEmpty)
+    assert(dec.decode(msg { b => b.put('A'.toByte); b.putInt(50); b.putInt(50) }).isEmpty)
+    assert(dec.currentLsn == 1) // nothing emitted
+
+    // committed stream replays the message in order with the commit ts
+    assert(dec.decode(msg { b => b.put('S'.toByte); b.putInt(60); b.put(1.toByte) }).isEmpty)
+    assert(dec.decode(msgM(Some(60), transactional = true, "audit", "committed")).isEmpty)
+    assert(dec.decode(msg(b => b.put('E'.toByte))).isEmpty)
+    val committed = dec.decode(msg { b =>
+      b.put('c'.toByte); b.putInt(60); b.put(0.toByte)
+      b.putLong(10L); b.putLong(11L); b.putLong(820454400000000L)
+    })
+    assert(committed.size == 1)
+    val b64c = java.util.Base64.getEncoder.encodeToString("committed".getBytes(StandardCharsets.UTF_8))
+    assert(committed.head.contains(s""""content":"$b64c""""))
+    assert(committed.head.contains(s""""ts_ms":${820454400000L + 946684800000L}"""))
+
+    // the message stream reads back through the DSv2 source on its own layout
+    val db = Files.createTempDirectory("graft-pgmsg")
+    Files.createDirectories(db.resolve("snapshot"))
+    Files.writeString(db.resolve("snapshot/_lsn"), "0")
+    PgOutputDecoder.appendSegment(db, out ++ committed)
+    val batch = spark.read.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", "prefix STRING")
+      .option("rowSchema", "prefix STRING, content STRING")
+      .load()
+    val rows = batch.select("value.op", "value.after.content").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("m", b64), ("m", b64c)))
+  }
+
   test("pgoutput: null columns, toast sentinel, numeric/bool typing, unknown relation throws") {
     val dec = new PgOutputDecoder(startLsn = 0)
     // DML before its Relation message is a protocol error
