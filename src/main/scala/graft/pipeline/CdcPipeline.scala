@@ -29,7 +29,13 @@ final case class PipelineSpec(
     maxFilesPerTrigger: Option[Int] = None,
     /** "envelope-log" (JSON-lines replay) or "graft-cdc" (the DSv2
       * snapshot+WAL source with LSN offsets). */
-    sourceType: String = "envelope-log")
+    sourceType: String = "envelope-log",
+    /** The reference's `snapshot.mode`: `initial` (default) /
+      * `when_needed` — snapshot data on first start; `no_data` /
+      * `never` / `schema_only` — record the start point only,
+      * existing rows are never delivered; `initial_only` — snapshot,
+      * then no streaming phase. */
+    snapshotMode: String = "initial")
 
 object PipelineSpec {
   /** Build from debezium-style properties + schemas + sink registry.
@@ -51,7 +57,8 @@ object PipelineSpec {
       tableIncludeList = props.get("debezium.source.table.include.list")
         .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
       checkpointDir = props.get("debezium.checkpoint.dir"),
-      sourceType = props.getOrElse("debezium.source.type", "envelope-log"))
+      sourceType = props.getOrElse("debezium.source.type", "envelope-log"),
+      snapshotMode = props.getOrElse("debezium.source.snapshot.mode", "initial"))
   }
 }
 
@@ -138,10 +145,20 @@ object CdcPipeline {
                 trigger: Trigger = Trigger.ProcessingTime(1000L)): StreamingQuery = {
     import java.nio.file.{Files, Paths}
     if (!Files.exists(Paths.get(spec.sourcePath, "_tailer_state")))
-      tailer.snapshot()
-    val daemon = new graft.sources.cdc.JdbcPollingTailer.Daemon(tailer, pollIntervalMs).start()
+      spec.snapshotMode match {
+        case "initial" | "when_needed" | "initial_only" => tailer.snapshot()
+        case "no_data" | "never" | "schema_only" => tailer.snapshotSchemaOnly()
+        case other => throw new IllegalArgumentException(
+          s"unknown snapshot.mode '$other' (initial / when_needed / initial_only / " +
+          "no_data / never / schema_only)")
+      }
     val q = start(spark, spec.copy(sourceType = "graft-cdc"), trigger)
-    registerTerminationHook(spark, q, () => daemon.close())
+    // initial_only: the reference stops after the snapshot phase — no
+    // polling daemon; the stream serves the snapshot and then idles
+    if (spec.snapshotMode != "initial_only") {
+      val daemon = new graft.sources.cdc.JdbcPollingTailer.Daemon(tailer, pollIntervalMs).start()
+      registerTerminationHook(spark, q, () => daemon.close())
+    }
     q
   }
 

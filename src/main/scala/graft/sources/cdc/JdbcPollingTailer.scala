@@ -200,6 +200,53 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
     } finally conn.close()
   }
 
+  /** The `no_data`/`never` snapshot modes (the reference's
+    * `snapshot.mode` values that skip the data phase): record each
+    * table's CURRENT watermark and key high-water as the streaming
+    * start point WITHOUT dumping any rows — existing data is never
+    * delivered, polling captures only changes committed after this
+    * point. Empty dump files keep the layout contract (the DSv2
+    * source expects the snapshot dir). One aggregate query per table
+    * instead of a full scan — this is what makes `no_data` the fast
+    * path on a huge pre-existing table. */
+  def snapshotSchemaOnly(): Unit = {
+    val snapDir = Files.createDirectories(dbDir.resolve("snapshot"))
+    Files.createDirectories(dbDir.resolve("wal"))
+    val conn = DriverManager.getConnection(jdbcUrl)
+    try {
+      conn.setAutoCommit(false)
+      conn.setTransactionIsolation(java.sql.Connection.TRANSACTION_REPEATABLE_READ)
+      val watermarks = mutable.Map.empty[String, Long]
+      val maxKeys = mutable.Map.empty[String, Long]
+      tables.foreach { t =>
+        val rel = t.snapshotOverride.map(o => s"($o) ovr").getOrElse(t.qualified)
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(s"SELECT max(${t.watermarkCol}) FROM $rel")
+          watermarks(t.qualified) =
+            if (rs.next()) rs.getObject(1) match {
+              case n: Number => n.longValue()
+              case _ => Long.MinValue
+            } else Long.MinValue
+          singleKeyCol(t).foreach { k =>
+            val krs = st.executeQuery(s"SELECT max($k) FROM ${t.qualified}")
+            if (krs.next()) krs.getObject(1) match {
+              case n: Number => maxKeys(t.qualified) = n.longValue()
+              case _ => ()
+            }
+          }
+        } finally st.close()
+        val tmp = snapDir.resolve(s".${t.qualified}.jsonl.tmp")
+        Files.writeString(tmp, "")
+        Files.move(tmp, snapDir.resolve(s"${t.qualified}.jsonl"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+      conn.commit()
+      Files.writeString(snapDir.resolve("_lsn"), "0")
+      writeState(0L, watermarks.toMap, maxKeys.toMap)
+    } finally conn.close()
+  }
+
   /** DISTRIBUTED snapshot — the 100 TB path: each table reads through
     * Spark's partitioned JDBC source (`numPartitions` parallel
     * executor-side connections split on the watermark column) instead

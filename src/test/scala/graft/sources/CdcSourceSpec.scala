@@ -434,6 +434,90 @@ class CdcSourceSpec extends SparkSpec {
     } finally { q.stop(); conn.close() }
   }
 
+  test("snapshot modes: no_data never delivers existing rows; initial_only runs no polling daemon") {
+    import graft.sources.cdc.JdbcPollingTailer
+    def freshDb(tag: String): (java.sql.Statement, String) = {
+      val url = s"jdbc:derby:memory:$tag${System.nanoTime()};create=true"
+      val st = java.sql.DriverManager.getConnection(url).createStatement()
+      st.execute("CREATE SCHEMA inventory")
+      st.execute("CREATE TABLE inventory.customers (id INT PRIMARY KEY, " +
+        "first_name VARCHAR(64), last_name VARCHAR(64), email VARCHAR(64))")
+      st.execute("INSERT INTO inventory.customers VALUES (1, 'Sally', 'Thomas', 's@x.com')")
+      st.execute("INSERT INTO inventory.customers VALUES (2, 'George', 'Bailey', 'g@x.com')")
+      (st, url)
+    }
+    def specFor(db: java.nio.file.Path, sink: graft.sinks.KvSink, mode: String) =
+      graft.pipeline.PipelineSpec(sourcePath = db.toString,
+        keySchema = org.apache.spark.sql.types.StructType.fromDDL(keyDdl),
+        rowSchema = org.apache.spark.sql.types.StructType.fromDDL(rowDdl),
+        sink = sink, sourceType = "graft-cdc", snapshotMode = mode)
+
+    // --- no_data: the start point is recorded, the 2 existing rows are
+    // never delivered, a post-start insert flows through the daemon
+    locally {
+      val (st, url) = freshDb("nodata")
+      val db = Files.createTempDirectory("graft-nodata")
+      val tailer = JdbcPollingTailer.fromProperties(Map(
+        "debezium.source.jdbc.url" -> url,
+        "debezium.source.jdbc.tables" -> "inventory.customers:id:id",
+        "debezium.source.path" -> db.toString))
+      val sink = new graft.sinks.KvSink
+      val q = graft.pipeline.CdcPipeline.startLive(spark, specFor(db, sink, "no_data"),
+        tailer, pollIntervalMs = 100L,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      try {
+        st.execute("INSERT INTO inventory.customers VALUES (3, 'Jon', 'Snow', 'j@x.com')")
+        var ms = 0
+        while (sink.size("testc.inventory.customers") < 1 && ms < 60000) {
+          Thread.sleep(100); ms += 100
+        }
+        assert(sink.get("testc.inventory.customers", """{"id":3}""").get.contains("Jon"))
+        // the pre-existing rows were skipped, not just delayed
+        assert(sink.get("testc.inventory.customers", """{"id":1}""").isEmpty)
+        assert(sink.size("testc.inventory.customers") == 1)
+      } finally q.stop()
+    }
+
+    // --- initial_only: the snapshot is delivered, then NO daemon — a
+    // later insert is never captured into the layout
+    locally {
+      val (st, url) = freshDb("initonly")
+      val db = Files.createTempDirectory("graft-initonly")
+      val tailer = JdbcPollingTailer.fromProperties(Map(
+        "debezium.source.jdbc.url" -> url,
+        "debezium.source.jdbc.tables" -> "inventory.customers:id:id",
+        "debezium.source.path" -> db.toString))
+      val sink = new graft.sinks.KvSink
+      val q = graft.pipeline.CdcPipeline.startLive(spark, specFor(db, sink, "initial_only"),
+        tailer, pollIntervalMs = 100L,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(120000)
+      assert(sink.size("testc.inventory.customers") == 2)
+      st.execute("INSERT INTO inventory.customers VALUES (4, 'Anne', 'K', 'a@x.com')")
+      Thread.sleep(800)
+      val wal = db.resolve("wal")
+      val segs = if (Files.exists(wal)) {
+        val s = Files.list(wal)
+        try s.filter(p => !p.getFileName.toString.startsWith(".")).count()
+        finally s.close()
+      } else 0L
+      assert(segs == 0L, s"initial_only must not poll, found $segs wal segments")
+    }
+
+    // unknown modes fail fast
+    val err = intercept[IllegalArgumentException] {
+      val (_, url) = freshDb("badmode")
+      val db = Files.createTempDirectory("graft-badmode")
+      val tailer = JdbcPollingTailer.fromProperties(Map(
+        "debezium.source.jdbc.url" -> url,
+        "debezium.source.jdbc.tables" -> "inventory.customers:id:id",
+        "debezium.source.path" -> db.toString))
+      graft.pipeline.CdcPipeline.startLive(spark,
+        specFor(db, new graft.sinks.KvSink, "sometimes"), tailer)
+    }
+    assert(err.getMessage.contains("snapshot.mode"))
+  }
+
   test("streaming: snapshot phase then WAL drives the upsert sink to the golden state") {
     val db = fixtureDb()
     val out = Files.createTempDirectory("graft-cdc-sink").toString
