@@ -300,6 +300,30 @@ class PlanSpec extends SparkSpec {
       s"shuffle keys must be the span hash / doc id, never strings: $shuffles")
   }
 
+  test("llm32: quantile shuffles carry only (group,bin) counts; llm34 chunking shuffles only the sort") {
+    val q32 = Queries.byName("llm32_quality_quantiles")(spark, sfSmoke)
+    val s32 = shufflePartitionings(planOf(q32))
+    // (g,bin) count agg + the per-group window + the output sort — the
+    // full corpus never moves (the count agg is map-side combined)
+    assert(s32.size <= 3, s"quantile shuffles: $s32")
+    assert(!s32.exists(_.contains("text#")), s"document text must never shuffle: $s32")
+
+    val q34 = Queries.byName("llm34_chunk_windows")(spark, sfSmoke)
+    val s34 = shufflePartitionings(planOf(q34))
+    // chunking is a pure scan transform: only the output sort exchanges
+    assert(s34.forall(_.startsWith("rangepartitioning")),
+      s"chunking must not shuffle before the sort: $s34")
+  }
+
+  test("llm33: incremental dedup anti-join and group share the content-hash key; text never shuffles") {
+    val df = Queries.byName("llm33_incremental_dedup")(spark, sfSmoke)
+    val shuffles = shufflePartitionings(planOf(df))
+    assert(!shuffles.exists(_.contains("text#")),
+      s"shuffle keys must be the 8-byte hash, never text: $shuffles")
+    assert(shuffles.exists(s => s.contains("content_hash") || s.contains("_groupingexpression")),
+      s"expected a content-hash-keyed exchange: $shuffles")
+  }
+
   test("cdc07: the CDC path scans through the DSv2 source") {
     val s = planString("cdc07_cdc_source_replay")
     assert(s.contains("BatchScan") && s.contains("graft-cdc"),
