@@ -175,12 +175,26 @@ object Bench {
     val canariesPar = jmap(results.map { case (k, s) => k -> s.canaryPar })
     val rerunned = jmap(suspects.map(q => q.name -> firstPass(q.name).sec))
     val total = results.map(_._2.sec).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""canary_ms":$canaries,"canary_par_ms":$canariesPar,""" +
       s""""canary_baseline_ms":${results.map(_._2.canary).min},""" +
       s""""canary_par_baseline_ms":${results.map(_._2.canaryPar).min},""" +
       s""""canary_threads":$nThreads,""" +
-      s""""throttled":$throttled,"rerun_initial":$rerunned,"sf":"$sfDir"}""")
+      s""""throttled":$throttled,"rerun_initial":$rerunned,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // ALSO write the line to a file: the round-11 archived artifact was
+    // a stdout tail-capture that truncated the line mid-map — the file
+    // is the canonical, re-readable copy regardless of any capture
+    // buffer (override the path with SPARK_GRAFT_BENCH_OUT)
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    try {
+      Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(outPath, jsonLine + "\n")
+      System.err.println(s"[bench] json written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -874,10 +874,16 @@ object QueriesLlm {
       // persists 12 longs + one long per distinct shingle per doc, and
       // the verify joins read the same frame (jaccard over hashed sets
       // is hash-invariant)
+      // release the PREVIOUS run's frame BEFORE persisting this one:
+      // the two plans are semantically identical, so persisting first
+      // hits the old CacheManager entry ("already cached" WARN, no-op)
+      // and the subsequent unpersist would drop that shared entry —
+      // leaving this run's frame silently uncached
+      Option(llm09Cache.getAndSet(null)).foreach(_.unpersist())
       val docs = Dedup.minhashSignatureAndSets(corpus, col("doc_id"), col("text"),
           n = 9, k = 12)
         .persist()
-      Option(llm09Cache.getAndSet(docs)).foreach(_.unpersist())
+      llm09Cache.set(docs)
       val pairs = Dedup.candidatePairs(Dedup.lshBuckets(docs, k = 12, rowsPerBand = 4))
       val a = docs.select(col("doc_id").as("id_a"), col("shh").as("sh_a"))
       val b = docs.select(col("doc_id").as("id_b"), col("shh").as("sh_b"))

@@ -68,6 +68,10 @@ object Clustering {
       val assigned = base.select(
         graft.functions.NearestCentroid(col("vec"), cents, dims).getField("cell").as("cell"),
         col("vec"))
+        // a vector with numElements != dims (or a null element) assigns
+        // a null cell — drop it here, or the null group survives the
+        // groupBy and the driver-side getInt(0) NPEs mid-iteration
+        .filter(col("cell").isNotNull)
       // per-(cell,dim) sums: map-side partial agg → the shuffle is
       // k·dims (sum, count) pairs per task, corpus-size independent
       val sums = assigned
@@ -89,5 +93,6 @@ object Clustering {
     val a = graft.functions.NearestCentroid(col("vec"), cents, dims)
     base.select(col("vec_id"), a.getField("cell").as("topic"),
                 a.getField("qdist").as("qdist"))
+      .filter(col("topic").isNotNull) // same invalid-vector guard as the iterations
   }
 }

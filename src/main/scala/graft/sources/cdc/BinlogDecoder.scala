@@ -227,7 +227,9 @@ final class BinlogDecoder(startLsn: Long = 0L,
       val (y, m, d) = (v >> 9, (v >> 5) & 0xf, v & 0x1f)
       if (v == 0) "null" // MySQL zero-date has no epoch rendering
       else java.time.LocalDate.of(y, m, d).toEpochDay.toString
-    case Year => (1900 + (buf.get() & 0xff)).toString
+    case Year => // stored 0 is MySQL's zero-year sentinel 0000, NOT 1900
+      val y = buf.get() & 0xff
+      (if (y == 0) 0 else 1900 + y).toString
     case DateTime2 =>
       // 5 bytes BE packed: sign(1) ym(17) day(5) hour(5) min(6) sec(6),
       // ym = year*13+month; fractional seconds follow per fsp

@@ -52,7 +52,12 @@ object CaptureFactory {
         }
         new SocketReplicationFeed(host, port,
           startCommand = props.getOrElse("debezium.source.protocol.start.command",
-            "START_REPLICATION"))
+            "START_REPLICATION"),
+          maxPending = props.getOrElse("debezium.source.protocol.max.pending",
+            "65536").toInt,
+          // resume position survives restarts (else the client announces
+          // 0 and the server replays the full history)
+          positionFile = Some(dbDir.resolve("_feed_acked")))
       case None =>
         val dir = props.getOrElse("debezium.source.protocol.dir",
           throw new IllegalArgumentException(

@@ -67,7 +67,16 @@ final class PgOutputDecoder(startLsn: Long = 0L,
                               * sinks drop the key on it. Tombstones carry
                               * no LSN (they anchor to their predecessor's
                               * position, like heartbeats). */
-                            emitTombstones: Boolean = true) {
+                            emitTombstones: Boolean = true,
+                            /** Hard cap on buffered protocol-v2 streamed
+                              * changes across all in-progress transactions.
+                              * Streaming exists precisely because in-progress
+                              * transactions are too large to hold — past the
+                              * cap the decoder fails with a clear error
+                              * (naming the xid and the knob) instead of
+                              * growing until OOM. A live deployment sized
+                              * for huge streamed txns raises it or spools. */
+                            maxStreamedChanges: Int = 1 << 20) {
   import PgOutputDecoder._
 
   private val relations = mutable.Map.empty[Int, Relation]
@@ -79,6 +88,7 @@ final class PgOutputDecoder(startLsn: Long = 0L,
   private var inStream = false
   private var streamTopXid = 0
   private val streamBuf = mutable.Map.empty[Int, mutable.ArrayBuffer[(Int, Array[Byte])]]
+  private var streamedCount = 0
 
   /** LSN of the most recently emitted change (== startLsn before any). */
   def currentLsn: Long = lsn
@@ -111,7 +121,13 @@ final class PgOutputDecoder(startLsn: Long = 0L,
       t match {
         case 'R' | 'Y' | 'T' => decodeBody(raw)
         case _ =>
+          if (streamedCount >= maxStreamedChanges)
+            throw new IllegalStateException(
+              s"pgoutput: $streamedCount buffered streamed changes (toplevel xid $streamTopXid) " +
+              s"exceed maxStreamedChanges=$maxStreamedChanges — raise the cap or abort the " +
+              "runaway transaction; failing fast instead of buffering to OOM")
           streamBuf.getOrElseUpdate(streamTopXid, mutable.ArrayBuffer.empty) += ((xid, raw))
+          streamedCount += 1
           Nil
       }
     } else decodeBody(msg)
@@ -140,13 +156,17 @@ final class PgOutputDecoder(startLsn: Long = 0L,
         val xid = buf.getInt
         buf.get(); buf.getLong; buf.getLong
         commitTsMs = pgMicrosToEpochMs(buf.getLong)
-        streamBuf.remove(xid).fold(Seq.empty[String])(
-          _.flatMap { case (_, raw) => decodeBody(raw) }.toSeq)
+        streamBuf.remove(xid).fold(Seq.empty[String]) { buffered =>
+          streamedCount -= buffered.size
+          buffered.flatMap { case (_, raw) => decodeBody(raw) }.toSeq
+        }
       case 'A' => // stream abort: toplevel xid, aborted (sub)xid
         val xid = buf.getInt
         val sub = buf.getInt
-        if (sub == xid) streamBuf.remove(xid)
-        else streamBuf.get(xid).foreach(_.filterInPlace(_._1 != sub))
+        if (sub == xid) streamBuf.remove(xid).foreach(b => streamedCount -= b.size)
+        else streamBuf.get(xid).foreach { b =>
+          val n = b.size; b.filterInPlace(_._1 != sub); streamedCount -= n - b.size
+        }
         Nil
       case 'R' =>
         val oid = buf.getInt
@@ -339,7 +359,7 @@ object PgOutputDecoder {
       case 23 => buf.getInt.toString
       case 26 => (buf.getInt & 0xffffffffL).toString
       case 20 => buf.getLong.toString
-      case 700 => jsonOf(floatText(java.lang.Float.intBitsToFloat(buf.getInt).toDouble), 700)
+      case 700 => jsonOf(float4Text(java.lang.Float.intBitsToFloat(buf.getInt)), 700)
       case 701 => jsonOf(floatText(java.lang.Double.longBitsToDouble(buf.getLong)), 701)
       case 1700 => jsonOf(numericText(buf), 1700)
       case 25 | 1043 | 18 | 19 => jsonOf(new String(b, StandardCharsets.UTF_8), typeOid)
@@ -376,6 +396,19 @@ object PgOutputDecoder {
       val l = d.toLong
       l.toString
     } else d.toString
+
+  /** Float (float4) → PostgreSQL-style text. Rendered from the FLOAT
+    * itself, never widened to double first: 0.1f widened prints
+    * 0.10000000149011612 while a text-mode slot prints 0.1 — the
+    * shortest-roundtrip float string IS the text-slot rendering, so
+    * binary and text slots stay byte-identical (the documented
+    * contract of [[binaryJsonOf]]). */
+  private def float4Text(f: Float): String =
+    if (f.isNaN) "NaN"
+    else if (f.isPosInfinity) "Infinity"
+    else if (f.isNegInfinity) "-Infinity"
+    else if (f == math.rint(f.toDouble) && math.abs(f) < 1e15f) f.toLong.toString
+    else f.toString
 
   /** PostgreSQL numeric binary format → exact decimal text: ndigits /
     * weight / sign / dscale header, then base-10000 digits. */

@@ -3,6 +3,7 @@ package graft.sources.cdc
 import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, IOException}
 import java.net.{InetSocketAddress, Socket}
 import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
 
 /** Socket implementation of [[ReplicationFeed]] — the live replication
   * session transport that was the declared boundary of the
@@ -16,9 +17,12 @@ import java.nio.charset.StandardCharsets
   *    essentials;
   *  - client→server on connect: tag `'S'` + the start command text +
   *    an int64 resume position (messages already acknowledged) — the
-  *    `START_REPLICATION SLOT … LOGICAL <restart_lsn>` analog: the
-  *    durable position lives on the SERVER (the replication slot's
-  *    `confirmed_flush_lsn`), not in a client file;
+  *    `START_REPLICATION SLOT … LOGICAL <restart_lsn>` analog. The
+  *    client announces the position, so it must SURVIVE a process
+  *    restart: `positionFile` persists the acked count atomically on
+  *    every commit (the same convention as [[FileReplicationFeed]]'s
+  *    offset file) and seeds `acked` on construction — without it a
+  *    restarted client would announce 0 and replay the full history;
   *  - server→client: tag `'d'` carries one raw protocol message (fed
   *    to [[PgOutputDecoder]]/[[BinlogDecoder]] unchanged); tag `'k'`
   *    is a keepalive (transport chatter, skipped); unknown tags are
@@ -33,17 +37,30 @@ import java.nio.charset.StandardCharsets
   * tears the session down, and the next poll reconnects announcing the
   * last ACKED position, so the server re-serves everything un-acked —
   * messages can re-deliver, never vanish.
-  */
+  *
+  * Bounded memory: the un-acked buffer is capped at `maxPending`
+  * messages. A consumer stuck in a decode-fail loop re-polls while the
+  * server keeps streaming — without the cap the buffer grows without
+  * limit in exactly the long-running daemon this feed exists for. Past
+  * the cap, poll stops DRAINING the socket (frames stay in the kernel
+  * buffer, the TCP window closes, the server back-pressures — the same
+  * flow control a real walsender session gets) and draining resumes
+  * after the next successful commit. */
 final class SocketReplicationFeed(host: String, port: Int,
                                   startCommand: String = "START_REPLICATION",
-                                  connectTimeoutMs: Int = 5000)
+                                  connectTimeoutMs: Int = 5000,
+                                  maxPending: Int = 65536,
+                                  positionFile: Option[Path] = None)
     extends ReplicationFeed {
+  require(maxPending > 0, "maxPending must be positive")
 
   private var socket: Socket = _
   private var in: DataInputStream = _
   private var out: DataOutputStream = _
   private var pending = Vector.empty[Array[Byte]]
-  private var acked = 0L
+  private var acked: Long =
+    positionFile.filter(Files.exists(_))
+      .map(f => Files.readString(f).trim.toLong).getOrElse(0L)
 
   private def ensureConnected(): Unit = if (socket == null) {
     val s = new Socket()
@@ -69,7 +86,7 @@ final class SocketReplicationFeed(host: String, port: Int,
       // is fully buffered, then block for the remainder (the server
       // writes whole frames) — a poll can never strand a partial
       // header in the stream.
-      while (in.available() >= 4) {
+      while (pending.size < maxPending && in.available() >= 4) {
         val len = in.readInt()
         require(len >= 1 && len <= MaxFrameBytes,
           s"replication socket: insane frame length $len — stream desynced")
@@ -91,6 +108,14 @@ final class SocketReplicationFeed(host: String, port: Int,
   override def commit(): Unit = if (pending.nonEmpty && out != null) {
     acked += pending.size
     pending = Vector.empty
+    // durable BEFORE the ack goes out: if the write fails, the server
+    // still re-serves from the old position (re-delivery, never loss)
+    positionFile.foreach { f =>
+      val tmp = f.resolveSibling("." + f.getFileName.toString + ".tmp")
+      Files.writeString(tmp, acked.toString)
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     out.writeInt(9)
     out.writeByte('a'); out.writeLong(acked)
     out.flush()

@@ -92,4 +92,23 @@ class NearestCentroidSpec extends SparkSpec {
     assert(out(0)._2 == out(1)._2 && out(1)._2 == out(2)._2, s"group A split: $out")
     assert(out(3)._2 == out(4)._2 && out(3)._2 != out(0)._2, s"group B not separated: $out")
   }
+
+  test("kmeansTopics: invalid vectors (wrong dims / null element) are skipped, not an NPE mid-iteration") {
+    // a wrong-dims vector and a null-element vector assign a null cell;
+    // without the isNotNull guard the null group survives the update
+    // groupBy and the driver-side getInt(0) throws NPE
+    val good = Seq(
+      (1L, Seq(Some(0.1f), Some(0.1f))), (2L, Seq(Some(0.2f), Some(0.2f))),
+      (3L, Seq(Some(0.9f), Some(0.9f))))
+    val bad = Seq(
+      (90L, Seq(Some(0.5f))),             // wrong dims
+      (91L, Seq(Some(0.5f), None)))       // null element
+    val df = (good ++ bad).toDF("vec_id", "embedding")
+    val out = Clustering.kmeansTopics(df, col("vec_id"), col("embedding"),
+        dims = 2, k = 2, iters = 2)
+      .orderBy("vec_id").collect()
+    // only the valid vectors come back, each with a non-null topic
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), out.mkString(","))
+    assert(out.forall(!_.isNullAt(1)))
+  }
 }

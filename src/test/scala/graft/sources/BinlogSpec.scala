@@ -253,7 +253,7 @@ class BinlogSpec extends SparkSpec {
       dec103(b, 0, 12, neg = true)                   // -0.012
       val dv2 = 1 | (1 << 5) | (2000 << 9)
       b.put((dv2 & 0xff).toByte); b.put(((dv2 >> 8) & 0xff).toByte); b.put(((dv2 >> 16) & 0xff).toByte)
-      b.put(0.toByte)                                // YEAR 1900
+      b.put(0.toByte)                                // YEAR stored 0 = sentinel 0000
       val packed2 = (1L << 39) | ((1999 * 13 + 12).toLong << 22) | (31L << 17) |
         (23L << 12) | (59L << 6) | 59L
       beN(b, packed2, 5); beN(b, 9990, 2)            // .999 s
@@ -279,7 +279,9 @@ class BinlogSpec extends SparkSpec {
     val l2 = lines(1)
     assert(l2.contains(""""price":-0.012"""), l2)
     assert(l2.contains(""""born":10957"""), l2) // 2000-01-01
-    assert(l2.contains(""""y":1900"""), l2)
+    // stored 0 is MySQL's zero-year sentinel: surfaces as 0 (matching
+    // Debezium/MySQL 0000 semantics), NOT as a real-looking 1900
+    assert(l2.contains(""""y":0"""), l2)
     val expectMicros2 = java.time.LocalDateTime.of(1999, 12, 31, 23, 59, 59)
       .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + 999000L
     assert(l2.contains(s""""created":$expectMicros2"""), l2)

@@ -162,6 +162,77 @@ class CaptureFactorySpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("socket feed: pending buffer is capped — a flooding server back-pressures, commit resumes, nothing lost") {
+    import graft.sources.cdc.SocketReplicationFeed
+    val srv = new StubReplicationServer
+    try {
+      // flood: 25 messages against a cap of 10 — a consumer stuck
+      // re-polling must NOT buffer all 25 (the unbounded-growth failure
+      // mode of a decode-fail loop in the long-running daemon)
+      srv.enqueue((1 to 25).map(i => Array[Byte](i.toByte)): _*)
+      val feed = new SocketReplicationFeed("localhost", srv.port, "START",
+        maxPending = 10)
+      def pollUntil(n: Int): Seq[Array[Byte]] = {
+        val deadline = System.nanoTime() + 30e9.toLong
+        var got: Seq[Array[Byte]] = feed.poll()
+        while (got.size < n && System.nanoTime() < deadline) {
+          Thread.sleep(10); got = feed.poll()
+        }
+        got
+      }
+      val first = pollUntil(10)
+      assert(first.size == 10, s"poll must stop at the cap, got ${first.size}")
+      // stuck consumer: repeated polls stay AT the cap, never past it
+      Thread.sleep(50)
+      assert(feed.poll().size == 10)
+      assert(first.map(_.head) == (1 to 10).map(_.toByte))
+      // commit drains the buffer; draining resumes — nothing was lost
+      feed.commit()
+      val second = pollUntil(10)
+      assert(second.map(_.head) == (11 to 20).map(_.toByte))
+      feed.commit()
+      assert(pollUntil(5).map(_.head) == (21 to 25).map(_.toByte))
+      feed.commit()
+      assert(feed.ackedCount == 25)
+      feed.close()
+    } finally srv.close()
+  }
+
+  test("socket feed: acked position persists to the position file — a RESTARTED client does not replay history") {
+    import graft.sources.cdc.SocketReplicationFeed
+    val srv = new StubReplicationServer
+    val dir = java.nio.file.Files.createTempDirectory("graft-sockpos")
+    val posFile = dir.resolve("_feed_acked")
+    try {
+      srv.enqueue(Array[Byte](1), Array[Byte](2), Array[Byte](3))
+      def pollUntil(feed: SocketReplicationFeed, n: Int): Seq[Array[Byte]] = {
+        val deadline = System.nanoTime() + 30e9.toLong
+        var got: Seq[Array[Byte]] = feed.poll()
+        while (got.size < n && System.nanoTime() < deadline) {
+          Thread.sleep(10); got = feed.poll()
+        }
+        got
+      }
+      val feed1 = new SocketReplicationFeed("localhost", srv.port, "START",
+        positionFile = Some(posFile))
+      assert(pollUntil(feed1, 3).map(_.head) == Seq(1.toByte, 2.toByte, 3.toByte))
+      feed1.commit()
+      feed1.close() // process dies
+      // a NEW feed instance (fresh JVM analog) reads the persisted
+      // position and announces it on connect — the server serves only
+      // what arrived since, instead of replaying all three
+      assert(java.nio.file.Files.readString(posFile).trim == "3")
+      srv.enqueue(Array[Byte](4))
+      val feed2 = new SocketReplicationFeed("localhost", srv.port, "START",
+        positionFile = Some(posFile))
+      assert(feed2.ackedCount == 3)
+      assert(pollUntil(feed2, 1).map(_.head) == Seq(4.toByte))
+      feed2.commit()
+      assert(java.nio.file.Files.readString(posFile).trim == "4")
+      feed2.close()
+    } finally { srv.close(); graft.Fs.deleteRecursively(dir) }
+  }
+
   test("protocol.socket rejects malformed host:port") {
     intercept[IllegalArgumentException] {
       CaptureFactory.fromProperties(base(

@@ -594,4 +594,64 @@ class PgOutputSpec extends SparkSpec {
     assert(e.getMessage.contains("truncated 'I'"), e.getMessage)
     assert(dec.decode(whole).size == 1) // intact frame still decodes
   }
+
+  test("pgoutput: fractional float4 renders identically from binary and text slots") {
+    // 0.1f widened to double before rendering would print
+    // 0.10000000149011612 while the text slot prints 0.1 — binary must
+    // render FROM THE FLOAT so both slot modes yield identical envelopes
+    val decB = new PgOutputDecoder(startLsn = 0)
+    val decT = new PgOutputDecoder(startLsn = 0)
+    val rel = relationMsg(80, "s", "f4", 'd', Seq(("id", 23, true), ("r", 700, false)))
+    decB.decode(rel); decT.decode(rel)
+
+    def binIns(id: Int, f: Float) = msg { b =>
+      b.put('I'.toByte); b.putInt(80); b.put('N'.toByte)
+      b.putShort(2)
+      b.put('b'.toByte); b.putInt(4); b.putInt(id)
+      b.put('b'.toByte); b.putInt(4); b.putInt(java.lang.Float.floatToIntBits(f))
+    }
+    def txtIns(id: Int, text: String) = msg { b =>
+      b.put('I'.toByte); b.putInt(80); b.put('N'.toByte)
+      tup(b, Seq(Some(id.toString), Some(text)))
+    }
+    // (value, PostgreSQL text rendering): fractional, integral, negative,
+    // non-finite — every float4Text branch
+    val cases = Seq(0.1f -> "0.1", 3f -> "3", -2.5f -> "-2.5",
+      Float.NaN -> "NaN", Float.PositiveInfinity -> "Infinity")
+    cases.zipWithIndex.foreach { case ((f, text), i) =>
+      val Seq(bl) = decB.decode(binIns(i, f))
+      val Seq(tl) = decT.decode(txtIns(i, text))
+      assert(bl == tl, s"float4 $f: binary-slot line differs from text-slot line\n$bl\n$tl")
+    }
+  }
+
+  test("pgoutput v2: streamed-change buffer is capped — fails fast naming the knob, never OOMs") {
+    val dec = new PgOutputDecoder(startLsn = 0, maxStreamedChanges = 5)
+    val rel = relationMsg(90, "s", "big", 'd', Seq(("id", 23, true)))
+    assert(dec.decode(rel).isEmpty)
+    assert(dec.decode(msg { b => b.put('S'.toByte); b.putInt(900); b.put(1.toByte) }).isEmpty)
+    def insX(id: Int) = msg { b =>
+      b.put('I'.toByte); b.putInt(900) // stream block: xid prefix
+      b.putInt(90); b.put('N'.toByte); tup(b, Seq(Some(id.toString)))
+    }
+    (1 to 5).foreach(i => assert(dec.decode(insX(i)).isEmpty))
+    val e = intercept[IllegalStateException] { dec.decode(insX(6)) }
+    assert(e.getMessage.contains("maxStreamedChanges=5"), e.getMessage)
+    assert(e.getMessage.contains("900"), e.getMessage)
+    // an abort releases the budget: buffering works again afterwards
+    assert(dec.decode(msg { b => b.put('E'.toByte) }).isEmpty)
+    assert(dec.decode(msg { b => b.put('A'.toByte); b.putInt(900); b.putInt(900) }).isEmpty)
+    assert(dec.decode(msg { b => b.put('S'.toByte); b.putInt(901); b.put(1.toByte) }).isEmpty)
+    def insY(id: Int) = msg { b =>
+      b.put('I'.toByte); b.putInt(901)
+      b.putInt(90); b.put('N'.toByte); tup(b, Seq(Some(id.toString)))
+    }
+    (1 to 3).foreach(i => assert(dec.decode(insY(i)).isEmpty))
+    assert(dec.decode(msg { b => b.put('E'.toByte) }).isEmpty)
+    val commit = msg { b =>
+      b.put('c'.toByte); b.putInt(901); b.put(0.toByte)
+      b.putLong(1L); b.putLong(2L); b.putLong(820454400000000L)
+    }
+    assert(dec.decode(commit).size == 3) // capped buffer drains cleanly
+  }
 }
