@@ -180,11 +180,37 @@ object CdcPipeline {
     q
   }
 
+  /** Live pipeline over SQL Server's native CDC change tables: same
+    * snapshot-mode dispatch and daemon lifecycle as [[startLive]], but
+    * the change feed carries hard deletes and before images (the
+    * change-table protocol retains both). */
+  def startSqlServer(spark: SparkSession, spec: PipelineSpec,
+                     tailer: graft.sources.cdc.SqlServerCdcTailer,
+                     pollIntervalMs: Long = 1000L,
+                     trigger: Trigger = Trigger.ProcessingTime(1000L)): StreamingQuery = {
+    import java.nio.file.{Files, Paths}
+    if (!Files.exists(Paths.get(spec.sourcePath, "_sqlserver_state")))
+      spec.snapshotMode match {
+        case "initial" | "when_needed" | "initial_only" => tailer.snapshot()
+        case "no_data" | "never" | "schema_only" => tailer.snapshotSchemaOnly()
+        case other => throw new IllegalArgumentException(
+          s"unknown snapshot.mode '$other' (initial / when_needed / initial_only / " +
+          "no_data / never / schema_only)")
+      }
+    val q = start(spark, spec.copy(sourceType = "graft-cdc"), trigger)
+    if (spec.snapshotMode != "initial_only") {
+      val daemon = new graft.sources.cdc.SqlServerCdcTailer.Daemon(tailer, pollIntervalMs).start()
+      registerTerminationHook(spark, q, () => daemon.close())
+    }
+    q
+  }
+
   /** Config-dispatched live pipeline — the reference's
     * `debezium.source.connector.class` selection as one call: build
     * the capture with `CaptureFactory.fromProperties`, then run
     * whichever live mode it selected (polling tailer vs log-protocol
-    * decoder), identical downstream either way. */
+    * decoder vs change-table capture), identical downstream either
+    * way. */
   def startCapture(spark: SparkSession, spec: PipelineSpec,
                    capture: graft.sources.cdc.CaptureFactory.Capture,
                    intervalMs: Long = 1000L,
@@ -194,6 +220,8 @@ object CdcPipeline {
         startLive(spark, spec, t, intervalMs, trigger)
       case graft.sources.cdc.CaptureFactory.ProtocolCapture(t) =>
         startReplication(spark, spec, t, intervalMs, trigger)
+      case graft.sources.cdc.CaptureFactory.SqlServerCapture(t) =>
+        startSqlServer(spark, spec, t, intervalMs, trigger)
     }
 
   /** Close the sink exactly once when ITS query terminates

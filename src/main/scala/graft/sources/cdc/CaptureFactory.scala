@@ -22,6 +22,10 @@ import java.nio.file.Paths
   *    (the information_schema lookup a live connector performs);
   *  - `…MongoDbConnector` → [[MongoChangeStreamDecoder]] over the
   *    same feed shape (each message = one BSON change-stream event);
+  *  - `…SqlServerConnector` → [[SqlServerCdcTailer]] polling the
+  *    native CDC change tables (`cdc.fn_cdc_get_all_changes_*`,
+  *    `__$operation` codes) — hard deletes + before images over plain
+  *    SQL, no socket protocol;
   *  - anything else (or `debezium.source.jdbc.url` present) →
   *    [[JdbcPollingTailer]], the log-less fallback.
   *
@@ -35,6 +39,9 @@ object CaptureFactory {
   final case class PollingCapture(tailer: JdbcPollingTailer) extends Capture
   /** Log-protocol capture (hard deletes + before images flow). */
   final case class ProtocolCapture(tailer: ReplicationTailer) extends Capture
+  /** SQL Server native-CDC change-table capture (hard deletes + before
+    * images over plain SQL). */
+  final case class SqlServerCapture(tailer: SqlServerCdcTailer) extends Capture
 
   def fromProperties(props: Map[String, String]): Capture = {
     val connectorClass = props.getOrElse("debezium.source.connector.class", "")
@@ -92,6 +99,8 @@ object CaptureFactory {
         dec.registerTable(qual, cols, keys)
       }
       ProtocolCapture(new ReplicationTailer(feed, dec.decode, dbDir))
+    } else if (connectorClass.endsWith("SqlServerConnector")) {
+      SqlServerCapture(SqlServerCdcTailer.fromProperties(props))
     } else if (connectorClass.endsWith("MongoDbConnector")) {
       val dec = new MongoChangeStreamDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
         topicPrefix = prefix)

@@ -433,25 +433,7 @@ final class JdbcPollingTailer(jdbcUrl: String, dbDir: Path,
       s""""table":"${t.table}","lsn":$lsn,"snapshot":"false","ts_ms":0},"ts_ms":0},"headers":{}}"""
   }
 
-  private def jsonObject(m: Map[String, Any]): String =
-    m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${jsonValue(v)}""" }
-      .mkString("{", ",", "}")
-
-  private def jsonValue(v: Any): String = v match {
-    case null                      => "null"
-    case b: java.lang.Boolean      => b.toString
-    case d: java.math.BigDecimal   => d.toPlainString
-    case n: Number                 => n.toString
-    case other                     => "\"" + other.toString.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-  }
+  private def jsonObject(m: Map[String, Any]): String = CdcJson.obj(m)
 
   /** State file: "lsn <n>" + "wm <schema.table> <watermark>" +
     * "mk <schema.table> <max key>" lines. */
