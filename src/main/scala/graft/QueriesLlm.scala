@@ -12,7 +12,7 @@ object QueriesLlm {
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
-                        llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34)
+                        llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1387,4 +1387,81 @@ object QueriesLlm {
             |SELECT doc_id, chunk_id, CAST(len(ch) AS BIGINT) AS n_tokens,
             |  ${Portable.duckHash64("array_to_string(ch, ' ')")} AS chunk_hash
             |FROM sl ORDER BY doc_id, chunk_id""".stripMargin))
+
+  /** Fixture merge table for llm35 — 50 ranked merges in GPT-2
+    * `merges.txt` layout. Hand-built to satisfy the property every
+    * trained table has (a pair referencing a merged token ranks after
+    * the merge that produced it — asserted by TokenizerSpec), which
+    * is what makes the single-step loop equal the reference batch
+    * loop. */
+  private[graft] val bpeMergesFixture: IndexedSeq[(String, String)] = IndexedSeq(
+    ("t","h"), ("i","n"), ("a","n"), ("r","e"), ("o","n"), ("e","r"), ("th","e"),
+    ("an","d"), ("o","u"), ("in","g"), ("t","o"), ("e","n"), ("o","f"), ("i","s"),
+    ("o","r"), ("a","t"), ("e","s"), ("a","l"), ("ou","r"), ("s","t"), ("th","ing"),
+    ("o","the"), ("1","2"), ("12","3"), ("e","d"), ("c","o"), ("l","l"), ("w","h"),
+    ("wh","i"), ("c","h"), ("whi","ch"), ("s","e"), ("m","e"), ("w","e"), ("b","e"),
+    ("h","a"), ("ha","v"), ("hav","e"), ("w","i"), ("wi","th"), ("f","or"),
+    ("n","o"), ("no","t"), ("b","u"), ("bu","t"), ("a","r"), ("ar","e"), ("on","e"),
+    ("a","s"), ("to","o"))
+
+  private[graft] def bpeMergesText: String =
+    "#version: 0.2\n" + bpeMergesFixture.map { case (x, y) => s"$x $y" }.mkString("\n")
+
+  /** Real BPE tokenization (Tokenizer): the GPT-2-style merge loop
+    * applied distributedly — token ids and counts, not the whitespace
+    * approximation. The DuckDB oracle replays the IDENTICAL
+    * single-step merge loop as a recursive CTE over the same merge
+    * table, so ids hash-match end to end. */
+  private def llm35 = Q("llm35_bpe_tokenize",
+    (s, dir) => {
+      val bpe = graft.llm.Tokenizer.fromMergesText(bpeMergesText)
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      d.select(col("doc_id"),
+          graft.llm.Tokenizer.tokenIds(s, bpe)(col("text")).as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          concat_ws(",", col("ids").cast("array<string>")).as("ids_csv"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val mlist = bpeMergesFixture
+        .map { case (x, y) => s"'$x $y'" }.mkString("[", ",", "]")
+      s"""WITH RECURSIVE
+         |words AS (
+         |  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS ord
+         |  FROM (SELECT doc_id,
+         |          regexp_extract_all(lower(text), '${graft.llm.Tokenizer.WordPattern}') AS ws
+         |        FROM documents)),
+         |bpe(doc_id, ord, syms, step) AS (
+         |  SELECT doc_id, ord, str_split(word, '') AS syms, 0 FROM words
+         |  UNION ALL
+         |  SELECT doc_id, ord,
+         |    syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:], step + 1
+         |  FROM (SELECT doc_id, ord, syms, step,
+         |          list_position(pr, list_min(pr)) AS bi, list_min(pr) AS br
+         |        FROM (SELECT doc_id, ord, syms, step,
+         |                [coalesce(nullif(list_position($mlist,
+         |                   syms[i] || ' ' || syms[i+1]), 0), 9999999)
+         |                 for i in range(1, len(syms))] AS pr
+         |              FROM bpe))
+         |  WHERE br < 9999999),
+         |fin AS (SELECT doc_id, ord, max_by(syms, step) AS syms
+         |        FROM bpe GROUP BY doc_id, ord),
+         |toks AS (SELECT doc_id, ord, unnest(syms) AS tok,
+         |           unnest(range(1, len(syms)+1)) AS p FROM fin),
+         |ids AS (
+         |  SELECT doc_id, ord, p,
+         |    CASE WHEN length(tok) = 1 THEN unicode(tok)
+         |         ELSE 255 + coalesce(nullif(list_position(
+         |                [replace(m, ' ', '') for m in $mlist], tok), 0), -256)
+         |    END AS id
+         |  FROM toks),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |          string_agg(id, ',' ORDER BY ord, p) AS ids_csv
+         |        FROM ids GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |       coalesce(a.ids_csv, '') AS ids_csv
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    })
 }

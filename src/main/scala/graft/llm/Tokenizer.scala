@@ -1,0 +1,132 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** Byte-pair-encoding tokenizer — the real merge loop over a
+  * GPT-2-style `merges.txt` table, replacing the whitespace
+  * approximation (`TextAnalysis.bpeishTokenCount`) wherever exact
+  * token ids/counts matter: token budgets (llm18), sequence packing
+  * (llm15), context-window chunking (llm34).
+  *
+  * Algorithm (Sennrich et al. 2016, the GPT-2 `bpe()` loop): per
+  * pre-tokenized word, start from single code points and repeatedly
+  * merge the LOWEST-RANK adjacent pair until none is in the merge
+  * table. This implementation merges the leftmost occurrence of the
+  * best pair one step at a time and re-selects — equivalent to the
+  * reference "merge all occurrences of the best pair per step" loop
+  * for any merge table produced by actual BPE training: a pair
+  * involving a merged token can only be learned AFTER that token
+  * exists, so its rank is always higher than the merge that produced
+  * it, and the in-progress pair stays best until exhausted. The
+  * single-step form is what a SQL oracle can replay verbatim
+  * (llm35's DuckDB recursive CTE).
+  *
+  * Ids: a single-code-point token is its code point; the token
+  * produced by merge rank r is `256 + r` (a deterministic stand-in
+  * for the vocab.json id table, which is just another map).
+  *
+  * 100 TB shape: tokenization is a pure MAP — zero shuffles. The
+  * merge table broadcasts once (GPT-2's 50k merges is a few MB, far
+  * under broadcast limits) instead of serializing per task closure,
+  * and a per-executor memo cache exploits the Zipf word distribution
+  * (the hot few thousand words tokenize once per executor, not once
+  * per occurrence — the same LRU trick the GPT-2 reference encoder
+  * uses). The per-word loop is the irreducible algorithm; it lives
+  * behind a UDF because a data-dependent fixpoint is a genuine
+  * black-box boundary for Column algebra (same policy as the codec
+  * seam in [[Multimodal]]).
+  */
+object Tokenizer {
+
+  /** Word pre-tokenization: lowercase runs of letters, runs of
+    * digits, or one non-alphanumeric code point — chosen to be
+    * renderable identically in DuckDB's RE2 (`regexp_extract_all`)
+    * and java.util.regex for the oracle replay. */
+  val WordPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  private val wordRe = java.util.regex.Pattern.compile(WordPattern)
+
+  /** A loaded merge table. `merges` in rank order (rank = index). */
+  final case class Bpe(merges: IndexedSeq[(String, String)]) extends Serializable {
+    @transient private lazy val rank: Map[(String, String), Int] =
+      merges.iterator.zipWithIndex.toMap
+    @transient private lazy val productId: Map[String, Int] =
+      merges.iterator.zipWithIndex.map { case ((x, y), i) => (x + y) -> (256 + i) }.toMap
+    /** Per-JVM memo: word → ids. Bounded by clear-on-overflow (the
+      * Zipf head refills instantly; an LRU's bookkeeping costs more
+      * than the occasional refill). */
+    @transient private lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+    /** One word through the merge loop → token ids. */
+    def encodeWord(word: String): Array[Int] = {
+      val cached = memo.get(word)
+      if (cached != null) return cached
+      var syms = codePoints(word)
+      var done = false
+      while (!done && syms.length > 1) {
+        var bestRank = Int.MaxValue
+        var bestI = -1
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < bestRank) { bestRank = r; bestI = i }
+          i += 1
+        }
+        if (bestI < 0 || bestRank == Int.MaxValue) done = true
+        else syms = syms.patch(bestI, Seq(syms(bestI) + syms(bestI + 1)), 2)
+      }
+      val ids = syms.iterator.map { s =>
+        if (s.codePointCount(0, s.length) == 1) s.codePointAt(0)
+        else productId.getOrElse(s, -1)
+      }.toArray
+      if (memo.size > (1 << 16)) memo.clear()
+      memo.put(word, ids)
+      ids
+    }
+
+    /** Whole text: pre-tokenize, encode each word, concatenate. */
+    def encode(text: String): Seq[Int] = {
+      val m = wordRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+      val out = Seq.newBuilder[Int]
+      while (m.find()) out ++= encodeWord(m.group())
+      out.result()
+    }
+  }
+
+  /** Split a word into single-code-point strings (NOT UTF-16 units —
+    * DuckDB's `str_split(w, '')` splits code points, and a surrogate
+    * half would break id parity on astral characters). */
+  private def codePoints(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** Parse GPT-2-style `merges.txt` content: optional `#version:`
+    * header, then one `x y` pair per line in rank order. Malformed
+    * lines fail loudly (a silently skipped merge shifts every
+    * later id). */
+  def fromMergesText(content: String): Bpe = Bpe(
+    content.linesIterator
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l =>
+        l.split(" ") match {
+          case Array(x, y) => (x, y)
+          case _ => throw new IllegalArgumentException(s"bad merges.txt line: '$l'")
+        }
+      }.toIndexedSeq)
+
+  /** Tokenize `textCol` → array of token ids, distributed: the merge
+    * table rides one broadcast, the work is map-side only. */
+  def tokenIds(spark: SparkSession, bpe: Bpe)(textCol: Column): Column = {
+    val b = spark.sparkContext.broadcast(bpe)
+    udf((text: String) => if (text == null) Seq.empty[Int] else b.value.encode(text))
+      .apply(textCol)
+  }
+}
