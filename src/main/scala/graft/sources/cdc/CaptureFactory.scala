@@ -19,7 +19,12 @@ import java.nio.file.Paths
   *    with column names registered from
   *    `debezium.source.binlog.columns.<schema>.<table> = c1,c2,…` and
   *    `debezium.source.binlog.keys.<schema>.<table> = k1[,k2…]`
-  *    (the information_schema lookup a live connector performs);
+  *    (the information_schema lookup a live connector performs); with
+  *    `protocol.socket` the session speaks the REAL MySQL wire
+  *    framing — a [[MySqlBinlogDumpFeed]] `COM_BINLOG_DUMP` session
+  *    (`debezium.source.mysql.binlog.filename` / `….mysql.server.id`
+  *    shape the request) — leaving only connection-phase auth as the
+  *    declared boundary;
   *  - `…MongoDbConnector` → [[MongoChangeStreamDecoder]] over the
   *    same feed shape (each message = one BSON change-stream event);
   *  - `…SqlServerConnector` → [[SqlServerCdcTailer]] polling the
@@ -48,15 +53,16 @@ object CaptureFactory {
     val dbDir = Paths.get(props.getOrElse("debezium.source.path",
       throw new IllegalArgumentException("debezium.source.path is required")))
     val prefix = props.getOrElse("debezium.source.topic.prefix", "testc")
+    def hostPortOf(hostPort: String): (String, Int) = hostPort.split(":", 2) match {
+      case Array(h, p) if p.forall(_.isDigit) && p.nonEmpty => (h, p.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"debezium.source.protocol.socket must be host:port, got '$hostPort'")
+    }
     // live socket session (`host:port`) wins over a captured-message
     // directory; exactly one of the two must be configured
     def feed: ReplicationFeed = props.get("debezium.source.protocol.socket") match {
       case Some(hostPort) =>
-        val (host, port) = hostPort.split(":", 2) match {
-          case Array(h, p) if p.forall(_.isDigit) && p.nonEmpty => (h, p.toInt)
-          case _ => throw new IllegalArgumentException(
-            s"debezium.source.protocol.socket must be host:port, got '$hostPort'")
-        }
+        val (host, port) = hostPortOf(hostPort)
         new SocketReplicationFeed(host, port,
           startCommand = props.getOrElse("debezium.source.protocol.start.command",
             "START_REPLICATION"),
@@ -80,6 +86,22 @@ object CaptureFactory {
     } else if (connectorClass.endsWith("MySqlConnector")) {
       val dec = new BinlogDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
         topicPrefix = prefix)
+      // MySQL + live socket: the REAL wire framing (COM_BINLOG_DUMP
+      // request, OK-prefixed event packets) instead of the generic
+      // length-framed session — the resume position is the replica's
+      // own binlog offset, persisted next to the layout
+      def mysqlFeed: ReplicationFeed = props.get("debezium.source.protocol.socket") match {
+        case Some(hostPort) =>
+          val (host, port) = hostPortOf(hostPort)
+          new MySqlBinlogDumpFeed(host, port,
+            binlogFilename = props.getOrElse("debezium.source.mysql.binlog.filename",
+              "binlog.000001"),
+            serverId = props.getOrElse("debezium.source.mysql.server.id", "65535").toInt,
+            maxPending = props.getOrElse("debezium.source.protocol.max.pending",
+              "65536").toInt,
+            positionFile = Some(dbDir.resolve("_binlog_pos")))
+        case None => feed
+      }
       val colPrefix = "debezium.source.binlog.columns."
       val tables = props.keys.filter(_.startsWith(colPrefix)).map(_.stripPrefix(colPrefix))
       if (tables.isEmpty) throw new IllegalArgumentException(
@@ -98,7 +120,7 @@ object CaptureFactory {
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         dec.registerTable(qual, cols, keys)
       }
-      ProtocolCapture(new ReplicationTailer(feed, dec.decode, dbDir))
+      ProtocolCapture(new ReplicationTailer(mysqlFeed, dec.decode, dbDir))
     } else if (connectorClass.endsWith("SqlServerConnector")) {
       SqlServerCapture(SqlServerCdcTailer.fromProperties(props))
     } else if (connectorClass.endsWith("MongoDbConnector")) {

@@ -1,0 +1,152 @@
+package graft.sources.cdc
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, IOException}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+/** [[ReplicationFeed]] speaking the real MySQL client/server wire
+  * framing for a binlog dump session — the `COM_BINLOG_DUMP` half of
+  * the MySQL handshake boundary (the remaining declared seam is auth
+  * only: the connection-phase handshake/caching_sha2 exchange).
+  * Everything here is the public protocol from the MySQL manual's
+  * "Replication Protocol" internals:
+  *
+  *  - every packet is `[int24 LE payload-length][int8 sequence-id]
+  *    [payload]`;
+  *  - the dump request payload is `0x12` (COM_BINLOG_DUMP), binlog
+  *    position int32 LE, flags int16 LE (0 = block at log end),
+  *    server-id int32 LE (this client's replica id), then the binlog
+  *    filename to EOF;
+  *  - the server answers with a packet per binlog event: payload =
+  *    `0x00` (OK) + the raw event bytes (v4 header + body — fed to
+  *    [[BinlogDecoder]] unchanged); `0xFF` is an ERR packet (code
+  *    int16 LE + message — raised to the caller); `0xFE` (EOF, short
+  *    packet) ends a non-blocking dump and is skipped.
+  *
+  * Resume: MySQL has no server-held client position (unlike a
+  * replication slot) — the replica announces its own binlog position
+  * in the dump request. [[commit]] therefore records the `log_pos`
+  * header field (bytes 13-16 LE, the event's END offset) of the last
+  * delivered event, persists it to `positionFile` (restart-safe), and
+  * a reconnect requests exactly from there. Position 4 = start of the
+  * binlog (after the 4-byte magic). At-least-once: un-committed
+  * events re-serve after reconnect; events with `log_pos` 0
+  * (synthetic/fake events — real servers send a fake ROTATE the same
+  * way) never advance the position.
+  *
+  * Bounded memory mirrors [[SocketReplicationFeed]]: past `maxPending`
+  * un-acked events the drain stops and the TCP window back-pressures
+  * the server; draining resumes after commit. (16 MB packet splitting
+  * is not implemented — row events larger than one packet are out of
+  * fixture scope and fail loudly on the frame-length guard.)
+  */
+final class MySqlBinlogDumpFeed(host: String, port: Int,
+                                binlogFilename: String = "binlog.000001",
+                                serverId: Int = 65535,
+                                connectTimeoutMs: Int = 5000,
+                                maxPending: Int = 65536,
+                                positionFile: Option[Path] = None)
+    extends ReplicationFeed {
+  require(maxPending > 0, "maxPending must be positive")
+
+  private var socket: Socket = _
+  private var in: DataInputStream = _
+  private var out: DataOutputStream = _
+  private var pending = Vector.empty[Array[Byte]]
+  private var pendingEndPos = 0L
+  /** Committed binlog position — what the next dump request announces. */
+  private var pos: Long =
+    positionFile.filter(Files.exists(_))
+      .map(f => Files.readString(f).trim.toLong).getOrElse(4L)
+
+  /** The committed binlog position (resume point). */
+  def committedPosition: Long = pos
+
+  private def ensureConnected(): Unit = if (socket == null) {
+    val s = new Socket()
+    s.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    s.setTcpNoDelay(true)
+    in = new DataInputStream(new BufferedInputStream(s.getInputStream))
+    out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
+    socket = s
+    pending = Vector.empty; pendingEndPos = pos
+    // COM_BINLOG_DUMP at the committed position
+    val fname = binlogFilename.getBytes(StandardCharsets.UTF_8)
+    val payload = java.nio.ByteBuffer.allocate(11 + fname.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    payload.put(0x12.toByte)
+    payload.putInt(pos.toInt)
+    payload.putShort(0) // flags: 0 = block at end of log
+    payload.putInt(serverId)
+    payload.put(fname)
+    writePacket(0, payload.array())
+  }
+
+  private def writePacket(seq: Int, payload: Array[Byte]): Unit = {
+    out.write(payload.length & 0xff)
+    out.write((payload.length >> 8) & 0xff)
+    out.write((payload.length >> 16) & 0xff)
+    out.write(seq & 0xff)
+    out.write(payload)
+    out.flush()
+  }
+
+  override def poll(): Seq[Array[Byte]] = {
+    try {
+      ensureConnected()
+      while (pending.size < maxPending && in.available() >= 4) {
+        val len = in.read() | (in.read() << 8) | (in.read() << 16)
+        in.read() // sequence id — informational on this path
+        require(len >= 1 && len <= MaxPacketBytes,
+          s"mysql dump: insane packet length $len — stream desynced")
+        val payload = new Array[Byte](len)
+        in.readFully(payload)
+        (payload(0) & 0xff) match {
+          case 0x00 =>
+            val event = java.util.Arrays.copyOfRange(payload, 1, len)
+            pending :+= event
+            // log_pos: bytes 13-16 LE of the v4 header = event end offset
+            if (event.length >= 17) {
+              val lp = (event(13) & 0xffL) | ((event(14) & 0xffL) << 8) |
+                ((event(15) & 0xffL) << 16) | ((event(16) & 0xffL) << 24)
+              if (lp > pendingEndPos) pendingEndPos = lp
+            }
+          case 0xFF =>
+            val code = (payload(1) & 0xff) | ((payload(2) & 0xff) << 8)
+            val msg = new String(payload, 3, len - 3, StandardCharsets.UTF_8)
+            teardown()
+            throw new IOException(s"mysql dump: server ERR $code: $msg")
+          case 0xFE => () // EOF of a non-blocking dump — skip
+          case other => throw new IOException(
+            f"mysql dump: unexpected packet marker 0x$other%02x")
+        }
+      }
+      pending
+    } catch {
+      case e: IOException => teardown(); throw e
+    }
+  }
+
+  override def commit(): Unit = if (pending.nonEmpty) {
+    pos = pendingEndPos
+    pending = Vector.empty
+    // durable BEFORE continuing: a crash after this point resumes at
+    // the new position; a crash before re-serves (at-least-once)
+    positionFile.foreach { f =>
+      val tmp = f.resolveSibling("." + f.getFileName.toString + ".tmp")
+      Files.writeString(tmp, pos.toString)
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def teardown(): Unit = if (socket != null) {
+    try socket.close() catch { case _: IOException => () }
+    socket = null; in = null; out = null
+  }
+
+  override def close(): Unit = teardown()
+
+  private val MaxPacketBytes = 16 * 1024 * 1024
+}

@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, IOException}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.CopyOnWriteArrayList
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong, AtomicReference}
+
+/** In-process MySQL binlog-dump server speaking the REAL client/server
+  * packet framing ([int24 LE length][int8 seq][payload]) — the
+  * loopback stand-in for a mysqld a
+  * [[graft.sources.cdc.MySqlBinlogDumpFeed]] session connects to.
+  * Validates the COM_BINLOG_DUMP request byte-for-byte (command 0x12,
+  * position int32 LE, flags int16 LE, server-id int32 LE, filename to
+  * EOF), records it, then serves queued binlog events as OK-prefixed
+  * packets — a real server's dump stream. Events whose `log_pos`
+  * header field is 0 (format descriptors, fake rotates) are served to
+  * every session; positioned events serve only past the requested
+  * offset — the server-side half of the resume contract. */
+final class StubMySqlBinlogServer extends AutoCloseable {
+  private val server = new ServerSocket(0)
+  private val queue = new CopyOnWriteArrayList[Array[Byte]]()
+  private val stopped = new AtomicBoolean(false)
+  /** (requested position, flags, server id, filename) of the last dump request. */
+  val lastRequest = new AtomicReference[(Long, Int, Int, String)]((-1L, -1, -1, ""))
+  val sessionsServed = new AtomicLong(0L)
+  /** When set, every new session answers the dump request with an ERR
+    * packet (code, message) instead of a stream. */
+  @volatile var errOnConnect: Option[(Int, String)] = None
+
+  def port: Int = server.getLocalPort
+  def enqueue(events: Array[Byte]*): Unit = events.foreach(queue.add)
+
+  private def logPos(e: Array[Byte]): Long =
+    if (e.length < 17) 0L
+    else (e(13) & 0xffL) | ((e(14) & 0xffL) << 8) | ((e(15) & 0xffL) << 16) |
+      ((e(16) & 0xffL) << 24)
+
+  private val acceptThread = new Thread(() => {
+    while (!stopped.get()) {
+      try {
+        val s = server.accept()
+        sessionsServed.incrementAndGet()
+        val t = new Thread(() => serve(s), "stub-mysql-session")
+        t.setDaemon(true); t.start()
+      } catch { case _: IOException => () }
+    }
+  }, "stub-mysql-accept")
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  private def serve(s: Socket): Unit = {
+    try {
+      s.setTcpNoDelay(true)
+      val in = new DataInputStream(s.getInputStream)
+      val out = new DataOutputStream(s.getOutputStream)
+      def writePacket(seq: Int, payload: Array[Byte]): Unit = {
+        out.write(payload.length & 0xff); out.write((payload.length >> 8) & 0xff)
+        out.write((payload.length >> 16) & 0xff); out.write(seq & 0xff)
+        out.write(payload); out.flush()
+      }
+      // the dump request
+      val len = in.read() | (in.read() << 8) | (in.read() << 16)
+      in.read() // seq
+      val p = new Array[Byte](len); in.readFully(p)
+      require((p(0) & 0xff) == 0x12, f"expected COM_BINLOG_DUMP 0x12, got 0x${p(0) & 0xff}%02x")
+      val bb = java.nio.ByteBuffer.wrap(p, 1, len - 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val pos = bb.getInt & 0xffffffffL
+      val flags = bb.getShort & 0xffff
+      val serverId = bb.getInt
+      val fname = new String(p, 11, len - 11, StandardCharsets.UTF_8)
+      lastRequest.set((pos, flags, serverId, fname))
+      errOnConnect match {
+        case Some((code, msg)) =>
+          val m = msg.getBytes(StandardCharsets.UTF_8)
+          val err = java.nio.ByteBuffer.allocate(3 + m.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          err.put(0xFF.toByte); err.putShort(code.toShort); err.put(m)
+          writePacket(1, err.array())
+        case None =>
+          var sent = 0
+          var seq = 1
+          while (!stopped.get() && !s.isClosed) {
+            if (sent < queue.size()) {
+              val e = queue.get(sent)
+              val lp = logPos(e)
+              if (lp == 0L || lp > pos) {
+                val payload = new Array[Byte](1 + e.length)
+                payload(0) = 0 // OK marker before each event
+                System.arraycopy(e, 0, payload, 1, e.length)
+                writePacket(seq, payload)
+                seq += 1
+              }
+              sent += 1
+            } else Thread.sleep(5)
+          }
+      }
+    } catch { case _: IOException => () }
+    finally { try s.close() catch { case _: IOException => () } }
+  }
+
+  override def close(): Unit = {
+    stopped.set(true)
+    try server.close() catch { case _: IOException => () }
+  }
+}
