@@ -118,19 +118,23 @@ object Multimodal {
     else try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-      else {
-        val g = math.max(1, math.sqrt(dim.toDouble).toInt)
-        val feats = Array.tabulate(dim) { i =>
-          val x = ((i % g) * img.getWidth / g).min(img.getWidth - 1)
-          val y = (((i / g) % g) * img.getHeight / g).min(img.getHeight - 1)
-          val rgb = img.getRGB(x, y)
-          val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-            0.114 * (rgb & 0xff)
-          (lum / 255.0).toFloat
-        }
-        Some((img.getWidth, img.getHeight, feats))
-      }
+      else Some((img.getWidth, img.getHeight, luminanceLattice(img, dim)))
     } catch { case _: Throwable => None }
+  }
+
+  /** The √dim × √dim Rec.601 luminance lattice over decoded pixels,
+    * normalized to [0,1] — shared by the image codec and the per-frame
+    * video features. */
+  private def luminanceLattice(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+    Array.tabulate(dim) { i =>
+      val x = ((i % g) * img.getWidth / g).min(img.getWidth - 1)
+      val y = (((i / g) % g) * img.getHeight / g).min(img.getHeight - 1)
+      val rgb = img.getRGB(x, y)
+      val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+      (lum / 255.0).toFloat
+    }
   }
 
   // ------------------------------------------------------------------
@@ -266,16 +270,100 @@ object Multimodal {
     } catch { case _: Throwable => None }
   }
 
-  /** Video container metadata + (stub) features in one pass: (doc_id,
-    * duration_ms, width, height, features); metadata null for rows
-    * that are not ISO-BMFF containers. */
+  // ------------------------------------------------------------------
+  // Real video FRAME decode for MJPEG-in-AVI (RIFF container walk +
+  // the JVM's own JPEG codec) — the one video format the JVM can
+  // decode end to end; other codecs stay behind the declared stub.
+
+  /** RIFF/AVI walk (the public layout: `RIFF <size LE> AVI `, chunks
+    * `[fourcc][size LE][data][pad-to-even]`, `LIST` chunks nest) to
+    * the `avih` main header (µs/frame, total frames, width, height)
+    * and the `movi` list's `##dc`/`##db` stream chunks — for MJPEG
+    * each one is a complete JPEG image. Corrupt or non-AVI bytes
+    * yield None, never an exception. */
+  private[llm] def parseAviMjpeg(bytes: Array[Byte])
+      : Option[(Long, Int, Int, Seq[Array[Byte]])] = {
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      def cc(p: Int): String =
+        new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def le4(p: Int): Long =
+        (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+          ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+      if (cc(0) != "RIFF" || cc(8) != "AVI ") return None
+      var avih: Option[Int] = None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(from: Int, until: Int): Unit = {
+        var p = from
+        while (p + 8 <= until) {
+          val name = cc(p)
+          val size = le4(p + 4).toInt
+          if (size < 0 || p + 8 + size > until) return // corrupt tail: stop
+          if (name == "LIST" && size >= 4) walk(p + 12, p + 8 + size)
+          else if (name == "avih") avih = Some(p + 8)
+          else if (name.endsWith("dc") || name.endsWith("db")) // stream data chunks
+            frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + size)
+          p += 8 + size + (size & 1) // chunks pad to even offsets
+        }
+      }
+      walk(12, bytes.length)
+      avih.map { s =>
+        val usPerFrame = le4(s)
+        val totalFrames = le4(s + 16)
+        val w = le4(s + 32).toInt
+        val h = le4(s + 36).toInt
+        (usPerFrame * totalFrames / 1000L, w, h, frames.toSeq)
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** REAL video features for MJPEG-AVI: sample up to `maxFrames`
+    * frames evenly across the stream, decode each through the JVM's
+    * JPEG codec, and average their luminance lattices — a temporal
+    * visual fingerprint of the same shape as the image features.
+    * None when the container is not AVI or no frame decodes (callers
+    * fall back to the metadata-only / stub path). */
+  private[llm] def decodeAviVideo(bytes: Array[Byte], dim: Int, maxFrames: Int = 8)
+      : Option[(Long, Int, Int, Array[Float])] =
+    parseAviMjpeg(bytes).flatMap { case (durMs, w, h, frames) =>
+      val picks =
+        if (frames.size <= maxFrames) frames.indices
+        else (0 until maxFrames).map(i => i * frames.size / maxFrames)
+      val acc = new Array[Double](dim)
+      var n = 0
+      picks.foreach { i =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(i)))
+          if (img != null && img.getWidth > 0) {
+            val f = luminanceLattice(img, dim)
+            var j = 0
+            while (j < dim) { acc(j) += f(j); j += 1 }
+            n += 1
+          }
+        } catch { case _: Throwable => () } // one bad frame never kills the row
+      }
+      if (n == 0) None
+      else Some((durMs, w, h, Array.tabulate(dim)(j => (acc(j) / n).toFloat)))
+    }
+
+  /** Video container metadata + features in one pass: (doc_id,
+    * duration_ms, width, height, features). MJPEG-AVI rows get REAL
+    * frame-decoded features ([[decodeAviVideo]]); ISO-BMFF rows get
+    * real container metadata with stub features (no MP4 codec in the
+    * JVM — the declared remaining stub); anything else is
+    * metadata-null with stub features. */
   def extractVideoInfo(df: DataFrame, idCol: String, dim: Int): DataFrame = {
     val info = udf { (bytes: Array[Byte]) =>
-      val feats = if (bytes == null) Array.empty[Float] else decodeStub(bytes, dim)
-      parseMp4Meta(bytes) match {
-        case Some((d, w, h)) =>
-          (Some(d), if (w > 0) Some(w) else None, if (h > 0) Some(h) else None, feats)
-        case None => (Option.empty[Long], Option.empty[Int], Option.empty[Int], feats)
+      decodeAviVideo(bytes, dim) match {
+        case Some((d, w, h, f)) =>
+          (Some(d), if (w > 0) Some(w) else None, if (h > 0) Some(h) else None, f)
+        case None =>
+          val feats = if (bytes == null) Array.empty[Float] else decodeStub(bytes, dim)
+          parseMp4Meta(bytes) match {
+            case Some((d, w, h)) =>
+              (Some(d), if (w > 0) Some(w) else None, if (h > 0) Some(h) else None, feats)
+            case None => (Option.empty[Long], Option.empty[Int], Option.empty[Int], feats)
+          }
       }
     }
     df.select(col(idCol).cast("long").as("doc_id"), info(col("media")).as("__v"))
@@ -285,18 +373,21 @@ object Multimodal {
 
   /** Media-type-dispatched decode — the codec seam: image/ media types
     * go through the real [[decodeImage]] codec, audio/ through the real
-    * [[decodeAudio]] codec, anything else (video FRAME decode remains a
-    * declared stub — no video codec ships with the JVM; container
-    * metadata is real via [[parseMp4Meta]] — and any media that
-    * fails to parse) through the deterministic [[decodeStub]], so the
-    * oracle-checked stub path and the real codecs coexist behind one
-    * call. */
+    * [[decodeAudio]] codec, video/ through the real MJPEG-AVI frame
+    * decode ([[decodeAviVideo]] — non-AVI codecs remain the declared
+    * stub: no MP4 video codec ships with the JVM, though container
+    * metadata is real via [[parseMp4Meta]]); anything else (and any
+    * media that fails to parse) through the deterministic
+    * [[decodeStub]], so the oracle-checked stub path and the real
+    * codecs coexist behind one call. */
   private[llm] def decodeByType(bytes: Array[Byte], mediaType: String, dim: Int): Array[Float] =
     if (bytes == null) Array.empty[Float]
     else if (mediaType != null && mediaType.startsWith("image/"))
       decodeImage(bytes, dim).map(_._3).getOrElse(decodeStub(bytes, dim))
     else if (mediaType != null && mediaType.startsWith("audio/"))
       decodeAudio(bytes, dim).map(_._4).getOrElse(decodeStub(bytes, dim))
+    else if (mediaType != null && mediaType.startsWith("video/"))
+      decodeAviVideo(bytes, dim).map(_._4).getOrElse(decodeStub(bytes, dim))
     else decodeStub(bytes, dim)
 
   /** Typed feature extraction dispatching on `media_meta.media_type`

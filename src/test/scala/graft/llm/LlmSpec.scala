@@ -568,6 +568,65 @@ class LlmSpec extends SparkSpec {
     assert(nv.getAs[scala.collection.Seq[Float]]("features").length == 8)
   }
 
+  test("multimodal: MJPEG-AVI frames decode through the real JPEG codec (RIFF walk + temporal mean)") {
+    // a real MJPEG-AVI built chunk-by-chunk per the RIFF layout, with
+    // three solid-gray 32×24 JPEG frames (levels 0 / 128 / 255)
+    def jpeg(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(level, level, level))
+      g.fillRect(0, 0, 32, 24); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc.getBytes("US-ASCII") ++ le(payload.length) ++ payload ++ pad
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
+    val avih = chunk("avih",
+      le(40000) ++ le(0) ++ le(0) ++ le(0) ++ // µs/frame, maxBps, padding, flags
+      le(3) ++ le(0) ++ le(1) ++ le(0) ++     // totalFrames, initial, streams, bufSize
+      le(32) ++ le(24) ++ new Array[Byte](16))
+    val frames = Seq(0, 128, 255).map(jpeg)
+    val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ list("hdrl", avih) ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le(body.length) ++ body
+
+    val Some((durMs, w, h, feats)) = Multimodal.decodeAviVideo(avi, dim = 8)
+    assert(durMs == 120L && w == 32 && h == 24) // 3 frames × 40 ms
+    // temporal mean of three flat gray frames ≈ (0+128+255)/3/255
+    val expected = (0.0 + 128.0 + 255.0) / 3.0 / 255.0
+    feats.foreach(f => assert(math.abs(f - expected) < 0.05, s"feature $f vs $expected"))
+    assert(Multimodal.decodeAviVideo("not an avi".getBytes("UTF-8"), 8).isEmpty)
+    // an AVI with a corrupt frame still decodes from the good frames
+    val movi2 = list("movi", chunk("00dc", Array[Byte](1, 2, 3)) ++ chunk("00dc", frames(1)))
+    val body2 = "AVI ".getBytes("US-ASCII") ++ list("hdrl", avih) ++ movi2
+    val avi2 = "RIFF".getBytes("US-ASCII") ++ le(body2.length) ++ body2
+    val Some((_, _, _, f2)) = Multimodal.decodeAviVideo(avi2, dim = 8)
+    f2.foreach(f => assert(math.abs(f - 128.0 / 255.0) < 0.05))
+
+    // extractVideoInfo: the AVI row carries REAL frame features,
+    // junk stays metadata-null with stub features
+    val out = Multimodal.extractVideoInfo(
+      Seq((1L, avi), (2L, "junk".getBytes("UTF-8"))).toDF("doc_id", "media"),
+      "doc_id", dim = 8).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("duration_ms") == 120L)
+    assert(out(0).getAs[Int]("width") == 32 && out(0).getAs[Int]("height") == 24)
+    out(0).getAs[scala.collection.Seq[Float]]("features")
+      .foreach(f => assert(math.abs(f - expected) < 0.05))
+    assert(out(1).isNullAt(out(1).fieldIndex("duration_ms")))
+    // dispatch: video/ media type routes to the AVI decoder
+    val byType = Multimodal.decodeByType(avi, "video/x-msvideo", 8)
+    assert(byType.toSeq == feats.toSeq)
+  }
+
   test("semDedup: within-cell duplicates drop keep-min; distinct vectors and cross-cell lookalikes survive") {
     // two well-separated directions in 4-d; the 2 lowest ids become
     // the centroids (one per direction), ids 3/4 near-duplicate them
