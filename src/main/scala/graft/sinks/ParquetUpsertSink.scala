@@ -66,7 +66,15 @@ object ParquetUpsertSink {
 final class ParquetUpsertSink(baseDir: String, keyFields: Seq[String] = Seq("id"),
                               numBuckets: Int = 16,
                               schemaEvolution: ParquetUpsertSink.SchemaEvolution =
-                                ParquetUpsertSink.SchemaEvolution.Basic)
+                                ParquetUpsertSink.SchemaEvolution.Basic,
+                              /** Auto-compact a destination after an
+                                * epoch leaves its manifest referencing
+                                * more than this many distinct epoch
+                                * dirs (0 = manual [[compact]] only).
+                                * Bounds the metadata/small-file growth
+                                * of a long-running stream — the classic
+                                * lakehouse OPTIMIZE cadence. */
+                              autoCompactAfterDirs: Int = 0)
     extends SinkConnector {
 
   override def name: String = "parquet-upsert"
@@ -185,9 +193,57 @@ final class ParquetUpsertSink(baseDir: String, keyFields: Seq[String] = Seq("id"
             writtenBuckets.map(_ -> epochDirName)
           Manifest(Some(epochId), newBuckets).writeAtomic(table)
           gcUnreferenced(table, newBuckets.values.toSet + epochDirName)
+          if (autoCompactAfterDirs > 0 &&
+              newBuckets.values.toSet.size > autoCompactAfterDirs)
+            compact(spark, dest)
         }
       }
     } finally graft.Fs.deleteRecursively(staging)
+  }
+
+  /** Fold a destination's live state into ONE epoch dir — the
+    * lakehouse OPTIMIZE/VACUUM step for this sink's
+    * pointer-over-immutable-files layout. Without it a long-running
+    * stream fragments: the manifest can reference up to `numBuckets`
+    * distinct epoch dirs, each still holding superseded bucket
+    * subdirs the dir-level GC cannot touch while ANY bucket points at
+    * the dir, and every read fans out over many small files — the
+    * classic small-file/metadata explosion at 100 TB epoch cadence.
+    *
+    * Crash-safe like the epoch path: rewrite all live buckets under a
+    * fresh `data-compact-<epoch>` dir (one file set per bucket via
+    * repartition on the bucket key), atomically swap the manifest,
+    * THEN delete every now-unreferenced epoch dir. The applied-epoch
+    * watermark is preserved, so replay idempotency is unaffected; the
+    * MERGE result is byte-identical because compaction only co-locates
+    * already-merged state. No-op when the state already lives in one
+    * dir (also prevents read-while-overwrite on repeated calls). */
+  def compact(spark: SparkSession, destination: String): Unit = {
+    val table = tableDir(sanitize(destination))
+    val manifest = Manifest.read(table)
+    val sourceDirs = manifest.buckets.values.toSet
+    if (manifest.epoch.isEmpty || sourceDirs.size <= 1) return
+    val target = s"data-compact-${manifest.epoch.get}"
+    // impossible to collide with a source dir: if a prior compact at
+    // this epoch produced `target`, every bucket points at it and the
+    // single-dir guard above already returned
+    val live = manifest.buckets.groupBy(_._2).map { case (epochDir, entries) =>
+      val paths = entries.keys.map(b => s"$table/$epochDir/__bucket=$b").toSeq
+      spark.read.option("basePath", s"$table/$epochDir").parquet(paths: _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    live.repartition(numBuckets, col("__bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__bucket").parquet(table.resolve(target).toString)
+    val written = listPartitionDirs(table.resolve(target), "__bucket=")
+      .map(_.getFileName.toString.stripPrefix("__bucket=").toInt).toSet
+    // verify BEFORE the pointer swap: a shortfall here must leave the
+    // old manifest (and every file it references) fully intact
+    require(manifest.buckets.keySet.subsetOf(written),
+      s"compaction wrote buckets $written but manifest references " +
+        s"${manifest.buckets.keySet} — aborting before the manifest swap")
+    Manifest(manifest.epoch, manifest.buckets.keySet.map(b => b -> target).toMap)
+      .writeAtomic(table)
+    gcUnreferenced(table, Set(target))
   }
 
   /** Current state of a destination's table (resolved via manifest). */

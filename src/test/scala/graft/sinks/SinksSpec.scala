@@ -240,6 +240,73 @@ class SinksSpec extends SparkSpec {
     assert(state.find(_.getAs[Int]("id") == 16).get.getAs[String]("q") == "q16")
   }
 
+  test("upsert compaction: N epochs fold to one dir, same MERGE result, fewer files, old epochs gone") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-upc").toString
+    val sink = new ParquetUpsertSink(dir, Seq("id"), numBuckets = 4)
+    // 6 epochs: creates, repeated same-key updates (the first epoch's
+    // dir keeps a STALE subdir for that bucket — dir-level GC cannot
+    // touch it while other buckets still reference the dir), a delete
+    sink.write(recordsWithLsn((1 to 12).map(i =>
+      (i, "c", s"q$i", s"a$i", java.lang.Long.valueOf(i.toLong))).toSeq), epochId = 1)
+    (2 to 5).foreach { e =>
+      sink.write(recordsWithLsn(Seq(
+        (2, "u", s"q2-v$e", "a2", java.lang.Long.valueOf(100L + e)))), epochId = e.toLong)
+    }
+    sink.write(recordsWithLsn(Seq((12, "d", s"q12", s"a12",
+      java.lang.Long.valueOf(999L)))), epochId = 6)
+
+    val table = Paths.get(dir, "testc_faq_items")
+    def epochDirs() = Files.list(table).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data-"))
+      .map(_.getFileName.toString).toSet
+    def parquetFiles() = Files.walk(table).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    val expected = sink.readTable(spark, "testc.faq.items")
+      .orderBy("id").collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("q"))).toSeq
+    assert(epochDirs().size > 1, "fixture must be fragmented before compaction")
+    val filesBefore = parquetFiles()
+
+    sink.compact(spark, "testc.faq.items")
+    assert(epochDirs() == Set("data-compact-6"), s"old epochs must be gone: ${epochDirs()}")
+    assert(parquetFiles() < filesBefore, "compaction must reduce the file count")
+    val after = sink.readTable(spark, "testc.faq.items")
+      .orderBy("id").collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("q"))).toSeq
+    assert(after == expected, "MERGE result must be identical after compaction")
+
+    // repeated compaction is a no-op (single-dir guard, no self-overwrite)
+    sink.compact(spark, "testc.faq.items")
+    assert(epochDirs() == Set("data-compact-6"))
+
+    // idempotency watermark survives: replaying epoch 6 is skipped,
+    // and the next epoch merges against compacted state
+    sink.write(recordsWithLsn(Seq((1, "u", "q1-replay", "a1",
+      java.lang.Long.valueOf(5000L)))), epochId = 6)
+    assert(sink.readTable(spark, "testc.faq.items")
+      .filter(org.apache.spark.sql.functions.col("id") === 1).head().getAs[String]("q") == "q1")
+    sink.write(recordsWithLsn(Seq((1, "u", "q1-new", "a1",
+      java.lang.Long.valueOf(5000L)))), epochId = 7)
+    assert(sink.readTable(spark, "testc.faq.items")
+      .filter(org.apache.spark.sql.functions.col("id") === 1).head().getAs[String]("q") == "q1-new")
+  }
+
+  test("upsert auto-compaction bounds epoch-dir growth across a long stream") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-upac").toString
+    val sink = new ParquetUpsertSink(dir, Seq("id"), numBuckets = 4,
+      autoCompactAfterDirs = 2)
+    (1 to 8).foreach { e =>
+      sink.write(recordsWithLsn(Seq(
+        (e, "c", s"q$e", s"a$e", java.lang.Long.valueOf(e.toLong)))), epochId = e.toLong)
+    }
+    val table = Paths.get(dir, "testc_faq_items")
+    val dirs = Files.list(table).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data-"))
+      .toSeq
+    assert(dirs.size <= 2, s"auto-compaction must bound dir growth, saw ${dirs.map(_.getFileName)}")
+    assert(sink.readTable(spark, "testc.faq.items").count() == 8)
+  }
+
   test("foreach kv sink puts from executors, honors tombstones and memory admission") {
     TestKvStore.clear()
     val sink = new ForeachKvSink(() => new TestKvClient(maxBytes = Long.MaxValue), batchSize = 2)
