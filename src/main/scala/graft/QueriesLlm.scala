@@ -12,7 +12,8 @@ object QueriesLlm {
   def all: Seq[Q] = Seq(llm01, llm02, llm03, llm04, llm05, llm06, llm07, llm08,
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
-                        llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35)
+                        llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
+                        llm36)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1407,6 +1408,35 @@ object QueriesLlm {
   private[graft] def bpeMergesText: String =
     "#version: 0.2\n" + bpeMergesFixture.map { case (x, y) => s"$x $y" }.mkString("\n")
 
+  /** The DuckDB replay of the tokenizer's single-step merge loop: the
+    * shared recursive-CTE prefix (word split → per-word BPE fixpoint →
+    * final symbol lists in `fin(doc_id, ord, syms)`) used by llm35
+    * (ids) and llm36 (counts feeding packing). */
+  private def bpeMergeLoopCtes: String = {
+    val mlist = bpeMergesFixture
+      .map { case (x, y) => s"'$x $y'" }.mkString("[", ",", "]")
+    s"""words AS (
+       |  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS ord
+       |  FROM (SELECT doc_id,
+       |          regexp_extract_all(lower(text), '${graft.llm.Tokenizer.WordPattern}') AS ws
+       |        FROM documents)),
+       |bpe(doc_id, ord, syms, step) AS (
+       |  SELECT doc_id, ord, str_split(word, '') AS syms, 0 FROM words
+       |  UNION ALL
+       |  SELECT doc_id, ord,
+       |    syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:], step + 1
+       |  FROM (SELECT doc_id, ord, syms, step,
+       |          list_position(pr, list_min(pr)) AS bi, list_min(pr) AS br
+       |        FROM (SELECT doc_id, ord, syms, step,
+       |                [coalesce(nullif(list_position($mlist,
+       |                   syms[i] || ' ' || syms[i+1]), 0), 9999999)
+       |                 for i in range(1, len(syms))] AS pr
+       |              FROM bpe))
+       |  WHERE br < 9999999),
+       |fin AS (SELECT doc_id, ord, max_by(syms, step) AS syms
+       |        FROM bpe GROUP BY doc_id, ord)""".stripMargin
+  }
+
   /** Real BPE tokenization (Tokenizer): the GPT-2-style merge loop
     * applied distributedly — token ids and counts, not the whitespace
     * approximation. The DuckDB oracle replays the IDENTICAL
@@ -1427,26 +1457,7 @@ object QueriesLlm {
       val mlist = bpeMergesFixture
         .map { case (x, y) => s"'$x $y'" }.mkString("[", ",", "]")
       s"""WITH RECURSIVE
-         |words AS (
-         |  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS ord
-         |  FROM (SELECT doc_id,
-         |          regexp_extract_all(lower(text), '${graft.llm.Tokenizer.WordPattern}') AS ws
-         |        FROM documents)),
-         |bpe(doc_id, ord, syms, step) AS (
-         |  SELECT doc_id, ord, str_split(word, '') AS syms, 0 FROM words
-         |  UNION ALL
-         |  SELECT doc_id, ord,
-         |    syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:], step + 1
-         |  FROM (SELECT doc_id, ord, syms, step,
-         |          list_position(pr, list_min(pr)) AS bi, list_min(pr) AS br
-         |        FROM (SELECT doc_id, ord, syms, step,
-         |                [coalesce(nullif(list_position($mlist,
-         |                   syms[i] || ' ' || syms[i+1]), 0), 9999999)
-         |                 for i in range(1, len(syms))] AS pr
-         |              FROM bpe))
-         |  WHERE br < 9999999),
-         |fin AS (SELECT doc_id, ord, max_by(syms, step) AS syms
-         |        FROM bpe GROUP BY doc_id, ord),
+         |$bpeMergeLoopCtes,
          |toks AS (SELECT doc_id, ord, unnest(syms) AS tok,
          |           unnest(range(1, len(syms)+1)) AS p FROM fin),
          |ids AS (
@@ -1464,4 +1475,38 @@ object QueriesLlm {
          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     })
+
+  /** Sequence packing driven by REAL BPE token counts — the
+    * integration the tokenizer exists for: pack budgets measured in
+    * actual model tokens, not whitespace words (a whitespace count
+    * under-fills packs by the subword expansion factor). Same
+    * shard-local packing shape as llm15; only the token measure
+    * changes. The oracle replays the BPE loop for the counts, then
+    * the identical packing window. */
+  private def llm36 = Q("llm36_bpe_packing",
+    (s, dir) => {
+      val bpe = graft.llm.Tokenizer.fromMergesText(bpeMergesText)
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        size(graft.llm.Tokenizer.tokenIds(s, bpe)(col("text"))).cast("long").as("n_tokens"))
+      val packed = Packing.packBudgeted(d, col("doc_id"), col("n_tokens"),
+        seqLen = 512, nShards = 8)
+      Packing.packManifest(packed, col("n_tokens"))
+        .orderBy(col("shard"), col("pack_id"))
+    },
+    Some(s"""WITH RECURSIVE
+            |$bpeMergeLoopCtes,
+            |cnt AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_tokens
+            |        FROM fin GROUP BY doc_id),
+            |d AS (SELECT d.doc_id, coalesce(c.n_tokens, 0) AS n_tokens,
+            |        (${Portable.duckHash64("d.doc_id")} % 8) AS shard
+            |      FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id),
+            |o AS (SELECT doc_id, n_tokens, shard,
+            |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+            |      FROM d)
+            |SELECT shard, CAST(off // 512 AS BIGINT) AS pack_id,
+            |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            |FROM o
+            |GROUP BY 1, 2
+            |ORDER BY shard, pack_id""".stripMargin))
 }

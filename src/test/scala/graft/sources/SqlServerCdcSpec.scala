@@ -139,6 +139,40 @@ class SqlServerCdcSpec extends SparkSpec {
     assert(batch.filter(col("value.op") === "c").count() == 4)
   }
 
+  test("sqlserver cdc: live pipeline — change-table rows flow through the daemon into the sink") {
+    val (url, st) = fixtureDb()
+    st.execute("INSERT INTO dbo.customers VALUES (1, 'Sally', 'Thomas', 's@x.com')")
+    val db = Files.createTempDirectory("graft-sqlserver-live")
+    val cap = graft.sources.cdc.CaptureFactory.fromProperties(Map(
+      "debezium.source.connector.class" -> "io.debezium.connector.sqlserver.SqlServerConnector",
+      "debezium.source.path" -> db.toString,
+      "debezium.source.jdbc.url" -> url,
+      "debezium.source.sqlserver.tables" -> "dbo.customers:id",
+      "debezium.source.sqlserver.emulated" -> "true"))
+    val sink = new graft.sinks.KvSink
+    val spec = graft.pipeline.PipelineSpec(sourcePath = db.toString,
+      keySchema = org.apache.spark.sql.types.StructType.fromDDL(keyDdl),
+      rowSchema = org.apache.spark.sql.types.StructType.fromDDL(rowDdl),
+      sink = sink, sourceType = "graft-cdc")
+    val q = graft.pipeline.CdcPipeline.startCapture(spark, spec, cap,
+      intervalMs = 100L,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+    try {
+      def waitFor(pred: => Boolean): Unit = {
+        var ms = 0
+        while (!pred && ms < 60000) { Thread.sleep(100); ms += 100 }
+        assert(pred)
+      }
+      waitFor(sink.size("testc.dbo.customers") >= 1) // snapshot row
+      // LIVE change-table rows are captured by the daemon and streamed
+      change(st, 30, 1, 2, 2, "Jon", "Snow", "j@x.com")
+      waitFor(sink.get("testc.dbo.customers", """{"id":2}""").exists(_.contains("Jon")))
+      // hard delete: op-1 row + tombstone drop the key from the KV view
+      change(st, 31, 1, 1, 2, "Jon", "Snow", "j@x.com")
+      waitFor(sink.get("testc.dbo.customers", """{"id":2}""").isEmpty)
+    } finally q.stop()
+  }
+
   test("sqlserver cdc: live dialect emits the documented fn_cdc_get_all_changes T-SQL; factory dispatches; positions order") {
     // the deployable artifact for a real SQL Server: the TVF call with
     // the 'all update old' row filter (op-3 before images) bounded by
