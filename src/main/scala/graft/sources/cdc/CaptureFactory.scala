@@ -99,7 +99,11 @@ object CaptureFactory {
             serverId = props.getOrElse("debezium.source.mysql.server.id", "65535").toInt,
             maxPending = props.getOrElse("debezium.source.protocol.max.pending",
               "65536").toInt,
-            positionFile = Some(dbDir.resolve("_binlog_pos")))
+            positionFile = Some(dbDir.resolve("_binlog_pos")),
+            // the reference's database.user/password knobs drive the
+            // connection-phase handshake; absent = auth-less session
+            credentials = props.get("debezium.source.database.user").map(u =>
+              (u, props.getOrElse("debezium.source.database.password", ""))))
         case None => feed
       }
       val colPrefix = "debezium.source.binlog.columns."

@@ -6,10 +6,14 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, StandardCopyOption}
 
 /** [[ReplicationFeed]] speaking the real MySQL client/server wire
-  * framing for a binlog dump session — the `COM_BINLOG_DUMP` half of
-  * the MySQL handshake boundary (the remaining declared seam is auth
-  * only: the connection-phase handshake/caching_sha2 exchange).
-  * Everything here is the public protocol from the MySQL manual's
+  * protocol for a binlog dump session — connection phase AND command
+  * phase. With `credentials` set, the session authenticates first:
+  * HandshakeV10 greeting → HandshakeResponse41 carrying the plugin's
+  * scrambled token ([[MySqlAuth]] — `mysql_native_password` and the
+  * `caching_sha2_password` fast path) → OK/ERR. The remaining
+  * declared boundary is TLS and caching_sha2's full-auth fallback
+  * (which needs TLS or the server's RSA key). Everything here is the
+  * public protocol from the MySQL manual's "Connection Phase" /
   * "Replication Protocol" internals:
   *
   *  - every packet is `[int24 LE payload-length][int8 sequence-id]
@@ -46,7 +50,12 @@ final class MySqlBinlogDumpFeed(host: String, port: Int,
                                 serverId: Int = 65535,
                                 connectTimeoutMs: Int = 5000,
                                 maxPending: Int = 65536,
-                                positionFile: Option[Path] = None)
+                                positionFile: Option[Path] = None,
+                                /** Connection-phase credentials. None
+                                  * = skip the handshake (a pre-auth'd
+                                  * or auth-less session — what the
+                                  * dump-only stub serves). */
+                                credentials: Option[(String, String)] = None)
     extends ReplicationFeed {
   require(maxPending > 0, "maxPending must be positive")
 
@@ -71,6 +80,36 @@ final class MySqlBinlogDumpFeed(host: String, port: Int,
     out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
     socket = s
     pending = Vector.empty; pendingEndPos = pos
+    // connection phase: HandshakeV10 greeting → HandshakeResponse41
+    // with the plugin's scrambled token → OK/ERR (MySqlAuth; the
+    // remaining boundary is TLS / caching_sha2 full re-auth)
+    credentials.foreach { case (user, password) =>
+      val (greetSeq, greeting) = readPacket()
+      val hs = MySqlAuth.parseHandshakeV10(greeting)
+      val token = MySqlAuth.scrambleFor(hs.authPlugin, password, hs.nonce)
+      writePacket(greetSeq + 1,
+        MySqlAuth.handshakeResponse41(user, token, hs.authPlugin))
+      val (_, reply) = readPacket()
+      (reply(0) & 0xff) match {
+        case 0x00 => () // OK — authenticated
+        case 0x03 => // caching_sha2 fast-auth success rides its own
+          // marker packet, then the OK packet follows
+          val (_, ok) = readPacket()
+          if ((ok(0) & 0xff) != 0x00) throw new IOException(
+            "mysql auth: expected OK after fast-auth success")
+        case 0xFF =>
+          val code = (reply(1) & 0xff) | ((reply(2) & 0xff) << 8)
+          val msg = new String(reply, 3, reply.length - 3, StandardCharsets.UTF_8)
+          teardown()
+          throw new IOException(s"mysql auth: server ERR $code: $msg")
+        case 0x04 => teardown(); throw new IOException(
+          "mysql auth: server requested caching_sha2 FULL auth (needs TLS or " +
+          "the server RSA key) — the declared boundary; use native auth or a " +
+          "cached-credentials account")
+        case other => teardown(); throw new IOException(
+          f"mysql auth: unexpected reply marker 0x$other%02x")
+      }
+    }
     // COM_BINLOG_DUMP at the committed position
     val fname = binlogFilename.getBytes(StandardCharsets.UTF_8)
     val payload = java.nio.ByteBuffer.allocate(11 + fname.length)
@@ -90,6 +129,18 @@ final class MySqlBinlogDumpFeed(host: String, port: Int,
     out.write(seq & 0xff)
     out.write(payload)
     out.flush()
+  }
+
+  /** Blocking read of one whole packet → (sequence id, payload). Used
+    * by the connection phase, where the protocol is strictly
+    * request/response (the dump stream uses the non-blocking drain). */
+  private def readPacket(): (Int, Array[Byte]) = {
+    val len = in.read() | (in.read() << 8) | (in.read() << 16)
+    val seq = in.read()
+    require(len >= 1 && len <= MaxPacketBytes, s"mysql: insane packet length $len")
+    val payload = new Array[Byte](len)
+    in.readFully(payload)
+    (seq, payload)
   }
 
   override def poll(): Seq[Array[Byte]] = {

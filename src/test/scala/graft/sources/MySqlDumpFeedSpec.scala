@@ -115,6 +115,49 @@ class MySqlDumpFeedSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("connection phase: mysql_native_password and caching_sha2 fast path authenticate; bad password is ERR 1045") {
+    // the scramble math itself, against the documented formulas
+    val nonce = Array.tabulate(20)(i => (i * 7 + 3).toByte)
+    val nat = graft.sources.cdc.MySqlAuth.scrambleNative("s3cret", nonce)
+    assert(nat.length == 20) // SHA-1 digest
+    val sha2 = graft.sources.cdc.MySqlAuth.scrambleCachingSha2("s3cret", nonce)
+    assert(sha2.length == 32) // SHA-256 digest
+    assert(!nat.sameElements(graft.sources.cdc.MySqlAuth.scrambleNative("other", nonce)))
+    intercept[IllegalArgumentException] {
+      graft.sources.cdc.MySqlAuth.scrambleFor("sha256_password", "x", nonce)
+    }
+
+    for (plugin <- Seq("mysql_native_password", "caching_sha2_password")) {
+      val srv = new StubMySqlBinlogServer
+      srv.authMode = Some((plugin, "replica", "s3cret"))
+      val db = Files.createTempDirectory(s"graft-mysqlauth-$plugin")
+      Files.createDirectories(db.resolve("snapshot"))
+      Files.writeString(db.resolve("snapshot/_lsn"), "0")
+      try {
+        srv.enqueue(fde, tableMap(150), insert(200, 1, "one"))
+        // full session: greeting → scrambled response → OK → dump → events
+        val feed = new graft.sources.cdc.MySqlBinlogDumpFeed("localhost", srv.port,
+          credentials = Some(("replica", "s3cret")))
+        val deadline = System.nanoTime() + 30e9.toLong
+        var got: Seq[Array[Byte]] = Nil
+        while (got.size < 3 && System.nanoTime() < deadline) {
+          got = feed.poll(); Thread.sleep(10)
+        }
+        assert(got.size == 3, s"$plugin: expected 3 events after auth")
+        assert(srv.lastAuthUser.get == "replica")
+        feed.close()
+
+        // wrong password: the server's ERR 1045 surfaces
+        val bad = new graft.sources.cdc.MySqlBinlogDumpFeed("localhost", srv.port,
+          credentials = Some(("replica", "wrong")))
+        val e = intercept[java.io.IOException] { bad.poll() }
+        assert(e.getMessage.contains("1045") && e.getMessage.contains("Access denied"),
+          s"$plugin: ${e.getMessage}")
+        bad.close()
+      } finally srv.close()
+    }
+  }
+
   test("COM_BINLOG_DUMP session: a server ERR packet surfaces with its code and message") {
     val srv = new StubMySqlBinlogServer
     srv.errOnConnect = Some((1236, "Could not find first log file name"))

@@ -27,6 +27,14 @@ final class StubMySqlBinlogServer extends AutoCloseable {
   /** When set, every new session answers the dump request with an ERR
     * packet (code, message) instead of a stream. */
   @volatile var errOnConnect: Option[(Int, String)] = None
+  /** When set to (plugin, user, password), every session runs the
+    * connection phase first: HandshakeV10 greeting with a fixed
+    * 20-byte nonce, then the client's HandshakeResponse41 is parsed
+    * and its auth token validated byte-for-byte against the plugin's
+    * scramble of `password` — OK on match, ERR 1045 otherwise. */
+  @volatile var authMode: Option[(String, String, String)] = None
+  val lastAuthUser = new AtomicReference[String]("")
+  private[sources] val nonce: Array[Byte] = Array.tabulate(20)(i => (i * 7 + 3).toByte)
 
   def port: Int = server.getLocalPort
   def enqueue(events: Array[Byte]*): Unit = events.foreach(queue.add)
@@ -59,6 +67,53 @@ final class StubMySqlBinlogServer extends AutoCloseable {
         out.write((payload.length >> 16) & 0xff); out.write(seq & 0xff)
         out.write(payload); out.flush()
       }
+      // connection phase (when configured): greet, validate the
+      // client's scrambled token, OK or ERR-and-close
+      val authed = authMode match {
+        case None => true
+        case Some((plugin, user, password)) =>
+          // HandshakeV10: proto 10, version, thread id, nonce[0..7], 0,
+          // caps, charset, status, caps hi, auth-len, 10 reserved,
+          // nonce[8..19] + NUL, plugin name
+          val g = java.nio.ByteBuffer.allocate(128)
+          g.put(10.toByte)
+          g.put("8.0.0-stub".getBytes(StandardCharsets.UTF_8)); g.put(0.toByte)
+          g.putInt(Integer.reverseBytes(7)) // thread id (LE)
+          g.put(nonce, 0, 8); g.put(0.toByte)
+          g.putShort(0); g.put(45.toByte); g.putShort(0); g.putShort(0)
+          g.put(21.toByte) // auth data len: 20 + NUL
+          g.put(new Array[Byte](10))
+          g.put(nonce, 8, 12); g.put(0.toByte)
+          g.put(plugin.getBytes(StandardCharsets.UTF_8)); g.put(0.toByte)
+          writePacket(0, java.util.Arrays.copyOf(g.array(), g.position()))
+          // HandshakeResponse41: caps(4) maxpkt(4) charset(1) filler(23)
+          // user NUL, token len + token, plugin NUL
+          val rlen = in.read() | (in.read() << 8) | (in.read() << 16)
+          in.read()
+          val r = new Array[Byte](rlen); in.readFully(r)
+          var i = 4 + 4 + 1 + 23
+          val u0 = i; while (r(i) != 0) i += 1
+          lastAuthUser.set(new String(r, u0, i - u0, StandardCharsets.UTF_8))
+          i += 1
+          val tlen = r(i) & 0xff; i += 1
+          val token = java.util.Arrays.copyOfRange(r, i, i + tlen)
+          val expected = graft.sources.cdc.MySqlAuth.scrambleFor(plugin, password, nonce)
+          if (lastAuthUser.get != user || !java.util.Arrays.equals(token, expected)) {
+            val m = "Access denied".getBytes(StandardCharsets.UTF_8)
+            val err = java.nio.ByteBuffer.allocate(3 + m.length)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            err.put(0xFF.toByte); err.putShort(1045.toShort); err.put(m)
+            writePacket(2, err.array())
+            false
+          } else {
+            if (plugin == "caching_sha2_password")
+              writePacket(2, Array(0x03.toByte)) // fast-auth success marker
+            writePacket(if (plugin == "caching_sha2_password") 3 else 2,
+              Array(0x00.toByte, 0x00.toByte, 0x00.toByte)) // OK
+            true
+          }
+      }
+      if (!authed) { s.close(); return }
       // the dump request
       val len = in.read() | (in.read() << 8) | (in.read() << 16)
       in.read() // seq
