@@ -82,7 +82,26 @@ object CaptureFactory {
     if (connectorClass.endsWith("PostgresConnector")) {
       val dec = new PgOutputDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
         topicPrefix = prefix)
-      ProtocolCapture(new ReplicationTailer(feed, dec.decode, dbDir))
+      // PostgreSQL + live pgwire: the REAL v3 walsender session
+      // (startup/auth/START_REPLICATION — PgWalSenderFeed) selected by
+      // `debezium.source.protocol.pgwire`, shaped by the reference's
+      // own knobs (database.dbname/user/password, slot.name,
+      // publication.name); otherwise the generic feed
+      def pgFeed: ReplicationFeed = props.get("debezium.source.protocol.pgwire") match {
+        case Some(hostPort) =>
+          val (host, port) = hostPortOf(hostPort)
+          new PgWalSenderFeed(host, port,
+            database = props.getOrElse("debezium.source.database.dbname", "postgres"),
+            user = props.getOrElse("debezium.source.database.user", "postgres"),
+            password = props.get("debezium.source.database.password"),
+            slot = props.getOrElse("debezium.source.slot.name", "graft"),
+            publication = props.getOrElse("debezium.source.publication.name", "graft_pub"),
+            maxPending = props.getOrElse("debezium.source.protocol.max.pending",
+              "65536").toInt,
+            positionFile = Some(dbDir.resolve("_pg_flushed")))
+        case None => feed
+      }
+      ProtocolCapture(new ReplicationTailer(pgFeed, dec.decode, dbDir))
     } else if (connectorClass.endsWith("MySqlConnector")) {
       val dec = new BinlogDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
         topicPrefix = prefix)

@@ -1,0 +1,114 @@
+package graft.sources.cdc
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.Base64
+import javax.crypto.Mac
+import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
+
+/** PostgreSQL connection-phase authentication — the public password
+  * protocols from the frontend/backend protocol docs (reference
+  * connector matrix: debezium-server-dist/pom.xml:359-389), reduced to
+  * what a logical-replication client needs:
+  *
+  *  - [[md5Password]]: the `AuthenticationMD5Password` response —
+  *    `"md5" + hex(md5(hex(md5(password ++ user)) ++ salt))`;
+  *  - [[ScramSession]]: the SCRAM-SHA-256 SASL exchange (RFC 5802 with
+  *    PostgreSQL's conventions: empty `n=` username — the startup
+  *    user wins — and no channel binding, `c=biws`). The client also
+  *    VERIFIES the server signature from `AuthenticationSASLFinal`, so
+  *    a spoofed server that never knew the password is detected.
+  *
+  * SASLprep normalization is identity for ASCII passwords; non-ASCII
+  * passwords pass through as UTF-8 (the declared boundary — real
+  * deployments overwhelmingly use ASCII secrets).
+  *
+  * Pure functions over bytes/strings: [[PgWalSenderFeed]] drives them
+  * over the v3 message framing, and the test stub re-derives the same
+  * values server-side to validate proofs byte-for-byte.
+  */
+object PgAuth {
+
+  private def hex(bs: Array[Byte]): String = bs.map(b => f"$b%02x").mkString
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val md = MessageDigest.getInstance("MD5"); parts.foreach(md.update); md.digest()
+  }
+
+  /** `AuthenticationMD5Password` (type 5) response string. */
+  def md5Password(user: String, password: String, salt: Array[Byte]): String = {
+    val inner = hex(md5(password.getBytes(StandardCharsets.UTF_8),
+      user.getBytes(StandardCharsets.UTF_8)))
+    "md5" + hex(md5(inner.getBytes(StandardCharsets.UTF_8), salt))
+  }
+
+  // ---- SCRAM-SHA-256 primitives (shared with the verifying stub) ----
+
+  def hmacSha256(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256")); mac.doFinal(data)
+  }
+  def sha256(data: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("SHA-256").digest(data)
+
+  /** `Hi(password, salt, i)` = PBKDF2-HMAC-SHA256. */
+  def saltedPassword(password: String, salt: Array[Byte], iterations: Int): Array[Byte] = {
+    val spec = new PBEKeySpec(password.toCharArray, salt, iterations, 256)
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+  }
+
+  private def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Array.tabulate(a.length)(i => (a(i) ^ b(i)).toByte)
+
+  private def utf8(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  /** Parse `k=v,k=v` SCRAM attribute lists (values may contain '='
+    * past the first — base64 padding). */
+  def attrs(msg: String): Map[Char, String] =
+    msg.split(",").iterator.filter(_.length >= 2).map(kv => kv(0) -> kv.drop(2)).toMap
+
+  /** One SCRAM-SHA-256 client exchange. `clientNonce` is caller-chosen
+    * (the feed uses SecureRandom; specs pass a fixed one). */
+  final case class ScramSession(clientNonce: String) {
+    val clientFirstBare: String = s"n=,r=$clientNonce"
+    /** `SASLInitialResponse` payload: gs2 header (no channel binding) +
+      * bare. */
+    def clientFirstMessage: String = "n,," + clientFirstBare
+
+    /** Compute the `SASLResponse` for the server-first-message and the
+      * server signature the `AuthenticationSASLFinal` MUST carry.
+      * Fails loudly if the server nonce does not extend ours (a replay
+      * splice) or the iteration count is non-positive. */
+    def clientFinal(password: String, serverFirst: String): (String, String) = {
+      val a = attrs(serverFirst)
+      val nonce = a.getOrElse('r', throw new IllegalArgumentException(
+        s"scram: server-first lacks r=: $serverFirst"))
+      require(nonce.startsWith(clientNonce),
+        "scram: server nonce does not extend the client nonce (splice?)")
+      val salt = Base64.getDecoder.decode(a('s'))
+      val iters = a('i').toInt
+      require(iters > 0, s"scram: non-positive iteration count $iters")
+      val salted = saltedPassword(password, salt, iters)
+      val clientKey = hmacSha256(salted, utf8("Client Key"))
+      val storedKey = sha256(clientKey)
+      val withoutProof = s"c=biws,r=$nonce"
+      val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
+      val proof = xor(clientKey, hmacSha256(storedKey, utf8(authMessage)))
+      val serverKey = hmacSha256(salted, utf8("Server Key"))
+      val serverSig = Base64.getEncoder.encodeToString(
+        hmacSha256(serverKey, utf8(authMessage)))
+      (s"$withoutProof,p=${Base64.getEncoder.encodeToString(proof)}", serverSig)
+    }
+  }
+
+  /** Server-side proof check (what a real server does with its stored
+    * `StoredKey`; the stub derives it from the known password). Returns
+    * true iff `SHA256(proof XOR HMAC(StoredKey, authMessage)) ==
+    * StoredKey`. */
+  def verifyClientProof(storedKey: Array[Byte], authMessage: String,
+                        proof: Array[Byte]): Boolean = {
+    val clientSig = hmacSha256(storedKey, utf8(authMessage))
+    java.util.Arrays.equals(sha256(xor(proof, clientSig)), storedKey)
+  }
+}
