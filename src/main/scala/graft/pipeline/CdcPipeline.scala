@@ -180,16 +180,17 @@ object CdcPipeline {
     q
   }
 
-  /** Live pipeline over SQL Server's native CDC change tables: same
+  /** Live pipeline over a database's native change bookkeeping (SQL
+    * Server change tables, Oracle LogMiner, DB2 CD tables): same
     * snapshot-mode dispatch and daemon lifecycle as [[startLive]], but
     * the change feed carries hard deletes and before images (the
-    * change-table protocol retains both). */
-  def startSqlServer(spark: SparkSession, spec: PipelineSpec,
-                     tailer: graft.sources.cdc.SqlServerCdcTailer,
+    * native capture retains both). */
+  def startNativeCdc(spark: SparkSession, spec: PipelineSpec,
+                     tailer: graft.sources.cdc.NativeCdcTailer,
                      pollIntervalMs: Long = 1000L,
                      trigger: Trigger = Trigger.ProcessingTime(1000L)): StreamingQuery = {
     import java.nio.file.{Files, Paths}
-    if (!Files.exists(Paths.get(spec.sourcePath, "_sqlserver_state")))
+    if (!Files.exists(Paths.get(spec.sourcePath, tailer.stateFileName)))
       spec.snapshotMode match {
         case "initial" | "when_needed" | "initial_only" => tailer.snapshot()
         case "no_data" | "never" | "schema_only" => tailer.snapshotSchemaOnly()
@@ -199,7 +200,7 @@ object CdcPipeline {
       }
     val q = start(spark, spec.copy(sourceType = "graft-cdc"), trigger)
     if (spec.snapshotMode != "initial_only") {
-      val daemon = new graft.sources.cdc.SqlServerCdcTailer.Daemon(tailer, pollIntervalMs).start()
+      val daemon = new graft.sources.cdc.NativeCdc.Daemon(tailer, pollIntervalMs).start()
       registerTerminationHook(spark, q, () => daemon.close())
     }
     q
@@ -220,8 +221,8 @@ object CdcPipeline {
         startLive(spark, spec, t, intervalMs, trigger)
       case graft.sources.cdc.CaptureFactory.ProtocolCapture(t) =>
         startReplication(spark, spec, t, intervalMs, trigger)
-      case graft.sources.cdc.CaptureFactory.SqlServerCapture(t) =>
-        startSqlServer(spark, spec, t, intervalMs, trigger)
+      case graft.sources.cdc.CaptureFactory.NativeCapture(t) =>
+        startNativeCdc(spark, spec, t, intervalMs, trigger)
     }
 
   /** Close the sink exactly once when ITS query terminates

@@ -44,9 +44,10 @@ object CaptureFactory {
   final case class PollingCapture(tailer: JdbcPollingTailer) extends Capture
   /** Log-protocol capture (hard deletes + before images flow). */
   final case class ProtocolCapture(tailer: ReplicationTailer) extends Capture
-  /** SQL Server native-CDC change-table capture (hard deletes + before
-    * images over plain SQL). */
-  final case class SqlServerCapture(tailer: SqlServerCdcTailer) extends Capture
+  /** Native-CDC change-bookkeeping capture over plain SQL — SQL Server
+    * change tables, Oracle LogMiner, DB2 CD tables (hard deletes +
+    * before images, no socket protocol). */
+  final case class NativeCapture(tailer: NativeCdcTailer) extends Capture
 
   def fromProperties(props: Map[String, String]): Capture = {
     val connectorClass = props.getOrElse("debezium.source.connector.class", "")
@@ -145,7 +146,9 @@ object CaptureFactory {
       }
       ProtocolCapture(new ReplicationTailer(mysqlFeed, dec.decode, dbDir))
     } else if (connectorClass.endsWith("SqlServerConnector")) {
-      SqlServerCapture(SqlServerCdcTailer.fromProperties(props))
+      NativeCapture(SqlServerCdcTailer.fromProperties(props))
+    } else if (connectorClass.endsWith("OracleConnector")) {
+      NativeCapture(OracleLogMinerTailer.fromProperties(props))
     } else if (connectorClass.endsWith("MongoDbConnector")) {
       val dec = new MongoChangeStreamDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
         topicPrefix = prefix)

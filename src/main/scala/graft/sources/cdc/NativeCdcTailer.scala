@@ -1,0 +1,266 @@
+package graft.sources.cdc
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.sql.{DriverManager, ResultSet}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Shared machinery for native-CDC change captures that read a
+  * database's OWN change bookkeeping over plain SQL — SQL Server
+  * change tables, Oracle LogMiner, DB2 SQL-Replication CD tables
+  * (reference connector matrix: debezium-server-dist/pom.xml:359-389).
+  * These sit between watermark polling (no hard deletes, no before
+  * images) and a log-wire decoder (needs a socket protocol): the
+  * change feed is a SQL query, but it carries the full d/c/u surface.
+  *
+  * Every tailer here shares the same lifecycle, extracted into
+  * [[NativeCdcTailer]]:
+  *
+  *  - [[NativeCdcTailer.snapshot]]: one repeatable-read transaction
+  *    dumps every table to `snapshot/<schema>.<table>.jsonl` and
+  *    records each table's CURRENT change position — changes at or
+  *    below it are part of the snapshot, polling starts strictly
+  *    after;
+  *  - [[NativeCdcTailer.poll]]: per table, decode change rows past the
+  *    stored position into envelopes (the connector-specific
+  *    [[NativeCdcTailer.forEachChange]]), append bounded WAL segments
+  *    to the shared [[CdcLayout]] the DSv2 `graft-cdc` source reads;
+  *  - position state per table persisted as hex `lsn:seq` pairs,
+  *    advancing with every segment flush — a crash replays only past
+  *    the last flushed position (at-least-once; the epoch-idempotent
+  *    downstream converges).
+  */
+object NativeCdc {
+
+  /** One captured table. `captureInstance` defaults to the common
+    * `<schema>_<table>` naming. */
+  final case class TableSpec(schema: String, table: String, keyCols: Seq[String],
+                             captureInstance: Option[String] = None) {
+    def qualified: String = s"$schema.$table"
+    def ci: String = captureInstance.getOrElse(s"${schema}_$table")
+  }
+
+  /** Change position: (commit LSN/SCN, intra-transaction sequence),
+    * both unsigned big-endian. Total order = (lsn, seq). */
+  final case class Position(lsn: BigInt, seq: BigInt) {
+    def >(o: Position): Boolean = lsn > o.lsn || (lsn == o.lsn && seq > o.seq)
+    def render: String = s"${lsn.toString(16)}:${seq.toString(16)}"
+  }
+  object Position {
+    val Min: Position = Position(BigInt(-1), BigInt(-1))
+    def parse(s: String): Position = s.split(":", 2) match {
+      case Array(l, q) => Position(BigInt(l, 16), BigInt(q, 16))
+      case _ => throw new IllegalArgumentException(s"bad position '$s'")
+    }
+  }
+
+  /** One complete decoded change event (an update's before/after pair
+    * arrives as ONE event — pairing is the connector's job). */
+  final case class Change(op: String, before: Option[Map[String, Any]],
+                          after: Option[Map[String, Any]], keyFrom: Map[String, Any])
+
+  /** Parse `schema.table:key1+key2[:captureInstance][,…]` specs (the
+    * shared `debezium.source.<connector>.tables` syntax). */
+  def parseTableSpecs(spec: String): Seq[TableSpec] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { one =>
+      one.split(":") match {
+        case Array(qual, keys, rest @ _*) if rest.size <= 1 =>
+          val Array(schema, table) = qual.split("\\.", 2)
+          TableSpec(schema, table, keys.split("\\+").toSeq, rest.headOption)
+        case _ => throw new IllegalArgumentException(
+          s"bad table spec '$one' (want schema.table:key1+key2[:captureInstance])")
+      }
+    }
+
+  private[sources] def bigIntOf(v: Any): BigInt = v match {
+    case null => BigInt(-1)
+    case b: Array[Byte] => BigInt(1, b)
+    case n: java.math.BigDecimal => BigInt(n.toBigInteger)
+    case n: Number => BigInt(n.longValue())
+    case other => throw new IllegalArgumentException(s"unreadable LSN value: $other")
+  }
+
+  /** Background poll loop — the connector-task thread (same shape as
+    * [[JdbcPollingTailer.Daemon]]): errors count and retry next tick. */
+  final class Daemon(tailer: NativeCdcTailer, intervalMs: Long,
+                     onPoll: Int => Unit = _ => ()) extends AutoCloseable {
+    private val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile private var errors = 0L
+    private val thread = new Thread(() => {
+      while (!stop.get()) {
+        try onPoll(tailer.poll())
+        catch { case _: Throwable if !stop.get() => errors += 1 }
+        try Thread.sleep(intervalMs) catch { case _: InterruptedException => () }
+      }
+    }, s"graft-${tailer.connectorName}-tailer")
+    thread.setDaemon(true)
+
+    def start(): this.type = { thread.start(); this }
+    def errorCount: Long = errors
+    override def close(): Unit =
+      if (stop.compareAndSet(false, true)) { thread.interrupt(); thread.join(5000) }
+  }
+}
+
+abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
+                               tables: Seq[NativeCdc.TableSpec],
+                               topicPrefix: String,
+                               dbName: String,
+                               /** Compaction tombstone after each
+                                 * delete — `tombstones.on.delete`,
+                                 * matching the log decoders. */
+                               emitTombstones: Boolean) {
+  import NativeCdc._
+
+  /** `source.connector` envelope field + daemon thread name. */
+  def connectorName: String
+  /** Per-connector state file name under `dbDir` (e.g.
+    * `_sqlserver_state`) — [[graft.pipeline.CdcPipeline]] keys
+    * snapshot-mode dispatch off its existence. */
+  def stateFileName: String
+  /** Current end-of-log position at snapshot time — changes at or
+    * below it are already IN the snapshot. */
+  protected def currentPosition(conn: java.sql.Connection, t: TableSpec): Position
+  /** Decode all change rows of `t` STRICTLY PAST `from` into complete
+    * [[NativeCdc.Change]] events, in (position) order. Re-fetch
+    * overlap at/below `from` must be filtered by the implementation. */
+  protected def forEachChange(conn: java.sql.Connection, t: TableSpec, from: Position)
+                             (emit: (Position, Change) => Unit): Unit
+
+  def tableSpecs: Seq[TableSpec] = tables
+
+  private def stateFile = dbDir.resolve(stateFileName)
+
+  /** Consistent snapshot: one repeatable-read transaction dumps every
+    * table and records each table's current change position. */
+  def snapshot(): Unit = {
+    val snapDir = Files.createDirectories(dbDir.resolve("snapshot"))
+    Files.createDirectories(dbDir.resolve("wal"))
+    val conn = DriverManager.getConnection(jdbcUrl)
+    try {
+      conn.setAutoCommit(false)
+      conn.setTransactionIsolation(java.sql.Connection.TRANSACTION_REPEATABLE_READ)
+      val positions = mutable.Map.empty[String, Position]
+      tables.foreach { t =>
+        positions(t.ci) = currentPosition(conn, t)
+        val rows = mutable.ArrayBuffer.empty[String]
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(s"SELECT * FROM ${t.qualified}")
+          while (rs.next()) rows += CdcJson.obj(rowMap(rs))
+        } finally st.close()
+        val tmp = snapDir.resolve(s".${t.qualified}.jsonl.tmp")
+        Files.writeString(tmp, rows.mkString("", "\n", "\n"))
+        Files.move(tmp, snapDir.resolve(s"${t.qualified}.jsonl"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+      conn.commit()
+      Files.writeString(snapDir.resolve("_lsn"), "0")
+      writeState(0L, positions.toMap)
+    } finally conn.close()
+  }
+
+  /** `no_data`/`never`/`schema_only` modes: record the current
+    * position only — existing rows are never delivered. */
+  def snapshotSchemaOnly(): Unit = {
+    val snapDir = Files.createDirectories(dbDir.resolve("snapshot"))
+    Files.createDirectories(dbDir.resolve("wal"))
+    val conn = DriverManager.getConnection(jdbcUrl)
+    try {
+      val positions = mutable.Map.empty[String, Position]
+      tables.foreach { t =>
+        positions(t.ci) = currentPosition(conn, t)
+        val tmp = snapDir.resolve(s".${t.qualified}.jsonl.tmp")
+        Files.writeString(tmp, "")
+        Files.move(tmp, snapDir.resolve(s"${t.qualified}.jsonl"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+      Files.writeString(snapDir.resolve("_lsn"), "0")
+      writeState(0L, positions.toMap)
+    } finally conn.close()
+  }
+
+  /** One poll: per table, decode change rows past the stored position
+    * into envelope lines, append bounded WAL segments. State advances
+    * with every flush. Returns envelope lines written. */
+  def poll(maxSegmentRecords: Int = 10000): Int = {
+    require(Files.exists(stateFile),
+      s"$connectorName tailer: snapshot() must run before poll()")
+    require(maxSegmentRecords > 0, "maxSegmentRecords must be positive")
+    val (lsn0, pos0) = readState()
+    var lsn = lsn0
+    val positions = mutable.Map(pos0.toSeq: _*)
+    val buf = mutable.ArrayBuffer.empty[String]
+    var total = 0
+    val walDir = Files.createDirectories(dbDir.resolve("wal"))
+    var seq = CdcLayout.walFiles(dbDir).size
+    def flush(): Unit = if (buf.nonEmpty) {
+      val tmp = walDir.resolve(f".wal-$seq%06d.jsonl.tmp")
+      Files.writeString(tmp, buf.mkString("", "\n", "\n"))
+      Files.move(tmp, walDir.resolve(f"wal-$seq%06d.jsonl"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      seq += 1
+      writeState(lsn, positions.toMap)
+      total += buf.size
+      buf.clear()
+    }
+    val conn = DriverManager.getConnection(jdbcUrl)
+    try {
+      tables.foreach { t =>
+        val from = positions.getOrElse(t.ci, Position.Min)
+        forEachChange(conn, t, from) { (pos, ch) =>
+          lsn += 1
+          buf += envelope(t, ch.op, ch.before, ch.after, ch.keyFrom, lsn)
+          if (ch.op == "d" && emitTombstones) buf += tombstone(t, ch.keyFrom)
+          positions(t.ci) = pos
+          if (buf.size >= maxSegmentRecords) flush()
+        }
+      }
+    } finally conn.close()
+    flush()
+    total
+  }
+
+  protected def rowMap(rs: ResultSet): Map[String, Any] = {
+    val md = rs.getMetaData
+    (1 to md.getColumnCount).map { i =>
+      md.getColumnLabel(i).toLowerCase -> rs.getObject(i)
+    }.toMap
+  }
+
+  private def envelope(t: TableSpec, op: String,
+                       before: Option[Map[String, Any]], after: Option[Map[String, Any]],
+                       keyFrom: Map[String, Any], lsn: Long): String = {
+    val key = CdcJson.obj(t.keyCols.map(k => k.toLowerCase -> keyFrom(k.toLowerCase)).toMap)
+    s"""{"destination":"$topicPrefix.${t.qualified}","key":$key,""" +
+      s""""value":{"op":"$op","before":${before.fold("null")(CdcJson.obj)},""" +
+      s""""after":${after.fold("null")(CdcJson.obj)},""" +
+      s""""source":{"connector":"$connectorName","db":"$dbName","schema":"${t.schema}",""" +
+      s""""table":"${t.table}","lsn":$lsn,"snapshot":"false","ts_ms":0},"ts_ms":0},"headers":{}}"""
+  }
+
+  private def tombstone(t: TableSpec, keyFrom: Map[String, Any]): String = {
+    val key = CdcJson.obj(t.keyCols.map(k => k.toLowerCase -> keyFrom(k.toLowerCase)).toMap)
+    s"""{"destination":"$topicPrefix.${t.qualified}","key":$key,"value":null,"headers":{}}"""
+  }
+
+  /** State file: "lsn <counter>" + "pos <captureInstance> <lsn>:<seq>"
+    * hex lines, written atomically. */
+  private def writeState(lsn: Long, positions: Map[String, Position]): Unit = {
+    val tmp = dbDir.resolve(s"$stateFileName.tmp")
+    Files.writeString(tmp,
+      (s"lsn $lsn" +: positions.toSeq.sortBy(_._1).map { case (ci, p) =>
+        s"pos $ci ${p.render}" }).mkString("", "\n", "\n"))
+    Files.move(tmp, stateFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readState(): (Long, Map[String, Position]) = {
+    val lines = Files.readAllLines(stateFile).asScala.filter(_.nonEmpty)
+    val lsn = lines.head.stripPrefix("lsn ").trim.toLong
+    val positions = lines.tail.filter(_.startsWith("pos ")).map { l =>
+      val Array(_, ci, p) = l.split(" ", 3); ci -> Position.parse(p)
+    }.toMap
+    (lsn, positions)
+  }
+}

@@ -1,9 +1,7 @@
 package graft.sources.cdc
 
-import java.nio.file.{Files, Path, StandardCopyOption}
-import java.sql.{DriverManager, PreparedStatement, ResultSet}
-import scala.collection.mutable
-import scala.jdk.CollectionConverters._
+import java.nio.file.Path
+import java.sql.PreparedStatement
 
 /** SQL Server CDC change-table capture — the native-CDC middle ground
   * between watermark polling and a log-protocol decoder (reference
@@ -27,10 +25,9 @@ import scala.jdk.CollectionConverters._
   * images (op 3 rows, requested by the `all update old` row filter,
   * pair with their op 4 row on equal (`__$start_lsn`,`__$seqval`)).
   *
-  * The tailer writes the same on-disk [[CdcLayout]] the DSv2
-  * `graft-cdc` source reads: snapshot dump + `_lsn` + WAL segments of
-  * envelope lines, so include lists, LSN offsets, pushed filters and
-  * every sink are unchanged downstream.
+  * Snapshot / WAL-segment / position lifecycle is the shared
+  * [[NativeCdcTailer]]; this class contributes the change-table
+  * dialects and the op-code pairing.
   *
   * Dialects: [[SqlServerCdcTailer.SqlServerDialect]] emits the real
   * T-SQL (TVF call bounded by `sys.fn_cdc_get_max_lsn()`, binary(10)
@@ -42,38 +39,15 @@ import scala.jdk.CollectionConverters._
   * `__$...` columns verbatim), and also a legitimate capture path
   * (querying `cdc.<ci>_CT` directly is how SQL Server's own
   * `sys.sp_cdc_scan` consumers read at scale).
-  *
-  * Position state is (`__$start_lsn`,`__$seqval`) per capture
-  * instance, persisted as hex (binary(10) and bigint both order
-  * correctly as unsigned big-endian), advancing with every segment
-  * flush — a crash replays only past the last flushed position
-  * (at-least-once; the epoch-idempotent / latest-state-by-LSN
-  * downstream converges).
   */
 object SqlServerCdcTailer {
 
-  /** One captured table. `captureInstance` defaults to SQL Server's
-    * own default naming, `<schema>_<table>`. */
-  final case class TableSpec(schema: String, table: String, keyCols: Seq[String],
-                             captureInstance: Option[String] = None) {
-    def qualified: String = s"$schema.$table"
-    def ci: String = captureInstance.getOrElse(s"${schema}_$table")
-  }
-
-  /** Change position: (commit LSN, intra-transaction sequence), both
-    * unsigned big-endian (SQL Server binary(10) or an emulated
-    * integer). Total order = (lsn, seq). */
-  final case class Position(lsn: BigInt, seq: BigInt) {
-    def >(o: Position): Boolean = lsn > o.lsn || (lsn == o.lsn && seq > o.seq)
-    def render: String = s"${lsn.toString(16)}:${seq.toString(16)}"
-  }
-  object Position {
-    val Min: Position = Position(BigInt(-1), BigInt(-1))
-    def parse(s: String): Position = s.split(":", 2) match {
-      case Array(l, q) => Position(BigInt(l, 16), BigInt(q, 16))
-      case _ => throw new IllegalArgumentException(s"bad position '$s'")
-    }
-  }
+  type TableSpec = NativeCdc.TableSpec
+  val TableSpec: NativeCdc.TableSpec.type = NativeCdc.TableSpec
+  type Position = NativeCdc.Position
+  val Position: NativeCdc.Position.type = NativeCdc.Position
+  type Daemon = NativeCdc.Daemon
+  private[sources] def bigIntOf(v: Any): BigInt = NativeCdc.bigIntOf(v)
 
   /** The SQL surface of a change-table source — where a live SQL
     * Server and the in-sandbox emulation differ. Both return rows of
@@ -145,14 +119,6 @@ object SqlServerCdcTailer {
     }
   }
 
-  private[sources] def bigIntOf(v: Any): BigInt = v match {
-    case null => BigInt(-1)
-    case b: Array[Byte] => BigInt(1, b)
-    case n: java.math.BigDecimal => BigInt(n.toBigInteger)
-    case n: Number => BigInt(n.longValue())
-    case other => throw new IllegalArgumentException(s"unreadable LSN value: $other")
-  }
-
   /** Config construction under the `debezium.source.*` namespace:
     *
     *   debezium.source.jdbc.url         = jdbc:...
@@ -163,42 +129,12 @@ object SqlServerCdcTailer {
   def fromProperties(props: Map[String, String]): SqlServerCdcTailer = {
     def req(k: String) = props.getOrElse(k,
       throw new IllegalArgumentException(s"missing $k"))
-    val tables = req("debezium.source.sqlserver.tables")
-      .split(",").map(_.trim).filter(_.nonEmpty).map { spec =>
-        spec.split(":") match {
-          case Array(qual, keys, rest @ _*) if rest.size <= 1 =>
-            val Array(schema, table) = qual.split("\\.", 2)
-            TableSpec(schema, table, keys.split("\\+").toSeq, rest.headOption)
-          case _ => throw new IllegalArgumentException(
-            s"bad table spec '$spec' (want schema.table:key1+key2[:captureInstance])")
-        }
-      }.toSeq
+    val tables = NativeCdc.parseTableSpecs(req("debezium.source.sqlserver.tables"))
     new SqlServerCdcTailer(req("debezium.source.jdbc.url"),
       java.nio.file.Paths.get(req("debezium.source.path")), tables,
       dialect = if (props.get("debezium.source.sqlserver.emulated").contains("true"))
         EmulatedDialect else SqlServerDialect,
       topicPrefix = props.getOrElse("debezium.source.topic.prefix", "testc"))
-  }
-
-  /** Background poll loop — the connector-task thread (same shape as
-    * [[JdbcPollingTailer.Daemon]]): errors count and retry next tick. */
-  final class Daemon(tailer: SqlServerCdcTailer, intervalMs: Long,
-                     onPoll: Int => Unit = _ => ()) extends AutoCloseable {
-    private val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    @volatile private var errors = 0L
-    private val thread = new Thread(() => {
-      while (!stop.get()) {
-        try onPoll(tailer.poll())
-        catch { case _: Throwable if !stop.get() => errors += 1 }
-        try Thread.sleep(intervalMs) catch { case _: InterruptedException => () }
-      }
-    }, "graft-sqlserver-tailer")
-    thread.setDaemon(true)
-
-    def start(): this.type = { thread.start(); this }
-    def errorCount: Long = errors
-    override def close(): Unit =
-      if (stop.compareAndSet(false, true)) { thread.interrupt(); thread.join(5000) }
   }
 }
 
@@ -208,185 +144,59 @@ final class SqlServerCdcTailer(jdbcUrl: String, dbDir: Path,
                                  SqlServerCdcTailer.SqlServerDialect,
                                topicPrefix: String = "testc",
                                dbName: String = "db",
-                               /** Compaction tombstone after each
-                                 * delete — `tombstones.on.delete`,
-                                 * matching the log decoders. */
-                               emitTombstones: Boolean = true) {
-  import SqlServerCdcTailer._
+                               emitTombstones: Boolean = true)
+    extends NativeCdcTailer(jdbcUrl, dbDir, tables, topicPrefix, dbName, emitTombstones) {
+  import NativeCdc._
+  import SqlServerCdcTailer.bigIntOf
 
-  def tableSpecs: Seq[TableSpec] = tables
+  override def connectorName: String = "sqlserver"
+  override def stateFileName: String = "_sqlserver_state"
+
   /** The exact change-polling SQL per table (asserted by the spec —
     * the live dialect's TVF text is the deployable artifact). */
   def changesSqlFor(t: TableSpec): String = dialect.changesSql(t)
 
-  private val stateFile = dbDir.resolve("_sqlserver_state")
+  override protected def currentPosition(conn: java.sql.Connection,
+                                         t: TableSpec): Position =
+    dialect.currentPosition(conn, t)
 
-  /** Consistent snapshot: one repeatable-read transaction dumps every
-    * table to `snapshot/<schema>.<table>.jsonl` and records each
-    * capture instance's CURRENT change-table position — changes at or
-    * below it are part of the snapshot; polling starts strictly
-    * after. */
-  def snapshot(): Unit = {
-    val snapDir = Files.createDirectories(dbDir.resolve("snapshot"))
-    Files.createDirectories(dbDir.resolve("wal"))
-    val conn = DriverManager.getConnection(jdbcUrl)
+  /** Decode op codes into complete events: 2→'c'; the op-3 BEFORE
+    * image rides just ahead of its op-4 partner on equal
+    * (`__$start_lsn`,`__$seqval`) and pairs into one 'u'; 1→'d'. */
+  override protected def forEachChange(conn: java.sql.Connection, t: TableSpec,
+                                       from: Position)
+                                      (emit: (Position, Change) => Unit): Unit = {
+    val ps = conn.prepareStatement(dialect.changesSql(t))
     try {
-      conn.setAutoCommit(false)
-      conn.setTransactionIsolation(java.sql.Connection.TRANSACTION_REPEATABLE_READ)
-      val positions = mutable.Map.empty[String, Position]
-      tables.foreach { t =>
-        positions(t.ci) = dialect.currentPosition(conn, t)
-        val rows = mutable.ArrayBuffer.empty[String]
-        val st = conn.createStatement()
-        try {
-          val rs = st.executeQuery(s"SELECT * FROM ${t.qualified}")
-          while (rs.next()) rows += CdcJson.obj(rowMap(rs))
-        } finally st.close()
-        val tmp = snapDir.resolve(s".${t.qualified}.jsonl.tmp")
-        Files.writeString(tmp, rows.mkString("", "\n", "\n"))
-        Files.move(tmp, snapDir.resolve(s"${t.qualified}.jsonl"),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      }
-      conn.commit()
-      Files.writeString(snapDir.resolve("_lsn"), "0")
-      writeState(0L, positions.toMap)
-    } finally conn.close()
-  }
-
-  /** `no_data`/`never`/`schema_only` modes: record the current
-    * position only — existing rows are never delivered. */
-  def snapshotSchemaOnly(): Unit = {
-    val snapDir = Files.createDirectories(dbDir.resolve("snapshot"))
-    Files.createDirectories(dbDir.resolve("wal"))
-    val conn = DriverManager.getConnection(jdbcUrl)
-    try {
-      val positions = mutable.Map.empty[String, Position]
-      tables.foreach { t =>
-        positions(t.ci) = dialect.currentPosition(conn, t)
-        val tmp = snapDir.resolve(s".${t.qualified}.jsonl.tmp")
-        Files.writeString(tmp, "")
-        Files.move(tmp, snapDir.resolve(s"${t.qualified}.jsonl"),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      }
-      Files.writeString(snapDir.resolve("_lsn"), "0")
-      writeState(0L, positions.toMap)
-    } finally conn.close()
-  }
-
-  /** One poll: per capture instance, read change rows past the stored
-    * position, decode op codes into envelopes (2→'c'; 3+4 pair→'u'
-    * with the before image; 1→'d' + tombstone), append bounded WAL
-    * segments. State advances with every flush. Returns envelope
-    * lines written. */
-  def poll(maxSegmentRecords: Int = 10000): Int = {
-    require(Files.exists(stateFile), "sqlserver tailer: snapshot() must run before poll()")
-    require(maxSegmentRecords > 0, "maxSegmentRecords must be positive")
-    val (lsn0, pos0) = readState()
-    var lsn = lsn0
-    val positions = mutable.Map(pos0.toSeq: _*)
-    val buf = mutable.ArrayBuffer.empty[String]
-    var total = 0
-    val walDir = Files.createDirectories(dbDir.resolve("wal"))
-    var seq = CdcLayout.walFiles(dbDir).size
-    def flush(): Unit = if (buf.nonEmpty) {
-      val tmp = walDir.resolve(f".wal-$seq%06d.jsonl.tmp")
-      Files.writeString(tmp, buf.mkString("", "\n", "\n"))
-      Files.move(tmp, walDir.resolve(f"wal-$seq%06d.jsonl"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      seq += 1
-      writeState(lsn, positions.toMap)
-      total += buf.size
-      buf.clear()
-    }
-    val conn = DriverManager.getConnection(jdbcUrl)
-    try {
-      tables.foreach { t =>
-        val from = positions.getOrElse(t.ci, Position.Min)
-        val ps = conn.prepareStatement(dialect.changesSql(t))
-        try {
-          dialect.bindFrom(ps, from)
-          val rs = ps.executeQuery()
-          // the op-3 BEFORE image riding just ahead of its op-4 row
-          var pendingBefore: Option[(Position, Map[String, Any])] = None
-          while (rs.next()) {
-            val m = rowMap(rs)
-            val pos = Position(bigIntOf(m("__$start_lsn")), bigIntOf(m("__$seqval")))
-            if (pos > from) {
-              val op = m("__$operation") match {
-                case n: Number => n.intValue()
-                case other => throw new IllegalArgumentException(s"bad __\\$$operation: $other")
-              }
-              val row = m.view.filterKeys(!_.startsWith("__$")).toMap
-              op match {
-                case 3 => // update BEFORE image: held for its op-4 partner
-                  pendingBefore = Some((pos, row))
-                case 4 =>
-                  val before = pendingBefore.collect { case (p, r) if p == pos => r }
-                  pendingBefore = None
-                  lsn += 1
-                  buf += envelope(t, "u", before, Some(row), keyFrom = row, lsn)
-                case 2 =>
-                  lsn += 1
-                  buf += envelope(t, "c", None, Some(row), keyFrom = row, lsn)
-                case 1 =>
-                  lsn += 1
-                  buf += envelope(t, "d", Some(row), None, keyFrom = row, lsn)
-                  if (emitTombstones) buf += tombstone(t, row)
-                case other => throw new IllegalArgumentException(
-                  s"sqlserver cdc: unknown __\\$$operation $other at $pos " +
-                  "(1=delete, 2=insert, 3=update-before, 4=update-after)")
-              }
-              positions(t.ci) = pos
-              if (buf.size >= maxSegmentRecords && pendingBefore.isEmpty) flush()
-            }
+      dialect.bindFrom(ps, from)
+      val rs = ps.executeQuery()
+      var pendingBefore: Option[(Position, Map[String, Any])] = None
+      while (rs.next()) {
+        val m = rowMap(rs)
+        val pos = Position(bigIntOf(m("__$start_lsn")), bigIntOf(m("__$seqval")))
+        if (pos > from) {
+          val op = m("__$operation") match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(s"bad __\\$$operation: $other")
           }
-        } finally ps.close()
+          val row = m.view.filterKeys(!_.startsWith("__$")).toMap
+          op match {
+            case 3 => // update BEFORE image: held for its op-4 partner
+              pendingBefore = Some((pos, row))
+            case 4 =>
+              val before = pendingBefore.collect { case (p, r) if p == pos => r }
+              pendingBefore = None
+              emit(pos, Change("u", before, Some(row), keyFrom = row))
+            case 2 =>
+              emit(pos, Change("c", None, Some(row), keyFrom = row))
+            case 1 =>
+              emit(pos, Change("d", Some(row), None, keyFrom = row))
+            case other => throw new IllegalArgumentException(
+              s"sqlserver cdc: unknown __\\$$operation $other at $pos " +
+              "(1=delete, 2=insert, 3=update-before, 4=update-after)")
+          }
+        }
       }
-    } finally conn.close()
-    flush()
-    total
-  }
-
-  private def rowMap(rs: ResultSet): Map[String, Any] = {
-    val md = rs.getMetaData
-    (1 to md.getColumnCount).map { i =>
-      md.getColumnLabel(i).toLowerCase -> rs.getObject(i)
-    }.toMap
-  }
-
-  private def envelope(t: TableSpec, op: String,
-                       before: Option[Map[String, Any]], after: Option[Map[String, Any]],
-                       keyFrom: Map[String, Any], lsn: Long): String = {
-    val key = CdcJson.obj(t.keyCols.map(k => k.toLowerCase -> keyFrom(k.toLowerCase)).toMap)
-    s"""{"destination":"$topicPrefix.${t.qualified}","key":$key,""" +
-      s""""value":{"op":"$op","before":${before.fold("null")(CdcJson.obj)},""" +
-      s""""after":${after.fold("null")(CdcJson.obj)},""" +
-      s""""source":{"connector":"sqlserver","db":"$dbName","schema":"${t.schema}",""" +
-      s""""table":"${t.table}","lsn":$lsn,"snapshot":"false","ts_ms":0},"ts_ms":0},"headers":{}}"""
-  }
-
-  private def tombstone(t: TableSpec, keyFrom: Map[String, Any]): String = {
-    val key = CdcJson.obj(t.keyCols.map(k => k.toLowerCase -> keyFrom(k.toLowerCase)).toMap)
-    s"""{"destination":"$topicPrefix.${t.qualified}","key":$key,"value":null,"headers":{}}"""
-  }
-
-  /** State file: "lsn <counter>" + "pos <captureInstance> <lsn>:<seq>"
-    * hex lines, written atomically. */
-  private def writeState(lsn: Long, positions: Map[String, Position]): Unit = {
-    val tmp = dbDir.resolve("_sqlserver_state.tmp")
-    Files.writeString(tmp,
-      (s"lsn $lsn" +: positions.toSeq.sortBy(_._1).map { case (ci, p) =>
-        s"pos $ci ${p.render}" }).mkString("", "\n", "\n"))
-    Files.move(tmp, stateFile,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  private def readState(): (Long, Map[String, Position]) = {
-    val lines = Files.readAllLines(stateFile).asScala.filter(_.nonEmpty)
-    val lsn = lines.head.stripPrefix("lsn ").trim.toLong
-    val positions = lines.tail.filter(_.startsWith("pos ")).map { l =>
-      val Array(_, ci, p) = l.split(" ", 3); ci -> Position.parse(p)
-    }.toMap
-    (lsn, positions)
+    } finally ps.close()
   }
 }

@@ -203,10 +203,10 @@ class SqlServerCdcSpec extends SparkSpec {
       "debezium.source.sqlserver.tables" -> "dbo.customers:id",
       "debezium.source.sqlserver.emulated" -> "true"))
     cap match {
-      case graft.sources.cdc.CaptureFactory.SqlServerCapture(tl) =>
+      case graft.sources.cdc.CaptureFactory.NativeCapture(tl: graft.sources.cdc.SqlServerCdcTailer) =>
         assert(tl.tableSpecs == Seq(t))
         assert(tl.changesSqlFor(t) == EmulatedDialect.changesSql(t))
-      case other => fail(s"expected SqlServerCapture, got $other")
+      case other => fail(s"expected NativeCapture(SqlServerCdcTailer), got $other")
     }
   }
 }
