@@ -92,20 +92,26 @@ final class MySqlBinlogDumpFeed(host: String, port: Int,
       val (_, reply) = readPacket()
       (reply(0) & 0xff) match {
         case 0x00 => () // OK — authenticated
-        case 0x03 => // caching_sha2 fast-auth success rides its own
-          // marker packet, then the OK packet follows
-          val (_, ok) = readPacket()
-          if ((ok(0) & 0xff) != 0x00) throw new IOException(
-            "mysql auth: expected OK after fast-auth success")
+        case 0x01 => // AuthMoreData — caching_sha2's status wrapper:
+          // second byte 0x03 = fast-auth success (OK packet follows),
+          // 0x04 = full auth required
+          (reply(1) & 0xff) match {
+            case 0x03 =>
+              val (_, ok) = readPacket()
+              if ((ok(0) & 0xff) != 0x00) throw new IOException(
+                "mysql auth: expected OK after fast-auth success")
+            case 0x04 => teardown(); throw new IOException(
+              "mysql auth: server requested caching_sha2 FULL auth (needs TLS or " +
+              "the server RSA key) — the declared boundary; use native auth or a " +
+              "cached-credentials account")
+            case other => teardown(); throw new IOException(
+              f"mysql auth: unexpected AuthMoreData status 0x$other%02x")
+          }
         case 0xFF =>
           val code = (reply(1) & 0xff) | ((reply(2) & 0xff) << 8)
           val msg = new String(reply, 3, reply.length - 3, StandardCharsets.UTF_8)
           teardown()
           throw new IOException(s"mysql auth: server ERR $code: $msg")
-        case 0x04 => teardown(); throw new IOException(
-          "mysql auth: server requested caching_sha2 FULL auth (needs TLS or " +
-          "the server RSA key) — the declared boundary; use native auth or a " +
-          "cached-credentials account")
         case other => teardown(); throw new IOException(
           f"mysql auth: unexpected reply marker 0x$other%02x")
       }

@@ -106,8 +106,8 @@ final class StubMySqlBinlogServer extends AutoCloseable {
             writePacket(2, err.array())
             false
           } else {
-            if (plugin == "caching_sha2_password")
-              writePacket(2, Array(0x03.toByte)) // fast-auth success marker
+            if (plugin == "caching_sha2_password") // AuthMoreData(0x01) wrapping
+              writePacket(2, Array(0x01.toByte, 0x03.toByte)) // fast-auth success
             writePacket(if (plugin == "caching_sha2_password") 3 else 2,
               Array(0x00.toByte, 0x00.toByte, 0x00.toByte)) // OK
             true
