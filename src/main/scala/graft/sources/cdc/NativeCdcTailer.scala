@@ -143,14 +143,17 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
       val positions = mutable.Map.empty[String, Position]
       tables.foreach { t =>
         positions(t.ci) = currentPosition(conn, t)
-        val rows = mutable.ArrayBuffer.empty[String]
+        val tmp = snapDir.resolve(s".${t.qualified}.jsonl.tmp")
         val st = conn.createStatement()
+        // a snapshot table can be arbitrarily large — stream rows to
+        // the file as the ResultSet iterates (never a table image on
+        // the driver; poll() already flushes per segment the same way)
+        st.setFetchSize(1000)
         try {
           val rs = st.executeQuery(s"SELECT * FROM ${t.qualified}")
-          while (rs.next()) rows += CdcJson.obj(rowMap(rs))
+          val out = Files.newBufferedWriter(tmp)
+          try writeSnapshotRows(rs, out) finally out.close()
         } finally st.close()
-        val tmp = snapDir.resolve(s".${t.qualified}.jsonl.tmp")
-        Files.writeString(tmp, rows.mkString("", "\n", "\n"))
         Files.move(tmp, snapDir.resolve(s"${t.qualified}.jsonl"),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
@@ -219,6 +222,15 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
     } finally conn.close()
     flush()
     total
+  }
+
+  /** Stream every ResultSet row to `out`, one envelope line at a
+    * time — the write granularity is ONE row, independent of table
+    * size (footprint-asserted by NativeCdcSnapshotSpec). */
+  protected[cdc] def writeSnapshotRows(rs: ResultSet, out: java.io.Writer): Long = {
+    var n = 0L
+    while (rs.next()) { out.write(CdcJson.obj(rowMap(rs))); out.write("\n"); n += 1 }
+    n
   }
 
   protected def rowMap(rs: ResultSet): Map[String, Any] = {
