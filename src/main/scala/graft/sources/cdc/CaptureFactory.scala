@@ -31,6 +31,10 @@ import java.nio.file.Paths
   *    native CDC change tables (`cdc.fn_cdc_get_all_changes_*`,
   *    `__$operation` codes) — hard deletes + before images over plain
   *    SQL, no socket protocol;
+  *  - `…OracleConnector` → [[OracleLogMinerTailer]] polling mined
+  *    redo (`V$LOGMNR_CONTENTS` `SQL_REDO` via [[OracleRedoParser]]);
+  *  - `…Db2Connector` → [[Db2CdTailer]] polling SQL-Replication CD
+  *    tables (`IBMSNAP_OPERATION` I/U/D, prefixed before images);
   *  - anything else (or `debezium.source.jdbc.url` present) →
   *    [[JdbcPollingTailer]], the log-less fallback.
   *
@@ -149,6 +153,8 @@ object CaptureFactory {
       NativeCapture(SqlServerCdcTailer.fromProperties(props))
     } else if (connectorClass.endsWith("OracleConnector")) {
       NativeCapture(OracleLogMinerTailer.fromProperties(props))
+    } else if (connectorClass.endsWith("Db2Connector")) {
+      NativeCapture(Db2CdTailer.fromProperties(props))
     } else if (connectorClass.endsWith("MongoDbConnector")) {
       val dec = new MongoChangeStreamDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
         topicPrefix = prefix)
