@@ -14,7 +14,7 @@ import graft.operators.{ApplyChanges, EventShaping, SmtFactory}
   */
 object QueriesCdc {
 
-  def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10)
+  def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -371,4 +371,101 @@ object QueriesCdc {
            |  AND value IS NOT NULL
            |GROUP BY destination
            |ORDER BY destination""".stripMargin))
+
+  /** cdc11's native-capture fixture: an events subset rendered as the
+    * redo SQL LogMiner reconstructs, hosted in a Derby mined-contents
+    * table; [[graft.sources.cdc.OracleLogMinerTailer]] polls it
+    * through the real parse/decode/position machinery into the shared
+    * layout. Built once per (sf-dir, mtime) outside the bench timer. */
+  private def cdc11Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet")
+    val stamp = if (Files.exists(src))
+      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
+    val db = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-cdc11-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
+    if (!Files.exists(db.resolve("_done"))) this.synchronized {
+      if (!Files.exists(db.resolve("_done"))) {
+        Files.createDirectories(db)
+        val url = s"jdbc:derby:memory:cdc11${java.util.UUID.randomUUID().toString.take(8)};create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          st.execute("CREATE SCHEMA logmnr")
+          st.execute("""CREATE TABLE logmnr."app_events_CONTENTS" (""" +
+            "scn BIGINT, ssn BIGINT, operation VARCHAR(16), sql_redo VARCHAR(4000))")
+          st.close()
+          val tailer = new graft.sources.cdc.OracleLogMinerTailer(url, db,
+            Seq(graft.sources.cdc.NativeCdc.TableSpec("app", "events", Seq("user_id"))),
+            dialect = graft.sources.cdc.OracleLogMinerTailer.EmulatedDialect,
+            emitTombstones = false)
+          tailer.snapshotSchemaOnly()
+          // the log subset (event_id % 10), one mined row per change in
+          // SCN (= event_id) order; op mapping matches cdc02/cdc07
+          val rows = Tables.events(s, dir)
+            .filter(col("event_id") % 10 === 0)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+                    col("value"), unix_micros(col("ts")).as("ts_us"))
+            .orderBy(col("event_id"))
+            .collect()
+          val ps = conn.prepareStatement(
+            """INSERT INTO logmnr."app_events_CONTENTS" VALUES (?, ?, ?, ?)""")
+          rows.zipWithIndex.foreach { case (r, i) =>
+            val (eid, uid) = (r.getLong(0), r.getLong(1))
+            val (et, v, ts) = (r.getString(2), r.getDouble(3), r.getLong(4))
+            val (op, redo) = et match {
+              case "signup" => ("INSERT",
+                s"""insert into "APP"."EVENTS"("USER_ID","EVENT_TYPE","VALUE","TS_US") """ +
+                s"""values ($uid,'$et',$v,$ts);""")
+              case "error" => ("DELETE",
+                s"""delete from "APP"."EVENTS" where "USER_ID" = $uid and "EVENT_TYPE" = '$et' """ +
+                s"""and "VALUE" = $v and "TS_US" = $ts and ROWID = 'AAAV/NAAEAAAAC$i';""")
+              case _ => ("UPDATE",
+                s"""update "APP"."EVENTS" set "EVENT_TYPE" = '$et', "VALUE" = $v, "TS_US" = $ts """ +
+                s"""where "USER_ID" = $uid and ROWID = 'AAAV/NAAEAAAAC$i';""")
+            }
+            ps.setLong(1, eid); ps.setLong(2, 1L); ps.setString(3, op); ps.setString(4, redo)
+            ps.addBatch()
+            if ((i + 1) % 1000 == 0) ps.executeBatch()
+          }
+          ps.executeBatch(); ps.close()
+          tailer.poll()
+          Files.writeString(db.resolve("_done"), s"${rows.length}")
+        } finally conn.close()
+      }
+    }
+    db
+  }
+
+  /** End-to-end through a NATIVE capture: redo SQL → OracleLogMinerTailer
+    * (parse, before/after assembly, position state) → shared layout →
+    * DSv2 source replay → latest-state materialization. The oracle
+    * restates the same semantics directly over the base parquet — a
+    * metamorphic check of the whole native-CDC path, not just its
+    * unit-test fixtures. */
+  private def cdc11 = Q("cdc11_native_capture_replay",
+    (s, dir) => {
+      val records = s.read.format("graft-cdc")
+        .option("path", cdc11Db(s, dir).toString)
+        .option("keySchema", "user_id BIGINT").option("rowSchema", cdc07RowDdl)
+        .option("table.include.list", "app.events")
+        .load()
+      ApplyChanges.latestState(records,
+          keyCols = Seq(col("key.user_id")),
+          orderCols = Seq(col("value.source.lsn")),
+          opCol = col("value.op"))
+        .select(col("key.user_id").as("user_id"), col("value.op").as("op"),
+                col("value.after.event_type").as("event_type"),
+                col("value.after.value").as("value"),
+                col("value.after.ts_us").as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, op, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events WHERE event_id % 10 = 0) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc11Db(s, dir); () }))
 }
