@@ -52,16 +52,38 @@ object Tokenizer {
       merges.iterator.zipWithIndex.toMap
     @transient private lazy val productId: Map[String, Int] =
       merges.iterator.zipWithIndex.map { case ((x, y), i) => (x + y) -> (256 + i) }.toMap
-    /** Per-JVM memo: word → ids. Bounded by clear-on-overflow (the
-      * Zipf head refills instantly; an LRU's bookkeeping costs more
-      * than the occasional refill). */
-    @transient private lazy val memo =
-      new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+    /** Per-JVM memo: word → ids, two rotating generations of ≤32k
+      * entries each (≤64k total). A lookup checks the current
+      * generation, then the previous one — a hit there re-promotes
+      * the word — so the Zipf HEAD survives rotation while the
+      * unbounded cold tail ages out. (The earlier clear-on-overflow
+      * design wiped the head along with the tail: at 100-TB scale the
+      * distinct-word stream overflows any fixed cap continuously, and
+      * every wipe re-tokenized the hot words too — measured in
+      * BpeMemoScaleSpec and SCALE.md.) Rotation races are benign: the
+      * worst case is one lost cache entry, never a wrong id. */
+    @transient private lazy val memoGen = new java.util.concurrent.atomic.AtomicReference(
+      (new java.util.concurrent.ConcurrentHashMap[String, Array[Int]](),
+       new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()))
+    @transient private lazy val memoHits = new java.util.concurrent.atomic.LongAdder
+    @transient private lazy val memoMisses = new java.util.concurrent.atomic.LongAdder
+    private def memoGenCap: Int = 1 << 15
+
+    /** (hits, misses) since load — the scale spec's measurement. */
+    def memoStats: (Long, Long) = (memoHits.sum(), memoMisses.sum())
+    /** Resident memo entries across both generations (bound check). */
+    def memoSize: Int = { val (c, o) = memoGen.get(); c.size() + o.size() }
 
     /** One word through the merge loop → token ids. */
     def encodeWord(word: String): Array[Int] = {
-      val cached = memo.get(word)
-      if (cached != null) return cached
+      val g @ (curGen, oldGen) = memoGen.get()
+      var cached = curGen.get(word)
+      if (cached == null) {
+        cached = oldGen.get(word)
+        if (cached != null) curGen.put(word, cached) // re-promote the hot word
+      }
+      if (cached != null) { memoHits.increment(); return cached }
+      memoMisses.increment()
       var syms = codePoints(word)
       var done = false
       while (!done && syms.length > 1) {
@@ -80,8 +102,12 @@ object Tokenizer {
         if (s.codePointCount(0, s.length) == 1) s.codePointAt(0)
         else productId.getOrElse(s, -1)
       }.toArray
-      if (memo.size > (1 << 16)) memo.clear()
-      memo.put(word, ids)
+      val cur = memoGen.get()._1
+      if (cur.size() >= memoGenCap)
+        // rotate: current becomes old, old is dropped; re-promotion
+        // keeps the head resident through the flip
+        memoGen.compareAndSet(g, (new java.util.concurrent.ConcurrentHashMap(), cur))
+      memoGen.get()._1.put(word, ids)
       ids
     }
 
