@@ -35,6 +35,9 @@ import java.nio.file.Paths
   *    redo (`V$LOGMNR_CONTENTS` `SQL_REDO` via [[OracleRedoParser]]);
   *  - `…Db2Connector` → [[Db2CdTailer]] polling SQL-Replication CD
   *    tables (`IBMSNAP_OPERATION` I/U/D, prefixed before images);
+  *  - `…SpannerConnector` → [[SpannerChangeStreamTailer]] querying
+  *    the change stream's `READ_<stream>` TVF (DataChangeRecords:
+  *    `mod_type`, `mods[]` key/new/old JSON images);
   *  - anything else (or `debezium.source.jdbc.url` present) →
   *    [[JdbcPollingTailer]], the log-less fallback.
   *
@@ -155,6 +158,8 @@ object CaptureFactory {
       NativeCapture(OracleLogMinerTailer.fromProperties(props))
     } else if (connectorClass.endsWith("Db2Connector")) {
       NativeCapture(Db2CdTailer.fromProperties(props))
+    } else if (connectorClass.endsWith("SpannerConnector")) {
+      NativeCapture(SpannerChangeStreamTailer.fromProperties(props))
     } else if (connectorClass.endsWith("MongoDbConnector")) {
       val dec = new MongoChangeStreamDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
         topicPrefix = prefix)
