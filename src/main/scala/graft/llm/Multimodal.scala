@@ -270,10 +270,128 @@ object Multimodal {
     } catch { case _: Throwable => None }
   }
 
+  /** REAL ISO-BMFF sample extraction for JPEG-coded video tracks
+    * (codec fourcc `jpeg`/`mjpa`/`mjpb` — Motion-JPEG in MP4/MOV):
+    * walks `moov/trak/mdia/minf/stbl` and materializes each sample's
+    * byte range from the sample tables — `stsd` (codec check),
+    * `stsz` (sample sizes, uniform or per-sample), `stsc`
+    * (sample→chunk runs), `stco`/`co64` (chunk offsets). Each
+    * returned slice is one complete JPEG image. Tracks with any
+    * other codec (H.264 etc.) return None — frame DECODE for those
+    * stays the declared stub; this is the demux step a production
+    * codec plugs into. Corrupt bytes yield None, never an
+    * exception. */
+  private[llm] def parseMp4JpegSamples(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 16) return None
+    try {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      def boxes(from: Int, until: Int): Seq[(String, Int, Int)] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+        var p = from
+        while (p + 8 <= until) {
+          val size = buf.getInt(p)
+          val name = new String(bytes, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          if (size < 8 || p + size > until) return out.toSeq
+          out += ((name, p + 8, p + size))
+          p += size
+        }
+        out.toSeq
+      }
+      def child(parent: (String, Int, Int), name: String): Option[(String, Int, Int)] =
+        boxes(parent._2, parent._3).find(_._1 == name)
+      val top = boxes(0, bytes.length)
+      if (!top.exists(_._1 == "ftyp")) return None
+      val moov = top.find(_._1 == "moov").getOrElse(return None)
+      boxes(moov._2, moov._3).filter(_._1 == "trak").iterator.flatMap { trak =>
+        for {
+          mdia <- child(trak, "mdia")
+          minf <- child(mdia, "minf")
+          stbl <- child(minf, "stbl")
+          stsd <- child(stbl, "stsd")
+          // stsd: version/flags(4) entry_count(4), entries of
+          // [size(4) fourcc(4) …] — only JPEG-family codecs decode
+          codec = new String(bytes, stsd._2 + 12, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          if codec == "jpeg" || codec == "mjpa" || codec == "mjpb"
+          stsz <- child(stbl, "stsz")
+          stsc <- child(stbl, "stsc")
+          stco <- child(stbl, "stco").orElse(child(stbl, "co64"))
+        } yield {
+          val uniformSize = buf.getInt(stsz._2 + 4)
+          val sampleCount = buf.getInt(stsz._2 + 8)
+          def sampleSize(i: Int): Int =
+            if (uniformSize != 0) uniformSize else buf.getInt(stsz._2 + 12 + 4 * i)
+          val wide = stco._1 == "co64"
+          val chunkCount = buf.getInt(stco._2 + 4)
+          def chunkOffset(c: Int): Long =
+            if (wide) buf.getLong(stco._2 + 8 + 8 * c)
+            else buf.getInt(stco._2 + 8 + 4 * c).toLong & 0xffffffffL
+          // stsc runs: (first_chunk 1-based, samples_per_chunk, sdi)
+          val runCount = buf.getInt(stsc._2 + 4)
+          val runs = (0 until runCount).map { r =>
+            (buf.getInt(stsc._2 + 8 + 12 * r), buf.getInt(stsc._2 + 12 + 12 * r))
+          }
+          def samplesInChunk(c1: Int): Int = // c1 is 1-based
+            runs.takeWhile(_._1 <= c1).lastOption.map(_._2).getOrElse(0)
+          val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          var sample = 0
+          var c = 0
+          while (c < chunkCount && sample < sampleCount) {
+            var off = chunkOffset(c)
+            var j = 0
+            val n = samplesInChunk(c + 1)
+            while (j < n && sample < sampleCount) {
+              val sz = sampleSize(sample)
+              if (off + sz > bytes.length || sz <= 0) return None // corrupt table
+              frames += java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + sz)
+              off += sz; j += 1; sample += 1
+            }
+            c += 1
+          }
+          frames.toSeq
+        }
+      }.nextOption()
+    } catch { case _: Throwable => None }
+  }
+
+  /** REAL video features for Motion-JPEG in MP4/MOV: container
+    * metadata from [[parseMp4Meta]], frames demuxed by the sample
+    * tables ([[parseMp4JpegSamples]]), decoded through the JVM's JPEG
+    * codec and averaged into the same temporal luminance fingerprint
+    * as [[decodeAviVideo]]. None when the container is not BMFF, the
+    * track is not JPEG-coded, or no frame decodes. */
+  private[llm] def decodeMp4Video(bytes: Array[Byte], dim: Int, maxFrames: Int = 8)
+      : Option[(Long, Int, Int, Array[Float])] =
+    parseMp4JpegSamples(bytes).flatMap { frames =>
+      val meta = parseMp4Meta(bytes)
+      val picks =
+        if (frames.size <= maxFrames) frames.indices
+        else (0 until maxFrames).map(i => i * frames.size / maxFrames)
+      val acc = new Array[Double](dim)
+      var n = 0
+      picks.foreach { i =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(i)))
+          if (img != null && img.getWidth > 0) {
+            val f = luminanceLattice(img, dim)
+            var j = 0
+            while (j < dim) { acc(j) += f(j); j += 1 }
+            n += 1
+          }
+        } catch { case _: Throwable => () } // one bad frame never kills the row
+      }
+      if (n == 0) None
+      else {
+        val (d, w, h) = meta.getOrElse((0L, 0, 0))
+        Some((d, w, h, Array.tabulate(dim)(j => (acc(j) / n).toFloat)))
+      }
+    }
+
   // ------------------------------------------------------------------
   // Real video FRAME decode for MJPEG-in-AVI (RIFF container walk +
-  // the JVM's own JPEG codec) — the one video format the JVM can
-  // decode end to end; other codecs stay behind the declared stub.
+  // the JVM's own JPEG codec) — Motion-JPEG is the video codec the
+  // JVM can decode end to end (in AVI here, in MP4/MOV above);
+  // other codecs stay behind the declared stub.
 
   /** RIFF/AVI walk (the public layout: `RIFF <size LE> AVI `, chunks
     * `[fourcc][size LE][data][pad-to-even]`, `LIST` chunks nest) to
@@ -347,14 +465,15 @@ object Multimodal {
     }
 
   /** Video container metadata + features in one pass: (doc_id,
-    * duration_ms, width, height, features). MJPEG-AVI rows get REAL
-    * frame-decoded features ([[decodeAviVideo]]); ISO-BMFF rows get
-    * real container metadata with stub features (no MP4 codec in the
-    * JVM — the declared remaining stub); anything else is
+    * duration_ms, width, height, features). MJPEG rows — in AVI
+    * ([[decodeAviVideo]]) or MP4/MOV ([[decodeMp4Video]]) — get REAL
+    * frame-decoded features; ISO-BMFF rows with any other codec get
+    * real container metadata with stub features (no H.264 codec in
+    * the JVM — the declared remaining stub); anything else is
     * metadata-null with stub features. */
   def extractVideoInfo(df: DataFrame, idCol: String, dim: Int): DataFrame = {
     val info = udf { (bytes: Array[Byte]) =>
-      decodeAviVideo(bytes, dim) match {
+      decodeAviVideo(bytes, dim).orElse(decodeMp4Video(bytes, dim)) match {
         case Some((d, w, h, f)) =>
           (Some(d), if (w > 0) Some(w) else None, if (h > 0) Some(h) else None, f)
         case None =>
@@ -373,13 +492,14 @@ object Multimodal {
 
   /** Media-type-dispatched decode — the codec seam: image/ media types
     * go through the real [[decodeImage]] codec, audio/ through the real
-    * [[decodeAudio]] codec, video/ through the real MJPEG-AVI frame
-    * decode ([[decodeAviVideo]] — non-AVI codecs remain the declared
-    * stub: no MP4 video codec ships with the JVM, though container
-    * metadata is real via [[parseMp4Meta]]); anything else (and any
-    * media that fails to parse) through the deterministic
-    * [[decodeStub]], so the oracle-checked stub path and the real
-    * codecs coexist behind one call. */
+    * [[decodeAudio]] codec, video/ through the real Motion-JPEG frame
+    * decodes ([[decodeAviVideo]] for AVI, [[decodeMp4Video]] for
+    * MP4/MOV — non-JPEG video codecs remain the declared stub: no
+    * H.264 codec ships with the JVM, though container metadata is
+    * real via [[parseMp4Meta]]); anything else (and any media that
+    * fails to parse) through the deterministic [[decodeStub]], so the
+    * oracle-checked stub path and the real codecs coexist behind one
+    * call. */
   private[llm] def decodeByType(bytes: Array[Byte], mediaType: String, dim: Int): Array[Float] =
     if (bytes == null) Array.empty[Float]
     else if (mediaType != null && mediaType.startsWith("image/"))
@@ -387,7 +507,8 @@ object Multimodal {
     else if (mediaType != null && mediaType.startsWith("audio/"))
       decodeAudio(bytes, dim).map(_._4).getOrElse(decodeStub(bytes, dim))
     else if (mediaType != null && mediaType.startsWith("video/"))
-      decodeAviVideo(bytes, dim).map(_._4).getOrElse(decodeStub(bytes, dim))
+      decodeAviVideo(bytes, dim).orElse(decodeMp4Video(bytes, dim))
+        .map(_._4).getOrElse(decodeStub(bytes, dim))
     else decodeStub(bytes, dim)
 
   /** Typed feature extraction dispatching on `media_meta.media_type`

@@ -627,6 +627,101 @@ class LlmSpec extends SparkSpec {
     assert(byType.toSeq == feats.toSeq)
   }
 
+  test("multimodal: MJPEG-in-MP4 frames decode via the sample tables (stsd/stsz/stsc/stco demux)") {
+    def jpeg(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(level, level, level))
+      g.fillRect(0, 0, 32, 24); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def box(name: String)(payload: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val p = java.nio.ByteBuffer.allocate(65536); payload(p)
+      val out = java.nio.ByteBuffer.allocate(8 + p.position())
+      out.putInt(8 + p.position()); out.put(name.getBytes("US-ASCII"))
+      p.flip(); out.put(p)
+      out.array()
+    }
+    val frames = Seq(64, 192).map(jpeg)
+    val ftyp = box("ftyp")(p => p.put("isom".getBytes("US-ASCII")))
+    val mdat = box("mdat")(p => frames.foreach(f => p.put(f)))
+    val firstSampleOffset = ftyp.length + 8 // both samples in one chunk, inside mdat
+    def mp4For(codec: String): Array[Byte] = {
+      val mvhd = box("mvhd") { p =>
+        p.putInt(0); p.putInt(0); p.putInt(0)
+        p.putInt(1000); p.putInt(2000) // timescale 1000 → 2000 ms
+      }
+      val tkhd = box("tkhd") { p =>
+        p.putInt(0)
+        p.putInt(0); p.putInt(0); p.putInt(1); p.putInt(0)
+        p.putInt(0)
+        p.put(new Array[Byte](8 + 2 + 2 + 2 + 2 + 36))
+        p.putInt(32 << 16); p.putInt(24 << 16)
+      }
+      val stsd = box("stsd") { p =>
+        p.putInt(0); p.putInt(1)       // version/flags, entry_count
+        p.putInt(8 + 78)               // VisualSampleEntry size
+        p.put(codec.getBytes("US-ASCII"))
+        p.put(new Array[Byte](78))     // entry body (unread by the demux)
+      }
+      val stsz = box("stsz") { p =>
+        p.putInt(0); p.putInt(0)       // version/flags, uniform size 0
+        p.putInt(frames.size)
+        frames.foreach(f => p.putInt(f.length))
+      }
+      val stsc = box("stsc") { p =>
+        p.putInt(0); p.putInt(1)       // one run: chunk 1, 2 samples
+        p.putInt(1); p.putInt(frames.size); p.putInt(1)
+      }
+      val stco = box("stco") { p =>
+        p.putInt(0); p.putInt(1); p.putInt(firstSampleOffset)
+      }
+      val stbl = box("stbl") { p => p.put(stsd); p.put(stsz); p.put(stsc); p.put(stco) }
+      val minf = box("minf")(p => p.put(stbl))
+      val mdia = box("mdia")(p => p.put(minf))
+      val trak = box("trak") { p => p.put(tkhd); p.put(mdia) }
+      val moov = box("moov") { p => p.put(mvhd); p.put(trak) }
+      ftyp ++ mdat ++ moov
+    }
+
+    val mp4 = mp4For("jpeg")
+    val samples = Multimodal.parseMp4JpegSamples(mp4)
+    assert(samples.exists(_.size == 2))
+    assert(samples.get.head.toSeq == frames.head.toSeq) // byte-exact demux
+    val Some((durMs, w, h, feats)) = Multimodal.decodeMp4Video(mp4, dim = 8)
+    assert(durMs == 2000L && w == 32 && h == 24)
+    val expected = (64.0 + 192.0) / 2.0 / 255.0 // temporal mean of flat grays
+    feats.foreach(f => assert(math.abs(f - expected) < 0.05, s"feature $f vs $expected"))
+
+    // an H.264 track is NOT demuxed — container metadata only, stub features
+    val avc = mp4For("avc1")
+    assert(Multimodal.parseMp4JpegSamples(avc).isEmpty)
+    assert(Multimodal.decodeMp4Video(avc, 8).isEmpty)
+    val out = Multimodal.extractVideoInfo(
+      Seq((1L, mp4), (2L, avc)).toDF("doc_id", "media"),
+      "doc_id", dim = 8).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("duration_ms") == 2000L)
+    out(0).getAs[scala.collection.Seq[Float]]("features")
+      .foreach(f => assert(math.abs(f - expected) < 0.05))
+    assert(out(1).getAs[Long]("duration_ms") == 2000L) // metadata still real
+    assert(out(1).getAs[scala.collection.Seq[Float]]("features").length == 8)
+
+    // corrupt sample table (chunk offset past EOF) → None, never an
+    // exception: patch stco's offset field (its value is unique in the
+    // moov region, after mdat) to a huge address
+    val bad = mp4.clone()
+    val pat = java.nio.ByteBuffer.allocate(4).putInt(firstSampleOffset).array()
+    val stcoOff = (ftyp.length + mdat.length until bad.length - 4)
+      .find(i => bad.slice(i, i + 4).sameElements(pat)).get
+    java.nio.ByteBuffer.wrap(bad, stcoOff, 4).putInt(0x7ffffff0)
+    assert(Multimodal.parseMp4JpegSamples(bad).isEmpty)
+    // dispatch: video/ media type routes MP4-MJPEG to the real decoder
+    assert(Multimodal.decodeByType(mp4, "video/mp4", 8).toSeq == feats.toSeq)
+  }
+
   test("semDedup: within-cell duplicates drop keep-min; distinct vectors and cross-cell lookalikes survive") {
     // two well-separated directions in 4-d; the 2 lowest ids become
     // the centroids (one per direction), ids 3/4 near-duplicate them
