@@ -13,7 +13,7 @@ object QueriesLlm {
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
-                        llm36)
+                        llm36, llm37, llm38)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1509,4 +1509,118 @@ object QueriesLlm {
             |FROM o
             |GROUP BY 1, 2
             |ORDER BY shard, pack_id""".stripMargin))
+
+  /** Gopher document-quality rules (TextAnalysis.gopher*): the public
+    * web-corpus filter set — word-count bounds, mean word length,
+    * symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word
+    * fraction, required-stopword hits — as ONE codegen'd projection
+    * over the scan. Every metric is exact integer counts + a single
+    * IEEE division, so the oracle reproduces them bit-for-bit. */
+  private def llm37 = Q("llm37_gopher_rules",
+    (s, dir) => {
+      val t = TextAnalysis
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        t.tokenCount(col("text")).cast("long").as("n_words"),
+        t.meanTokenLen(col("text")).as("mean_word_len"),
+        t.symbolWordRatio(col("text")).as("symbol_ratio"),
+        t.bulletLineFrac(col("text")).as("bullet_frac"),
+        t.ellipsisLineFrac(col("text")).as("ellipsis_frac"),
+        t.alphaWordFrac(col("text")).as("alpha_frac"),
+        t.gopherStopwordHits(col("text")).cast("long").as("stop_hits"))
+      // the synthetic corpus is ~10-100-word ASCII prose with a thin
+      // stopword presence: keep the paper's structural thresholds,
+      // tune the stopword floor to 1 so the gate discriminates here
+      d.withColumn("pass", t.gopherPass(col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
+          col("alpha_frac"), col("stop_hits"), minStopHits = 1))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text,
+           |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+           |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ltoks,
+           |    string_split(text, chr(10)) AS lines
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id,
+           |    CAST(len(toks) AS BIGINT) AS n_words,
+           |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+           |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_word_len,
+           |    CAST((length(text) - length(replace(text, '#', '')))
+           |         + ((length(text) - length(replace(text, '...', ''))) / 3) AS DOUBLE)
+           |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS symbol_ratio,
+           |    CAST(len(list_filter(lines, l -> left(ltrim(l), 1) = '-'
+           |           OR left(ltrim(l), 1) = '*' OR left(ltrim(l), 1) = '•')) AS DOUBLE)
+           |      / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_frac,
+           |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+           |           OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+           |      / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_frac,
+           |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+           |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS alpha_frac,
+           |    CAST(CAST(list_contains(ltoks, 'the') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'be') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'to') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'of') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'and') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'that') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'have') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'with') AS INTEGER) AS BIGINT) AS stop_hits
+           |  FROM t)
+           |SELECT *,
+           |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           |  AND (symbol_ratio < 0.1) AND (bullet_frac < 0.9)
+           |  AND (ellipsis_frac < 0.3) AND (alpha_frac > 0.8)
+           |  AND (stop_hits >= 1) AS pass
+           |FROM m
+           |ORDER BY doc_id""".stripMargin))
+
+  /** C4-style line-level cleaning (TextAnalysis.c4CleanText): keep
+    * prose-looking lines (terminal punctuation, ≥3 words, no
+    * boilerplate markers), report per-document survival counts and
+    * the md5 of the cleaned text — the content travels as a hash, so
+    * the result stays narrow however large the documents are. The
+    * corpus is single-line punctuation-free word soup, so the query
+    * first synthesizes deterministic structure (llm21-style
+    * planting): every 5-word run becomes a sentence line, and every
+    * 5th document gets a planted boilerplate line that PASSES the
+    * punctuation/word-count rules and is dropped by the
+    * marker rule specifically. */
+  private def llm38 = Q("llm38_c4_line_clean",
+    (s, dir) => {
+      val synth = concat(
+        regexp_replace(col("text"), "((\\S+\\s+){4}\\S+)\\s*", "$1.\n"),
+        when(col("doc_id") % 5 === 0,
+          lit("\nenable javascript to view this page.")).otherwise(lit("")))
+      val withLines = Tables.documents(s, dir)
+        .select(col("doc_id"), synth.as("text"))
+      val (nLines, nKept) = TextAnalysis.c4LineCounts(col("text"))
+      withLines.select(col("doc_id"),
+          nLines.cast("long").as("n_lines"),
+          nKept.cast("long").as("n_kept"),
+          md5(TextAnalysis.c4CleanText(col("text"))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH s AS (
+           |  SELECT doc_id,
+           |    regexp_replace(text, '((\S+\s+){4}\S+)\s*', '\1.' || chr(10), 'g')
+           |      || CASE WHEN doc_id % 5 = 0
+           |              THEN chr(10) || 'enable javascript to view this page.'
+           |              ELSE '' END AS text
+           |  FROM documents),
+           |t AS (
+           |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM s),
+           |k AS (
+           |  SELECT doc_id, lines,
+           |    list_filter(lines, l ->
+           |      right(rtrim(l), 1) IN ('.', '!', '?', '"')
+           |      AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 3
+           |      AND NOT contains(lower(l), 'javascript')
+           |      AND NOT contains(lower(l), 'lorem ipsum')
+           |      AND NOT contains(l, '{')) AS kept
+           |  FROM t)
+           |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+           |       CAST(len(kept) AS BIGINT) AS n_kept,
+           |       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+           |FROM k
+           |ORDER BY doc_id""".stripMargin))
 }

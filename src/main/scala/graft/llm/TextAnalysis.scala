@@ -161,4 +161,88 @@ object TextAnalysis {
     * punctuation-dense text). */
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit(BpeishPattern))
+
+  // ------------------------------------------------------------------
+  // Gopher document-quality rules (Rae et al. 2021, appendix A —
+  // the public web-corpus filter set) as pure Column algebra: every
+  // metric is exact integer counts + ONE IEEE division, so the gate
+  // is bit-reproducible across engines and runs inside
+  // WholeStageCodegen over the scan.
+
+  /** The paper's required-stopword list: a document must contain at
+    * least 2 of these to pass (filters keyword lists / non-English). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Fraction of words containing at least one alphabetic char. */
+  def alphaWordFrac(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** (# '#' chars + # '...' runs) per word — the paper's
+    * symbol-to-word ratio. */
+  def symbolWordRatio(text: Column): Column = {
+    val hashes = length(text) - length(translate(text, "#", ""))
+    val ellipses = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)
+    (hashes + ellipses).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+  }
+
+  /** Fraction of lines starting with a bullet marker. */
+  def bulletLineFrac(text: Column): Column = {
+    val lines = split(text, "\n")
+    size(filter(lines, l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+      .cast("double") / greatest(size(lines), lit(1)).cast("double")
+  }
+
+  /** Fraction of lines ending with an ellipsis. */
+  def ellipsisLineFrac(text: Column): Column = {
+    val lines = split(text, "\n")
+    size(filter(lines, l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+      .cast("double") / greatest(size(lines), lit(1)).cast("double")
+  }
+
+  /** How many of [[gopherStopwords]] appear in the document. */
+  def gopherStopwordHits(text: Column): Column = {
+    val toks = tokens(lower(text))
+    gopherStopwords.map(w => when(array_contains(toks, w), 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  /** The full rule set as one boolean gate. Defaults are the paper's
+    * thresholds; corpus-tunable like [[repetitionGate]]. */
+  def gopherPass(nWords: Column, meanLen: Column, symRatio: Column,
+                 bulletFrac: Column, ellipsisFrac: Column, alphaFrac: Column,
+                 stopHits: Column,
+                 minWords: Int = 50, maxWords: Int = 100000,
+                 minStopHits: Int = 2): Column =
+    nWords.between(minWords, maxWords) && meanLen.between(3.0, 10.0) &&
+      (symRatio < 0.1) && (bulletFrac < 0.9) && (ellipsisFrac < 0.3) &&
+      (alphaFrac > 0.8) && (stopHits >= minStopHits)
+
+  // ------------------------------------------------------------------
+  // C4-style line-level cleaning (Raffel et al. 2020, the public C4
+  // pipeline): keep lines that look like prose sentences, drop
+  // boilerplate lines, report the per-document survival stats.
+
+  /** Keep predicate for one line: ends in terminal punctuation, has
+    * at least `minWords` words, and carries none of the boilerplate
+    * markers (code braces, "javascript" warnings, lorem ipsum). */
+  private def c4Keep(l: Column, minWords: Int): Column =
+    substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+      (size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minWords) &&
+      !lower(l).contains("javascript") && !lower(l).contains("lorem ipsum") &&
+      !l.contains("{")
+
+  /** The surviving lines, joined back with newlines. */
+  def c4CleanText(text: Column, minWords: Int = 3): Column =
+    array_join(filter(split(text, "\n"), l => c4Keep(l, minWords)), "\n")
+
+  /** Per-document line counts before/after the C4 line filter. */
+  def c4LineCounts(text: Column, minWords: Int = 3): (Column, Column) = {
+    val lines = split(text, "\n")
+    (size(lines), size(filter(lines, l => c4Keep(l, minWords))))
+  }
 }

@@ -60,6 +60,15 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"expected at most the sort shuffle, got $shuffles:\n$p")
   }
 
+  test("llm37/llm38: quality gates are single scans with zero shuffles beyond the sort") {
+    Seq("llm37_gopher_rules", "llm38_c4_line_clean").foreach { name =>
+      val df = Queries.byName(name)(spark, sfSmoke)
+      val p = planOf(df)
+      val shuffles = shufflePartitionings(p)
+      assert(shuffles.size <= 1, s"$name: expected at most the sort shuffle, got $shuffles:\n$p")
+    }
+  }
+
   test("llm04: LSH signature contains no md5 on the scan path") {
     val df = Queries.byName("llm04_lsh_ann")(spark, sfSmoke)
     // the signature must be literal-array arithmetic; md5 would show as

@@ -87,6 +87,53 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Double]("s") > 0.2) // "The", "and", "the"
   }
 
+  test("gopher rules: bullets, ellipses, symbols, alpha words, stopword floor all gate") {
+    val t = TextAnalysis
+    val prose = "The results have improved with the new method and that is good news to share.\n" +
+      "We report them here in detail."
+    val bullety = "- one\n- two\n- three\n* four"                 // 100% bullet lines
+    val trailing = "teaser one...\nteaser two...\nteaser three..." // 100% ellipsis ends
+    val symbolic = "## ### #tag " + Seq.fill(4)("#").mkString(" ") // symbols, few words
+    val numeric = "12 34 56 78 90 11 22 33 44 55"                  // no alpha words
+    val df = Seq((1L, prose), (2L, bullety), (3L, trailing), (4L, symbolic), (5L, numeric))
+      .toDF("id", "t")
+    val r = df.select(col("id"),
+        t.tokenCount(col("t")).cast("long").as("n"),
+        t.meanTokenLen(col("t")).as("len"),
+        t.symbolWordRatio(col("t")).as("sym"),
+        t.bulletLineFrac(col("t")).as("bul"),
+        t.ellipsisLineFrac(col("t")).as("ell"),
+        t.alphaWordFrac(col("t")).as("alpha"),
+        t.gopherStopwordHits(col("t")).cast("long").as("stop"))
+      .withColumn("pass", t.gopherPass(col("n"), col("len"), col("sym"), col("bul"),
+        col("ell"), col("alpha"), col("stop"), minWords = 5, minStopHits = 2))
+      .orderBy("id").collect()
+    assert(r(0).getAs[Boolean]("pass"), r(0).toString) // prose passes
+    assert(r(0).getAs[Long]("stop") >= 4)              // the/have/with/and/that/to
+    assert(r(1).getAs[Double]("bul") == 1.0 && !r(1).getAs[Boolean]("pass"))
+    assert(r(2).getAs[Double]("ell") == 1.0 && !r(2).getAs[Boolean]("pass"))
+    assert(r(3).getAs[Double]("sym") > 0.5 && !r(3).getAs[Boolean]("pass"))
+    assert(r(4).getAs[Double]("alpha") == 0.0 && !r(4).getAs[Boolean]("pass"))
+  }
+
+  test("c4 line cleaning: terminal punctuation, word floor, boilerplate markers") {
+    val doc = Seq(
+      "This sentence survives the filter just fine.",
+      "short one.",                                   // < 3 words
+      "no terminal punctuation here",                 // no . ! ? "
+      "Please enable JavaScript to continue reading.", // marker
+      "if (x) { return y; }",                         // brace
+      "A second keeper line stays in!").mkString("\n")
+    val df = Seq((1L, doc)).toDF("id", "t")
+    val (nl, nk) = TextAnalysis.c4LineCounts(col("t"))
+    val r = df.select(nl.as("n_lines"), nk.as("n_kept"),
+      TextAnalysis.c4CleanText(col("t")).as("clean")).head()
+    assert(r.getAs[Int]("n_lines") == 6)
+    assert(r.getAs[Int]("n_kept") == 2)
+    assert(r.getAs[String]("clean") ==
+      "This sentence survives the filter just fine.\nA second keeper line stays in!")
+  }
+
   test("budgeted mix: budgets are reached not undershot, zero budget excludes") {
     val docs = (1L to 100L).map(i => (i, if (i <= 50) "a" else "b", 10L))
       .toDF("id", "src", "n")
