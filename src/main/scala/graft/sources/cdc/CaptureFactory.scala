@@ -15,7 +15,8 @@ import java.nio.file.Paths
   *    of captured pgoutput messages — or
   *    `debezium.source.protocol.socket` = `host:port` — a live
   *    [[SocketReplicationFeed]] session);
-  *  - `…MySqlConnector` → [[BinlogDecoder]] over the same feed shape,
+  *  - `…MySqlConnector` / `…MariaDbConnector` (same binlog v4 wire
+  *    surface) → [[BinlogDecoder]] over the same feed shape,
   *    with column names registered from
   *    `debezium.source.binlog.columns.<schema>.<table> = c1,c2,…` and
   *    `debezium.source.binlog.keys.<schema>.<table> = k1[,k2…]`
@@ -110,7 +111,11 @@ object CaptureFactory {
         case None => feed
       }
       ProtocolCapture(new ReplicationTailer(pgFeed, dec.decode, dbDir))
-    } else if (connectorClass.endsWith("MySqlConnector")) {
+    } else if (connectorClass.endsWith("MySqlConnector") ||
+               connectorClass.endsWith("MariaDbConnector")) {
+      // MariaDB replicates the same binlog v4 wire surface (FDE,
+      // TABLE_MAP, ROWS events) the decoder speaks; its extra GTID
+      // event types ride through the unknown-event skip
       val dec = new BinlogDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
         topicPrefix = prefix)
       // MySQL + live socket: the REAL wire framing (COM_BINLOG_DUMP
@@ -136,7 +141,7 @@ object CaptureFactory {
       val colPrefix = "debezium.source.binlog.columns."
       val tables = props.keys.filter(_.startsWith(colPrefix)).map(_.stripPrefix(colPrefix))
       if (tables.isEmpty) throw new IllegalArgumentException(
-        "MySqlConnector needs debezium.source.binlog.columns.<schema>.<table> entries " +
+        s"$connectorClass needs debezium.source.binlog.columns.<schema>.<table> entries " +
         "(the binlog wire format carries no column names)")
       tables.foreach { qual =>
         val cols = props(colPrefix + qual).split(",").map(_.trim).filter(_.nonEmpty).toSeq

@@ -54,6 +54,23 @@ class CaptureFactorySpec extends AnyFunSuite {
     assert(e.getMessage.contains("binlog.keys.inventory.customers"), e.getMessage)
   }
 
+  test("MariaDbConnector routes to the same binlog capture (identical wire surface)") {
+    val feedDir = Files.createTempDirectory("graft-mariafeed").toString
+    val c = CaptureFactory.fromProperties(base(
+      "debezium.source.connector.class" -> "io.debezium.connector.mariadb.MariaDbConnector",
+      "debezium.source.protocol.dir" -> feedDir,
+      "debezium.source.binlog.columns.inventory.customers" -> "id, email, score",
+      "debezium.source.binlog.keys.inventory.customers" -> "id"))
+    assert(c.isInstanceOf[ProtocolCapture])
+    // the column-registration requirement names the actual connector
+    val e = intercept[IllegalArgumentException] {
+      CaptureFactory.fromProperties(base(
+        "debezium.source.connector.class" -> "io.debezium.connector.mariadb.MariaDbConnector",
+        "debezium.source.protocol.dir" -> feedDir))
+    }
+    assert(e.getMessage.contains("MariaDbConnector"), e.getMessage)
+  }
+
   // pgoutput wire builders (big-endian, per the protocol docs)
   private def pgMsg(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(1024)
