@@ -39,6 +39,9 @@ import java.nio.file.Paths
   *  - `…SpannerConnector` → [[SpannerChangeStreamTailer]] querying
   *    the change stream's `READ_<stream>` TVF (DataChangeRecords:
   *    `mod_type`, `mods[]` key/new/old JSON images);
+  *  - `…VitessConnector` → [[VStreamDecoder]] over the feed shape
+  *    (each message one `VStreamResponse` protobuf: FIELD column
+  *    announcements, ROW before/after images, bookkeeping skipped);
   *  - anything else (or `debezium.source.jdbc.url` present) →
   *    [[JdbcPollingTailer]], the log-less fallback.
   *
@@ -165,6 +168,17 @@ object CaptureFactory {
       NativeCapture(Db2CdTailer.fromProperties(props))
     } else if (connectorClass.endsWith("SpannerConnector")) {
       NativeCapture(SpannerChangeStreamTailer.fromProperties(props))
+    } else if (connectorClass.endsWith("VitessConnector")) {
+      val dec = new VStreamDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
+        topicPrefix = prefix)
+      // optional per-table key overrides for upstreams that don't set
+      // the PRI_KEY field flag: debezium.source.vstream.keys.<ks>.<table>
+      val keyPrefix = "debezium.source.vstream.keys."
+      props.keys.filter(_.startsWith(keyPrefix)).foreach { k =>
+        dec.registerKeys(k.stripPrefix(keyPrefix),
+          props(k).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      }
+      ProtocolCapture(new ReplicationTailer(feed, dec.decode, dbDir))
     } else if (connectorClass.endsWith("MongoDbConnector")) {
       val dec = new MongoChangeStreamDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
         topicPrefix = prefix)
