@@ -42,6 +42,12 @@ import java.nio.file.Paths
   *  - `…VitessConnector` → [[VStreamDecoder]] over the feed shape
   *    (each message one `VStreamResponse` protobuf: FIELD column
   *    announcements, ROW before/after images, bookkeeping skipped);
+  *  - `…As400RpcConnector` (IBM i) → [[IbmiJournalTailer]] polling
+  *    journal entries (`QSYS2.DISPLAY_JOURNAL` TVF: PT/PX puts,
+  *    UB+UP before/after pairs, DL deletes);
+  *  - `…CockroachDbConnector` → [[CockroachChangefeedTailer]] over
+  *    the changefeed statement surface (wrapped `after`/`before`
+  *    envelopes, JSON-array keys, HLC `wall.logical` cursor);
   *  - anything else (or `debezium.source.jdbc.url` present) →
   *    [[JdbcPollingTailer]], the log-less fallback.
   *
@@ -168,6 +174,12 @@ object CaptureFactory {
       NativeCapture(Db2CdTailer.fromProperties(props))
     } else if (connectorClass.endsWith("SpannerConnector")) {
       NativeCapture(SpannerChangeStreamTailer.fromProperties(props))
+    } else if (connectorClass.endsWith("As400RpcConnector") ||
+               connectorClass.endsWith("IbmiConnector")) {
+      NativeCapture(IbmiJournalTailer.fromProperties(props))
+    } else if (connectorClass.endsWith("CockroachDbConnector") ||
+               connectorClass.endsWith("CockroachDBConnector")) {
+      NativeCapture(CockroachChangefeedTailer.fromProperties(props))
     } else if (connectorClass.endsWith("VitessConnector")) {
       val dec = new VStreamDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
         topicPrefix = prefix)

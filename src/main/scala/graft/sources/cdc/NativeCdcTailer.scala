@@ -80,6 +80,28 @@ object NativeCdc {
     case other => throw new IllegalArgumentException(s"unreadable LSN value: $other")
   }
 
+  /** One JSON object rendered as a column map — the decode for
+    * connectors whose change feed carries row images as JSON text
+    * (Spanner mods, IBMi emulated entry data). Missing/null nodes
+    * are empty maps; scalar conversion mirrors the other decoders:
+    * integral → Long, fractional → BigDecimal (exact text), bool →
+    * Boolean, string (and any nested shape, rendered) → String. */
+  private[cdc] def jsonCols(n: com.fasterxml.jackson.databind.JsonNode): Map[String, Any] = {
+    import scala.jdk.CollectionConverters._
+    if (n == null || n.isNull) Map.empty
+    else n.properties().asScala.map { e =>
+      val v = e.getValue
+      val value: Any =
+        if (v.isNull) null
+        else if (v.isIntegralNumber) v.longValue()
+        else if (v.isNumber) new java.math.BigDecimal(v.asText())
+        else if (v.isBoolean) java.lang.Boolean.valueOf(v.booleanValue())
+        else if (v.isTextual) v.textValue()
+        else v.toString
+      e.getKey.toLowerCase -> value
+    }.toMap
+  }
+
   /** Background poll loop — the connector-task thread (same shape as
     * [[JdbcPollingTailer.Daemon]]): errors count and retry next tick. */
   final class Daemon(tailer: NativeCdcTailer, intervalMs: Long,

@@ -159,23 +159,8 @@ final class SpannerChangeStreamTailer(jdbcUrl: String, dbDir: Path,
   private val mapper = new ObjectMapper()
 
   /** One JSON object (`keys`/`new_values`/`old_values` entries of a
-    * mod) → column map. Missing/null nodes are empty maps; scalar
-    * conversion mirrors the other decoders: integral → Long,
-    * fractional → BigDecimal (exact text), bool → Boolean, string
-    * (and any nested shape, rendered) → String. */
-  private def jsonCols(n: JsonNode): Map[String, Any] =
-    if (n == null || n.isNull) Map.empty
-    else n.properties().asScala.map { e =>
-      val v = e.getValue
-      val value: Any =
-        if (v.isNull) null
-        else if (v.isIntegralNumber) v.longValue()
-        else if (v.isNumber) new java.math.BigDecimal(v.asText())
-        else if (v.isBoolean) java.lang.Boolean.valueOf(v.booleanValue())
-        else if (v.isTextual) v.textValue()
-        else v.toString
-      e.getKey.toLowerCase -> value
-    }.toMap
+    * mod) → column map ([[NativeCdc.jsonCols]]). */
+  private def jsonCols(n: JsonNode): Map[String, Any] = NativeCdc.jsonCols(n)
 
   /** Decode change records into complete events, one per mods[]
     * entry: INSERT → 'c' (after = keys + new_values); UPDATE → 'u'
