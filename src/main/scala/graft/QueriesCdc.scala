@@ -14,7 +14,8 @@ import graft.operators.{ApplyChanges, EventShaping, SmtFactory}
   */
 object QueriesCdc {
 
-  def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11)
+  def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
+                        cdc12)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -468,4 +469,103 @@ object QueriesCdc {
             |WHERE rn = 1 AND op <> 'd'
             |ORDER BY user_id""".stripMargin),
     prepare = Some((s, dir) => { cdc11Db(s, dir); () }))
+
+  /** cdc12's native-capture fixture: a DIFFERENT events subset
+    * rendered as Spanner change-stream DataChangeRecords (mod_type +
+    * mods[] JSON images) in a Derby change-record table;
+    * [[graft.sources.cdc.SpannerChangeStreamTailer]] polls it through
+    * the real JSON-mods decode and position machinery into the shared
+    * layout. Built once per (sf-dir, mtime) outside the bench timer. */
+  private def cdc12Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet")
+    val stamp = if (Files.exists(src))
+      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
+    val db = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-cdc12-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
+    if (!Files.exists(db.resolve("_done"))) this.synchronized {
+      if (!Files.exists(db.resolve("_done"))) {
+        Files.createDirectories(db)
+        val url = s"jdbc:derby:memory:cdc12${java.util.UUID.randomUUID().toString.take(8)};create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          st.execute("CREATE SCHEMA cs")
+          st.execute("""CREATE TABLE cs."app_events_CHANGE_RECORDS" (""" +
+            "commit_micros BIGINT, record_sequence BIGINT, " +
+            "mod_type VARCHAR(16), mods VARCHAR(4000))")
+          st.close()
+          val tailer = new graft.sources.cdc.SpannerChangeStreamTailer(url, db,
+            Seq(graft.sources.cdc.NativeCdc.TableSpec("app", "events", Seq("user_id"))),
+            dialect = graft.sources.cdc.SpannerChangeStreamTailer.EmulatedDialect,
+            emitTombstones = false)
+          tailer.snapshotSchemaOnly()
+          // the stream subset (event_id % 10 == 1), one record per
+          // change in commit order; op mapping matches cdc02/cdc07
+          val rows = Tables.events(s, dir)
+            .filter(col("event_id") % 10 === 1)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+                    col("value"), unix_micros(col("ts")).as("ts_us"))
+            .orderBy(col("event_id"))
+            .collect()
+          val ps = conn.prepareStatement(
+            """INSERT INTO cs."app_events_CHANGE_RECORDS" VALUES (?, ?, ?, ?)""")
+          rows.zipWithIndex.foreach { case (r, i) =>
+            val (eid, uid) = (r.getLong(0), r.getLong(1))
+            val (et, v, ts) = (r.getString(2), r.getDouble(3), r.getLong(4))
+            val keys = s"""{"user_id":$uid}"""
+            val image = s"""{"event_type":"$et","value":$v,"ts_us":$ts}"""
+            val (modType, mods) = et match {
+              case "signup" => ("INSERT",
+                s"""[{"keys":$keys,"new_values":$image,"old_values":{}}]""")
+              case "error" => ("DELETE",
+                s"""[{"keys":$keys,"new_values":{},"old_values":$image}]""")
+              case _ => ("UPDATE",
+                s"""[{"keys":$keys,"new_values":$image,"old_values":{}}]""")
+            }
+            ps.setLong(1, eid); ps.setLong(2, 1L)
+            ps.setString(3, modType); ps.setString(4, mods)
+            ps.addBatch()
+            if ((i + 1) % 1000 == 0) ps.executeBatch()
+          }
+          ps.executeBatch(); ps.close()
+          tailer.poll()
+          Files.writeString(db.resolve("_done"), s"${rows.length}")
+        } finally conn.close()
+      }
+    }
+    db
+  }
+
+  /** End-to-end through a SECOND native capture family: Spanner
+    * DataChangeRecords → SpannerChangeStreamTailer (mods[] JSON
+    * decode, position state) → shared layout → DSv2 source replay →
+    * latest-state materialization. With cdc11 (redo-SQL parse path)
+    * this oracle-checks both native decode shapes, not just their
+    * unit-test fixtures. */
+  private def cdc12 = Q("cdc12_spanner_stream_replay",
+    (s, dir) => {
+      val records = s.read.format("graft-cdc")
+        .option("path", cdc12Db(s, dir).toString)
+        .option("keySchema", "user_id BIGINT").option("rowSchema", cdc07RowDdl)
+        .option("table.include.list", "app.events")
+        .load()
+      ApplyChanges.latestState(records,
+          keyCols = Seq(col("key.user_id")),
+          orderCols = Seq(col("value.source.lsn")),
+          opCol = col("value.op"))
+        .select(col("key.user_id").as("user_id"), col("value.op").as("op"),
+                col("value.after.event_type").as("event_type"),
+                col("value.after.value").as("value"),
+                col("value.after.ts_us").as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, op, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events WHERE event_id % 10 = 1) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc12Db(s, dir); () }))
 }
