@@ -55,6 +55,22 @@ object Sketches {
       .select(estimate(k))
   }
 
+  /** PRODUCTION path at scale — the same estimate via the native
+    * [[graft.functions.KmvSketch]] `TypedImperativeAggregate`: the k
+    * smallest distinct hashes accumulate in a bounded tree per
+    * partition and only ≤k-entry buffers shuffle (O(partitions·k·8)
+    * bytes), where [[kmvEstimate]]'s `distinct()` exchanges EVERY
+    * distinct hash. Bit-identical output (same hash, same
+    * estimator, same exact-below-k rule — KmvSketchSpec pins the
+    * two paths to each other). */
+  def kmvEstimateSketch(df: DataFrame, valueCol: Column, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.select(ColumnBridge.column(
+      graft.functions.KmvSketch(
+        ColumnBridge.expression(Portable.hash64(valueCol)), k)
+        .toAggregateExpression()).as("kmv_estimate"))
+  }
+
   /** VERIFICATION path — one-row DataFrame: (n_exact, kmv_estimate)
     * distinct counts of `valueCol` in `df`. `n_exact` exists to check
     * the sketch against the truth (and to oracle-check the estimator
