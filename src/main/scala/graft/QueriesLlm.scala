@@ -13,7 +13,7 @@ object QueriesLlm {
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
-                        llm36, llm37, llm38)
+                        llm36, llm37, llm38, llm39)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1623,4 +1623,32 @@ object QueriesLlm {
            |       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
            |FROM k
            |ORDER BY doc_id""".stripMargin))
+
+  /** Cross-source overlap matrix (Dedup.sourceOverlap): distinct
+    * 9-char shingles per source, pairwise shared counts +
+    * containment — the provenance-leak diagnostic that flags
+    * mirror-heavy source pairs before any per-document dedup.
+    * Shingles travel as 8-byte hashes; the only doubles are one
+    * division of exact counts. */
+  private def llm39 = Q("llm39_source_overlap",
+    (s, dir) => {
+      Dedup.sourceOverlap(Tables.documents(s, dir), col("source"), col("text"), n = 9)
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""WITH sh AS (
+            |  SELECT DISTINCT source, ${Portable.duckHash64("shingle")} AS h
+            |  FROM (SELECT source, substr(text, i, 9) AS shingle
+            |        FROM (SELECT source, text,
+            |                unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+            |              FROM documents))),
+            |c AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+            |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+            |      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+            |      GROUP BY 1, 2)
+            |SELECT source_a, source_b, n_shared,
+            |       CAST(n_shared AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) AS containment
+            |FROM p
+            |JOIN c ca ON ca.source = p.source_a
+            |JOIN c cb ON cb.source = p.source_b
+            |ORDER BY source_a, source_b""".stripMargin))
 }

@@ -535,4 +535,36 @@ object Dedup {
       .filter(col("__rn") === 1)
       .select(col("eval_id"), col("train_id"), col("overlap"))
   }
+
+  /** Cross-source overlap matrix: for every pair of sources, how many
+    * distinct shingles they share and the containment
+    * `n_shared / min(n_a, n_b)` — the corpus-level contamination /
+    * provenance-leak diagnostic (a mirror-heavy source pair lights up
+    * before any per-document dedup runs).
+    *
+    * Scale shape: shingles collapse to DISTINCT (source, 8-byte hash)
+    * rows right after the explode — per source the set is bounded by
+    * its distinct-shingle vocabulary, not its token count — and the
+    * self-join keys on the hash, where each hash matches at most
+    * #sources rows per side (output ≤ sources² per shingle). The
+    * per-source totals are a tiny frame joined back at the end.
+    * Strings never shuffle; counts and ONE IEEE division cross the
+    * engine boundary. */
+  def sourceOverlap(df: DataFrame, sourceCol: Column, textCol: Column,
+                    n: Int = 9): DataFrame = {
+    val sh = df.select(sourceCol.as("source"), explode(shingles(textCol, n)).as("shingle"))
+      .select(col("source"), Portable.hash64(col("shingle")).as("h"))
+      .distinct()
+    val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(counts.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(counts.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+  }
 }
