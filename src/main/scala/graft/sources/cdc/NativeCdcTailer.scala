@@ -208,7 +208,14 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
   /** One poll: per table, decode change rows past the stored position
     * into envelope lines, append bounded WAL segments. State advances
     * with every flush. Returns envelope lines written. */
-  def poll(maxSegmentRecords: Int = 10000): Int = {
+  def poll(maxSegmentRecords: Int = 10000): Int =
+    pollWith(maxSegmentRecords)((_, _, _) => ())
+
+  /** [[poll]] with an observer invoked for every decoded change —
+    * the incremental-snapshot path watches the keys changing inside
+    * a watermark window without a second decode pass. */
+  private def pollWith(maxSegmentRecords: Int = 10000)
+                      (onChange: (TableSpec, Position, Change) => Unit): Int = {
     require(Files.exists(stateFile),
       s"$connectorName tailer: snapshot() must run before poll()")
     require(maxSegmentRecords > 0, "maxSegmentRecords must be positive")
@@ -238,12 +245,124 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
           buf += envelope(t, ch.op, ch.before, ch.after, ch.keyFrom, lsn)
           if (ch.op == "d" && emitTombstones) buf += tombstone(t, ch.keyFrom)
           positions(t.ci) = pos
+          onChange(t, pos, ch)
           if (buf.size >= maxSegmentRecords) flush()
         }
       }
     } finally conn.close()
     flush()
     total
+  }
+
+  /** DBLog-style incremental snapshot (Design Document: "DBLog: A
+    * Watermark Based Change-Data-Capture Framework", Netflix 2019 —
+    * the algorithm behind the reference's `execute-snapshot`
+    * incremental signal): read each table in primary-key-ordered
+    * chunks WHILE the change stream keeps flowing, and for every
+    * chunk drain the change feed as the high-watermark step — a
+    * chunk row whose key changed inside the window is DROPPED (the
+    * change event, which is newer and already in the layout, wins);
+    * surviving rows append as op='r' `snapshot="incremental"`
+    * envelopes AFTER the window's changes, so latest-state-by-LSN
+    * downstream converges to the live table without ever pausing
+    * capture.
+    *
+    * Memory is bounded by `chunkSize` rows plus the keys that
+    * changed inside one window — never a table image. Keyset
+    * pagination (lexicographic key predicate, no OFFSET) keeps each
+    * chunk query an index range scan at any table size.
+    *
+    * Returns the number of snapshot rows emitted (dropped chunk rows
+    * are not counted; their state flowed through the change
+    * events). */
+  def incrementalSnapshot(chunkSize: Int = 1024, maxSegmentRecords: Int = 10000): Int = {
+    require(Files.exists(stateFile),
+      s"$connectorName tailer: snapshot()/snapshotSchemaOnly() must run before " +
+      "incrementalSnapshot()")
+    require(chunkSize > 0, "chunkSize must be positive")
+    val conn = DriverManager.getConnection(jdbcUrl)
+    var emitted = 0
+    try {
+      tables.foreach { t =>
+        val keyCols = t.keyCols.map(_.toLowerCase)
+        var lastKey: Option[Seq[Any]] = None
+        var done = false
+        while (!done) {
+          val chunk = readChunk(conn, t, keyCols, lastKey, chunkSize)
+          if (chunk.isEmpty) done = true
+          else {
+            // high watermark: drain the live feed — every change in
+            // the window lands in the layout BEFORE the chunk rows,
+            // and its keys supersede their chunk reads
+            val changed = mutable.Set.empty[Seq[String]]
+            pollWith(maxSegmentRecords) { (ct, _, ch) =>
+              if (ct.ci == t.ci)
+                changed += keyCols.map(k => String.valueOf(ch.keyFrom(k)))
+            }
+            val survivors = chunk.filterNot(m =>
+              changed.contains(keyCols.map(k => String.valueOf(m(k)))))
+            appendReadSegment(t, survivors, snapshot = "incremental", maxSegmentRecords)
+            emitted += survivors.size
+            lastKey = Some(keyCols.map(chunk.last))
+          }
+        }
+      }
+    } finally conn.close()
+    emitted
+  }
+
+  /** One keyset-paginated chunk: rows with key lexicographically
+    * after `lastKey`, in key order. The predicate expands to
+    * `(k1 > ?) OR (k1 = ? AND k2 > ?) OR …` — an index range scan,
+    * never OFFSET. */
+  private def readChunk(conn: java.sql.Connection, t: TableSpec,
+                        keyCols: Seq[String], lastKey: Option[Seq[Any]],
+                        chunkSize: Int): Seq[Map[String, Any]] = {
+    val order = keyCols.mkString(", ")
+    val where = lastKey.fold("") { _ =>
+      val disjuncts = keyCols.indices.map { i =>
+        val eqs = (0 until i).map(j => s"${keyCols(j)} = ?")
+        (eqs :+ s"${keyCols(i)} > ?").mkString("(", " AND ", ")")
+      }
+      disjuncts.mkString("WHERE ", " OR ", " ")
+    }
+    val sql = s"SELECT * FROM ${t.qualified} $where" +
+      s"ORDER BY $order FETCH FIRST $chunkSize ROWS ONLY"
+    val ps = conn.prepareStatement(sql)
+    try {
+      lastKey.foreach { lk =>
+        var bind = 1
+        keyCols.indices.foreach { i =>
+          (0 to i).foreach { j => ps.setObject(bind, lk(j)); bind += 1 }
+        }
+      }
+      val rs = ps.executeQuery()
+      val out = mutable.ArrayBuffer.empty[Map[String, Any]]
+      while (rs.next()) out += rowMap(rs)
+      out.toSeq
+    } finally ps.close()
+  }
+
+  /** Append `rows` as op='r' envelopes in bounded WAL segments. */
+  private def appendReadSegment(t: TableSpec, rows: Seq[Map[String, Any]],
+                                snapshot: String, maxSegmentRecords: Int): Unit = {
+    if (rows.isEmpty) return
+    val (lsn0, positions) = readState()
+    var lsn = lsn0
+    val walDir = Files.createDirectories(dbDir.resolve("wal"))
+    var seq = CdcLayout.walFiles(dbDir).size
+    rows.grouped(maxSegmentRecords).foreach { group =>
+      val lines = group.map { m =>
+        lsn += 1
+        envelope(t, "r", None, Some(m), keyFrom = m, lsn, snapshot = snapshot)
+      }
+      val tmp = walDir.resolve(f".wal-$seq%06d.jsonl.tmp")
+      Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+      Files.move(tmp, walDir.resolve(f"wal-$seq%06d.jsonl"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      seq += 1
+      writeState(lsn, positions)
+    }
   }
 
   /** Stream every ResultSet row to `out`, one envelope line at a
@@ -264,13 +383,14 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
 
   private def envelope(t: TableSpec, op: String,
                        before: Option[Map[String, Any]], after: Option[Map[String, Any]],
-                       keyFrom: Map[String, Any], lsn: Long): String = {
+                       keyFrom: Map[String, Any], lsn: Long,
+                       snapshot: String = "false"): String = {
     val key = CdcJson.obj(t.keyCols.map(k => k.toLowerCase -> keyFrom(k.toLowerCase)).toMap)
     s"""{"destination":"$topicPrefix.${t.qualified}","key":$key,""" +
       s""""value":{"op":"$op","before":${before.fold("null")(CdcJson.obj)},""" +
       s""""after":${after.fold("null")(CdcJson.obj)},""" +
       s""""source":{"connector":"$connectorName","db":"$dbName","schema":"${t.schema}",""" +
-      s""""table":"${t.table}","lsn":$lsn,"snapshot":"false","ts_ms":0},"ts_ms":0},"headers":{}}"""
+      s""""table":"${t.table}","lsn":$lsn,"snapshot":"$snapshot","ts_ms":0},"ts_ms":0},"headers":{}}"""
   }
 
   private def tombstone(t: TableSpec, keyFrom: Map[String, Any]): String = {
