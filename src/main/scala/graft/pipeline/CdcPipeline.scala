@@ -295,13 +295,19 @@ object CdcPipeline {
 
   /** Act on pending control signals (SignalResource semantics): "stop"
     * gracefully stops the named query; "log" records its data field;
-    * "execute-snapshot" re-snapshots the named table into the sink
-    * (needs `spec`); unknown types are returned for caller-specific
-    * handling. */
+    * "execute-snapshot" snapshots the named table — with a NATIVE
+    * capture attached, as a DBLog incremental snapshot flowing
+    * through the normal stream (chunked, watermark-deduped,
+    * `NativeCdcTailer.incrementalSnapshot` — the reference's actual
+    * incremental-signal mechanism); otherwise as a layout replay
+    * into the sink (needs `spec`). Unknown types are returned for
+    * caller-specific handling. */
   def processSignals(spark: SparkSession,
                      channel: graft.services.Signals.Channel,
                      queries: Map[String, StreamingQuery],
-                     spec: Option[PipelineSpec] = None): Seq[graft.services.Signals.Signal] =
+                     spec: Option[PipelineSpec] = None,
+                     native: Option[graft.sources.cdc.NativeCdcTailer] = None)
+      : Seq[graft.services.Signals.Signal] =
     channel.poll().flatMap { sig =>
       sig.`type` match {
         case "stop" =>
@@ -309,6 +315,11 @@ object CdcPipeline {
           None
         case "log" =>
           org.slf4j.LoggerFactory.getLogger(getClass).info(s"signal log: ${sig.data}")
+          None
+        case "execute-snapshot"
+            if native.exists(_.tableSpecs.exists(t =>
+              t.qualified == sig.data || t.table == sig.data)) =>
+          native.get.incrementalSnapshot(only = Some(sig.data))
           None
         case "execute-snapshot" if spec.isDefined =>
           executeSnapshot(spark, spec.get, sig.data, sig.id)

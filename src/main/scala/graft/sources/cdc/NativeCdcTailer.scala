@@ -275,15 +275,25 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
     * Returns the number of snapshot rows emitted (dropped chunk rows
     * are not counted; their state flowed through the change
     * events). */
-  def incrementalSnapshot(chunkSize: Int = 1024, maxSegmentRecords: Int = 10000): Int = {
+  def incrementalSnapshot(chunkSize: Int = 1024, maxSegmentRecords: Int = 10000,
+                          /** Restrict to one table — the
+                            * `execute-snapshot` signal's
+                            * data-collection field (`schema.table`
+                            * or bare table name). */
+                          only: Option[String] = None): Int = {
     require(Files.exists(stateFile),
       s"$connectorName tailer: snapshot()/snapshotSchemaOnly() must run before " +
       "incrementalSnapshot()")
     require(chunkSize > 0, "chunkSize must be positive")
+    val selected = tables.filter(t =>
+      only.forall(o => t.qualified == o || t.table == o))
+    require(only.isEmpty || selected.nonEmpty,
+      s"$connectorName tailer: no captured table matches '${only.get}' " +
+      s"(captured: ${tables.map(_.qualified).mkString(", ")})")
     val conn = DriverManager.getConnection(jdbcUrl)
     var emitted = 0
     try {
-      tables.foreach { t =>
+      selected.foreach { t =>
         val keyCols = t.keyCols.map(_.toLowerCase)
         var lastKey: Option[Seq[Any]] = None
         var done = false

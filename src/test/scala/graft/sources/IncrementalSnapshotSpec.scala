@@ -84,6 +84,38 @@ class IncrementalSnapshotSpec extends SparkSpec {
     assert(tailer.incrementalSnapshot(chunkSize = 100) == 10)
   }
 
+  test("execute-snapshot signal routes to the native incremental snapshot") {
+    val (url, st) = fixtureDb()
+    (1 to 4).foreach(i =>
+      st.execute(s"INSERT INTO inv.accounts VALUES ($i, 'N$i', 'u$i@x.com')"))
+    val db = Files.createTempDirectory("graft-incsnapsig")
+    val tailer = new Db2CdTailer(url, db,
+      Seq(TableSpec("inv", "accounts", Seq("id"))), dialect = EmulatedDialect)
+    tailer.snapshotSchemaOnly()
+
+    val channel = new graft.services.Signals.Channel(
+      Files.createTempDirectory("graft-sigch"))
+    channel.send(graft.services.Signals.Signal("s1", "execute-snapshot", "inv.accounts"))
+    channel.send(graft.services.Signals.Signal("s2", "custom-type", "x"))
+    val leftover = graft.pipeline.CdcPipeline.processSignals(
+      spark, channel, queries = Map.empty, native = Some(tailer))
+    assert(leftover.map(_.`type`) == Seq("custom-type")) // unknown passes through
+
+    val batch = spark.read.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", keyDdl).option("rowSchema", rowDdl)
+      .load()
+    assert(batch.filter(col("value.source.snapshot") === "incremental").count() == 4)
+
+    // a signal naming an uncaptured table falls through to no handler
+    // (no spec either) and surfaces to the caller instead of silently
+    // snapshotting the wrong table
+    channel.send(graft.services.Signals.Signal("s3", "execute-snapshot", "inv.unknown"))
+    val left2 = graft.pipeline.CdcPipeline.processSignals(
+      spark, channel, queries = Map.empty, native = Some(tailer))
+    assert(left2.map(_.id) == Seq("s3"))
+  }
+
   test("incremental snapshot: requires a prior start point; empty table emits nothing") {
     val (url, _) = fixtureDb()
     val db = Files.createTempDirectory("graft-incsnapb")
