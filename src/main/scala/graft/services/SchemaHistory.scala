@@ -50,6 +50,15 @@ final class SchemaHistory(dir: Path) {
     }
   }
 
+  /** Append one DDL entry directly — the native-CDC tailers' path:
+    * a capture daemon observes a table's column set drifting and
+    * records it here without a round-trip through the stream
+    * (DDL-rate, driver-side, same atomic-per-line append). */
+  def recordDdl(destination: String, lsn: Long, ddl: String): Unit =
+    Files.write(log,
+      s"""{"destination":${q(destination)},"lsn":$lsn,"ddl":${q(ddl)}}\n""".getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
   /** The full ordered history (replay order = append order). */
   def replay(): Seq[SchemaHistory.Entry] =
     if (!Files.exists(log)) Nil

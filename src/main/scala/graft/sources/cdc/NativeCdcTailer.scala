@@ -153,6 +153,49 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
 
   private def stateFile = dbDir.resolve(stateFileName)
 
+  // ------------------------------------------------------------------
+  // Schema-change detection: the change feed itself announces column
+  // drift (a change table / journal / stream record carries the NEW
+  // column set after an ALTER). Track the observed after-image column
+  // set per capture instance; on drift, record a DDL entry into the
+  // attached SchemaHistory (the reference's schema-change-topic
+  // analog) and persist the new set so a restart doesn't re-announce.
+
+  private var schemaHistory: Option[graft.services.SchemaHistory] = None
+  private val knownColumns = mutable.Map.empty[String, Seq[String]]
+  private def columnsFile = dbDir.resolve(s"$stateFileName.columns")
+
+  /** Attach the durable schema history that column-drift DDL entries
+    * append to. Returns this for chaining. */
+  def withSchemaHistory(h: graft.services.SchemaHistory): this.type = {
+    schemaHistory = Some(h)
+    if (Files.exists(columnsFile))
+      Files.readAllLines(columnsFile).asScala.filter(_.nonEmpty).foreach { l =>
+        val Array(ci, cols) = l.split(" ", 2)
+        knownColumns(ci) = cols.split(",").toSeq
+      }
+    this
+  }
+
+  private def observeColumns(t: TableSpec, ch: Change, lsn: Long): Unit =
+    schemaHistory.foreach { h =>
+      ch.after.orElse(ch.before).foreach { image =>
+        val cols = image.keys.toSeq.sorted
+        if (!knownColumns.get(t.ci).contains(cols)) {
+          knownColumns(t.ci) = cols
+          h.recordDdl(s"$topicPrefix.${t.qualified}.schema-changes", lsn,
+            s"""{"table":"${t.qualified}","columns":"${cols.mkString(",")}"}""")
+          val tmp = dbDir.resolve(s"$stateFileName.columns.tmp")
+          Files.writeString(tmp,
+            knownColumns.toSeq.sortBy(_._1)
+              .map { case (ci, cs) => s"$ci ${cs.mkString(",")}" }
+              .mkString("", "\n", "\n"))
+          Files.move(tmp, columnsFile,
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+
   /** Consistent snapshot: one repeatable-read transaction dumps every
     * table and records each table's current change position. */
   def snapshot(): Unit = {
@@ -242,6 +285,7 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
         val from = positions.getOrElse(t.ci, Position.Min)
         forEachChange(conn, t, from) { (pos, ch) =>
           lsn += 1
+          observeColumns(t, ch, lsn)
           buf += envelope(t, ch.op, ch.before, ch.after, ch.keyFrom, lsn)
           if (ch.op == "d" && emitTombstones) buf += tombstone(t, ch.keyFrom)
           positions(t.ci) = pos

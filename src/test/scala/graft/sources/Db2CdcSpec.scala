@@ -85,6 +85,44 @@ class Db2CdcSpec extends SparkSpec {
     assert(batch.filter(col("value.source.connector") === "db2").count() == 3)
   }
 
+  test("db2 cd: column drift in the change feed records schema history once, survives restart") {
+    val (url, st) = fixtureDb()
+    val db = Files.createTempDirectory("graft-db2sh")
+    val histDir = Files.createTempDirectory("graft-db2shlog")
+    val hist = new graft.services.SchemaHistory(histDir)
+    val spec = TableSpec("inv", "accounts", Seq("id"))
+    val tailer = new Db2CdTailer(url, db, Seq(spec), dialect = EmulatedDialect)
+      .withSchemaHistory(hist)
+    tailer.snapshot()
+
+    cd(st, 10, 1, "I", 1, "A", "a@x.com")
+    tailer.poll()
+    assert(hist.replay().size == 1) // first observation announces the set
+    assert(hist.replay().head.destination == "testc.inv.accounts.schema-changes")
+    assert(hist.replay().head.ddl.contains("\"columns\":\"email,id,name\""))
+
+    cd(st, 11, 1, "I", 2, "B", "b@x.com")
+    tailer.poll()
+    assert(hist.replay().size == 1, "an unchanged column set must not re-announce")
+
+    // ALTER adds a column — the next change row carries it
+    st.execute("""ALTER TABLE asn."inv_accounts_CD" ADD COLUMN phone VARCHAR(32)""")
+    st.execute("""INSERT INTO asn."inv_accounts_CD" VALUES """ +
+      "(12, 1, 'I', 3, 'C', 'c@x.com', NULL, NULL, NULL, '555-1234')")
+    tailer.poll()
+    assert(hist.replay().size == 2)
+    assert(hist.currentSchemas()("testc.inv.accounts.schema-changes")
+      .contains("email,id,name,phone"))
+
+    // a restarted tailer reloads the known set — no re-announcement
+    val tailer2 = new Db2CdTailer(url, db, Seq(spec), dialect = EmulatedDialect)
+      .withSchemaHistory(hist)
+    st.execute("""INSERT INTO asn."inv_accounts_CD" VALUES """ +
+      "(13, 1, 'I', 4, 'D', 'd@x.com', NULL, NULL, NULL, NULL)")
+    tailer2.poll()
+    assert(hist.replay().size == 2)
+  }
+
   test("db2 cd: position survives restart; pre-snapshot CD rows excluded; intra-commit resume") {
     val (url, st) = fixtureDb()
     st.execute("INSERT INTO inv.accounts VALUES (1, 'A', 'a@x.com')")
