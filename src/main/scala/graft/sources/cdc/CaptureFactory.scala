@@ -76,6 +76,13 @@ object CaptureFactory {
       case _ => throw new IllegalArgumentException(
         s"debezium.source.protocol.socket must be host:port, got '$hostPort'")
     }
+    // the reference's schema-history store namespace: when a path is
+    // configured, native tailers record observed column drift there
+    def native(t: NativeCdcTailer): NativeCapture = {
+      props.get("debezium.source.schema.history.internal.path").foreach(p =>
+        t.withSchemaHistory(new graft.services.SchemaHistory(Paths.get(p))))
+      NativeCapture(t)
+    }
     // live socket session (`host:port`) wins over a captured-message
     // directory; exactly one of the two must be configured
     def feed: ReplicationFeed = props.get("debezium.source.protocol.socket") match {
@@ -167,19 +174,19 @@ object CaptureFactory {
       }
       ProtocolCapture(new ReplicationTailer(mysqlFeed, dec.decode, dbDir))
     } else if (connectorClass.endsWith("SqlServerConnector")) {
-      NativeCapture(SqlServerCdcTailer.fromProperties(props))
+      native(SqlServerCdcTailer.fromProperties(props))
     } else if (connectorClass.endsWith("OracleConnector")) {
-      NativeCapture(OracleLogMinerTailer.fromProperties(props))
+      native(OracleLogMinerTailer.fromProperties(props))
     } else if (connectorClass.endsWith("Db2Connector")) {
-      NativeCapture(Db2CdTailer.fromProperties(props))
+      native(Db2CdTailer.fromProperties(props))
     } else if (connectorClass.endsWith("SpannerConnector")) {
-      NativeCapture(SpannerChangeStreamTailer.fromProperties(props))
+      native(SpannerChangeStreamTailer.fromProperties(props))
     } else if (connectorClass.endsWith("As400RpcConnector") ||
                connectorClass.endsWith("IbmiConnector")) {
-      NativeCapture(IbmiJournalTailer.fromProperties(props))
+      native(IbmiJournalTailer.fromProperties(props))
     } else if (connectorClass.endsWith("CockroachDbConnector") ||
                connectorClass.endsWith("CockroachDBConnector")) {
-      NativeCapture(CockroachChangefeedTailer.fromProperties(props))
+      native(CockroachChangefeedTailer.fromProperties(props))
     } else if (connectorClass.endsWith("VitessConnector")) {
       val dec = new VStreamDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
         topicPrefix = prefix)

@@ -83,7 +83,9 @@ object Db2CdTailer {
           s"WHERE SOURCE_OWNER = '${t.schema.toUpperCase}' " +
           s"AND SOURCE_TABLE = '${t.table.toUpperCase}'")
         if (rs.next() && rs.getObject(1) != null)
-          Position(bigIntOf(rs.getObject(1)), BigInt(Array.fill(10)(0xff.toByte)))
+          // UNSIGNED max: the signed BigInt(Array) constructor would
+          // read ten 0xff bytes as -1 and re-deliver in-snapshot rows
+          Position(bigIntOf(rs.getObject(1)), BigInt(1, Array.fill(10)(0xff.toByte)))
         else Position.Min
       } finally st.close()
     }

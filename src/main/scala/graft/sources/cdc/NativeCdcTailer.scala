@@ -248,6 +248,14 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
     } finally conn.close()
   }
 
+  /** Serializes WAL-segment producers: the poll loop (daemon thread)
+    * and the incremental snapshot (signal thread) both allocate
+    * `wal-<seq>` names from the directory listing and advance the
+    * state file — unsynchronized interleaving would overwrite a
+    * segment and lose its changes. Chunk-grained: the snapshot holds
+    * it per chunk cycle, so capture keeps flowing between chunks. */
+  private val pollLock = new Object
+
   /** One poll: per table, decode change rows past the stored position
     * into envelope lines, append bounded WAL segments. State advances
     * with every flush. Returns envelope lines written. */
@@ -256,9 +264,11 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
 
   /** [[poll]] with an observer invoked for every decoded change —
     * the incremental-snapshot path watches the keys changing inside
-    * a watermark window without a second decode pass. */
-  private def pollWith(maxSegmentRecords: Int = 10000)
-                      (onChange: (TableSpec, Position, Change) => Unit): Int = {
+    * a watermark window without a second decode pass (and passes its
+    * already-open connection via `reuse`). */
+  private def pollWith(maxSegmentRecords: Int = 10000,
+                       reuse: Option[java.sql.Connection] = None)
+                      (onChange: (TableSpec, Position, Change) => Unit): Int = pollLock.synchronized {
     require(Files.exists(stateFile),
       s"$connectorName tailer: snapshot() must run before poll()")
     require(maxSegmentRecords > 0, "maxSegmentRecords must be positive")
@@ -279,7 +289,7 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
       total += buf.size
       buf.clear()
     }
-    val conn = DriverManager.getConnection(jdbcUrl)
+    val conn = reuse.getOrElse(DriverManager.getConnection(jdbcUrl))
     try {
       tables.foreach { t =>
         val from = positions.getOrElse(t.ci, Position.Min)
@@ -293,7 +303,7 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
           if (buf.size >= maxSegmentRecords) flush()
         }
       }
-    } finally conn.close()
+    } finally if (reuse.isEmpty) conn.close()
     flush()
     total
   }
@@ -342,28 +352,56 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
         var lastKey: Option[Seq[Any]] = None
         var done = false
         while (!done) {
-          val chunk = readChunk(conn, t, keyCols, lastKey, chunkSize)
-          if (chunk.isEmpty) done = true
-          else {
-            // high watermark: drain the live feed — every change in
-            // the window lands in the layout BEFORE the chunk rows,
-            // and its keys supersede their chunk reads
-            val changed = mutable.Set.empty[Seq[String]]
-            pollWith(maxSegmentRecords) { (ct, _, ch) =>
-              if (ct.ci == t.ci)
-                changed += keyCols.map(k => String.valueOf(ch.keyFrom(k)))
+          // one chunk cycle is ATOMIC wrt the poll daemon: if a
+          // concurrent poll drained the window's changes between our
+          // chunk read and our own drain, `changed` would miss them
+          // and a stale chunk row would outrank the newer change
+          pollLock.synchronized {
+            val chunk = readChunk(conn, t, keyCols, lastKey, chunkSize)
+            if (chunk.isEmpty) done = true
+            else {
+              // high watermark: drain the live feed — every change in
+              // the window lands in the layout BEFORE the chunk rows,
+              // and its keys supersede their chunk reads
+              val changed = mutable.Set.empty[Seq[String]]
+              pollWith(maxSegmentRecords, reuse = Some(conn)) { (ct, _, ch) =>
+                if (ct.ci == t.ci)
+                  changed += keyCols.map(k => keyNorm(ch.keyFrom(k)))
+              }
+              val survivors = chunk.filterNot(m =>
+                changed.contains(keyCols.map(k => keyNorm(m(k)))))
+              appendReadSegment(t, survivors, snapshot = "incremental", maxSegmentRecords)
+              emitted += survivors.size
+              lastKey = Some(keyCols.map(chunk.last))
             }
-            val survivors = chunk.filterNot(m =>
-              changed.contains(keyCols.map(k => String.valueOf(m(k)))))
-            appendReadSegment(t, survivors, snapshot = "incremental", maxSegmentRecords)
-            emitted += survivors.size
-            lastKey = Some(keyCols.map(chunk.last))
           }
         }
       }
     } finally conn.close()
     emitted
   }
+
+  /** Canonical string form of a key value for watermark matching —
+    * the chunk side (JDBC `getObject`) and the change side (dialect
+    * decode) may yield different runtime types for the same key:
+    * DECIMAL scales differ (`5.00` vs `5`), integral widths differ
+    * (Integer vs Long), byte arrays compare by identity. Numbers
+    * normalize through scale-stripped BigDecimal; bytes through hex. */
+  private def keyNorm(v: Any): String = v match {
+    case null => " null"
+    case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+    case n: java.math.BigDecimal => n.stripTrailingZeros.toPlainString
+    case n: Number => new java.math.BigDecimal(n.toString).stripTrailingZeros.toPlainString
+    case other => String.valueOf(other)
+  }
+
+  /** Chunk query text — `FETCH FIRST` is the SQL-standard row limit
+    * (Derby/Oracle/DB2/CockroachDB); dialects that spell it
+    * differently (T-SQL `TOP`, GoogleSQL `LIMIT`) override. */
+  protected def chunkQuery(t: TableSpec, where: String, order: String,
+                           chunkSize: Int): String =
+    s"SELECT * FROM ${t.qualified} $where" +
+      s"ORDER BY $order FETCH FIRST $chunkSize ROWS ONLY"
 
   /** One keyset-paginated chunk: rows with key lexicographically
     * after `lastKey`, in key order. The predicate expands to
@@ -380,8 +418,7 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
       }
       disjuncts.mkString("WHERE ", " OR ", " ")
     }
-    val sql = s"SELECT * FROM ${t.qualified} $where" +
-      s"ORDER BY $order FETCH FIRST $chunkSize ROWS ONLY"
+    val sql = chunkQuery(t, where, order, chunkSize)
     val ps = conn.prepareStatement(sql)
     try {
       lastKey.foreach { lk =>

@@ -145,6 +145,11 @@ final class SpannerChangeStreamTailer(jdbcUrl: String, dbDir: Path,
   import SpannerChangeStreamTailer.bigIntOf
 
   override def connectorName: String = "spanner"
+
+  /** GoogleSQL spells the row limit `LIMIT`. */
+  override protected def chunkQuery(t: TableSpec, where: String, order: String,
+                                    chunkSize: Int): String =
+    s"SELECT * FROM ${t.qualified} ${where}ORDER BY $order LIMIT $chunkSize"
   override def stateFileName: String = "_spanner_state"
 
   /** The exact change-polling SQL per table (asserted by the spec —

@@ -150,6 +150,12 @@ final class SqlServerCdcTailer(jdbcUrl: String, dbDir: Path,
   import SqlServerCdcTailer.bigIntOf
 
   override def connectorName: String = "sqlserver"
+
+  /** T-SQL has no bare `FETCH FIRST` (it requires OFFSET); `TOP` is
+    * the native row limit. */
+  override protected def chunkQuery(t: TableSpec, where: String, order: String,
+                                    chunkSize: Int): String =
+    s"SELECT TOP ($chunkSize) * FROM ${t.qualified} ${where}ORDER BY $order"
   override def stateFileName: String = "_sqlserver_state"
 
   /** The exact change-polling SQL per table (asserted by the spec —

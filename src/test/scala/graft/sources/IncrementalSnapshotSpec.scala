@@ -116,6 +116,73 @@ class IncrementalSnapshotSpec extends SparkSpec {
     assert(left2.map(_.id) == Seq("s3"))
   }
 
+  test("incremental snapshot races a live poll daemon: no segment lost, state converges") {
+    val (url, st) = fixtureDb()
+    (1 to 200).foreach(i =>
+      st.execute(s"INSERT INTO inv.accounts VALUES ($i, 'N$i', 'u$i@x.com')"))
+    val db = Files.createTempDirectory("graft-incsnaprace")
+    val tailer = new Db2CdTailer(url, db,
+      Seq(TableSpec("inv", "accounts", Seq("id"))), dialect = EmulatedDialect)
+    tailer.snapshotSchemaOnly()
+
+    // a writer thread keeps updating rows (CD entries) while a poll
+    // loop drains them — both racing the chunked snapshot's watermark
+    // drains and WAL seq allocation
+    val conn2 = java.sql.DriverManager.getConnection(url)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val updated = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val writer = new Thread(() => {
+      var seq = 100L
+      var i = 1
+      while (!stop.get() && i <= 50) {
+        val id = i * 4 // spread across chunks
+        val ps = conn2.prepareStatement(
+          """INSERT INTO asn."inv_accounts_CD" VALUES (?, 1, 'U', ?, ?, ?, ?, ?, ?)""")
+        ps.setLong(1, seq); ps.setInt(2, id); ps.setString(3, s"N$id")
+        ps.setString(4, s"u$id@new.com"); ps.setInt(5, id)
+        ps.setString(6, s"N$id"); ps.setString(7, s"u$id@x.com")
+        ps.executeUpdate(); ps.close()
+        conn2.createStatement().execute(
+          s"UPDATE inv.accounts SET email = 'u$id@new.com' WHERE id = $id")
+        updated.add(id)
+        tailer.poll()
+        seq += 1; i += 1
+      }
+    })
+    writer.start()
+    val emitted = tailer.incrementalSnapshot(chunkSize = 7)
+    writer.join(60000)
+    stop.set(true)
+    tailer.poll() // drain any tail changes past the last snapshot window
+
+    val batch = spark.read.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", keyDdl).option("rowSchema", rowDdl)
+      .load()
+    // every envelope written exactly once: lsn values are unique (a
+    // lost/overwritten WAL segment would drop a whole lsn run)
+    val lsns = batch.filter(col("value").isNotNull).select("value.source.lsn")
+      .collect().map(_.getLong(0)).toSeq
+    assert(lsns.size == lsns.distinct.size, "duplicate lsn = overwritten segment")
+    assert(batch.filter(col("value.op") === "u").count() == 50)
+    assert(emitted <= 200)
+
+    // convergence: latest state by lsn equals the live table
+    val state = graft.operators.ApplyChanges.latestState(
+        batch.filter(col("value").isNotNull),
+        keyCols = Seq(col("key.id")),
+        orderCols = Seq(col("value.source.lsn")),
+        opCol = col("value.op"))
+      .select(col("key.id").as("id"), col("value.after.email").as("email"))
+      .collect().map(r => r.getAs[Int]("id") -> r.getAs[String]("email")).toMap
+    assert(state.size == 200)
+    (1 to 200).foreach { id =>
+      val want = if (updated.contains(id)) s"u$id@new.com" else s"u$id@x.com"
+      assert(state(id) == want, s"id=$id: ${state(id)} != $want")
+    }
+    conn2.close()
+  }
+
   test("incremental snapshot: requires a prior start point; empty table emits nothing") {
     val (url, _) = fixtureDb()
     val db = Files.createTempDirectory("graft-incsnapb")

@@ -86,4 +86,10 @@ class OracleRedoParserSpec extends AnyFunSuite {
     assert(d.set == Map("A" -> new java.math.BigDecimal(1), "B" -> "two", "C" -> null))
     assert(d.where == Map("K" -> new java.math.BigDecimal(9)))
   }
+
+  test("owner/table/column case is preserved exactly as stored") {
+    val d = parse("""update "s"."MixedCase" set "camelCol" = 1 where "ID" = 2;""")
+    assert(d.owner == "s" && d.table == "MixedCase")
+    assert(d.set.keySet == Set("camelCol"))
+  }
 }
