@@ -388,7 +388,7 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
     * (Integer vs Long), byte arrays compare by identity. Numbers
     * normalize through scale-stripped BigDecimal; bytes through hex. */
   private def keyNorm(v: Any): String = v match {
-    case null => " null"
+    case null => "\u0000null"
     case b: Array[Byte] => b.map(x => f"$x%02x").mkString
     case n: java.math.BigDecimal => n.stripTrailingZeros.toPlainString
     case n: Number => new java.math.BigDecimal(n.toString).stripTrailingZeros.toPlainString
