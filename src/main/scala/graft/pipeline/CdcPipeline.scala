@@ -324,6 +324,15 @@ object CdcPipeline {
         case "execute-snapshot" if spec.isDefined =>
           executeSnapshot(spark, spec.get, sig.data, sig.id)
           None
+        case "stop-snapshot" if native.isDefined =>
+          native.get.stopIncrementalSnapshot(Some(sig.data).filter(_.nonEmpty))
+          None
+        case "pause-snapshot" if native.isDefined =>
+          native.get.pauseIncrementalSnapshot()
+          None
+        case "resume-snapshot" if native.isDefined =>
+          native.get.resumeIncrementalSnapshot()
+          None
         case _ => Some(sig)
       }
     }

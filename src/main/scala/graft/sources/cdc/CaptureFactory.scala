@@ -81,6 +81,8 @@ object CaptureFactory {
     def native(t: NativeCdcTailer): NativeCapture = {
       props.get("debezium.source.schema.history.internal.path").foreach(p =>
         t.withSchemaHistory(new graft.services.SchemaHistory(Paths.get(p))))
+      if (props.contains("debezium.source.notification.enabled.channels"))
+        t.withNotifications(graft.services.Notifications.fromProperties(props))
       NativeCapture(t)
     }
     // live socket session (`host:port`) wins over a captured-message

@@ -346,40 +346,109 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
       s"(captured: ${tables.map(_.qualified).mkString(", ")})")
     val conn = DriverManager.getConnection(jdbcUrl)
     var emitted = 0
+    // a prior ABORT clears; a standing PAUSE holds (resume-snapshot
+    // releases it) — pause/stop target whichever snapshot is in flight
+    snapState.compareAndSet(SnapStopped, SnapRunning)
+    snapExcluded.clear()
+    notifier.emit(graft.services.Notifications.AggregateIncrementalSnapshot,
+      "STARTED", Map("data_collections" -> selected.map(_.qualified).mkString(",")))
+    var aborted = false
     try {
       selected.foreach { t =>
-        val keyCols = t.keyCols.map(_.toLowerCase)
-        var lastKey: Option[Seq[Any]] = None
-        var done = false
-        while (!done) {
-          // one chunk cycle is ATOMIC wrt the poll daemon: if a
-          // concurrent poll drained the window's changes between our
-          // chunk read and our own drain, `changed` would miss them
-          // and a stale chunk row would outrank the newer change
-          pollLock.synchronized {
-            val chunk = readChunk(conn, t, keyCols, lastKey, chunkSize)
-            if (chunk.isEmpty) done = true
-            else {
-              // high watermark: drain the live feed — every change in
-              // the window lands in the layout BEFORE the chunk rows,
-              // and its keys supersede their chunk reads
-              val changed = mutable.Set.empty[Seq[String]]
-              pollWith(maxSegmentRecords, reuse = Some(conn)) { (ct, _, ch) =>
-                if (ct.ci == t.ci)
-                  changed += keyCols.map(k => keyNorm(ch.keyFrom(k)))
+        if (!aborted && !snapExcluded.contains(t.qualified)) {
+          val keyCols = t.keyCols.map(_.toLowerCase)
+          var lastKey: Option[Seq[Any]] = None
+          var scanned = 0
+          var done = false
+          while (!done) {
+            // signals act BETWEEN chunk cycles (never inside pollLock,
+            // so a paused snapshot can't starve the poll daemon)
+            while (snapState.get() == SnapPaused) Thread.sleep(10)
+            if (snapState.get() == SnapStopped || snapExcluded.contains(t.qualified)) {
+              done = true
+              if (snapState.get() == SnapStopped) aborted = true
+            } else
+            // one chunk cycle is ATOMIC wrt the poll daemon: if a
+            // concurrent poll drained the window's changes between our
+            // chunk read and our own drain, `changed` would miss them
+            // and a stale chunk row would outrank the newer change
+            pollLock.synchronized {
+              val chunk = readChunk(conn, t, keyCols, lastKey, chunkSize)
+              if (chunk.isEmpty) done = true
+              else {
+                // high watermark: drain the live feed — every change in
+                // the window lands in the layout BEFORE the chunk rows,
+                // and its keys supersede their chunk reads
+                val changed = mutable.Set.empty[Seq[String]]
+                pollWith(maxSegmentRecords, reuse = Some(conn)) { (ct, _, ch) =>
+                  if (ct.ci == t.ci)
+                    changed += keyCols.map(k => keyNorm(ch.keyFrom(k)))
+                }
+                val survivors = chunk.filterNot(m =>
+                  changed.contains(keyCols.map(k => keyNorm(m(k)))))
+                appendReadSegment(t, survivors, snapshot = "incremental", maxSegmentRecords)
+                emitted += survivors.size
+                scanned += chunk.size
+                lastKey = Some(keyCols.map(chunk.last))
               }
-              val survivors = chunk.filterNot(m =>
-                changed.contains(keyCols.map(k => keyNorm(m(k)))))
-              appendReadSegment(t, survivors, snapshot = "incremental", maxSegmentRecords)
-              emitted += survivors.size
-              lastKey = Some(keyCols.map(chunk.last))
             }
           }
+          if (!aborted && !snapExcluded.contains(t.qualified))
+            notifier.emit(graft.services.Notifications.AggregateIncrementalSnapshot,
+              "TABLE_SCAN_COMPLETED",
+              Map("data_collection" -> t.qualified,
+                  "scanned_rows" -> scanned.toString,
+                  "emitted_rows" -> emitted.toString))
         }
       }
     } finally conn.close()
+    notifier.emit(graft.services.Notifications.AggregateIncrementalSnapshot,
+      if (aborted) "ABORTED" else "COMPLETED",
+      Map("emitted_rows" -> emitted.toString))
     emitted
   }
+
+  // ------------------------------------------------------------------
+  // Incremental-snapshot control — the upstream signal surface beyond
+  // execute-snapshot: stop-snapshot (whole run or named collections),
+  // pause-snapshot, resume-snapshot. Signals arrive on another thread
+  // (REST/file channel → CdcPipeline.processSignals) while
+  // incrementalSnapshot runs; the loop observes state between chunk
+  // cycles, so a chunk is never torn.
+
+  private val SnapRunning = 0; private val SnapPaused = 1; private val SnapStopped = 2
+  private val snapState = new java.util.concurrent.atomic.AtomicInteger(SnapRunning)
+  private val snapExcluded =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]().asScala
+  private var notifier: graft.services.Notifications.Dispatcher =
+    graft.services.Notifications.Dispatcher.disabled
+
+  /** Attach the notification dispatcher progress events fan out to. */
+  def withNotifications(d: graft.services.Notifications.Dispatcher): this.type = {
+    notifier = d; this
+  }
+
+  /** `pause-snapshot`: the chunk loop parks before its next cycle. */
+  def pauseIncrementalSnapshot(): Unit =
+    if (snapState.compareAndSet(SnapRunning, SnapPaused))
+      notifier.emit(graft.services.Notifications.AggregateIncrementalSnapshot, "PAUSED")
+
+  /** `resume-snapshot`. */
+  def resumeIncrementalSnapshot(): Unit =
+    if (snapState.compareAndSet(SnapPaused, SnapRunning))
+      notifier.emit(graft.services.Notifications.AggregateIncrementalSnapshot, "RESUMED")
+
+  /** `stop-snapshot`: with a collection named, only that table leaves
+    * the run (rows already emitted stand — they are op='r' state the
+    * downstream converges over); with none, the whole run aborts. */
+  def stopIncrementalSnapshot(collection: Option[String] = None): Unit =
+    collection match {
+      case Some(c) =>
+        tables.filter(t => t.qualified == c || t.table == c)
+          .foreach(t => snapExcluded += t.qualified)
+      case None =>
+        snapState.set(SnapStopped)
+    }
 
   /** Canonical string form of a key value for watermark matching —
     * the chunk side (JDBC `getObject`) and the change side (dialect

@@ -192,4 +192,127 @@ class IncrementalSnapshotSpec extends SparkSpec {
     tailer.snapshotSchemaOnly()
     assert(tailer.incrementalSnapshot() == 0)
   }
+
+  private def waitFor(what: String)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (!cond) {
+      assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+      Thread.sleep(5)
+    }
+  }
+
+  test("snapshot notifications: STARTED / TABLE_SCAN_COMPLETED / COMPLETED") {
+    val (url, st) = fixtureDb()
+    (1 to 7).foreach(i =>
+      st.execute(s"INSERT INTO inv.accounts VALUES ($i, 'N$i', 'u$i@x.com')"))
+    val db = Files.createTempDirectory("graft-incsnapntf")
+    val mem = new graft.services.Notifications.MemoryChannel
+    val tailer = new Db2CdTailer(url, db,
+        Seq(TableSpec("inv", "accounts", Seq("id"))), dialect = EmulatedDialect)
+      .withNotifications(new graft.services.Notifications.Dispatcher(Seq(mem)))
+    tailer.snapshotSchemaOnly()
+    assert(tailer.incrementalSnapshot(chunkSize = 3) == 7)
+
+    val got = mem.all
+    assert(got.map(_.`type`) == Seq("STARTED", "TABLE_SCAN_COMPLETED", "COMPLETED"))
+    assert(got.forall(_.aggregateType ==
+      graft.services.Notifications.AggregateIncrementalSnapshot))
+    assert(got(0).additionalData("data_collections") == "inv.accounts")
+    assert(got(1).additionalData("data_collection") == "inv.accounts")
+    assert(got(1).additionalData("scanned_rows") == "7")
+    assert(got(2).additionalData("emitted_rows") == "7")
+  }
+
+  test("pause-snapshot parks the chunk loop; resume-snapshot releases it") {
+    val (url, st) = fixtureDb()
+    (1 to 20).foreach(i =>
+      st.execute(s"INSERT INTO inv.accounts VALUES ($i, 'N$i', 'u$i@x.com')"))
+    val db = Files.createTempDirectory("graft-incsnappause")
+    val mem = new graft.services.Notifications.MemoryChannel
+    val tailer = new Db2CdTailer(url, db,
+        Seq(TableSpec("inv", "accounts", Seq("id"))), dialect = EmulatedDialect)
+      .withNotifications(new graft.services.Notifications.Dispatcher(Seq(mem)))
+    tailer.snapshotSchemaOnly()
+
+    // a standing pause holds across snapshot entry: the loop parks
+    // BEFORE its first chunk, so nothing emits until resume
+    tailer.pauseIncrementalSnapshot()
+    val result = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val t = new Thread(() => result.set(tailer.incrementalSnapshot(chunkSize = 4)))
+    t.start()
+    waitFor("STARTED")(mem.all.exists(_.`type` == "STARTED"))
+    Thread.sleep(100) // paused: the loop must not progress
+    assert(!mem.all.exists(_.`type` == "COMPLETED"))
+    assert(result.get() == -1)
+
+    tailer.resumeIncrementalSnapshot()
+    t.join(30000)
+    assert(result.get() == 20)
+    val types = mem.all.map(_.`type`)
+    assert(types == Seq("PAUSED", "STARTED", "RESUMED",
+      "TABLE_SCAN_COMPLETED", "COMPLETED"))
+  }
+
+  test("stop-snapshot aborts the run; a named collection only excludes that table") {
+    val (url, st) = fixtureDb()
+    (1 to 10).foreach(i =>
+      st.execute(s"INSERT INTO inv.accounts VALUES ($i, 'N$i', 'u$i@x.com')"))
+    st.execute("CREATE TABLE inv.orders (id INT PRIMARY KEY, " +
+      "name VARCHAR(64), email VARCHAR(64))")
+    st.execute("""CREATE TABLE asn."inv_orders_CD" (""" +
+      "ibmsnap_commitseq BIGINT, ibmsnap_intentseq BIGINT, " +
+      "ibmsnap_operation CHAR(1), " +
+      "id INT, name VARCHAR(64), email VARCHAR(64), " +
+      "xid INT, xname VARCHAR(64), xemail VARCHAR(64))")
+    (1 to 5).foreach(i =>
+      st.execute(s"INSERT INTO inv.orders VALUES ($i, 'O$i', 'o$i@x.com')"))
+
+    val db = Files.createTempDirectory("graft-incsnapstop")
+    val mem = new graft.services.Notifications.MemoryChannel
+    val tailer = new Db2CdTailer(url, db,
+        Seq(TableSpec("inv", "accounts", Seq("id")),
+            TableSpec("inv", "orders", Seq("id"))), dialect = EmulatedDialect)
+      .withNotifications(new graft.services.Notifications.Dispatcher(Seq(mem)))
+    tailer.snapshotSchemaOnly()
+
+    // stop-snapshot naming inv.accounts: only orders scans — routed
+    // through the signal channel like the reference's control path
+    val channel = new graft.services.Signals.Channel(
+      Files.createTempDirectory("graft-sigstop"))
+    tailer.pauseIncrementalSnapshot()
+    val result = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val t = new Thread(() => result.set(tailer.incrementalSnapshot(chunkSize = 4)))
+    t.start()
+    waitFor("STARTED")(mem.all.exists(_.`type` == "STARTED"))
+    channel.send(graft.services.Signals.Signal("s1", "stop-snapshot", "inv.accounts"))
+    channel.send(graft.services.Signals.Signal("s2", "resume-snapshot", ""))
+    assert(graft.pipeline.CdcPipeline.processSignals(
+      spark, channel, queries = Map.empty, native = Some(tailer)).isEmpty)
+    t.join(30000)
+    assert(result.get() == 5, "only inv.orders scanned")
+    val scans = mem.all.filter(_.`type` == "TABLE_SCAN_COMPLETED")
+    assert(scans.map(_.additionalData("data_collection")) == Seq("inv.orders"))
+    assert(mem.all.map(_.`type`).last == "COMPLETED", "named stop is not an abort")
+
+    // bare stop-snapshot: the whole run aborts before its first chunk
+    val mem2 = new graft.services.Notifications.MemoryChannel
+    val tailer2 = new Db2CdTailer(url, db,
+        Seq(TableSpec("inv", "accounts", Seq("id"))), dialect = EmulatedDialect)
+      .withNotifications(new graft.services.Notifications.Dispatcher(Seq(mem2)))
+    tailer2.pauseIncrementalSnapshot()
+    val result2 = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val t2 = new Thread(() => result2.set(tailer2.incrementalSnapshot(chunkSize = 4)))
+    t2.start()
+    waitFor("STARTED (2)")(mem2.all.exists(_.`type` == "STARTED"))
+    channel.send(graft.services.Signals.Signal("s3", "stop-snapshot", ""))
+    assert(graft.pipeline.CdcPipeline.processSignals(
+      spark, channel, queries = Map.empty, native = Some(tailer2)).isEmpty)
+    t2.join(30000)
+    assert(result2.get() == 0, "aborted before any chunk")
+    assert(mem2.all.map(_.`type`).last == "ABORTED")
+
+    // a later run recovers from the stopped state
+    assert(tailer2.incrementalSnapshot(chunkSize = 100) == 10)
+    assert(mem2.all.map(_.`type`).last == "COMPLETED")
+  }
 }
