@@ -15,7 +15,7 @@ import graft.operators.{ApplyChanges, EventShaping, SmtFactory}
 object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
-                        cdc12)
+                        cdc12, cdc13)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -568,4 +568,69 @@ object QueriesCdc {
             |WHERE rn = 1 AND op <> 'd'
             |ORDER BY user_id""".stripMargin),
     prepare = Some((s, dir) => { cdc12Db(s, dir); () }))
+
+  /** Transaction metadata (`provide.transaction.metadata`): events
+    * gain `{id, total_order, data_collection_order}` and the
+    * `<prefix>.transaction` stream carries BEGIN/END boundaries, END
+    * with per-collection counts. Tx model on the events log: one
+    * transaction per user, ordered by (ts, event_id), destination by
+    * event type. Event rows and boundary rows union into one frame
+    * (kind = event | BEGIN | END). */
+  private def cdc13 = Q("cdc13_transaction_metadata",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("destination", concat(lit("testc.app."), col("event_type")))
+      val enriched = graft.operators.TransactionMetadata.enrich(
+          ev, col("user_id"), col("destination"),
+          order = Seq(col("ts"), col("event_id")))
+        .select(
+          col("user_id").as("tx_id"), lit("event").as("kind"),
+          col("destination"),
+          col("transaction.total_order").as("total_order"),
+          col("transaction.data_collection_order").as("dc_order"),
+          lit(null).cast("long").as("event_count"),
+          lit(null).cast("string").as("data_collections"),
+          col("event_id"))
+      val bounds = graft.operators.TransactionMetadata.boundaries(
+          ev, col("user_id"), col("destination"), topicPrefix = "testc")
+        .select(
+          col("tx_id"), col("status").as("kind"), col("destination"),
+          lit(0L).as("total_order"), lit(0L).as("dc_order"),
+          col("event_count"), col("data_collections"),
+          lit(null).cast("long").as("event_id"))
+      enriched.unionAll(bounds)
+        .orderBy(col("tx_id"),
+          when(col("kind") === "BEGIN", 0).when(col("kind") === "event", 1)
+            .otherwise(2),
+          col("total_order"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id AS tx_id,
+           |         concat('testc.app.', event_type) AS destination,
+           |         ts, event_id
+           |  FROM events),
+           |perdc AS (
+           |  SELECT tx_id, destination AS dc, count(*) AS n
+           |  FROM ev GROUP BY 1, 2),
+           |pertx AS (
+           |  SELECT tx_id, CAST(sum(n) AS BIGINT) AS event_count,
+           |         string_agg(dc || ':' || n, ',' ORDER BY dc) AS data_collections
+           |  FROM perdc GROUP BY 1)
+           |SELECT tx_id, kind, destination, total_order, dc_order,
+           |       event_count, data_collections, event_id
+           |FROM (
+           |  SELECT tx_id, 'event' AS kind, destination,
+           |         row_number() OVER (PARTITION BY tx_id ORDER BY ts, event_id) AS total_order,
+           |         row_number() OVER (PARTITION BY tx_id, destination ORDER BY ts, event_id) AS dc_order,
+           |         CAST(NULL AS BIGINT) AS event_count,
+           |         CAST(NULL AS VARCHAR) AS data_collections, event_id
+           |  FROM ev
+           |  UNION ALL
+           |  SELECT tx_id, 'BEGIN', 'testc.transaction', 0, 0, NULL, NULL, NULL FROM pertx
+           |  UNION ALL
+           |  SELECT tx_id, 'END', 'testc.transaction', 0, 0, event_count, data_collections, NULL
+           |  FROM pertx) u
+           |ORDER BY tx_id,
+           |  CASE kind WHEN 'BEGIN' THEN 0 WHEN 'event' THEN 1 ELSE 2 END,
+           |  total_order""".stripMargin))
 }

@@ -338,4 +338,18 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BatchScan") && s.contains("graft-cdc"),
       s"expected a DSv2 BatchScan of graft-cdc in:\n$s")
   }
+
+  test("cdc13: transaction enrich stacks both windows on ONE tx-id exchange") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfSmoke)
+      .withColumn("destination", concat(lit("t."), col("event_type")))
+    val df = graft.operators.TransactionMetadata.enrich(
+      ev, col("user_id"), col("destination"), Seq(col("ts"), col("event_id")))
+    val shuffles = shufflePartitionings(planOf(df))
+    // tx-id clustering already co-locates (tx id, destination): the
+    // second window must reuse the first window's exchange
+    assert(shuffles.size == 1, s"expected one exchange, got $shuffles")
+    assert(shuffles.head.contains("user_id"),
+      s"expected hash partitioning on the tx id, got: $shuffles")
+  }
 }
