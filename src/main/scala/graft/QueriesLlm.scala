@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
-import graft.llm.{Clustering, CorpusReport, Curation, Dedup, LanguageModel, Multimodal, Packing, Pii, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.llm.{Clustering, CorpusReport, Curation, Dedup, LanguageModel, Multimodal, Packing, Pii, Pq, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** LLM training-data pipeline operators (SURVEY.md §7.2 step 8) over
   * the `documents` and `embeddings` tables.
@@ -13,7 +13,7 @@ object QueriesLlm {
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
-                        llm36, llm37, llm38, llm39)
+                        llm36, llm37, llm38, llm39, llm40)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1651,4 +1651,50 @@ object QueriesLlm {
             |JOIN c ca ON ca.source = p.source_a
             |JOIN c cb ON cb.source = p.source_b
             |ORDER BY source_a, source_b""".stripMargin))
+
+  /** Product-quantization ANN: 64-dim embeddings compress to 8
+    * one-byte codes (8 subspaces × 16 codewords from the 16 lowest-id
+    * vectors); the query (lowest vec_id) scans via an ADC lookup
+    * table folded into plan literals — per row: 8 int lookups, no
+    * float math, no vector access. The oracle replays subspace
+    * encode + LUT sum in plain SQL. */
+  private def llm40 = Q("llm40_pq_ann",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val cb = Pq.seedCodebooks(emb, col("vec_id"), col("embedding"),
+        dims = 64, m = 8, k = 16)
+      val q = emb.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id"), col("embedding")).collect().head
+      val qid = q.getLong(0)
+      val qq = Pq.quantize(q.get(1), 64)
+      Pq.adcTopK(
+        Pq.encode(emb, col("embedding"), cb).filter(col("vec_id") =!= qid),
+        col("vec_id"), qq, cb, topK = 20)
+    },
+    Some("""WITH emb AS (SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+           |       FROM embeddings),
+           |ms AS (SELECT unnest(range(0, 8)) AS m),
+           |sub AS (SELECT vec_id, m, qv[m*8+1 : m*8+8] AS sv FROM emb, ms),
+           |cb AS (SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) AS INT) - 1 AS cid, sv AS cv
+           |       FROM sub WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 16)),
+           |qid AS (SELECT min(vec_id) AS qid FROM emb),
+           |codes AS (SELECT vec_id, m, cid FROM (
+           |  SELECT s.vec_id, s.m, c.cid,
+           |         row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+           |           CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+           |                z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT), c.cid) AS rn
+           |  FROM sub s JOIN cb c ON s.m = c.m) t
+           |  WHERE rn = 1),
+           |lut AS (SELECT c.m, c.cid,
+           |         CAST(list_sum(list_transform(list_zip(qs.sv, c.cv),
+           |              z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS ld
+           |       FROM cb c JOIN (SELECT m, sv FROM sub WHERE vec_id = (SELECT qid FROM qid)) qs
+           |         ON qs.m = c.m)
+           |SELECT k.vec_id, CAST(sum(l.ld) AS BIGINT) AS adist
+           |FROM codes k JOIN lut l ON k.m = l.m AND k.cid = l.cid
+           |WHERE k.vec_id <> (SELECT qid FROM qid)
+           |GROUP BY k.vec_id
+           |ORDER BY adist, vec_id
+           |LIMIT 20""".stripMargin))
 }

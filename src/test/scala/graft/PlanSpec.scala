@@ -339,6 +339,17 @@ class PlanSpec extends SparkSpec {
       s"expected a DSv2 BatchScan of graft-cdc in:\n$s")
   }
 
+  test("llm40: PQ ADC scan is shuffle-free map + TakeOrderedAndProject — no join, no sort") {
+    val df = Queries.byName("llm40_pq_ann")(spark, sfSmoke)
+    val p = planOf(df)
+    val s = p.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$s")
+    assert(!s.contains("Join"), s"ADC must be a lookup-table map, not a join:\n$s")
+    assert(shufflePartitionings(p).isEmpty,
+      s"encode+ADC is map-only; got shuffles: ${shufflePartitionings(p)}")
+  }
+
   test("cdc13: transaction enrich stacks both windows on ONE tx-id exchange") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sfSmoke)
