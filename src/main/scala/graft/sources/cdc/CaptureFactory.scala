@@ -83,6 +83,21 @@ object CaptureFactory {
         t.withSchemaHistory(new graft.services.SchemaHistory(Paths.get(p))))
       if (props.contains("debezium.source.notification.enabled.channels"))
         t.withNotifications(graft.services.Notifications.fromProperties(props))
+      // source-table signal channel: inserts into this collection are
+      // control messages, routed onto the durable file channel the
+      // pipeline's processSignals loop already consumes
+      props.get("debezium.source.signal.data.collection").foreach { spec =>
+        val st = NativeCdc.parseTableSpecs(spec) match {
+          case Seq(one) => one
+          case more => sys.error(
+            s"signal.data.collection must name ONE table, got ${more.size}")
+        }
+        val dir = props.getOrElse("debezium.source.signal.channel.dir",
+          sys.error("signal.data.collection needs " +
+            "debezium.source.signal.channel.dir (the control directory)"))
+        val ch = new graft.services.Signals.Channel(Paths.get(dir))
+        t.withSignalTable(st, ch.send)
+      }
       NativeCapture(t)
     }
     // live socket session (`host:port`) wins over a captured-message

@@ -196,6 +196,32 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
       }
     }
 
+  // ------------------------------------------------------------------
+  // Source-table signal channel (`signal.data.collection`): a table in
+  // the SOURCE database whose inserted rows are control messages
+  // {id, type, data}. Its changes ride the same change feed as data
+  // tables — totally ordered with them — but never reach the WAL:
+  // each insert decodes to a Signal and routes to the handler.
+  // Delivery is at-least-once (position persists with the poll's
+  // state write), matching the engine's semantics.
+
+  private var signalTable: Option[(TableSpec, graft.services.Signals.Signal => Unit)] = None
+
+  /** Watch `t` as the signal collection; `onSignal` fires per insert.
+    * Attach BEFORE snapshot()/snapshotSchemaOnly() so the watch
+    * starts at the snapshot position (historical rows never replay as
+    * signals). */
+  def withSignalTable(t: TableSpec,
+                      onSignal: graft.services.Signals.Signal => Unit): this.type = {
+    signalTable = Some((t, onSignal))
+    this
+  }
+
+  private def decodeSignal(after: Map[String, Any]): graft.services.Signals.Signal = {
+    def s(k: String) = after.get(k).flatMap(Option(_)).map(String.valueOf).getOrElse("")
+    graft.services.Signals.Signal(s("id"), s("type"), s("data"))
+  }
+
   /** Consistent snapshot: one repeatable-read transaction dumps every
     * table and records each table's current change position. */
   def snapshot(): Unit = {
@@ -222,6 +248,10 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
         Files.move(tmp, snapDir.resolve(s"${t.qualified}.jsonl"),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
+      // the signal collection's watch anchors here too: rows inserted
+      // before the snapshot are history, not pending control messages
+      signalTable.foreach { case (t, _) =>
+        positions(t.ci) = currentPosition(conn, t) }
       conn.commit()
       Files.writeString(snapDir.resolve("_lsn"), "0")
       writeState(0L, positions.toMap)
@@ -243,6 +273,8 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
         Files.move(tmp, snapDir.resolve(s"${t.qualified}.jsonl"),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
+      signalTable.foreach { case (t, _) =>
+        positions(t.ci) = currentPosition(conn, t) }
       Files.writeString(snapDir.resolve("_lsn"), "0")
       writeState(0L, positions.toMap)
     } finally conn.close()
@@ -289,6 +321,7 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
       total += buf.size
       buf.clear()
     }
+    var signalsSeen = false
     val conn = reuse.getOrElse(DriverManager.getConnection(jdbcUrl))
     try {
       tables.foreach { t =>
@@ -303,8 +336,22 @@ abstract class NativeCdcTailer(jdbcUrl: String, dbDir: Path,
           if (buf.size >= maxSegmentRecords) flush()
         }
       }
+      // signal collection: control, not data — inserts decode to
+      // signals, nothing reaches the WAL, updates/deletes are ignored
+      // (the reference's signal table is insert-only)
+      signalTable.foreach { case (t, onSignal) =>
+        val from = positions.getOrElse(t.ci, Position.Min)
+        forEachChange(conn, t, from) { (pos, ch) =>
+          if (ch.op == "c") ch.after.foreach(a => onSignal(decodeSignal(a)))
+          positions(t.ci) = pos
+          signalsSeen = true
+        }
+      }
     } finally if (reuse.isEmpty) conn.close()
     flush()
+    // signal-only polls still advance durable state, or every later
+    // poll would re-deliver the same control messages
+    if (signalsSeen) writeState(lsn, positions.toMap)
     total
   }
 
