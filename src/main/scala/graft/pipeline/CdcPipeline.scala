@@ -316,16 +316,26 @@ object CdcPipeline {
         case "log" =>
           org.slf4j.LoggerFactory.getLogger(getClass).info(s"signal log: ${sig.data}")
           None
-        case "execute-snapshot"
-            if native.exists(_.tableSpecs.exists(t =>
-              t.qualified == sig.data || t.table == sig.data)) =>
-          native.get.incrementalSnapshot(only = Some(sig.data))
-          None
-        case "execute-snapshot" if spec.isDefined =>
-          executeSnapshot(spark, spec.get, sig.data, sig.id)
-          None
+        case "execute-snapshot" =>
+          val (colls, typ) = parseSnapshotData(sig.data)
+          // incremental (the default) prefers the native DBLog path
+          // when the capture owns every named collection; "blocking"
+          // — and any collection outside the native capture — runs as
+          // the ad-hoc bounded layout replay
+          val nativeAll = native.filter(n => colls.nonEmpty && typ == "incremental" &&
+            colls.forall(c => n.tableSpecs.exists(t => t.qualified == c || t.table == c)))
+          if (nativeAll.isDefined) {
+            colls.foreach(c => nativeAll.get.incrementalSnapshot(only = Some(c)))
+            None
+          } else if (spec.isDefined && colls.nonEmpty) {
+            colls.foreach(c => executeSnapshot(spark, spec.get, c,
+              if (colls.size == 1) sig.id else s"${sig.id}:$c"))
+            None
+          } else Some(sig)
         case "stop-snapshot" if native.isDefined =>
-          native.get.stopIncrementalSnapshot(Some(sig.data).filter(_.nonEmpty))
+          val (colls, _) = parseSnapshotData(sig.data)
+          if (colls.isEmpty) native.get.stopIncrementalSnapshot(None)
+          else colls.foreach(c => native.get.stopIncrementalSnapshot(Some(c)))
           None
         case "pause-snapshot" if native.isDefined =>
           native.get.pauseIncrementalSnapshot()
@@ -336,4 +346,19 @@ object CdcPipeline {
         case _ => Some(sig)
       }
     }
+
+  /** Snapshot-signal `data` payloads: the reference's JSON object
+    * (`{"data-collections": ["s.t", …], "type": "incremental"|"blocking"}`,
+    * SignalResource's DSSignal data field) or — as a convenience — a
+    * bare collection name. Type defaults to incremental. */
+  private[pipeline] def parseSnapshotData(data: String): (Seq[String], String) =
+    if (data.trim.startsWith("{")) {
+      import scala.jdk.CollectionConverters._
+      val n = graft.sources.cdc.JsonRows.parse(data)
+      val colls = Option(n.get("data-collections")).filterNot(_.isNull)
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+      val typ = Option(n.get("type")).filterNot(_.isNull)
+        .map(_.asText().toLowerCase).getOrElse("incremental")
+      (colls, typ)
+    } else (Seq(data.trim).filter(_.nonEmpty), "incremental")
 }

@@ -116,6 +116,37 @@ class IncrementalSnapshotSpec extends SparkSpec {
     assert(left2.map(_.id) == Seq("s3"))
   }
 
+  test("execute-snapshot accepts the reference's JSON payload form") {
+    val (url, st) = fixtureDb()
+    (1 to 3).foreach(i =>
+      st.execute(s"INSERT INTO inv.accounts VALUES ($i, 'N$i', 'u$i@x.com')"))
+    val db = Files.createTempDirectory("graft-incsnapjson")
+    val tailer = new Db2CdTailer(url, db,
+      Seq(TableSpec("inv", "accounts", Seq("id"))), dialect = EmulatedDialect)
+    tailer.snapshotSchemaOnly()
+
+    val channel = new graft.services.Signals.Channel(
+      Files.createTempDirectory("graft-sigjson"))
+    // JSON payload, explicit incremental type → native DBLog path
+    channel.send(graft.services.Signals.Signal("j1", "execute-snapshot",
+      """{"data-collections": ["inv.accounts"], "type": "incremental"}"""))
+    // blocking type: NOT the native path; with no spec it surfaces back
+    channel.send(graft.services.Signals.Signal("j2", "execute-snapshot",
+      """{"data-collections": ["inv.accounts"], "type": "blocking"}"""))
+    // empty collections: nothing to snapshot — surfaces back
+    channel.send(graft.services.Signals.Signal("j3", "execute-snapshot",
+      """{"data-collections": []}"""))
+    val leftover = graft.pipeline.CdcPipeline.processSignals(
+      spark, channel, queries = Map.empty, native = Some(tailer))
+    assert(leftover.map(_.id) == Seq("j2", "j3"))
+
+    val batch = spark.read.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", keyDdl).option("rowSchema", rowDdl)
+      .load()
+    assert(batch.filter(col("value.source.snapshot") === "incremental").count() == 3)
+  }
+
   test("incremental snapshot races a live poll daemon: no segment lost, state converges") {
     val (url, st) = fixtureDb()
     (1 to 200).foreach(i =>
