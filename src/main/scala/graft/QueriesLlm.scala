@@ -13,7 +13,7 @@ object QueriesLlm {
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
-                        llm36, llm37, llm38, llm39, llm40)
+                        llm36, llm37, llm38, llm39, llm40, llm41, llm42)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1697,4 +1697,54 @@ object QueriesLlm {
            |GROUP BY k.vec_id
            |ORDER BY adist, vec_id
            |LIMIT 20""".stripMargin))
+
+  /** One BPE TRAINING iteration (Tokenizer.pairStats): corpus-wide
+    * adjacent character-pair counts over the distinct-word frequency
+    * table, top-20 merge candidates. The corpus collapses to distinct
+    * words FIRST (Zipf), so pair extraction never runs per occurrence;
+    * llm35 applies a learned table, this is how the table is learned. */
+  private def llm41 = Q("llm41_bpe_pair_stats",
+    (s, dir) =>
+      graft.llm.Tokenizer.pairStats(Tables.documents(s, dir), col("text"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20),
+    Some("""WITH words AS (
+           |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+           |), wf AS (
+           |  SELECT w, count(*) AS f FROM words WHERE w <> '' GROUP BY w
+           |), pairs AS (
+           |  SELECT substr(w, unnest(generate_series(1, length(w)-1)), 2) AS pair, f
+           |  FROM wf WHERE length(w) >= 2
+           |)
+           |SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+           |FROM pairs GROUP BY pair
+           |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin))
+
+  /** Bloom-prefiltered incremental dedup (Dedup.incrementalExactBloom):
+    * llm33's daily-delta shape in its steady state, where the seen
+    * index dwarfs the delta — a distributed-built bloom filter proves
+    * most batch docs unseen without a join, and only the mightContain
+    * minority pays the exact anti-join. Planted replays + fresh docs;
+    * the oracle is the PLAIN anti-join (blooms have no false
+    * negatives and positives are re-verified, so results are equal). */
+  private def llm42 = Q("llm42_bloom_dedup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val seen = d.filter(col("doc_id") < 400)
+      val batch = d.filter(col("doc_id") >= 400)
+        .unionByName(d.filter(col("doc_id") < 150)
+          .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+      Dedup.incrementalExactBloom(batch, col("text"), col("doc_id"),
+          seen, col("text"), expectedItems = 500L, fpp = 0.01)
+        .orderBy(col("keep_id"))
+    },
+    Some(s"""WITH seen AS (SELECT DISTINCT ${Portable.duckHash64("text")} AS content_hash
+            |              FROM documents WHERE doc_id < 400),
+            |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+            |          UNION ALL SELECT doc_id + 700000, text FROM documents WHERE doc_id < 150),
+            |h AS (SELECT doc_id, ${Portable.duckHash64("text")} AS content_hash FROM batch)
+            |SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+            |FROM h WHERE content_hash NOT IN (SELECT content_hash FROM seen)
+            |GROUP BY content_hash
+            |ORDER BY keep_id""".stripMargin))
 }

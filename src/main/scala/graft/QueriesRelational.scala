@@ -13,7 +13,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object QueriesRelational {
 
-  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10)
+  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -292,4 +292,57 @@ object QueriesRelational {
         |  ON r.user_id = p.user_id AND p.p_ts >= r.w_start AND p.p_ts <= r.w_end
         |GROUP BY r.range_id, r.user_id, r.w_start
         |ORDER BY r.range_id""".stripMargin))
+
+  /** Multi-level aggregation: ROLLUP over (returnflag, linestatus)
+    * with a grouping id. One hash aggregate evaluates every grouping
+    * set in the same pass (Spark plans Expand + a single aggregate —
+    * no per-level rescans), so the 100 TB cost is one scan + one
+    * shuffle whatever the level count. Null group keys are rendered
+    * as 'ALL' so cross-engine null-ordering differences can't bite. */
+  private def q11 = Q("q11_grouping_sets",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+             sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+             sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+             count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+                col("gid"), col("sum_qty"), col("sum_base_price"), col("n_rows"))
+        .orderBy(col("gid"), col("returnflag"), col("linestatus")),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           |  coalesce(l_linestatus, 'ALL') AS linestatus,
+           |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INT) AS gid,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |  count(*) AS n_rows
+           |FROM lineitem
+           |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+           |ORDER BY gid, returnflag, linestatus""".stripMargin))
+
+  /** Pivot: linestatus values become columns (sum + count per cell).
+    * Spark's pivot with an EXPLICIT value list compiles to conditional
+    * aggregates inside one hash aggregate — same single-scan shape as
+    * the oracle's CASE form; never omit the list at scale (value
+    * discovery adds a driver-side distinct pass over the pivot column). */
+  private def q12 = Q("q12_pivot",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+             count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+                col("F_sum_qty").as("f_sum_qty"), col("F_n").as("f_n"),
+                col("O_sum_qty").as("o_sum_qty"), col("O_n").as("o_n"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+           |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS f_sum_qty,
+           |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_n,
+           |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS o_sum_qty,
+           |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_n
+           |FROM lineitem
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
 }

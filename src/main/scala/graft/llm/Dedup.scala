@@ -55,6 +55,51 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** [[incrementalExact]] with a BLOOM-FILTER prefilter — the shape
+    * that survives when the seen-index dwarfs every delta (the steady
+    * state of continuous ingestion): most batch docs are NOT replays,
+    * and a bloom filter proves "definitely unseen" without any join.
+    * Only the `mightContain` minority (true replays + the fpp sliver
+    * of false positives) pays the exact anti-join; the definite-nots
+    * bypass it entirely, so the join's batch side shrinks from |delta|
+    * to ~|replays|. The filter itself is built DISTRIBUTED by Spark's
+    * native `BloomFilterAggregate` (partial buffers merge like any
+    * aggregate; nothing corpus-sized touches the driver) and reaches
+    * the probe side as a scalar subquery — the exact mechanism of
+    * Spark's own runtime join filters — where the codegen'd
+    * `BloomFilterMightContain` probes it per row.
+    *
+    * Result is EXACTLY [[incrementalExact]]'s output: blooms have no
+    * false negatives, so no unseen doc is lost, and every false
+    * positive is re-checked by the anti-join. A given hash value lands
+    * on one side of the prefilter deterministically, so the final
+    * keep-min group sees all its copies. */
+  def incrementalExactBloom(batch: DataFrame, batchText: Column, batchId: Column,
+                            seen: DataFrame, seenText: Column,
+                            expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val idx = seen.select(Portable.hash64(seenText).as("content_hash")).distinct()
+    // optimal bit count for the target fpp (standard bloom sizing)
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
+    val bloom = idx.select(ColumnBridge.column(
+        BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col("content_hash"))),
+          Literal(expectedItems), Literal(numBits), 0, 0).toAggregateExpression()).as("bf"))
+      .scalar()
+    val hashed = batch.select(
+      Portable.hash64(batchText).as("content_hash"), batchId.as("doc_id"))
+    val maybeSeen = ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(bloom),
+      ColumnBridge.expression(xxhash64(col("content_hash")))))
+    val survivors = hashed.filter(!maybeSeen)
+      .unionByName(hashed.filter(maybeSeen).join(idx, Seq("content_hash"), "left_anti"))
+    survivors.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** Character n-gram shingles (distinct) as an array column. Pure
     * Column algebra (sequence/transform/substr are codegen'd builtins),
     * no UDF on the scan path. */

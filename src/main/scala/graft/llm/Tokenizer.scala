@@ -155,4 +155,34 @@ object Tokenizer {
     udf((text: String) => if (text == null) Seq.empty[Int] else b.value.encode(text))
       .apply(textCol)
   }
+
+  /** One BPE TRAINING iteration's statistics: corpus-wide adjacent
+    * symbol-pair counts (Sennrich et al. 2016 §3.2 — the argmax of
+    * this table is the next merge to learn). Symbols here are the
+    * initial state, single characters inside lowercased
+    * whitespace-split words; re-running after applying the chosen
+    * merge is the full training loop.
+    *
+    * 100 TB shape — the reason this is NOT a per-document explode:
+    * the corpus first collapses to its DISTINCT-WORD frequency table
+    * (Zipf: billions of tokens → millions of words), with map-side
+    * partial aggregation so the first shuffle moves one (word, count)
+    * pair per distinct word per partition. Pair extraction then runs
+    * over distinct words only — character positions explode from a
+    * codegen'd `sequence`, never per occurrence — and the second
+    * shuffle keys on 2-char pairs (alphabet², tiny). Pure Column
+    * algebra end-to-end; no UDF, no driver state. Returns
+    * (pair, cnt) unordered — callers pick top-k with a TakeOrdered
+    * sort-limit, not a full sort. */
+  def pairStats(df: org.apache.spark.sql.DataFrame,
+                textCol: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wf = df.select(explode(Dedup.tokens(lower(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    wf.filter(length(col("w")) >= 2)
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("f"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+  }
 }
