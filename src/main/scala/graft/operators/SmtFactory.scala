@@ -21,15 +21,25 @@ import graft.operators.EventShaping.Smt
   * Supported types (short or class-style names): ExtractNewRecordState
   * / unwrap, ContentBasedRouter / route (`expression` recomputes
   * destination), Filter / filter (`condition` keeps matching rows),
-  * and the upstream Kafka-Connect SMT staples users ship with the
-  * reference: MaskField (`fields`, optional string `replacement`),
-  * ReplaceField (`exclude` drops after-state fields), ValueToKey
-  * (`fields` rebuilds the key struct), HeaderToValue (`headers` +
-  * `fields` copy header values into after-state), InsertField
-  * (`static.field`/`static.value`). All are single-projection Column
-  * algebra over the envelope (`withField`/`dropFields`) — the chain
-  * still folds into one codegen'd pass. Unknown types fail at
-  * assembly — startup, not runtime.
+  * and the upstream Kafka-Connect SMT staples the reference's own
+  * test matrix ships (RocketMqTestConfigSource.java:29-35,
+  * TestConfigSource.java, InstructLabTestConfigSource.java,
+  * EventHubsWithPartitionRouterProfile.java): MaskField (`fields`,
+  * optional string `replacement`), ReplaceField (`exclude` drops
+  * after-state fields), ValueToKey (`fields` rebuilds the key
+  * struct), HeaderToValue (`headers` + `fields` copy header values
+  * into after-state), HeaderFrom (`fields` + `headers` +
+  * `operation=copy|move`, the reverse direction), InsertField
+  * (`static.field`/`static.value`), InsertHeader (`header` +
+  * `value.literal`), HoistField (`field` wraps the value),
+  * ByLogicalTableRouter (`topic.regex` + `topic.replacement` with
+  * $-group refs), PartitionRouting (`partition.payload.fields` +
+  * `partition.topic.num`). Predicates resolve by upstream type
+  * (TopicNameMatches `pattern`) or a Spark SQL `expr`. All are
+  * single-projection Column algebra over the envelope
+  * (`withField`/`dropFields`) — the chain still folds into one
+  * codegen'd pass. Unknown types fail at assembly — startup, not
+  * runtime.
   */
 object SmtFactory {
 
@@ -41,9 +51,22 @@ object SmtFactory {
       val tpe = props.getOrElse(s"$p.type",
         throw new IllegalArgumentException(s"missing $p.type"))
       val predicate = props.get(s"$p.predicate").map { pn =>
-        val e = props.getOrElse(s"debezium.predicates.$pn.expr",
-          throw new IllegalArgumentException(s"missing debezium.predicates.$pn.expr"))
-        expr(e)
+        val pp = s"debezium.predicates.$pn"
+        // upstream predicate types map to Column predicates; the
+        // scripting predicate is a Spark SQL expression string
+        props.get(s"$pp.type").map(_.split("\\.").last) match {
+          case Some("TopicNameMatches") =>
+            // upstream uses Pattern.matches (anchored full match)
+            col("destination").rlike("^(?:" + props.getOrElse(s"$pp.pattern",
+              throw new IllegalArgumentException(s"missing $pp.pattern")) + ")$")
+          case Some(other) if !props.contains(s"$pp.expr") =>
+            throw new IllegalArgumentException(
+              s"unsupported predicate type '$other' (supported: TopicNameMatches, " +
+                "or an expression via .expr)")
+          case _ =>
+            expr(props.getOrElse(s"$pp.expr",
+              throw new IllegalArgumentException(s"missing $pp.expr")))
+        }
       }
       val negate = props.get(s"$p.negate").exists(_.toBoolean)
       def req(k: String): String = props.getOrElse(s"$p.$k",
@@ -95,6 +118,56 @@ object SmtFactory {
         case "InsertField" | "insertfield" =>
           Smt(n, df => df.withColumn("value",
             col("value").withField(s"after.${req("static.field")}", lit(req("static.value")))))
+        case "InsertHeader" | "insertheader" =>
+          // headers is a map (no duplicate keys) — same-key insert is
+          // last-wins, the map analog of Connect's appended header
+          val h = req("header"); val v = req("value.literal")
+          Smt(n, df => df.withColumn("headers", map_concat(
+            map_filter(col("headers"), (k, _) => k =!= lit(h)), map(lit(h), lit(v)))))
+        case "HoistField$Value" | "HoistField" | "hoist" =>
+          // wrap the whole value into a single-field struct
+          Smt(n, df => df.withColumn("value", struct(col("value").as(req("field")))))
+        case "HeaderFrom$Value" | "HeaderFrom" | "headerfrom" =>
+          // after-state fields → headers (copy keeps the field, move
+          // drops it); header values are strings, so a null field
+          // renders as '' (the map type disallows null values)
+          val fields = list("fields"); val headers = list("headers")
+          require(fields.size == headers.size,
+            s"$p: 'fields' and 'headers' must pair up")
+          val op = props.getOrElse(s"$p.operation", "copy")
+          require(op == "copy" || op == "move", s"$p.operation must be copy|move")
+          Smt(n, df => {
+            val withHdrs = fields.zip(headers).foldLeft(df) { case (d, (f, h)) =>
+              d.withColumn("headers", map_concat(
+                map_filter(col("headers"), (k, _) => k =!= lit(h)),
+                map(lit(h), coalesce(col(s"value.after.$f").cast("string"), lit("")))))
+            }
+            if (op == "move") withHdrs.withColumn("value",
+              col("value").withField("after", col("value.after").dropFields(fields: _*)))
+            else withHdrs
+          })
+        case "ByLogicalTableRouter" | "regexrouter" =>
+          // upstream: Pattern.matches(topic.regex) → replacement with
+          // $1-group refs; non-matching destinations pass unchanged —
+          // exactly regexp_replace over the anchored pattern
+          val rx = req("topic.regex"); val repl = req("topic.replacement")
+          Smt(n, df => EventShaping.route(df,
+            regexp_replace(col("destination"), "^(?:" + rx + ")$", repl)))
+        case "PartitionRouting" | "partitionrouting" =>
+          // io.debezium.transforms.partitions.PartitionRouting:
+          // payload paths (e.g. source.db, after.name) resolve against
+          // the envelope; the target partition is a stable hash of the
+          // joined values mod partition.topic.num. Hash algorithm is
+          // ours (portable 60-bit), not Java's Objects.hash — the
+          // CONTRACT (same values → same partition, uniform spread)
+          // is what downstream ordering relies on, not the bit layout.
+          val fields = list("partition.payload.fields")
+          val num = req("partition.topic.num").toInt
+          require(num > 0, s"$p.partition.topic.num must be positive")
+          Smt(n, df => df.withColumn("partition",
+            pmod(graft.functions.Portable.hash64(concat_ws("|",
+              fields.map(f => coalesce(col(s"value.$f").cast("string"), lit(""))): _*)),
+              lit(num.toLong)).cast("int")))
         case "EventRouter" | "outbox" =>
           // the upstream outbox SMT's option names, same defaults
           // (io.debezium.transforms.outbox.EventRouterConfigDefinition)
@@ -108,7 +181,8 @@ object SmtFactory {
           throw new IllegalArgumentException(
             s"unsupported transform type '$other' (supported: ExtractNewRecordState, " +
               "ContentBasedRouter, Filter, MaskField, ReplaceField, ValueToKey, " +
-              "HeaderToValue, InsertField, EventRouter)")
+              "HeaderToValue, InsertField, InsertHeader, HoistField, HeaderFrom, " +
+              "ByLogicalTableRouter, PartitionRouting, EventRouter)")
       }
       base.copy(predicate = predicate, negate = negate)
     }

@@ -178,6 +178,61 @@ class CdcPipelineSpec extends SparkSpec {
     assert(!after.schema.fieldNames.contains("id"))         // dropped
   }
 
+  test("reference-matrix SMTs: insert-header, header-from, regex router, partition routing, hoist") {
+    import org.apache.spark.sql.Row
+    val props = Map(
+      "debezium.transforms" -> "ih,hf,rr,pr",
+      // the RocketMq test profile's pair (RocketMqTestConfigSource.java:29-35)
+      "debezium.transforms.ih.type" -> "org.apache.kafka.connect.transforms.InsertHeader",
+      "debezium.transforms.ih.header" -> "headerKey",
+      "debezium.transforms.ih.value.literal" -> "headerValue",
+      "debezium.transforms.rr.type" -> "io.debezium.transforms.ByLogicalTableRouter",
+      "debezium.transforms.rr.topic.regex" -> "t\\.(.*)",
+      "debezium.transforms.rr.topic.replacement" -> "all.$1",
+      // the InstructLab profile's value→header copies
+      "debezium.transforms.hf.type" -> "org.apache.kafka.connect.transforms.HeaderFrom$Value",
+      "debezium.transforms.hf.fields" -> "email",
+      "debezium.transforms.hf.headers" -> "question",
+      "debezium.transforms.hf.operation" -> "copy",
+      // the EventHubs partition-router profile
+      "debezium.transforms.pr.type" -> "io.debezium.transforms.partitions.PartitionRouting",
+      "debezium.transforms.pr.partition.payload.fields" -> "source.db",
+      "debezium.transforms.pr.partition.topic.num" -> "5")
+    val chain = graft.operators.SmtFactory.fromProperties(props)
+    val schema = graft.model.Envelope.recordSchema(keySchema, rowSchema)
+    val rows = Seq(Row("t.a", Row(7),
+      Row("c", null, Row(7, "Ann", "K", "ann@x.com"),
+        Row("pg", "d", "s", "t", 1L, "false", 0L), 0L),
+      Map("question" -> "stale")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = graft.operators.EventShaping.applyChain(df, chain).head()
+    val hdrs = out.getAs[Map[String, String]]("headers")
+    assert(hdrs("headerKey") == "headerValue")              // inserted
+    assert(hdrs("question") == "ann@x.com")                 // copied, last-wins
+    assert(out.getAs[String]("destination") == "all.a")     // regex-routed
+    val part = out.getAs[Int]("partition")
+    assert(part >= 0 && part < 5)
+    // HoistField wraps the whole value under one field
+    val hoisted = graft.operators.EventShaping.applyChain(df,
+      graft.operators.SmtFactory.fromProperties(Map(
+        "debezium.transforms" -> "h",
+        "debezium.transforms.h.type" -> "org.apache.kafka.connect.transforms.HoistField$Value",
+        "debezium.transforms.h.field" -> "line"))).head()
+    assert(hoisted.getAs[Row]("value").schema.fieldNames.toSeq == Seq("line"))
+    // TopicNameMatches predicate gates by anchored destination regex
+    val gated = graft.operators.SmtFactory.fromProperties(Map(
+      "debezium.transforms" -> "rt",
+      "debezium.transforms.rt.type" -> "ContentBasedRouter",
+      "debezium.transforms.rt.expression" -> "concat(destination, '.x')",
+      "debezium.transforms.rt.predicate" -> "tm",
+      "debezium.predicates.tm.type" ->
+        "org.apache.kafka.connect.transforms.predicates.TopicNameMatches",
+      "debezium.predicates.tm.pattern" -> "t\\..*"))
+    val outs = graft.operators.EventShaping.applyChain(df, gated)
+      .select("destination").head().getString(0)
+    assert(outs == "t.a.x")
+  }
+
   test("pipeline reads through the graft-cdc source when configured") {
     import java.nio.file.Files
     val db = Files.createTempDirectory("graft-cdcdb-pipe")
