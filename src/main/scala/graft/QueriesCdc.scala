@@ -15,7 +15,7 @@ import graft.operators.{ApplyChanges, EventShaping, SmtFactory}
 object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
-                        cdc12, cdc13)
+                        cdc12, cdc13, cdc14)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -633,4 +633,63 @@ object QueriesCdc {
            |ORDER BY tx_id,
            |  CASE kind WHEN 'BEGIN' THEN 0 WHEN 'event' THEN 1 ELSE 2 END,
            |  total_order""".stripMargin))
+
+  /** Point-in-time replay (time travel): reconstruct per-key state AS
+    * OF several positions in the change log at once — the audit /
+    * debugging read a CDC-fed lakehouse table serves ("what did this
+    * row look like before yesterday's deploy?"). A (keys × bounds)
+    * grid as-of joins the change stream (graft.operators.TemporalJoin
+    * — one shuffle + one sort, no per-bound rescans), keys whose
+    * latest op at a bound is a delete are absent at that bound, and
+    * the bounds themselves derive from the log's own min/max
+    * positions so the query is scale-free. */
+  private def cdc14 = Q("cdc14_time_travel",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("op", opCol)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val rng = ev.agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      val bounds = rng.select(explode(array((1 to 3).map(k =>
+        (col("t0") + ((col("t1") - col("t0")) * k / 4).cast("long"))): _*)).as("bound_ts"))
+      val grid = ev.select(col("user_id")).distinct().crossJoin(broadcast(bounds))
+      val r = ev.select(col("user_id"), col("ts_us"),
+        col("event_id").as("m_event"), col("op").as("m_op"),
+        col("value").as("m_value"))
+      graft.operators.TemporalJoin.asOf(grid, r,
+          keyCols = Seq("user_id"), leftTime = "bound_ts", rightTime = "ts_us",
+          payloadCols = Seq("m_event", "m_op", "m_value"),
+          tiebreakCols = Seq("m_event"))
+        .filter(col("m_op").isNotNull && col("m_op") =!= "d")
+        .select(col("bound_ts"), col("user_id"),
+          col("m_event").as("event_id"), col("m_op").as("op"), col("m_value").as("value"))
+        .orderBy(col("bound_ts"), col("user_id"))
+    },
+    Some(s"""WITH ev AS (
+            |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, value,
+            |         $opSql AS op
+            |  FROM events),
+            |rng AS (SELECT min(ts_us) AS t0, max(ts_us) AS t1 FROM ev),
+            |bounds AS (SELECT t0 + (t1 - t0) * f // 4 AS bound_ts
+            |           FROM rng, (VALUES (1), (2), (3)) v(f)),
+            |grid AS (SELECT user_id, bound_ts
+            |         FROM (SELECT DISTINCT user_id FROM ev) CROSS JOIN bounds),
+            |r AS (  -- ties on (user, ts) resolve to the max event id,
+            |        -- like the Spark side's ascending tiebreak
+            |  SELECT user_id, ts_us, max_by(event_id, event_id) AS m_event,
+            |         max_by(op, event_id) AS m_op, max_by(value, event_id) AS m_value
+            |  FROM ev GROUP BY user_id, ts_us),
+            |-- NOT an ASOF JOIN: DuckDB pushes a null-rejecting WHERE on
+            |-- the right side BELOW the asof match, silently changing
+            |-- which row wins (latest non-delete instead of latest);
+            |-- the explicit max_by pick is pushdown-proof
+            |j AS (
+            |  SELECT g.bound_ts, g.user_id,
+            |         max_by(r.m_event, r.ts_us) AS event_id,
+            |         max_by(r.m_op, r.ts_us) AS op,
+            |         max_by(r.m_value, r.ts_us) AS value
+            |  FROM grid g JOIN r ON g.user_id = r.user_id AND r.ts_us <= g.bound_ts
+            |  GROUP BY 1, 2)
+            |SELECT bound_ts, user_id, event_id, op, value
+            |FROM j WHERE op <> 'd'
+            |ORDER BY bound_ts, user_id""".stripMargin))
 }
