@@ -13,7 +13,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object QueriesRelational {
 
-  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
+                        q13, q14)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -345,4 +346,63 @@ object QueriesRelational {
            |FROM lineitem
            |GROUP BY l_returnflag
            |ORDER BY l_returnflag""".stripMargin))
+
+  /** Correlated scalar subquery (TPC-H Q17 shape), deliberately
+    * entered through the SQL API: Catalyst DECORRELATES the per-part
+    * average into a join against a grouped aggregate — the plan a
+    * 100 TB run needs (one aggregate + one shuffle join), not a
+    * per-row re-scan. Sums stay decimal-exact; the final division is
+    * one IEEE double op both engines run identically. */
+  private def q13 = Q("q13_correlated_subquery",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+              |       count(*) AS n_rows
+              |FROM v_lineitem l1
+              |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+              |                    FROM v_lineitem l2
+              |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+    },
+    Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           |       count(*) AS n_rows
+           |FROM lineitem l1
+           |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+           |                    FROM lineitem l2
+           |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin))
+
+  /** Window FRAMES (beyond q05's row_number ranking): running total
+    * (unbounded preceding), 3-row moving average, lag/lead — one
+    * shuffle on the partition key, one in-partition sort, every frame
+    * evaluated in the same window pass. The moving average is
+    * sum/count over exact decimals with one final double division,
+    * sidestepping avg()'s engine-specific decimal typing. */
+  private def q14 = Q("q14_window_frames",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dec = col("o_totalprice").cast("decimal(18,2)")
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          sum(dec).over(wRun).cast("double").as("running_total"),
+          (sum(dec).over(w3).cast("double") / count(lit(1)).over(w3)).as("mavg3"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER run AS DOUBLE) AS running_total,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+           |    / count(*) OVER w3 AS mavg3,
+           |  lag(o_totalprice, 1) OVER ord AS prev_price,
+           |  lead(o_totalprice, 1) OVER ord AS next_price
+           |FROM orders
+           |WINDOW
+           |  ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           |  run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
 }

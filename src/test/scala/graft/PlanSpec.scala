@@ -363,4 +363,47 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.head.contains("user_id"),
       s"expected hash partitioning on the tx id, got: $shuffles")
   }
+
+  test("q11: rollup evaluates every grouping set in ONE Expand+aggregate pass") {
+    val s = planString("q11_grouping_sets")
+    assert(s.contains("Expand"), s"expected Expand for grouping sets in:\n$s")
+    // one scan of lineitem — levels never rescan
+    assert("Scan parquet".r.findAllIn(s).size == 1,
+      s"rollup must scan once, plan:\n$s")
+  }
+
+  test("q13: the correlated subquery decorrelates into an aggregate + join, not a rescan per row") {
+    val s = planString("q13_correlated_subquery")
+    assert(s.contains("HashAggregate"), s"expected decorrelated aggregate in:\n$s")
+    assert(s.contains("Join"), s"expected a join after decorrelation in:\n$s")
+    // two scans total (outer + the grouped subquery) — NOT one per row
+    assert("Scan parquet".r.findAllIn(s).size <= 2,
+      s"decorrelation must cap scans at 2, plan:\n$s")
+  }
+
+  test("q14: all window frames stack on one custkey exchange + one sort") {
+    val p = planOf(Queries.byName("q14_window_frames")(spark, sfSmoke))
+    val shuffles = shufflePartitionings(p)
+    val hashShuffles = shuffles.filterNot(_.contains("rangepartitioning"))
+    assert(hashShuffles.size == 1,
+      s"expected the frames to share one hash exchange, got: $shuffles")
+    assert("Window".r.findAllIn(p.toString).nonEmpty)
+  }
+
+  test("llm39: source overlap is codegen'd hash aggregation — no object agg, no self-join of shingles") {
+    val s = planString("llm39_source_overlap")
+    assert(!s.contains("ObjectHashAggregate") && !s.contains("SortAggregate"),
+      s"bitmask bit_or must stay in HashAggregate:\n$s")
+    assert(s.contains("bit_or"), s"expected bit_or aggregate in:\n$s")
+    // the corpus-sized exchange on the shingle hash exists once and is
+    // reused by the second consumer
+    assert(s.contains("ReusedExchange"), s"expected exchange reuse in:\n$s")
+  }
+
+  test("llm42: bloom probe is native and only the maybe-branch joins") {
+    val s = planString("llm42_bloom_dedup")
+    assert(s.contains("might_contain"), s"expected native bloom probe in:\n$s")
+    assert(s.contains("Subquery") || s.contains("scalar-subquery"),
+      s"bloom filter must arrive as a scalar subquery:\n$s")
+  }
 }
