@@ -16,6 +16,10 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // engine Catalyst rules (bounded-width range-join binning — the
+      // BroadcastNestedLoopJoin guard); same class via
+      // spark.sql.extensions on a pre-built cluster session
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
