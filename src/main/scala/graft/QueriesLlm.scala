@@ -13,7 +13,7 @@ object QueriesLlm {
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
-                        llm36, llm37, llm38, llm39, llm40, llm41, llm42)
+                        llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1747,4 +1747,27 @@ object QueriesLlm {
             |FROM h WHERE content_hash NOT IN (SELECT content_hash FROM seen)
             |GROUP BY content_hash
             |ORDER BY keep_id""".stripMargin))
+
+  /** Hashed-feature linear quality classifier
+    * (TextAnalysis.hashedLinearLogit): the GPT-3/CCNet model-based
+    * filter at inference time — tokens hash into 1024 buckets, the
+    * doc's logit is the integer sum of bucket weights, the gate
+    * thresholds it. Pure map, no shuffle; weights derived by formula
+    * so the oracle recomputes them exactly. */
+  private def llm43 = Q("llm43_classifier_gate",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.hashedLinearLogit(col("text")).as("logit"))
+        .withColumn("kept", col("logit") >= 0L)
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+            |  CAST(coalesce(list_aggregate(list_transform(
+            |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0),
+            |    t -> ${Portable.duckHash64(s"concat('wq:', CAST(${Portable.duckHash64("t")} % 1024 AS VARCHAR))")} % 1001 - 500), 'sum'), 0) AS BIGINT) AS logit,
+            |  coalesce(list_aggregate(list_transform(
+            |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0),
+            |    t -> ${Portable.duckHash64(s"concat('wq:', CAST(${Portable.duckHash64("t")} % 1024 AS VARCHAR))")} % 1001 - 500), 'sum'), 0) >= 0 AS kept
+            |FROM documents
+            |ORDER BY doc_id""".stripMargin))
 }

@@ -245,4 +245,39 @@ object TextAnalysis {
     val lines = split(text, "\n")
     (size(lines), size(filter(lines, l => c4Keep(l, minWords))))
   }
+
+  // ------------------------------------------------------------------
+  // Hashed-feature linear quality classifier — the model-based filter
+  // of the GPT-3/CCNet pipelines (score web docs against a trained
+  // linear model over hashed bag-of-words features) in its
+  // inference-time shape. Training happens offline; what the corpus
+  // pass needs is the SCORING operator, and its 100 TB form is a pure
+  // map: every token hashes into one of `dims` buckets and the
+  // document's logit is the sum of its buckets' weights.
+  //
+  // Weights are DERIVED, not stored: w(b) = hash64("w<salt>:" + b)
+  // mod 1001 − 500 — any real weight vector quantized to integers
+  // plugs in the same way (ship it as a broadcast array; the formula
+  // here doubles as a deterministic stand-in any engine can
+  // recompute, which is what makes the logit oracle-checkable).
+  // Integer weights ⇒ the logit is an EXACT integer sum — no
+  // transcendental sigmoid crosses the engine boundary; thresholding
+  // the logit is order-equivalent to thresholding the probability.
+
+  /** Per-document integer logit over `dims` hashed buckets. */
+  def hashedLinearLogit(text: Column, dims: Int = 1024, salt: String = "q"): Column = {
+    val toks = tokens(lower(text))
+    // one interpreted lambda over the token array; the hash chain
+    // inside is the portable digest, same policy as fingerprintMin
+    aggregate(
+      transform(toks, t =>
+        pmod(Portable.hash64(concat(lit(s"w$salt:"),
+          pmod(Portable.hash64(t), lit(dims.toLong)))), lit(1001L)) - 500L),
+      lit(0L), (acc, w) => acc + w)
+  }
+
+  /** Keep gate: documents whose logit clears `minLogit`. */
+  def hashedLinearGate(text: Column, minLogit: Long,
+                       dims: Int = 1024, salt: String = "q"): Column =
+    hashedLinearLogit(text, dims, salt) >= minLogit
 }
