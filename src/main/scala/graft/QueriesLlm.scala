@@ -13,7 +13,7 @@ object QueriesLlm {
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
-                        llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43)
+                        llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1770,4 +1770,37 @@ object QueriesLlm {
             |    t -> ${Portable.duckHash64(s"concat('wq:', CAST(${Portable.duckHash64("t")} % 1024 AS VARCHAR))")} % 1001 - 500), 'sum'), 0) >= 0 AS kept
             |FROM documents
             |ORDER BY doc_id""".stripMargin))
+
+  /** Cluster-balanced sampling (Similarity.coarseCells +
+    * Curation.keepCapPerGroup): assign embeddings to IVF coarse cells,
+    * keep at most 20 per cell picked by deterministic hash rank — the
+    * diversity-sampling step that stops a dominant mode from eating
+    * the whole sample budget. Per-cell selection rides the
+    * DISTRIBUTED exact-rank machinery (range partition + offsets),
+    * never a per-cell single-task window. */
+  private def llm44 = Q("llm44_balanced_sample",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val cells = graft.llm.Similarity.coarseCells(emb, "vec_id", "embedding",
+        nCentroids = 16)
+      Curation.keepCapPerGroup(cells, col("vec_id"), col("cell"),
+          Sampling.unitInterval(col("vec_id"), "bal"), cap = 20)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+            |cent AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM emb
+            |         ORDER BY vec_id LIMIT 16),
+            |ad AS (SELECT e.vec_id, cent_id,
+            |         -${duckQCos("e.embedding", "cent_vec")} AS d
+            |       FROM emb e CROSS JOIN cent),
+            |assigned AS (SELECT vec_id, cent_id AS cell FROM (
+            |  SELECT vec_id, cent_id,
+            |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+            |  FROM ad) t WHERE rn = 1),
+            |ranked AS (SELECT vec_id, cell,
+            |  row_number() OVER (PARTITION BY cell
+            |    ORDER BY ${Sampling.duckUnitInterval("vec_id", "bal")} DESC, vec_id) AS rn
+            |  FROM assigned)
+            |SELECT vec_id, cell FROM ranked WHERE rn <= 20
+            |ORDER BY vec_id""".stripMargin))
 }

@@ -146,6 +146,32 @@ object Curation {
                              tracker: Option[Materialize.Tracker] = None,
                              numPartitions: Option[Int] = None): DataFrame = {
     require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0, 1]")
+    keepRankedPerGroup(docs, idCol, groupCol, scoreCol,
+      tot => floor(tot * keepFraction), checkpointDir, tracker, numPartitions)
+  }
+
+  /** Absolute-CAP variant of [[keepTopQualityPerGroup]]: keep at most
+    * `cap` documents per group, top-ranked by score (ties on id). With
+    * a hash-derived score ([[Sampling.unitInterval]]) this is
+    * CLUSTER-BALANCED sampling — equal representation per cell
+    * regardless of cell skew, the diversity-sampling step of curation
+    * pipelines. Same distributed exact-rank machinery: no per-group
+    * single-task window at any group size. */
+  def keepCapPerGroup(docs: DataFrame, idCol: Column, groupCol: Column,
+                      scoreCol: Column, cap: Long,
+                      checkpointDir: Option[String] = None,
+                      tracker: Option[Materialize.Tracker] = None,
+                      numPartitions: Option[Int] = None): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    keepRankedPerGroup(docs, idCol, groupCol, scoreCol,
+      tot => least(tot, lit(cap)), checkpointDir, tracker, numPartitions)
+  }
+
+  private def keepRankedPerGroup(docs: DataFrame, idCol: Column, groupCol: Column,
+                                 scoreCol: Column, quotaOf: Column => Column,
+                                 checkpointDir: Option[String],
+                                 tracker: Option[Materialize.Tracker],
+                                 numPartitions: Option[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tagged = docs.withColumn("__g", groupCol).withColumn("__score", scoreCol)
       .withColumn("__id", idCol)
@@ -164,7 +190,7 @@ object Curation {
     val counts = ranged.groupBy(col("__pid"), col("__g"))
       .agg(count(lit(1)).as("__c"))
     val quotas = counts.groupBy(col("__g"))
-      .agg(floor(sum(col("__c")) * keepFraction).as("__quota"))
+      .agg(quotaOf(sum(col("__c"))).as("__quota"))
     val wOff = Window.partitionBy(col("__g")).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts

@@ -194,6 +194,27 @@ object Similarity {
     * algorithm (the paper's k-means k ∝ √N keeps clusters bounded);
     * size `nCentroids` accordingly, and the integer-quantized exact
     * cosine keeps verdicts bit-identical across engines. */
+  /** The deterministic IVF coarse-quantizer cell assignment on its
+    * own: (id, cell) for every vector, cell = nearest of the
+    * `nCentroids` lowest-id vectors by exact quantized cosine (ties
+    * to the lower centroid id — the same argmin convention as
+    * [[ivfTopK]]/[[semDedup]]). Centroids broadcast; assignment is a
+    * map-side argmax folded through one partial-aggregated groupBy —
+    * no corpus shuffle carries vectors. */
+  def coarseCells(emb: DataFrame, idCol: String, vecCol: String,
+                  nCentroids: Int): DataFrame = {
+    val withNorm = emb.withColumn("__nrm",
+      sqrt(dotExact(col(vecCol), col(vecCol)).cast("double")))
+    val centroids = withNorm.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
+              col("__nrm").as("__cnrm"))
+    withNorm.join(broadcast(centroids))
+      .withColumn("__d", negate(dotExact(col(vecCol), col("cent_vec")).cast("double") /
+        (col("__nrm") * col("__cnrm"))))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__d"), col("cent_id"))).getField("cent_id").as("cell"))
+  }
+
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int, simThreshold: Double): DataFrame = {
     // self-norms are computed ONCE per vector and carried as a column:
