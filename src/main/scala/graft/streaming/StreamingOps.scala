@@ -35,6 +35,45 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__content_hash")
 
+  /** Streaming incremental dedup against a STATIC seen-corpus index —
+    * the continuous form of [[graft.llm.Dedup.incrementalExactBloom]]:
+    * stream docs whose content hash is definitely not in the index
+    * (bloom says no) pass straight through; the mightContain minority
+    * is re-checked by a stream-static left-anti join. The bloom builds
+    * once from the static frame (scalar subquery — re-evaluated only
+    * at query start), so the per-batch cost is a map over the batch
+    * plus an anti-join of the maybe-sliver. Within-stream duplicates
+    * are then dropped by the watermarked state of
+    * [[dedupExactStream]]'s mechanism. Returns the surviving rows. */
+  def dedupAgainstIndexStream(df: DataFrame, contentCol: Column,
+                              seen: DataFrame, seenContentCol: Column,
+                              tsCol: String, watermarkDelay: String,
+                              expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val idx = seen.select(graft.functions.Portable.hash64(seenContentCol)
+      .as("__content_hash")).distinct()
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
+    val bloom = idx.select(ColumnBridge.column(
+        BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col("__content_hash"))),
+          Literal(expectedItems), Literal(numBits), 0, 0)
+          .toAggregateExpression()).as("bf"))
+      .scalar()
+    val hashed = df.withColumn("__content_hash",
+      graft.functions.Portable.hash64(contentCol))
+    val maybeSeen = ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(bloom),
+      ColumnBridge.expression(xxhash64(col("__content_hash")))))
+    val fresh = hashed.filter(!maybeSeen)
+      .unionByName(hashed.filter(maybeSeen)
+        .join(idx, Seq("__content_hash"), "left_anti"))
+    fresh.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__content_hash")
+  }
+
   /** Watermarked tumbling-window aggregation over a change stream —
     * e.g. changes-per-table-per-minute for rate dashboards. Late rows
     * beyond the watermark are dropped and window state is evicted, so
