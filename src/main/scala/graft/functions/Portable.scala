@@ -21,8 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object Portable {
 
-  /** 60-bit non-negative hash of any column's string form. */
-  def hash64(c: Column): Column =
+  /** 60-bit non-negative hash of any column's string form. Since
+    * round 13 this is the native [[Md5Prefix64]] expression —
+    * bit-identical to the composed
+    * `conv(substring(md5(x), 1, 15), 16, 10)::long` documented above
+    * (PortableHashSpec pins the equality), minus the per-row hex
+    * encode + base-16 parse. */
+  def hash64(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(Md5Prefix64(ColumnBridge.expression(c.cast("string"))))
+  }
+
+  /** The composed built-in form of [[hash64]] — the portability
+    * CONTRACT itself, kept for the equality property test and as the
+    * rendering any other engine uses. */
+  def hash64Composed(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Digest-algorithm variants — the reference's pluggable hash
