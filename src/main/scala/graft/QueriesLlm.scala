@@ -13,7 +13,7 @@ object QueriesLlm {
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
-                        llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44)
+                        llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1803,4 +1803,66 @@ object QueriesLlm {
             |  FROM assigned)
             |SELECT vec_id, cell FROM ranked WHERE rn <= 20
             |ORDER BY vec_id""".stripMargin))
+
+  /** BPE TRAINING loop end-to-end (Tokenizer.symbolPairStats):
+    * iteration 1 counts code-point pairs over the distinct-word
+    * table and learns merge #1 (the corpus argmax); iteration 2
+    * re-runs the pair statistics with that merge APPLIED (the same
+    * merge loop llm35 tokenizes with) and reports the top-10 next
+    * candidates. The one-row argmax is the model hop — the learned
+    * merge rides back broadcast, the corpus is never rescanned
+    * (each iteration scans the Zipf-collapsed word table). The
+    * oracle replays both iterations, learning the SAME merge from
+    * the data with a recursive-CTE apply step. */
+  private def llm45 = Q("llm45_bpe_train",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val p1 = graft.llm.Tokenizer.symbolPairStats(s, docs, col("text"),
+        graft.llm.Tokenizer.Bpe(IndexedSeq.empty))
+      // the learned model (one merge) hops the driver — k-sized, like
+      // k-means centroids
+      val top = p1.orderBy(col("cnt").desc, col("pair")).limit(1).head()
+      val m1 = top.getString(0).split(" ", 2) match {
+        case Array(x, y) => (x, y)
+        case _ => sys.error(s"unsplittable learned pair '${top.getString(0)}'")
+      }
+      val p2 = graft.llm.Tokenizer.symbolPairStats(s, docs, col("text"),
+        graft.llm.Tokenizer.Bpe(IndexedSeq(m1)))
+      p1.orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(lit(1).as("iter"), col("pair"), col("cnt"))
+        .unionByName(p2.orderBy(col("cnt").desc, col("pair")).limit(10)
+          .select(lit(2).as("iter"), col("pair"), col("cnt")))
+        .orderBy(col("iter"), col("cnt").desc, col("pair"))
+    },
+    Some(s"""WITH RECURSIVE wf AS (
+            |  SELECT w, count(*) AS f FROM (
+            |    SELECT unnest(regexp_extract_all(lower(text),
+            |      '${graft.llm.Tokenizer.WordPattern}')) AS w
+            |    FROM documents) GROUP BY w),
+            |s1 AS (SELECT w, f, str_split(w, '') AS syms FROM wf WHERE length(w) >= 2),
+            |p1 AS (SELECT unnest([syms[i] || ' ' || syms[i+1] for i in range(1, len(syms))]) AS pair, f
+            |       FROM s1),
+            |c1 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM p1 GROUP BY pair),
+            |top1 AS (SELECT pair, cnt FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+            |bpe(w, syms, step) AS (
+            |  SELECT w, str_split(w, ''), 0 FROM wf WHERE length(w) >= 2
+            |  UNION ALL
+            |  SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:], step + 1
+            |  FROM (SELECT w, syms, step,
+            |          list_position(pr, list_min(pr)) AS bi, list_min(pr) AS br
+            |        FROM (SELECT w, syms, step,
+            |                [CASE WHEN syms[i] || ' ' || syms[i+1] = mpair
+            |                      THEN 1 ELSE 9999999 END
+            |                 for i in range(1, len(syms))] AS pr
+            |              FROM (SELECT b.w, b.syms, b.step, t.pair AS mpair
+            |                    FROM bpe b CROSS JOIN top1 t)))
+            |  WHERE br < 9999999),
+            |fin AS (SELECT w, max_by(syms, step) AS syms FROM bpe GROUP BY w),
+            |p2 AS (SELECT unnest([syms[i] || ' ' || syms[i+1] for i in range(1, len(syms))]) AS pair, f
+            |       FROM fin JOIN wf USING (w) WHERE len(syms) >= 2),
+            |c2 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM p2 GROUP BY pair
+            |       ORDER BY cnt DESC, pair LIMIT 10)
+            |SELECT 1 AS iter, pair, cnt FROM top1
+            |UNION ALL SELECT 2 AS iter, pair, cnt FROM c2
+            |ORDER BY iter, cnt DESC, pair""".stripMargin))
 }

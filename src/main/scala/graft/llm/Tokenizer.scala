@@ -84,6 +84,28 @@ object Tokenizer {
       }
       if (cached != null) { memoHits.increment(); return cached }
       memoMisses.increment()
+      val syms = mergeSymbols(word)
+      val ids = syms.iterator.map { s =>
+        if (s.codePointCount(0, s.length) == 1) s.codePointAt(0)
+        else productId.getOrElse(s, -1)
+      }.toArray
+      val cur = memoGen.get()._1
+      if (cur.size() >= memoGenCap)
+        // rotate: current becomes old, old is dropped; re-promotion
+        // keeps the head resident through the flip
+        memoGen.compareAndSet(g, (new java.util.concurrent.ConcurrentHashMap(), cur))
+      memoGen.get()._1.put(word, ids)
+      ids
+    }
+
+    /** The merge loop at the SYMBOL level — the state a BPE TRAINING
+      * iteration needs (pair statistics are counted over these, not
+      * over ids). Same loop as [[encodeWord]], un-memoized: training
+      * runs over the distinct-word table, where every word is seen
+      * once. */
+    def encodeWordSymbols(word: String): Vector[String] = mergeSymbols(word)
+
+    private def mergeSymbols(word: String): Vector[String] = {
       var syms = codePoints(word)
       var done = false
       while (!done && syms.length > 1) {
@@ -98,17 +120,7 @@ object Tokenizer {
         if (bestI < 0 || bestRank == Int.MaxValue) done = true
         else syms = syms.patch(bestI, Seq(syms(bestI) + syms(bestI + 1)), 2)
       }
-      val ids = syms.iterator.map { s =>
-        if (s.codePointCount(0, s.length) == 1) s.codePointAt(0)
-        else productId.getOrElse(s, -1)
-      }.toArray
-      val cur = memoGen.get()._1
-      if (cur.size() >= memoGenCap)
-        // rotate: current becomes old, old is dropped; re-promotion
-        // keeps the head resident through the flip
-        memoGen.compareAndSet(g, (new java.util.concurrent.ConcurrentHashMap(), cur))
-      memoGen.get()._1.put(word, ids)
-      ids
+      syms
     }
 
     /** Whole text: pre-tokenize, encode each word, concatenate. */
@@ -183,6 +195,42 @@ object Tokenizer {
       .select(col("w"), col("f"),
         explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
       .select(col("w").substr(col("i"), lit(2)).as("pair"), col("f"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+  }
+
+  /** The GENERAL BPE training iteration: adjacent SYMBOL-pair counts
+    * under an existing merge table (empty table = iteration 1 over
+    * raw code points; after each argmax, append the winner and rerun
+    * — that loop IS Sennrich et al.'s algorithm). Words pre-tokenize
+    * with [[WordPattern]] — the same split [[Bpe.encode]] applies, so
+    * what is learned here is exactly what llm35 consumes. Pairs are
+    * space-joined symbol pairs ("t h", then "th e", …), the
+    * merges.txt line format.
+    *
+    * 100 TB shape: the corpus collapses to the distinct-word
+    * frequency table first (Zipf), the merge loop runs once per
+    * DISTINCT word (UDF at the data-dependent-fixpoint boundary,
+    * merge table broadcast — same policy as [[tokenIds]]), and the
+    * final shuffle keys are short symbol pairs. Each training
+    * iteration is one scan of the word table, never of the corpus. */
+  def symbolPairStats(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+                      textCol: Column, bpe: Bpe): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val b = spark.sparkContext.broadcast(bpe)
+    val symsUdf = udf((w: String) =>
+      if (w == null) Vector.empty[String] else b.value.encodeWordSymbols(w))
+    val wf = df.select(explode(
+        regexp_extract_all(lower(textCol), lit(WordPattern), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    // bind the UDF to a real column BEFORE the pair lambda references
+    // it (round-6 rule: expressions inside HOF lambdas re-evaluate per
+    // element with no CSE)
+    wf.withColumn("syms", symsUdf(col("w")))
+      .filter(size(col("syms")) >= 2)
+      .select(col("f"), explode(transform(
+        sequence(lit(0), size(col("syms")) - 2),
+        i => concat(element_at(col("syms"), i + 1), lit(" "),
+                    element_at(col("syms"), i + 2)))).as("pair"))
       .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
   }
 }

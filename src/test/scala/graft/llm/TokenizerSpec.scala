@@ -65,4 +65,23 @@ class TokenizerSpec extends SparkSpec {
     assert(rows(1).getSeq[Int](1) == Seq(256, 256))
     assert(rows(2).getSeq[Int](1).isEmpty) // null text → no tokens
   }
+
+  test("training iteration: empty table counts code-point pairs; learned merge changes the stats") {
+    import spark.implicits._
+    // corpus where 'a b' dominates: "abab abc" → words abab(×2), abc
+    val df = Seq("abab abab abc").toDF("text")
+    val p1 = Tokenizer.symbolPairStats(spark, df, col("text"),
+        Tokenizer.Bpe(IndexedSeq.empty))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // abab (f=2): pairs a-b ×2, b-a ×1 → 4 + 2; abc (f=1): a-b, b-c
+    assert(p1 == Map("a b" -> 5L, "b a" -> 2L, "b c" -> 1L))
+    val p2 = Tokenizer.symbolPairStats(spark, df, col("text"),
+        Tokenizer.Bpe(IndexedSeq(("a", "b"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // abab → [ab, ab]; abc → [ab, c]
+    assert(p2 == Map("ab ab" -> 2L, "ab c" -> 1L))
+    // symbol view matches the id path's segmentation
+    assert(Tokenizer.Bpe(IndexedSeq(("a", "b"))).encodeWordSymbols("abab")
+      == Vector("ab", "ab"))
+  }
 }
