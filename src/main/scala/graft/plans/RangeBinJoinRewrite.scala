@@ -16,8 +16,33 @@ import org.apache.spark.sql.types.LongType
   * injection).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RangeBinJoinRewrite)
+    GraftExtensions.functions.foreach(e.injectFunction)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
+  import org.apache.spark.sql.types.StringType
+
+  /** SQL-callable engine functions — the triples `injectFunction`
+    * takes, shared with tests (a shared session cannot re-run
+    * extension injection, but can register the same triples directly).
+    * `graft_hash64(any)`: the engine-wide portable 60-bit hash
+    * ([[graft.functions.Md5Prefix64]]) — lets `spark.sql` users write
+    * the same content keys the Scala operators produce. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    (new FunctionIdentifier("graft_hash64"),
+     new ExpressionInfo(classOf[graft.functions.Md5Prefix64].getName, "graft_hash64"),
+     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+       require(children.size == 1, "graft_hash64 takes exactly one argument")
+       // analyzer's ResolveTimeZone fills the zone for temporal inputs
+       graft.functions.Md5Prefix64(Cast(children.head, StringType))
+     }))
 }
 
 /** Rewrites a bounded-width range join into the binned equi join that

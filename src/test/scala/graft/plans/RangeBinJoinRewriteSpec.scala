@@ -75,6 +75,22 @@ class RangeBinJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("graft_hash64 registers as a SQL function and matches the Column form") {
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val viaSql = spark.sql("SELECT graft_hash64('the quick brown fox') AS h")
+      .head().getLong(0)
+    val viaColumn = Seq("the quick brown fox").toDF("s")
+      .select(graft.functions.Portable.hash64(col("s"))).head().getLong(0)
+    assert(viaSql == viaColumn)
+    // non-string inputs cast like the Column form does
+    val num = spark.sql("SELECT graft_hash64(42) AS h").head().getLong(0)
+    val numCol = Seq(42).toDF("i")
+      .select(graft.functions.Portable.hash64(col("i"))).head().getLong(0)
+    assert(num == numCol)
+  }
+
   test("non-matching shapes are left alone") {
     withRule {
       // unbounded range (no literal width): stays whatever Spark picks
