@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 import graft.functions.Portable
 import graft.operators.{ApplyChanges, EventShaping, SmtFactory}
 
@@ -15,7 +16,7 @@ import graft.operators.{ApplyChanges, EventShaping, SmtFactory}
 object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
-                        cdc12, cdc13, cdc14)
+                        cdc12, cdc13, cdc14, cdc15)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -692,4 +693,66 @@ object QueriesCdc {
             |SELECT bound_ts, user_id, event_id, op, value
             |FROM j WHERE op <> 'd'
             |ORDER BY bound_ts, user_id""".stripMargin))
+
+  /** Fixture for cdc15: a WAL whose after-image SCHEMA DRIFTS — events
+    * below lsn 1000 carry (user_id, event_type), later ones add
+    * (value, ts_us) — the upstream ALTER TABLE a live capture
+    * witnesses mid-stream. Built per (dir, source mtime) like cdc07. */
+  private def cdc15Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet")
+    val stamp = if (Files.exists(src))
+      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
+    val db = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-cdc15-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
+    if (!Files.exists(db.resolve("wal").resolve("_SUCCESS"))) this.synchronized {
+      if (!Files.exists(db.resolve("wal").resolve("_SUCCESS"))) {
+        val ev = Tables.events(s, dir)
+        def line(rowStruct: Column, rowT: String) = to_json(struct(
+          lit("testc.app.events").as("destination"),
+          struct(col("user_id")).as("key"),
+          struct(opCol.as("op"),
+                 when(opCol === "d", rowStruct).otherwise(lit(null).cast(rowT)).as("before"),
+                 when(opCol =!= "d", rowStruct).otherwise(lit(null).cast(rowT)).as("after"),
+                 struct(lit("pg").as("connector"), lit("db").as("db"), lit("app").as("schema"),
+                        lit("events").as("table"), col("event_id").as("lsn"),
+                        lit("false").as("snapshot"), lit(0L).as("ts_ms")).as("source"),
+                 lit(0L).as("ts_ms")).as("value")))
+        val narrow = ev.filter(col("event_id") < 1000).select(line(
+          struct(col("user_id"), col("event_type")),
+          "struct<user_id:bigint,event_type:string>").as("value"))
+        val wide = ev.filter(col("event_id") >= 1000).select(line(
+          struct(col("user_id"), col("event_type"), col("value"),
+                 unix_micros(col("ts")).as("ts_us")),
+          "struct<user_id:bigint,event_type:string,value:double,ts_us:bigint>").as("value"))
+        narrow.unionByName(wide).write.mode("overwrite").text(db.resolve("wal").toString)
+      }
+    }
+    db
+  }
+
+  /** Schema-drift timeline (EventShaping.columnTimeline): per
+    * (destination, after-image column) the first log position carrying
+    * it — mid-stream column additions surface as later first_lsn,
+    * read schemalessly off the raw envelope log (the queryable face
+    * of the schema-history service). */
+  private def cdc15 = Q("cdc15_schema_drift",
+    (s, dir) => {
+      val db = cdc15Db(s, dir)
+      EventShaping.columnTimeline(s.read.text(db.resolve("wal").toString))
+        .orderBy(col("destination"), col("first_lsn"), col("col_name"))
+    },
+    Some("""WITH nd AS (SELECT event_id FROM events WHERE event_type <> 'error'),
+           |base AS (
+           |  SELECT c.col_name, min(e.event_id) AS first_lsn, count(*) AS n_events
+           |  FROM nd e CROSS JOIN (VALUES ('user_id'), ('event_type')) c(col_name)
+           |  GROUP BY 1
+           |  UNION ALL
+           |  SELECT c.col_name, min(e.event_id), count(*)
+           |  FROM nd e CROSS JOIN (VALUES ('value'), ('ts_us')) c(col_name)
+           |  WHERE e.event_id >= 1000
+           |  GROUP BY 1)
+           |SELECT 'testc.app.events' AS destination, col_name, first_lsn, n_events
+           |FROM base ORDER BY destination, first_lsn, col_name""".stripMargin),
+    prepare = Some((s, dir) => { cdc15Db(s, dir); () }))
 }

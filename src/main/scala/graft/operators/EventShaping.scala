@@ -154,4 +154,25 @@ object EventShaping {
     map_from_entries(transform(map_entries(headers),
       e => struct(concat(lit(prefix), upper(e.getField("key"))).as("key"),
                   e.getField("value").as("value"))))
+
+  /** Schema-drift TIMELINE over a raw envelope log: for every
+    * (destination, after-image column), the first log position that
+    * carried it and how many events did — the queryable face of what
+    * [[graft.services.SchemaHistory]] records imperatively (the
+    * reference's schema-history store + schema-change topic concern,
+    * DebeziumProperties.java schema.history.internal.*). Reads the
+    * SCHEMALESS JSON lines (drift is exactly what a declared schema
+    * cannot see): per event, `json_object_keys` of the after image —
+    * deletes carry no after image and contribute nothing. One scan,
+    * one (destination, column) aggregate; at 100 TB the group count
+    * is tables × columns, so the shuffle is trivially small. */
+  def columnTimeline(rawJsonLines: DataFrame): DataFrame =
+    rawJsonLines.select(
+        get_json_object(col("value"), "$.destination").as("destination"),
+        get_json_object(col("value"), "$.value.source.lsn").cast("long").as("lsn"),
+        json_object_keys(get_json_object(col("value"), "$.value.after")).as("cols"))
+      .filter(col("cols").isNotNull)
+      .select(col("destination"), col("lsn"), explode(col("cols")).as("col_name"))
+      .groupBy(col("destination"), col("col_name"))
+      .agg(min(col("lsn")).as("first_lsn"), count(lit(1)).as("n_events"))
 }
