@@ -61,7 +61,49 @@ object ParquetUpsertSink {
     case object None  extends SchemaEvolution
     case object Basic extends SchemaEvolution
   }
+
+  private[sinks] def sanitize(dest: String): String =
+    dest.replaceAll("[^a-zA-Z0-9_\\-]", "_") // Fluss rule
+
+  /** Table metadata: last applied epoch + bucket → epoch-dir map.
+    * Plain line format: "epoch <n>" then "<bucket> <epochDir>" lines. */
+  private[sinks] case class Manifest(epoch: Option[Long], buckets: Map[Int, String]) {
+    def writeAtomic(table: Path): Unit = {
+      val lines = s"epoch ${epoch.getOrElse(-1L)}" +:
+        buckets.toSeq.sortBy(_._1).map { case (b, d) => s"$b $d" }
+      val tmp = table.resolve(s"_manifest.tmp")
+      Files.writeString(tmp, lines.mkString("\n") + "\n")
+      Files.move(tmp, table.resolve("_manifest"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+  private[sinks] object Manifest {
+    def read(table: Path): Manifest = {
+      val f = table.resolve("_manifest")
+      if (!Files.exists(f)) Manifest(None, Map.empty)
+      else {
+        val lines = Files.readAllLines(f).asScala.filter(_.nonEmpty)
+        val epoch = lines.head.stripPrefix("epoch ").trim.toLong
+        val buckets = lines.tail.map { l =>
+          val Array(b, d) = l.split(" ", 2); b.toInt -> d
+        }.toMap
+        Manifest(if (epoch < 0) None else Some(epoch), buckets)
+      }
+    }
+  }
+
+  /** Live bucket data dirs of a COMMITTED table dir — what the current
+    * manifest points at, one path per referenced bucket. Empty when no
+    * epoch has committed. The read-side contract [[GraftCatalog]]
+    * plans scans over. */
+  def livePaths(table: Path): Seq[String] = {
+    val m = Manifest.read(table)
+    if (m.epoch.isEmpty) Seq.empty
+    else m.buckets.toSeq.sortBy(_._1).map { case (b, d) => s"$table/$d/__bucket=$b" }
+  }
 }
+
+import ParquetUpsertSink.Manifest
 
 final class ParquetUpsertSink(baseDir: String, keyFields: Seq[String] = Seq("id"),
                               numBuckets: Int = 16,
@@ -259,8 +301,7 @@ final class ParquetUpsertSink(baseDir: String, keyFields: Seq[String] = Seq("id"
      .getOrElse(spark.emptyDataFrame)
   }
 
-  private def sanitize(dest: String): String =
-    dest.replaceAll("[^a-zA-Z0-9_\\-]", "_") // Fluss rule
+  private def sanitize(dest: String): String = ParquetUpsertSink.sanitize(dest)
 
   private def tableDir(sanitizedDest: String): Path = {
     val p = Paths.get(baseDir, sanitizedDest)
@@ -278,30 +319,4 @@ final class ParquetUpsertSink(baseDir: String, keyFields: Seq[String] = Seq("id"
       .filterNot(p => referenced(p.getFileName.toString))
       .foreach(graft.Fs.deleteRecursively)
 
-  /** Table metadata: last applied epoch + bucket → epoch-dir map.
-    * Plain line format: "epoch <n>" then "<bucket> <epochDir>" lines. */
-  private case class Manifest(epoch: Option[Long], buckets: Map[Int, String]) {
-    def writeAtomic(table: Path): Unit = {
-      val lines = s"epoch ${epoch.getOrElse(-1L)}" +:
-        buckets.toSeq.sortBy(_._1).map { case (b, d) => s"$b $d" }
-      val tmp = table.resolve(s"_manifest.tmp")
-      Files.writeString(tmp, lines.mkString("\n") + "\n")
-      Files.move(tmp, table.resolve("_manifest"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
-  private object Manifest {
-    def read(table: Path): Manifest = {
-      val f = table.resolve("_manifest")
-      if (!Files.exists(f)) Manifest(None, Map.empty)
-      else {
-        val lines = Files.readAllLines(f).asScala.filter(_.nonEmpty)
-        val epoch = lines.head.stripPrefix("epoch ").trim.toLong
-        val buckets = lines.tail.map { l =>
-          val Array(b, d) = l.split(" ", 2); b.toInt -> d
-        }.toMap
-        Manifest(if (epoch < 0) None else Some(epoch), buckets)
-      }
-    }
-  }
 }
