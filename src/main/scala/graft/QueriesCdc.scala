@@ -16,7 +16,7 @@ import graft.operators.{ApplyChanges, EventShaping, SmtFactory}
 object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
-                        cdc12, cdc13, cdc14, cdc15)
+                        cdc12, cdc13, cdc14, cdc15, cdc16)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -730,6 +730,66 @@ object QueriesCdc {
     }
     db
   }
+
+  /** Fixture for cdc16: events replayed through the REAL upsert sink
+    * (one epoch of envelopes, lsn = event_id) into a committed
+    * manifest table — the delivered state cdc consumers query. */
+  private def cdc16Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet")
+    val stamp = if (Files.exists(src))
+      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
+    val db = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-cdc16-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
+    if (!Files.exists(db.resolve("testc_app_events").resolve("_manifest"))) this.synchronized {
+      if (!Files.exists(db.resolve("testc_app_events").resolve("_manifest"))) {
+        val rowT = "struct<user_id:bigint,event_type:string,value:double,ts_us:bigint>"
+        val ev = Tables.events(s, dir)
+        val rowStruct = struct(col("user_id"), col("event_type"), col("value"),
+                               unix_micros(col("ts")).as("ts_us"))
+        val records = ev.select(
+          lit("testc.app.events").as("destination"),
+          struct(col("user_id")).as("key"),
+          struct(opCol.as("op"),
+                 when(opCol === "d", rowStruct).otherwise(lit(null).cast(rowT)).as("before"),
+                 when(opCol =!= "d", rowStruct).otherwise(lit(null).cast(rowT)).as("after"),
+                 struct(lit("pg").as("connector"), lit("db").as("db"), lit("app").as("schema"),
+                        lit("events").as("table"), col("event_id").as("lsn"),
+                        lit("false").as("snapshot"), lit(0L).as("ts_ms")).as("source"),
+                 lit(0L).as("ts_ms")).as("value"))
+        val sink = new graft.sinks.ParquetUpsertSink(db.toString, Seq("user_id"), numBuckets = 8)
+        sink.write(records, epochId = 1L)
+      }
+    }
+    db
+  }
+
+  /** Catalog read of delivered state (graft.sinks.GraftCatalog): the
+    * upsert sink materializes the change log, then plain SQL queries
+    * the committed manifest through the read-only DSv2 TableCatalog —
+    * the reference's "downstream consumers query the jdbc/fluss
+    * table" path, end to end. The oracle restates latest-state-by-lsn
+    * directly over the base table. */
+  private def cdc16 = Q("cdc16_catalog_read",
+    (s, dir) => {
+      val db = cdc16Db(s, dir)
+      // per-fixture catalog name: catalog instances cache their root
+      // from first initialization, so the name must pin the dir
+      val cat = s"graftstate_${java.lang.Long.toHexString(
+        graft.functions.Portable.hash64Jvm(db.toString))}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sinks.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", db.toString)
+      s.sql(s"""SELECT user_id, event_type, value, ts_us
+               |FROM $cat.testc_app_events ORDER BY user_id""".stripMargin)
+    },
+    Some(s"""SELECT user_id, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc16Db(s, dir); () }))
 
   /** Schema-drift timeline (EventShaping.columnTimeline): per
     * (destination, after-image column) the first log position carrying
