@@ -146,6 +146,28 @@ object SmtFactory {
               col("value").withField("after", col("value.after").dropFields(fields: _*)))
             else withHdrs
           })
+        case "TimezoneConverter" | "timezoneconverter" =>
+          // io.debezium.transforms.TimezoneConverter: re-render
+          // ZonedTimestamp STRING fields at the same instant in
+          // `converted.timezone`. The offset is DERIVED from the
+          // conversion itself (exact across DST), so the whole rewrite
+          // stays codegen'd Column algebra; rendering assumes the
+          // engine-wide UTC session (GraftSession sets it).
+          val tz = req("converted.timezone")
+          val fields = list("include.fields")
+          Smt(n, df => fields.foldLeft(df) { (d, f) =>
+            val src = col(s"value.after.$f")
+            val inst = to_timestamp(src)
+            val local = from_utc_timestamp(inst, tz)
+            val offMin = ((local.cast("long") - inst.cast("long")) / 60).cast("int")
+            val offStr = concat(
+              when(offMin < 0, "-").otherwise("+"),
+              lpad((abs(offMin) / 60).cast("int").cast("string"), 2, "0"), lit(":"),
+              lpad((abs(offMin) % 60).cast("int").cast("string"), 2, "0"))
+            val rendered = when(src.isNull, lit(null).cast("string"))
+              .otherwise(concat(date_format(local, "yyyy-MM-dd'T'HH:mm:ss"), offStr))
+            d.withColumn("value", col("value").withField(s"after.$f", rendered))
+          })
         case "ByLogicalTableRouter" | "regexrouter" =>
           // upstream: Pattern.matches(topic.regex) → replacement with
           // $1-group refs; non-matching destinations pass unchanged —
@@ -182,7 +204,7 @@ object SmtFactory {
             s"unsupported transform type '$other' (supported: ExtractNewRecordState, " +
               "ContentBasedRouter, Filter, MaskField, ReplaceField, ValueToKey, " +
               "HeaderToValue, InsertField, InsertHeader, HoistField, HeaderFrom, " +
-              "ByLogicalTableRouter, PartitionRouting, EventRouter)")
+              "ByLogicalTableRouter, PartitionRouting, TimezoneConverter, EventRouter)")
       }
       base.copy(predicate = predicate, negate = negate)
     }

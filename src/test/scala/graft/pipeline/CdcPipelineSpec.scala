@@ -233,6 +233,27 @@ class CdcPipelineSpec extends SparkSpec {
     assert(outs == "t.a.x")
   }
 
+  test("TimezoneConverter re-renders zoned-timestamp strings at the same instant, DST-correct") {
+    import org.apache.spark.sql.Row
+    val chain = graft.operators.SmtFactory.fromProperties(Map(
+      "debezium.transforms" -> "tzc",
+      "debezium.transforms.tzc.type" -> "io.debezium.transforms.TimezoneConverter",
+      "debezium.transforms.tzc.converted.timezone" -> "America/New_York",
+      "debezium.transforms.tzc.include.fields" -> "email")) // reuse the string field
+    val schema = graft.model.Envelope.recordSchema(keySchema, rowSchema)
+    def rec(ts: String) = Row("t.a", Row(1),
+      Row("c", null, Row(1, "A", "B", ts),
+        Row("pg", "d", "s", "t", 1L, "false", 0L), 0L),
+      Map.empty[String, String])
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      rec("2024-01-15T12:00:00Z"),   // EST: UTC-5
+      rec("2024-07-15T12:00:00Z"))), // EDT: UTC-4 (DST)
+      schema)
+    val out = graft.operators.EventShaping.applyChain(df, chain)
+      .select("value.after.email").collect().map(_.getString(0)).sorted.toSeq
+    assert(out == Seq("2024-01-15T07:00:00-05:00", "2024-07-15T08:00:00-04:00"))
+  }
+
   test("pipeline reads through the graft-cdc source when configured") {
     import java.nio.file.Files
     val db = Files.createTempDirectory("graft-cdcdb-pipe")
