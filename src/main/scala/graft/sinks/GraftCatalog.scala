@@ -7,7 +7,6 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
 
 /** Read-only DataSource V2 `TableCatalog` over a [[ParquetUpsertSink]]
   * root: the CDC-materialized live state becomes SQL-addressable —
@@ -41,8 +40,7 @@ class GraftCatalog extends TableCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
-    if (!Files.isDirectory(root)) Array.empty
-    else Files.list(root).iterator().asScala
+    graft.Fs.children(root)
       .filter(p => Files.exists(p.resolve("_manifest")))
       .map(p => Identifier.of(Array.empty, p.getFileName.toString))
       .toArray
