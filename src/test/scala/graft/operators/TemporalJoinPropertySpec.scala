@@ -72,9 +72,8 @@ class TemporalJoinPropertySpec extends SparkSpec {
     }
   }
 
-  test("the range-bin Catalyst rule preserves random join results exactly") {
-    spark.experimental.extraOptimizations = Seq(graft.plans.RangeBinJoinRewrite)
-    try {
+  test("the range-bin Catalyst rule (session-wide) preserves random join results exactly") {
+    {
       (1L to 4L).foreach { seed =>
         val pRows = sample(Gen.listOfN(60, rowGen), seed).distinct
           .map { case (k, t, id) => (k.toLong, t * 3, id) }
@@ -92,6 +91,6 @@ class TemporalJoinPropertySpec extends SparkSpec {
         } yield (pid, rid)).toSet
         assert(got == want, s"seed $seed")
       }
-    } finally spark.experimental.extraOptimizations = Nil
+    }
   }
 }
