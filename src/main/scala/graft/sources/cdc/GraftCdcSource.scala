@@ -226,10 +226,19 @@ private[cdc] final class CdcBatch(options: Map[String, String], pushed: Array[Fi
   override def planInputPartitions(): Array[InputPartition] = {
     val db = CdcLayout.dbDir(options)
     val snapLsn = CdcLayout.snapshotLsn(db)
+    // bounded point-in-time replay: `ending.lsn` caps the batch read at
+    // a log position (inclusive) — the source-level half of time travel
+    // (cdc14 is the operator-level half). The snapshot is the base
+    // state at snapLsn, so a bound that predates it has no consistent
+    // answer and fails loudly.
+    val endLsn = options.get("ending.lsn").map(_.toLong)
+    endLsn.foreach(e => require(e >= snapLsn,
+      s"ending.lsn $e predates the snapshot position $snapLsn — no consistent state exists there"))
+    val to = endLsn.getOrElse(Long.MaxValue)
     val snaps = CdcLayout.snapshotTables(db).map(p =>
-      CdcPartition(p.toString, isSnapshot = true, snapLsn, Long.MaxValue): InputPartition)
+      CdcPartition(p.toString, isSnapshot = true, snapLsn, to): InputPartition)
     val wals = CdcLayout.walFiles(db).map(p =>
-      CdcPartition(p.toString, isSnapshot = false, snapLsn, Long.MaxValue): InputPartition)
+      CdcPartition(p.toString, isSnapshot = false, snapLsn, to): InputPartition)
     (snaps ++ wals).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

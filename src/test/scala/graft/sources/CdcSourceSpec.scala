@@ -63,6 +63,26 @@ class CdcSourceSpec extends SparkSpec {
     assert(dests.contains("testc.other.t") && dests.contains("__debezium-heartbeat.testc"))
   }
 
+  test("ending.lsn bounds the batch read at a log position (point-in-time replay)") {
+    val db = fixtureDb()
+    // bound at 6: snapshot (4) + insert (5) + update (6); the delete at
+    // 7 and later records never surface
+    val bounded = readerFor(db).option("ending.lsn", "6").load()
+    assert(bounded.filter(col("value.op") === "r").count() == 4)
+    val ops = bounded.filter(col("value.op") =!= "r")
+      .select("value.op", "value.source.lsn").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ops == Set(("c", 5L), ("u", 6L)))
+    // bound at the snapshot position: base state only
+    assert(readerFor(db).option("ending.lsn", "4").load().count() == 4)
+    // a bound BEFORE the snapshot has no consistent answer
+    val err = intercept[Exception] {
+      readerFor(db).option("ending.lsn", "3").load().count()
+    }
+    assert(err.getMessage.contains("predates the snapshot") ||
+      Option(err.getCause).exists(_.getMessage.contains("predates the snapshot")))
+  }
+
   test("include list prunes tables inside the scan; heartbeats pass") {
     val db = fixtureDb()
     val df = readerFor(db).option("table.include.list", "inventory.customers").load()
