@@ -617,6 +617,10 @@ object Dedup {
       .orderBy(col("source")).collect().map(_.getString(0)).toIndexedSeq
     require(srcs.size <= 64,
       s"sourceOverlap's bitmask holds <= 64 sources, got ${srcs.size}")
+    if (srcs.size < 2) // no pairs exist; an empty literal array can't type
+      return df.sparkSession.emptyDataFrame.select(
+        lit("").as("source_a"), lit("").as("source_b"),
+        lit(0L).as("n_shared"), lit(0.0).as("containment"))
     val maskOf = map(srcs.zipWithIndex.flatMap {
       case (s, i) => Seq(lit(s), lit(1L << i)) }: _*)
     val hashed = df.select(element_at(maskOf, sourceCol.cast("string")).as("m"),

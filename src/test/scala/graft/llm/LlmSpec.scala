@@ -999,4 +999,26 @@ class LlmSpec extends SparkSpec {
     val both = Sketches.kmvDistinct(big, col("v"), k = 256).head()
     assert(est.getDouble(0) == both.getDouble(1))
   }
+
+  test("sourceOverlap: hand-checked containment, single-source and >64-source edges") {
+    // src A: "abcdef" → 3 distinct 4-shingles; src B: same text → same 3;
+    // src C: disjoint text. A∩B = 3, containment = 3/min(3,3) = 1.0
+    val docs = Seq(("A", "abcdef"), ("B", "abcdef"), ("C", "zzzzyyyyxxxx"))
+      .toDF("source", "text")
+    val out = Dedup.sourceOverlap(docs, col("source"), col("text"), n = 4)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(("A", "B"))) // disjoint pairs don't surface
+    assert(out(("A", "B")) == ((3L, 1.0)))
+    // one source → no pairs, empty result with the right schema
+    val one = Dedup.sourceOverlap(Seq(("A", "abc")).toDF("source", "text"),
+      col("source"), col("text"), n = 2)
+    assert(one.count() == 0)
+    assert(one.columns.toSeq == Seq("source_a", "source_b", "n_shared", "containment"))
+    // 65 sources overflow the bitmask loudly
+    val many = (0 until 65).map(i => (s"s$i", "xy")).toDF("source", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.sourceOverlap(many, col("source"), col("text"), n = 2).collect()
+    }
+    assert(e.getMessage.contains("<= 64"))
+  }
 }
