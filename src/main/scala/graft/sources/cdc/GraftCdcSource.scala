@@ -258,6 +258,14 @@ private[cdc] final class CdcMicroBatchStream(options: Map[String, String], pushe
     * micro-batch advances at most this many LSNs past the start, so a
     * huge backlog drains in bounded batches instead of one giant one. */
   private val maxLsnsPerTrigger: Option[Long] = options.get("maxlsnspertrigger").map(_.toLong)
+  /** Streaming half of `ending.lsn` (batch: CdcBatch): the stream
+    * never advances past the bound — a bounded backfill that stops
+    * delivering once the log reaches the target position (combine
+    * with Trigger.AvailableNow for "replay up to X and exit"). */
+  private val endLsn: Option[Long] = options.get("ending.lsn").map(_.toLong)
+  endLsn.foreach(e => require(e >= snapLsn,
+    s"ending.lsn $e predates the snapshot position $snapLsn — no consistent state exists there"))
+  private def boundTo(lsn: Long): Long = endLsn.fold(lsn)(math.min(lsn, _))
   // Trigger.AvailableNow: pin the end of the log at query start so the
   // query drains exactly to that position and stops
   private var availableNowTarget: Option[CdcOffset] = None
@@ -265,9 +273,9 @@ private[cdc] final class CdcMicroBatchStream(options: Map[String, String], pushe
   override def initialOffset(): Offset = CdcOffset(-1L)
   override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
   override def latestOffset(): Offset =
-    availableNowTarget.getOrElse(CdcOffset(maxLsnCached()))
+    availableNowTarget.getOrElse(CdcOffset(boundTo(maxLsnCached())))
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(CdcOffset(maxLsnCached()))
+    availableNowTarget = Some(CdcOffset(boundTo(maxLsnCached())))
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val target = latestOffset().asInstanceOf[CdcOffset].lsn
     val s = start.asInstanceOf[CdcOffset].lsn

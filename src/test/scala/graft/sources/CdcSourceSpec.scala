@@ -83,6 +83,26 @@ class CdcSourceSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("predates the snapshot")))
   }
 
+  test("ending.lsn bounds the STREAM: AvailableNow drains to the bound and stops") {
+    val db = fixtureDb()
+    val out = Files.createTempDirectory("graft-cdc-bounded").toString
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", keyDdl).option("rowSchema", rowDdl)
+      .option("ending.lsn", "6")
+      .load()
+      .writeStream.format("memory").queryName("bounded_stream")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("bounded_stream")
+    assert(rows.filter(col("value.op") === "r").count() == 4)
+    val tail = rows.filter(col("value.op").isin("c", "u", "d"))
+      .select("value.source.lsn").collect().map(_.getLong(0)).toSet
+    assert(tail == Set(5L, 6L), s"stream must stop at the bound, got $tail")
+  }
+
   test("include list prunes tables inside the scan; heartbeats pass") {
     val db = fixtureDb()
     val df = readerFor(db).option("table.include.list", "inventory.customers").load()
