@@ -77,27 +77,40 @@ object Dedup {
   def incrementalExactBloom(batch: DataFrame, batchText: Column, batchId: Column,
                             seen: DataFrame, seenText: Column,
                             expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.graft.ColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val idx = seen.select(Portable.hash64(seenText).as("content_hash")).distinct()
-    // optimal bit count for the target fpp (standard bloom sizing)
-    val numBits = math.ceil(
-      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
-    val bloom = idx.select(ColumnBridge.column(
-        BloomFilterAggregate(
-          ColumnBridge.expression(xxhash64(col("content_hash"))),
-          Literal(expectedItems), Literal(numBits), 0, 0).toAggregateExpression()).as("bf"))
-      .scalar()
+    val maybeSeen = bloomMightContain(idx, col("content_hash"),
+      col("content_hash"), expectedItems, fpp)
     val hashed = batch.select(
       Portable.hash64(batchText).as("content_hash"), batchId.as("doc_id"))
-    val maybeSeen = ColumnBridge.column(BloomFilterMightContain(
-      ColumnBridge.expression(bloom),
-      ColumnBridge.expression(xxhash64(col("content_hash")))))
     val survivors = hashed.filter(!maybeSeen)
       .unionByName(hashed.filter(maybeSeen).join(idx, Seq("content_hash"), "left_anti"))
     survivors.groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Shared bloom plumbing for the prefiltered dedups: builds the
+    * filter DISTRIBUTED over `buildDf`'s `buildCol` (scalar subquery —
+    * the mechanism of Spark's own runtime join filters) and returns
+    * the codegen'd `might_contain` probe over `probeCol`. Sized with
+    * the standard optimal-bits formula; an undersized filter stays
+    * CORRECT (saturation only inflates the maybe-minority —
+    * BloomDedupSpec pins it). */
+  private[graft] def bloomMightContain(buildDf: DataFrame, buildCol: Column,
+                                       probeCol: Column,
+                                       expectedItems: Long, fpp: Double): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
+    val bloom = buildDf.select(ColumnBridge.column(
+        BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(buildCol)),
+          Literal(expectedItems), Literal(numBits), 0, 0).toAggregateExpression()).as("bf"))
+      .scalar()
+    ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(bloom),
+      ColumnBridge.expression(xxhash64(probeCol))))
   }
 
   /** Character n-gram shingles (distinct) as an array column. Pure

@@ -49,24 +49,12 @@ object StreamingOps {
                               seen: DataFrame, seenContentCol: Column,
                               tsCol: String, watermarkDelay: String,
                               expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.graft.ColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val idx = seen.select(graft.functions.Portable.hash64(seenContentCol)
       .as("__content_hash")).distinct()
-    val numBits = math.ceil(
-      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
-    val bloom = idx.select(ColumnBridge.column(
-        BloomFilterAggregate(
-          ColumnBridge.expression(xxhash64(col("__content_hash"))),
-          Literal(expectedItems), Literal(numBits), 0, 0)
-          .toAggregateExpression()).as("bf"))
-      .scalar()
+    val maybeSeen = graft.llm.Dedup.bloomMightContain(idx, col("__content_hash"),
+      col("__content_hash"), expectedItems, fpp)
     val hashed = df.withColumn("__content_hash",
       graft.functions.Portable.hash64(contentCol))
-    val maybeSeen = ColumnBridge.column(BloomFilterMightContain(
-      ColumnBridge.expression(bloom),
-      ColumnBridge.expression(xxhash64(col("__content_hash")))))
     val fresh = hashed.filter(!maybeSeen)
       .unionByName(hashed.filter(maybeSeen)
         .join(idx, Seq("__content_hash"), "left_anti"))
