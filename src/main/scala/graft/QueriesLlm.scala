@@ -13,7 +13,7 @@ object QueriesLlm {
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
-                        llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45)
+                        llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1865,4 +1865,74 @@ object QueriesLlm {
             |SELECT 1 AS iter, pair, cnt FROM top1
             |UNION ALL SELECT 2 AS iter, pair, cnt FROM c2
             |ORDER BY iter, cnt DESC, pair""".stripMargin))
+
+  /** Incremental NEAR-dedup (Dedup.incrementalNearDup): a delta batch
+    * screens against the seen corpus's banded LSH index, candidates
+    * Jaccard-verify, each flagged doc reports its best seen match —
+    * the delta-ingestion form of llm09's pipeline (exact: llm33,
+    * bloom: llm42). Planted: ' qx'-perturbed copies of seen docs in
+    * the batch must all map back to their originals. */
+  private def llm46 = Q("llm46_incremental_neardup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val seen = d.filter(col("doc_id") < 300)
+      val batch = d.filter(col("doc_id") >= 300)
+        .unionByName(d.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+                  concat(col("text"), lit(" qx")).as("text")))
+      Dedup.incrementalNearDup(batch, col("doc_id"), col("text"),
+          seen, col("doc_id"), col("text"),
+          n = 9, k = 12, rowsPerBand = 4, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val hashes = (0 until 12).map(i =>
+        s"${Portable.duckSeededHash("shingle", i)} AS h$i").mkString(",\n            ")
+      val mins = (0 until 12).map(i => s"min(h$i) AS mh$i").mkString(", ")
+      def bandRows(src: String) = (0 until 3).map { b =>
+        val cols = (4 * b until 4 * (b + 1)).map(i => s"mh$i").mkString(", ")
+        s"SELECT doc_id, $b AS band, ${Portable.duckHash64(s"concat_ws('_', $cols)")} AS bucket FROM $src"
+      }.mkString("\n            UNION ALL ")
+      s"""WITH seenc AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         |batchc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 300
+         |           UNION ALL SELECT doc_id + 200000, text || ' qx'
+         |           FROM documents WHERE doc_id < 100),
+         |shS AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS shingle
+         |        FROM (SELECT doc_id, text,
+         |                unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+         |              FROM seenc)),
+         |shB AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS shingle
+         |        FROM (SELECT doc_id, text,
+         |                unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+         |              FROM batchc)),
+         |hS AS (SELECT doc_id, $hashes FROM shS),
+         |hB AS (SELECT doc_id, $hashes FROM shB),
+         |mhS AS (SELECT doc_id, $mins FROM hS GROUP BY doc_id),
+         |mhB AS (SELECT doc_id, $mins FROM hB GROUP BY doc_id),
+         |bkS AS (
+         |            ${bandRows("mhS")}),
+         |bkB AS (
+         |            ${bandRows("mhB")}),
+         |cand AS (SELECT DISTINCT b.doc_id, s.doc_id AS matched_id
+         |         FROM bkB b JOIN bkS s ON b.band = s.band AND b.bucket = s.bucket),
+         |szS AS (SELECT doc_id, count(*) AS n FROM shS GROUP BY doc_id),
+         |szB AS (SELECT doc_id, count(*) AS n FROM shB GROUP BY doc_id),
+         |inter AS (SELECT c.doc_id, c.matched_id, count(*) AS ni
+         |          FROM cand c
+         |          JOIN shB b ON b.doc_id = c.doc_id
+         |          JOIN shS s ON s.doc_id = c.matched_id AND s.shingle = b.shingle
+         |          GROUP BY c.doc_id, c.matched_id),
+         |ver AS (SELECT i.doc_id, i.matched_id,
+         |               CAST(i.ni AS DOUBLE) / CAST(sb.n + ss.n - i.ni AS DOUBLE) AS jaccard
+         |        FROM inter i JOIN szB sb ON sb.doc_id = i.doc_id
+         |                     JOIN szS ss ON ss.doc_id = i.matched_id
+         |        WHERE CAST(i.ni AS DOUBLE) / CAST(sb.n + ss.n - i.ni AS DOUBLE) >= 0.5)
+         |SELECT doc_id, matched_id, jaccard FROM (
+         |  SELECT doc_id, matched_id, jaccard,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY jaccard DESC, matched_id DESC) AS rn
+         |  FROM ver) t
+         |WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin
+    })
 }

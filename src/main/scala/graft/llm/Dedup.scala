@@ -254,6 +254,57 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** INCREMENTAL near-dedup — the delta-ingestion form of the
+    * MinHash/LSH pipeline, completing the family ([[incrementalExact]]
+    * for exact replays, [[incrementalExactBloom]] for its steady
+    * state): a new batch screens against the SEEN corpus's banded
+    * bucket index, candidates Jaccard-verify against the hashed
+    * shingle sets, and each flagged batch doc reports its best match
+    * (highest jaccard, ties to the higher seen id — deterministic).
+    * Returns (doc_id, matched_id, jaccard) for batch docs with a
+    * match ≥ threshold; unmatched batch docs are the survivors the
+    * caller keeps.
+    *
+    * Scale shape: in production the seen side's signatures+buckets
+    * are the PERSISTED index (append each accepted batch and the loop
+    * closes — the corpus is never re-signed); here they are computed
+    * from `seen` directly. The screen is one equi join on (band,
+    * bucket) — batch docs only ever meet the buckets they land in —
+    * and the verify join moves hashed sets for candidates only,
+    * never n². `maxBucketSize` is the same hot-bucket cap as
+    * [[candidatePairs]]. */
+  def incrementalNearDup(batch: DataFrame, batchId: Column, batchText: Column,
+                         seen: DataFrame, seenId: Column, seenText: Column,
+                         n: Int, k: Int, rowsPerBand: Int, threshold: Double,
+                         maxBucketSize: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bDocs = minhashSignatureAndSets(batch, batchId, batchText, n, k)
+    val sDocs = minhashSignatureAndSets(seen, seenId, seenText, n, k)
+    def pruned(buckets: DataFrame): DataFrame = maxBucketSize match {
+      case None => buckets
+      case Some(cap) =>
+        val ok = buckets.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+          .select(col("band"), col("bucket"))
+        buckets.join(ok, Seq("band", "bucket"), "left_semi")
+    }
+    val bB = pruned(lshBuckets(bDocs, k, rowsPerBand))
+      .select(col("band"), col("bucket"), col("doc_id"))
+    val sB = pruned(lshBuckets(sDocs, k, rowsPerBand))
+      .select(col("band"), col("bucket"), col("doc_id").as("matched_id"))
+    val cands = bB.join(sB, Seq("band", "bucket"))
+      .select(col("doc_id"), col("matched_id")).distinct()
+    val verified = cands
+      .join(bDocs.select(col("doc_id"), col("shh").as("sh_b")), "doc_id")
+      .join(sDocs.select(col("doc_id").as("matched_id"), col("shh").as("sh_s")), "matched_id")
+      .withColumn("jaccard", jaccard(col("sh_b"), col("sh_s")))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("matched_id").desc)
+    verified.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("doc_id"), col("matched_id"), col("jaccard"))
+  }
+
   /** Non-overlapping fixed-size token passages (space-joined) — the
     * sub-document dedup unit (Dolma-style paragraph dedup generalized
     * to fixed chunks for corpora without paragraph breaks). Only full
