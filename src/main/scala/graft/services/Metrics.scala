@@ -30,16 +30,7 @@ object Metrics {
 
 final class GraftMetricsListener(clock: () => Long = System.currentTimeMillis)
     extends StreamingQueryListener {
-
-  final case class QueryMetrics(name: String,
-                                inputRowsPerSecond: Double,
-                                processedRowsPerSecond: Double,
-                                numInputRows: Long,
-                                batchId: Long,
-                                running: Boolean,
-                                msBehindSource: Long = -1L,
-                                snapshotRunning: Boolean = false,
-                                snapshotCompleted: Boolean = false)
+  import GraftMetricsListener.QueryMetrics
 
   private val state = new ConcurrentHashMap[java.util.UUID, QueryMetrics]()
 
@@ -82,4 +73,16 @@ final class GraftMetricsListener(clock: () => Long = System.currentTimeMillis)
   /** `SnapshotCompleted`-style check (DebeziumMetrics.java:115-131):
     * a bounded replay is "caught up" when its query stopped cleanly. */
   def completed(name: String): Boolean = snapshot.get(name).exists(!_.running)
+}
+
+object GraftMetricsListener {
+  final case class QueryMetrics(name: String,
+                                inputRowsPerSecond: Double,
+                                processedRowsPerSecond: Double,
+                                numInputRows: Long,
+                                batchId: Long,
+                                running: Boolean,
+                                msBehindSource: Long = -1L,
+                                snapshotRunning: Boolean = false,
+                                snapshotCompleted: Boolean = false)
 }
