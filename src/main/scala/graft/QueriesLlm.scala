@@ -13,7 +13,8 @@ object QueriesLlm {
                         llm09, llm10, llm11, llm12, llm13, llm14, llm15, llm16, llm17,
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
-                        llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46)
+                        llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
+                        llm47, llm48, llm49)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1935,4 +1936,138 @@ object QueriesLlm {
          |WHERE rn = 1
          |ORDER BY doc_id""".stripMargin
     })
+
+  /** KMV cross-source overlap estimation (Sketches.kmvOverlap): every
+    * source pair's distinct-shingle Jaccard + intersection cardinality
+    * estimated from per-source k-minimum-value sketches — the
+    * CONSTANT-STATE companion to llm39's exact containment (which
+    * shuffles every distinct shingle hash; this reduces each source to
+    * k=256 longs first, so two 100 TB corpora compare in two scans +
+    * an O(sources²·k) combine). Same 9-char shingles as llm39; the
+    * oracle replays the order statistics and the estimator's exact
+    * IEEE steps. */
+  private def llm47 = Q("llm47_kmv_overlap",
+    (s, dir) => {
+      val sh = Tables.documents(s, dir).select(col("source"), col("text"))
+        .select(col("source"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 8, lit(1)))).as("i"),
+          col("text"))
+        .select(col("source"), col("text").substr(col("i"), lit(9)).as("shingle"))
+      graft.llm.Sketches.kmvOverlap(sh, col("source"), col("shingle"), k = 256)
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""WITH sh AS (
+            |  SELECT DISTINCT source, ${Portable.duckHash64("shingle")} AS h
+            |  FROM (SELECT source, substr(text, i, 9) AS shingle
+            |        FROM (SELECT source, text,
+            |                unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+            |              FROM documents))),
+            |r AS (SELECT source, h,
+            |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh),
+            |sk AS (SELECT source, list_sort(list(h)) AS kmv
+            |       FROM r WHERE rn <= 256 GROUP BY source),
+            |p AS (SELECT a.source AS source_a, b.source AS source_b,
+            |        a.kmv AS ka, b.kmv AS kb
+            |      FROM sk a JOIN sk b ON a.source < b.source),
+            |c AS (SELECT source_a, source_b, ka, kb,
+            |        list_sort(list_distinct(list_concat(ka, kb)))[1:256] AS u FROM p),
+            |e AS (SELECT source_a, source_b,
+            |        CAST(len(u) AS BIGINT) AS k_used,
+            |        CASE WHEN len(u) < 256 THEN CAST(len(u) AS DOUBLE)
+            |             ELSE 255.0 * 1152921504606846976.0 / CAST(u[len(u)] AS DOUBLE)
+            |        END AS d_union_est,
+            |        CAST(len(list_filter(u, x -> list_contains(ka, x)
+            |                                 AND list_contains(kb, x))) AS DOUBLE)
+            |          / CAST(len(u) AS DOUBLE) AS jaccard_est
+            |      FROM c)
+            |SELECT source_a, source_b, k_used, d_union_est, jaccard_est,
+            |       jaccard_est * d_union_est AS intersect_est
+            |FROM e ORDER BY source_a, source_b""".stripMargin))
+
+  /** Two-stage PQ ANN (Pq.adcRerankTopK): ADC code-scan shortlist of
+    * 50 candidates (llm40's map-only stage), then EXACT quantized
+    * cosine re-rank of just those 50 against the raw query — the
+    * production PQ shape where shortlist recall is the only
+    * approximation and raw vectors are touched (and shuffled) only
+    * for the shortlist. Same 8×16 codebooks and lowest-vec_id query
+    * as llm40; the oracle replays encode + LUT shortlist + the llm03
+    * exact-cosine formula. */
+  private def llm48 = Q("llm48_pq_rerank",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val cb = Pq.seedCodebooks(emb, col("vec_id"), col("embedding"),
+        dims = 64, m = 8, k = 16)
+      val q = emb.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id"), col("embedding")).collect().head
+      val qid = q.getLong(0)
+      Pq.adcRerankTopK(
+        Pq.encode(emb, col("embedding"), cb).filter(col("vec_id") =!= qid),
+        col("vec_id"), col("embedding"), q.getSeq[Float](1), cb,
+        shortlist = 50, topK = 10)
+    },
+    Some("""WITH emb AS (SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+           |       FROM embeddings),
+           |ms AS (SELECT unnest(range(0, 8)) AS m),
+           |sub AS (SELECT vec_id, m, qv[m*8+1 : m*8+8] AS sv FROM emb, ms),
+           |cb AS (SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) AS INT) - 1 AS cid, sv AS cv
+           |       FROM sub WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 16)),
+           |qid AS (SELECT min(vec_id) AS qid FROM emb),
+           |codes AS (SELECT vec_id, m, cid FROM (
+           |  SELECT s.vec_id, s.m, c.cid,
+           |         row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+           |           CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+           |                z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT), c.cid) AS rn
+           |  FROM sub s JOIN cb c ON s.m = c.m) t
+           |  WHERE rn = 1),
+           |lut AS (SELECT c.m, c.cid,
+           |         CAST(list_sum(list_transform(list_zip(qs.sv, c.cv),
+           |              z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS ld
+           |       FROM cb c JOIN (SELECT m, sv FROM sub WHERE vec_id = (SELECT qid FROM qid)) qs
+           |         ON qs.m = c.m),
+           |short AS (SELECT k.vec_id
+           |          FROM codes k JOIN lut l ON k.m = l.m AND k.cid = l.cid
+           |          WHERE k.vec_id <> (SELECT qid FROM qid)
+           |          GROUP BY k.vec_id
+           |          ORDER BY CAST(sum(l.ld) AS BIGINT), k.vec_id
+           |          LIMIT 50),
+           |qvec AS (SELECT qv AS q FROM emb WHERE vec_id = (SELECT qid FROM qid)),
+           |rer AS (SELECT e.vec_id,
+           |          CAST(list_sum(list_transform(list_zip(e.qv, qvec.q), z -> z[1]*z[2])) AS DOUBLE)
+           |          / (sqrt(CAST(list_sum(list_transform(e.qv, x -> x*x)) AS DOUBLE))
+           |             * sqrt(CAST(list_sum(list_transform(qvec.q, x -> x*x)) AS DOUBLE))) AS sim
+           |        FROM emb e CROSS JOIN qvec
+           |        WHERE e.vec_id IN (SELECT vec_id FROM short))
+           |SELECT vec_id, sim FROM rer
+           |ORDER BY sim DESC, vec_id
+           |LIMIT 10""".stripMargin))
+
+  /** Normalization-robust exact dedup (Dedup.normalizedExact): the
+    * "fuzzy-exact" tier — lowercase + ASCII-punctuation strip +
+    * whitespace collapse before the content hash, catching the
+    * case-flipped / punctuation-noised / reflowed copies raw llm01
+    * misses while staying a pure map + one 8-byte-hash shuffle.
+    * Planted perturbed copies (uppercased, '!!'-suffixed) collapse
+    * onto their originals. */
+  private def llm49 = Q("llm49_normalized_dedup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val pert = d.filter(col("doc_id") < 200)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+                concat(upper(col("text")), lit("!!")).as("text"))
+      graft.llm.Dedup.normalizedExact(d.unionByName(pert), col("text"), col("doc_id"))
+        .orderBy(col("keep_id"))
+    },
+    Some(s"""WITH a AS (SELECT doc_id, text FROM documents
+            |           UNION ALL SELECT doc_id + 300000, upper(text) || '!!'
+            |           FROM documents WHERE doc_id < 200),
+            |n AS (SELECT doc_id,
+            |        trim(regexp_replace(regexp_replace(lower(text),
+            |          '[^a-z0-9 \\t\\n\\r]', '', 'g'), '[ \\t\\n\\r]+', ' ', 'g')) AS ntext
+            |      FROM a)
+            |SELECT ${Portable.duckHash64("ntext")} AS content_hash,
+            |       min(doc_id) AS keep_id, count(*) AS n_copies
+            |FROM n
+            |GROUP BY 1
+            |ORDER BY keep_id""".stripMargin))
 }

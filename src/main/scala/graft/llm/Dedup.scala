@@ -31,6 +31,27 @@ object Dedup {
     df.groupBy(Portable.hash64(textCol).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Engine-portable dedup normalization: lowercase, strip everything
+    * but ASCII alphanumerics and whitespace, collapse whitespace runs,
+    * trim. Catches the trivially-perturbed copies raw [[exact]] misses
+    * (case flips, punctuation noise, reflowed whitespace) — the
+    * "fuzzy-exact" tier between exact and MinHash dedup that corpus
+    * pipelines run first because it is still a pure map + one hash
+    * shuffle. Character classes are spelled as explicit ASCII sets
+    * (`[ \t\n\r]`, not `\s`) — the Java∩RE2 portable subset (the
+    * [[Pii]] convention), so any engine computes the identical key. */
+  def normalizeText(textCol: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(textCol), "[^a-z0-9 \\t\\n\\r]", ""),
+      "[ \\t\\n\\r]+", " "))
+
+  /** [[exact]] over the [[normalizeText]] key: one codegen'd
+    * normalize+hash projection, one 8-byte-hash shuffle — identical
+    * scale shape to [[exact]]; the normalized text itself never
+    * shuffles (only its hash does). */
+  def normalizedExact(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    exact(df, normalizeText(textCol), idCol)
+
   /** INCREMENTAL exact dedup — the daily-delta ingestion shape: a new
     * batch dedups against the content-hash INDEX of the already-
     * ingested corpus (left-anti join), then within itself (keep-min,

@@ -91,6 +91,32 @@ object Pq {
       .limit(topK)
   }
 
+  /** Two-stage ANN: ADC shortlist, then EXACT re-rank — the standard
+    * production PQ shape (shortlist recall is the only approximation;
+    * the returned order is exact over it). Stage 1 is [[adcTopK]]'s
+    * shuffle-free map + TakeOrdered over the 8-byte codes; stage 2
+    * touches RAW vectors only for the `shortlist` survivors — a
+    * broadcast semi-join (the shortlist is ≤ a few hundred ids no
+    * matter the corpus size), then the codegen'd exact quantized
+    * cosine ([[graft.functions.QuantizedDot]]) against the
+    * plan-literal query and a final ≤shortlist-row sort. At 100 TB the
+    * full corpus is read once (codes + id + vector in one scan);
+    * vector floats never shuffle — only the shortlist's do. */
+  def adcRerankTopK(encoded: DataFrame, idCol: Column, vecCol: Column,
+                    query: Seq[Float], cb: Codebooks,
+                    shortlist: Int, topK: Int): DataFrame = {
+    require(shortlist >= topK, s"shortlist=$shortlist must be >= topK=$topK")
+    val queryQ = quantize(query, cb.dims)
+    val ids = adcTopK(encoded, idCol, queryQ, cb, shortlist)
+      .select(col("vec_id").as("__sid"))
+    val qLit = array(query.map(lit(_)): _*)
+    encoded.join(broadcast(ids), idCol === col("__sid"), "left_semi")
+      .select(idCol.as("vec_id"),
+        Similarity.cosineExact(vecCol, qLit).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   private[graft] def quantize(v: Any, dims: Int): Seq[Long] = v match {
     case s: scala.collection.Seq[_] =>
       require(s.length == dims, s"vector has ${s.length} components, want $dims")

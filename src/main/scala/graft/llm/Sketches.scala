@@ -162,4 +162,58 @@ object Sketches {
        |            ELSE CAST(${(k - 1).toDouble} AS DOUBLE) * ${HashSpace} / CAST(kth AS DOUBLE)
        |       END AS kmv_estimate
        |FROM km CROSS JOIN ex""".stripMargin
+
+  /** Cross-group distinct-overlap estimation from per-group KMV
+    * sketches (Beyer et al., "On synopses for distinct-value
+    * estimation under multiset operations", SIGMOD 2007): for every
+    * group pair (a, b) with a < b, estimate the Jaccard similarity and
+    * the intersection cardinality of their distinct `valueCol` sets —
+    * WITHOUT ever joining the two corpora. The companion to
+    * [[graft.llm.Dedup.sourceOverlap]]'s exact containment: that pays
+    * a shuffle of every distinct shingle hash; this reduces each group
+    * to k longs first, so comparing two 100 TB corpora costs two scans
+    * plus an O(groups²·k) driver-sized combine.
+    *
+    * Estimator: with K_g = the k smallest distinct hashes of group g,
+    * the union sketch U = the k smallest of K_a ∪ K_b is a valid KMV
+    * sketch of A ∪ B, so D_∪ ≈ (k−1)·M / max(U) (exact when |U| < k —
+    * then every group kept ALL its hashes). ρ = |{h ∈ U : h ∈ K_a ∧
+    * h ∈ K_b}| / |U| estimates Jaccard, and ρ·D_∪ the intersection.
+    * All order statistics of the portable hash → any engine reproduces
+    * the estimates bit-for-bit.
+    *
+    * Scale shape: one distinct shuffle of (group, 8-byte hash); the
+    * per-group k-smallest selection rides the distributed exact-rank
+    * machinery ([[Curation.keepCapPerGroup]] — never a whole group
+    * sorted in one task); everything after operates on ≤ groups·k
+    * rows. The pair combine is a self-join of a ≤groups-row frame —
+    * trivially broadcast. */
+  def kmvOverlap(df: DataFrame, groupCol: Column, valueCol: Column, k: Int = 256,
+                 checkpointDir: Option[String] = None,
+                 tracker: Option[Materialize.Tracker] = None): DataFrame = {
+    require(k >= 2, "kmv needs k >= 2")
+    val hashes = df.select(groupCol.as("src"), Portable.hash64(valueCol).as("h")).distinct()
+    // score = −h ranks the SMALLEST hashes first (desc rank order)
+    val kept = Curation.keepCapPerGroup(hashes, col("h"), col("src"), -col("h"),
+      cap = k, checkpointDir = checkpointDir, tracker = tracker)
+    val sk = kept.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("h"))).as("kmv"))
+    val pairs = sk.as("a").join(sk.as("b"), col("a.src") < col("b.src"))
+      .select(col("a.src").as("source_a"), col("b.src").as("source_b"),
+              col("a.kmv").as("ka"), col("b.kmv").as("kb"))
+      .withColumn("u", slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+    val withEst = pairs
+      .withColumn("k_used", size(col("u")).cast("long"))
+      .withColumn("d_union_est",
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(HashSpace) /
+            element_at(col("u"), size(col("u"))).cast("double")))
+      .withColumn("jaccard_est",
+        size(filter(col("u"), x =>
+          array_contains(col("ka"), x) && array_contains(col("kb"), x)))
+          .cast("double") / col("k_used").cast("double"))
+      .withColumn("intersect_est", col("jaccard_est") * col("d_union_est"))
+    withEst.select(col("source_a"), col("source_b"), col("k_used"),
+      col("d_union_est"), col("jaccard_est"), col("intersect_est"))
+  }
 }

@@ -16,6 +16,22 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("normalizedExact merges case / punctuation / whitespace variants; distinct content survives") {
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO\tworld..."),
+      (4L, "hello worlds")).toDF("id", "text")
+    val out = Dedup.normalizedExact(df, col("text"), col("id"))
+      .select("keep_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((1L, 3L), (4L, 1L)))
+    // the key itself: stripped, collapsed, trimmed
+    val key = Seq("  A  b!,C  ").toDF("t")
+      .select(Dedup.normalizeText(col("t"))).head().getString(0)
+    assert(key == "a bc")
+  }
+
   test("shingles produce distinct n-grams") {
     val out = Seq("abcab").toDF("t")
       .select(Dedup.shingles(col("t"), 3).as("s")).head().getSeq[String](0)
@@ -298,6 +314,41 @@ class LlmSpec extends SparkSpec {
     assert(r2.getLong(0) == 20000)
     val est = r2.getDouble(1)
     assert(math.abs(est - 20000) / 20000.0 < 0.2, s"estimate $est too far from 20000")
+  }
+
+  test("kmvOverlap: exact below k; estimator path matches the JVM-replayed order statistics") {
+    import graft.functions.Portable
+    def ref(a: Seq[String], b: Seq[String], k: Int) = {
+      val ha = a.map(Portable.hash64Jvm).distinct.sorted.take(k)
+      val hb = b.map(Portable.hash64Jvm).distinct.sorted.take(k)
+      val u = (ha ++ hb).distinct.sorted.take(k)
+      val dU = if (u.size < k) u.size.toDouble
+               else (k - 1).toDouble * Sketches.HashSpace / u.last.toDouble
+      val nBoth = u.count(h => ha.contains(h) && hb.contains(h))
+      val j = nBoth.toDouble / u.size.toDouble
+      (u.size.toLong, dU, j, j * dU)
+    }
+    val va = (1 to 40).map(i => s"val$i")
+    val vb = (21 to 60).map(i => s"val$i") // 20 shared, union 60
+    val df = (va.map(("a", _)) ++ vb.map(("b", _))).toDF("g", "v")
+    // exact path: union distinct (60) < k → every estimate is the truth
+    val exact = Sketches.kmvOverlap(df, col("g"), col("v"), k = 256).head()
+    assert((exact.getString(0), exact.getString(1)) == ("a", "b"))
+    assert(exact.getLong(2) == 60L && exact.getDouble(3) == 60.0)
+    assert(exact.getDouble(4) == 20.0 / 60.0)
+    assert(exact.getDouble(5) == (20.0 / 60.0) * 60.0)
+    // estimator path: k=8 < per-group distincts — bit-identical to the
+    // reference replay of the same order statistics
+    val est = Sketches.kmvOverlap(df, col("g"), col("v"), k = 8).head()
+    val (ku, du, j, ix) = ref(va, vb, 8)
+    assert(est.getLong(2) == ku && est.getDouble(3) == du)
+    assert(est.getDouble(4) == j && est.getDouble(5) == ix)
+    // three groups → all ordered pairs, a < b
+    val tri = df.unionByName(Seq(("c", "val1"), ("c", "zzz")).toDF("g", "v"))
+    val pairs = Sketches.kmvOverlap(tri, col("g"), col("v"), k = 16)
+      .select("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
   test("hot-bucket cap drops mega-buckets; pairs from other bands survive") {

@@ -54,4 +54,36 @@ class PqSpec extends SparkSpec {
     val e12 = 2L * 1000000L * 1000000L
     assert(got.toSeq == Seq((3L, e12), (4L, e12), (2L, 2 * e12)))
   }
+
+  test("adcRerankTopK: full-corpus shortlist reproduces exact cosine top-k bit-for-bit") {
+    val cb = Pq.seedCodebooks(corpus, col("vec_id"), col("embedding"),
+      dims = 4, m = 2, k = 2)
+    val query = Seq(0.9f, 0.8f, 0.2f, 0.1f)
+    // drop the all-zero vector: its cosine is 0/0 = NaN (degenerate input)
+    val live = corpus.filter(col("vec_id") =!= 1L)
+    val enc = Pq.encode(live, col("embedding"), cb)
+    val got = Pq.adcRerankTopK(enc, col("vec_id"), col("embedding"), query, cb,
+        shortlist = 3, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val qLit = array(query.map(lit(_)): _*)
+    val want = live.select(col("vec_id"),
+        Similarity.cosineExact(col("embedding"), qLit).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+    intercept[IllegalArgumentException](
+      Pq.adcRerankTopK(enc, col("vec_id"), col("embedding"), query, cb,
+        shortlist = 1, topK = 2))
+  }
+
+  test("adcRerankTopK: a narrow shortlist bounds the candidate set (recall trade is stage 1 only)") {
+    val cb = Pq.seedCodebooks(corpus, col("vec_id"), col("embedding"),
+      dims = 4, m = 2, k = 2)
+    // query = v2's direction: ADC distance 0 only for code (1,1) = v2
+    val enc = Pq.encode(corpus.filter(col("vec_id") =!= 1L), col("embedding"), cb)
+    val got = Pq.adcRerankTopK(enc, col("vec_id"), col("embedding"),
+        Seq(1.0f, 1.0f, 1.0f, 1.0f), cb, shortlist = 1, topK = 1)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L))
+  }
 }
