@@ -14,7 +14,7 @@ object QueriesLlm {
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
-                        llm47, llm48, llm49)
+                        llm47, llm48, llm49, llm50)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2070,4 +2070,54 @@ object QueriesLlm {
             |FROM n
             |GROUP BY 1
             |ORDER BY keep_id""".stripMargin))
+
+  /** SEMANTIC eval-set decontamination
+    * (Similarity.semanticContamination): embedding-cosine leakage
+    * detection — the paraphrase-robust companion to llm16's rare
+    * n-gram overlap. Eval set = 40 planted copies of training vectors
+    * (contaminated) + 20 negated vectors (clean); both corpora assign
+    * to the train-side deterministic coarse quantizer and similarity
+    * runs within cells only. Every planted copy must surface with its
+    * original as best match. */
+  private def llm50 = Q("llm50_semantic_decontam",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val evalSet = emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+          .select((col("vec_id") + 600000L).as("vec_id"),
+                  transform(col("embedding"), x => -x).as("embedding")))
+      graft.llm.Similarity.semanticContamination(evalSet, "vec_id", "embedding",
+          emb, "vec_id", "embedding", nCentroids = 16, simThreshold = 0.9)
+        .orderBy(col("eval_id"))
+    },
+    Some(s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+            |ev AS (SELECT vec_id + 500000 AS eval_id, embedding FROM emb WHERE vec_id < 40
+            |       UNION ALL
+            |       SELECT vec_id + 600000, list_transform(embedding, x -> -x)
+            |       FROM emb WHERE vec_id >= 40 AND vec_id < 60),
+            |cent AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+            |         FROM emb ORDER BY vec_id LIMIT 16),
+            |at AS (SELECT vec_id, cent_id AS cell FROM (
+            |  SELECT t.vec_id, c.cent_id,
+            |         row_number() OVER (PARTITION BY t.vec_id
+            |           ORDER BY -${duckQCos("t.embedding", "c.cent_vec")}, c.cent_id) AS rn
+            |  FROM emb t CROSS JOIN cent c) x WHERE rn = 1),
+            |ae AS (SELECT eval_id, cent_id AS cell FROM (
+            |  SELECT e.eval_id, c.cent_id,
+            |         row_number() OVER (PARTITION BY e.eval_id
+            |           ORDER BY -${duckQCos("e.embedding", "c.cent_vec")}, c.cent_id) AS rn
+            |  FROM ev e CROSS JOIN cent c) x WHERE rn = 1),
+            |pr AS (SELECT ae.eval_id, at.vec_id AS train_id,
+            |         ${duckQCos("e.embedding", "t.embedding")} AS sim
+            |       FROM ev e JOIN ae ON ae.eval_id = e.eval_id
+            |       JOIN at ON at.cell = ae.cell
+            |       JOIN emb t ON t.vec_id = at.vec_id)
+            |SELECT eval_id, train_id, sim FROM (
+            |  SELECT eval_id, train_id, sim,
+            |         row_number() OVER (PARTITION BY eval_id
+            |           ORDER BY sim DESC, train_id) AS rn
+            |  FROM pr WHERE sim >= 0.9) z
+            |WHERE rn = 1
+            |ORDER BY eval_id""".stripMargin))
 }

@@ -249,6 +249,55 @@ object Similarity {
       .select(col(idCol), col("cell"))
   }
 
+  /** SEMANTIC eval-set decontamination — the embedding companion to
+    * [[Dedup.contamination]]'s rare-n-gram overlap: an eval document
+    * is contaminated when SOME training vector clears the cosine
+    * threshold, catching the paraphrased / reformatted leakage that
+    * exact n-gram overlap structurally misses. Returns one row per
+    * contaminated eval doc: (eval_id, train_id, sim) — its best
+    * training match (max sim, ties to the lower train id).
+    *
+    * Same cell-scoped recall trade as [[semDedup]]: both corpora
+    * assign to the TRAIN-side deterministic coarse quantizer
+    * (centroids broadcast, assignment map-side), and the similarity
+    * join runs within cells only — never eval × train. At 100 TB the
+    * train corpus is scanned once for assignment; the pair join keys
+    * on the cell id, and per-pair work is one codegen'd
+    * [[graft.functions.QuantizedDot]] pass with norms precomputed per
+    * vector, not per pair. */
+  def semanticContamination(evalSet: DataFrame, evalId: String, evalVec: String,
+                            train: DataFrame, trainId: String, trainVec: String,
+                            nCentroids: Int, simThreshold: Double): DataFrame = {
+    val centroids = train
+      .withColumn("__cnrm", sqrt(dotExact(col(trainVec), col(trainVec)).cast("double")))
+      .orderBy(col(trainId)).limit(nCentroids)
+      .select(col(trainId).as("cent_id"), col(trainVec).as("cent_vec"), col("__cnrm"))
+    def assign(df: DataFrame, id: String, vec: String): DataFrame = {
+      val withNorm = df.withColumn("__nrm",
+        sqrt(dotExact(col(vec), col(vec)).cast("double")))
+      withNorm.join(broadcast(centroids))
+        .withColumn("__d", negate(dotExact(col(vec), col("cent_vec")).cast("double") /
+          (col("__nrm") * col("__cnrm"))))
+        .groupBy(col(id))
+        .agg(first(col(vec)).as(vec), first(col("__nrm")).as("__nrm"),
+             min(struct(col("__d"), col("cent_id"))).getField("cent_id").as("cell"))
+    }
+    val e = assign(evalSet.select(col(evalId), col(evalVec)), evalId, evalVec)
+      .select(col("cell"), col(evalId).as("eval_id"),
+              col(evalVec).as("__ev"), col("__nrm").as("__ne"))
+    val t = assign(train.select(col(trainId), col(trainVec)), trainId, trainVec)
+      .select(col("cell"), col(trainId).as("train_id"),
+              col(trainVec).as("__tv"), col("__nrm").as("__nt"))
+    e.join(t, Seq("cell"))
+      .withColumn("sim", dotExact(col("__ev"), col("__tv")).cast("double") /
+        (col("__ne") * col("__nt")))
+      .filter(col("sim") >= lit(simThreshold))
+      .withColumn("__negsim", negate(col("sim")))
+      .groupBy(col("eval_id"))
+      .agg(min(struct(col("__negsim"), col("train_id"), col("sim"))).as("b"))
+      .select(col("eval_id"), col("b.train_id").as("train_id"), col("b.sim").as("sim"))
+  }
+
   /** Bucketed ANN: join corpus and queries on the LSH bucket, then
     * cosine within buckets, top-k per query. Probes only matching
     * buckets — the candidate set shrinks ~2^-planes. */

@@ -351,6 +351,26 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
+  test("semanticContamination flags planted copies with their best train match; ties to lower id") {
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (4L, Seq(1.0f, 0.0f, 0.0f, 0.0f))) // duplicate of 1 → sim tie
+      .toDF("vec_id", "embedding")
+    val evalSet = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), // copy of train 1/4 → contaminated
+      (200L, Seq(0.0f, 0.0f, 1.0f, 0.0f))) // orthogonal → clean
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticContamination(evalSet, "vec_id", "embedding",
+        train, "vec_id", "embedding", nCentroids = 3, simThreshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1)
+    val (eid, tid, sim) = out.head
+    assert(eid == 100L && tid == 1L) // tie between train 1 and 4 → lower id
+    assert(sim > 0.999)
+  }
+
   test("hot-bucket cap drops mega-buckets; pairs from other bands survive") {
     // band 0: a mega-bucket of 10 docs (boilerplate collision) that
     // would contribute 45 pairs; band 1: docs 1,2 share a small bucket
