@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
 object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-                        q13, q14)
+                        q13, q14, q15)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -405,4 +405,39 @@ object QueriesRelational {
            |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
            |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
+
+  /** UNPIVOT / melt: four lineitem measures rotate into (measure,
+    * value) rows in ONE scan — Spark's `unpivot` plans an Expand (the
+    * same single-pass node as q11's grouping sets), NOT four
+    * self-unions, so the table is read once and the per-measure
+    * aggregate collapses map-side (≤ 4·partitions rows shuffle). The
+    * oracle renders the same relation as UNION ALL — the semantic
+    * definition of the rotation. */
+  private def q15 = Q("q15_unpivot",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+                col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey")),
+                 Array(col("l_quantity"), col("l_extendedprice"),
+                       col("l_discount"), col("l_tax")),
+                 "measure", "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+             min(col("value")).as("min_value"),
+             max(col("value")).as("max_value"))
+        .orderBy(col("measure"))
+    },
+    Some("""WITH u AS (
+           |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+           |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+           |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+           |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+           |SELECT measure, count(*) AS n_rows,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           |  min(value) AS min_value, max(value) AS max_value
+           |FROM u
+           |GROUP BY measure
+           |ORDER BY measure""".stripMargin))
 }

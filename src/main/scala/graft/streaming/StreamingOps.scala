@@ -230,6 +230,31 @@ object StreamingOps {
         asOfGroup(historyTtlMs))(Encoders.product[AsOfState], Encoders.product[AsOfOut])
   }
 
+  /** Watermarked STREAM-STREAM interval equi-join — the canonical
+    * two-stream correlation shape (impressions ⋈ clicks within a time
+    * bound): rows join when the keys match and the right event lands
+    * in `[leftTs, leftTs + within]`. Built directly on Spark's
+    * stream-stream join machinery — both sides watermarked, the range
+    * condition bounds how long each side's state is retained, so state
+    * is O(watermark + within horizon) per side, never O(stream).
+    * `joinType` supports inner and the outer forms Spark allows for
+    * stream-stream joins (left_outer / right_outer / full_outer emit
+    * their null-padded rows once the watermark closes the window).
+    * Column names must be disjoint across the two sides (the usual
+    * stream-stream join contract); one shuffle per side on the key. */
+  def intervalJoinStream(left: DataFrame, leftKey: String, leftTs: String,
+                         right: DataFrame, rightKey: String, rightTs: String,
+                         watermarkDelay: String, within: String,
+                         joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+      joinType)
+  }
+
   private def evtTb(e: AsOfEvt): Long = graft.functions.Portable.xxhash64Jvm(e.payload)
 
   /** Overflow-safe `t + ttl`: a huge TTL (e.g. Long.MaxValue used to

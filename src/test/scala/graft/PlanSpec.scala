@@ -372,6 +372,14 @@ class PlanSpec extends SparkSpec {
       s"rollup must scan once, plan:\n$s")
   }
 
+  test("q15: unpivot rotates in ONE Expand pass — the table is scanned once, not once per measure") {
+    val s = planString("q15_unpivot")
+    assert(s.contains("Expand"), s"expected Expand for unpivot in:\n$s")
+    assert("Scan parquet".r.findAllIn(s).size == 1,
+      s"unpivot must scan once, plan:\n$s")
+    assert(!s.contains("Union"), s"unpivot must not plan self-unions:\n$s")
+  }
+
   test("q13: the correlated subquery decorrelates into an aggregate + join, not a rescan per row") {
     val s = planString("q13_correlated_subquery")
     assert(s.contains("HashAggregate"), s"expected decorrelated aggregate in:\n$s")

@@ -276,6 +276,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream joins within the time bound only; batch-identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val imp = MemoryStream[(java.sql.Timestamp, String, String)]
+    val clk = MemoryStream[(java.sql.Timestamp, String, String)]
+    val out = StreamingOps.intervalJoinStream(
+      imp.toDF().toDF("imp_ts", "ad", "imp_id"), "ad", "imp_ts",
+      clk.toDF().toDF("clk_ts", "clk_ad", "clk_id"), "clk_ad", "clk_ts",
+      watermarkDelay = "5 seconds", within = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("ivj_out")
+      .outputMode("append").start()
+    try {
+      imp.addData((ts(10), "a1", "I10"), (ts(30), "a2", "I30"))
+      clk.addData((ts(15), "a1", "C15")) // inside I10's [10, 20] window
+      q.processAllAvailable()
+      // C25 is 15s after I10 → OUTSIDE within=10; C35 inside I30's window
+      clk.addData((ts(25), "a1", "C25"), (ts(35), "a2", "C35"))
+      q.processAllAvailable()
+      val got = spark.table("ivj_out").select("imp_id", "clk_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(got == Seq(("I10", "C15"), ("I30", "C35")), s"got $got")
+      // batch parity: the same relation over the same events
+      val lb = Seq((ts(10), "a1", "I10"), (ts(30), "a2", "I30"))
+        .toDF("imp_ts", "ad", "imp_id")
+      val rb = Seq((ts(15), "a1", "C15"), (ts(25), "a1", "C25"), (ts(35), "a2", "C35"))
+        .toDF("clk_ts", "clk_ad", "clk_id")
+      val batch = lb.join(rb, col("ad") === col("clk_ad") &&
+          col("clk_ts") >= col("imp_ts") &&
+          col("clk_ts") <= col("imp_ts") + expr("INTERVAL 10 seconds"))
+        .select("imp_id", "clk_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("asOfEnrichStream matches batch asOf under out-of-order arrival; quiet keys drain by timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
