@@ -14,7 +14,7 @@ object QueriesLlm {
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
-                        llm47, llm48, llm49, llm50)
+                        llm47, llm48, llm49, llm50, llm51)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2120,4 +2120,47 @@ object QueriesLlm {
             |  FROM pr WHERE sim >= 0.9) z
             |WHERE rn = 1
             |ORDER BY eval_id""".stripMargin))
+
+  /** Model-based quality filter TRAINING
+    * (TextAnalysis.perceptronStep): TWO distributed batch-perceptron
+    * steps learning to separate English documents from the rest over
+    * 1024 hashed bag-of-words buckets — the training companion to
+    * llm43's fixed-weight inference. Every quantity is an exact
+    * integer (the perceptron's classic form — no learning-rate float,
+    * no sigmoid on the engine boundary), so the oracle re-learns the
+    * identical weight table: step 1 from zero weights (score 0
+    * predicts −1 → exactly the y=+1 docs misclassify), step 2 scores
+    * with the learned table via the broadcast join and updates from
+    * its misclassified set. */
+  private def llm51 = Q("llm51_perceptron_train",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+      val ta = graft.llm.TextAnalysis
+      val w1 = ta.perceptronStep(d, col("doc_id"), col("text"), col("y"), None)
+      val w2 = ta.perceptronStep(d, col("doc_id"), col("text"), col("y"), Some(w1))
+      w2.orderBy(col("bucket"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, text
+            |           FROM documents),
+            |tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+            |                             x -> len(x) > 0)) AS tok FROM d),
+            |f AS (SELECT doc_id, ${Portable.duckHash64("tok")} % 1024 AS bucket,
+            |        count(*) AS cnt FROM tk GROUP BY 1, 2),
+            |lb AS (SELECT doc_id, y FROM d),
+            |g1 AS (SELECT bucket, sum(y * cnt) AS w FROM f JOIN lb USING (doc_id)
+            |       WHERE y > 0 GROUP BY bucket),
+            |s2 AS (SELECT f.doc_id, sum(f.cnt * coalesce(g1.w, 0)) AS score
+            |       FROM f LEFT JOIN g1 USING (bucket) GROUP BY 1),
+            |m2 AS (SELECT s2.doc_id FROM s2 JOIN lb USING (doc_id)
+            |       WHERE (score > 0 AND y < 0) OR (score <= 0 AND y > 0)),
+            |g2 AS (SELECT bucket, sum(y * cnt) AS dw FROM f JOIN lb USING (doc_id)
+            |       WHERE doc_id IN (SELECT doc_id FROM m2) GROUP BY bucket)
+            |SELECT bucket, CAST(w AS BIGINT) AS w FROM (
+            |  SELECT coalesce(g1.bucket, g2.bucket) AS bucket,
+            |         coalesce(g1.w, 0) + coalesce(g2.dw, 0) AS w
+            |  FROM g1 FULL JOIN g2 ON g1.bucket = g2.bucket) t
+            |WHERE w <> 0
+            |ORDER BY bucket""".stripMargin))
 }

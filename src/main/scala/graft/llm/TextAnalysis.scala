@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
 
@@ -280,4 +280,59 @@ object TextAnalysis {
   def hashedLinearGate(text: Column, minLogit: Long,
                        dims: Int = 1024, salt: String = "q"): Column =
     hashedLinearLogit(text, dims, salt) >= minLogit
+
+  /** Hashed bag-of-words features: one row per (id, bucket) with the
+    * token count, bucket = portable-hash(token) mod dims. The hash
+    * runs in a codegen'd projection AFTER the explode (never inside a
+    * higher-order lambda — the no-CSE rule), and the aggregate
+    * combines map-side, so the shuffle carries ≤ docs·dims fixed-width
+    * rows regardless of document length. */
+  def hashedFeatures(docs: DataFrame, idCol: Column, textCol: Column,
+                     dims: Int = 1024): DataFrame =
+    docs.select(idCol.as("__id"), explode(tokens(lower(textCol))).as("__tok"))
+      .select(col("__id"),
+        pmod(Portable.hash64(col("__tok")), lit(dims.toLong)).as("bucket"))
+      .groupBy(col("__id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** One distributed BATCH-PERCEPTRON training step for the hashed
+    * linear quality classifier — the TRAINING companion to
+    * [[hashedLinearLogit]]'s inference. Labels are ±1; a document is
+    * misclassified when sign(Σ cnt·w) ≠ y (score 0 predicts −1); the
+    * update is w′[b] = w[b] + Σ_misclassified y·cnt[b]. Every number
+    * is an exact integer — no learning-rate float, no transcendental
+    * loss — so any engine replays the learned weights bit-for-bit
+    * (the perceptron's classic integer form; logistic GD would put a
+    * sigmoid on the engine boundary). Iterate by feeding the result
+    * back in; weights converge for separable data by the perceptron
+    * convergence theorem.
+    *
+    * Scale shape: one corpus scan builds the hashed features; scoring
+    * joins the ≤dims-row weight table BROADCAST (never a corpus
+    * shuffle on weights); the misclassified filter is a semi-join on
+    * the doc id; the gradient is ONE (bucket) hash aggregate surviving
+    * map-side combine to ≤dims rows. The feature frame is used by
+    * both the scoring and gradient branches — at 100 TB persist it
+    * (localCheckpoint / a parquet hop) rather than re-deriving; at
+    * test scale the double derivation is one extra scan. */
+  def perceptronStep(docs: DataFrame, idCol: Column, textCol: Column,
+                     labelCol: Column, weights: Option[DataFrame],
+                     dims: Int = 1024): DataFrame = {
+    val labels = docs.select(idCol.as("__id"), labelCol.cast("long").as("__y"))
+    val feats = hashedFeatures(docs, idCol, textCol, dims)
+    val w = weights.getOrElse(
+      docs.sparkSession.range(0).select(col("id").as("bucket"), col("id").as("w")))
+    val scored = feats.join(broadcast(w), Seq("bucket"), "left")
+      .groupBy(col("__id"))
+      .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("__score"))
+      .join(labels, Seq("__id"))
+    val mis = scored.filter(
+      (col("__score") > 0 && col("__y") < 0) || (col("__score") <= 0 && col("__y") > 0))
+    val grad = feats.join(labels, Seq("__id"))
+      .join(mis.select(col("__id")), Seq("__id"), "left_semi")
+      .groupBy(col("bucket")).agg(sum(col("__y") * col("cnt")).as("__dw"))
+    w.join(grad, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (coalesce(col("w"), lit(0L)) + coalesce(col("__dw"), lit(0L))).as("w"))
+      .filter(col("w") =!= 0L)
+  }
 }

@@ -351,6 +351,20 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
+  test("perceptronStep learns exact integer weights and converges on separable data") {
+    import graft.functions.Portable
+    val docs = Seq((1L, "aa bb", 1L), (2L, "cc dd", -1L)).toDF("id", "text", "y")
+    val w1 = TextAnalysis.perceptronStep(docs, col("id"), col("text"), col("y"), None)
+    val got1 = w1.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def b(t: String) = Portable.hash64Jvm(t) % 1024L
+    // step 1 from zero: score 0 predicts −1 → only the +1 doc updates
+    assert(got1 == Map(b("aa") -> 1L, b("bb") -> 1L))
+    val w2 = TextAnalysis.perceptronStep(docs, col("id"), col("text"), col("y"), Some(w1))
+    val got2 = w2.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // +1 doc scores 2 > 0, −1 doc scores 0 → predicts −1: both correct, fixpoint
+    assert(got2 == got1)
+  }
+
   test("semanticContamination flags planted copies with their best train match; ties to lower id") {
     val train = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
