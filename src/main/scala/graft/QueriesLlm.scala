@@ -14,7 +14,7 @@ object QueriesLlm {
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
-                        llm47, llm48, llm49, llm50, llm51)
+                        llm47, llm48, llm49, llm50, llm51, llm52)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2163,4 +2163,39 @@ object QueriesLlm {
             |  FROM g1 FULL JOIN g2 ON g1.bucket = g2.bucket) t
             |WHERE w <> 0
             |ORDER BY bucket""".stripMargin))
+
+  /** Temperature-scaled source mixing (Sampling.temperatureMix, α=1/2):
+    * each source's token budget DERIVES from its size —
+    * total·⌊√n_s⌋/Σ⌊√n_t⌋, the up-weight-small-sources exponent of
+    * corpus assembly — then admission runs in llm18's deterministic
+    * hash order. Integer weights keep the derivation engine-exact;
+    * the oracle recomputes budgets and replays the admission window. */
+  private def llm52 = Q("llm52_temperature_mix",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.temperatureMix(d, col("doc_id"), col("source"), col("n_tokens"),
+          totalTokens = 20000L)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val u = Sampling.duckUnitInterval("doc_id", "tmix")
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+         |    $u AS u
+         |  FROM documents),
+         |b AS (SELECT source,
+         |        CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))) AS BIGINT) AS wt
+         |      FROM d GROUP BY source),
+         |tw AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM b),
+         |q AS (SELECT source, (20000 * wt) // tot AS budget FROM b CROSS JOIN tw),
+         |w AS (SELECT doc_id, source, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+         |      FROM d)
+         |SELECT w.doc_id, w.source, w.n_tokens FROM w JOIN q USING (source)
+         |WHERE cb < budget
+         |ORDER BY doc_id""".stripMargin
+    })
 }

@@ -97,6 +97,41 @@ object Sampling {
       .drop("__u", "__shard", "__cum_in_shard", "__g", "__s", "__before_shard")
   }
 
+  /** TEMPERATURE-scaled source mixing (α = 1/2): derive each source's
+    * token budget from its own size — budget_s = total·⌊√n_s⌋ / Σ⌊√n_t⌋
+    * — then admit documents in deterministic hash order through
+    * [[budgetedMix]]. The α<1 exponent up-weights small sources
+    * relative to proportional sampling (the standard corpus-mixing
+    * move for domain balance); llm18's budgetedMix takes the budgets
+    * as GIVEN — this is where they come from.
+    *
+    * Engine-exactness: weights are INTEGER ⌊√n⌋ (IEEE sqrt is
+    * correctly rounded and n < 2⁵² keeps floor exact), their sum is
+    * exact integer arithmetic, and the budget is one integer
+    * multiply + floor-divide — no float summation order anywhere, so
+    * any engine derives the identical budgets. (General α would put
+    * pow() on the engine boundary; α=1/2 is sqrt, the portable case.)
+    * `totalTokens·⌊√max n_s⌋` must fit in a long.
+    *
+    * Scale shape: the per-source totals are ONE aggregate collapsing
+    * to the sources-dimension (a bounded driver hop, the
+    * coarse-quantizer convention); admission is budgetedMix's
+    * shard-windowed pass — no global sort. */
+  def temperatureMix(df: DataFrame, idCol: Column, groupCol: Column,
+                     nTokensCol: Column, totalTokens: Long,
+                     salt: String = "tmix", nShards: Int = 64): DataFrame = {
+    require(totalTokens > 0, "totalTokens must be positive")
+    val sizes = df.groupBy(groupCol.cast("string").as("__g"))
+      .agg(sum(nTokensCol.cast("long")).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val weights = sizes.map { case (g, n) => g -> math.sqrt(n.toDouble).toLong }
+    val totalW = weights.map(_._2).sum
+    require(totalW > 0, "every source is empty — nothing to mix")
+    val budgets = weights.map { case (g, w) => g -> totalTokens * w / totalW }.toMap
+    budgetedMix(df, idCol, groupCol, nTokensCol, budgets,
+      defaultBudget = 0L, salt = salt, nShards = nShards)
+  }
+
   /** Per-stratum keep rates (e.g. down-sample dominant languages):
     * strata not in `rates` keep `defaultRate`. */
   def stratifiedSample(df: DataFrame, idCol: Column, strataCol: Column,

@@ -351,6 +351,27 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
+  test("temperatureMix derives sqrt-scaled budgets: small sources keep more than proportional") {
+    val docs = ((1 to 100).map(i => (i.toLong, "big", 10L)) ++
+                (101 to 110).map(i => (i.toLong, "small", 10L)))
+      .toDF("id", "src", "n_tokens")
+    // weights: floor(sqrt(1000))=31, floor(sqrt(100))=10, W=41
+    // budgets at total=410: big 410*31/41=310, small 410*10/41=100
+    val got = Sampling.temperatureMix(docs, col("id"), col("src"), col("n_tokens"),
+        totalTokens = 410L)
+      .groupBy(col("src")).agg(count(lit(1)).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // big admits 31 docs (cb of the 32nd = 310, not < 310); small keeps
+    // ALL 10 (cb of the last = 90 < 100) — proportional would cap it at 3
+    assert(got == Map("big" -> 31L, "small" -> 10L), s"got $got")
+    // deterministic: a second run admits the identical ids
+    val ids1 = Sampling.temperatureMix(docs, col("id"), col("src"), col("n_tokens"), 410L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Sampling.temperatureMix(docs, col("id"), col("src"), col("n_tokens"), 410L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2 && ids1.length == 41)
+  }
+
   test("perceptronStep learns exact integer weights and converges on separable data") {
     import graft.functions.Portable
     val docs = Seq((1L, "aa bb", 1L), (2L, "cc dd", -1L)).toDF("id", "text", "y")
