@@ -339,6 +339,22 @@ class PlanSpec extends SparkSpec {
       s"expected a DSv2 BatchScan of graft-cdc in:\n$s")
   }
 
+  test("llm48: re-rank touches raw vectors only through a BROADCAST semi-join of the shortlist") {
+    val s = planString("llm48_pq_rerank")
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
+      s"shortlist must broadcast-semi-join, got:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"final top-k must be TakeOrderedAndProject:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"raw vectors must never shuffle for the re-rank:\n$s")
+  }
+
+  test("llm51: weights join broadcast on both steps; gradient is a hash aggregate") {
+    val s = planString("llm51_perceptron_train")
+    assert(s.contains("BroadcastHashJoin"), s"weight join must broadcast:\n$s")
+    assert(s.contains("HashAggregate"), s"gradient must hash-aggregate:\n$s")
+  }
+
   test("llm40: PQ ADC scan is shuffle-free map + TakeOrderedAndProject — no join, no sort") {
     val df = Queries.byName("llm40_pq_ann")(spark, sfSmoke)
     val p = planOf(df)
