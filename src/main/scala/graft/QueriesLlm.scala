@@ -14,7 +14,7 @@ object QueriesLlm {
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
-                        llm47, llm48, llm49, llm50, llm51, llm52)
+                        llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2198,4 +2198,79 @@ object QueriesLlm {
          |WHERE cb < budget
          |ORDER BY doc_id""".stripMargin
     })
+
+  /** Topic labeling: characteristic terms PER EMBEDDING CLUSTER — the
+    * human-readable face of llm30's topic clustering. Documents join
+    * their vectors' deterministic coarse cells (llm44's quantizer, 8
+    * cells), then llm22's integer-exact (tf desc, df asc, term)
+    * ranking runs with the CELL as the group — topTerms aggregates by
+    * (group, term) so many-docs-per-group needs no new code, and the
+    * ranked frame is cells×vocab sized (never corpus-sized). */
+  private def llm53 = Q("llm53_topic_terms",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val cells = graft.llm.Similarity.coarseCells(emb, "vec_id", "embedding",
+        nCentroids = 8)
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .join(cells, col("doc_id") === col("vec_id"))
+      TextAnalysis.topTerms(d, col("cell"), col("text"), k = 5)
+        .withColumnRenamed("doc_id", "cell")
+        .orderBy(col("cell"), col("rank"))
+    },
+    Some(s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+            |cent AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+            |         FROM emb ORDER BY vec_id LIMIT 8),
+            |ad AS (SELECT e.vec_id, cent_id,
+            |         -${duckQCos("e.embedding", "cent_vec")} AS d
+            |       FROM emb e CROSS JOIN cent),
+            |assigned AS (SELECT vec_id, cent_id AS cell FROM (
+            |  SELECT vec_id, cent_id,
+            |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+            |  FROM ad) t WHERE rn = 1),
+            |d AS (SELECT cell, text FROM documents JOIN assigned ON doc_id = vec_id),
+            |tk AS (SELECT cell, unnest(list_filter(string_split_regex(text, '\\s+'),
+            |                           x -> len(x) > 0)) AS term FROM d),
+            |tf AS (SELECT cell, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+            |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            |SELECT cell, rank, term, tf, df FROM (
+            |  SELECT tf.cell, CAST(row_number() OVER (PARTITION BY tf.cell
+            |           ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS INT) AS rank,
+            |         tf.term, tf.tf, dfq.df
+            |  FROM tf JOIN dfq USING (term)) r
+            |WHERE rank <= 5
+            |ORDER BY cell, rank""".stripMargin))
+
+  /** Filter-funnel report (Curation.filterFunnel): per-rule isolated
+    * drop counts + cumulative survival through the rule chain — the
+    * curation diagnostic corpus papers publish. One scan, one global
+    * aggregate of conditional sums; all-integer, so the oracle
+    * replays each rule verbatim. Rules: ≥40 words, mean word length
+    * <10 chars (as the integer inequality chars < 10·words), contains
+    * a lowercase letter, ≤5000 chars. */
+  private def llm54 = Q("llm54_filter_funnel",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val nTok = TextAnalysis.tokenCount(col("text")).cast("long")
+      Curation.filterFunnel(d, Seq(
+        "min_words" -> (nTok >= 40L),
+        "mean_word_len" -> (length(col("text")).cast("long") < nTok * 10L),
+        "has_lowercase" -> col("text").rlike("[a-z]"),
+        "max_chars" -> (length(col("text")).cast("long") <= 5000L)))
+    },
+    Some("""WITH d AS (SELECT text,
+           |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS nt,
+           |    CAST(length(text) AS BIGINT) AS nc,
+           |    regexp_matches(text, '[a-z]') AS has_lc
+           |  FROM documents),
+           |f AS (SELECT nt >= 40 AS r1, nc < nt * 10 AS r2, has_lc AS r3, nc <= 5000 AS r4 FROM d)
+           |SELECT count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_min_words,
+           |  CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS survive_min_words,
+           |  CAST(sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+           |  CAST(sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS survive_mean_word_len,
+           |  CAST(sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS fail_has_lowercase,
+           |  CAST(sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT) AS survive_has_lowercase,
+           |  CAST(sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS fail_max_chars,
+           |  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS survive_max_chars
+           |FROM f""".stripMargin))
 }

@@ -221,4 +221,26 @@ object Curation {
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("text"), col("content_hash"))
   }
+
+  /** Filter-funnel diagnostic — the curation REPORT every corpus
+    * paper publishes ("rule X alone kills N docs; after rules 1..i,
+    * M survive"): for each named rule, the count failing it in
+    * isolation and the count surviving the cumulative prefix. ONE
+    * scan, ONE global aggregate of 2·rules+1 conditional sums —
+    * every rule evaluates once per document inside the same codegen'd
+    * projection, the funnel is plain boolean algebra over those
+    * flags, and the output is a single wide row regardless of corpus
+    * size. Rule order is funnel order. */
+  def filterFunnel(docs: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val flagged = docs.select(rules.map { case (n, c) =>
+      c.cast("boolean").as(s"__r_$n") }: _*)
+    val aggs = rules.zipWithIndex.flatMap { case ((n, _), i) =>
+      val pass = col(s"__r_$n")
+      val cum = rules.take(i + 1).map(r => col(s"__r_${r._1}")).reduce(_ && _)
+      Seq(sum(when(!pass, 1L).otherwise(0L)).as(s"fail_$n"),
+          sum(when(cum, 1L).otherwise(0L)).as(s"survive_$n"))
+    }
+    flagged.agg(count(lit(1)).as("n_docs"), aggs: _*)
+  }
 }

@@ -351,6 +351,21 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
+  test("filterFunnel reports isolated fails and cumulative survival from one aggregate") {
+    val docs = Seq(
+      (1L, "good doc here"),  // passes both
+      (2L, "x"),              // fails min2, passes lower
+      (3L, "NO LOWER AT ALL") // passes min2, fails lower
+    ).toDF("id", "text")
+    val row = Curation.filterFunnel(docs, Seq(
+      "min2" -> (TextAnalysis.tokenCount(col("text")) >= 2),
+      "lower" -> col("text").rlike("[a-z]"))).head()
+    val m = row.schema.fieldNames.zip(row.toSeq).toMap
+    assert(m("n_docs") == 3L)
+    assert(m("fail_min2") == 1L && m("survive_min2") == 2L)
+    assert(m("fail_lower") == 1L && m("survive_lower") == 1L)
+  }
+
   test("temperatureMix derives sqrt-scaled budgets: small sources keep more than proportional") {
     val docs = ((1 to 100).map(i => (i.toLong, "big", 10L)) ++
                 (101 to 110).map(i => (i.toLong, "small", 10L)))
