@@ -4,40 +4,27 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** Native KMV (k-minimum-values) distinct-count sketch as a Catalyst
-  * `TypedImperativeAggregate` — the single-pass production form of
-  * [[graft.llm.Sketches.kmvEstimate]].
-  *
-  * The DataFrame formulation (`distinct().orderBy(h).limit(k)`)
-  * shuffles EVERY distinct hash to evaluate a k-item order
-  * statistic — at 100 TB that is a corpus-sized exchange for a
-  * 2 KB answer. This aggregate keeps the k smallest DISTINCT hashes
-  * in a bounded tree per partition (partial aggregation), so the
-  * only bytes that move are one ≤k-entry buffer per partition into
-  * the final merge: the shuffle is O(partitions · k · 8 bytes),
-  * independent of corpus size.
-  *
-  * The estimate is bit-identical to the DataFrame path — same
-  * portable 60-bit hash input, same Bar-Yossef estimator
-  * `(k−1)·2^60/h_(k)` (one IEEE multiply + divide of
-  * exactly-representable doubles), same exact-below-k rule — so the
-  * two forms are interchangeable and cross-checkable (the llm13
-  * oracle keeps value-checking the DataFrame form; KmvSketchSpec
-  * pins this aggregate to it).
+/** Shared buffer machinery of the native KMV aggregates: the k
+  * smallest DISTINCT hashes in a bounded tree per partition (partial
+  * aggregation), so the only bytes that move are one ≤k-entry buffer
+  * per partition into the final merge — O(partitions · k · 8 bytes),
+  * independent of corpus size. The DataFrame formulation
+  * (`distinct().orderBy(h).limit(k)`) shuffles EVERY distinct hash to
+  * evaluate the same k-item order statistic.
   *
   * Input: the already-hashed column ([[Portable.hash64]], uniform on
   * [0, 2^60)). Nulls are skipped, duplicates collapse inside the
   * sketch (TreeSet semantics), and a buffer never exceeds k longs.
   */
-case class KmvSketch(child: Expression, k: Int,
-                     mutableAggBufferOffset: Int = 0,
-                     inputAggBufferOffset: Int = 0)
+abstract class KmvAggregateBase
     extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
     with UnaryLike[Expression] {
 
-  require(k >= 2, s"kmv needs k >= 2, got $k")
+  def child: Expression
+  def k: Int
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
@@ -60,10 +47,6 @@ case class KmvSketch(child: Expression, k: Int,
     buffer
   }
 
-  override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any =
-    if (buffer.size < k) buffer.size.toDouble
-    else (k - 1).toDouble * graft.llm.Sketches.HashSpace / buffer.last().toDouble
-
   override def serialize(buffer: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + 8 * buffer.size)
     bb.putInt(buffer.size)
@@ -79,8 +62,33 @@ case class KmvSketch(child: Expression, k: Int,
     set
   }
 
-  override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
+}
+
+/** Native KMV (k-minimum-values) distinct-count sketch — the
+  * single-pass production form of
+  * [[graft.llm.Sketches.kmvEstimate]].
+  *
+  * The estimate is bit-identical to the DataFrame path — same
+  * portable 60-bit hash input, same Bar-Yossef estimator
+  * `(k−1)·2^60/h_(k)` (one IEEE multiply + divide of
+  * exactly-representable doubles), same exact-below-k rule — so the
+  * two forms are interchangeable and cross-checkable (the llm13
+  * oracle keeps value-checking the DataFrame form; KmvSketchSpec
+  * pins this aggregate to it).
+  */
+case class KmvSketch(child: Expression, k: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+    extends KmvAggregateBase {
+
+  require(k >= 2, s"kmv needs k >= 2, got $k")
+
+  override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any =
+    if (buffer.size < k) buffer.size.toDouble
+    else (k - 1).toDouble * graft.llm.Sketches.HashSpace / buffer.last().toDouble
+
+  override def dataType: DataType = DoubleType
   override def prettyName: String = "kmv_sketch"
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
@@ -88,5 +96,38 @@ case class KmvSketch(child: Expression, k: Int,
   override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): KmvSketch =
+    copy(child = newChild)
+}
+
+/** The SKETCH ITSELF as a value: the k smallest distinct hashes in
+  * ascending order (array<long>, ≤k entries). This is what set
+  * operations need — [[graft.llm.Sketches.kmvOverlap]] combines two
+  * groups' value sketches into a union sketch for Jaccard /
+  * intersection estimates — where [[KmvSketch]] collapses the buffer
+  * straight to the count estimate. Same buffer, same shuffle bound,
+  * same order statistics. */
+case class KmvValues(child: Expression, k: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+    extends KmvAggregateBase {
+
+  require(k >= 2, s"kmv needs k >= 2, got $k")
+
+  override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buffer.size)
+    var i = 0
+    val it = buffer.iterator()
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_values"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvValues =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvValues =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvValues =
     copy(child = newChild)
 }

@@ -182,22 +182,25 @@ object Sketches {
     * All order statistics of the portable hash → any engine reproduces
     * the estimates bit-for-bit.
     *
-    * Scale shape: one distinct shuffle of (group, 8-byte hash); the
-    * per-group k-smallest selection rides the distributed exact-rank
-    * machinery ([[Curation.keepCapPerGroup]] — never a whole group
-    * sorted in one task); everything after operates on ≤ groups·k
-    * rows. The pair combine is a self-join of a ≤groups-row frame —
-    * trivially broadcast. */
-  def kmvOverlap(df: DataFrame, groupCol: Column, valueCol: Column, k: Int = 256,
-                 checkpointDir: Option[String] = None,
-                 tracker: Option[Materialize.Tracker] = None): DataFrame = {
+    * Scale shape: ONE hash aggregate — the native
+    * [[graft.functions.KmvValues]] buffer keeps each group's k
+    * smallest distinct hashes in a bounded tree per partition, so the
+    * shuffle is O(groups · partitions · k · 8 bytes) and nothing is
+    * ever globally distinct'd, ranked, or sorted (an earlier
+    * formulation paid a corpus-wide distinct + the range-rank
+    * machinery for the same ≤k values — measured 3.8 s in-suite vs
+    * 2.6 s isolated-cold after, at sf0.1; the md5 over every shingle
+    * is now the floor, same as llm39). Everything after operates on a
+    * ≤groups-row frame — the pair combine is trivially broadcast. */
+  def kmvOverlap(df: DataFrame, groupCol: Column, valueCol: Column,
+                 k: Int = 256): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")
-    val hashes = df.select(groupCol.as("src"), Portable.hash64(valueCol).as("h")).distinct()
-    // score = −h ranks the SMALLEST hashes first (desc rank order)
-    val kept = Curation.keepCapPerGroup(hashes, col("h"), col("src"), -col("h"),
-      cap = k, checkpointDir = checkpointDir, tracker = tracker)
-    val sk = kept.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("h"))).as("kmv"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sk = df.select(groupCol.as("src"), Portable.hash64(valueCol).as("h"))
+      .groupBy(col("src"))
+      .agg(ColumnBridge.column(
+        graft.functions.KmvValues(ColumnBridge.expression(col("h")), k)
+          .toAggregateExpression()).as("kmv"))
     val pairs = sk.as("a").join(sk.as("b"), col("a.src") < col("b.src"))
       .select(col("a.src").as("source_a"), col("b.src").as("source_b"),
               col("a.kmv").as("ka"), col("b.kmv").as("kb"))
