@@ -14,7 +14,7 @@ object QueriesLlm {
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
-                        llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54)
+                        llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2273,4 +2273,28 @@ object QueriesLlm {
            |  CAST(sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS fail_max_chars,
            |  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS survive_max_chars
            |FROM f""".stripMargin))
+
+  /** Corpus freeze manifest (CorpusReport.freezeManifest): per
+    * deterministic hash shard — doc count, token sum, bit_xor content
+    * fingerprint, min/max hash. The reproducibility artifact recorded
+    * before a training run: re-run anywhere and a differing row
+    * pinpoints the drifted shard without moving the corpus.
+    * Order-insensitive and overflow-free, so partitioning never
+    * changes a byte. */
+  private def llm55 = Q("llm55_freeze_manifest",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.llm.CorpusReport.freezeManifest(d, col("doc_id"), col("text"),
+          TextAnalysis.tokenCount(col("text")), nShards = 16)
+        .orderBy(col("shard"))
+    },
+    Some(s"""WITH d AS (SELECT
+            |    ${Portable.duckHash64("concat('shard:', CAST(doc_id AS VARCHAR))")} % 16 AS shard,
+            |    ${Portable.duckHash64("text")} AS h,
+            |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS nt
+            |  FROM documents)
+            |SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+            |       bit_xor(h) AS fingerprint, min(h) AS min_h, max(h) AS max_h
+            |FROM d GROUP BY shard
+            |ORDER BY shard""".stripMargin))
 }

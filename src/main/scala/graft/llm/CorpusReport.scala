@@ -44,4 +44,34 @@ object CorpusReport {
         ((col("n_docs") - col("__nd")).cast("double") / col("n_docs")).as("dup_rate"),
         (col("__sq6").cast("double") / col("n_docs") / lit(1e6)).as("avg_quality"))
   }
+
+  /** Corpus FREEZE manifest — the reproducibility artifact a training
+    * run records before it starts: documents assign to `nShards`
+    * deterministic hash shards and each shard summarizes to (n_docs,
+    * n_tokens, fingerprint, min_h, max_h), where `fingerprint` is the
+    * bit_xor of the shard's content hashes — order-insensitive and
+    * overflow-free, so the manifest is bit-identical no matter the
+    * partitioning, engine, or cluster size. Re-run it later (or
+    * elsewhere) and a single differing row pinpoints which shard's
+    * data drifted — without moving the corpus.
+    *
+    * Scale shape: one codegen'd projection (two hashes + the token
+    * count) and ONE grouped aggregate collapsing map-side to
+    * nShards·partitions fixed-width rows; text never shuffles. */
+  def freezeManifest(docs: DataFrame, idCol: Column, textCol: Column,
+                     nTokensCol: Column, nShards: Int = 64,
+                     salt: String = "shard"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    docs.select(
+        pmod(Portable.hash64(concat(lit(salt + ":"), idCol.cast("string"))),
+          lit(nShards.toLong)).as("shard"),
+        Portable.hash64(textCol).as("__h"),
+        nTokensCol.cast("long").as("__nt"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("__nt")).as("n_tokens"),
+           expr("bit_xor(__h)").as("fingerprint"),
+           min(col("__h")).as("min_h"),
+           max(col("__h")).as("max_h"))
+  }
 }

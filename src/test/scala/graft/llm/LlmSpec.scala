@@ -351,6 +351,22 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
+  test("freezeManifest is partitioning-invariant and drift-sensitive") {
+    val docs = (1L to 50L).map(i => (i, s"doc number $i content")).toDF("id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      CorpusReport.freezeManifest(df, col("id"), col("text"), lit(3L), nShards = 4)
+        .orderBy(col("shard")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val m1 = manifest(docs.repartition(1))
+    val m7 = manifest(docs.repartition(7))
+    assert(m1 == m7 && m1.map(_._2).sum == 50L)
+    // one changed document flips exactly its shard's fingerprint
+    val drifted = docs.withColumn("text",
+      when(col("id") === 17L, lit("tampered")).otherwise(col("text")))
+    val md = manifest(drifted)
+    assert(m1.zip(md).count { case (a, b) => a != b } == 1)
+  }
+
   test("filterFunnel reports isolated fails and cumulative survival from one aggregate") {
     val docs = Seq(
       (1L, "good doc here"),  // passes both
