@@ -16,7 +16,7 @@ import graft.operators.{ApplyChanges, EventShaping, SmtFactory}
 object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
-                        cdc12, cdc13, cdc14, cdc15, cdc16)
+                        cdc12, cdc13, cdc14, cdc15, cdc16, cdc17)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -470,6 +470,106 @@ object QueriesCdc {
             |WHERE rn = 1 AND op <> 'd'
             |ORDER BY user_id""".stripMargin),
     prepare = Some((s, dir) => { cdc11Db(s, dir); () }))
+
+  /** cdc17's native-capture fixture: an events subset rendered as DB2
+    * SQL-Replication CD-table rows (IBMSNAP_COMMITSEQ/INTENTSEQ
+    * positions, I/U/D ops, X-prefixed before images on U) hosted in
+    * Derby; [[graft.sources.cdc.Db2CdTailer]] polls it through the
+    * real decode/position machinery into the shared layout. Built
+    * once per (sf-dir, mtime) outside the bench timer. */
+  private def cdc17Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet")
+    val stamp = if (Files.exists(src))
+      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
+    val db = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-cdc17-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
+    if (!Files.exists(db.resolve("_done"))) this.synchronized {
+      if (!Files.exists(db.resolve("_done"))) {
+        Files.createDirectories(db)
+        val url = s"jdbc:derby:memory:cdc17${java.util.UUID.randomUUID().toString.take(8)};create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          st.execute("CREATE SCHEMA asn")
+          st.execute("""CREATE TABLE asn."app_events_CD" (""" +
+            "ibmsnap_commitseq BIGINT, ibmsnap_intentseq BIGINT, " +
+            "ibmsnap_operation CHAR(1), " +
+            "user_id BIGINT, event_type VARCHAR(32), value DOUBLE, ts_us BIGINT, " +
+            "xuser_id BIGINT, xevent_type VARCHAR(32), xvalue DOUBLE, xts_us BIGINT)")
+          st.close()
+          val tailer = new graft.sources.cdc.Db2CdTailer(url, db,
+            Seq(graft.sources.cdc.Db2CdTailer.TableSpec("app", "events", Seq("user_id"))),
+            dialect = graft.sources.cdc.Db2CdTailer.EmulatedDialect,
+            emitTombstones = false)
+          tailer.snapshotSchemaOnly()
+          val rows = Tables.events(s, dir)
+            .filter(col("event_id") % 10 === 5)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+                    col("value"), unix_micros(col("ts")).as("ts_us"))
+            .orderBy(col("event_id"))
+            .collect()
+          val ps = conn.prepareStatement(
+            """INSERT INTO asn."app_events_CD" VALUES (?, 1, ?, ?, ?, ?, ?, ?, ?, ?, ?)""")
+          rows.zipWithIndex.foreach { case (r, i) =>
+            val (eid, uid) = (r.getLong(0), r.getLong(1))
+            val (et, v, ts) = (r.getString(2), r.getDouble(3), r.getLong(4))
+            val op = et match {
+              case "signup" => "I"
+              case "error" => "D"
+              case _ => "U"
+            }
+            ps.setLong(1, eid); ps.setString(2, op)
+            ps.setLong(3, uid); ps.setString(4, et); ps.setDouble(5, v); ps.setLong(6, ts)
+            if (op == "U") { // before image rides the X-prefixed columns
+              ps.setLong(7, uid); ps.setString(8, et); ps.setDouble(9, v); ps.setLong(10, ts)
+            } else {
+              ps.setNull(7, java.sql.Types.BIGINT); ps.setNull(8, java.sql.Types.VARCHAR)
+              ps.setNull(9, java.sql.Types.DOUBLE); ps.setNull(10, java.sql.Types.BIGINT)
+            }
+            ps.addBatch()
+            if ((i + 1) % 1000 == 0) ps.executeBatch()
+          }
+          ps.executeBatch(); ps.close()
+          tailer.poll()
+          Files.writeString(db.resolve("_done"), s"${rows.length}")
+        } finally conn.close()
+      }
+    }
+    db
+  }
+
+  /** End-to-end through the DB2 SQL-Replication family: CD rows →
+    * Db2CdTailer (I/U/D decode, X-prefixed before images, commitseq/
+    * intentseq position state) → shared layout → DSv2 source replay →
+    * latest-state materialization. Same metamorphic oracle shape as
+    * cdc11/cdc12 — the oracle restates the semantics directly over
+    * the base parquet. */
+  private def cdc17 = Q("cdc17_db2_cd_replay",
+    (s, dir) => {
+      val records = s.read.format("graft-cdc")
+        .option("path", cdc17Db(s, dir).toString)
+        .option("keySchema", "user_id BIGINT").option("rowSchema", cdc07RowDdl)
+        .option("table.include.list", "app.events")
+        .load()
+      ApplyChanges.latestState(records,
+          keyCols = Seq(col("key.user_id")),
+          orderCols = Seq(col("value.source.lsn")),
+          opCol = col("value.op"))
+        .select(col("key.user_id").as("user_id"), col("value.op").as("op"),
+                col("value.after.event_type").as("event_type"),
+                col("value.after.value").as("value"),
+                col("value.after.ts_us").as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, op, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events WHERE event_id % 10 = 5) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc17Db(s, dir); () }))
 
   /** cdc12's native-capture fixture: a DIFFERENT events subset
     * rendered as Spanner change-stream DataChangeRecords (mod_type +
