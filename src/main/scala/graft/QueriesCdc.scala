@@ -16,7 +16,7 @@ import graft.operators.{ApplyChanges, EventShaping, SmtFactory}
 object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
-                        cdc12, cdc13, cdc14, cdc15, cdc16, cdc17)
+                        cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -570,6 +570,102 @@ object QueriesCdc {
             |WHERE rn = 1 AND op <> 'd'
             |ORDER BY user_id""".stripMargin),
     prepare = Some((s, dir) => { cdc17Db(s, dir); () }))
+
+  /** cdc18's native-capture fixture: an events subset rendered as SQL
+    * Server CDC change-table rows ((__$start_lsn, __$seqval)
+    * positions; op 2 insert, 3/4 update before/after pair at one
+    * position, 1 hard delete) hosted in Derby;
+    * [[graft.sources.cdc.SqlServerCdcTailer]] polls it through the
+    * real decode/pairing/position machinery into the shared layout. */
+  private def cdc18Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet")
+    val stamp = if (Files.exists(src))
+      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
+    val db = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-cdc18-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
+    if (!Files.exists(db.resolve("_done"))) this.synchronized {
+      if (!Files.exists(db.resolve("_done"))) {
+        Files.createDirectories(db)
+        val url = s"jdbc:derby:memory:cdc18${java.util.UUID.randomUUID().toString.take(8)};create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          st.execute("CREATE SCHEMA cdc")
+          st.execute("""CREATE TABLE cdc."app_events_CT" (""" +
+            """"__$start_lsn" BIGINT, "__$seqval" BIGINT, "__$operation" INT, """ +
+            """"__$update_mask" VARCHAR(32), """ +
+            "user_id BIGINT, event_type VARCHAR(32), value DOUBLE, ts_us BIGINT)")
+          st.close()
+          val tailer = new graft.sources.cdc.SqlServerCdcTailer(url, db,
+            Seq(graft.sources.cdc.SqlServerCdcTailer.TableSpec("app", "events", Seq("user_id"))),
+            dialect = graft.sources.cdc.SqlServerCdcTailer.EmulatedDialect,
+            emitTombstones = false)
+          tailer.snapshotSchemaOnly()
+          val rows = Tables.events(s, dir)
+            .filter(col("event_id") % 10 === 7)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+                    col("value"), unix_micros(col("ts")).as("ts_us"))
+            .orderBy(col("event_id"))
+            .collect()
+          val ps = conn.prepareStatement(
+            """INSERT INTO cdc."app_events_CT" VALUES (?, 1, ?, 'm', ?, ?, ?, ?)""")
+          def addRow(lsn: Long, op: Int, uid: Long, et: String, v: Double, ts: Long): Unit = {
+            ps.setLong(1, lsn); ps.setInt(2, op)
+            ps.setLong(3, uid); ps.setString(4, et); ps.setDouble(5, v); ps.setLong(6, ts)
+            ps.addBatch()
+          }
+          rows.zipWithIndex.foreach { case (r, i) =>
+            val (eid, uid) = (r.getLong(0), r.getLong(1))
+            val (et, v, ts) = (r.getString(2), r.getDouble(3), r.getLong(4))
+            et match {
+              case "signup" => addRow(eid, 2, uid, et, v, ts)
+              case "error" => addRow(eid, 1, uid, et, v, ts)
+              case _ => // documented before/after pairing at one position
+                addRow(eid, 3, uid, et, v, ts)
+                addRow(eid, 4, uid, et, v, ts)
+            }
+            if ((i + 1) % 1000 == 0) ps.executeBatch()
+          }
+          ps.executeBatch(); ps.close()
+          tailer.poll()
+          Files.writeString(db.resolve("_done"), s"${rows.length}")
+        } finally conn.close()
+      }
+    }
+    db
+  }
+
+  /** End-to-end through the SQL Server native-CDC family: change-table
+    * rows → SqlServerCdcTailer (op 1/2/3/4 decode, before/after
+    * pairing, hex position state) → shared layout → DSv2 source
+    * replay → latest-state materialization. Same metamorphic oracle
+    * as cdc11/cdc12/cdc17. */
+  private def cdc18 = Q("cdc18_sqlserver_ct_replay",
+    (s, dir) => {
+      val records = s.read.format("graft-cdc")
+        .option("path", cdc18Db(s, dir).toString)
+        .option("keySchema", "user_id BIGINT").option("rowSchema", cdc07RowDdl)
+        .option("table.include.list", "app.events")
+        .load()
+      ApplyChanges.latestState(records,
+          keyCols = Seq(col("key.user_id")),
+          orderCols = Seq(col("value.source.lsn")),
+          opCol = col("value.op"))
+        .select(col("key.user_id").as("user_id"), col("value.op").as("op"),
+                col("value.after.event_type").as("event_type"),
+                col("value.after.value").as("value"),
+                col("value.after.ts_us").as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, op, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events WHERE event_id % 10 = 7) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc18Db(s, dir); () }))
 
   /** cdc12's native-capture fixture: a DIFFERENT events subset
     * rendered as Spanner change-stream DataChangeRecords (mod_type +
