@@ -16,7 +16,7 @@ import graft.operators.{ApplyChanges, EventShaping, SmtFactory}
 object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
-                        cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18)
+                        cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -666,6 +666,197 @@ object QueriesCdc {
             |WHERE rn = 1 AND op <> 'd'
             |ORDER BY user_id""".stripMargin),
     prepare = Some((s, dir) => { cdc18Db(s, dir); () }))
+
+  /** cdc19's native-capture fixture: an events subset rendered as
+    * CockroachDB changefeed records (HLC (wall, logical) positions,
+    * wrapped-envelope JSON with diff before images, `[key]` array
+    * keys) hosted in Derby;
+    * [[graft.sources.cdc.CockroachChangefeedTailer]] polls it through
+    * the real JSON-envelope decode into the shared layout. */
+  private def cdc19Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet")
+    val stamp = if (Files.exists(src))
+      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
+    val db = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-cdc19-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
+    if (!Files.exists(db.resolve("_done"))) this.synchronized {
+      if (!Files.exists(db.resolve("_done"))) {
+        Files.createDirectories(db)
+        val url = s"jdbc:derby:memory:cdc19${java.util.UUID.randomUUID().toString.take(8)};create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          st.execute("CREATE SCHEMA cf")
+          st.execute("""CREATE TABLE cf."app_events_CHANGEFEED" (""" +
+            "updated_wall BIGINT, updated_logical BIGINT, " +
+            """"key" VARCHAR(256), "value" VARCHAR(4000))""")
+          st.close()
+          val tailer = new graft.sources.cdc.CockroachChangefeedTailer(url, db,
+            Seq(graft.sources.cdc.CockroachChangefeedTailer.TableSpec("app", "events", Seq("user_id"))),
+            dialect = graft.sources.cdc.CockroachChangefeedTailer.EmulatedDialect,
+            emitTombstones = false)
+          tailer.snapshotSchemaOnly()
+          val rows = Tables.events(s, dir)
+            .filter(col("event_id") % 10 === 3)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+                    col("value"), unix_micros(col("ts")).as("ts_us"))
+            .orderBy(col("event_id"))
+            .collect()
+          val ps = conn.prepareStatement(
+            """INSERT INTO cf."app_events_CHANGEFEED" VALUES (?, 1, ?, ?)""")
+          rows.zipWithIndex.foreach { case (r, i) =>
+            val (eid, uid) = (r.getLong(0), r.getLong(1))
+            val (et, v, ts) = (r.getString(2), r.getDouble(3), r.getLong(4))
+            val img = s"""{"user_id":$uid,"event_type":"$et","value":$v,"ts_us":$ts}"""
+            val value = et match {
+              case "signup" => s"""{"after":$img,"before":null}"""
+              case "error" => s"""{"after":null,"before":$img}"""
+              case _ => s"""{"after":$img,"before":$img}"""
+            }
+            ps.setLong(1, eid); ps.setString(2, s"[$uid]"); ps.setString(3, value)
+            ps.addBatch()
+            if ((i + 1) % 1000 == 0) ps.executeBatch()
+          }
+          ps.executeBatch(); ps.close()
+          tailer.poll()
+          Files.writeString(db.resolve("_done"), s"${rows.length}")
+        } finally conn.close()
+      }
+    }
+    db
+  }
+
+  /** End-to-end through the CockroachDB changefeed family: wrapped
+    * JSON envelopes → CockroachChangefeedTailer (after/before decode,
+    * HLC position state) → shared layout → DSv2 source replay →
+    * latest-state materialization. Same metamorphic oracle as the
+    * other native families. */
+  private def cdc19 = Q("cdc19_cockroach_feed_replay",
+    (s, dir) => {
+      val records = s.read.format("graft-cdc")
+        .option("path", cdc19Db(s, dir).toString)
+        .option("keySchema", "user_id BIGINT").option("rowSchema", cdc07RowDdl)
+        .option("table.include.list", "app.events")
+        .load()
+      ApplyChanges.latestState(records,
+          keyCols = Seq(col("key.user_id")),
+          orderCols = Seq(col("value.source.lsn")),
+          opCol = col("value.op"))
+        .select(col("key.user_id").as("user_id"), col("value.op").as("op"),
+                col("value.after.event_type").as("event_type"),
+                col("value.after.value").as("value"),
+                col("value.after.ts_us").as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, op, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events WHERE event_id % 10 = 3) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc19Db(s, dir); () }))
+
+  /** cdc20's native-capture fixture: an events subset rendered as
+    * IBM i journal entries (sequence-number positions, journal code
+    * 'R', PT inserts, IMAGES(*BOTH) UB/UP before-after pairs, DL
+    * deletes, JSON entry data) hosted in Derby;
+    * [[graft.sources.cdc.IbmiJournalTailer]] polls it through the
+    * real entry-type pairing machinery into the shared layout. */
+  private def cdc20Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet")
+    val stamp = if (Files.exists(src))
+      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
+    val db = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-cdc20-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
+    if (!Files.exists(db.resolve("_done"))) this.synchronized {
+      if (!Files.exists(db.resolve("_done"))) {
+        Files.createDirectories(db)
+        val url = s"jdbc:derby:memory:cdc20${java.util.UUID.randomUUID().toString.take(8)};create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          st.execute("CREATE SCHEMA jrn")
+          st.execute("""CREATE TABLE jrn."app_events_JOURNAL" (""" +
+            "sequence_number BIGINT, journal_code CHAR(1), " +
+            "journal_entry_type CHAR(2), entry_data VARCHAR(4000))")
+          st.close()
+          val tailer = new graft.sources.cdc.IbmiJournalTailer(url, db,
+            Seq(graft.sources.cdc.IbmiJournalTailer.TableSpec("app", "events", Seq("user_id"))),
+            dialect = graft.sources.cdc.IbmiJournalTailer.EmulatedDialect,
+            emitTombstones = false)
+          tailer.snapshotSchemaOnly()
+          val rows = Tables.events(s, dir)
+            .filter(col("event_id") % 10 === 9)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+                    col("value"), unix_micros(col("ts")).as("ts_us"))
+            .orderBy(col("event_id"))
+            .collect()
+          val ps = conn.prepareStatement(
+            """INSERT INTO jrn."app_events_JOURNAL" VALUES (?, 'R', ?, ?)""")
+          var seq = 0L
+          def addEntry(entryType: String, data: String): Unit = {
+            seq += 1
+            ps.setLong(1, seq); ps.setString(2, entryType); ps.setString(3, data)
+            ps.addBatch()
+          }
+          rows.zipWithIndex.foreach { case (r, i) =>
+            val uid = r.getLong(1)
+            val (et, v, ts) = (r.getString(2), r.getDouble(3), r.getLong(4))
+            val img = s"""{"user_id":$uid,"event_type":"$et","value":$v,"ts_us":$ts}"""
+            et match {
+              case "signup" => addEntry("PT", img)
+              case "error" => addEntry("DL", img)
+              case _ => // IMAGES(*BOTH): UB before, following UP after
+                addEntry("UB", img)
+                addEntry("UP", img)
+            }
+            if ((i + 1) % 1000 == 0) ps.executeBatch()
+          }
+          ps.executeBatch(); ps.close()
+          tailer.poll()
+          Files.writeString(db.resolve("_done"), s"${rows.length}")
+        } finally conn.close()
+      }
+    }
+    db
+  }
+
+  /** End-to-end through the IBM i journal family: journal entries →
+    * IbmiJournalTailer (PT/UB+UP/DL decode and pairing, sequence
+    * position state) → shared layout → DSv2 source replay →
+    * latest-state materialization. Same metamorphic oracle as the
+    * other native families; note the UB/UP pairing means positions
+    * are journal sequence numbers, not event ids — latest-state per
+    * key is unaffected because per-key entry order follows event
+    * order. */
+  private def cdc20 = Q("cdc20_ibmi_journal_replay",
+    (s, dir) => {
+      val records = s.read.format("graft-cdc")
+        .option("path", cdc20Db(s, dir).toString)
+        .option("keySchema", "user_id BIGINT").option("rowSchema", cdc07RowDdl)
+        .option("table.include.list", "app.events")
+        .load()
+      ApplyChanges.latestState(records,
+          keyCols = Seq(col("key.user_id")),
+          orderCols = Seq(col("value.source.lsn")),
+          opCol = col("value.op"))
+        .select(col("key.user_id").as("user_id"), col("value.op").as("op"),
+                col("value.after.event_type").as("event_type"),
+                col("value.after.value").as("value"),
+                col("value.after.ts_us").as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, op, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events WHERE event_id % 10 = 9) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc20Db(s, dir); () }))
 
   /** cdc12's native-capture fixture: a DIFFERENT events subset
     * rendered as Spanner change-stream DataChangeRecords (mod_type +
