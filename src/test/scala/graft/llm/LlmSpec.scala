@@ -351,6 +351,36 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
+  test("kmvOverlap randomized sweep: every pair matches the JVM-replayed reference") {
+    import graft.functions.Portable
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 4).foreach { trial =>
+      val k = Seq(4, 8, 16, 64)(trial - 1)
+      val universe = (1 to 300).map(i => s"u$i")
+      val groups = ('a' to 'd').map { g =>
+        g.toString -> rnd.shuffle(universe).take(30 + rnd.nextInt(150)).toVector
+      }
+      val df = groups.flatMap { case (g, vs) =>
+        // duplicates in the input must not skew the sketch
+        (vs ++ vs.take(10)).map((g, _))
+      }.toDF("g", "v")
+      val got = Sketches.kmvOverlap(df, col("g"), col("v"), k = k)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+      val byG = groups.toMap
+      for (a <- byG.keys; b <- byG.keys if a < b) {
+        val ha = byG(a).map(Portable.hash64Jvm).distinct.sorted.take(k)
+        val hb = byG(b).map(Portable.hash64Jvm).distinct.sorted.take(k)
+        val u = (ha ++ hb).distinct.sorted.take(k)
+        val dU = if (u.size < k) u.size.toDouble
+                 else (k - 1).toDouble * Sketches.HashSpace / u.last.toDouble
+        val j = u.count(h => ha.contains(h) && hb.contains(h)).toDouble / u.size.toDouble
+        assert(got((a, b)) == ((u.size.toLong, dU, j, j * dU)),
+          s"trial $trial k=$k pair ($a,$b)")
+      }
+    }
+  }
+
   test("freezeManifest is partitioning-invariant and drift-sensitive") {
     val docs = (1L to 50L).map(i => (i, s"doc number $i content")).toDF("id", "text")
     def manifest(df: org.apache.spark.sql.DataFrame) =
