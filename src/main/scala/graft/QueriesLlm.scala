@@ -14,7 +14,7 @@ object QueriesLlm {
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
-                        llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55)
+                        llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2297,4 +2297,49 @@ object QueriesLlm {
             |       bit_xor(h) AS fingerprint, min(h) AS min_h, max(h) AS max_h
             |FROM d GROUP BY shard
             |ORDER BY shard""".stripMargin))
+
+  /** SFT data prep (Sft.renderChatTemplate / promptBoundaryChars):
+    * documents become 3-turn conversations (system / user=first 120
+    * chars / assistant=next 240), rendered to the flat
+    * `<|role|>\ncontent<|end|>\n` training text with the loss-mask
+    * boundary at the final assistant turn, plus BPE-ish token counts
+    * for the whole text and the masked prompt prefix. Pure string
+    * Column algebra; the oracle replays the template concatenation
+    * and the boundary arithmetic. */
+  private def llm56 = Q("llm56_chat_template",
+    (s, dir) => {
+      val msgs = array(
+        struct(lit("system").as("role"),
+               lit("You are a helpful assistant.").as("content")),
+        struct(lit("user").as("role"),
+               substring(col("text"), 1, 120).as("content")),
+        struct(lit("assistant").as("role"),
+               substring(col("text"), 121, 240).as("content")))
+      val sft = graft.llm.Sft
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          sft.renderChatTemplate(msgs).as("rendered"),
+          sft.promptBoundaryChars(msgs).as("boundary"))
+        .select(col("doc_id"), col("rendered"), col("boundary"),
+          TextAnalysis.bpeishTokenCount(col("rendered")).as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(
+            substring(col("rendered"), lit(1), col("boundary"))).as("n_prompt_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val pat = TextAnalysis.BpeishPattern.replace("'", "''")
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |    concat('<|system|>', chr(10), 'You are a helpful assistant.', '<|end|>', chr(10),
+         |           '<|user|>', chr(10), substr(text, 1, 120), '<|end|>', chr(10)) AS prefix,
+         |    concat('<|assistant|>', chr(10), substr(text, 121, 240), '<|end|>', chr(10)) AS comp
+         |  FROM documents),
+         |x AS (SELECT doc_id, prefix || comp AS rendered,
+         |             CAST(length(prefix) AS INT) AS boundary FROM r)
+         |SELECT doc_id, rendered, boundary,
+         |  CAST(len(regexp_extract_all(rendered, '$pat')) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(substr(rendered, 1, boundary), '$pat')) AS INT) AS n_prompt_tokens
+         |FROM x
+         |ORDER BY doc_id""".stripMargin
+    })
 }

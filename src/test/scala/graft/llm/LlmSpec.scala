@@ -381,6 +381,21 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("chat template renders role blocks; boundary masks everything before the final assistant turn") {
+    val msgs = array(
+      struct(lit("user").as("role"), lit("hi").as("content")),
+      struct(lit("assistant").as("role"), lit("hello!").as("content")))
+    val row = spark.range(1).select(
+      Sft.renderChatTemplate(msgs).as("r"), Sft.promptBoundaryChars(msgs).as("b")).head()
+    assert(row.getString(0) == "<|user|>\nhi<|end|>\n<|assistant|>\nhello!<|end|>\n")
+    assert(row.getInt(1) == "<|user|>\nhi<|end|>\n".length)
+    // a conversation not ending in an assistant turn is all prompt
+    val solo = array(struct(lit("user").as("role"), lit("hi").as("content")))
+    val row2 = spark.range(1).select(Sft.renderChatTemplate(solo).as("r"),
+      Sft.promptBoundaryChars(solo).as("b")).head()
+    assert(row2.getInt(1) == row2.getString(0).length)
+  }
+
   test("freezeManifest is partitioning-invariant and drift-sensitive") {
     val docs = (1L to 50L).map(i => (i, s"doc number $i content")).toDF("id", "text")
     def manifest(df: org.apache.spark.sql.DataFrame) =
