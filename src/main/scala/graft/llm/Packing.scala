@@ -79,4 +79,34 @@ object Packing {
         size(col("__c")).cast("long").as("n_tokens"),
         Portable.hash64(concat_ws(" ", col("__c"))).as("chunk_hash"))
   }
+
+  /** Materialize the corpus as `nShards` deterministic training
+    * shards: shard membership by one hash salt, WITHIN-shard order by
+    * a second (the reproducible global shuffle every training run
+    * needs — seeded-RNG shuffles change with partitioning and engine;
+    * hash order never does). Writes
+    * `outDir/shard=<s>/part-*.parquet` with rows in (order-hash, id)
+    * order inside each shard, so two runs — any cluster size, any
+    * engine honoring the layout — produce the identical read order.
+    * [[graft.llm.CorpusReport.freezeManifest]] over the same salt is
+    * the audit artifact for the result.
+    *
+    * Scale shape: one hash repartition on the shard id + a
+    * within-partition sort (spillable, no global ordering), then a
+    * straight parquet write — the shuffle moves each row once. */
+  def writeTrainingShards(docs: DataFrame, idCol: Column, outDir: String,
+                          nShards: Int, salt: String = "shard",
+                          orderSalt: String = "order"): Unit = {
+    require(nShards > 0, "nShards must be positive")
+    docs
+      .withColumn("shard",
+        pmod(Portable.hash64(concat(lit(salt + ":"), idCol.cast("string"))),
+          lit(nShards.toLong)))
+      .withColumn("__ord",
+        Portable.hash64(concat(lit(orderSalt + ":"), idCol.cast("string"))))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord"), idCol)
+      .drop("__ord")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
 }

@@ -381,6 +381,28 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("writeTrainingShards: deterministic shard layout and in-shard order across runs and partitionings") {
+    import graft.functions.Portable
+    val docs = (1L to 200L).map(i => (i, s"text $i")).toDF("id", "text")
+    val d1 = java.nio.file.Files.createTempDirectory("graft-shards1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    Packing.writeTrainingShards(docs.repartition(3), col("id"), d1, nShards = 4)
+    Packing.writeTrainingShards(docs.repartition(11), col("id"), d2, nShards = 4)
+    def readOrder(dir: String, s: Long) =
+      spark.read.parquet(dir).filter(col("shard") === s)
+        .collect().map(_.getAs[Long]("id")).toSeq
+    (0L until 4L).foreach { sh =>
+      val o1 = readOrder(d1, sh)
+      assert(o1 == readOrder(d2, sh), s"shard $sh differs across partitionings")
+      // in-shard order is the (order-hash, id) sort
+      val expect = o1.sortBy(i => (Portable.hash64Jvm(s"order:$i"), i))
+      assert(o1 == expect, s"shard $sh not in order-hash order")
+      // membership is the shard-hash assignment
+      assert(o1.forall(i => Portable.hash64Jvm(s"shard:$i") % 4 == sh))
+    }
+    assert((0L until 4L).map(readOrder(d1, _).size).sum == 200)
+  }
+
   test("chat template renders role blocks; boundary masks everything before the final assistant turn") {
     val msgs = array(
       struct(lit("user").as("role"), lit("hi").as("content")),
