@@ -339,6 +339,14 @@ class PlanSpec extends SparkSpec {
       s"expected a DSv2 BatchScan of graft-cdc in:\n$s")
   }
 
+  test("llm47: overlap sketches aggregate objects — no corpus-wide distinct, no rank windows") {
+    val s = planString("llm47_kmv_overlap")
+    assert(s.contains("ObjectHashAggregate"),
+      s"KmvValues must aggregate via ObjectHashAggregate:\n$s")
+    assert(!s.contains("Window"),
+      s"the k-smallest selection must not use rank windows:\n$s")
+  }
+
   test("llm48: re-rank touches raw vectors only through a BROADCAST semi-join of the shortlist") {
     val s = planString("llm48_pq_rerank")
     assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
