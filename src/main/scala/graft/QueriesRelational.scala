@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
 object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-                        q13, q14, q15)
+                        q13, q14, q15, q16)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -440,4 +440,32 @@ object QueriesRelational {
            |FROM u
            |GROUP BY measure
            |ORDER BY measure""".stripMargin))
+
+  /** EXACT per-group quantiles at scale
+    * (Sketches.exactQuantilesPerGroup): the element at rank ⌈q·n⌉ in
+    * (value, tiebreak) order per group — percentile_disc semantics
+    * with a deterministic tiebreak, via the distributed exact-rank
+    * machinery (range repartition + broadcast offsets; no group ever
+    * sorts in one task — where approx_percentile trades exactness and
+    * engine-portability for one pass). The oracle replays the rank
+    * arithmetic verbatim. */
+  private def q16 = Q("q16_exact_quantiles",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.llm.Sketches.exactQuantilesPerGroup(li,
+          col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey") * 10 + col("l_linenumber"),
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .orderBy(col("g"), col("q_name"))
+    },
+    Some("""WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+           |                  l_orderkey * 10 + l_linenumber AS id FROM lineitem),
+           |n AS (SELECT g, count(*) AS n_rows FROM t GROUP BY g),
+           |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, id) AS rk FROM t),
+           |tg AS (SELECT g, n_rows, q_name,
+           |         CAST(ceil(CAST(n_rows AS DOUBLE) * qq) AS BIGINT) AS target
+           |       FROM n CROSS JOIN (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)) qv(q_name, qq))
+           |SELECT tg.g AS g, tg.n_rows, tg.q_name, r.v AS value
+           |FROM tg JOIN r ON r.g = tg.g AND r.rk = tg.target
+           |ORDER BY tg.g, tg.q_name""".stripMargin))
 }

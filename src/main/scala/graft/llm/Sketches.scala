@@ -129,6 +129,67 @@ object Sketches {
       .agg(max(col("n")).as("n_docs"), qAggs: _*)
   }
 
+  /** Distributed EXACT per-group quantiles — the order-statistic
+    * truth [[histogramQuantiles]] approximates: for each requested q,
+    * the element at ascending (value, id) rank ⌈q·n⌉ within its group
+    * (percentile_disc semantics with a deterministic tiebreak).
+    * `approx_percentile`/t-digest trade exactness for one pass and
+    * are implementation-defined; this is exact AND engine-portable,
+    * at the cost of a range shuffle.
+    *
+    * Scale shape: the distributed exact-rank pattern
+    * (Curation.keepRankedPerGroup's): ONE range repartition on
+    * (group, value, id) materialized once; global rank = broadcast
+    * per-(partition, group) offsets + a within-partition row_number —
+    * no group ever sorts in a single task. Targets are a
+    * groups×quantiles broadcast; survivors are exactly
+    * groups×quantiles rows. */
+  def exactQuantilesPerGroup(df: DataFrame, groupCol: Column, valueCol: Column,
+                             idCol: Column, qs: Seq[(String, Double)],
+                             checkpointDir: Option[String] = None,
+                             tracker: Option[Materialize.Tracker] = None,
+                             numPartitions: Option[Int] = None): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0 && q <= 1 },
+      "quantiles must lie in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = df.select(groupCol.as("__g"), valueCol.as("__v"), idCol.as("__id"))
+    val sortKeys = Seq(col("__g"), col("__v").asc, col("__id").asc)
+    val rangedInput = numPartitions match {
+      case Some(n) => tagged.repartitionByRange(n, sortKeys: _*)
+      case None => tagged.repartitionByRange(sortKeys: _*)
+    }
+    // materialized once: the counts and rank branches must see the
+    // SAME partition boundaries (the keepRankedPerGroup rationale)
+    val ranged = Materialize.eagerOrCheckpoint(
+      rangedInput.withColumn("__pid", spark_partition_id()), checkpointDir)
+    tracker.foreach(_.track(ranged))
+    val counts = ranged.groupBy(col("__pid"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val targets = counts.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"))
+      .select(col("__g"), col("__n"), explode(array(qs.map { case (name, q) =>
+        struct(lit(name).as("q_name"),
+          ceil(col("__n").cast("double") * lit(q)).cast("long").as("__target"))
+      }: _*)).as("__q"))
+      .select(col("__g"), col("__n"), col("__q.q_name").as("q_name"),
+              col("__q.__target").as("__target"))
+    val wOff = Window.partitionBy(col("__g")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__g"), col("__off"))
+    val wRank = Window.partitionBy(col("__pid"), col("__g"))
+      .orderBy(col("__v").asc, col("__id").asc)
+    ranged
+      .withColumn("__rank", row_number().over(wRank))
+      .join(broadcast(offsets), Seq("__pid", "__g"))
+      .join(broadcast(targets.withColumnRenamed("__g", "__tg")),
+        col("__g") === col("__tg") &&
+          (col("__off") + col("__rank")) === col("__target"))
+      .select(col("__g").as("g"), col("__n").as("n_rows"),
+              col("q_name"), col("__v").as("value"))
+  }
+
   def kmvDistinct(df: DataFrame, valueCol: Column, k: Int = 256,
                   tracker: Option[Materialize.Tracker] = None): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")

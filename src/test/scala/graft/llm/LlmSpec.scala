@@ -351,6 +351,18 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
+  test("exactQuantilesPerGroup: percentile_disc semantics, exact across partitions") {
+    val df = ((1 to 10).map(v => ("a", v.toDouble, v.toLong)) ++
+              (1 to 3).map(v => ("b", v.toDouble * 10, v.toLong))).toDF("g", "v", "id")
+    val out = Sketches.exactQuantilesPerGroup(df.repartition(5),
+        col("g"), col("v"), col("id"),
+        Seq("p50" -> 0.5, "pmax" -> 1.0), numPartitions = Some(3))
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r.getDouble(3)).toMap
+    // a: n=10 → p50 at rank 5 = 5.0, pmax at rank 10; b: n=3 → p50 at rank ceil(1.5)=2
+    assert(out == Map(("a", "p50") -> 5.0, ("a", "pmax") -> 10.0,
+                      ("b", "p50") -> 20.0, ("b", "pmax") -> 30.0), s"got $out")
+  }
+
   test("kmvOverlap randomized sweep: every pair matches the JVM-replayed reference") {
     import graft.functions.Portable
     val rnd = new scala.util.Random(20260814L)
