@@ -2132,15 +2132,15 @@ object QueriesLlm {
     * predicts −1 → exactly the y=+1 docs misclassify), step 2 scores
     * with the learned table via the broadcast join and updates from
     * its misclassified set. */
+  private val llm51Slot = new TrackerSlot
   private def llm51 = Q("llm51_perceptron_train",
     (s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"),
           when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
-      val ta = graft.llm.TextAnalysis
-      val w1 = ta.perceptronStep(d, col("doc_id"), col("text"), col("y"), None)
-      val w2 = ta.perceptronStep(d, col("doc_id"), col("text"), col("y"), Some(w1))
-      w2.orderBy(col("bucket"))
+      graft.llm.TextAnalysis.perceptronTrain(d, col("doc_id"), col("text"), col("y"),
+          epochs = 2, tracker = Some(llm51Slot.fresh()))
+        .orderBy(col("bucket"))
     },
     Some(s"""WITH d AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, text
             |           FROM documents),

@@ -310,17 +310,47 @@ object TextAnalysis {
     * joins the ≤dims-row weight table BROADCAST (never a corpus
     * shuffle on weights); the misclassified filter is a semi-join on
     * the doc id; the gradient is ONE (bucket) hash aggregate surviving
-    * map-side combine to ≤dims rows. The feature frame is used by
-    * both the scoring and gradient branches — at 100 TB persist it
-    * (localCheckpoint / a parquet hop) rather than re-deriving; at
-    * test scale the double derivation is one extra scan. */
+    * map-side combine to ≤dims rows. The feature frame feeds BOTH the
+    * scoring and gradient branches, so it is materialized once per
+    * step ([[graft.operators.Materialize.eagerOrCheckpoint]] — pass a
+    * `tracker` and release after the run, or a `checkpointDir` for a
+    * reliable multi-hour job) instead of re-deriving the corpus scan. */
   def perceptronStep(docs: DataFrame, idCol: Column, textCol: Column,
                      labelCol: Column, weights: Option[DataFrame],
-                     dims: Int = 1024): DataFrame = {
+                     dims: Int = 1024,
+                     checkpointDir: Option[String] = None,
+                     tracker: Option[graft.operators.Materialize.Tracker] = None): DataFrame = {
     val labels = docs.select(idCol.as("__id"), labelCol.cast("long").as("__y"))
-    val feats = hashedFeatures(docs, idCol, textCol, dims)
+    val feats = graft.operators.Materialize.eagerOrCheckpoint(
+      hashedFeatures(docs, idCol, textCol, dims), checkpointDir)
+    tracker.foreach(_.track(feats))
+    stepOnFeatures(feats, labels, weights)
+  }
+
+  /** Multi-epoch [[perceptronStep]]: the feature frame is built and
+    * materialized ONCE and every epoch reuses it — the corpus is
+    * scanned a single time regardless of the epoch count; each epoch
+    * then costs one broadcast-scored pass + one gradient aggregate
+    * over the fixed-width feature rows. */
+  def perceptronTrain(docs: DataFrame, idCol: Column, textCol: Column,
+                      labelCol: Column, epochs: Int,
+                      dims: Int = 1024,
+                      checkpointDir: Option[String] = None,
+                      tracker: Option[graft.operators.Materialize.Tracker] = None): DataFrame = {
+    require(epochs >= 1, "need at least one epoch")
+    val labels = docs.select(idCol.as("__id"), labelCol.cast("long").as("__y"))
+    val feats = graft.operators.Materialize.eagerOrCheckpoint(
+      hashedFeatures(docs, idCol, textCol, dims), checkpointDir)
+    tracker.foreach(_.track(feats))
+    (1 to epochs).foldLeft(Option.empty[DataFrame]) { (w, _) =>
+      Some(stepOnFeatures(feats, labels, w))
+    }.get
+  }
+
+  private def stepOnFeatures(feats: DataFrame, labels: DataFrame,
+                             weights: Option[DataFrame]): DataFrame = {
     val w = weights.getOrElse(
-      docs.sparkSession.range(0).select(col("id").as("bucket"), col("id").as("w")))
+      feats.sparkSession.range(0).select(col("id").as("bucket"), col("id").as("w")))
     val scored = feats.join(broadcast(w), Seq("bucket"), "left")
       .groupBy(col("__id"))
       .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("__score"))
