@@ -62,6 +62,42 @@ class CdcPipelineSpec extends SparkSpec {
     assert(state.find(_.getAs[Int]("id") == 1005).get.getAs[String]("first_name") == "Jon")
   }
 
+  test("CDC-delivered table feeds the LLM curation operators directly (end-to-end glue)") {
+    def doc(id: Long, op: String, text: String, lsn: Long): String = {
+      val row = s"""{"doc_id":$id,"text":"$text"}"""
+      val before = if (op == "d") row else "null"
+      val after = if (op == "d") "null" else row
+      s"""{"destination":"testc.corpus.documents","key":{"doc_id":$id},""" +
+        s""""value":{"op":"$op","before":$before,"after":$after,""" +
+        s""""source":{"connector":"postgresql","db":"db","schema":"corpus","table":"documents",""" +
+        s""""lsn":$lsn,"snapshot":"false","ts_ms":0},"ts_ms":0},"headers":{}}"""
+    }
+    val log = Seq(
+      doc(1, "r", "The quick brown fox", 1),
+      doc(2, "c", "the QUICK brown fox!!", 2), // normalized dup of 1
+      doc(3, "c", "something else entirely", 3),
+      doc(3, "u", "something else entirely v2", 4),
+      doc(4, "c", "to be deleted", 5),
+      doc(4, "d", "to be deleted", 6))
+    val out = Files.createTempDirectory("graft-upsert-docs").toString
+    val sink = new ParquetUpsertSink(out, keyFields = Seq("doc_id"))
+    val ks = StructType(Seq(StructField("doc_id", LongType)))
+    val rs = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    CdcPipeline.runBatch(spark, PipelineSpec(writeLog(log),
+      keySchema = ks, rowSchema = rs, sink = sink,
+      tableIncludeList = Seq("corpus.documents")))
+    // the delivered latest state (1, 2, 3-v2; 4 hard-deleted) is a plain
+    // DataFrame — the curation operators run on it unchanged
+    val docsDf = sink.readTable(spark, "testc.corpus.documents")
+    assert(docsDf.count() == 3)
+    val dedup = graft.llm.Dedup.normalizedExact(docsDf, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    assert(dedup.toSeq == Seq((1L, 2L), (3L, 1L))) // 1 and 2 collapse; v2 text survives
+    val funnel = graft.llm.Curation.filterFunnel(docsDf,
+      Seq("min2" -> (graft.llm.TextAnalysis.tokenCount(col("text")) >= 2))).head()
+    assert(funnel.getAs[Long]("n_docs") == 3L && funnel.getAs[Long]("survive_min2") == 3L)
+  }
+
   test("streaming replay with checkpoint reaches the same state and is idempotent") {
     val out = Files.createTempDirectory("graft-upsert-s").toString
     val sink = new ParquetUpsertSink(out, keyFields = Seq("id"))
