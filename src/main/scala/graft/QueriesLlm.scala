@@ -22,7 +22,7 @@ object QueriesLlm {
     * executor blocks; the query's cleanup hook drains the last one.
     * Round-9 verdict: without this, 43 queries × 3 runs of accumulated
     * checkpoint blocks turned a 63 s bench session into 96 s. */
-  private final class TrackerSlot {
+  private[graft] final class TrackerSlot {
     private val ref =
       new java.util.concurrent.atomic.AtomicReference[graft.operators.Materialize.Tracker]()
     def fresh(): graft.operators.Materialize.Tracker = {
@@ -2162,7 +2162,8 @@ object QueriesLlm {
             |         coalesce(g1.w, 0) + coalesce(g2.dw, 0) AS w
             |  FROM g1 FULL JOIN g2 ON g1.bucket = g2.bucket) t
             |WHERE w <> 0
-            |ORDER BY bucket""".stripMargin))
+            |ORDER BY bucket""".stripMargin),
+    cleanup = Some(_ => llm51Slot.drain()))
 
   /** Temperature-scaled source mixing (Sampling.temperatureMix, α=1/2):
     * each source's token budget DERIVES from its size —

@@ -449,13 +449,15 @@ object QueriesRelational {
     * sorts in one task — where approx_percentile trades exactness and
     * engine-portability for one pass). The oracle replays the rank
     * arithmetic verbatim. */
+  private val q16Slot = new QueriesLlm.TrackerSlot
   private def q16 = Q("q16_exact_quantiles",
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
       graft.llm.Sketches.exactQuantilesPerGroup(li,
           col("l_returnflag"), col("l_extendedprice"),
           col("l_orderkey") * 10 + col("l_linenumber"),
-          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99),
+          tracker = Some(q16Slot.fresh()))
         .orderBy(col("g"), col("q_name"))
     },
     Some("""WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v,
@@ -467,5 +469,6 @@ object QueriesRelational {
            |       FROM n CROSS JOIN (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)) qv(q_name, qq))
            |SELECT tg.g AS g, tg.n_rows, tg.q_name, r.v AS value
            |FROM tg JOIN r ON r.g = tg.g AND r.rk = tg.target
-           |ORDER BY tg.g, tg.q_name""".stripMargin))
+           |ORDER BY tg.g, tg.q_name""".stripMargin),
+    cleanup = Some(_ => q16Slot.drain()))
 }

@@ -233,8 +233,12 @@ object Curation {
     * size. Rule order is funnel order. */
   def filterFunnel(docs: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
+    // a NULL rule verdict (e.g. a regex over null text) counts as a
+    // FAILURE — without the coalesce such a doc would appear in
+    // n_docs but in neither the fail nor any survive column, and the
+    // funnel arithmetic would stop reconciling
     val flagged = docs.select(rules.map { case (n, c) =>
-      c.cast("boolean").as(s"__r_$n") }: _*)
+      coalesce(c.cast("boolean"), lit(false)).as(s"__r_$n") }: _*)
     val aggs = rules.zipWithIndex.flatMap { case ((n, _), i) =>
       val pass = col(s"__r_$n")
       val cum = rules.take(i + 1).map(r => col(s"__r_${r._1}")).reduce(_ && _)

@@ -113,6 +113,11 @@ object Pq {
     encoded.join(broadcast(ids), idCol === col("__sid"), "left_semi")
       .select(idCol.as("vec_id"),
         Similarity.cosineExact(vecCol, qLit).as("sim"))
+      // a zero-norm vector's cosine is NaN, which Spark ORDERS ABOVE
+      // every real similarity — a degenerate vector surviving the ADC
+      // shortlist must not displace real neighbors (a zero-norm QUERY
+      // makes every sim NaN and the result empty, the honest answer)
+      .filter(!isnan(col("sim")))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(topK)
   }

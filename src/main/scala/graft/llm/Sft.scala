@@ -38,8 +38,12 @@ object Sft {
   def promptBoundaryChars(messages: Column): Column = {
     val n = size(messages)
     val lastRole = element_at(messages, n).getField("role")
-    when(lastRole === lit("assistant"),
-      length(renderChatTemplate(slice(messages, lit(1), n - 1))))
+    // the n === 0 arm must come FIRST: element_at(_, 0) is a runtime
+    // error in Spark (indices are 1-based), and CaseWhen stops
+    // evaluating at the first matching branch
+    when(n === 0, lit(0))
+      .when(lastRole === lit("assistant"),
+        length(renderChatTemplate(slice(messages, lit(1), n - 1))))
       .otherwise(length(renderChatTemplate(messages)))
   }
 }

@@ -28,7 +28,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** `num / den`, NaN when the denominator is zero — under ANSI mode
+    * (the Spark 4 default) a bare 0/0 double division is a RUNTIME
+    * ERROR that kills the job on one degenerate row; the explicit NaN
+    * restores the classic semantics and the [[isnan]] guards
+    * downstream keep NaN (> everything in Spark's comparison order)
+    * from ever clearing a threshold. */
+  private def safeCosDiv(num: Column, den: Column): Column =
+    when(den =!= lit(0.0), num / den).otherwise(lit(Double.NaN))
+
+  def cosine(a: Column, b: Column): Column =
+    safeCosDiv(dot(a, b), norm(a) * norm(b))
 
   /** Exact reproducible cosine: elements are quantized to integers
     * (floor(x * 1e6) — float→double is exact, one deterministic double
@@ -47,8 +57,8 @@ object Similarity {
   def dotExact(a: Column, b: Column): Column = graft.functions.QuantizedDot(a, b)
 
   def cosineExact(a: Column, b: Column): Column =
-    dotExact(a, b).cast("double") /
-      (sqrt(dotExact(a, a).cast("double")) * sqrt(dotExact(b, b).cast("double")))
+    safeCosDiv(dotExact(a, b).cast("double"),
+      sqrt(dotExact(a, a).cast("double")) * sqrt(dotExact(b, b).cast("double")))
 
   /** Per-query top-k without a single-partition window funnel: first a
     * PARTIAL top-k over (qid, input-partition) — that window's keys are
@@ -201,18 +211,50 @@ object Similarity {
     * [[ivfTopK]]/[[semDedup]]). Centroids broadcast; assignment is a
     * map-side argmax folded through one partial-aggregated groupBy —
     * no corpus shuffle carries vectors. */
-  def coarseCells(emb: DataFrame, idCol: String, vecCol: String,
-                  nCentroids: Int): DataFrame = {
-    val withNorm = emb.withColumn("__nrm",
-      sqrt(dotExact(col(vecCol), col(vecCol)).cast("double")))
-    val centroids = withNorm.orderBy(col(idCol)).limit(nCentroids)
+  /** `df` + `__nrm` (the exact quantized self-norm, computed once per
+    * vector and carried — the shared precompute of every cosine
+    * stage). */
+  private def withSelfNorm(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__nrm", sqrt(dotExact(col(vecCol), col(vecCol)).cast("double")))
+
+  /** The deterministic coarse-quantizer seed: the `nCentroids`
+    * lowest-id vectors of a norm-carrying frame, as
+    * (cent_id, cent_vec, __cnrm). */
+  private def seedCentroids(withNorm: DataFrame, idCol: String, vecCol: String,
+                            nCentroids: Int): DataFrame =
+    withNorm.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
               col("__nrm").as("__cnrm"))
-    withNorm.join(broadcast(centroids))
-      .withColumn("__d", negate(dotExact(col(vecCol), col("cent_vec")).cast("double") /
-        (col("__nrm") * col("__cnrm"))))
-      .groupBy(col(idCol))
-      .agg(min(struct(col("__d"), col("cent_id"))).getField("cent_id").as("cell"))
+
+  /** Nearest-centroid assignment (ties to the lower centroid id —
+    * the argmin convention shared by [[ivfTopK]]/[[semDedup]]/
+    * [[coarseCells]]/[[semanticContamination]], and the ONE place
+    * its semantics live): broadcast centroids, map-side distance,
+    * argmin groupBy. `carryVec` additionally carries the vector and
+    * its norm through the aggregate — pay it only when the pair
+    * stage needs them (a cells-only caller must not shuffle
+    * vectors). A zero-norm vector has NaN distance to every
+    * centroid; both engines order NaN last, so it lands
+    * deterministically in the lowest-id centroid's cell. */
+  private def assignCells(withNorm: DataFrame, centroids: DataFrame,
+                          idCol: String, vecCol: String,
+                          carryVec: Boolean): DataFrame = {
+    val base = withNorm.join(broadcast(centroids))
+      .withColumn("__d", negate(safeCosDiv(
+        dotExact(col(vecCol), col("cent_vec")).cast("double"),
+        col("__nrm") * col("__cnrm"))))
+    val cell = min(struct(col("__d"), col("cent_id"))).getField("cent_id").as("cell")
+    if (carryVec)
+      base.groupBy(col(idCol))
+        .agg(first(col(vecCol)).as(vecCol), first(col("__nrm")).as("__nrm"), cell)
+    else base.groupBy(col(idCol)).agg(cell)
+  }
+
+  def coarseCells(emb: DataFrame, idCol: String, vecCol: String,
+                  nCentroids: Int): DataFrame = {
+    val withNorm = withSelfNorm(emb, vecCol)
+    assignCells(withNorm, seedCentroids(withNorm, idCol, vecCol, nCentroids),
+      idCol, vecCol, carryVec = false)
   }
 
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
@@ -224,26 +266,24 @@ object Similarity {
     // interpreted; the per-pair work must be ONE array pass, not three).
     // sqrt(na)·sqrt(nb) is the exact double expression the oracle's
     // per-pair form computes, so precomputing sqrt(na) changes nothing.
-    val withNorm = emb.withColumn("__nrm",
-      sqrt(dotExact(col(vecCol), col(vecCol)).cast("double")))
-    val centroids = withNorm.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
-              col("__nrm").as("__cnrm"))
-    val assigned = withNorm.join(broadcast(centroids))
-      .withColumn("__d", negate(dotExact(col(vecCol), col("cent_vec")).cast("double") /
-        (col("__nrm") * col("__cnrm"))))
-      .groupBy(col(idCol))
-      .agg(first(col(vecCol)).as(vecCol), first(col("__nrm")).as("__nrm"),
-           min(struct(col("__d"), col("cent_id"))).getField("cent_id").as("cell"))
+    val withNorm = withSelfNorm(emb, vecCol)
+    val assigned = assignCells(withNorm,
+      seedCentroids(withNorm, idCol, vecCol, nCentroids),
+      idCol, vecCol, carryVec = true)
     val a = assigned.select(col("cell"), col(idCol).as("id_a"),
                             col(vecCol).as("va"), col("__nrm").as("__na"))
     val b = assigned.select(col("cell"), col(idCol).as("id_b"),
                             col(vecCol).as("vb"), col("__nrm").as("__nb"))
-    // a vector drops iff SOME smaller-id cellmate clears the threshold
+    // a vector drops iff SOME smaller-id cellmate clears the threshold;
+    // a zero-norm member's cosine is NaN (> everything in Spark's
+    // comparison order) — the isnan guard keeps degenerate vectors
+    // from "clearing" any threshold
+    val pairSim = safeCosDiv(dotExact(col("va"), col("vb")).cast("double"),
+      col("__na") * col("__nb"))
     val dropped = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .filter(dotExact(col("va"), col("vb")).cast("double") /
-        (col("__na") * col("__nb")) >= lit(simThreshold))
+      .withColumn("__sim", pairSim)
+      .filter(col("__sim") >= lit(simThreshold) && !isnan(col("__sim")))
       .select(col("id_b").as(idCol)).distinct()
     assigned.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cell"))
@@ -268,30 +308,22 @@ object Similarity {
   def semanticContamination(evalSet: DataFrame, evalId: String, evalVec: String,
                             train: DataFrame, trainId: String, trainVec: String,
                             nCentroids: Int, simThreshold: Double): DataFrame = {
-    val centroids = train
-      .withColumn("__cnrm", sqrt(dotExact(col(trainVec), col(trainVec)).cast("double")))
-      .orderBy(col(trainId)).limit(nCentroids)
-      .select(col(trainId).as("cent_id"), col(trainVec).as("cent_vec"), col("__cnrm"))
-    def assign(df: DataFrame, id: String, vec: String): DataFrame = {
-      val withNorm = df.withColumn("__nrm",
-        sqrt(dotExact(col(vec), col(vec)).cast("double")))
-      withNorm.join(broadcast(centroids))
-        .withColumn("__d", negate(dotExact(col(vec), col("cent_vec")).cast("double") /
-          (col("__nrm") * col("__cnrm"))))
-        .groupBy(col(id))
-        .agg(first(col(vec)).as(vec), first(col("__nrm")).as("__nrm"),
-             min(struct(col("__d"), col("cent_id"))).getField("cent_id").as("cell"))
-    }
-    val e = assign(evalSet.select(col(evalId), col(evalVec)), evalId, evalVec)
+    val trainNorm = withSelfNorm(train.select(col(trainId), col(trainVec)), trainVec)
+    val centroids = seedCentroids(trainNorm, trainId, trainVec, nCentroids)
+    val e = assignCells(
+        withSelfNorm(evalSet.select(col(evalId), col(evalVec)), evalVec),
+        centroids, evalId, evalVec, carryVec = true)
       .select(col("cell"), col(evalId).as("eval_id"),
               col(evalVec).as("__ev"), col("__nrm").as("__ne"))
-    val t = assign(train.select(col(trainId), col(trainVec)), trainId, trainVec)
+    val t = assignCells(trainNorm, centroids, trainId, trainVec, carryVec = true)
       .select(col("cell"), col(trainId).as("train_id"),
               col(trainVec).as("__tv"), col("__nrm").as("__nt"))
     e.join(t, Seq("cell"))
-      .withColumn("sim", dotExact(col("__ev"), col("__tv")).cast("double") /
-        (col("__ne") * col("__nt")))
-      .filter(col("sim") >= lit(simThreshold))
+      .withColumn("sim", safeCosDiv(dotExact(col("__ev"), col("__tv")).cast("double"),
+        col("__ne") * col("__nt")))
+      // zero-norm vectors yield NaN cosine, which Spark compares as
+      // greater than everything — never a contamination verdict
+      .filter(col("sim") >= lit(simThreshold) && !isnan(col("sim")))
       .withColumn("__negsim", negate(col("sim")))
       .groupBy(col("eval_id"))
       .agg(min(struct(col("__negsim"), col("train_id"), col("sim"))).as("b"))

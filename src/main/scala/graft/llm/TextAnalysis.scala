@@ -320,31 +320,50 @@ object TextAnalysis {
                      dims: Int = 1024,
                      checkpointDir: Option[String] = None,
                      tracker: Option[graft.operators.Materialize.Tracker] = None): DataFrame = {
-    val labels = docs.select(idCol.as("__id"), labelCol.cast("long").as("__y"))
-    val feats = graft.operators.Materialize.eagerOrCheckpoint(
-      hashedFeatures(docs, idCol, textCol, dims), checkpointDir)
-    tracker.foreach(_.track(feats))
+    val labels = materialized(
+      docs.select(idCol.as("__id"), labelCol.cast("long").as("__y")),
+      checkpointDir, tracker)
+    val feats = materialized(
+      hashedFeatures(docs, idCol, textCol, dims), checkpointDir, tracker)
     stepOnFeatures(feats, labels, weights)
   }
 
-  /** Multi-epoch [[perceptronStep]]: the feature frame is built and
-    * materialized ONCE and every epoch reuses it — the corpus is
-    * scanned a single time regardless of the epoch count; each epoch
-    * then costs one broadcast-scored pass + one gradient aggregate
-    * over the fixed-width feature rows. */
+  /** Multi-epoch [[perceptronStep]]: the feature and label frames are
+    * built and materialized ONCE and every epoch reuses them — the
+    * corpus is scanned a single time regardless of the epoch count;
+    * each epoch then costs one broadcast-scored pass + one gradient
+    * aggregate over the fixed-width feature rows. Between epochs the
+    * ≤dims-row weight table hops the driver as a literal frame (the
+    * bounded model hop — [[Clustering.kmeansTopics]]' centroid
+    * convention): the step wires the weights into TWO plan branches
+    * (scoring and the final merge), so chaining lazy frames would
+    * DOUBLE the logical plan per epoch. */
   def perceptronTrain(docs: DataFrame, idCol: Column, textCol: Column,
                       labelCol: Column, epochs: Int,
                       dims: Int = 1024,
                       checkpointDir: Option[String] = None,
                       tracker: Option[graft.operators.Materialize.Tracker] = None): DataFrame = {
     require(epochs >= 1, "need at least one epoch")
-    val labels = docs.select(idCol.as("__id"), labelCol.cast("long").as("__y"))
-    val feats = graft.operators.Materialize.eagerOrCheckpoint(
-      hashedFeatures(docs, idCol, textCol, dims), checkpointDir)
-    tracker.foreach(_.track(feats))
-    (1 to epochs).foldLeft(Option.empty[DataFrame]) { (w, _) =>
-      Some(stepOnFeatures(feats, labels, w))
+    val labels = materialized(
+      docs.select(idCol.as("__id"), labelCol.cast("long").as("__y")),
+      checkpointDir, tracker)
+    val feats = materialized(
+      hashedFeatures(docs, idCol, textCol, dims), checkpointDir, tracker)
+    val sp = docs.sparkSession
+    import sp.implicits._
+    (1 to epochs).foldLeft(Option.empty[DataFrame]) { (w, i) =>
+      val next = stepOnFeatures(feats, labels, w)
+      if (i == epochs) Some(next)
+      else Some(next.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1))).toDF("bucket", "w"))
     }.get
+  }
+
+  private def materialized(df: DataFrame, checkpointDir: Option[String],
+                           tracker: Option[graft.operators.Materialize.Tracker]): DataFrame = {
+    val m = graft.operators.Materialize.eagerOrCheckpoint(df, checkpointDir)
+    tracker.foreach(_.track(m))
+    m
   }
 
   private def stepOnFeatures(feats: DataFrame, labels: DataFrame,

@@ -428,6 +428,12 @@ class LlmSpec extends SparkSpec {
     val row2 = spark.range(1).select(Sft.renderChatTemplate(solo).as("r"),
       Sft.promptBoundaryChars(solo).as("b")).head()
     assert(row2.getInt(1) == row2.getString(0).length)
+    // empty conversation: renders "", boundary 0 — element_at(_, 0)
+    // would be a runtime error without the n === 0 arm
+    val none = slice(solo, lit(1), lit(0))
+    val row3 = spark.range(1).select(Sft.renderChatTemplate(none).as("r"),
+      Sft.promptBoundaryChars(none).as("b")).head()
+    assert(row3.getString(0) == "" && row3.getInt(1) == 0)
   }
 
   test("freezeManifest is partitioning-invariant and drift-sensitive") {
@@ -459,6 +465,15 @@ class LlmSpec extends SparkSpec {
     assert(m("n_docs") == 3L)
     assert(m("fail_min2") == 1L && m("survive_min2") == 2L)
     assert(m("fail_lower") == 1L && m("survive_lower") == 1L)
+    // a NULL rule verdict (regex over null text) counts as a FAILURE —
+    // the funnel must keep reconciling (fail + pass == n_docs per rule)
+    val withNull = docs.unionByName(
+      Seq((4L, null.asInstanceOf[String])).toDF("id", "text"))
+    val r2 = Curation.filterFunnel(withNull,
+      Seq("lower" -> col("text").rlike("[a-z]"))).head()
+    val m2 = r2.schema.fieldNames.zip(r2.toSeq).toMap
+    assert(m2("n_docs") == 4L)
+    assert(m2("fail_lower") == 2L && m2("survive_lower") == 2L)
   }
 
   test("temperatureMix derives sqrt-scaled budgets: small sources keep more than proportional") {
@@ -494,6 +509,13 @@ class LlmSpec extends SparkSpec {
     val got2 = w2.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // +1 doc scores 2 > 0, −1 doc scores 0 → predicts −1: both correct, fixpoint
     assert(got2 == got1)
+    // multi-epoch trainer: the between-epoch driver hop keeps plans
+    // O(1) per epoch (lazy chaining doubled the plan every step) and
+    // the fixpoint holds through many epochs
+    val w8 = TextAnalysis.perceptronTrain(docs, col("id"), col("text"), col("y"),
+        epochs = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(w8 == got1)
   }
 
   test("semanticContamination flags planted copies with their best train match; ties to lower id") {
@@ -514,6 +536,26 @@ class LlmSpec extends SparkSpec {
     val (eid, tid, sim) = out.head
     assert(eid == 100L && tid == 1L) // tie between train 1 and 4 → lower id
     assert(sim > 0.999)
+  }
+
+  test("zero-norm embeddings never clear a cosine threshold (NaN guard)") {
+    val zero = Seq(0.0f, 0.0f, 0.0f, 0.0f)
+    val train = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (2L, zero))
+      .toDF("vec_id", "embedding")
+    val evalSet = Seq((100L, zero), (200L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    // NaN >= threshold is TRUE under Spark's NaN ordering — without the
+    // guard, the zero train vector "contaminates" every cellmate and
+    // the zero eval vector flags against everything
+    val out = Similarity.semanticContamination(evalSet, "vec_id", "embedding",
+        train, "vec_id", "embedding", nCentroids = 2, simThreshold = 0.9)
+      .collect()
+    assert(out.isEmpty, s"zero vectors produced verdicts: ${out.mkString(",")}")
+    // semDedup: the zero vector must not drop (or be dropped by) anyone
+    val surv = Similarity.semDedup(train, "vec_id", "embedding",
+        nCentroids = 2, simThreshold = 0.9)
+      .collect().map(_.getLong(0)).sorted
+    assert(surv.toSeq == Seq(1L, 2L))
   }
 
   test("hot-bucket cap drops mega-buckets; pairs from other bands survive") {

@@ -76,6 +76,19 @@ class PqSpec extends SparkSpec {
         shortlist = 1, topK = 2))
   }
 
+  test("adcRerankTopK: a zero-norm vector in the shortlist is dropped, never ranked first by NaN") {
+    val cb = Pq.seedCodebooks(corpus, col("vec_id"), col("embedding"),
+      dims = 4, m = 2, k = 2)
+    // keep the all-zero v1 IN the corpus: its codes are valid (0,0) so it
+    // survives the ADC stage; its cosine is NaN which Spark would sort FIRST
+    val enc = Pq.encode(corpus, col("embedding"), cb)
+    val got = Pq.adcRerankTopK(enc, col("vec_id"), col("embedding"),
+        Seq(0.9f, 0.8f, 0.2f, 0.1f), cb, shortlist = 4, topK = 4)
+      .collect().map(_.getLong(0))
+    assert(!got.contains(1L), s"zero-norm vector ranked: ${got.mkString(",")}")
+    assert(got.length == 3)
+  }
+
   test("adcRerankTopK: a narrow shortlist bounds the candidate set (recall trade is stage 1 only)") {
     val cb = Pq.seedCodebooks(corpus, col("vec_id"), col("embedding"),
       dims = 4, m = 2, k = 2)
