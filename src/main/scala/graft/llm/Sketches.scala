@@ -252,7 +252,11 @@ object Sketches {
     * machinery for the same ≤k values — measured 3.8 s in-suite vs
     * 2.6 s isolated-cold after, at sf0.1; the md5 over every shingle
     * is now the floor, same as llm39). Everything after operates on a
-    * ≤groups-row frame — the pair combine is trivially broadcast. */
+    * ≤groups-row frame — the pair combine is trivially broadcast.
+    * The OUTPUT is all ordered pairs: groups²/2 rows × O(k²)
+    * membership checks each — built for the source/domain dimension
+    * (tens to hundreds); for thousands of groups, pre-filter the
+    * pair set before combining. */
   def kmvOverlap(df: DataFrame, groupCol: Column, valueCol: Column,
                  k: Int = 256): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")
