@@ -14,7 +14,8 @@ object QueriesLlm {
                         llm18, llm19, llm20, llm21, llm22, llm23, llm24, llm25, llm26,
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
-                        llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56)
+                        llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
+                        llm57, llm58, llm59, llm60)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2343,4 +2344,147 @@ object QueriesLlm {
          |FROM x
          |ORDER BY doc_id""".stripMargin
     })
+
+  /** Vocabulary-growth (Heaps'-law) curve (CorpusStats.vocabGrowth):
+    * running distinct-term count vs running token count at 50-doc
+    * checkpoints — the is-this-source-saturating diagnostic. Terms
+    * shuffle once as 8-byte hashes (min(doc_id) per term); the
+    * cumulative window crosses only the tiny bin frame. */
+  private def llm57 = Q("llm57_vocab_growth",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      graft.llm.CorpusStats.vocabGrowth(d, col("doc_id"), col("text"), binWidth = 50L)
+        .orderBy(col("checkpoint"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+            |            unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS term
+            |           FROM documents),
+            |h AS (SELECT doc_id, ${Portable.duckHash64("term")} AS h FROM t),
+            |f AS (SELECT h, min(doc_id) AS fd FROM h GROUP BY h),
+            |nb AS (SELECT (fd // 50) * 50 + 50 AS checkpoint,
+            |              CAST(count(*) AS BIGINT) AS n_new_terms FROM f GROUP BY 1),
+            |tb AS (SELECT (doc_id // 50) * 50 + 50 AS checkpoint,
+            |              CAST(count(*) AS BIGINT) AS n_tokens FROM h GROUP BY 1),
+            |b AS (SELECT tb.checkpoint, coalesce(nb.n_new_terms, 0) AS n_new_terms, tb.n_tokens
+            |      FROM tb LEFT JOIN nb USING (checkpoint))
+            |SELECT checkpoint, n_new_terms, n_tokens,
+            |  CAST(sum(n_new_terms) OVER (ORDER BY checkpoint) AS BIGINT) AS vocab_size,
+            |  CAST(sum(n_tokens) OVER (ORDER BY checkpoint) AS BIGINT) AS cum_tokens
+            |FROM b ORDER BY checkpoint""".stripMargin))
+
+  /** BPE fertility histogram (Tokenizer.wordTokenCounts): per source,
+    * how many words resolve to 1 / 2 / 3 / 4+ model tokens under the
+    * llm35 merge table — the tokenizer-fit diagnostic (fertility ≈ 1
+    * means the vocabulary covers the source; mass at 4+ means words
+    * shatter). Map-only over the broadcast table + one tiny
+    * (source, bucket) aggregate; the oracle reads each word's symbol
+    * count off the SAME recursive-CTE merge replay llm35 pins. */
+  private def llm58 = Q("llm58_bpe_fertility",
+    (s, dir) => {
+      val bpe = graft.llm.Tokenizer.fromMergesText(bpeMergesText)
+      Tables.documents(s, dir)
+        .select(col("source"),
+          graft.llm.Tokenizer.wordTokenCounts(s, bpe)(col("text")).as("__wtc"))
+        .select(col("source"), explode(col("__wtc")).as("__c"))
+        .groupBy(col("source"), least(col("__c"), lit(4)).as("tokens_per_word"))
+        .agg(count(lit(1)).as("n_words"))
+        .orderBy(col("source"), col("tokens_per_word"))
+    },
+    Some(s"""WITH RECURSIVE
+            |$bpeMergeLoopCtes,
+            |w AS (SELECT d.source, CAST(least(len(f.syms), 4) AS INT) AS tokens_per_word
+            |      FROM fin f JOIN documents d USING (doc_id))
+            |SELECT source, tokens_per_word, CAST(count(*) AS BIGINT) AS n_words
+            |FROM w GROUP BY source, tokens_per_word
+            |ORDER BY source, tokens_per_word""".stripMargin))
+
+  /** DoReMi-style domain reweighting (Sampling.domainReweight): 8
+    * multiplicative-weights rounds over per-source mean quality
+    * DEFICIT (the hardest domains gain weight) — the mixture-
+    * optimization step between corpus diagnosis and corpus assembly.
+    * One corpus scan (per-domain count/Σloss hash aggregate); the
+    * iteration runs on k domain scalars in exact scaled int64, so the
+    * oracle unrolls all 8 rounds as CTE stages and matches
+    * bit-for-bit. */
+  private def llm59 = Q("llm59_domain_reweight",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val lq = lit(1000000L) -
+        floor(TextAnalysis.qualityScore(col("text")) * lit(1e6)).cast("long")
+      Sampling.domainReweight(d, col("source"), lq, iters = 8)
+        .orderBy(col("source"))
+    },
+    Some {
+      val S = "1000000000"
+      // each stage references ONLY its predecessor, and exactly once,
+      // with window aggregates instead of scalar subqueries: DuckDB
+      // inlines (does not materialize) CTEs, so a stage referencing
+      // its predecessor twice expands the tree 2^iters-fold — at 8
+      // rounds that is 65k scans of `documents` and an fd blowout
+      val iterCtes = (1 to 8).map { i =>
+        val p = if (i == 1) "w0" else s"w${i - 1}"
+        s"""u$i AS (SELECT source, n_docs, ell,
+           |          w * ($S + (ell - sum(w * ell) OVER () // $S) * 100) // $S AS u FROM $p),
+           |w$i AS (SELECT source, n_docs, ell,
+           |          u * $S // sum(u) OVER () AS w FROM u$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH qd AS (SELECT source,
+         |    1000000 - CAST(floor(((CAST(least(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)), 64) AS DOUBLE) / 64.0)
+         |      * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |               / CAST(greatest(length(text), 1) AS DOUBLE))) * 1e6) AS BIGINT) AS lq
+         |  FROM documents),
+         |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(lq) // count(*) AS BIGINT) AS ell FROM qd GROUP BY source),
+         |w0 AS (SELECT source, n_docs, ell, $S // count(*) OVER () AS w FROM d),
+         |$iterCtes
+         |SELECT source, n_docs, ell AS loss_q, CAST(w AS BIGINT) AS weight_q,
+         |       CAST(w AS DOUBLE) / 1e9 AS weight
+         |FROM w8 ORDER BY source""".stripMargin
+    })
+
+  /** Greedy k-center diversity coreset (Clustering.kCenter): 6
+    * farthest-first centers over the embeddings — the coverage-
+    * maximizing selection rule of diversity/coreset sampling, dual to
+    * llm29's SemDeDup (which REMOVES the close pairs this KEEPS the
+    * spread of). Per round one codegen'd distance pass + a
+    * TakeOrdered argmax; distances are exact int64 squared-L2 on the
+    * quantization lattice, so the oracle unrolls the greedy selection
+    * stage by stage. */
+  private val llm60Slot = new TrackerSlot
+  private def llm60 = Q("llm60_kcenter_coreset",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      Clustering.kCenter(emb, col("vec_id"), col("embedding"),
+          dims = 64, k = 6, tracker = Some(llm60Slot.fresh()))
+        .orderBy(col("sel_round"))
+    },
+    Some {
+      def dist(a: String, b: String): String =
+        s"CAST(list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)"
+      val stages = (1 until 6).map { r =>
+        val prev = s"d${r - 1}"
+        val sel = s"""s$r AS (SELECT vec_id, qv, md FROM $prev
+                     |       ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+        val next = if (r < 5)
+          s""",
+             |d$r AS (SELECT p.vec_id, p.qv, least(p.md, ${dist("p.qv", "s.qv")}) AS md
+             |        FROM $prev p CROSS JOIN s$r s)""".stripMargin
+        else ""
+        sel + next
+      }.mkString(",\n")
+      val unions = (1 until 6)
+        .map(r => s"UNION ALL SELECT $r, vec_id, md FROM s$r").mkString("\n")
+      s"""WITH emb AS (SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+         |       FROM embeddings),
+         |c0 AS (SELECT vec_id, qv FROM emb ORDER BY vec_id LIMIT 1),
+         |d0 AS (SELECT e.vec_id, e.qv, ${dist("e.qv", "c.qv")} AS md
+         |       FROM emb e CROSS JOIN c0 c),
+         |$stages,
+         |sel AS (SELECT 0 AS sel_round, vec_id, CAST(0 AS BIGINT) AS dist_q FROM c0
+         |$unions)
+         |SELECT CAST(sel_round AS INT) AS sel_round, vec_id, CAST(dist_q AS BIGINT) AS dist_q
+         |FROM sel ORDER BY sel_round""".stripMargin
+    },
+    cleanup = Some(_ => llm60Slot.drain()))
 }

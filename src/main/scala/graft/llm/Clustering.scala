@@ -36,6 +36,20 @@ import graft.operators.Materialize
   */
 object Clustering {
 
+  /** Driver-side quantization of one collected vector onto the
+    * `floor(x·10⁶)` lattice — the same lattice every distributed
+    * distance in this module uses. */
+  private def quantize(v: Any): Seq[Long] = v match {
+    // Row.getSeq hands back a mutable.ArraySeq, which is NOT the
+    // (immutable) default Seq in 2.13 — match the collection root
+    case s: scala.collection.Seq[_] => s.iterator.map {
+      case f: java.lang.Float => math.floor(f.toDouble * 1e6).toLong
+      case d: java.lang.Double => math.floor(d.doubleValue * 1e6).toLong
+      case x => throw new IllegalArgumentException(s"non-numeric element $x")
+    }.toSeq
+    case x => throw new IllegalArgumentException(s"non-array vector column: $x")
+  }
+
   /** Run `iters` Lloyd iterations of k-means and return the final
     * assignment: (vec_id, topic int, qdist long). `tracker` (if set)
     * eagerly materializes the projected base ONCE so the 2·iters+1
@@ -47,17 +61,6 @@ object Clustering {
     require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
     val base0 = df.select(idCol.as("vec_id"), vecCol.as("vec"))
     val base = tracker.map(t => t.track(Materialize.eager(base0))).getOrElse(base0)
-
-    def quantize(v: Any): Seq[Long] = v match {
-      // Row.getSeq hands back a mutable.ArraySeq, which is NOT the
-      // (immutable) default Seq in 2.13 — match the collection root
-      case s: scala.collection.Seq[_] => s.iterator.map {
-        case f: java.lang.Float => math.floor(f.toDouble * 1e6).toLong
-        case d: java.lang.Double => math.floor(d.doubleValue * 1e6).toLong
-        case x => throw new IllegalArgumentException(s"non-numeric element $x")
-      }.toSeq
-      case x => throw new IllegalArgumentException(s"non-array vector column: $x")
-    }
 
     // init: the k lowest-id vectors, quantized driver-side (k rows)
     var cents: Seq[Seq[Long]] = base.orderBy(col("vec_id")).limit(k)
@@ -94,5 +97,67 @@ object Clustering {
     base.select(col("vec_id"), a.getField("cell").as("topic"),
                 a.getField("qdist").as("qdist"))
       .filter(col("topic").isNotNull) // same invalid-vector guard as the iterations
+  }
+
+  /** Greedy k-center diversity coreset (Gonzalez 1985 farthest-first
+    * traversal, the selection rule behind coreset/diversity sampling
+    * of training corpora): seed with the lowest-id vector, then k−1
+    * times pick the point FARTHEST from its nearest already-selected
+    * center (max-min distance; ties to the lowest vec_id). The
+    * selected sequence's distances are the classic coverage-radius
+    * curve — a 2-approximation of the optimal k-center radius at each
+    * prefix.
+    *
+    * Spark shape per round — the same scan-only discipline as
+    * [[kmeansTopics]]:
+    *  - the running min-distance column updates via ONE codegen'd
+    *    [[graft.functions.NearestCentroid]] pass against the single
+    *    newest center (baked into the plan as literals — no join, no
+    *    broadcast table);
+    *  - the argmax is a TakeOrdered over (md desc, vec_id asc) —
+    *    per-partition top-1 then a k-way driver merge, never a global
+    *    sort;
+    *  - one vector hops the driver per round (dims longs — the
+    *    justified-collect pattern), and `tracker` materializes the
+    *    projected base once so k rounds re-read persisted blocks.
+    *
+    * Distances are exact int64 squared-L2 on the `floor(x·10⁶)`
+    * lattice, so an oracle replays the greedy selection bit-for-bit.
+    * Returns the k selected centers: (sel_round int, vec_id long,
+    * dist_q long) where dist_q is the point's min-distance at
+    * selection time (0 for the seed).
+    */
+  def kCenter(df: DataFrame, idCol: Column, vecCol: Column,
+              dims: Int, k: Int,
+              tracker: Option[Materialize.Tracker] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base0 = df.select(idCol.cast("long").as("vec_id"), vecCol.as("vec"))
+    val base = tracker.map(t => t.track(Materialize.eager(base0))).getOrElse(base0)
+
+    val seedRow = base.orderBy(col("vec_id")).limit(1).select(col("vec_id"), col("vec"))
+      .collect().headOption.getOrElse(throw new IllegalArgumentException("empty corpus"))
+    val selected = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)](
+      (0, seedRow.getLong(0), 0L))
+
+    def distTo(center: Seq[Long]): Column =
+      graft.functions.NearestCentroid(col("vec"), Seq(center), dims).getField("qdist")
+
+    // running min-distance frame; invalid vectors (wrong width / null
+    // element) yield a null distance and drop — same guard as k-means
+    var cur = base.select(col("vec_id"), col("vec"),
+        distTo(quantize(seedRow.get(1))).as("md"))
+      .filter(col("md").isNotNull)
+    for (r <- 1 until k) {
+      val top = cur.orderBy(col("md").desc, col("vec_id").asc)
+        .limit(1).collect().headOption
+        .getOrElse(throw new IllegalArgumentException("corpus has no valid vectors"))
+      selected += ((r, top.getLong(0), top.getLong(2)))
+      if (r < k - 1) // the last selection needs no distance refresh
+        cur = cur.select(col("vec_id"), col("vec"),
+          least(col("md"), distTo(quantize(top.get(1)))).as("md"))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    selected.toSeq.toDF("sel_round", "vec_id", "dist_q")
   }
 }

@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Portable
+
+/** Corpus-scale language statistics — the vocabulary-growth (Heaps'
+  * law) curve corpus papers publish next to their size tables: how
+  * many DISTINCT terms the corpus has accumulated after its first
+  * N documents, against how many running tokens. A flattening curve
+  * says the corpus is saturating its domain vocabulary; a linear one
+  * says it is still absorbing new material — the diagnostic that
+  * decides whether to keep crawling a source.
+  *
+  * Spark shape (the reason this scales to 100 TB):
+  *  - terms travel as 8-byte portable hashes from the moment they
+  *    leave the tokenizer — the term-grain shuffle moves fixed-width
+  *    keys, never strings (the llm22/llm33 discipline);
+  *  - "first appearance" is one `min(doc_id)` hash aggregation over
+  *    those keys (map-side partial combine, one shuffle);
+  *  - both curves then collapse to per-BIN counts — the frame that
+  *    crosses the final window is `max(doc_id)/binWidth` rows, corpus-
+  *    size independent for a binWidth chosen at the data scale;
+  *  - the cumulative sums run in ONE unpartitioned window over that
+  *    tiny bin frame (bins, not documents, cross the single
+  *    partition — the llm32 cumulative-histogram trade).
+  *
+  * Everything is integer arithmetic (counts and bin ids), so any
+  * engine replays it bit-for-bit.
+  */
+object CorpusStats {
+
+  /** Vocabulary-growth curve: one row per `binWidth`-wide doc_id bin,
+    * with per-bin new-term/token counts and the running (cumulative)
+    * vocabulary size and token count at each checkpoint (the bin's
+    * exclusive upper bound). Documents with no tokens contribute
+    * nothing — their bin still appears if any sibling doc has tokens.
+    *
+    * Output: (checkpoint, n_new_terms, n_tokens, vocab_size,
+    * cum_tokens), all BIGINT, ordered by checkpoint upstream of the
+    * caller's own sort.
+    */
+  def vocabGrowth(df: DataFrame, idCol: Column, textCol: Column,
+                  binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    val exploded = df
+      .select(idCol.cast("long").as("doc_id"), TextAnalysis.tokens(textCol).as("__toks"))
+      .select(col("doc_id"), explode(col("__toks")).as("__term"))
+      // hash BEFORE any shuffle: the term string dies inside the scan
+      // stage's projection and only the 8-byte key moves
+      .select(col("doc_id"), Portable.hash64(col("__term")).as("h"))
+    val bin = (c: Column) => (c - pmod(c, lit(binWidth)) + lit(binWidth)).as("checkpoint")
+
+    val firstSeen = exploded.groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
+    val newPerBin = firstSeen.groupBy(bin(col("fd")))
+      .agg(count(lit(1)).as("n_new_terms"))
+    val tokPerBin = exploded.groupBy(bin(col("doc_id")))
+      .agg(count(lit(1)).as("n_tokens"))
+
+    // every bin with a new term has tokens (a first appearance IS a
+    // token), so tokPerBin's bin set is the superset — left join
+    val w = Window.orderBy(col("checkpoint"))
+    tokPerBin.join(newPerBin, Seq("checkpoint"), "left")
+      .select(col("checkpoint"),
+        coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"),
+        col("n_tokens"))
+      .withColumn("vocab_size", sum(col("n_new_terms")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+  }
+}

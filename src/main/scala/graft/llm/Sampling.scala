@@ -132,6 +132,61 @@ object Sampling {
       defaultBudget = 0L, salt = salt, nShards = nShards)
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, simplified to
+    * its multiplicative-weights core): starting from uniform domain
+    * weights, repeatedly up-weight domains whose loss EXCEEDS the
+    * current weighted mean and down-weight the rest — after `iters`
+    * rounds the weights concentrate on the domains the proxy model
+    * finds hardest, which is the mixture the paper trains on.
+    *
+    * Update per round, all in scaled int64 so any engine replays it
+    * bit-for-bit (S = 10⁹ weight scale; losses are the caller's
+    * quantized integers, e.g. floor(deficit·10⁶) ∈ [0, 10⁶]):
+    *   m   = (Σᵢ wᵢ·ℓᵢ) / S                (weighted mean loss)
+    *   uᵢ  = wᵢ·(S + (ℓᵢ − m)·100) / S     (multiplicative step, η=10⁻⁷/unit)
+    *   wᵢ  = uᵢ·S / Σⱼ uⱼ                  (renormalize to Σw = S)
+    * Every numerator is non-negative, so Long truncation == floor ==
+    * DuckDB's `//` — no rounding-mode drift.
+    *
+    * 100 TB shape: the corpus is touched ONCE — a per-domain hash
+    * aggregation of (count, Σloss) with map-side combine. The
+    * iteration then runs on k domain scalars driver-side (a few dozen
+    * longs, the k-means-centroid justified-collect pattern —
+    * iterating k rows through k DataFrame windows would grow the plan
+    * linearly in `iters` for zero distribution win). */
+  def domainReweight(df: DataFrame, sourceCol: Column, lossQCol: Column,
+                     iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val S = 1000000000L
+    val perDomain = df
+      .select(sourceCol.as("source"), lossQCol.cast("long").as("lq"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("lq")).as("sl"))
+      // integer DIV, not double `/`: Σloss can exceed 2^53 at scale,
+      // where a double quotient silently loses low bits
+      .select(col("source"), col("n_docs"), expr("sl DIV n_docs").as("ell"))
+      .orderBy(col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(perDomain.nonEmpty, "no domains — empty corpus")
+    perDomain.foreach { case (s, _, ell) =>
+      require(ell >= 0 && ell <= 1000000L,
+        s"loss for domain '$s' out of the quantized range [0, 1e6]: $ell") }
+    val k = perDomain.length
+    val ell = perDomain.map(_._3)
+    var w = Array.fill(k)(S / k)
+    for (_ <- 1 to iters) {
+      val m = w.iterator.zip(ell.iterator).map { case (wi, li) => wi * li }.sum / S
+      val u = w.iterator.zip(ell.iterator)
+        .map { case (wi, li) => wi * (S + (li - m) * 100L) / S }.toArray
+      val tot = u.sum
+      w = u.map(ui => ui * S / tot)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    perDomain.zipWithIndex.map { case ((s, n, l), i) => (s, n, l, w(i), w(i).toDouble / S) }
+      .toSeq.toDF("source", "n_docs", "loss_q", "weight_q", "weight")
+  }
+
   /** Per-stratum keep rates (e.g. down-sample dominant languages):
     * strata not in `rates` keep `defaultRate`. */
   def stratifiedSample(df: DataFrame, idCol: Column, strataCol: Column,

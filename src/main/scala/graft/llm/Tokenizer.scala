@@ -168,6 +168,25 @@ object Tokenizer {
       .apply(textCol)
   }
 
+  /** Per-word token counts → array<int> in word order: the FERTILITY
+    * measure (tokens the model spends per pre-tokenized word — the
+    * standard tokenizer-fit diagnostic; ~1 means the vocabulary covers
+    * the corpus, ≫1 means words shatter into characters). Same
+    * broadcast + memo + map-only shape as [[tokenIds]] — the word's
+    * id array is already memoized, its length is free. */
+  def wordTokenCounts(spark: SparkSession, bpe: Bpe)(textCol: Column): Column = {
+    val b = spark.sparkContext.broadcast(bpe)
+    udf { (text: String) =>
+      if (text == null) Seq.empty[Int]
+      else {
+        val m = wordRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+        val out = Seq.newBuilder[Int]
+        while (m.find()) out += b.value.encodeWord(m.group()).length
+        out.result()
+      }
+    }.apply(textCol)
+  }
+
   /** One BPE TRAINING iteration's statistics: corpus-wide adjacent
     * symbol-pair counts (Sennrich et al. 2016 §3.2 — the argmax of
     * this table is the next merge to learn). Symbols here are the

@@ -438,4 +438,37 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("Subquery") || s.contains("scalar-subquery"),
       s"bloom filter must arrive as a scalar subquery:\n$s")
   }
+
+  test("llm57: vocab growth shuffles 8-byte term hashes and bin ids — term strings never move") {
+    val df = Queries.byName("llm57_vocab_growth")(spark, sfSmoke)
+    val shuffles = shufflePartitionings(planOf(df))
+    assert(!shuffles.exists(s => s.contains("__term") || s.contains("term#")),
+      s"term strings must die before the exchange: $shuffles")
+    // term-hash exchange + two tiny bin exchanges + window/sort singles
+    assert(shuffles.exists(s => s.contains("h#") || s.contains("_groupingexpression")),
+      s"expected the term-hash-keyed exchange: $shuffles")
+  }
+
+  test("llm58: fertility is map-only into one two-phase (source,bucket) aggregate") {
+    val s = planString("llm58_bpe_fertility")
+    assert(!s.contains("SortAggregate") && !s.contains("ObjectHashAggregate"),
+      s"the histogram must stay in codegen'd HashAggregate:\n$s")
+    assert(s.contains("partial_count") || "HashAggregate".r.findAllIn(s).size >= 2,
+      s"expected partial+final aggregates in:\n$s")
+    val df = Queries.byName("llm58_bpe_fertility")(spark, sfSmoke)
+    val shuffles = shufflePartitionings(planOf(df))
+    assert(shuffles.size <= 2, s"expected only the (source,bucket) agg + sort exchanges: $shuffles")
+  }
+
+  test("llm59/llm60: iterative ops return driver-assembled tiny frames — no residual exchange") {
+    Seq("llm59_domain_reweight", "llm60_kcenter_coreset").foreach { name =>
+      val df = Queries.byName(name)(spark, sfSmoke)
+      val p = planOf(df)
+      // the distributed work ran inside the operator's own jobs; the
+      // RESULT is k rows built driver-side — re-materializing it must
+      // not rescan or reshuffle anything
+      assert(shufflePartitionings(p).size <= 1, s"$name: unexpected exchanges in:\n$p")
+      assert(p.toString.contains("LocalTableScan"), s"$name: expected a local k-row result:\n$p")
+    }
+  }
 }

@@ -1279,4 +1279,59 @@ class LlmSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("<= 64"))
   }
+
+  test("vocabGrowth: per-bin new terms and cumulative vocab/token curves") {
+    val df = Seq((0L, "a b a"), (1L, "b c"), (2L, ""), (3L, "c d d")).toDF("id", "text")
+    val out = CorpusStats.vocabGrowth(df, col("id"), col("text"), binWidth = 2L)
+      .orderBy("checkpoint").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // bin ≤2 (docs 0,1): 5 tokens, new {a,b,c}=3; bin ≤4 (docs 2,3): 3 tokens, new {d}=1
+    assert(out.toSeq == Seq((2L, 3L, 5L, 3L, 5L), (4L, 1L, 3L, 4L, 8L)))
+  }
+
+  test("wordTokenCounts: per-word fertility under the merge table, in word order") {
+    val bpe = Tokenizer.fromMergesText("#version: 0.2\nt h\nth e")
+    val out = Seq("The cat", (null: String)).toDF("t")
+      .select(Tokenizer.wordTokenCounts(spark, bpe)(col("t")).as("c"))
+      .collect().map(r => r.getSeq[Int](0))
+    assert(out(0) == Seq(1, 3)) // "the" merges t+h, th+e → 1 token; "cat" stays 3 chars
+    assert(out(1).isEmpty)      // null text → empty counts, not a crash
+  }
+
+  test("domainReweight concentrates weight on the high-loss domain; iters=0 stays uniform") {
+    val df = (Seq.fill(4)(("easy", 100000L)) ++ Seq.fill(4)(("hard", 900000L)))
+      .toDF("src", "lq")
+    val w = Sampling.domainReweight(df, col("src"), col("lq"), iters = 8)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (easy, hard) = (w(0), w(1))
+    assert(easy._1 == "easy" && hard._1 == "hard")
+    assert(easy._2 == 4L && easy._3 == 100000L && hard._3 == 900000L)
+    assert(hard._4 > easy._4, s"hard domain must gain weight: $hard vs $easy")
+    // normalization holds to within integer-floor slack each round
+    assert(easy._4 + hard._4 <= 1000000000L && easy._4 + hard._4 >= 999999990L)
+    val u = Sampling.domainReweight(df, col("src"), col("lq"), iters = 0)
+      .orderBy("source").collect().map(_.getLong(3))
+    assert(u.toSeq == Seq(500000000L, 500000000L))
+    // out-of-range loss fails loudly, not silently overflowing the lattice
+    val bad = Seq(("x", 2000000L)).toDF("src", "lq")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.domainReweight(bad, col("src"), col("lq"), iters = 1)
+    }
+    assert(e2.getMessage.contains("quantized range"))
+  }
+
+  test("kCenter: farthest-first selection with exact lattice distances and id tie-breaks") {
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(0.1f, 0.0f)),
+      (3L, Array(1.0f, 1.0f)),
+      (4L, Array(0.5f, 0.5f))).toDF("id", "vec")
+    val out = Clustering.kCenter(df, col("id"), col("vec"), dims = 2, k = 3)
+      .orderBy("sel_round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // seed = min id (1); round 1 = farthest from it (3, 2·10¹²);
+    // round 2 = max-min over {1,3} → 4 at (5·10⁵)²·2
+    assert(out.toSeq == Seq((0, 1L, 0L), (1, 3L, 2000000000000L), (2, 4L, 500000000000L)))
+  }
 }
