@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
 object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-                        q13, q14, q15, q16)
+                        q13, q14, q15, q16, q17, q18)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -471,4 +471,63 @@ object QueriesRelational {
            |FROM tg JOIN r ON r.g = tg.g AND r.rk = tg.target
            |ORDER BY tg.g, tg.q_name""".stripMargin),
     cleanup = Some(_ => q16Slot.drain()))
+
+  /** Gap-based batch sessionization (operators.Sessions.sessionize):
+    * per-user sessions split at >4 h of inactivity, one row per
+    * session with bounds and event count. The boundary lag and the
+    * running session index stack on ONE (user) exchange + sort; the
+    * rollup's map-side combine collapses event grain to session grain
+    * before its shuffle. The oracle replays the identical two-window
+    * + aggregate plan. */
+  private def q17 = Q("q17_sessionize",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.Sessions.sessionize(ev, col("user_id"), col("ts_us"),
+          col("event_id"), gapUs = 14400000000L)
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id FROM events),
+        |b AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 14400000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM b)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       count(*) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |       max(ts_us) - min(ts_us) AS duration_us
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin))
+
+  /** Cohort retention matrix (operators.Sessions.cohortRetention):
+    * users grouped by first-active day, counted on each later active
+    * day. Days are epoch-day integers end to end; activity first
+    * collapses to the (user, day) distinct grain, so the final
+    * (cohort, offset) aggregate is bounded by days² regardless of
+    * event volume. */
+  private def q18 = Q("q18_cohort_retention",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        // integer DIV — a double `/` quotient is exact only below 2^53
+        .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+      graft.operators.Sessions.cohortRetention(ev, col("user_id"), col("day"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some(
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 86400000000 AS d FROM events),
+        |c AS (
+        |  SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort_day FROM a)
+        |SELECT cohort_day, d - cohort_day AS day_offset, count(*) AS n_keys
+        |FROM c GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin))
 }

@@ -460,6 +460,27 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 2, s"expected only the (source,bucket) agg + sort exchanges: $shuffles")
   }
 
+  test("q17: boundary lag and running session index share ONE Window over one user exchange") {
+    val df = Queries.byName("q17_sessionize")(spark, sfSmoke)
+    val p = planOf(df)
+    val s = p.toString
+    // both window functions must evaluate in a single Window node —
+    // a second one would mean a second sort (or worse, exchange)
+    assert("Window".r.findAllIn(s).size <= 1 ||
+           s.linesIterator.count(_.trim.startsWith("Window")) <= 1,
+      s"expected one Window operator in:\n$s")
+    // exchanges: user window + (user, session) rollup + final sort
+    assert(shufflePartitionings(p).size <= 3,
+      s"expected at most 3 exchanges: ${shufflePartitionings(p)}")
+  }
+
+  test("q18: retention aggregates the (user, day) distinct grain — no event-grain joins") {
+    val s = planString("q18_cohort_retention")
+    assert(!s.contains("Join"), s"retention must be windows+aggregates, not a self-join:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      s"expected distinct + final aggregates in:\n$s")
+  }
+
   test("llm59/llm60: iterative ops return driver-assembled tiny frames — no residual exchange") {
     Seq("llm59_domain_reweight", "llm60_kcenter_coreset").foreach { name =>
       val df = Queries.byName(name)(spark, sfSmoke)
