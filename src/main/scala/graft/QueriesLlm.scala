@@ -15,7 +15,7 @@ object QueriesLlm {
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
-                        llm57, llm58, llm59, llm60)
+                        llm57, llm58, llm59, llm60, llm61)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2441,6 +2441,41 @@ object QueriesLlm {
          |       CAST(w AS DOUBLE) / 1e9 AS weight
          |FROM w8 ORDER BY source""".stripMargin
     })
+
+  /** Passage-dedup as a transformation (Dedup.scrubDuplicatePassages):
+    * rebuilds every document with corpus-duplicated 8-token passages
+    * removed, keep-first — llm21 measures this duplication, llm61
+    * actually scrubs it. Half the corpus is planted as +200000-id
+    * copies, so copies rebuild near-empty while originals survive
+    * intact; the oracle replays chunking, keeper choice, and the
+    * ORDER BY pos reassembly. */
+  private def llm61 = Q("llm61_passage_scrub",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val half = d.filter(col("doc_id") < 250)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      Dedup.scrubDuplicatePassages(d.unionByName(half), col("doc_id"), col("text"), size = 8)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH a AS (SELECT doc_id, text FROM documents
+            |           UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 250),
+            |t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM a),
+            |p AS (SELECT doc_id, unnest(range(1, len(toks)//8 + 1)) AS pos, toks FROM t),
+            |p2 AS (SELECT doc_id, pos, array_to_string(toks[(pos-1)*8+1:pos*8], ' ') AS passage FROM p),
+            |h AS (SELECT doc_id, pos, passage, ${Portable.duckHash64("passage")} AS hh FROM p2),
+            |st AS (SELECT hh, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper FROM h GROUP BY hh),
+            |k AS (SELECT doc_id, pos, passage, (nd < 2 OR doc_id = keeper) AS keep
+            |      FROM h JOIN st USING (hh)),
+            |r AS (SELECT doc_id,
+            |        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            |        CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+            |        coalesce(string_agg(CASE WHEN keep THEN passage END, ' ' ORDER BY pos), '') AS text_scrubbed
+            |      FROM k GROUP BY doc_id)
+            |SELECT a.doc_id, coalesce(n_kept, 0) AS n_kept,
+            |       coalesce(n_dropped, 0) AS n_dropped,
+            |       coalesce(text_scrubbed, '') AS text_scrubbed
+            |FROM a LEFT JOIN r USING (doc_id)
+            |ORDER BY a.doc_id""".stripMargin))
 
   /** Greedy k-center diversity coreset (Clustering.kCenter): 6
     * farthest-first centers over the embeddings — the coverage-

@@ -371,6 +371,51 @@ object Dedup {
           .otherwise(col("n_dup_passages").cast("double") / col("n_passages").cast("double")))
   }
 
+  /** Passage-level dedup as a TRANSFORMATION — Dolma's paragraph
+    * dedup completed: where [[passageDupStats]] only measures, this
+    * REBUILDS each document with its corpus-duplicated passages
+    * removed. Keep-first policy: a passage seen in ≥2 documents
+    * survives only in the lowest-id one (within-document repeats are
+    * not corpus duplication and always survive, matching the stats
+    * operator). Documents too short for any full passage rebuild to
+    * the empty string — chunking is lossy at the tail by contract.
+    *
+    * Scale shape: passages travel as 8-byte hashes into the
+    * document-frequency/keeper aggregate and join back hash-keyed;
+    * the only passage-STRING shuffle is the final per-document
+    * regroup, which carries exactly the output text. Reassembly is
+    * an array_sort(collect_list(struct(pos, passage))) — in-group
+    * data only, no window.
+    *
+    * Returns (doc_id, n_kept, n_dropped, text_scrubbed).
+    */
+  def scrubDuplicatePassages(df: DataFrame, idCol: Column, textCol: Column,
+                             size: Int): DataFrame = {
+    require(size >= 1, "passage size must be >= 1")
+    val base = df.select(idCol.as("doc_id"), tokens(textCol).as("__toks"))
+      .select(col("doc_id"), passages(col("__toks"), size).as("__ps"))
+    val inst = base
+      .select(col("doc_id"), posexplode(col("__ps")).as(Seq("pos", "passage")))
+      .select(col("doc_id"), col("pos"), col("passage"),
+        Portable.hash64(col("passage")).as("__h"))
+    val stats = inst.groupBy(col("__h"))
+      .agg(count_distinct(col("doc_id")).as("__nd"), min(col("doc_id")).as("__keeper"))
+    val kept = inst.join(stats, Seq("__h"))
+      .withColumn("__keep", col("__nd") < 2 || col("doc_id") === col("__keeper"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("pos"), col("passage"))))),
+          s => s.getField("passage"))).as("text_scrubbed"))
+    base.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+  }
+
   /** Per-document SLIDING-span duplication stats — the exact-substring
     * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
     * Makes Language Models Better") approximated at token-span

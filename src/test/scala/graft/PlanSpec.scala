@@ -481,6 +481,17 @@ class PlanSpec extends SparkSpec {
       s"expected distinct + final aggregates in:\n$s")
   }
 
+  test("llm61: scrub stats join is keyed on the 8-byte passage hash, never the passage text") {
+    val df = Queries.byName("llm61_passage_scrub")(spark, sfSmoke)
+    val shuffles = shufflePartitionings(planOf(df))
+    assert(shuffles.exists(s => s.contains("__h#") || s.contains("_groupingexpression")),
+      s"expected the passage-hash exchange: $shuffles")
+    // no exchange may KEY on the passage string — frequency stats and
+    // the join back ride the fixed-width hash
+    assert(!shuffles.exists(_.contains("passage#")),
+      s"exchange keyed on passage text: $shuffles")
+  }
+
   test("llm59/llm60: iterative ops return driver-assembled tiny frames — no residual exchange") {
     Seq("llm59_domain_reweight", "llm60_kcenter_coreset").foreach { name =>
       val df = Queries.byName(name)(spark, sfSmoke)

@@ -1280,6 +1280,22 @@ class LlmSpec extends SparkSpec {
     assert(e.getMessage.contains("<= 64"))
   }
 
+  test("scrubDuplicatePassages rebuilds docs keep-first; within-doc repeats survive") {
+    val df = Seq(
+      (1L, "a b c d"),     // passages "a b" / "c d"; keeper of "a b"
+      (2L, "a b x y"),     // loses "a b" to doc 1, keeps "x y"
+      (3L, "q"),           // too short for one passage → empty rebuild
+      (4L, "p q p q")).toDF("id", "text")
+    val out = Dedup.scrubDuplicatePassages(df, col("id"), col("text"), size = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 0L, "a b c d"),
+      (2L, 1L, 1L, "x y"),
+      (3L, 0L, 0L, ""),
+      (4L, 2L, 0L, "p q p q"))) // same-doc repetition is not corpus duplication
+  }
+
   test("vocabGrowth: per-bin new terms and cumulative vocab/token curves") {
     val df = Seq((0L, "a b a"), (1L, "b c"), (2L, ""), (3L, "c d d")).toDF("id", "text")
     val out = CorpusStats.vocabGrowth(df, col("id"), col("text"), binWidth = 2L)
