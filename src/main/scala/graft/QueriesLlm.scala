@@ -15,7 +15,7 @@ object QueriesLlm {
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
-                        llm57, llm58, llm59, llm60, llm61)
+                        llm57, llm58, llm59, llm60, llm61, llm62)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2414,33 +2414,70 @@ object QueriesLlm {
       Sampling.domainReweight(d, col("source"), lq, iters = 8)
         .orderBy(col("source"))
     },
-    Some {
-      val S = "1000000000"
-      // each stage references ONLY its predecessor, and exactly once,
-      // with window aggregates instead of scalar subqueries: DuckDB
-      // inlines (does not materialize) CTEs, so a stage referencing
-      // its predecessor twice expands the tree 2^iters-fold — at 8
-      // rounds that is 65k scans of `documents` and an fd blowout
-      val iterCtes = (1 to 8).map { i =>
-        val p = if (i == 1) "w0" else s"w${i - 1}"
-        s"""u$i AS (SELECT source, n_docs, ell,
-           |          w * ($S + (ell - sum(w * ell) OVER () // $S) * 100) // $S AS u FROM $p),
-           |w$i AS (SELECT source, n_docs, ell,
-           |          u * $S // sum(u) OVER () AS w FROM u$i)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH qd AS (SELECT source,
-         |    1000000 - CAST(floor(((CAST(least(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)), 64) AS DOUBLE) / 64.0)
-         |      * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-         |               / CAST(greatest(length(text), 1) AS DOUBLE))) * 1e6) AS BIGINT) AS lq
-         |  FROM documents),
-         |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |        CAST(sum(lq) // count(*) AS BIGINT) AS ell FROM qd GROUP BY source),
-         |w0 AS (SELECT source, n_docs, ell, $S // count(*) OVER () AS w FROM d),
-         |$iterCtes
-         |SELECT source, n_docs, ell AS loss_q, CAST(w AS BIGINT) AS weight_q,
-         |       CAST(w AS DOUBLE) / 1e9 AS weight
-         |FROM w8 ORDER BY source""".stripMargin
-    })
+    Some(s"""WITH $duckDomainWeightCtes
+            |SELECT source, n_docs, ell AS loss_q, CAST(w AS BIGINT) AS weight_q,
+            |       CAST(w AS DOUBLE) / 1e9 AS weight
+            |FROM w8 ORDER BY source""".stripMargin))
+
+  /** The DuckDB replay of Sampling.domainReweight's 8
+    * multiplicative-weights rounds over per-source quality deficit —
+    * CTEs ending in `qd(doc_id, source, q6, lq)` and
+    * `w8(source, n_docs, ell, w)`; shared by llm59 (the weights) and
+    * llm62 (the schedule built FROM the weights). Each stage
+    * references ONLY its predecessor, and exactly once, with window
+    * aggregates instead of scalar subqueries: DuckDB inlines (does
+    * not materialize) CTEs, so a stage referencing its predecessor
+    * twice expands the tree 2^iters-fold — at 8 rounds that is 65k
+    * scans of `documents` and an fd blowout. */
+  private def duckDomainWeightCtes: String = {
+    val S = "1000000000"
+    val iterCtes = (1 to 8).map { i =>
+      val p = if (i == 1) "w0" else s"w${i - 1}"
+      s"""u$i AS (SELECT source, n_docs, ell,
+         |          w * ($S + (ell - sum(w * ell) OVER () // $S) * 100) // $S AS u FROM $p),
+         |w$i AS (SELECT source, n_docs, ell,
+         |          u * $S // sum(u) OVER () AS w FROM u$i)""".stripMargin
+    }.mkString(",\n")
+    s"""qd AS (SELECT doc_id, source, q6, 1000000 - q6 AS lq FROM (
+       |    SELECT doc_id, source,
+       |      CAST(floor(((CAST(least(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)), 64) AS DOUBLE) / 64.0)
+       |        * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |                 / CAST(greatest(length(text), 1) AS DOUBLE))) * 1e6) AS BIGINT) AS q6
+       |    FROM documents)),
+       |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(lq) // count(*) AS BIGINT) AS ell FROM qd GROUP BY source),
+       |w0 AS (SELECT source, n_docs, ell, $S // count(*) OVER () AS w FROM d),
+       |$iterCtes""".stripMargin
+  }
+
+  /** Curriculum schedule (Curation.curriculumSchedule): llm59's
+    * DoReMi weights turned into an actual TRAINING ORDER — quality
+    * rank within source (one source-hash window), stride-scheduled
+    * interleave across sources (rank·S/w in the overflow-free
+    * (rank DIV w)·S + ((rank MOD w)·S) DIV w form), global order by
+    * range-partitioned sort. The oracle rebuilds the identical weight
+    * pyramid, then replays rank + stride arithmetic. */
+  private def llm62 = Q("llm62_curriculum_schedule",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val q6 = floor(TextAnalysis.qualityScore(col("text")) * lit(1e6)).cast("long")
+      val weights = Sampling.domainReweight(d, col("source"), lit(1000000L) - q6, iters = 8)
+        .select(col("source"), col("weight_q"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Curation.curriculumSchedule(d.select(col("doc_id"), col("source"), q6.as("q6")),
+          col("doc_id"), col("source"), col("q6"), weights)
+        .orderBy(col("position"), col("source"), col("rank_in_source"))
+    },
+    Some(s"""WITH $duckDomainWeightCtes,
+            |r AS (SELECT doc_id, source, q6,
+            |        CAST(row_number() OVER (PARTITION BY source ORDER BY q6 DESC, doc_id) AS BIGINT) AS rank_in_source
+            |      FROM qd),
+            |j AS (SELECT r.doc_id, r.source, r.rank_in_source, w8.w
+            |      FROM r JOIN w8 USING (source))
+            |SELECT doc_id, source, rank_in_source,
+            |  CAST((rank_in_source // w) * 1000000000
+            |       + (rank_in_source % w) * 1000000000 // w AS BIGINT) AS position
+            |FROM j ORDER BY position, source, rank_in_source""".stripMargin))
 
   /** Passage-dedup as a transformation (Dedup.scrubDuplicatePassages):
     * rebuilds every document with corpus-duplicated 8-token passages

@@ -247,4 +247,52 @@ object Curation {
     }
     flagged.agg(count(lit(1)).as("n_docs"), aggs: _*)
   }
+
+  /** Curriculum schedule: turn per-source mixture weights (e.g.
+    * [[Sampling.domainReweight]]'s output) into an actual TRAINING
+    * ORDER — high-quality docs first within each source, sources
+    * interleaved proportionally to their weights by stride
+    * scheduling (the lottery/stride-scheduler arithmetic): the
+    * in-source rank-r doc of source s takes virtual position
+    * ⌊r·S/wₛ⌋, so a double-weight source appears twice as often in
+    * any prefix of the schedule. Reading the output in (position,
+    * source, rank) order IS the curriculum.
+    *
+    * Exactness without overflow: r·S can pass 2⁶³ at corpus scale
+    * (10¹⁰ docs × 10⁹ scale), so the position is computed as the
+    * algebraically identical (r DIV w)·S + ((r MOD w)·S) DIV w —
+    * every factor stays under 2⁶³ for w ≤ S. All integer, so any
+    * engine replays the schedule bit-for-bit.
+    *
+    * Spark shape: ONE source-hash window for the quality rank, a
+    * literal CASE chain for the k weights (no join — the weight
+    * table is domain-count sized), and the caller's ORDER BY is a
+    * range-partitioned sort. Unknown sources raise; weights must be
+    * positive (a zero weight divides by zero — and DuckDB and Spark
+    * disagree on what that means).
+    */
+  def curriculumSchedule(docs: DataFrame, idCol: Column, sourceCol: Column,
+                         qualityQCol: Column,
+                         weights: Map[String, Long],
+                         scale: Long = 1000000000L): DataFrame = {
+    require(weights.nonEmpty, "need at least one source weight")
+    require(weights.values.forall(w => w > 0 && w <= scale),
+      s"weights must be in (0, $scale]: $weights")
+    import org.apache.spark.sql.expressions.Window
+    val wcol = weights.foldLeft(lit(null).cast("long")) { case (acc, (s, w)) =>
+      when(sourceCol === lit(s), lit(w)).otherwise(acc)
+    }
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+    docs
+      .select(idCol.as("doc_id"), sourceCol.as("source"),
+        qualityQCol.cast("long").as("q"),
+        when(wcol.isNull,
+          raise_error(concat(lit("no weight for source "), sourceCol)).cast("long"))
+          .otherwise(wcol).as("__w"))
+      .withColumn("rank_in_source", row_number().over(win).cast("long"))
+      .select(col("doc_id"), col("source"), col("rank_in_source"),
+        (expr(s"rank_in_source DIV __w") * lit(scale) +
+          expr(s"(rank_in_source % __w) * CAST($scale AS BIGINT) DIV __w")).as("position"))
+  }
 }

@@ -492,6 +492,15 @@ class PlanSpec extends SparkSpec {
       s"exchange keyed on passage text: $shuffles")
   }
 
+  test("llm62: schedule is one source window + literal weights — no weight-table join") {
+    val df = Queries.byName("llm62_curriculum_schedule")(spark, sfSmoke)
+    val p = planOf(df)
+    val s = p.toString
+    assert(!s.contains("Join"), s"weights must ride a literal CASE chain, not a join:\n$s")
+    assert(s.linesIterator.count(_.trim.startsWith("Window")) <= 1,
+      s"expected one source-rank Window in:\n$s")
+  }
+
   test("llm59/llm60: iterative ops return driver-assembled tiny frames — no residual exchange") {
     Seq("llm59_domain_reweight", "llm60_kcenter_coreset").foreach { name =>
       val df = Queries.byName(name)(spark, sfSmoke)

@@ -1337,6 +1337,30 @@ class LlmSpec extends SparkSpec {
     assert(e2.getMessage.contains("quantized range"))
   }
 
+  test("curriculumSchedule stride-interleaves sources by weight; quality ranks within source") {
+    val docs = Seq(
+      (1L, "a", 90L), (2L, "a", 50L), (3L, "a", 70L),
+      (4L, "b", 99L), (5L, "b", 10L)).toDF("id", "src", "q")
+    val out = Curation.curriculumSchedule(docs, col("id"), col("src"), col("q"),
+        weights = Map("a" -> 1000000000L, "b" -> 500000000L))
+      .orderBy("position", "source", "rank_in_source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // a ranks by q desc: 1(90),3(70),2(50) at stride 1; b: 4(99),5(10) at stride 2
+    assert(out.toSeq == Seq(
+      (1L, "a", 1L, 1L), (3L, "a", 2L, 2L), (4L, "b", 1L, 2L),
+      (2L, "a", 3L, 3L), (5L, "b", 2L, 4L)))
+    // a doc from a source without a weight fails loudly
+    val e = intercept[Exception] {
+      Curation.curriculumSchedule(Seq((9L, "zz", 1L)).toDF("id", "src", "q"),
+        col("id"), col("src"), col("q"), Map("a" -> 1L)).collect()
+    }
+    assert(e.getMessage.contains("no weight") || e.getCause.getMessage.contains("no weight"))
+    // zero / oversized weights are rejected before any job runs
+    intercept[IllegalArgumentException] {
+      Curation.curriculumSchedule(docs, col("id"), col("src"), col("q"), Map("a" -> 0L))
+    }
+  }
+
   test("kCenter: farthest-first selection with exact lattice distances and id tie-breaks") {
     val df = Seq(
       (1L, Array(0.0f, 0.0f)),
