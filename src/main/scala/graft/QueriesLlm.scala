@@ -15,7 +15,7 @@ object QueriesLlm {
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
-                        llm57, llm58, llm59, llm60, llm61, llm62)
+                        llm57, llm58, llm59, llm60, llm61, llm62, llm63)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2512,6 +2512,52 @@ object QueriesLlm {
             |       coalesce(n_dropped, 0) AS n_dropped,
             |       coalesce(text_scrubbed, '') AS text_scrubbed
             |FROM a LEFT JOIN r USING (doc_id)
+            |ORDER BY a.doc_id""".stripMargin))
+
+  /** Sliding-span dedup as a transformation
+    * (Dedup.scrubDuplicateSpans): Lee et al.'s exact-substring
+    * REMOVAL — llm31 measures offset-shifted duplication, llm63
+    * scrubs it. The planted duplicates are character-offset SUFFIX
+    * copies (llm31's construction), invisible to aligned-chunk
+    * scrubbing but covered token-for-token here; keep-first leaves
+    * the originals intact. The oracle replays the position explode,
+    * keeper choice, rows-frame coverage window, and ordered
+    * reassembly. */
+  private def llm63 = Q("llm63_span_scrub",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val tails = d.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          substring(col("text"), 101, 1000000).as("text"))
+      Dedup.scrubDuplicateSpans(d.unionByName(tails), col("doc_id"), col("text"), n = 8)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH a AS (SELECT doc_id, text FROM documents
+            |           UNION ALL SELECT doc_id + 300000, substr(text, 101, 1000000)
+            |           FROM documents WHERE doc_id < 100),
+            |t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM a),
+            |pos AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS p, toks FROM t),
+            |rws AS (SELECT doc_id, p, toks[p] AS tok,
+            |          CASE WHEN p + 7 <= len(toks)
+            |               THEN ${Portable.duckHash64("array_to_string(toks[p:p+7], ' ')")} END AS hh
+            |        FROM pos),
+            |st AS (SELECT hh, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper
+            |       FROM rws WHERE hh IS NOT NULL GROUP BY hh),
+            |f AS (SELECT r.doc_id, r.p, r.tok,
+            |        CASE WHEN st.nd >= 2 AND r.doc_id <> st.keeper THEN 1 ELSE 0 END AS ds
+            |      FROM rws r LEFT JOIN st USING (hh)),
+            |cov AS (SELECT doc_id, p, tok,
+            |          max(ds) OVER (PARTITION BY doc_id ORDER BY p
+            |                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c
+            |        FROM f),
+            |r2 AS (SELECT doc_id, count(*) AS n_tokens,
+            |         CAST(sum(c) AS BIGINT) AS n_removed,
+            |         coalesce(string_agg(CASE WHEN c = 0 THEN tok END, ' ' ORDER BY p), '') AS text_scrubbed
+            |       FROM cov GROUP BY doc_id)
+            |SELECT a.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+            |       coalesce(n_removed, 0) AS n_removed,
+            |       coalesce(text_scrubbed, '') AS text_scrubbed
+            |FROM a LEFT JOIN r2 USING (doc_id)
             |ORDER BY a.doc_id""".stripMargin))
 
   /** Greedy k-center diversity coreset (Clustering.kCenter): 6

@@ -371,6 +371,71 @@ object Dedup {
           .otherwise(col("n_dup_passages").cast("double") / col("n_passages").cast("double")))
   }
 
+  /** Sliding-span dedup as a TRANSFORMATION — the Lee et al. 2022
+    * exact-substring REMOVAL at token-span granularity, completing
+    * what [[spanDupStats]] measures and catching the offset-shifted
+    * duplication [[scrubDuplicatePassages]]' aligned chunks
+    * structurally miss: in every non-keeper document, each token
+    * covered by ANY length-`n` span that also occurs in another
+    * document is removed, and the survivors are rejoined in order.
+    * Keep-first: the lowest-id document containing a span never
+    * scrubs it.
+    *
+    * Scale shape: ONE position explode per document (the span hash is
+    * computed in the projection — no span-string array exists), span
+    * frequency/keeper stats and the join back ride 8-byte hashes,
+    * coverage is a rows-frame max over ONE doc-hash window (a token
+    * is covered iff a duplicated span STARTS within the previous n−1
+    * positions), and the rebuild regroups per document. Token strings
+    * move only in the window/regroup exchange that carries the
+    * output.
+    *
+    * Returns (doc_id, n_tokens, n_removed, text_scrubbed); documents
+    * shorter than `n` tokens pass through whitespace-normalized.
+    */
+  def scrubDuplicateSpans(df: DataFrame, idCol: Column, textCol: Column,
+                          n: Int): DataFrame = {
+    require(n >= 1, "span size must be >= 1")
+    val base = df.select(idCol.as("doc_id"), tokens(textCol).as("__toks"))
+    // one row per TOKEN position; a span hash only where a full span
+    // starts (positions beyond len-n+1 carry a null hash)
+    val rows = base
+      .select(col("doc_id"), col("__toks"),
+        explode_outer(when(size(col("__toks")) >= 1,
+            sequence(lit(1), size(col("__toks"))))
+          .otherwise(array().cast("array<int>"))).as("__p"))
+      .filter(col("__p").isNotNull)
+      .select(col("doc_id"), col("__p"),
+        element_at(col("__toks"), col("__p")).as("__tok"),
+        when(col("__p") + (n - 1) <= size(col("__toks")),
+          Portable.hash64(concat_ws(" ", slice(col("__toks"), col("__p"), lit(n)))))
+          .as("__h"))
+    val stats = rows.filter(col("__h").isNotNull)
+      .groupBy(col("__h"))
+      .agg(count_distinct(col("doc_id")).as("__nd"), min(col("doc_id")).as("__keeper"))
+    val flagged = rows.join(stats, Seq("__h"), "left")
+      .select(col("doc_id"), col("__p"), col("__tok"),
+        when(col("__nd") >= 2 && col("doc_id") =!= col("__keeper"), 1L)
+          .otherwise(0L).as("__ds"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("__p"))
+      .rowsBetween(-(n - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    val rebuilt = flagged
+      .withColumn("__cov", max(col("__ds")).over(win))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__cov")).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__cov") === 0L,
+            struct(col("__p"), col("__tok"))))),
+          s => s.getField("__tok"))).as("text_scrubbed"))
+    base.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+  }
+
   /** Passage-level dedup as a TRANSFORMATION — Dolma's paragraph
     * dedup completed: where [[passageDupStats]] only measures, this
     * REBUILDS each document with its corpus-duplicated passages

@@ -492,6 +492,16 @@ class PlanSpec extends SparkSpec {
       s"exchange keyed on passage text: $shuffles")
   }
 
+  test("llm63: span-scrub frequency stats ride the 8-byte span hash; one coverage Window") {
+    val df = Queries.byName("llm63_span_scrub")(spark, sfSmoke)
+    val p = planOf(df)
+    val shuffles = shufflePartitionings(p)
+    assert(!shuffles.exists(s => s.contains("__tok#") || s.contains("text#")),
+      s"no exchange may key on token/text strings: $shuffles")
+    assert(p.toString.linesIterator.count(_.trim.startsWith("Window")) <= 1,
+      s"expected one coverage Window in:\n$p")
+  }
+
   test("llm62: schedule is one source window + literal weights — no weight-table join") {
     val df = Queries.byName("llm62_curriculum_schedule")(spark, sfSmoke)
     val p = planOf(df)

@@ -1296,6 +1296,21 @@ class LlmSpec extends SparkSpec {
       (4L, 2L, 0L, "p q p q"))) // same-doc repetition is not corpus duplication
   }
 
+  test("scrubDuplicateSpans removes covered tokens in non-keeper docs; short docs pass through") {
+    val df = Seq(
+      (1L, "a b c d e"),    // keeper of every shared span
+      (2L, "x a b c d y"),  // dup spans start at 2 (a b c) and 3 (b c d)
+      (3L, "t u")).toDF("id", "text") // shorter than n → normalized pass-through
+    val out = Dedup.scrubDuplicateSpans(df, col("id"), col("text"), n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 2: starts {2,3} cover positions 2..5 → "a b c d" removed
+    assert(out.toSeq == Seq(
+      (1L, 5L, 0L, "a b c d e"),
+      (2L, 6L, 4L, "x y"),
+      (3L, 2L, 0L, "t u")))
+  }
+
   test("vocabGrowth: per-bin new terms and cumulative vocab/token curves") {
     val df = Seq((0L, "a b a"), (1L, "b c"), (2L, ""), (3L, "c d d")).toDF("id", "text")
     val out = CorpusStats.vocabGrowth(df, col("id"), col("text"), binWidth = 2L)
