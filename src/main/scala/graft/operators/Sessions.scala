@@ -10,7 +10,10 @@ import org.apache.spark.sql.expressions.Window
   * table feeds directly. (The STREAMING twins live in
   * [[graft.streaming.StreamingOps]]: `sessionCounts` windows the live
   * stream with watermark state; these are the replay/backfill forms
-  * over the delivered history.)
+  * over the delivered history. The gap rule is `diff <= gap` — the
+  * same closed-boundary semantics as Spark's `session_window`, so a
+  * batch backfill reproduces the live stream's sessions verbatim;
+  * StreamingSpec's parity test pins this.)
   *
   * Both are pure integer/window algebra — no UDFs, no driver state —
   * so any engine replays them bit-for-bit.

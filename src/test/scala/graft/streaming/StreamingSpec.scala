@@ -229,6 +229,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionCounts backfill parity: streaming sessions equal batch Sessions.sessionize") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // session_window's windows are CLOSED at the gap boundary: events
+    // exactly `gap` apart still merge — the same `diff <= gap` rule
+    // the batch operator uses, so the gaps line up verbatim
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (t("2024-01-01 10:00:00"), "a"), (t("2024-01-01 10:00:59"), "a"),
+      (t("2024-01-01 10:01:59"), "a"),   // 60 s exactly → MERGES in both
+      (t("2024-01-01 10:03:00"), "a"),
+      (t("2024-01-01 10:00:10"), "b"), (t("2024-01-01 10:01:09"), "b"),
+      // per-key flush far ahead: closes every earlier session
+      (t("2024-01-01 11:00:00"), "a"), (t("2024-01-01 11:00:00"), "b"))
+
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "dest")
+    val q = StreamingOps.sessionCounts(df, "ts", "dest", "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("sess_parity").outputMode("append").start()
+    val streamed = try {
+      input.addData(events.take(6)); q.processAllAvailable()
+      input.addData(events.drop(6)); q.processAllAvailable()
+      spark.table("sess_parity")
+        .collect().map(r => (r.getString(2), r.getTimestamp(0).getTime * 1000, r.getLong(3))).toSet
+    } finally q.stop()
+
+    val batch = graft.operators.Sessions.sessionize(
+        events.toDF("ts", "dest").select(col("dest"),
+          unix_micros(col("ts")).as("ts_us"), monotonically_increasing_id().as("id")),
+        col("dest"), col("ts_us"), col("id"), gapUs = 60000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // streaming emits only watermark-closed sessions — drop each key's
+    // open last (flush) session from the batch side before comparing
+    val lastIdx = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batchClosed = batch.filter { case (k, i, _, _) => i != lastIdx(k) }
+      .map { case (k, _, n, start) => (k, start, n) }.toSet
+    assert(streamed == batchClosed, s"stream $streamed vs batch $batchClosed")
+  }
+
   test("dedupExactStream drops in-batch and cross-batch duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
