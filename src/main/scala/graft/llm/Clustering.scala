@@ -118,20 +118,31 @@ object Clustering {
     *    per-partition top-1 then a k-way driver merge, never a global
     *    sort;
     *  - one vector hops the driver per round (dims longs — the
-    *    justified-collect pattern), and `tracker` materializes the
-    *    projected base once so k rounds re-read persisted blocks.
+    *    justified-collect pattern), and the running min-distance
+    *    frame is materialized per round with the superseded round
+    *    released, so each round is ONE distance pass over persisted
+    *    blocks (stacked lazy selects would re-run every prior pass
+    *    under each argmax — O(k²·n)).
     *
     * Distances are exact int64 squared-L2 on the `floor(x·10⁶)`
     * lattice, so an oracle replays the greedy selection bit-for-bit.
-    * Returns the k selected centers: (sel_round int, vec_id long,
+    * Returns the selected centers: (sel_round int, vec_id long,
     * dist_q long) where dist_q is the point's min-distance at
-    * selection time (0 for the seed).
+    * selection time (0 for the seed). Selection STOPS EARLY when the
+    * coverage radius hits 0 — fewer than k distinct vectors — rather
+    * than silently re-selecting centers; wrong-width vectors are
+    * filtered up front, null-element vectors drop at the distance.
     */
   def kCenter(df: DataFrame, idCol: Column, vecCol: Column,
               dims: Int, k: Int,
               tracker: Option[Materialize.Tracker] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // width guard BEFORE the seed pick: a malformed lowest-id vector
+    // would otherwise crash the plan build instead of dropping like
+    // every other invalid vector (null elements still null out in the
+    // distance expression below)
     val base0 = df.select(idCol.cast("long").as("vec_id"), vecCol.as("vec"))
+      .filter(size(col("vec")) === dims)
     val base = tracker.map(t => t.track(Materialize.eager(base0))).getOrElse(base0)
 
     val seedRow = base.orderBy(col("vec_id")).limit(1).select(col("vec_id"), col("vec"))
@@ -142,20 +153,37 @@ object Clustering {
     def distTo(center: Seq[Long]): Column =
       graft.functions.NearestCentroid(col("vec"), Seq(center), dims).getField("qdist")
 
-    // running min-distance frame; invalid vectors (wrong width / null
-    // element) yield a null distance and drop — same guard as k-means
-    var cur = base.select(col("vec_id"), col("vec"),
+    // running min-distance frame, MATERIALIZED each round and the
+    // superseded round released (the superstep protocol) — stacking
+    // unmaterialized selects would re-evaluate every prior round's
+    // distance pass under each argmax, O(k²·n) instead of O(k·n)
+    var cur = Materialize.eager(base.select(col("vec_id"), col("vec"),
         distTo(quantize(seedRow.get(1))).as("md"))
-      .filter(col("md").isNotNull)
-    for (r <- 1 until k) {
-      val top = cur.orderBy(col("md").desc, col("vec_id").asc)
-        .limit(1).collect().headOption
-        .getOrElse(throw new IllegalArgumentException("corpus has no valid vectors"))
-      selected += ((r, top.getLong(0), top.getLong(2)))
-      if (r < k - 1) // the last selection needs no distance refresh
-        cur = cur.select(col("vec_id"), col("vec"),
-          least(col("md"), distTo(quantize(top.get(1)))).as("md"))
-    }
+      .filter(col("md").isNotNull))
+    try {
+      var r = 1
+      var exhausted = false
+      while (r < k && !exhausted) {
+        val top = cur.orderBy(col("md").desc, col("vec_id").asc)
+          .limit(1).collect().headOption
+          .getOrElse(throw new IllegalArgumentException("corpus has no valid vectors"))
+        if (top.getLong(2) == 0L) {
+          // coverage radius 0: every remaining point coincides with a
+          // selected center (fewer than k distinct vectors) — more
+          // "centers" would silently duplicate rows, so stop short
+          exhausted = true
+        } else {
+          selected += ((r, top.getLong(0), top.getLong(2)))
+          if (r < k - 1) { // the last selection needs no distance refresh
+            val next = Materialize.eager(cur.select(col("vec_id"), col("vec"),
+              least(col("md"), distTo(quantize(top.get(1)))).as("md")))
+            Materialize.release(cur)
+            cur = next
+          }
+          r += 1
+        }
+      }
+    } finally Materialize.release(cur)
     val spark = df.sparkSession
     import spark.implicits._
     selected.toSeq.toDF("sel_round", "vec_id", "dist_q")

@@ -44,19 +44,28 @@ object CorpusStats {
   def vocabGrowth(df: DataFrame, idCol: Column, textCol: Column,
                   binWidth: Long): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
-    val exploded = df
-      .select(idCol.cast("long").as("doc_id"), TextAnalysis.tokens(textCol).as("__toks"))
+    val base = df.select(idCol.cast("long").as("doc_id"),
+      TextAnalysis.tokens(textCol).as("__toks"))
+    // `%` (remainder, dividend sign — truncation semantics) on BOTH
+    // engines, NOT pmod: pmod's floor semantics diverge from SQL `//`
+    // on negative ids, and doc ids are the caller's domain
+    val bin = (c: Column) => (c - c % lit(binWidth) + lit(binWidth)).as("checkpoint")
+
+    val firstSeen = base
       .select(col("doc_id"), explode(col("__toks")).as("__term"))
       // hash BEFORE any shuffle: the term string dies inside the scan
       // stage's projection and only the 8-byte key moves
       .select(col("doc_id"), Portable.hash64(col("__term")).as("h"))
-    val bin = (c: Column) => (c - pmod(c, lit(binWidth)) + lit(binWidth)).as("checkpoint")
-
-    val firstSeen = exploded.groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
     val newPerBin = firstSeen.groupBy(bin(col("fd")))
       .agg(count(lit(1)).as("n_new_terms"))
-    val tokPerBin = exploded.groupBy(bin(col("doc_id")))
-      .agg(count(lit(1)).as("n_tokens"))
+    // token counts need only the DOC grain — no second explode over
+    // the corpus; sum of per-doc sizes equals the per-token count
+    val tokPerBin = base
+      .select(bin(col("doc_id")), size(col("__toks")).cast("long").as("__nt"))
+      .groupBy(col("checkpoint"))
+      .agg(sum(col("__nt")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
 
     // every bin with a new term has tokens (a first appearance IS a
     // token), so tokPerBin's bin set is the superset — left join

@@ -401,10 +401,11 @@ object Dedup {
     // starts (positions beyond len-n+1 carry a null hash)
     val rows = base
       .select(col("doc_id"), col("__toks"),
-        explode_outer(when(size(col("__toks")) >= 1,
+        // plain explode: the empty-array branch emits nothing, and the
+        // final left join restores empty/null docs
+        explode(when(size(col("__toks")) >= 1,
             sequence(lit(1), size(col("__toks"))))
           .otherwise(array().cast("array<int>"))).as("__p"))
-      .filter(col("__p").isNotNull)
       .select(col("doc_id"), col("__p"),
         element_at(col("__toks"), col("__p")).as("__tok"),
         when(col("__p") + (n - 1) <= size(col("__toks")),

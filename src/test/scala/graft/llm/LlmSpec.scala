@@ -1389,4 +1389,22 @@ class LlmSpec extends SparkSpec {
     // round 2 = max-min over {1,3} → 4 at (5·10⁵)²·2
     assert(out.toSeq == Seq((0, 1L, 0L), (1, 3L, 2000000000000L), (2, 4L, 500000000000L)))
   }
+
+  test("kCenter stops early at coverage radius 0 and filters malformed vectors up front") {
+    // only 2 distinct vectors but k=4 — duplicates must NOT re-select
+    val dup = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val out = Clustering.kCenter(dup, col("id"), col("vec"), dims = 2, k = 4)
+      .orderBy("sel_round").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0, 1L), (1, 3L))) // radius hits 0 after 2 centers
+    // a wrong-width LOWEST-ID vector drops instead of crashing the seed
+    val malformed = Seq(
+      (1L, Array(9.9f)),               // wrong dims — filtered
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f))).toDF("id", "vec")
+    val out2 = Clustering.kCenter(malformed, col("id"), col("vec"), dims = 2, k = 2)
+      .orderBy("sel_round").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out2.toSeq == Seq((0, 2L), (1, 3L)))
+  }
 }
