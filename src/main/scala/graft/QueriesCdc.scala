@@ -16,7 +16,7 @@ import graft.operators.{ApplyChanges, EventShaping, SmtFactory}
 object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
-                        cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20)
+                        cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -857,6 +857,154 @@ object QueriesCdc {
             |WHERE rn = 1 AND op <> 'd'
             |ORDER BY user_id""".stripMargin),
     prepare = Some((s, dir) => { cdc20Db(s, dir); () }))
+
+  /** Minimal protobuf writer for cdc21's VStreamResponse fixture —
+    * the public `binlogdata.proto` shapes [[graft.sources.cdc.VStreamDecoder]]
+    * decodes (same builders as VStreamSpec, here for the
+    * oracle-query fixture). */
+  private object VsProto {
+    import java.io.ByteArrayOutputStream
+    import java.nio.charset.StandardCharsets
+    private def varint(out: ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    private def tag(out: ByteArrayOutputStream, field: Int, wire: Int): Unit =
+      varint(out, (field.toLong << 3) | wire)
+    private def lenDelim(out: ByteArrayOutputStream, field: Int, bytes: Array[Byte]): Unit = {
+      tag(out, field, 2); varint(out, bytes.length); out.write(bytes)
+    }
+    private def str(out: ByteArrayOutputStream, field: Int, s: String): Unit =
+      lenDelim(out, field, s.getBytes(StandardCharsets.UTF_8))
+    private def vint(out: ByteArrayOutputStream, field: Int, v: Long): Unit = {
+      tag(out, field, 0); varint(out, v)
+    }
+    private def msg(f: ByteArrayOutputStream => Unit): Array[Byte] = {
+      val out = new ByteArrayOutputStream(); f(out); out.toByteArray
+    }
+    private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+    def field(name: String, isKey: Boolean): Array[Byte] = msg { o =>
+      str(o, 1, name); vint(o, 2, 265)
+      if (isKey) vint(o, 10, graft.sources.cdc.VStreamDecoder.PriKeyFlag)
+    }
+    def row(values: Seq[Option[String]]): Array[Byte] = msg { o =>
+      val p = new ByteArrayOutputStream()
+      values.foreach(v => varint(p,
+        zigzag(v.map(_.getBytes(StandardCharsets.UTF_8).length.toLong).getOrElse(-1L))))
+      lenDelim(o, 1, p.toByteArray)
+      lenDelim(o, 2, values.flatten.mkString("").getBytes(StandardCharsets.UTF_8))
+    }
+    def fieldEvent(table: String, fields: Array[Byte]*): Array[Byte] = msg { o =>
+      vint(o, 1, graft.sources.cdc.VStreamDecoder.EventField)
+      lenDelim(o, 6, msg { fe => str(fe, 1, table); fields.foreach(lenDelim(fe, 2, _)) })
+    }
+    def rowEvent(table: String, changes: Array[Byte]*): Array[Byte] = msg { o =>
+      vint(o, 1, graft.sources.cdc.VStreamDecoder.EventRow)
+      lenDelim(o, 5, msg { re => str(re, 1, table); changes.foreach(lenDelim(re, 2, _)) })
+    }
+    def change(before: Option[Array[Byte]], after: Option[Array[Byte]]): Array[Byte] =
+      msg { o =>
+        before.foreach(lenDelim(o, 1, _))
+        after.foreach(lenDelim(o, 2, _))
+      }
+    def response(events: Array[Byte]*): Array[Byte] = msg { o =>
+      events.foreach(lenDelim(o, 1, _))
+    }
+  }
+
+  /** cdc21's native-capture fixture: an events subset rendered as
+    * serialized VStreamResponse protobuf messages (FIELD event with
+    * PRI_KEY flags, then ROW events with textual MySQL row images) in
+    * a file feed; [[graft.sources.cdc.VStreamDecoder]] decodes the
+    * real wire bytes through [[graft.sources.cdc.ReplicationTailer]]
+    * into the shared layout. Built once per (sf-dir, mtime). */
+  private def cdc21Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet")
+    val stamp = if (Files.exists(src))
+      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
+    val db = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-cdc21-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
+    if (!Files.exists(db.resolve("_done"))) this.synchronized {
+      if (!Files.exists(db.resolve("_done"))) {
+        Files.createDirectories(db)
+        Files.createDirectories(db.resolve("snapshot"))
+        Files.writeString(db.resolve("snapshot").resolve("_lsn"), "0")
+        Files.createDirectories(db.resolve("wal"))
+        val feedDir = db.resolve("feed")
+        Files.createDirectories(feedDir)
+        val rows = Tables.events(s, dir)
+          .filter(col("event_id") % 10 === 4)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  col("value"), unix_micros(col("ts")).as("ts_us"))
+          .orderBy(col("event_id"))
+          .collect()
+        import VsProto._
+        Files.write(feedDir.resolve("m-000000"),
+          response(fieldEvent("events",
+            field("user_id", isKey = true), field("event_type", isKey = false),
+            field("value", isKey = false), field("ts_us", isKey = false))))
+        rows.grouped(200).zipWithIndex.foreach { case (batch, bi) =>
+          val events = batch.map { r =>
+            val img = row(Seq(Some(r.getLong(1).toString), Some(r.getString(2)),
+              Some(r.getDouble(3).toString), Some(r.getLong(4).toString)))
+            r.getString(2) match {
+              case "signup" => rowEvent("events", change(None, Some(img)))
+              case "error"  => rowEvent("events", change(Some(img), None))
+              case _        => rowEvent("events", change(Some(img), Some(img)))
+            }
+          }
+          Files.write(feedDir.resolve(f"m-${bi + 1}%06d"), response(events.toSeq: _*))
+        }
+        val dec = new graft.sources.cdc.VStreamDecoder(startLsn = 0L,
+          topicPrefix = "app", emitTombstones = false)
+        val tailer = new graft.sources.cdc.ReplicationTailer(
+          new graft.sources.cdc.FileReplicationFeed(feedDir), dec.decode, db)
+        while (tailer.drainOnce() > 0) ()
+        Files.writeString(db.resolve("_done"), s"${rows.length}")
+      }
+    }
+    db
+  }
+
+  /** End-to-end through the Vitess VStream family: real protobuf
+    * VStreamResponse bytes → VStreamDecoder (FIELD/ROW decode,
+    * PRI_KEY keys, textual MySQL row images, before/after routing) →
+    * ReplicationTailer → shared layout → DSv2 source replay →
+    * latest-state materialization. VStream carries values in MySQL's
+    * TEXTUAL result encoding, so the read schema is strings and the
+    * query casts back — Double.toString round-trips bit-exactly.
+    * Same metamorphic oracle as the other native families. */
+  private def cdc21 = Q("cdc21_vitess_vstream_replay",
+    (s, dir) => {
+      val records = s.read.format("graft-cdc")
+        .option("path", cdc21Db(s, dir).toString)
+        .option("keySchema", "user_id STRING")
+        .option("rowSchema", "user_id STRING, event_type STRING, value STRING, ts_us STRING")
+        // include entries are schema.table; VStream destinations are
+        // prefix.keyspace.table, so the keyspace plays the schema role
+        .option("table.include.list", "db.events")
+        .load()
+      ApplyChanges.latestState(records,
+          keyCols = Seq(col("key.user_id")),
+          orderCols = Seq(col("value.source.lsn")),
+          opCol = col("value.op"))
+        .select(col("key.user_id").cast("bigint").as("user_id"),
+                col("value.op").as("op"),
+                col("value.after.event_type").as("event_type"),
+                col("value.after.value").cast("double").as("value"),
+                col("value.after.ts_us").cast("bigint").as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, op, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events WHERE event_id % 10 = 4) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc21Db(s, dir); () }))
 
   /** cdc12's native-capture fixture: a DIFFERENT events subset
     * rendered as Spanner change-stream DataChangeRecords (mod_type +
