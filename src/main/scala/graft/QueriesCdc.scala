@@ -16,7 +16,8 @@ import graft.operators.{ApplyChanges, EventShaping, SmtFactory}
 object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
-                        cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21)
+                        cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21,
+                        cdc22, cdc23, cdc24)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -1005,6 +1006,394 @@ object QueriesCdc {
             |WHERE rn = 1 AND op <> 'd'
             |ORDER BY user_id""".stripMargin),
     prepare = Some((s, dir) => { cdc21Db(s, dir); () }))
+
+  /** cdc22's live-protocol fixture: an events subset rendered as raw
+    * pgoutput wire messages (big-endian Begin / Relation with replica
+    * identity and type OIDs / Insert / Update with 'O' old tuple /
+    * Delete with 'O' old tuple / Commit) and drained through the REAL
+    * [[graft.sources.cdc.PgOutputDecoder]] +
+    * [[graft.sources.cdc.ReplicationTailer]] into the shared layout —
+    * the logical-replication capture path end to end, byte-accurate.
+    * Numeric OIDs (int8/float8) render as JSON numbers, so the read
+    * schema is the native-typed cdc07 DDL. Built once per (sf-dir,
+    * mtime). */
+  private def cdc22Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.ByteBuffer
+    import java.nio.charset.StandardCharsets
+    val src = Paths.get(dir, "events.parquet")
+    val stamp = if (Files.exists(src))
+      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
+    val db = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-cdc22-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
+    if (!Files.exists(db.resolve("_done"))) this.synchronized {
+      if (!Files.exists(db.resolve("_done"))) {
+        Files.createDirectories(db)
+        Files.createDirectories(db.resolve("snapshot"))
+        Files.writeString(db.resolve("snapshot").resolve("_lsn"), "0")
+        def msg(f: ByteBuffer => Unit): Array[Byte] = {
+          val b = ByteBuffer.allocate(8192) // big-endian, pgoutput's order
+          f(b)
+          val out = new Array[Byte](b.position()); b.flip(); b.get(out); out
+        }
+        def cstr(b: ByteBuffer, v: String): Unit = {
+          b.put(v.getBytes(StandardCharsets.UTF_8)); b.put(0.toByte)
+        }
+        def tup(b: ByteBuffer, vals: Seq[String]): Unit = {
+          b.putShort(vals.size.toShort)
+          vals.foreach { v =>
+            b.put('t'.toByte)
+            val by = v.getBytes(StandardCharsets.UTF_8)
+            b.putInt(by.length); b.put(by)
+          }
+        }
+        val rows = Tables.events(s, dir)
+          .filter(col("event_id") % 10 === 6)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  col("value"), unix_micros(col("ts")).as("ts_us"))
+          .orderBy(col("event_id"))
+          .collect()
+        val begin = msg { b =>
+          b.put('B'.toByte); b.putLong(1L); b.putLong(0L); b.putInt(700)
+        }
+        // REPLICA IDENTITY FULL so updates/deletes carry before images;
+        // OIDs: int8=20 (key), text=25, float8=701, int8=20
+        val rel = msg { b =>
+          b.put('R'.toByte); b.putInt(44); cstr(b, "db"); cstr(b, "events")
+          b.put('f'.toByte); b.putShort(4)
+          Seq(("user_id", 20, true), ("event_type", 25, false),
+              ("value", 701, false), ("ts_us", 20, false)).foreach { case (n, oid, key) =>
+            b.put((if (key) 1 else 0).toByte); cstr(b, n); b.putInt(oid); b.putInt(-1)
+          }
+        }
+        val commit = msg { b =>
+          b.put('C'.toByte); b.put(0.toByte)
+          b.putLong(1L); b.putLong(2L); b.putLong(0L)
+        }
+        val changes = rows.map { r =>
+          val img = Seq(r.getLong(1).toString, r.getString(2),
+            r.getDouble(3).toString, r.getLong(4).toString)
+          r.getString(2) match {
+            case "signup" => msg { b =>
+              b.put('I'.toByte); b.putInt(44); b.put('N'.toByte); tup(b, img) }
+            case "error" => msg { b =>
+              b.put('D'.toByte); b.putInt(44); b.put('O'.toByte); tup(b, img) }
+            case _ => msg { b =>
+              b.put('U'.toByte); b.putInt(44)
+              b.put('O'.toByte); tup(b, img)
+              b.put('N'.toByte); tup(b, img)
+            }
+          }
+        }
+        val msgs: Seq[Array[Byte]] = (begin +: rel +: changes.toSeq) :+ commit
+        val dec = new graft.sources.cdc.PgOutputDecoder(startLsn = 0L,
+          topicPrefix = "app", emitTombstones = false)
+        val chunks = msgs.grouped(2000)
+        val feed = new graft.sources.cdc.ReplicationFeed {
+          override def poll(): Seq[Array[Byte]] = if (chunks.hasNext) chunks.next() else Nil
+        }
+        val tailer = new graft.sources.cdc.ReplicationTailer(feed, dec.decode, db)
+        while (tailer.drainOnce() > 0) ()
+        Files.writeString(db.resolve("_done"), s"${rows.length}")
+      }
+    }
+    db
+  }
+
+  /** End-to-end through the PostgreSQL logical-replication family:
+    * raw pgoutput bytes → PgOutputDecoder (Relation/typed tuples,
+    * REPLICA IDENTITY FULL before images, hard deletes) →
+    * ReplicationTailer → shared layout → DSv2 source replay →
+    * latest-state materialization. Same metamorphic oracle as the
+    * native-capture families — this is the wire path the pgoutput
+    * unit fixtures exercise, now value-checked by the driver. */
+  private def cdc22 = Q("cdc22_pgoutput_replay",
+    (s, dir) => {
+      val records = s.read.format("graft-cdc")
+        .option("path", cdc22Db(s, dir).toString)
+        .option("keySchema", "user_id BIGINT").option("rowSchema", cdc07RowDdl)
+        .option("table.include.list", "db.events")
+        .load()
+      ApplyChanges.latestState(records,
+          keyCols = Seq(col("key.user_id")),
+          orderCols = Seq(col("value.source.lsn")),
+          opCol = col("value.op"))
+        .select(col("key.user_id").as("user_id"), col("value.op").as("op"),
+                col("value.after.event_type").as("event_type"),
+                col("value.after.value").as("value"),
+                col("value.after.ts_us").as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, op, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events WHERE event_id % 10 = 6) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc22Db(s, dir); () }))
+
+  /** cdc23's live-protocol fixture: an events subset rendered as raw
+    * MySQL binlog v4 events (little-endian FormatDescription /
+    * TableMap with column types+metadata / WriteRows / UpdateRows
+    * with FULL before image / DeleteRows / Xid) and drained through
+    * the REAL [[graft.sources.cdc.BinlogDecoder]] +
+    * [[graft.sources.cdc.ReplicationTailer]] into the shared layout.
+    * Built once per (sf-dir, mtime). */
+  private def cdc23Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.charset.StandardCharsets
+    import graft.sources.cdc.BinlogDecoder
+    val src = Paths.get(dir, "events.parquet")
+    val stamp = if (Files.exists(src))
+      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
+    val db = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-cdc23-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
+    if (!Files.exists(db.resolve("_done"))) this.synchronized {
+      if (!Files.exists(db.resolve("_done"))) {
+        Files.createDirectories(db)
+        Files.createDirectories(db.resolve("snapshot"))
+        Files.writeString(db.resolve("snapshot").resolve("_lsn"), "0")
+        def event(eventType: Int)(body: ByteBuffer => Unit): Array[Byte] = {
+          val b = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+          b.putInt(1767139200); b.put(eventType.toByte); b.putInt(1)
+          b.putInt(0); b.putInt(0); b.putShort(0)
+          body(b)
+          val out = new Array[Byte](b.position()); b.flip(); b.get(out); out
+        }
+        def uint48(b: ByteBuffer, v: Long): Unit =
+          (0 until 6).foreach(i => b.put(((v >> (8 * i)) & 0xff).toByte))
+        def lpStr(b: ByteBuffer, v: String): Unit = {
+          val bytes = v.getBytes(StandardCharsets.UTF_8)
+          b.put(bytes.length.toByte); b.put(bytes); b.put(0.toByte)
+        }
+        def bmAll(b: ByteBuffer, n: Int): Unit = {
+          val bytes = new Array[Byte]((n + 7) / 8)
+          (0 until n).foreach(i => bytes(i / 8) = (bytes(i / 8) | (1 << (i % 8))).toByte)
+          b.put(bytes)
+        }
+        val TableId = 0x71L
+        // db.events: user_id LONGLONG (key), event_type VARCHAR(128),
+        // value DOUBLE, ts_us LONGLONG; metadata = varchar 2 + double 1
+        val tableMap = event(BinlogDecoder.TableMapEvent) { b =>
+          uint48(b, TableId); b.putShort(0)
+          lpStr(b, "db"); lpStr(b, "events")
+          b.put(4.toByte)
+          b.put(BinlogDecoder.LongLong.toByte); b.put(BinlogDecoder.Varchar.toByte)
+          b.put(BinlogDecoder.Double_.toByte); b.put(BinlogDecoder.LongLong.toByte)
+          b.put(3.toByte); b.putShort(128.toShort); b.put(8.toByte)
+          bmAll(b, 4)
+        }
+        def preamble(b: ByteBuffer, eventType: Int): Unit = {
+          uint48(b, TableId); b.putShort(0)
+          b.putShort(2); b.put(4.toByte)
+          bmAll(b, 4)
+          if (eventType == BinlogDecoder.UpdateRows) bmAll(b, 4)
+        }
+        def rowBytes(b: ByteBuffer, uid: Long, et: String, v: Double, ts: Long): Unit = {
+          b.put(new Array[Byte](1)) // null bitmap over 4 present cols: none null
+          b.putLong(uid)
+          val by = et.getBytes(StandardCharsets.UTF_8)
+          b.put(by.length.toByte); b.put(by) // varchar, 1-byte length (max 128)
+          b.putLong(java.lang.Double.doubleToLongBits(v))
+          b.putLong(ts)
+        }
+        val fde = event(BinlogDecoder.FormatDescription) { b =>
+          b.putShort(4); b.put(new Array[Byte](50)); b.putInt(0); b.put(19.toByte)
+        }
+        val rows = Tables.events(s, dir)
+          .filter(col("event_id") % 10 === 8)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  col("value"), unix_micros(col("ts")).as("ts_us"))
+          .orderBy(col("event_id"))
+          .collect()
+        val changes = rows.map { r =>
+          val (uid, et, v, ts) = (r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4))
+          et match {
+            case "signup" => event(BinlogDecoder.WriteRows) { b =>
+              preamble(b, BinlogDecoder.WriteRows); rowBytes(b, uid, et, v, ts) }
+            case "error" => event(BinlogDecoder.DeleteRows) { b =>
+              preamble(b, BinlogDecoder.DeleteRows); rowBytes(b, uid, et, v, ts) }
+            case _ => event(BinlogDecoder.UpdateRows) { b =>
+              preamble(b, BinlogDecoder.UpdateRows)
+              rowBytes(b, uid, et, v, ts) // FULL before image
+              rowBytes(b, uid, et, v, ts)
+            }
+          }
+        }
+        val xid = event(BinlogDecoder.Xid)(b => b.putLong(900))
+        val msgs: Seq[Array[Byte]] = (fde +: tableMap +: changes.toSeq) :+ xid
+        val dec = new BinlogDecoder(startLsn = 0L, topicPrefix = "app",
+          emitTombstones = false)
+        dec.registerTable("db.events", Seq("user_id", "event_type", "value", "ts_us"),
+          Seq("user_id"))
+        val chunks = msgs.grouped(2000)
+        val feed = new graft.sources.cdc.ReplicationFeed {
+          override def poll(): Seq[Array[Byte]] = if (chunks.hasNext) chunks.next() else Nil
+        }
+        val tailer = new graft.sources.cdc.ReplicationTailer(feed, dec.decode, db)
+        while (tailer.drainOnce() > 0) ()
+        Files.writeString(db.resolve("_done"), s"${rows.length}")
+      }
+    }
+    db
+  }
+
+  /** End-to-end through the MySQL binlog family: raw binlog v4 bytes
+    * → BinlogDecoder (TableMap typed decode, FULL before images,
+    * hard deletes) → ReplicationTailer → shared layout → DSv2 source
+    * replay → latest-state materialization — the wire path the binlog
+    * unit fixtures exercise, now value-checked by the driver. */
+  private def cdc23 = Q("cdc23_binlog_replay",
+    (s, dir) => {
+      val records = s.read.format("graft-cdc")
+        .option("path", cdc23Db(s, dir).toString)
+        .option("keySchema", "user_id BIGINT").option("rowSchema", cdc07RowDdl)
+        .option("table.include.list", "db.events")
+        .load()
+      ApplyChanges.latestState(records,
+          keyCols = Seq(col("key.user_id")),
+          orderCols = Seq(col("value.source.lsn")),
+          opCol = col("value.op"))
+        .select(col("key.user_id").as("user_id"), col("value.op").as("op"),
+                col("value.after.event_type").as("event_type"),
+                col("value.after.value").as("value"),
+                col("value.after.ts_us").as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, op, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events WHERE event_id % 10 = 8) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc23Db(s, dir); () }))
+
+  /** cdc24's document-database fixture: an events subset rendered as
+    * byte-built BSON change-stream documents (operationType / ns /
+    * documentKey / fullDocument / fullDocumentBeforeChange pre-images,
+    * little-endian per bsonspec) and drained through the REAL
+    * [[graft.sources.cdc.MongoChangeStreamDecoder]] +
+    * [[graft.sources.cdc.ReplicationTailer]] into the shared layout.
+    * Built once per (sf-dir, mtime). */
+  private def cdc24Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    import java.io.ByteArrayOutputStream
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.charset.StandardCharsets
+    val src = Paths.get(dir, "events.parquet")
+    val stamp = if (Files.exists(src))
+      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
+    val db = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-cdc24-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
+    if (!Files.exists(db.resolve("_done"))) this.synchronized {
+      if (!Files.exists(db.resolve("_done"))) {
+        Files.createDirectories(db)
+        Files.createDirectories(db.resolve("snapshot"))
+        Files.writeString(db.resolve("snapshot").resolve("_lsn"), "0")
+        def le4(n: Int): Array[Byte] =
+          ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+        def le8(n: Long): Array[Byte] =
+          ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(n).array()
+        def cstr(out: ByteArrayOutputStream, v: String): Unit = {
+          out.write(v.getBytes(StandardCharsets.UTF_8)); out.write(0)
+        }
+        def bdoc(fields: Seq[(String, Any)]): Array[Byte] = {
+          val out = new ByteArrayOutputStream()
+          fields.foreach { case (k, v) =>
+            v match {
+              case s: String =>
+                out.write(0x02); cstr(out, k)
+                val b = s.getBytes(StandardCharsets.UTF_8)
+                out.write(le4(b.length + 1)); out.write(b); out.write(0)
+              case d: Double =>
+                out.write(0x01); cstr(out, k)
+                out.write(le8(java.lang.Double.doubleToLongBits(d)))
+              case l: Long => out.write(0x12); cstr(out, k); out.write(le8(l))
+              case sub: Array[Byte] => out.write(0x03); cstr(out, k); out.write(sub)
+              case other => throw new IllegalArgumentException(s"fixture type $other")
+            }
+          }
+          out.write(0)
+          val body = out.toByteArray
+          val buf = ByteBuffer.allocate(4 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+          buf.putInt(4 + body.length); buf.put(body)
+          buf.array()
+        }
+        val rows = Tables.events(s, dir)
+          .filter(col("event_id") % 10 === 2)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  col("value"), unix_micros(col("ts")).as("ts_us"))
+          .orderBy(col("event_id"))
+          .collect()
+        val msgs: Seq[Array[Byte]] = rows.toSeq.map { r =>
+          val (uid, et, v, ts) = (r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4))
+          val img = bdoc(Seq("_id" -> uid, "event_type" -> et, "value" -> v, "ts_us" -> ts))
+          val op = et match {
+            case "signup" => "insert"
+            case "error"  => "delete"
+            case _        => "update"
+          }
+          val base = Seq[(String, Any)](
+            "_id" -> bdoc(Seq("_data" -> s"rt-${r.getLong(0)}")),
+            "operationType" -> op,
+            "ns" -> bdoc(Seq("db" -> "db", "coll" -> "events")),
+            "documentKey" -> bdoc(Seq("_id" -> uid)))
+          bdoc(op match {
+            case "delete" => base :+ ("fullDocumentBeforeChange" -> (img: Any))
+            case _        => base :+ ("fullDocument" -> (img: Any))
+          })
+        }
+        val dec = new graft.sources.cdc.MongoChangeStreamDecoder(startLsn = 0L,
+          topicPrefix = "app", emitTombstones = false)
+        val chunks = msgs.grouped(2000)
+        val feed = new graft.sources.cdc.ReplicationFeed {
+          override def poll(): Seq[Array[Byte]] = if (chunks.hasNext) chunks.next() else Nil
+        }
+        val tailer = new graft.sources.cdc.ReplicationTailer(feed, dec.decode, db)
+        while (tailer.drainOnce() > 0) ()
+        Files.writeString(db.resolve("_done"), s"${rows.length}")
+      }
+    }
+    db
+  }
+
+  /** End-to-end through the MongoDB change-stream family: byte-built
+    * BSON change events → MongoChangeStreamDecoder (clean-room BSON
+    * parse, pre-images, schemaless objects projected by the reader's
+    * rowSchema) → ReplicationTailer → shared layout → DSv2 source
+    * replay → latest-state materialization — the document-database
+    * path value-checked by the driver. */
+  private def cdc24 = Q("cdc24_mongo_stream_replay",
+    (s, dir) => {
+      val records = s.read.format("graft-cdc")
+        .option("path", cdc24Db(s, dir).toString)
+        // the decoder renders documentKey._id as key "id" (the
+        // reference's key-name convention); the after image keeps _id
+        .option("keySchema", "id BIGINT")
+        .option("rowSchema", "_id BIGINT, event_type STRING, value DOUBLE, ts_us BIGINT")
+        .option("table.include.list", "db.events")
+        .load()
+      ApplyChanges.latestState(records,
+          keyCols = Seq(col("key.id")),
+          orderCols = Seq(col("value.source.lsn")),
+          opCol = col("value.op"))
+        .select(col("key.id").as("user_id"), col("value.op").as("op"),
+                col("value.after.event_type").as("event_type"),
+                col("value.after.value").as("value"),
+                col("value.after.ts_us").as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, op, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events WHERE event_id % 10 = 2) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc24Db(s, dir); () }))
 
   /** cdc12's native-capture fixture: a DIFFERENT events subset
     * rendered as Spanner change-stream DataChangeRecords (mod_type +
