@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
 object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-                        q13, q14, q15, q16, q17, q18)
+                        q13, q14, q15, q16, q17, q18, q19)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -530,4 +530,43 @@ object QueriesRelational {
         |SELECT cohort_day, d - cohort_day AS day_offset, count(*) AS n_keys
         |FROM c GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin))
+
+  /** Ordered funnel (operators.Sessions.funnelStages): per user, how
+    * far through view → click → purchase the event stream progresses,
+    * each step counting only strictly after the previous match. The
+    * Spark side is one key aggregate + a codegen'd `aggregate` fold
+    * over the sorted sequence; the oracle proves the fold via the
+    * equivalent chained conditional-min-position formulation. */
+  private def q19 = Q("q19_funnel_stages",
+    (s, dir) => {
+      // a sparse slice (~1/7 of events) so the funnel differentiates:
+      // on the dense full stream every user trivially completes it
+      val ev = Tables.events(s, dir).filter(col("event_id") % 7 === 0)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.Sessions.funnelStages(ev, col("user_id"), col("ts_us"),
+          col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+        |  FROM events WHERE event_id % 7 = 0),
+        |a1 AS (SELECT user_id, min(rn) AS r1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |a2 AS (SELECT e.user_id, min(rn) AS r2 FROM e JOIN a1 USING (user_id)
+        |       WHERE event_type = 'click' AND rn > r1 GROUP BY e.user_id),
+        |a3 AS (SELECT e.user_id, min(rn) AS r3 FROM e JOIN a2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND rn > r2 GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events WHERE event_id % 7 = 0),
+        |st AS (SELECT u.user_id,
+        |         CASE WHEN r3 IS NOT NULL THEN 3 WHEN r2 IS NOT NULL THEN 2
+        |              WHEN r1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |       FROM u LEFT JOIN a1 USING (user_id) LEFT JOIN a2 USING (user_id)
+        |            LEFT JOIN a3 USING (user_id)),
+        |g AS (SELECT stage, count(*) AS n_keys FROM st GROUP BY stage)
+        |SELECT CAST(gs.s AS INT) AS stage, coalesce(g.n_keys, 0) AS n_keys
+        |FROM generate_series(0, 3) gs(s) LEFT JOIN g ON g.stage = gs.s
+        |ORDER BY stage""".stripMargin))
 }

@@ -77,4 +77,48 @@ object Sessions {
       .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_keys"))
   }
+
+  /** Ordered funnel analysis: per key, how far through the `steps`
+    * sequence its event stream progresses — a step counts only AFTER
+    * the previous step matched (strictly later in (ts, tie) order),
+    * the classic product-analytics funnel. Returns (stage, n_keys)
+    * for stages 0..steps.length, every stage present (zero-filled).
+    *
+    * Spark shape: ONE key-hash aggregate collects each key's
+    * event-type sequence in time order (sorted in-group — no window),
+    * then a codegen'd `aggregate` fold advances the stage counter
+    * through the sequence; the stage histogram is a steps-sized
+    * aggregate. Per-key state is the key's OWN event count — the same
+    * bound any funnel engine carries. An equivalent no-collect form
+    * chains |steps| conditional-min aggregates+joins; one fold over
+    * one shuffle wins until per-key sequences themselves don't fit,
+    * which at 100 TB is a data-model problem, not a plan problem.
+    *
+    * The fold is order-deterministic: (ts, tie) must be unique per
+    * key (tie = an event id), and ONLY the event-type string rides
+    * the shuffle next to the two ordering longs.
+    */
+  def funnelStages(df: DataFrame, keyCol: Column, tsUsCol: Column,
+                   tieCol: Column, typeCol: Column,
+                   steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val nSteps = steps.length
+    val stepsArr = array(steps.map(lit): _*)
+    val perKey = df
+      .select(keyCol.as("k"), tsUsCol.cast("long").as("ts"),
+        tieCol.cast("long").as("tie"), typeCol.as("t"))
+      .groupBy(col("k"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("tie"), col("t")))).as("evs"))
+      .select(col("k"),
+        aggregate(col("evs"), lit(0),
+          (acc, e) => when(acc < nSteps &&
+              e.getField("t") === element_at(stepsArr, acc + 1), acc + 1)
+            .otherwise(acc)).as("stage"))
+    val allStages = df.sparkSession.range(0, nSteps + 1)
+      .select(col("id").cast("int").as("stage"))
+    allStages.join(
+        perKey.groupBy(col("stage")).agg(count(lit(1)).as("n_keys")),
+        Seq("stage"), "left")
+      .select(col("stage"), coalesce(col("n_keys"), lit(0L)).as("n_keys"))
+  }
 }

@@ -474,6 +474,15 @@ class PlanSpec extends SparkSpec {
       s"expected at most 3 exchanges: ${shufflePartitionings(p)}")
   }
 
+  test("q19: the funnel fold runs in ONE key aggregate — no per-step joins or windows") {
+    val df = Queries.byName("q19_funnel_stages")(spark, sfSmoke)
+    val p = planOf(df)
+    val s = p.toString
+    assert(!s.contains("Window"), s"the fold replaces rank windows:\n$s")
+    // the only join is the steps-sized zero-fill against range(0, n+1)
+    assert("Join".r.findAllIn(s).size <= 1, s"expected only the zero-fill join:\n$s")
+  }
+
   test("q18: retention aggregates the (user, day) distinct grain — no event-grain joins") {
     val s = planString("q18_cohort_retention")
     assert(!s.contains("Join"), s"retention must be windows+aggregates, not a self-join:\n$s")

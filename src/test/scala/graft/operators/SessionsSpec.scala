@@ -34,6 +34,18 @@ class SessionsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L), (2L, 1L)))
   }
 
+  test("funnelStages advances only on strictly-later matches; all stages zero-filled") {
+    val ev = Seq(
+      (1L, 1L, 1L, "view"), (1L, 2L, 2L, "click"), (1L, 3L, 3L, "purchase"), // full funnel
+      (2L, 1L, 4L, "click"), (2L, 2L, 5L, "view"),   // click BEFORE view doesn't count
+      (3L, 1L, 6L, "view"), (3L, 2L, 7L, "purchase"), // skipped step blocks stage 3
+      (4L, 1L, 8L, "error")).toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = Sessions.funnelStages(ev, col("user_id"), col("ts_us"),
+        col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
+      .orderBy("stage").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0, 1L), (1, 2L), (2, 0L), (3, 1L)))
+  }
+
   test("cohortRetention counts each key once per (cohort, offset) cell") {
     // key 1 joins day 10, active 10/11/11(dup)/13; key 2 joins day 11, active 11
     val a = Seq((1L, 10L), (1L, 11L), (1L, 11L), (1L, 13L), (2L, 11L))
