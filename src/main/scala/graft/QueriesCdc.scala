@@ -380,16 +380,9 @@ object QueriesCdc {
     * table; [[graft.sources.cdc.OracleLogMinerTailer]] polls it
     * through the real parse/decode/position machinery into the shared
     * layout. Built once per (sf-dir, mtime) outside the bench timer. */
-  private def cdc11Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(dir, "events.parquet")
-    val stamp = if (Files.exists(src))
-      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
-    val db = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-cdc11-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
-    if (!Files.exists(db.resolve("_done"))) this.synchronized {
-      if (!Files.exists(db.resolve("_done"))) {
-        Files.createDirectories(db)
+  private def cdc11Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
+    fixtureDb("cdc11", dir) { db =>
+      import java.nio.file.Files
         val url = s"jdbc:derby:memory:cdc11${java.util.UUID.randomUUID().toString.take(8)};create=true"
         val conn = java.sql.DriverManager.getConnection(url)
         try {
@@ -433,12 +426,9 @@ object QueriesCdc {
           }
           ps.executeBatch(); ps.close()
           tailer.poll()
-          Files.writeString(db.resolve("_done"), s"${rows.length}")
+          rows.length.toLong
         } finally conn.close()
-      }
     }
-    db
-  }
 
   /** End-to-end through a NATIVE capture: redo SQL → OracleLogMinerTailer
     * (parse, before/after assembly, position state) → shared layout →
@@ -478,16 +468,9 @@ object QueriesCdc {
     * Derby; [[graft.sources.cdc.Db2CdTailer]] polls it through the
     * real decode/position machinery into the shared layout. Built
     * once per (sf-dir, mtime) outside the bench timer. */
-  private def cdc17Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(dir, "events.parquet")
-    val stamp = if (Files.exists(src))
-      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
-    val db = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-cdc17-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
-    if (!Files.exists(db.resolve("_done"))) this.synchronized {
-      if (!Files.exists(db.resolve("_done"))) {
-        Files.createDirectories(db)
+  private def cdc17Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
+    fixtureDb("cdc17", dir) { db =>
+      import java.nio.file.Files
         val url = s"jdbc:derby:memory:cdc17${java.util.UUID.randomUUID().toString.take(8)};create=true"
         val conn = java.sql.DriverManager.getConnection(url)
         try {
@@ -533,12 +516,9 @@ object QueriesCdc {
           }
           ps.executeBatch(); ps.close()
           tailer.poll()
-          Files.writeString(db.resolve("_done"), s"${rows.length}")
+          rows.length.toLong
         } finally conn.close()
-      }
     }
-    db
-  }
 
   /** End-to-end through the DB2 SQL-Replication family: CD rows →
     * Db2CdTailer (I/U/D decode, X-prefixed before images, commitseq/
@@ -578,16 +558,9 @@ object QueriesCdc {
     * position, 1 hard delete) hosted in Derby;
     * [[graft.sources.cdc.SqlServerCdcTailer]] polls it through the
     * real decode/pairing/position machinery into the shared layout. */
-  private def cdc18Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(dir, "events.parquet")
-    val stamp = if (Files.exists(src))
-      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
-    val db = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-cdc18-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
-    if (!Files.exists(db.resolve("_done"))) this.synchronized {
-      if (!Files.exists(db.resolve("_done"))) {
-        Files.createDirectories(db)
+  private def cdc18Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
+    fixtureDb("cdc18", dir) { db =>
+      import java.nio.file.Files
         val url = s"jdbc:derby:memory:cdc18${java.util.UUID.randomUUID().toString.take(8)};create=true"
         val conn = java.sql.DriverManager.getConnection(url)
         try {
@@ -630,12 +603,9 @@ object QueriesCdc {
           }
           ps.executeBatch(); ps.close()
           tailer.poll()
-          Files.writeString(db.resolve("_done"), s"${rows.length}")
+          rows.length.toLong
         } finally conn.close()
-      }
     }
-    db
-  }
 
   /** End-to-end through the SQL Server native-CDC family: change-table
     * rows → SqlServerCdcTailer (op 1/2/3/4 decode, before/after
@@ -674,16 +644,9 @@ object QueriesCdc {
     * keys) hosted in Derby;
     * [[graft.sources.cdc.CockroachChangefeedTailer]] polls it through
     * the real JSON-envelope decode into the shared layout. */
-  private def cdc19Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(dir, "events.parquet")
-    val stamp = if (Files.exists(src))
-      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
-    val db = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-cdc19-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
-    if (!Files.exists(db.resolve("_done"))) this.synchronized {
-      if (!Files.exists(db.resolve("_done"))) {
-        Files.createDirectories(db)
+  private def cdc19Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
+    fixtureDb("cdc19", dir) { db =>
+      import java.nio.file.Files
         val url = s"jdbc:derby:memory:cdc19${java.util.UUID.randomUUID().toString.take(8)};create=true"
         val conn = java.sql.DriverManager.getConnection(url)
         try {
@@ -721,12 +684,9 @@ object QueriesCdc {
           }
           ps.executeBatch(); ps.close()
           tailer.poll()
-          Files.writeString(db.resolve("_done"), s"${rows.length}")
+          rows.length.toLong
         } finally conn.close()
-      }
     }
-    db
-  }
 
   /** End-to-end through the CockroachDB changefeed family: wrapped
     * JSON envelopes → CockroachChangefeedTailer (after/before decode,
@@ -765,16 +725,9 @@ object QueriesCdc {
     * deletes, JSON entry data) hosted in Derby;
     * [[graft.sources.cdc.IbmiJournalTailer]] polls it through the
     * real entry-type pairing machinery into the shared layout. */
-  private def cdc20Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(dir, "events.parquet")
-    val stamp = if (Files.exists(src))
-      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
-    val db = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-cdc20-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
-    if (!Files.exists(db.resolve("_done"))) this.synchronized {
-      if (!Files.exists(db.resolve("_done"))) {
-        Files.createDirectories(db)
+  private def cdc20Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
+    fixtureDb("cdc20", dir) { db =>
+      import java.nio.file.Files
         val url = s"jdbc:derby:memory:cdc20${java.util.UUID.randomUUID().toString.take(8)};create=true"
         val conn = java.sql.DriverManager.getConnection(url)
         try {
@@ -818,12 +771,9 @@ object QueriesCdc {
           }
           ps.executeBatch(); ps.close()
           tailer.poll()
-          Files.writeString(db.resolve("_done"), s"${rows.length}")
+          rows.length.toLong
         } finally conn.close()
-      }
     }
-    db
-  }
 
   /** End-to-end through the IBM i journal family: journal entries →
     * IbmiJournalTailer (PT/UB+UP/DL decode and pairing, sequence
@@ -859,59 +809,46 @@ object QueriesCdc {
             |ORDER BY user_id""".stripMargin),
     prepare = Some((s, dir) => { cdc20Db(s, dir); () }))
 
-  /** Minimal protobuf writer for cdc21's VStreamResponse fixture —
-    * the public `binlogdata.proto` shapes [[graft.sources.cdc.VStreamDecoder]]
-    * decodes (same builders as VStreamSpec, here for the
-    * oracle-query fixture). */
-  private object VsProto {
-    import java.io.ByteArrayOutputStream
-    import java.nio.charset.StandardCharsets
-    private def varint(out: ByteArrayOutputStream, v0: Long): Unit = {
-      var v = v0
-      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-      out.write(v.toInt)
-    }
-    private def tag(out: ByteArrayOutputStream, field: Int, wire: Int): Unit =
-      varint(out, (field.toLong << 3) | wire)
-    private def lenDelim(out: ByteArrayOutputStream, field: Int, bytes: Array[Byte]): Unit = {
-      tag(out, field, 2); varint(out, bytes.length); out.write(bytes)
-    }
-    private def str(out: ByteArrayOutputStream, field: Int, s: String): Unit =
-      lenDelim(out, field, s.getBytes(StandardCharsets.UTF_8))
-    private def vint(out: ByteArrayOutputStream, field: Int, v: Long): Unit = {
-      tag(out, field, 0); varint(out, v)
-    }
-    private def msg(f: ByteArrayOutputStream => Unit): Array[Byte] = {
-      val out = new ByteArrayOutputStream(); f(out); out.toByteArray
-    }
-    private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
-    def field(name: String, isKey: Boolean): Array[Byte] = msg { o =>
-      str(o, 1, name); vint(o, 2, 265)
-      if (isKey) vint(o, 10, graft.sources.cdc.VStreamDecoder.PriKeyFlag)
-    }
-    def row(values: Seq[Option[String]]): Array[Byte] = msg { o =>
-      val p = new ByteArrayOutputStream()
-      values.foreach(v => varint(p,
-        zigzag(v.map(_.getBytes(StandardCharsets.UTF_8).length.toLong).getOrElse(-1L))))
-      lenDelim(o, 1, p.toByteArray)
-      lenDelim(o, 2, values.flatten.mkString("").getBytes(StandardCharsets.UTF_8))
-    }
-    def fieldEvent(table: String, fields: Array[Byte]*): Array[Byte] = msg { o =>
-      vint(o, 1, graft.sources.cdc.VStreamDecoder.EventField)
-      lenDelim(o, 6, msg { fe => str(fe, 1, table); fields.foreach(lenDelim(fe, 2, _)) })
-    }
-    def rowEvent(table: String, changes: Array[Byte]*): Array[Byte] = msg { o =>
-      vint(o, 1, graft.sources.cdc.VStreamDecoder.EventRow)
-      lenDelim(o, 5, msg { re => str(re, 1, table); changes.foreach(lenDelim(re, 2, _)) })
-    }
-    def change(before: Option[Array[Byte]], after: Option[Array[Byte]]): Array[Byte] =
-      msg { o =>
-        before.foreach(lenDelim(o, 1, _))
-        after.foreach(lenDelim(o, 2, _))
+  /** Shared scaffold for the metamorphic capture fixtures (cdc11/12/
+    * 17-24): a content-addressed tmpdir keyed on the source parquet's
+    * (mtime, size), double-checked build-once under the object lock,
+    * and a `_done` marker written only AFTER `build` completes — a
+    * failed build leaves no marker and the next run rebuilds from
+    * scratch. `build` returns the row count recorded in the marker. */
+  private def fixtureDb(tag: String, dir: String)
+                       (build: java.nio.file.Path => Long): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet")
+    val stamp = if (Files.exists(src))
+      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
+    val db = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-$tag-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
+    if (!Files.exists(db.resolve("_done"))) this.synchronized {
+      if (!Files.exists(db.resolve("_done"))) {
+        Files.createDirectories(db)
+        val n = build(db)
+        Files.writeString(db.resolve("_done"), n.toString)
       }
-    def response(events: Array[Byte]*): Array[Byte] = msg { o =>
-      events.foreach(lenDelim(o, 1, _))
     }
+    db
+  }
+
+  /** In-memory [[graft.sources.cdc.ReplicationFeed]] over a fixed
+    * message list, honoring the feed's redelivery contract: poll()
+    * re-delivers the CURRENT chunk until commit() advances past it —
+    * a decode failure re-delivers instead of losing the chunk (an
+    * iterator-backed form advancing on poll would silently break that
+    * contract). Drain with `while (!feed.exhausted)
+    * tailer.drainOnce()` — exhaustion, not envelope count, ends the
+    * loop, so a chunk of pure bookkeeping messages (zero envelopes)
+    * cannot end a drain early. */
+  private final class ChunkedFeed(msgs: Seq[Array[Byte]], chunkSize: Int = 2000)
+      extends graft.sources.cdc.ReplicationFeed {
+    private val chunks = msgs.grouped(chunkSize).toVector
+    private var i = 0
+    def exhausted: Boolean = i >= chunks.length
+    override def poll(): Seq[Array[Byte]] = if (exhausted) Nil else chunks(i)
+    override def commit(): Unit = i += 1
   }
 
   /** cdc21's native-capture fixture: an events subset rendered as
@@ -920,34 +857,24 @@ object QueriesCdc {
     * a file feed; [[graft.sources.cdc.VStreamDecoder]] decodes the
     * real wire bytes through [[graft.sources.cdc.ReplicationTailer]]
     * into the shared layout. Built once per (sf-dir, mtime). */
-  private def cdc21Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(dir, "events.parquet")
-    val stamp = if (Files.exists(src))
-      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
-    val db = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-cdc21-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
-    if (!Files.exists(db.resolve("_done"))) this.synchronized {
-      if (!Files.exists(db.resolve("_done"))) {
-        Files.createDirectories(db)
+  private def cdc21Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
+    fixtureDb("cdc21", dir) { db =>
+      import java.nio.file.Files
         Files.createDirectories(db.resolve("snapshot"))
         Files.writeString(db.resolve("snapshot").resolve("_lsn"), "0")
         Files.createDirectories(db.resolve("wal"))
-        val feedDir = db.resolve("feed")
-        Files.createDirectories(feedDir)
         val rows = Tables.events(s, dir)
           .filter(col("event_id") % 10 === 4)
           .select(col("event_id"), col("user_id"), col("event_type"),
                   col("value"), unix_micros(col("ts")).as("ts_us"))
           .orderBy(col("event_id"))
           .collect()
-        import VsProto._
-        Files.write(feedDir.resolve("m-000000"),
-          response(fieldEvent("events",
-            field("user_id", isKey = true), field("event_type", isKey = false),
-            field("value", isKey = false), field("ts_us", isKey = false))))
-        rows.grouped(200).zipWithIndex.foreach { case (batch, bi) =>
-          val events = batch.map { r =>
+        import graft.sources.cdc.VStreamProto._
+        val fields = response(fieldEvent("events",
+          field("user_id", isKey = true), field("event_type", isKey = false),
+          field("value", isKey = false), field("ts_us", isKey = false)))
+        val batches = rows.toSeq.grouped(200).map { batch =>
+          response(batch.map { r =>
             val img = row(Seq(Some(r.getLong(1).toString), Some(r.getString(2)),
               Some(r.getDouble(3).toString), Some(r.getLong(4).toString)))
             r.getString(2) match {
@@ -955,19 +882,15 @@ object QueriesCdc {
               case "error"  => rowEvent("events", change(Some(img), None))
               case _        => rowEvent("events", change(Some(img), Some(img)))
             }
-          }
-          Files.write(feedDir.resolve(f"m-${bi + 1}%06d"), response(events.toSeq: _*))
-        }
+          }: _*)
+        }.toSeq
         val dec = new graft.sources.cdc.VStreamDecoder(startLsn = 0L,
           topicPrefix = "app", emitTombstones = false)
-        val tailer = new graft.sources.cdc.ReplicationTailer(
-          new graft.sources.cdc.FileReplicationFeed(feedDir), dec.decode, db)
-        while (tailer.drainOnce() > 0) ()
-        Files.writeString(db.resolve("_done"), s"${rows.length}")
-      }
+        val feed = new ChunkedFeed(fields +: batches)
+        val tailer = new graft.sources.cdc.ReplicationTailer(feed, dec.decode, db)
+        while (!feed.exhausted) tailer.drainOnce()
+        rows.length.toLong
     }
-    db
-  }
 
   /** End-to-end through the Vitess VStream family: real protobuf
     * VStreamResponse bytes → VStreamDecoder (FIELD/ROW decode,
@@ -1017,18 +940,11 @@ object QueriesCdc {
     * Numeric OIDs (int8/float8) render as JSON numbers, so the read
     * schema is the native-typed cdc07 DDL. Built once per (sf-dir,
     * mtime). */
-  private def cdc22Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
+  private def cdc22Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
+    fixtureDb("cdc22", dir) { db =>
+      import java.nio.file.Files
     import java.nio.ByteBuffer
     import java.nio.charset.StandardCharsets
-    val src = Paths.get(dir, "events.parquet")
-    val stamp = if (Files.exists(src))
-      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
-    val db = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-cdc22-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
-    if (!Files.exists(db.resolve("_done"))) this.synchronized {
-      if (!Files.exists(db.resolve("_done"))) {
-        Files.createDirectories(db)
         Files.createDirectories(db.resolve("snapshot"))
         Files.writeString(db.resolve("snapshot").resolve("_lsn"), "0")
         def msg(f: ByteBuffer => Unit): Array[Byte] = {
@@ -1088,17 +1004,11 @@ object QueriesCdc {
         val msgs: Seq[Array[Byte]] = (begin +: rel +: changes.toSeq) :+ commit
         val dec = new graft.sources.cdc.PgOutputDecoder(startLsn = 0L,
           topicPrefix = "app", emitTombstones = false)
-        val chunks = msgs.grouped(2000)
-        val feed = new graft.sources.cdc.ReplicationFeed {
-          override def poll(): Seq[Array[Byte]] = if (chunks.hasNext) chunks.next() else Nil
-        }
+        val feed = new ChunkedFeed(msgs)
         val tailer = new graft.sources.cdc.ReplicationTailer(feed, dec.decode, db)
-        while (tailer.drainOnce() > 0) ()
-        Files.writeString(db.resolve("_done"), s"${rows.length}")
-      }
+        while (!feed.exhausted) tailer.drainOnce()
+        rows.length.toLong
     }
-    db
-  }
 
   /** End-to-end through the PostgreSQL logical-replication family:
     * raw pgoutput bytes → PgOutputDecoder (Relation/typed tuples,
@@ -1140,19 +1050,12 @@ object QueriesCdc {
     * the REAL [[graft.sources.cdc.BinlogDecoder]] +
     * [[graft.sources.cdc.ReplicationTailer]] into the shared layout.
     * Built once per (sf-dir, mtime). */
-  private def cdc23Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
+  private def cdc23Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
+    fixtureDb("cdc23", dir) { db =>
+      import java.nio.file.Files
     import java.nio.{ByteBuffer, ByteOrder}
     import java.nio.charset.StandardCharsets
     import graft.sources.cdc.BinlogDecoder
-    val src = Paths.get(dir, "events.parquet")
-    val stamp = if (Files.exists(src))
-      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
-    val db = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-cdc23-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
-    if (!Files.exists(db.resolve("_done"))) this.synchronized {
-      if (!Files.exists(db.resolve("_done"))) {
-        Files.createDirectories(db)
         Files.createDirectories(db.resolve("snapshot"))
         Files.writeString(db.resolve("snapshot").resolve("_lsn"), "0")
         def event(eventType: Int)(body: ByteBuffer => Unit): Array[Byte] = {
@@ -1228,17 +1131,11 @@ object QueriesCdc {
           emitTombstones = false)
         dec.registerTable("db.events", Seq("user_id", "event_type", "value", "ts_us"),
           Seq("user_id"))
-        val chunks = msgs.grouped(2000)
-        val feed = new graft.sources.cdc.ReplicationFeed {
-          override def poll(): Seq[Array[Byte]] = if (chunks.hasNext) chunks.next() else Nil
-        }
+        val feed = new ChunkedFeed(msgs)
         val tailer = new graft.sources.cdc.ReplicationTailer(feed, dec.decode, db)
-        while (tailer.drainOnce() > 0) ()
-        Files.writeString(db.resolve("_done"), s"${rows.length}")
-      }
+        while (!feed.exhausted) tailer.drainOnce()
+        rows.length.toLong
     }
-    db
-  }
 
   /** End-to-end through the MySQL binlog family: raw binlog v4 bytes
     * → BinlogDecoder (TableMap typed decode, FULL before images,
@@ -1278,19 +1175,12 @@ object QueriesCdc {
     * [[graft.sources.cdc.MongoChangeStreamDecoder]] +
     * [[graft.sources.cdc.ReplicationTailer]] into the shared layout.
     * Built once per (sf-dir, mtime). */
-  private def cdc24Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
+  private def cdc24Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
+    fixtureDb("cdc24", dir) { db =>
+      import java.nio.file.Files
     import java.io.ByteArrayOutputStream
     import java.nio.{ByteBuffer, ByteOrder}
     import java.nio.charset.StandardCharsets
-    val src = Paths.get(dir, "events.parquet")
-    val stamp = if (Files.exists(src))
-      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
-    val db = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-cdc24-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
-    if (!Files.exists(db.resolve("_done"))) this.synchronized {
-      if (!Files.exists(db.resolve("_done"))) {
-        Files.createDirectories(db)
         Files.createDirectories(db.resolve("snapshot"))
         Files.writeString(db.resolve("snapshot").resolve("_lsn"), "0")
         def le4(n: Int): Array[Byte] =
@@ -1348,17 +1238,11 @@ object QueriesCdc {
         }
         val dec = new graft.sources.cdc.MongoChangeStreamDecoder(startLsn = 0L,
           topicPrefix = "app", emitTombstones = false)
-        val chunks = msgs.grouped(2000)
-        val feed = new graft.sources.cdc.ReplicationFeed {
-          override def poll(): Seq[Array[Byte]] = if (chunks.hasNext) chunks.next() else Nil
-        }
+        val feed = new ChunkedFeed(msgs)
         val tailer = new graft.sources.cdc.ReplicationTailer(feed, dec.decode, db)
-        while (tailer.drainOnce() > 0) ()
-        Files.writeString(db.resolve("_done"), s"${rows.length}")
-      }
+        while (!feed.exhausted) tailer.drainOnce()
+        rows.length.toLong
     }
-    db
-  }
 
   /** End-to-end through the MongoDB change-stream family: byte-built
     * BSON change events → MongoChangeStreamDecoder (clean-room BSON
@@ -1401,16 +1285,9 @@ object QueriesCdc {
     * [[graft.sources.cdc.SpannerChangeStreamTailer]] polls it through
     * the real JSON-mods decode and position machinery into the shared
     * layout. Built once per (sf-dir, mtime) outside the bench timer. */
-  private def cdc12Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(dir, "events.parquet")
-    val stamp = if (Files.exists(src))
-      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
-    val db = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-cdc12-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
-    if (!Files.exists(db.resolve("_done"))) this.synchronized {
-      if (!Files.exists(db.resolve("_done"))) {
-        Files.createDirectories(db)
+  private def cdc12Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
+    fixtureDb("cdc12", dir) { db =>
+      import java.nio.file.Files
         val url = s"jdbc:derby:memory:cdc12${java.util.UUID.randomUUID().toString.take(8)};create=true"
         val conn = java.sql.DriverManager.getConnection(url)
         try {
@@ -1455,12 +1332,9 @@ object QueriesCdc {
           }
           ps.executeBatch(); ps.close()
           tailer.poll()
-          Files.writeString(db.resolve("_done"), s"${rows.length}")
+          rows.length.toLong
         } finally conn.close()
-      }
     }
-    db
-  }
 
   /** End-to-end through a SECOND native capture family: Spanner
     * DataChangeRecords → SpannerChangeStreamTailer (mods[] JSON

@@ -3,8 +3,6 @@ package graft.sources
 import graft.SparkSpec
 import graft.sources.cdc.{CaptureFactory, ReplicationTailer, VStreamDecoder}
 import org.apache.spark.sql.functions._
-import java.io.ByteArrayOutputStream
-import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 
 /** Fixture-driven Vitess VStream decoding: VStreamResponse messages
@@ -15,62 +13,10 @@ import java.nio.file.Files
   * images, hard deletes, NULLs, and bookkeeping events skipped. */
 class VStreamSpec extends SparkSpec {
 
-  // ---- protobuf wire builders ----
-  private def varint(out: ByteArrayOutputStream, v0: Long): Unit = {
-    var v = v0
-    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-    out.write(v.toInt)
-  }
-  private def tag(out: ByteArrayOutputStream, field: Int, wire: Int): Unit =
-    varint(out, (field.toLong << 3) | wire)
-  private def lenDelim(out: ByteArrayOutputStream, field: Int, bytes: Array[Byte]): Unit = {
-    tag(out, field, 2); varint(out, bytes.length); out.write(bytes)
-  }
-  private def str(out: ByteArrayOutputStream, field: Int, s: String): Unit =
-    lenDelim(out, field, s.getBytes(StandardCharsets.UTF_8))
-  private def vint(out: ByteArrayOutputStream, field: Int, v: Long): Unit = {
-    tag(out, field, 0); varint(out, v)
-  }
-  private def msg(f: ByteArrayOutputStream => Unit): Array[Byte] = {
-    val out = new ByteArrayOutputStream(); f(out); out.toByteArray
-  }
-  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
-
-  /** query.Field { name=1, type=2, flags=10 } */
-  private def field(name: String, isKey: Boolean): Array[Byte] = msg { o =>
-    str(o, 1, name); vint(o, 2, 265 /* INT32-ish; unread */)
-    if (isKey) vint(o, 10, VStreamDecoder.PriKeyFlag)
-  }
-  /** query.Row { lengths=1 packed sint64, values=2 } — null = -1. */
-  private def row(values: Seq[Option[String]], packed: Boolean = true): Array[Byte] = msg { o =>
-    val lens = values.map(_.map(_.getBytes(StandardCharsets.UTF_8).length.toLong).getOrElse(-1L))
-    if (packed) {
-      val p = new ByteArrayOutputStream()
-      lens.foreach(l => varint(p, zigzag(l)))
-      lenDelim(o, 1, p.toByteArray)
-    } else lens.foreach(l => vint(o, 1, zigzag(l)))
-    lenDelim(o, 2, values.flatten.mkString("").getBytes(StandardCharsets.UTF_8))
-  }
-  /** VEvent wrapped in a VStreamResponse { events=1 }. */
-  private def response(events: Array[Byte]*): Array[Byte] = msg { o =>
-    events.foreach(lenDelim(o, 1, _))
-  }
-  private def fieldEvent(table: String, fields: Array[Byte]*): Array[Byte] = msg { o =>
-    vint(o, 1, VStreamDecoder.EventField)
-    lenDelim(o, 6, msg { fe => str(fe, 1, table); fields.foreach(lenDelim(fe, 2, _)) })
-  }
-  private def rowEvent(table: String, changes: Array[Byte]*): Array[Byte] = msg { o =>
-    vint(o, 1, VStreamDecoder.EventRow)
-    lenDelim(o, 5, msg { re => str(re, 1, table); changes.foreach(lenDelim(re, 2, _)) })
-  }
-  private def change(before: Option[Array[Byte]], after: Option[Array[Byte]]): Array[Byte] =
-    msg { o =>
-      before.foreach(lenDelim(o, 1, _))
-      after.foreach(lenDelim(o, 2, _))
-    }
-  private def bookkeeping(eventType: Int): Array[Byte] = msg { o =>
-    vint(o, 1, eventType); str(o, 3, "MySQL56/a-b-c:1-42") // gtid, skipped
-  }
+  // wire builders shared with the cdc21 driver fixture — one copy of
+  // the encoding, so unit fixtures and the oracle replay cannot
+  // silently diverge
+  import graft.sources.cdc.VStreamProto._
 
   private val custFields = fieldEvent("commerce.customers",
     field("id", isKey = true), field("name", isKey = false), field("email", isKey = false))
