@@ -15,7 +15,7 @@ object QueriesLlm {
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
-                        llm57, llm58, llm59, llm60, llm61, llm62, llm63)
+                        llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2478,6 +2478,41 @@ object QueriesLlm {
             |  CAST((rank_in_source // w) * 1000000000
             |       + (rank_in_source % w) * 1000000000 // w AS BIGINT) AS position
             |FROM j ORDER BY position, source, rank_in_source""".stripMargin))
+
+  /** One-row dataset card (CorpusReport.datasetCard): the datasheet
+    * corpus papers publish — volume, tokens, source/language breadth,
+    * dup rate, mean quality, p50/p90 quality bins — ONE scan + ONE
+    * global aggregate; the quantiles read off the in-row 32-bin
+    * histogram with an `aggregate` fold, no second shuffle. */
+  private def llm64 = Q("llm64_dataset_card",
+    (s, dir) => CorpusReport.datasetCard(Tables.documents(s, dir),
+      col("text"), col("source"), col("lang")),
+    Some(s"""WITH d AS (SELECT
+            |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS nt,
+            |    CAST(floor(((CAST(least(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)), 64) AS DOUBLE) / 64.0)
+            |      * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+            |               / CAST(greatest(length(text), 1) AS DOUBLE))) * 1e6) AS BIGINT) AS q6,
+            |    source, lang, ${Portable.duckHash64("text")} AS h
+            |  FROM documents),
+            |b AS (SELECT *, least(q6 * 32 // 1000000, 31) AS bin FROM d),
+            |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            |        CAST(sum(nt) AS BIGINT) AS n_tokens,
+            |        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+            |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+            |        CAST(count(DISTINCT h) AS BIGINT) AS nu,
+            |        CAST(sum(q6) AS BIGINT) AS sq6
+            |      FROM b),
+            |hb AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+            |w AS (SELECT bin, CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cum FROM hb)
+            |SELECT n_docs, n_tokens, n_sources, n_langs,
+            |  CAST(n_docs - nu AS DOUBLE) / n_docs AS dup_rate,
+            |  CAST(n_tokens AS DOUBLE) / n_docs AS avg_doc_tokens,
+            |  CAST(sq6 AS DOUBLE) / n_docs / 1e6 AS avg_quality,
+            |  CAST((SELECT min(bin) FROM w
+            |        WHERE cum >= CAST(ceil(CAST(g.n_docs AS DOUBLE) * 0.5) AS BIGINT)) AS INT) AS p50_bin,
+            |  CAST((SELECT min(bin) FROM w
+            |        WHERE cum >= CAST(ceil(CAST(g.n_docs AS DOUBLE) * 0.9) AS BIGINT)) AS INT) AS p90_bin
+            |FROM g""".stripMargin))
 
   /** Passage-dedup as a transformation (Dedup.scrubDuplicatePassages):
     * rebuilds every document with corpus-duplicated 8-token passages

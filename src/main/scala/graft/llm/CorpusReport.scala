@@ -45,6 +45,65 @@ object CorpusReport {
         (col("__sq6").cast("double") / col("n_docs") / lit(1e6)).as("avg_quality"))
   }
 
+  /** Whole-corpus DATASET CARD — the one-row datasheet corpus papers
+    * publish: volume, token count, source/language breadth, exact-dup
+    * rate, mean quality, and the p50/p90 quality BINS (32-bin
+    * histogram, the llm32 deterministic-quantile discipline) — all
+    * from ONE scan + ONE global aggregation.
+    *
+    * Scale shape: every per-document signal computes in one codegen'd
+    * projection; the single-group aggregate carries fixed-width
+    * values plus 32 conditional bin counters, map-side combined. The
+    * quantile read-off is a driver-free `aggregate` FOLD over the
+    * 32-element bin array in the result projection — no second
+    * histogram shuffle, no window, no collect. The three
+    * count_distincts (source, lang, content hash) are Spark's
+    * standard multi-distinct Expand — the only corpus-grain shuffle,
+    * fixed-width keyed.
+    *
+    * All counts are exact integers; quality quantizes to 1e-6 before
+    * summation, so any engine replays the card bit-for-bit.
+    */
+  def datasetCard(df: DataFrame, textCol: Column, sourceCol: Column,
+                  langCol: Column): DataFrame = {
+    val q6 = floor(TextAnalysis.qualityScore(textCol) * lit(1e6)).cast("long")
+    val base = df.select(
+      TextAnalysis.tokenCount(textCol).cast("long").as("__nt"),
+      q6.as("__q6"),
+      sourceCol.as("__src"), langCol.as("__lang"),
+      Portable.hash64(textCol).as("__h"))
+      // integer binning: q6 ∈ [0, 1e6] → 32 bins, top edge clamped
+      .withColumn("__bin", least(expr("__q6 * 32 DIV 1000000"), lit(31)))
+    val binAggs = (0 until 32).map(i =>
+      sum(when(col("__bin") === i, 1L).otherwise(0L)).as(s"__b$i"))
+    val agg = base.agg(
+      count(lit(1)).as("n_docs"),
+      (Seq(sum(col("__nt")).as("n_tokens"),
+        count_distinct(col("__src")).as("n_sources"),
+        count_distinct(col("__lang")).as("n_langs"),
+        count_distinct(col("__h")).as("n_unique"),
+        sum(col("__q6")).as("__sq6")) ++ binAggs): _*)
+    val bins = array((0 until 32).map(i => col(s"__b$i")): _*)
+    // fold: first bin index where the cumulative count reaches the
+    // rank target — struct acc (cum, found bin, index)
+    def quantileBin(q: Double): Column = {
+      val target = ceil(col("n_docs").cast("double") * lit(q)).cast("long")
+      aggregate(bins,
+        struct(lit(0L).as("cum"), lit(-1).as("bin"), lit(0).as("i")),
+        (acc, x) => struct(
+          (acc.getField("cum") + x).as("cum"),
+          when(acc.getField("bin") === -1 && acc.getField("cum") + x >= target,
+            acc.getField("i")).otherwise(acc.getField("bin")).as("bin"),
+          (acc.getField("i") + 1).as("i")),
+        acc => acc.getField("bin"))
+    }
+    agg.select(col("n_docs"), col("n_tokens"), col("n_sources"), col("n_langs"),
+      ((col("n_docs") - col("n_unique")).cast("double") / col("n_docs")).as("dup_rate"),
+      (col("n_tokens").cast("double") / col("n_docs")).as("avg_doc_tokens"),
+      (col("__sq6").cast("double") / col("n_docs") / lit(1e6)).as("avg_quality"),
+      quantileBin(0.5).as("p50_bin"), quantileBin(0.9).as("p90_bin"))
+  }
+
   /** Corpus FREEZE manifest — the reproducibility artifact a training
     * run records before it starts: documents assign to `nShards`
     * deterministic hash shards and each shard summarizes to (n_docs,

@@ -490,6 +490,15 @@ class PlanSpec extends SparkSpec {
       s"expected distinct + final aggregates in:\n$s")
   }
 
+  test("llm64: the dataset card is one global aggregate — quantiles fold in-row, no second histogram shuffle") {
+    val df = Queries.byName("llm64_dataset_card")(spark, sfSmoke)
+    val p = planOf(df)
+    val s = p.toString
+    assert(!s.contains("Window") && !s.contains("Join"),
+      s"quantile bins must fold inside the result projection:\n$s")
+    assert(s.contains("Expand"), s"expected the multi-distinct Expand:\n$s")
+  }
+
   test("llm61: scrub stats join is keyed on the 8-byte passage hash, never the passage text") {
     val df = Queries.byName("llm61_passage_scrub")(spark, sfSmoke)
     val shuffles = shufflePartitionings(planOf(df))

@@ -1280,6 +1280,19 @@ class LlmSpec extends SparkSpec {
     assert(e.getMessage.contains("<= 64"))
   }
 
+  test("datasetCard: one-row datasheet with exact dup rate and histogram-fold quantile bins") {
+    val long64 = (1 to 64).map(i => s"w$i").mkString(" ") // quality 1.0 → bin 31
+    val docs = Seq(
+      (1L, "a b", "s1", "en"), (2L, "a b", "s1", "en"),   // dup pair, quality 2/64 → bin 1
+      (3L, long64, "s2", "de")).toDF("id", "text", "source", "lang")
+    val r = CorpusReport.datasetCard(docs, col("text"), col("source"), col("lang")).head()
+    assert(r.getAs[Long]("n_docs") == 3 && r.getAs[Long]("n_tokens") == 68)
+    assert(r.getAs[Long]("n_sources") == 2 && r.getAs[Long]("n_langs") == 2)
+    assert(math.abs(r.getAs[Double]("dup_rate") - 1.0 / 3) < 1e-12)
+    // p50 target = ceil(1.5) = 2 → cum hits 2 at bin 1; p90 = ceil(2.7) = 3 → bin 31
+    assert(r.getAs[Int]("p50_bin") == 1 && r.getAs[Int]("p90_bin") == 31)
+  }
+
   test("scrubDuplicatePassages rebuilds docs keep-first; within-doc repeats survive") {
     val df = Seq(
       (1L, "a b c d"),     // passages "a b" / "c d"; keeper of "a b"
