@@ -2361,9 +2361,9 @@ object QueriesLlm {
             |           FROM documents),
             |h AS (SELECT doc_id, ${Portable.duckHash64("term")} AS h FROM t),
             |f AS (SELECT h, min(doc_id) AS fd FROM h GROUP BY h),
-            |nb AS (SELECT (fd // 50) * 50 + 50 AS checkpoint,
+            |nb AS (SELECT fd - fd % 50 + 50 AS checkpoint,
             |              CAST(count(*) AS BIGINT) AS n_new_terms FROM f GROUP BY 1),
-            |tb AS (SELECT (doc_id // 50) * 50 + 50 AS checkpoint,
+            |tb AS (SELECT doc_id - doc_id % 50 + 50 AS checkpoint,
             |              CAST(count(*) AS BIGINT) AS n_tokens FROM h GROUP BY 1),
             |b AS (SELECT tb.checkpoint, coalesce(nb.n_new_terms, 0) AS n_new_terms, tb.n_tokens
             |      FROM tb LEFT JOIN nb USING (checkpoint))

@@ -46,9 +46,11 @@ object CorpusStats {
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
     val base = df.select(idCol.cast("long").as("doc_id"),
       TextAnalysis.tokens(textCol).as("__toks"))
-    // `%` (remainder, dividend sign — truncation semantics) on BOTH
-    // engines, NOT pmod: pmod's floor semantics diverge from SQL `//`
-    // on negative ids, and doc ids are the caller's domain
+    // `%` (remainder, dividend sign — truncation semantics) here AND in
+    // the llm57 oracle (`fd - fd % 50 + 50`, the same form): Spark's `%`
+    // and DuckDB's `%` both truncate toward zero, so the bin agrees for
+    // every id, negative included. (Floor-division `//` or `pmod` would
+    // diverge from this form on negative ids — don't mix the two.)
     val bin = (c: Column) => (c - c % lit(binWidth) + lit(binWidth)).as("checkpoint")
 
     val firstSeen = base

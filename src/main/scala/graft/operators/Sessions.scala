@@ -105,8 +105,12 @@ object Sessions {
     val nSteps = steps.length
     val stepsArr = array(steps.map(lit): _*)
     val perKey = df
+      // tie rides UNCAST (any orderable type — string event ids
+      // included), exactly like sessionize: a silent cast-to-long would
+      // null out non-numeric ties and collapse the (ts, tie) uniqueness
+      // contract the fold's determinism rests on
       .select(keyCol.as("k"), tsUsCol.cast("long").as("ts"),
-        tieCol.cast("long").as("tie"), typeCol.as("t"))
+        tieCol.as("tie"), typeCol.as("t"))
       .groupBy(col("k"))
       .agg(array_sort(collect_list(struct(col("ts"), col("tie"), col("t")))).as("evs"))
       .select(col("k"),
