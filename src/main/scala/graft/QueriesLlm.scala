@@ -15,7 +15,8 @@ object QueriesLlm {
                         llm27, llm28, llm29, llm30, llm31, llm32, llm33, llm34, llm35,
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
-                        llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64)
+                        llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
+                        llm65, llm66)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2640,4 +2641,89 @@ object QueriesLlm {
          |FROM sel ORDER BY sel_round""".stripMargin
     },
     cleanup = Some(_ => llm60Slot.drain()))
+
+  /** TF-IDF keyword extraction (TextAnalysis.tfidfKeywords): top-3
+    * characteristic terms per document by the QUANTIZED rational-idf
+    * score — the scalar-scored sibling of llm22's lexicographic
+    * (tf, df) rank, able to prefer a rarer lower-tf term. Ranking and
+    * output both use the 1e-6-quantized integer score, so near-tie
+    * order can't flip across engines. */
+  private def llm65 = Q("llm65_tfidf_keywords",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.llm.TextAnalysis.tfidfKeywords(d, col("doc_id"), col("text"), k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some(
+      """WITH t AS (SELECT doc_id,
+        |            unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term, tf, doc_freq,
+        |         CAST(floor(CAST(tf AS DOUBLE) *
+        |           ((CAST(n_docs AS DOUBLE) - CAST(doc_freq AS DOUBLE) + 0.5) /
+        |            (CAST(doc_freq AS DOUBLE) + 0.5)) * 1000000.0) AS BIGINT) AS score_q
+        |       FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_q DESC, term) AS rank FROM sc)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, doc_freq, score_q
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+
+  /** Levenshtein verification of LSH candidates
+    * (Dedup.levenshteinVerify): the character-exact final gate after
+    * banded MinHash candidate generation — each original pairs with a
+    * one-substitution twin (char 11 → '#'), which keeps most 9-gram
+    * shingles (LSH still buckets the pair) while the edit distance
+    * pins the actual mutation size. Texts cap at 120 chars so the DP
+    * is constant per pair; Spark's threshold form early-abandons
+    * anything provably past maxDist. */
+  private def llm66 = Q("llm66_levenshtein_verify",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("#"),
+                 expr("substring(text, 12)")).as("text")))
+      val sigs = Dedup.minhashSignatureText(corpus, col("doc_id"), col("text"),
+        n = 9, k = 12)
+      val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
+      Dedup.levenshteinVerify(pairs, corpus, col("doc_id"), col("text"),
+          capChars = 120, maxDist = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val hashes = (0 until 12).map(i =>
+        s"${Portable.duckSeededHash("shingle", i)} AS h$i").mkString(",\n            ")
+      val mins = (0 until 12).map(i => s"min(h$i) AS mh$i").mkString(", ")
+      val bandRows = (0 until 3).map { b =>
+        val cols = (4 * b until 4 * (b + 1)).map(i => s"mh$i").mkString(", ")
+        s"SELECT doc_id, $b AS band, ${Portable.duckHash64(s"concat_ws('_', $cols)")} AS bucket FROM mh"
+      }.mkString("\n            UNION ALL ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000,
+         |    substr(text, 1, 10) || '#' || substr(text, 12) FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS shingle
+         |       FROM (SELECT doc_id, text,
+         |               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+         |             FROM corpus)),
+         |h AS (SELECT doc_id,
+         |            $hashes
+         |      FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+         |bk AS (
+         |            $bandRows),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |          WHERE a.doc_id < b.doc_id)
+         |SELECT p.id_a, p.id_b,
+         |       CAST(levenshtein(substr(ca.text, 1, 120), substr(cb.text, 1, 120)) AS INT) AS edit_dist
+         |FROM pairs p
+         |JOIN corpus ca ON ca.doc_id = p.id_a
+         |JOIN corpus cb ON cb.doc_id = p.id_b
+         |WHERE levenshtein(substr(ca.text, 1, 120), substr(cb.text, 1, 120)) <= 8
+         |ORDER BY id_a, id_b""".stripMargin
+    })
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
 object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-                        q13, q14, q15, q16, q17, q18, q19)
+                        q13, q14, q15, q16, q17, q18, q19, q20)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -569,4 +569,53 @@ object QueriesRelational {
         |SELECT CAST(gs.s AS INT) AS stage, coalesce(g.n_keys, 0) AS n_keys
         |FROM generate_series(0, 3) gs(s) LEFT JOIN g ON g.stage = gs.s
         |ORDER BY stage""".stripMargin))
+
+  /** Peak session concurrency per day (operators.PrefixSum): the
+    * classic interval sweep — sessions (q17's sessionization) emit
+    * (+1 at start, −1 past end) deltas, a GLOBAL running sum over
+    * delta time is the live-session count, and each day reports its
+    * maximum. The running sum is the distributed two-level scan
+    * (bucketed windows + a bucket-count offset frame), NOT the
+    * single-partition `Window.orderBy` the naive form would plan —
+    * the whole point of the operator at 100 TB. Days are keyed by
+    * delta activity (a day whose concurrency only carries over from
+    * overnight sessions has no change point and no row — the sweep's
+    * standard contract). */
+  private def q20 = Q("q20_peak_concurrency",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val sess = graft.operators.Sessions.sessionize(ev, col("user_id"),
+        col("ts_us"), col("event_id"), gapUs = 14400000000L)
+      val deltas = sess.select(explode(array(
+          struct(col("start_us").as("t"), lit(1L).as("delta")),
+          struct((col("end_us") + 1L).as("t"), lit(-1L).as("delta")))).as("e"))
+        .select(col("e.t").as("t"), col("e.delta").as("delta"))
+      graft.operators.PrefixSum.runningTotal(deltas, col("t"), col("delta"),
+          bucketWidth = 86400000000L, out = "conc")
+        .select(expr("t DIV 86400000000").as("day"), col("conc"))
+        .groupBy(col("day")).agg(max(col("conc")).as("peak_sessions"))
+        .orderBy(col("day"))
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id FROM events),
+        |b AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 14400000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM b),
+        |sess AS (
+        |  SELECT user_id, session_idx, min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, session_idx),
+        |d AS (
+        |  SELECT start_us AS t, 1 AS delta FROM sess
+        |  UNION ALL SELECT end_us + 1, -1 FROM sess),
+        |r AS (SELECT t, sum(delta) OVER (ORDER BY t) AS conc FROM d)
+        |SELECT t // 86400000000 AS day, CAST(max(conc) AS BIGINT) AS peak_sessions
+        |FROM r GROUP BY day ORDER BY day""".stripMargin))
 }

@@ -533,6 +533,37 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Edit-distance verification of candidate pairs — the
+    * character-level sibling of the Jaccard verify: where shingle-set
+    * Jaccard measures BAG overlap (insensitive to ordering and local
+    * edits), Levenshtein counts the actual minimal edit script, the
+    * right final gate when near-dups must be byte-provably close
+    * (template detection, OCR-noise dedup). `pairs` is (id_a, id_b)
+    * from any banded candidate source ([[candidatePairs]] — never n²);
+    * each side's text is capped to its first `capChars` characters so
+    * the O(len²) DP cell count is a CONSTANT per pair regardless of
+    * document size (the standard truncated-verify trade; cap ≥ the
+    * shingle width times the band count keeps the gate meaningful).
+    * Spark's codegen'd `levenshtein(l, r, threshold)` abandons a pair
+    * early once its distance provably exceeds `maxDist` (returns -1) —
+    * at scale that prunes the quadratic DP to the banded diagonal.
+    * Returns (id_a, id_b, edit_dist) for pairs within `maxDist`.
+    *
+    * 100 TB shape: two hash joins move only capped prefixes to the
+    * candidate rows; the DP runs inside one codegen'd projection; no
+    * shuffle is keyed on text. */
+  def levenshteinVerify(pairs: DataFrame, docs: DataFrame, idCol: Column,
+                        textCol: Column, capChars: Int, maxDist: Int): DataFrame = {
+    require(capChars >= 1 && maxDist >= 0, "capChars >= 1, maxDist >= 0")
+    val t = docs.select(idCol.as("__id"), substring(textCol, 1, capChars).as("__t"))
+    pairs
+      .join(t.select(col("__id").as("id_a"), col("__t").as("__ta")), "id_a")
+      .join(t.select(col("__id").as("id_b"), col("__t").as("__tb")), "id_b")
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("edit_dist") >= 0) // -1 = early-abandoned above maxDist
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   /** SimHash sketch: one bit per position j — the sign of the vote
     * sum over the document's distinct tokens of (bit j of hash(token)
     * ? +1 : -1). Near-identical docs differ in few bits. Computed as

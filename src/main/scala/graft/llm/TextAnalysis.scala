@@ -148,6 +148,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
   }
 
+  /** Per-document TF-IDF keyword extraction — the SCALAR-score sibling
+    * of [[topTerms]]: where topTerms ranks lexicographically by
+    * (tf desc, df asc) — which can never prefer a rarer lower-tf term —
+    * this ranks by an actual tf·idf product, so a tf=2 term seen in 3
+    * documents outranks a tf=3 term seen in most of the corpus. The
+    * idf is the BM25-style RATIONAL odds (N − df + 0.5)/(df + 0.5)
+    * (monotone in the classic log-idf; same engine-portability
+    * argument as Retrieval.RatioIdf: sums/divisions of small integers
+    * are correctly-rounded IEEE on every engine, a floating `ln` is
+    * not), and the score is quantized to integer 1e-6 steps BEFORE the
+    * rank so near-tie ordering can't flip across engines.
+    *
+    * 100 TB shape: one token explode; (doc, term) and (term)
+    * aggregations — the only string shuffles, bounded by corpus tokens
+    * and vocabulary respectively; the one-row corpus count broadcasts;
+    * the top-k window partitions by doc_id (no global sort). Returns
+    * (doc_id, rank, term, tf, doc_freq, score_q). */
+  def tfidfKeywords(df: org.apache.spark.sql.DataFrame, idCol: Column,
+                    textCol: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score_q",
+        floor(col("tf").cast("double") *
+          ((col("__n").cast("double") - col("doc_freq").cast("double") + lit(0.5)) /
+           (col("doc_freq").cast("double") + lit(0.5))) * lit(1000000.0)).cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("doc_freq"), col("score_q"))
+  }
+
   /** GPT-2-style pre-tokenizer pattern (simplified to the portable
     * RE2 ∩ Java-regex subset): contractions, letter runs, digit runs,
     * and symbol runs, each with an optional leading space. Whitespace

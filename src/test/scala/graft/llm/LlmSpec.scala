@@ -103,6 +103,50 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Double]("s") > 0.2) // "The", "and", "the"
   }
 
+  test("tfidfKeywords: scalar score prefers the rarer lower-tf term where (tf,df) rank cannot") {
+    // "common" appears twice in doc 1 but in EVERY doc (idf odds ≈ 1/7);
+    // "rare" appears once and only here (idf odds = 5/3). Score-ranked
+    // tf·idf puts "rare" first; topTerms' lexicographic (tf desc, ...)
+    // would put "common" first — the exact behavioral split the scalar
+    // operator exists for.
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common filler2 x2"),
+      (3L, "common filler3 x3")).toDF("doc_id", "text")
+    val kw = TextAnalysis.tfidfKeywords(docs, col("doc_id"), col("text"), k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank").collect()
+    assert(kw.map(_.getAs[String]("term")).toSeq == Seq("rare", "common"))
+    val top = TextAnalysis.topTerms(docs, col("doc_id"), col("text"), k = 1)
+      .filter(col("doc_id") === 1L).head().getAs[String]("term")
+    assert(top == "common") // the lexicographic rank really does differ
+    // quantization contract: the integer score is floor(tf·odds·1e6)
+    val rare = kw.head
+    assert(rare.getAs[Long]("score_q") ==
+      math.floor(1.0 * ((3 - 1 + 0.5) / (1 + 0.5)) * 1e6).toLong)
+    assert(rare.getAs[Long]("tf") == 1L && rare.getAs[Long]("doc_freq") == 1L)
+  }
+
+  test("levenshteinVerify: exact distances within threshold, early-abandon beyond, cap bounds the window") {
+    val docs = Seq(
+      (1L, "abcdefgh"), (2L, "abXdefgh"),       // distance 1
+      (3L, "totally different words here"),     // far from 1/2
+      (4L, "abcdefgh")).toDF("doc_id", "text")  // exact dup of 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.levenshteinVerify(pairs, docs, col("doc_id"), col("text"),
+        capChars = 100, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // (1,3) is past maxDist → early-abandoned (-1) and filtered out
+    assert(out == Seq((1L, 2L, 1), (1L, 4L, 0)))
+    // the cap truncates BOTH sides: differences past it are invisible
+    val capped = Dedup.levenshteinVerify(
+        Seq((1L, 2L)).toDF("id_a", "id_b"),
+        Seq((1L, "same prefix THEN DIFFERENT"), (2L, "same prefix BUT OTHER TAIL"))
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"), capChars = 11, maxDist = 5)
+      .head().getAs[Int]("edit_dist")
+    assert(capped == 0)
+  }
+
   test("gopher rules: bullets, ellipses, symbols, alpha words, stopword floor all gate") {
     val t = TextAnalysis
     val prose = "The results have improved with the new method and that is good news to share.\n" +
