@@ -17,7 +17,7 @@ object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
                         cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21,
-                        cdc22, cdc23, cdc24)
+                        cdc22, cdc23, cdc24, cdc25)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -1613,4 +1613,89 @@ object QueriesCdc {
            |SELECT 'testc.app.events' AS destination, col_name, first_lsn, n_events
            |FROM base ORDER BY destination, first_lsn, col_name""".stripMargin),
     prepare = Some((s, dir) => { cdc15Db(s, dir); () }))
+
+  /** cdc25's native-capture fixture: an events subset rendered as
+    * Cassandra commitlog mutations (kind + named-key JSON object +
+    * mutated-cell JSON, (segment, position) ordering) hosted in
+    * Derby; [[graft.sources.cdc.CassandraCommitlogTailer]] polls it
+    * through the mutation decode — INSERT/UPDATE upserts with no
+    * before images, ROW_DELETE with key only — into the shared
+    * layout. UPDATE mutations here write every cell (a full-row CQL
+    * UPDATE); the family's partial-cell images are pinned by
+    * CassandraCdcSpec. */
+  private def cdc25Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
+    fixtureDb("cdc25", dir) { db =>
+        val url = s"jdbc:derby:memory:cdc25${java.util.UUID.randomUUID().toString.take(8)};create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          st.execute("CREATE SCHEMA cl")
+          st.execute("""CREATE TABLE cl."app_events_COMMITLOG" (""" +
+            """segment_id BIGINT, "pos" BIGINT, kind VARCHAR(20), """ +
+            """"mkey" VARCHAR(256), cells VARCHAR(4000))""")
+          st.close()
+          val tailer = new graft.sources.cdc.CassandraCommitlogTailer(url, db,
+            Seq(graft.sources.cdc.CassandraCommitlogTailer.TableSpec("app", "events", Seq("user_id"))),
+            emitTombstones = false)
+          tailer.snapshotSchemaOnly()
+          val rows = Tables.events(s, dir)
+            .filter(col("event_id") % 10 === 1)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+                    col("value"), unix_micros(col("ts")).as("ts_us"))
+            .orderBy(col("event_id"))
+            .collect()
+          val ps = conn.prepareStatement(
+            """INSERT INTO cl."app_events_COMMITLOG" VALUES (?, ?, ?, ?, ?)""")
+          rows.zipWithIndex.foreach { case (r, i) =>
+            val (eid, uid) = (r.getLong(0), r.getLong(1))
+            val (et, v, ts) = (r.getString(2), r.getDouble(3), r.getLong(4))
+            val cells = s"""{"event_type":"$et","value":$v,"ts_us":$ts}"""
+            val (kind, cellsOrNull) = et match {
+              case "signup" => ("INSERT", cells)
+              case "error" => ("ROW_DELETE", null)
+              case _ => ("UPDATE", cells)
+            }
+            // commitlog geometry: ~1000 mutations per segment file
+            ps.setLong(1, eid / 1000); ps.setLong(2, eid % 1000)
+            ps.setString(3, kind)
+            ps.setString(4, s"""{"user_id":$uid}"""); ps.setString(5, cellsOrNull)
+            ps.addBatch()
+            if ((i + 1) % 1000 == 0) ps.executeBatch()
+          }
+          ps.executeBatch(); ps.close()
+          tailer.poll()
+          rows.length.toLong
+        } finally conn.close()
+    }
+
+  /** End-to-end through the Cassandra commitlog family: mutation
+    * records → CassandraCommitlogTailer (kind decode, no-before-image
+    * contract, (segment, position) state) → shared layout → DSv2
+    * source replay → latest-state materialization. Same metamorphic
+    * oracle as the other native families. */
+  private def cdc25 = Q("cdc25_cassandra_mutation_replay",
+    (s, dir) => {
+      val records = s.read.format("graft-cdc")
+        .option("path", cdc25Db(s, dir).toString)
+        .option("keySchema", "user_id BIGINT").option("rowSchema", cdc07RowDdl)
+        .option("table.include.list", "app.events")
+        .load()
+      ApplyChanges.latestState(records,
+          keyCols = Seq(col("key.user_id")),
+          orderCols = Seq(col("value.source.lsn")),
+          opCol = col("value.op"))
+        .select(col("key.user_id").as("user_id"), col("value.op").as("op"),
+                col("value.after.event_type").as("event_type"),
+                col("value.after.value").as("value"),
+                col("value.after.ts_us").as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, op, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events WHERE event_id % 10 = 1) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc25Db(s, dir); () }))
 }

@@ -204,6 +204,11 @@ object CaptureFactory {
     } else if (connectorClass.endsWith("CockroachDbConnector") ||
                connectorClass.endsWith("CockroachDBConnector")) {
       native(CockroachChangefeedTailer.fromProperties(props))
+    } else if (connectorClass.matches(".*Cassandra\\d?Connector")) {
+      // the reference ships one module per server major
+      // (Cassandra3Connector / Cassandra4Connector / Cassandra5Connector,
+      // debezium-server-dist/pom.xml:547,693,620) — one capture here
+      native(CassandraCommitlogTailer.fromProperties(props))
     } else if (connectorClass.endsWith("VitessConnector")) {
       val dec = new VStreamDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
         topicPrefix = prefix)
