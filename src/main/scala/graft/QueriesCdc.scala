@@ -17,7 +17,7 @@ object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
                         cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21,
-                        cdc22, cdc23, cdc24, cdc25)
+                        cdc22, cdc23, cdc24, cdc25, cdc26)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -1698,4 +1698,103 @@ object QueriesCdc {
             |WHERE rn = 1 AND op <> 'd'
             |ORDER BY user_id""".stripMargin),
     prepare = Some((s, dir) => { cdc25Db(s, dir); () }))
+
+  /** cdc26's native-capture fixture: an events subset rendered as
+    * Informix CDC session records — one transaction per event
+    * (BEGINTX, INSERT / UPDBEF+UPDAFT / DELETE, COMMTX) — hosted in
+    * Derby; [[graft.sources.cdc.InformixCdcTailer]] polls it through
+    * the transaction-buffering decode into the shared layout. Every
+    * 50th event additionally plants a ROLLED-BACK transaction
+    * deleting that event's user: the oracle knows nothing of them,
+    * so a tailer that ever leaks uncommitted work fails the
+    * row/hash compare — the metamorphic rollback check. */
+  private def cdc26Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
+    fixtureDb("cdc26", dir) { db =>
+        val url = s"jdbc:derby:memory:cdc26${java.util.UUID.randomUUID().toString.take(8)};create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          st.execute("CREATE SCHEMA ifx")
+          st.execute("""CREATE TABLE ifx."app_events_CDCRECORDS" (""" +
+            "seqnum BIGINT, txid BIGINT, rectype VARCHAR(12), data VARCHAR(4000))")
+          st.close()
+          val tailer = new graft.sources.cdc.InformixCdcTailer(url, db,
+            Seq(graft.sources.cdc.InformixCdcTailer.TableSpec("app", "events", Seq("user_id"))),
+            emitTombstones = false)
+          tailer.snapshotSchemaOnly()
+          val rows = Tables.events(s, dir)
+            .filter(col("event_id") % 11 === 5)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+                    col("value"), unix_micros(col("ts")).as("ts_us"))
+            .orderBy(col("event_id"))
+            .collect()
+          val ps = conn.prepareStatement(
+            """INSERT INTO ifx."app_events_CDCRECORDS" VALUES (?, ?, ?, ?)""")
+          var seq = 0L
+          var tx = 0L
+          def addRec(recType: String, data: String): Unit = {
+            seq += 1
+            ps.setLong(1, seq); ps.setLong(2, tx)
+            ps.setString(3, recType); ps.setString(4, data)
+            ps.addBatch()
+          }
+          rows.zipWithIndex.foreach { case (r, i) =>
+            val uid = r.getLong(1)
+            val (et, v, ts) = (r.getString(2), r.getDouble(3), r.getLong(4))
+            val img = s"""{"user_id":$uid,"event_type":"$et","value":$v,"ts_us":$ts}"""
+            tx += 1
+            addRec("BEGINTX", null)
+            et match {
+              case "signup" => addRec("INSERT", img)
+              case "error" => addRec("DELETE", img)
+              case _ =>
+                addRec("UPDBEF", img)
+                addRec("UPDAFT", img)
+            }
+            addRec("COMMTX", null)
+            if (i % 50 == 49) { // the planted rollback: must never surface
+              tx += 1
+              addRec("BEGINTX", null)
+              addRec("DELETE", img)
+              addRec("RBTX", null)
+            }
+            if ((i + 1) % 1000 == 0) ps.executeBatch()
+          }
+          ps.executeBatch(); ps.close()
+          tailer.poll()
+          rows.length.toLong
+        } finally conn.close()
+    }
+
+  /** End-to-end through the Informix change-stream family: typed CDC
+    * records → InformixCdcTailer (transaction buffering with commit
+    * emit / rollback discard, UPDBEF→UPDAFT pairing, commit-ordered
+    * positions) → shared layout → DSv2 source replay → latest-state
+    * materialization. Same metamorphic oracle as the other native
+    * families, plus planted rollbacks the oracle never sees. */
+  private def cdc26 = Q("cdc26_informix_stream_replay",
+    (s, dir) => {
+      val records = s.read.format("graft-cdc")
+        .option("path", cdc26Db(s, dir).toString)
+        .option("keySchema", "user_id BIGINT").option("rowSchema", cdc07RowDdl)
+        .option("table.include.list", "app.events")
+        .load()
+      ApplyChanges.latestState(records,
+          keyCols = Seq(col("key.user_id")),
+          orderCols = Seq(col("value.source.lsn")),
+          opCol = col("value.op"))
+        .select(col("key.user_id").as("user_id"), col("value.op").as("op"),
+                col("value.after.event_type").as("event_type"),
+                col("value.after.value").as("value"),
+                col("value.after.ts_us").as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, op, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events WHERE event_id % 11 = 5) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc26Db(s, dir); () }))
 }

@@ -204,11 +204,16 @@ object CaptureFactory {
     } else if (connectorClass.endsWith("CockroachDbConnector") ||
                connectorClass.endsWith("CockroachDBConnector")) {
       native(CockroachChangefeedTailer.fromProperties(props))
-    } else if (connectorClass.matches(".*Cassandra\\d?Connector")) {
+    } else if (connectorClass.matches(".*Cassandra\\d?Connector") ||
+               connectorClass.endsWith("DseConnector")) {
       // the reference ships one module per server major
       // (Cassandra3Connector / Cassandra4Connector / Cassandra5Connector,
-      // debezium-server-dist/pom.xml:547,693,620) — one capture here
+      // debezium-server-dist/pom.xml:547,693,620) plus the DataStax
+      // Enterprise variant (debezium-connector-dse) — all speak the
+      // same commitlog event surface, one capture here
       native(CassandraCommitlogTailer.fromProperties(props))
+    } else if (connectorClass.endsWith("InformixConnector")) {
+      native(InformixCdcTailer.fromProperties(props))
     } else if (connectorClass.endsWith("VitessConnector")) {
       val dec = new VStreamDecoder(startLsn = CdcLayout.maxLsn(dbDir).max(0L),
         topicPrefix = prefix)
