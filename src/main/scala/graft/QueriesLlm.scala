@@ -16,7 +16,7 @@ object QueriesLlm {
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
-                        llm65, llm66)
+                        llm65, llm66, llm67)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2726,4 +2726,37 @@ object QueriesLlm {
          |WHERE levenshtein(substr(ca.text, 1, 120), substr(cb.text, 1, 120)) <= 8
          |ORDER BY id_a, id_b""".stripMargin
     })
+
+  /** Global token-budget selection (Curation.tokenBudgetSelect): keep
+    * the best-scored documents until a 20k-token budget is spent (the corpus holds ~27k) —
+    * the "best N tokens" corpus gate, rationing by token mass where
+    * llm23 rations per-source by document fraction. The running token
+    * total is the q20 distributed prefix sum over the quantized-score
+    * axis (bucketed parallel windows, no global single-partition
+    * window); the oracle states the same semantics as one
+    * `SUM OVER (ORDER BY -score_q)` RANGE window. */
+  private def llm67 = Q("llm67_token_budget_select",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        floor(graft.llm.TextAnalysis.qualityScore(col("text")) * lit(1e9))
+          .cast("long").as("score_q"),
+        graft.llm.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.llm.Curation.tokenBudgetSelect(d, col("doc_id"), col("score_q"),
+          col("n_tokens"), budgetTokens = 20000L)
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(floor(
+        |      (CAST(least(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)), 64) AS DOUBLE) / 64.0)
+        |        * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |                 / CAST(greatest(length(text), 1) AS DOUBLE)) * 1000000000.0) AS BIGINT) AS score_q,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, score_q, n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY -score_q) AS BIGINT) AS cum_tokens
+        |      FROM d)
+        |SELECT doc_id, score_q, n_tokens, cum_tokens FROM r
+        |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin))
 }

@@ -150,6 +150,41 @@ object Curation {
       tot => floor(tot * keepFraction), checkpointDir, tracker, numPartitions)
   }
 
+  /** GLOBAL token-budget selection — the "best N tokens" gate every
+    * pretraining-mix pipeline ends with: walk the corpus best-first
+    * and keep documents until the TOKEN budget (not a document count)
+    * is spent. Where [[keepTopQualityPerGroup]] rations per GROUP by
+    * document fraction, this rations the WHOLE corpus by token mass.
+    *
+    * `scoreQCol` must be an integer-quantized score (the repo's
+    * cross-engine float discipline — e.g.
+    * `floor(qualityScore(text) * 1e9)`): the running token total
+    * accumulates in score-descending order via
+    * [[graft.operators.PrefixSum.runningTotal]] — the distributed
+    * two-level scan, never a single-partition global window — and a
+    * document survives while its running total fits `budgetTokens`.
+    * Ties share one running total (RANGE semantics), so a tie-group
+    * that straddles the budget is excluded WHOLE — deterministic on
+    * every engine, no tie-breaker needed.
+    *
+    * Returns (doc_id, score_q, n_tokens, cum_tokens) for survivors.
+    * `bucketWidth` partitions the score axis for the parallel scan
+    * (quantized scores span ~[0, 1e9] → the 2^25 default yields ~32
+    * buckets). */
+  def tokenBudgetSelect(docs: DataFrame, idCol: Column, scoreQCol: Column,
+                        tokensCol: Column, budgetTokens: Long,
+                        bucketWidth: Long = 1L << 25): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val base = docs.select(idCol.as("doc_id"),
+      scoreQCol.cast("long").as("score_q"),
+      tokensCol.cast("long").as("n_tokens"))
+    graft.operators.PrefixSum.runningTotal(base,
+        orderCol = -col("score_q"), valueCol = col("n_tokens"),
+        bucketWidth = bucketWidth, out = "cum_tokens")
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("score_q"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Absolute-CAP variant of [[keepTopQualityPerGroup]]: keep at most
     * `cap` documents per group, top-ranked by score (ties on id). With
     * a hash-derived score ([[Sampling.unitInterval]]) this is

@@ -126,6 +126,27 @@ class LlmSpec extends SparkSpec {
     assert(rare.getAs[Long]("tf") == 1L && rare.getAs[Long]("doc_freq") == 1L)
   }
 
+  test("tokenBudgetSelect: best-first until the token budget; straddling tie-groups drop whole") {
+    val docs = Seq(
+      (1L, 900L, 10L),  // best: cum 10
+      (2L, 800L, 10L),  // cum 20
+      (3L, 700L, 10L),  // tie group {3,4}: cum 40 — straddles a 35 budget
+      (4L, 700L, 10L),
+      (5L, 600L, 10L)   // cum 50: past budget even alone
+    ).toDF("doc_id", "score_q", "n_tokens")
+    val kept = Curation.tokenBudgetSelect(docs, col("doc_id"), col("score_q"),
+        col("n_tokens"), budgetTokens = 35L, bucketWidth = 64L)
+      .orderBy("doc_id").collect()
+    // {3,4} share one running total (40 > 35) → excluded WHOLE; 5 follows
+    assert(kept.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(kept.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(10L, 20L))
+    // raising the budget to the tie-group's total admits both members
+    val kept2 = Curation.tokenBudgetSelect(docs, col("doc_id"), col("score_q"),
+        col("n_tokens"), budgetTokens = 40L, bucketWidth = 64L)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept2 == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("levenshteinVerify: exact distances within threshold, early-abandon beyond, cap bounds the window") {
     val docs = Seq(
       (1L, "abcdefgh"), (2L, "abXdefgh"),       // distance 1
