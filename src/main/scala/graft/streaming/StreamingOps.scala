@@ -320,4 +320,65 @@ object StreamingOps {
       orderCols = Seq(col("lsn")),
       opCol = col("op"))
   }
+
+  /** One funnel event: (key, event-time µs, tie, type). */
+  final case class FunnelIn(key: Long, ts: Long, tie: Long, typ: String)
+  /** Per-key funnel state: the stage reached and the (ts, tie)
+    * position of the LAST event that advanced it. */
+  final case class FunnelState(stage: Int, lastTs: Long, lastTie: Long)
+  /** Stage-advance emission: the key's new stage and the event
+    * position that reached it. */
+  final case class FunnelOut(key: Long, stage: Int, ts: Long, tie: Long)
+
+  /** STREAMING ordered funnel — the continuous counterpart of
+    * graft.operators.Sessions.funnelStages: per key, advance through
+    * `steps` as matching events arrive, a step counting only STRICTLY
+    * LATER in (ts, tie) order than the previous match, and emit one
+    * record per stage ADVANCE (keys still at stage 0 emit nothing —
+    * the funnel report zero-fills them from the key universe, exactly
+    * like the batch operator's left join).
+    *
+    * Ordering contract: events are sorted within each micro-batch, so
+    * intra-batch disorder is free; ACROSS batches the stream must be
+    * per-key non-decreasing in (ts, tie) — the CDC layout's delivery
+    * order (OrderedDelivery). An event at or before the last APPLIED
+    * position is ignored: the funnel is monotone, and a late
+    * pre-match event cannot retroactively rewrite a fold that already
+    * advanced past it (same arrival-order semantics every streaming
+    * funnel engine documents). Replayed batches (at-least-once
+    * delivery) re-observe events at already-applied positions and are
+    * absorbed by the same guard.
+    *
+    * State per key is CONSTANT — (stage, last position) — vs the
+    * batch fold's per-key event list: the streaming form is what
+    * runs unbounded. One shuffle on the key; RocksDB-ready. */
+  def funnelStagesStream(df: DataFrame, keyCol: Column, tsUsCol: Column,
+                         tieCol: Column, typeCol: Column,
+                         steps: Seq[String]): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val ds = df.select(keyCol.cast("long").as("key"), tsUsCol.cast("long").as("ts"),
+        tieCol.cast("long").as("tie"), typeCol.as("typ"))
+      .as(Encoders.product[FunnelIn])
+    ds.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        funnelGroup(steps.toVector))(
+        Encoders.product[FunnelState], Encoders.product[FunnelOut])
+  }
+
+  private def funnelGroup(steps: Vector[String])(key: Long, events: Iterator[FunnelIn],
+                                                 state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+    var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue, Long.MinValue))
+    val out = Vector.newBuilder[FunnelOut]
+    // intra-batch disorder is sorted away; the cross-batch guard below
+    // enforces the monotone contract
+    events.toVector.sortBy(e => (e.ts, e.tie)).foreach { e =>
+      val later = e.ts > st.lastTs || (e.ts == st.lastTs && e.tie > st.lastTie)
+      if (later && st.stage < steps.length && e.typ == steps(st.stage)) {
+        st = FunnelState(st.stage + 1, e.ts, e.tie)
+        out += FunnelOut(key, st.stage, e.ts, e.tie)
+      }
+    }
+    if (state.getOption.forall(_ != st)) state.update(st)
+    out.result().iterator
+  }
 }

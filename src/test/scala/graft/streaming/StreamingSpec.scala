@@ -268,6 +268,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchClosed, s"stream $streamed vs batch $batchClosed")
   }
 
+  test("funnelStagesStream: stage advances match the batch fold; late pre-match events are monotone-guarded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 completes view→click→purchase with distractors between;
+    // user 2 clicks BEFORE viewing (click must not count, then a later
+    // click after the view does); user 3 only views
+    val events = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "other"), (1L, 30L, 3L, "click"),
+      (2L, 5L, 4L, "click"), (2L, 15L, 5L, "view"),
+      (3L, 8L, 6L, "view"),
+      // second batch: the purchase lands, user 2's post-view click lands
+      (1L, 40L, 7L, "purchase"), (2L, 25L, 8L, "click"))
+    val steps = Seq("view", "click", "purchase")
+
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val df = input.toDF().toDF("user_id", "ts_us", "event_id", "event_type")
+    val q = StreamingOps.funnelStagesStream(df, col("user_id"), col("ts_us"),
+        col("event_id"), col("event_type"), steps)
+      .writeStream.format("memory").queryName("funnel_parity").outputMode("update").start()
+    val streamedFinal = try {
+      input.addData(events.take(6)); q.processAllAvailable()
+      input.addData(events.drop(6)); q.processAllAvailable()
+      // replay of batch 2 (at-least-once): already-applied positions
+      // must be absorbed, not advance stages twice
+      input.addData(events.drop(6)); q.processAllAvailable()
+      val emissions = spark.table("funnel_parity")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      // each advance emits exactly once
+      assert(emissions.distinct.size == emissions.size, s"duplicate emissions: $emissions")
+      emissions.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    } finally q.stop()
+    assert(streamedFinal == Map(1L -> 3, 2L -> 2, 3L -> 1))
+
+    // batch parity: fold over the same full log, zero-filled histogram
+    val batch = graft.operators.Sessions.funnelStages(
+        events.toDF("user_id", "ts_us", "event_id", "event_type"),
+        col("user_id"), col("ts_us"), col("event_id"), col("event_type"), steps)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val streamedHist = (0 to steps.length).map(stg =>
+      stg -> streamedFinal.values.count(_ == stg).toLong).toMap
+    assert((0 to 3).forall(stg => batch(stg) == streamedHist(stg)),
+      s"batch $batch vs streamed $streamedHist")
+  }
+
   test("dedupExactStream drops in-batch and cross-batch duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
