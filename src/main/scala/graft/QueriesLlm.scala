@@ -16,7 +16,7 @@ object QueriesLlm {
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
-                        llm65, llm66, llm67)
+                        llm65, llm66, llm67, llm68)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2759,4 +2759,45 @@ object QueriesLlm {
         |      FROM d)
         |SELECT doc_id, score_q, n_tokens, cum_tokens FROM r
         |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin))
+
+  /** ROUGE-2 recall eval-leak scoring (Dedup.rougeRecall): every 50th
+    * document's 120-char prefix plays the "leaked eval passage"; each
+    * corpus document scores its bag-with-counts bigram recall against
+    * every passage it shares a bigram with (implicit inverted-index
+    * pairs, integer-exact `overlap·1e6 DIV ref_total`), gated at 50%.
+    * The source documents of the planted passages must surface at
+    * high recall; llm16's distinct-shingle containment can't weight
+    * repeated n-grams, which is the metric difference under test. */
+  private def llm68 = Q("llm68_rouge_overlap",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val passages = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("pid"), substring(col("text"), 1, 120).as("ptext"))
+      Dedup.rougeRecall(d, col("doc_id"), col("text"),
+          passages, col("pid"), col("ptext"), n = 2, minRecallQ = 500000L)
+        .orderBy(col("cand_id"), col("ref_id"))
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |cg AS (SELECT doc_id AS cand_id, w1 || ' ' || w2 AS g, count(*) AS cc
+        |       FROM (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |             FROM toks WHERE len(t) >= 2)
+        |       GROUP BY 1, 2),
+        |ptoks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(substr(text, 1, 120), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |rg AS (SELECT doc_id AS ref_id, w1 || ' ' || w2 AS g, count(*) AS rc
+        |       FROM (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |             FROM ptoks WHERE len(t) >= 2)
+        |       GROUP BY 1, 2),
+        |rt AS (SELECT ref_id, sum(rc) AS total FROM rg GROUP BY 1),
+        |ov AS (SELECT cand_id, ref_id, CAST(sum(least(cc, rc)) AS BIGINT) AS overlap
+        |       FROM cg JOIN rg USING (g) GROUP BY 1, 2)
+        |SELECT cand_id, ref_id, overlap,
+        |       CAST(overlap * 1000000 // rt.total AS BIGINT) AS rouge_q
+        |FROM ov JOIN rt USING (ref_id)
+        |WHERE overlap * 1000000 // rt.total >= 500000
+        |ORDER BY cand_id, ref_id""".stripMargin))
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
 object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-                        q13, q14, q15, q16, q17, q18, q19, q20)
+                        q13, q14, q15, q16, q17, q18, q19, q20, q21)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -618,4 +618,44 @@ object QueriesRelational {
         |r AS (SELECT t, sum(delta) OVER (ORDER BY t) AS conc FROM d)
         |SELECT t // 86400000000 AS day, CAST(max(conc) AS BIGINT) AS peak_sessions
         |FROM r GROUP BY day ORDER BY day""".stripMargin))
+
+  private val q21Slot = new QueriesLlm.TrackerSlot
+  /** Distributed exact INTERPOLATED per-group quantiles
+    * (Sketches.exactQuantilesContPerGroup): percentile_cont to q16's
+    * percentile_disc — the value at fractional position q·(n−1),
+    * linearly interpolated between the neighboring order statistics
+    * over the same range-partition exact-rank machinery (each
+    * quantile fetches its two neighbors by global rank; no group
+    * ever sorts in one task). The oracle replays the IDENTICAL
+    * interpolation expression rather than DuckDB's quantile_cont
+    * builtin, so both engines run the same IEEE arithmetic. */
+  private def q21 = Q("q21_interpolated_quantiles",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.llm.Sketches.exactQuantilesContPerGroup(li,
+          col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey") * 10 + col("l_linenumber"),
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95),
+          tracker = Some(q21Slot.fresh()))
+        .orderBy(col("g"), col("q_name"))
+    },
+    Some("""WITH t AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+           |                  l_orderkey * 10 + l_linenumber AS id FROM lineitem),
+           |n AS (SELECT g, count(*) AS n_rows FROM t GROUP BY g),
+           |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, id) AS rk FROM t),
+           |tg AS (SELECT g, n_rows, q_name,
+           |         CAST(floor(qq * CAST(n_rows - 1 AS DOUBLE)) AS BIGINT) + 1 AS lo_rank,
+           |         qq * CAST(n_rows - 1 AS DOUBLE)
+           |           - floor(qq * CAST(n_rows - 1 AS DOUBLE)) AS frac
+           |       FROM n CROSS JOIN (VALUES ('p25', 0.25), ('p50', 0.5), ('p95', 0.95)) qv(q_name, qq)),
+           |lo AS (SELECT tg.g, tg.n_rows, tg.q_name, tg.frac, r.v AS v_lo
+           |       FROM tg JOIN r ON r.g = tg.g AND r.rk = tg.lo_rank),
+           |hi AS (SELECT tg.g, tg.q_name, r.v AS v_hi
+           |       FROM tg JOIN r ON r.g = tg.g
+           |        AND r.rk = tg.lo_rank + CASE WHEN tg.frac > 0 THEN 1 ELSE 0 END)
+           |SELECT lo.g AS g, lo.n_rows, lo.q_name AS q_name,
+           |       v_lo + (v_hi - v_lo) * frac AS value
+           |FROM lo JOIN hi ON hi.g = lo.g AND hi.q_name = lo.q_name
+           |ORDER BY g, lo.q_name""".stripMargin),
+    cleanup = Some(_ => q21Slot.drain()))
 }

@@ -771,6 +771,51 @@ object Dedup {
       posHashes(evalDf, evalId, evalText, "eval_id"), maxDf, checkpointDir, tracker)
   }
 
+  /** ROUGE-N RECALL of candidate documents against a reference/eval
+    * set — the bag-WITH-COUNTS n-gram overlap the set-based tiers
+    * cannot express: recall = Σ_g min(cnt_cand(g), cnt_ref(g)) /
+    * Σ_g cnt_ref(g), so a reference bigram occurring 3 times needs 3
+    * candidate occurrences for full credit (the standard
+    * summarization/leak metric; [[contamination]]'s distinct-shingle
+    * containment treats 1 and 3 alike). Pairs are IMPLICIT: the join
+    * is the inverted index on the n-gram hash, so only (cand, ref)
+    * pairs sharing at least one gram materialize — never |C|×|R|.
+    * The recall is pure integer arithmetic
+    * (`overlap·1e6 DIV ref_total` — no doubles anywhere), returned as
+    * `rouge_q` in 1e-6 steps; `minRecallQ` gates output volume.
+    *
+    * 100 TB shape: gram streams shuffle as (id, 8-byte hash, count)
+    * triples (strings die in the scan projection — the llm16/llm24
+    * discipline); the ref side is an EVAL set, orders of magnitude
+    * smaller than the corpus, so per-gram fan-out is bounded by the
+    * ref side's gram frequency and `ref` totals broadcast. The same
+    * accepted xxhash64-collision trade as every hashed verify. */
+  def rougeRecall(cand: DataFrame, candId: Column, candText: Column,
+                  ref: DataFrame, refId: Column, refText: Column,
+                  n: Int, minRecallQ: Long = 0L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def gramCounts(df: DataFrame, id: Column, text: Column,
+                   out: String, cnt: String): DataFrame =
+      df.select(id.as(out), tokens(text).as("__toks"))
+        .filter(size(col("__toks")) >= n)
+        .select(col(out), col("__toks"),
+          explode(sequence(lit(1), size(col("__toks")) - (n - 1))).as("__i"))
+        .select(col(out),
+          xxhash64(concat_ws(" ",
+            (0 until n).map(j => element_at(col("__toks"), col("__i") + lit(j))): _*)).as("g"))
+        .groupBy(col(out), col("g")).agg(count(lit(1)).as(cnt))
+    val cg = gramCounts(cand, candId, candText, "cand_id", "__cc")
+    val rg = gramCounts(ref, refId, refText, "ref_id", "__rc")
+    val rt = rg.groupBy(col("ref_id")).agg(sum(col("__rc")).as("__rt"))
+    cg.join(rg, "g")
+      .groupBy(col("cand_id"), col("ref_id"))
+      .agg(sum(least(col("__cc"), col("__rc"))).as("overlap"))
+      .join(broadcast(rt), "ref_id")
+      .withColumn("rouge_q", expr("overlap * 1000000 DIV __rt"))
+      .filter(col("rouge_q") >= minRecallQ)
+      .select(col("cand_id"), col("ref_id"), col("overlap"), col("rouge_q"))
+  }
+
   /** Shared decontamination core over per-doc shingle-hash streams
     * (columns: train_id/sh and eval_id/sh, repeats allowed — the
     * distinct lands here, on fixed-width hashes). */

@@ -190,6 +190,79 @@ object Sketches {
               col("q_name"), col("__v").as("value"))
   }
 
+  /** Distributed exact INTERPOLATED per-group quantiles —
+    * percentile_cont to [[exactQuantilesPerGroup]]'s percentile_disc:
+    * for each q the value at fractional 0-indexed position
+    * p = q·(n−1), linearly interpolated between the neighboring order
+    * statistics as `v_lo + (v_hi − v_lo)·frac` (the SQL-standard
+    * definition, stated EXPLICITLY so the oracle can replay the
+    * identical IEEE expression rather than trusting an engine
+    * builtin's internal rounding). Values are continuous → the result
+    * is DOUBLE by contract.
+    *
+    * Scale shape: identical to the disc form — one range repartition
+    * materialized once, broadcast per-(partition, group) offsets +
+    * within-partition row_number for the global rank, and a
+    * groups×quantiles×2 broadcast of target ranks (each quantile
+    * fetches its floor and ceil neighbors; frac = 0 degenerates both
+    * to the same row). No group ever sorts in a single task. */
+  def exactQuantilesContPerGroup(df: DataFrame, groupCol: Column, valueCol: Column,
+                                 idCol: Column, qs: Seq[(String, Double)],
+                                 checkpointDir: Option[String] = None,
+                                 tracker: Option[Materialize.Tracker] = None,
+                                 numPartitions: Option[Int] = None): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 },
+      "quantiles must lie in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = df.select(groupCol.as("__g"), valueCol.cast("double").as("__v"),
+      idCol.as("__id"))
+    val sortKeys = Seq(col("__g"), col("__v").asc, col("__id").asc)
+    val rangedInput = numPartitions match {
+      case Some(n) => tagged.repartitionByRange(n, sortKeys: _*)
+      case None => tagged.repartitionByRange(sortKeys: _*)
+    }
+    val ranged = Materialize.eagerOrCheckpoint(
+      rangedInput.withColumn("__pid", spark_partition_id()), checkpointDir)
+    tracker.foreach(_.track(ranged))
+    val counts = ranged.groupBy(col("__pid"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    // two target ranks per quantile: the 1-indexed floor neighbor and
+    // (when frac > 0) its successor, with the interpolation fraction
+    val targets = counts.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"))
+      .select(col("__g"), col("__n"), explode(array(qs.map { case (name, q) =>
+        val p = lit(q) * (col("__n") - 1).cast("double")
+        val loRank = floor(p).cast("long") + 1
+        val frac = p - floor(p)
+        struct(lit(name).as("q_name"), frac.as("__frac"),
+          loRank.as("__lo"),
+          (loRank + when(frac > 0, 1L).otherwise(0L)).as("__hi"))
+      }: _*)).as("__q"))
+      .select(col("__g"), col("__n"), col("__q.q_name").as("q_name"),
+              col("__q.__frac").as("__frac"), col("__q.__lo").as("__lo"),
+              col("__q.__hi").as("__hi"))
+    val wOff = Window.partitionBy(col("__g")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__g"), col("__off"))
+    val wRank = Window.partitionBy(col("__pid"), col("__g"))
+      .orderBy(col("__v").asc, col("__id").asc)
+    val globalRanked = ranged
+      .withColumn("__rank", row_number().over(wRank))
+      .join(broadcast(offsets), Seq("__pid", "__g"))
+      .withColumn("__grank", col("__off") + col("__rank"))
+    globalRanked
+      .join(broadcast(targets.withColumnRenamed("__g", "__tg")),
+        col("__g") === col("__tg") &&
+          (col("__grank") === col("__lo") || col("__grank") === col("__hi")))
+      .groupBy(col("__g"), col("__n"), col("q_name"), col("__frac"))
+      .agg(max(when(col("__grank") === col("__lo"), col("__v"))).as("__vlo"),
+           max(when(col("__grank") === col("__hi"), col("__v"))).as("__vhi"))
+      .select(col("__g").as("g"), col("__n").as("n_rows"), col("q_name"),
+        (col("__vlo") + (col("__vhi") - col("__vlo")) * col("__frac")).as("value"))
+  }
+
   def kmvDistinct(df: DataFrame, valueCol: Column, k: Int = 256,
                   tracker: Option[Materialize.Tracker] = None): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")

@@ -126,6 +126,25 @@ class LlmSpec extends SparkSpec {
     assert(rare.getAs[Long]("tf") == 1L && rare.getAs[Long]("doc_freq") == 1L)
   }
 
+  test("rougeRecall clips by count: a repeated reference bigram needs repeated candidate occurrences") {
+    // ref 10 = "a b a b" → bigrams {a b:2, b a:1}, total 3
+    val ref = Seq((10L, "a b a b")).toDF("rid", "rtext")
+    val cand = Seq(
+      (1L, "a b a b"),          // identical: overlap 3 → recall 1.0
+      (2L, "a b x y"),          // "a b" ONCE: min(1,2)=1 → recall 1/3
+      (3L, "x a b a b y a b"),  // a b:3(clipped 2) + b a:2(clipped 1) → 3/3
+      (4L, "zz qq")).toDF("cid", "ctext")
+    val out = Dedup.rougeRecall(cand, col("cid"), col("ctext"),
+        ref, col("rid"), col("rtext"), n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, 3L, 1000000L), (2L, 1L, 333333L), (3L, 3L, 1000000L)))
+    // doc 4 shares no bigram — the implicit pair never materializes
+    assert(!out.exists(_._1 == 4L))
+    // the distinct-set containment would score doc 2 at 1/2 (1 of 2
+    // distinct grams) — the count-clipping is the metric difference
+    assert(out.find(_._1 == 2L).get._3 == 333333L)
+  }
+
   test("tokenBudgetSelect: best-first until the token budget; straddling tie-groups drop whole") {
     val docs = Seq(
       (1L, 900L, 10L),  // best: cum 10
@@ -426,6 +445,32 @@ class LlmSpec extends SparkSpec {
     // a: n=10 → p50 at rank 5 = 5.0, pmax at rank 10; b: n=3 → p50 at rank ceil(1.5)=2
     assert(out == Map(("a", "p50") -> 5.0, ("a", "pmax") -> 10.0,
                       ("b", "p50") -> 20.0, ("b", "pmax") -> 30.0), s"got $out")
+  }
+
+  test("exactQuantilesContPerGroup: interpolated percentile_cont, exact across partitions") {
+    val df = ((1 to 10).map(v => ("a", v.toDouble, v.toLong)) ++
+              (1 to 3).map(v => ("b", v.toDouble * 10, v.toLong))).toDF("g", "v", "id")
+    val out = Sketches.exactQuantilesContPerGroup(df.repartition(5),
+        col("g"), col("v"), col("id"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p100" -> 1.0), numPartitions = Some(3))
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r.getDouble(3)).toMap
+    // a: n=10 → p = q·9: p25 at 2.25 → 3 + 0.25·(4−3) = 3.25; p50 at 4.5 → 5.5
+    // b: n=3 → p25 at 0.5 → 15.0; p50 at exactly 1 (frac 0) → 20.0
+    assert(out == Map(("a", "p25") -> 3.25, ("a", "p50") -> 5.5, ("a", "p100") -> 10.0,
+                      ("b", "p25") -> 15.0, ("b", "p50") -> 20.0, ("b", "p100") -> 30.0),
+      s"got $out")
+    // a Scala reference over a randomized multi-partition frame
+    val rnd = new scala.util.Random(7)
+    val vals = Vector.fill(101)(rnd.nextInt(1000).toDouble)
+    val rdf = vals.zipWithIndex.map { case (v, i) => ("g", v, i.toLong) }.toDF("g", "v", "id")
+    val got = Sketches.exactQuantilesContPerGroup(rdf.repartition(7),
+        col("g"), col("v"), col("id"), Seq("q" -> 0.37), numPartitions = Some(4))
+      .head().getDouble(3)
+    val sorted = vals.sorted
+    val p = 0.37 * (vals.size - 1)
+    val (lo, frac) = (math.floor(p).toInt, p - math.floor(p))
+    val want = sorted(lo) + (sorted(math.min(lo + 1, vals.size - 1)) - sorted(lo)) * frac
+    assert(got == want, s"got $got want $want")
   }
 
   test("kmvOverlap randomized sweep: every pair matches the JVM-replayed reference") {
