@@ -16,7 +16,7 @@ object QueriesLlm {
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
-                        llm65, llm66, llm67, llm68)
+                        llm65, llm66, llm67, llm68, llm69)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2800,4 +2800,65 @@ object QueriesLlm {
         |FROM ov JOIN rt USING (ref_id)
         |WHERE overlap * 1000000 // rt.total >= 500000
         |ORDER BY cand_id, ref_id""".stripMargin))
+
+  /** Image dHash near-dup (Multimodal.imageDHash): every doc renders a
+    * deterministic 24×16 PNG; its twin (+100000) renders the SAME
+    * image with channels inverted from x ≥ 20 — a localized edit. The
+    * Spark side runs the REAL codec path (PNG encode → ImageIO decode
+    * → 9×8 integer-luminance lattice → 64-bit dHash → Hamming); the
+    * oracle recomputes the pixels from the generation formula and
+    * replays the identical integer lattice/bit-pack in SQL — PNG is
+    * lossless, so any decode or hash drift fails the value compare.
+    * Twins land a few Hamming bits away (the perceptual-near-dup
+    * contract byte hashes can't give). */
+  private def llm69 = Q("llm69_image_dhash",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val corpus = d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id")))
+      val png = udf((id: Long) => graft.llm.Multimodal.fixturePng(id))
+      val hashed = graft.llm.Multimodal.imageDHash(
+        corpus.withColumn("media", png(col("doc_id"))), col("doc_id"), col("media"))
+      val base = hashed.filter(col("doc_id") < 100000L)
+        .select(col("doc_id"), col("dhash").as("dhash_base"))
+      val twin = hashed.filter(col("doc_id") >= 100000L)
+        .select((col("doc_id") - 100000L).as("doc_id"), col("dhash").as("dhash_copy"))
+      base.join(twin, "doc_id")
+        .withColumn("hamming",
+          bit_count(col("dhash_base").bitwiseXOR(col("dhash_copy"))))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id AS base FROM documents
+        |  UNION ALL SELECT doc_id + 100000, doc_id FROM documents),
+        |px AS (SELECT gx, least(gx * 24 // 9, 23) AS xpx FROM generate_series(0, 8) g(gx)),
+        |py AS (SELECT gy, least(gy * 16 // 8, 15) AS ypx FROM generate_series(0, 7) g(gy)),
+        |lum AS (
+        |  SELECT i.doc_id, px.gx, py.gy,
+        |    CASE WHEN i.doc_id >= 100000 AND px.xpx >= 20
+        |      THEN 299*(255 - (i.base*31 + px.xpx*7 + py.ypx*13) % 256)
+        |         + 587*(255 - (i.base*17 + px.xpx*11 + py.ypx*3) % 256)
+        |         + 114*(255 - (i.base*23 + px.xpx*5 + py.ypx*19) % 256)
+        |      ELSE 299*((i.base*31 + px.xpx*7 + py.ypx*13) % 256)
+        |         + 587*((i.base*17 + px.xpx*11 + py.ypx*3) % 256)
+        |         + 114*((i.base*23 + px.xpx*5 + py.ypx*19) % 256) END AS l
+        |  FROM ids i CROSS JOIN px CROSS JOIN py),
+        |bits AS (
+        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit,
+        |         CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS v
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |sig AS (SELECT doc_id,
+        |          -- bit 63 packs as the SIGNED min-long weight (1<<63
+        |          -- overflows DuckDB's checked shift); the HUGEINT sum
+        |          -- equals the signed 64-bit pattern exactly
+        |          CAST(sum(v * (CASE WHEN bit = 63
+        |                 THEN -9223372036854775807 - 1
+        |                 ELSE CAST(1 AS BIGINT) << bit END)) AS BIGINT) AS dh
+        |        FROM bits GROUP BY doc_id)
+        |SELECT b.doc_id, b.dh AS dhash_base, t.dh AS dhash_copy,
+        |       CAST(bit_count(xor(b.dh, t.dh)) AS INT) AS hamming
+        |FROM sig b JOIN sig t ON t.doc_id = b.doc_id + 100000
+        |WHERE b.doc_id < 100000
+        |ORDER BY b.doc_id""".stripMargin))
 }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -120,6 +120,75 @@ object Multimodal {
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else Some((img.getWidth, img.getHeight, luminanceLattice(img, dim)))
     } catch { case _: Throwable => None }
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual near-dup fingerprint: sample a 9×8 luminance lattice
+    * over the pixels and emit one bit per horizontal neighbor pair
+    * (bit set ⟺ right sample brighter). Near-identical images land
+    * within a few Hamming bits; crops/recompressions that preserve
+    * structure stay close where byte hashes scatter. All-INTEGER
+    * arithmetic (Rec.601 ×1000 weights, truncating lattice division)
+    * so any engine replays it exactly from raw pixel values.
+    * Undecodable or null bytes yield None — a corrupt blob never
+    * kills a 100 TB scan. */
+  private[llm] def dhash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        def lum1000(x: Int, y: Int): Long = {
+          val rgb = img.getRGB(x, y)
+          299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        }
+        def px(gx: Int): Int = math.min(gx * w / 9, w - 1)
+        def py(gy: Int): Int = math.min(gy * h / 8, h - 1)
+        var hash = 0L
+        for (gy <- 0 until 8; gx <- 0 until 8)
+          if (lum1000(px(gx + 1), py(gy)) > lum1000(px(gx), py(gy)))
+            hash |= 1L << (gy * 8 + gx)
+        Some(hash)
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Per-image dHash frame: (doc_id, dhash) with dhash null for
+    * undecodable bytes. The UDF sits only at the codec boundary
+    * ([[extractFeatures]]'s rationale); downstream Hamming
+    * banding/joins are plain Column algebra over the 8-byte hash —
+    * `bit_count(a ^ b) <= k` pairs, or band the 64 bits into 4×16-bit
+    * buckets for the LSH-style candidate join at corpus scale. */
+  def imageDHash(df: DataFrame, idCol: Column, bytesCol: Column): DataFrame = {
+    val f = udf((bytes: Array[Byte]) => dhash64(bytes))
+    df.select(idCol.cast("long").as("doc_id"), f(bytesCol).as("dhash"))
+  }
+
+  /** Deterministic synthetic PNG — the oracle-replayable image
+    * fixture: a 24×16 truecolor image whose channel values are pure
+    * integer functions of (base id, x, y); ids ≥ 100000 render the
+    * SAME base image with channels inverted from x ≥ 20 (a localized
+    * edit that moves only the lattice's last column → a few dHash
+    * bits). PNG is lossless, so ImageIO must hand back exactly these
+    * values — the llm69 oracle recomputes the pixels from the formula
+    * and replays the full dHash pipeline in SQL, which proves the
+    * REAL encode→decode→hash path end-to-end. */
+  private[graft] def fixturePng(id: Long): Array[Byte] = {
+    val (w, h) = (24, 16)
+    val base = id % 100000L
+    val invert = id >= 100000L
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      def ch(a: Long, b: Long, c: Long): Int = ((base * a + x * b + y * c) % 256L).toInt
+      var (r, g, b2) = (ch(31, 7, 13), ch(17, 11, 3), ch(23, 5, 19))
+      if (invert && x >= 20) { r = 255 - r; g = 255 - g; b2 = 255 - b2 }
+      img.setRGB(x, y, (r << 16) | (g << 8) | b2)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** The √dim × √dim Rec.601 luminance lattice over decoded pixels,

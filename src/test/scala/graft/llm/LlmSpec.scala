@@ -126,6 +126,26 @@ class LlmSpec extends SparkSpec {
     assert(rare.getAs[Long]("tf") == 1L && rare.getAs[Long]("doc_freq") == 1L)
   }
 
+  test("image dHash: identical PNGs collide, the localized edit moves few bits, corrupt bytes yield null") {
+    val a = Multimodal.fixturePng(42L)
+    val aTwin = Multimodal.fixturePng(100042L) // inverted from x >= 20
+    assert(Multimodal.dhash64(a) == Multimodal.dhash64(Multimodal.fixturePng(42L)))
+    val (ha, ht) = (Multimodal.dhash64(a).get, Multimodal.dhash64(aTwin).get)
+    val hamming = java.lang.Long.bitCount(ha ^ ht)
+    // the edit only touches the lattice's last column → ≤ 8 of 64 bits
+    assert(hamming > 0 && hamming <= 8, s"hamming $hamming")
+    // a DIFFERENT image is far away in dHash space
+    val hb = Multimodal.dhash64(Multimodal.fixturePng(43L)).get
+    assert(java.lang.Long.bitCount(ha ^ hb) > 8)
+    assert(Multimodal.dhash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.dhash64(null).isEmpty)
+    // the frame surfaces null for corrupt rows instead of failing the scan
+    val df = Seq((1L, a), (2L, Array[Byte](9, 9))).toDF("doc_id", "media")
+    val out = Multimodal.imageDHash(df, col("doc_id"), col("media"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == ha && out(1).isNullAt(1))
+  }
+
   test("rougeRecall clips by count: a repeated reference bigram needs repeated candidate occurrences") {
     // ref 10 = "a b a b" → bigrams {a b:2, b a:1}, total 3
     val ref = Seq((10L, "a b a b")).toDF("rid", "rtext")
