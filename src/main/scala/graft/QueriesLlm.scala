@@ -16,7 +16,7 @@ object QueriesLlm {
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
-                        llm65, llm66, llm67, llm68, llm69)
+                        llm65, llm66, llm67, llm68, llm69, llm70)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2861,4 +2861,59 @@ object QueriesLlm {
         |FROM sig b JOIN sig t ON t.doc_id = b.doc_id + 100000
         |WHERE b.doc_id < 100000
         |ORDER BY b.doc_id""".stripMargin))
+
+  /** Banded image near-dup at corpus scale (Dedup.dhashNearDupPairs):
+    * llm69's planted pairs discovered WITHOUT knowing who pairs with
+    * whom — 4×16-bit band buckets join candidates, popcount verifies
+    * ≤ 8 bits. Pigeonhole makes the banding exact below 4 bits and
+    * graceful above; the oracle replays the identical banding +
+    * verify, so the recall behavior itself is value-checked, not
+    * assumed. */
+  private def llm70 = Q("llm70_image_dhash_pairs",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val corpus = d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id")))
+      val png = udf((id: Long) => graft.llm.Multimodal.fixturePng(id))
+      val hashed = graft.llm.Multimodal.imageDHash(
+        corpus.withColumn("media", png(col("doc_id"))), col("doc_id"), col("media"))
+      Dedup.dhashNearDupPairs(hashed, col("dhash"), maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id AS base FROM documents
+        |  UNION ALL SELECT doc_id + 100000, doc_id FROM documents),
+        |px AS (SELECT gx, least(gx * 24 // 9, 23) AS xpx FROM generate_series(0, 8) g(gx)),
+        |py AS (SELECT gy, least(gy * 16 // 8, 15) AS ypx FROM generate_series(0, 7) g(gy)),
+        |lum AS (
+        |  SELECT i.doc_id, px.gx, py.gy,
+        |    CASE WHEN i.doc_id >= 100000 AND px.xpx >= 20
+        |      THEN 299*(255 - (i.base*31 + px.xpx*7 + py.ypx*13) % 256)
+        |         + 587*(255 - (i.base*17 + px.xpx*11 + py.ypx*3) % 256)
+        |         + 114*(255 - (i.base*23 + px.xpx*5 + py.ypx*19) % 256)
+        |      ELSE 299*((i.base*31 + px.xpx*7 + py.ypx*13) % 256)
+        |         + 587*((i.base*17 + px.xpx*11 + py.ypx*3) % 256)
+        |         + 114*((i.base*23 + px.xpx*5 + py.ypx*19) % 256) END AS l
+        |  FROM ids i CROSS JOIN px CROSS JOIN py),
+        |bits AS (
+        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit,
+        |         CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS v
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |sig AS (SELECT doc_id,
+        |          CAST(sum(v * (CASE WHEN bit = 63
+        |                 THEN -9223372036854775807 - 1
+        |                 ELSE CAST(1 AS BIGINT) << bit END)) AS BIGINT) AS dh
+        |        FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, dh, b, (dh >> (16 * b)) & 65535 AS bucket
+        |  FROM sig CROSS JOIN generate_series(0, 3) g(b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
+        |  WHERE a.doc_id < c.doc_id)
+        |SELECT p.id_a, p.id_b, CAST(bit_count(xor(sa.dh, sc.dh)) AS INT) AS hamming
+        |FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sc ON sc.doc_id = p.id_b
+        |WHERE bit_count(xor(sa.dh, sc.dh)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin))
 }

@@ -564,6 +564,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 
+  /** Hamming-banded near-dup pairs over any 64-bit perceptual hash
+    * (image dHash, SimHash): split the hash into `bands` equal bit
+    * slices and bucket-join on (band, slice) — two hashes within
+    * Hamming distance d < bands MUST agree on at least one whole band
+    * (pigeonhole: d flips cannot touch all `bands` slices), so for
+    * `maxHamming < bands` the banding is EXACT, not approximate;
+    * beyond that it degrades gracefully (a pair surfaces unless every
+    * band was hit). Candidates verify with one codegen'd
+    * `bit_count(a ^ b)` — no DP, no string movement, never n².
+    *
+    * Input: (doc_id, `hashCol`) — e.g. [[graft.llm.Multimodal]]
+    * `imageDHash` output; null hashes (undecodable media) drop out.
+    * Returns (id_a, id_b, hamming) for pairs within `maxHamming`.
+    *
+    * 100 TB shape: one explode to `bands` fixed-width keys per doc,
+    * one equi join on (band, bucket) — buckets are 64/bands-bit
+    * values, so collision load is corpus²/2^(64/bands) per band,
+    * verified away by the popcount filter. */
+  def dhashNearDupPairs(hashed: DataFrame, hashCol: Column, maxHamming: Int,
+                        bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, "bands must divide 64")
+    require(maxHamming >= 0 && maxHamming <= 64, "maxHamming in [0, 64]")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = hashed.filter(hashCol.isNotNull)
+      .select(col("doc_id"), hashCol.as("__h"),
+        explode(array((0 until bands).map { i =>
+          struct(lit(i).as("band"),
+            shiftright(hashCol, i * width).bitwiseAND(lit(mask)).as("bucket"))
+        }: _*)).as("__bb"))
+      .select(col("doc_id"), col("__h"),
+        col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("__h").as("__ha"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("__h").as("__hb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** SimHash sketch: one bit per position j — the sign of the vote
     * sum over the document's distinct tokens of (bit j of hash(token)
     * ? +1 : -1). Near-identical docs differ in few bits. Computed as

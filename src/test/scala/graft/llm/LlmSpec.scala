@@ -146,6 +146,25 @@ class LlmSpec extends SparkSpec {
     assert(out(0).getLong(1) == ha && out(1).isNullAt(1))
   }
 
+  test("dhashNearDupPairs: pigeonhole exactness below the band count; verify gates beyond") {
+    // base hash, a 3-bit-away neighbor spread across 3 DIFFERENT bands
+    // (pigeonhole: 3 flips cannot touch all 4 bands → MUST be found),
+    // and a far hash
+    val base = 0x0123456789ABCDEFL
+    val near3 = base ^ (1L << 2) ^ (1L << 20) ^ (1L << 40)
+    val far = ~base
+    val df = Seq((1L, base), (2L, near3), (3L, far)).toDF("doc_id", "dhash")
+    val out = Dedup.dhashNearDupPairs(df, col("dhash"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, 2L, 3)))
+    // null hashes (undecodable media) drop out instead of joining
+    val withNull = Seq((1L, Some(base)), (2L, Some(base)), (9L, None))
+      .toDF("doc_id", "dhash")
+    val dup = Dedup.dhashNearDupPairs(withNull, col("dhash"), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(dup == Seq((1L, 2L, 0)))
+  }
+
   test("rougeRecall clips by count: a repeated reference bigram needs repeated candidate occurrences") {
     // ref 10 = "a b a b" → bigrams {a b:2, b a:1}, total 3
     val ref = Seq((10L, "a b a b")).toDF("rid", "rtext")
