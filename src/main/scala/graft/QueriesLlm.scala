@@ -16,7 +16,7 @@ object QueriesLlm {
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
-                        llm65, llm66, llm67, llm68, llm69, llm70)
+                        llm65, llm66, llm67, llm68, llm69, llm70, llm71)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2916,4 +2916,40 @@ object QueriesLlm {
         |FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sc ON sc.doc_id = p.id_b
         |WHERE bit_count(xor(sa.dh, sc.dh)) <= 8
         |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Audio loudness-envelope fingerprint over the REAL codec path
+    * (Multimodal.audioEnvelopeQ): every doc renders a deterministic
+    * PCM16 WAV (llm69's image trick, audio edition); javax.sound
+    * parses the container and hands back the samples, and the
+    * INTEGER-exact 8-window envelope (`sum·1e6 DIV (count·32768)`)
+    * plus the parsed header facts flow to the output. The oracle
+    * recomputes the samples from the generation formula and replays
+    * the envelope in SQL — WAV PCM is lossless, so container-parse or
+    * decode drift fails the value compare. */
+  private def llm71 = Q("llm71_audio_envelope",
+    (s, dir) => {
+      val probe = udf { (id: Long) =>
+        graft.llm.Multimodal.audioEnvelopeQ(graft.llm.Multimodal.fixtureWav(id), 8)
+          .map { case (sr, ch, du, env) => (sr.toInt, ch, du, env.mkString(",")) }
+      }
+      Tables.documents(s, dir).select(col("doc_id"), probe(col("doc_id")).as("r"))
+        .select(col("doc_id"), col("r._1").as("sample_rate"),
+          col("r._2").as("channels"), col("r._3").as("duration_us"),
+          col("r._4").as("envelope"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH s AS (
+        |  SELECT doc_id, i // 250 AS wi,
+        |         abs((doc_id * 7919 + i * 104729) % 65536 - 32768) AS a
+        |  FROM documents CROSS JOIN generate_series(0, 1999) g(i)),
+        |e AS (SELECT doc_id, wi,
+        |        CAST(sum(a) * 1000000 // (count(*) * 32768) AS BIGINT) AS q
+        |      FROM s GROUP BY 1, 2),
+        |env AS (SELECT doc_id,
+        |          string_agg(CAST(q AS VARCHAR), ',' ORDER BY wi) AS envelope
+        |        FROM e GROUP BY doc_id)
+        |SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+        |       CAST(250000 AS BIGINT) AS duration_us, envelope
+        |FROM env ORDER BY doc_id""".stripMargin))
 }

@@ -273,6 +273,88 @@ object Multimodal {
     } catch { case _: Throwable => None }
   }
 
+  /** INTEGER-EXACT loudness envelope over the SAME real javax.sound
+    * decode as [[decodeAudio]] — the oracle-portable fingerprint:
+    * per-window sums of |sample| accumulate as integers (order-free),
+    * and each window reports `sum·1e6 DIV (count·fullScale)` — pure
+    * integer arithmetic any engine replays exactly from raw PCM
+    * values, where decodeAudio's sequential double accumulation is
+    * JVM-deterministic but not aggregation-order-free. Returns
+    * (sampleRate, channels, duration µs, per-window quantized
+    * envelope); None on undecodable/unsupported bytes. */
+  private[graft] def audioEnvelopeQ(bytes: Array[Byte], dim: Int): Option[(Float, Int, Long, Array[Long])] = {
+    if (bytes == null) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val channels = fmt.getChannels
+        val data = ais.readAllBytes()
+        val bytesPerSample = bits / 8
+        val frameBytes = bytesPerSample * channels
+        val nFrames = if (frameBytes > 0) data.length / frameBytes else 0
+        if (nFrames <= 0 || (bits != 8 && bits != 16)) None
+        else {
+          val signed = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val big = fmt.isBigEndian
+          val fullScale = 1L << (bits - 1)
+          def absAmp(frame: Int): Long = {
+            val off = frame * frameBytes
+            if (bits == 8) {
+              val v = if (signed) data(off).toInt else (data(off) & 0xff) - 128
+              math.abs(v.toLong)
+            } else {
+              val (b0, b1) = if (big) (data(off), data(off + 1)) else (data(off + 1), data(off))
+              math.abs(((b0.toInt << 8) | (b1 & 0xff)).toLong)
+            }
+          }
+          val env = Array.tabulate(dim) { w =>
+            val from = (w.toLong * nFrames / dim).toInt
+            val until = (((w + 1).toLong * nFrames / dim).toInt).max(from + 1).min(nFrames)
+            var s = 0L
+            var i = from
+            while (i < until) { s += absAmp(i); i += 1 }
+            s * 1000000L / ((until - from).toLong * fullScale)
+          }
+          Some((fmt.getSampleRate, channels,
+            math.round(nFrames * 1e6d / fmt.getSampleRate), env))
+        }
+      } finally ais.close()
+    } catch { case _: Throwable => None }
+  }
+
+  /** Deterministic synthetic WAV — the oracle-replayable audio
+    * fixture, [[fixturePng]]'s audio sibling: mono PCM signed 16-bit
+    * little-endian, 8 kHz, 2000 samples with
+    * `sample(i) = (base·7919 + i·104729) mod 65536 − 32768` — pure
+    * integer functions of (base id, i). WAV PCM is lossless, so the
+    * javax.sound decode must hand back exactly these values; the
+    * llm71 oracle recomputes them from the formula and replays the
+    * integer envelope in SQL, proving the REAL container-parse →
+    * PCM-decode → fingerprint path end-to-end. */
+  private[graft] def fixtureWav(id: Long): Array[Byte] = {
+    val n = 2000
+    val base = id
+    val dataLen = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000) // rate, byte rate
+      .putShort(2).putShort(16)   // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      out.putShort((((base * 7919L + i * 104729L) % 65536L) - 32768L).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
   // ------------------------------------------------------------------
   // Real video CONTAINER parsing (ISO-BMFF / MP4 box structure — the
   // public ISO 14496-12 layout; frame DECODE stays stubbed: no video

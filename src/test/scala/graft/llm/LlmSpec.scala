@@ -146,6 +146,20 @@ class LlmSpec extends SparkSpec {
     assert(out(0).getLong(1) == ha && out(1).isNullAt(1))
   }
 
+  test("audioEnvelopeQ: real WAV parse with integer-exact envelope; corrupt bytes yield None") {
+    val wav = Multimodal.fixtureWav(7L)
+    val (sr, ch, durUs, env) = Multimodal.audioEnvelopeQ(wav, 8).get
+    assert(sr == 8000f && ch == 1 && durUs == 250000L && env.length == 8)
+    // replay the generation formula: window 0 = samples 0..249
+    val want0 = (0 until 250).map(i =>
+      math.abs((7L * 7919 + i * 104729L) % 65536L - 32768L)).sum * 1000000L / (250L * 32768L)
+    assert(env(0) == want0)
+    // decode determinism: same bytes, same envelope
+    assert(Multimodal.audioEnvelopeQ(Multimodal.fixtureWav(7L), 8).get._4.toSeq == env.toSeq)
+    assert(Multimodal.audioEnvelopeQ(Array[Byte](1, 2, 3), 8).isEmpty)
+    assert(Multimodal.audioEnvelopeQ(null, 8).isEmpty)
+  }
+
   test("dhashNearDupPairs: pigeonhole exactness below the band count; verify gates beyond") {
     // base hash, a 3-bit-away neighbor spread across 3 DIFFERENT bands
     // (pigeonhole: 3 flips cannot touch all 4 bands → MUST be found),
