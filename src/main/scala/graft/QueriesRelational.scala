@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
 object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-                        q13, q14, q15, q16, q17, q18, q19, q20, q21)
+                        q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -658,4 +658,40 @@ object QueriesRelational {
            |FROM lo JOIN hi ON hi.g = lo.g AND hi.q_name = lo.q_name
            |ORDER BY g, lo.q_name""".stripMargin),
     cleanup = Some(_ => q21Slot.drain()))
+
+  /** Cumulative distinct counting — `COUNT(DISTINCT) OVER (ORDER BY)`,
+    * which NEITHER engine supports as a window aggregate (and a
+    * collect_set window would hold every seen value in state): the
+    * scalable restatement is first-occurrence attribution. Each user
+    * aggregates to its FIRST active day (one user-keyed aggregate —
+    * the only corpus-grain shuffle), days count their new users, and
+    * the running sum crosses only the tiny day frame. Output per
+    * active day: (day, new_users, cum_distinct_users) — the classic
+    * growth-accounting query. */
+  private def q22 = Q("q22_cumulative_distinct",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      val newPerDay = firstDay.groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val allDays = ev.select(col("day")).distinct()
+      allDays.join(newPerDay, Seq("day"), "left")
+        .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cum_distinct_users",
+          sum(col("new_users")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("day"))))
+        .orderBy(col("day"))
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id),
+        |npd AS (SELECT first_day AS day, count(*) AS new_users FROM f GROUP BY 1),
+        |d AS (SELECT DISTINCT day FROM e)
+        |SELECT d.day, coalesce(npd.new_users, 0) AS new_users,
+        |       CAST(sum(coalesce(npd.new_users, 0)) OVER (ORDER BY d.day) AS BIGINT)
+        |         AS cum_distinct_users
+        |FROM d LEFT JOIN npd USING (day)
+        |ORDER BY d.day""".stripMargin))
 }
