@@ -151,28 +151,46 @@ object Sketches {
                              numPartitions: Option[Int] = None): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, q) => q > 0 && q <= 1 },
       "quantiles must lie in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
-    val tagged = df.select(groupCol.as("__g"), valueCol.as("__v"), idCol.as("__id"))
-    val sortKeys = Seq(col("__g"), col("__v").asc, col("__id").asc)
-    val rangedInput = numPartitions match {
-      case Some(n) => tagged.repartitionByRange(n, sortKeys: _*)
-      case None => tagged.repartitionByRange(sortKeys: _*)
-    }
-    // materialized once: the counts and rank branches must see the
-    // SAME partition boundaries (the keepRankedPerGroup rationale)
-    val ranged = Materialize.eagerOrCheckpoint(
-      rangedInput.withColumn("__pid", spark_partition_id()), checkpointDir)
-    tracker.foreach(_.track(ranged))
-    val counts = ranged.groupBy(col("__pid"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-    val targets = counts.groupBy(col("__g"))
-      .agg(sum(col("__c")).as("__n"))
+    val (globalRanked, totals) = globalRankedByGroup(
+      df.select(groupCol.as("__g"), valueCol.as("__v"), idCol.as("__id")),
+      checkpointDir, tracker, numPartitions)
+    val targets = totals
       .select(col("__g"), col("__n"), explode(array(qs.map { case (name, q) =>
         struct(lit(name).as("q_name"),
           ceil(col("__n").cast("double") * lit(q)).cast("long").as("__target"))
       }: _*)).as("__q"))
       .select(col("__g"), col("__n"), col("__q.q_name").as("q_name"),
               col("__q.__target").as("__target"))
+    globalRanked
+      .join(broadcast(targets.withColumnRenamed("__g", "__tg")),
+        col("__g") === col("__tg") && col("__grank") === col("__target"))
+      .select(col("__g").as("g"), col("__n").as("n_rows"),
+              col("q_name"), col("__v").as("value"))
+  }
+
+  /** The shared distributed global-rank scan both quantile forms ride:
+    * ONE range repartition on (group, value, id) materialized once (the
+    * counts and rank branches must see the SAME partition boundaries —
+    * the keepRankedPerGroup rationale), global rank = broadcast
+    * per-(partition, group) offsets + a within-partition row_number.
+    * Returns (rows with `__g`/`__v`/`__grank`, per-group totals
+    * (`__g`, `__n`)). No group ever sorts in a single task. */
+  private def globalRankedByGroup(tagged: DataFrame,
+                                  checkpointDir: Option[String],
+                                  tracker: Option[Materialize.Tracker],
+                                  numPartitions: Option[Int]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val sortKeys = Seq(col("__g"), col("__v").asc, col("__id").asc)
+    val rangedInput = numPartitions match {
+      case Some(n) => tagged.repartitionByRange(n, sortKeys: _*)
+      case None => tagged.repartitionByRange(sortKeys: _*)
+    }
+    val ranged = Materialize.eagerOrCheckpoint(
+      rangedInput.withColumn("__pid", spark_partition_id()), checkpointDir)
+    tracker.foreach(_.track(ranged))
+    val counts = ranged.groupBy(col("__pid"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
     val wOff = Window.partitionBy(col("__g")).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
@@ -180,14 +198,11 @@ object Sketches {
       .select(col("__pid"), col("__g"), col("__off"))
     val wRank = Window.partitionBy(col("__pid"), col("__g"))
       .orderBy(col("__v").asc, col("__id").asc)
-    ranged
+    val globalRanked = ranged
       .withColumn("__rank", row_number().over(wRank))
       .join(broadcast(offsets), Seq("__pid", "__g"))
-      .join(broadcast(targets.withColumnRenamed("__g", "__tg")),
-        col("__g") === col("__tg") &&
-          (col("__off") + col("__rank")) === col("__target"))
-      .select(col("__g").as("g"), col("__n").as("n_rows"),
-              col("q_name"), col("__v").as("value"))
+      .withColumn("__grank", col("__off") + col("__rank"))
+    (globalRanked, totals)
   }
 
   /** Distributed exact INTERPOLATED per-group quantiles —
@@ -213,23 +228,13 @@ object Sketches {
                                  numPartitions: Option[Int] = None): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 },
       "quantiles must lie in [0, 1]")
-    import org.apache.spark.sql.expressions.Window
-    val tagged = df.select(groupCol.as("__g"), valueCol.cast("double").as("__v"),
-      idCol.as("__id"))
-    val sortKeys = Seq(col("__g"), col("__v").asc, col("__id").asc)
-    val rangedInput = numPartitions match {
-      case Some(n) => tagged.repartitionByRange(n, sortKeys: _*)
-      case None => tagged.repartitionByRange(sortKeys: _*)
-    }
-    val ranged = Materialize.eagerOrCheckpoint(
-      rangedInput.withColumn("__pid", spark_partition_id()), checkpointDir)
-    tracker.foreach(_.track(ranged))
-    val counts = ranged.groupBy(col("__pid"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
+    val (globalRanked, totals) = globalRankedByGroup(
+      df.select(groupCol.as("__g"), valueCol.cast("double").as("__v"),
+        idCol.as("__id")),
+      checkpointDir, tracker, numPartitions)
     // two target ranks per quantile: the 1-indexed floor neighbor and
     // (when frac > 0) its successor, with the interpolation fraction
-    val targets = counts.groupBy(col("__g"))
-      .agg(sum(col("__c")).as("__n"))
+    val targets = totals
       .select(col("__g"), col("__n"), explode(array(qs.map { case (name, q) =>
         val p = lit(q) * (col("__n") - 1).cast("double")
         val loRank = floor(p).cast("long") + 1
@@ -241,17 +246,6 @@ object Sketches {
       .select(col("__g"), col("__n"), col("__q.q_name").as("q_name"),
               col("__q.__frac").as("__frac"), col("__q.__lo").as("__lo"),
               col("__q.__hi").as("__hi"))
-    val wOff = Window.partitionBy(col("__g")).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__g"), col("__off"))
-    val wRank = Window.partitionBy(col("__pid"), col("__g"))
-      .orderBy(col("__v").asc, col("__id").asc)
-    val globalRanked = ranged
-      .withColumn("__rank", row_number().over(wRank))
-      .join(broadcast(offsets), Seq("__pid", "__g"))
-      .withColumn("__grank", col("__off") + col("__rank"))
     globalRanked
       .join(broadcast(targets.withColumnRenamed("__g", "__tg")),
         col("__g") === col("__tg") &&

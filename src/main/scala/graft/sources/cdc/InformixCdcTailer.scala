@@ -27,14 +27,22 @@ import java.sql.PreparedStatement
   *
   * The poll emulation requires SERIAL transactions (a `BEGINTX` while
   * another transaction is open fails loudly): with serial
-  * transactions every record of a later transaction sits past the
-  * previous commit's seqnum, so resuming from the last emitted commit
-  * position is sound, and a transaction left open at batch end simply
-  * re-reads next poll. Interleaved transactions need the real
-  * session's restartable-LSN bookkeeping — that (like the
-  * smart-large-object record transport) lives behind the `Dialect`
-  * seam with the [[InformixCdcTailer.sessionSetupCalls]] artifact
-  * documenting the live call sequence.
+  * transactions every record of a later transaction sits past every
+  * record of the previous one. Committed changes emit at their OWN
+  * record seqnums (in commit order — positions stay monotone), which
+  * makes every durably-flushed position exactly resumable: a crash
+  * mid-way through emitting a committed transaction restarts at the
+  * last flushed record and the decoder accepts the headless tail
+  * (records arriving before any `BEGINTX` right after a resume belong
+  * to the transaction the crash interrupted). The snapshot anchor is
+  * the last TERMINATOR (`COMMTX`/`RBTX`) seqnum — never a data
+  * record's — so a transaction open while the snapshot runs (its rows
+  * invisible to the snapshot read) replays WHOLE when it commits.
+  * Interleaved transactions need the real session's restartable-LSN
+  * bookkeeping — that (like the smart-large-object record transport)
+  * lives behind the `Dialect` seam with the
+  * [[InformixCdcTailer.sessionSetupCalls]] artifact documenting the
+  * live call sequence.
   *
   * Snapshot / WAL-segment / position lifecycle is the shared
   * [[NativeCdcTailer]]; this class contributes the record decode,
@@ -78,13 +86,20 @@ object InformixCdcTailer {
     override def changesSql(t: TableSpec): String =
       s"""SELECT * FROM ifx."${t.ci}_CDCRECORDS" """ +
         "WHERE seqnum > ? ORDER BY seqnum"
+    // -1 (Position.Min) binds AS IS: seqnum 0 is a valid record
     override def bindFrom(ps: PreparedStatement, from: Position): Unit =
-      ps.setLong(1, if (from.lsn.signum < 0) 0L else from.lsn.toLong)
+      ps.setLong(1, from.lsn.toLong)
+    // snapshot anchor = the last TERMINATOR seqnum: a transaction
+    // open while the snapshot runs is invisible to the snapshot read,
+    // so its records must stay ABOVE the anchor and replay when the
+    // commit arrives (a max over ALL records would wedge the tailer
+    // at a dangling COMMTX and silently lose the transaction)
     override def currentPosition(conn: java.sql.Connection, t: TableSpec): Position = {
       val st = conn.createStatement()
       try {
         val rs = st.executeQuery(
-          s"""SELECT max(seqnum) FROM ifx."${t.ci}_CDCRECORDS"""")
+          s"""SELECT max(seqnum) FROM ifx."${t.ci}_CDCRECORDS" """ +
+            "WHERE rectype IN ('COMMTX', 'RBTX')")
         if (rs.next() && rs.getObject(1) != null)
           Position(bigIntOf(rs.getObject(1)), BigInt(Long.MaxValue))
         else Position.Min
@@ -135,8 +150,11 @@ final class InformixCdcTailer(jdbcUrl: String, dbDir: Path,
   def discardedTransactions: Long = rolledBack
 
   /** `TRUNCATE` records skipped — the reference's default
-    * `skipped.operations=t`, surfaced as a counter (same re-scan
-    * high-water discipline as the rollback counter). */
+    * `skipped.operations=t`, surfaced as a counter. Counted at
+    * COMMIT, never at read: a truncate inside a rolled-back
+    * transaction never happened and must not report as skipped work
+    * (same re-scan high-water discipline as the rollback counter,
+    * keyed by the truncate record's own seqnum). */
   @volatile private var truncates = 0L
   private val trHighWater = scala.collection.mutable.Map.empty[String, BigInt]
   def skippedTruncates: Long = truncates
@@ -147,13 +165,30 @@ final class InformixCdcTailer(jdbcUrl: String, dbDir: Path,
 
   private val mapper = new ObjectMapper()
 
+  /** One buffering transaction: buffered changes carry their own
+    * record seqnums (the emitted positions), UPDBEF stashes its AFTER
+    * pair, truncate seqs count at commit. `implicitTail` marks the
+    * headless transaction a resume may open (see below). */
+  private final case class OpenTx(txid: BigInt,
+                                  buf: Vector[(BigInt, Change)] = Vector.empty,
+                                  pend: Option[Map[String, Any]] = None,
+                                  truncSeqs: Vector[BigInt] = Vector.empty,
+                                  implicitTail: Boolean = false)
+
   /** Decode the record stream. Data records buffer under their open
-    * transaction (UPDBEF stashing its AFTER pair); `COMMTX` emits the
-    * buffer in order at (commit seqnum, index); `RBTX` discards it.
-    * A data record outside a transaction, interleaved `BEGINTX`s, an
-    * unpaired `UPDBEF`, and unknown record types all fail loudly. A
-    * transaction still open at batch end emits nothing — its records
-    * sit past the last commit position and re-read next poll. */
+    * transaction; `COMMTX` emits the buffer in record order, each
+    * change at its OWN seqnum (exactly-resumable positions: a crash
+    * after a mid-transaction durable flush restarts at the last
+    * flushed record and the tail re-reads); `RBTX` discards the
+    * buffer. Records arriving before any `BEGINTX` are accepted ONLY
+    * directly after a resume (`from` past Min) as the interrupted
+    * transaction's tail — in any other spot an orphan record,
+    * interleaved `BEGINTX`s, an unpaired `UPDBEF`, and unknown record
+    * types all fail loudly. `TRUNCATE` records count at COMMIT (a
+    * rolled-back transaction's truncate never happened), keyed by
+    * their own seqnum so re-reads can't double-count. A transaction
+    * still open at batch end emits nothing — every record of it sits
+    * past the last emitted position and re-reads next poll. */
   override protected def forEachChange(conn: java.sql.Connection, t: TableSpec,
                                        from: Position)
                                       (emit: (Position, Change) => Unit): Unit = {
@@ -161,8 +196,11 @@ final class InformixCdcTailer(jdbcUrl: String, dbDir: Path,
     try {
       dialect.bindFrom(ps, from)
       val rs = ps.executeQuery()
-      // open transaction: (txid, buffered changes, pending UPDBEF image)
-      var open: Option[(BigInt, Vector[Change], Option[Map[String, Any]])] = None
+      var open: Option[OpenTx] = None
+      // a resumed poll may start mid-transaction; once ANY structural
+      // record (BEGINTX or a terminator) is seen the stream is aligned
+      // and headless records are orphans again
+      var tailWindow = from.lsn.signum >= 0
       while (rs.next()) {
         val m = rowMap(rs)
         val seq = bigIntOf(m("seqnum"))
@@ -178,64 +216,79 @@ final class InformixCdcTailer(jdbcUrl: String, dbDir: Path,
           case other => throw new IllegalArgumentException(
             s"informix cdc: unreadable data at $seq: $other")
         }))
-        def inTx(f: (BigInt, Vector[Change], Option[Map[String, Any]]) =>
-                    (Vector[Change], Option[Map[String, Any]])): Unit = open match {
-          case Some((id, buf, pend)) =>
-            require(id == txid,
-              s"informix cdc: record of tx $txid inside open tx $id at $seq " +
+        def inTx(f: OpenTx => OpenTx): Unit = open match {
+          case Some(tx) =>
+            require(tx.txid == txid,
+              s"informix cdc: record of tx $txid inside open tx ${tx.txid} at $seq " +
               "(interleaved transactions need the live session's restartable LSN)")
-            val (b2, p2) = f(id, buf, pend)
-            open = Some((id, b2, p2))
+            open = Some(f(tx))
+          case None if tailWindow =>
+            // the resumed transaction's headless tail
+            open = Some(f(OpenTx(txid, implicitTail = true)))
           case None => throw new IllegalArgumentException(
             s"informix cdc: $recType outside a transaction at $seq")
         }
         recType match {
           case "BEGINTX" =>
             require(open.isEmpty,
-              s"informix cdc: BEGINTX $txid while tx ${open.get._1} is open at $seq " +
+              s"informix cdc: BEGINTX $txid while tx ${open.get.txid} is open at $seq " +
               "(interleaved transactions need the live session's restartable LSN)")
-            open = Some((txid, Vector.empty, None))
-          case "INSERT" => inTx { (_, buf, pend) =>
-            require(pend.isEmpty, s"informix cdc: UPDBEF not followed by UPDAFT at $seq")
-            (buf :+ Change("c", None, Some(image), keyFrom = image), None)
+            tailWindow = false
+            open = Some(OpenTx(txid))
+          case "INSERT" => inTx { tx =>
+            require(tx.pend.isEmpty, s"informix cdc: UPDBEF not followed by UPDAFT at $seq")
+            tx.copy(buf = tx.buf :+ (seq, Change("c", None, Some(image), keyFrom = image)))
           }
-          case "DELETE" => inTx { (_, buf, pend) =>
-            require(pend.isEmpty, s"informix cdc: UPDBEF not followed by UPDAFT at $seq")
-            (buf :+ Change("d", Some(image), None, keyFrom = image), None)
+          case "DELETE" => inTx { tx =>
+            require(tx.pend.isEmpty, s"informix cdc: UPDBEF not followed by UPDAFT at $seq")
+            tx.copy(buf = tx.buf :+ (seq, Change("d", Some(image), None, keyFrom = image)))
           }
-          case "UPDBEF" => inTx { (_, buf, pend) =>
-            require(pend.isEmpty, s"informix cdc: consecutive UPDBEF records at $seq")
-            (buf, Some(image))
+          case "UPDBEF" => inTx { tx =>
+            require(tx.pend.isEmpty, s"informix cdc: consecutive UPDBEF records at $seq")
+            tx.copy(pend = Some(image))
           }
-          case "UPDAFT" => inTx { (_, buf, pend) =>
+          case "UPDAFT" => inTx { tx =>
             val img = image
-            (buf :+ Change("u", pend, Some(img), keyFrom = img), None)
+            tx.copy(buf = tx.buf :+ (seq, Change("u", tx.pend, Some(img), keyFrom = img)),
+              pend = None)
           }
-          case "TRUNCATE" => inTx { (_, buf, pend) =>
-            require(pend.isEmpty, s"informix cdc: UPDBEF not followed by UPDAFT at $seq")
-            if (trHighWater.get(t.ci).forall(seq > _)) {
-              truncates += 1
-              trHighWater(t.ci) = seq
-            }
-            (buf, None)
+          case "TRUNCATE" => inTx { tx =>
+            require(tx.pend.isEmpty, s"informix cdc: UPDBEF not followed by UPDAFT at $seq")
+            tx.copy(truncSeqs = tx.truncSeqs :+ seq)
           }
           case "COMMTX" =>
-            val (id, buf, pend) = open.getOrElse(throw new IllegalArgumentException(
-              s"informix cdc: COMMTX without an open transaction at $seq"))
-            require(id == txid, s"informix cdc: COMMTX of $txid inside open tx $id at $seq")
-            require(pend.isEmpty,
-              s"informix cdc: transaction $id committed with an unpaired UPDBEF")
+            val tx = open.getOrElse {
+              if (tailWindow) OpenTx(txid, implicitTail = true) // fully-emitted resume tail
+              else throw new IllegalArgumentException(
+                s"informix cdc: COMMTX without an open transaction at $seq")
+            }
+            require(tx.txid == txid,
+              s"informix cdc: COMMTX of $txid inside open tx ${tx.txid} at $seq")
+            require(tx.pend.isEmpty,
+              s"informix cdc: transaction ${tx.txid} committed with an unpaired UPDBEF")
             open = None
-            val commitPos = Position(seq, BigInt(-1))
-            if (commitPos > from)
-              buf.zipWithIndex.foreach { case (ch, i) =>
-                emit(Position(seq, BigInt(i)), ch)
+            tailWindow = false
+            tx.buf.foreach { case (recSeq, ch) =>
+              val p = Position(recSeq, BigInt(0))
+              if (p > from) emit(p, ch)
+            }
+            // truncates count only in COMMITTED work, exactly once
+            tx.truncSeqs.foreach { ts =>
+              if (trHighWater.get(t.ci).forall(ts > _)) {
+                truncates += 1
+                trHighWater(t.ci) = ts
               }
+            }
           case "RBTX" =>
-            val (id, _, _) = open.getOrElse(throw new IllegalArgumentException(
-              s"informix cdc: RBTX without an open transaction at $seq"))
-            require(id == txid, s"informix cdc: RBTX of $txid inside open tx $id at $seq")
+            val tx = open.getOrElse {
+              if (tailWindow) OpenTx(txid, implicitTail = true)
+              else throw new IllegalArgumentException(
+                s"informix cdc: RBTX without an open transaction at $seq")
+            }
+            require(tx.txid == txid,
+              s"informix cdc: RBTX of $txid inside open tx ${tx.txid} at $seq")
             open = None
+            tailWindow = false
             if (rbHighWater.get(t.ci).forall(seq > _)) {
               rolledBack += 1
               rbHighWater(t.ci) = seq
@@ -245,9 +298,6 @@ final class InformixCdcTailer(jdbcUrl: String, dbDir: Path,
             "(INSERT/DELETE/UPDBEF/UPDAFT/BEGINTX/COMMTX/RBTX/TRUNCATE)")
         }
       }
-      // a transaction still open at batch end re-reads next poll (its
-      // records all sit past the last emitted commit seqnum) — nothing
-      // to do, and nothing advanced past it
     } finally ps.close()
   }
 }

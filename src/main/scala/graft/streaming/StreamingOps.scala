@@ -356,8 +356,16 @@ object StreamingOps {
                          tieCol: Column, typeCol: Column,
                          steps: Seq[String]): Dataset[FunnelOut] = {
     require(steps.nonEmpty, "need at least one funnel step")
+    // the constant-state design needs a NUMERIC tie (two longs per
+    // key); where the batch fold accepts any orderable tie, a
+    // non-numeric (or null) one here FAILS LOUDLY instead of silently
+    // nulling out and collapsing the (ts, tie) ordering contract —
+    // the same trap Sessions.funnelStages had and fixed
+    val tieLong = coalesce(tieCol.cast("long"),
+      raise_error(concat(lit("funnelStagesStream: tie must be non-null numeric, got "),
+        coalesce(tieCol.cast("string"), lit("null")))).cast("long"))
     val ds = df.select(keyCol.cast("long").as("key"), tsUsCol.cast("long").as("ts"),
-        tieCol.cast("long").as("tie"), typeCol.as("typ"))
+        tieLong.as("tie"), typeCol.as("typ"))
       .as(Encoders.product[FunnelIn])
     ds.groupByKey(_.key)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
@@ -378,7 +386,11 @@ object StreamingOps {
         out += FunnelOut(key, st.stage, e.ts, e.tie)
       }
     }
-    if (state.getOption.forall(_ != st)) state.update(st)
+    // never persist the initial state: an absent entry reconstructs it
+    // identically, and with NoTimeout a stage-0 write would pin one
+    // state-store row for every key EVER SEEN — including the dominant
+    // never-matching population — forever
+    if (st.stage > 0 && state.getOption.forall(_ != st)) state.update(st)
     out.result().iterator
   }
 }

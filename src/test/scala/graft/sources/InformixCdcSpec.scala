@@ -117,6 +117,68 @@ class InformixCdcSpec extends SparkSpec {
     assert(tailer2.poll() == 1)
   }
 
+  test("informix: a mid-transaction flushed position resumes exactly — the committed tail re-reads, nothing is lost") {
+    val (url, conn) = fixtureDb()
+    val db = Files.createTempDirectory("graft-ifxr")
+    val spec = TableSpec("stock", "items", Seq("id"))
+    val tailer = new InformixCdcTailer(url, db, Seq(spec))
+    tailer.snapshot()
+
+    rec(conn, 10, 5, "BEGINTX", null)
+    rec(conn, 11, 5, "INSERT", """{"id":1,"name":"a","qty":1}""")
+    rec(conn, 12, 5, "INSERT", """{"id":2,"name":"b","qty":2}""")
+    rec(conn, 13, 5, "INSERT", """{"id":3,"name":"c","qty":3}""")
+    rec(conn, 14, 5, "COMMTX", null)
+    assert(tailer.poll() == 3)
+
+    // simulate a crash right after the durable flush of the FIRST
+    // emitted record: positions persist per flush, so the state file
+    // legitimately holds (11, 0) mid-transaction
+    val state = db.resolve("_informix_state")
+    Files.writeString(state, "lsn 1\npos stock_items b:0\n") // 0xb = seq 11
+    val tailer2 = new InformixCdcTailer(url, db, Seq(spec))
+    // the headless tail (records 12, 13 + the COMMTX) re-reads and
+    // emits EXACTLY the unflushed remainder
+    assert(tailer2.poll() == 2)
+    assert(tailer2.poll() == 0)
+  }
+
+  test("informix: snapshot during an open transaction anchors at the last terminator; the open tx replays whole") {
+    val (url, conn) = fixtureDb()
+    // a COMMITTED tx before the snapshot: in the snapshot image,
+    // must never re-deliver
+    rec(conn, 1, 1, "BEGINTX", null)
+    rec(conn, 2, 1, "INSERT", """{"id":9,"name":"pre","qty":9}""")
+    rec(conn, 3, 1, "COMMTX", null)
+    // an OPEN tx while the snapshot runs: invisible to the snapshot
+    // read, must replay WHOLE once its commit arrives
+    rec(conn, 10, 2, "BEGINTX", null)
+    rec(conn, 11, 2, "INSERT", """{"id":1,"name":"mid","qty":1}""")
+
+    val db = Files.createTempDirectory("graft-ifxs")
+    val tailer = new InformixCdcTailer(url, db,
+      Seq(TableSpec("stock", "items", Seq("id"))))
+    tailer.snapshot()
+    assert(tailer.poll() == 0, "nothing committed past the snapshot anchor yet")
+    rec(conn, 12, 2, "COMMTX", null)
+    assert(tailer.poll() == 1, "the straddling transaction must deliver after its commit")
+    assert(tailer.poll() == 0)
+  }
+
+  test("informix: a truncate inside a rolled-back transaction never counts as skipped work") {
+    val (url, conn) = fixtureDb()
+    val db = Files.createTempDirectory("graft-ifxt")
+    val tailer = new InformixCdcTailer(url, db,
+      Seq(TableSpec("stock", "items", Seq("id"))))
+    tailer.snapshot()
+    rec(conn, 10, 3, "BEGINTX", null)
+    rec(conn, 11, 3, "TRUNCATE", """{}""")
+    rec(conn, 12, 3, "RBTX", null)
+    assert(tailer.poll() == 0)
+    assert(tailer.skippedTruncates == 0, "rolled-back truncates never happened")
+    assert(tailer.discardedTransactions == 1)
+  }
+
   test("informix: interleaved transactions, orphan records, and unknown types fail loudly") {
     val (url, conn) = fixtureDb()
     val db = Files.createTempDirectory("graft-ifxc")
