@@ -16,7 +16,7 @@ object QueriesLlm {
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
-                        llm65, llm66, llm67, llm68, llm69, llm70, llm71)
+                        llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2951,4 +2951,47 @@ object QueriesLlm {
         |SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
         |       CAST(250000 AS BIGINT) AS duration_us, envelope
         |FROM env ORDER BY doc_id""".stripMargin))
+
+  /** Count-Min heavy hitters (functions.CmsSketch + Sketches
+    * .cmsEstimate): the corpus's top-20 terms with BOTH their exact
+    * counts and the 4×256 sketch's estimates — est ≥ exact always,
+    * over by exactly the collision mass the oracle recomputes (each
+    * counter restated as the bucket's sum over exact counts). The
+    * sketch aggregates in one pass with an 8 KB fixed buffer per
+    * partition where exact counting shuffles the vocabulary — the
+    * frequency sibling of llm13's KMV distinct sketch, and the second
+    * native TypedImperativeAggregate in the engine. */
+  private def llm72 = Q("llm72_cms_heavy_hitters",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.llm.TextAnalysis.tokens(col("text"))).as("term"))
+      val sketch = graft.llm.Sketches.cmsSketch(toks, col("term"),
+        depth = 4, width = 256)
+      val top = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+      top.crossJoin(broadcast(sketch))
+        .withColumn("est_cnt", graft.llm.Sketches.cmsEstimate(col("cms"),
+          Portable.baseHash31(col("term")), depth = 4, width = 256))
+        .select(col("term"), col("exact_cnt"), col("est_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term"))
+    },
+    Some {
+      val buckets = (0 until 4).map { i =>
+        s"b$i AS (SELECT ${Portable.duckSeededHash("term", i)} % 256 AS bucket, " +
+          s"CAST(SUM(exact_cnt) AS BIGINT) AS cnt FROM c GROUP BY 1)"
+      }.mkString(",\n        ")
+      val joins = (0 until 4).map { i =>
+        s"JOIN b$i ON b$i.bucket = ${Portable.duckSeededHash("top.term", i)} % 256"
+      }.mkString("\n        ")
+      s"""WITH t AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS term
+         |           FROM documents),
+         |c AS (SELECT term, count(*) AS exact_cnt FROM t GROUP BY 1),
+         |top AS (SELECT term, exact_cnt FROM c ORDER BY exact_cnt DESC, term LIMIT 20),
+         |$buckets
+         |SELECT top.term, top.exact_cnt,
+         |       least(b0.cnt, b1.cnt, b2.cnt, b3.cnt) AS est_cnt
+         |FROM top
+         |$joins
+         |ORDER BY exact_cnt DESC, term""".stripMargin
+    })
 }

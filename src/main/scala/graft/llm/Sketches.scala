@@ -257,6 +257,39 @@ object Sketches {
         (col("__vlo") + (col("__vhi") - col("__vlo")) * col("__frac")).as("value"))
   }
 
+  /** Count-Min frequency sketch of a value stream as ONE aggregation
+    * ([[graft.functions.CmsSketch]]): the depth×width counter matrix
+    * as a flat array<long> column — 8·d·w bytes per partition into
+    * the merge regardless of corpus size, where exact counting
+    * shuffles the vocabulary. Values hash through
+    * [[Portable.hash64]]→baseHash31 (the portable family), so the
+    * counters are deterministic integers. */
+  def cmsSketch(df: DataFrame, valueCol: Column,
+                depth: Int = 4, width: Int = 256): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.select(Portable.baseHash31(valueCol).as("__h"))
+      .select(ColumnBridge.column(graft.functions.CmsSketch(
+        ColumnBridge.expression(col("__h")), depth, width, 0, 0)
+        .toAggregateExpression()).as("cms"))
+  }
+
+  /** Point frequency estimate off a [[cmsSketch]] array — pure Column
+    * algebra (no UDF): the MINIMUM over the depth rows of the
+    * counter each row's universal hash selects for `keyHash`
+    * (`Portable.baseHash31` of the key — the SAME hash the sketch
+    * updated with). Always ≥ the true count; deterministic, so an
+    * oracle can replay every estimate as the collision-bucket sum
+    * over exact counts. */
+  def cmsEstimate(sketch: Column, keyHash: Column,
+                  depth: Int = 4, width: Int = 256): Column =
+    least((0 until depth).map { i =>
+      val (a, b) = Portable.universalCoeffs(i)
+      element_at(sketch,
+        (lit(i * width) +
+          ((keyHash * lit(a) + lit(b)) % lit(Portable.UniversalP)) % lit(width)
+          + 1).cast("int"))
+    }: _*)
+
   def kmvDistinct(df: DataFrame, valueCol: Column, k: Int = 256,
                   tracker: Option[Materialize.Tracker] = None): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")
