@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
 object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-                        q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+                        q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -694,4 +694,45 @@ object QueriesRelational {
         |         AS cum_distinct_users
         |FROM d LEFT JOIN npd USING (day)
         |ORDER BY d.day""".stripMargin))
+
+  private val q23Slot = new QueriesLlm.TrackerSlot
+  /** Bounded graph reachability (operators.Graph.bfsHops) — the
+    * RECURSIVE-QUERY capability Spark has no built-in for: BFS hop
+    * distances over the order↔supplier bipartite graph (nodes encoded
+    * 2·key+type), 3 hops out from the lowest order. The Spark side is
+    * frontier BFS — each node expands exactly once through one edge
+    * join + one anti join per round, superstep-materialized — where
+    * the oracle's recursive CTE re-derives every (node, hops) pair
+    * and collapses to min(hops) at the end: the two formulations
+    * must agree exactly, which pins the frontier loop's min-hop
+    * semantics. */
+  private def q23 = Q("q23_graph_reachability",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").cast("long").as("o"),
+                col("l_suppkey").cast("long").as("sp"))
+      val edges = li.select((col("o") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
+        .unionByName(li.select((col("sp") * 2 + 1).as("src"), (col("o") * 2).as("dst")))
+      val source = li.agg((min(col("o")) * 2).as("node"))
+      graft.operators.Graph.bfsHops(edges, col("src"), col("dst"),
+          source, col("node"), maxHops = 3, tracker = Some(q23Slot.fresh()))
+        .select(
+          when(col("id") % 2 === 0, lit("order")).otherwise(lit("supplier")).as("kind"),
+          expr("id DIV 2").as("key"), col("hops"))
+        .orderBy(col("hops"), col("kind"), col("key"))
+    },
+    Some(
+      """WITH RECURSIVE e AS (
+        |  SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+        |  UNION ALL SELECT l_suppkey * 2 + 1, l_orderkey * 2 FROM lineitem),
+        |s AS (SELECT min(l_orderkey) * 2 AS node FROM lineitem),
+        |r AS (
+        |  SELECT node, 0 AS hops FROM s
+        |  UNION
+        |  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node WHERE r.hops < 3)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'order' ELSE 'supplier' END AS kind,
+        |       node // 2 AS key, CAST(min(hops) AS INT) AS hops
+        |FROM r GROUP BY node
+        |ORDER BY hops, kind, key""".stripMargin),
+    cleanup = Some(_ => q23Slot.drain()))
 }

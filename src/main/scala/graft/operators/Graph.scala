@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph traversal — the recursive-query capability Spark
+  * has no built-in for (no recursive CTEs): BFS hop distances from a
+  * source set over a directed edge list, as a bounded superstep loop.
+  *
+  * Each round joins the FRONTIER (only the nodes first reached last
+  * round) against the edges and anti-joins the visited set, so a node
+  * expands exactly once — the naive recursive-UNION form re-expands
+  * every path and grows combinatorially; frontier BFS is linear in
+  * edges visited. Rounds materialize via the superstep protocol
+  * ([[graft.llm.Dedup.connectedComponents]]'s rationale: one job per
+  * round over persisted blocks; stacked lazy plans would re-run every
+  * prior round under each action), with superseded frames released.
+  *
+  * 100 TB shape: per round ONE edge join keyed on the node id + one
+  * anti join against visited — both plain hash joins; the frontier
+  * only shrinks relative to reachable-set growth, and `maxHops`
+  * bounds the rounds. Returns (id, hops) for every node within
+  * `maxHops` of a source (sources at hops 0, min-hop semantics by
+  * construction — a node joins `visited` the FIRST round it appears).
+  */
+object Graph {
+
+  def bfsHops(edges: DataFrame, srcCol: Column, dstCol: Column,
+              sources: DataFrame, sourceIdCol: Column,
+              maxHops: Int,
+              /** Receives the FINAL materialized frame — release after
+                * consumption (intermediates release internally). */
+              tracker: Option[Materialize.Tracker] = None): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
+    var visited = Materialize.eager(
+      sources.select(sourceIdCol.cast("long").as("id")).distinct()
+        .withColumn("hops", lit(0)))
+    var frontier = visited
+    var h = 1
+    var done = maxHops == 0
+    while (!done) {
+      val next = Materialize.eager(
+        frontier.join(e, frontier("id") === e("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .withColumn("hops", lit(h)))
+      if (next.isEmpty) {
+        Materialize.release(next)
+        // the last non-empty frontier's rows live on inside `visited`
+        // — release its own materialization too
+        if (frontier ne visited) Materialize.release(frontier)
+        done = true
+      } else {
+        val grown = Materialize.eager(visited.unionByName(next))
+        Materialize.release(visited)
+        if (frontier ne visited) Materialize.release(frontier)
+        visited = grown
+        frontier = next
+        h += 1
+        if (h > maxHops) {
+          Materialize.release(frontier)
+          done = true
+        }
+      }
+    }
+    tracker.foreach(_.track(visited))
+    visited
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)], sources: Seq[Long],
+                  maxHops: Int): Map[Long, Int] = {
+    val t = new Materialize.Tracker
+    try {
+      Graph.bfsHops(edges.toDF("src", "dst"), col("src"), col("dst"),
+          sources.toDF("id"), col("id"), maxHops, tracker = Some(t))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    } finally t.releaseAll()
+  }
+
+  test("bfsHops: min-hop distances; revisits never demote; unreachable nodes absent") {
+    // 1→2→3→4 chain plus a shortcut 1→3 and a disconnected 9→10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 10L))
+    val out = run(edges, Seq(1L), maxHops = 5)
+    // 3 is reachable in 2 hops via the chain but 1 hop via the
+    // shortcut — the frontier form must keep the FIRST (minimum)
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("bfsHops: maxHops bounds the rounds; a cycle terminates; hop 0 = sources only") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(run(cycle, Seq(1L), maxHops = 1) == Map(1L -> 0, 2L -> 1))
+    // the cycle closes back onto visited nodes — the anti join stops it
+    assert(run(cycle, Seq(1L), maxHops = 10) == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    assert(run(cycle, Seq(1L), maxHops = 0) == Map(1L -> 0))
+    // multi-source: each node takes the nearest source's distance
+    assert(run(Seq((1L, 2L), (3L, 2L)), Seq(1L, 3L), maxHops = 2) ==
+      Map(1L -> 0, 3L -> 0, 2L -> 1))
+  }
+
+  test("bfsHops leaves no persistent frames behind once the tracker drains") {
+    // unpersist is async — compare ids, not counts, and allow earlier
+    // tests' releases to complete concurrently
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    run(Seq((1L, 2L), (2L, 3L)), Seq(1L), maxHops = 3)
+    val deadline = System.nanoTime() + 30e9.toLong
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty,
+      s"intermediates and the tracked result must all release, leaked: $leaked")
+  }
+}
