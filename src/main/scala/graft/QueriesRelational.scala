@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Window
 object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-                        q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
+                        q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -735,4 +735,45 @@ object QueriesRelational {
         |FROM r GROUP BY node
         |ORDER BY hops, kind, key""".stripMargin),
     cleanup = Some(_ => q23Slot.drain()))
+
+  private val q24Slot = new QueriesLlm.TrackerSlot
+  /** Integer random-walk centrality (operators.Graph.massPropagate) —
+    * the PageRank core over the same bipartite graph, in the repo's
+    * cross-engine discipline: mass splits by TRUNCATING integer
+    * division per round (the deterministic substitute for a floating
+    * damping term), so both engines compute identical integers. The
+    * Spark side is the superstep loop; the oracle unrolls the three
+    * rounds as generated CTE stages. */
+  private def q24 = Q("q24_walk_centrality",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").cast("long").as("o"),
+                col("l_suppkey").cast("long").as("sp"))
+      val edges = li.select((col("o") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
+        .unionByName(li.select((col("sp") * 2 + 1).as("src"), (col("o") * 2).as("dst")))
+      graft.operators.Graph.massPropagate(edges, col("src"), col("dst"),
+          rounds = 3, initMass = 1000000L, tracker = Some(q24Slot.fresh()))
+        .select(
+          when(col("id") % 2 === 0, lit("order")).otherwise(lit("supplier")).as("kind"),
+          expr("id DIV 2").as("key"), col("mass"))
+        .orderBy(col("kind"), col("key"))
+    },
+    Some {
+      val stages = (1 to 3).map { r =>
+        s"""m$r AS (SELECT e.dst AS id, CAST(sum(m.mass // d.deg) AS BIGINT) AS mass
+           |       FROM m${r - 1} m JOIN deg d ON d.src = m.id JOIN e ON e.src = m.id
+           |       GROUP BY e.dst HAVING sum(m.mass // d.deg) > 0)""".stripMargin
+      }.mkString(",\n        ")
+      s"""WITH e AS (
+         |  SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+         |  UNION ALL SELECT l_suppkey * 2 + 1, l_orderkey * 2 FROM lineitem),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |m0 AS (SELECT id, CAST(1000000 AS BIGINT) AS mass FROM
+         |         (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+         |$stages
+         |SELECT CASE WHEN id % 2 = 0 THEN 'order' ELSE 'supplier' END AS kind,
+         |       id // 2 AS key, mass
+         |FROM m3 ORDER BY kind, key""".stripMargin
+    },
+    cleanup = Some(_ => q24Slot.drain()))
 }

@@ -67,4 +67,49 @@ object Graph {
     tracker.foreach(_.track(visited))
     visited
   }
+
+  /** INTEGER random-walk mass propagation — the PageRank core, in the
+    * repo's cross-engine discipline: every node starts with
+    * `initMass` units; each round a node splits its mass equally over
+    * its out-edges with TRUNCATING integer division (`mass DIV
+    * outdeg` per edge — the sub-outdeg remainder evaporates, the
+    * deterministic substitute for a floating damping term: both
+    * engines compute the identical integers), and nodes with no
+    * out-edges retire their mass. After `rounds` supersteps a node's
+    * accumulated in-mass is its walk centrality.
+    *
+    * 100 TB shape: per round ONE join keyed on the node id + one
+    * (node) aggregate — out-degrees compute once and the join reuses
+    * the edge frame's partitioning; rounds materialize via the same
+    * superstep protocol as [[bfsHops]]. Returns (id, mass) after the
+    * final round (nodes whose mass reached 0 drop out). */
+  def massPropagate(edges: DataFrame, srcCol: Column, dstCol: Column,
+                    rounds: Int, initMass: Long = 1000000L,
+                    tracker: Option[Materialize.Tracker] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(initMass >= 1, s"initMass must be >= 1, got $initMass")
+    val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
+    val outDeg = Materialize.eager(
+      e.groupBy(col("src")).agg(count(lit(1)).as("__deg")))
+    val nodes = Materialize.eager(
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct())
+    var mass = Materialize.eager(nodes.withColumn("mass", lit(initMass)))
+    Materialize.release(nodes)
+    for (_ <- 1 to rounds) {
+      val next = Materialize.eager(
+        mass.join(outDeg, mass("id") === outDeg("src"))
+          .select(col("id"), expr("mass DIV __deg").as("__share"))
+          .join(e, col("id") === e("src"))
+          .groupBy(e("dst").as("nid"))
+          .agg(sum(col("__share")).as("mass"))
+          .filter(col("mass") > 0)
+          .withColumnRenamed("nid", "id"))
+      Materialize.release(mass)
+      mass = next
+    }
+    Materialize.release(outDeg)
+    tracker.foreach(_.track(mass))
+    mass
+  }
 }

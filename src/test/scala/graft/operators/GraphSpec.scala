@@ -36,6 +36,30 @@ class GraphSpec extends SparkSpec {
       Map(1L -> 0, 3L -> 0, 2L -> 1))
   }
 
+  test("massPropagate: integer shares, evaporating remainders, sinks retire mass") {
+    // 1 → {2, 3}, 2 → 3; 3 is a sink
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val t = new Materialize.Tracker
+    val out = try {
+      Graph.massPropagate(edges, col("src"), col("dst"),
+          rounds = 1, initMass = 7L, tracker = Some(t))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    } finally t.releaseAll()
+    // node 1 splits 7 over 2 edges → 3 each (remainder 1 evaporates);
+    // node 2 sends its full 7 to node 3; node 3's own 7 retires (sink)
+    assert(out == Map(2L -> 3L, 3L -> 10L))
+
+    // two rounds: only node 3 holds mass (3 from node 2's first-round
+    // 3 units... which splits nowhere — 2→3 sends 3; 3 is a sink)
+    val t2 = new Materialize.Tracker
+    val out2 = try {
+      Graph.massPropagate(edges, col("src"), col("dst"),
+          rounds = 2, initMass = 7L, tracker = Some(t2))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    } finally t2.releaseAll()
+    assert(out2 == Map(3L -> 3L))
+  }
+
   test("bfsHops leaves no persistent frames behind once the tracker drains") {
     // unpersist is async — compare ids, not counts, and allow earlier
     // tests' releases to complete concurrently
