@@ -16,7 +16,7 @@ object QueriesLlm {
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
-                        llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72)
+                        llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -2993,5 +2993,42 @@ object QueriesLlm {
          |FROM top
          |$joins
          |ORDER BY exact_cnt DESC, term""".stripMargin
+    })
+
+  /** Classifier calibration bins (Curation.calibrationBins): llm43's
+    * hashed-linear logit scored against the quality-threshold label,
+    * 10 equal-width bins over the observed logit range — the
+    * reliability diagram that tells whether a learned gate's score
+    * actually orders quality. All-integer binning and rates; the
+    * oracle replays the same arithmetic over the same broadcast
+    * min/max. */
+  private def llm73 = Q("llm73_calibration_bins",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        TextAnalysis.hashedLinearLogit(col("text")).as("logit"),
+        (floor(TextAnalysis.qualityScore(col("text")) * lit(1e9)).cast("long")
+          >= 500000000L).as("label"))
+      Curation.calibrationBins(d, col("logit"), col("label"), nBins = 10)
+        .orderBy(col("bin"))
+    },
+    Some {
+      val logit = s"""CAST(coalesce(list_aggregate(list_transform(
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0),
+        |    t -> ${Portable.duckHash64(s"concat('wq:', CAST(${Portable.duckHash64("t")} % 1024 AS VARCHAR))")} % 1001 - 500), 'sum'), 0) AS BIGINT)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT $logit AS logit,
+         |    CAST(floor(
+         |      (CAST(least(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)), 64) AS DOUBLE) / 64.0)
+         |        * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |                 / CAST(greatest(length(text), 1) AS DOUBLE)) * 1000000000.0) AS BIGINT)
+         |      >= 500000000 AS label
+         |  FROM documents),
+         |st AS (SELECT min(logit) AS lo, max(logit) AS hi FROM d)
+         |SELECT (logit - lo) * 10 // (hi - lo + 1) AS bin,
+         |       count(*) AS n,
+         |       CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |       CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS pos_rate_q
+         |FROM d CROSS JOIN st
+         |GROUP BY bin ORDER BY bin""".stripMargin
     })
 }

@@ -185,6 +185,36 @@ object Curation {
       .select(col("doc_id"), col("score_q"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Classifier CALIBRATION bins — the reliability diagram behind
+    * every learned quality gate: partition the observed score range
+    * into `nBins` equal-width bins (integer arithmetic over the
+    * broadcast min/max — `(score−min)·nBins DIV (max−min+1)`, no
+    * doubles) and report each bin's volume, positive count, and
+    * quantized positive rate. A well-calibrated gate's positive rate
+    * climbs monotonically with the bin; a flat or folded curve means
+    * the score doesn't order quality and the gate's threshold is
+    * noise. Scores must be integer-quantized (the repo discipline —
+    * e.g. llm43's hashed-linear logit).
+    *
+    * 100 TB shape: one 2-long min/max aggregate broadcasts; the bin
+    * aggregate is the only pass, keyed on ≤nBins values with map-side
+    * combine. Returns (bin, n, n_pos, pos_rate_q) for non-empty bins. */
+  def calibrationBins(docs: DataFrame, scoreCol: Column, labelCol: Column,
+                      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val stats = docs.agg(min(scoreCol.cast("long")).as("__lo"),
+                         max(scoreCol.cast("long")).as("__hi"))
+    docs.select(scoreCol.cast("long").as("__s"),
+        labelCol.cast("boolean").as("__l"))
+      .crossJoin(broadcast(stats))
+      .select(expr(s"(__s - __lo) * $nBins DIV (__hi - __lo + 1)").as("bin"),
+        col("__l"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate_q", expr("n_pos * 1000000 DIV n"))
+  }
+
   /** Absolute-CAP variant of [[keepTopQualityPerGroup]]: keep at most
     * `cap` documents per group, top-ranked by score (ties on id). With
     * a hash-derived score ([[Sampling.unitInterval]]) this is

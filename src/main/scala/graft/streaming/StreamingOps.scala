@@ -75,6 +75,26 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_changes"))
       .select(col("window.start").as("window_start"), col(groupCol), col("n_changes"))
 
+  /** STREAMING new-key counts — q22's continuous counterpart
+    * (cumulative distinct counting as first-occurrence attribution):
+    * each key's FIRST observed occurrence (watermarked dedup state)
+    * lands in its event-time window, and the per-window count is the
+    * new-keys series whose running sum is the cumulative distinct
+    * count (the running sum itself crosses only the tiny window
+    * frame — batch: PrefixSum / one ORDER BY window). Attribution
+    * goes to the first occurrence in ARRIVAL order; a key
+    * re-appearing after the watermark horizon counts as new again —
+    * the standard bounded-state trade, with the exact batch q22 as
+    * the backfill. State: dedup keys within the horizon + open
+    * windows, both watermark-evicted. */
+  def newKeyCounts(df: DataFrame, tsCol: String, keyCol: Column,
+                   windowDuration: String, watermarkDelay: String): DataFrame =
+    dedupExactStream(df.select(col(tsCol), keyCol.as("__key")),
+        col("__key"), tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(count(lit(1)).as("new_keys"))
+      .select(col("window.start").as("window_start"), col("new_keys"))
+
   /** Session-windowed activity per group over a change stream: events
     * closer than `gapDuration` merge into one session; a gap closes
     * it (Spark's native session_window keeps state per OPEN session

@@ -268,6 +268,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchClosed, s"stream $streamed vs batch $batchClosed")
   }
 
+  test("newKeyCounts: per-window first occurrences match batch first-day attribution; repeats never recount") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 11:00:00"), 2L),
+      (t("2024-01-01 12:00:00"), 1L),                       // repeat: not new
+      (t("2024-01-02 09:00:00"), 3L), (t("2024-01-02 10:00:00"), 1L), // 1 repeats cross-day
+      (t("2024-01-03 09:00:00"), 4L), (t("2024-01-03 10:00:00"), 5L),
+      // flush event far ahead: finalizes every earlier window
+      (t("2024-01-10 00:00:00"), 99L))
+
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val q = StreamingOps.newKeyCounts(df, "ts", col("user_id"),
+        windowDuration = "1 day", watermarkDelay = "1 day")
+      .writeStream.format("memory").queryName("newkeys").outputMode("append").start()
+    val streamed = try {
+      input.addData(events.take(5)); q.processAllAvailable()
+      input.addData(events.drop(5)); q.processAllAvailable()
+      spark.table("newkeys").collect()
+        .map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1)).toMap
+    } finally q.stop()
+    // batch truth: first-occurrence attribution per day (q22's core)
+    val batch = events.toDF("ts", "user_id")
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("first_day"))
+      .groupBy(col("first_day")).agg(count(lit(1)).as("new_users"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(streamed.view.filterKeys(_ < "2024-01-10").toMap ==
+      batch.view.filterKeys(_ < "2024-01-10").toMap,
+      s"stream $streamed vs batch $batch")
+  }
+
   test("funnelStagesStream: stage advances match the batch fold; late pre-match events are monotone-guarded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
