@@ -16,7 +16,8 @@ object QueriesLlm {
                         llm36, llm37, llm38, llm39, llm40, llm41, llm42, llm43, llm44, llm45, llm46,
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
-                        llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73)
+                        llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
+                        llm74)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -3031,4 +3032,36 @@ object QueriesLlm {
          |FROM d CROSS JOIN st
          |GROUP BY bin ORDER BY bin""".stripMargin
     })
+
+  private val llm74Slot = new TrackerSlot
+  /** Length-bucketed inference batching (Packing
+    * .lengthBucketedBatches): 32-token-wide length bins, 8-doc
+    * batches ranked within bins by the distributed exact-rank scan,
+    * per-batch padding-waste accounting — the serving-side metric
+    * bucketed batching exists to minimize. The oracle states the same
+    * batching with a plain row_number window (fine at oracle scale;
+    * the Spark side's range-partition ranks are the form that
+    * survives bins larger than a partition). */
+  private def llm74 = Q("llm74_length_batching",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.llm.Packing.lengthBucketedBatches(d, col("doc_id"), col("n_tokens"),
+          binWidth = 32L, batchSize = 8, tracker = Some(llm74Slot.fresh()))
+        .orderBy(col("bin"), col("batch_idx"))
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS nt
+        |  FROM documents),
+        |r AS (SELECT doc_id, nt, nt // 32 AS bin,
+        |        row_number() OVER (PARTITION BY nt // 32 ORDER BY nt, doc_id) AS rk
+        |      FROM d)
+        |SELECT bin, (rk - 1) // 8 AS batch_idx, count(*) AS n_docs,
+        |       max(nt) AS max_tokens, CAST(sum(nt) AS BIGINT) AS sum_tokens,
+        |       CAST(max(nt) * count(*) - sum(nt) AS BIGINT) AS padding_waste
+        |FROM r GROUP BY bin, batch_idx
+        |ORDER BY bin, batch_idx""".stripMargin),
+    cleanup = Some(_ => llm74Slot.drain()))
 }

@@ -20,6 +20,37 @@ import graft.functions.Portable
   * hash routing, in-shard determinism from the doc-id order. */
 object Packing {
 
+  /** Length-bucketed INFERENCE batching with padding-waste
+    * accounting — the serving-side sibling of the training packers:
+    * documents bin by `tokens DIV binWidth`, rank within their bin by
+    * (tokens, id) through the DISTRIBUTED exact-rank machinery
+    * ([[Sketches.groupRanks]] — a bin can outgrow any single
+    * partition at corpus scale, where a plain row_number window
+    * cannot), and consecutive ranks group into `batchSize`-document
+    * batches. Each batch pads every member to its longest document;
+    * `padding_waste = max·n − Σtokens` is the tokens burned — the
+    * metric bucketed batching exists to minimize (unbatched random
+    * order pads everything to the global max). Returns one row per
+    * (bin, batch_idx): (bin, batch_idx, n_docs, max_tokens,
+    * sum_tokens, padding_waste). */
+  def lengthBucketedBatches(df: DataFrame, idCol: Column, nTokensCol: Column,
+                            binWidth: Long, batchSize: Int,
+                            tracker: Option[graft.operators.Materialize.Tracker] = None,
+                            numPartitions: Option[Int] = None): DataFrame = {
+    require(binWidth >= 1 && batchSize >= 1, "binWidth and batchSize must be >= 1")
+    val base = df.select(idCol.as("__id"), nTokensCol.cast("long").as("__nt"))
+      .withColumn("__bin", expr(s"__nt DIV $binWidth"))
+    Sketches.groupRanks(base, col("__bin"), col("__nt"), col("__id"),
+        tracker = tracker, numPartitions = numPartitions)
+      .select(col("g").as("bin"), col("v").as("__nt"),
+        expr(s"(rank - 1) DIV $batchSize").as("batch_idx"))
+      .groupBy(col("bin"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"), max(col("__nt")).as("max_tokens"),
+        sum(col("__nt")).as("sum_tokens"))
+      .withColumn("padding_waste",
+        col("max_tokens") * col("n_docs") - col("sum_tokens"))
+  }
+
   /** Add (shard, offset, pack_id): shard = hash(doc) % nShards,
     * offset = running token count within the shard in `orderCol`
     * order BEFORE this document, pack_id = offset / seqLen. */

@@ -168,6 +168,24 @@ object Sketches {
               col("q_name"), col("__v").as("value"))
   }
 
+  /** PUBLIC distributed per-group ranks — the exact-rank machinery as
+    * a first-class operator: every row's 1-based rank within its
+    * group under ascending (value, id) order, computed by the range
+    * repartition + broadcast-offset scan (no group ever sorts in one
+    * task — the shape a plain `row_number` window cannot give when a
+    * group outgrows a partition). Returns (g, v, id, rank). */
+  def groupRanks(df: DataFrame, groupCol: Column, valueCol: Column,
+                 idCol: Column,
+                 checkpointDir: Option[String] = None,
+                 tracker: Option[Materialize.Tracker] = None,
+                 numPartitions: Option[Int] = None): DataFrame = {
+    val (globalRanked, _) = globalRankedByGroup(
+      df.select(groupCol.as("__g"), valueCol.as("__v"), idCol.as("__id")),
+      checkpointDir, tracker, numPartitions)
+    globalRanked.select(col("__g").as("g"), col("__v").as("v"),
+      col("__id").as("id"), col("__grank").as("rank"))
+  }
+
   /** The shared distributed global-rank scan both quantile forms ride:
     * ONE range repartition on (group, value, id) materialized once (the
     * counts and rank branches must see the SAME partition boundaries —

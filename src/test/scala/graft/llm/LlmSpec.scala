@@ -146,6 +146,23 @@ class LlmSpec extends SparkSpec {
     assert(out(0).getLong(1) == ha && out(1).isNullAt(1))
   }
 
+  test("lengthBucketedBatches: batches fill in rank order; padding waste is max·n − Σ") {
+    // bin width 10: docs at 5,7,9 (bin 0) and 12,18 (bin 1); batch size 2
+    val d = Seq((1L, 5L), (2L, 7L), (3L, 9L), (4L, 12L), (5L, 18L))
+      .toDF("doc_id", "n_tokens")
+    val t = new graft.operators.Materialize.Tracker
+    val out = try {
+      Packing.lengthBucketedBatches(d.repartition(3), col("doc_id"), col("n_tokens"),
+          binWidth = 10L, batchSize = 2, tracker = Some(t), numPartitions = Some(2))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).sorted.toSeq
+    } finally t.releaseAll()
+    assert(out == Seq(
+      (0L, 0L, 2L, 7L, 12L, 2L),   // docs 5,7 → pad to 7: waste 2
+      (0L, 1L, 1L, 9L, 9L, 0L),    // doc 9 alone: no waste
+      (1L, 0L, 2L, 18L, 30L, 6L))) // docs 12,18 → pad to 18: waste 6
+  }
+
   test("audioEnvelopeQ: real WAV parse with integer-exact envelope; corrupt bytes yield None") {
     val wav = Multimodal.fixtureWav(7L)
     val (sr, ch, durUs, env) = Multimodal.audioEnvelopeQ(wav, 8).get
