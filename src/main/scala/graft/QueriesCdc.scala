@@ -1624,8 +1624,8 @@ object QueriesCdc {
     * UPDATE); the family's partial-cell images are pinned by
     * CassandraCdcSpec. */
   private def cdc25Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
-    fixtureDb("cdc25", dir) { db =>
-        val url = s"jdbc:derby:memory:cdc25${java.util.UUID.randomUUID().toString.take(8)};create=true"
+    fixtureDb("cdc25b", dir) { db =>
+        val url = s"jdbc:derby:memory:cdc25b${java.util.UUID.randomUUID().toString.take(8)};create=true"
         val conn = java.sql.DriverManager.getConnection(url)
         try {
           val st = conn.createStatement()
@@ -1639,7 +1639,7 @@ object QueriesCdc {
             emitTombstones = false)
           tailer.snapshotSchemaOnly()
           val rows = Tables.events(s, dir)
-            .filter(col("event_id") % 10 === 1)
+            .filter(col("event_id") % 11 === 3)
             .select(col("event_id"), col("user_id"), col("event_type"),
                     col("value"), unix_micros(col("ts")).as("ts_us"))
             .orderBy(col("event_id"))
@@ -1694,7 +1694,7 @@ object QueriesCdc {
             |  SELECT user_id, $opSql AS op, event_type, value,
             |         epoch_ns(ts) // 1000 AS ts_us,
             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-            |  FROM events WHERE event_id % 10 = 1) t
+            |  FROM events WHERE event_id % 11 = 3) t
             |WHERE rn = 1 AND op <> 'd'
             |ORDER BY user_id""".stripMargin),
     prepare = Some((s, dir) => { cdc25Db(s, dir); () }))

@@ -32,7 +32,10 @@ object Graph {
                 * consumption (intermediates release internally). */
               tracker: Option[Materialize.Tracker] = None): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
+    // every round joins the edge frame — materialize once, not a
+    // re-run of the upstream scan per superstep
+    val e = Materialize.eager(
+      edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst")))
     var visited = Materialize.eager(
       sources.select(sourceIdCol.cast("long").as("id")).distinct()
         .withColumn("hops", lit(0)))
@@ -64,6 +67,7 @@ object Graph {
         }
       }
     }
+    Materialize.release(e)
     tracker.foreach(_.track(visited))
     visited
   }
@@ -88,7 +92,10 @@ object Graph {
                     tracker: Option[Materialize.Tracker] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(initMass >= 1, s"initMass must be >= 1, got $initMass")
-    val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
+    // the edge frame feeds EVERY round — materialize it once (lazy
+    // lineage would re-run the upstream scan/union per superstep)
+    val e = Materialize.eager(
+      edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst")))
     val outDeg = Materialize.eager(
       e.groupBy(col("src")).agg(count(lit(1)).as("__deg")))
     val nodes = Materialize.eager(
@@ -96,12 +103,17 @@ object Graph {
         .unionByName(e.select(col("dst").as("id"))).distinct())
     var mass = Materialize.eager(nodes.withColumn("mass", lit(initMass)))
     Materialize.release(nodes)
+    // fresh column names per consumer: outDeg and the per-round edge
+    // join both derive from the SAME materialized edge leaf, and
+    // Spark's ambiguous-self-join detection (rightly) rejects raw
+    // e("src") references across that shared lineage
+    val ej = e.withColumnRenamed("src", "__esrc").withColumnRenamed("dst", "__edst")
     for (_ <- 1 to rounds) {
       val next = Materialize.eager(
         mass.join(outDeg, mass("id") === outDeg("src"))
           .select(col("id"), expr("mass DIV __deg").as("__share"))
-          .join(e, col("id") === e("src"))
-          .groupBy(e("dst").as("nid"))
+          .join(ej, col("id") === col("__esrc"))
+          .groupBy(col("__edst").as("nid"))
           .agg(sum(col("__share")).as("mass"))
           .filter(col("mass") > 0)
           .withColumnRenamed("nid", "id"))
@@ -109,6 +121,7 @@ object Graph {
       mass = next
     }
     Materialize.release(outDeg)
+    Materialize.release(e)
     tracker.foreach(_.track(mass))
     mass
   }
