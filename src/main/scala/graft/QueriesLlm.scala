@@ -17,7 +17,7 @@ object QueriesLlm {
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
-                        llm74)
+                        llm74, llm75, llm76)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -3064,4 +3064,88 @@ object QueriesLlm {
         |FROM r GROUP BY bin, batch_idx
         |ORDER BY bin, batch_idx""".stripMargin),
     cleanup = Some(_ => llm74Slot.drain()))
+
+  /** URL canonicalization (Urls.canonicalUrl): each logical page is
+    * rendered as THREE messy spellings (case-shifted host+www+default
+    * port+tracking param+fragment / clean / upper TLD+doubled
+    * slashes+shuffled params), and the engine must collapse all three
+    * onto one canonical key. The oracle does NOT replay the regex
+    * pipeline — it constructs the CLEAN form directly from the same
+    * arithmetic, so any normalization step the engine gets wrong
+    * (port, fragment, param order, slash collapse, www, case) breaks
+    * the hash match. Registered-domain derivation (`.co.uk` 3-label
+    * vs `.com` 2-label) is checked on the same rows. */
+  private def llm75 = Q("llm75_url_canonicalize",
+    (s, dir) => {
+      import graft.llm.Urls
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val base = expr("doc_id DIV 3")
+      val variant = expr("doc_id % 3")
+      val site = concat(lit("site"), base % 7)
+      val tld = when(base % 4 === 0, ".com").when(base % 4 === 1, ".co.uk")
+        .when(base % 4 === 2, ".org").otherwise(".io")
+      val path = concat(lit("/a/b"), base % 5)
+      val qv = base % 3
+      val messy = when(variant === 0,
+          concat(lit("HTTPS://WWW."), upper(site), tld, lit(":443"), path,
+                 lit("/?utm_source=x&b="), qv, lit("&a=1#frag")))
+        .when(variant === 1,
+          concat(lit("https://"), site, tld, path, lit("?a=1&b="), qv))
+        .otherwise(
+          concat(lit("https://"), site, upper(tld),
+                 regexp_replace(path, "/", "//"), lit("/?b="), qv,
+                 lit("&utm_campaign=y&a=1")))
+      d.select(col("doc_id"), Urls.canonicalUrl(messy).as("curl"))
+        .groupBy(col("curl"))
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("first_doc"))
+        .withColumn("domain", Urls.registeredDomain(Urls.hostOf(col("curl"))))
+        .select(col("curl"), col("domain"), col("n_variants"), col("first_doc"))
+        .orderBy(col("curl"))
+    },
+    Some(
+      """WITH b AS (SELECT doc_id, doc_id // 3 AS base FROM documents),
+        |c AS (SELECT base,
+        |        'https://site' || (base % 7) ||
+        |          CASE base % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |               WHEN 2 THEN '.org' ELSE '.io' END ||
+        |          '/a/b' || (base % 5) || '?a=1&b=' || (base % 3) AS curl,
+        |        'site' || (base % 7) ||
+        |          CASE base % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |               WHEN 2 THEN '.org' ELSE '.io' END AS domain,
+        |        count(*) AS n_variants, min(doc_id) AS first_doc
+        |      FROM b GROUP BY base)
+        |SELECT curl, domain, CAST(n_variants AS BIGINT) AS n_variants, first_doc
+        |FROM c ORDER BY curl""".stripMargin))
+
+  /** Per-domain quota sampling (Urls.domainQuota): cap every
+    * registered domain at 10 documents chosen by deterministic
+    * portable-hash rank, not arrival order. The Spark plan splits
+    * under-quota domains away from the per-domain sort window (only
+    * over-quota domains pay the rank); the oracle ranks everything —
+    * the two agree because an under-quota domain's keep flag is true
+    * under either path. */
+  private def llm76 = Q("llm76_domain_quota",
+    (s, dir) => {
+      import graft.llm.Urls
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val tld = when(col("doc_id") % 4 === 0, ".com")
+        .when(col("doc_id") % 4 === 1, ".co.uk")
+        .when(col("doc_id") % 4 === 2, ".org").otherwise(".io")
+      val url = concat(lit("https://site"), col("doc_id") % 7, tld,
+                       lit("/p"), col("doc_id"))
+      Urls.domainQuota(d.select(col("doc_id"), url.as("url")),
+          col("doc_id"), col("url"), quota = 10)
+        .orderBy(col("id"))
+    },
+    Some(
+      s"""WITH d AS (SELECT doc_id AS id,
+         |        'site' || (doc_id % 7) ||
+         |          CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+         |               WHEN 2 THEN '.org' ELSE '.io' END AS domain
+         |      FROM documents),
+         |r AS (SELECT id, domain,
+         |        row_number() OVER (PARTITION BY domain
+         |          ORDER BY ${Portable.duckHash64("CAST(id AS VARCHAR)")}, id) AS rk
+         |      FROM d)
+         |SELECT id, domain, rk <= 10 AS keep FROM r ORDER BY id""".stripMargin))
 }
