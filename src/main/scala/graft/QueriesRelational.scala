@@ -14,7 +14,8 @@ import org.apache.spark.sql.expressions.Window
 object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-                        q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+                        q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+                        q25)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -776,4 +777,48 @@ object QueriesRelational {
          |FROM m3 ORDER BY kind, key""".stripMargin
     },
     cleanup = Some(_ => q24Slot.drain()))
+
+  private val q25Slot = new QueriesLlm.TrackerSlot
+  /** Bounded weighted shortest paths (operators.Graph.shortestPaths)
+    * — Bellman-Ford supersteps over the order↔supplier graph with
+    * integer weights (per-pair min l_quantity), 3 relaxation rounds
+    * from the lowest order. The oracle's recursive CTE enumerates
+    * every ≤3-edge path and collapses to min(dist): after k rounds
+    * Bellman-Ford holds exactly the ≤k-edge minimum, so the two
+    * formulations must agree row-for-row — which pins both the
+    * relaxation semantics and the integer-weight determinism. */
+  private def q25 = Q("q25_weighted_shortest_path",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").cast("long").as("o"),
+                col("l_suppkey").cast("long").as("sp"),
+                col("l_quantity").cast("long").as("w"))
+        .groupBy(col("o"), col("sp")).agg(min(col("w")).as("w"))
+      val edges = li.select((col("o") * 2).as("src"), (col("sp") * 2 + 1).as("dst"), col("w"))
+        .unionByName(li.select((col("sp") * 2 + 1).as("src"), (col("o") * 2).as("dst"), col("w")))
+      val source = Tables.lineitem(s, dir).agg((min(col("l_orderkey")) * 2).as("node"))
+      graft.operators.Graph.shortestPaths(edges, col("src"), col("dst"), col("w"),
+          source, col("node"), rounds = 3, tracker = Some(q25Slot.fresh()))
+        .select(
+          when(col("id") % 2 === 0, lit("order")).otherwise(lit("supplier")).as("kind"),
+          expr("id DIV 2").as("key"), col("dist"))
+        .orderBy(col("kind"), col("key"))
+    },
+    Some(
+      """WITH RECURSIVE w AS (
+        |  SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        |         CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM w UNION ALL SELECT dst, src, w FROM w),
+        |s AS (SELECT min(l_orderkey) * 2 AS node FROM lineitem),
+        |r AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM s
+        |  UNION
+        |  SELECT e.dst, r.dist + e.w, r.hops + 1
+        |  FROM r JOIN e ON e.src = r.node WHERE r.hops < 3)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'order' ELSE 'supplier' END AS kind,
+        |       node // 2 AS key, min(dist) AS dist
+        |FROM r GROUP BY node
+        |ORDER BY kind, key""".stripMargin),
+    cleanup = Some(_ => q25Slot.drain()))
 }

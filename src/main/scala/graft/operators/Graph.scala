@@ -125,4 +125,52 @@ object Graph {
     tracker.foreach(_.track(mass))
     mass
   }
+
+  /** Bounded single/multi-source shortest paths over INTEGER edge
+    * weights — Bellman-Ford as a superstep loop: after round k the
+    * frame holds, for every reached node, the minimum path cost using
+    * at most k edges. Integer weights keep the result exact across
+    * engines (float addition order would not survive a shuffle).
+    *
+    * Unlike [[bfsHops]] a frontier-only expansion is NOT sound here —
+    * a node reached cheaply late must still relax its neighbors — so
+    * each round relaxes from the FULL distance frame: one edge join
+    * keyed on the node id + one min-aggregate per round, both plain
+    * hash shuffles on the id. (A delta optimization — relax only from
+    * nodes whose dist improved last round — preserves semantics and
+    * is what a 1000-round production run would add; at bounded small
+    * `rounds` the extra anti join per round costs more than it
+    * saves.) Negative weights are rejected: with them a bounded-round
+    * answer is not a distance. */
+  def shortestPaths(edges: DataFrame, srcCol: Column, dstCol: Column,
+                    weightCol: Column,
+                    sources: DataFrame, sourceIdCol: Column,
+                    rounds: Int,
+                    tracker: Option[Materialize.Tracker] = None): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    // every round joins the edge frame — materialize once; loud
+    // failure on a negative weight (the require above can't see data)
+    val e = Materialize.eager(
+      edges.select(srcCol.cast("long").as("__esrc"),
+                   dstCol.cast("long").as("__edst"),
+                   weightCol.cast("long").as("__w"))
+        .withColumn("__w",
+          when(col("__w") < 0, raise_error(lit("shortestPaths: negative edge weight")))
+            .otherwise(col("__w"))))
+    var dist = Materialize.eager(
+      sources.select(sourceIdCol.cast("long").as("id")).distinct()
+        .withColumn("dist", lit(0L)))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, col("id") === col("__esrc"))
+        .select(col("__edst").as("id"), (col("dist") + col("__w")).as("dist"))
+      val next = Materialize.eager(
+        dist.unionByName(relaxed)
+          .groupBy(col("id")).agg(min(col("dist")).as("dist")))
+      Materialize.release(dist)
+      dist = next
+    }
+    Materialize.release(e)
+    tracker.foreach(_.track(dist))
+    dist
+  }
 }

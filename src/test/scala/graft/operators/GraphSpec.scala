@@ -60,6 +60,41 @@ class GraphSpec extends SparkSpec {
     assert(out2 == Map(3L -> 3L))
   }
 
+  private def sp(edges: Seq[(Long, Long, Long)], sources: Seq[Long],
+                 rounds: Int): Map[Long, Long] = {
+    val t = new Materialize.Tracker
+    try {
+      Graph.shortestPaths(edges.toDF("src", "dst", "w"),
+          col("src"), col("dst"), col("w"),
+          sources.toDF("id"), col("id"), rounds, tracker = Some(t))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally t.releaseAll()
+  }
+
+  test("shortestPaths: cheaper long path beats expensive direct edge") {
+    // 1→3 costs 10 direct, but 1→2→3 costs 1+2=3
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 2L))
+    assert(sp(edges, Seq(1L), rounds = 1) == Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+    assert(sp(edges, Seq(1L), rounds = 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("shortestPaths: rounds bound path length; cycles terminate; multi-source min") {
+    val cycle = Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 1L, 5L))
+    assert(sp(cycle, Seq(1L), rounds = 0) == Map(1L -> 0L))
+    assert(sp(cycle, Seq(1L), rounds = 10) ==
+      Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+    // two sources: node 2 takes the cheaper origin
+    assert(sp(Seq((1L, 2L, 9L), (3L, 2L, 4L)), Seq(1L, 3L), rounds = 2) ==
+      Map(1L -> 0L, 3L -> 0L, 2L -> 4L))
+    // zero-weight edges are fine
+    assert(sp(Seq((1L, 2L, 0L)), Seq(1L), rounds = 1) == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("shortestPaths rejects negative weights loudly") {
+    val ex = intercept[Exception] { sp(Seq((1L, 2L, -1L)), Seq(1L), rounds = 1) }
+    assert(ex.getMessage != null)
+  }
+
   test("bfsHops leaves no persistent frames behind once the tracker drains") {
     // unpersist is async — compare ids, not counts, and allow earlier
     // tests' releases to complete concurrently
