@@ -17,7 +17,7 @@ object QueriesLlm {
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
-                        llm74, llm75, llm76)
+                        llm74, llm75, llm76, llm77)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -3148,4 +3148,74 @@ object QueriesLlm {
          |          ORDER BY ${Portable.duckHash64("CAST(id AS VARCHAR)")}, id) AS rk
          |      FROM d)
          |SELECT id, domain, rk <= 10 AS keep FROM r ORDER BY id""".stripMargin))
+
+  /** ANN recall@k measurement (Similarity.recallAtK): the evaluation
+    * loop that decides whether an LSH parameterization is trustworthy
+    * before it runs at scale — exact brute-force top-10 as ground
+    * truth, banded-LSH top-10 (8 bands × 8 planes) as the candidate
+    * path under test, per-query |approx ∩ truth| / 10. The oracle
+    * replays BOTH paths (the llm03 cross-join ranking and the llm08
+    * banded-bucket join) and the same intersection count, so the
+    * recall numbers are value-checked end to end, not just shaped. */
+  private def llm77 = Q("llm77_ann_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus  = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val truth = Similarity.bruteForceTopK(corpus, "cid", "cv",
+        queries, "qid", "qv", k = 10, exact = true)
+      val approx = Similarity.lshBandedTopK(corpus, "cid", "cv",
+        queries, "qid", "qv", k = 10, dims = 64, planesPerBand = 8, bands = 8,
+        exact = true)
+      Similarity.recallAtK(truth, approx, "qid", "cid", k = 10)
+        .orderBy(col("qid"))
+    },
+    Some {
+      val dotQC =
+        """list_sum(list_transform(list_zip(qv, cv),
+          |  z -> CAST(floor(CAST(z[1] AS DOUBLE) * 1e6) AS BIGINT)
+          |     * CAST(floor(CAST(z[2] AS DOUBLE) * 1e6) AS BIGINT)))""".stripMargin
+      def norm(v: String) =
+        s"""list_sum(list_transform($v, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+           |  * CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)))""".stripMargin
+      val cBands = (0 until 8).map { b =>
+        s"SELECT vec_id AS cid, $b AS band, ${duckRhpBandBucket("embedding", 64, 8, 8, b)} AS bucket FROM embeddings"
+      }.mkString("\n            UNION ALL ")
+      val qBands = (0 until 8).map { b =>
+        s"SELECT vec_id AS qid, $b AS band, ${duckRhpBandBucket("embedding", 64, 8, 8, b)} AS bucket FROM embeddings WHERE vec_id < 20"
+      }.mkString("\n            UNION ALL ")
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |td AS (SELECT qid, cid,
+         |         $dotQC AS dot, ${norm("qv")} AS nq, ${norm("cv")} AS nc
+         |       FROM q CROSS JOIN c WHERE cid <> qid),
+         |tr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |         ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) DESC, cid) AS rank
+         |       FROM td),
+         |truth AS (SELECT qid, cid FROM tr WHERE rank <= 10),
+         |cbk AS (
+         |            $cBands),
+         |qbk AS (
+         |            $qBands),
+         |cand AS (SELECT DISTINCT qbk.qid, cbk.cid
+         |         FROM cbk JOIN qbk ON cbk.band = qbk.band AND cbk.bucket = qbk.bucket
+         |         WHERE cbk.cid <> qbk.qid),
+         |ad AS (SELECT cand.qid, cand.cid,
+         |         $dotQC AS dot, ${norm("qv")} AS nq, ${norm("cv")} AS nc
+         |       FROM (SELECT cand.qid, cand.cid, qe.embedding AS qv, ce.embedding AS cv
+         |             FROM cand JOIN embeddings qe ON qe.vec_id = cand.qid
+         |                       JOIN embeddings ce ON ce.vec_id = cand.cid) cand),
+         |ar AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |         ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) DESC, cid) AS rank
+         |       FROM ad),
+         |approx AS (SELECT qid, cid FROM ar WHERE rank <= 10),
+         |h AS (SELECT t.qid, count(*) AS n_hits
+         |      FROM truth t JOIN approx a ON a.qid = t.qid AND a.cid = t.cid
+         |      GROUP BY t.qid)
+         |SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10 AS recall
+         |FROM q LEFT JOIN h USING (qid)
+         |ORDER BY q.qid""".stripMargin
+    })
 }

@@ -346,4 +346,52 @@ object Similarity {
       .withColumn("sim", sim0)
     topKPerQuery(scored, qidCol, idCol, k)
   }
+
+  /** Banded-LSH ANN: candidates are corpus vectors sharing ANY
+    * (band, bucket) with the query — `bands` independent probes where
+    * [[lshTopK]] has exactly one, trading candidate volume for
+    * recall. The candidate join shuffles on (band, bucket) with the
+    * small query side broadcast; the distinct collapses multi-band
+    * hits BEFORE the vectors are fetched, so exact scoring touches
+    * each (query, candidate) pair once. */
+  def lshBandedTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, qidCol: String, qvecCol: String,
+                    k: Int, dims: Int, planesPerBand: Int, bands: Int,
+                    exact: Boolean = false): DataFrame = {
+    val cb = rhpBandedBuckets(corpus, idCol, vecCol, dims, planesPerBand, bands)
+      .withColumnRenamed("doc_id", idCol)
+    val qb = rhpBandedBuckets(queries, qidCol, qvecCol, dims, planesPerBand, bands)
+      .withColumnRenamed("doc_id", qidCol)
+    val cand = cb.join(broadcast(qb), Seq("band", "bucket"))
+      .filter(col(qidCol) =!= col(idCol))
+      .select(col(qidCol), col(idCol)).distinct()
+    val sim0 =
+      if (exact) cosineExact(col(qvecCol), col(vecCol))
+      else cosine(col(qvecCol), col(vecCol))
+    val scored = cand
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), qidCol)
+      .withColumn("sim", sim0)
+    topKPerQuery(scored, qidCol, idCol, k)
+  }
+
+  /** Per-query recall@k of an approximate neighbor set against the
+    * exact one: |approx ∩ truth| / k. Both inputs are (qid, id) top-k
+    * frames (extra columns ignored); queries whose approx set missed
+    * everything still appear with recall 0. The intersection is a
+    * semi join on the pair key — nothing wide moves. This is the
+    * measurement loop an ANN deployment runs before trusting a
+    * parameterization at scale: truth from a sampled query set,
+    * approx from the candidate path under test. */
+  def recallAtK(truth: DataFrame, approx: DataFrame,
+                qidCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qids = truth.select(col(qidCol)).distinct()
+    val hits = truth.select(col(qidCol), col(idCol))
+      .join(approx.select(col(qidCol), col(idCol)), Seq(qidCol, idCol), "left_semi")
+      .groupBy(col(qidCol)).agg(count(lit(1)).as("n_hits"))
+    qids.join(hits, Seq(qidCol), "left")
+      .select(col(qidCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", col("n_hits") / lit(k))
+  }
 }

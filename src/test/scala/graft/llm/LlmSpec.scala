@@ -1600,4 +1600,28 @@ class LlmSpec extends SparkSpec {
       .orderBy("sel_round").collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(out2.toSeq == Seq((0, 2L), (1, 3L)))
   }
+
+  test("recallAtK: intersection per query, zero-hit queries still appear") {
+    import spark.implicits._
+    val truth  = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "cid")
+    val approx = Seq((1L, 11L), (1L, 12L)).toDF("qid", "cid")
+    val got = Similarity.recallAtK(truth, approx, "qid", "cid", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 1L, 0.5), (2L, 0L, 0.0)))
+  }
+
+  test("lshBandedTopK finds an exact duplicate vector (same signature in every band)") {
+    import spark.implicits._
+    val v = (0 until 64).map(i => (i % 7).toFloat / 7f)
+    val w = (0 until 64).map(i => ((i * 3) % 11).toFloat / 11f - 0.5f)
+    val corpus = Seq((1L, v), (2L, w), (3L, v)).toDF("cid", "cv")
+    val queries = Seq((1L, v)).toDF("qid", "qv")
+    val out = Similarity.lshBandedTopK(corpus, "cid", "cv", queries, "qid", "qv",
+        k = 5, dims = 64, planesPerBand = 8, bands = 8, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // vec 3 is identical to the query, so it shares every band bucket
+    assert(out.contains((1L, 3L)))
+    assert(!out.exists(_._2 == 1L)) // self excluded
+  }
 }
