@@ -17,7 +17,7 @@ object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
                         cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21,
-                        cdc22, cdc23, cdc24, cdc25, cdc26)
+                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -1797,4 +1797,123 @@ object QueriesCdc {
             |WHERE rn = 1 AND op <> 'd'
             |ORDER BY user_id""".stripMargin),
     prepare = Some((s, dir) => { cdc26Db(s, dir); () }))
+
+  /** cdc27's fixture: the DBLog-style INCREMENTAL snapshot
+    * (NativeCdcTailer.incrementalSnapshot — the machinery behind the
+    * reference's `execute-snapshot` signal) run against a LIVE
+    * base-table + change-feed pair. The Derby base table holds each
+    * user's FINAL state (subset event_id %11==7, deletes absent); the
+    * CD change table holds the full event history of every user with
+    * user_id %3==0. The chunked snapshot drains the feed as its
+    * high-watermark step — first-chunk rows whose key changed drop
+    * (the change event wins), later chunks re-read as op='r' with
+    * LSNs after the changes — and BOTH routes converge to the same
+    * latest state, which is exactly what the oracle computes from the
+    * raw events. A tailer that tears a chunk, mis-orders the
+    * watermark, or double-reads a superseded key fails the hash. */
+  private def cdc27Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path =
+    fixtureDb("cdc27", dir) { db =>
+        val url = s"jdbc:derby:memory:cdc27${java.util.UUID.randomUUID().toString.take(8)};create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          st.execute("CREATE SCHEMA inv")
+          st.execute("CREATE TABLE inv.events (user_id BIGINT PRIMARY KEY, " +
+            "event_type VARCHAR(32), value DOUBLE, ts_us BIGINT)")
+          st.execute("CREATE SCHEMA asn")
+          st.execute("""CREATE TABLE asn."inv_events_CD" (""" +
+            "ibmsnap_commitseq BIGINT, ibmsnap_intentseq BIGINT, " +
+            "ibmsnap_operation CHAR(1), " +
+            "user_id BIGINT, event_type VARCHAR(32), value DOUBLE, ts_us BIGINT, " +
+            "xuser_id BIGINT, xevent_type VARCHAR(32), xvalue DOUBLE, xts_us BIGINT)")
+          st.close()
+          val tailer = new graft.sources.cdc.Db2CdTailer(url, db,
+            Seq(graft.sources.cdc.Db2CdTailer.TableSpec("inv", "events", Seq("user_id"))),
+            dialect = graft.sources.cdc.Db2CdTailer.EmulatedDialect,
+            emitTombstones = false)
+          tailer.snapshotSchemaOnly()
+          val subset = Tables.events(s, dir)
+            .filter(col("event_id") % 11 === 7)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+                    col("value"), unix_micros(col("ts")).as("ts_us"))
+          // base table = final state per user, deletes absent
+          val finals = subset
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("user_id")).orderBy(col("event_id").desc)))
+            .filter(col("rn") === 1)
+            .filter(col("event_type") =!= "error")
+            .orderBy(col("user_id")).collect()
+          val ins = conn.prepareStatement("INSERT INTO inv.events VALUES (?, ?, ?, ?)")
+          finals.zipWithIndex.foreach { case (r, i) =>
+            ins.setLong(1, r.getLong(1)); ins.setString(2, r.getString(2))
+            ins.setDouble(3, r.getDouble(3)); ins.setLong(4, r.getLong(4))
+            ins.addBatch()
+            if ((i + 1) % 1000 == 0) ins.executeBatch()
+          }
+          ins.executeBatch(); ins.close()
+          // change feed = full history of the %3==0 users, positions
+          // = event_id (strictly increasing, past the start position)
+          val feedRows = subset.filter(col("user_id") % 3 === 0)
+            .orderBy(col("event_id")).collect()
+          val ps = conn.prepareStatement(
+            """INSERT INTO asn."inv_events_CD" VALUES (?, 1, ?, ?, ?, ?, ?, ?, ?, ?, ?)""")
+          feedRows.zipWithIndex.foreach { case (r, i) =>
+            val (eid, uid) = (r.getLong(0), r.getLong(1))
+            val (et, v, ts) = (r.getString(2), r.getDouble(3), r.getLong(4))
+            val op = et match {
+              case "signup" => "I"
+              case "error" => "D"
+              case _ => "U"
+            }
+            ps.setLong(1, eid); ps.setString(2, op)
+            ps.setLong(3, uid); ps.setString(4, et); ps.setDouble(5, v); ps.setLong(6, ts)
+            if (op == "U") {
+              ps.setLong(7, uid); ps.setString(8, et); ps.setDouble(9, v); ps.setLong(10, ts)
+            } else {
+              ps.setNull(7, java.sql.Types.BIGINT); ps.setNull(8, java.sql.Types.VARCHAR)
+              ps.setNull(9, java.sql.Types.DOUBLE); ps.setNull(10, java.sql.Types.BIGINT)
+            }
+            ps.addBatch()
+            if ((i + 1) % 1000 == 0) ps.executeBatch()
+          }
+          ps.executeBatch(); ps.close()
+          // the snapshot itself drains the feed chunk-by-chunk (the
+          // watermark protocol under test) — no explicit poll()
+          tailer.incrementalSnapshot(chunkSize = 64)
+          finals.length.toLong
+        } finally conn.close()
+    }
+
+  /** End-to-end through the incremental snapshot: live table +
+    * pending change feed → chunked watermarked snapshot → shared
+    * layout → DSv2 replay → latest-state materialization. The op
+    * column is deliberately NOT part of the output: whether a given
+    * user's winning row is its op='r' re-read or its last change
+    * event depends on chunk boundaries — the STATE must not. */
+  private def cdc27 = Q("cdc27_incremental_snapshot",
+    (s, dir) => {
+      val records = s.read.format("graft-cdc")
+        .option("path", cdc27Db(s, dir).toString)
+        .option("keySchema", "user_id BIGINT").option("rowSchema", cdc07RowDdl)
+        .option("table.include.list", "inv.events")
+        .load()
+      ApplyChanges.latestState(records,
+          keyCols = Seq(col("key.user_id")),
+          orderCols = Seq(col("value.source.lsn")),
+          opCol = col("value.op"))
+        .select(col("key.user_id").as("user_id"),
+                col("value.after.event_type").as("event_type"),
+                col("value.after.value").as("value"),
+                col("value.after.ts_us").as("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, event_type, value, ts_us FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events WHERE event_id % 11 = 7) t
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc27Db(s, dir); () }))
 }
