@@ -17,7 +17,7 @@ object QueriesLlm {
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
-                        llm74, llm75, llm76, llm77)
+                        llm74, llm75, llm76, llm77, llm78, llm79)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -3218,4 +3218,97 @@ object QueriesLlm {
          |FROM q LEFT JOIN h USING (qid)
          |ORDER BY q.qid""".stripMargin
     })
+
+  /** Leakage-safe GROUPED train/eval split: the split key is the
+    * registered DOMAIN, not the document (Sampling.hashSplit applied
+    * to the group key) — eval documents from a domain whose siblings
+    * were trained on are contamination, so the whole domain must land
+    * on one side. The output audits that from the data: n_leaky
+    * counts domains observed in MORE than one split (must be 0, and
+    * the oracle computes it the same way — a split keyed on doc_id
+    * instead of domain would light it up). */
+  private def llm78 = Q("llm78_grouped_split",
+    (s, dir) => {
+      import graft.llm.{Sampling, Urls}
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val tld = when(col("doc_id") % 4 === 0, ".com")
+        .when(col("doc_id") % 4 === 1, ".co.uk")
+        .when(col("doc_id") % 4 === 2, ".org").otherwise(".io")
+      val url = concat(lit("https://site"), col("doc_id") % 7, tld,
+                       lit("/p"), col("doc_id"))
+      val withDomain = d.select(col("doc_id"), col("n_chars"),
+        Urls.registeredDomain(Urls.hostOf(url)).as("domain"))
+      val split = Sampling.hashSplit(withDomain, col("domain"),
+        Seq("train" -> 0.8, "eval" -> 0.2), salt = "grpsplit")
+      val spans = split.groupBy(col("domain"))
+        .agg(countDistinct(col("split")).as("__nsp"))
+      split.join(spans, "domain")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("domain")).as("n_domains"),
+             sum(col("n_chars")).as("n_chars"),
+             countDistinct(when(col("__nsp") > 1, col("domain"))).as("n_leaky"))
+        .orderBy(col("split"))
+    },
+    Some {
+      val u = graft.llm.Sampling.duckUnitInterval("domain", "grpsplit")
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |        'site' || (doc_id % 7) ||
+         |          CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+         |               WHEN 2 THEN '.org' ELSE '.io' END AS domain
+         |      FROM documents),
+         |sp AS (SELECT doc_id, n_chars, domain,
+         |         CASE WHEN $u < 0.8 THEN 'train' ELSE 'eval' END AS split
+         |       FROM d),
+         |spans AS (SELECT domain, count(DISTINCT split) AS nsp FROM sp GROUP BY 1)
+         |SELECT split, count(*) AS n_docs,
+         |       CAST(count(DISTINCT sp.domain) AS BIGINT) AS n_domains,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(count(DISTINCT CASE WHEN nsp > 1 THEN sp.domain END) AS BIGINT) AS n_leaky
+         |FROM sp JOIN spans ON spans.domain = sp.domain
+         |GROUP BY split ORDER BY split""".stripMargin
+    })
+
+  /** Interpolated trigram typicality (LanguageModel.trigramScore):
+    * the stronger-context quality score beside llm24's bigram form —
+    * 0.5·p(w3|w1w2) + 0.3·p(w3|w2) + 0.2·p(w3), all add-one
+    * smoothed. The oracle joins on the words where Spark joins on
+    * their xxhash64 keys (the llm24 collision trade), and every
+    * double operation is the same left-associated sequence, so the
+    * per-position quantized scores match bit for bit. */
+  private def llm79 = Q("llm79_trigram_typicality",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      LanguageModel.trigramScore(d, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |              list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           |            FROM documents),
+           |tri AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+           |               unnest(toks[2:len(toks)-1]) AS w2,
+           |               unnest(toks[3:len(toks)]) AS w3
+           |        FROM t WHERE len(toks) >= 3),
+           |bi AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+           |              unnest(toks[2:len(toks)]) AS w2 FROM t),
+           |uni AS (SELECT unnest(toks) AS w FROM t),
+           |c123 AS (SELECT w1, w2, w3, count(*) AS c FROM tri GROUP BY 1, 2, 3),
+           |cb AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+           |cu AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+           |vn AS (SELECT count(DISTINCT w) AS v, count(*) AS n FROM uni),
+           |q AS (SELECT tri.doc_id,
+           |        CAST(floor((0.5 * (CAST(c123.c + 1 AS DOUBLE) / CAST(cb12.c + vn.v AS DOUBLE))
+           |                  + 0.3 * (CAST(cb23.c + 1 AS DOUBLE) / CAST(cu2.c + vn.v AS DOUBLE))
+           |                  + 0.2 * (CAST(cu3.c + 1 AS DOUBLE) / CAST(vn.n + vn.v AS DOUBLE))) * 1e9) AS BIGINT) AS q
+           |      FROM tri
+           |      JOIN c123 USING (w1, w2, w3)
+           |      JOIN cb cb12 ON cb12.w1 = tri.w1 AND cb12.w2 = tri.w2
+           |      JOIN cb cb23 ON cb23.w1 = tri.w2 AND cb23.w2 = tri.w3
+           |      JOIN cu cu2 ON cu2.w = tri.w2
+           |      JOIN cu cu3 ON cu3.w = tri.w3
+           |      CROSS JOIN vn)
+           |SELECT doc_id, count(*) AS n_trigrams,
+           |       CAST(sum(q) AS DOUBLE) / count(*) / 1e9 AS avg_interp_p
+           |FROM q GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin))
 }

@@ -57,6 +57,73 @@ object LanguageModel {
     toks.select(explode(col("__toks")).as("__t"))
       .agg(count_distinct(xxhash64(col("__t"))).as(as))
 
+  /** Interpolated TRIGRAM typicality: per-position score
+    * 0.5·p(w3|w1w2) + 0.3·p(w3|w2) + 0.2·p(w3), every component
+    * add-one smoothed over corpus counts — the stronger-context
+    * sibling of [[bigramScore]] (a document full of locally-plausible
+    * bigrams can still be word-salad at trigram range; interpolation
+    * keeps rare-but-real trigrams from being crushed to the floor).
+    * Returns (doc_id, n_trigrams, avg_interp_p); documents under 3
+    * tokens have no trigram to score and drop out.
+    *
+    * Cross-engine discipline: each per-position value is a fixed
+    * left-associated double expression over exact long counts,
+    * quantized to 1e-9 before the long-sum mean. 100 TB shape: one
+    * position-explode feeds all n-gram keys (8-byte xxhash64 — the
+    * strings never shuffle); three count tables (trigram, bigram,
+    * unigram) each one hash-keyed groupBy, the bigram and unigram
+    * tables joined TWICE (context and event roles); vocab+token
+    * totals ride a broadcast one-row frame. */
+  def trigramScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = tokenized(df, idCol, textCol)
+    // (doc_id, h123, h12, h23, h2, h3) per trigram position, one
+    // codegen'd projection off the position explode
+    val tri = toks.filter(size(col("__toks")) >= 3)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(3), size(col("__toks")))).as("__i"))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ",
+          element_at(col("__toks"), col("__i") - 2),
+          element_at(col("__toks"), col("__i") - 1),
+          element_at(col("__toks"), col("__i")))).as("__h123"),
+        xxhash64(concat_ws(" ",
+          element_at(col("__toks"), col("__i") - 2),
+          element_at(col("__toks"), col("__i") - 1))).as("__h12"),
+        xxhash64(concat_ws(" ",
+          element_at(col("__toks"), col("__i") - 1),
+          element_at(col("__toks"), col("__i")))).as("__h23"),
+        xxhash64(element_at(col("__toks"), col("__i") - 1)).as("__h2"),
+        xxhash64(element_at(col("__toks"), col("__i"))).as("__h3"))
+    val c123 = tri.groupBy(col("__h123")).agg(count(lit(1)).as("__c123"))
+    // ONE bigram count table serves both the (w1,w2) context role and
+    // the (w2,w3) event role; likewise one unigram table for w2/w3
+    val cB = bigramStream(toks).groupBy(col("__h12")).agg(count(lit(1)).as("__cb"))
+    val uni = toks.select(explode(col("__toks")).as("__t"))
+      .select(xxhash64(col("__t")).as("__hu"))
+    val cU = uni.groupBy(col("__hu")).agg(count(lit(1)).as("__cu"))
+    val vn = uni.agg(count_distinct(col("__hu")).as("__v"),
+                     count(lit(1)).as("__n"))
+    val q = tri
+      .join(c123, "__h123")
+      .join(cB.select(col("__h12"), col("__cb").as("__c12")), "__h12")
+      .join(cB.select(col("__h12").as("__h23"), col("__cb").as("__c23")), "__h23")
+      .join(cU.select(col("__hu").as("__h2"), col("__cu").as("__c2")), "__h2")
+      .join(cU.select(col("__hu").as("__h3"), col("__cu").as("__c3")), "__h3")
+      .crossJoin(broadcast(vn))
+      .select(col("doc_id"),
+        floor((lit(0.5) * ((col("__c123") + 1).cast("double") /
+                           (col("__c12") + col("__v")).cast("double")) +
+               lit(0.3) * ((col("__c23") + 1).cast("double") /
+                           (col("__c2") + col("__v")).cast("double")) +
+               lit(0.2) * ((col("__c3") + 1).cast("double") /
+                           (col("__n") + col("__v")).cast("double"))) * lit(1e9))
+          .cast("long").as("__q"))
+    q.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("__q")).as("__sq"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (col("__sq").cast("double") / col("n_trigrams") / lit(1e9)).as("avg_interp_p"))
+  }
+
   /** Per-document corpus-typicality score: (doc_id, n_bigrams,
     * avg_bigram_p) where avg_bigram_p is the mean smoothed bigram
     * probability (higher = more typical of the corpus; extremely high

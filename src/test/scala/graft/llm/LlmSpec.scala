@@ -1601,6 +1601,22 @@ class LlmSpec extends SparkSpec {
     assert(out2.toSeq == Seq((0, 2L), (1, 3L)))
   }
 
+  test("trigramScore: counts per doc, short docs drop, repeated trigram scores higher") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),          // 2 trigrams
+      (2L, "a b c a b c a b c"), // repeated trigram → typical
+      (3L, "x q"),               // too short — no trigram
+      (4L, "z y x w v")          // all-unique trigrams → atypical
+    ).toDF("doc_id", "text")
+    val out = LanguageModel.trigramScore(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(3L))
+    assert(out(1L)._1 == 2L && out(2L)._1 == 7L && out(4L)._1 == 3L)
+    assert(out(2L)._2 > out(4L)._2,
+      s"repeated trigrams must outscore unique ones: $out")
+  }
+
   test("recallAtK: intersection per query, zero-hit queries still appear") {
     import spark.implicits._
     val truth  = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
