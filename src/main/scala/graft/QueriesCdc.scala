@@ -17,7 +17,7 @@ object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
                         cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21,
-                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27)
+                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -1916,4 +1916,40 @@ object QueriesCdc {
             |WHERE rn = 1 AND op <> 'd'
             |ORDER BY user_id""".stripMargin),
     prepare = Some((s, dir) => { cdc27Db(s, dir); () }))
+
+  /** SCD-type-2 history materialization (ApplyChanges.scdType2): the
+    * FULL versioned dimension table from the change stream — one
+    * validity interval per non-delete change, closed by the key's
+    * next change (a delete closes its predecessor without emitting a
+    * version), open intervals flagged current. cdc02/cdc11 replay
+    * "what is true now"; this is "what was true when" — the form
+    * every warehouse as-of join consumes. The open interval's
+    * valid_to renders as BIGINT max (not NULL) so the cross-engine
+    * row compare never sorts mixed null/non-null keys. */
+  private def cdc28 = Q("cdc28_scd2_history",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("op", opCol)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      ApplyChanges.scdType2(ev,
+          keyCols = Seq(col("user_id")), orderCols = Seq(col("event_id")),
+          tsCol = col("ts_us"), opCol = col("op"))
+        .select(col("user_id"), col("ver"), col("event_id"), col("value"),
+          col("valid_from"),
+          coalesce(col("valid_to"), lit(Long.MaxValue)).as("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("ver"))
+    },
+    Some(s"""WITH ev AS (
+            |  SELECT user_id, event_id, value, $opSql AS op,
+            |         epoch_ns(ts) // 1000 AS ts_us FROM events),
+            |v AS (SELECT user_id, event_id, value, op, ts_us AS valid_from,
+            |        lead(ts_us) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+            |        row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS ver
+            |      FROM ev)
+            |SELECT user_id, CAST(ver AS INT) AS ver, event_id, value, valid_from,
+            |       coalesce(valid_to, 9223372036854775807) AS valid_to,
+            |       valid_to IS NULL AS is_current
+            |FROM v WHERE op <> 'd'
+            |ORDER BY user_id, ver""".stripMargin))
 }

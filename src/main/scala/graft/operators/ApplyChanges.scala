@@ -29,4 +29,33 @@ object ApplyChanges {
       .filter(col("__rn") === 1 && opCol =!= deleteOp)
       .drop("__rn")
   }
+
+  /** Materialize the FULL history of a keyed change stream as an
+    * SCD-type-2 dimension table: one validity interval per non-delete
+    * change, `valid_from` = the change's own event time, `valid_to` =
+    * the NEXT change's event time for the key (any op — a delete
+    * closes its predecessor's interval without producing a version),
+    * `is_current` = no later change exists. [[latestState]] answers
+    * "what is true now"; this answers "what was true when" — the
+    * warehouse-dimension form every as-of join consumes.
+    *
+    * Same scale shape as latestState: ONE hash shuffle on the key and
+    * one per-partition sort serve both the lead() and the version
+    * numbering (two window functions over the identical
+    * (key, orderCols) spec — Spark plans a single Window operator).
+    * `tsCol` must be monotone in `orderCols` per key (event time of
+    * the change); `valid_to` is NULL on the open interval. */
+  def scdType2(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column],
+               tsCol: Column, opCol: Column,
+               deleteOp: String = Envelope.OpDelete): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCols.map(_.asc): _*)
+    df.withColumn("valid_from", tsCol)
+      .withColumn("valid_to", lead(tsCol, 1).over(w))
+      // version numbers count ALL changes (a delete consumes a version
+      // slot — re-created keys don't restart at 1), but only
+      // non-delete changes emit a row
+      .withColumn("ver", row_number().over(w))
+      .filter(opCol =!= deleteOp)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }
