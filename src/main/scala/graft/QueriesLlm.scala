@@ -17,7 +17,8 @@ object QueriesLlm {
                         llm47, llm48, llm49, llm50, llm51, llm52, llm53, llm54, llm55, llm56,
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
-                        llm74, llm75, llm76, llm77, llm78, llm79)
+                        llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
+                        llm82)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -3311,4 +3312,120 @@ object QueriesLlm {
            |       CAST(sum(q) AS DOUBLE) / count(*) / 1e9 AS avg_interp_p
            |FROM q GROUP BY doc_id
            |ORDER BY doc_id""".stripMargin))
+
+  /** Per-dimension embedding statistics (Similarity.dimStats): the
+    * preprocessing pass standardization/whitening/quantizer training
+    * start from — count, quantized sum/sumsq/min/max and the mean per
+    * position, from ONE position-explode into a dims-row aggregate
+    * (vectors die in the map stage; kilobytes shuffle at any corpus
+    * size). Elements quantize to 1e-6 integers before any sum, so
+    * both engines aggregate exact longs in any order. */
+  private def llm80 = Q("llm80_embedding_dim_stats",
+    (s, dir) => Similarity.dimStats(Tables.embeddings(s, dir), col("embedding"))
+      .orderBy(col("dim")),
+    Some("""WITH x AS (SELECT embedding[i] AS x, CAST(i AS BIGINT) AS dim
+           |           FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
+           |q AS (SELECT dim, CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xq FROM x)
+           |SELECT dim, count(*) AS n, CAST(sum(xq) AS BIGINT) AS sum_q6,
+           |       CAST(sum(xq * xq) AS BIGINT) AS sumsq_q12,
+           |       min(xq) AS min_q6, max(xq) AS max_q6,
+           |       CAST(sum(xq) AS DOUBLE) / count(*) / 1e6 AS mean
+           |FROM q GROUP BY dim ORDER BY dim""".stripMargin))
+
+  /** Dataset version diff (CorpusReport.manifestDiff): the release
+    * audit between two corpus snapshots — `prev` drops every
+    * doc_id%17==3 (those read as `added`), rewrites the text of
+    * %13==5 (read as `changed`) and carries extra ids %19==2 shifted
+    * by 100000 (read as `removed`); everything else is `unchanged`.
+    * One full-outer join on the id with 8-byte content hashes beside
+    * it — text never moves. The oracle rebuilds both snapshots from
+    * the same arithmetic and must land on identical status counts. */
+  private def llm81 = Q("llm81_manifest_diff",
+    (s, dir) => {
+      import graft.llm.CorpusReport
+      val d = Tables.documents(s, dir)
+      val cur = d.select(col("doc_id"), Portable.hash64(col("text")).as("h"))
+      val prev = d.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          Portable.hash64(when(col("doc_id") % 13 === 5,
+              concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("h"))
+        .unionByName(d.filter(col("doc_id") % 19 === 2)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+                  Portable.hash64(col("text")).as("h")))
+      CorpusReport.manifestDiff(prev, cur, "doc_id", "h")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"), min(col("id")).as("first_id"))
+        .orderBy(col("status"))
+    },
+    Some {
+      val h = Portable.duckHash64("text")
+      val h2 = Portable.duckHash64("text || ' v2'")
+      s"""WITH cur AS (SELECT doc_id AS id, $h AS h FROM documents),
+         |prev AS (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 13 = 5 THEN $h2 ELSE $h END AS h
+         |  FROM documents WHERE doc_id % 17 <> 3
+         |  UNION ALL
+         |  SELECT doc_id + 100000, $h FROM documents WHERE doc_id % 19 = 2),
+         |j AS (SELECT coalesce(cur.id, prev.id) AS id,
+         |        CASE WHEN prev.id IS NULL THEN 'added'
+         |             WHEN cur.id IS NULL THEN 'removed'
+         |             WHEN prev.h = cur.h THEN 'unchanged'
+         |             ELSE 'changed' END AS status
+         |      FROM prev FULL OUTER JOIN cur ON cur.id = prev.id)
+         |SELECT status, count(*) AS n_docs, min(id) AS first_id
+         |FROM j GROUP BY status ORDER BY status""".stripMargin
+    })
+
+  /** Asymmetric shingle containment (Dedup.containment): each
+    * document pairs with a container that embeds it whole plus
+    * trailing boilerplate — containment(small in big) is EXACTLY 1.0
+    * (the small side's shingles are a subset) while Jaccard sits well
+    * under any dedup threshold because the union is dominated by the
+    * container. The doc-in-doc detection Jaccard structurally misses;
+    * Spark intersects hashed shingle sets, the oracle counts distinct
+    * shingle strings — the llm09 collision trade. */
+  private def llm82 = Q("llm82_containment_verify",
+    (s, dir) => {
+      val pad = " tail padding block one two three four five six seven eight nine ten"
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 100000L).as("doc_id"),
+                 concat(col("text"), lit(pad)).as("text")))
+      val sets = Dedup.hashedShingleSets(corpus, col("doc_id"), col("text"), n = 9)
+      val small = sets.filter(col("doc_id") < 100000L)
+        .select(col("doc_id"), col("shh").as("sh_a"))
+      val big = sets.filter(col("doc_id") >= 100000L)
+        .select((col("doc_id") - 100000L).as("doc_id"), col("shh").as("sh_b"))
+      small.join(big, "doc_id")
+        .select(col("doc_id"),
+          size(col("sh_a")).cast("long").as("n_small"),
+          size(col("sh_b")).cast("long").as("n_big"),
+          Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"),
+          Dedup.containment(col("sh_a"), col("sh_b")).as("containment"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val pad = " tail padding block one two three four five six seven eight nine ten"
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || '$pad' FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS shingle
+         |       FROM (SELECT doc_id, text,
+         |               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+         |             FROM corpus)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id, count(*) AS ni
+         |          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000
+         |                             AND b.shingle = a.shingle
+         |          WHERE a.doc_id < 100000
+         |          GROUP BY a.doc_id)
+         |SELECT i.doc_id, sa.n AS n_small, sb.n AS n_big,
+         |       CAST(i.ni AS DOUBLE) / CAST(sa.n + sb.n - i.ni AS DOUBLE) AS jaccard,
+         |       CAST(i.ni AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.doc_id
+         |JOIN sizes sb ON sb.doc_id = i.doc_id + 100000
+         |ORDER BY i.doc_id""".stripMargin
+    })
 }

@@ -133,4 +133,23 @@ object CorpusReport {
            min(col("__h")).as("min_h"),
            max(col("__h")).as("max_h"))
   }
+
+  /** Dataset VERSION diff — what changed between two corpus
+    * snapshots, by document identity and content hash: `added`
+    * (id only in `cur`), `removed` (only in `prev`), `changed` (both,
+    * hashes differ), `unchanged`. [[freezeManifest]] detects THAT a
+    * shard drifted; this names every document that did — the release
+    * audit between dataset versions. One full-outer join on the id
+    * (8-byte hashes ride beside it; text never moves); aggregate the
+    * result per status/source for the release note. */
+  def manifestDiff(prev: DataFrame, cur: DataFrame,
+                   idCol: String, hashCol: String): DataFrame =
+    prev.select(col(idCol).as("id"), col(hashCol).as("__ph"))
+      .join(cur.select(col(idCol).as("id"), col(hashCol).as("__ch")),
+            Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__ph").isNull, "added")
+          .when(col("__ch").isNull, "removed")
+          .when(col("__ph") === col("__ch"), "unchanged")
+          .otherwise("changed").as("status"))
 }

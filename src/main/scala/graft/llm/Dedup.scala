@@ -220,6 +220,19 @@ object Dedup {
     exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Hashed shingle SETS alone — for verify stages whose candidates
+    * come from elsewhere (planted pairs, an external index): the same
+    * position-explode as [[minhashSignatureAndSets]] minus the k
+    * signature aggregates. One long per distinct shingle per doc;
+    * strings never shuffle. */
+  def hashedShingleSets(df: DataFrame, idCol: Column, textCol: Column,
+                        n: Int): DataFrame =
+    df.select(idCol.as("doc_id"), textCol.as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"))
+      .select(col("doc_id"), xxhash64(col("__t").substr(col("__i"), lit(n))).as("__x"))
+      .groupBy(col("doc_id")).agg(collect_set(col("__x")).as("shh"))
+
   /** Shared signature aggregation: k universal-hash min()s over the
     * base-hash column — map-side partial agg keeps the shuffle at k
     * longs per doc. */
@@ -532,6 +545,16 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
+
+  /** ASYMMETRIC set containment |A∩B| / |A| — the metric Jaccard
+    * structurally cannot express: a short document fully embedded in
+    * a long one (quote farms, scraped aggregators, doc-in-doc
+    * boilerplate) has containment ≈ 1 while its Jaccard stays below
+    * any dedup threshold because the union is dominated by the
+    * container. Same hashed-shingle-set inputs as [[jaccard]]; use
+    * both on candidate pairs and gate on either. */
+  def containment(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(a).cast("double")
 
   /** Edit-distance verification of candidate pairs — the
     * character-level sibling of the Jaccard verify: where shingle-set

@@ -375,6 +375,30 @@ object Similarity {
     topKPerQuery(scored, qidCol, idCol, k)
   }
 
+  /** Per-DIMENSION corpus statistics of an embedding column — the
+    * preprocessing pass feature standardization, whitening, and
+    * quantizer training all start from: for each of `dims` positions,
+    * the count, quantized sum / sum-of-squares / min / max, and the
+    * mean. One position-explode over the corpus into a `dims`-row
+    * aggregate: the vectors die in the map stage, only (dim, partial
+    * aggregate) pairs shuffle — at 100 TB this moves kilobytes.
+    * Element values quantize to 1e-6 integer steps BEFORE any
+    * aggregation (exact long sums, shuffle-order independent; the
+    * repo's standard float discipline), so `sum_q6`/`sumsq_q12`
+    * are exact and the mean is one IEEE division at the end. */
+  def dimStats(emb: DataFrame, vecCol: Column): DataFrame = {
+    emb.select(posexplode(vecCol).as(Seq("__p", "__x")))
+      .select((col("__p") + 1).cast("long").as("dim"),
+        floor(col("__x").cast("double") * lit(1e6)).cast("long").as("__xq"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("__xq")).as("sum_q6"),
+           sum(col("__xq") * col("__xq")).as("sumsq_q12"),
+           min(col("__xq")).as("min_q6"),
+           max(col("__xq")).as("max_q6"))
+      .withColumn("mean", col("sum_q6").cast("double") / col("n") / lit(1e6))
+  }
+
   /** Per-query recall@k of an approximate neighbor set against the
     * exact one: |approx ∩ truth| / k. Both inputs are (qid, id) top-k
     * frames (extra columns ignored); queries whose approx set missed
