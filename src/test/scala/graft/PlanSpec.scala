@@ -529,6 +529,36 @@ class PlanSpec extends SparkSpec {
       s"expected one source-rank Window in:\n$s")
   }
 
+  test("llm75: URL canonicalization is Column algebra — no UDF, shuffles only for agg + sort") {
+    val df = Queries.byName("llm75_url_canonicalize")(spark, sfSmoke)
+    val p = planOf(df)
+    val s = p.toString
+    assert(!s.contains("BatchEvalPython") && !s.toLowerCase.contains("scalaudf"),
+      s"canonicalization must stay codegen'd Column algebra:\n$s")
+    assert(shufflePartitionings(p).size <= 2,
+      s"expected only the curl aggregate + sort exchanges in:\n$p")
+  }
+
+  test("llm80: dim stats is one explode + one two-phase aggregate") {
+    val df = Queries.byName("llm80_embedding_dim_stats")(spark, sfSmoke)
+    val p = planOf(df)
+    val s = p.toString
+    assert(s.contains("partial_sum") || "HashAggregate".r.findAllIn(s).size >= 2,
+      s"expected map-side combine in:\n$s")
+    assert(shufflePartitionings(p).size <= 2,
+      s"expected only the dim aggregate + sort exchanges in:\n$p")
+  }
+
+  test("llm77: banded ANN broadcasts the query side — no cartesian product") {
+    val df = Queries.byName("llm77_ann_recall")(spark, sfSmoke)
+    val p = planOf(df)
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"),
+      s"recall eval must never plan a cartesian product:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
+      s"the small query side must broadcast in:\n$s")
+  }
+
   test("llm59/llm60: iterative ops return driver-assembled tiny frames — no residual exchange") {
     Seq("llm59_domain_reweight", "llm60_kcenter_coreset").foreach { name =>
       val df = Queries.byName(name)(spark, sfSmoke)
