@@ -15,7 +15,7 @@ object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
                         q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-                        q25)
+                        q25, q26)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -821,4 +821,32 @@ object QueriesRelational {
         |FROM r GROUP BY node
         |ORDER BY kind, key""".stripMargin),
     cleanup = Some(_ => q25Slot.drain()))
+
+  /** Semi-structured JSON processing — the column every event stream
+    * carries: `events.props` parses through BOTH of Spark's JSON
+    * surfaces (typed `from_json` with an explicit schema and stringly
+    * `get_json_object`), aggregated per event type. `n_agree` pins
+    * the two extraction paths to each other row-by-row (and the
+    * oracle pins both to DuckDB's json_extract_string): a JSON parser
+    * discrepancy shows as a count mismatch, not a silent drift. */
+  private def q26 = Q("q26_json_extraction",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"),
+          get_json_object(col("props"), "$.k").cast("int").as("k2"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("k")).as("sum_k"),
+             countDistinct(col("k")).as("n_k"),
+             sum(when(col("k") === col("k2"), 1L).otherwise(0L)).as("n_agree"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           |       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS n_k,
+           |       count(*) AS n_agree
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 }
