@@ -15,7 +15,7 @@ object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
                         q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-                        q25, q26)
+                        q25, q26, q27)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -849,4 +849,40 @@ object QueriesRelational {
            |       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS n_k,
            |       count(*) AS n_agree
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Time-series gap fill + forward fill (operators.TimeSeries):
+    * daily per-user value sums resampled onto the dense day grid,
+    * holes carried forward from the last observation (0 before a
+    * user's first day). The fill copies values — no arithmetic — so
+    * cross-engine equality is exact once the daily sums are
+    * decimal-accumulated; both engines run the same
+    * IGNORE-NULLS-last-value window. */
+  private def q27 = Q("q27_gap_fill_forward",
+    (s, dir) => {
+      val daily = Tables.events(s, dir).filter(col("user_id") < 50)
+        .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"),
+                col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      graft.operators.TimeSeries.gapFillForward(daily,
+          col("user_id"), col("day"), col("v"), fillDefault = lit(0.0))
+        .select(col("key").as("user_id"), col("tick").as("day"),
+                col("has_obs"), col("filled_value"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day, value
+           |            FROM events WHERE user_id < 50),
+           |daily AS (SELECT user_id, day,
+           |            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+           |          FROM ev GROUP BY 1, 2),
+           |rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+           |days AS (SELECT unnest(generate_series(d0, d1)) AS day FROM rng),
+           |grid AS (SELECT u.user_id, days.day
+           |         FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN days),
+           |j AS (SELECT g.user_id, g.day, daily.v
+           |      FROM grid g LEFT JOIN daily ON daily.user_id = g.user_id AND daily.day = g.day)
+           |SELECT user_id, day, v IS NOT NULL AS has_obs,
+           |       coalesce(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled_value
+           |FROM j ORDER BY user_id, day""".stripMargin))
 }
