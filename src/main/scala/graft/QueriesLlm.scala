@@ -18,7 +18,7 @@ object QueriesLlm {
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
-                        llm82)
+                        llm82, llm83)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -3428,4 +3428,34 @@ object QueriesLlm {
          |JOIN sizes sb ON sb.doc_id = i.doc_id + 100000
          |ORDER BY i.doc_id""".stripMargin
     })
+
+  /** Zipf rank-frequency slope per source (CorpusStats.zipfSlope):
+    * the power-law diagnostic fit over INTEGER log2 of rank and
+    * frequency — `length(bin(x))−1` is exact in both engines where
+    * libm `ln` can differ in the last ulp. Tie order among equal
+    * frequencies never matters (a tie group's rank multiset is
+    * fixed), so the regression sums are reproducible without any
+    * portable tiebreak. */
+  private def llm83 = Q("llm83_zipf_slope",
+    (s, dir) => {
+      import graft.llm.CorpusStats
+      CorpusStats.zipfSlope(Tables.documents(s, dir), col("source"), col("text"))
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (SELECT source AS grp,
+           |             unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS term
+           |           FROM documents),
+           |c AS (SELECT grp, term, count(*) AS c FROM t GROUP BY 1, 2),
+           |r AS (SELECT grp, c, row_number() OVER (PARTITION BY grp ORDER BY c DESC) AS rk FROM c),
+           |l AS (SELECT grp, CAST(len(bin(rk)) - 1 AS BIGINT) AS x,
+           |             CAST(len(bin(c)) - 1 AS BIGINT) AS y FROM r),
+           |a AS (SELECT grp, count(*) AS n_terms,
+           |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+           |      FROM l GROUP BY 1)
+           |SELECT grp AS source, CAST(n_terms AS BIGINT) AS n_terms,
+           |       CASE WHEN n_terms * sxx - sx * sx = 0 THEN 0.0
+           |            ELSE CAST(n_terms * sxy - sx * sy AS DOUBLE) /
+           |                 CAST(n_terms * sxx - sx * sx AS DOUBLE) END AS slope
+           |FROM a ORDER BY source""".stripMargin))
 }

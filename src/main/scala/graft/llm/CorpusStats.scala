@@ -79,4 +79,43 @@ object CorpusStats {
       .withColumn("vocab_size", sum(col("n_new_terms")).over(w))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
   }
+
+  /** Zipf rank-frequency slope per group — the power-law-exponent
+    * diagnostic that separates natural language (slope ≈ −1 on
+    * log-log) from boilerplate floods (flat head) and token soup
+    * (steep tail). The least-squares slope is fit over INTEGER log2
+    * of rank and frequency (`length(bin(x)) − 1` — exact in any
+    * engine, where libm `ln` can differ in the last ulp and poison a
+    * quantized compare); all regression sums are exact integer sums
+    * and the slope is one double division at the end.
+    *
+    * Tie order among equal frequencies doesn't matter: the multiset
+    * of ranks a tie group receives is fixed, so every aggregate is
+    * tie-order invariant — rank needs no portable tiebreak. Shape:
+    * one token explode → (group, term-hash) count shuffle, one
+    * per-group rank window over the VOCABULARY (not the corpus),
+    * one group-row aggregate. */
+  def zipfSlope(df: DataFrame, groupCol: Column, textCol: Column): DataFrame = {
+    val counts = df.select(groupCol.as("grp"),
+        explode(TextAnalysis.tokens(textCol)).as("__t"))
+      .select(col("grp"), Portable.hash64(col("__t")).as("__h"))
+      .groupBy(col("grp"), col("__h")).agg(count(lit(1)).as("__c"))
+    val ranked = counts.withColumn("__rk",
+      row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col("__c").desc, col("__h"))))
+    val logs = ranked.select(col("grp"),
+      (length(bin(col("__rk"))) - 1).cast("long").as("__x"),
+      (length(bin(col("__c"))) - 1).cast("long").as("__y"))
+    logs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_terms"),
+           sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+           sum(col("__x") * col("__y")).as("__sxy"),
+           sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("grp"), col("n_terms"),
+        when(col("n_terms") * col("__sxx") - col("__sx") * col("__sx") === 0, lit(0.0))
+          .otherwise(
+            (col("n_terms") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            (col("n_terms") * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+          .as("slope"))
+  }
 }
