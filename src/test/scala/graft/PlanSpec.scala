@@ -559,6 +559,41 @@ class PlanSpec extends SparkSpec {
       s"the small query side must broadcast in:\n$s")
   }
 
+  test("partitioned layout: a partition-key filter prunes at planning time, not scan time") {
+    // the 100 TB layout contract: date/day-partitioned parquet +
+    // a partition-key predicate must show as PartitionFilters (pruned
+    // before any file opens), never as a post-scan Filter over data
+    val dir = java.nio.file.Files.createTempDirectory("graft-partprune").toString
+    try {
+      val ev = Tables.events(spark, sfSmoke)
+        .withColumn("day", org.apache.spark.sql.functions.expr(
+          "unix_micros(ts) DIV 86400000000"))
+      ev.write.partitionBy("day").mode("overwrite").parquet(dir)
+      // partition values read back type-inferred from directory names
+      // (int here) — normalize via Number
+      val days = spark.read.parquet(dir).select("day").distinct()
+        .collect().map(_.getAs[Number](0).longValue).sorted
+      assert(days.length > 1, "fixture must span multiple day partitions")
+      val one = spark.read.parquet(dir)
+        .filter(org.apache.spark.sql.functions.col("day") === days.head)
+      val s = planOf(one).toString
+      assert(s.contains("PartitionFilters") && s.contains("day#"),
+        s"expected the day predicate in PartitionFilters:\n$s")
+      // the data filter lists must NOT carry the partition predicate
+      val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      val dataFilters = "DataFilters: \\[([^\\]]*)\\]".r
+        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      assert(!pushed.contains("day") && !dataFilters.contains("day"),
+        s"partition key leaked into data filters: [$pushed] [$dataFilters]")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("llm59/llm60: iterative ops return driver-assembled tiny frames — no residual exchange") {
     Seq("llm59_domain_reweight", "llm60_kcenter_coreset").foreach { name =>
       val df = Queries.byName(name)(spark, sfSmoke)
