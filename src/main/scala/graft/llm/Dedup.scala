@@ -179,6 +179,35 @@ object Dedup {
     * to `minhashSignature(df.withColumn("sh", shingles(t, n)), …)`. */
   def minhashSignatureText(df: DataFrame, idCol: Column, textCol: Column,
                            n: Int, k: Int): DataFrame = {
+    // one native pass per document (graft.functions.MinhashSigs): no
+    // rows materialize, no aggregate hash map — the MD5 per shingle
+    // is all that remains. Values are pinned bit-identical to the
+    // explode path below (MinhashSigsSpec), so oracles are unchanged.
+    // Null text mirrors the explode path's drop (explode of a null
+    // sequence emitted no rows).
+    val sigs = df.select(idCol.as("doc_id"), textCol.as("__t"))
+      .where(col("__t").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.MinhashSigs(col("__t"), n, k, withSet = false).as("__mh"))
+    // ONE hash exchange of fixed-width rows (the same shape the old
+    // groupBy shuffled): without it the map-only frame has no exchange
+    // for ReuseExchange to share, so every self-join side RECOMPUTES
+    // the full MD5 pass (measured 4 copies in llm05's plan), and the
+    // whole chain inherits the scan's file parallelism (one row group
+    // at small SF = one task). Post-exchange the signatures compute
+    // once and fan out at spark.sql.shuffle.partitions width.
+    sigs.repartition(col("doc_id"))
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("__mh"), i + 1).as(s"mh$i")): _*)
+  }
+
+  /** The pre-native explode formulation — kept as the REFERENCE
+    * implementation the property suite pins [[minhashSignatureText]]
+    * against (bit-identical signatures), and as documentation of the
+    * value contract. Not on any hot path. */
+  private[graft] def minhashSignatureTextExploded(df: DataFrame, idCol: Column,
+                                                textCol: Column,
+                                                n: Int, k: Int): DataFrame = {
     val exploded = df.select(idCol.as("doc_id"), textCol.as("__t"))
       .select(col("doc_id"), col("__t"),
         explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"))
@@ -207,6 +236,30 @@ object Dedup {
     * stage in the pipeline makes). */
   def minhashSignatureAndSets(df: DataFrame, idCol: Column, textCol: Column,
                               n: Int, k: Int): DataFrame = {
+    // same native one-pass expression as [[minhashSignatureText]],
+    // with the distinct xxhash64 shingle set collected in the same
+    // loop — the whole (signatures + verify set) frame is now a
+    // MAP-ONLY projection: the old form shuffled k mins + a
+    // collect_set buffer per doc through a hash aggregate
+    val both = df.select(idCol.as("doc_id"), textCol.as("__t"))
+      .where(col("__t").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.MinhashSigs(col("__t"), n, k, withSet = true).as("__b"))
+    // same reuse-exchange barrier as minhashSignatureText (see there)
+    both.repartition(col("doc_id"))
+      .select(col("doc_id") +:
+        ((0 until k).map(i =>
+          element_at(col("__b").getField("mh"), i + 1).as(s"mh$i")) :+
+          col("__b").getField("shh").as("shh")): _*)
+  }
+
+  /** Pre-native explode formulation of [[minhashSignatureAndSets]] —
+    * the reference implementation for the parity property test; the
+    * hashed sets compare as SETS (collect_set order was never
+    * meaningful; the native form sorts). */
+  private[graft] def minhashSignatureAndSetsExploded(df: DataFrame, idCol: Column,
+                                                   textCol: Column,
+                                                   n: Int, k: Int): DataFrame = {
     val exploded = df.select(idCol.as("doc_id"), textCol.as("__t"))
       .select(col("doc_id"), col("__t"),
         explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"))
@@ -227,11 +280,14 @@ object Dedup {
     * strings never shuffle. */
   def hashedShingleSets(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int): DataFrame =
+    // native one-pass set collection (k=1 signature rides along for
+    // free) — map-only, no explode, no aggregate
     df.select(idCol.as("doc_id"), textCol.as("__t"))
-      .select(col("doc_id"), col("__t"),
-        explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"))
-      .select(col("doc_id"), xxhash64(col("__t").substr(col("__i"), lit(n))).as("__x"))
-      .groupBy(col("doc_id")).agg(collect_set(col("__x")).as("shh"))
+      .where(col("__t").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.MinhashSigs(col("__t"), n, 1, withSet = true)
+          .getField("shh").as("shh"))
+      .repartition(col("doc_id"))
 
   /** Shared signature aggregation: k universal-hash min()s over the
     * base-hash column — map-side partial agg keeps the shuffle at k

@@ -98,8 +98,13 @@ class PlanSpec extends SparkSpec {
       .queryExecution.analyzed.toString
     assert(!analyzed.contains("array_distinct") && !analyzed.contains("transform("),
       "llm09 builds shingle-string arrays — use minhashSignatureAndSets")
-    assert(analyzed.contains("xxhash64") && analyzed.contains("collect_set"),
-      "llm09's verify set must be collect_set over 8-byte hashes")
+    // signatures + verify set now come from the NATIVE one-pass
+    // expression (no explode, no collect_set aggregate): the whole
+    // frame is a map-only projection
+    assert(analyzed.contains("minhash_sigs"),
+      "llm09's signatures+set must come from the native minhash_sigs pass")
+    assert(!analyzed.contains("collect_set"),
+      "llm09 must not shuffle a collect_set buffer — the native pass builds the set in-row")
   }
 
   test("llm29: semantic dedup broadcasts the centroids — no cartesian, no centroid shuffle") {
