@@ -18,7 +18,7 @@ object QueriesLlm {
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
-                        llm82, llm83)
+                        llm82, llm83, llm84)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -3458,4 +3458,32 @@ object QueriesLlm {
            |            ELSE CAST(n_terms * sxy - sx * sy AS DOUBLE) /
            |                 CAST(n_terms * sxx - sx * sx AS DOUBLE) END AS slope
            |FROM a ORDER BY source""".stripMargin))
+
+  /** Per-source marginal novelty (CorpusStats.sourceNovelty): each
+    * distinct 9-gram shingle charges to the lexicographically FIRST
+    * source containing it — the acquisition-priority signal pairwise
+    * overlap (llm39) can't see: a source fully covered by the UNION
+    * of earlier sources shows novelty ≈ 0 here while pairwise
+    * overlapping each of them only slightly. Spark attributes hashed
+    * shingles, the oracle distinct shingle strings — the llm09
+    * collision trade. */
+  private def llm84 = Q("llm84_source_novelty",
+    (s, dir) => {
+      import graft.llm.CorpusStats
+      CorpusStats.sourceNovelty(Tables.documents(s, dir),
+          col("source"), col("text"), n = 9)
+        .orderBy(col("source"))
+    },
+    Some("""WITH sh AS (SELECT DISTINCT source, substr(text, i, 9) AS shingle
+           |       FROM (SELECT source, text,
+           |               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+           |             FROM documents)),
+           |per AS (SELECT source, count(*) AS n_shingles FROM sh GROUP BY 1),
+           |first AS (SELECT min(source) AS source, shingle FROM sh GROUP BY shingle),
+           |nn AS (SELECT source, count(*) AS n_new FROM first GROUP BY 1)
+           |SELECT per.source, per.n_shingles,
+           |       CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new,
+           |       CAST(coalesce(nn.n_new, 0) AS DOUBLE) / CAST(per.n_shingles AS DOUBLE) AS novelty
+           |FROM per LEFT JOIN nn ON nn.source = per.source
+           |ORDER BY per.source""".stripMargin))
 }

@@ -80,6 +80,36 @@ object CorpusStats {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
   }
 
+  /** Per-source MARGINAL novelty under a greedy source chain: order
+    * sources lexicographically and charge each distinct shingle to
+    * the FIRST source containing it — `n_new / n_shingles` is how
+    * much genuinely new content each additional source contributes
+    * beyond everything before it, the acquisition-priority signal
+    * corpus assembly ranks sources by (pairwise overlap — llm39 —
+    * can't see it: a source 90% covered by the UNION of three others
+    * pairwise-overlaps each only a little).
+    *
+    * Shape: one position-explode to (source, shingle-hash), one
+    * distinct, one min-aggregate keyed on the 8-byte hash, one
+    * source-grain rollup — strings never shuffle. */
+  def sourceNovelty(df: DataFrame, sourceCol: Column, textCol: Column,
+                    n: Int): DataFrame = {
+    val sh = df.select(sourceCol.as("source"), textCol.as("__t"))
+      .where(col("__t").isNotNull)
+      .select(col("source"),
+        explode(graft.functions.MinhashSigs(col("__t"), n, 1, withSet = true)
+          .getField("shh")).as("__h"))
+      .distinct()
+    val perSource = sh.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
+    val firstOf = sh.groupBy(col("__h")).agg(min(col("source")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_new"))
+    perSource.join(firstOf, Seq("source"), "left")
+      .select(col("source"), col("n_shingles"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("novelty",
+        col("n_new").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Zipf rank-frequency slope per group — the power-law-exponent
     * diagnostic that separates natural language (slope ≈ −1 on
     * log-log) from boilerplate floods (flat head) and token soup
