@@ -15,7 +15,7 @@ object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
                         q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-                        q25, q26, q27)
+                        q25, q26, q27, q28)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -885,4 +885,48 @@ object QueriesRelational {
            |       coalesce(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
            |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled_value
            |FROM j ORDER BY user_id, day""".stripMargin))
+
+  /** Last-touch conversion attribution: each purchase attributes to
+    * the user's LATEST preceding non-purchase event (as-of ≤
+    * semantics, max-event-id tiebreak at equal timestamps — the
+    * operators.TemporalJoin union+window form, no join node), then
+    * falls to 'none' when the touch is older than the 2-hour window
+    * or absent. The oracle restates it as a per-purchase row_number
+    * pick — the formulation that cannot scale (per-conversion
+    * ordered scan of the full touch history) but pins the exact
+    * match-and-window semantics. */
+  private def q28 = Q("q28_last_touch_attribution",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val t = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_type").as("t_type"), col("event_id").as("t_event"))
+      graft.operators.TemporalJoin.asOf(p, t,
+          keyCols = Seq("user_id"), leftTime = "ts_us", rightTime = "ts_us",
+          payloadCols = Seq("t_type"), tiebreakCols = Seq("t_event"),
+          matchedTimeAs = Some("touch_ts"))
+        .select(
+          when(col("t_type").isNull ||
+               col("ts_us") - col("touch_ts") > 7200000000L, "none")
+            .otherwise(col("t_type")).as("touch"))
+        .groupBy(col("touch")).agg(count(lit(1)).as("n_conversions"))
+        .orderBy(col("touch"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+           |              epoch_ns(ts) // 1000 AS ts_us FROM events),
+           |p AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'purchase'),
+           |t AS (SELECT user_id, event_id, event_type, ts_us FROM ev WHERE event_type <> 'purchase'),
+           |lastt AS (SELECT p.event_id AS pid, p.ts_us AS pts, t.ts_us AS tts,
+           |            t.event_type AS ttype,
+           |            row_number() OVER (PARTITION BY p.event_id
+           |              ORDER BY t.ts_us DESC, t.event_id DESC) AS rn
+           |          FROM p JOIN t ON t.user_id = p.user_id AND t.ts_us <= p.ts_us),
+           |att AS (SELECT pid, CASE WHEN pts - tts > 7200000000 THEN 'none' ELSE ttype END AS touch
+           |        FROM lastt WHERE rn = 1)
+           |SELECT touch, count(*) AS n_conversions FROM (
+           |  SELECT p.event_id, coalesce(att.touch, 'none') AS touch
+           |  FROM p LEFT JOIN att ON att.pid = p.event_id)
+           |GROUP BY touch ORDER BY touch""".stripMargin))
 }
