@@ -18,7 +18,7 @@ object QueriesLlm {
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
-                        llm82, llm83, llm84)
+                        llm82, llm83, llm84, llm85, llm86)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -3486,4 +3486,89 @@ object QueriesLlm {
            |       CAST(coalesce(nn.n_new, 0) AS DOUBLE) / CAST(per.n_shingles AS DOUBLE) AS novelty
            |FROM per LEFT JOIN nn ON nn.source = per.source
            |ORDER BY per.source""".stripMargin))
+
+  private val llm85Slot = new TrackerSlot
+  /** SOFT dedup: instead of dropping near-duplicates, weight every
+    * document by 1/|its duplicate cluster| — total loss contribution
+    * per logical content stays constant whether it was crawled once
+    * or fifty times, without discarding any variant (the
+    * dedup-aware loss-weighting alternative to hard removal).
+    * Clusters come from the same llm17 machinery; docs outside any
+    * candidate pair are singletons at weight 1.0, so the output is a
+    * corpus-complete weight table — the artifact a training run
+    * joins on doc_id. */
+  private def llm85 = Q("llm85_soft_dedup_weights",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 100000L).as("doc_id"),
+                 concat(col("text"), lit(" qx")).as("text")))
+      val sigs = Dedup.minhashSignatureText(corpus, col("doc_id"), col("text"), n = 9, k = 12)
+      val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
+      val clusters = Dedup.connectedComponents(pairs, tracker = Some(llm85Slot.fresh()))
+      val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+      corpus.select(col("doc_id"))
+        .join(clusters.join(sizes, "cluster_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("csize"), lit(1L)).as("csize"),
+          (lit(1.0) / coalesce(col("csize"), lit(1L)).cast("double")).as("weight"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $duckMinhashPairCtes,
+            |verts AS (SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs),
+            |edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs
+            |          UNION SELECT id_b, id_a FROM pairs),
+            |reach(v, r) AS (
+            |  SELECT v, v FROM verts
+            |  UNION
+            |  SELECT e.eb, reach.r FROM edges e JOIN reach ON reach.v = e.ea),
+            |comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+            |sz AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY 1)
+            |SELECT c.doc_id,
+            |       CAST(coalesce(sz.csize, 1) AS BIGINT) AS csize,
+            |       CAST(1 AS DOUBLE) / CAST(coalesce(sz.csize, 1) AS DOUBLE) AS weight
+            |FROM corpus c
+            |LEFT JOIN comp ON comp.doc_id = c.doc_id
+            |LEFT JOIN sz ON sz.cluster_id = comp.cluster_id
+            |ORDER BY c.doc_id""".stripMargin),
+    cleanup = Some(_ => llm85Slot.drain()))
+
+  /** Term-distribution drift between snapshots
+    * (CorpusStats.termDrift): llm81's identity diff says WHICH docs
+    * changed between versions; this says whether the LANGUAGE moved —
+    * the symmetrized chi-square contribution (o−e)²/(o+e) per
+    * union-vocabulary term over exact counts, quantized before the
+    * sum, plus appeared/vanished term counts. The prev snapshot is
+    * llm81's construction (dropped %17==3 docs, ' v2'-rewritten
+    * %13==5 texts, extra %19==2 copies). */
+  private def llm86 = Q("llm86_term_drift",
+    (s, dir) => {
+      import graft.llm.CorpusStats
+      val d = Tables.documents(s, dir)
+      val cur = d.select(col("text"))
+      val prev = d.filter(col("doc_id") % 17 =!= 3)
+        .select(when(col("doc_id") % 13 === 5,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 19 === 2).select(col("text")))
+      CorpusStats.termDrift(prev, col("text"), cur, col("text"))
+    },
+    Some("""WITH cur AS (SELECT text FROM documents),
+           |prev AS (
+           |  SELECT CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 17 <> 3
+           |  UNION ALL SELECT text FROM documents WHERE doc_id % 19 = 2),
+           |ct AS (SELECT w, count(*) AS o FROM (
+           |         SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS w
+           |         FROM cur) GROUP BY 1),
+           |pt AS (SELECT w, count(*) AS e FROM (
+           |         SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS w
+           |         FROM prev) GROUP BY 1),
+           |j AS (SELECT coalesce(ct.o, 0) AS o, coalesce(pt.e, 0) AS e
+           |      FROM pt FULL OUTER JOIN ct ON ct.w = pt.w)
+           |SELECT count(*) AS n_terms,
+           |       CAST(sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           |       CAST(sum(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gone,
+           |       CAST(sum(CAST(floor(CAST((o - e) * (o - e) AS DOUBLE) /
+           |                           CAST(o + e AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS drift_q
+           |FROM j""".stripMargin))
 }

@@ -80,6 +80,33 @@ object CorpusStats {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
   }
 
+  /** Term-distribution DRIFT between two corpus snapshots — the
+    * refresh-gate check dataset versioning runs beside the identity
+    * diff ([[CorpusReport.manifestDiff]] says WHICH docs changed;
+    * this says whether the LANGUAGE changed): per term in the union
+    * vocabulary, the symmetrized chi-square contribution
+    * (o−e)²/(o+e) over exact counts, quantized to 1e-6 integers
+    * before the sum so the total is engine-exact, plus appeared /
+    * vanished term counts. One hash-keyed count aggregate per
+    * snapshot + one full-outer join on the 8-byte term hash —
+    * strings never shuffle; output is a single summary row. */
+  def termDrift(prev: DataFrame, prevText: Column,
+                cur: DataFrame, curText: Column): DataFrame = {
+    def counts(df: DataFrame, t: Column, as: String) =
+      df.select(explode(TextAnalysis.tokens(t)).as("__w"))
+        .select(Portable.hash64(col("__w")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as(as))
+    counts(prev, prevText, "e").join(counts(cur, curText, "o"), Seq("h"), "full_outer")
+      .select(coalesce(col("o"), lit(0L)).as("o"),
+              coalesce(col("e"), lit(0L)).as("e"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("e") === 0, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("o") === 0, 1L).otherwise(0L)).as("n_gone"),
+        sum(floor(((col("o") - col("e")) * (col("o") - col("e"))).cast("double") /
+                  (col("o") + col("e")).cast("double") * lit(1e6)).cast("long"))
+          .as("drift_q"))
+  }
+
   /** Per-source MARGINAL novelty under a greedy source chain: order
     * sources lexicographically and charge each distinct shingle to
     * the FIRST source containing it — `n_new / n_shingles` is how
