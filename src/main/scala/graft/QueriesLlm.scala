@@ -18,7 +18,7 @@ object QueriesLlm {
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
-                        llm82, llm83, llm84, llm85, llm86)
+                        llm82, llm83, llm84, llm85, llm86, llm87)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -3571,4 +3571,84 @@ object QueriesLlm {
            |       CAST(sum(CAST(floor(CAST((o - e) * (o - e) AS DOUBLE) /
            |                           CAST(o + e AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS drift_q
            |FROM j""".stripMargin))
+
+  /** Measured LSH S-curve (the llm77 theme at the MinHash tier): on a
+    * BOUNDED doc slice (doc_id < 200 at any SF — the calibration
+    * sample, all-pairs is affordable by construction) plus perturbed
+    * twins, compute exact Jaccard for every pair ≥ 0.1, bucket by
+    * floor(10·j), and measure what fraction of each bucket the banded
+    * LSH candidate pass recovers — the empirical catch-rate curve
+    * that validates a (k, rowsPerBand) choice against the theoretical
+    * 1−(1−j^r)^b before it runs over the full corpus. */
+  private def llm87 = Q("llm87_lsh_calibration",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 100000L).as("doc_id"),
+                 concat(col("text"), lit(" qx")).as("text")))
+      val sets = Dedup.hashedShingleSets(corpus, col("doc_id"), col("text"), n = 9)
+      val a = sets.select(col("doc_id").as("id_a"), col("shh").as("sh_a"))
+      val b = sets.select(col("doc_id").as("id_b"), col("shh").as("sh_b"))
+      val allPairs = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccard(col("sh_a"), col("sh_b")).as("j"))
+        .filter(col("j") >= 0.1)
+        .withColumn("bucket", floor(col("j") * 10).cast("int"))
+      val sigs = Dedup.minhashSignatureText(corpus, col("doc_id"), col("text"), n = 9, k = 12)
+      val cand = Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
+      val caught = allPairs.join(cand, Seq("id_a", "id_b"), "left_semi")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_caught"))
+      allPairs.groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+        .join(caught, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_pairs"),
+          coalesce(col("n_caught"), lit(0L)).as("n_caught"))
+        .withColumn("catch_rate",
+          col("n_caught").cast("double") / col("n_pairs").cast("double"))
+        .orderBy(col("bucket"))
+    },
+    Some {
+      val hashes = (0 until 12).map(i =>
+        s"${Portable.duckSeededHash("shingle", i)} AS h$i").mkString(",\n            ")
+      val mins = (0 until 12).map(i => s"min(h$i) AS mh$i").mkString(", ")
+      val bandRows = (0 until 3).map { b =>
+        val cols = (4 * b until 4 * (b + 1)).map(i => s"mh$i").mkString(", ")
+        s"SELECT doc_id, $b AS band, ${Portable.duckHash64(s"concat_ws('_', $cols)")} AS bucket FROM mh"
+      }.mkString("\n            UNION ALL ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+         |  UNION ALL SELECT doc_id + 100000, text || ' qx' FROM documents WHERE doc_id < 200),
+         |sh AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS shingle
+         |       FROM (SELECT doc_id, text,
+         |               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+         |             FROM corpus)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+         |          FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |ap AS (SELECT id_a, id_b,
+         |         CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS j
+         |       FROM inter JOIN sizes sa ON sa.doc_id = id_a
+         |                  JOIN sizes sb ON sb.doc_id = id_b),
+         |bp AS (SELECT id_a, id_b, CAST(floor(j * 10) AS INT) AS bucket
+         |       FROM ap WHERE j >= 0.1),
+         |h AS (SELECT doc_id,
+         |            $hashes
+         |      FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+         |bk AS (
+         |            $bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |         WHERE a.doc_id < b.doc_id),
+         |caught AS (SELECT bucket, count(*) AS n_caught
+         |           FROM bp JOIN cand ON cand.id_a = bp.id_a AND cand.id_b = bp.id_b
+         |           GROUP BY 1),
+         |np AS (SELECT bucket, count(*) AS n_pairs FROM bp GROUP BY 1)
+         |SELECT np.bucket, np.n_pairs,
+         |       CAST(coalesce(caught.n_caught, 0) AS BIGINT) AS n_caught,
+         |       CAST(coalesce(caught.n_caught, 0) AS DOUBLE) / CAST(np.n_pairs AS DOUBLE) AS catch_rate
+         |FROM np LEFT JOIN caught ON caught.bucket = np.bucket
+         |ORDER BY np.bucket""".stripMargin
+    })
 }

@@ -15,7 +15,7 @@ object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
                         q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-                        q25, q26, q27, q28)
+                        q25, q26, q27, q28, q29)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -929,4 +929,49 @@ object QueriesRelational {
            |  SELECT p.event_id, coalesce(att.touch, 'none') AS touch
            |  FROM p LEFT JOIN att ON att.pid = p.event_id)
            |GROUP BY touch ORDER BY touch""".stripMargin))
+
+  /** Referential-integrity audit — the data-quality sweep every
+    * warehouse load gates on: orphan counts for each foreign-key
+    * relation of the star schema, as anti joins (child keys with no
+    * parent), one row per relation with child volume and orphan
+    * count. Each anti join is a plain hash/broadcast join on the key;
+    * relations are independent so the four audits parallelize as
+    * separate stages of one job. Clean fixtures audit to zero —
+    * which is itself the assertion. */
+  private def q29 = Q("q29_referential_audit",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n  = Tables.nation(s, dir)
+      def audit(rel: String, child: org.apache.spark.sql.DataFrame,
+                childKey: String, parent: org.apache.spark.sql.DataFrame,
+                parentKey: String) = {
+        val orphans = child.join(parent,
+          col(childKey) === col(parentKey), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(rel).as("relation"), col("n_child"), col("n_orphans"))
+      }
+      audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(audit("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"))
+        .unionByName(audit("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+        .orderBy(col("relation"))
+    },
+    Some("""SELECT relation, n_child, n_orphans FROM (
+           |  SELECT 'lineitem->orders' AS relation,
+           |    (SELECT count(*) FROM lineitem) AS n_child,
+           |    (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+           |  UNION ALL SELECT 'orders->customer',
+           |    (SELECT count(*) FROM orders),
+           |    (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+           |  UNION ALL SELECT 'lineitem->supplier',
+           |    (SELECT count(*) FROM lineitem),
+           |    (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+           |  UNION ALL SELECT 'customer->nation',
+           |    (SELECT count(*) FROM customer),
+           |    (SELECT count(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)))
+           |ORDER BY relation""".stripMargin))
 }
