@@ -3573,7 +3573,7 @@ object QueriesLlm {
            |FROM j""".stripMargin))
 
   /** Measured LSH S-curve (the llm77 theme at the MinHash tier): on a
-    * BOUNDED doc slice (doc_id < 200 at any SF — the calibration
+    * BOUNDED doc slice (doc_id < 100 at any SF — the calibration
     * sample, all-pairs is affordable by construction) plus perturbed
     * twins, compute exact Jaccard for every pair ≥ 0.1, bucket by
     * floor(10·j), and measure what fraction of each bucket the banded
@@ -3582,7 +3582,7 @@ object QueriesLlm {
     * 1−(1−j^r)^b before it runs over the full corpus. */
   private def llm87 = Q("llm87_lsh_calibration",
     (s, dir) => {
-      val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 100)
         .select(col("doc_id"), col("text"))
       val corpus = d.unionByName(
         d.select((col("doc_id") + 100000L).as("doc_id"),
@@ -3590,11 +3590,15 @@ object QueriesLlm {
       val sets = Dedup.hashedShingleSets(corpus, col("doc_id"), col("text"), n = 9)
       val a = sets.select(col("doc_id").as("id_a"), col("shh").as("sh_a"))
       val b = sets.select(col("doc_id").as("id_b"), col("shh").as("sh_b"))
+      // the exchange is a reuse barrier: BOTH consumers (the bucket
+      // histogram and the caught semi join) read it, so the all-pairs
+      // nested-loop Jaccard pass runs ONCE, not per consumer
       val allPairs = a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           Dedup.jaccard(col("sh_a"), col("sh_b")).as("j"))
         .filter(col("j") >= 0.1)
         .withColumn("bucket", floor(col("j") * 10).cast("int"))
+        .repartition(col("id_a"), col("id_b"))
       val sigs = Dedup.minhashSignatureText(corpus, col("doc_id"), col("text"), n = 9, k = 12)
       val cand = Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
       val caught = allPairs.join(cand, Seq("id_a", "id_b"), "left_semi")
@@ -3616,8 +3620,8 @@ object QueriesLlm {
         s"SELECT doc_id, $b AS band, ${Portable.duckHash64(s"concat_ws('_', $cols)")} AS bucket FROM mh"
       }.mkString("\n            UNION ALL ")
       s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id < 200
-         |  UNION ALL SELECT doc_id + 100000, text || ' qx' FROM documents WHERE doc_id < 200),
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+         |  UNION ALL SELECT doc_id + 100000, text || ' qx' FROM documents WHERE doc_id < 100),
          |sh AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS shingle
          |       FROM (SELECT doc_id, text,
          |               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
