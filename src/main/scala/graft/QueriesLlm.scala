@@ -18,7 +18,7 @@ object QueriesLlm {
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
-                        llm82, llm83, llm84, llm85, llm86, llm87)
+                        llm82, llm83, llm84, llm85, llm86, llm87, llm88)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -3654,5 +3654,67 @@ object QueriesLlm {
          |       CAST(coalesce(caught.n_caught, 0) AS DOUBLE) / CAST(np.n_pairs AS DOUBLE) AS catch_rate
          |FROM np LEFT JOIN caught ON caught.bucket = np.bucket
          |ORDER BY np.bucket""".stripMargin
+    })
+
+  /** Portable HyperLogLog (functions.HllSketch + Sketches.hllSketch):
+    * per-source distinct-term cardinality from a FIXED 64-register
+    * array per source — where the exact count shuffles the
+    * vocabulary, the sketch moves 512 bytes per partition. The oracle
+    * replays the REGISTERS exactly (`max(55 − len(bin(h // 64)))` per
+    * hash bucket) and the raw estimate as the same explicit 64-term
+    * chain of exact powers of two, so estimates — not just shapes —
+    * hash-match. The zero-register count rides along as the
+    * linear-counting correction's input (the correction itself needs
+    * libm `ln` and stays JVM-side). */
+  private def llm88 = Q("llm88_hll_distinct",
+    (s, dir) => {
+      import graft.llm.Sketches
+      // 9-gram shingles, not word tokens: the synthetic vocabulary has
+      // ~30 distinct words per source — linear-counting territory where
+      // the raw estimate is biased by design; shingles give thousands
+      // of distinct values per source, the regime the raw formula owns
+      val terms = Tables.documents(s, dir)
+        .select(col("source"), col("text"))
+        .where(col("text").isNotNull)
+        .select(col("source"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 8, lit(1)))).as("__i"))
+        .select(col("source"), col("text").substr(col("__i"), lit(9)).as("term"))
+      val hll = Sketches.hllSketch(terms, Seq(col("source")), col("term"), m = 64)
+      val exact = terms.groupBy(col("source"))
+        .agg(count_distinct(Portable.hash64(col("term"))).as("n_exact"))
+      exact.join(hll, "source")
+        .select(col("source"), col("n_exact"),
+          Sketches.hllZeroRegisters(col("hll")).as("n_zero"),
+          Sketches.hllRawEstimate(col("hll"), m = 64).as("raw_est"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val h = Portable.duckHash64("term")
+      val chain = (1 to 64).map(i =>
+        s"(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << regs[$i]) AS DOUBLE))")
+        .mkString("\n            + ")
+      s"""WITH t AS (SELECT source, substr(text, i, 9) AS term
+         |      FROM (SELECT source, text,
+         |              unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+         |            FROM documents)),
+         |hh AS (SELECT source, $h AS h FROM t),
+         |b AS (SELECT source, h % 64 AS bucket,
+         |        CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - len(bin(h // 64)) END AS rho
+         |      FROM hh),
+         |regs0 AS (SELECT source, bucket, max(rho) AS reg FROM b GROUP BY 1, 2),
+         |grid AS (SELECT s.source, g.i AS bucket
+         |         FROM (SELECT DISTINCT source FROM t) s
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g),
+         |regs AS (SELECT grid.source, grid.bucket, coalesce(regs0.reg, 0) AS reg
+         |         FROM grid LEFT JOIN regs0
+         |           ON regs0.source = grid.source AND regs0.bucket = grid.bucket),
+         |rl AS (SELECT source, list(reg ORDER BY bucket) AS regs FROM regs GROUP BY source),
+         |ex AS (SELECT source, count(DISTINCT $h) AS n_exact FROM t GROUP BY 1)
+         |SELECT rl.source, CAST(ex.n_exact AS BIGINT) AS n_exact,
+         |       CAST(len(list_filter(regs, r -> r = 0)) AS BIGINT) AS n_zero,
+         |       CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE) * CAST(64 AS DOUBLE) /
+         |         ($chain) AS raw_est
+         |FROM rl JOIN ex ON ex.source = rl.source
+         |ORDER BY rl.source""".stripMargin
     })
 }

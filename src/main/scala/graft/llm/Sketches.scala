@@ -291,6 +291,47 @@ object Sketches {
         .toAggregateExpression()).as("cms"))
   }
 
+  /** HyperLogLog registers of a column, optionally grouped — the
+    * cardinality sketch beside [[cmsSketch]] (frequencies) and
+    * [[kmvDistinct]] (order statistics): a FIXED m-long register
+    * array per group whatever the corpus size, merged element-wise
+    * max. Registers are deterministic integers over the portable
+    * hash ([[graft.functions.HllSketch]]'s contract), so an oracle
+    * replays them exactly with `max(55 - len(bin(h // m)))` per
+    * (group, h % m) bucket. */
+  def hllSketch(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
+                m: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hashed = df.select(groupCols :+ Portable.hash64(valueCol).as("__h"): _*)
+    val agg = ColumnBridge.column(graft.functions.HllSketch(
+      ColumnBridge.expression(col("__h")), m, 0, 0)
+      .toAggregateExpression()).as("hll")
+    if (groupCols.isEmpty) hashed.agg(agg)
+    else hashed.groupBy(hashed.columns.init.map(col): _*).agg(agg)
+  }
+
+  /** RAW HyperLogLog estimate off a register array — pure Column
+    * algebra with CROSS-ENGINE EXACT arithmetic: every term
+    * 1 / 2^register is an exact power of two, and the 64 terms sum
+    * as one explicit left-associated chain (identical IEEE sequence
+    * in any engine that writes the same chain — no list-reduction
+    * order ambiguity). The small-range linear-counting correction
+    * needs `ln` (libm, not portable) and lives JVM-side in
+    * [[graft.functions.HllSketch.estimate]]; oracles compare the raw
+    * estimate plus the zero-register count instead. */
+  def hllRawEstimate(regs: Column, m: Int = 64): Column = {
+    val terms: Seq[Column] = (1 to m).map(i =>
+      lit(1.0) / call_function("shiftleft", lit(1L),
+        element_at(regs, i).cast("int")).cast("double"))
+    val invSum = terms.reduce(_ + _)
+    lit(graft.functions.HllSketch.alpha(m)) * lit(m.toDouble) * lit(m.toDouble) / invSum
+  }
+
+  /** Zero-register count of a [[hllSketch]] array — the other input
+    * the linear-counting correction branch reads. */
+  def hllZeroRegisters(regs: Column): Column =
+    size(filter(regs, r => r === 0L)).cast("long")
+
   /** Point frequency estimate off a [[cmsSketch]] array — pure Column
     * algebra (no UDF): the MINIMUM over the depth rows of the
     * counter each row's universal hash selects for `keyHash`
