@@ -18,7 +18,7 @@ object QueriesLlm {
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
-                        llm82, llm83, llm84, llm85, llm86, llm87, llm88)
+                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -3716,5 +3716,66 @@ object QueriesLlm {
          |         ($chain) AS raw_est
          |FROM rl JOIN ex ON ex.source = rl.source
          |ORDER BY rl.source""".stripMargin
+    })
+
+  /** HLL MERGEABILITY — the property that makes the sketch a
+    * scale primitive: the Spark side builds one sketch PER SOURCE
+    * (llm88's artifacts), merges the 20 register arrays by
+    * element-wise max, and estimates the union cardinality; the
+    * oracle computes the union registers DIRECTLY from all values.
+    * merged-of-parts must equal whole, register for register and
+    * estimate for estimate — the metamorphic check that per-shard
+    * sketches can be combined without touching data (cross-datacenter
+    * distinct counts, incremental corpus unions). */
+  private def llm89 = Q("llm89_hll_union",
+    (s, dir) => {
+      import graft.llm.Sketches
+      val shingles = Tables.documents(s, dir)
+        .select(col("source"), col("text"))
+        .where(col("text").isNotNull)
+        .select(col("source"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 8, lit(1)))).as("__i"))
+        .select(col("source"), col("text").substr(col("__i"), lit(9)).as("term"))
+      val perSource = Sketches.hllSketch(shingles, Seq(col("source")), col("term"), m = 64)
+      // merge by element-wise max across the 20 per-source arrays
+      val merged = perSource
+        .select(posexplode(col("hll")).as(Seq("bucket", "reg")))
+        .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+        .agg(sort_array(collect_list(struct(col("bucket"), col("reg")))).as("br"))
+        .select(transform(col("br"), x => x.getField("reg")).as("hll"))
+      val stats = shingles.agg(
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(Portable.hash64(col("term"))).as("n_exact"))
+      stats.crossJoin(merged)
+        .select(col("n_sources"), col("n_exact"),
+          Sketches.hllZeroRegisters(col("hll")).as("n_zero"),
+          Sketches.hllRawEstimate(col("hll"), m = 64).as("raw_est"))
+    },
+    Some {
+      val h = Portable.duckHash64("term")
+      val chain = (1 to 64).map(i =>
+        s"(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << regs[$i]) AS DOUBLE))")
+        .mkString("\n            + ")
+      s"""WITH t AS (SELECT source, substr(text, i, 9) AS term
+         |      FROM (SELECT source, text,
+         |              unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+         |            FROM documents)),
+         |hh AS (SELECT $h AS h FROM t),
+         |b AS (SELECT h % 64 AS bucket,
+         |        CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - len(bin(h // 64)) END AS rho
+         |      FROM hh),
+         |regs0 AS (SELECT bucket, max(rho) AS reg FROM b GROUP BY 1),
+         |grid AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+         |regs AS (SELECT grid.bucket, coalesce(regs0.reg, 0) AS reg
+         |         FROM grid LEFT JOIN regs0 ON regs0.bucket = grid.bucket),
+         |rl AS (SELECT list(reg ORDER BY bucket) AS regs FROM regs),
+         |st AS (SELECT count(DISTINCT source) AS n_sources,
+         |              count(DISTINCT $h) AS n_exact FROM t)
+         |SELECT CAST(st.n_sources AS BIGINT) AS n_sources,
+         |       CAST(st.n_exact AS BIGINT) AS n_exact,
+         |       CAST(len(list_filter(regs, r -> r = 0)) AS BIGINT) AS n_zero,
+         |       CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE) * CAST(64 AS DOUBLE) /
+         |         ($chain) AS raw_est
+         |FROM st CROSS JOIN rl""".stripMargin
     })
 }
