@@ -18,7 +18,7 @@ object QueriesLlm {
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
-                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89)
+                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -3778,4 +3778,65 @@ object QueriesLlm {
          |         ($chain) AS raw_est
          |FROM st CROSS JOIN rl""".stripMargin
     })
+
+  /** BATCH BM25 retrieval + reciprocal-rank eval
+    * (Retrieval.bm25Batch): 20 queries — each the 1st/3rd/5th token
+    * of a document, that document being the planted relevant answer —
+    * run against the corpus in ONE pass (llm25 bakes a single query's
+    * terms into the plan; a driver loop over N queries scans the
+    * corpus N times, which is the shape this operator exists to
+    * kill). Per query: the planted document's rank under
+    * (score desc, doc_id) and its reciprocal rank — the MRR
+    * ingredients, oracle-replayed with the exact llm25 double-op
+    * spellings. */
+  private def llm90 = Q("llm90_batch_retrieval_mrr",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val qsrc = d.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), Dedup.tokens(col("text")).as("tk"))
+      val queries = qsrc.select(col("qid"),
+          explode(array(element_at(col("tk"), 1), element_at(col("tk"), 3),
+                        element_at(col("tk"), 5))).as("term"))
+        .where(col("term").isNotNull)
+      val scored = Retrieval.bm25Batch(d, col("doc_id"), col("text"),
+        queries, col("qid"), col("term"), idfMode = Retrieval.OddsIdf)
+      val ranked = scored.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
+      ranked.filter(col("doc_id") === col("qid"))
+        .select(col("qid"), col("rank"),
+          (lit(1.0) / col("rank").cast("double")).as("rr"))
+        .orderBy(col("qid"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |              list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+           |            FROM documents),
+           |wl AS (SELECT doc_id, tk, len(tk) AS dl FROM t),
+           |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM wl),
+           |q AS (SELECT DISTINCT qid, term FROM (
+           |        SELECT doc_id AS qid, unnest([tk[1], tk[3], tk[5]]) AS term
+           |        FROM t WHERE doc_id < 20)
+           |      WHERE term IS NOT NULL),
+           |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS tok FROM wl)
+           |       WHERE tok IN (SELECT term FROM q)
+           |       GROUP BY 1, 2, 3),
+           |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+           |sq AS (SELECT q.qid, tf.doc_id,
+           |        CAST(floor(
+           |          (((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           |           * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+           |              / (CAST(tf AS DOUBLE)
+           |                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+           |                                         / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))))
+           |          * 1e6) AS BIGINT) AS sq
+           |      FROM tf JOIN dfq USING (tok) JOIN q ON q.term = tf.tok CROSS JOIN stats),
+           |agg AS (SELECT qid, doc_id, CAST(sum(sq) AS DOUBLE) / 1e6 AS score
+           |        FROM sq GROUP BY 1, 2),
+           |r AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+           |        ORDER BY score DESC, doc_id) AS rank FROM agg)
+           |SELECT qid, CAST(rank AS INT) AS rank,
+           |       CAST(1 AS DOUBLE) / CAST(rank AS DOUBLE) AS rr
+           |FROM r WHERE doc_id = qid
+           |ORDER BY qid""".stripMargin))
 }

@@ -77,6 +77,52 @@ object Retrieval {
         (col("__sq").cast("double") / lit(1e6)).as("score"))
   }
 
+  /** BATCH retrieval: all queries against the corpus in ONE pass —
+    * the shape a production retrieval/eval run needs ([[bm25]] bakes
+    * its terms into the plan as literals; a driver loop over N
+    * queries would scan the corpus N times). `queries` is a
+    * (qid, term) frame; matched-pair pruning becomes a broadcast semi
+    * join against the distinct term set (the moral equivalent of the
+    * literal `isin`), postings fan out to queries through one
+    * broadcast term join, and scores aggregate per (qid, doc).
+    * Corpus-grain work is INDEPENDENT of query count: tokens explode
+    * once, df/tf compute once. Scoring semantics, idf modes, and the
+    * quantize-before-sum discipline are identical to [[bm25]]. */
+  def bm25Batch(docs: DataFrame, idCol: Column, textCol: Column,
+                queries: DataFrame, qidCol: Column, termCol: Column,
+                k1: Double = 1.2, b: Double = 0.75,
+                idfMode: IdfMode = LogIdf): DataFrame = {
+    val q = queries.select(qidCol.as("qid"), termCol.as("__t")).distinct()
+    val terms = q.select(col("__t")).distinct()
+    val toks = docs.select(idCol.as("doc_id"), Dedup.tokens(textCol).as("__toks"))
+    val withLen = toks.select(col("doc_id"), col("__toks"), size(col("__toks")).as("__dl"))
+    val stats = withLen.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+    val tf = withLen
+      .select(col("doc_id"), col("__dl"), explode(col("__toks")).as("__t"))
+      .join(broadcast(terms), Seq("__t"), "left_semi")
+      .groupBy(col("doc_id"), col("__dl"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val df_ = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val joined = tf.join(df_, "__t").join(broadcast(q), "__t").crossJoin(broadcast(stats))
+    val odds = (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
+      (col("__df").cast("double") + lit(0.5))
+    val idf = idfMode match {
+      case LogIdf => log(odds + lit(1.0))
+      case OddsIdf => odds
+    }
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val tfNorm = (col("__tf").cast("double") * lit(k1 + 1.0)) /
+      (col("__tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / avgdl)))
+    joined
+      .select(col("qid"), col("doc_id"),
+        floor((idf * tfNorm) * lit(1e6)).cast("long").as("__q"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("__q")).as("__sq"))
+      .select(col("qid"), col("doc_id"), col("n_matched"),
+        (col("__sq").cast("double") / lit(1e6)).as("score"))
+  }
+
   /** Top-k retrieval: the k most relevant documents, deterministic
     * order (score desc, doc_id asc) — plans TakeOrdered, never a
     * global sort. */

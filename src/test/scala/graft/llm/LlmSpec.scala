@@ -1617,6 +1617,23 @@ class LlmSpec extends SparkSpec {
       s"repeated trigrams must outscore unique ones: $out")
   }
 
+  test("bm25Batch with one query equals the literal-terms bm25 exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join window scan"),
+      (2L, "join join filter"),
+      (3L, "window spark spark join value"),
+      (4L, "nothing relevant here")).toDF("doc_id", "text")
+    val single = Retrieval.bm25(docs, col("doc_id"), col("text"),
+        Seq("spark", "join"), idfMode = Retrieval.OddsIdf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val q = Seq((7L, "spark"), (7L, "join")).toDF("qid", "term")
+    val batch = Retrieval.bm25Batch(docs, col("doc_id"), col("text"),
+        q, col("qid"), col("term"), idfMode = Retrieval.OddsIdf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch == single)
+  }
+
   test("recallAtK: intersection per query, zero-hit queries still appear") {
     import spark.implicits._
     val truth  = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
