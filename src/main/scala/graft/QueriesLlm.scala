@@ -18,7 +18,7 @@ object QueriesLlm {
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
-                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90)
+                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -3839,4 +3839,104 @@ object QueriesLlm {
            |       CAST(1 AS DOUBLE) / CAST(rank AS DOUBLE) AS rr
            |FROM r WHERE doc_id = qid
            |ORDER BY qid""".stripMargin))
+
+  private val llm91Cache =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+  /** Contrastive-pair MINING for embedding training: every anchor
+    * takes its most-similar LSH-candidate at Jaccard >= 0.5 as the
+    * POSITIVE and its least-similar candidate in [0.05, 0.5) as the
+    * HARD NEGATIVE -- a confusable that shared a band bucket without
+    * being a near-dup, exactly the negative a contrastive loss learns
+    * most from (random negatives are too easy; the bucket join IS the
+    * hard-negative miner). The corpus plants both tiers: ' qx' twins
+    * (j ~ 0.97) and COUSINS -- a 150-char excerpt plus a boilerplate
+    * tail every cousin shares (j ~ 0.2 against the anchor). Mining
+    * runs WIDE banding (6 bands x 2 rows, vs dedup's 3 x 4): the
+    * S-curve llm87 measures says narrow bands structurally cannot
+    * surface mid-similarity candidates, so the miner shifts the curve
+    * left and lets exact Jaccard sort the tiers. Picks break ties by
+    * id; the oracle replays corpus, banding, and both picks. */
+  private def llm91 = Q("llm91_contrastive_pairs",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val tail = " end of excerpt boilerplate tail common to every preview snippet"
+      val corpus = d
+        .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" qx")).as("text")))
+        .unionByName(d.select((col("doc_id") + 200000L).as("doc_id"),
+          concat(substring(col("text"), 1, 150), lit(tail)).as("text")))
+      Option(llm91Cache.getAndSet(null)).foreach(_.unpersist())
+      val docs = Dedup.minhashSignatureAndSets(corpus, col("doc_id"), col("text"),
+          n = 9, k = 12).persist()
+      llm91Cache.set(docs)
+      val pairs = Dedup.candidatePairs(Dedup.lshBuckets(docs, k = 12, rowsPerBand = 2))
+      val a = docs.select(col("doc_id").as("id_a"), col("shh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("shh").as("sh_b"))
+      // symmetrize so every member of a pair can anchor
+      val scored0 = pairs.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      val scored = scored0.unionByName(
+        scored0.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("j")))
+      val pos = scored.filter(col("j") >= 0.5)
+        .groupBy(col("id_a").as("anchor"))
+        .agg(min(struct((-col("j")).as("nj"), col("id_b"))).as("p"))
+        .select(col("anchor"), col("p.id_b").as("positive"))
+      val neg = scored.filter(col("j") >= 0.05 && col("j") < 0.5)
+        .groupBy(col("id_a").as("anchor"))
+        .agg(min(struct(col("j"), col("id_b"))).as("n"))
+        .select(col("anchor"), col("n.id_b").as("negative"))
+      pos.join(neg, "anchor").orderBy(col("anchor"))
+    },
+    Some {
+      val tail = " end of excerpt boilerplate tail common to every preview snippet"
+      val hashes = (0 until 12).map(i =>
+        s"${Portable.duckSeededHash("shingle", i)} AS h$i").mkString(",\n            ")
+      val mins = (0 until 12).map(i => s"min(h$i) AS mh$i").mkString(", ")
+      val bandRows = (0 until 6).map { bnd =>
+        val cols = (2 * bnd until 2 * (bnd + 1)).map(i => s"mh$i").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, ${Portable.duckHash64(s"concat_ws('_', $cols)")} AS bucket FROM mh"
+      }.mkString("\n            UNION ALL ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' qx' FROM documents
+         |  UNION ALL SELECT doc_id + 200000, substr(text, 1, 150) || '$tail' FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS shingle
+         |       FROM (SELECT doc_id, text,
+         |               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+         |             FROM corpus)),
+         |h AS (SELECT doc_id,
+         |            $hashes
+         |      FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+         |bk AS (
+         |            $bandRows),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |          WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.id_a, p.id_b, count(*) AS ni
+         |          FROM pairs p
+         |          JOIN sh a ON a.doc_id = p.id_a
+         |          JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+         |          GROUP BY 1, 2),
+         |jac0 AS (SELECT i.id_a, i.id_b,
+         |           CAST(i.ni AS DOUBLE) / CAST(sa.n + sb.n - i.ni AS DOUBLE) AS j
+         |         FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+         |                      JOIN sizes sb ON sb.doc_id = i.id_b),
+         |jac AS (SELECT id_a, id_b, j FROM jac0
+         |        UNION ALL SELECT id_b, id_a, j FROM jac0),
+         |pos AS (SELECT anchor, id_b AS positive FROM (
+         |          SELECT id_a AS anchor, id_b,
+         |            row_number() OVER (PARTITION BY id_a ORDER BY j DESC, id_b) AS rn
+         |          FROM jac WHERE j >= 0.5) WHERE rn = 1),
+         |neg AS (SELECT anchor, id_b AS negative FROM (
+         |          SELECT id_a AS anchor, id_b,
+         |            row_number() OVER (PARTITION BY id_a ORDER BY j ASC, id_b) AS rn
+         |          FROM jac WHERE j >= 0.05 AND j < 0.5) WHERE rn = 1)
+         |SELECT pos.anchor, pos.positive, neg.negative
+         |FROM pos JOIN neg ON neg.anchor = pos.anchor
+         |ORDER BY pos.anchor""".stripMargin
+    },
+    cleanup = Some(_ => Option(llm91Cache.getAndSet(null)).foreach(_.unpersist())))
 }
