@@ -3858,7 +3858,13 @@ object QueriesLlm {
     * id; the oracle replays corpus, banding, and both picks. */
   private def llm91 = Q("llm91_contrastive_pairs",
     (s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // a bounded mining slice (doc_id < 500 at any SF): triple mining
+      // SAMPLES by design -- a training run wants N good triples, not
+      // all of them, and a production sweep shards exactly like this.
+      // Wide banding over an unbounded corpus would also explode the
+      // candidate set (2-row bands bucket ~0.25% of ALL pairs).
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
       val tail = " end of excerpt boilerplate tail common to every preview snippet"
       val corpus = d
         .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
@@ -3898,9 +3904,10 @@ object QueriesLlm {
         s"SELECT doc_id, $bnd AS band, ${Portable.duckHash64(s"concat_ws('_', $cols)")} AS bucket FROM mh"
       }.mkString("\n            UNION ALL ")
       s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 100000, text || ' qx' FROM documents
-         |  UNION ALL SELECT doc_id + 200000, substr(text, 1, 150) || '$tail' FROM documents),
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 500
+         |  UNION ALL SELECT doc_id + 100000, text || ' qx' FROM documents WHERE doc_id < 500
+         |  UNION ALL SELECT doc_id + 200000, substr(text, 1, 150) || '$tail'
+         |    FROM documents WHERE doc_id < 500),
          |sh AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS shingle
          |       FROM (SELECT doc_id, text,
          |               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
