@@ -599,6 +599,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("llm88: HLL is a typed-imperative aggregate over a fixed buffer — no vocabulary shuffle") {
+    val df = Queries.byName("llm88_hll_distinct")(spark, sfSmoke)
+    val p = planOf(df)
+    val s = p.toString
+    assert(s.contains("hll_sketch"), s"expected the native aggregate in:\n$s")
+    assert(s.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate must plan ObjectHashAggregate:\n$s")
+  }
+
+  test("llm90: batch retrieval explodes the corpus once — query count never rescans it") {
+    val df = Queries.byName("llm90_batch_retrieval_mrr")(spark, sfSmoke)
+    val s = planOf(df).toString
+    // one corpus-token Generate feeds tf/df; the query-construction
+    // Generate over 20 rows is the only other explode
+    val generates = s.linesIterator.count(_.trim.startsWith("Generate explode"))
+    assert(generates <= 3, s"expected no per-query corpus rescans, got $generates explodes:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no cartesian in batch retrieval:\n$s")
+  }
+
   test("llm59/llm60: iterative ops return driver-assembled tiny frames — no residual exchange") {
     Seq("llm59_domain_reweight", "llm60_kcenter_coreset").foreach { name =>
       val df = Queries.byName(name)(spark, sfSmoke)
