@@ -15,7 +15,7 @@ object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
                         q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-                        q25, q26, q27, q28, q29)
+                        q25, q26, q27, q28, q29, q30)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -974,4 +974,68 @@ object QueriesRelational {
            |    (SELECT count(*) FROM customer),
            |    (SELECT count(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)))
            |ORDER BY relation""".stripMargin))
+
+  /** BITEMPORAL state reconstruction: "what did we BELIEVE (as of
+    * transaction bound T) the world looked like AT valid time V" —
+    * cdc14 travels the valid axis only; this walks a 2x2 grid of
+    * (tx bound = event_id watermark, valid bound = event time) and
+    * materializes per-cell state counts. The tx filter runs BEFORE
+    * the per-user latest-event window (an event not yet ingested at T
+    * cannot influence the belief), which is exactly the subtlety a
+    * single-axis time travel gets wrong. The bounds derive from the
+    * data (midpoint/max of each axis), so the query is scale-free. */
+  private def q30 = Q("q30_bitemporal_grid",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("ts_us"),
+          when(col("event_type") === "signup", "c")
+            .when(col("event_type") === "error", "d")
+            .otherwise("u").as("op"),
+          col("value"))
+      val rng = ev.agg(min(col("event_id")).as("e0"), max(col("event_id")).as("e1"),
+                       min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      val bounds = rng.select(explode(array(
+          struct(((col("e0") + col("e1")) / 2).cast("long").as("tx_bound"),
+                 ((col("t0") + col("t1")) / 2).cast("long").as("v_bound")),
+          struct(((col("e0") + col("e1")) / 2).cast("long").as("tx_bound"),
+                 col("t1").as("v_bound")),
+          struct(col("e1").as("tx_bound"),
+                 ((col("t0") + col("t1")) / 2).cast("long").as("v_bound")),
+          struct(col("e1").as("tx_bound"), col("t1").as("v_bound"))))
+          .as("b"))
+        .select(col("b.tx_bound"), col("b.v_bound"))
+      val w = Window.partitionBy(col("tx_bound"), col("v_bound"), col("user_id"))
+        .orderBy(col("event_id").desc)
+      ev.crossJoin(broadcast(bounds))
+        .filter(col("event_id") <= col("tx_bound") && col("ts_us") <= col("v_bound"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "d")
+        .groupBy(col("tx_bound"), col("v_bound"))
+        .agg(count(lit(1)).as("n_users"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("tx_bound"), col("v_bound"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+           |              CASE WHEN event_type = 'signup' THEN 'c'
+           |                   WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+           |              value
+           |            FROM events),
+           |rng AS (SELECT min(event_id) AS e0, max(event_id) AS e1,
+           |               min(ts_us) AS t0, max(ts_us) AS t1 FROM ev),
+           |bounds AS (
+           |  SELECT (e0 + e1) // 2 AS tx_bound, (t0 + t1) // 2 AS v_bound FROM rng
+           |  UNION ALL SELECT (e0 + e1) // 2, t1 FROM rng
+           |  UNION ALL SELECT e1, (t0 + t1) // 2 FROM rng
+           |  UNION ALL SELECT e1, t1 FROM rng),
+           |latest AS (SELECT b.tx_bound, b.v_bound, ev.user_id, ev.op, ev.value,
+           |             row_number() OVER (PARTITION BY b.tx_bound, b.v_bound, ev.user_id
+           |               ORDER BY ev.event_id DESC) AS rn
+           |           FROM ev CROSS JOIN bounds b
+           |           WHERE ev.event_id <= b.tx_bound AND ev.ts_us <= b.v_bound)
+           |SELECT tx_bound, v_bound, count(*) AS n_users,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM latest WHERE rn = 1 AND op <> 'd'
+           |GROUP BY tx_bound, v_bound
+           |ORDER BY tx_bound, v_bound""".stripMargin))
 }
