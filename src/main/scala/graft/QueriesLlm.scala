@@ -18,7 +18,7 @@ object QueriesLlm {
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
-                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91)
+                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -3946,4 +3946,58 @@ object QueriesLlm {
          |ORDER BY pos.anchor""".stripMargin
     },
     cleanup = Some(_ => Option(llm91Cache.getAndSet(null)).foreach(_.unpersist())))
+
+  /** MEMORIZATION audit of generated text against the training
+    * corpus: per generated sample, the fraction of its 9-gram
+    * shingles present ANYWHERE in training — llm16's decontamination
+    * asks which train doc an eval doc matches; this asks how much of
+    * a model OUTPUT is regurgitated training text, the post-training
+    * leak check. The fixture plants both verdicts: samples 0-19 are
+    * training docs with a 3-char suffix (known_frac ≈ 1 → flagged),
+    * samples 20-39 are the same docs REVERSED (novel 9-grams,
+    * known_frac ≈ 0 → clean). The index is the distinct corpus
+    * shingle-hash set — one semi join per generated shingle, linear
+    * in generated volume, never corpus×generated. */
+  private def llm92 = Q("llm92_memorization_audit",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val gen = d.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("gen_id"), concat(col("text"), lit(" qx")).as("text"))
+        .unionByName(d.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 20).as("gen_id"), reverse(col("text")).as("text")))
+      val trainSh = Dedup.hashedShingleSets(d, col("doc_id"), col("text"), n = 9)
+        .select(explode(col("shh")).as("__h")).distinct()
+      val genSh = Dedup.hashedShingleSets(gen, col("gen_id"), col("text"), n = 9)
+        .select(col("doc_id").as("gen_id"), explode(col("shh")).as("__h"))
+      val known = genSh.join(trainSh, Seq("__h"), "left_semi")
+        .groupBy(col("gen_id")).agg(count(lit(1)).as("n_known"))
+      genSh.groupBy(col("gen_id")).agg(count(lit(1)).as("n_shingles"))
+        .join(known, Seq("gen_id"), "left")
+        .select(col("gen_id"), col("n_shingles"),
+          coalesce(col("n_known"), lit(0L)).as("n_known"))
+        .withColumn("known_frac",
+          col("n_known").cast("double") / col("n_shingles").cast("double"))
+        .withColumn("flagged", col("known_frac") >= 0.8)
+        .orderBy(col("gen_id"))
+    },
+    Some("""WITH gen AS (
+           |  SELECT doc_id AS gen_id, text || ' qx' AS text FROM documents WHERE doc_id < 20
+           |  UNION ALL
+           |  SELECT doc_id + 20, reverse(text) FROM documents WHERE doc_id < 20),
+           |tsh AS (SELECT DISTINCT substr(text, i, 9) AS sh
+           |        FROM (SELECT text, unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+           |              FROM documents)),
+           |gsh AS (SELECT DISTINCT gen_id, substr(text, i, 9) AS sh
+           |        FROM (SELECT gen_id, text,
+           |                unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+           |              FROM gen)),
+           |kn AS (SELECT gen_id, count(*) AS n_known
+           |       FROM gsh WHERE sh IN (SELECT sh FROM tsh) GROUP BY 1),
+           |tot AS (SELECT gen_id, count(*) AS n_shingles FROM gsh GROUP BY 1)
+           |SELECT tot.gen_id, tot.n_shingles,
+           |       CAST(coalesce(kn.n_known, 0) AS BIGINT) AS n_known,
+           |       CAST(coalesce(kn.n_known, 0) AS DOUBLE) / CAST(tot.n_shingles AS DOUBLE) AS known_frac,
+           |       CAST(coalesce(kn.n_known, 0) AS DOUBLE) / CAST(tot.n_shingles AS DOUBLE) >= 0.8 AS flagged
+           |FROM tot LEFT JOIN kn ON kn.gen_id = tot.gen_id
+           |ORDER BY tot.gen_id""".stripMargin))
 }
