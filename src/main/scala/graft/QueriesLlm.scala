@@ -18,7 +18,7 @@ object QueriesLlm {
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
-                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92)
+                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -4000,4 +4000,102 @@ object QueriesLlm {
            |       CAST(coalesce(kn.n_known, 0) AS DOUBLE) / CAST(tot.n_shingles AS DOUBLE) >= 0.8 AS flagged
            |FROM tot LEFT JOIN kn ON kn.gen_id = tot.gen_id
            |ORDER BY tot.gen_id""".stripMargin))
+
+  /** Inter-rater agreement (Cohen's kappa) between two quality
+    * raters — the calibration check before trusting any single gate
+    * as ground truth for classifier training (llm43/llm51 label from
+    * ONE gate; kappa says how much two independent gates actually
+    * agree beyond chance). Rater A is the full Gopher rule set, rater
+    * B a stricter length/symbol/alpha gate; the 2×2 contingency
+    * counts are exact longs, and po/pe/kappa are the same
+    * fixed-order double expressions in both engines (guarded for the
+    * degenerate pe=1 corpus). */
+  private def llm93 = Q("llm93_rater_agreement",
+    (s, dir) => {
+      val t = TextAnalysis
+      val m = Tables.documents(s, dir).select(col("doc_id"),
+        t.tokenCount(col("text")).cast("long").as("n_words"),
+        t.meanTokenLen(col("text")).as("mean_word_len"),
+        t.symbolWordRatio(col("text")).as("symbol_ratio"),
+        t.bulletLineFrac(col("text")).as("bullet_frac"),
+        t.ellipsisLineFrac(col("text")).as("ellipsis_frac"),
+        t.alphaWordFrac(col("text")).as("alpha_frac"),
+        t.gopherStopwordHits(col("text")).cast("long").as("stop_hits"))
+      val v = m.select(
+        t.gopherPass(col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+          col("bullet_frac"), col("ellipsis_frac"), col("alpha_frac"),
+          col("stop_hits"), minStopHits = 1).as("a"),
+        (col("n_words") >= 60 && col("symbol_ratio") < 0.05 &&
+          col("alpha_frac") > 0.9).as("b"))
+      val cells = v.agg(
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      val n = col("n11") + col("n10") + col("n01") + col("n00")
+      val po = (col("n11") + col("n00")).cast("double") / n.cast("double")
+      val pe = (((col("n11") + col("n10")) * (col("n11") + col("n01"))).cast("double") +
+                ((col("n00") + col("n10")) * (col("n00") + col("n01"))).cast("double")) /
+               (n * n).cast("double")
+      cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+        po.as("po"), pe.as("pe"),
+        when(lit(1.0) - pe === 0.0, 0.0)
+          .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text,
+           |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+           |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ltoks,
+           |    string_split(text, chr(10)) AS lines
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id,
+           |    CAST(len(toks) AS BIGINT) AS n_words,
+           |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+           |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_word_len,
+           |    CAST((length(text) - length(replace(text, '#', '')))
+           |         + ((length(text) - length(replace(text, '...', ''))) / 3) AS DOUBLE)
+           |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS symbol_ratio,
+           |    CAST(len(list_filter(lines, l -> left(ltrim(l), 1) = '-'
+           |           OR left(ltrim(l), 1) = '*' OR left(ltrim(l), 1) = '•')) AS DOUBLE)
+           |      / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_frac,
+           |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+           |           OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+           |      / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_frac,
+           |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+           |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS alpha_frac,
+           |    CAST(CAST(list_contains(ltoks, 'the') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'be') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'to') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'of') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'and') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'that') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'have') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'with') AS INTEGER) AS BIGINT) AS stop_hits
+           |  FROM t),
+           |v AS (SELECT
+           |    (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           |    AND (symbol_ratio < 0.1) AND (bullet_frac < 0.9)
+           |    AND (ellipsis_frac < 0.3) AND (alpha_frac > 0.8)
+           |    AND (stop_hits >= 1) AS a,
+           |    (n_words >= 60 AND symbol_ratio < 0.05 AND alpha_frac > 0.9) AS b
+           |  FROM m),
+           |c AS (SELECT
+           |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+           |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+           |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+           |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+           |  FROM v)
+           |SELECT n11, n10, n01, n00,
+           |  CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,
+           |  (CAST((n11 + n10) * (n11 + n01) AS DOUBLE) + CAST((n00 + n10) * (n00 + n01) AS DOUBLE))
+           |    / CAST((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00) AS DOUBLE) AS pe,
+           |  CASE WHEN 1.0 - ((CAST((n11 + n10) * (n11 + n01) AS DOUBLE) + CAST((n00 + n10) * (n00 + n01) AS DOUBLE))
+           |    / CAST((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00) AS DOUBLE)) = 0.0 THEN 0.0
+           |  ELSE (CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+           |        - (CAST((n11 + n10) * (n11 + n01) AS DOUBLE) + CAST((n00 + n10) * (n00 + n01) AS DOUBLE))
+           |          / CAST((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00) AS DOUBLE))
+           |       / (1.0 - (CAST((n11 + n10) * (n11 + n01) AS DOUBLE) + CAST((n00 + n10) * (n00 + n01) AS DOUBLE))
+           |          / CAST((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00) AS DOUBLE)) END AS kappa
+           |FROM c""".stripMargin))
 }
