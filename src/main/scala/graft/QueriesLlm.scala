@@ -3568,7 +3568,7 @@ object QueriesLlm {
            |SELECT count(*) AS n_terms,
            |       CAST(sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
            |       CAST(sum(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gone,
-           |       CAST(sum(CAST(floor(CAST((o - e) * (o - e) AS DOUBLE) /
+           |       CAST(sum(CAST(floor(CAST(o - e AS DOUBLE) * CAST(o - e AS DOUBLE) /
            |                           CAST(o + e AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS drift_q
            |FROM j""".stripMargin))
 

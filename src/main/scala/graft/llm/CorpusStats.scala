@@ -102,7 +102,12 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_terms"),
         sum(when(col("e") === 0, 1L).otherwise(0L)).as("n_new"),
         sum(when(col("o") === 0, 1L).otherwise(0L)).as("n_gone"),
-        sum(floor(((col("o") - col("e")) * (col("o") - col("e"))).cast("double") /
+        // square in DOUBLE: long (o−e)² overflows once per-term counts
+        // pass 2^31.5 (a realistic 100 TB vocabulary head); the double
+        // square is exact while |o−e| < 2^26.5 and deterministic
+        // beyond — the oracle spells the identical cast order
+        sum(floor((col("o") - col("e")).cast("double") *
+                  (col("o") - col("e")).cast("double") /
                   (col("o") + col("e")).cast("double") * lit(1e6)).cast("long"))
           .as("drift_q"))
   }

@@ -30,7 +30,15 @@ object TimeSeries {
     val obs = df.select(keyCol.as("key"), tickCol.cast("long").as("tick"),
                         valueCol.as("v"))
     val rng = obs.agg(min(col("tick")).as("t0"), max(col("tick")).as("t1"))
-    val ticks = rng.select(explode(sequence(col("t0"), col("t1"))).as("tick"))
+    // loud guard, not an OOM: sequence() materializes the whole range
+    // in one row — a caller who passes raw micros instead of a
+    // resampled grain would otherwise build a billion-element array
+    val ticks = rng.select(explode(sequence(col("t0"),
+      when(col("t1") - col("t0") > 1000000L,
+        raise_error(concat(lit("gapFillForward: tick range "),
+          (col("t1") - col("t0")).cast("string"),
+          lit(" exceeds 1e6 — resample tickCol to a coarser grain"))).cast("long"))
+        .otherwise(col("t1")))).as("tick"))
     val grid = obs.select(col("key")).distinct().crossJoin(broadcast(ticks))
     val w = Window.partitionBy(col("key")).orderBy(col("tick"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -23,6 +23,14 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", 4L, false, 30.0)))
   }
 
+  test("gapFillForward rejects an unresampled tick range loudly") {
+    val obs = Seq(("x", 0L, 1.0), ("x", 5000000L, 2.0)).toDF("k", "t", "v")
+    val ex = intercept[Exception] {
+      TimeSeries.gapFillForward(obs, col("k"), col("t"), col("v"), lit(0.0)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("gapFillForward: single-tick series is identity") {
     val obs = Seq(("x", 7L, 1.5)).toDF("k", "t", "v")
     val out = TimeSeries.gapFillForward(obs, col("k"), col("t"), col("v"), lit(0.0))
