@@ -18,7 +18,7 @@ object QueriesLlm {
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
-                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93)
+                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -4098,4 +4098,34 @@ object QueriesLlm {
            |       / (1.0 - (CAST((n11 + n10) * (n11 + n01) AS DOUBLE) + CAST((n00 + n10) * (n00 + n01) AS DOUBLE))
            |          / CAST((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00) AS DOUBLE)) END AS kappa
            |FROM c""".stripMargin))
+
+  /** Boilerplate shingle MINING (Dedup.boilerplateShingles): the
+    * n-gram strings shared by ≥ minDf documents — cookie banners,
+    * license footers, navigation chrome — recovered AS STRINGS for a
+    * strip list. The fixture plants a footer on every third document
+    * (df ≈ n/3, far above the organic shingle ceiling at minDf=150);
+    * document frequencies count on hashes with strings recovered only
+    * for the heavy hitters, so corpus text never shuffles in either
+    * pass. */
+  private def llm94 = Q("llm94_boilerplate_mining",
+    (s, dir) => {
+      val footer = " copyright footer all rights reserved contact admin example"
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(footer)))
+          .otherwise(col("text")).as("text"))
+      Dedup.boilerplateShingles(d, col("doc_id"), col("text"), n = 9, minDf = 150)
+        .orderBy(col("shingle"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |        CASE WHEN doc_id % 3 = 0
+           |             THEN text || ' copyright footer all rights reserved contact admin example'
+           |             ELSE text END AS text
+           |      FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS s
+           |       FROM (SELECT doc_id, text,
+           |               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+           |             FROM d)),
+           |dfc AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+           |SELECT s AS shingle, df FROM dfc WHERE df >= 150
+           |ORDER BY shingle""".stripMargin))
 }

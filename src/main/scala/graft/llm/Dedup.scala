@@ -289,6 +289,33 @@ object Dedup {
           .getField("shh").as("shh"))
       .repartition(col("doc_id"))
 
+  /** BOILERPLATE shingle mining: the n-gram strings that appear in at
+    * least `minDf` distinct documents — navigation chrome, cookie
+    * banners, license footers — recovered AS STRINGS for a strip
+    * list. Two passes keep it scale-honest: document frequencies
+    * count on 8-byte hashes (strings never shuffle), then ONLY the
+    * heavy hitters — by definition a tiny set — join back against one
+    * document scan to recover their text. The recovery join is a
+    * broadcast semi of the hot-hash set, so the second pass adds no
+    * shuffle of corpus strings either. Output: (shingle, df),
+    * one row per distinct boilerplate n-gram. */
+  def boilerplateShingles(df: DataFrame, idCol: Column, textCol: Column,
+                          n: Int, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val sh = df.select(idCol.as("doc_id"), textCol.as("__t"))
+      .where(col("__t").isNotNull)
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"))
+      .select(col("doc_id"), col("__t").substr(col("__i"), lit(n)).as("__s"))
+    val hashed = sh.select(col("doc_id"), col("__s"), xxhash64(col("__s")).as("__h"))
+    val hot = hashed.select(col("doc_id"), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    hashed.join(broadcast(hot), Seq("__h"))
+      .groupBy(col("__s").as("shingle"))
+      .agg(max(col("df")).as("df"))
+  }
+
   /** Shared signature aggregation: k universal-hash min()s over the
     * base-hash column — map-side partial agg keeps the shuffle at k
     * longs per doc. */
