@@ -3965,10 +3965,16 @@ object QueriesLlm {
         .select(col("doc_id").as("gen_id"), concat(col("text"), lit(" qx")).as("text"))
         .unionByName(d.filter(col("doc_id") < 20)
           .select((col("doc_id") + 20).as("gen_id"), reverse(col("text")).as("text")))
-      val trainSh = Dedup.hashedShingleSets(d, col("doc_id"), col("text"), n = 9)
-        .select(explode(col("shh")).as("__h")).distinct()
-      val genSh = Dedup.hashedShingleSets(gen, col("gen_id"), col("text"), n = 9)
-        .select(col("doc_id").as("gen_id"), explode(col("shh")).as("__h"))
+      // direct position-explode hashing: the audit needs flat distinct
+      // hash ROWS, so building per-doc set arrays (collect_set) only to
+      // re-explode them would pay an extra aggregate for nothing
+      def shingleHashes(df: org.apache.spark.sql.DataFrame, id: org.apache.spark.sql.Column) =
+        df.where(col("text").isNotNull)
+          .select(id, col("text"),
+            explode(sequence(lit(1), greatest(length(col("text")) - 8, lit(1)))).as("__i"))
+          .select(id, xxhash64(col("text").substr(col("__i"), lit(9))).as("__h"))
+      val trainSh = shingleHashes(d, col("doc_id")).select(col("__h")).distinct()
+      val genSh = shingleHashes(gen, col("gen_id")).distinct()
       val known = genSh.join(trainSh, Seq("__h"), "left_semi")
         .groupBy(col("gen_id")).agg(count(lit(1)).as("n_known"))
       genSh.groupBy(col("gen_id")).agg(count(lit(1)).as("n_shingles"))
