@@ -18,7 +18,7 @@ object QueriesLlm {
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
-                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94)
+                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -4134,4 +4134,35 @@ object QueriesLlm {
            |dfc AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
            |SELECT s AS shingle, df FROM dfc WHERE df >= 150
            |ORDER BY shingle""".stripMargin))
+
+  /** Deterministic token-dropout augmentation
+    * (Sampling.tokenDropout): 10% of each document's tokens drop by
+    * the portable hash of (salt, doc id, position) — reproducible
+    * noising whose augmented text an engine, rerun, or different
+    * cluster size re-derives EXACTLY (the oracle rebuilds every
+    * augmented string verbatim, so the hash compare covers the full
+    * output text, not just counts). A document losing every token
+    * drops from the output in both engines by the same rule. */
+  private def llm95 = Q("llm95_token_dropout",
+    (s, dir) => {
+      import graft.llm.Sampling
+      Sampling.tokenDropout(Tables.documents(s, dir),
+          col("doc_id"), col("text"), dropPct = 10, salt = "aug")
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val h = Portable.duckHash64(
+        "concat('aug:', CAST(doc_id AS VARCHAR), ':', CAST(p AS VARCHAR))")
+      s"""WITH t AS (SELECT doc_id,
+         |        list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+         |      FROM documents),
+         |p AS (SELECT doc_id, len(toks) AS n_tokens, i - 1 AS p, toks[i] AS tok
+         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)),
+         |k AS (SELECT * FROM p WHERE $h % 100 >= 10)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       count(*) AS n_kept,
+         |       string_agg(tok, ' ' ORDER BY p) AS aug_text
+         |FROM k GROUP BY doc_id, n_tokens
+         |ORDER BY doc_id""".stripMargin
+    })
 }

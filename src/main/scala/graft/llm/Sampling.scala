@@ -34,6 +34,36 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: Column, rate: Double, salt: String = "sample"): DataFrame =
     df.filter(unitInterval(idCol, salt) < lit(rate))
 
+  /** Deterministic token-DROPOUT augmentation: drop each token of a
+    * document where the portable hash of (salt, doc id, token
+    * position) lands under `dropPct`/100 — EDA-style noising whose
+    * output is a pure function of (salt, id, position), so augmented
+    * corpora are REPRODUCIBLE across engines, reruns, and cluster
+    * sizes (an rng-based augmenter can never re-derive what it fed a
+    * training run). Returns (doc_id, n_tokens, n_kept, aug_text).
+    *
+    * Shape: position-explode → codegen'd hash filter → one per-doc
+    * aggregate rebuilding the kept tokens in position order (the
+    * hash must NOT sit inside an array-lambda — interpreted lambdas
+    * re-evaluate per element with no CSE, the round-6 trap). */
+  def tokenDropout(df: DataFrame, idCol: Column, textCol: Column,
+                   dropPct: Int, salt: String = "aug"): DataFrame = {
+    require(dropPct >= 0 && dropPct < 100, s"dropPct in [0,100), got $dropPct")
+    val toks = df.select(idCol.as("doc_id"), TextAnalysis.tokens(textCol).as("__toks"))
+    val pos = toks
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        posexplode(col("__toks")).as(Seq("__p", "__t")))
+      .withColumn("__keep",
+        pmod(Portable.hash64(concat(lit(salt + ":"), col("doc_id").cast("string"),
+          lit(":"), col("__p").cast("string"))), lit(100L)) >= dropPct)
+    pos.filter(col("__keep"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__t")))),
+          x => x.getField("__t")), " ").as("aug_text"))
+  }
+
   /** Assign every record a split label by cumulative fraction —
     * e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Splits are
     * disjoint and exhaustive (fractions must sum to 1 within 1e-9),
