@@ -131,6 +131,14 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(r => try r.unpersist(blocking = false) catch { case _: Throwable => () })
       try spark.catalog.clearCache() catch { case _: Throwable => () }
+      // aging control, OUTSIDE the timer: after ~150 queries × 3 runs
+      // the in-suite tail ran up to 3.7× its fresh-session cost at
+      // healthy canaries (llm92 7.8 s in-suite vs 2.1 s in a fresh
+      // block run) — accumulated heap/reference backlog, not engine
+      // work. A forced collection between queries lets the reference
+      // processing (broadcast/accumulator cleanup queues) drain so a
+      // query is measured against the same JVM state early and late.
+      System.gc()
       Sample(median(samples.map(_.sec)), median(samples.map(_.canary)),
              median(samples.map(_.canaryPar)))
     }
