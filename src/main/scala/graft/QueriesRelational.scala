@@ -15,7 +15,7 @@ object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
                         q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-                        q25, q26, q27, q28, q29, q30)
+                        q25, q26, q27, q28, q29, q30, q31)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -1038,4 +1038,48 @@ object QueriesRelational {
            |FROM latest WHERE rn = 1 AND op <> 'd'
            |GROUP BY tx_bound, v_bound
            |ORDER BY tx_bound, v_bound""".stripMargin))
+
+  /** Market-basket co-occurrence LIFT over order contents — the
+    * association-mining family (which parts ship together more than
+    * chance predicts): distinct (order, part) pairs self-join within
+    * the order, so the blow-up is bounded by per-basket width (items
+    * per order), never by catalog or order count; per-part and
+    * co-occurrence supports are exact counts, lift is one fixed-order
+    * double expression, and a minimum-support prune runs BEFORE the
+    * lift math so noise pairs never leave the aggregate. Top-20 by
+    * (lift, pair) plans TakeOrdered. */
+  private def q31 = Q("q31_basket_lift",
+    (s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val n = items.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+      val supp = items.groupBy(col("p")).agg(count(lit(1)).as("sp"))
+      val co = items.select(col("o"), col("p").as("p1"))
+        .join(items.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 3)
+      co.join(supp.select(col("p").as("p1"), col("sp").as("s1")), "p1")
+        .join(supp.select(col("p").as("p2"), col("sp").as("s2")), "p2")
+        .crossJoin(broadcast(n))
+        .select(col("p1"), col("p2"), col("co"), col("s1"), col("s2"),
+          (col("co").cast("double") * col("n_orders").cast("double") /
+            (col("s1").cast("double") * col("s2").cast("double"))).as("lift"))
+        .orderBy(col("lift").desc, col("p1"), col("p2"))
+        .limit(20)
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |n AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+           |supp AS (SELECT p, count(*) AS sp FROM items GROUP BY 1),
+           |co AS (SELECT a.p AS p1, b.p AS p2, count(*) AS co
+           |       FROM items a JOIN items b ON b.o = a.o AND a.p < b.p
+           |       GROUP BY 1, 2 HAVING count(*) >= 3)
+           |SELECT p1, p2, co, s1.sp AS s1, s2.sp AS s2,
+           |       CAST(co AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+           |         (CAST(s1.sp AS DOUBLE) * CAST(s2.sp AS DOUBLE)) AS lift
+           |FROM co JOIN supp s1 ON s1.p = co.p1
+           |        JOIN supp s2 ON s2.p = co.p2
+           |        CROSS JOIN n
+           |ORDER BY lift DESC, p1, p2
+           |LIMIT 20""".stripMargin))
 }
