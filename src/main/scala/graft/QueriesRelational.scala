@@ -15,7 +15,7 @@ object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
                         q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-                        q25, q26, q27, q28, q29, q30, q31)
+                        q25, q26, q27, q28, q29, q30, q31, q32)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -1082,4 +1082,37 @@ object QueriesRelational {
            |        CROSS JOIN n
            |ORDER BY lift DESC, p1, p2
            |LIMIT 20""".stripMargin))
+
+  /** User-journey TRANSITION MATRIX: the empirical Markov chain over
+    * event types — for each (from, to) pair, how many consecutive
+    * per-user transitions and what fraction of the from-state's
+    * outgoing mass. One user-keyed window (lead over event order) +
+    * one types²-sized aggregate; where the funnel (q19) checks ONE
+    * prescribed sequence, this surfaces every path the users actually
+    * take. Probabilities are single divisions of exact counts. */
+  private def q32 = Q("q32_event_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val outMass = tr.groupBy(col("from_type")).agg(sum(col("n")).as("out_n"))
+      tr.join(outMass, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("out_n").cast("double")).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""WITH tr0 AS (SELECT user_id, event_id, event_type,
+           |        lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+           |      FROM events),
+           |tr AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+           |       FROM tr0 WHERE next_type IS NOT NULL GROUP BY 1, 2),
+           |om AS (SELECT from_type, sum(n) AS out_n FROM tr GROUP BY 1)
+           |SELECT tr.from_type, tr.to_type, tr.n,
+           |       CAST(tr.n AS DOUBLE) / CAST(om.out_n AS DOUBLE) AS p
+           |FROM tr JOIN om ON om.from_type = tr.from_type
+           |ORDER BY tr.from_type, tr.to_type""".stripMargin))
 }
