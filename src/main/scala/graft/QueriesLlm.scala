@@ -18,7 +18,7 @@ object QueriesLlm {
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
-                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95)
+                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -4165,4 +4165,40 @@ object QueriesLlm {
          |FROM k GROUP BY doc_id, n_tokens
          |ORDER BY doc_id""".stripMargin
     })
+
+  /** K-ANONYMITY audit over quasi-identifiers — the privacy-risk
+    * report a dataset release runs beside the PII scrub (llm20
+    * removes direct identifiers; this measures RE-identification
+    * risk from attribute combinations that survive scrubbing): group
+    * documents by the (lang, source, length-bucket) quasi-identifier
+    * tuple and report, per k threshold, how many equivalence classes
+    * and how many documents sit in groups smaller than k. One
+    * aggregate on the tuple, then a threshold sweep over the tiny
+    * class histogram — nothing re-scans the corpus per k. */
+  private def llm96 = Q("llm96_k_anonymity",
+    (s, dir) => {
+      val classes = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars DIV 200").as("len_bucket"))
+        .agg(count(lit(1)).as("csize"))
+      val ks = Seq(2, 5, 11)
+      val rows = ks.map { k =>
+        classes.agg(
+          lit(k).as("k"),
+          count(lit(1)).as("n_classes"),
+          sum(when(col("csize") < k, 1L).otherwise(0L)).as("n_risky_classes"),
+          sum(when(col("csize") < k, col("csize")).otherwise(0L)).as("n_docs_at_risk"))
+      }
+      rows.reduce(_ unionByName _).orderBy(col("k"))
+    },
+    Some("""WITH c AS (SELECT lang, source, n_chars // 200 AS len_bucket,
+           |             count(*) AS csize
+           |           FROM documents GROUP BY 1, 2, 3),
+           |ks AS (SELECT unnest([2, 5, 11]) AS k)
+           |SELECT CAST(ks.k AS INT) AS k,
+           |       count(*) AS n_classes,
+           |       CAST(sum(CASE WHEN csize < ks.k THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
+           |       CAST(sum(CASE WHEN csize < ks.k THEN csize ELSE 0 END) AS BIGINT) AS n_docs_at_risk
+           |FROM c CROSS JOIN ks
+           |GROUP BY ks.k ORDER BY k""".stripMargin))
 }
