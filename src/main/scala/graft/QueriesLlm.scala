@@ -18,7 +18,7 @@ object QueriesLlm {
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
-                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96)
+                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -4201,4 +4201,114 @@ object QueriesLlm {
            |       CAST(sum(CASE WHEN csize < ks.k THEN csize ELSE 0 END) AS BIGINT) AS n_docs_at_risk
            |FROM c CROSS JOIN ks
            |GROUP BY ks.k ORDER BY k""".stripMargin))
+
+  /** Quality-gate ABLATION: which Gopher rule does the rejecting —
+    * per rule, how many documents fail it at all and how many fail
+    * ONLY it (the rule's unique contribution; a rule with zero unique
+    * rejections is redundant at current thresholds, one dominating
+    * the unique column deserves a threshold review). One scan
+    * computes all rule verdicts in a single projection; the per-rule
+    * rows are a literal explode over that row's booleans, so the
+    * corpus is read once for the whole ablation. */
+  private def llm97 = Q("llm97_gate_ablation",
+    (s, dir) => {
+      val t = TextAnalysis
+      val m = Tables.documents(s, dir).select(
+        t.tokenCount(col("text")).cast("long").as("n_words"),
+        t.meanTokenLen(col("text")).as("mwl"),
+        t.symbolWordRatio(col("text")).as("sym"),
+        t.bulletLineFrac(col("text")).as("bul"),
+        t.ellipsisLineFrac(col("text")).as("ell"),
+        t.alphaWordFrac(col("text")).as("alpha"),
+        t.gopherStopwordHits(col("text")).cast("long").as("stop"))
+      val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "word_count"   -> (col("n_words") >= 50 && col("n_words") <= 100000),
+        "mean_wordlen" -> (col("mwl") >= 3.0 && col("mwl") <= 10.0),
+        "symbol_ratio" -> (col("sym") < 0.1),
+        "bullet_frac"  -> (col("bul") < 0.9),
+        "ellipsis"     -> (col("ell") < 0.3),
+        "alpha_frac"   -> (col("alpha") > 0.8),
+        "stopwords"    -> (col("stop") >= 1))
+      val flagged = m.select(rules.map { case (nm, c) => c.as(nm) }: _*)
+        .withColumn("__nfail",
+          rules.map { case (nm, _) => when(!col(nm), 1).otherwise(0) }.reduce(_ + _))
+      val perRule = rules.map { case (nm, _) =>
+        flagged.agg(lit(nm).as("rule"),
+          sum(when(!col(nm), 1L).otherwise(0L)).as("n_fail"),
+          sum(when(!col(nm) && col("__nfail") === 1, 1L).otherwise(0L)).as("n_unique_fail"))
+      }
+      perRule.reduce(_ unionByName _).orderBy(col("rule"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text,
+           |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+           |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ltoks,
+           |    string_split(text, chr(10)) AS lines
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id,
+           |    CAST(len(toks) AS BIGINT) AS n_words,
+           |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+           |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mwl,
+           |    CAST((length(text) - length(replace(text, '#', '')))
+           |         + ((length(text) - length(replace(text, '...', ''))) / 3) AS DOUBLE)
+           |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS sym,
+           |    CAST(len(list_filter(lines, l -> left(ltrim(l), 1) = '-'
+           |           OR left(ltrim(l), 1) = '*' OR left(ltrim(l), 1) = '•')) AS DOUBLE)
+           |      / CAST(greatest(len(lines), 1) AS DOUBLE) AS bul,
+           |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+           |           OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+           |      / CAST(greatest(len(lines), 1) AS DOUBLE) AS ell,
+           |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+           |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS alpha,
+           |    CAST(CAST(list_contains(ltoks, 'the') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'be') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'to') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'of') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'and') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'that') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'have') AS INTEGER)
+           |       + CAST(list_contains(ltoks, 'with') AS INTEGER) AS BIGINT) AS stop
+           |  FROM t),
+           |v AS (SELECT
+           |    (n_words >= 50 AND n_words <= 100000) AS word_count,
+           |    (mwl >= 3.0 AND mwl <= 10.0) AS mean_wordlen,
+           |    (sym < 0.1) AS symbol_ratio,
+           |    (bul < 0.9) AS bullet_frac,
+           |    (ell < 0.3) AS ellipsis,
+           |    (alpha > 0.8) AS alpha_frac,
+           |    (stop >= 1) AS stopwords
+           |  FROM m),
+           |f AS (SELECT *,
+           |    (CASE WHEN NOT word_count THEN 1 ELSE 0 END
+           |     + CASE WHEN NOT mean_wordlen THEN 1 ELSE 0 END
+           |     + CASE WHEN NOT symbol_ratio THEN 1 ELSE 0 END
+           |     + CASE WHEN NOT bullet_frac THEN 1 ELSE 0 END
+           |     + CASE WHEN NOT ellipsis THEN 1 ELSE 0 END
+           |     + CASE WHEN NOT alpha_frac THEN 1 ELSE 0 END
+           |     + CASE WHEN NOT stopwords THEN 1 ELSE 0 END) AS nfail
+           |  FROM v)
+           |SELECT rule, n_fail, n_unique_fail FROM (
+           |  SELECT 'word_count' AS rule,
+           |    CAST(sum(CASE WHEN NOT word_count THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+           |    CAST(sum(CASE WHEN NOT word_count AND nfail = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_fail FROM f
+           |  UNION ALL SELECT 'mean_wordlen',
+           |    CAST(sum(CASE WHEN NOT mean_wordlen THEN 1 ELSE 0 END) AS BIGINT),
+           |    CAST(sum(CASE WHEN NOT mean_wordlen AND nfail = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+           |  UNION ALL SELECT 'symbol_ratio',
+           |    CAST(sum(CASE WHEN NOT symbol_ratio THEN 1 ELSE 0 END) AS BIGINT),
+           |    CAST(sum(CASE WHEN NOT symbol_ratio AND nfail = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+           |  UNION ALL SELECT 'bullet_frac',
+           |    CAST(sum(CASE WHEN NOT bullet_frac THEN 1 ELSE 0 END) AS BIGINT),
+           |    CAST(sum(CASE WHEN NOT bullet_frac AND nfail = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+           |  UNION ALL SELECT 'ellipsis',
+           |    CAST(sum(CASE WHEN NOT ellipsis THEN 1 ELSE 0 END) AS BIGINT),
+           |    CAST(sum(CASE WHEN NOT ellipsis AND nfail = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+           |  UNION ALL SELECT 'alpha_frac',
+           |    CAST(sum(CASE WHEN NOT alpha_frac THEN 1 ELSE 0 END) AS BIGINT),
+           |    CAST(sum(CASE WHEN NOT alpha_frac AND nfail = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+           |  UNION ALL SELECT 'stopwords',
+           |    CAST(sum(CASE WHEN NOT stopwords THEN 1 ELSE 0 END) AS BIGINT),
+           |    CAST(sum(CASE WHEN NOT stopwords AND nfail = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM f)
+           |ORDER BY rule""".stripMargin))
 }
