@@ -302,15 +302,23 @@ object Dedup {
   def boilerplateShingles(df: DataFrame, idCol: Column, textCol: Column,
                           n: Int, minDf: Int): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val sh = df.select(idCol.as("doc_id"), textCol.as("__t"))
+    // pass 1 — df counts: per-doc DISTINCT hashes come from the
+    // native in-row set pass (MinhashSigs withSet), so no
+    // (doc, hash) distinct exchange precedes the count aggregate
+    val hot = df.select(idCol.as("doc_id"), textCol.as("__t"))
+      .where(col("__t").isNotNull)
+      .select(explode(
+        graft.functions.MinhashSigs(col("__t"), n, 1, withSet = true)
+          .getField("shh")).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    // pass 2 — string recovery for the tiny heavy-hitter set only
+    val hashed = df.select(idCol.as("doc_id"), textCol.as("__t"))
       .where(col("__t").isNotNull)
       .select(col("doc_id"), col("__t"),
         explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"))
-      .select(col("doc_id"), col("__t").substr(col("__i"), lit(n)).as("__s"))
-    val hashed = sh.select(col("doc_id"), col("__s"), xxhash64(col("__s")).as("__h"))
-    val hot = hashed.select(col("doc_id"), col("__h")).distinct()
-      .groupBy(col("__h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
+      .select(col("__t").substr(col("__i"), lit(n)).as("__s"))
+      .select(col("__s"), xxhash64(col("__s")).as("__h"))
     hashed.join(broadcast(hot), Seq("__h"))
       .groupBy(col("__s").as("shingle"))
       .agg(max(col("df")).as("df"))
