@@ -183,8 +183,12 @@ object Dedup {
     // rows materialize, no aggregate hash map — the MD5 per shingle
     // is all that remains. Values are pinned bit-identical to the
     // explode path below (MinhashSigsSpec), so oracles are unchanged.
-    // Null text mirrors the explode path's drop (explode of a null
-    // sequence emitted no rows).
+    // Null-text docs are DROPPED (intentional: a null document has no
+    // shingles, and a null-signature row would poison every min-band
+    // bucket). NB the pre-filter explode formulation did NOT drop
+    // them — greatest() skips nulls, so it emitted one row with null
+    // signature columns; the reference impls below carry the same
+    // isNotNull filter so the parity property is exact.
     val sigs = df.select(idCol.as("doc_id"), textCol.as("__t"))
       .where(col("__t").isNotNull)
       .select(col("doc_id"),
@@ -208,7 +212,11 @@ object Dedup {
   private[graft] def minhashSignatureTextExploded(df: DataFrame, idCol: Column,
                                                 textCol: Column,
                                                 n: Int, k: Int): DataFrame = {
+    // isNotNull matches the native path's null-text drop (without it
+    // greatest() skips the null length and this emits one row of null
+    // signature columns — not a drop)
     val exploded = df.select(idCol.as("doc_id"), textCol.as("__t"))
+      .where(col("__t").isNotNull)
       .select(col("doc_id"), col("__t"),
         explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"))
       .select(col("doc_id"),
@@ -261,6 +269,7 @@ object Dedup {
                                                    textCol: Column,
                                                    n: Int, k: Int): DataFrame = {
     val exploded = df.select(idCol.as("doc_id"), textCol.as("__t"))
+      .where(col("__t").isNotNull) // match the native null-text drop (see minhashSignatureText)
       .select(col("doc_id"), col("__t"),
         explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"))
       .select(col("doc_id"), col("__t").substr(col("__i"), lit(n)).as("__s"))

@@ -307,7 +307,9 @@ object Multimodal {
               math.abs(v.toLong)
             } else {
               val (b0, b1) = if (big) (data(off), data(off + 1)) else (data(off + 1), data(off))
-              math.abs(((b0.toInt << 8) | (b1 & 0xff)).toLong)
+              val v = if (signed) (b0.toInt << 8) | (b1 & 0xff)
+                      else (((b0 & 0xff) << 8) | (b1 & 0xff)) - 32768
+              math.abs(v.toLong)
             }
           }
           val env = Array.tabulate(dim) { w =>

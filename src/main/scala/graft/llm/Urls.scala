@@ -118,7 +118,13 @@ object Urls {
   def domainQuota(docs: DataFrame, idCol: Column, urlCol: Column,
                   quota: Int): DataFrame = {
     require(quota >= 1, s"quota must be >= 1, got $quota")
-    val base = docs.select(idCol.cast("long").as("id"),
+    // cast-trap: a non-numeric id would silently null out and collapse
+    // the hash rank + keep decision, so fail loudly instead (same
+    // coalesce(raise_error) idiom as Curation.tokenBudgetSelect)
+    val idLong = coalesce(idCol.cast("long"),
+      raise_error(concat(lit("domainQuota: id must be non-null numeric, got "),
+        coalesce(idCol.cast("string"), lit("null")))).cast("long"))
+    val base = docs.select(idLong.as("id"),
       registeredDomain(hostOf(urlCol)).as("domain"))
     val withRank = base
       .withColumn("__h", Portable.hash64(col("id").cast("string")))

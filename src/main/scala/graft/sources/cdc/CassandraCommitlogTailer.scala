@@ -123,9 +123,8 @@ final class CassandraCommitlogTailer(jdbcUrl: String, dbDir: Path,
     * A skipped record never advances the durable position (only
     * emitted changes do), so a trailing tombstone is re-read by later
     * polls; the per-table high-water below keeps the COUNT exact. */
-  @volatile private var rangeTombstones = 0L
-  private val rtHighWater = scala.collection.mutable.Map.empty[String, NativeCdc.Position]
-  def skippedRangeTombstones: Long = rangeTombstones
+  private val rangeTombstones = new NativeCdc.SkipCounter[NativeCdc.Position](_ > _)
+  def skippedRangeTombstones: Long = rangeTombstones.count
 
   override protected def currentPosition(conn: java.sql.Connection,
                                          t: TableSpec): Position =
@@ -176,10 +175,7 @@ final class CassandraCommitlogTailer(jdbcUrl: String, dbDir: Path,
             case "ROW_DELETE" | "PARTITION_DELETE" =>
               emit(pos, Change("d", None, None, keyFrom))
             case "RANGE_TOMBSTONE" =>
-              if (rtHighWater.get(t.ci).forall(pos > _)) {
-                rangeTombstones += 1
-                rtHighWater(t.ci) = pos
-              }
+              rangeTombstones.countOnce(t.ci, pos)
             case other => throw new IllegalArgumentException(
               s"cassandra commitlog: unknown mutation kind '$other' at $pos")
           }

@@ -145,9 +145,8 @@ final class InformixCdcTailer(jdbcUrl: String, dbDir: Path,
     * re-scans on every poll until a later commit moves past it (a
     * no-op: nothing emits); the high-water below keeps the COUNT
     * exact across those re-scans. */
-  @volatile private var rolledBack = 0L
-  private val rbHighWater = scala.collection.mutable.Map.empty[String, BigInt]
-  def discardedTransactions: Long = rolledBack
+  private val rolledBack = new NativeCdc.SkipCounter[BigInt](_ > _)
+  def discardedTransactions: Long = rolledBack.count
 
   /** `TRUNCATE` records skipped — the reference's default
     * `skipped.operations=t`, surfaced as a counter. Counted at
@@ -155,9 +154,8 @@ final class InformixCdcTailer(jdbcUrl: String, dbDir: Path,
     * transaction never happened and must not report as skipped work
     * (same re-scan high-water discipline as the rollback counter,
     * keyed by the truncate record's own seqnum). */
-  @volatile private var truncates = 0L
-  private val trHighWater = scala.collection.mutable.Map.empty[String, BigInt]
-  def skippedTruncates: Long = truncates
+  private val truncates = new NativeCdc.SkipCounter[BigInt](_ > _)
+  def skippedTruncates: Long = truncates.count
 
   override protected def currentPosition(conn: java.sql.Connection,
                                          t: TableSpec): Position =
@@ -273,12 +271,7 @@ final class InformixCdcTailer(jdbcUrl: String, dbDir: Path,
               if (p > from) emit(p, ch)
             }
             // truncates count only in COMMITTED work, exactly once
-            tx.truncSeqs.foreach { ts =>
-              if (trHighWater.get(t.ci).forall(ts > _)) {
-                truncates += 1
-                trHighWater(t.ci) = ts
-              }
-            }
+            tx.truncSeqs.foreach(ts => truncates.countOnce(t.ci, ts))
           case "RBTX" =>
             val tx = open.getOrElse {
               if (tailWindow) OpenTx(txid, implicitTail = true)
@@ -289,10 +282,7 @@ final class InformixCdcTailer(jdbcUrl: String, dbDir: Path,
               s"informix cdc: RBTX of $txid inside open tx ${tx.txid} at $seq")
             open = None
             tailWindow = false
-            if (rbHighWater.get(t.ci).forall(seq > _)) {
-              rolledBack += 1
-              rbHighWater(t.ci) = seq
-            }
+            rolledBack.countOnce(t.ci, seq)
           case other => throw new IllegalArgumentException(
             s"informix cdc: unknown record type '$other' at $seq " +
             "(INSERT/DELETE/UPDBEF/UPDAFT/BEGINTX/COMMTX/RBTX/TRUNCATE)")

@@ -59,6 +59,25 @@ object NativeCdc {
   final case class Change(op: String, before: Option[Map[String, Any]],
                           after: Option[Map[String, Any]], keyFrom: Map[String, Any])
 
+  /** Thread-safe skip counter with a per-table high-water. A skipped
+    * record never advances the durable position, so trailing skips
+    * re-read on later polls — the high-water keeps the COUNT exact
+    * across re-scans, and the synchronized check-then-count keeps the
+    * (count, high-water) pair consistent even if a tailer is ever
+    * polled concurrently (the former @volatile-increment +
+    * unsynchronized-Map pair could corrupt counts). */
+  final class SkipCounter[P](gt: (P, P) => Boolean) {
+    private val highWater = scala.collection.mutable.Map.empty[String, P]
+    private var n = 0L
+    def countOnce(table: String, pos: P): Unit = synchronized {
+      if (highWater.get(table).forall(p => gt(pos, p))) {
+        n += 1
+        highWater(table) = pos
+      }
+    }
+    def count: Long = synchronized(n)
+  }
+
   /** Parse `schema.table:key1+key2[:captureInstance][,…]` specs (the
     * shared `debezium.source.<connector>.tables` syntax). */
   def parseTableSpecs(spec: String): Seq[TableSpec] =

@@ -55,11 +55,17 @@ class MinhashSigsSpec extends SparkSpec {
     }
   }
 
-  test("null text drops the row, matching the explode path") {
+  test("null text drops the row in BOTH paths (intentional contract)") {
+    // NB: the un-filtered explode formulation would NOT drop it —
+    // greatest() skips nulls, so it emitted a null-signature row; the
+    // drop is the declared contract and both impls now pin it.
     val df = Seq((1L, "hello world"), (2L, null)).toDF("doc_id", "text")
     val ids = Dedup.minhashSignatureText(df, col("doc_id"), col("text"), n = 5, k = 4)
       .select("doc_id").as[Long].collect().toSet
     assert(ids == Set(1L))
+    val refIds = Dedup.minhashSignatureTextExploded(df, col("doc_id"), col("text"), n = 5, k = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(refIds == Set(1L))
   }
 
   test("codegen and interpreted paths agree") {
