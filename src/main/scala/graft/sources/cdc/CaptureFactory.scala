@@ -100,6 +100,17 @@ object CaptureFactory {
       }
       NativeCapture(t)
     }
+    // TLS posture for the live wire feeds: the reference's own knobs —
+    // postgres `database.sslmode`/`database.sslrootcert`, MySQL
+    // `database.ssl.mode` (both spellings accepted by Tls.Mode.parse)
+    def tlsOf: Tls.Config = {
+      val mode = props.get("debezium.source.database.sslmode")
+        .orElse(props.get("debezium.source.database.ssl.mode"))
+        .map(Tls.Mode.parse).getOrElse(Tls.Mode.Disable)
+      val root = props.get("debezium.source.database.sslrootcert")
+        .map(Paths.get(_))
+      Tls.Config(mode, root)
+    }
     // live socket session (`host:port`) wins over a captured-message
     // directory; exactly one of the two must be configured
     def feed: ReplicationFeed = props.get("debezium.source.protocol.socket") match {
@@ -140,7 +151,8 @@ object CaptureFactory {
             publication = props.getOrElse("debezium.source.publication.name", "graft_pub"),
             maxPending = props.getOrElse("debezium.source.protocol.max.pending",
               "65536").toInt,
-            positionFile = Some(dbDir.resolve("_pg_flushed")))
+            positionFile = Some(dbDir.resolve("_pg_flushed")),
+            tls = tlsOf)
         case None => feed
       }
       ProtocolCapture(new ReplicationTailer(pgFeed, dec.decode, dbDir))
@@ -168,7 +180,8 @@ object CaptureFactory {
             // the reference's database.user/password knobs drive the
             // connection-phase handshake; absent = auth-less session
             credentials = props.get("debezium.source.database.user").map(u =>
-              (u, props.getOrElse("debezium.source.database.password", ""))))
+              (u, props.getOrElse("debezium.source.database.password", ""))),
+            tls = tlsOf)
         case None => feed
       }
       val colPrefix = "debezium.source.binlog.columns."

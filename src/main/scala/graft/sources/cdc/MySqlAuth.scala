@@ -27,7 +27,11 @@ import java.security.MessageDigest
 object MySqlAuth {
 
   final case class HandshakeV10(serverVersion: String, threadId: Int,
-                                nonce: Array[Byte], authPlugin: String)
+                                nonce: Array[Byte], authPlugin: String,
+                                capabilities: Int = 0) {
+    /** Server offers TLS (CLIENT_SSL capability). */
+    def supportsSsl: Boolean = (capabilities & ClientSsl) != 0
+  }
 
   /** Parse a HandshakeV10 greeting payload (not including the packet
     * header). Fails loudly on any other protocol version. */
@@ -43,10 +47,12 @@ object MySqlAuth {
     val noncePart1 = java.util.Arrays.copyOfRange(p, i, i + 8)
     i += 8
     i += 1 // filler
-    i += 2 // capability flags (lower)
+    val capsLo = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    i += 2 // capability flags (lower, LE)
     i += 1 // charset
     i += 2 // status flags
-    i += 2 // capability flags (upper)
+    val capsHi = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    i += 2 // capability flags (upper, LE)
     val authDataLen = p(i) & 0xff
     i += 1
     i += 10 // reserved
@@ -57,7 +63,8 @@ object MySqlAuth {
     i += part2Len
     val p0 = i; while (i < p.length && p(i) != 0) i += 1
     val plugin = new String(p, p0, i - p0, StandardCharsets.UTF_8)
-    HandshakeV10(serverVersion, threadId, noncePart1 ++ noncePart2, plugin)
+    HandshakeV10(serverVersion, threadId, noncePart1 ++ noncePart2, plugin,
+      capsLo | (capsHi << 16))
   }
 
   private def sha1(parts: Array[Byte]*): Array[Byte] = {
@@ -100,23 +107,45 @@ object MySqlAuth {
   private val ClientProtocol41 = 0x00000200
   private val ClientPluginAuth = 0x00080000
   private val ClientSecureConnection = 0x00008000
+  /** CLIENT_SSL — the TLS-upgrade capability bit. */
+  val ClientSsl = 0x00000800
+
+  private def clientCaps(ssl: Boolean): Int =
+    ClientProtocol41 | ClientPluginAuth | ClientSecureConnection |
+      (if (ssl) ClientSsl else 0)
 
   /** HandshakeResponse41 payload: capabilities, max packet, charset,
-    * 23-byte filler, user, length-prefixed auth token, plugin name. */
+    * 23-byte filler, user, length-prefixed auth token, plugin name.
+    * `ssl` keeps CLIENT_SSL asserted in the post-upgrade response —
+    * the full response repeats the SSLRequest's capability word. */
   def handshakeResponse41(user: String, authToken: Array[Byte],
-                          plugin: String): Array[Byte] = {
+                          plugin: String, ssl: Boolean = false): Array[Byte] = {
     val u = user.getBytes(StandardCharsets.UTF_8)
     val pl = plugin.getBytes(StandardCharsets.UTF_8)
     val b = java.nio.ByteBuffer.allocate(4 + 4 + 1 + 23 + u.length + 1 +
         1 + authToken.length + pl.length + 1)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.putInt(ClientProtocol41 | ClientPluginAuth | ClientSecureConnection)
+    b.putInt(clientCaps(ssl))
     b.putInt(1 << 24) // max packet size
     b.put(45.toByte)  // utf8mb4
     b.put(new Array[Byte](23))
     b.put(u); b.put(0.toByte)
     b.put(authToken.length.toByte); b.put(authToken)
     b.put(pl); b.put(0.toByte)
+    b.array()
+  }
+
+  /** SSLRequest payload — the 32-byte HandshakeResponse prefix
+    * (capabilities with CLIENT_SSL, max packet, charset, 23-byte
+    * filler) sent BEFORE the TLS upgrade; the server switches the
+    * socket to a handshake on receipt. */
+  def sslRequest(): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(clientCaps(ssl = true))
+    b.putInt(1 << 24)
+    b.put(45.toByte)
+    b.put(new Array[Byte](23))
     b.array()
   }
 }

@@ -9,12 +9,23 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * protocol for a binlog dump session — connection phase AND command
   * phase. With `credentials` set, the session authenticates first:
   * HandshakeV10 greeting → HandshakeResponse41 carrying the plugin's
-  * scrambled token ([[MySqlAuth]] — `mysql_native_password` and the
-  * `caching_sha2_password` fast path) → OK/ERR. The remaining
-  * declared boundary is TLS and caching_sha2's full-auth fallback
-  * (which needs TLS or the server's RSA key). Everything here is the
-  * public protocol from the MySQL manual's "Connection Phase" /
-  * "Replication Protocol" internals:
+  * scrambled token ([[MySqlAuth]] — `mysql_native_password` and
+  * `caching_sha2_password`) → OK/ERR.
+  *
+  * TLS ([[Tls.Config]]): the greeting is always plaintext; when the
+  * server's capability word carries CLIENT_SSL and `tls` is enabled,
+  * the client answers with the 32-byte SSLRequest packet
+  * ([[MySqlAuth.sslRequest]]) and upgrades the socket before sending
+  * the full HandshakeResponse41 over the encrypted channel. A server
+  * WITHOUT the capability under an enabled `tls` mode is refused
+  * loudly (no silent plaintext downgrade). caching_sha2's FULL-auth
+  * fallback (AuthMoreData 0x04 — every cache-miss first connection to
+  * a MySQL 8 account) answers with the plaintext password over the
+  * TLS channel, exactly the protocol's sanctioned path; without TLS
+  * it still fails loudly (the RSA public-key exchange alternative
+  * stays out of scope). Everything here is the public protocol from
+  * the MySQL manual's "Connection Phase" / "Replication Protocol"
+  * internals:
   *
   *  - every packet is `[int24 LE payload-length][int8 sequence-id]
   *    [payload]`;
@@ -55,9 +66,12 @@ final class MySqlBinlogDumpFeed(host: String, port: Int,
                                   * = skip the handshake (a pre-auth'd
                                   * or auth-less session — what the
                                   * dump-only stub serves). */
-                                credentials: Option[(String, String)] = None)
+                                credentials: Option[(String, String)] = None,
+                                tls: Tls.Config = Tls.Config())
     extends ReplicationFeed {
   require(maxPending > 0, "maxPending must be positive")
+  require(!tls.enabled || credentials.nonEmpty,
+    "mysql tls: the SSLRequest rides the connection phase — configure credentials")
 
   private var socket: Socket = _
   private var in: DataInputStream = _
@@ -87,9 +101,28 @@ final class MySqlBinlogDumpFeed(host: String, port: Int,
       val (greetSeq, greeting) = readPacket()
       val hs = MySqlAuth.parseHandshakeV10(greeting)
       val token = MySqlAuth.scrambleFor(hs.authPlugin, password, hs.nonce)
-      writePacket(greetSeq + 1,
-        MySqlAuth.handshakeResponse41(user, token, hs.authPlugin))
-      val (_, reply) = readPacket()
+      var respSeq = greetSeq + 1
+      if (tls.enabled) {
+        if (!hs.supportsSsl) {
+          teardown()
+          throw new IOException(
+            "mysql tls: server lacks CLIENT_SSL but ssl mode requires TLS " +
+            "(refusing the plaintext downgrade)")
+        }
+        writePacket(respSeq, MySqlAuth.sslRequest())
+        respSeq += 1
+        val ssl = try Tls.upgradeClient(s, host, port, tls)
+          catch { case e: IOException =>
+            teardown()
+            throw new IOException(s"mysql tls: handshake refused (${e.getMessage})", e)
+          }
+        socket = ssl
+        in = new DataInputStream(new BufferedInputStream(ssl.getInputStream))
+        out = new DataOutputStream(new BufferedOutputStream(ssl.getOutputStream))
+      }
+      writePacket(respSeq,
+        MySqlAuth.handshakeResponse41(user, token, hs.authPlugin, ssl = tls.enabled))
+      val (replySeq, reply) = readPacket()
       (reply(0) & 0xff) match {
         case 0x00 => () // OK — authenticated
         case 0x01 => // AuthMoreData — caching_sha2's status wrapper:
@@ -100,10 +133,25 @@ final class MySqlBinlogDumpFeed(host: String, port: Int,
               val (_, ok) = readPacket()
               if ((ok(0) & 0xff) != 0x00) throw new IOException(
                 "mysql auth: expected OK after fast-auth success")
+            case 0x04 if tls.enabled =>
+              // full auth: plaintext password + NUL over the TLS channel
+              val pw = password.getBytes(StandardCharsets.UTF_8)
+              writePacket(replySeq + 1, java.util.Arrays.copyOf(pw, pw.length + 1))
+              val (_, fin) = readPacket()
+              (fin(0) & 0xff) match {
+                case 0x00 => () // OK — full auth accepted
+                case 0xFF =>
+                  val code = (fin(1) & 0xff) | ((fin(2) & 0xff) << 8)
+                  val msg = new String(fin, 3, fin.length - 3, StandardCharsets.UTF_8)
+                  teardown()
+                  throw new IOException(s"mysql auth: full-auth ERR $code: $msg")
+                case other => teardown(); throw new IOException(
+                  f"mysql auth: unexpected full-auth reply marker 0x$other%02x")
+              }
             case 0x04 => teardown(); throw new IOException(
-              "mysql auth: server requested caching_sha2 FULL auth (needs TLS or " +
-              "the server RSA key) — the declared boundary; use native auth or a " +
-              "cached-credentials account")
+              "mysql auth: server requested caching_sha2 FULL auth — needs TLS " +
+              "(configure Tls.Config; the RSA key exchange stays out of scope) " +
+              "or a cached-credentials account")
             case other => teardown(); throw new IOException(
               f"mysql auth: unexpected AuthMoreData status 0x$other%02x")
           }
@@ -149,10 +197,24 @@ final class MySqlBinlogDumpFeed(host: String, port: Int,
     (seq, payload)
   }
 
+  /** Non-blocking packet probe: a timed 1-byte read under SO_TIMEOUT
+    * (reset before the packet body). `available()` is useless on an
+    * SSLSocket (reports only already-decrypted bytes), so the drain
+    * probes instead. */
+  private def packetReady(): Boolean = {
+    in.mark(1)
+    socket.setSoTimeout(PollProbeMs)
+    val first = try in.read()
+      catch { case _: java.net.SocketTimeoutException => -2 }
+    if (first == -1) throw new IOException("mysql: connection closed")
+    if (first < 0) false
+    else { in.reset(); socket.setSoTimeout(FrameTimeoutMs); true }
+  }
+
   override def poll(): Seq[Array[Byte]] = {
     try {
       ensureConnected()
-      while (pending.size < maxPending && in.available() >= 4) {
+      while (pending.size < maxPending && packetReady()) {
         val len = in.read() | (in.read() << 8) | (in.read() << 16)
         in.read() // sequence id — informational on this path
         require(len >= 1 && len <= MaxPacketBytes,
@@ -206,4 +268,6 @@ final class MySqlBinlogDumpFeed(host: String, port: Int,
   override def close(): Unit = teardown()
 
   private val MaxPacketBytes = 16 * 1024 * 1024
+  private val PollProbeMs = 10
+  private val FrameTimeoutMs = 30000
 }

@@ -45,8 +45,16 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * every poll returns ALL messages since the last commit; past
   * `maxPending` the drain stops and TCP back-pressures the server.
   *
-  * The remaining declared boundary: TLS (`sslmode=require` sessions)
-  * and SASLprep of non-ASCII passwords.
+  * TLS (`sslmode=require`/`verify-ca`/`verify-full` via [[Tls]]): an
+  * SSLRequest probe (int32 8, int32 80877103) precedes the
+  * StartupMessage; the server answers one raw byte — 'S' accepts (the
+  * JSSE handshake runs and every subsequent protocol byte rides the
+  * encrypted channel), 'N' declines (refused loudly here: a non-TLS
+  * fallback under `sslmode=require` would silently downgrade the
+  * session). Certificate and hostname verification per
+  * [[Tls.Mode]]. The remaining declared boundary: SCRAM channel
+  * binding (`SCRAM-SHA-256-PLUS`) and SASLprep of non-ASCII
+  * passwords.
   */
 final class PgWalSenderFeed(host: String, port: Int,
                             database: String, user: String,
@@ -57,6 +65,7 @@ final class PgWalSenderFeed(host: String, port: Int,
                             connectTimeoutMs: Int = 5000,
                             maxPending: Int = 65536,
                             positionFile: Option[Path] = None,
+                            tls: Tls.Config = Tls.Config(),
                             /** Spec seam: fixed nonce for byte-replay
                               * tests; production uses SecureRandom. */
                             nonceSource: () => String = PgWalSenderFeed.randomNonce)
@@ -177,9 +186,34 @@ final class PgWalSenderFeed(host: String, port: Int,
       "(debezium.source.database.password)"))
 
   private def ensureConnected(): Unit = if (socket == null) {
-    val s = new Socket()
-    s.connect(new InetSocketAddress(host, port), connectTimeoutMs)
-    s.setTcpNoDelay(true)
+    val plain = new Socket()
+    plain.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    plain.setTcpNoDelay(true)
+    val s =
+      if (!tls.enabled) plain
+      else {
+        // SSLRequest probe BEFORE the StartupMessage: int32 8 +
+        // int32 80877103; the server answers one raw byte
+        val pout = plain.getOutputStream
+        pout.write(Array[Byte](0, 0, 0, 8, 0x04, 0xd2.toByte, 0x16, 0x2f))
+        pout.flush()
+        plain.getInputStream.read() match {
+          case 'S' =>
+            try Tls.upgradeClient(plain, host, port, tls)
+            catch { case e: IOException =>
+              try plain.close() catch { case _: IOException => () }
+              throw new IOException(s"pg tls: handshake refused (${e.getMessage})", e)
+            }
+          case 'N' =>
+            try plain.close() catch { case _: IOException => () }
+            throw new IOException(
+              "pg tls: server declined SSLRequest but sslmode requires TLS " +
+              "(refusing the plaintext downgrade)")
+          case other =>
+            try plain.close() catch { case _: IOException => () }
+            throw new IOException(s"pg tls: unexpected SSLRequest answer $other")
+        }
+      }
     in = new DataInputStream(new BufferedInputStream(s.getInputStream))
     out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
     socket = s
@@ -217,13 +251,33 @@ final class PgWalSenderFeed(host: String, port: Int,
     writeMsg('d', b.array())
   }
 
+  /** Non-blocking frame probe: a timed 1-byte read under SO_TIMEOUT
+    * (reset before the frame body). `available()` is useless here —
+    * on an SSLSocket it reports only already-DECRYPTED bytes, so a
+    * TLS session would never drain off it. */
+  private def frameReady(): Boolean = {
+    in.mark(1)
+    socket.setSoTimeout(PollProbeMs)
+    val first = try in.read()
+      catch { case _: java.net.SocketTimeoutException => -2 }
+    if (first == -1) throw new IOException("pg: connection closed")
+    if (first < 0) false
+    else {
+      in.reset()
+      // a frame has begun: the server writes whole frames, so block
+      // (bounded) for the remainder
+      socket.setSoTimeout(FrameTimeoutMs)
+      true
+    }
+  }
+
   override def poll(): Seq[Array[Byte]] = {
     try {
       ensureConnected()
-      // frame-aligned drain: begin a frame only once tag+length are
-      // buffered, then block for the rest (the server writes whole
-      // frames); stop past maxPending so TCP back-pressures
-      while (pending.size < maxPending && in.available() >= 5) {
+      // frame-aligned drain: begin a frame only once its first byte
+      // arrived, then read the rest whole; stop past maxPending so
+      // TCP back-pressures
+      while (pending.size < maxPending && frameReady()) {
         val (tag, payload) = readMsg()
         tag match {
           case 'd' if payload.nonEmpty => payload(0).toChar match {
@@ -270,6 +324,8 @@ final class PgWalSenderFeed(host: String, port: Int,
   override def close(): Unit = teardown()
 
   private val MaxFrameBytes = 64 * 1024 * 1024
+  private val PollProbeMs = 10
+  private val FrameTimeoutMs = 30000
 }
 
 object PgWalSenderFeed {

@@ -158,6 +158,76 @@ class MySqlDumpFeedSpec extends SparkSpec {
     }
   }
 
+  test("TLS: CLIENT_SSL upgrade, caching_sha2 full auth over the channel; downgrades and wrong certs refused") {
+    import graft.sources.cdc.{MySqlBinlogDumpFeed, Tls}
+    def drain(feed: MySqlBinlogDumpFeed, n: Int): Seq[Array[Byte]] = {
+      val deadline = System.nanoTime() + 30e9.toLong
+      var got: Seq[Array[Byte]] = Nil
+      while (got.size < n && System.nanoTime() < deadline) {
+        got = feed.poll(); Thread.sleep(10)
+      }
+      got
+    }
+    val srv = new StubMySqlBinlogServer
+    srv.tlsContext = Some(TlsTestCerts.primary.context)
+    srv.authMode = Some(("caching_sha2_password", "replica", "s3cret"))
+    try {
+      srv.enqueue(fde, tableMap(150), insert(200, 1, "one"))
+      // fast path over TLS: SSLRequest → handshake → HandshakeResponse41
+      val fast = new MySqlBinlogDumpFeed("localhost", srv.port,
+        credentials = Some(("replica", "s3cret")),
+        tls = Tls.Config(Tls.Mode.VerifyFull, Some(TlsTestCerts.primary.certPem)))
+      assert(drain(fast, 3).size == 3, "dump stream over TLS (fast path)")
+      assert(srv.lastSessionTls.get == true, "session must have upgraded")
+      fast.close()
+
+      // cache miss → AuthMoreData 0x04 → plaintext password over TLS → OK
+      srv.forceFullAuth = true
+      val full = new MySqlBinlogDumpFeed("localhost", srv.port,
+        credentials = Some(("replica", "s3cret")),
+        tls = Tls.Config(Tls.Mode.VerifyFull, Some(TlsTestCerts.primary.certPem)))
+      assert(drain(full, 3).size == 3, "dump stream after FULL auth")
+      full.close()
+
+      // full auth with the wrong password: the server's ERR surfaces
+      val bad = new MySqlBinlogDumpFeed("localhost", srv.port,
+        credentials = Some(("replica", "wrong")),
+        tls = Tls.Config(Tls.Mode.Require))
+      val e1 = intercept[java.io.IOException] { bad.poll() }
+      assert(e1.getMessage.contains("1045"), e1.getMessage)
+      bad.close()
+
+      // full auth demanded but the client is NOT on TLS: loud refusal
+      // (never send a plaintext password over a plaintext socket)
+      val plain = new MySqlBinlogDumpFeed("localhost", srv.port,
+        credentials = Some(("replica", "s3cret")))
+      val e2 = intercept[java.io.IOException] { plain.poll() }
+      assert(e2.getMessage.contains("needs TLS"), e2.getMessage)
+      plain.close()
+
+      // a server cert outside the pinned trust anchor is refused
+      val badTrust = new MySqlBinlogDumpFeed("localhost", srv.port,
+        credentials = Some(("replica", "s3cret")),
+        tls = Tls.Config(Tls.Mode.VerifyCa, Some(TlsTestCerts.other.certPem)))
+      val e3 = intercept[java.io.IOException] { badTrust.poll() }
+      assert(e3.getMessage.contains("mysql tls: handshake refused"), e3.getMessage)
+      badTrust.close()
+    } finally srv.close()
+
+    // TLS required but the server never advertised CLIENT_SSL: refuse
+    // the plaintext downgrade before any credential leaves the client
+    val noSsl = new StubMySqlBinlogServer
+    noSsl.authMode = Some(("mysql_native_password", "replica", "s3cret"))
+    try {
+      val feed = new MySqlBinlogDumpFeed("localhost", noSsl.port,
+        credentials = Some(("replica", "s3cret")),
+        tls = Tls.Config(Tls.Mode.Require))
+      val e = intercept[java.io.IOException] { feed.poll() }
+      assert(e.getMessage.contains("lacks CLIENT_SSL"), e.getMessage)
+      feed.close()
+    } finally noSsl.close()
+  }
+
   test("COM_BINLOG_DUMP session: a server ERR packet surfaces with its code and message") {
     val srv = new StubMySqlBinlogServer
     srv.errOnConnect = Some((1236, "Could not find first log file name"))

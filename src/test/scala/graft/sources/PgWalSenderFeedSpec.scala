@@ -179,9 +179,64 @@ class PgWalSenderFeedSpec extends SparkSpec {
     } finally srv.close()
   }
 
-  test("CaptureFactory dispatches protocol.pgwire to a live walsender session end-to-end") {
+  test("TLS: verify-full negotiates and streams encrypted; wrong trust anchor and TLS-less servers are refused loudly") {
+    import graft.sources.cdc.Tls
+    val srv = new StubPgWalSenderServer
+    srv.tlsContext = Some(TlsTestCerts.primary.context)
+    srv.authMode = Some(("scram-sha-256", "replica", "s3cret"))
+    try {
+      srv.enqueue(begin, rel, ins("1", "a@x.com"), commit)
+      // verify-full: chain to the pinned root + hostname check, then
+      // the whole v3 session (SCRAM included) rides the TLS channel
+      val feed = new PgWalSenderFeed("localhost", srv.port, "db", "replica",
+        password = Some("s3cret"),
+        tls = Tls.Config(Tls.Mode.VerifyFull, Some(TlsTestCerts.primary.certPem)))
+      val deadline = System.nanoTime() + 30e9.toLong
+      var got: Seq[Array[Byte]] = Nil
+      while (got.size < 4 && System.nanoTime() < deadline) {
+        got = feed.poll(); Thread.sleep(10)
+      }
+      assert(got.size == 4, "pgoutput stream over TLS")
+      assert(srv.lastSessionTls.get == true, "session must have upgraded")
+      feed.close()
+
+      // require: encrypt without authentication — works with no root cert
+      val req = new PgWalSenderFeed("localhost", srv.port, "db", "replica",
+        password = Some("s3cret"), tls = Tls.Config(Tls.Mode.Require))
+      val deadline2 = System.nanoTime() + 30e9.toLong
+      var got2: Seq[Array[Byte]] = Nil
+      while (got2.size < 4 && System.nanoTime() < deadline2) {
+        got2 = req.poll(); Thread.sleep(10)
+      }
+      assert(got2.size == 4)
+      req.close()
+
+      // a server presenting a cert outside the pinned trust anchor is
+      // refused at handshake — never reaches authentication
+      val badTrust = new PgWalSenderFeed("localhost", srv.port, "db", "replica",
+        password = Some("s3cret"),
+        tls = Tls.Config(Tls.Mode.VerifyCa, Some(TlsTestCerts.other.certPem)))
+      val e = intercept[IOException] { badTrust.poll() }
+      assert(e.getMessage.contains("pg tls: handshake refused"), e.getMessage)
+      badTrust.close()
+    } finally srv.close()
+
+    // sslmode=require against a TLS-less server: loud refusal, never a
+    // silent plaintext downgrade
+    val plainSrv = new StubPgWalSenderServer
+    try {
+      val feed = new PgWalSenderFeed("localhost", plainSrv.port, "db", "replica",
+        tls = Tls.Config(Tls.Mode.Require))
+      val e = intercept[IOException] { feed.poll() }
+      assert(e.getMessage.contains("declined SSLRequest"), e.getMessage)
+      feed.close()
+    } finally plainSrv.close()
+  }
+
+  test("CaptureFactory dispatches protocol.pgwire to a live walsender session end-to-end (over sslmode=verify-full)") {
     val srv = new StubPgWalSenderServer
     srv.authMode = Some(("scram-sha-256", "replica", "s3cret"))
+    srv.tlsContext = Some(TlsTestCerts.primary.context)
     val db = newDb()
     try {
       srv.enqueue(begin, rel, ins("7", "z@x.com"), commit)
@@ -193,6 +248,8 @@ class PgWalSenderFeedSpec extends SparkSpec {
         "debezium.source.database.dbname" -> "inventory",
         "debezium.source.database.user" -> "replica",
         "debezium.source.database.password" -> "s3cret",
+        "debezium.source.database.sslmode" -> "verify-full",
+        "debezium.source.database.sslrootcert" -> TlsTestCerts.primary.certPem.toString,
         "debezium.source.slot.name" -> "graft",
         "debezium.source.publication.name" -> "pub"))
       val CaptureFactory.ProtocolCapture(tailer) = c: @unchecked

@@ -33,7 +33,16 @@ final class StubMySqlBinlogServer extends AutoCloseable {
     * and its auth token validated byte-for-byte against the plugin's
     * scramble of `password` — OK on match, ERR 1045 otherwise. */
   @volatile var authMode: Option[(String, String, String)] = None
+  /** When set, the greeting advertises CLIENT_SSL and a 32-byte
+    * SSLRequest response upgrades the session to TLS server-side. */
+  @volatile var tlsContext: Option[javax.net.ssl.SSLContext] = None
+  /** Emulate a caching_sha2 cache MISS: ignore the scrambled token,
+    * demand FULL auth (AuthMoreData 0x04) and validate the plaintext
+    * password the client sends over the (required) TLS channel. */
+  @volatile var forceFullAuth: Boolean = false
   val lastAuthUser = new AtomicReference[String]("")
+  /** Whether the last session's connection phase ran over TLS. */
+  val lastSessionTls = new AtomicReference[java.lang.Boolean](false)
   private[sources] val nonce: Array[Byte] = Array.tabulate(20)(i => (i * 7 + 3).toByte)
 
   def port: Int = server.getLocalPort
@@ -57,16 +66,31 @@ final class StubMySqlBinlogServer extends AutoCloseable {
   acceptThread.setDaemon(true)
   acceptThread.start()
 
-  private def serve(s: Socket): Unit = {
+  private def serve(s0: Socket): Unit = {
+    var s = s0
     try {
       s.setTcpNoDelay(true)
-      val in = new DataInputStream(s.getInputStream)
-      val out = new DataOutputStream(s.getOutputStream)
+      var in = new DataInputStream(s.getInputStream)
+      var out = new DataOutputStream(s.getOutputStream)
       def writePacket(seq: Int, payload: Array[Byte]): Unit = {
         out.write(payload.length & 0xff); out.write((payload.length >> 8) & 0xff)
         out.write((payload.length >> 16) & 0xff); out.write(seq & 0xff)
         out.write(payload); out.flush()
       }
+      def readPacket(): Array[Byte] = {
+        val len = in.read() | (in.read() << 8) | (in.read() << 16)
+        in.read() // seq
+        val p = new Array[Byte](len); in.readFully(p)
+        p
+      }
+      def errPacket(seq: Int, code: Int, msg: String): Unit = {
+        val m = msg.getBytes(StandardCharsets.UTF_8)
+        val err = java.nio.ByteBuffer.allocate(3 + m.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        err.put(0xFF.toByte); err.putShort(code.toShort); err.put(m)
+        writePacket(seq, err.array())
+      }
+      lastSessionTls.set(false)
       // connection phase (when configured): greet, validate the
       // client's scrambled token, OK or ERR-and-close
       val authed = authMode match {
@@ -80,37 +104,63 @@ final class StubMySqlBinlogServer extends AutoCloseable {
           g.put("8.0.0-stub".getBytes(StandardCharsets.UTF_8)); g.put(0.toByte)
           g.putInt(Integer.reverseBytes(7)) // thread id (LE)
           g.put(nonce, 0, 8); g.put(0.toByte)
-          g.putShort(0); g.put(45.toByte); g.putShort(0); g.putShort(0)
+          // caps lower (LE): CLIENT_SSL 0x0800 when TLS is offered
+          if (tlsContext.isDefined) { g.put(0x00.toByte); g.put(0x08.toByte) }
+          else g.putShort(0)
+          g.put(45.toByte); g.putShort(0); g.putShort(0)
           g.put(21.toByte) // auth data len: 20 + NUL
           g.put(new Array[Byte](10))
           g.put(nonce, 8, 12); g.put(0.toByte)
           g.put(plugin.getBytes(StandardCharsets.UTF_8)); g.put(0.toByte)
           writePacket(0, java.util.Arrays.copyOf(g.array(), g.position()))
           // HandshakeResponse41: caps(4) maxpkt(4) charset(1) filler(23)
-          // user NUL, token len + token, plugin NUL
-          val rlen = in.read() | (in.read() << 8) | (in.read() << 16)
-          in.read()
-          val r = new Array[Byte](rlen); in.readFully(r)
+          // user NUL, token len + token, plugin NUL — OR, first, the
+          // 32-byte SSLRequest prefix (caps with CLIENT_SSL) → upgrade
+          var r = readPacket()
+          val clientCaps = (r(0) & 0xff) | ((r(1) & 0xff) << 8) |
+            ((r(2) & 0xff) << 16) | ((r(3) & 0xff) << 24)
+          if (r.length == 32 && (clientCaps & 0x0800) != 0) {
+            val ctx = tlsContext.getOrElse(
+              throw new IOException("stub: client sent SSLRequest but no tlsContext"))
+            val ssl = ctx.getSocketFactory
+              .createSocket(s, null, s.getPort, true)
+              .asInstanceOf[javax.net.ssl.SSLSocket]
+            ssl.setUseClientMode(false)
+            ssl.startHandshake()
+            s = ssl
+            in = new DataInputStream(ssl.getInputStream)
+            out = new DataOutputStream(ssl.getOutputStream)
+            lastSessionTls.set(true)
+            r = readPacket() // the real HandshakeResponse41, over TLS
+          }
           var i = 4 + 4 + 1 + 23
           val u0 = i; while (r(i) != 0) i += 1
           lastAuthUser.set(new String(r, u0, i - u0, StandardCharsets.UTF_8))
           i += 1
           val tlen = r(i) & 0xff; i += 1
           val token = java.util.Arrays.copyOfRange(r, i, i + tlen)
-          val expected = graft.sources.cdc.MySqlAuth.scrambleFor(plugin, password, nonce)
-          if (lastAuthUser.get != user || !java.util.Arrays.equals(token, expected)) {
-            val m = "Access denied".getBytes(StandardCharsets.UTF_8)
-            val err = java.nio.ByteBuffer.allocate(3 + m.length)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            err.put(0xFF.toByte); err.putShort(1045.toShort); err.put(m)
-            writePacket(2, err.array())
-            false
+          if (plugin == "caching_sha2_password" && forceFullAuth) {
+            // cache miss: the scramble is unverifiable server-side —
+            // demand the plaintext over the encrypted channel
+            writePacket(2, Array(0x01.toByte, 0x04.toByte)) // full auth required
+            val pw = readPacket()
+            val plain = new String(pw, 0, math.max(pw.length - 1, 0),
+              StandardCharsets.UTF_8)
+            if (lastAuthUser.get == user && plain == password) {
+              writePacket(4, Array(0x00.toByte, 0x00.toByte, 0x00.toByte)); true
+            } else { errPacket(4, 1045, "Access denied"); false }
           } else {
-            if (plugin == "caching_sha2_password") // AuthMoreData(0x01) wrapping
-              writePacket(2, Array(0x01.toByte, 0x03.toByte)) // fast-auth success
-            writePacket(if (plugin == "caching_sha2_password") 3 else 2,
-              Array(0x00.toByte, 0x00.toByte, 0x00.toByte)) // OK
-            true
+            val expected = graft.sources.cdc.MySqlAuth.scrambleFor(plugin, password, nonce)
+            if (lastAuthUser.get != user || !java.util.Arrays.equals(token, expected)) {
+              errPacket(2, 1045, "Access denied")
+              false
+            } else {
+              if (plugin == "caching_sha2_password") // AuthMoreData(0x01) wrapping
+                writePacket(2, Array(0x01.toByte, 0x03.toByte)) // fast-auth success
+              writePacket(if (plugin == "caching_sha2_password") 3 else 2,
+                Array(0x00.toByte, 0x00.toByte, 0x00.toByte)) // OK
+              true
+            }
           }
       }
       if (!authed) { s.close(); return }

@@ -35,6 +35,12 @@ final class StubPgWalSenderServer extends AutoCloseable {
   /** Corrupt the SASLFinal server signature — a server that never knew
     * the password; the client must refuse the session. */
   @volatile var tamperServerSig: Boolean = false
+  /** When set, an SSLRequest probe is answered 'S' and the session
+    * upgrades to TLS server-side with this context; when None the
+    * probe is answered 'N' (a TLS-less server). */
+  @volatile var tlsContext: Option[javax.net.ssl.SSLContext] = None
+  /** Whether the last completed session ran over TLS. */
+  val lastSessionTls = new AtomicReference[java.lang.Boolean](false)
 
   val lastStartLsn = new AtomicLong(-1L)
   val lastStartCommand = new AtomicReference[String]("")
@@ -61,9 +67,10 @@ final class StubPgWalSenderServer extends AutoCloseable {
   thread.setDaemon(true)
   thread.start()
 
-  private def session(s: Socket): Unit = {
-    val in = new DataInputStream(new BufferedInputStream(s.getInputStream))
-    val out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
+  private def session(s0: Socket): Unit = {
+    var s = s0
+    var in = new DataInputStream(new BufferedInputStream(s.getInputStream))
+    var out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream))
     def writeMsg(tag: Char, payload: Array[Byte]): Unit = {
       out.writeByte(tag); out.writeInt(4 + payload.length); out.write(payload)
       out.flush()
@@ -83,8 +90,30 @@ final class StubPgWalSenderServer extends AutoCloseable {
       val p = new Array[Byte](len - 4); in.readFully(p)
       (tag.toChar, p)
     }
+    // ---- optional SSLRequest probe (int32 8, int32 80877103) ----
+    lastSessionTls.set(false)
+    var slen = in.readInt()
+    if (slen == 8) {
+      val code = in.readInt()
+      require(code == 80877103, s"stub: unknown 8-byte startup code $code")
+      tlsContext match {
+        case Some(ctx) =>
+          out.writeByte('S'); out.flush()
+          val ssl = ctx.getSocketFactory
+            .createSocket(s, null, s.getPort, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          ssl.setUseClientMode(false)
+          ssl.startHandshake()
+          s = ssl
+          in = new DataInputStream(new BufferedInputStream(ssl.getInputStream))
+          out = new DataOutputStream(new BufferedOutputStream(ssl.getOutputStream))
+          lastSessionTls.set(true)
+        case None =>
+          out.writeByte('N'); out.flush()
+      }
+      slen = in.readInt() // the real StartupMessage follows
+    }
     // ---- startup (no tag byte) ----
-    val slen = in.readInt()
     val sp = new Array[Byte](slen - 4); in.readFully(sp)
     require(ByteBuffer.wrap(sp, 0, 4).getInt == 196608, "protocol 3.0 expected")
     val params = new String(sp, 4, sp.length - 4, StandardCharsets.UTF_8)
