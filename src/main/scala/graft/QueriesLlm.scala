@@ -717,22 +717,35 @@ object QueriesLlm {
            |WHERE rank <= 5
            |ORDER BY qid, rank""".stripMargin))
 
-  /** Multimodal column pipeline (graft.llm.Multimodal): wrap text as
-    * an opaque media binary with typed metadata, then run the batched
-    * feature extraction — the oracle recomputes the deterministic
-    * decode (md5-derived features) in SQL, so the whole media →
-    * features plumbing (schema, UDF signature, batch shape) is
-    * value-checked, not just smoke-tested. */
+  /** Multimodal column pipeline (graft.llm.Multimodal): even-id docs
+    * carry a REAL PNG (the proven llm69 `fixturePng` machinery) and
+    * run the REAL ImageIO decode → 4×4 luminance lattice; odd-id docs
+    * carry the text blob and run the declared hash stub — ONE frame
+    * through `extractFeaturesTyped` exercises both sides of the codec
+    * seam. The oracle recomputes the image features from the pixel
+    * generation formula (PNG is lossless, so ImageIO must hand back
+    * exactly those channel values) and the stub features from md5 —
+    * real pixel-derived features are value-checked, not stubbed. PNG
+    * container bytes are not SQL-replayable, so n_bytes/content_md5
+    * are value-checked on the text rows and null on image rows. */
   private def llm06 = Q("llm06_multimodal_features",
     (s, dir) => {
       import graft.llm.Multimodal
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val media = Multimodal.asMedia(d, "text", "text/plain")
-      val feats = Multimodal.extractFeatures(media, "doc_id", dim = 8)
+      val png = udf((id: Long) => Multimodal.fixturePng(id))
+      val isImg = col("doc_id") % 2 === 0
+      val media = d
+        .withColumn("media",
+          when(isImg, png(col("doc_id"))).otherwise(col("text").cast("binary")))
+        .withColumn("media_meta", struct(
+          when(isImg, lit("image/png")).otherwise(lit("text/plain")).as("media_type"),
+          length(col("media")).cast("long").as("n_bytes"),
+          md5(col("media")).as("content_md5")))
+      val feats = Multimodal.extractFeaturesTyped(media, "doc_id", dim = 16)
       media.select(col("doc_id"),
                    col("media_meta.media_type").as("media_type"),
-                   col("media_meta.n_bytes").as("n_bytes"),
-                   col("media_meta.content_md5").as("content_md5"))
+                   when(!isImg, col("media_meta.n_bytes")).as("n_bytes"),
+                   when(!isImg, col("media_meta.content_md5")).as("content_md5"))
         .join(feats, "doc_id")
         // string-rendered at the output boundary: the driver's row
         // sorter cannot hash array columns (round-2 `err`)
@@ -740,15 +753,34 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     },
     Some {
-      val feat = Portable.duckRenderVecQ6((0 until 8).map { i =>
+      val stubFeat = Portable.duckRenderVecQ6((0 until 16).map { i =>
         s"CAST(CAST(concat('0x', substr(md5(text), ${2 * i + 1}, 2)) AS INT) / 255.0 AS REAL)"
       }.mkString("[", ",\n            ", "]"))
-      s"""SELECT doc_id,
-         |  'text/plain' AS media_type,
+      // fixturePng pixels: ch(a,b,c) = (doc_id*a + x*b + y*c) mod 256 on a
+      // 24×16 image; the dim=16 lattice samples x = gx*6, y = gy*4 and the
+      // Rec.601 double weights replay bit-identically (0.299e0 etc. are
+      // DOUBLE literals; 1e6 quantization keeps the compare exact)
+      s"""WITH px AS (SELECT gx, gx * 6 AS x FROM generate_series(0, 3) g(gx)),
+         |py AS (SELECT gy, gy * 4 AS y FROM generate_series(0, 3) g(gy)),
+         |imgf AS (
+         |  SELECT d.doc_id, py.gy * 4 + px.gx AS i,
+         |    CAST((0.299e0 * ((d.doc_id * 31 + px.x * 7 + py.y * 13) % 256)
+         |        + 0.587e0 * ((d.doc_id * 17 + px.x * 11 + py.y * 3) % 256)
+         |        + 0.114e0 * ((d.doc_id * 23 + px.x * 5 + py.y * 19) % 256))
+         |      / 255.0e0 AS REAL) AS v
+         |  FROM documents d CROSS JOIN px CROSS JOIN py
+         |  WHERE d.doc_id % 2 = 0),
+         |imgvec AS (SELECT doc_id, list(v ORDER BY i) AS fv FROM imgf GROUP BY doc_id)
+         |SELECT doc_id, 'image/png' AS media_type,
+         |  CAST(NULL AS BIGINT) AS n_bytes, CAST(NULL AS VARCHAR) AS content_md5,
+         |  ${Portable.duckRenderVecQ6("fv")} AS features
+         |FROM imgvec
+         |UNION ALL
+         |SELECT doc_id, 'text/plain' AS media_type,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          |  md5(text) AS content_md5,
-         |  $feat AS features
-         |FROM documents
+         |  $stubFeat AS features
+         |FROM documents WHERE doc_id % 2 = 1
          |ORDER BY doc_id""".stripMargin
     })
 

@@ -11,10 +11,15 @@ import org.apache.spark.sql.types._
   * MilvusSchema.java:110-148).
   *
   * The Spark-side plumbing — schema, batch shape, partition-preserving
-  * mapPartitions — is real; the actual media decode is a STUB
-  * (`decodeStub`): the image/audio codecs are not in this environment.
-  * A production deployment replaces `decodeStub` with the codec call;
-  * nothing else changes.
+  * mapPartitions — is real, and so are the codecs the JVM ships:
+  * image decode (ImageIO PNG/JPEG/GIF/BMP → luminance lattice /
+  * dHash), audio decode (javax.sound WAV/AU/AIFF → PCM envelope), and
+  * Motion-JPEG frame decode in AVI and MP4/MOV containers. The
+  * deterministic hash fallback (`decodeStub`) remains ONLY for codecs
+  * the JVM lacks (H.264 et al. — container metadata still parses via
+  * [[parseMp4Meta]]) and for undecodable bytes, so a corrupt blob
+  * never kills a scan. A production deployment swaps `decodeStub`
+  * for the external codec call; nothing else changes.
   */
 object Multimodal {
 
