@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight to stdout, unprefixed: the round
+// driver parses Bench's JSON line from stdout, and sbt's default
+// logger would wrap it in "[info] " (BENCH_r10–r14 all archived
+// parsed:null off that).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

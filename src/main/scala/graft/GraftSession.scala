@@ -11,9 +11,17 @@ import org.apache.spark.sql.SparkSession
   * 2-3x total executor cores; never the 200 default).
   */
 object GraftSession {
+  /** `stateBackend`: "memory" (Spark's default HDFS-backed in-memory
+    * provider) or "rocksdb" (off-heap state via
+    * [[streamingStateConfigs]] — the 100 TB posture for the stateful
+    * streaming operators, where per-key state not shuffle is what
+    * breaks first on the in-memory provider). Also settable through
+    * SPARK_GRAFT_STATE_BACKEND so a deployment flips it without code. */
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-              shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
+              shufflePartitions: Int = 32,
+              stateBackend: String =
+                sys.env.getOrElse("SPARK_GRAFT_STATE_BACKEND", "memory")): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
       // engine Catalyst rules (bounded-width range-join binning — the
@@ -32,6 +40,15 @@ object GraftSession {
       // and convert explicitly (see Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    stateBackend.toLowerCase match {
+      case "memory" | "" => b
+      case "rocksdb" => streamingStateConfigs.foldLeft(b) {
+        case (bb, (k, v)) => bb.config(k, v)
+      }
+      case other => throw new IllegalArgumentException(
+        s"unsupported state backend '$other' (memory/rocksdb)")
+    }
+  }
 
   /** Extra configs for stateful streaming at scale: the RocksDB state
     * store keeps per-key state (apply-changes, dedup horizons) off the

@@ -18,7 +18,8 @@ object QueriesLlm {
                         llm57, llm58, llm59, llm60, llm61, llm62, llm63, llm64,
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
-                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97)
+                        llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
+                        llm98)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -4343,4 +4344,81 @@ object QueriesLlm {
            |    CAST(sum(CASE WHEN NOT stopwords THEN 1 ELSE 0 END) AS BIGINT),
            |    CAST(sum(CASE WHEN NOT stopwords AND nfail = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM f)
            |ORDER BY rule""".stripMargin))
+
+  /** llm98's fixture: the documents corpus with event timestamps,
+    * delivered TWICE into a file-source directory — the full corpus,
+    * then an at-least-once REDELIVERY of every 5th doc (byte-identical
+    * rows, the delivery semantics every CDC/queue source actually
+    * has). Written once per (sf dir) outside the bench timer. */
+  private val llm98Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llm98Docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir).select(col("doc_id"), col("text"),
+      timestamp_seconds(lit(1700000000L) + col("doc_id") % 600).as("ts"))
+  private def llm98In(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    llm98Fixture.computeIfAbsent(dir, _ => {
+      val in = java.nio.file.Files.createTempDirectory("graft-llm98-in").toString
+      val docs = llm98Docs(s, dir)
+      docs.write.mode("overwrite").parquet(in)
+      docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(in)
+      in
+    })
+
+  /** STREAMING curation, oracle-checked end-to-end (round-14 verdict
+    * #6 — the streaming operators were batch-≡ pinned in sbt only): a
+    * REAL micro-batch pipeline runs inside the query — parquet
+    * file-source stream over the double-delivery fixture, the quality
+    * gates, watermarked streaming dedup
+    * (dropDuplicatesWithinWatermark state), AvailableNow drain into a
+    * parquet sink — and the FINAL on-disk state is what the driver
+    * hash-compares. The redelivered rows are byte-identical, so the
+    * surviving set is deterministic whatever the micro-batch
+    * boundaries: exactly the gated corpus, once. A stream that loses
+    * dedup state between batches double-emits the redelivery and
+    * fails rows_match; one that over-evicts drops gated docs. */
+  private def llm98 = Q("llm98_curate_stream",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = llm98In(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-llm98-run")
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      val stream = s.readStream.schema(llm98Docs(s, dir).schema).parquet(in)
+      val curated = Curation.curateStream(stream, col("text"),
+        Curation.Config(minTokens = 8, maxPunctRatio = 0.3, keepLangs = Set("en")),
+        "ts", "2 hours")
+      val q = curated.select(col("doc_id"), col("text"),
+          col("__content_hash").as("content_hash"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("doc_id"))
+    },
+    Some {
+      val langs = TextAnalysis.langMarkers
+      val scores = langs.map { case (lang, ms) =>
+        s"len(list_filter(ltoks, x -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
+      }.mkString(",\n            ")
+      val chain = langs.zipWithIndex.init.foldRight(s"'${langs.last._1}'") {
+        case (((lang, _), i), rest) =>
+          val later = langs.drop(i + 1).map { case (l, _) => s"s_$lang >= s_$l" }.mkString(" AND ")
+          s"CASE WHEN $later THEN '$lang' ELSE $rest END"
+      }
+      val allZero = langs.map { case (l, _) => s"s_$l" }.mkString(" + ") + " = 0"
+      s"""WITH t AS (SELECT doc_id, text,
+         |        list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+         |        list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ltoks
+         |      FROM documents),
+         |sc AS (SELECT doc_id, text, toks,
+         |            $scores
+         |       FROM t)
+         |SELECT doc_id, text, ${Portable.duckHash64("text")} AS content_hash
+         |FROM sc
+         |WHERE len(toks) >= 8
+         |  AND CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |      / CAST(greatest(length(text), 1) AS DOUBLE) <= 0.3
+         |  AND (CASE WHEN $allZero THEN 'unknown' ELSE $chain END) = 'en'
+         |ORDER BY doc_id""".stripMargin
+    },
+    prepare = Some((s, dir) => { llm98In(s, dir); () }))
 }

@@ -72,6 +72,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("GraftSession.builder state backends: memory/rocksdb accepted, anything else fails loudly") {
+    graft.GraftSession.builder(stateBackend = "memory")
+    graft.GraftSession.builder(stateBackend = "rocksdb")
+    intercept[IllegalArgumentException] {
+      graft.GraftSession.builder(stateBackend = "leveldb")
+    }
+  }
+
+  test("latestStateStream on the RocksDB state backend: same results, provider verifiably active") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the provider is a session conf read at query START — GraftSession
+    // .builder(stateBackend = "rocksdb") sets the same keys on a fresh
+    // session; here they flip on the shared test session and restore
+    val keys = graft.GraftSession.streamingStateConfigs
+    val saved = keys.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val input = MemoryStream[String]
+      val records = input.toDF()
+        .select(from_json(col("value"), Envelope.recordSchema(keySchema, rowSchema)).as("r"))
+        .select("r.*")
+      val q = StreamingOps.latestStateStream(records)
+        .writeStream.format("memory").queryName("state_out_rocks")
+        .outputMode("update").start()
+      try {
+        input.addData(Seq(line(1, "c", "a1", 1), line(2, "c", "a2", 2)))
+        q.processAllAvailable()
+        input.addData(Seq(line(2, "u", "a2-new", 5), line(1, "d", "a1", 6)))
+        q.processAllAvailable()
+        val rows = StreamingOps.compactChangelog(spark.table("state_out_rocks"))
+          .select(get_json_object(col("key"), "$.id").cast("int").as("id"),
+                  get_json_object(col("payload"), "$.v").as("v"))
+          .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+        assert(rows == Seq((2, "a2-new")))
+        // proof the store is actually RocksDB: its provider reports
+        // rocksdb* custom state metrics the HDFS-backed one never emits
+        val metrics = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq)
+          .flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+        assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"expected rocksdb state metrics, got: ${metrics.mkString(",")}")
+      } finally q.stop()
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("deliberate LSN ties: streaming and batch crown the same winner") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -148,32 +197,6 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains(("2024-01-01 10:00:00.0", "a", 2L))) // late row NOT counted
       assert(rows.contains(("2024-01-01 10:01:00.0", "b", 1L)))
     } finally q.stop()
-  }
-
-  test("latestStateStream runs under the RocksDB state store (production config)") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val prev = graft.GraftSession.streamingStateConfigs.keys
-      .map(k => k -> spark.conf.getOption(k)).toMap
-    try {
-      graft.GraftSession.streamingStateConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
-      val input = MemoryStream[String]
-      val records = input.toDF()
-        .select(from_json(col("value"), Envelope.recordSchema(keySchema, rowSchema)).as("r"))
-        .select("r.*")
-      val q = StreamingOps.latestStateStream(records)
-        .writeStream.format("memory").queryName("rocks_out").outputMode("update").start()
-      try {
-        input.addData(Seq(line(1, "c", "a1", 1), line(1, "u", "a1-new", 2)))
-        q.processAllAvailable()
-        val payloads = spark.table("rocks_out").select("payload")
-          .collect().map(_.getString(0))
-        assert(payloads.exists(_.contains("a1-new")))
-      } finally q.stop()
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
   }
 
   test("curateStream gates low-quality docs and dedups the survivors continuously") {
