@@ -78,8 +78,9 @@ object AvroFormat {
   /** Row → Avro bytes with per-executor cached schema/writer state
     * (the DDL string is the serializable seed; everything derived is
     * @transient lazy, rebuilt once per executor, not per row).
-    * `frameId` prepends the registry wire header (0x00 + id). */
-  private final class EncodeFn(ddl: String, frameId: Option[Int])
+    * `header` is the precomputed registry wire prefix (empty, the
+    * Confluent 0x00+int4, or the Apicurio-legacy 0x00+long8). */
+  private final class EncodeFn(ddl: String, header: Array[Byte])
       extends (Row => Array[Byte]) with Serializable {
     @transient private lazy val structType = StructType.fromDDL(ddl)
     @transient private lazy val schema = avroSchema(structType)
@@ -89,11 +90,7 @@ object AvroFormat {
       else {
         val rec = toGeneric(r, structType, schema).asInstanceOf[GenericRecord]
         val out = new ByteArrayOutputStream()
-        frameId.foreach { id =>
-          out.write(0x00)
-          out.write((id >>> 24) & 0xff); out.write((id >>> 16) & 0xff)
-          out.write((id >>> 8) & 0xff);  out.write(id & 0xff)
-        }
+        out.write(header, 0, header.length)
         val e = EncoderFactory.get().binaryEncoder(out, null)
         writer.write(rec, e)
         e.flush()
@@ -101,9 +98,14 @@ object AvroFormat {
       }
   }
 
+  private def confluentHeader(id: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(5).put(0x00.toByte).putInt(id).array()
+  private def apicurioLegacyHeader(id: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(9).put(0x00.toByte).putLong(id).array()
+
   /** Serializer UDF for a struct column with the given Spark schema. */
   def encoder(st: StructType): Column => Column = {
-    val enc = udf(new EncodeFn(st.toDDL, frameId = None))
+    val enc = udf(new EncodeFn(st.toDDL, header = Array.emptyByteArray))
     c => enc(c)
   }
 
@@ -153,7 +155,7 @@ object AvroFormat {
   def framedEncoder(st: StructType, registry: SchemaRegistryClient,
                     subject: String): Column => Column = {
     val id = registry.register(subject, avroSchema(st))
-    val enc = udf(new EncodeFn(st.toDDL, frameId = Some(id)))
+    val enc = udf(new EncodeFn(st.toDDL, confluentHeader(id)))
     c => enc(c)
   }
 
@@ -164,6 +166,34 @@ object AvroFormat {
     val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
     val schema = registry.byId(id)
     val d = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
+    new GenericDatumReader[GenericRecord](schema).read(null, d)
+  }
+
+  /** Apicurio-legacy framing: magic 0x00 + 8-byte big-endian id — the
+    * default payload encoding of Apicurio's Kafka serdes (the
+    * reference's DebeziumServerWithApicurioIT stack); its
+    * Confluent-compat mode uses the 4-byte [[framedEncoder]] header
+    * instead. Same registry seam, same one-registration-driver-side
+    * discipline. */
+  def framedEncoderApicurioLegacy(st: StructType, registry: SchemaRegistryClient,
+                                  subject: String): Column => Column = {
+    val id = registry.register(subject, avroSchema(st))
+    val enc = udf(new EncodeFn(st.toDDL, apicurioLegacyHeader(id.toLong)))
+    c => enc(c)
+  }
+
+  /** Consumer-side decode of the Apicurio-legacy 9-byte header. Ids
+    * beyond Int.MaxValue fail loudly rather than truncate (the seam
+    * carries int ids; a registry that ever hands back a larger id
+    * must not silently resolve some other schema). */
+  def decodeFramedApicurioLegacy(bytes: Array[Byte],
+                                 registry: SchemaRegistryClient): GenericRecord = {
+    require(bytes.length >= 9 && bytes(0) == 0x00,
+      "not apicurio-framed: expected magic byte 0x00 + 8-byte schema id")
+    val id = java.nio.ByteBuffer.wrap(bytes, 1, 8).getLong
+    require(id >= 0 && id <= Int.MaxValue, s"apicurio schema id $id exceeds the int seam")
+    val schema = registry.byId(id.toInt)
+    val d = DecoderFactory.get().binaryDecoder(bytes, 9, bytes.length - 9, null)
     new GenericDatumReader[GenericRecord](schema).read(null, d)
   }
 }

@@ -128,8 +128,24 @@ object Formats {
     case "connect"       => Connect
     case "binary"        => Binary
     case "cloudevents"   => CloudEvents(props.getOrElse("cloudevents.source", "/graft"))
-    case "avro" => Avro(valueSchema.getOrElse(throw new IllegalArgumentException(
-      "format 'avro' needs the record schema (pass valueSchema)")))
+    case "avro" =>
+      val st = valueSchema.getOrElse(throw new IllegalArgumentException(
+        "format 'avro' needs the record schema (pass valueSchema)"))
+      // registry dialect from config, mirroring the reference's
+      // debezium.format.value.* passthrough: Confluent
+      // (schema.registry.url) or Apicurio (apicurio.registry.url
+      // [+ apicurio.registry.group]); neither = plain Avro binary
+      val registry: Option[AvroFormat.SchemaRegistryClient] =
+        props.get("schema.registry.url")
+          .map(u => new HttpSchemaRegistryClient(u): AvroFormat.SchemaRegistryClient)
+          .orElse(props.get("apicurio.registry.url").map(u =>
+            new ApicurioRegistryClient(u,
+              props.getOrElse("apicurio.registry.group", "default"))))
+      registry match {
+        case Some(r) =>
+          Avro(st, Some(r), props.getOrElse("schema.registry.subject", "graft-value"))
+        case None => Avro(st)
+      }
     case "protobuf" => Protobuf(valueSchema.getOrElse(throw new IllegalArgumentException(
       "format 'protobuf' needs the record schema (pass valueSchema)")))
     case other => throw new IllegalArgumentException(

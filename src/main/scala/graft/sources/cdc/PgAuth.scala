@@ -13,11 +13,20 @@ import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
   *
   *  - [[md5Password]]: the `AuthenticationMD5Password` response —
   *    `"md5" + hex(md5(hex(md5(password ++ user)) ++ salt))`;
-  *  - [[ScramSession]]: the SCRAM-SHA-256 SASL exchange (RFC 5802 with
-  *    PostgreSQL's conventions: empty `n=` username — the startup
-  *    user wins — and no channel binding, `c=biws`). The client also
-  *    VERIFIES the server signature from `AuthenticationSASLFinal`, so
-  *    a spoofed server that never knew the password is detected.
+  *  - [[ScramSession]]: the SCRAM-SHA-256 / SCRAM-SHA-256-PLUS SASL
+  *    exchange (RFC 5802/7677 with PostgreSQL's conventions: empty
+  *    `n=` username — the startup user wins). Channel binding is
+  *    `tls-server-end-point` (RFC 5929): the binding data is the hash
+  *    of the server's end-entity TLS certificate
+  *    ([[tlsServerEndPoint]]), carried in the client-final `c=`
+  *    attribute — a TLS-terminating MITM presents a different
+  *    certificate, computes a different binding, and fails the proof.
+  *    The gs2 flag follows libpq: `p=` when binding, `y` when the
+  *    client COULD bind but the server offered no -PLUS (so a server
+  *    that did advertise it detects the downgrade), `n` off TLS. The
+  *    client also VERIFIES the server signature from
+  *    `AuthenticationSASLFinal`, so a spoofed server that never knew
+  *    the password is detected.
   *
   * SASLprep normalization is identity for ASCII passwords; non-ASCII
   * passwords pass through as UTF-8 (the declared boundary — real
@@ -68,13 +77,40 @@ object PgAuth {
   def attrs(msg: String): Map[Char, String] =
     msg.split(",").iterator.filter(_.length >= 2).map(kv => kv(0) -> kv.drop(2)).toMap
 
-  /** One SCRAM-SHA-256 client exchange. `clientNonce` is caller-chosen
-    * (the feed uses SecureRandom; specs pass a fixed one). */
-  final case class ScramSession(clientNonce: String) {
+  /** RFC 5929 `tls-server-end-point` channel-binding data: the hash of
+    * the server's end-entity certificate, using the certificate's own
+    * signature hash with MD5/SHA-1 upgraded to SHA-256 (§4.1). */
+  def tlsServerEndPoint(cert: java.security.cert.X509Certificate): Array[Byte] = {
+    val sig = cert.getSigAlgName.toUpperCase
+    val alg =
+      if (sig.contains("SHA384")) "SHA-384"
+      else if (sig.contains("SHA512")) "SHA-512"
+      else "SHA-256" // incl. the mandated MD5/SHA-1 upgrade
+    MessageDigest.getInstance(alg).digest(cert.getEncoded)
+  }
+
+  /** One SCRAM client exchange. `clientNonce` is caller-chosen (the
+    * feed uses SecureRandom; specs pass a fixed one).
+    * `channelBinding` = the tls-server-end-point data → the -PLUS
+    * exchange; `supportsBinding` marks a TLS client that COULD bind
+    * but whose server offered no -PLUS (gs2 flag `y`). */
+  final case class ScramSession(clientNonce: String,
+                                channelBinding: Option[Array[Byte]] = None,
+                                supportsBinding: Boolean = false) {
+    /** gs2 header: `p=` binding in use / `y` could-but-server-didn't /
+      * `n` cannot bind. */
+    val gs2Header: String = channelBinding match {
+      case Some(_) => "p=tls-server-end-point,,"
+      case None => if (supportsBinding) "y,," else "n,,"
+    }
     val clientFirstBare: String = s"n=,r=$clientNonce"
-    /** `SASLInitialResponse` payload: gs2 header (no channel binding) +
-      * bare. */
-    def clientFirstMessage: String = "n,," + clientFirstBare
+    /** `SASLInitialResponse` payload: gs2 header + bare. */
+    def clientFirstMessage: String = gs2Header + clientFirstBare
+
+    /** client-final `c=`: base64(gs2 header ++ binding data) — "biws"
+      * is literally base64("n,,"), the no-binding degenerate case. */
+    private def cAttr: String = Base64.getEncoder.encodeToString(
+      utf8(gs2Header) ++ channelBinding.getOrElse(Array.emptyByteArray))
 
     /** Compute the `SASLResponse` for the server-first-message and the
       * server signature the `AuthenticationSASLFinal` MUST carry.
@@ -92,7 +128,7 @@ object PgAuth {
       val salted = saltedPassword(password, salt, iters)
       val clientKey = hmacSha256(salted, utf8("Client Key"))
       val storedKey = sha256(clientKey)
-      val withoutProof = s"c=biws,r=$nonce"
+      val withoutProof = s"c=$cAttr,r=$nonce"
       val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
       val proof = xor(clientKey, hmacSha256(storedKey, utf8(authMessage)))
       val serverKey = hmacSha256(salted, utf8("Server Key"))

@@ -51,10 +51,12 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * JSSE handshake runs and every subsequent protocol byte rides the
   * encrypted channel), 'N' declines (refused loudly here: a non-TLS
   * fallback under `sslmode=require` would silently downgrade the
-  * session). Certificate and hostname verification per
-  * [[Tls.Mode]]. The remaining declared boundary: SCRAM channel
-  * binding (`SCRAM-SHA-256-PLUS`) and SASLprep of non-ASCII
-  * passwords.
+  * session). Certificate and hostname verification per [[Tls.Mode]].
+  * Over TLS the client selects `SCRAM-SHA-256-PLUS` with
+  * tls-server-end-point channel binding whenever the server offers it
+  * (and signals gs2 `y` when it doesn't, so a binding-capable server
+  * detects the downgrade). The remaining declared boundary: SASLprep
+  * of non-ASCII passwords.
   */
 final class PgWalSenderFeed(host: String, port: Int,
                             database: String, user: String,
@@ -142,15 +144,30 @@ final class PgWalSenderFeed(host: String, port: Int,
           case 10 => // SASL: NUL-separated mechanism list
             val mechs = new String(p, 4, p.length - 4, StandardCharsets.UTF_8)
               .split("\u0000").filter(_.nonEmpty)
-            require(mechs.contains("SCRAM-SHA-256"),
-              s"pg auth: no supported SASL mechanism in ${mechs.mkString(",")} " +
-              "(SCRAM-SHA-256-PLUS needs TLS — the declared boundary)")
-            val s = PgAuth.ScramSession(nonceSource())
+            // channel binding (tls-server-end-point) when the session
+            // is TLS and the server advertises -PLUS; a TLS client
+            // without -PLUS on offer signals `y` so a binding-capable
+            // server detects the downgrade (libpq's selection rule)
+            val tlsCert = socket match {
+              case ssl: javax.net.ssl.SSLSocket =>
+                ssl.getSession.getPeerCertificates.headOption.collect {
+                  case c: java.security.cert.X509Certificate => c
+                }
+              case _ => None
+            }
+            val usePlus = tlsCert.isDefined && mechs.contains("SCRAM-SHA-256-PLUS")
+            require(mechs.contains("SCRAM-SHA-256") || usePlus,
+              s"pg auth: no supported SASL mechanism in ${mechs.mkString(",")}")
+            val mech = if (usePlus) "SCRAM-SHA-256-PLUS" else "SCRAM-SHA-256"
+            val s = PgAuth.ScramSession(nonceSource(),
+              channelBinding =
+                if (usePlus) tlsCert.map(PgAuth.tlsServerEndPoint) else None,
+              supportsBinding = tlsCert.isDefined)
             scram = Some(s)
             val init = s.clientFirstMessage.getBytes(StandardCharsets.UTF_8)
             val msg = java.nio.ByteBuffer.allocate(
-              "SCRAM-SHA-256".length + 1 + 4 + init.length)
-            msg.put(cstr("SCRAM-SHA-256")); msg.putInt(init.length); msg.put(init)
+              mech.length + 1 + 4 + init.length)
+            msg.put(cstr(mech)); msg.putInt(init.length); msg.put(init)
             writeMsg('p', msg.array())
           case 11 => // SASLContinue: server-first-message
             val s = scram.getOrElse(throw new IOException(

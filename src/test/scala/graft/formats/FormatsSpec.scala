@@ -170,6 +170,92 @@ class FormatsSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("apicurio registry client speaks the v2 REST dialect; both framings round-trip") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    // a live Apicurio v2 stub: raw schema bodies (no Confluent
+    // {"schema":...} wrapper), contentId metadata keyed by canonical
+    // CONTENT alone (Apicurio's semantics — the same schema under two
+    // subjects shares one contentId), X-Registry-ArtifactId routing
+    val contentIds = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val contentById = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+    val nextId = new java.util.concurrent.atomic.AtomicInteger(1)
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    def reply(x: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      x.sendResponseHeaders(code, b.length)
+      x.getResponseBody.write(b); x.close()
+    }
+    val lastGroup = new java.util.concurrent.atomic.AtomicReference[String]("")
+    server.createContext("/", new HttpHandler {
+      private val post = "/groups/([^/]+)/artifacts".r
+      private val get = "/ids/contentIds/(\\d+)".r
+      override def handle(x: HttpExchange): Unit = x.getRequestURI.getPath match {
+        case post(group) =>
+          lastGroup.set(java.net.URLDecoder.decode(group, "UTF-8"))
+          val subject = x.getRequestHeaders.getFirst("X-Registry-ArtifactId")
+          val raw = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+          val canonical = new org.apache.avro.Schema.Parser().parse(raw).toString
+          val id = contentIds.computeIfAbsent(canonical,
+            _ => Integer.valueOf(nextId.getAndIncrement()))
+          contentById.putIfAbsent(id, canonical)
+          reply(x, 200,
+            s"""{"id":"$subject","contentId":$id,"globalId":$id,"type":"AVRO"}""")
+        case get(id) =>
+          Option(contentById.get(Integer.valueOf(id.toInt))) match {
+            case Some(c) => reply(x, 200, c)
+            case None =>
+              reply(x, 404, """{"error_code":404,"message":"No content with id"}""")
+          }
+        case _ => reply(x, 404, "{}")
+      }
+    })
+    server.start()
+    try {
+      val client = new ApicurioRegistryClient(
+        s"http://localhost:${server.getAddress.getPort}", group = "graft")
+      val df = frame()
+      val row = struct(df.columns.map(col).toIndexedSeq: _*)
+
+      // Confluent-compat 4-byte framing over the Apicurio dialect
+      val enc4 = AvroFormat.framedEncoder(rowSchema, client, "t-value")
+      val b4 = df.filter(col("id") === 1).select(enc4(row).as("b"))
+        .head().getAs[Array[Byte]]("b")
+      assert(b4(0) == 0x00)
+      val rec4 = AvroFormat.decodeFramed(b4, client)
+      assert(rec4.get("id") == 1 && rec4.get("name").toString == "alice")
+      assert(lastGroup.get == "graft")
+
+      // Apicurio-legacy 8-byte framing, same registry
+      val enc8 = AvroFormat.framedEncoderApicurioLegacy(rowSchema, client, "t-value")
+      val b8 = df.filter(col("id") === 1).select(enc8(row).as("b"))
+        .head().getAs[Array[Byte]]("b")
+      assert(b8(0) == 0x00 && b8.length == b4.length + 4)
+      assert(java.nio.ByteBuffer.wrap(b8, 1, 8).getLong ==
+        java.nio.ByteBuffer.wrap(b4, 1, 4).getInt.toLong)
+      val rec8 = AvroFormat.decodeFramedApicurioLegacy(b8, client)
+      assert(rec8.get("id") == 1 && rec8.get("name").toString == "alice")
+
+      // content-id semantics: the SAME canonical schema under another
+      // subject resolves to the SAME content id (the dedup contract)
+      assert(client.register("other-value", AvroFormat.avroSchema(rowSchema)) ==
+        java.nio.ByteBuffer.wrap(b4, 1, 4).getInt)
+
+      // unknown id surfaces the server error
+      val err = intercept[IllegalStateException](client.byId(999999))
+      assert(err.getMessage.contains("404"))
+
+      // config-selected dialect: forName("avro") with the apicurio
+      // knobs produces byte-identical framed output
+      val viaConfig = Formats.forName("avro", Some(rowSchema), Map(
+        "apicurio.registry.url" -> s"http://localhost:${server.getAddress.getPort}",
+        "apicurio.registry.group" -> "graft",
+        "schema.registry.subject" -> "t-value"))
+      val bc = df.filter(col("id") === 1).select(viaConfig.serialize(row).as("b"))
+        .head().getAs[Array[Byte]]("b")
+      assert(java.util.Arrays.equals(bc, b4))
+    } finally server.stop(0)
+  }
+
   test("cloudevents carries the CE 1.0 attributes and the envelope as data") {
     val keySchema = StructType(Seq(StructField("id", IntegerType)))
     val schema = graft.model.Envelope.recordSchema(keySchema, StructType(Seq(

@@ -198,7 +198,21 @@ class PgWalSenderFeedSpec extends SparkSpec {
       }
       assert(got.size == 4, "pgoutput stream over TLS")
       assert(srv.lastSessionTls.get == true, "session must have upgraded")
+      // over TLS with -PLUS advertised, the client binds the channel
+      assert(srv.lastSaslMech.get == "SCRAM-SHA-256-PLUS",
+        s"expected channel-bound SCRAM, got ${srv.lastSaslMech.get}")
       feed.close()
+
+      // a TLS-terminating MITM presents a different certificate, so
+      // the honest client's tls-server-end-point binding fails auth
+      srv.tamperChannelBinding = true
+      val mitm = new PgWalSenderFeed("localhost", srv.port, "db", "replica",
+        password = Some("s3cret"),
+        tls = Tls.Config(Tls.Mode.Require))
+      val eMitm = intercept[IOException] { mitm.poll() }
+      assert(eMitm.getMessage.contains("28P01"), eMitm.getMessage)
+      mitm.close()
+      srv.tamperChannelBinding = false
 
       // require: encrypt without authentication — works with no root cert
       val req = new PgWalSenderFeed("localhost", srv.port, "db", "replica",

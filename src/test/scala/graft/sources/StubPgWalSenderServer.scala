@@ -35,6 +35,10 @@ final class StubPgWalSenderServer extends AutoCloseable {
   /** Corrupt the SASLFinal server signature — a server that never knew
     * the password; the client must refuse the session. */
   @volatile var tamperServerSig: Boolean = false
+  /** Verify the -PLUS channel binding against a DIFFERENT cert's data
+    * — the view a TLS-terminating MITM has; the honest client's
+    * binding must then fail auth. */
+  @volatile var tamperChannelBinding: Boolean = false
   /** When set, an SSLRequest probe is answered 'S' and the session
     * upgrades to TLS server-side with this context; when None the
     * probe is answered 'N' (a TLS-less server). */
@@ -47,6 +51,8 @@ final class StubPgWalSenderServer extends AutoCloseable {
   val confirmedFlush = new AtomicLong(0L)
   val statusUpdates = new AtomicLong(0L)
   val lastAuthUser = new AtomicReference[String]("")
+  /** SASL mechanism the last session selected (SCRAM vs SCRAM-PLUS). */
+  val lastSaslMech = new AtomicReference[String]("")
   private[sources] val md5Salt = Array[Byte](1, 2, 3, 4)
   private[sources] val scramSalt: Array[Byte] = Array.tabulate(16)(i => (i * 5 + 1).toByte)
   private[sources] val scramIters = 4096
@@ -144,17 +150,36 @@ final class StubPgWalSenderServer extends AutoCloseable {
             val got = new String(p, 0, p.length - 1, StandardCharsets.UTF_8)
             authOk(got == PgAuth.md5Password(wantUser, wantPassword, md5Salt))
           case "scram-sha-256" =>
-            val mechs = "SCRAM-SHA-256\u0000".getBytes(StandardCharsets.UTF_8)
+            // server-side TLS cert (when upgraded): enables the -PLUS
+            // advertisement and the channel-binding verification
+            val localCert = s match {
+              case ssl: javax.net.ssl.SSLSocket =>
+                ssl.getSession.getLocalCertificates.headOption.collect {
+                  case c: java.security.cert.X509Certificate => c
+                }
+              case _ => None
+            }
+            val mechList = (if (localCert.isDefined) "SCRAM-SHA-256-PLUS\u0000"
+                            else "") + "SCRAM-SHA-256\u0000"
+            val mechs = mechList.getBytes(StandardCharsets.UTF_8)
             writeMsg('R', ByteBuffer.allocate(4 + mechs.length).putInt(10).put(mechs).array())
             // SASLInitialResponse: mech cstring, int32 len, client-first
             val (_, ir) = readMsg()
             var i = 0; while (ir(i) != 0) i += 1
             val mech = new String(ir, 0, i, StandardCharsets.UTF_8); i += 1
-            require(mech == "SCRAM-SHA-256", s"unexpected mechanism $mech")
+            require(mech == "SCRAM-SHA-256" ||
+              (mech == "SCRAM-SHA-256-PLUS" && localCert.isDefined),
+              s"unexpected mechanism $mech")
+            lastSaslMech.set(mech)
             val ilen = ByteBuffer.wrap(ir, i, 4).getInt; i += 4
             val clientFirst = new String(ir, i, ilen, StandardCharsets.UTF_8)
-            require(clientFirst.startsWith("n,,"), "gs2 header n,, expected")
-            val clientFirstBare = clientFirst.drop(3)
+            // gs2 header = through the second comma (cb-flag, authzid)
+            val gs2End = clientFirst.indexOf(',', clientFirst.indexOf(',') + 1) + 1
+            val gs2 = clientFirst.substring(0, gs2End)
+            if (mech == "SCRAM-SHA-256-PLUS")
+              require(gs2 == "p=tls-server-end-point,,", s"bad -PLUS gs2: $gs2")
+            else require(gs2 == "n,," || gs2 == "y,,", s"bad gs2: $gs2")
+            val clientFirstBare = clientFirst.substring(gs2End)
             val clientNonce = PgAuth.attrs(clientFirstBare)('r')
             val serverNonce = clientNonce + "SRVNONCE"
             val serverFirst = s"r=$serverNonce," +
@@ -171,7 +196,20 @@ final class StubPgWalSenderServer extends AutoCloseable {
             val salted = PgAuth.saltedPassword(wantPassword, scramSalt, scramIters)
             val storedKey = PgAuth.sha256(PgAuth.hmacSha256(salted,
               "Client Key".getBytes(StandardCharsets.UTF_8)))
+            // channel binding: c= must equal base64(gs2 ++ cb-data) for
+            // the server's OWN certificate — what defeats a
+            // TLS-terminating MITM. tamperChannelBinding verifies
+            // against a different cert's binding (the MITM view).
+            val cbData =
+              if (mech == "SCRAM-SHA-256-PLUS")
+                localCert.map(PgAuth.tlsServerEndPoint)
+                  .map(d => if (tamperChannelBinding) d.reverse else d)
+                  .getOrElse(Array.emptyByteArray)
+              else Array.emptyByteArray
+            val expectC = Base64.getEncoder.encodeToString(
+              gs2.getBytes(StandardCharsets.UTF_8) ++ cbData)
             val proofOk = a.get('r').contains(serverNonce) &&
+              a.get('c').contains(expectC) &&
               PgAuth.verifyClientProof(storedKey, authMessage,
                 Base64.getDecoder.decode(a('p')))
             if (!proofOk) authOk(false)
