@@ -148,4 +148,47 @@ object MySqlAuth {
     b.put(new Array[Byte](23))
     b.array()
   }
+
+  /** caching_sha2 full-auth marker bytes (sent/received inside
+    * AuthMoreData exchanges). */
+  val RequestPublicKey: Byte = 0x02
+
+  /** Parse a PEM `-----BEGIN PUBLIC KEY-----` block into an RSA public
+    * key (X.509 SubjectPublicKeyInfo — what the server hands back on a
+    * public-key request). */
+  def parseRsaPublicKeyPem(pem: String): java.security.PublicKey = {
+    val der = java.util.Base64.getMimeDecoder.decode(
+      pem.replace("-----BEGIN PUBLIC KEY-----", "")
+         .replace("-----END PUBLIC KEY-----", "").trim)
+    java.security.KeyFactory.getInstance("RSA")
+      .generatePublic(new java.security.spec.X509EncodedKeySpec(der))
+  }
+
+  /** caching_sha2 full-auth over a PLAINTEXT channel: the NUL-terminated
+    * password XOR'd with the cycling 20-byte nonce, RSA-OAEP(SHA-1)
+    * encrypted under the server's public key — the sha2_password
+    * sanctioned alternative to sending the plaintext over TLS. */
+  def rsaEncryptPassword(password: String, nonce: Array[Byte],
+                         publicKeyPem: String): Array[Byte] = {
+    val pw = password.getBytes(StandardCharsets.UTF_8)
+    val plain = java.util.Arrays.copyOf(pw, pw.length + 1) // trailing NUL
+    val n = nonce.take(20)
+    val obf = Array.tabulate(plain.length)(i => (plain(i) ^ n(i % n.length)).toByte)
+    val c = javax.crypto.Cipher.getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE, parseRsaPublicKeyPem(publicKeyPem))
+    c.doFinal(obf)
+  }
+
+  /** Server-side inverse (the stub's verification half): decrypt and
+    * un-XOR back to the NUL-terminated password. */
+  def rsaDecryptPassword(encrypted: Array[Byte], nonce: Array[Byte],
+                         privateKey: java.security.PrivateKey): String = {
+    val c = javax.crypto.Cipher.getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE, privateKey)
+    val obf = c.doFinal(encrypted)
+    val n = nonce.take(20)
+    val plain = Array.tabulate(obf.length)(i => (obf(i) ^ n(i % n.length)).toByte)
+    require(plain.nonEmpty && plain.last == 0, "rsa full-auth: missing NUL terminator")
+    new String(plain, 0, plain.length - 1, StandardCharsets.UTF_8)
+  }
 }

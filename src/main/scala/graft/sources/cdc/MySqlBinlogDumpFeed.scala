@@ -21,9 +21,11 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * loudly (no silent plaintext downgrade). caching_sha2's FULL-auth
   * fallback (AuthMoreData 0x04 — every cache-miss first connection to
   * a MySQL 8 account) answers with the plaintext password over the
-  * TLS channel, exactly the protocol's sanctioned path; without TLS
-  * it still fails loudly (the RSA public-key exchange alternative
-  * stays out of scope). Everything here is the public protocol from
+  * TLS channel; over a PLAINTEXT channel it performs the RSA
+  * public-key exchange when `allowPublicKeyRetrieval` opts in
+  * (request key → PEM → OAEP-encrypted XOR'd password — JDBC's flag
+  * of the same name and caveat), and fails loudly otherwise.
+  * Everything here is the public protocol from
   * the MySQL manual's "Connection Phase" / "Replication Protocol"
   * internals:
   *
@@ -67,7 +69,16 @@ final class MySqlBinlogDumpFeed(host: String, port: Int,
                                   * or auth-less session — what the
                                   * dump-only stub serves). */
                                 credentials: Option[(String, String)] = None,
-                                tls: Tls.Config = Tls.Config())
+                                tls: Tls.Config = Tls.Config(),
+                                /** caching_sha2 full auth WITHOUT TLS:
+                                  * fetch the server's RSA public key
+                                  * and send the OAEP-encrypted
+                                  * password (JDBC's
+                                  * allowPublicKeyRetrieval). Off by
+                                  * default — key retrieval over
+                                  * plaintext trusts the network for
+                                  * the key's authenticity. */
+                                allowPublicKeyRetrieval: Boolean = false)
     extends ReplicationFeed {
   require(maxPending > 0, "maxPending must be positive")
   require(!tls.enabled || credentials.nonEmpty,
@@ -133,25 +144,46 @@ final class MySqlBinlogDumpFeed(host: String, port: Int,
               val (_, ok) = readPacket()
               if ((ok(0) & 0xff) != 0x00) throw new IOException(
                 "mysql auth: expected OK after fast-auth success")
-            case 0x04 if tls.enabled =>
-              // full auth: plaintext password + NUL over the TLS channel
-              val pw = password.getBytes(StandardCharsets.UTF_8)
-              writePacket(replySeq + 1, java.util.Arrays.copyOf(pw, pw.length + 1))
-              val (_, fin) = readPacket()
-              (fin(0) & 0xff) match {
-                case 0x00 => () // OK — full auth accepted
-                case 0xFF =>
-                  val code = (fin(1) & 0xff) | ((fin(2) & 0xff) << 8)
-                  val msg = new String(fin, 3, fin.length - 3, StandardCharsets.UTF_8)
-                  teardown()
-                  throw new IOException(s"mysql auth: full-auth ERR $code: $msg")
-                case other => teardown(); throw new IOException(
-                  f"mysql auth: unexpected full-auth reply marker 0x$other%02x")
+            case 0x04 =>
+              def expectOk(): Unit = {
+                val (_, fin) = readPacket()
+                (fin(0) & 0xff) match {
+                  case 0x00 => () // OK — full auth accepted
+                  case 0xFF =>
+                    val code = (fin(1) & 0xff) | ((fin(2) & 0xff) << 8)
+                    val msg = new String(fin, 3, fin.length - 3, StandardCharsets.UTF_8)
+                    teardown()
+                    throw new IOException(s"mysql auth: full-auth ERR $code: $msg")
+                  case other => teardown(); throw new IOException(
+                    f"mysql auth: unexpected full-auth reply marker 0x$other%02x")
+                }
               }
-            case 0x04 => teardown(); throw new IOException(
-              "mysql auth: server requested caching_sha2 FULL auth — needs TLS " +
-              "(configure Tls.Config; the RSA key exchange stays out of scope) " +
-              "or a cached-credentials account")
+              if (tls.enabled) {
+                // full auth: plaintext password + NUL over the TLS channel
+                val pw = password.getBytes(StandardCharsets.UTF_8)
+                writePacket(replySeq + 1, java.util.Arrays.copyOf(pw, pw.length + 1))
+                expectOk()
+              } else if (allowPublicKeyRetrieval) {
+                // full auth over plaintext: request the server's RSA
+                // public key, send OAEP(XOR(password+NUL, nonce))
+                writePacket(replySeq + 1, Array(MySqlAuth.RequestPublicKey))
+                val (keySeq, keyPkt) = readPacket()
+                if ((keyPkt(0) & 0xff) != 0x01) {
+                  teardown()
+                  throw new IOException(
+                    f"mysql auth: expected AuthMoreData public key, got 0x${keyPkt(0) & 0xff}%02x")
+                }
+                val pem = new String(keyPkt, 1, keyPkt.length - 1, StandardCharsets.UTF_8)
+                writePacket(keySeq + 1,
+                  MySqlAuth.rsaEncryptPassword(password, hs.nonce, pem))
+                expectOk()
+              } else {
+                teardown()
+                throw new IOException(
+                  "mysql auth: server requested caching_sha2 FULL auth — configure " +
+                  "TLS (Tls.Config), or allowPublicKeyRetrieval for the RSA key " +
+                  "exchange, or use a cached-credentials account")
+              }
             case other => teardown(); throw new IOException(
               f"mysql auth: unexpected AuthMoreData status 0x$other%02x")
           }

@@ -28,9 +28,10 @@ import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
   *    `AuthenticationSASLFinal`, so a spoofed server that never knew
   *    the password is detected.
   *
-  * SASLprep normalization is identity for ASCII passwords; non-ASCII
-  * passwords pass through as UTF-8 (the declared boundary — real
-  * deployments overwhelmingly use ASCII secrets).
+  * Passwords are SASLprep'd (RFC 4013 via [[SaslPrep]]) inside
+  * [[saltedPassword]], with PostgreSQL's documented fallback: input
+  * that fails the profile is used raw, so credentials derived from
+  * the raw bytes keep matching.
   *
   * Pure functions over bytes/strings: [[PgWalSenderFeed]] drives them
   * over the v3 message framing, and the test stub re-derives the same
@@ -60,9 +61,12 @@ object PgAuth {
   def sha256(data: Array[Byte]): Array[Byte] =
     MessageDigest.getInstance("SHA-256").digest(data)
 
-  /** `Hi(password, salt, i)` = PBKDF2-HMAC-SHA256. */
+  /** `Hi(Normalize(password), salt, i)` = PBKDF2-HMAC-SHA256 over the
+    * SASLprep'd password (RFC 5802 §3; [[SaslPrep.prepareOrRaw]] keeps
+    * PostgreSQL's prohibited-input fallback). Identity for ASCII. */
   def saltedPassword(password: String, salt: Array[Byte], iterations: Int): Array[Byte] = {
-    val spec = new PBEKeySpec(password.toCharArray, salt, iterations, 256)
+    val spec = new PBEKeySpec(SaslPrep.prepareOrRaw(password).toCharArray,
+      salt, iterations, 256)
     javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
       .generateSecret(spec).getEncoded
   }

@@ -197,13 +197,31 @@ class MySqlDumpFeedSpec extends SparkSpec {
       assert(e1.getMessage.contains("1045"), e1.getMessage)
       bad.close()
 
-      // full auth demanded but the client is NOT on TLS: loud refusal
-      // (never send a plaintext password over a plaintext socket)
+      // full auth demanded but the client is NOT on TLS and has not
+      // opted into key retrieval: loud refusal (never send a plaintext
+      // password over a plaintext socket)
       val plain = new MySqlBinlogDumpFeed("localhost", srv.port,
         credentials = Some(("replica", "s3cret")))
       val e2 = intercept[java.io.IOException] { plain.poll() }
-      assert(e2.getMessage.contains("needs TLS"), e2.getMessage)
+      assert(e2.getMessage.contains("FULL auth"), e2.getMessage)
       plain.close()
+
+      // the RSA key exchange completes full auth over PLAINTEXT when
+      // opted in: 0x02 → PEM public key → OAEP(XOR(password, nonce))
+      val rsa = new MySqlBinlogDumpFeed("localhost", srv.port,
+        credentials = Some(("replica", "s3cret")),
+        allowPublicKeyRetrieval = true)
+      assert(drain(rsa, 3).size == 3, "dump stream after RSA full auth")
+      rsa.close()
+
+      // RSA full auth with the wrong password: server decrypts,
+      // compares, rejects
+      val rsaBad = new MySqlBinlogDumpFeed("localhost", srv.port,
+        credentials = Some(("replica", "wrong")),
+        allowPublicKeyRetrieval = true)
+      val eRsa = intercept[java.io.IOException] { rsaBad.poll() }
+      assert(eRsa.getMessage.contains("1045"), eRsa.getMessage)
+      rsaBad.close()
 
       // a server cert outside the pinned trust anchor is refused
       val badTrust = new MySqlBinlogDumpFeed("localhost", srv.port,

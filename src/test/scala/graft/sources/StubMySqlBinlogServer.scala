@@ -37,9 +37,21 @@ final class StubMySqlBinlogServer extends AutoCloseable {
     * SSLRequest response upgrades the session to TLS server-side. */
   @volatile var tlsContext: Option[javax.net.ssl.SSLContext] = None
   /** Emulate a caching_sha2 cache MISS: ignore the scrambled token,
-    * demand FULL auth (AuthMoreData 0x04) and validate the plaintext
-    * password the client sends over the (required) TLS channel. */
+    * demand FULL auth (AuthMoreData 0x04) and validate what the client
+    * sends — the plaintext password over TLS, or the RSA-OAEP
+    * encrypted password after a public-key request (0x02) over
+    * plaintext. */
   @volatile var forceFullAuth: Boolean = false
+  /** Server RSA keypair for the plaintext full-auth key exchange. */
+  private[sources] lazy val rsaKeys: java.security.KeyPair = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048); g.generateKeyPair()
+  }
+  private def publicKeyPem: String =
+    "-----BEGIN PUBLIC KEY-----\n" +
+      java.util.Base64.getMimeEncoder(64, "\n".getBytes)
+        .encodeToString(rsaKeys.getPublic.getEncoded) +
+      "\n-----END PUBLIC KEY-----\n"
   val lastAuthUser = new AtomicReference[String]("")
   /** Whether the last session's connection phase ran over TLS. */
   val lastSessionTls = new AtomicReference[java.lang.Boolean](false)
@@ -141,14 +153,29 @@ final class StubMySqlBinlogServer extends AutoCloseable {
           val token = java.util.Arrays.copyOfRange(r, i, i + tlen)
           if (plugin == "caching_sha2_password" && forceFullAuth) {
             // cache miss: the scramble is unverifiable server-side —
-            // demand the plaintext over the encrypted channel
+            // demand the plaintext over the encrypted channel, or run
+            // the RSA exchange when the client asks for the key
             writePacket(2, Array(0x01.toByte, 0x04.toByte)) // full auth required
-            val pw = readPacket()
-            val plain = new String(pw, 0, math.max(pw.length - 1, 0),
-              StandardCharsets.UTF_8)
+            val first = readPacket()
+            val plain =
+              if (first.length == 1 && first(0) == 0x02) {
+                // public-key request → AuthMoreData(0x01) + PEM, then
+                // the OAEP-encrypted XOR'd password
+                val pem = publicKeyPem.getBytes(StandardCharsets.UTF_8)
+                val pkt = new Array[Byte](1 + pem.length)
+                pkt(0) = 0x01
+                System.arraycopy(pem, 0, pkt, 1, pem.length)
+                writePacket(4, pkt)
+                val enc = readPacket()
+                try graft.sources.cdc.MySqlAuth.rsaDecryptPassword(
+                  enc, nonce, rsaKeys.getPrivate)
+                catch { case _: Exception => " <decrypt-failed>" }
+              } else
+                new String(first, 0, math.max(first.length - 1, 0),
+                  StandardCharsets.UTF_8)
             if (lastAuthUser.get == user && plain == password) {
-              writePacket(4, Array(0x00.toByte, 0x00.toByte, 0x00.toByte)); true
-            } else { errPacket(4, 1045, "Access denied"); false }
+              writePacket(6, Array(0x00.toByte, 0x00.toByte, 0x00.toByte)); true
+            } else { errPacket(6, 1045, "Access denied"); false }
           } else {
             val expected = graft.sources.cdc.MySqlAuth.scrambleFor(plugin, password, nonce)
             if (lastAuthUser.get != user || !java.util.Arrays.equals(token, expected)) {
