@@ -19,7 +19,7 @@ object QueriesLlm {
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
-                        llm98)
+                        llm98, llm99, llm100, llm101)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -4421,4 +4421,135 @@ object QueriesLlm {
          |ORDER BY doc_id""".stripMargin
     },
     prepare = Some((s, dir) => { llm98In(s, dir); () }))
+
+  /** HTML main-content extraction (llm/Html.scala) — the jusText/
+    * trafilatura stage every web-corpus pipeline starts with. Each
+    * document is wrapped in a deterministic page skeleton (nav,
+    * related-links block, footer, script/style in the head, the body
+    * text entity-ENCODED so decode is exercised for real), then
+    * extracted back: script/style blocks dropped, per-line word-count
+    * + link-density gate, tags stripped, entities decoded. The whole
+    * pipeline is one codegen'd projection — regexp_replace + array
+    * higher-order functions, no UDF, no shuffle — and the oracle
+    * replays the identical transformation through DuckDB's list
+    * comprehension surface. Boilerplate lines (all-anchor nav, the
+    * related block at 6 words / 2 links, the 4-word footer) must
+    * drop; the prose line survives whenever it has ≥5 words. */
+  private def llm99 = Q("llm99_html_extract",
+    (s, dir) => {
+      import graft.llm.Html
+      val page = Tables.documents(s, dir).select(col("doc_id"), concat_ws("\n",
+        lit("<html><head><title>Doc</title><script type=\"text/javascript\">var a = 1 < 2 && b > 0;</script><style>.x{color:red}</style></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/docs\">Docs</a> <a href=\"/about\">About</a></nav>"),
+        concat(lit("<p>"), Html.encodeEntities(col("text")), lit("</p>")),
+        lit("<div class=\"related\"><a href=\"/r1\">Related article one</a> <a href=\"/r2\">Related article two</a></div>"),
+        lit("<footer>Copyright &amp; contact: <a href=\"/tos\">terms</a></footer>"),
+        lit("</body></html>")).as("html"))
+      page.select(col("doc_id"), Html.extract(col("html")).as("e"))
+        .select(col("doc_id"),
+          col("e.n_lines").as("n_lines"), col("e.n_kept").as("n_kept"),
+          length(col("e.extracted")).as("extracted_chars"),
+          Portable.hash64(col("e.extracted")).as("content_h"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH h AS (SELECT doc_id, concat_ws(chr(10),
+            |    '<html><head><title>Doc</title><script type="text/javascript">var a = 1 < 2 && b > 0;</script><style>.x{color:red}</style></head><body>',
+            |    '<nav><a href="/">Home</a> <a href="/docs">Docs</a> <a href="/about">About</a></nav>',
+            |    concat('<p>', replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '</p>'),
+            |    '<div class="related"><a href="/r1">Related article one</a> <a href="/r2">Related article two</a></div>',
+            |    '<footer>Copyright &amp; contact: <a href="/tos">terms</a></footer>',
+            |    '</body></html>') AS html FROM documents),
+            |s AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+            |        '(?s)<script.*?</script>', ' ', 'g'), '(?s)<style.*?</style>', ' ', 'g') AS body FROM h),
+            |r0 AS (SELECT doc_id, list_transform(string_split(body, chr(10)), l -> {
+            |        'txt': replace(replace(replace(replace(
+            |                 trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+            |                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+            |        'links': CAST((length(l) - length(replace(l, '<a ', ''))) / 3 AS INT)}) AS recs FROM s),
+            |r1 AS (SELECT doc_id, list_transform(recs, r -> {'txt': r.txt, 'links': r.links,
+            |        'words': len(list_filter(string_split(r.txt, ' '), w -> len(w) > 0))}) AS recs FROM r0),
+            |k AS (SELECT doc_id, recs,
+            |        list_filter(recs, r -> r.words >= 5 AND r.links * 3 < r.words) AS kept FROM r1),
+            |x AS (SELECT doc_id, recs, kept,
+            |        array_to_string(list_transform(kept, r -> r.txt), chr(10)) AS extracted FROM k)
+            |SELECT doc_id, CAST(len(recs) AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept,
+            |       CAST(length(extracted) AS INT) AS extracted_chars,
+            |       ${Portable.duckHash64("extracted")} AS content_h
+            |FROM x ORDER BY doc_id""".stripMargin))
+
+  /** DPO preference-pair construction: documents bucketed into prompt
+    * groups, scored by the shared quality heuristic quantized to an
+    * exact int64, then per group chosen = best / rejected = worst with
+    * deterministic doc-id tiebreaks, kept only when strictly separated
+    * (margin >= 1). ONE hash aggregate — `max(struct(score, -id))` /
+    * `min(struct(score, id))` carry the argmax/argmin through map-side
+    * combine, so the shuffle is one row per group regardless of group
+    * width (the oracle proves the same pairs via two row_number
+    * windows). At 100 TB of rated candidates this stays a single
+    * exchange on prompt_id. */
+  private def llm100 = Q("llm100_dpo_pairs",
+    (s, dir) => {
+      val scored = Tables.documents(s, dir).select(
+        (col("doc_id") % 97).as("prompt_id"), col("doc_id"),
+        floor(TextAnalysis.qualityScore(col("text")) * lit(1e9)).cast("long").as("score"))
+      scored.groupBy(col("prompt_id"))
+        .agg(count(lit(1)).as("n_candidates"),
+          max(struct(col("score"), (-col("doc_id")).as("nd"))).as("c"),
+          min(struct(col("score"), col("doc_id").as("d"))).as("r"))
+        .select(col("prompt_id"), col("n_candidates"),
+          (-col("c.nd")).as("chosen_id"), col("c.score").as("chosen_score"),
+          col("r.d").as("rejected_id"), col("r.score").as("rejected_score"),
+          (col("c.score") - col("r.score")).as("margin"))
+        .filter(col("margin") >= 1)
+        .orderBy(col("prompt_id"))
+    },
+    Some("""WITH s AS (SELECT doc_id % 97 AS prompt_id, doc_id,
+           |        CAST(floor(((CAST(least(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)), 64) AS DOUBLE) / 64.0)
+           |          * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+           |                   / CAST(greatest(length(text), 1) AS DOUBLE))) * 1e9) AS BIGINT) AS score
+           |      FROM documents),
+           |rk AS (SELECT *,
+           |        row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, doc_id ASC) AS rc,
+           |        row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, doc_id ASC) AS rr,
+           |        count(*) OVER (PARTITION BY prompt_id) AS n_candidates
+           |       FROM s)
+           |SELECT c.prompt_id, c.n_candidates, c.doc_id AS chosen_id, c.score AS chosen_score,
+           |       r.doc_id AS rejected_id, r.score AS rejected_score, c.score - r.score AS margin
+           |FROM (SELECT * FROM rk WHERE rc = 1) c
+           |JOIN (SELECT * FROM rk WHERE rr = 1) r USING (prompt_id)
+           |WHERE c.score - r.score >= 1
+           |ORDER BY c.prompt_id""".stripMargin))
+
+  /** Training-shard packing: deterministic global shuffle (order by
+    * the portable content-free hash of doc_id — reproducible across
+    * runs and engines, uncorrelated with ingest order) + token-
+    * balanced contiguous shard assignment, shard = exclusive-prefix-
+    * tokens DIV target. The running total rides the DISTRIBUTED
+    * prefix-sum machinery (PrefixSum.runningTotal: ~1024 hash-range
+    * buckets × intra-bucket windows + a broadcast bucket-offset
+    * frame) — NOT a single-partition global window, which is the
+    * difference between this working at 100 TB and not. Output is the
+    * shard manifest: doc count, token mass, covered hash range. */
+  private def llm101 = Q("llm101_shard_pack",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+        .withColumn("h", Portable.hash64(col("doc_id")))
+      val run = graft.operators.PrefixSum.runningTotal(d, col("h"), col("tokens"),
+        bucketWidth = 1L << 50, out = "running")
+      run.select(expr("(running - tokens) DIV 2048").as("shard"), col("tokens"), col("h"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("shard_tokens"),
+          min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id,
+            |        CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS tokens,
+            |        ${Portable.duckHash64("doc_id")} AS h
+            |      FROM documents),
+            |r AS (SELECT *, sum(tokens) OVER (ORDER BY h) AS running FROM d),
+            |sh AS (SELECT CAST((running - tokens) // 2048 AS BIGINT) AS shard, tokens, h FROM r)
+            |SELECT shard, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS shard_tokens,
+            |       min(h) AS min_h, max(h) AS max_h
+            |FROM sh GROUP BY shard ORDER BY shard""".stripMargin))
 }

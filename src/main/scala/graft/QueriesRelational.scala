@@ -15,7 +15,7 @@ object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
                         q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-                        q25, q26, q27, q28, q29, q30, q31, q32)
+                        q25, q26, q27, q28, q29, q30, q31, q32, q33)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -1115,4 +1115,47 @@ object QueriesRelational {
            |       CAST(tr.n AS DOUBLE) / CAST(om.out_n AS DOUBLE) AS p
            |FROM tr JOIN om ON om.from_type = tr.from_type
            |ORDER BY tr.from_type, tr.to_type""".stripMargin))
+
+  /** Z-order layout audit (operators/Layout.scala) — the lakehouse
+    * OPTIMIZE ZORDER pattern: interleave the bits of two clustering
+    * dimensions (user bucket × event day) so contiguous key ranges
+    * are tight rectangles in BOTH dimensions, then report per-z-range
+    * bucket min/max stats plus whether a fixed predicate on EACH
+    * dimension could skip the bucket — the file-skipping decision a
+    * 100 TB scan makes from parquet footer stats. The z value is pure
+    * bit algebra (2·bits shift/mask adds, codegen'd, zero shuffle);
+    * the oracle recomputes it from the SAME generated term list
+    * (Layout.duckZValue), so the curves cannot drift. */
+  private def q33 = Q("q33_zorder_layout",
+    (s, dir) => {
+      import graft.operators.Layout
+      // 5-bit grid cells fill at every SF (user % 32 × day % 32), so
+      // the 16 z-range buckets are 8×8 rectangles — real skipping
+      // geometry rather than a degenerate single bucket.
+      val bits = 5; val lb = 4
+      val dims = Tables.events(s, dir).select(
+        Layout.clampDim(expr("user_id % 32"), bits).as("x"),
+        Layout.clampDim(expr("((unix_micros(ts) DIV 86400000000) - 19723) % 32"), bits).as("y"))
+      dims.select(Layout.zBucket(col("x"), col("y"), bits, lb).as("bucket"),
+          col("x"), col("y"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .select(col("bucket"), col("n"),
+          col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+          (col("min_x") <= 6 && col("max_x") >= 3).cast("int").as("scan_x_3_6"),
+          (col("min_y") <= 13 && col("max_y") >= 10).cast("int").as("scan_y_10_13"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH d AS (SELECT ${graft.operators.Layout.duckClampDim("user_id % 32", 5)} AS x,
+            |        ${graft.operators.Layout.duckClampDim("((epoch_ns(ts) // 1000 // 86400000000) - 19723) % 32", 5)} AS y
+            |      FROM events),
+            |b AS (SELECT ${graft.operators.Layout.duckZBucket("x", "y", 5, 4)} AS bucket, x, y FROM d),
+            |g AS (SELECT bucket, count(*) AS n, min(x) AS min_x, max(x) AS max_x,
+            |             min(y) AS min_y, max(y) AS max_y FROM b GROUP BY bucket)
+            |SELECT bucket, n, min_x, max_x, min_y, max_y,
+            |       CAST(min_x <= 6 AND max_x >= 3 AS INT) AS scan_x_3_6,
+            |       CAST(min_y <= 13 AND max_y >= 10 AS INT) AS scan_y_10_13
+            |FROM g ORDER BY bucket""".stripMargin))
 }

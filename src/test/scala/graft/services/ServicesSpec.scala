@@ -150,8 +150,13 @@ class ServicesSpec extends SparkSpec {
         keySchema = keySchema, rowSchema = rowSchema, sink = sink)
       val q = CdcPipeline.start(spark, spec)
       q.awaitTermination(60000)
-      // lag = clock - max source ts_ms = 5000; snapshot rows were in the batch
-      val m = listener.snapshot.values.find(_.numInputRows == 3)
+      // lag = clock - max source ts_ms = 5000; snapshot rows were in the batch.
+      // Listener dispatch is async — awaitTermination can return before the
+      // progress event is processed, so poll like the close() check below.
+      def captured = listener.snapshot.values.find(_.numInputRows == 3)
+      var waitedM = 0
+      while (captured.isEmpty && waitedM < 10000) { Thread.sleep(100); waitedM += 100 }
+      val m = captured
       assert(m.isDefined, s"no progress captured: ${listener.snapshot}")
       assert(m.get.msBehindSource == 5000L)
       assert(m.get.snapshotRunning) // single batch contained snapshot rows
