@@ -19,7 +19,7 @@ object QueriesLlm {
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
-                        llm98, llm99, llm100, llm101)
+                        llm98, llm99, llm100, llm101, llm102)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -4552,4 +4552,59 @@ object QueriesLlm {
             |SELECT shard, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS shard_tokens,
             |       min(h) AS min_h, max(h) AS max_h
             |FROM sh GROUP BY shard ORDER BY shard""".stripMargin))
+
+  private val llm102Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llm102Docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir).select(col("doc_id"), col("text"),
+      timestamp_seconds(lit(1700000000L) + col("doc_id") % 600).as("ts"))
+  private def llm102In(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    llm102Fixture.computeIfAbsent(dir, _ => {
+      val in = java.nio.file.Files.createTempDirectory("graft-llm102-in").toString
+      val docs = llm102Docs(s, dir)
+      docs.write.mode("overwrite").parquet(in)
+      docs.filter(col("doc_id") % 7 === 0).write.mode("append").parquet(in)
+      in
+    })
+
+  /** STREAMING dedup against a static seen-corpus index, oracle-checked
+    * end-to-end (the continuous-ingest companion to llm98's curation
+    * row): a real micro-batch pipeline runs inside the query — parquet
+    * file-source stream over a double-delivery fixture (every 7th doc
+    * redelivered byte-identical), StreamingOps.dedupAgainstIndexStream
+    * gating each batch against the already-ingested corpus (docs with
+    * id < 200) through the bloom-prefilter + anti-join sliver, then
+    * watermarked within-stream dedup state, AvailableNow drain to a
+    * parquet sink. The FINAL on-disk state the driver compares must be
+    * exactly the never-seen documents, once each: an index miss
+    * double-admits the seen prefix, lost stream state double-emits the
+    * redeliveries. Deterministic because redelivered rows are
+    * byte-identical (the dedup key is the content hash, so the
+    * survivor's projected columns don't depend on batch order). */
+  private def llm102 = Q("llm102_dedup_index_stream",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = llm102In(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-llm102-run")
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      val stream = s.readStream.schema(llm102Docs(s, dir).schema).parquet(in)
+      val seen = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val fresh = graft.streaming.StreamingOps.dedupAgainstIndexStream(
+        stream, col("text"), seen, col("text"), "ts", "2 hours", expectedItems = 1000L)
+      val q = fresh.select(col("doc_id"), col("__content_hash").as("content_hash"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH seen AS (SELECT DISTINCT ${Portable.duckHash64("text")} AS h
+            |             FROM documents WHERE doc_id < 200),
+            |str AS (SELECT doc_id, text FROM documents
+            |        UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+            |hh AS (SELECT DISTINCT doc_id, ${Portable.duckHash64("text")} AS content_hash FROM str)
+            |SELECT doc_id, content_hash FROM hh
+            |WHERE content_hash NOT IN (SELECT h FROM seen)
+            |ORDER BY doc_id""".stripMargin),
+    prepare = Some((s, dir) => { llm102In(s, dir); () }))
 }
