@@ -1971,27 +1971,36 @@ object QueriesCdc {
       val root = java.nio.file.Files.createTempDirectory("graft-cdc29")
       val out = root.resolve("out").toString
       val ckpt = root.resolve("ckpt").toString
-      // several micro-batches at ANY sf: lsn budget = max lsn / 5
+      // several micro-batches at ANY sf: lsn budget = max lsn / 3
       val maxId = Tables.events(s, dir)
         .agg(max(col("event_id"))).head().getLong(0)
       val records = s.readStream.format("graft-cdc")
         .option("path", db.toString)
         .option("keySchema", "user_id BIGINT").option("rowSchema", cdc07RowDdl)
         .option("table.include.list", "app.events")
-        .option("maxLsnsPerTrigger", math.max(maxId / 5, 1L).toString)
+        .option("maxLsnsPerTrigger", math.max(maxId / 3, 1L).toString)
         .load()
       val changelog = graft.streaming.StreamingOps.latestStateStream(records)
-      val q = changelog.writeStream
-        .foreachBatch {
-          (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingOps.StateOut],
-           id: Long) =>
-            b.withColumn("batch_id", lit(id))
-              .write.mode("append").parquet(out)
-        }
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // The cost of this query is state-store COMMITS, not data:
+      // shuffle-partition count × micro-batch count HDFS-backed state
+      // files for ~#users keys. Size the state fan-out to the key
+      // count while the stream runs (the setting binds at query start;
+      // restore after so batch queries keep the session default).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = changelog.writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingOps.StateOut],
+             id: Long) =>
+              b.withColumn("batch_id", lit(id))
+                .write.mode("append").parquet(out)
+          }
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val rowT = org.apache.spark.sql.types.StructType.fromDDL(cdc07RowDdl)
       val log = s.read.parquet(out)
       // one emission per key per batch → the latest batch's emission

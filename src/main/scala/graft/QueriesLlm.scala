@@ -4386,12 +4386,19 @@ object QueriesLlm {
       val curated = Curation.curateStream(stream, col("text"),
         Curation.Config(minTokens = 8, maxPunctRatio = 0.3, keepLangs = Set("en")),
         "ts", "2 hours")
-      val q = curated.select(col("doc_id"), col("text"),
-          col("__content_hash").as("content_hash"))
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // state fan-out sized to the corpus while the stream runs (the
+      // dominant cost is per-partition state commits, not rows);
+      // restored after so batch queries keep the session default
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = curated.select(col("doc_id"), col("text"),
+            col("__content_hash").as("content_hash"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(out).orderBy(col("doc_id"))
     },
     Some {
@@ -4591,11 +4598,16 @@ object QueriesLlm {
       val seen = Tables.documents(s, dir).filter(col("doc_id") < 200)
       val fresh = graft.streaming.StreamingOps.dedupAgainstIndexStream(
         stream, col("text"), seen, col("text"), "ts", "2 hours", expectedItems = 1000L)
-      val q = fresh.select(col("doc_id"), col("__content_hash").as("content_hash"))
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // state fan-out sized to the corpus while the stream runs (see llm98)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = fresh.select(col("doc_id"), col("__content_hash").as("content_hash"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(out).orderBy(col("doc_id"))
     },
     Some(s"""WITH seen AS (SELECT DISTINCT ${Portable.duckHash64("text")} AS h
