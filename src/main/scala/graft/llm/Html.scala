@@ -23,17 +23,20 @@ object Html {
 
   /** Entity-encode text for embedding into markup (fixture
     * construction; decode round-trips through [[decodeEntities]]).
-    * `&` FIRST so already-encoded entities don't double-encode. */
+    * `&` FIRST so already-encoded entities don't double-encode.
+    * Literal `replace`, not regex — same semantics for fixed
+    * patterns, no per-row pattern machinery. */
   def encodeEntities(t: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(t,
-      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    replace(replace(replace(t,
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
 
   /** Decode the entities [[encodeEntities]] produces plus the common
     * quote forms. `&amp;` LAST — the inverse ordering, so
     * `&amp;lt;` decodes to `&lt;` not `<`. */
   def decodeEntities(t: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-      "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&amp;", "&")
+    replace(replace(replace(replace(t,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&amp;"), lit("&"))
 
   /** Remove script and style blocks wholesale — their content is
     * never prose and routinely contains `<`/`>` that would confuse
@@ -46,7 +49,7 @@ object Html {
   /** Anchor-tag count of a raw markup line: occurrences of `"<a "`.
     * Exact arithmetic — each removal deletes exactly 3 characters. */
   def linkCount(line: Column): Column =
-    ((length(line) - length(regexp_replace(line, "<a ", ""))) / lit(3)).cast("int")
+    ((length(line) - length(replace(line, lit("<a "), lit("")))) / lit(3)).cast("int")
 
   /** Visible text of a raw markup line: strip tags, collapse
     * whitespace, trim, decode entities. */
