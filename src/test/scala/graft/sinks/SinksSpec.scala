@@ -240,6 +240,47 @@ class SinksSpec extends SparkSpec {
     assert(state.find(_.getAs[Int]("id") == 16).get.getAs[String]("q") == "q16")
   }
 
+  test("compaction with clusterBy z-orders rows within each bucket file, same MERGE result") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-upz").toString
+    val sink = new ParquetUpsertSink(dir, Seq("id"), numBuckets = 2,
+      clusterBy = Some(("id", "__lsn")), clusterBits = 8)
+    // lsn deliberately uncorrelated with id so z-order differs from both
+    // single-column sorts
+    sink.write(recordsWithLsn((1 to 40).map(i =>
+      (i, "c", s"q$i", s"a$i", java.lang.Long.valueOf((i * 37 % 50).toLong))).toSeq),
+      epochId = 1)
+    sink.write(recordsWithLsn(Seq((3, "u", "q3-v2", "a3",
+      java.lang.Long.valueOf(60L)))), epochId = 2)
+    val table = Paths.get(dir, "testc_faq_items")
+    val expected = sink.readTable(spark, "testc.faq.items").orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("q"))).toSeq
+
+    sink.compact(spark, "testc.faq.items")
+    val after = sink.readTable(spark, "testc.faq.items").orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("q"))).toSeq
+    assert(after == expected, "MERGE result must be identical after clustered compaction")
+
+    def zRef(a: Long, b: Long): Long = (0 until 8).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }
+    val compactDir = Files.list(table).iterator().asScala
+      .find(_.getFileName.toString.startsWith("data-compact-")).get
+    val bucketDirs = Files.list(compactDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("__bucket=")).toSeq
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { bd =>
+      val files = Files.list(bd).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      assert(files.size == 1, s"one file per bucket, got ${files.size} in $bd")
+      val zs = spark.read.parquet(files.head.toString)
+        .select("id", "__lsn").collect()
+        .map(r => zRef(r.getAs[Int]("id").toLong, r.getAs[Long]("__lsn")))
+      assert(zs.length > 1 && zs.sameElements(zs.sorted),
+        s"bucket ${bd.getFileName} rows not in Morton order")
+    }
+  }
+
   test("upsert compaction: N epochs fold to one dir, same MERGE result, fewer files, old epochs gone") {
     import scala.jdk.CollectionConverters._
     val dir = Files.createTempDirectory("graft-upc").toString
