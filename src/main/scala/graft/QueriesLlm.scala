@@ -19,7 +19,7 @@ object QueriesLlm {
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
-                        llm98, llm99, llm100, llm101, llm102)
+                        llm98, llm99, llm100, llm101, llm102, llm103)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -4619,4 +4619,64 @@ object QueriesLlm {
             |WHERE content_hash NOT IN (SELECT h FROM seen)
             |ORDER BY doc_id""".stripMargin),
     prepare = Some((s, dir) => { llm102In(s, dir); () }))
+
+  /** Robots-rules URL filtering (Urls.robotsDecision) — the crawl
+    * admission stage: every URL is judged against its site's rule list
+    * under RFC 9309 semantics (LONGEST matching prefix wins, Allow
+    * beats Disallow on equal length, no match = allowed). The per-site
+    * rule lists are tiny, so they broadcast-join onto the corpus and
+    * the decision is a codegen'd fold over the rules array — ZERO
+    * shuffle of the URL corpus. The fixture plants the interesting
+    * geometry: a site-wide Disallow /a on every third site, an Allow
+    * /a/b2 that re-admits a subtree under it, a global Disallow
+    * /a/b4, and /deep suffixes that must inherit their parent rule.
+    * The oracle decides through an INDEPENDENT formulation (rules
+    * join + longest-match row_number), so a fold bug can't replicate
+    * itself. */
+  private def llm103 = Q("llm103_robots_filter",
+    (s, dir) => {
+      import graft.llm.Urls
+      val urls = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(lit("site"), expr("(doc_id DIV 3) % 7")).as("site"),
+        concat(lit("/a/b"), expr("doc_id % 5"),
+          when(expr("doc_id % 11") === 0, "/deep").otherwise("")).as("path"))
+      val sites = (0 until 7).map(i => s"site$i")
+      val ruleRows = sites.flatMap { st =>
+        val base = Seq((st, "/a/b2", true), (st, "/a/b4", false), (st, "/private", false))
+        if (st.stripPrefix("site").toInt % 3 == 0) base :+ ((st, "/a", false)) else base
+      }
+      import s.implicits._
+      val rules = ruleRows.toDF("site", "prefix", "allow")
+        .groupBy(col("site"))
+        .agg(collect_list(struct(col("prefix"), col("allow"))).as("rules"))
+      urls.join(broadcast(rules), Seq("site"), "left")
+        .select(col("doc_id"), col("site"), col("path"),
+          Urls.robotsDecision(col("path"), col("rules")).as("d"))
+        .select(col("doc_id"), col("site"), col("path"),
+          col("d.allowed").as("allowed"), col("d.match_len").as("match_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH urls AS (SELECT doc_id,
+           |        'site' || ((doc_id // 3) % 7) AS site,
+           |        '/a/b' || (doc_id % 5) ||
+           |          CASE WHEN doc_id % 11 = 0 THEN '/deep' ELSE '' END AS path
+           |      FROM documents),
+           |sites AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS s),
+           |rules AS (
+           |  SELECT 'site' || s AS site, '/a/b2' AS prefix, true AS allow FROM sites
+           |  UNION ALL SELECT 'site' || s, '/a/b4', false FROM sites
+           |  UNION ALL SELECT 'site' || s, '/private', false FROM sites
+           |  UNION ALL SELECT 'site' || s, '/a', false FROM sites WHERE s % 3 = 0),
+           |m AS (SELECT u.doc_id, r.allow, len(r.prefix) AS plen,
+           |        row_number() OVER (PARTITION BY u.doc_id
+           |                           ORDER BY len(r.prefix) DESC, r.allow DESC) AS rn
+           |      FROM urls u JOIN rules r
+           |        ON r.site = u.site AND starts_with(u.path, r.prefix)),
+           |best AS (SELECT doc_id, allow, plen FROM m WHERE rn = 1)
+           |SELECT u.doc_id, u.site, u.path,
+           |       coalesce(b.allow, true) AS allowed,
+           |       CAST(coalesce(b.plen, -1) AS INT) AS match_len
+           |FROM urls u LEFT JOIN best b USING (doc_id)
+           |ORDER BY u.doc_id""".stripMargin))
 }

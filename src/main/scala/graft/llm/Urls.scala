@@ -158,4 +158,32 @@ object Urls {
       .agg(count(lit(1)).as("n_rows"),
            countDistinct(Portable.hash64(col("curl"))).as("n_pages"))
   }
+
+  /** RFC 9309 robots-rules decision for one URL path against its
+    * site's rule list: the most specific (LONGEST) matching prefix
+    * rule wins; on equal length Allow beats Disallow; no match means
+    * allowed. `rules` is an `array<struct<prefix:string,
+    * allow:boolean>>` column — per-site rule lists are tiny, so the
+    * caller broadcast-joins them onto the corpus and this fold runs
+    * as a pure codegen'd projection: ZERO shuffle of the URL corpus,
+    * the shape that holds at 100 TB of crawl. The fold is
+    * order-independent (strict longest-match + allow-on-tie), so the
+    * rule list needs no canonical ordering.
+    *
+    * Returns `struct(allowed boolean, match_len int)` — match_len −1
+    * when no rule matched (the default-allow case), so callers can
+    * separate "allowed by default" from "explicitly allowed". */
+  def robotsDecision(path: Column, rules: Column): Column = {
+    val zero = struct(lit(true).as("allow"), lit(-1).as("len"))
+    val folded = aggregate(rules, zero, (acc, r) => {
+      val plen = length(r.getField("prefix"))
+      when(startswith(path, r.getField("prefix")) &&
+           (plen > acc.getField("len") ||
+            (plen === acc.getField("len") && r.getField("allow"))),
+        struct(r.getField("allow").as("allow"), plen.as("len")))
+        .otherwise(acc)
+    })
+    struct(folded.getField("allow").as("allowed"),
+           folded.getField("len").as("match_len"))
+  }
 }
