@@ -172,7 +172,9 @@ object Urls {
     *
     * Returns `struct(allowed boolean, match_len int)` — match_len −1
     * when no rule matched (the default-allow case), so callers can
-    * separate "allowed by default" from "explicitly allowed". */
+    * separate "allowed by default" from "explicitly allowed". A NULL
+    * rules column (a site with no robots.txt after a left join) is
+    * the same default-allow case — no robots file means allowed. */
   def robotsDecision(path: Column, rules: Column): Column = {
     val zero = struct(lit(true).as("allow"), lit(-1).as("len"))
     val folded = aggregate(rules, zero, (acc, r) => {
@@ -183,7 +185,7 @@ object Urls {
         struct(r.getField("allow").as("allow"), plen.as("len")))
         .otherwise(acc)
     })
-    struct(folded.getField("allow").as("allowed"),
-           folded.getField("len").as("match_len"))
+    struct(coalesce(folded.getField("allow"), lit(true)).as("allowed"),
+           coalesce(folded.getField("len"), lit(-1)).as("match_len"))
   }
 }

@@ -78,4 +78,34 @@ class UrlsSpec extends SparkSpec {
     // are different canonical URLs
     assert(got("b.co.uk") == ((2L, 2L)))
   }
+
+  test("robotsDecision: longest match wins, Allow beats Disallow on ties, defaults allow") {
+    import org.apache.spark.sql.Row
+    val rules = typedLit(Seq(
+      ("/a", false), ("/a/b", true), ("/a/b/c", false), ("/x", false), ("/x", true)))
+      .cast("array<struct<prefix:string,allow:boolean>>")
+    val cases = Seq(
+      "/a/zzz",   // only /a matches -> blocked, len 2
+      "/a/b/ok",  // /a and /a/b match -> longest is allow, len 4
+      "/a/b/c/d", // /a/b/c deepest -> blocked, len 6
+      "/x/any",   // /x disallow and /x allow tie -> Allow wins, len 2
+      "/other")   // nothing matches -> default allow, len -1
+    val got = cases.toDF("p")
+      .select(col("p"), Urls.robotsDecision(col("p"), rules).as("d"))
+      .select(col("p"), col("d.allowed"), col("d.match_len"))
+      .collect().map { case Row(p: String, a: Boolean, l: Int) => p -> ((a, l)) }.toMap
+    assert(got("/a/zzz") == ((false, 2)))
+    assert(got("/a/b/ok") == ((true, 4)))
+    assert(got("/a/b/c/d") == ((false, 6)))
+    assert(got("/x/any") == ((true, 2)))
+    assert(got("/other") == ((true, -1)))
+  }
+
+  test("robotsDecision: NULL rules (site without robots.txt) defaults to allowed") {
+    val nullRules = lit(null).cast("array<struct<prefix:string,allow:boolean>>")
+    val r = Seq("/a").toDF("p")
+      .select(Urls.robotsDecision(col("p"), nullRules).as("d"))
+      .select(col("d.allowed"), col("d.match_len")).collect()(0)
+    assert(r.getBoolean(0) && r.getInt(1) == -1)
+  }
 }
