@@ -17,7 +17,7 @@ object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
                         cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21,
-                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29)
+                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -2022,5 +2022,74 @@ object QueriesCdc {
             |  FROM events) t
             |WHERE rn = 1 AND op <> 'd'
             |ORDER BY user_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc07Db(s, dir); () }))
+
+  /** CDC-MAINTAINED MATERIALIZED AGGREGATE (incremental view
+    * maintenance, oracle-checked end-to-end): the cdc07 WAL replays
+    * as a real multi-micro-batch stream, `changelogDeltaStream` turns
+    * each key-state change into signed rows (−old, +new), and
+    * foreachBatch folds ONLY that batch's deltas into per-group
+    * partial aggregates — each batch's partials land in their own
+    * `batch=<id>` dir via idempotent overwrite, so a replayed batch
+    * can't double-count. The final aggregate (count + quantized sum
+    * per event_type over the keys' CURRENT rows) is the fold of all
+    * partials and must hash-match the oracle's from-scratch group-by
+    * over the final table state: a missed retraction (update or
+    * delete leaving its old contribution behind) or a double-applied
+    * delta shifts a sum and fails the compare. The aggregate work per
+    * batch is change-grain, never table-grain — the property that
+    * keeps a continuously-maintained 100 TB view at change-rate
+    * cost. */
+  private def cdc30 = Q("cdc30_incremental_agg",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val db = cdc07Db(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-cdc30")
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      val maxId = Tables.events(s, dir)
+        .agg(max(col("event_id"))).head().getLong(0)
+      val records = s.readStream.format("graft-cdc")
+        .option("path", db.toString)
+        .option("keySchema", "user_id BIGINT").option("rowSchema", cdc07RowDdl)
+        .option("table.include.list", "app.events")
+        .option("maxLsnsPerTrigger", math.max(maxId / 3, 1L).toString)
+        .load()
+      val deltas = graft.streaming.StreamingOps.changelogDeltaStream(records)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = deltas.writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingOps.DeltaOut],
+             id: Long) =>
+              b.select(
+                  get_json_object(col("payload"), "$.event_type").as("event_type"),
+                  col("sign"),
+                  floor(get_json_object(col("payload"), "$.value").cast("double")
+                    * lit(1e6)).cast("long").as("vq"))
+                .groupBy(col("event_type"))
+                .agg(sum(col("sign").cast("long")).as("dn"),
+                     sum(col("sign") * col("vq")).as("dv"))
+                .write.mode("overwrite").parquet(s"$out/batch=$id")
+          }
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(sum(col("dn")).as("n_rows"), sum(col("dv")).as("sum_q"))
+        .filter(col("n_rows") > 0)
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH f AS (SELECT user_id, event_type, value, $opSql AS op,
+            |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |      FROM events)
+            |SELECT event_type, count(*) AS n_rows,
+            |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_q
+            |FROM f WHERE rn = 1 AND op <> 'd'
+            |GROUP BY event_type ORDER BY event_type""".stripMargin),
     prepare = Some((s, dir) => { cdc07Db(s, dir); () }))
 }

@@ -144,6 +144,60 @@ object StreamingOps {
         applyGroup)(Encoders.product[KeyState], Encoders.product[StateOut])
   }
 
+  /** One signed row of the incremental-view-maintenance changelog:
+    * sign −1 retracts the key's previous state, +1 asserts its new
+    * one. Summing f(payload)·sign over the whole stream telescopes to
+    * f over exactly the keys' final states — the algebra that lets a
+    * downstream aggregate stay correct under updates and deletes
+    * without ever rescanning the table. */
+  final case class DeltaOut(key: String, sign: Int, payload: String, lsn: Long)
+
+  /** Signed changelog emission — [[latestStateStream]]'s semantics
+    * with RETRACTIONS: whenever a key's current state changes, emit
+    * −old (if the key had state) and +new (unless the change is a
+    * delete). Feeding these through a signed aggregate maintains any
+    * sum/count-shaped view incrementally (classic IVM): per
+    * micro-batch the aggregate touches only changed groups, never the
+    * accumulated table — the property that keeps a continuously-
+    * maintained 100 TB aggregate at change-rate cost. Same LSN
+    * ordering and content tiebreaks as the batch merge; a delete of a
+    * key without state emits nothing (nothing to retract). */
+  def changelogDeltaStream(records: DataFrame): Dataset[DeltaOut] = {
+    val ds = records.select(
+        to_json(col("key")).as("key"),
+        col("value.op").as("op"),
+        to_json(col("value.after")).as("payload"),
+        coalesce(col("value.source.lsn"), col("value.ts_ms"), lit(0L)).as("lsn"))
+      .na.fill("", Seq("payload"))
+      .as(Encoders.product[ChangeIn])
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        deltaGroup)(Encoders.product[KeyState], Encoders.product[DeltaOut])
+  }
+
+  private def deltaGroup(key: String, changes: Iterator[ChangeIn],
+                         state: GroupState[KeyState]): Iterator[DeltaOut] = {
+    val incoming = changes.map(c => KeyState(c.lsn, c.op, c.payload))
+      .reduceOption(newer)
+    incoming match {
+      case None => Iterator.empty
+      case Some(cand) =>
+        val winner = state.getOption.fold(cand)(cur => if (cand.lsn >= cur.lsn) cand else cur)
+        if (state.getOption.contains(winner)) Iterator.empty // no change
+        else {
+          val retract = state.getOption
+            .map(cur => DeltaOut(key, -1, cur.payload, winner.lsn)).iterator
+          if (winner.op == Envelope.OpDelete) {
+            state.remove()
+            retract
+          } else {
+            state.update(winner)
+            retract ++ Iterator.single(DeltaOut(key, 1, winner.payload, winner.lsn))
+          }
+        }
+    }
+  }
+
   /** The batch sink's `__tb` content tiebreak computed JVM-side: the
     * xxhash64 of the SAME "<op>|<payload-json>" string
     * ParquetUpsertSink hashes as a Column — one tiebreak function for

@@ -72,6 +72,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changelogDeltaStream: signed emissions telescope to the final state under update/delete/stale") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val records = input.toDF()
+      .select(from_json(col("value"), Envelope.recordSchema(keySchema, rowSchema)).as("r"))
+      .select("r.*")
+    val deltas = StreamingOps.changelogDeltaStream(records)
+    val q = deltas.writeStream.format("memory").queryName("delta_out")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq(line(1, "c", "a1", 1), line(2, "c", "a2", 2), line(3, "c", "a3", 3)))
+      q.processAllAvailable()
+      // creates retract nothing: 3 assertions only
+      assert(spark.table("delta_out").count() == 3)
+      assert(spark.table("delta_out").filter(col("sign") === -1).count() == 0)
+
+      // update k2 (retract old + assert new), delete k3 (retract only),
+      // stale k1 (nothing), delete of a key that never existed (nothing)
+      input.addData(Seq(line(2, "u", "a2-new", 5), line(3, "d", "a3", 6),
+        line(1, "u", "stale", 0), line(9, "d", "ghost", 7)))
+      q.processAllAvailable()
+      val em = spark.table("delta_out")
+      assert(em.filter(col("payload").contains("stale")).count() == 0)
+      assert(em.filter(col("key").contains("9")).count() == 0)
+      assert(em.filter(col("sign") === -1).count() == 2) // k2 old, k3
+
+      // signed fold over ALL emissions == per-key final state: k1=a1,
+      // k2=a2-new survive; k3 deleted nets to zero
+      val net = em
+        .select(get_json_object(col("key"), "$.id").cast("int").as("id"),
+                col("sign"), get_json_object(col("payload"), "$.v").as("v"))
+        .groupBy("id", "v").agg(sum(col("sign")).as("n"))
+        .filter(col("n") =!= 0)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      assert(net == Set((1, "a1", 1L), (2, "a2-new", 1L)))
+    } finally q.stop()
+  }
+
   test("GraftSession.builder state backends: memory/rocksdb accepted, anything else fails loudly") {
     graft.GraftSession.builder(stateBackend = "memory")
     graft.GraftSession.builder(stateBackend = "rocksdb")
