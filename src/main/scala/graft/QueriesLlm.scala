@@ -19,7 +19,7 @@ object QueriesLlm {
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
-                        llm98, llm99, llm100, llm101, llm102, llm103)
+                        llm98, llm99, llm100, llm101, llm102, llm103, llm104)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -4679,4 +4679,62 @@ object QueriesLlm {
            |       CAST(coalesce(b.plen, -1) AS INT) AS match_len
            |FROM urls u LEFT JOIN best b USING (doc_id)
            |ORDER BY u.doc_id""".stripMargin))
+
+  private val llm104Slot = new TrackerSlot
+
+  /** CCNet-style perplexity buckets: each source's documents are
+    * ranked by corpus-typicality (the integer-exact mean smoothed
+    * bigram probability, LanguageModel.bigramScoreQ — higher = more
+    * typical, CCNet's lower-perplexity end) and split into
+    * head/middle/tail TERTILES — the partition CCNet keeps head+middle
+    * of and drops or down-weights tail of. The per-source ranking
+    * rides the DISTRIBUTED exact-rank scan (Sketches.groupRanks), so a
+    * source larger than a partition never sorts in one task; tertile
+    * thresholds are integer arithmetic (rank·3 vs n), so bucket
+    * boundaries are engine-identical. Output is the per-(source,
+    * bucket) report: volume and the score range each bucket spans. */
+  private def llm104 = Q("llm104_ccnet_buckets",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = LanguageModel.bigramScoreQ(docs, col("doc_id"), col("text"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val ranked = graft.llm.Sketches.groupRanks(scored, col("source"),
+        -col("score_q"), col("doc_id"), tracker = Some(llm104Slot.fresh()))
+      val totals = ranked.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(totals), "g")
+        .select(col("g").as("source"), (-col("v")).as("score_q"),
+          when(col("rank") * 3 <= col("n"), "head")
+            .when(col("rank") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score_q")).as("min_q"), max(col("score_q")).as("max_q"))
+        .orderBy(col("source"), col("bucket"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |              list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           |            FROM documents),
+           |bi AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+           |              unnest(toks[2:len(toks)]) AS w2 FROM t),
+           |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+           |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+           |v AS (SELECT count(DISTINCT tok) AS v
+           |      FROM (SELECT unnest(toks) AS tok FROM t)),
+           |q AS (SELECT bi.doc_id,
+           |        CAST(floor((CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)) * 1e9) AS BIGINT) AS q
+           |      FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+           |sc AS (SELECT doc_id, CAST(sum(q) // count(*) AS BIGINT) AS score_q
+           |       FROM q GROUP BY doc_id),
+           |r AS (SELECT d.source AS source, sc.score_q,
+           |        row_number() OVER (PARTITION BY d.source
+           |                           ORDER BY -sc.score_q ASC, sc.doc_id ASC) AS rank,
+           |        count(*) OVER (PARTITION BY d.source) AS n
+           |      FROM sc JOIN documents d USING (doc_id))
+           |SELECT source,
+           |       CASE WHEN rank * 3 <= n THEN 'head'
+           |            WHEN rank * 3 <= n * 2 THEN 'middle'
+           |            ELSE 'tail' END AS bucket,
+           |       count(*) AS n_docs, min(score_q) AS min_q, max(score_q) AS max_q
+           |FROM r GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin),
+    cleanup = Some(_ => llm104Slot.drain()))
 }

@@ -128,7 +128,22 @@ object LanguageModel {
     * avg_bigram_p) where avg_bigram_p is the mean smoothed bigram
     * probability (higher = more typical of the corpus; extremely high
     * = boilerplate, extremely low = gibberish/noise). */
-  def bigramScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+  def bigramScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    bigramDocSums(df, idCol, textCol)
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__sq").cast("double") / col("n_bigrams") / lit(1e9)).as("avg_bigram_p"))
+
+  /** Integer-exact variant of [[bigramScore]] for rank/bucket
+    * consumers (e.g. CCNet-style head/middle/tail partitioning):
+    * `score_q = sum(q) DIV n_bigrams` — the mean smoothed bigram
+    * probability in 1e-9 steps as an exact long, so ordering and
+    * tertile thresholds are engine-identical with no float compare. */
+  def bigramScoreQ(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    bigramDocSums(df, idCol, textCol)
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("__sq DIV n_bigrams").as("score_q"))
+
+  private def bigramDocSums(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val toks = tokenized(df, idCol, textCol)
     val bi = bigramStream(toks)
     val c12 = bi.groupBy(col("__h12")).agg(count(lit(1)).as("__c12"))
@@ -142,8 +157,6 @@ object LanguageModel {
                (col("__c1") + col("__v")).cast("double")) * lit(1e9)).cast("long").as("__q"))
     q.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__q")).as("__sq"))
-      .select(col("doc_id"), col("n_bigrams"),
-        (col("__sq").cast("double") / col("n_bigrams") / lit(1e9)).as("avg_bigram_p"))
   }
 
   /** DSIR-style importance score: how much more likely each raw
