@@ -17,7 +17,7 @@ object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
                         cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21,
-                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30)
+                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -2091,5 +2091,54 @@ object QueriesCdc {
             |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_q
             |FROM f WHERE rn = 1 AND op <> 'd'
             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    prepare = Some((s, dir) => { cdc07Db(s, dir); () }))
+
+  /** Backfill → streaming HANDOFF, gap- and overlap-checked: a
+    * bounded batch read to position X (`ending.lsn`) unioned with a
+    * resume read strictly after X (`starting.lsn`, the round-15
+    * source option) must reconstruct the full replay EXACTLY. The
+    * final state catches a GAP at the boundary (a missed change
+    * leaves a stale row), and `n_changes` — the per-key record count
+    * across both reads, compared against the log's true per-key
+    * count — catches an OVERLAP that the latest-wins merge would
+    * otherwise absorb silently. This is the operational pattern every
+    * large table migration runs: bulk backfill at a consistent
+    * position, then stream from that position with no seam. */
+  private def cdc31 = Q("cdc31_backfill_handoff",
+    (s, dir) => {
+      val db = cdc07Db(s, dir)
+      val maxId = Tables.events(s, dir)
+        .agg(max(col("event_id"))).head().getLong(0)
+      val mid = math.max(maxId / 2, 1L)
+      def read(extra: (String, String)) = s.read.format("graft-cdc")
+        .option("path", db.toString)
+        .option("keySchema", "user_id BIGINT").option("rowSchema", cdc07RowDdl)
+        .option("table.include.list", "app.events")
+        .option(extra._1, extra._2)
+        .load()
+      val backfill = read("ending.lsn" -> mid.toString)
+      val tail = read("starting.lsn" -> mid.toString)
+      val all = backfill.unionByName(tail)
+      val counts = all.groupBy(col("key.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_changes"))
+      ApplyChanges.latestState(all,
+          keyCols = Seq(col("key.user_id")),
+          orderCols = Seq(col("value.source.lsn")),
+          opCol = col("value.op"))
+        .select(col("key.user_id").as("user_id"), col("value.op").as("op"),
+                col("value.after.event_type").as("event_type"),
+                col("value.after.value").as("value"),
+                col("value.after.ts_us").as("ts_us"))
+        .join(counts, "user_id")
+        .orderBy(col("user_id"))
+    },
+    Some(s"""WITH n AS (SELECT user_id, count(*) AS n_changes FROM events GROUP BY user_id)
+            |SELECT user_id, op, event_type, value, ts_us, n_changes FROM (
+            |  SELECT user_id, $opSql AS op, event_type, value,
+            |         epoch_ns(ts) // 1000 AS ts_us,
+            |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            |  FROM events) t JOIN n USING (user_id)
+            |WHERE rn = 1 AND op <> 'd'
+            |ORDER BY user_id""".stripMargin),
     prepare = Some((s, dir) => { cdc07Db(s, dir); () }))
 }

@@ -234,11 +234,26 @@ private[cdc] final class CdcBatch(options: Map[String, String], pushed: Array[Fi
     val endLsn = options.get("ending.lsn").map(_.toLong)
     endLsn.foreach(e => require(e >= snapLsn,
       s"ending.lsn $e predates the snapshot position $snapLsn — no consistent state exists there"))
+    // resume-from-offset: `starting.lsn` reads ONLY changes strictly
+    // after the given position — no snapshot rows, no earlier WAL.
+    // The batch half of a backfill handoff: state-at-X (an ending.lsn
+    // read, or a delivered table) + changes-after-X composes gap-free
+    // to the full replay. Below the snapshot position no per-change
+    // history exists, so resuming there fails loudly.
+    val startLsn = options.get("starting.lsn").map(_.toLong)
+    startLsn.foreach(st => require(st >= snapLsn,
+      s"starting.lsn $st predates the snapshot position $snapLsn — changes before the snapshot are not retained"))
+    startLsn.foreach(st => endLsn.foreach(e => require(e >= st,
+      s"ending.lsn $e precedes starting.lsn $st — empty, inverted range")))
     val to = endLsn.getOrElse(Long.MaxValue)
-    val snaps = CdcLayout.snapshotTables(db).map(p =>
-      CdcPartition(p.toString, isSnapshot = true, snapLsn, to): InputPartition)
+    val from = startLsn.getOrElse(snapLsn)
+    val snaps =
+      if (startLsn.isEmpty)
+        CdcLayout.snapshotTables(db).map(p =>
+          CdcPartition(p.toString, isSnapshot = true, snapLsn, to): InputPartition)
+      else Nil
     val wals = CdcLayout.walFiles(db).map(p =>
-      CdcPartition(p.toString, isSnapshot = false, snapLsn, to): InputPartition)
+      CdcPartition(p.toString, isSnapshot = false, from, to): InputPartition)
     (snaps ++ wals).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -265,12 +280,24 @@ private[cdc] final class CdcMicroBatchStream(options: Map[String, String], pushe
   private val endLsn: Option[Long] = options.get("ending.lsn").map(_.toLong)
   endLsn.foreach(e => require(e >= snapLsn,
     s"ending.lsn $e predates the snapshot position $snapLsn — no consistent state exists there"))
+  /** Resume-from-offset (streaming half of the batch `starting.lsn`):
+    * the stream's initial offset is the given position instead of
+    * log-start, so the snapshot phase is skipped and only changes
+    * strictly after it deliver — the handoff point after a batch
+    * backfill, or a externally-tracked offset à la the reference's
+    * offset store. Ignored once a checkpoint exists (Spark resumes
+    * from the checkpointed offset, which is the correct precedence). */
+  private val startLsn: Option[Long] = options.get("starting.lsn").map(_.toLong)
+  startLsn.foreach(st => require(st >= snapLsn,
+    s"starting.lsn $st predates the snapshot position $snapLsn — changes before the snapshot are not retained"))
+  startLsn.foreach(st => endLsn.foreach(e => require(e >= st,
+    s"ending.lsn $e precedes starting.lsn $st — empty, inverted range")))
   private def boundTo(lsn: Long): Long = endLsn.fold(lsn)(math.min(lsn, _))
   // Trigger.AvailableNow: pin the end of the log at query start so the
   // query drains exactly to that position and stops
   private var availableNowTarget: Option[CdcOffset] = None
 
-  override def initialOffset(): Offset = CdcOffset(-1L)
+  override def initialOffset(): Offset = CdcOffset(startLsn.getOrElse(-1L))
   override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
   override def latestOffset(): Offset =
     availableNowTarget.getOrElse(CdcOffset(boundTo(maxLsnCached())))

@@ -103,6 +103,55 @@ class CdcSourceSpec extends SparkSpec {
     assert(tail == Set(5L, 6L), s"stream must stop at the bound, got $tail")
   }
 
+  test("starting.lsn resumes the batch read after a position: no snapshot, no earlier WAL") {
+    val db = fixtureDb()
+    // resume after 5: only the update (6), delete (7), other-table row
+    // (8) and the position-less heartbeat/tombstone remain
+    val resumed = readerFor(db).option("starting.lsn", "5").load()
+    assert(resumed.filter(col("value.op") === "r").count() == 0,
+      "resume must not re-deliver the snapshot")
+    val ops = resumed.filter(col("value.op").isin("c", "u", "d"))
+      .select("value.op", "value.source.lsn").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ops == Set(("u", 6L), ("d", 7L), ("c", 8L)))
+    // backfill(<=X) + resume(>X) partitions the log exactly: no gap, no overlap
+    val backfill = readerFor(db).option("ending.lsn", "5").load()
+    val full = readerFor(db).load()
+    assert(backfill.count() + resumed.count() == full.count())
+    // resuming below the snapshot position fails loudly
+    val err = intercept[Exception] {
+      readerFor(db).option("starting.lsn", "3").load().count()
+    }
+    assert(err.getMessage.contains("predates the snapshot") ||
+      Option(err.getCause).exists(_.getMessage.contains("predates the snapshot")))
+    // inverted range fails loudly
+    val inv = intercept[Exception] {
+      readerFor(db).option("starting.lsn", "6").option("ending.lsn", "5").load().count()
+    }
+    assert(inv.getMessage.contains("inverted") ||
+      Option(inv.getCause).exists(_.getMessage.contains("inverted")))
+  }
+
+  test("starting.lsn resumes the STREAM after a position: snapshot phase skipped") {
+    val db = fixtureDb()
+    val out = Files.createTempDirectory("graft-cdc-resume").toString
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", db.toString)
+      .option("keySchema", keyDdl).option("rowSchema", rowDdl)
+      .option("starting.lsn", "6")
+      .load()
+      .writeStream.format("memory").queryName("resumed_stream")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("resumed_stream")
+    assert(rows.filter(col("value.op") === "r").count() == 0)
+    val tail = rows.filter(col("value.op").isin("c", "u", "d"))
+      .select("value.source.lsn").collect().map(_.getLong(0)).toSet
+    assert(tail == Set(7L, 8L), s"stream must start strictly after 6, got $tail")
+  }
+
   test("include list prunes tables inside the scan; heartbeats pass") {
     val db = fixtureDb()
     val df = readerFor(db).option("table.include.list", "inventory.customers").load()
