@@ -19,7 +19,7 @@ object QueriesLlm {
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
-                        llm98, llm99, llm100, llm101, llm102, llm103, llm104)
+                        llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -4737,4 +4737,79 @@ object QueriesLlm {
            |       count(*) AS n_docs, min(score_q) AS min_q, max(score_q) AS max_q
            |FROM r GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin),
     cleanup = Some(_ => llm104Slot.drain()))
+
+  private val llm105Slot = new TrackerSlot
+
+  /** NEAR-DUP-AWARE train/eval split — the leakage class llm78's
+    * domain-keyed split can't see: two near-duplicate documents on
+    * DIFFERENT domains still leak eval content into training if the
+    * split keys on docs (or domains). Split on the near-dup CLUSTER
+    * instead: llm17's MinHash/LSH components become the split unit
+    * (singletons key on their own id), so a whole duplicate family
+    * lands on one side by construction. Both leak audits are computed
+    * FROM DATA, not asserted: the cluster-keyed split must show ZERO
+    * candidate pairs straddling the boundary, while the naive
+    * doc-keyed split over the same corpus shows the non-zero leak
+    * count that motivates the operator. Costs over the llm17 pipeline:
+    * one broadcast-scale join of the tiny pair list against the split
+    * assignment — corpus text never moves. */
+  private def llm105 = Q("llm105_neardup_safe_split",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 100000L).as("doc_id"),
+                 concat(col("text"), lit(" qx")).as("text")))
+      val sigs = Dedup.minhashSignatureText(corpus, col("doc_id"), col("text"), n = 9, k = 12)
+      val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
+      val clusters = Dedup.connectedComponents(pairs, tracker = Some(llm105Slot.fresh()))
+      val units = corpus.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("unit"))
+      val safe = graft.llm.Sampling.hashSplit(units, col("unit"),
+        Seq("train" -> 0.8, "eval" -> 0.2), salt = "ndsplit")
+      val naive = graft.llm.Sampling.hashSplit(units.select(col("doc_id")), col("doc_id"),
+        Seq("train" -> 0.8, "eval" -> 0.2), salt = "ndsplit")
+      def leaks(assign: org.apache.spark.sql.DataFrame, out: String) = pairs
+        .join(assign.select(col("doc_id").as("id_a"), col("split").as("__sa")), "id_a")
+        .join(assign.select(col("doc_id").as("id_b"), col("split").as("__sb")), "id_b")
+        .agg(sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L)).as(out))
+      safe.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("unit")).as("n_units"))
+        .crossJoin(broadcast(leaks(safe, "leaked_pairs_clustered")))
+        .crossJoin(broadcast(leaks(naive, "leaked_pairs_naive")))
+        .orderBy(col("split"))
+    },
+    Some {
+      val uSafe = graft.llm.Sampling.duckUnitInterval("unit", "ndsplit")
+      val uNaive = graft.llm.Sampling.duckUnitInterval("doc_id", "ndsplit")
+      s"""WITH RECURSIVE $duckMinhashPairCtes,
+         |verts AS (SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs),
+         |edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e.eb, reach.r FROM edges e JOIN reach ON reach.v = e.ea),
+         |clus AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+         |units AS (SELECT c.doc_id, coalesce(cl.cluster_id, c.doc_id) AS unit
+         |          FROM corpus c LEFT JOIN clus cl USING (doc_id)),
+         |sp AS (SELECT doc_id, unit,
+         |         CASE WHEN $uSafe < 0.8 THEN 'train' ELSE 'eval' END AS split
+         |       FROM units),
+         |spn AS (SELECT doc_id,
+         |          CASE WHEN $uNaive < 0.8 THEN 'train' ELSE 'eval' END AS split
+         |        FROM units),
+         |lc AS (SELECT CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS leaked_pairs_clustered
+         |       FROM pairs p JOIN sp a ON a.doc_id = p.id_a JOIN sp b ON b.doc_id = p.id_b),
+         |ln AS (SELECT CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS leaked_pairs_naive
+         |       FROM pairs p JOIN spn a ON a.doc_id = p.id_a JOIN spn b ON b.doc_id = p.id_b)
+         |SELECT split, count(*) AS n_docs, CAST(count(DISTINCT unit) AS BIGINT) AS n_units,
+         |       leaked_pairs_clustered, leaked_pairs_naive
+         |FROM sp CROSS JOIN lc CROSS JOIN ln
+         |GROUP BY split, leaked_pairs_clustered, leaked_pairs_naive
+         |ORDER BY split""".stripMargin
+    },
+    cleanup = Some(_ => llm105Slot.drain()))
 }
