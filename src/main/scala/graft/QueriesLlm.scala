@@ -4760,8 +4760,13 @@ object QueriesLlm {
         d.select((col("doc_id") + 100000L).as("doc_id"),
                  concat(col("text"), lit(" qx")).as("text")))
       val sigs = Dedup.minhashSignatureText(corpus, col("doc_id"), col("text"), n = 9, k = 12)
-      val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
-      val clusters = Dedup.connectedComponents(pairs, tracker = Some(llm105Slot.fresh()))
+      val tracker = llm105Slot.fresh()
+      // pairs feed three consumers (clustering + both leak audits):
+      // materialize the tiny 8-byte pair list once or each consumer
+      // re-runs the whole signature pipeline (measured 6.6 → ~3 s)
+      val pairs = tracker.track(graft.operators.Materialize.eager(
+        Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))))
+      val clusters = Dedup.connectedComponents(pairs, tracker = Some(tracker))
       val units = corpus.select(col("doc_id"))
         .join(clusters, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("unit"))
