@@ -4350,16 +4350,27 @@ object QueriesLlm {
     * then an at-least-once REDELIVERY of every 5th doc (byte-identical
     * rows, the delivery semantics every CDC/queue source actually
     * has). Written once per (sf dir) outside the bench timer. */
-  private val llm98Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def llm98Docs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.documents(s, dir).select(col("doc_id"), col("text"),
+  /** Shared stream-fixture builder for llm98/llm102: the documents
+    * corpus with event timestamps and a planted byte-identical
+    * redelivery of every `redeliverMod`-th doc. Texts get a ` d<id>`
+    * suffix so two DISTINCT docs can never share bytes: the streaming
+    * dedup key is the content hash, and a cross-doc text collision
+    * would make the surviving doc_id depend on micro-batch arrival
+    * order (the review caught sf0.1 carrying 8 such collisions) —
+    * with unique texts the only dup groups are the planted
+    * redeliveries, deterministic at any SF. */
+  private val llmStreamFixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llmStreamDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" d"), col("doc_id")).as("text"),
       timestamp_seconds(lit(1700000000L) + col("doc_id") % 600).as("ts"))
-  private def llm98In(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    llm98Fixture.computeIfAbsent(dir, _ => {
-      val in = java.nio.file.Files.createTempDirectory("graft-llm98-in").toString
-      val docs = llm98Docs(s, dir)
+  private def llmStreamIn(s: org.apache.spark.sql.SparkSession, dir: String,
+                          redeliverMod: Int): String =
+    llmStreamFixture.computeIfAbsent(s"$dir|$redeliverMod", _ => {
+      val in = java.nio.file.Files.createTempDirectory("graft-llmstream-in").toString
+      val docs = llmStreamDocs(s, dir)
       docs.write.mode("overwrite").parquet(in)
-      docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(in)
+      docs.filter(col("doc_id") % redeliverMod === 0).write.mode("append").parquet(in)
       in
     })
 
@@ -4378,11 +4389,11 @@ object QueriesLlm {
   private def llm98 = Q("llm98_curate_stream",
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val in = llm98In(s, dir)
+      val in = llmStreamIn(s, dir, redeliverMod = 5)
       val root = java.nio.file.Files.createTempDirectory("graft-llm98-run")
       val out = root.resolve("out").toString
       val ckpt = root.resolve("ckpt").toString
-      val stream = s.readStream.schema(llm98Docs(s, dir).schema).parquet(in)
+      val stream = s.readStream.schema(llmStreamDocs(s, dir).schema).parquet(in)
       val curated = Curation.curateStream(stream, col("text"),
         Curation.Config(minTokens = 8, maxPunctRatio = 0.3, keepLangs = Set("en")),
         "ts", "2 hours")
@@ -4412,10 +4423,11 @@ object QueriesLlm {
           s"CASE WHEN $later THEN '$lang' ELSE $rest END"
       }
       val allZero = langs.map { case (l, _) => s"s_$l" }.mkString(" + ") + " = 0"
-      s"""WITH t AS (SELECT doc_id, text,
+      s"""WITH d0 AS (SELECT doc_id, text || ' d' || doc_id AS text FROM documents),
+         |t AS (SELECT doc_id, text,
          |        list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
          |        list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ltoks
-         |      FROM documents),
+         |      FROM d0),
          |sc AS (SELECT doc_id, text, toks,
          |            $scores
          |       FROM t)
@@ -4427,7 +4439,7 @@ object QueriesLlm {
          |  AND (CASE WHEN $allZero THEN 'unknown' ELSE $chain END) = 'en'
          |ORDER BY doc_id""".stripMargin
     },
-    prepare = Some((s, dir) => { llm98In(s, dir); () }))
+    prepare = Some((s, dir) => { llmStreamIn(s, dir, redeliverMod = 5); () }))
 
   /** HTML main-content extraction (llm/Html.scala) — the jusText/
     * trafilatura stage every web-corpus pipeline starts with. Each
@@ -4560,18 +4572,6 @@ object QueriesLlm {
             |       min(h) AS min_h, max(h) AS max_h
             |FROM sh GROUP BY shard ORDER BY shard""".stripMargin))
 
-  private val llm102Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def llm102Docs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.documents(s, dir).select(col("doc_id"), col("text"),
-      timestamp_seconds(lit(1700000000L) + col("doc_id") % 600).as("ts"))
-  private def llm102In(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    llm102Fixture.computeIfAbsent(dir, _ => {
-      val in = java.nio.file.Files.createTempDirectory("graft-llm102-in").toString
-      val docs = llm102Docs(s, dir)
-      docs.write.mode("overwrite").parquet(in)
-      docs.filter(col("doc_id") % 7 === 0).write.mode("append").parquet(in)
-      in
-    })
 
   /** STREAMING dedup against a static seen-corpus index, oracle-checked
     * end-to-end (the continuous-ingest companion to llm98's curation
@@ -4590,12 +4590,12 @@ object QueriesLlm {
   private def llm102 = Q("llm102_dedup_index_stream",
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val in = llm102In(s, dir)
+      val in = llmStreamIn(s, dir, redeliverMod = 7)
       val root = java.nio.file.Files.createTempDirectory("graft-llm102-run")
       val out = root.resolve("out").toString
       val ckpt = root.resolve("ckpt").toString
-      val stream = s.readStream.schema(llm102Docs(s, dir).schema).parquet(in)
-      val seen = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val stream = s.readStream.schema(llmStreamDocs(s, dir).schema).parquet(in)
+      val seen = llmStreamDocs(s, dir).filter(col("doc_id") < 200)
       val fresh = graft.streaming.StreamingOps.dedupAgainstIndexStream(
         stream, col("text"), seen, col("text"), "ts", "2 hours", expectedItems = 1000L)
       // state fan-out sized to the corpus while the stream runs (see llm98)
@@ -4610,15 +4610,16 @@ object QueriesLlm {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(out).orderBy(col("doc_id"))
     },
-    Some(s"""WITH seen AS (SELECT DISTINCT ${Portable.duckHash64("text")} AS h
-            |             FROM documents WHERE doc_id < 200),
-            |str AS (SELECT doc_id, text FROM documents
-            |        UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+    Some(s"""WITH d0 AS (SELECT doc_id, text || ' d' || doc_id AS text FROM documents),
+            |seen AS (SELECT DISTINCT ${Portable.duckHash64("text")} AS h
+            |             FROM d0 WHERE doc_id < 200),
+            |str AS (SELECT doc_id, text FROM d0
+            |        UNION ALL SELECT doc_id, text FROM d0 WHERE doc_id % 7 = 0),
             |hh AS (SELECT DISTINCT doc_id, ${Portable.duckHash64("text")} AS content_hash FROM str)
             |SELECT doc_id, content_hash FROM hh
             |WHERE content_hash NOT IN (SELECT h FROM seen)
             |ORDER BY doc_id""".stripMargin),
-    prepare = Some((s, dir) => { llm102In(s, dir); () }))
+    prepare = Some((s, dir) => { llmStreamIn(s, dir, redeliverMod = 7); () }))
 
   /** Robots-rules URL filtering (Urls.robotsDecision) — the crawl
     * admission stage: every URL is judged against its site's rule list

@@ -181,7 +181,13 @@ object CaptureFactory {
             // connection-phase handshake; absent = auth-less session
             credentials = props.get("debezium.source.database.user").map(u =>
               (u, props.getOrElse("debezium.source.database.password", ""))),
-            tls = tlsOf)
+            tls = tlsOf,
+            // JDBC-spelled opt-in for caching_sha2 FULL auth over a
+            // plaintext channel (RSA public-key exchange) — without
+            // this mapping the feed's remedy hint was unreachable
+            // from configuration
+            allowPublicKeyRetrieval = props.getOrElse(
+              "debezium.source.database.allowPublicKeyRetrieval", "false").toBoolean)
         case None => feed
       }
       val colPrefix = "debezium.source.binlog.columns."

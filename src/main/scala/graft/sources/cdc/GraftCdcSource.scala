@@ -293,6 +293,14 @@ private[cdc] final class CdcMicroBatchStream(options: Map[String, String], pushe
   startLsn.foreach(st => endLsn.foreach(e => require(e >= st,
     s"ending.lsn $e precedes starting.lsn $st — empty, inverted range")))
   private def boundTo(lsn: Long): Long = endLsn.fold(lsn)(math.min(lsn, _))
+  /** The reported log end never drops below `starting.lsn`: a resume
+    * position ahead of the current log end (an externally-tracked
+    * offset racing a lagging copy) would otherwise CHECKPOINT the
+    * smaller offset, and later log growth would re-open the range
+    * below the declared strictly-after position — an overlap the
+    * handoff contract forbids. Flooring makes the early triggers empty
+    * instead. */
+  private def floorStart(lsn: Long): Long = math.max(lsn, startLsn.getOrElse(-1L))
   // Trigger.AvailableNow: pin the end of the log at query start so the
   // query drains exactly to that position and stops
   private var availableNowTarget: Option[CdcOffset] = None
@@ -300,9 +308,9 @@ private[cdc] final class CdcMicroBatchStream(options: Map[String, String], pushe
   override def initialOffset(): Offset = CdcOffset(startLsn.getOrElse(-1L))
   override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
   override def latestOffset(): Offset =
-    availableNowTarget.getOrElse(CdcOffset(boundTo(maxLsnCached())))
+    availableNowTarget.getOrElse(CdcOffset(boundTo(floorStart(maxLsnCached()))))
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(CdcOffset(boundTo(maxLsnCached())))
+    availableNowTarget = Some(CdcOffset(boundTo(floorStart(maxLsnCached()))))
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val target = latestOffset().asInstanceOf[CdcOffset].lsn
     val s = start.asInstanceOf[CdcOffset].lsn

@@ -122,8 +122,11 @@ final class MySqlBinlogDumpFeed(host: String, port: Int,
         }
         writePacket(respSeq, MySqlAuth.sslRequest())
         respSeq += 1
+        // NonFatal, not just IOException: a malformed sslrootcert
+        // throws CertificateException from context construction — the
+        // socket must still tear down with the mysql-tls context
         val ssl = try Tls.upgradeClient(s, host, port, tls)
-          catch { case e: IOException =>
+          catch { case scala.util.control.NonFatal(e) =>
             teardown()
             throw new IOException(s"mysql tls: handshake refused (${e.getMessage})", e)
           }

@@ -210,14 +210,23 @@ final class PgWalSenderFeed(host: String, port: Int,
       if (!tls.enabled) plain
       else {
         // SSLRequest probe BEFORE the StartupMessage: int32 8 +
-        // int32 80877103; the server answers one raw byte
+        // int32 80877103; the server answers one raw byte. The probe
+        // read is TIME-BOUNDED — a server that accepts the connect but
+        // never answers must not wedge the polling daemon.
         val pout = plain.getOutputStream
         pout.write(Array[Byte](0, 0, 0, 8, 0x04, 0xd2.toByte, 0x16, 0x2f))
         pout.flush()
-        plain.getInputStream.read() match {
+        plain.setSoTimeout(connectTimeoutMs)
+        val answer = plain.getInputStream.read()
+        plain.setSoTimeout(0)
+        answer match {
           case 'S' =>
+            // NonFatal, not just IOException: a malformed sslrootcert
+            // throws CertificateException from context construction —
+            // the plain socket must still close and the error must
+            // carry the pg-tls context
             try Tls.upgradeClient(plain, host, port, tls)
-            catch { case e: IOException =>
+            catch { case scala.util.control.NonFatal(e) =>
               try plain.close() catch { case _: IOException => () }
               throw new IOException(s"pg tls: handshake refused (${e.getMessage})", e)
             }

@@ -79,7 +79,10 @@ object Tls {
   })
 
   private def trustManagersFor(cfg: Config): Array[TrustManager] = cfg.mode match {
-    case Mode.Require => trustAll
+    // libpq semantics: `require` WITH a root cert configured behaves
+    // like verify-ca (the pin is honored, not silently dead config) —
+    // encrypt-only trust applies only when no CA was pinned.
+    case Mode.Require if cfg.rootCert.isEmpty => trustAll
     case _ =>
       cfg.rootCert match {
         case None => null // JVM default trust store

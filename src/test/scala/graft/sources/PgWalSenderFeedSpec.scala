@@ -233,6 +233,15 @@ class PgWalSenderFeedSpec extends SparkSpec {
       val e = intercept[IOException] { badTrust.poll() }
       assert(e.getMessage.contains("pg tls: handshake refused"), e.getMessage)
       badTrust.close()
+
+      // libpq semantics: require WITH a pinned root cert is verify-ca,
+      // not dead configuration — the wrong anchor still refuses
+      val reqPinned = new PgWalSenderFeed("localhost", srv.port, "db", "replica",
+        password = Some("s3cret"),
+        tls = Tls.Config(Tls.Mode.Require, Some(TlsTestCerts.other.certPem)))
+      val eReq = intercept[IOException] { reqPinned.poll() }
+      assert(eReq.getMessage.contains("pg tls: handshake refused"), eReq.getMessage)
+      reqPinned.close()
     } finally srv.close()
 
     // sslmode=require against a TLS-less server: loud refusal, never a
