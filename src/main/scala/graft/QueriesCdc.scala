@@ -17,7 +17,7 @@ object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
                         cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21,
-                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31)
+                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31, cdc32)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -2141,4 +2141,65 @@ object QueriesCdc {
             |WHERE rn = 1 AND op <> 'd'
             |ORDER BY user_id""".stripMargin),
     prepare = Some((s, dir) => { cdc07Db(s, dir); () }))
+
+  private val cdc32Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cdc32In(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    cdc32Fixture.computeIfAbsent(dir, _ => {
+      val in = java.nio.file.Files.createTempDirectory("graft-cdc32-in").toString
+      // three range-partitioned files = three micro-batches in ts
+      // order (part file names sort ascending with the range), so the
+      // watermark genuinely advances ACROSS batches
+      Tables.events(s, dir).select(col("ts"), col("event_type"))
+        .repartitionByRange(3, col("ts"))
+        .write.mode("overwrite").parquet(in)
+      in
+    })
+
+  /** Watermarked tumbling-window change rates, oracle-checked
+    * end-to-end — the reference's changes-per-interval rate metric as
+    * a REAL streaming aggregation: a three-micro-batch file stream
+    * drives StreamingOps.windowedCounts (1-hour windows, 30-minute
+    * watermark) in APPEND mode, so only windows the final watermark
+    * has passed ever reach the sink — the eviction contract that
+    * bounds state at 100 TB. The emitted set is batch-split
+    * invariant: a window lands in the files iff its end <= max(ts) −
+    * 30 min, which is exactly what the oracle recomputes from the raw
+    * events — a stream that emits an unfinalized window, loses one to
+    * over-eviction, or double-emits across batches fails the
+    * compare. */
+  private def cdc32 = Q("cdc32_windowed_rates",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = cdc32In(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-cdc32")
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      val schema = Tables.events(s, dir).select(col("ts"), col("event_type")).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val counts = graft.streaming.StreamingOps.windowedCounts(
+        stream, "ts", "event_type", "1 hour", "30 minutes")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = counts.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_changes"))
+        .orderBy(col("window_start_us"), col("event_type"))
+    },
+    Some("""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type FROM events),
+           |m AS (SELECT max(us) - 1800000000 AS wm FROM e),
+           |w AS (SELECT (us // 3600000000) * 3600000000 AS window_start_us,
+           |             event_type, count(*) AS n_changes
+           |      FROM e GROUP BY 1, 2)
+           |SELECT CAST(window_start_us AS BIGINT) AS window_start_us, event_type, n_changes
+           |FROM w CROSS JOIN m
+           |WHERE window_start_us + 3600000000 <= m.wm
+           |ORDER BY window_start_us, event_type""".stripMargin),
+    prepare = Some((s, dir) => { cdc32In(s, dir); () }))
 }
