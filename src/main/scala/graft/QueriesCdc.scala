@@ -17,7 +17,7 @@ object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
                         cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21,
-                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31, cdc32)
+                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31, cdc32, cdc33)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -2202,4 +2202,73 @@ object QueriesCdc {
            |WHERE window_start_us + 3600000000 <= m.wm
            |ORDER BY window_start_us, event_type""".stripMargin),
     prepare = Some((s, dir) => { cdc32In(s, dir); () }))
+
+  private val cdc33Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cdc33In(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    cdc33Fixture.computeIfAbsent(dir, _ => {
+      val in = java.nio.file.Files.createTempDirectory("graft-cdc33-in").toString
+      Tables.events(s, dir).select(col("ts"), col("user_id"))
+        .repartitionByRange(3, col("ts"))
+        .write.mode("overwrite").parquet(in)
+      in
+    })
+
+  /** Watermarked SESSION-window aggregation, oracle-checked end-to-end
+    * (the last streaming family member that was sbt-only): per-user
+    * gap sessions (30-minute gap) over a three-micro-batch file
+    * stream in append mode. A session's reported end is its last
+    * event + gap, and it may reach the sink only once the final
+    * watermark passes that end — cross-batch session MERGING is
+    * exercised for real (a user's session spanning the file boundary
+    * must come out as ONE row). The oracle re-derives the identical
+    * sessions from the raw events via the q17 boundary-lag form and
+    * applies the same finalization cutoff: a split session, a lost
+    * merge, or an unfinalized emission all fail the compare. */
+  private def cdc33 = Q("cdc33_session_rates",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = cdc33In(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-cdc33")
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      val schema = Tables.events(s, dir).select(col("ts"), col("user_id")).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val sessions = graft.streaming.StreamingOps.sessionCounts(
+        stream, "ts", "user_id", "30 minutes", "30 minutes")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = sessions.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_changes"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+           |m AS (SELECT max(us) - 1800000000 AS wm FROM e),
+           |l AS (SELECT user_id, us,
+           |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+           |             OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+           |             THEN 1 ELSE 0 END AS brk
+           |      FROM e),
+           |sids AS (SELECT user_id, us,
+           |           sum(brk) OVER (PARTITION BY user_id ORDER BY us
+           |                          ROWS UNBOUNDED PRECEDING) AS sid
+           |         FROM l),
+           |sess AS (SELECT user_id, sid, min(us) AS session_start_us,
+           |                max(us) + 1800000000 AS session_end_us,
+           |                count(*) AS n_changes
+           |         FROM sids GROUP BY 1, 2)
+           |SELECT user_id, CAST(session_start_us AS BIGINT) AS session_start_us,
+           |       CAST(session_end_us AS BIGINT) AS session_end_us, n_changes
+           |FROM sess CROSS JOIN m WHERE session_end_us <= m.wm
+           |ORDER BY user_id, session_start_us""".stripMargin),
+    prepare = Some((s, dir) => { cdc33In(s, dir); () }))
 }
