@@ -2142,18 +2142,34 @@ object QueriesCdc {
             |ORDER BY user_id""".stripMargin),
     prepare = Some((s, dir) => { cdc07Db(s, dir); () }))
 
+  /** Three range-partitioned files = three micro-batches in ts order.
+    * The file source schedules by (modification time, path) — the
+    * parallel write gives all parts near-identical mtimes, so without
+    * explicit stamping the arrival ORDER is racy, and a newer-ts file
+    * processing first advances the watermark past the older files'
+    * rows, late-DROPPING them (observed: 2287 vs 3380 oracle rows
+    * across two runs). Strictly ascending mtimes on the ascending
+    * range parts make arrival order deterministic event-time order. */
+  private def streamInAscending(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+    val in = java.nio.file.Files.createTempDirectory(s"graft-$tag-in").toString
+    df.write.mode("overwrite").parquet(in)
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(in)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .sortBy(_.getFileName.toString) // part-00000 carries the lowest ts range
+    val t0 = java.nio.file.Files.getLastModifiedTime(parts.head).toMillis
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 10000L))
+    }
+    in
+  }
+
   private val cdc32Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def cdc32In(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    cdc32Fixture.computeIfAbsent(dir, _ => {
-      val in = java.nio.file.Files.createTempDirectory("graft-cdc32-in").toString
-      // three range-partitioned files = three micro-batches in ts
-      // order (part file names sort ascending with the range), so the
-      // watermark genuinely advances ACROSS batches
-      Tables.events(s, dir).select(col("ts"), col("event_type"))
-        .repartitionByRange(3, col("ts"))
-        .write.mode("overwrite").parquet(in)
-      in
-    })
+    cdc32Fixture.computeIfAbsent(dir, _ =>
+      streamInAscending(Tables.events(s, dir).select(col("ts"), col("event_type"))
+        .repartitionByRange(3, col("ts")), "cdc32"))
 
   /** Watermarked tumbling-window change rates, oracle-checked
     * end-to-end — the reference's changes-per-interval rate metric as
@@ -2205,13 +2221,9 @@ object QueriesCdc {
 
   private val cdc33Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def cdc33In(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    cdc33Fixture.computeIfAbsent(dir, _ => {
-      val in = java.nio.file.Files.createTempDirectory("graft-cdc33-in").toString
-      Tables.events(s, dir).select(col("ts"), col("user_id"))
-        .repartitionByRange(3, col("ts"))
-        .write.mode("overwrite").parquet(in)
-      in
-    })
+    cdc33Fixture.computeIfAbsent(dir, _ =>
+      streamInAscending(Tables.events(s, dir).select(col("ts"), col("user_id"))
+        .repartitionByRange(3, col("ts")), "cdc33"))
 
   /** Watermarked SESSION-window aggregation, oracle-checked end-to-end
     * (the last streaming family member that was sbt-only): per-user
