@@ -17,7 +17,7 @@ object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
                         cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21,
-                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31, cdc32, cdc33)
+                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31, cdc32, cdc33, cdc34)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -2283,4 +2283,75 @@ object QueriesCdc {
            |FROM sess CROSS JOIN m WHERE session_end_us <= m.wm
            |ORDER BY user_id, session_start_us""".stripMargin),
     prepare = Some((s, dir) => { cdc33In(s, dir); () }))
+
+  private val cdc34Fixture = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def cdc34In(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
+    cdc34Fixture.computeIfAbsent(dir, _ => {
+      def side(evType: String) = streamInAscending(
+        Tables.events(s, dir).filter(col("event_type") === evType)
+          .select(col("user_id").cast("string").as("key"), col("ts"),
+            col("event_id").cast("string").as("payload"))
+          .repartitionByRange(3, col("ts")), s"cdc34-$evType")
+      (side("purchase"), side("view"))
+    })
+
+  /** STREAMING as-of enrichment, oracle-checked end-to-end (the
+    * continuous temporal join was sbt-≡-batch pinned only): purchases
+    * stream on one file source, views on another, and each purchase
+    * must come out enriched with the user's latest view at or before
+    * it — held in state until the MIN-across-streams watermark passes
+    * its timestamp, then emitted exactly once (append). Determinism
+    * holds for ANY interleaving of the two ascending sources: a left
+    * emits only once the watermark passes it, which (min semantics)
+    * guarantees every right at or before it has arrived. The oracle
+    * replays the match as a DuckDB ASOF LEFT JOIN at the operator's
+    * millisecond grain and applies the same emission cutoff — an
+    * early emission (missing rights), a dropped buffered left, or an
+    * over-pruned right history all fail the compare. History TTL
+    * disabled: the oracle is the exact batch as-of, no retention
+    * horizon. */
+  private def cdc34 = Q("cdc34_asof_enrich_stream",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (lin, rin) = cdc34In(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-cdc34")
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key STRING, ts TIMESTAMP, payload STRING")
+      def src(in: String) = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val enriched = graft.streaming.StreamingOps.asOfEnrichStream(
+        src(lin), src(rin), "30 minutes", historyTtlMs = 0L)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = enriched.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .select(col("key"), col("t"), col("payload"),
+          col("matchedT").as("matched_t"), col("matchedPayload").as("matched_payload"))
+        .orderBy(col("key"), col("t"), col("payload"))
+    },
+    Some("""WITH l AS (SELECT CAST(user_id AS VARCHAR) AS key,
+           |             epoch_ns(ts) // 1000000 AS t,
+           |             CAST(event_id AS VARCHAR) AS payload
+           |           FROM events WHERE event_type = 'purchase'),
+           |r AS (SELECT CAST(user_id AS VARCHAR) AS key,
+           |             epoch_ns(ts) // 1000000 AS t,
+           |             CAST(event_id AS VARCHAR) AS payload
+           |      FROM events WHERE event_type = 'view'),
+           |wm AS (SELECT least((SELECT max(t) FROM l), (SELECT max(t) FROM r))
+           |              - 1800000 AS w),
+           |a AS (SELECT l.key, l.t, l.payload,
+           |             r.t AS matched_t, r.payload AS matched_payload
+           |      FROM l ASOF LEFT JOIN r ON l.key = r.key AND l.t >= r.t)
+           |SELECT key, CAST(t AS BIGINT) AS t, payload,
+           |       CAST(matched_t AS BIGINT) AS matched_t, matched_payload
+           |FROM a CROSS JOIN wm WHERE t <= wm.w
+           |ORDER BY key, t, payload""".stripMargin),
+    prepare = Some((s, dir) => { cdc34In(s, dir); () }))
 }
