@@ -17,7 +17,7 @@ object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
                         cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21,
-                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31, cdc32, cdc33, cdc34)
+                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31, cdc32, cdc33, cdc34, cdc35)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -2354,4 +2354,66 @@ object QueriesCdc {
            |FROM a CROSS JOIN wm WHERE t <= wm.w
            |ORDER BY key, t, payload""".stripMargin),
     prepare = Some((s, dir) => { cdc34In(s, dir); () }))
+
+  /** Stream-stream interval equi-join, oracle-checked end-to-end
+    * (Spark's native dual-stream join state, previously sbt-only):
+    * views and clicks stream on separate file sources and every
+    * (view, click-within-2h) pair must emit EXACTLY once. Unlike the
+    * windowed rows there is NO emission cutoff to replicate — inner
+    * stream-stream matches emit as both sides arrive, the watermark
+    * only bounds state eviction, and with ascending sources under the
+    * min-across-streams watermark no state a future match needs is
+    * ever evicted — so the oracle is simply the full batch range
+    * join. A pair lost to over-eviction or double-emitted across
+    * batches fails the compare. */
+  private def cdc35 = Q("cdc35_interval_join_stream",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (lin, rin) = cdc35In(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-cdc35")
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      def src(in: String, k: String, t: String, id: String) =
+        s.readStream.schema(org.apache.spark.sql.types.StructType.fromDDL(
+            s"$k BIGINT, $t TIMESTAMP, $id BIGINT"))
+          .option("maxFilesPerTrigger", "1").parquet(in)
+      val joined = graft.streaming.StreamingOps.intervalJoinStream(
+        src(lin, "l_user", "l_ts", "view_id"), "l_user", "l_ts",
+        src(rin, "r_user", "r_ts", "click_id"), "r_user", "r_ts",
+        watermarkDelay = "30 minutes", within = "2 hours")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.select(col("l_user").as("user_id"), col("view_id"),
+            col("click_id"), unix_micros(col("l_ts")).as("view_us"),
+            unix_micros(col("r_ts")).as("click_us"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))
+    },
+    Some("""WITH v AS (SELECT user_id, event_id AS view_id, epoch_ns(ts) // 1000 AS view_us
+           |           FROM events WHERE event_type = 'view'),
+           |c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS click_us
+           |      FROM events WHERE event_type = 'click')
+           |SELECT v.user_id, v.view_id, c.click_id,
+           |       CAST(v.view_us AS BIGINT) AS view_us, CAST(c.click_us AS BIGINT) AS click_us
+           |FROM v JOIN c ON c.user_id = v.user_id
+           |  AND c.click_us >= v.view_us AND c.click_us <= v.view_us + 7200000000
+           |ORDER BY v.user_id, v.view_id, c.click_id""".stripMargin),
+    prepare = Some((s, dir) => { cdc35In(s, dir); () }))
+
+  private val cdc35Fixture = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def cdc35In(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
+    cdc35Fixture.computeIfAbsent(dir, _ => {
+      def side(evType: String, k: String, t: String, id: String) = streamInAscending(
+        Tables.events(s, dir).filter(col("event_type") === evType)
+          .select(col("user_id").as(k), col("ts").as(t), col("event_id").as(id))
+          .repartitionByRange(3, col(t)), s"cdc35-$evType")
+      (side("view", "l_user", "l_ts", "view_id"),
+       side("click", "r_user", "r_ts", "click_id"))
+    })
 }
