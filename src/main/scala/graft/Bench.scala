@@ -125,8 +125,57 @@ object Bench {
     val throttled = parsed.exists(_.get("throttled").asBoolean())
     val nThreads = parsed.head.get("canary_threads").asInt()
     val sfDir = parsed.head.get("sf").asText()
+    val slope = runSlope(javaBin, jvmArgs, cp, sfDir, queries.toMap)
     emit(queries, canaries, canariesPar, reruns, throttled, nThreads, sfDir,
-      blocks = groups.size)
+      blocks = groups.size, slope = slope)
+  }
+
+  /** Round-15 verdict #5 — empirical scale-slope guard: re-run a
+    * tagged heavy subset at a 10×-smaller SF in its own fresh JVM and
+    * emit the per-query growth exponent log₁₀(t_big/t_small) — the
+    * measured check on SCALE.md's "linear by design" claims. An
+    * exponent near 1.0 is linear, below 1.0 is sub-linear (fixed
+    * overheads amortizing), and anything approaching 2.0 is an
+    * accidental n² that a single-SF bench can never see. Skipped when
+    * the small SF dir is missing or SPARK_GRAFT_BENCH_SLOPE=0. */
+  private val SlopeTagged = Seq("llm05_minhash_pairs", "llm09_jaccard_verify",
+    "llm16_decontamination", "llm17_dedup_clusters", "q16_exact_quantiles",
+    "cdc02_apply_changes")
+  private def runSlope(javaBin: String, jvmArgs: Seq[String], cp: String,
+                       bigSfDir: String, bigTimes: Map[String, Double]): Seq[(String, Double)] = {
+    if (sys.env.get("SPARK_GRAFT_BENCH_SLOPE").contains("0")) return Nil
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_SMALL",
+      bigSfDir.replace("sf0.1", "sf0.01"))
+    if (smallDir == bigSfDir ||
+        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(smallDir))) {
+      System.err.println(s"[bench] slope: no small SF dir ($smallDir) — skipping")
+      return Nil
+    }
+    val tagged = SlopeTagged.filter(bigTimes.contains)
+    if (tagged.isEmpty) return Nil
+    val outFile = "target/bench_slope.json"
+    val pb = new ProcessBuilder((Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", cp, "graft.Bench")): _*)
+    pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+    pb.environment().put("SPARK_GRAFT_SF_DIR", smallDir)
+    pb.environment().put("SPARK_GRAFT_BENCH_ONLY", tagged.mkString(","))
+    pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+    System.err.println(s"[bench] slope block: ${tagged.size} tagged queries at $smallDir")
+    val rc = pb.start().waitFor()
+    if (rc != 0) { System.err.println(s"[bench] slope block exited $rc — skipping"); return Nil }
+    import scala.jdk.CollectionConverters._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(outFile)))
+    val small = node.get("queries").properties().asScala
+      .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    tagged.flatMap { q =>
+      small.get(q).filter(_ > 0).map { tSmall =>
+        q -> math.log10(bigTimes(q) / tSmall) // data ratio is 10×
+      }
+    }
   }
 
   /** Serialize + publish the artifact: the FULL line to
@@ -135,16 +184,27 @@ object Bench {
   private def emit(results: Seq[(String, Double)], canaries: Seq[(String, Double)],
                    canariesPar: Seq[(String, Double)], reruns: Seq[(String, Double)],
                    throttled: Boolean, nThreads: Int, sfDir: String,
-                   blocks: Int): Unit = {
+                   blocks: Int, slope: Seq[(String, Double)] = Nil): Unit = {
+    // fail loudly BEFORE the mins (round-15 advice): an empty catalog
+    // slice — bad SPARK_GRAFT_BENCH_ONLY prefix, or a block file with
+    // an empty queries map — would otherwise surface as an opaque
+    // UnsupportedOperationException from .min
+    require(results.nonEmpty && canaries.nonEmpty,
+      "bench: no queries matched — check SPARK_GRAFT_BENCH_ONLY " +
+        s"(=${sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "<unset>")}) " +
+        "against graft.Queries.all names, and the block artifact files")
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val base1Min = canaries.map(_._2).min
     val basePMin = canariesPar.map(_._2).min
+    val slopeJson = if (slope.isEmpty) "" else
+      s""""slope_exponent":${jmap(slope.map { case (k, v) => k -> math.rint(v * 1000) / 1000 })},"""
     val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
       s""""canary_ms":${jmap(canaries)},"canary_par_ms":${jmap(canariesPar)},""" +
       s""""canary_baseline_ms":$base1Min,""" +
       s""""canary_par_baseline_ms":$basePMin,""" +
+      slopeJson +
       s""""canary_threads":$nThreads,"blocks":$blocks,""" +
       s""""throttled":$throttled,"rerun_initial":${jmap(reruns)},"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
@@ -156,25 +216,27 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    // stdout contract (round-14 verdict #4): the FULL payload as one
-    // stdout line FIRST — a driver that scans stdout for parseable
-    // JSON gets the complete artifact (build.sbt's StdoutOutput
-    // strategy keeps it unprefixed). The COMPACT line prints LAST so a
-    // tail-window capture (last ~2000 chars — what archived
-    // BENCH_r10–r14) still ends with one whole parseable line: keys
-    // shortened to their unique numbering prefix, seconds at 1 ms.
+    // stdout contract (round-14 verdict #4, re-tightened by round-15
+    // verdict #2): the FULL payload as one stdout line FIRST — a
+    // driver that scans stdout for parseable JSON gets the complete
+    // artifact (build.sbt's StdoutOutput strategy keeps it
+    // unprefixed). The COMPACT line prints LAST so a tail-window
+    // capture (last ~2000 chars — what archived BENCH_r10–r15) still
+    // ends with one whole parseable line. The compact line carries NO
+    // per-query map — at 157 queries the shortened map already
+    // brushed the window and at 173 it overflowed it (r15 parsed:
+    // null) — so its size is now CATALOG-INDEPENDENT (~260 bytes at
+    // any query count): total, query count, canary baselines,
+    // throttle flag, block count, and the artifact path that holds
+    // the full per-query detail.
     println(jsonLine)
-    def shortKey(k: String): String = k.takeWhile(_ != '_')
-    val keyOf: String => String =
-      if (results.map(r => shortKey(r._1)).distinct.size == results.size) shortKey
-      else identity
-    val qsShort = jmap(results.map { case (k, s) => keyOf(k) -> math.rint(s * 1000) / 1000 })
     val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},""" +
-      s""""unit":"sec","queries":$qsShort,""" +
+      s""""unit":"sec","n_queries":${results.size},""" +
       s""""canary_baseline_ms":${math.rint(base1Min * 10) / 10},""" +
       s""""canary_par_baseline_ms":${math.rint(basePMin * 10) / 10},""" +
       s""""canary_threads":$nThreads,"blocks":$blocks,""" +
-      s""""throttled":$throttled,"sf":"$sfDir"}"""
+      s""""throttled":$throttled,"sf":"$sfDir",""" +
+      s""""detail":"$outPath"}"""
     println(compact)
   }
 

@@ -757,17 +757,21 @@ object QueriesLlm {
       val stubFeat = Portable.duckRenderVecQ6((0 until 16).map { i =>
         s"CAST(CAST(concat('0x', substr(md5(text), ${2 * i + 1}, 2)) AS INT) / 255.0 AS REAL)"
       }.mkString("[", ",\n            ", "]"))
-      // fixturePng pixels: ch(a,b,c) = (doc_id*a + x*b + y*c) mod 256 on a
-      // 24×16 image; the dim=16 lattice samples x = gx*6, y = gy*4 and the
-      // Rec.601 double weights replay bit-identically (0.299e0 etc. are
-      // DOUBLE literals; 1e6 quantization keeps the compare exact)
+      // fixturePng pixels: ch(a,b,c) = (base*a + x*b + y*c) mod 256 on a
+      // 24×16 image where base = doc_id % 100000 (round-15 advice: the
+      // fixture's id>=100000 inversion only touches x>=20, and the
+      // dim=16 lattice samples x = gx*6 ∈ {0,6,12,18} — so folding the
+      // modulo into the oracle makes it exact at ANY corpus size);
+      // y = gy*4 and the Rec.601 double weights replay bit-identically
+      // (0.299e0 etc. are DOUBLE literals; 1e6 quantization keeps the
+      // compare exact)
       s"""WITH px AS (SELECT gx, gx * 6 AS x FROM generate_series(0, 3) g(gx)),
          |py AS (SELECT gy, gy * 4 AS y FROM generate_series(0, 3) g(gy)),
          |imgf AS (
          |  SELECT d.doc_id, py.gy * 4 + px.gx AS i,
-         |    CAST((0.299e0 * ((d.doc_id * 31 + px.x * 7 + py.y * 13) % 256)
-         |        + 0.587e0 * ((d.doc_id * 17 + px.x * 11 + py.y * 3) % 256)
-         |        + 0.114e0 * ((d.doc_id * 23 + px.x * 5 + py.y * 19) % 256))
+         |    CAST((0.299e0 * (((d.doc_id % 100000) * 31 + px.x * 7 + py.y * 13) % 256)
+         |        + 0.587e0 * (((d.doc_id % 100000) * 17 + px.x * 11 + py.y * 3) % 256)
+         |        + 0.114e0 * (((d.doc_id % 100000) * 23 + px.x * 5 + py.y * 19) % 256))
          |      / 255.0e0 AS REAL) AS v
          |  FROM documents d CROSS JOIN px CROSS JOIN py
          |  WHERE d.doc_id % 2 = 0),
@@ -4556,6 +4560,12 @@ object QueriesLlm {
         .withColumn("h", Portable.hash64(col("doc_id")))
       val run = graft.operators.PrefixSum.runningTotal(d, col("h"), col("tokens"),
         bucketWidth = 1L << 50, out = "running")
+      // Tie parity with the oracle (round-15 advice): runningTotal's
+      // intra-bucket window uses the default RANGE frame (its scaladoc
+      // pins this), and DuckDB's `sum() OVER (ORDER BY h)` is also
+      // RANGE — so a hash64 tie merges peers IDENTICALLY on both
+      // engines and `running - tokens` stays engine-portable. No
+      // row-granular divergence exists to tiebreak.
       run.select(expr("(running - tokens) DIV 2048").as("shard"), col("tokens"), col("h"))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("shard_tokens"),

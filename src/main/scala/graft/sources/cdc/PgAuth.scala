@@ -87,11 +87,36 @@ object PgAuth {
   def tlsServerEndPoint(cert: java.security.cert.X509Certificate): Array[Byte] = {
     val sig = cert.getSigAlgName.toUpperCase
     val alg =
-      if (sig.contains("SHA384")) "SHA-384"
+      if (sig.contains("RSASSA-PSS")) pssDigest(cert)
+      else if (sig.contains("SHA384")) "SHA-384"
       else if (sig.contains("SHA512")) "SHA-512"
       else "SHA-256" // incl. the mandated MD5/SHA-1 upgrade
     MessageDigest.getInstance(alg).digest(cert.getEncoded)
   }
+
+  /** RSASSA-PSS certificates report a bare "RSASSA-PSS" sig alg name —
+    * the digest lives in the signature AlgorithmParameters
+    * (PSSParameterSpec). An RFC 5929-conformant peer (OpenSSL/libpq)
+    * hashes with THAT digest, so defaulting to SHA-256 would break
+    * -PLUS channel binding against a SHA-384-PSS chain. Falls back to
+    * SHA-256 only when the params are absent/unreadable (which for PSS
+    * means the encoder defaulted every field — and the PSS defaults
+    * are SHA-1, upgraded to SHA-256 by RFC 5929 §4.1 anyway). */
+  private def pssDigest(cert: java.security.cert.X509Certificate): String =
+    try {
+      val der = cert.getSigAlgParams
+      if (der == null) "SHA-256"
+      else {
+        val ap = java.security.AlgorithmParameters.getInstance("RSASSA-PSS")
+        ap.init(der)
+        val spec = ap.getParameterSpec(classOf[java.security.spec.PSSParameterSpec])
+        spec.getDigestAlgorithm.toUpperCase match {
+          case d if d.contains("384") => "SHA-384"
+          case d if d.contains("512") => "SHA-512"
+          case _ => "SHA-256" // SHA-256 itself, or the SHA-1 default upgraded
+        }
+      }
+    } catch { case _: Throwable => "SHA-256" }
 
   /** One SCRAM client exchange. `clientNonce` is caller-chosen (the
     * feed uses SecureRandom; specs pass a fixed one).

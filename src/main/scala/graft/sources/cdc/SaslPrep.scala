@@ -60,7 +60,15 @@ object SaslPrep {
     cp == 0x200E || cp == 0x200F ||
     (cp >= 0x202A && cp <= 0x202E) ||
     cp == 0xE0001 ||                                // C.9 tagging
-    (cp >= 0xE0020 && cp <= 0xE007F)
+    (cp >= 0xE0020 && cp <= 0xE007F) ||
+    // RFC 4013 §2.5: unassigned code points are prohibited in stored
+    // strings, and SCRAM passwords are stored strings. pg_saslprep
+    // enforces this (src/common/saslprep.c table A.1) and falls back
+    // to the RAW password when it trips — without this check we would
+    // NFKC-normalize the rest of the string and derive a salted key
+    // the server never stored. JVM Unicode tables track pg's
+    // regenerated A.1 closely enough for the fallback to agree.
+    Character.getType(cp) == Character.UNASSIGNED
 
   private def isRandAL(cp: Int): Boolean = {
     val d = Character.getDirectionality(cp)

@@ -22,6 +22,118 @@ class ConfigLineageSpec extends SparkSpec {
     assert(!props.contains("path"))
   }
 
+  test("config.providers: ${file:path:key} resolves a live secrets file like the reference IT") {
+    // the exact shape of DebeziumServerFileConfigProviderProfile:
+    // a properties secrets file, the provider declaration + class key,
+    // and the Quarkus-profile `$\$` guard wrapping the placeholder
+    val dir = Files.createTempDirectory("graft-secrets")
+    val secretFile = dir.resolve("secrets_test.txt")
+    Files.writeString(secretFile, "user=postgres\npassword=Sup3r!Secret=x\n")
+    val r = PipelineConfig.resolveProviders(Map(
+      "debezium.source.config.providers" -> "file",
+      "debezium.source.config.providers.file.class" ->
+        "org.apache.kafka.common.config.provider.FileConfigProvider",
+      "debezium.source.database.user" -> ("$\\$${file:" + secretFile + ":user}"),
+      "debezium.source.database.password" -> ("${file:" + secretFile + ":password}"),
+      "debezium.sink.type" -> "http"))
+    assert(r.props("debezium.source.database.user") == "postgres") // byte-for-byte
+    // '=' inside the secret survives (Properties splits on the FIRST =)
+    assert(r.props("debezium.source.database.password") == "Sup3r!Secret=x")
+    assert(r.props("debezium.sink.type") == "http") // untouched values pass through
+    // the masked view is what lineage/logs may print: secrets never appear
+    assert(r.masked("debezium.source.database.user") == PipelineConfig.SecretMask)
+    assert(r.masked("debezium.source.database.password") == PipelineConfig.SecretMask)
+    assert(r.masked("debezium.sink.type") == "http")
+    assert(!r.masked.values.exists(v => v.contains("postgres") || v.contains("Sup3r")))
+  }
+
+  test("config.providers: wrong path and missing key fail loudly; undeclared providers pass through") {
+    val dir = Files.createTempDirectory("graft-secrets2")
+    Files.writeString(dir.resolve("s.properties"), "k=v\n")
+    val base = Map(
+      "debezium.source.config.providers" -> "file",
+      "debezium.source.config.providers.file.class" ->
+        "org.apache.kafka.common.config.provider.FileConfigProvider")
+    val badPath = intercept[IllegalArgumentException] {
+      PipelineConfig.resolveProviders(base +
+        ("debezium.source.database.user" -> ("${file:" + dir + "/nope.properties:user}")))
+    }
+    assert(badPath.getMessage.contains("nope.properties"))
+    val badKey = intercept[IllegalArgumentException] {
+      PipelineConfig.resolveProviders(base +
+        ("debezium.source.database.user" -> ("${file:" + dir + "/s.properties:user}")))
+    }
+    assert(badKey.getMessage.contains("'user'"))
+    // an undeclared provider's placeholder is someone else's syntax —
+    // Kafka leaves it untouched and so do we
+    val r = PipelineConfig.resolveProviders(base +
+      ("debezium.source.custom" -> "${vault:pki/issue:cert}"))
+    assert(r.props("debezium.source.custom") == "${vault:pki/issue:cert}")
+    assert(r.masked("debezium.source.custom") == "${vault:pki/issue:cert}")
+    // no providers declared at all → identity (zero-cost fast path)
+    val plain = Map("debezium.source.database.user" -> "${file:/x:user}")
+    assert(PipelineConfig.resolveProviders(plain).props == plain)
+    // a DECLARED but unsupported class fails loudly
+    intercept[IllegalArgumentException] {
+      PipelineConfig.resolveProviders(Map(
+        "debezium.source.config.providers" -> "w",
+        "debezium.source.config.providers.w.class" -> "com.example.WeirdProvider",
+        "debezium.source.x" -> "${w:a:b}"))
+    }
+  }
+
+  test("config.providers: env + directory providers; class key defaults from the name") {
+    val dir = Files.createTempDirectory("graft-secrets3")
+    Files.writeString(dir.resolve("api_token"), "tok-123")
+    val r = PipelineConfig.resolveProviders(
+      props = Map(
+        "debezium.source.config.providers" -> "env, directory",
+        // no .class keys: short names bind their upstream semantics
+        "debezium.sink.http.jwt" -> "${env:GRAFT_TEST_JWT}",
+        "debezium.sink.http.token" -> ("${directory:" + dir + ":api_token}"),
+        // composite value: prefix/suffix around the placeholder survive
+        "debezium.sink.http.auth" -> "Bearer ${env:GRAFT_TEST_JWT}/v1"),
+      env = Map("GRAFT_TEST_JWT" -> "jwt-abc"))
+    assert(r.props("debezium.sink.http.jwt") == "jwt-abc")
+    assert(r.props("debezium.sink.http.token") == "tok-123")
+    assert(r.props("debezium.sink.http.auth") == "Bearer jwt-abc/v1")
+    assert(r.masked("debezium.sink.http.auth") == PipelineConfig.SecretMask)
+    intercept[IllegalArgumentException] {
+      PipelineConfig.resolveProviders(
+        Map("debezium.source.config.providers" -> "env",
+            "debezium.source.x" -> "${env:GRAFT_NO_SUCH_VAR}"),
+        env = Map.empty)
+    }
+  }
+
+  test("load(): secrets resolve before namespace remapping and stay masked in the mirror") {
+    val dir = Files.createTempDirectory("graft-secrets4")
+    val f = dir.resolve("redis.properties")
+    Files.writeString(f, "password=redis-pw\n")
+    val r = PipelineConfig.load(
+      env = Map("DEBEZIUM_SINK_REDIS_ADDRESS" -> "localhost:6379"),
+      explicit = Map(
+        "debezium.source.config.providers" -> "file",
+        "debezium.source.config.providers.file.class" ->
+          "org.apache.kafka.common.config.provider.FileConfigProvider",
+        "debezium.sink.type" -> "redis",
+        "debezium.sink.redis.password" -> ("${file:" + f + ":password}"),
+        "debezium.source.offset.storage" ->
+          "io.debezium.storage.redis.offset.RedisOffsetBackingStore"))
+    // the sink secret resolved, then the reuse mirror copied the
+    // RESOLVED value into the offset-storage namespace…
+    assert(r.props("debezium.sink.redis.password") == "redis-pw")
+    assert(r.props("debezium.source.offset.storage.redis.password") == "redis-pw")
+    assert(r.props("debezium.source.offset.storage.redis.address") == "localhost:6379")
+    // …and the masked view masks BOTH copies — the mirror cannot leak
+    assert(r.masked("debezium.sink.redis.password") == PipelineConfig.SecretMask)
+    assert(r.masked("debezium.source.offset.storage.redis.password") == PipelineConfig.SecretMask)
+    assert(!r.masked.values.exists(_.contains("redis-pw")))
+    // a pipeline spec boots from the RESOLVED map while the password
+    // never appears in the printable view
+    assert(r.props("debezium.sink.type") == "redis")
+  }
+
   test("sink config mirrors into offset-storage namespace when the sink backs it") {
     val props = PipelineConfig.reuseSinkConfig(Map(
       "debezium.sink.type" -> "redis",
