@@ -17,7 +17,7 @@ object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
                         cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21,
-                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31, cdc32, cdc33, cdc34, cdc35)
+                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31, cdc32, cdc33, cdc34, cdc35, cdc36)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -2416,4 +2416,66 @@ object QueriesCdc {
       (side("view", "l_user", "l_ts", "view_id"),
        side("click", "r_user", "r_ts", "click_id"))
     })
+
+  /** Format-layer roundtrip, oracle-checked end-to-end (round-15
+    * verdict #4 — the one §2.2 family that was sbt-only): every order
+    * becomes a change envelope that travels THREE serialize/deserialize
+    * hops in sequence — (1) JSON `to_json`→`from_json`, (2) Avro with
+    * Confluent registry framing (magic 0x00 + schema id, registered
+    * once driver-side, header validated per record executor-side),
+    * (3) length-delimited protobuf — and the surviving values must
+    * hash-match DuckDB recomputing them straight from the base
+    * parquet. A value corrupted by ANY encoder/decoder (string
+    * escaping, double bits, map entries, nested struct fields) breaks
+    * the compare. Reference semantics:
+    * DebeziumSerializationProducer.java:60-68 (format resolution),
+    * 103-154 (Avro converter with registry).
+    *
+    * 100 TB shape: three map-only codegen-boundary UDF hops, zero
+    * shuffles until the verify ORDER BY — serialization cost scales
+    * with bytes, never with a join or aggregation. */
+  private def cdc36 = Q("cdc36_format_roundtrip",
+    (s, dir) => {
+      import graft.formats.{AvroFormat, ProtobufFormat}
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val env = struct(
+        lit("c").as("op"),
+        struct(
+          col("o_orderkey").cast("long").as("order_key"),
+          col("o_custkey").cast("long").as("cust_key"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast("double").as("total"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("odate")).as("after"),
+        map(lit("priority"), col("o_orderpriority")).as("headers"))
+      val one = o.select(env.as("env"))
+      val st = one.schema("env").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      // hop 1: JSON — render and re-parse against the same schema
+      val jsoned = one.select(from_json(to_json(col("env")), st).as("env"))
+      // hop 2: Avro, registry-framed — producer and consumer register
+      // the same subject idempotently and share the schema id
+      val registry = new AvroFormat.InMemorySchemaRegistry
+      val aEnc = AvroFormat.framedEncoder(st, registry, "orders-value")
+      val aDec = AvroFormat.framedDecoder(st, registry, "orders-value")
+      val avroed = jsoned.select(aDec(aEnc(col("env"))).as("env"))
+      // hop 3: protobuf
+      val pEnc = ProtobufFormat.encoder(st)
+      val pDec = ProtobufFormat.decoder(st)
+      val protoed = avroed.select(pDec(pEnc(col("env"))).as("env"))
+      protoed.select(
+        col("env.after.order_key").as("order_key"),
+        col("env.op").as("op"),
+        col("env.after.cust_key").as("cust_key"),
+        col("env.after.status").as("status"),
+        col("env.after.total").as("total"),
+        col("env.after.odate").as("odate"),
+        col("env.headers")("priority").as("priority"))
+        .orderBy(col("order_key"))
+    },
+    Some("""SELECT o_orderkey AS order_key, 'c' AS op,
+           |  CAST(o_custkey AS BIGINT) AS cust_key,
+           |  o_orderstatus AS status,
+           |  CAST(o_totalprice AS DOUBLE) AS total,
+           |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+           |  o_orderpriority AS priority
+           |FROM orders ORDER BY order_key""".stripMargin))
 }

@@ -159,6 +159,61 @@ object AvroFormat {
     c => enc(c)
   }
 
+  /** Avro generic value → Spark external value — the inverse of
+    * [[toGeneric]]: Utf8 → String, ByteBuffer → Array[Byte], records →
+    * Row, lists → Seq, maps → Map (Utf8 keys re-stringed). */
+  private def fromGeneric(value: AnyRef, dt: DataType): Any = (value, dt) match {
+    case (null, _) => null
+    case (rec: GenericRecord, st: StructType) =>
+      Row.fromSeq(st.fields.toSeq.map(f => fromGeneric(rec.get(f.name), f.dataType)))
+    case (l: java.util.List[_], ArrayType(et, _)) =>
+      l.asScala.toSeq.map(x => fromGeneric(x.asInstanceOf[AnyRef], et))
+    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+      m.asScala.map { case (k, v) =>
+        k.toString -> fromGeneric(v.asInstanceOf[AnyRef], vt) }.toMap
+    case (b: java.nio.ByteBuffer, BinaryType) =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case (s: CharSequence, StringType) => s.toString
+    case (n: java.lang.Integer, ShortType) => n.shortValue()
+    case (n: java.lang.Integer, ByteType) => n.byteValue()
+    case (x, _) => x
+  }
+
+  /** Bytes → Row with the frame header validated against the id the
+    * subject registered to — per-executor cached reader state, same
+    * serializable-DDL-seed discipline as [[EncodeFn]]. */
+  private final class FramedDecodeFn(ddl: String, expectedId: Int)
+      extends org.apache.spark.sql.api.java.UDF1[Array[Byte], Row] {
+    @transient private lazy val structType = StructType.fromDDL(ddl)
+    @transient private lazy val schema = avroSchema(structType)
+    @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+    override def call(bytes: Array[Byte]): Row =
+      if (bytes == null) null
+      else {
+        require(bytes.length >= 5 && bytes(0) == 0x00,
+          "not registry-framed: expected magic byte 0x00 + schema id")
+        val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
+        require(id == expectedId,
+          s"registry frame carries schema id $id, consumer registered $expectedId")
+        val d = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
+        fromGeneric(reader.read(null, d), structType).asInstanceOf[Row]
+      }
+  }
+
+  /** Distributed consumer-side framed decode (UDF twin of
+    * [[decodeFramed]]): the subject's schema id resolves ONCE
+    * driver-side via idempotent registration — the same id the
+    * producer framed with — and executors validate each header
+    * against it before decoding the body. That hoists the registry
+    * lookup off the hot path exactly the way a real consumer caches
+    * `byId`; no registry traffic per record. */
+  def framedDecoder(st: StructType, registry: SchemaRegistryClient,
+                    subject: String): Column => Column = {
+    val id = registry.register(subject, avroSchema(st))
+    val dec = udf(new FramedDecodeFn(st.toDDL, id), st)
+    c => dec(c)
+  }
+
   /** Consumer-side framed decode: header → registry lookup → body. */
   def decodeFramed(bytes: Array[Byte], registry: SchemaRegistryClient): GenericRecord = {
     require(bytes.length >= 5 && bytes(0) == 0x00,

@@ -95,6 +95,41 @@ object ProtobufFormat {
 
   // ---- decode (consumers/tests) ----------------------------------------
 
+  /** Decoded field map → Row in schema order; fields the wire omitted
+    * (nulls — proto3 has no null marker, absence IS null) come back
+    * null. Nested messages and repeated messages recurse. */
+  private def mapToRow(m: Map[String, Any], st: StructType): Row =
+    Row.fromSeq(st.fields.toSeq.map { f =>
+      m.get(f.name) match {
+        case None => null
+        case Some(v) => (v, f.dataType) match {
+          case (mm: Map[_, _], s: StructType) =>
+            mapToRow(mm.asInstanceOf[Map[String, Any]], s)
+          case (seq: Seq[_], ArrayType(et: StructType, _)) =>
+            seq.map(x => mapToRow(x.asInstanceOf[Map[String, Any]], et))
+          case (mm: Map[_, _], MapType(_, vt: StructType, _)) =>
+            mm.asInstanceOf[Map[String, Any]].map { case (k, ev) =>
+              k -> mapToRow(ev.asInstanceOf[Map[String, Any]], vt) }
+          case _ => v
+        }
+      }
+    })
+
+  /** Bytes → Row decoder UDF — the executor-side twin of [[encoder]],
+    * per-executor cached schema from the serializable DDL seed. */
+  private final class DecodeFn(ddl: String)
+      extends org.apache.spark.sql.api.java.UDF1[Array[Byte], Row] {
+    @transient private lazy val structType = StructType.fromDDL(ddl)
+    override def call(bytes: Array[Byte]): Row =
+      if (bytes == null) null else mapToRow(decode(bytes, structType), structType)
+  }
+
+  /** Distributed decode for a struct column with the given schema. */
+  def decoder(st: StructType): Column => Column = {
+    val dec = udf(new DecodeFn(st.toDDL), st)
+    c => dec(c)
+  }
+
   /** bytes + schema → field values (field position → value). Repeated
     * fields accumulate into Seqs, map fields into Maps. */
   def decode(bytes: Array[Byte], st: StructType): Map[String, Any] = {

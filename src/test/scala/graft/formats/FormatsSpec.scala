@@ -118,6 +118,36 @@ class FormatsSpec extends SparkSpec {
     assert(id2 != id)
   }
 
+  test("distributed decoders: framedDecoder and protobuf decoder round-trip every field shape") {
+    val df = frame()
+    val envCol = struct(df.columns.map(col).toIndexedSeq: _*)
+    // avro: encode framed, decode framed, both as executor-side column
+    // functions — the distributed pair cdc36 rides
+    val registry = new AvroFormat.InMemorySchemaRegistry
+    val aEnc = AvroFormat.framedEncoder(rowSchema, registry, "t-value")
+    val aDec = AvroFormat.framedDecoder(rowSchema, registry, "t-value")
+    val aRows = df.select(aDec(aEnc(envCol)).as("env"))
+      .select("env.*").orderBy("id").collect()
+    assert(aRows(0) == Row(1, "alice", 1.5, Seq("a", "b"), Map("k" -> "v"), Row(7L)))
+    assert(aRows(1) == Row(2, null, null, null, null, null)) // nulls survive
+    // a frame with a DIFFERENT schema id than the consumer registered fails
+    val otherReg = new AvroFormat.InMemorySchemaRegistry
+    otherReg.register("pad-1", AvroFormat.avroSchema(
+      StructType(Seq(StructField("z", LongType))))) // shifts the next id
+    val mismatchDec = AvroFormat.framedDecoder(rowSchema, otherReg, "t-value")
+    val e = intercept[Exception] {
+      df.select(mismatchDec(aEnc(envCol))).collect()
+    }
+    assert(e.getMessage != null)
+    // protobuf: distributed encode→decode; absent wire fields are null
+    val pEnc = ProtobufFormat.encoder(rowSchema)
+    val pDec = ProtobufFormat.decoder(rowSchema)
+    val pRows = df.select(pDec(pEnc(envCol)).as("env"))
+      .select("env.*").orderBy("id").collect()
+    assert(pRows(0) == Row(1, "alice", 1.5, Seq("a", "b"), Map("k" -> "v"), Row(7L)))
+    assert(pRows(1) == Row(2, null, null, null, null, null))
+  }
+
   test("http registry client speaks the Confluent wire protocol end-to-end") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     // a live HTTP registry backed by the in-memory store: the two
