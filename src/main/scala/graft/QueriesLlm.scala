@@ -19,7 +19,8 @@ object QueriesLlm {
                         llm65, llm66, llm67, llm68, llm69, llm70, llm71, llm72, llm73,
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
-                        llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105)
+                        llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
+                        llm106, llm107, llm108)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -4828,4 +4829,243 @@ object QueriesLlm {
          |ORDER BY split""".stripMargin
     },
     cleanup = Some(_ => llm105Slot.drain()))
+
+  /** N-gram novelty DECAY for crawl re-visit scheduling: llm84
+    * measures how novel each source is overall; a crawler needs the
+    * TREND — how fast the novel-content rate falls across successive
+    * visits, because that slope (not the level) decides when to come
+    * back. Visits are the deterministic epochs doc_id % 5; per
+    * (source, visit) the novelty rate is the fraction of the visit's
+    * distinct shingles first seen AT that visit (visit 0 is
+    * definitionally all-new, so the decay is fitted over the
+    * REVISITS 1..4). decay = novelty(last)/novelty(first-revisit)
+    * computed as ONE division of exact-count products (doubles hold
+    * these counts exactly, no libm pow — both engines land on the
+    * identical bits), and the schedule output is integer-exact:
+    * revisit_days = ceil(7 / novelty_last) capped at 365 for a
+    * fully-stale source.
+    *
+    * 100 TB shape: one shingle-hash explode (the 8-byte `shh` hashes
+    * shuffle, never shingle strings), two hash aggregates at
+    * (source, shingle) and (source, visit) grain, then a 5-row-per-
+    * source struct-min/max rollup — linear in corpus bytes, no joins
+    * wider than sources × visits. */
+  private def llm106 = Q("llm106_novelty_decay",
+    (s, dir) => {
+      import graft.functions.MinhashSigs
+      val d = Tables.documents(s, dir)
+      val sh = d.where(col("text").isNotNull)
+        .select(col("source"), (col("doc_id") % 5).cast("int").as("visit"),
+          explode(MinhashSigs(col("text"), 9, 1, withSet = true)
+            .getField("shh")).as("h"))
+        .distinct()
+      val totals = sh.groupBy(col("source"), col("visit"))
+        .agg(count(lit(1)).as("n_shingles"))
+      val news = sh.groupBy(col("source"), col("h"))
+        .agg(min(col("visit")).as("visit"))
+        .groupBy(col("source"), col("visit")).agg(count(lit(1)).as("n_new"))
+      val pv = totals.join(news, Seq("source", "visit"), "left")
+        .select(col("source"), col("visit"), col("n_shingles"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .filter(col("visit") >= 1) // decay is a property of the revisits
+      pv.groupBy(col("source")).agg(
+          min(struct(col("visit"), col("n_shingles"), col("n_new"))).as("f"),
+          max(struct(col("visit"), col("n_shingles"), col("n_new"))).as("l"))
+        .select(col("source"),
+          col("f.n_shingles").as("n_sh_first"), col("f.n_new").as("n_new_first"),
+          col("l.n_shingles").as("n_sh_last"), col("l.n_new").as("n_new_last"),
+          when(col("f.n_new") === 0, lit(0.0)).otherwise(
+            col("l.n_new").cast("double") * col("f.n_shingles").cast("double") /
+              (col("l.n_shingles").cast("double") * col("f.n_new").cast("double")))
+            .as("decay"),
+          when(col("l.n_new") === 0, lit(365L)).otherwise(
+            ceil(lit(7) * col("l.n_shingles").cast("double") /
+              col("l.n_new").cast("double")).cast("long")).as("revisit_days"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH sh AS (SELECT DISTINCT source, doc_id % 5 AS visit, substr(text, i, 9) AS shingle
+           |       FROM (SELECT source, doc_id, text,
+           |               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+           |             FROM documents)),
+           |tot AS (SELECT source, visit, count(*) AS n_shingles FROM sh GROUP BY 1, 2),
+           |fv AS (SELECT source, shingle, min(visit) AS visit FROM sh GROUP BY 1, 2),
+           |nn AS (SELECT source, visit, count(*) AS n_new FROM fv GROUP BY 1, 2),
+           |pv AS (SELECT t.source, t.visit, t.n_shingles,
+           |         CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new
+           |       FROM tot t LEFT JOIN nn USING (source, visit) WHERE t.visit >= 1),
+           |fl AS (SELECT source, min(visit) AS v0, max(visit) AS v1 FROM pv GROUP BY 1)
+           |SELECT fl.source,
+           |  a.n_shingles AS n_sh_first, a.n_new AS n_new_first,
+           |  b.n_shingles AS n_sh_last, b.n_new AS n_new_last,
+           |  CASE WHEN a.n_new = 0 THEN 0.0
+           |       ELSE CAST(b.n_new AS DOUBLE) * CAST(a.n_shingles AS DOUBLE)
+           |            / (CAST(b.n_shingles AS DOUBLE) * CAST(a.n_new AS DOUBLE)) END AS decay,
+           |  CAST(CASE WHEN b.n_new = 0 THEN 365
+           |       ELSE ceil(7 * CAST(b.n_shingles AS DOUBLE) / CAST(b.n_new AS DOUBLE)) END
+           |    AS BIGINT) AS revisit_days
+           |FROM fl
+           |JOIN pv a ON a.source = fl.source AND a.visit = fl.v0
+           |JOIN pv b ON b.source = fl.source AND b.visit = fl.v1
+           |ORDER BY fl.source""".stripMargin))
+
+  /** Per-source embedding DRIFT against a frozen reference snapshot:
+    * llm80's dimStats says what the corpus-wide embedding
+    * distribution looks like; a production pipeline needs the
+    * per-source DELTA between the current crawl and the snapshot the
+    * retrieval index / quantizer was trained on — the signal that a
+    * source's content (or the upstream embedding model) moved and
+    * the IVF cells / PQ codebooks no longer fit. Reference = the
+    * vec_id % 3 == 0 snapshot, current = the rest; per (source, dim)
+    * the mean is an exact q6-integer sum ÷ count, the per-dim drift
+    * quantizes |Δmean| to integer micro-units BEFORE the per-source
+    * sum (exact longs, shuffle-order independent), and the top
+    * drifted dim rides ONE max(struct) aggregate (llm100
+    * discipline), never a window.
+    *
+    * 100 TB shape: vectors die in the posexplode map stage — only
+    * (source, dim) partial aggregates shuffle (sources × 64 rows),
+    * the ref/cur join is sources × dims, and the rollup is one hash
+    * aggregate. Kilobytes of shuffle at any corpus size. */
+  private def llm107 = Q("llm107_embedding_drift",
+    (s, dir) => {
+      val src = Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("source"))
+      val e = Tables.embeddings(s, dir).join(src, "vec_id")
+      def stats(side: org.apache.spark.sql.DataFrame) = side
+        .select(col("source"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(col("source"), (col("p") + 1).cast("long").as("dim"),
+          floor(col("x").cast("double") * lit(1e6)).cast("long").as("xq"))
+        .groupBy(col("source"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("sq"))
+      val ref = stats(e.filter(col("vec_id") % 3 === 0))
+        .select(col("source"), col("dim"), col("n").as("n_r"), col("sq").as("sq_r"))
+      val cur = stats(e.filter(col("vec_id") % 3 =!= 0))
+        .select(col("source"), col("dim"), col("n").as("n_c"), col("sq").as("sq_c"))
+      val per = ref.join(cur, Seq("source", "dim"))
+        .select(col("source"), col("dim"),
+          floor(abs(col("sq_c").cast("double") / col("n_c")
+            - col("sq_r").cast("double") / col("n_r"))).cast("long").as("drift_q6"))
+      per.groupBy(col("source"))
+        .agg(sum(col("drift_q6")).as("l1_drift_q6"),
+          max(struct(col("drift_q6").as("d"), (-col("dim")).as("nd"))).as("m"))
+        .select(col("source"), col("l1_drift_q6"),
+          (-col("m.nd")).as("top_dim"), col("m.d").as("top_drift_q6"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH j AS (SELECT e.vec_id, d.source, e.embedding
+           |           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+           |x AS (SELECT source, vec_id, CAST(i AS BIGINT) AS dim,
+           |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS xq
+           |      FROM j CROSS JOIN generate_series(1, 64) AS g(i)),
+           |r AS (SELECT source, dim, count(*) AS n_r, CAST(sum(xq) AS BIGINT) AS sq_r
+           |      FROM x WHERE vec_id % 3 = 0 GROUP BY 1, 2),
+           |c AS (SELECT source, dim, count(*) AS n_c, CAST(sum(xq) AS BIGINT) AS sq_c
+           |      FROM x WHERE vec_id % 3 <> 0 GROUP BY 1, 2),
+           |p AS (SELECT source, dim,
+           |        CAST(floor(abs(CAST(sq_c AS DOUBLE) / n_c - CAST(sq_r AS DOUBLE) / n_r))
+           |          AS BIGINT) AS drift_q6
+           |      FROM r JOIN c USING (source, dim)),
+           |sel AS (SELECT source, dim, drift_q6,
+           |          row_number() OVER (PARTITION BY source
+           |                             ORDER BY drift_q6 DESC, dim ASC) AS rn
+           |        FROM p)
+           |SELECT p.source, CAST(sum(p.drift_q6) AS BIGINT) AS l1_drift_q6,
+           |       min(sel.dim) AS top_dim, min(sel.drift_q6) AS top_drift_q6
+           |FROM p JOIN sel ON sel.source = p.source AND sel.rn = 1
+           |GROUP BY p.source
+           |ORDER BY p.source""".stripMargin))
+
+  private val llm108Slot = new TrackerSlot
+
+  /** Influence-style duplicate-cluster DOWN-weighting — the
+    * composition of llm85 (1/cluster-size soft dedup) and llm104
+    * (per-source quality tertiles): training-mix practice keeps
+    * near-duplicate families at constant total influence AND scales
+    * that influence by the document's quality bucket, so a
+    * fifty-times-crawled tail-quality boilerplate family contributes
+    * 4/(10·50) per copy while a unique head-quality doc keeps
+    * weight 1. weight = mult(bucket) / (10 · csize) with mult ∈
+    * {10, 7, 4} — one division of exact integers, engine-portable.
+    * Duplicated corpus ids (+100000, the llm17/85 construction)
+    * inherit the base doc's bucket through the % 100000 mapping.
+    *
+    * 100 TB shape: the cluster side reuses the banded-LSH pair list
+    * (8-byte ids, never n²) + one superstep fixpoint; the quality
+    * side reuses the distributed exact-rank scan; the final join is
+    * corpus-grain on an integer key with a group-count-sized bucket
+    * frame — no new all-pairs path, no window over the corpus. */
+  private def llm108 = Q("llm108_influence_weights",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 100000L).as("doc_id"),
+                 concat(col("text"), lit(" qx")).as("text")))
+      val tracker = llm108Slot.fresh()
+      val sigs = Dedup.minhashSignatureText(corpus, col("doc_id"), col("text"), n = 9, k = 12)
+      val pairs = Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))
+      val clusters = Dedup.connectedComponents(pairs, tracker = Some(tracker))
+      val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+      val csized = corpus.select(col("doc_id"))
+        .join(clusters.join(sizes, "cluster_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("csize"), lit(1L)).as("csize"))
+      val scored = LanguageModel.bigramScoreQ(d, col("doc_id"), col("text"))
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+      val ranked = graft.llm.Sketches.groupRanks(scored, col("source"),
+        -col("score_q"), col("doc_id"), tracker = Some(tracker))
+      val totals = ranked.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val buckets = ranked.join(broadcast(totals), "g")
+        .select(col("id").as("base_id"),
+          when(col("rank") * 3 <= col("n"), "head")
+            .when(col("rank") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail").as("bucket"))
+      val mult = when(col("bucket") === "head", 10L)
+        .when(col("bucket") === "middle", 7L).otherwise(4L)
+      csized.join(buckets, csized("doc_id") % 100000L === buckets("base_id"))
+        .select(col("doc_id"), col("csize"), col("bucket"),
+          (mult.cast("double") / (lit(10.0) * col("csize").cast("double"))).as("weight"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $duckMinhashPairCtes,
+            |verts AS (SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs),
+            |edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs
+            |          UNION SELECT id_b, id_a FROM pairs),
+            |reach(v, r) AS (
+            |  SELECT v, v FROM verts
+            |  UNION
+            |  SELECT e.eb, reach.r FROM edges e JOIN reach ON reach.v = e.ea),
+            |comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+            |sz AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY 1),
+            |cw AS (SELECT c.doc_id, CAST(coalesce(sz.csize, 1) AS BIGINT) AS csize
+            |       FROM corpus c
+            |       LEFT JOIN comp ON comp.doc_id = c.doc_id
+            |       LEFT JOIN sz ON sz.cluster_id = comp.cluster_id),
+            |t AS (SELECT doc_id,
+            |        list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+            |      FROM documents),
+            |bi AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+            |              unnest(toks[2:len(toks)]) AS w2 FROM t),
+            |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+            |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+            |vv AS (SELECT count(DISTINCT tok) AS v
+            |       FROM (SELECT unnest(toks) AS tok FROM t)),
+            |q AS (SELECT bi.doc_id,
+            |        CAST(floor((CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + vv.v AS DOUBLE)) * 1e9) AS BIGINT) AS q
+            |      FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv),
+            |sc AS (SELECT doc_id, CAST(sum(q) // count(*) AS BIGINT) AS score_q
+            |       FROM q GROUP BY doc_id),
+            |r AS (SELECT d.doc_id AS base_id,
+            |        row_number() OVER (PARTITION BY d.source
+            |                           ORDER BY -sc.score_q ASC, sc.doc_id ASC) AS rank,
+            |        count(*) OVER (PARTITION BY d.source) AS n
+            |      FROM sc JOIN documents d USING (doc_id)),
+            |bk2 AS (SELECT base_id,
+            |          CASE WHEN rank * 3 <= n THEN 'head'
+            |               WHEN rank * 3 <= n * 2 THEN 'middle'
+            |               ELSE 'tail' END AS bucket
+            |        FROM r)
+            |SELECT cw.doc_id, cw.csize, bk2.bucket,
+            |       CAST(CASE bk2.bucket WHEN 'head' THEN 10 WHEN 'middle' THEN 7 ELSE 4 END
+            |         AS DOUBLE) / (10.0 * CAST(cw.csize AS DOUBLE)) AS weight
+            |FROM cw JOIN bk2 ON cw.doc_id % 100000 = bk2.base_id
+            |ORDER BY cw.doc_id""".stripMargin),
+    cleanup = Some(_ => llm108Slot.drain()))
 }
