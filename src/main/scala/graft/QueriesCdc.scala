@@ -1987,7 +1987,7 @@ object QueriesCdc {
       // count while the stream runs (the setting binds at query start;
       // restore after so batch queries keep the session default).
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = changelog.writeStream
           .foreachBatch {
@@ -2057,7 +2057,7 @@ object QueriesCdc {
         .load()
       val deltas = graft.streaming.StreamingOps.changelogDeltaStream(records)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = deltas.writeStream
           .foreachBatch {
@@ -2196,7 +2196,7 @@ object QueriesCdc {
       val counts = graft.streaming.StreamingOps.windowedCounts(
         stream, "ts", "event_type", "1 hour", "30 minutes")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = counts.writeStream.format("parquet")
           .option("path", out).option("checkpointLocation", ckpt)
@@ -2249,7 +2249,7 @@ object QueriesCdc {
       val sessions = graft.streaming.StreamingOps.sessionCounts(
         stream, "ts", "user_id", "30 minutes", "30 minutes")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = sessions.writeStream.format("parquet")
           .option("path", out).option("checkpointLocation", ckpt)
@@ -2324,7 +2324,7 @@ object QueriesCdc {
       val enriched = graft.streaming.StreamingOps.asOfEnrichStream(
         src(lin), src(rin), "30 minutes", historyTtlMs = 0L)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = enriched.writeStream.format("parquet")
           .option("path", out).option("checkpointLocation", ckpt)
@@ -2382,7 +2382,7 @@ object QueriesCdc {
         src(rin, "r_user", "r_ts", "click_id"), "r_user", "r_ts",
         watermarkDelay = "30 minutes", within = "2 hours")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = joined.select(col("l_user").as("user_id"), col("view_id"),
             col("click_id"), unix_micros(col("l_ts")).as("view_us"),

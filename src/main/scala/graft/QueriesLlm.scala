@@ -4406,7 +4406,7 @@ object QueriesLlm {
       // dominant cost is per-partition state commits, not rows);
       // restored after so batch queries keep the session default
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = curated.select(col("doc_id"), col("text"),
             col("__content_hash").as("content_hash"))
@@ -4611,7 +4611,7 @@ object QueriesLlm {
         stream, col("text"), seen, col("text"), "ts", "2 hours", expectedItems = 1000L)
       // state fan-out sized to the corpus while the stream runs (see llm98)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = fresh.select(col("doc_id"), col("__content_hash").as("content_hash"))
           .writeStream.format("parquet")
