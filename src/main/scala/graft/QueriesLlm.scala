@@ -20,7 +20,7 @@ object QueriesLlm {
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
                         llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
-                        llm106, llm107, llm108)
+                        llm106, llm107, llm108, llm109, llm110, llm111)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -5068,4 +5068,231 @@ object QueriesLlm {
             |FROM cw JOIN bk2 ON cw.doc_id % 100000 = bk2.base_id
             |ORDER BY cw.doc_id""".stripMargin),
     cleanup = Some(_ => llm108Slot.drain()))
+
+  /** Code-vs-prose detection — the training-mix router that decides
+    * whether a document feeds the code or the text data budget.
+    * Three engine-portable signals over one pass: symbol-token ratio
+    * (tokens containing code punctuation, via a HOF filter — the
+    * same character class compiles identically in Java regex and
+    * RE2), keyword-token hits (a broadcast IN-list of language
+    * keywords, token-exact so no word-boundary regex divergence),
+    * and indented-line ratio. The rubric is INTEGER arithmetic
+    * (per-mille ratios via truncating DIV) so the code/mixed/prose
+    * label is bit-portable. Docs with doc_id % 5 == 0 get a
+    * deterministic code-block prefix planted so both labels (and the
+    * boundary) are actually exercised at any SF.
+    *
+    * 100 TB shape: ONE codegen'd projection — split, two lambda
+    * filters, a line split — and no shuffle until the verify
+    * ORDER BY; the mix router runs at scan speed. */
+  private def llm109 = Q("llm109_code_detect",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // planted fixtures cover the whole label space at any SF: %5==0
+      // gets a real code block (→ code), %5==1 a single inline
+      // statement (→ mixed on typical doc lengths; a short doc may
+      // legitimately cross into code — the oracle replays the same
+      // arithmetic either way), the rest stay prose
+      val fixed = d.withColumn("t",
+        when(col("doc_id") % 5 === 0,
+          concat(lit("def f(x):\n    y = (x + 1);\n    return {y};\n"), col("text")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("if (x) { return y; }\n"), col("text")))
+          .otherwise(col("text")))
+      val toks = expr("filter(split(t, '\\\\s+'), x -> length(x) > 0)")
+      val kwArr = "array('def','class','import','return','if','else'," +
+        "'for','while','function','var','const','public','void','int')"
+      val out = fixed
+        .withColumn("n_toks", greatest(size(toks), lit(1)).cast("long"))
+        .withColumn("sym_toks",
+          size(expr("filter(filter(split(t, '\\\\s+'), x -> length(x) > 0), " +
+            "x -> x rlike '[=;{}()\\\\[\\\\]<>]')")).cast("long"))
+        .withColumn("kw_toks",
+          size(expr("filter(filter(split(t, '\\\\s+'), x -> length(x) > 0), " +
+            s"x -> array_contains($kwArr, x))")).cast("long"))
+        .withColumn("n_lines",
+          greatest(size(expr("split(t, '\\n')")), lit(1)).cast("long"))
+        .withColumn("indent_lines",
+          size(expr("filter(split(t, '\\n'), x -> x rlike '^(  |\\t)')")).cast("long"))
+        .withColumn("score_pm",
+          expr("(1000 * sym_toks) DIV n_toks + (3000 * kw_toks) DIV n_toks + " +
+            "(2000 * indent_lines) DIV n_lines"))
+        .withColumn("label",
+          when(col("score_pm") >= 400, "code")
+            .when(col("score_pm") >= 120, "mixed").otherwise("prose"))
+      out.select(col("doc_id"), col("n_toks"), col("sym_toks"), col("kw_toks"),
+          col("indent_lines"), col("score_pm"), col("label"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH f AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 5 = 0
+           |      THEN 'def f(x):' || chr(10) || '    y = (x + 1);' || chr(10)
+           |           || '    return {y};' || chr(10) || text
+           |      WHEN doc_id % 5 = 1
+           |      THEN 'if (x) { return y; }' || chr(10) || text
+           |      ELSE text END AS t
+           |  FROM documents),
+           |tk AS (SELECT doc_id, t,
+           |    list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0) AS toks,
+           |    string_split(t, chr(10)) AS lines
+           |  FROM f),
+           |m AS (SELECT doc_id,
+           |    greatest(len(toks), 1) AS n_toks,
+           |    len(list_filter(toks, x -> regexp_matches(x, '[=;{}()\[\]<>]'))) AS sym_toks,
+           |    len(list_filter(toks, x -> x IN ('def','class','import','return','if','else',
+           |      'for','while','function','var','const','public','void','int'))) AS kw_toks,
+           |    greatest(len(lines), 1) AS n_lines,
+           |    len(list_filter(lines, x -> regexp_matches(x, '^(  |\t)'))) AS indent_lines
+           |  FROM tk),
+           |sc AS (SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           |    CAST(sym_toks AS BIGINT) AS sym_toks, CAST(kw_toks AS BIGINT) AS kw_toks,
+           |    CAST(indent_lines AS BIGINT) AS indent_lines,
+           |    CAST((1000 * sym_toks) // n_toks + (3000 * kw_toks) // n_toks
+           |       + (2000 * indent_lines) // n_lines AS BIGINT) AS score_pm
+           |  FROM m)
+           |SELECT doc_id, n_toks, sym_toks, kw_toks, indent_lines, score_pm,
+           |       CASE WHEN score_pm >= 400 THEN 'code'
+           |            WHEN score_pm >= 120 THEN 'mixed' ELSE 'prose' END AS label
+           |FROM sc ORDER BY doc_id""".stripMargin))
+
+  /** Canonical-URL content-consistency audit — the crawl-health
+    * operator llm75's canonicalization enables: group fetches by
+    * CANONICAL url and compare their content hashes. Same canonical
+    * url + one distinct hash = stable duplicates (crawl waste, safe
+    * to dedup hard); several hashes = a CHURNING url (rotating
+    * boilerplate / soft-404 — the revisit scheduler should distrust
+    * it); one fetch = unique. Fetch variants reuse the llm75 messy-url
+    * construction; variants 0 and 1 deterministically carry the base
+    * doc's content (stable pair) while variant 2 carries its own
+    * (the churn row), so all three verdicts appear at any SF.
+    *
+    * 100 TB shape: content collapses to an 8-byte hash in the map
+    * stage; the audit is ONE hash aggregate at canonical-url grain
+    * (distinct hashes via a tiny two-level aggregate) — url strings
+    * shuffle once, text never does. */
+  private def llm110 = Q("llm110_url_content_audit",
+    (s, dir) => {
+      import graft.llm.Urls
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = expr("doc_id DIV 3")
+      val variant = expr("doc_id % 3")
+      val site = concat(lit("site"), base % 7)
+      val tld = when(base % 4 === 0, ".com").when(base % 4 === 1, ".co.uk")
+        .when(base % 4 === 2, ".org").otherwise(".io")
+      val path = concat(lit("/a/b"), base % 5)
+      val qv = base % 3
+      val messy = when(variant === 0,
+          concat(lit("HTTPS://WWW."), upper(site), tld, lit(":443"), path,
+                 lit("/?utm_source=x&b="), qv, lit("&a=1#frag")))
+        .when(variant === 1,
+          concat(lit("https://"), site, tld, path, lit("?a=1&b="), qv))
+        .otherwise(
+          concat(lit("https://"), site, upper(tld),
+                 regexp_replace(path, "/", "//"), lit("/?b="), qv,
+                 lit("&utm_campaign=y&a=1"),
+                 // base%5==4 groups: the third fetch lands on its OWN
+                 // canonical url (extra real param) → a single-fetch
+                 // 'unique' row, and its group audits on two fetches
+                 when(base % 5 === 4, lit("&c=1")).otherwise(lit(""))))
+      // variants 0/1 fetch the BASE doc's bytes; variant 2 fetches the
+      // base bytes when base%3==0 (→ stable-dup groups) and its own
+      // bytes otherwise (→ churning groups)
+      val contentOwner = d.select(col("doc_id").as("base"),
+        Portable.hash64(col("text")).as("base_h"))
+      val fetches = d.select(col("doc_id"), Urls.canonicalUrl(messy).as("curl"),
+          Portable.hash64(col("text")).as("own_h"),
+          expr("doc_id DIV 3").as("base"), variant.as("v"))
+        .join(contentOwner, Seq("base"), "left")
+        .select(col("curl"),
+          when((col("v") < 2 || col("base") % 3 === 0) && col("base_h").isNotNull,
+            col("base_h")).otherwise(col("own_h")).as("content_h"))
+      val perHash = fetches.groupBy(col("curl"), col("content_h"))
+        .agg(count(lit(1)).as("n"))
+      perHash.groupBy(col("curl"))
+        .agg(sum(col("n")).as("n_fetches"),
+          count(lit(1)).as("n_distinct_content"))
+        .select(col("curl"), col("n_fetches"), col("n_distinct_content"),
+          when(col("n_fetches") === 1, "unique")
+            .when(col("n_distinct_content") === 1, "stable-dup")
+            .otherwise("churning").as("status"))
+        .orderBy(col("curl"))
+    },
+    Some {
+      val h = Portable.duckHash64("text")
+      s"""WITH d AS (SELECT doc_id, text, doc_id // 3 AS base, doc_id % 3 AS v
+         |           FROM documents),
+         |u AS (SELECT doc_id, base, v,
+         |        'https://site' || (base % 7)
+         |          || CASE base % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+         |                           WHEN 2 THEN '.org' ELSE '.io' END
+         |          || '/a/b' || (base % 5)
+         |          || '?a=1&b=' || (base % 3)
+         |          || CASE WHEN v = 2 AND base % 5 = 4 THEN '&c=1' ELSE '' END AS curl
+         |      FROM d),
+         |own AS (SELECT doc_id, $h AS own_h FROM documents),
+         |baseh AS (SELECT doc_id AS bid, $h AS base_h FROM documents),
+         |f AS (SELECT u.curl,
+         |        CASE WHEN (u.v < 2 OR u.base % 3 = 0) AND b.base_h IS NOT NULL
+         |             THEN b.base_h ELSE o.own_h END AS content_h
+         |      FROM u JOIN own o ON o.doc_id = u.doc_id
+         |      LEFT JOIN baseh b ON b.bid = u.base),
+         |ph AS (SELECT curl, content_h, count(*) AS n FROM f GROUP BY 1, 2)
+         |SELECT curl, CAST(sum(n) AS BIGINT) AS n_fetches,
+         |       count(*) AS n_distinct_content,
+         |       CASE WHEN sum(n) = 1 THEN 'unique'
+         |            WHEN count(*) = 1 THEN 'stable-dup'
+         |            ELSE 'churning' END AS status
+         |FROM ph GROUP BY curl ORDER BY curl""".stripMargin
+    })
+
+  /** Epoch/repeat scheduling under a token budget — the mixture
+    * planner for when the curated corpus is SMALLER than the training
+    * budget: give every source an equal share of the budget, repeat
+    * its tokens up to that share but never beyond the repeat cap
+    * (diminishing returns of re-read data bound useful epochs), and
+    * report the leftover budget the mixture cannot fill. All
+    * arithmetic is integer-exact in micro-epoch units (repeat_u =
+    * min(cap·1e6, share·1e6 DIV tokens)), so the schedule is
+    * bit-portable and sums exactly.
+    *
+    * 100 TB shape: one token-count aggregate at source grain (the
+    * only corpus pass), then arithmetic on a sources-sized frame.
+    * The schedule is the artifact a reader feeds the sampler — no
+    * per-doc work at all beyond the count. */
+  private def llm111 = Q("llm111_epoch_schedule",
+    (s, dir) => {
+      val perSource = Tables.documents(s, dir)
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).cast("long").as("tk"))
+        .groupBy(col("source")).agg(sum(col("tk")).as("tokens"))
+      // budget 109k tokens (sized so share/tokens straddles the 4.0
+      // cap at sf0.01 — both the capped and uncapped branches carry
+      // rows), repeat cap 4.0 epochs in micro-units; the source count
+      // rides a broadcast single-row frame — no driver action, and
+      // every division is truncating DIV (integer-exact)
+      val nsrc = perSource.agg(count(lit(1)).as("ns"))
+      perSource.crossJoin(broadcast(nsrc))
+        .withColumn("share", expr("109000 DIV greatest(ns, 1)"))
+        .withColumn("repeat_u",
+          least(lit(4000000L), expr("(share * 1000000) DIV tokens")))
+        .withColumn("scheduled_tokens", expr("(tokens * repeat_u) DIV 1000000"))
+        .withColumn("unfilled", col("share") - col("scheduled_tokens"))
+        .select(col("source"), col("tokens"), col("repeat_u"),
+          col("scheduled_tokens"), col("unfilled"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (SELECT source,
+           |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)))
+           |      AS BIGINT) AS tokens
+           |  FROM documents GROUP BY source),
+           |n AS (SELECT count(*) AS ns FROM t),
+           |s AS (SELECT t.source, t.tokens,
+           |        CAST(109000 // greatest(n.ns, 1) AS BIGINT) AS share
+           |      FROM t CROSS JOIN n),
+           |r AS (SELECT source, tokens, share,
+           |        least(4000000, (share * 1000000) // tokens) AS repeat_u
+           |      FROM s)
+           |SELECT source, tokens, CAST(repeat_u AS BIGINT) AS repeat_u,
+           |       CAST((tokens * repeat_u) // 1000000 AS BIGINT) AS scheduled_tokens,
+           |       CAST(share - (tokens * repeat_u) // 1000000 AS BIGINT) AS unfilled
+           |FROM r ORDER BY source""".stripMargin))
 }

@@ -60,6 +60,20 @@ object PipelineSpec {
       sourceType = props.getOrElse("debezium.source.type", "envelope-log"),
       snapshotMode = props.getOrElse("debezium.source.snapshot.mode", "initial"))
   }
+
+  /** Boot from a provider-resolved config ([[PipelineConfig.load]]):
+    * the spec is assembled from the RESOLVED properties — placeholders
+    * like `${file:…:password}` already swapped for their secrets — so
+    * a deployment's credentials never sit in the property map that
+    * configured the JVM, and the paired `masked` view is the only
+    * rendering observability may print. This is the reference's whole
+    * configuration story end-to-end: MicroProfile sources →
+    * config-provider indirection → engine boot
+    * (DebeziumServerConfigProvidersIT.java:39). */
+  def fromResolved(r: ResolvedConfig,
+                   keySchema: StructType, rowSchema: StructType,
+                   registry: graft.sinks.SinkRegistry): PipelineSpec =
+    fromProperties(r.props, keySchema, rowSchema, registry)
 }
 
 object CdcPipeline {

@@ -137,6 +137,47 @@ class CdcPipelineSpec extends SparkSpec {
     assert(sink.get("testc.inventory.customers", """{"id":1}""").isEmpty)
   }
 
+  test("pipeline boots from a provider-resolved spec; the secret never reaches the printable view") {
+    val sink = new KvSink
+    val logDir = writeLog(goldenLog)
+    // the secrets file carries the LOAD-BEARING value (the source
+    // path): if provider resolution didn't happen, the boot fails on a
+    // literal `${file:…}` path — resolution is proven by the pipeline
+    // actually running, not by inspecting strings
+    val secretsDir = Files.createTempDirectory("graft-boot-secrets")
+    val secrets = secretsDir.resolve("pipeline.properties")
+    Files.writeString(secrets, s"path=$logDir\npassword=kv-secret-pw\n")
+    val explicit = Map(
+      "debezium.source.config.providers" -> "file",
+      "debezium.source.config.providers.file.class" ->
+        "org.apache.kafka.common.config.provider.FileConfigProvider",
+      "debezium.sink.type" -> "kv",
+      "debezium.sink.kv.password" -> ("${file:" + secrets + ":password}"),
+      "debezium.source.path" -> ("${file:" + secrets + ":path}"),
+      "debezium.source.table.include.list" -> "inventory.customers")
+    val r = PipelineConfig.load(env = Map.empty, explicit = explicit)
+    val spec = PipelineSpec.fromResolved(r, keySchema, rowSchema,
+      new SinkRegistry(Seq(sink)))
+    CdcPipeline.runBatch(spark, spec)
+    // golden final state flowed through the RESOLVED source path (the
+    // KV sink keeps delete ENVELOPES as values — only tombstones
+    // remove — so all five keyed records land, non-included excluded)
+    assert(sink.size("testc.inventory.customers") == 5)
+    assert(sink.get("testc.inventory.customers", """{"id":1005}""").isDefined)
+    assert(sink.size("testc.other.t") == 0) // include list applied
+    // the printable view masks every provider-resolved value and the
+    // secrets appear nowhere in it
+    assert(r.masked("debezium.source.path") == PipelineConfig.SecretMask)
+    assert(r.masked("debezium.sink.kv.password") == PipelineConfig.SecretMask)
+    assert(!r.masked.values.exists(v => v.contains("kv-secret-pw") || v.contains(logDir)))
+    // WITHOUT the provider pass the same property map cannot boot —
+    // the placeholder is not a path
+    intercept[Exception] {
+      CdcPipeline.runBatch(spark, PipelineSpec.fromProperties(
+        explicit, keySchema, rowSchema, new SinkRegistry(Seq(new KvSink))))
+    }
+  }
+
   test("sink registry resolves by name and rejects unknowns") {
     val reg = new SinkRegistry(Seq(new KvSink))
     assert(reg.resolve("kv").name == "kv")
