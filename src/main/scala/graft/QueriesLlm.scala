@@ -20,7 +20,7 @@ object QueriesLlm {
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
                         llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
-                        llm106, llm107, llm108, llm109, llm110, llm111)
+                        llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -5295,4 +5295,144 @@ object QueriesLlm {
            |       CAST((tokens * repeat_u) // 1000000 AS BIGINT) AS scheduled_tokens,
            |       CAST(share - (tokens * repeat_u) // 1000000 AS BIGINT) AS unfilled
            |FROM r ORDER BY source""".stripMargin))
+
+  private val llm112Slot = new TrackerSlot
+
+  /** Hash-sampled per-group quantiles — the estimation path for when
+    * q16's exact distributed ranks are overkill: a deterministic
+    * uniform sample (the bottom-100 docs per source by portable
+    * doc-id hash — order-independent, engine-replayable, the same
+    * idea as KMV sampling) and EXACT quantiles over that bounded
+    * sample. The sample selection rides the distributed exact-rank
+    * scan (never a per-group sort of the full corpus); the quantile
+    * window then runs over ≤100 rows per source — bounded frames at
+    * any corpus size, which is the entire point. p50/p90 are
+    * value-at-ceil-rank with a (value, doc_id) tiebreak so both
+    * engines pick the identical element.
+    *
+    * 100 TB shape: one range-repartition for the rank scan over
+    * 8-byte (hash, id) pairs, one integer-keyed semi-join to pull the
+    * sampled rows, then windows over k-bounded partitions. */
+  private def llm112 = Q("llm112_sampled_quantiles",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("h", Portable.hash64(col("doc_id")))
+      val ranked = graft.llm.Sketches.groupRanks(
+        d.select(col("source"), col("h"), col("doc_id")),
+        col("source"), col("h"), col("doc_id"), tracker = Some(llm112Slot.fresh()))
+      val sampleIds = ranked.filter(col("rank") <= 100)
+        .select(col("id").as("doc_id"))
+      val sample = d.join(sampleIds, Seq("doc_id"), "left_semi")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      sample
+        .withColumn("rn", row_number().over(w))
+        .withColumn("k", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+        .groupBy(col("source"))
+        .agg(max(col("k")).as("n_sampled"),
+          max(when(expr("rn * 2 = k OR rn * 2 = k + 1"), col("n_chars")))
+            .as("est_p50"),
+          max(when(expr("rn * 10 = k * 9 OR (rn - 1) * 10 < k * 9 AND rn * 10 > k * 9"),
+            col("n_chars"))).as("est_p90"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source, n_chars,
+            |        ${Portable.duckHash64("doc_id")} AS h
+            |      FROM documents),
+            |r AS (SELECT *, row_number() OVER (PARTITION BY source
+            |                                   ORDER BY h, doc_id) AS hr FROM d),
+            |smp AS (SELECT doc_id, source, n_chars FROM r WHERE hr <= 100),
+            |q AS (SELECT source, n_chars,
+            |        row_number() OVER (PARTITION BY source
+            |                           ORDER BY n_chars, doc_id) AS rn,
+            |        count(*) OVER (PARTITION BY source) AS k
+            |      FROM smp)
+            |SELECT source, CAST(max(k) AS BIGINT) AS n_sampled,
+            |  max(CASE WHEN rn * 2 = k OR rn * 2 = k + 1 THEN n_chars END) AS est_p50,
+            |  max(CASE WHEN rn * 10 = k * 9
+            |            OR (rn - 1) * 10 < k * 9 AND rn * 10 > k * 9
+            |           THEN n_chars END) AS est_p90
+            |FROM q GROUP BY source ORDER BY source""".stripMargin),
+    cleanup = Some(_ => llm112Slot.drain()))
+
+  /** Mixed-language document detection — the per-half consistency
+    * check monolingual filters need: langId agrees on the whole doc
+    * yet the tail can be another language entirely (template headers,
+    * quoted spam, concatenated crawl fragments), and such docs poison
+    * a monolingual corpus llm07's single verdict would admit. The
+    * doc's token array splits at the midpoint, each half re-joins to
+    * text and runs the SAME langId marker chain, and the flag is a
+    * plain label comparison. Docs with doc_id % 11 == 0 get a German
+    * filler tail planted so both verdicts appear at any SF.
+    *
+    * 100 TB shape: one projection — tokenize once, slice twice, three
+    * marker-count chains — no shuffle before the verify ORDER BY. */
+  private def llm113 = Q("llm113_mixed_language",
+    (s, dir) => {
+      import graft.llm.TextAnalysis
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("t",
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" der und die der und die der und die")))
+            .otherwise(col("text")))
+      val out = d
+        .withColumn("toks", expr("filter(split(t, '\\\\s+'), x -> length(x) > 0)"))
+        .withColumn("nt", greatest(size(col("toks")), lit(1)))
+        .withColumn("head_t",
+          array_join(expr("slice(toks, 1, greatest(nt DIV 2, 1))"), " "))
+        .withColumn("tail_t",
+          array_join(expr("slice(toks, greatest(nt DIV 2, 1) + 1, nt)"), " "))
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("t")).as("lang_full"),
+          TextAnalysis.langId(col("head_t")).as("lang_head"),
+          TextAnalysis.langId(col("tail_t")).as("lang_tail"))
+        .withColumn("is_mixed", col("lang_head") =!= col("lang_tail"))
+      out.orderBy(col("doc_id"))
+    },
+    Some {
+      val langs = TextAnalysis.langMarkers
+      // the llm07 oracle's first-wins argmax chain, parameterized over
+      // WHICH token array feeds the marker counts
+      def scoreCols(tokExpr: String, tag: String) = langs.map { case (lang, ms) =>
+        s"len(list_filter($tokExpr, x -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], x))) AS s_${tag}_$lang"
+      }.mkString(",\n            ")
+      def chain(tag: String) = {
+        val c = langs.zipWithIndex.init.foldRight(s"'${langs.last._1}'") {
+          case (((lang, _), i), rest) =>
+            val later = langs.drop(i + 1).map { case (l, _) =>
+              s"s_${tag}_$lang >= s_${tag}_$l" }.mkString(" AND ")
+            s"CASE WHEN $later THEN '$lang' ELSE $rest END"
+        }
+        val allZero = langs.map { case (l, _) => s"s_${tag}_$l" }.mkString(" + ") + " = 0"
+        s"CASE WHEN $allZero THEN 'unknown' ELSE $c END"
+      }
+      s"""WITH f AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN text || ' der und die der und die der und die'
+         |      ELSE text END AS t
+         |  FROM documents),
+         |tk AS (SELECT doc_id, t,
+         |    list_filter(string_split_regex(t, '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM f),
+         |hv AS (SELECT doc_id, t, toks,
+         |    greatest(len(toks), 1) AS nt FROM tk),
+         |parts AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(t), '\\s+'), x -> len(x) > 0) AS lt_full,
+         |    list_transform(toks[1:greatest(nt // 2, 1)], x -> lower(x)) AS lt_head,
+         |    list_transform(toks[greatest(nt // 2, 1) + 1:nt], x -> lower(x)) AS lt_tail
+         |  FROM hv),
+         |sc AS (SELECT doc_id,
+         |            ${scoreCols("lt_full", "f")},
+         |            ${scoreCols("lt_head", "h")},
+         |            ${scoreCols("lt_tail", "t")}
+         |       FROM parts)
+         |SELECT doc_id,
+         |  ${chain("f")} AS lang_full,
+         |  ${chain("h")} AS lang_head,
+         |  ${chain("t")} AS lang_tail,
+         |  (${chain("h")}) <> (${chain("t")}) AS is_mixed
+         |FROM sc ORDER BY doc_id""".stripMargin
+    })
 }
