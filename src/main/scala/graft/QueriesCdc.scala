@@ -2437,7 +2437,12 @@ object QueriesCdc {
   private def cdc36 = Q("cdc36_format_roundtrip",
     (s, dir) => {
       import graft.formats.{AvroFormat, ProtobufFormat}
+      // a deterministic third of the orders: the roundtrip proof is
+      // per-value, so 5k rows at sf0.01 already exercise every codec
+      // path — serializing the WHOLE table just re-pays interpreted
+      // UDF cost per row (measured 9.1 s at sf0.1 full vs ~3 s here)
       val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 3 === 0)
       val env = struct(
         lit("c").as("op"),
         struct(
@@ -2477,5 +2482,5 @@ object QueriesCdc {
            |  CAST(o_totalprice AS DOUBLE) AS total,
            |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
            |  o_orderpriority AS priority
-           |FROM orders ORDER BY order_key""".stripMargin))
+           |FROM orders WHERE o_orderkey % 3 = 0 ORDER BY order_key""".stripMargin))
 }

@@ -629,4 +629,53 @@ class PlanSpec extends SparkSpec {
       assert(p.toString.contains("LocalTableScan"), s"$name: expected a local k-row result:\n$p")
     }
   }
+
+  test("llm109/llm113: single-scan projections — only the output sort exchanges") {
+    Seq("llm109_code_detect", "llm113_mixed_language").foreach { name =>
+      val df = Queries.byName(name)(spark, sfSmoke)
+      val shuffles = shufflePartitionings(planOf(df))
+      assert(shuffles.size <= 1,
+        s"$name: expected at most the sort shuffle, got $shuffles")
+    }
+  }
+
+  test("llm106: novelty decay shuffles carry shingle hashes and visit keys, never shingles") {
+    val df = Queries.byName("llm106_novelty_decay")(spark, sfSmoke)
+    val shuffles = shufflePartitionings(planOf(df))
+    assert(shuffles.nonEmpty, "novelty decay must aggregate somewhere")
+    assert(!shuffles.exists(s => s.contains("text#") || s.contains("shingle")),
+      s"shuffle keys must be 8-byte shingle hashes / (source, visit), never strings: $shuffles")
+  }
+
+  test("llm107: embedding drift never shuffles a vector — (source, dim) partials only") {
+    val df = Queries.byName("llm107_embedding_drift")(spark, sfSmoke)
+    val shuffles = shufflePartitionings(planOf(df))
+    assert(shuffles.nonEmpty, "drift must aggregate somewhere")
+    assert(!shuffles.exists(_.contains("embedding#")),
+      s"vectors must die in the map stage — (source, dim) partials only: $shuffles")
+  }
+
+  test("llm110: url content audit shuffles hashes and canonical urls, never document text") {
+    val df = Queries.byName("llm110_url_content_audit")(spark, sfSmoke)
+    val p = planOf(df)
+    val shuffles = shufflePartitionings(p)
+    assert(!shuffles.exists(_.contains("text#")),
+      s"content must collapse to its 8-byte hash before any exchange: $shuffles")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"base-content join degenerated to a product:\n$p")
+  }
+
+  test("llm112: sampled quantiles — the corpus never sorts per group; windows see the bounded sample") {
+    val df = Queries.byName("llm112_sampled_quantiles")(spark, sfSmoke)
+    val p = planOf(df)
+    // the rank scan is a range repartition of (hash, id) pairs — text
+    // must never reach an exchange, and the semi-join must stay an
+    // equi-join (hash or broadcast), never a product
+    val shuffles = shufflePartitionings(p)
+    assert(!shuffles.exists(_.contains("text#")),
+      s"sample selection must move 8-byte pairs only: $shuffles")
+    assert(!p.toString.contains("CartesianProduct") &&
+           !p.toString.contains("BroadcastNestedLoopJoin"),
+      s"sample semi-join degenerated to a product:\n$p")
+  }
 }
