@@ -63,8 +63,15 @@ object TextAnalysis {
     * exact same CASE expression is writable in any SQL dialect: lang i
     * wins iff its score >= every later language's score (equivalent to
     * first-index argmax). All-zero scores → "unknown". */
-  def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (lang, m) => lang -> langScore(text, m) }
+  def langId(text: Column): Column =
+    langIdFromScores(langMarkers.map { case (lang, m) => lang -> langScore(text, m) })
+
+  /** The argmax chain over PRECOMPUTED per-language scores — the seam
+    * callers use when scores for several text slices derive from one
+    * tokenization (marker counts are additive over a token-array
+    * split, so a half/half consistency check computes head+tail
+    * counts once and feeds three chains from them). */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val allZero = scores.map(_._2).reduce(_ + _) === 0
     val chain = scores.zipWithIndex.init.foldRight(lit(scores.last._1)) {
       case (((lang, s), i), rest) =>
