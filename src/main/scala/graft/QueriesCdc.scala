@@ -17,7 +17,7 @@ object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
                         cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21,
-                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31, cdc32, cdc33, cdc34, cdc35, cdc36)
+                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31, cdc32, cdc33, cdc34, cdc35, cdc36, cdc37)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -2416,6 +2416,55 @@ object QueriesCdc {
       (side("view", "l_user", "l_ts", "view_id"),
        side("click", "r_user", "r_ts", "click_id"))
     })
+
+  /** Windowed DISTINCT-actor rates, oracle-checked end-to-end: TWO
+    * chained stateful operators — a per-(user, window) streaming
+    * dedup feeding a watermarked tumbling-window count — drive "how
+    * many distinct users changed per hour" over a three-micro-batch
+    * file stream in append mode (a stateful-op COMBINATION no other
+    * oracle row exercises; cdc32 is one agg, cdc29 one dedup-shaped
+    * state). The per-window distinct count is arrival-order
+    * independent by construction (every row of a dedup key shares
+    * the window), so the oracle is a plain batch COUNT(DISTINCT)
+    * with cdc32's finalization cutoff: an over-evicted dedup entry
+    * (undercount), lost dedup state across batches (overcount), or
+    * an unfinalized window emission all fail the compare. */
+  private def cdc37 = Q("cdc37_windowed_distinct",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = cdc33In(s, dir) // (ts, user_id) ascending range parts
+      val root = java.nio.file.Files.createTempDirectory("graft-cdc37")
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      val schema = Tables.events(s, dir).select(col("ts"), col("user_id")).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val counts = graft.streaming.StreamingOps.windowedDistinct(
+        stream, "ts", col("user_id"), "1 hour", "30 minutes")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = counts.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("distinct_keys").as("distinct_users"))
+        .orderBy(col("window_start_us"))
+    },
+    Some("""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, user_id FROM events),
+           |m AS (SELECT max(us) - 1800000000 AS wm FROM e),
+           |w AS (SELECT (us // 3600000000) * 3600000000 AS ws,
+           |             count(DISTINCT user_id) AS distinct_users
+           |      FROM e GROUP BY 1)
+           |SELECT CAST(ws AS BIGINT) AS window_start_us,
+           |       CAST(distinct_users AS BIGINT) AS distinct_users
+           |FROM w CROSS JOIN m
+           |WHERE ws + 3600000000 <= m.wm
+           |ORDER BY window_start_us""".stripMargin),
+    prepare = Some((s, dir) => { cdc33In(s, dir); () }))
 
   /** Format-layer roundtrip, oracle-checked end-to-end (round-15
     * verdict #4 — the one §2.2 family that was sbt-only): every order

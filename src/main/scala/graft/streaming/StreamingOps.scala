@@ -95,6 +95,26 @@ object StreamingOps {
       .agg(count(lit(1)).as("new_keys"))
       .select(col("window.start").as("window_start"), col("new_keys"))
 
+  /** Windowed DISTINCT-actor counts over a change stream — "how many
+    * distinct users/tables/tenants changed per hour": a per-(key,
+    * window) streaming dedup feeds a windowed count, so each key
+    * counts once per window no matter how many changes it made or
+    * which of its rows the dedup state kept (every row of the dedup
+    * key shares the window BY CONSTRUCTION — the attribution is
+    * arrival-order independent, which is what makes the result
+    * exactly replayable as a batch count-distinct). Two chained
+    * stateful operators, both watermark-evicted: dedup state is one
+    * entry per live (key, window), window state one row per open
+    * window. Append mode emits each window once, finalized. */
+  def windowedDistinct(df: DataFrame, tsCol: String, keyCol: Column,
+                       windowDuration: String, watermarkDelay: String): DataFrame = {
+    val withWin = df.withColumn("__w", window(col(tsCol), windowDuration))
+    dedupExactStream(withWin, struct(keyCol, col("__w.start")), tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(count(lit(1)).as("distinct_keys"))
+      .select(col("window.start").as("window_start"), col("distinct_keys"))
+  }
+
   /** Session-windowed activity per group over a change stream: events
     * closer than `gapDuration` merge into one session; a gap closes
     * it (Spark's native session_window keeps state per OPEN session
