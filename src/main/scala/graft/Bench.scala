@@ -154,6 +154,12 @@ object Bench {
     val tagged = SlopeTagged.filter(bigTimes.contains)
     if (tagged.isEmpty) return Nil
     val outFile = "target/bench_slope.json"
+    // a stale artifact from an earlier session must never masquerade
+    // as this run's small-SF times — delete before forking, and any
+    // read failure below degrades to "no slope" rather than crashing
+    // the parent AFTER the whole multi-block bench completed
+    try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outFile))
+    catch { case _: Throwable => () }
     val pb = new ProcessBuilder((Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", cp, "graft.Bench")): _*)
     pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
@@ -165,16 +171,21 @@ object Bench {
     System.err.println(s"[bench] slope block: ${tagged.size} tagged queries at $smallDir")
     val rc = pb.start().waitFor()
     if (rc != 0) { System.err.println(s"[bench] slope block exited $rc — skipping"); return Nil }
-    import scala.jdk.CollectionConverters._
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = om.readTree(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(outFile)))
-    val small = node.get("queries").properties().asScala
-      .map(e => e.getKey -> e.getValue.asDouble()).toMap
-    tagged.flatMap { q =>
-      small.get(q).filter(_ > 0).map { tSmall =>
-        q -> math.log10(bigTimes(q) / tSmall) // data ratio is 10×
+    try {
+      import scala.jdk.CollectionConverters._
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(outFile)))
+      val small = node.get("queries").properties().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      tagged.flatMap { q =>
+        small.get(q).filter(_ > 0).map { tSmall =>
+          q -> math.log10(bigTimes(q) / tSmall) // data ratio is 10×
+        }
       }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] slope artifact unreadable (${e.getMessage}) — skipping")
+      Nil
     }
   }
 
@@ -249,6 +260,13 @@ object Bench {
     val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
     val fullCatalog = onlyEnv.fold(Queries.all)(ps =>
       Queries.all.filter(q => ps.exists(q.name.startsWith)))
+    // fail loudly on the SINGLE-JVM path too (a bad BENCH_ONLY prefix
+    // lands here, not in emit — blocks default to 1 when a filter is
+    // set, and an empty catalog would otherwise die as `empty.min`)
+    require(fullCatalog.nonEmpty,
+      "bench: no queries matched SPARK_GRAFT_BENCH_ONLY " +
+        s"(=${sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "<unset>")}) — " +
+        s"known prefixes: ${Queries.all.map(_.name).take(5).mkString(", ")}, …")
     val wantBlocks = sys.env.get("SPARK_GRAFT_BENCH_BLOCKS").map(_.toInt)
       .getOrElse(if (onlyEnv.isDefined) 1 else 3)
     if (!isChild && wantBlocks > 1 && fullCatalog.size >= wantBlocks) {

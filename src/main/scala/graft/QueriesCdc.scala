@@ -2439,8 +2439,11 @@ object QueriesCdc {
       val schema = Tables.events(s, dir).select(col("ts"), col("user_id")).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(in)
+      // delay = window: the operator's exactness precondition (a
+      // shorter delay can re-admit a late duplicate after its dedup
+      // entry evicted while the window is still open)
       val counts = graft.streaming.StreamingOps.windowedDistinct(
-        stream, "ts", col("user_id"), "1 hour", "30 minutes")
+        stream, "ts", col("user_id"), "1 hour", "1 hour")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
@@ -2455,7 +2458,7 @@ object QueriesCdc {
         .orderBy(col("window_start_us"))
     },
     Some("""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, user_id FROM events),
-           |m AS (SELECT max(us) - 1800000000 AS wm FROM e),
+           |m AS (SELECT max(us) - 3600000000 AS wm FROM e),
            |w AS (SELECT (us // 3600000000) * 3600000000 AS ws,
            |             count(DISTINCT user_id) AS distinct_users
            |      FROM e GROUP BY 1)

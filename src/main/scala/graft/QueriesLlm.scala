@@ -4878,9 +4878,11 @@ object QueriesLlm {
             col("l.n_new").cast("double") * col("f.n_shingles").cast("double") /
               (col("l.n_shingles").cast("double") * col("f.n_new").cast("double")))
             .as("decay"),
+          // the 365 cap applies to EVERY branch (review finding: a
+          // nearly-stale source ceil'd to ~191 years, not just n_new=0)
           when(col("l.n_new") === 0, lit(365L)).otherwise(
-            ceil(lit(7) * col("l.n_shingles").cast("double") /
-              col("l.n_new").cast("double")).cast("long")).as("revisit_days"))
+            least(lit(365L), ceil(lit(7) * col("l.n_shingles").cast("double") /
+              col("l.n_new").cast("double")).cast("long"))).as("revisit_days"))
         .orderBy(col("source"))
     },
     Some("""WITH sh AS (SELECT DISTINCT source, doc_id % 5 AS visit, substr(text, i, 9) AS shingle
@@ -4901,7 +4903,7 @@ object QueriesLlm {
            |       ELSE CAST(b.n_new AS DOUBLE) * CAST(a.n_shingles AS DOUBLE)
            |            / (CAST(b.n_shingles AS DOUBLE) * CAST(a.n_new AS DOUBLE)) END AS decay,
            |  CAST(CASE WHEN b.n_new = 0 THEN 365
-           |       ELSE ceil(7 * CAST(b.n_shingles AS DOUBLE) / CAST(b.n_new AS DOUBLE)) END
+           |       ELSE least(365, ceil(7 * CAST(b.n_shingles AS DOUBLE) / CAST(b.n_new AS DOUBLE))) END
            |    AS BIGINT) AS revisit_days
            |FROM fl
            |JOIN pv a ON a.source = fl.source AND a.visit = fl.v0
@@ -5099,17 +5101,17 @@ object QueriesLlm {
           .when(col("doc_id") % 5 === 1,
             concat(lit("if (x) { return y; }\n"), col("text")))
           .otherwise(col("text")))
-      val toks = expr("filter(split(t, '\\\\s+'), x -> length(x) > 0)")
       val kwArr = "array('def','class','import','return','if','else'," +
         "'for','while','function','var','const','public','void','int')"
+      // one materialized tokenization feeds every token signal (the
+      // llm113 discipline — no reliance on CSE to avoid re-splitting)
       val out = fixed
-        .withColumn("n_toks", greatest(size(toks), lit(1)).cast("long"))
+        .withColumn("toks", expr("filter(split(t, '\\\\s+'), x -> length(x) > 0)"))
+        .withColumn("n_toks", greatest(size(col("toks")), lit(1)).cast("long"))
         .withColumn("sym_toks",
-          size(expr("filter(filter(split(t, '\\\\s+'), x -> length(x) > 0), " +
-            "x -> x rlike '[=;{}()\\\\[\\\\]<>]')")).cast("long"))
+          size(expr("filter(toks, x -> x rlike '[=;{}()\\\\[\\\\]<>]')")).cast("long"))
         .withColumn("kw_toks",
-          size(expr("filter(filter(split(t, '\\\\s+'), x -> length(x) > 0), " +
-            s"x -> array_contains($kwArr, x))")).cast("long"))
+          size(expr(s"filter(toks, x -> array_contains($kwArr, x))")).cast("long"))
         .withColumn("n_lines",
           greatest(size(expr("split(t, '\\n')")), lit(1)).cast("long"))
         .withColumn("indent_lines",

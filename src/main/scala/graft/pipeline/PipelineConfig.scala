@@ -78,17 +78,18 @@ object PipelineConfig {
   // path or missing key fails loudly — a pipeline must never boot with
   // a literal `${file:…}` as its database password.
 
-  /** `${provider:path:key}` / `${provider:key}` — byte-for-byte the
-    * Kafka ConfigTransformer DEFAULT_PATTERN (the path segment is
-    * optional, and reluctant groups give paths their slashes). */
-  private val Placeholder = """\$\{([^}]*?):(?:([^}]*?):)?([^}]*?)\}""".r
-
-  /** The Quarkus-profile guard: property files wrap a placeholder as
-    * `$\$${file:…}` so MicroProfile expression expansion cannot eat
-    * the `$` before the engine sees it (the reference profile writes
-    * exactly this shape). The engine strips the guard, leaving the
-    * bare placeholder for provider resolution. */
-  private val QuarkusGuard = """\$\\\$(?=\$\{)"""
+  /** `${provider:path:key}` / `${provider:key}` — the Kafka
+    * ConfigTransformer DEFAULT_PATTERN (the path segment is optional,
+    * and reluctant groups give paths their slashes), extended with an
+    * OPTIONAL leading Quarkus-profile guard `$\$`: property files
+    * wrap a placeholder as `$\$${file:…}` so MicroProfile expression
+    * expansion cannot eat the `$` before the engine sees it (the
+    * reference profile writes exactly this shape). The guard is
+    * consumed ONLY when its placeholder resolves — a placeholder of
+    * an UNDECLARED provider passes through byte-for-byte, guard and
+    * all, exactly like the no-providers fast path (review finding:
+    * stripping it unconditionally mutated someone else's syntax). */
+  private val Placeholder = """(\$\\\$)?\$\{([^}]*?):(?:([^}]*?):)?([^}]*?)\}""".r
 
   /** Resolve every declared-provider placeholder in `props` values.
     * Providers are declared by any `*.config.providers` list key
@@ -147,10 +148,9 @@ object PipelineConfig {
 
     var secretKeys = Set.empty[String]
     val resolved = props.map { case (k, v) =>
-      val unguarded = v.replaceAll(QuarkusGuard, "")
       var touched = false
-      val out = Placeholder.replaceAllIn(unguarded, m => {
-        resolveOne(m.group(1), Option(m.group(2)).getOrElse(""), m.group(3)) match {
+      val out = Placeholder.replaceAllIn(v, m => {
+        resolveOne(m.group(2), Option(m.group(3)).getOrElse(""), m.group(4)) match {
           case Some(secret) =>
             touched = true
             scala.util.matching.Regex.quoteReplacement(secret)

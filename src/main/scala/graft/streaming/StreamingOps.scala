@@ -105,9 +105,28 @@ object StreamingOps {
     * exactly replayable as a batch count-distinct). Two chained
     * stateful operators, both watermark-evicted: dedup state is one
     * entry per live (key, window), window state one row per open
-    * window. Append mode emits each window once, finalized. */
+    * window. Append mode emits each window once, finalized.
+    *
+    * EXACTNESS PRECONDITION (enforced): `watermarkDelay` must be at
+    * least `windowDuration`. dropDuplicatesWithinWatermark evicts a
+    * dedup entry once the watermark passes first_ts + delay; a
+    * double-count needs two same-key rows in ONE window separated by
+    * more than the delay, which delay ≥ window makes impossible — a
+    * shorter delay would re-admit a late duplicate in the eviction
+    * gap and silently overcount vs the batch COUNT(DISTINCT). */
   def windowedDistinct(df: DataFrame, tsCol: String, keyCol: Column,
                        windowDuration: String, watermarkDelay: String): DataFrame = {
+    def micros(d: String): Long =
+      org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d)) match {
+        case i =>
+          require(i.months == 0, s"calendar-month durations are ambiguous here: $d")
+          i.days * 86400000000L + i.microseconds
+      }
+    require(micros(watermarkDelay) >= micros(windowDuration),
+      s"windowedDistinct: watermarkDelay ($watermarkDelay) must be >= " +
+        s"windowDuration ($windowDuration) or late duplicates in the " +
+        "eviction gap double-count (see scaladoc)")
     val withWin = df.withColumn("__w", window(col(tsCol), windowDuration))
     dedupExactStream(withWin, struct(keyCol, col("__w.start")), tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDuration))

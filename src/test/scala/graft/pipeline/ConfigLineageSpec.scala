@@ -65,11 +65,14 @@ class ConfigLineageSpec extends SparkSpec {
     }
     assert(badKey.getMessage.contains("'user'"))
     // an undeclared provider's placeholder is someone else's syntax —
-    // Kafka leaves it untouched and so do we
+    // Kafka leaves it untouched and so do we, INCLUDING a Quarkus
+    // guard wrapping it (the guard is consumed only on resolution)
     val r = PipelineConfig.resolveProviders(base +
-      ("debezium.source.custom" -> "${vault:pki/issue:cert}"))
+      ("debezium.source.custom" -> "${vault:pki/issue:cert}") +
+      ("debezium.source.custom2" -> "$\\$${vault:pki/issue:cert}"))
     assert(r.props("debezium.source.custom") == "${vault:pki/issue:cert}")
     assert(r.masked("debezium.source.custom") == "${vault:pki/issue:cert}")
+    assert(r.props("debezium.source.custom2") == "$\\$${vault:pki/issue:cert}")
     // no providers declared at all → identity (zero-cost fast path)
     val plain = Map("debezium.source.database.user" -> "${file:/x:user}")
     assert(PipelineConfig.resolveProviders(plain).props == plain)
