@@ -20,7 +20,7 @@ object QueriesLlm {
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
                         llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
-                        llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113)
+                        llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -5458,5 +5458,103 @@ object QueriesLlm {
          |  ${chain("t")} AS lang_tail,
          |  (${chain("h")}) <> (${chain("t")}) AS is_mixed
          |FROM sc2 ORDER BY doc_id""".stripMargin
+    })
+
+  /** CAPSTONE — the curation FUNNEL as one composed pipeline, every
+    * stage an operator this catalog already proves in isolation:
+    * language filter (llm07's argmax chain) → minimum-length quality
+    * gate → exact dedup on the 8-byte content hash keeping the lowest
+    * id (llm01, over the id-shifted duplicate construction) → a
+    * deterministic hash split (llm14) → token-balanced shard packing
+    * of the train side on the distributed prefix sum (llm101). The
+    * deliverable is the shard manifest a training run consumes, and
+    * the oracle replays the ENTIRE funnel in one SQL statement — a
+    * value error in ANY stage (a mis-gated doc, a dedup survivor with
+    * the wrong id, a split flip, a shard off-by-one) shifts manifest
+    * counts and fails the compare. This is the library story: the
+    * operators COMPOSE, and the composition stays oracle-checkable.
+    *
+    * 100 TB shape: gates are scan-speed projections; dedup is one
+    * fixed-width hash shuffle; the split is a pure hash expression;
+    * packing rides the bounded-bucket prefix sum. No stage does
+    * corpus-width work twice — the funnel narrows monotonically. */
+  private def llm114 = Q("llm114_curation_pipeline",
+    (s, dir) => {
+      import graft.llm.TextAnalysis
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      // stages 1+2: language + length gates in one projection
+      val gated = corpus
+        .withColumn("lang", TextAnalysis.langId(col("text")))
+        .withColumn("tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .filter(col("lang") === "en" && col("tokens") >= 10)
+      // stage 3: exact dedup — identical text ⇒ identical tokens, so
+      // max(tokens) is THE value; lowest id survives (llm01 contract)
+      val deduped = gated
+        .withColumn("ch", Portable.hash64(col("text")))
+        .groupBy(col("ch"))
+        .agg(min(col("doc_id")).as("doc_id"), max(col("tokens")).as("tokens"))
+      // stage 4: deterministic 90/10 split
+      val split = graft.llm.Sampling.hashSplit(
+        deduped.select(col("doc_id"), col("tokens")),
+        col("doc_id"), Seq("train" -> 0.9, "eval" -> 0.1), salt = "cur")
+      // stage 5: token-balanced shards over the train side
+      val train = split.filter(col("split") === "train")
+        .withColumn("h", Portable.hash64(col("doc_id")))
+      val packed = graft.operators.PrefixSum.runningTotal(
+          train, col("h"), col("tokens"), bucketWidth = 1L << 50, out = "running")
+        .select(lit("train").as("split"),
+          expr("(running - tokens) DIV 4096").as("shard"), col("tokens"))
+      val evalSide = split.filter(col("split") === "eval")
+        .select(lit("eval").as("split"), lit(-1L).as("shard"), col("tokens"))
+      packed.unionByName(evalSide)
+        .groupBy(col("split"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("shard_tokens"))
+        .orderBy(col("split"), col("shard"))
+    },
+    Some {
+      val langs = TextAnalysis.langMarkers
+      val scores = langs.map { case (lang, ms) =>
+        s"len(list_filter(ltoks, x -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], x))) AS s_$lang"
+      }.mkString(",\n            ")
+      val chain = langs.zipWithIndex.init.foldRight(s"'${langs.last._1}'") {
+        case (((lang, _), i), rest) =>
+          val later = langs.drop(i + 1).map { case (l, _) => s"s_$lang >= s_$l" }.mkString(" AND ")
+          s"CASE WHEN $later THEN '$lang' ELSE $rest END"
+      }
+      val allZero = langs.map { case (l, _) => s"s_$l" }.mkString(" + ") + " = 0"
+      val h = Portable.duckHash64("text")
+      val u = graft.llm.Sampling.duckUnitInterval("doc_id", "cur")
+      val hid = Portable.duckHash64("doc_id")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |tk AS (SELECT doc_id, text,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS tokens,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ltoks
+         |  FROM corpus),
+         |sc AS (SELECT doc_id, text, tokens,
+         |            $scores
+         |       FROM tk),
+         |gated AS (SELECT doc_id, text, tokens FROM sc
+         |          WHERE (CASE WHEN $allZero THEN 'unknown' ELSE $chain END) = 'en'
+         |            AND tokens >= 10),
+         |dd AS (SELECT min(doc_id) AS doc_id, max(tokens) AS tokens
+         |       FROM (SELECT doc_id, tokens, $h AS ch FROM gated)
+         |       GROUP BY ch),
+         |sp AS (SELECT doc_id, tokens,
+         |         CASE WHEN $u < 0.9 THEN 'train' ELSE 'eval' END AS split
+         |       FROM dd),
+         |tr AS (SELECT doc_id, tokens, $hid AS hh FROM sp WHERE split = 'train'),
+         |r AS (SELECT *, sum(tokens) OVER (ORDER BY hh) AS running FROM tr),
+         |shards AS (SELECT 'train' AS split,
+         |             CAST((running - tokens) // 4096 AS BIGINT) AS shard, tokens FROM r),
+         |ev AS (SELECT 'eval' AS split, CAST(-1 AS BIGINT) AS shard, tokens
+         |       FROM sp WHERE split = 'eval'),
+         |u2 AS (SELECT * FROM shards UNION ALL SELECT * FROM ev)
+         |SELECT split, shard, count(*) AS n_docs,
+         |       CAST(sum(tokens) AS BIGINT) AS shard_tokens
+         |FROM u2 GROUP BY 1, 2 ORDER BY split, shard""".stripMargin
     })
 }
