@@ -665,6 +665,20 @@ class PlanSpec extends SparkSpec {
       s"base-content join degenerated to a product:\n$p")
   }
 
+  test("llm114: the capstone funnel's exchanges carry hashes and manifest rows, never text") {
+    val df = Queries.byName("llm114_curation_pipeline")(spark, sfSmoke)
+    val p = planOf(df)
+    val shuffles = shufflePartitionings(p)
+    // gates run at scan speed; the dedup exchange is keyed on the
+    // 8-byte content hash (text dies map-side), the pack's range
+    // repartition moves (hash, tokens) pairs, and the manifest
+    // aggregate is (split, shard)-grain
+    assert(!shuffles.exists(_.contains("text#")),
+      s"the funnel must never shuffle document text: $shuffles")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"funnel join degenerated to a product:\n$p")
+  }
+
   test("llm112: sampled quantiles — the corpus never sorts per group; windows see the bounded sample") {
     val df = Queries.byName("llm112_sampled_quantiles")(spark, sfSmoke)
     val p = planOf(df)
