@@ -39,22 +39,31 @@ object PipelineConfig {
   def decode(v: String): String = if (v == EmptySentinel) "" else v
 
   /** Mirror `debezium.sink.<type>.*` into the offset-storage /
-    * schema-history namespaces when those declare the same backing
-    * system — one connection config, three consumers. */
+    * schema-history namespaces — one connection config, three
+    * consumers. The reference's CURRENT semantics
+    * (DebeziumServerConfigSourceFactory.java:85-104, pinned by
+    * DebeziumServerConfigSourceFactoryTest.java:28-82): the mirror
+    * triggers on `debezium.sink.type` ALONE, and it is suppressed
+    * PER NAMESPACE whenever that namespace already carries ANY
+    * explicit `…<namespace>.<type>.*` key — copied sink properties
+    * must never silently override a user's explicit storage
+    * configuration (the sink and storage may use different property
+    * names for the same concept) or leak sink-only properties beside
+    * it. Suppression is namespace-specific: explicit schema-history
+    * config leaves the offset-storage mirror intact, and vice
+    * versa. */
   def reuseSinkConfig(props: Map[String, String]): Map[String, String] = {
-    val sinkType = props.get("debezium.sink.type")
-    sinkType.fold(props) { t =>
+    props.get("debezium.sink.type").fold(props) { t =>
       val sinkPrefix = s"debezium.sink.$t."
       val sinkProps = props.collect {
         case (k, v) if k.startsWith(sinkPrefix) => k.stripPrefix(sinkPrefix) -> v
       }
-      val mirrors = Seq(
-        "debezium.source.offset.storage" -> s"debezium.source.offset.storage.$t.",
-        "debezium.source.schema.history.internal" -> s"debezium.source.schema.history.internal.$t.")
-      mirrors.foldLeft(props) { case (acc, (storageKey, storagePrefix)) =>
-        if (acc.get(storageKey).exists(_.contains(t)))
-          acc ++ sinkProps.map { case (k, v) => s"$storagePrefix$k" -> v }
-        else acc
+      val namespaces = Seq(
+        s"debezium.source.schema.history.internal.$t.",
+        s"debezium.source.offset.storage.$t.")
+      namespaces.foldLeft(props) { (acc, nsPrefix) =>
+        if (acc.keys.exists(_.startsWith(nsPrefix))) acc // explicit config wins
+        else acc ++ sinkProps.map { case (k, v) => s"$nsPrefix$k" -> v }
       }
     }
   }

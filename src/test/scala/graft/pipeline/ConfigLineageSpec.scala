@@ -137,16 +137,46 @@ class ConfigLineageSpec extends SparkSpec {
     assert(r.props("debezium.sink.type") == "redis")
   }
 
-  test("sink config mirrors into offset-storage namespace when the sink backs it") {
+  test("sink config mirrors into BOTH storage namespaces when they are unconfigured") {
+    // the reference's current default (DebeziumServerConfigSourceFactoryTest:28):
+    // sink.type alone triggers the mirror — no storage-backend declaration needed
     val props = PipelineConfig.reuseSinkConfig(Map(
       "debezium.sink.type" -> "redis",
       "debezium.sink.redis.address" -> "localhost:6379",
-      "debezium.sink.redis.password" -> "s3cret",
-      "debezium.source.offset.storage" -> "io.debezium.storage.redis.offset.RedisOffsetBackingStore"))
+      "debezium.sink.redis.password" -> "s3cret"))
     assert(props("debezium.source.offset.storage.redis.address") == "localhost:6379")
     assert(props("debezium.source.offset.storage.redis.password") == "s3cret")
-    // no schema-history declaration → no mirror there
-    assert(!props.keys.exists(_.startsWith("debezium.source.schema.history.internal.redis.")))
+    assert(props("debezium.source.schema.history.internal.redis.address") == "localhost:6379")
+  }
+
+  test("explicit storage config suppresses the mirror for THAT namespace only") {
+    // DebeziumServerConfigSourceFactoryTest:38-53 — an explicit
+    // schema-history key blocks the whole schema-history mirror (the
+    // copied props could override it or leak beside it), while offset
+    // storage still reuses; and symmetrically (:70-82)
+    val p1 = PipelineConfig.reuseSinkConfig(Map(
+      "debezium.sink.type" -> "redis",
+      "debezium.sink.redis.connection.url" -> "sink-host:6379",
+      "debezium.sink.redis.batch.size" -> "1000",
+      "debezium.source.schema.history.internal.redis.url" -> "history-host:6379"))
+    assert(p1("debezium.source.schema.history.internal.redis.url") == "history-host:6379")
+    assert(!p1.contains("debezium.source.schema.history.internal.redis.connection.url"))
+    assert(!p1.contains("debezium.source.schema.history.internal.redis.batch.size"))
+    assert(p1("debezium.source.offset.storage.redis.connection.url") == "sink-host:6379")
+    val p2 = PipelineConfig.reuseSinkConfig(Map(
+      "debezium.sink.type" -> "redis",
+      "debezium.sink.redis.address" -> "sink-host:6379",
+      "debezium.sink.redis.batch.size" -> "1000",
+      "debezium.source.offset.storage.redis.address" -> "offset-host:6379"))
+    assert(p2("debezium.source.offset.storage.redis.address") == "offset-host:6379")
+    assert(!p2.contains("debezium.source.offset.storage.redis.batch.size"))
+    assert(p2("debezium.source.schema.history.internal.redis.address") == "sink-host:6379")
+    // a DIFFERENT technology's explicit storage keys do not suppress
+    val p3 = PipelineConfig.reuseSinkConfig(Map(
+      "debezium.sink.type" -> "redis",
+      "debezium.sink.redis.address" -> "sink-host:6379",
+      "debezium.source.offset.storage.file.filename" -> "/tmp/offsets.dat"))
+    assert(p3("debezium.source.offset.storage.redis.address") == "sink-host:6379")
   }
 
   test("config-only expression-routed pipeline: expr() router + predicate + filter") {
