@@ -125,9 +125,9 @@ object Bench {
     val throttled = parsed.exists(_.get("throttled").asBoolean())
     val nThreads = parsed.head.get("canary_threads").asInt()
     val sfDir = parsed.head.get("sf").asText()
-    val slope = runSlope(javaBin, jvmArgs, cp, sfDir, queries.toMap)
+    val (slope, slopeSmallDir) = runSlope(javaBin, jvmArgs, cp, sfDir, queries.toMap)
     emit(queries, canaries, canariesPar, reruns, throttled, nThreads, sfDir,
-      blocks = groups.size, slope = slope)
+      blocks = groups.size, slope = slope, slopeSmallDir = slopeSmallDir)
   }
 
   /** Round-15 verdict #5 — empirical scale-slope guard: re-run a
@@ -137,22 +137,32 @@ object Bench {
     * exponent near 1.0 is linear, below 1.0 is sub-linear (fixed
     * overheads amortizing), and anything approaching 2.0 is an
     * accidental n² that a single-SF bench can never see. Skipped when
-    * the small SF dir is missing or SPARK_GRAFT_BENCH_SLOPE=0. */
+    * the small SF dir is missing or SPARK_GRAFT_BENCH_SLOPE=0.
+    *
+    * The 10× data-ratio assumption is RECORDED in the artifact
+    * (`slope_small_sf` + `slope_assumed_ratio`, round-16 advice) —
+    * a reader pointing SPARK_GRAFT_SF_DIR_SMALL at a non-10× dir can
+    * see exactly which dirs produced the exponents rather than
+    * trusting a silent log₁₀. Returns (exponents, smallDirUsed). */
   private val SlopeTagged = Seq("llm05_minhash_pairs", "llm09_jaccard_verify",
     "llm16_decontamination", "llm17_dedup_clusters", "q16_exact_quantiles",
-    "cdc02_apply_changes")
+    "cdc02_apply_changes",
+    // round-16 verdict #5: the slope subset previously omitted the two
+    // costliest families — streaming state machinery and the
+    // materialize-and-join calibration slice. Both now measured.
+    "cdc37_windowed_distinct", "llm91_contrastive_pairs")
   private def runSlope(javaBin: String, jvmArgs: Seq[String], cp: String,
-                       bigSfDir: String, bigTimes: Map[String, Double]): Seq[(String, Double)] = {
-    if (sys.env.get("SPARK_GRAFT_BENCH_SLOPE").contains("0")) return Nil
+                       bigSfDir: String, bigTimes: Map[String, Double]): (Seq[(String, Double)], String) = {
+    if (sys.env.get("SPARK_GRAFT_BENCH_SLOPE").contains("0")) return (Nil, "")
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_SMALL",
       bigSfDir.replace("sf0.1", "sf0.01"))
     if (smallDir == bigSfDir ||
         !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(smallDir))) {
       System.err.println(s"[bench] slope: no small SF dir ($smallDir) — skipping")
-      return Nil
+      return (Nil, smallDir)
     }
     val tagged = SlopeTagged.filter(bigTimes.contains)
-    if (tagged.isEmpty) return Nil
+    if (tagged.isEmpty) return (Nil, smallDir)
     val outFile = "target/bench_slope.json"
     // a stale artifact from an earlier session must never masquerade
     // as this run's small-SF times — delete before forking, and any
@@ -170,7 +180,7 @@ object Bench {
     pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
     System.err.println(s"[bench] slope block: ${tagged.size} tagged queries at $smallDir")
     val rc = pb.start().waitFor()
-    if (rc != 0) { System.err.println(s"[bench] slope block exited $rc — skipping"); return Nil }
+    if (rc != 0) { System.err.println(s"[bench] slope block exited $rc — skipping"); return (Nil, smallDir) }
     try {
       import scala.jdk.CollectionConverters._
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -178,14 +188,14 @@ object Bench {
         java.nio.file.Paths.get(outFile)))
       val small = node.get("queries").properties().asScala
         .map(e => e.getKey -> e.getValue.asDouble()).toMap
-      tagged.flatMap { q =>
+      (tagged.flatMap { q =>
         small.get(q).filter(_ > 0).map { tSmall =>
-          q -> math.log10(bigTimes(q) / tSmall) // data ratio is 10×
+          q -> math.log10(bigTimes(q) / tSmall) // assumed data ratio: 10× (recorded in artifact)
         }
-      }
+      }, smallDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] slope artifact unreadable (${e.getMessage}) — skipping")
-      Nil
+      (Nil, smallDir)
     }
   }
 
@@ -195,7 +205,8 @@ object Bench {
   private def emit(results: Seq[(String, Double)], canaries: Seq[(String, Double)],
                    canariesPar: Seq[(String, Double)], reruns: Seq[(String, Double)],
                    throttled: Boolean, nThreads: Int, sfDir: String,
-                   blocks: Int, slope: Seq[(String, Double)] = Nil): Unit = {
+                   blocks: Int, slope: Seq[(String, Double)] = Nil,
+                   slopeSmallDir: String = ""): Unit = {
     // fail loudly BEFORE the mins (round-15 advice): an empty catalog
     // slice — bad SPARK_GRAFT_BENCH_ONLY prefix, or a block file with
     // an empty queries map — would otherwise surface as an opaque
@@ -210,7 +221,8 @@ object Bench {
     val base1Min = canaries.map(_._2).min
     val basePMin = canariesPar.map(_._2).min
     val slopeJson = if (slope.isEmpty) "" else
-      s""""slope_exponent":${jmap(slope.map { case (k, v) => k -> math.rint(v * 1000) / 1000 })},"""
+      s""""slope_exponent":${jmap(slope.map { case (k, v) => k -> math.rint(v * 1000) / 1000 })},""" +
+        s""""slope_small_sf":"$slopeSmallDir","slope_assumed_ratio":10,"""
     val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
       s""""canary_ms":${jmap(canaries)},"canary_par_ms":${jmap(canariesPar)},""" +
       s""""canary_baseline_ms":$base1Min,""" +
@@ -295,6 +307,18 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // Round-16 verdict #7: the heavy tail is where the ~1.3× host
+    // swing translates into whole seconds of round-over-round churn —
+    // a 12 s row swinging 1.3× moves the total by ~4 s; a 0.5 s row
+    // by 0.15. The top-10 rows of the round-16 record take 5 samples
+    // instead of 3 (median of 5 tolerates two bad draws, not one).
+    // Swing math: at 5 samples the median's expected deviation under
+    // the observed swing distribution roughly halves; the extra cost
+    // is ~2×10×5 s ≈ 100 s of un-reported wall-clock, not total time.
+    val heavyTagged = Set("llm91_contrastive_pairs", "llm16_decontamination",
+      "llm87_lsh_calibration", "llm09_jaccard_verify", "llm108_influence_weights",
+      "llm105_neardup_safe_split", "llm94_boilerplate_mining",
+      "cdc30_incremental_agg", "llm106_novelty_decay", "llm66_levenshtein_verify")
     // SPARK_GRAFT_BENCH_ONLY=llm19,llm05 — comma-separated name prefixes
     // for single-query iteration (and the per-block slice when run as
     // a block child); unset = full catalog.
@@ -315,7 +339,8 @@ object Bench {
       // BENCH measures query work only
       q.prepare.foreach(p => try p(spark, sfDir)
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name} prepare failed: ${e.getMessage}") })
-      val samples = (1 to runs).map { _ =>
+      val nRuns = if (heavyTagged(q.name)) runs.max(5) else runs
+      val samples = (1 to nRuns).map { _ =>
         val c = canaryMs()
         val cp = canaryParMs(nThreads)
         val t0 = System.nanoTime()

@@ -97,7 +97,16 @@ object ProtobufFormat {
 
   /** Decoded field map → Row in schema order; fields the wire omitted
     * (nulls — proto3 has no null marker, absence IS null) come back
-    * null. Nested messages and repeated messages recurse. */
+    * null. Nested messages and repeated messages recurse.
+    *
+    * EMPTY-COLLECTION COLLAPSE (inherent to proto3, documented per
+    * round-16 advice): an empty Seq/Map encodes to ZERO wire bytes —
+    * the encoding of absence — so `encoder(Seq())` round-trips back
+    * as null, not `Seq()`. Proto3 genuinely cannot distinguish the
+    * two without a wrapper message; callers that care must treat
+    * null and empty as equivalent after a protobuf hop (cdc36's
+    * headers map is always non-empty, so its oracle never sees the
+    * collapse). */
   private def mapToRow(m: Map[String, Any], st: StructType): Row =
     Row.fromSeq(st.fields.toSeq.map { f =>
       m.get(f.name) match {

@@ -116,7 +116,7 @@ object PgAuth {
           case _ => "SHA-256" // SHA-256 itself, or the SHA-1 default upgraded
         }
       }
-    } catch { case _: Throwable => "SHA-256" }
+    } catch { case scala.util.control.NonFatal(_) => "SHA-256" }
 
   /** One SCRAM client exchange. `clientNonce` is caller-chosen (the
     * feed uses SecureRandom; specs pass a fixed one).

@@ -102,10 +102,15 @@ object StreamingOps {
     * which of its rows the dedup state kept (every row of the dedup
     * key shares the window BY CONSTRUCTION — the attribution is
     * arrival-order independent, which is what makes the result
-    * exactly replayable as a batch count-distinct). Two chained
-    * stateful operators, both watermark-evicted: dedup state is one
-    * entry per live (key, window), window state one row per open
-    * window. Append mode emits each window once, finalized.
+    * exactly replayable as a batch count-distinct). The dedup keys
+    * state on the RAW (key, window_start) pair — not a 64-bit hash
+    * of it like [[dedupExactStream]] does for arbitrary content — so
+    * the count is collision-free exact, not exact-modulo-hash; the
+    * key here is an actor id, already compact, so the state row
+    * costs the same either way. Two chained stateful operators, both
+    * watermark-evicted: dedup state is one entry per live (key,
+    * window), window state one row per open window. Append mode
+    * emits each window once, finalized.
     *
     * EXACTNESS PRECONDITION (enforced): `watermarkDelay` must be at
     * least `windowDuration`. dropDuplicatesWithinWatermark evicts a
@@ -127,8 +132,11 @@ object StreamingOps {
       s"windowedDistinct: watermarkDelay ($watermarkDelay) must be >= " +
         s"windowDuration ($windowDuration) or late duplicates in the " +
         "eviction gap double-count (see scaladoc)")
-    val withWin = df.withColumn("__w", window(col(tsCol), windowDuration))
-    dedupExactStream(withWin, struct(keyCol, col("__w.start")), tsCol, watermarkDelay)
+    df.withColumn("__w", window(col(tsCol), windowDuration))
+      .withColumn("__dk", keyCol)
+      .withColumn("__ws", col("__w.start"))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__dk", "__ws")
       .groupBy(window(col(tsCol), windowDuration))
       .agg(count(lit(1)).as("distinct_keys"))
       .select(col("window.start").as("window_start"), col("distinct_keys"))
