@@ -20,7 +20,8 @@ object QueriesLlm {
                         llm74, llm75, llm76, llm77, llm78, llm79, llm80, llm81,
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
                         llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
-                        llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114)
+                        llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
+                        llm115)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -5557,4 +5558,100 @@ object QueriesLlm {
          |       CAST(sum(tokens) AS BIGINT) AS shard_tokens
          |FROM u2 GROUP BY 1, 2 ORDER BY split, shard""".stripMargin
     })
+
+  /** llm115's fixture: the unique-text corpus (llm98's ` d<id>`
+    * suffix trick) plus a planted NEAR-DUP twin (+100000, text +
+    * ' qx' — Jaccard ≈ 0.97 at 9-shingles) for every 4th doc, plus an
+    * at-least-once redelivery of every 6th row — written once per sf
+    * dir outside the bench timer. */
+  private val llm115Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llm115In(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    llm115Fixture.computeIfAbsent(dir, _ => {
+      val in = java.nio.file.Files.createTempDirectory("graft-llm115-in").toString
+      val base = llmStreamDocs(s, dir)
+      val corpus = base.unionByName(base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" qx")).as("text"), col("ts")))
+      corpus.write.mode("overwrite").parquet(in)
+      corpus.filter(col("doc_id") % 6 === 0).write.mode("append").parquet(in)
+      in
+    })
+
+  /** STREAMING near-dedup, oracle-checked end-to-end
+    * (StreamingOps.nearDupFlagsStream) — the continuous twin of the
+    * batch MinHash/LSH pipeline (llm05) and the delta-batch llm46,
+    * for the corpus that arrives as a stream: a REAL micro-batch
+    * pipeline runs inside the query — parquet file-source stream over
+    * a redelivery fixture with planted ' qx' near-dup twins, one
+    * native MinhashSigs pass per doc, the 3×4 banded LSH explode, a
+    * per-(band, bucket) flatMapGroupsWithState holding bucket members
+    * (id + 12 signature longs, never text), AvailableNow drain to a
+    * parquet sink — and the FINAL on-disk flag ledger is what the
+    * driver hash-compares. Each (band, pair) whose signatures agree
+    * on ≥ 6 of 12 components emits exactly ONE flag for the larger
+    * id, whichever micro-batch boundary splits the pair — the set is
+    * arrival-order independent, which is what makes it replayable as
+    * the batch band join the oracle runs. Lost state double-emits the
+    * redeliveries' pairs and fails rows_match; a dedup that compares
+    * beyond its bucket flags non-colliding pairs and fails values. */
+  private def llm115 = Q("llm115_neardup_stream",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = llm115In(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-llm115-run")
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      val stream = s.readStream.schema(llmStreamDocs(s, dir).schema).parquet(in)
+      val flags = graft.streaming.StreamingOps.nearDupFlagsStream(
+        stream, col("doc_id"), col("text"), "ts",
+        n = 9, k = 12, rowsPerBand = 4, minMatches = 6, watermarkDelay = "2 hours")
+      // state fan-out sized to the corpus while the stream runs (see llm98)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = flags.toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out).orderBy(col("band"), col("kept_id"), col("flagged_id"))
+    },
+    Some {
+      val hashes = (0 until 12).map(i =>
+        s"${Portable.duckSeededHash("shingle", i)} AS h$i").mkString(",\n            ")
+      val mins = (0 until 12).map(i => s"min(h$i) AS mh$i").mkString(", ")
+      val bandRows = (0 until 3).map { bnd =>
+        val cols = (4 * bnd until 4 * (bnd + 1)).map(i => s"mh$i").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, ${Portable.duckHash64(s"concat_ws('_', $cols)")} AS bucket FROM mh"
+      }.mkString("\n            UNION ALL ")
+      val eqSum = (0 until 12).map(i =>
+        s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, text || ' d' || doc_id AS text FROM documents),
+         |corpus AS (SELECT doc_id, text FROM base
+         |           UNION ALL SELECT doc_id + 100000, text || ' qx'
+         |           FROM base WHERE doc_id % 4 = 0),
+         |sh AS (SELECT DISTINCT doc_id, substr(text, i, 9) AS shingle
+         |       FROM (SELECT doc_id, text,
+         |               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+         |             FROM corpus)),
+         |h AS (SELECT doc_id,
+         |            $hashes
+         |      FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+         |bk AS (
+         |            $bandRows),
+         |p AS (SELECT a.band, a.doc_id AS kept_id, b.doc_id AS flagged_id
+         |      FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |                         AND a.doc_id < b.doc_id),
+         |m AS (SELECT p.band, p.kept_id, p.flagged_id,
+         |        ($eqSum) AS matches
+         |      FROM p JOIN mh x ON x.doc_id = p.kept_id
+         |             JOIN mh y ON y.doc_id = p.flagged_id)
+         |SELECT CAST(band AS INT) AS band, kept_id, flagged_id,
+         |       CAST(matches AS INT) AS matches
+         |FROM m WHERE matches >= 6
+         |ORDER BY band, kept_id, flagged_id""".stripMargin
+    },
+    prepare = Some((s, dir) => { llm115In(s, dir); () }))
 }

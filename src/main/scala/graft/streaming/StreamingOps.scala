@@ -142,6 +142,134 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("distinct_keys"))
   }
 
+  /** One banded-LSH stream row: a document's (band, bucket) cell with
+    * its full MinHash signature and event time. The signature rides to
+    * the state function (k longs — fixed width), the text never does. */
+  final case class NearDupIn(band: Int, bucket: Long, docId: Long,
+                             ts: java.sql.Timestamp, sig: Array[Long])
+  /** One bucket member kept in state: id + event-time ms + signature —
+    * O(k) longs per document per band, never the document itself. */
+  final case class BucketMember(docId: Long, t: Long, sig: Array[Long])
+  final case class BucketState(members: List[BucketMember])
+  /** One near-dup flag: in `band`, `flagged_id` (the larger id)
+    * collided with `kept_id` and their signatures agree on `matches`
+    * of k components (estimated Jaccard = matches/k). */
+  final case class NearDupFlag(band: Int, kept_id: Long, flagged_id: Long,
+                               matches: Int)
+
+  /** STREAMING near-dedup — the continuous twin of the batch
+    * MinHash/LSH pipeline (graft.llm.Dedup.lshBuckets →
+    * candidatePairs, llm05) and of the delta-batch
+    * Dedup.incrementalNearDup (llm46), for the corpus that arrives as
+    * a stream and must flag near-duplicates AGAINST EVERYTHING
+    * ALREADY INGESTED without ever rescanning it: each document's
+    * k-component MinHash signature computes in one native codegen
+    * pass (graft.functions.MinhashSigs — strings never shuffle), the
+    * signature explodes into k/rowsPerBand banded LSH buckets, and a
+    * per-(band, bucket) flatMapGroupsWithState keeps the bucket's
+    * members (id + k signature longs — never text) as state. An
+    * arriving document compares against exactly its bucket's members
+    * — the LSH contract that makes streaming near-dedup
+    * O(bucket occupancy), never O(corpus) — and every pair whose
+    * signatures agree on ≥ `minMatches` of k components emits one
+    * flag for the LARGER id, attributed to the smaller (kept) id.
+    *
+    * The flag SET is arrival-order and micro-batch-boundary
+    * independent: each (band, pair) is evaluated exactly once — by
+    * whichever member arrives second — and the kept/flagged roles
+    * depend only on the ids, so AvailableNow replays and shifted
+    * batch boundaries produce the same rows (emission TIMING varies,
+    * the set does not). At-least-once delivery is absorbed in state:
+    * a redelivered document finds its id already among the bucket's
+    * members and neither re-emits nor re-compares.
+    *
+    * Bounded state: members older than the event-time watermark are
+    * dropped at every invocation and an event-time timeout reaps
+    * buckets idle past the horizon — state is O(documents within the
+    * watermark horizon × bands), the same bounded-dedup trade as
+    * [[dedupExactStream]] (a near-dup of a document older than the
+    * horizon is no longer flagged; the batch pipeline is the
+    * backfill). EXACTNESS PRECONDITION (the cdc37 discipline): with
+    * `watermarkDelay` at least the stream's event-time span, nothing
+    * evicts mid-run and the result equals the batch LSH pair list
+    * with the same banding and threshold, which is what the oracle
+    * replays. One shuffle on (band, bucket); per-pair work is k
+    * integer compares; RocksDB-ready fixed-width state. */
+  def nearDupFlagsStream(df: DataFrame, idCol: Column, textCol: Column,
+                         tsCol: String, n: Int, k: Int, rowsPerBand: Int,
+                         minMatches: Int, watermarkDelay: String): Dataset[NearDupFlag] = {
+    require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
+    require(minMatches >= 1 && minMatches <= k, s"minMatches must be in [1, $k]")
+    val sigs = df
+      .select(idCol.cast("long").as("docId"), col(tsCol).as("ts"), textCol.as("__t"))
+      .where(col("__t").isNotNull) // null text = no shingles (Dedup's drop contract)
+      .select(col("docId"), col("ts"),
+        graft.functions.MinhashSigs(col("__t"), n, k, withSet = false).as("__mh"))
+    // same band/bucket formula as Dedup.lshBuckets so the batch oracle
+    // replays bit-identically (bucket = hash64 of the '_'-joined mins)
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val comps = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("__mh"), i + 1))
+      struct(lit(b).as("band"),
+        graft.functions.Portable.hash64(concat_ws("_", comps: _*)).as("bucket"))
+    }
+    val cells = sigs
+      .select(col("docId"), col("ts"), col("__mh"), explode(array(bands: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("docId"), col("ts"), col("__mh").as("sig"))
+      .withWatermark("ts", watermarkDelay)
+    val horizonMs = {
+      val i = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
+      require(i.months == 0, s"calendar-month horizons are ambiguous here: $watermarkDelay")
+      i.days * 86400000L + i.microseconds / 1000L
+    }
+    cells.as(Encoders.product[NearDupIn])
+      .groupByKey(r => (r.band, r.bucket))(
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        nearDupGroup(horizonMs, minMatches))(
+        Encoders.product[BucketState], Encoders.product[NearDupFlag])
+  }
+
+  private def nearDupGroup(horizonMs: Long, minMatches: Int)(
+      key: (Int, Long), events: Iterator[NearDupIn],
+      state: GroupState[BucketState]): Iterator[NearDupFlag] = {
+    val wm = state.getCurrentWatermarkMs()
+    // horizon eviction: a member whose event time has fallen below the
+    // watermark is outside the dedup window — same bound as
+    // dropDuplicatesWithinWatermark's state
+    var members = state.getOption.fold(List.empty[BucketMember])(
+      _.members.filter(_.t >= wm))
+    val out = Vector.newBuilder[NearDupFlag]
+    // ascending id order makes within-batch pair evaluation identical
+    // to the arrival-split case: each pair is seen once, by its
+    // second-arriving member, whatever the micro-batch boundaries
+    events.toVector.sortBy(_.docId).foreach { e =>
+      if (!members.exists(_.docId == e.docId)) { // at-least-once absorb
+        members.foreach { m =>
+          var eq = 0
+          var i = 0
+          while (i < e.sig.length) { if (m.sig(i) == e.sig(i)) eq += 1; i += 1 }
+          if (eq >= minMatches) {
+            if (m.docId < e.docId) out += NearDupFlag(key._1, m.docId, e.docId, eq)
+            else out += NearDupFlag(key._1, e.docId, m.docId, eq)
+          }
+        }
+        members ::= BucketMember(e.docId, e.ts.getTime, e.sig)
+      }
+    }
+    if (members.isEmpty) state.remove()
+    else {
+      state.update(BucketState(members))
+      // reap the bucket once the watermark passes its newest member +
+      // horizon (timeouts must sit strictly above the watermark)
+      state.setTimeoutTimestamp(
+        math.max(satAdd(members.map(_.t).max, horizonMs), wm + 1))
+    }
+    out.result().iterator
+  }
+
   /** Session-windowed activity per group over a change stream: events
     * closer than `gapDuration` merge into one session; a gap closes
     * it (Spark's native session_window keeps state per OPEN session
