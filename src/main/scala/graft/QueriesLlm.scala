@@ -21,7 +21,7 @@ object QueriesLlm {
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
                         llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
-                        llm115)
+                        llm115, llm116, llm117)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -5654,4 +5654,143 @@ object QueriesLlm {
          |ORDER BY band, kept_id, flagged_id""".stripMargin
     },
     prepare = Some((s, dir) => { llm115In(s, dir); () }))
+
+  /** VIDEO KEYFRAME detection (Multimodal.videoKeyframes) — the
+    * frame-sampling stage multimodal pipelines run before
+    * caption/dedup, extending the image-dHash family (llm69/70) to
+    * the video column: every doc renders a 6-frame video in a REAL
+    * RIFF/AVI container with deterministic scene cuts (at frames
+    * `2 + id % 2` and 4 the gradient base changes; odd frames carry
+    * the llm69 last-columns inversion — a few bits, below threshold),
+    * and the full pipeline runs for real — container walk, per-frame
+    * image decode, dHash, lag-window Hamming, threshold gate. Frames
+    * are PNG inside the AVI so the oracle can replay pixels from the
+    * generation formula (JPEG's DCT is not SQL-replayable; the MJPEG
+    * codec path is pinned in sbt on gradient frames instead). The
+    * keyframe contract: frame 0 always (hamming −1), then every frame
+    * whose dHash moved > 10 bits from its predecessor — exactly the
+    * scene cuts, discovered by the codec, not the formula. */
+  private def llm116 = Q("llm116_video_keyframes",
+    (s, dir) => {
+      val avi = udf((id: Long) => graft.llm.Multimodal.fixtureAviPng(id))
+      val vids = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("media", avi(col("doc_id")))
+      graft.llm.Multimodal.videoKeyframes(vids, col("doc_id"), col("media"),
+          maxFrames = 8, hammingThreshold = 10)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some(
+      """WITH fr AS (
+        |  SELECT doc_id, f,
+        |         (CASE WHEN f >= 2 + doc_id % 2 THEN 1 ELSE 0 END
+        |        + CASE WHEN f >= 4 THEN 1 ELSE 0 END) AS scene
+        |  FROM documents CROSS JOIN generate_series(0, 5) g(f)),
+        |px AS (SELECT gx, least(gx * 24 // 9, 23) AS xpx FROM generate_series(0, 8) g(gx)),
+        |py AS (SELECT gy, least(gy * 16 // 8, 15) AS ypx FROM generate_series(0, 7) g(gy)),
+        |lum AS (
+        |  SELECT fr.doc_id, fr.f, px.gx, py.gy,
+        |    CASE WHEN fr.f % 2 = 1 AND px.xpx >= 20
+        |      THEN 299*(255 - ((fr.doc_id*7 + fr.scene*31 + 5)*31 + px.xpx*7 + py.ypx*13) % 256)
+        |         + 587*(255 - ((fr.doc_id*7 + fr.scene*31 + 5)*17 + px.xpx*11 + py.ypx*3) % 256)
+        |         + 114*(255 - ((fr.doc_id*7 + fr.scene*31 + 5)*23 + px.xpx*5 + py.ypx*19) % 256)
+        |      ELSE 299*(((fr.doc_id*7 + fr.scene*31 + 5)*31 + px.xpx*7 + py.ypx*13) % 256)
+        |         + 587*(((fr.doc_id*7 + fr.scene*31 + 5)*17 + px.xpx*11 + py.ypx*3) % 256)
+        |         + 114*(((fr.doc_id*7 + fr.scene*31 + 5)*23 + px.xpx*5 + py.ypx*19) % 256) END AS l
+        |  FROM fr CROSS JOIN px CROSS JOIN py),
+        |bits AS (
+        |  SELECT a.doc_id, a.f, a.gy * 8 + a.gx AS bit,
+        |         CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS v
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.f = a.f
+        |                       AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |sig AS (SELECT doc_id, f,
+        |          CAST(sum(v * (CASE WHEN bit = 63
+        |                 THEN -9223372036854775807 - 1
+        |                 ELSE CAST(1 AS BIGINT) << bit END)) AS BIGINT) AS dh
+        |        FROM bits GROUP BY doc_id, f),
+        |lagd AS (SELECT doc_id, f, dh,
+        |           lag(dh) OVER (PARTITION BY doc_id ORDER BY f) AS pdh
+        |         FROM sig),
+        |ham AS (SELECT doc_id, f, dh,
+        |          CASE WHEN pdh IS NULL THEN -1
+        |               ELSE bit_count(xor(dh, pdh)) END AS hamming
+        |        FROM lagd)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx, dh AS dhash,
+        |       CAST(hamming AS INT) AS hamming
+        |FROM ham WHERE hamming = -1 OR hamming > 10
+        |ORDER BY doc_id, frame_idx""".stripMargin))
+
+  /** CROSS-SOURCE CONTAMINATION MATRIX (Sketches.kmvContainment) —
+    * llm39's exact containment generalized to the train×eval grid at
+    * CONSTANT state: every training source × every eval benchmark,
+    * the estimated fraction of the benchmark's distinct 9-shingles
+    * present in the source, from k=256 KMV sketches — the monitoring
+    * matrix a pipeline recomputes per corpus snapshot where the
+    * row-grain scrubs (llm16/llm50) are the remediation. Jaccard
+    * (llm47) is the WRONG quantity for this: a fully-memorized
+    * 100-question benchmark inside a billion-doc source has Jaccard
+    * ≈ 0 but containment 1.0. The fixture plants the geometry: three
+    * benchmarks excerpted FROM corpus documents (high containment in
+    * the sources those docs came from) and one held-out synthetic
+    * benchmark (near zero against every source). The oracle replays
+    * the order statistics and the estimator's exact IEEE steps, llm47
+    * style. */
+  private def llm117 = Q("llm117_contamination_matrix",
+    (s, dir) => {
+      def shingle9(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("g"),
+          explode(sequence(lit(1), greatest(length(col("t")) - 8, lit(1)))).as("i"),
+          col("t"))
+        .select(col("g"), col("t").substr(col("i"), lit(9)).as("shingle"))
+      val docs = Tables.documents(s, dir)
+      val trainSh = shingle9(docs.select(col("source").as("g"), col("text").as("t")))
+      val evalItems = docs.filter(col("doc_id") % 10 < 3)
+        .select(concat(lit("bench"), col("doc_id") % 10).as("g"),
+          substring(col("text"), 1, 120).as("t"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 3)
+          .select(lit("bench_clean").as("g"),
+            concat(lit("held out prompt "), col("doc_id"), lit(" zz")).as("t")))
+      graft.llm.Sketches.kmvContainment(
+          trainSh, col("g"), col("shingle"),
+          shingle9(evalItems), col("g"), col("shingle"), k = 256)
+        .orderBy(col("train_source"), col("eval_name"))
+    },
+    Some(s"""WITH evi AS (
+            |  SELECT 'bench' || (doc_id % 10) AS g, substr(text, 1, 120) AS t
+            |  FROM documents WHERE doc_id % 10 < 3
+            |  UNION ALL
+            |  SELECT 'bench_clean', 'held out prompt ' || doc_id || ' zz'
+            |  FROM documents WHERE doc_id % 10 = 3),
+            |shT AS (SELECT DISTINCT source AS g, ${Portable.duckHash64("shingle")} AS h
+            |        FROM (SELECT source, substr(text, i, 9) AS shingle
+            |              FROM (SELECT source, text,
+            |                      unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+            |                    FROM documents))),
+            |shE AS (SELECT DISTINCT g, ${Portable.duckHash64("shingle")} AS h
+            |        FROM (SELECT g, substr(t, i, 9) AS shingle
+            |              FROM (SELECT g, t,
+            |                      unnest(generate_series(1, greatest(length(t) - 8, 1))) AS i
+            |                    FROM evi))),
+            |rT AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM shT),
+            |rE AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM shE),
+            |skT AS (SELECT g AS train_source, list_sort(list(h)) AS ka FROM rT WHERE rn <= 256 GROUP BY g),
+            |skE AS (SELECT g AS eval_name, list_sort(list(h)) AS kb FROM rE WHERE rn <= 256 GROUP BY g),
+            |p AS (SELECT train_source, eval_name, ka, kb,
+            |        list_sort(list_distinct(list_concat(ka, kb)))[1:256] AS u
+            |      FROM skT CROSS JOIN skE),
+            |e AS (SELECT train_source, eval_name,
+            |        CAST(len(u) AS BIGINT) AS k_used,
+            |        CAST(len(list_filter(u, x -> list_contains(ka, x)
+            |                                 AND list_contains(kb, x))) AS DOUBLE)
+            |          / CAST(len(u) AS DOUBLE)
+            |          * (CASE WHEN len(u) < 256 THEN CAST(len(u) AS DOUBLE)
+            |                  ELSE 255.0 * 1152921504606846976.0 / CAST(u[len(u)] AS DOUBLE)
+            |             END) AS intersect_est,
+            |        CASE WHEN len(kb) < 256 THEN CAST(len(kb) AS DOUBLE)
+            |             ELSE 255.0 * 1152921504606846976.0 / CAST(kb[len(kb)] AS DOUBLE)
+            |        END AS d_eval_est
+            |      FROM p)
+            |SELECT train_source, eval_name, k_used, intersect_est, d_eval_est,
+            |       intersect_est / d_eval_est AS containment_est
+            |FROM e ORDER BY train_source, eval_name""".stripMargin))
 }

@@ -179,21 +179,103 @@ object Multimodal {
     * values — the llm69 oracle recomputes the pixels from the formula
     * and replays the full dHash pipeline in SQL, which proves the
     * REAL encode→decode→hash path end-to-end. */
-  private[graft] def fixturePng(id: Long): Array[Byte] = {
+  private[graft] def fixturePng(id: Long): Array[Byte] =
+    encodePng(renderFixtureFrame(id % 100000L, if (id >= 100000L) 20 else 24))
+
+  /** The shared 24×16 fixture-frame renderer: channel values are pure
+    * integer functions of (base, x, y); columns from `invertFromX` get
+    * channel-inverted (24 = never — x < 24 always). */
+  private def renderFixtureFrame(base: Long, invertFromX: Int): java.awt.image.BufferedImage = {
     val (w, h) = (24, 16)
-    val base = id % 100000L
-    val invert = id >= 100000L
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) {
       def ch(a: Long, b: Long, c: Long): Int = ((base * a + x * b + y * c) % 256L).toInt
       var (r, g, b2) = (ch(31, 7, 13), ch(17, 11, 3), ch(23, 5, 19))
-      if (invert && x >= 20) { r = 255 - r; g = 255 - g; b2 = 255 - b2 }
+      if (x >= invertFromX) { r = 255 - r; g = 255 - g; b2 = 255 - b2 }
       img.setRGB(x, y, (r << 16) | (g << 8) | b2)
     }
+    img
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Deterministic synthetic VIDEO — the oracle-replayable fixture for
+    * the keyframe pipeline: a REAL RIFF/AVI container (the same layout
+    * [[parseAviMjpeg]] walks for production MJPEG) whose stream chunks
+    * carry PNG-encoded frames, so the demux, per-frame decode, dHash,
+    * and scene-change math all run for real while the pixel values
+    * stay formula-replayable in SQL (PNG is lossless; JPEG's DCT is
+    * not — the JPEG frame path is pinned in sbt instead,
+    * MultimodalSpec/LlmSpec). Scene cuts at frames `2 + id % 2` and 4
+    * change the gradient base (a large dHash jump); odd frames within
+    * a scene get the llm69 last-columns inversion (a few bits — below
+    * any sane keyframe threshold). */
+  private[graft] def fixtureAviPng(id: Long, nFrames: Int = 6): Array[Byte] = {
+    def le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        le(payload.length) ++ payload ++ pad
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ children)
+    val cut1 = 2 + (id % 2L).toInt
+    val frames = (0 until nFrames).map { f =>
+      val scene = (if (f >= cut1) 1 else 0) + (if (f >= 4) 1 else 0)
+      encodePng(renderFixtureFrame(id * 7L + scene * 31L + 5L,
+        if (f % 2 == 1) 20 else 24))
+    }
+    val avih = chunk("avih",
+      le(40000) ++ le(0) ++ le(0) ++ le(0) ++
+      le(nFrames) ++ le(0) ++ le(1) ++ le(0) ++
+      le(24) ++ le(16) ++ new Array[Byte](16))
+    val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val body = "AVI ".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      list("hdrl", avih) ++ movi
+    "RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ le(body.length) ++ body
+  }
+
+  /** KEYFRAME detection over a video column — the frame-sampling stage
+    * a multimodal training pipeline runs before captioning/dedup (one
+    * representative frame per scene, not one per tick): demux the
+    * container ([[parseAviMjpeg]]'s RIFF walk), sample up to
+    * `maxFrames` frames evenly, dHash each through the real image
+    * codec, and keep the frames whose Hamming distance from the
+    * PREVIOUS sampled frame exceeds `hammingThreshold` (plus the first
+    * frame, hamming = −1 — every video has at least one keyframe).
+    * The UDF sits only at the codec seam and emits (frame_idx, dhash)
+    * pairs — 12 bytes per sampled frame, never pixels; the
+    * scene-change math is Column algebra (lag window per video,
+    * bounded by maxFrames rows, then bit_count). Undecodable frames
+    * drop; non-AVI bytes yield no rows (corrupt blobs never kill the
+    * scan). */
+  def videoKeyframes(df: DataFrame, idCol: Column, bytesCol: Column,
+                     maxFrames: Int, hammingThreshold: Int): DataFrame = {
+    val fh = udf { (bytes: Array[Byte]) =>
+      parseAviMjpeg(bytes).map { case (_, _, _, frames) =>
+        val picks =
+          if (frames.size <= maxFrames) frames.indices
+          else (0 until maxFrames).map(i => i * frames.size / maxFrames)
+        picks.flatMap(i => dhash64(frames(i)).map(dh => (i, dh)))
+      }.getOrElse(Seq.empty[(Int, Long)])
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    df.select(idCol.cast("long").as("doc_id"), fh(bytesCol).as("__fr"))
+      .select(col("doc_id"), explode(col("__fr")).as("f"))
+      .select(col("doc_id"), col("f._1").as("frame_idx"), col("f._2").as("dhash"))
+      .withColumn("__p", lag(col("dhash"), 1).over(w))
+      .withColumn("hamming", when(col("__p").isNull, lit(-1))
+        .otherwise(bit_count(col("dhash").bitwiseXOR(col("__p")))).cast("int"))
+      .filter(col("hamming") === -1 || col("hamming") > hammingThreshold)
+      .select(col("doc_id"), col("frame_idx"), col("dhash"), col("hamming"))
   }
 
   /** The √dim × √dim Rec.601 luminance lattice over decoded pixels,

@@ -443,4 +443,58 @@ object Sketches {
     withEst.select(col("source_a"), col("source_b"), col("k_used"),
       col("d_union_est"), col("jaccard_est"), col("intersect_est"))
   }
+
+  /** DIRECTIONAL KMV containment — the train×eval CONTAMINATION MATRIX
+    * at sketch grain: for every (train group, eval set) pair, the
+    * estimated fraction of the eval set's distinct values present in
+    * the train group (|T ∩ E| / |E| — [[kmvOverlap]]'s symmetric
+    * Jaccard is the wrong quantity here: a 100-question benchmark
+    * fully memorized inside a billion-document source has Jaccard
+    * ≈ 0 but containment 1.0, and containment is what decides whether
+    * an eval number is trustworthy). Same estimator algebra as
+    * [[kmvOverlap]] — union sketch → D_∪ and intersection ρ·D_∪ —
+    * with the denominator taken from the EVAL side's own sketch
+    * (exact |E| when the benchmark is smaller than k, the usual case;
+    * the k-th order statistic otherwise). llm16/llm50 are the
+    * row-grain decontamination scrubs; this is the constant-state
+    * monitoring matrix a pipeline recomputes per snapshot: two scans
+    * (each side reduced to k longs per group by the native
+    * [[graft.functions.KmvValues]] aggregate), then an O(trains ×
+    * evals × k²) combine over a broadcast-sized frame — no corpus
+    * join, no corpus shuffle, at any corpus size. */
+  def kmvContainment(train: DataFrame, trainGroup: Column, trainValue: Column,
+                     eval: DataFrame, evalGroup: Column, evalValue: Column,
+                     k: Int = 256): DataFrame = {
+    require(k >= 2, "kmv needs k >= 2")
+    import org.apache.spark.sql.graft.ColumnBridge
+    def sketch(df: DataFrame, g: Column, v: Column, out: String) =
+      df.select(g.as(out), Portable.hash64(v).as("h"))
+        .groupBy(col(out))
+        .agg(ColumnBridge.column(
+          graft.functions.KmvValues(ColumnBridge.expression(col("h")), k)
+            .toAggregateExpression()).as(s"kmv_$out"))
+    val skT = sketch(train, trainGroup, trainValue, "train_source")
+    val skE = sketch(eval, evalGroup, evalValue, "eval_name")
+    val pairs = skT.crossJoin(broadcast(skE))
+      .select(col("train_source"), col("eval_name"),
+        col("kmv_train_source").as("ka"), col("kmv_eval_name").as("kb"))
+      .withColumn("u", slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+    pairs
+      .withColumn("k_used", size(col("u")).cast("long"))
+      .withColumn("d_union_est",
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(HashSpace) /
+            element_at(col("u"), size(col("u"))).cast("double")))
+      .withColumn("intersect_est",
+        size(filter(col("u"), x =>
+          array_contains(col("ka"), x) && array_contains(col("kb"), x)))
+          .cast("double") / col("k_used").cast("double") * col("d_union_est"))
+      .withColumn("d_eval_est",
+        when(size(col("kb")) < k, size(col("kb")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(HashSpace) /
+            element_at(col("kb"), size(col("kb"))).cast("double")))
+      .withColumn("containment_est", col("intersect_est") / col("d_eval_est"))
+      .select(col("train_source"), col("eval_name"), col("k_used"),
+        col("intersect_est"), col("d_eval_est"), col("containment_est"))
+  }
 }

@@ -692,4 +692,36 @@ class PlanSpec extends SparkSpec {
            !p.toString.contains("BroadcastNestedLoopJoin"),
       s"sample semi-join degenerated to a product:\n$p")
   }
+
+  test("llm116: video keyframes — media bytes die at the codec seam; exchanges carry frame rows") {
+    val df = Queries.byName("llm116_video_keyframes")(spark, sfSmoke)
+    val p = planOf(df)
+    def shuffleInputs(sp: SparkPlan): Seq[String] = sp.collect {
+      case s: ShuffleExchangeExec => s.child.output.map(_.name)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        shuffleInputs(q.plan)
+    }.flatten
+    val ins = shuffleInputs(p)
+    // the only exchange is the per-video lag window: (doc_id,
+    // frame_idx, dhash) — 20 bytes per sampled frame; the demux+dHash
+    // UDF consumed the video bytes map-side
+    assert(ins.nonEmpty, "the keyframe window must partition by video")
+    assert(!ins.exists(n => n == "media" || n == "__fr"),
+      s"video bytes / frame arrays must never cross an exchange: $ins")
+  }
+
+  test("llm117: contamination matrix — corpora reduce to k-long sketches before any join") {
+    val df = Queries.byName("llm117_contamination_matrix")(spark, sfSmoke)
+    val p = planOf(df)
+    val shuffles = shufflePartitionings(p)
+    // both sides aggregate to per-group KMV sketches (map-side partial
+    // TreeSets), so the exchanges are group-keyed; text and shingles
+    // die in the partial aggregate, and the train×eval combine is a
+    // broadcast of the sources×evals sketch frame, never a shuffle of
+    // either corpus
+    assert(!shuffles.exists(s => s.contains("text#") || s.contains("shingle#")),
+      s"corpus strings must never be shuffle keys: $shuffles")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"the sketch combine must broadcast, not product:\n$p")
+  }
 }

@@ -1112,6 +1112,58 @@ class LlmSpec extends SparkSpec {
     assert(byType.toSeq == feats.toSeq)
   }
 
+  test("multimodal: videoKeyframes finds scene cuts through the REAL JPEG codec (MJPEG-AVI)") {
+    // gradient frames survive JPEG quantization ordinally: a smooth
+    // left-right ramp keeps its luminance ordering at the 9×8 lattice
+    // (≈28 units between samples vs ±2 codec error), so the dHash of
+    // a ramp is stable and a reversed ramp flips every gradient bit
+    def jpegRamp(reversed: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32) {
+        val v = if (reversed) 255 - x * 8 else x * 8
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc.getBytes("US-ASCII") ++ le(payload.length) ++ payload ++ pad
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
+    val avih = chunk("avih",
+      le(40000) ++ le(0) ++ le(0) ++ le(0) ++
+      le(4) ++ le(0) ++ le(1) ++ le(0) ++
+      le(32) ++ le(24) ++ new Array[Byte](16))
+    // scene A (2 frames), scene B (2 frames): one cut, at frame 2
+    val frames = Seq(false, false, true, true).map(jpegRamp)
+    val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ list("hdrl", avih) ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le(body.length) ++ body
+
+    val out = Multimodal.videoKeyframes(
+      Seq((7L, avi), (8L, "junk".getBytes("UTF-8"))).toDF("doc_id", "media"),
+      col("doc_id"), col("media"), maxFrames = 8, hammingThreshold = 10)
+      .orderBy("doc_id", "frame_idx").collect()
+    // junk yields no rows; the AVI yields exactly frame 0 (always) and
+    // the scene cut at frame 2 — the intra-scene repeats never flag
+    assert(out.map(_.getLong(0)).forall(_ == 7L))
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 2), out.mkString(", "))
+    assert(out(0).getInt(3) == -1 && out(1).getInt(3) > 10)
+
+    // the oracle fixture dialect (PNG frames in the same RIFF layout)
+    // demuxes through the same walk: 6 frames, 24×16, 240 ms
+    val Some((durMs, w, h, fx)) =
+      Multimodal.parseAviMjpeg(Multimodal.fixtureAviPng(42L))
+    assert(durMs == 240L && w == 24 && h == 16 && fx.size == 6)
+  }
+
   test("multimodal: MJPEG-in-MP4 frames decode via the sample tables (stsd/stsz/stsc/stco demux)") {
     def jpeg(level: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(32, 24,

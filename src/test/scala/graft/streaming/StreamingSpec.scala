@@ -700,4 +700,63 @@ class StreamingSpec extends SparkSpec {
       assert(unseen.isEmpty || unseen.get._2._2 > 0.0) // window may not close; floor if it did
     } finally q.stop()
   }
+
+  test("nearDupFlagsStream: flag set equals the batch band join under any batch split; redeliveries absorb") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "in the morning light across the quiet river meadow"
+    val docs = Seq(
+      (1L, base + " d1"),
+      (2L, base + " d1 qx"), // near-dup of 1 (and of 4)
+      (3L, "completely different content about streaming state machines " +
+        "and watermark eviction semantics in micro batch engines d3"),
+      (4L, base + " d1 qy")) // near-dup of 1 and 2
+    // the expected flag ledger, from the SAME primitives composed the
+    // batch way (signature → 3×4 bands → per-band pairs → component
+    // agreement) — the streaming run must reproduce it exactly
+    val sigs = docs.map { case (id, t) =>
+      id -> graft.functions.MinhashSigs
+        .sigs(org.apache.spark.unsafe.types.UTF8String.fromString(t), 9, 12)
+        .toLongArray()
+    }.toMap
+    val expected = (for {
+      b <- 0 until 3
+      Seq((ia, _), (ib, _)) <- {
+        val byBucket = sigs.toSeq.map { case (id, sg) =>
+          id -> graft.functions.Portable.hash64Jvm(
+            (4 * b until 4 * (b + 1)).map(sg).mkString("_"))
+        }.groupBy(_._2).values
+        byBucket.flatMap(_.sortBy(_._1).combinations(2))
+      }
+      eq = (0 until 12).count(i => sigs(ia)(i) == sigs(ib)(i))
+      if eq >= 6
+    } yield (b, ia, ib, eq)).toSet
+    assert(expected.exists(f => f._2 == 1L && f._3 == 2L), "fixture must plant near-dups")
+    assert(!expected.exists(f => f._2 == 3L || f._3 == 3L), "doc 3 must not collide")
+
+    def run(batches: Seq[Seq[Long]], name: String): Set[(Int, Long, Long, Int)] = {
+      val byId = docs.toMap
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val df = input.toDF().toDF("doc_id", "ts", "text")
+      val flags = StreamingOps.nearDupFlagsStream(df, col("doc_id"), col("text"),
+        "ts", n = 9, k = 12, rowsPerBand = 4, minMatches = 6, watermarkDelay = "1 hour")
+      val q = flags.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { ids =>
+          input.addData(ids.map(id => (id, t0, byId(id))))
+          q.processAllAvailable()
+        }
+        spark.table(name).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      } finally q.stop()
+    }
+    // one batch; split batches arriving out of id order; a replayed doc
+    val oneShot = run(Seq(Seq(1L, 2L, 3L, 4L)), "ndf_one")
+    val split = run(Seq(Seq(4L, 3L), Seq(2L), Seq(1L, 4L)), "ndf_split")
+    assert(oneShot == expected, s"one-batch run diverged: $oneShot vs $expected")
+    assert(split == expected, s"split run (with redelivery) diverged: $split vs $expected")
+  }
 }
