@@ -2852,8 +2852,15 @@ object QueriesLlm {
     val d = Tables.documents(s, dir).select(col("doc_id"))
     val corpus = d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id")))
     val png = udf((id: Long) => graft.llm.Multimodal.fixturePng(id))
+    // repartition the 8-byte id frame BEFORE rendering: the codec pass
+    // fans out to all cores instead of inheriting the scan's one task
+    // (llm116's fix, measured there; bytes never shuffle). Explicit
+    // width — AQE would coalesce the tiny exchange back to one task
     graft.llm.Multimodal.imageDHash(
-      corpus.withColumn("media", png(col("doc_id"))), col("doc_id"), col("media"))
+      corpus.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("doc_id"))
+        .withColumn("media", png(col("doc_id"))),
+      col("doc_id"), col("media"))
   }
 
   /** The llm69/llm70 shared oracle prefix: pixels recomputed from
@@ -5655,6 +5662,23 @@ object QueriesLlm {
     },
     prepare = Some((s, dir) => { llm115In(s, dir); () }))
 
+  /** llm116's fixture: one 6-frame PNG-in-AVI video per doc, written
+    * once per sf dir outside the bench timer. The 8-byte id frame
+    * repartitions at EXPLICIT width before the render UDF (AQE would
+    * coalesce a tiny exchange to one partition and serialize the
+    * encode pass; one row-group at small SF = one task otherwise). */
+  private val llm116Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llm116In(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    llm116Fixture.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-llm116-in").toString
+      val avi = udf((id: Long) => graft.llm.Multimodal.fixtureAviPng(id))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+        .withColumn("media", avi(col("doc_id")))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** VIDEO KEYFRAME detection (Multimodal.videoKeyframes) — the
     * frame-sampling stage multimodal pipelines run before
     * caption/dedup, extending the image-dHash family (llm69/70) to
@@ -5672,9 +5696,11 @@ object QueriesLlm {
     * scene cuts, discovered by the codec, not the formula. */
   private def llm116 = Q("llm116_video_keyframes",
     (s, dir) => {
-      val avi = udf((id: Long) => graft.llm.Multimodal.fixtureAviPng(id))
-      val vids = Tables.documents(s, dir).select(col("doc_id"))
-        .withColumn("media", avi(col("doc_id")))
+      // the video COLUMN comes from storage (prepare writes it once —
+      // the render/encode half is fixture scaffolding, not the
+      // operator); the timed body is the production shape: scan →
+      // demux+decode+dHash at the codec seam → lag window → gate
+      val vids = s.read.parquet(llm116In(s, dir))
       graft.llm.Multimodal.videoKeyframes(vids, col("doc_id"), col("media"),
           maxFrames = 8, hammingThreshold = 10)
         .orderBy(col("doc_id"), col("frame_idx"))
@@ -5718,7 +5744,8 @@ object QueriesLlm {
         |SELECT doc_id, CAST(f AS INT) AS frame_idx, dh AS dhash,
         |       CAST(hamming AS INT) AS hamming
         |FROM ham WHERE hamming = -1 OR hamming > 10
-        |ORDER BY doc_id, frame_idx""".stripMargin))
+        |ORDER BY doc_id, frame_idx""".stripMargin),
+    prepare = Some((s, dir) => { llm116In(s, dir); () }))
 
   /** CROSS-SOURCE CONTAMINATION MATRIX (Sketches.kmvContainment) —
     * llm39's exact containment generalized to the train×eval grid at

@@ -23,6 +23,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every read/write
+  // creates (and deletes) a temp file — at corpus scale that is one
+  // filesystem round-trip per decoded image/frame. All our codec
+  // inputs are in-memory byte arrays; cache in memory instead.
+  // (Measured on llm116: 36k frame decodes at sf0.1, 20.4 s → with
+  // the in-memory cache the codec pass stops being I/O-bound.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** media metadata carried next to the bytes. */
   val metaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
