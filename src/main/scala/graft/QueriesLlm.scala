@@ -21,7 +21,7 @@ object QueriesLlm {
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
                         llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
-                        llm115, llm116, llm117)
+                        llm115, llm116, llm117, llm118)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -5820,4 +5820,101 @@ object QueriesLlm {
             |SELECT train_source, eval_name, k_used, intersect_est, d_eval_est,
             |       intersect_est / d_eval_est AS containment_est
             |FROM e ORDER BY train_source, eval_name""".stripMargin))
+
+  /** llm118's fixture: every doc's 6-frame video plus, for every 3rd
+    * doc, a TRIMMED re-upload (+100000: the same content cut from
+    * frame 1) — written once per sf dir outside the bench timer, the
+    * llm116 explicit-width render fan-out. */
+  private val llm118Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llm118In(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    llm118Fixture.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-llm118-in").toString
+      val avi = udf((cid: Long, f0: Int) =>
+        graft.llm.Multimodal.fixtureAviHashed(cid, nFrames = 6, startFrame = f0))
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      d.select(col("doc_id").as("vid"), col("doc_id").as("cid"), lit(0).as("f0"))
+        .unionByName(d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000L).as("vid"), col("doc_id").as("cid"),
+            lit(1).as("f0")))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vid"))
+        .select(col("vid"), avi(col("cid"), col("f0")).as("media"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** VIDEO NEAR-DEDUP by keyframe fingerprints
+    * (Dedup.fingerprintContainmentPairs over Multimodal.videoKeyframes)
+    * — the sequence-level capstone of the multimodal dedup family
+    * (llm69/70 = single images, llm116 = within-video scenes): every
+    * 3rd video has a planted TRIMMED re-upload (same scenes, first
+    * frame cut — byte hashes scatter, frame-wise compare breaks on
+    * the index shift), and the pipeline discovers the pairs from
+    * content alone: demux → keyframe dHash set per video → candidate
+    * join on EXACT fingerprint equality (content defines the buckets,
+    * never all-pairs) → set-containment ≥ 0.5 verify, where the
+    * min-denominator scores a trim 2/3 while Jaccard would dilute.
+    * The oracle replays frame pixels, the keyframe gate, and the
+    * containment algebra from the generation formula. */
+  private def llm118 = Q("llm118_video_neardup",
+    (s, dir) => {
+      val kf = graft.llm.Multimodal.videoKeyframes(
+        s.read.parquet(llm118In(s, dir)), col("vid"), col("media"),
+        maxFrames = 8, hammingThreshold = 10)
+      Dedup.fingerprintContainmentPairs(kf, col("doc_id"), col("dhash"),
+          minContainment = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val h = Portable.duckHash64("c.cid || ':' || s.scene || ':' || px.xpx || ':' || py.ypx")
+      s"""WITH vids AS (
+        |  SELECT doc_id AS vid, doc_id AS cid, 0 AS f0 FROM documents
+        |  UNION ALL SELECT doc_id + 100000, doc_id, 1 FROM documents WHERE doc_id % 3 = 0),
+        |fr AS (SELECT vid, cid, f,
+        |         (CASE WHEN f >= 2 + cid % 2 THEN 1 ELSE 0 END
+        |        + CASE WHEN f >= 4 THEN 1 ELSE 0 END) AS scene
+        |       FROM vids CROSS JOIN generate_series(0, 5) g(f) WHERE f >= f0),
+        |px AS (SELECT gx, least(gx * 24 // 9, 23) AS xpx FROM generate_series(0, 8) g(gx)),
+        |py AS (SELECT gy, least(gy * 16 // 8, 15) AS ypx FROM generate_series(0, 7) g(gy)),
+        |lat AS (
+        |  SELECT c.cid, s.scene, px.gx, py.gy, px.xpx,
+        |         $h AS hv
+        |  FROM (SELECT DISTINCT cid FROM vids) c
+        |  CROSS JOIN generate_series(0, 2) s(scene)
+        |  CROSS JOIN px CROSS JOIN py),
+        |lum0 AS (SELECT cid, scene, gx, gy, xpx,
+        |           299*(hv % 256) + 587*((hv // 256) % 256)
+        |             + 114*((hv // 65536) % 256) AS l
+        |         FROM lat),
+        |lum AS (
+        |  SELECT fr.vid, fr.f, l.gx, l.gy,
+        |    CASE WHEN fr.f % 2 = 1 AND l.xpx >= 20 THEN 255000 - l.l ELSE l.l END AS l
+        |  FROM fr JOIN lum0 l ON l.cid = fr.cid AND l.scene = fr.scene),
+        |bits AS (
+        |  SELECT a.vid, a.f, a.gy * 8 + a.gx AS bit,
+        |         CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS v
+        |  FROM lum a JOIN lum b ON b.vid = a.vid AND b.f = a.f
+        |                       AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |sig AS (SELECT vid, f,
+        |          CAST(sum(v * (CASE WHEN bit = 63
+        |                 THEN -9223372036854775807 - 1
+        |                 ELSE CAST(1 AS BIGINT) << bit END)) AS BIGINT) AS dh
+        |        FROM bits GROUP BY vid, f),
+        |lagd AS (SELECT vid, f, dh,
+        |           lag(dh) OVER (PARTITION BY vid ORDER BY f) AS pdh
+        |         FROM sig),
+        |kfd AS (SELECT DISTINCT vid, dh FROM lagd
+        |        WHERE pdh IS NULL OR bit_count(xor(dh, pdh)) > 10),
+        |sz AS (SELECT vid, count(*) AS n FROM kfd GROUP BY vid),
+        |p AS (SELECT a.vid AS id_a, b.vid AS id_b, count(*) AS shared
+        |      FROM kfd a JOIN kfd b ON a.dh = b.dh AND a.vid < b.vid
+        |      GROUP BY 1, 2),
+        |e AS (SELECT id_a, id_b, shared, sa.n AS n_a, sb.n AS n_b,
+        |        CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+        |      FROM p JOIN sz sa ON sa.vid = p.id_a JOIN sz sb ON sb.vid = p.id_b)
+        |SELECT id_a, id_b, shared, n_a, n_b, containment FROM e
+        |WHERE containment >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
+    },
+    prepare = Some((s, dir) => { llm118In(s, dir); () }))
 }

@@ -731,6 +731,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup pairs by DISCRETE-FINGERPRINT containment — the
+    * sequence-level dedup shape for items represented as a SET of
+    * exact fingerprints (video keyframe dHashes, audio segment
+    * hashes, chunk content hashes): candidates are items sharing ANY
+    * fingerprint (one equi-join on the fingerprint value — content
+    * itself defines the buckets, never all-pairs), verified by set
+    * containment |A ∩ B| / min(|A|, |B|) ≥ `minContainment` — the
+    * min-denominator makes a TRIM of a longer item score 1.0 where
+    * Jaccard would dilute with the untrimmed remainder. Input is one
+    * row per (item, fingerprint); duplicates collapse first, so work
+    * is O(distinct fingerprints) + the candidate join, whose hot keys
+    * are genuinely-shared content (a fingerprint shared by s items
+    * yields s·(s−1)/2 candidate rows — cap upstream if a corpus has
+    * degenerate universal fingerprints, the candidatePairs
+    * maxBucketSize rationale). Output: (id_a, id_b, shared, n_a,
+    * n_b, containment). */
+  def fingerprintContainmentPairs(df: DataFrame, idCol: Column, fpCol: Column,
+                                  minContainment: Double): DataFrame = {
+    val fps = df.select(idCol.as("doc_id"), fpCol.as("__fp")).distinct()
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = fps.select(col("doc_id").as("id_a"), col("__fp"))
+    val b = fps.select(col("doc_id").as("id_b"), col("__fp"))
+    a.join(b, Seq("__fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"),
+        col("containment"))
+  }
+
   /** SimHash sketch: one bit per position j — the sign of the vote
     * sum over the document's distinct tokens of (bit j of hash(token)
     * ? +1 : -1). Near-identical docs differ in few bits. Computed as

@@ -222,8 +222,59 @@ object Multimodal {
     * MultimodalSpec/LlmSpec). Scene cuts at frames `2 + id % 2` and 4
     * change the gradient base (a large dHash jump); odd frames within
     * a scene get the llm69 last-columns inversion (a few bits — below
-    * any sane keyframe threshold). */
-  private[graft] def fixtureAviPng(id: Long, nFrames: Int = 6): Array[Byte] = {
+    * any sane keyframe threshold). `startFrame` > 0 renders a TRIMMED
+    * cut of the same content (frames startFrame..nFrames−1, scene
+    * schedule unchanged) — the re-upload edit video near-dedup must
+    * survive. */
+  private[graft] def fixtureAviPng(id: Long, nFrames: Int = 6,
+                                   startFrame: Int = 0): Array[Byte] = {
+    val cut1 = 2 + (id % 2L).toInt
+    val frames = (startFrame until nFrames).map { f =>
+      val scene = (if (f >= cut1) 1 else 0) + (if (f >= 4) 1 else 0)
+      encodePng(renderFixtureFrame(id * 7L + scene * 31L + 5L,
+        if (f % 2 == 1) 20 else 24))
+    }
+    aviContainer(frames)
+  }
+
+  /** [[fixtureAviPng]]'s HASH-PIXEL sibling for cross-video fixtures:
+    * the linear lattice repeats every 256 base values (identical
+    * frames across unrelated videos — fine within one video, a
+    * hot-fingerprint degeneracy for a corpus-wide join), so frames
+    * here take every channel from the portable hash of
+    * (content id, scene, x, y) — unique per (cid, scene) at any
+    * corpus size, still replayable in SQL from the same hash. Scene
+    * schedule, odd-frame last-columns inversion, and trim semantics
+    * as [[fixtureAviPng]]. */
+  private[graft] def fixtureAviHashed(id: Long, nFrames: Int = 6,
+                                      startFrame: Int = 0): Array[Byte] = {
+    val cut1 = 2 + (id % 2L).toInt
+    val frames = (startFrame until nFrames).map { f =>
+      val scene = (if (f >= cut1) 1 else 0) + (if (f >= 4) 1 else 0)
+      encodePng(renderHashedFrame(id, scene, invert = f % 2 == 1))
+    }
+    aviContainer(frames)
+  }
+
+  private def renderHashedFrame(cid: Long, scene: Int,
+                                invert: Boolean): java.awt.image.BufferedImage = {
+    val (w, h) = (24, 16)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val hv = graft.functions.Portable.hash64Jvm(s"$cid:$scene:$x:$y")
+      var (r, g, b) = ((hv % 256L).toInt, ((hv >> 8) % 256L).toInt,
+        ((hv >> 16) % 256L).toInt)
+      if (invert && x >= 20) { r = 255 - r; g = 255 - g; b = 255 - b }
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  /** Minimal RIFF/AVI assembly around encoded frames — the layout
+    * [[parseAviMjpeg]] walks (avih main header + movi `00dc` chunks),
+    * 24×16 @ 40 ms/frame. */
+  private def aviContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
     def le(v: Int): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
         ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
@@ -234,15 +285,9 @@ object Multimodal {
     }
     def list(listType: String, children: Array[Byte]): Array[Byte] =
       chunk("LIST", listType.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ children)
-    val cut1 = 2 + (id % 2L).toInt
-    val frames = (0 until nFrames).map { f =>
-      val scene = (if (f >= cut1) 1 else 0) + (if (f >= 4) 1 else 0)
-      encodePng(renderFixtureFrame(id * 7L + scene * 31L + 5L,
-        if (f % 2 == 1) 20 else 24))
-    }
     val avih = chunk("avih",
       le(40000) ++ le(0) ++ le(0) ++ le(0) ++
-      le(nFrames) ++ le(0) ++ le(1) ++ le(0) ++
+      le(frames.size) ++ le(0) ++ le(1) ++ le(0) ++
       le(24) ++ le(16) ++ new Array[Byte](16))
     val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
     val body = "AVI ".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++

@@ -724,4 +724,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.toString.contains("CartesianProduct"),
       s"the sketch combine must broadcast, not product:\n$p")
   }
+
+  test("llm118: video near-dup — candidates come from fingerprint equality, never media bytes or all-pairs") {
+    val df = Queries.byName("llm118_video_neardup")(spark, sfSmoke)
+    val p = planOf(df)
+    def shuffleInputs(sp: SparkPlan): Seq[String] = sp.collect {
+      case s: ShuffleExchangeExec => s.child.output.map(_.name)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        shuffleInputs(q.plan)
+    }.flatten
+    val ins = shuffleInputs(p)
+    assert(!ins.exists(n => n == "media" || n == "__fr"),
+      s"video bytes must die at the codec seam: $ins")
+    // the candidate join is an equi-join on the 8-byte fingerprint —
+    // a product here would be the all-pairs degeneracy the operator
+    // exists to avoid
+    assert(!p.toString.contains("CartesianProduct") &&
+           !p.toString.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint candidate join degenerated to a product:\n$p")
+  }
 }
