@@ -21,7 +21,7 @@ object QueriesLlm {
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
                         llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
-                        llm115, llm116, llm117, llm118)
+                        llm115, llm116, llm117, llm118, llm119)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -5917,4 +5917,67 @@ object QueriesLlm {
         |ORDER BY id_a, id_b""".stripMargin
     },
     prepare = Some((s, dir) => { llm118In(s, dir); () }))
+
+  /** LONGEST-RUN contamination audit (Dedup.longestSharedRun) — the
+    * severity dimension the fraction metrics (llm92, llm31) cannot
+    * see: per generated/eval sample, the longest VERBATIM substring
+    * shared with any training document, as the longest consecutive
+    * run of positional 16-gram matches along one alignment diagonal
+    * (islands trick — one hash join + one rank + one aggregate,
+    * linear in true matches, no pairwise alignment). 16-grams, not
+    * the dedup family's 9: a MEASURED necessity, not taste — the
+    * corpus's average 9-gram document frequency is ~320 (5.4M
+    * positional matches for 100 samples at sf0.1, common phrases,
+    * pure noise for a SPAN metric), vs ~7 at 16 chars (125k matches,
+    * 43× less — and published span audits use even longer grams for
+    * the same reason). The fixture
+    * plants the three severities: verbatim 180-char excerpts (one
+    * long run), the same excerpts with a 3-char edit in the middle
+    * (two half-runs — the edit caps the maximum), and held-out
+    * synthetic samples (no run ≥ 5 — present in the input, absent
+    * from the output, so a false positive fails rows_match). */
+  private def llm119 = Q("llm119_longest_run_audit",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val src = d.filter(col("doc_id") < 100)
+      val samples = src.select((col("doc_id") + 500000L).as("sid"),
+          substring(col("text"), 51, 180).as("stext"))
+        .unionByName(src.select((col("doc_id") + 600000L).as("sid"),
+          concat(substring(col("text"), 51, 90), lit("ZQZ"),
+            substring(col("text"), 144, 87)).as("stext")))
+        .unionByName(src.select((col("doc_id") + 700000L).as("sid"),
+          concat(lit("fresh sample "), col("doc_id"),
+            lit(" with novel held out content zz")).as("stext")))
+      Dedup.longestSharedRun(samples, col("sid"), col("stext"),
+          d, col("doc_id"), col("text"), n = 16, minRun = 5)
+        .orderBy(col("sample_id"))
+    },
+    Some(s"""WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            |samples AS (
+            |  SELECT doc_id + 500000 AS sid, substr(text, 51, 180) AS stext FROM src
+            |  UNION ALL SELECT doc_id + 600000,
+            |    substr(text, 51, 90) || 'ZQZ' || substr(text, 144, 87) FROM src
+            |  UNION ALL SELECT doc_id + 700000,
+            |    'fresh sample ' || doc_id || ' with novel held out content zz' FROM src),
+            |e AS (SELECT sid, i AS pe, ${Portable.duckHash64("substr(stext, i, 16)")} AS h
+            |      FROM (SELECT sid, stext,
+            |              unnest(generate_series(1, greatest(length(stext) - 15, 1))) AS i
+            |            FROM samples)),
+            |t AS (SELECT doc_id AS mid, i AS pt, ${Portable.duckHash64("substr(text, i, 16)")} AS h
+            |      FROM (SELECT doc_id, text,
+            |              unnest(generate_series(1, greatest(length(text) - 15, 1))) AS i
+            |            FROM documents)),
+            |m AS (SELECT e.sid, t.mid, e.pe - t.pt AS diag, e.pe
+            |      FROM e JOIN t ON t.h = e.h),
+            |r AS (SELECT sid, mid, diag, pe,
+            |        row_number() OVER (PARTITION BY sid, mid, diag ORDER BY pe) AS rk
+            |      FROM m),
+            |runs AS (SELECT sid, mid, count(*) AS run
+            |         FROM r GROUP BY sid, mid, diag, pe - rk),
+            |best AS (SELECT sid, mid, run,
+            |           row_number() OVER (PARTITION BY sid ORDER BY run DESC, mid) AS rn
+            |         FROM runs WHERE run >= 5)
+            |SELECT sid AS sample_id, mid AS matched_id, run AS longest_run,
+            |       run + 15 AS longest_chars
+            |FROM best WHERE rn = 1 ORDER BY sample_id""".stripMargin))
 }

@@ -731,6 +731,53 @@ object Dedup {
       .distinct()
   }
 
+  /** LONGEST SHARED RUN — the exact-substring contamination LENGTH
+    * metric: for every (sample, train doc) pair sharing positional
+    * n-gram hashes, the longest run of CONSECUTIVE shared n-grams
+    * along one alignment diagonal — i.e. longest common substring
+    * length − n + 1. Where the memorization fraction (llm92 /
+    * [[spanDupStats]]) says HOW MUCH of a sample is known, the run
+    * length says whether it is one long verbatim quote or scattered
+    * common phrases — the severity split a leak triage needs (Lee et
+    * al. 2022's verbatim-span signal, per candidate pair). Islands
+    * trick: match positions group on (pair, diagonal = pe − pt) and
+    * rank by sample position; pe − rank is constant exactly along a
+    * consecutive run, so one hash aggregate yields every run length.
+    * Work is linear in TRUE positional matches (one hash equi-join
+    * of (id, pos, 8-byte hash) rows — strings never shuffle; no
+    * pairwise alignment, no n² anywhere). Output: each sample's best
+    * match at run ≥ `minRun` (longest run, ties to the smaller train
+    * id): (sample_id, matched_id, longest_run, longest_chars). */
+  def longestSharedRun(samples: DataFrame, sampleId: Column, sampleText: Column,
+                       train: DataFrame, trainId: Column, trainText: Column,
+                       n: Int, minRun: Int): DataFrame = {
+    def posHashes(df: DataFrame, id: Column, text: Column, out: String, pos: String) =
+      df.select(id.as(out), text.as("__t")).where(col("__t").isNotNull)
+        .select(col(out),
+          explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as(pos),
+          col("__t"))
+        .select(col(out), col(pos),
+          Portable.hash64(col("__t").substr(col(pos), lit(n))).as("h"))
+    val e = posHashes(samples, sampleId, sampleText, "sample_id", "pe")
+    val t = posHashes(train, trainId, trainText, "matched_id", "pt")
+    val m = e.join(t, "h")
+      .select(col("sample_id"), col("matched_id"),
+        (col("pe") - col("pt")).as("diag"), col("pe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sample_id"), col("matched_id"), col("diag"))
+      .orderBy(col("pe"))
+    m.withColumn("rk", row_number().over(w))
+      .groupBy(col("sample_id"), col("matched_id"), col("diag"),
+        (col("pe") - col("rk")).as("isl"))
+      .agg(count(lit(1)).as("run"))
+      .filter(col("run") >= minRun)
+      .groupBy(col("sample_id"))
+      .agg(max(struct(col("run").as("r"), (-col("matched_id")).as("nm"))).as("b"))
+      .select(col("sample_id"), (-col("b.nm")).as("matched_id"),
+        col("b.r").as("longest_run"),
+        (col("b.r") + (n - 1)).as("longest_chars"))
+  }
+
   /** Near-dup pairs by DISCRETE-FINGERPRINT containment — the
     * sequence-level dedup shape for items represented as a SET of
     * exact fingerprints (video keyframe dHashes, audio segment

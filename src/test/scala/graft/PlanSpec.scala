@@ -743,4 +743,18 @@ class PlanSpec extends SparkSpec {
            !p.toString.contains("BroadcastNestedLoopJoin"),
       s"fingerprint candidate join degenerated to a product:\n$p")
   }
+
+  test("llm119: longest-run audit — positional matches travel as (id, pos, hash); no product, no text keys") {
+    val df = Queries.byName("llm119_longest_run_audit")(spark, sfSmoke)
+    val p = planOf(df)
+    val shuffles = shufflePartitionings(p)
+    // the match join is keyed on the 16-gram hash and the islands
+    // rank on (sample, match, diag) — strings are never shuffle keys,
+    // and no stage compares texts pairwise
+    assert(!shuffles.exists(s => s.contains("text#") || s.contains("stext#")),
+      s"span audit must move 8-byte positional rows only: $shuffles")
+    assert(!p.toString.contains("CartesianProduct") &&
+           !p.toString.contains("BroadcastNestedLoopJoin"),
+      s"positional match join degenerated to a product:\n$p")
+  }
 }
