@@ -1112,6 +1112,53 @@ class LlmSpec extends SparkSpec {
     assert(byType.toSeq == feats.toSeq)
   }
 
+  test("kmvContainment: a benchmark excerpted from one source reads 1.0 there, ~0 elsewhere; small eval side is exact") {
+    import spark.implicits._
+    // both sides below k=256 → every sketch is the exact set and the
+    // estimator collapses to exact arithmetic (the property worth
+    // pinning; the >k regime is the llm117 oracle's IEEE replay)
+    val train = (1 to 200).flatMap(i => Seq(("srcA", s"tokenA$i"), ("srcB", s"tokenB$i")))
+      .toDF("g", "v")
+    // eval = a 40-value subset of srcA (|E| < k → exact denominator)
+    val eval = ((1 to 40).map(i => ("benchA", s"tokenA$i")) ++
+      (1 to 40).map(i => ("benchZ", s"held$i"))).toDF("g", "v")
+    val out = Sketches.kmvContainment(train, col("g"), col("v"),
+        eval, col("g"), col("v"), k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(4), r.getDouble(5))).toMap
+    // d_eval_est is EXACT (40 < k); containment of the planted subset is exactly 1
+    assert(out(("srcA", "benchA"))._1 == 40.0)
+    assert(out(("srcA", "benchA"))._2 == 1.0)
+    assert(out(("srcB", "benchA"))._2 == 0.0) // disjoint vocabulary
+    assert(out(("srcA", "benchZ"))._2 == 0.0 && out(("srcB", "benchZ"))._2 == 0.0)
+  }
+
+  test("fingerprintContainmentPairs: a trim scores full containment; disjoint items never pair") {
+    import spark.implicits._
+    // item 1 = {a,b,c}, item 2 = trim {b,c}, item 3 = disjoint {x,y}
+    val fps = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "c"), // dup fp collapses
+      (2L, "b"), (2L, "c"), (3L, "x"), (3L, "y")).toDF("id", "fp")
+    val out = Dedup.fingerprintContainmentPairs(fps, col("id"), col("fp"),
+        minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 1.0)), out.mkString(", "))
+  }
+
+  test("longestSharedRun: the islands trick finds the verbatim span; an edit splits the run; min-run gates noise") {
+    import spark.implicits._
+    val train = Seq((10L, "abcdefghijklmnopqrstuvwxyz0123456789")).toDF("id", "t")
+    val samples = Seq(
+      (101L, "cdefghijklmnopq"),          // verbatim 15-char excerpt → 13 3-gram runs
+      (102L, "cdefghiQklmnopq"),          // one edit → runs 5 and 5 (cde..ghi, klm..opq)
+      (103L, "zzqqzzqqzzqq")).toDF("id", "t") // held out → no run ≥ 3
+    val out = Dedup.longestSharedRun(samples, col("id"), col("t"),
+        train, col("id"), col("t"), n = 3, minRun = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((101L, 10L, 13L, 15L), (102L, 10L, 5L, 7L)),
+      out.mkString(", "))
+  }
+
   test("multimodal: videoKeyframes finds scene cuts through the REAL JPEG codec (MJPEG-AVI)") {
     // gradient frames survive JPEG quantization ordinally: a smooth
     // left-right ramp keeps its luminance ordering at the 9×8 lattice
