@@ -17,7 +17,7 @@ object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
                         cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21,
-                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31, cdc32, cdc33, cdc34, cdc35, cdc36, cdc37)
+                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31, cdc32, cdc33, cdc34, cdc35, cdc36, cdc37, cdc38)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -2535,4 +2535,59 @@ object QueriesCdc {
            |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
            |  o_orderpriority AS priority
            |FROM orders WHERE o_orderkey % 3 = 0 ORDER BY order_key""".stripMargin))
+
+  /** Windowed DOMINANT-ACTOR rates via CHAINED AGGREGATIONS, oracle-
+    * checked end-to-end (StreamingOps.windowedTopActor) — the agg→agg
+    * stateful chain (cdc37 proved dedup→agg): a three-micro-batch
+    * file stream drives a per-(hour, user) count whose APPEND output
+    * feeds a second window-grain aggregation (regrouped through
+    * window_time) picking the dominant actor, total volume, and
+    * distinct-actor count per finalized hour. Both operators'
+    * state is watermark-evicted; the sink holds one verdict row per
+    * window the final watermark passed, and the oracle recomputes the
+    * identical argmax (ties to the larger user id) from the raw
+    * events. A chain that loses the second flush drops the trailing
+    * windows; one that double-finalizes duplicates them — either
+    * fails rows_match. */
+  private def cdc38 = Q("cdc38_window_top_actor",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = cdc33In(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-cdc38")
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      val schema = Tables.events(s, dir).select(col("ts"), col("user_id")).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val top = graft.streaming.StreamingOps.windowedTopActor(
+        stream, "ts", "user_id", "1 hour", "30 minutes")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = top.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("top_actor"), col("top_n"), col("total_changes"), col("n_actors"))
+        .orderBy(col("window_start_us"))
+    },
+    Some("""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, user_id FROM events),
+           |m AS (SELECT max(us) - 1800000000 AS wm FROM e),
+           |c AS (SELECT (us // 3600000000) * 3600000000 AS ws, user_id, count(*) AS n
+           |      FROM e GROUP BY 1, 2),
+           |f AS (SELECT ws, user_id, n FROM c CROSS JOIN m
+           |      WHERE ws + 3600000000 <= m.wm),
+           |t AS (SELECT ws, user_id, n,
+           |        row_number() OVER (PARTITION BY ws ORDER BY n DESC, user_id DESC) AS rn,
+           |        sum(n) OVER (PARTITION BY ws) AS total,
+           |        count(*) OVER (PARTITION BY ws) AS n_actors
+           |      FROM f)
+           |SELECT CAST(ws AS BIGINT) AS window_start_us, user_id AS top_actor,
+           |       n AS top_n, CAST(total AS BIGINT) AS total_changes,
+           |       CAST(n_actors AS BIGINT) AS n_actors
+           |FROM t WHERE rn = 1 ORDER BY window_start_us""".stripMargin),
+    prepare = Some((s, dir) => { cdc33In(s, dir); () }))
 }

@@ -189,7 +189,13 @@ object StreamingOps {
     * watermark horizon × bands), the same bounded-dedup trade as
     * [[dedupExactStream]] (a near-dup of a document older than the
     * horizon is no longer flagged; the batch pipeline is the
-    * backfill). EXACTNESS PRECONDITION (the cdc37 discipline): with
+    * backfill). HOT BUCKETS: per-arrival work is O(bucket occupancy)
+    * — a production corpus that hashes boilerplate into mega-buckets
+    * needs the batch pipeline's bucket-size cap
+    * (Dedup.candidatePairs maxBucketSize rationale); a streaming cap
+    * necessarily trades arrival-order independence for the bound
+    * (emitted flags cannot retract), so it is not default-on here.
+    * EXACTNESS PRECONDITION (the cdc37 discipline): with
     * `watermarkDelay` at least the stream's event-time span, nothing
     * evicts mid-run and the result equals the batch LSH pair list
     * with the same banding and threshold, which is what the oracle
@@ -268,6 +274,36 @@ object StreamingOps {
         math.max(satAdd(members.map(_.t).max, horizonMs), wm + 1))
     }
     out.result().iterator
+  }
+
+  /** Windowed DOMINANT ACTOR via CHAINED AGGREGATIONS (agg → agg) —
+    * "who dominated the changes each hour, and what share": a
+    * watermarked per-(window, actor) count feeds a SECOND stateful
+    * aggregation at window grain (regrouped through window_time, the
+    * chained-window-aggregation contract) that takes the max-count
+    * actor (ties to the larger actor id via the struct max — replay
+    * deterministic), the window's total change volume, and its
+    * distinct-actor count. cdc37 proved the dedup→agg chain; this is
+    * the agg→agg shape — the second operator's input is the first's
+    * APPEND output, admitted under the chained-operator late-record
+    * contract (late filtering by the previous watermark, eviction by
+    * the current). State: first agg O(actors × open windows), second
+    * O(open windows), both watermark-evicted. Append mode emits each
+    * window's verdict once, finalized — exactly replayable as the
+    * batch argmax the oracle runs. */
+  def windowedTopActor(df: DataFrame, tsCol: String, actorCol: String,
+                       windowDuration: String, watermarkDelay: String): DataFrame = {
+    val counts = df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(actorCol))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(window(window_time(col("window")), windowDuration))
+      .agg(max(struct(col("n"), col(actorCol).as("a"))).as("top"),
+        sum(col("n")).as("total_changes"),
+        count(lit(1)).as("n_actors"))
+      .select(col("window.start").as("window_start"),
+        col("top.a").as("top_actor"), col("top.n").as("top_n"),
+        col("total_changes"), col("n_actors"))
   }
 
   /** Session-windowed activity per group over a change stream: events
