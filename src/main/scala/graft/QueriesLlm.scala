@@ -21,7 +21,7 @@ object QueriesLlm {
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
                         llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
-                        llm115, llm116, llm117, llm118, llm119)
+                        llm115, llm116, llm117, llm118, llm119, llm120)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -5980,4 +5980,75 @@ object QueriesLlm {
             |SELECT sid AS sample_id, mid AS matched_id, run AS longest_run,
             |       run + 15 AS longest_chars
             |FROM best WHERE rn = 1 ORDER BY sample_id""".stripMargin))
+
+  /** AUDIO NEAR-DEDUP by envelope fingerprints — the audio member of
+    * the multimodal dedup family (images llm69/70, video llm116/118),
+    * through the REAL codec path: every doc renders a PCM16 WAV,
+    * every 3rd doc gets an EDITED take (+100000: last-window sample
+    * magnitudes halved — byte hashes scatter, the other 7 windows are
+    * bit-identical), javax.sound decodes both, and the integer-exact
+    * 8-window envelope (llm71's machinery) becomes the fingerprint
+    * set (window, quantized level) that feeds the SAME
+    * Dedup.fingerprintContainmentPairs as video: candidates from
+    * exact fingerprint equality, verified at containment ≥ 0.75 —
+    * the edited take shares exactly 7 of 8. The oracle recomputes
+    * samples from the generation formula (WAV PCM is lossless) and
+    * replays envelope, fingerprints, and containment in SQL. */
+  private val llm120Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llm120In(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    llm120Fixture.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-llm120-in").toString
+      val wav = udf((cid: Long, pert: Boolean) =>
+        graft.llm.Multimodal.fixtureWav(cid, if (pert) 1750 else 2000))
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      d.select(col("doc_id").as("vid"), col("doc_id").as("cid"), lit(false).as("pert"))
+        .unionByName(d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000L).as("vid"), col("doc_id").as("cid"),
+            lit(true).as("pert")))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vid"))
+        .select(col("vid"), wav(col("cid"), col("pert")).as("media"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  private def llm120 = Q("llm120_audio_neardup",
+    (s, dir) => {
+      // audio comes from storage (prepare writes it once — the render
+      // half is scaffolding); timed body: scan → REAL javax.sound
+      // decode → integer envelope → fingerprint join
+      val probe = udf { (bytes: Array[Byte]) =>
+        graft.llm.Multimodal.audioEnvelopeQ(bytes, 8)
+          .map(_._4).getOrElse(Array.empty[Long])
+      }
+      val env = s.read.parquet(llm120In(s, dir))
+        .select(col("vid"), posexplode(probe(col("media"))))
+        .select(col("vid"),
+          concat_ws(":", col("pos"), col("col")).as("fp"))
+      Dedup.fingerprintContainmentPairs(env, col("vid"), col("fp"),
+          minContainment = 0.75)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH takes AS (
+           |  SELECT doc_id AS vid, doc_id AS cid, 0 AS pert FROM documents
+           |  UNION ALL SELECT doc_id + 100000, doc_id, 1 FROM documents WHERE doc_id % 3 = 0),
+           |s AS (SELECT v.vid, i // 250 AS wi,
+           |        CASE WHEN v.pert = 1 AND i >= 1750
+           |          THEN abs((v.cid * 7919 + i * 104729) % 65536 - 32768) // 2
+           |          ELSE abs((v.cid * 7919 + i * 104729) % 65536 - 32768) END AS a
+           |      FROM takes v CROSS JOIN generate_series(0, 1999) g(i)),
+           |e AS (SELECT vid, wi,
+           |        CAST(sum(a) * 1000000 // (count(*) * 32768) AS BIGINT) AS q
+           |      FROM s GROUP BY 1, 2),
+           |fp AS (SELECT DISTINCT vid, wi || ':' || q AS f FROM e),
+           |sz AS (SELECT vid, count(*) AS n FROM fp GROUP BY vid),
+           |p AS (SELECT a.vid AS id_a, b.vid AS id_b, count(*) AS shared
+           |      FROM fp a JOIN fp b ON a.f = b.f AND a.vid < b.vid
+           |      GROUP BY 1, 2),
+           |e2 AS (SELECT id_a, id_b, shared, sa.n AS n_a, sb.n AS n_b,
+           |         CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+           |       FROM p JOIN sz sa ON sa.vid = p.id_a JOIN sz sb ON sb.vid = p.id_b)
+           |SELECT id_a, id_b, shared, n_a, n_b, containment FROM e2
+           |WHERE containment >= 0.75
+           |ORDER BY id_a, id_b""".stripMargin),
+    prepare = Some((s, dir) => { llm120In(s, dir); () }))
 }

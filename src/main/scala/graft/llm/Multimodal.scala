@@ -476,7 +476,16 @@ object Multimodal {
     * llm71 oracle recomputes them from the formula and replays the
     * integer envelope in SQL, proving the REAL container-parse →
     * PCM-decode → fingerprint path end-to-end. */
-  private[graft] def fixtureWav(id: Long): Array[Byte] = {
+  private[graft] def fixtureWav(id: Long): Array[Byte] = fixtureWav(id, 2000)
+
+  /** `perturbFrom` < n renders an EDITED take of the same recording:
+    * samples from that index have their MAGNITUDE halved (truncating
+    * division on the absolute value, sign preserved — decoded |v|
+    * then equals |v| // 2 exactly, floor = truncation on
+    * non-negatives, so SQL replays it; naive v/2 would diverge from
+    * SQL floor division on negative samples). The localized-edit
+    * audio twin for near-dup fixtures. */
+  private[graft] def fixtureWav(id: Long, perturbFrom: Int): Array[Byte] = {
     val n = 2000
     val base = id
     val dataLen = n * 2
@@ -491,7 +500,10 @@ object Multimodal {
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < n) {
-      out.putShort((((base * 7919L + i * 104729L) % 65536L) - 32768L).toShort)
+      val v = ((base * 7919L + i * 104729L) % 65536L) - 32768L
+      val s = if (i >= perturbFrom) { val m = math.abs(v) / 2; if (v < 0) -m else m }
+              else v
+      out.putShort(s.toShort)
       i += 1
     }
     out.array()

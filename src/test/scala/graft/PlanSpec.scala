@@ -757,4 +757,19 @@ class PlanSpec extends SparkSpec {
            !p.toString.contains("BroadcastNestedLoopJoin"),
       s"positional match join degenerated to a product:\n$p")
   }
+
+  test("llm120: audio near-dup — wav bytes die at the codec seam; candidates via fingerprint equality") {
+    val df = Queries.byName("llm120_audio_neardup")(spark, sfSmoke)
+    val p = planOf(df)
+    def shuffleInputs(sp: SparkPlan): Seq[String] = sp.collect {
+      case s: ShuffleExchangeExec => s.child.output.map(_.name)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        shuffleInputs(q.plan)
+    }.flatten
+    assert(!shuffleInputs(p).contains("media"),
+      "audio bytes must never cross an exchange")
+    assert(!p.toString.contains("CartesianProduct") &&
+           !p.toString.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint candidate join degenerated to a product:\n$p")
+  }
 }
