@@ -150,7 +150,11 @@ object Bench {
     // round-16 verdict #5: the slope subset previously omitted the two
     // costliest families — streaming state machinery and the
     // materialize-and-join calibration slice. Both now measured.
-    "cdc37_windowed_distinct", "llm91_contrastive_pairs")
+    "cdc37_windowed_distinct", "llm91_contrastive_pairs",
+    // round-17: the positional-match span audit is the newest
+    // corpus-pass family (and its join volume is the quantity the
+    // gram-size dial controls — a growth regression shows here first)
+    "llm119_longest_run_audit")
   private def runSlope(javaBin: String, jvmArgs: Seq[String], cp: String,
                        bigSfDir: String, bigTimes: Map[String, Double]): (Seq[(String, Double)], String) = {
     if (sys.env.get("SPARK_GRAFT_BENCH_SLOPE").contains("0")) return (Nil, "")
@@ -318,7 +322,9 @@ object Bench {
     val heavyTagged = Set("llm91_contrastive_pairs", "llm16_decontamination",
       "llm87_lsh_calibration", "llm09_jaccard_verify", "llm108_influence_weights",
       "llm105_neardup_safe_split", "llm94_boilerplate_mining",
-      "cdc30_incremental_agg", "llm106_novelty_decay", "llm66_levenshtein_verify")
+      "cdc30_incremental_agg", "llm106_novelty_decay", "llm66_levenshtein_verify",
+      // round-17 additions at or above the prior set's floor
+      "llm119_longest_run_audit")
     // SPARK_GRAFT_BENCH_ONLY=llm19,llm05 — comma-separated name prefixes
     // for single-query iteration (and the per-block slice when run as
     // a block child); unset = full catalog.
