@@ -221,19 +221,29 @@ object Bench {
         "against graft.Queries.all names, and the block artifact files")
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // user-controlled strings (env-var paths) must not be able to
+    // break the artifact's JSON — a quote or backslash in a dir name
+    // would invalidate the whole line and lose the run (the round-15
+    // parsed:null failure mode)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    } + "\""
     val total = results.map(_._2).sum
     val base1Min = canaries.map(_._2).min
     val basePMin = canariesPar.map(_._2).min
     val slopeJson = if (slope.isEmpty) "" else
       s""""slope_exponent":${jmap(slope.map { case (k, v) => k -> math.rint(v * 1000) / 1000 })},""" +
-        s""""slope_small_sf":"$slopeSmallDir","slope_assumed_ratio":10,"""
+        s""""slope_small_sf":${jstr(slopeSmallDir)},"slope_assumed_ratio":10,"""
     val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
       s""""canary_ms":${jmap(canaries)},"canary_par_ms":${jmap(canariesPar)},""" +
       s""""canary_baseline_ms":$base1Min,""" +
       s""""canary_par_baseline_ms":$basePMin,""" +
       slopeJson +
       s""""canary_threads":$nThreads,"blocks":$blocks,""" +
-      s""""throttled":$throttled,"rerun_initial":${jmap(reruns)},"sf":"$sfDir"}"""
+      s""""throttled":$throttled,"rerun_initial":${jmap(reruns)},"sf":${jstr(sfDir)}}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     try {
@@ -262,8 +272,8 @@ object Bench {
       s""""canary_baseline_ms":${math.rint(base1Min * 10) / 10},""" +
       s""""canary_par_baseline_ms":${math.rint(basePMin * 10) / 10},""" +
       s""""canary_threads":$nThreads,"blocks":$blocks,""" +
-      s""""throttled":$throttled,"sf":"$sfDir",""" +
-      s""""detail":"$outPath"}"""
+      s""""throttled":$throttled,"sf":${jstr(sfDir)},""" +
+      s""""detail":${jstr(outPath.toString)}}"""
     println(compact)
   }
 
@@ -345,7 +355,13 @@ object Bench {
       // BENCH measures query work only
       q.prepare.foreach(p => try p(spark, sfDir)
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name} prepare failed: ${e.getMessage}") })
-      val nRuns = if (heavyTagged(q.name)) runs.max(5) else runs
+      // heavy rows take 5 samples instead of the DEFAULT 3 — an
+      // explicit SPARK_GRAFT_BENCH_RUNS wins (a user iterating with
+      // RUNS=1 must not get quintupled wall-clock, and the slope
+      // child inherits the env too)
+      val nRuns =
+        if (heavyTagged(q.name) && !sys.env.contains("SPARK_GRAFT_BENCH_RUNS")) runs.max(5)
+        else runs
       val samples = (1 to nRuns).map { _ =>
         val c = canaryMs()
         val cp = canaryParMs(nThreads)

@@ -5662,22 +5662,35 @@ object QueriesLlm {
     },
     prepare = Some((s, dir) => { llm115In(s, dir); () }))
 
-  /** llm116's fixture: one 6-frame PNG-in-AVI video per doc, written
-    * once per sf dir outside the bench timer. The 8-byte id frame
-    * repartitions at EXPLICIT width before the render UDF (AQE would
-    * coalesce a tiny exchange to one partition and serialize the
-    * encode pass; one row-group at small SF = one task otherwise). */
-  private val llm116Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def llm116In(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    llm116Fixture.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-llm116-in").toString
-      val avi = udf((id: Long) => graft.llm.Multimodal.fixtureAviPng(id))
-      Tables.documents(s, dir).select(col("doc_id"))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
-        .withColumn("media", avi(col("doc_id")))
+  /** Shared media-fixture writer (llm116/118/120): render the media
+    * column into parquet once per sf dir outside the bench timer —
+    * the timed bodies then read the production shape (media from
+    * storage). The id frame repartitions at EXPLICIT width before the
+    * render UDF (AQE would coalesce a kilobyte exchange to one
+    * partition and serialize the whole encode pass; one row-group at
+    * small SF = one task otherwise — the llm116 lesson). */
+  private def writeMediaFixture(s: org.apache.spark.sql.SparkSession,
+                                cache: java.util.concurrent.ConcurrentHashMap[String, String],
+                                dir: String, tag: String,
+                                idFrame: => org.apache.spark.sql.DataFrame,
+                                keyCol: String,
+                                mediaCol: org.apache.spark.sql.Column): String =
+    cache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory(s"graft-$tag-in").toString
+      idFrame
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col(keyCol))
+        .select(col(keyCol), mediaCol.as("media"))
         .write.mode("overwrite").parquet(out)
       out
     })
+
+  /** llm116's fixture: one 6-frame PNG-in-AVI video per doc. */
+  private val llm116Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llm116In(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val avi = udf((id: Long) => graft.llm.Multimodal.fixtureAviPng(id))
+    writeMediaFixture(s, llm116Fixture, dir, "llm116",
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id", avi(col("doc_id")))
+  }
 
   /** VIDEO KEYFRAME detection (Multimodal.videoKeyframes) — the
     * frame-sampling stage multimodal pipelines run before
@@ -5823,24 +5836,19 @@ object QueriesLlm {
 
   /** llm118's fixture: every doc's 6-frame video plus, for every 3rd
     * doc, a TRIMMED re-upload (+100000: the same content cut from
-    * frame 1) — written once per sf dir outside the bench timer, the
-    * llm116 explicit-width render fan-out. */
+    * frame 1). */
   private val llm118Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def llm118In(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    llm118Fixture.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-llm118-in").toString
-      val avi = udf((cid: Long, f0: Int) =>
-        graft.llm.Multimodal.fixtureAviHashed(cid, nFrames = 6, startFrame = f0))
-      val d = Tables.documents(s, dir).select(col("doc_id"))
+  private def llm118In(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val avi = udf((cid: Long, f0: Int) =>
+      graft.llm.Multimodal.fixtureAviHashed(cid, nFrames = 6, startFrame = f0))
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    writeMediaFixture(s, llm118Fixture, dir, "llm118",
       d.select(col("doc_id").as("vid"), col("doc_id").as("cid"), lit(0).as("f0"))
         .unionByName(d.filter(col("doc_id") % 3 === 0)
           .select((col("doc_id") + 100000L).as("vid"), col("doc_id").as("cid"),
-            lit(1).as("f0")))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vid"))
-        .select(col("vid"), avi(col("cid"), col("f0")).as("media"))
-        .write.mode("overwrite").parquet(out)
-      out
-    })
+            lit(1).as("f0"))),
+      "vid", avi(col("cid"), col("f0")))
+  }
 
   /** VIDEO NEAR-DEDUP by keyframe fingerprints
     * (Dedup.fingerprintContainmentPairs over Multimodal.videoKeyframes)
@@ -5995,21 +6003,17 @@ object QueriesLlm {
     * samples from the generation formula (WAV PCM is lossless) and
     * replays envelope, fingerprints, and containment in SQL. */
   private val llm120Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def llm120In(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    llm120Fixture.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-llm120-in").toString
-      val wav = udf((cid: Long, pert: Boolean) =>
-        graft.llm.Multimodal.fixtureWav(cid, if (pert) 1750 else 2000))
-      val d = Tables.documents(s, dir).select(col("doc_id"))
+  private def llm120In(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val wav = udf((cid: Long, pert: Boolean) =>
+      graft.llm.Multimodal.fixtureWav(cid, if (pert) 1750 else 2000))
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    writeMediaFixture(s, llm120Fixture, dir, "llm120",
       d.select(col("doc_id").as("vid"), col("doc_id").as("cid"), lit(false).as("pert"))
         .unionByName(d.filter(col("doc_id") % 3 === 0)
           .select((col("doc_id") + 100000L).as("vid"), col("doc_id").as("cid"),
-            lit(true).as("pert")))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vid"))
-        .select(col("vid"), wav(col("cid"), col("pert")).as("media"))
-        .write.mode("overwrite").parquet(out)
-      out
-    })
+            lit(true).as("pert"))),
+      "vid", wav(col("cid"), col("pert")))
+  }
 
   private def llm120 = Q("llm120_audio_neardup",
     (s, dir) => {

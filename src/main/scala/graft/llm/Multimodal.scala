@@ -272,9 +272,12 @@ object Multimodal {
   }
 
   /** Minimal RIFF/AVI assembly around encoded frames — the layout
-    * [[parseAviMjpeg]] walks (avih main header + movi `00dc` chunks),
-    * 24×16 @ 40 ms/frame. */
-  private def aviContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
+    * [[parseAviMjpeg]] walks (avih main header + movi `00dc` chunks);
+    * defaults are the fixture geometry (24×16 @ 40 ms/frame).
+    * private[llm] so codec tests feed parseAviMjpeg the exact
+    * production container instead of a parallel copy. */
+  private[llm] def aviContainer(frames: Seq[Array[Byte]], w: Int = 24,
+                                h: Int = 16, usPerFrame: Int = 40000): Array[Byte] = {
     def le(v: Int): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
         ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
@@ -286,9 +289,9 @@ object Multimodal {
     def list(listType: String, children: Array[Byte]): Array[Byte] =
       chunk("LIST", listType.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ children)
     val avih = chunk("avih",
-      le(40000) ++ le(0) ++ le(0) ++ le(0) ++
+      le(usPerFrame) ++ le(0) ++ le(0) ++ le(0) ++
       le(frames.size) ++ le(0) ++ le(1) ++ le(0) ++
-      le(24) ++ le(16) ++ new Array[Byte](16))
+      le(w) ++ le(h) ++ new Array[Byte](16))
     val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
     val body = "AVI ".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
       list("hdrl", avih) ++ movi

@@ -194,6 +194,15 @@ class PlanSpec extends SparkSpec {
         shufflePartitionings(q.plan)
     }.flatten
 
+  /** Column NAMES entering each exchange — the "what crosses the
+    * wire" audit (vs [[shufflePartitionings]]'s "what keys it"). */
+  private def shuffleInputs(p: SparkPlan): Seq[String] =
+    p.collect {
+      case s: ShuffleExchangeExec => s.child.output.map(_.name)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        shuffleInputs(q.plan)
+    }.flatten
+
   test("llm01: exact dedup shuffles on the fixed-width content hash, never the text") {
     val df = Queries.byName("llm01_dedup_exact")(spark, sfSmoke)
     val partitionings = shufflePartitionings(planOf(df))
@@ -696,11 +705,6 @@ class PlanSpec extends SparkSpec {
   test("llm116: video keyframes — media bytes die at the codec seam; exchanges carry frame rows") {
     val df = Queries.byName("llm116_video_keyframes")(spark, sfSmoke)
     val p = planOf(df)
-    def shuffleInputs(sp: SparkPlan): Seq[String] = sp.collect {
-      case s: ShuffleExchangeExec => s.child.output.map(_.name)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        shuffleInputs(q.plan)
-    }.flatten
     val ins = shuffleInputs(p)
     // the only exchange is the per-video lag window: (doc_id,
     // frame_idx, dhash) — 20 bytes per sampled frame; the demux+dHash
@@ -728,11 +732,6 @@ class PlanSpec extends SparkSpec {
   test("llm118: video near-dup — candidates come from fingerprint equality, never media bytes or all-pairs") {
     val df = Queries.byName("llm118_video_neardup")(spark, sfSmoke)
     val p = planOf(df)
-    def shuffleInputs(sp: SparkPlan): Seq[String] = sp.collect {
-      case s: ShuffleExchangeExec => s.child.output.map(_.name)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        shuffleInputs(q.plan)
-    }.flatten
     val ins = shuffleInputs(p)
     assert(!ins.exists(n => n == "media" || n == "__fr"),
       s"video bytes must die at the codec seam: $ins")
@@ -761,11 +760,6 @@ class PlanSpec extends SparkSpec {
   test("llm120: audio near-dup — wav bytes die at the codec seam; candidates via fingerprint equality") {
     val df = Queries.byName("llm120_audio_neardup")(spark, sfSmoke)
     val p = planOf(df)
-    def shuffleInputs(sp: SparkPlan): Seq[String] = sp.collect {
-      case s: ShuffleExchangeExec => s.child.output.map(_.name)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        shuffleInputs(q.plan)
-    }.flatten
     assert(!shuffleInputs(p).contains("media"),
       "audio bytes must never cross an exchange")
     assert(!p.toString.contains("CartesianProduct") &&

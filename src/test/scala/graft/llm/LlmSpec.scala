@@ -1175,24 +1175,10 @@ class LlmSpec extends SparkSpec {
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
     }
-    def le(v: Int): Array[Byte] =
-      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
-      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
-      cc.getBytes("US-ASCII") ++ le(payload.length) ++ payload ++ pad
-    }
-    def list(listType: String, children: Array[Byte]): Array[Byte] =
-      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
-    val avih = chunk("avih",
-      le(40000) ++ le(0) ++ le(0) ++ le(0) ++
-      le(4) ++ le(0) ++ le(1) ++ le(0) ++
-      le(32) ++ le(24) ++ new Array[Byte](16))
-    // scene A (2 frames), scene B (2 frames): one cut, at frame 2
-    val frames = Seq(false, false, true, true).map(jpegRamp)
-    val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
-    val body = "AVI ".getBytes("US-ASCII") ++ list("hdrl", avih) ++ movi
-    val avi = "RIFF".getBytes("US-ASCII") ++ le(body.length) ++ body
+    // scene A (2 frames), scene B (2 frames): one cut, at frame 2 —
+    // through the PRODUCTION container assembly (Multimodal.aviContainer)
+    val avi = Multimodal.aviContainer(
+      Seq(false, false, true, true).map(jpegRamp), w = 32, h = 24)
 
     val out = Multimodal.videoKeyframes(
       Seq((7L, avi), (8L, "junk".getBytes("UTF-8"))).toDF("doc_id", "media"),
