@@ -758,5 +758,22 @@ class StreamingSpec extends SparkSpec {
     val split = run(Seq(Seq(4L, 3L), Seq(2L), Seq(1L, 4L)), "ndf_split")
     assert(oneShot == expected, s"one-batch run diverged: $oneShot vs $expected")
     assert(split == expected, s"split run (with redelivery) diverged: $split vs $expected")
+
+    // PROPERTY leg: the flag set must be invariant under RANDOM batch
+    // splits, arrival orders, and injected redeliveries (seeded RNG —
+    // reproducible; randomness only permutes delivery, never content)
+    val rnd = new scala.util.Random(42)
+    (1 to 4).foreach { case_i =>
+      val order = rnd.shuffle(docs.map(_._1))
+      val cuts = (0 until rnd.nextInt(3)).map(_ => 1 + rnd.nextInt(3)).sorted.distinct
+      val batches0 = (Seq(0) ++ cuts ++ Seq(4)).distinct.sliding(2)
+        .map { case Seq(a, b) => order.slice(a, b) }.filter(_.nonEmpty).toSeq
+      // inject a redelivery of one already-sent doc into the last batch
+      val redo = batches0.head.head
+      val batches = batches0.init :+ (batches0.last :+ redo)
+      val got = run(batches, s"ndf_prop_$case_i")
+      assert(got == expected,
+        s"random split $batches diverged: $got vs $expected")
+    }
   }
 }
