@@ -21,7 +21,7 @@ object QueriesLlm {
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
                         llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
-                        llm115, llm116, llm117, llm118, llm119, llm120)
+                        llm115, llm116, llm117, llm118, llm119, llm120, llm121)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6055,4 +6055,89 @@ object QueriesLlm {
            |WHERE containment >= 0.75
            |ORDER BY id_a, id_b""".stripMargin),
     prepare = Some((s, dir) => { llm120In(s, dir); () }))
+
+  private val llm121Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llm121In(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val png = udf((id: Long) => graft.llm.Multimodal.fixturePngBits(id))
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    writeMediaFixture(s, llm121Fixture, dir, "llm121",
+      d.unionByName(d.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id")))
+        .unionByName(d.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"))),
+      "doc_id", png(col("doc_id")))
+  }
+
+  private val llm121SlotA = new TrackerSlot
+  private val llm121SlotB = new TrackerSlot
+
+  /** IMAGE NEAR-DUP CLUSTERS with TRANSITIVE chains — the cluster-
+    * grain completion of the image dedup family (llm69 detect, llm70
+    * pairs): the fixture plants three-tier edit chains whose dHash
+    * patterns sit 6 Hamming bits apart per step but 12 end-to-end
+    * (Multimodal.fixturePngBits — the planted bits are REALIZED as
+    * per-row luminance walks, so the real PNG→ImageIO→dHash path must
+    * reproduce them exactly), making {base, edit1, edit2} a cluster
+    * that pairwise thresholding alone cannot group: the banded
+    * candidate join SURFACES the base↔edit2 endpoint pair and the
+    * Hamming verify REJECTS it at 12 > 8, and only the connected-
+    * components closure (one integer-pair fixpoint, llm17's
+    * machinery) recovers the chain. Output is the dedup DECISION
+    * table — every image with its cluster representative (min id)
+    * and keep flag, singletons kept — and the oracle replays planted
+    * bits → banding → verify → recursive closure in SQL. */
+  private def llm121 = Q("llm121_image_clusters",
+    (s, dir) => {
+      val hashed = llm121SlotA.fresh().track(
+        graft.operators.Materialize.eagerOrCheckpoint(
+          graft.llm.Multimodal.imageDHash(
+            s.read.parquet(llm121In(s, dir)), col("doc_id"), col("media")),
+          None))
+      val pairs = Dedup.dhashNearDupPairs(hashed, col("dhash"), maxHamming = 8)
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(pairs, tracker = Some(llm121SlotB.fresh()))
+        .withColumnRenamed("doc_id", "__d")
+      hashed.select(col("doc_id"))
+        .join(cc, col("doc_id") === col("__d"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("keep", col("cluster_id") === col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE ids AS (
+            |  SELECT doc_id AS vid, doc_id AS cid, 0 AS tier FROM documents
+            |  UNION ALL SELECT doc_id + 100000, doc_id, 1 FROM documents WHERE doc_id % 2 = 0
+            |  UNION ALL SELECT doc_id + 200000, doc_id, 2 FROM documents WHERE doc_id % 4 = 0),
+            |bits AS (SELECT i.vid, g.b,
+            |    ((${Portable.duckHash64("i.cid || ':' || g.b")} % 2)
+            |     + (CASE WHEN i.tier >= 1 AND g.b < 6 THEN 1 ELSE 0 END)
+            |     + (CASE WHEN i.tier = 2 AND g.b >= 6 AND g.b < 12 THEN 1 ELSE 0 END)) % 2 AS v
+            |  FROM ids i CROSS JOIN generate_series(0, 63) g(b)),
+            |sig AS (SELECT vid,
+            |          CAST(sum(v * (CASE WHEN b = 63
+            |                 THEN -9223372036854775807 - 1
+            |                 ELSE CAST(1 AS BIGINT) << b END)) AS BIGINT) AS dh
+            |        FROM bits GROUP BY vid),
+            |bands AS (SELECT vid, dh, bd, (dh >> (16 * bd)) & 65535 AS bucket
+            |          FROM sig CROSS JOIN generate_series(0, 3) g(bd)),
+            |pairs AS (SELECT DISTINCT a.vid AS id_a, c.vid AS id_b
+            |          FROM bands a JOIN bands c ON a.bd = c.bd AND a.bucket = c.bucket
+            |          WHERE a.vid < c.vid),
+            |ok AS (SELECT p.id_a, p.id_b FROM pairs p
+            |       JOIN sig sa ON sa.vid = p.id_a JOIN sig sc ON sc.vid = p.id_b
+            |       WHERE bit_count(xor(sa.dh, sc.dh)) <= 8),
+            |verts AS (SELECT id_a AS v FROM ok UNION SELECT id_b FROM ok),
+            |edges AS (SELECT id_a AS ea, id_b AS eb FROM ok
+            |          UNION SELECT id_b, id_a FROM ok),
+            |reach(v, r) AS (
+            |  SELECT v, v FROM verts
+            |  UNION
+            |  SELECT e.eb, reach.r FROM edges e JOIN reach ON reach.v = e.ea),
+            |cc AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+            |SELECT i.vid AS doc_id, coalesce(cc.cluster_id, i.vid) AS cluster_id,
+            |       (coalesce(cc.cluster_id, i.vid) = i.vid) AS keep
+            |FROM ids i LEFT JOIN cc ON cc.v = i.vid
+            |ORDER BY doc_id""".stripMargin),
+    prepare = Some((s, dir) => { llm121In(s, dir); () }),
+    cleanup = Some(_ => { llm121SlotA.drain(); llm121SlotB.drain() }))
 }

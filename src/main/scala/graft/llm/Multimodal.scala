@@ -256,6 +256,45 @@ object Multimodal {
     aviContainer(frames)
   }
 
+  /** BIT-PLANTED dHash fixture image — the cluster-chain geometry
+    * generator: the 64 dHash bits of the rendered image equal a
+    * hash-derived pattern XOR a tier mask (tier 1 flips bits 0–5,
+    * tier 2 flips 0–11), realized as per-row luminance walks of ±8
+    * gray levels between lattice columns (strict inequality both
+    * directions, so the REAL PNG→ImageIO→dHash path must reproduce
+    * the planted bits exactly). Tiers step 6 Hamming bits apart with
+    * endpoints 12 apart — a transitive near-dup chain only a closure
+    * can group, while the 4×16-bit banding still surfaces every
+    * adjacent (and the rejected endpoint) candidate. id encodes
+    * (tier = id / 100000, cid = id % 100000). */
+  private[graft] def fixturePngBits(id: Long): Array[Byte] = {
+    val cid = id % 100000L
+    val tier = (id / 100000L).toInt
+    def bit(b: Int): Boolean = {
+      val base = graft.functions.Portable.hash64Jvm(s"$cid:$b") % 2 == 1
+      val m1 = tier >= 1 && b < 6
+      val m2 = tier == 2 && b >= 6 && b < 12
+      base ^ m1 ^ m2
+    }
+    val (w, h) = (24, 16)
+    // lattice columns for w=24: xpx(gx) = min(gx*24/9, 23)
+    val xpx = (0 to 8).map(gx => math.min(gx * w / 9, w - 1))
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (gy <- 0 until 8) {
+      // per-row walk: v(0)=128, ±8 per planted bit — range [64, 192]
+      val v = new Array[Int](9)
+      v(0) = 128
+      for (gx <- 0 until 8) v(gx + 1) = v(gx) + (if (bit(gy * 8 + gx)) 8 else -8)
+      for (y <- gy * 2 until math.min(gy * 2 + 2, h); x <- 0 until w) {
+        // step function: the value of the nearest lattice column at or left
+        val g = v(xpx.lastIndexWhere(_ <= x))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+    }
+    encodePng(img)
+  }
+
   private def renderHashedFrame(cid: Long, scene: Int,
                                 invert: Boolean): java.awt.image.BufferedImage = {
     val (w, h) = (24, 16)

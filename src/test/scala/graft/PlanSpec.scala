@@ -757,6 +757,15 @@ class PlanSpec extends SparkSpec {
       s"positional match join degenerated to a product:\n$p")
   }
 
+  test("llm121: image clusters — png bytes die at the codec seam; band join + CC stay products-free") {
+    val df = Queries.byName("llm121_image_clusters")(spark, sfSmoke)
+    val p = planOf(df)
+    assert(!shuffleInputs(p).contains("media"),
+      "image bytes must never cross an exchange")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"band join or closure degenerated to a product:\n$p")
+  }
+
   test("llm120: audio near-dup — wav bytes die at the codec seam; candidates via fingerprint equality") {
     val df = Queries.byName("llm120_audio_neardup")(spark, sfSmoke)
     val p = planOf(df)
