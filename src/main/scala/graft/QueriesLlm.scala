@@ -21,7 +21,7 @@ object QueriesLlm {
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
                         llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
-                        llm115, llm116, llm117, llm118, llm119, llm120, llm121)
+                        llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6140,4 +6140,45 @@ object QueriesLlm {
             |ORDER BY doc_id""".stripMargin),
     prepare = Some((s, dir) => { llm121In(s, dir); () }),
     cleanup = Some(_ => { llm121SlotA.drain(); llm121SlotB.drain() }))
+
+  /** Unicode SCRIPT PROFILE + HOMOGLYPH gate
+    * (TextAnalysis.scriptProfile) — the poisoning signal the
+    * marker-based langId (llm07/llm113) structurally cannot see: the
+    * fixture plants Cyrillic look-alike sprinkles (a→а, e→е — the
+    * SEO-cloaking/dedup-evasion trick) in every 7th doc and a
+    * genuinely Cyrillic-dominant translation in every 11th; the
+    * profiler must flag the sprinkled docs as homoglyph-suspect while
+    * the actually-Cyrillic docs stay clean (dominance, not presence,
+    * decides). One codegen projection — length differences over
+    * regexp character classes, no per-char explode, no UDF — so the
+    * corpus scan IS the whole cost at any scale, and the oracle
+    * replays the identical integer arithmetic. */
+  private def llm122 = Q("llm122_script_profile",
+    (s, dir) => {
+      import graft.llm.TextAnalysis
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, translate(col("text"), "ae", "ае"))
+          .when(col("doc_id") % 11 === 0, translate(col("text"),
+            "abcdefghijklmnopqrstuvwxyz", "абвгдежзийклмнопрстуфхцчшщ"))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.scriptProfile(d, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN translate(text, 'ae', 'ае')
+           |         WHEN doc_id % 11 = 0 THEN translate(text,
+           |           'abcdefghijklmnopqrstuvwxyz', 'абвгдежзийклмнопрстуфхцчшщ')
+           |         ELSE text END AS text
+           |  FROM documents),
+           |p AS (SELECT doc_id, length(text) AS n_chars,
+           |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+           |    length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS n_cyrillic,
+           |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS n_cjk,
+           |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+           |  FROM d)
+           |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_digit,
+           |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
+           |       WHEN n_cyrillic >= n_cjk THEN 'cyrillic' ELSE 'cjk' END AS dominant,
+           |  (n_latin > n_cyrillic * 4 AND n_cyrillic > 0) AS homoglyph
+           |FROM p ORDER BY doc_id""".stripMargin))
 }

@@ -428,4 +428,35 @@ object TextAnalysis {
         (coalesce(col("w"), lit(0L)) + coalesce(col("__dw"), lit(0L))).as("w"))
       .filter(col("w") =!= 0L)
   }
+
+  /** Unicode SCRIPT PROFILE + homoglyph flag — the spam/poisoning
+    * gate the marker-based [[langId]] structurally cannot see: a doc
+    * whose Latin words carry a few Cyrillic look-alike letters
+    * (а е о с homoglyphs — SEO cloaking, dedup evasion, phishing
+    * corpora) profiles as mixed-script even though every marker word
+    * still matches. Counts per script family come from
+    * length-difference over regexp_replace character classes — ONE
+    * codegen projection, no per-char explode, no UDF; any engine
+    * with the same character classes replays the integers exactly.
+    * `homoglyph` flags Latin-dominant docs carrying a nonzero
+    * Cyrillic minority — the sprinkle signature (an actually-Russian
+    * doc is Cyrillic-DOMINANT and stays clean). */
+  def scriptProfile(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    def strip(cls: String): Column =
+      length(regexp_replace(col("__t"), cls, ""))
+    df.select(idCol.as("doc_id"), textCol.as("__t"))
+      .where(col("__t").isNotNull)
+      .select(col("doc_id"),
+        length(col("__t")).cast("long").as("n_chars"),
+        (length(col("__t")) - strip("[A-Za-z]")).cast("long").as("n_latin"),
+        (length(col("__t")) - strip("[Ѐ-ӿ]")).cast("long").as("n_cyrillic"),
+        (length(col("__t")) - strip("[一-鿿]")).cast("long").as("n_cjk"),
+        (length(col("__t")) - strip("[0-9]")).cast("long").as("n_digit"))
+      .withColumn("dominant",
+        when(col("n_latin") >= col("n_cyrillic") && col("n_latin") >= col("n_cjk"), "latin")
+          .when(col("n_cyrillic") >= col("n_cjk"), "cyrillic")
+          .otherwise("cjk"))
+      .withColumn("homoglyph",
+        col("n_latin") > col("n_cyrillic") * 4 && col("n_cyrillic") > 0)
+  }
 }

@@ -757,6 +757,15 @@ class PlanSpec extends SparkSpec {
       s"positional match join degenerated to a product:\n$p")
   }
 
+  test("llm122: script profile runs at scan speed — zero shuffles before the verify sort") {
+    val df = Queries.byName("llm122_script_profile")(spark, sfSmoke)
+    val shuffles = shufflePartitionings(planOf(df))
+    // one codegen projection per doc; the only allowed exchange is
+    // the final ORDER BY's range partitioning
+    assert(shuffles.forall(_.contains("rangepartitioning")),
+      s"the profiler must not aggregate or join — scan-speed only: $shuffles")
+  }
+
   test("llm121: image clusters — png bytes die at the codec seam; band join + CC stay products-free") {
     val df = Queries.byName("llm121_image_clusters")(spark, sfSmoke)
     val p = planOf(df)
