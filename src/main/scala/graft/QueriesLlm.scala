@@ -5831,7 +5831,7 @@ object QueriesLlm {
             |        END AS d_eval_est
             |      FROM p)
             |SELECT train_source, eval_name, k_used, intersect_est, d_eval_est,
-            |       intersect_est / d_eval_est AS containment_est
+            |       least(1.0, intersect_est / d_eval_est) AS containment_est
             |FROM e ORDER BY train_source, eval_name""".stripMargin))
 
   /** llm118's fixture: every doc's 6-frame video plus, for every 3rd
@@ -6177,7 +6177,8 @@ object QueriesLlm {
            |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
            |  FROM d)
            |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_digit,
-           |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
+           |  CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_cjk = 0 THEN 'other'
+           |       WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
            |       WHEN n_cyrillic >= n_cjk THEN 'cyrillic' ELSE 'cjk' END AS dominant,
            |  (n_latin > n_cyrillic * 4 AND n_cyrillic > 0) AS homoglyph
            |FROM p ORDER BY doc_id""".stripMargin))

@@ -796,7 +796,14 @@ object Dedup {
     * n_b, containment). */
   def fingerprintContainmentPairs(df: DataFrame, idCol: Column, fpCol: Column,
                                   minContainment: Double): DataFrame = {
-    val fps = df.select(idCol.as("doc_id"), fpCol.as("__fp")).distinct()
+    // null fingerprints (undecodable media → the codec stubs emit
+    // null) must not count toward n_a/n_b: distinct would keep one
+    // null row per item but the equi-join never matches nulls, so a
+    // null-carrying item's containment denominator would be inflated
+    // and its score deflated (round-17 advice) — sizes and candidates
+    // must see the same fingerprint set
+    val fps = df.select(idCol.as("doc_id"), fpCol.as("__fp"))
+      .where(col("__fp").isNotNull).distinct()
     val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = fps.select(col("doc_id").as("id_a"), col("__fp"))
     val b = fps.select(col("doc_id").as("id_b"), col("__fp"))

@@ -23,13 +23,31 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  // ImageIO's default stream cache is DISK-backed: every read/write
-  // creates (and deletes) a temp file — at corpus scale that is one
-  // filesystem round-trip per decoded image/frame. All our codec
-  // inputs are in-memory byte arrays; cache in memory instead.
-  // (Measured on llm116: 36k frame decodes at sf0.1, 20.4 s → with
-  // the in-memory cache the codec pass stops being I/O-bound.)
-  javax.imageio.ImageIO.setUseCache(false)
+  /** JVM-GLOBAL codec setting, applied on first codec use (NOT at
+    * object load — round-17 advice: a static-initializer flip silently
+    * reconfigures every ImageIO user in the process the moment any
+    * Multimodal member is touched, codec-related or not).
+    *
+    * ImageIO's default stream cache is DISK-backed: every read/write
+    * creates (and deletes) a temp file — at corpus scale that is one
+    * filesystem round-trip per decoded image/frame. All our codec
+    * inputs are in-memory byte arrays; cache in memory instead.
+    * (Measured on llm116: 36k frame decodes at sf0.1, 20.4 s → with
+    * the in-memory cache the codec pass stops being I/O-bound.)
+    *
+    * The effect is process-wide and intentionally left in place after
+    * the call (save/restore around each decode would race under
+    * Spark's task threads — setUseCache is a static, not per-reader,
+    * switch). A host application that needs the disk cache back can
+    * call `ImageIO.setUseCache(true)` after the codec pass. */
+  def useInMemoryImageIoCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Idempotent first-use hook: every ImageIO call site below
+    * references this val, so the global flip happens exactly when the
+    * first codec call runs — explicit in the scaladoc above, invisible
+    * to non-codec users of this object. */
+  private lazy val codecInit: Unit = useInMemoryImageIoCache()
 
   /** media metadata carried next to the bytes. */
   val metaSchema: StructType = StructType(Seq(
@@ -129,6 +147,7 @@ object Multimodal {
   private[llm] def decodeImage(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] = {
     if (bytes == null) None
     else try {
+      codecInit // JVM-global in-memory stream cache, first codec use
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else Some((img.getWidth, img.getHeight, luminanceLattice(img, dim)))
@@ -148,6 +167,7 @@ object Multimodal {
   private[llm] def dhash64(bytes: Array[Byte]): Option[Long] = {
     if (bytes == null) None
     else try {
+      codecInit // JVM-global in-memory stream cache, first codec use
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
@@ -207,6 +227,7 @@ object Multimodal {
   }
 
   private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    codecInit // JVM-global in-memory stream cache, first codec use
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
@@ -714,6 +735,7 @@ object Multimodal {
       val picks =
         if (frames.size <= maxFrames) frames.indices
         else (0 until maxFrames).map(i => i * frames.size / maxFrames)
+      codecInit // JVM-global in-memory stream cache, first codec use
       val acc = new Array[Double](dim)
       var n = 0
       picks.foreach { i =>
@@ -794,6 +816,7 @@ object Multimodal {
       val picks =
         if (frames.size <= maxFrames) frames.indices
         else (0 until maxFrames).map(i => i * frames.size / maxFrames)
+      codecInit // JVM-global in-memory stream cache, first codec use
       val acc = new Array[Double](dim)
       var n = 0
       picks.foreach { i =>

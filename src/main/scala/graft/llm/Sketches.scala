@@ -493,7 +493,13 @@ object Sketches {
         when(size(col("kb")) < k, size(col("kb")).cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(HashSpace) /
             element_at(col("kb"), size(col("kb"))).cast("double")))
-      .withColumn("containment_est", col("intersect_est") / col("d_eval_est"))
+      // clamp: in the estimated (>k) regime intersect_est can exceed
+      // d_eval_est (independent order-statistic estimates), and a
+      // "fraction" above 1.0 misleads downstream gates — containment
+      // is by definition ≤ 1 (round-17 advice; oracle mirrors the
+      // clamp so the replay stays bit-identical)
+      .withColumn("containment_est",
+        least(lit(1.0), col("intersect_est") / col("d_eval_est")))
       .select(col("train_source"), col("eval_name"), col("k_used"),
         col("intersect_est"), col("d_eval_est"), col("containment_est"))
   }

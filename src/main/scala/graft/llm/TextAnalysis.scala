@@ -453,7 +453,13 @@ object TextAnalysis {
         (length(col("__t")) - strip("[一-鿿]")).cast("long").as("n_cjk"),
         (length(col("__t")) - strip("[0-9]")).cast("long").as("n_digit"))
       .withColumn("dominant",
-        when(col("n_latin") >= col("n_cyrillic") && col("n_latin") >= col("n_cjk"), "latin")
+        // a doc with ZERO chars in all three families (pure digits,
+        // Arabic, Hangul, …) is 'other', not 'latin' — the tri-state
+        // tie-break alone would mislabel it and mislead a downstream
+        // gate keyed on dominant='latin' (round-17 advice)
+        when(col("n_latin") === 0 && col("n_cyrillic") === 0 &&
+             col("n_cjk") === 0, "other")
+          .when(col("n_latin") >= col("n_cyrillic") && col("n_latin") >= col("n_cjk"), "latin")
           .when(col("n_cyrillic") >= col("n_cjk"), "cyrillic")
           .otherwise("cjk"))
       .withColumn("homoglyph",

@@ -190,11 +190,15 @@ object StreamingOps {
     * [[dedupExactStream]] (a near-dup of a document older than the
     * horizon is no longer flagged; the batch pipeline is the
     * backfill). HOT BUCKETS: per-arrival work is O(bucket occupancy)
-    * — a production corpus that hashes boilerplate into mega-buckets
-    * needs the batch pipeline's bucket-size cap
-    * (Dedup.candidatePairs maxBucketSize rationale); a streaming cap
-    * necessarily trades arrival-order independence for the bound
-    * (emitted flags cannot retract), so it is not default-on here.
+    * signature compares (membership probes are O(1) via a per-
+    * invocation id set) — a production corpus that hashes boilerplate
+    * into mega-buckets needs a bucket-size cap, surfaced here as
+    * `maxBucketOccupancy` (Dedup.candidatePairs maxBucketSize is the
+    * batch analog). The cap is NOT default-on: it necessarily trades
+    * arrival-order independence for the bound (emitted flags cannot
+    * retract, and which member is "oldest" depends on delivery
+    * order) — set it for production streams, leave unbounded for the
+    * oracle-replayable configuration.
     * EXACTNESS PRECONDITION (the cdc37 discipline): with
     * `watermarkDelay` at least the stream's event-time span, nothing
     * evicts mid-run and the result equals the batch LSH pair list
@@ -203,9 +207,11 @@ object StreamingOps {
     * integer compares; RocksDB-ready fixed-width state. */
   def nearDupFlagsStream(df: DataFrame, idCol: Column, textCol: Column,
                          tsCol: String, n: Int, k: Int, rowsPerBand: Int,
-                         minMatches: Int, watermarkDelay: String): Dataset[NearDupFlag] = {
+                         minMatches: Int, watermarkDelay: String,
+                         maxBucketOccupancy: Int = Int.MaxValue): Dataset[NearDupFlag] = {
     require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
     require(minMatches >= 1 && minMatches <= k, s"minMatches must be in [1, $k]")
+    require(maxBucketOccupancy >= 1, "maxBucketOccupancy must be >= 1")
     val sigs = df
       .select(idCol.cast("long").as("docId"), col(tsCol).as("ts"), textCol.as("__t"))
       .where(col("__t").isNotNull) // null text = no shingles (Dedup's drop contract)
@@ -234,11 +240,11 @@ object StreamingOps {
       .groupByKey(r => (r.band, r.bucket))(
         Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        nearDupGroup(horizonMs, minMatches))(
+        nearDupGroup(horizonMs, minMatches, maxBucketOccupancy))(
         Encoders.product[BucketState], Encoders.product[NearDupFlag])
   }
 
-  private def nearDupGroup(horizonMs: Long, minMatches: Int)(
+  private def nearDupGroup(horizonMs: Long, minMatches: Int, maxOccupancy: Int)(
       key: (Int, Long), events: Iterator[NearDupIn],
       state: GroupState[BucketState]): Iterator[NearDupFlag] = {
     val wm = state.getCurrentWatermarkMs()
@@ -247,12 +253,18 @@ object StreamingOps {
     // dropDuplicatesWithinWatermark's state
     var members = state.getOption.fold(List.empty[BucketMember])(
       _.members.filter(_.t >= wm))
+    // membership probes are O(1) against this set; the signature
+    // compares below stay O(occupancy × k) — that part IS the LSH
+    // work. Without the set, a hot bucket paid an O(occupancy) id
+    // scan per arrival ON TOP of the compares (round-17 advice).
+    val memberIds = scala.collection.mutable.HashSet.empty[Long]
+    members.foreach(m => memberIds += m.docId)
     val out = Vector.newBuilder[NearDupFlag]
     // ascending id order makes within-batch pair evaluation identical
     // to the arrival-split case: each pair is seen once, by its
     // second-arriving member, whatever the micro-batch boundaries
     events.toVector.sortBy(_.docId).foreach { e =>
-      if (!members.exists(_.docId == e.docId)) { // at-least-once absorb
+      if (!memberIds.contains(e.docId)) { // at-least-once absorb
         members.foreach { m =>
           var eq = 0
           var i = 0
@@ -263,6 +275,18 @@ object StreamingOps {
           }
         }
         members ::= BucketMember(e.docId, e.ts.getTime, e.sig)
+        memberIds += e.docId
+        // optional hot-bucket cap (production dial, NOT default-on:
+        // a cap trades arrival-order independence — an evicted member
+        // can no longer flag a later near-dup, and which member is
+        // oldest depends on delivery order; the batch pipeline's
+        // candidatePairs maxBucketSize is the exact analog). Keeps
+        // the newest maxOccupancy members by (event time, id).
+        if (members.size > maxOccupancy) {
+          val evict = members.minBy(m => (m.t, m.docId))
+          members = members.filterNot(m => m.docId == evict.docId)
+          memberIds -= evict.docId
+        }
       }
     }
     if (members.isEmpty) state.remove()

@@ -1144,6 +1144,51 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 2L, 1.0)), out.mkString(", "))
   }
 
+  test("fingerprintContainmentPairs: null fingerprints count toward neither sizes nor candidates") {
+    import spark.implicits._
+    // item 1 = {a,b} + an undecodable (null) fingerprint; item 2 = {a,b}.
+    // Pre-fix, distinct kept one null row for item 1 → n_a = 3 and the
+    // pair scored 2/min(3,2) with a size the join could never match.
+    val fps = Seq((1L, Some("a")), (1L, Some("b")), (1L, None),
+      (2L, Some("a")), (2L, Some("b"))).toDF("id", "fp")
+    val out = Dedup.fingerprintContainmentPairs(fps, col("id"), col("fp"),
+        minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 2L, 2L, 1.0)), out.mkString(", "))
+  }
+
+  test("kmvContainment: containment_est is clamped to 1.0 in the estimated regime") {
+    import spark.implicits._
+    // both sides see the SAME 5000 distinct values (true containment
+    // 1.0), well past k=256 so both denominators are order-statistic
+    // ESTIMATES — independent errors can push the raw ratio above 1;
+    // the output is a fraction and must never exceed it
+    val vals = (1 to 5000).map(i => s"value_$i")
+    val train = vals.map(("src", _)).toDF("g", "v")
+    val eval = vals.map(("bench", _)).toDF("g", "v")
+    val row = Sketches.kmvContainment(train, col("g"), col("v"),
+        eval, col("g"), col("v"), k = 256).collect().head
+    val c = row.getDouble(5)
+    assert(c <= 1.0, s"containment_est $c exceeds 1.0")
+    assert(c > 0.9, s"containment_est $c far from the true 1.0")
+  }
+
+  test("scriptProfile: docs with zero Latin/Cyrillic/CJK chars are 'other', not 'latin'") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain latin words"),
+      (2L, "1234 5678 90"),     // pure digits/punct
+      (3L, "مرحبا بالعالم"),     // Arabic — none of the three families
+      (4L, "한글 텍스트")        // Hangul — none of the three families
+    ).toDF("id", "t")
+    val out = TextAnalysis.scriptProfile(docs, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(out(1L) == "latin")
+    assert(out(2L) == "other", s"digits-only doc labeled ${out(2L)}")
+    assert(out(3L) == "other" && out(4L) == "other", out.toString)
+  }
+
   test("longestSharedRun: the islands trick finds the verbatim span; an edit splits the run; min-run gates noise") {
     import spark.implicits._
     val train = Seq((10L, "abcdefghijklmnopqrstuvwxyz0123456789")).toDF("id", "t")

@@ -776,4 +776,37 @@ class StreamingSpec extends SparkSpec {
         s"random split $batches diverged: $got vs $expected")
     }
   }
+
+  test("nearDupFlagsStream maxBucketOccupancy: caps per-bucket state, evicting the oldest member") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "in the morning light across the quiet river meadow"
+    // IDENTICAL text under distinct ids: the signatures agree in every
+    // component, so all three docs share every band bucket and any
+    // uncapped run would emit all three pairs per band — the sharpest
+    // lens on what the cap drops
+    val docs = Map(1L -> (base + " d1"), 2L -> (base + " d1"), 4L -> (base + " d1"))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    // cap = 1: each bucket holds ONE member — doc 2 pairs with 1 then
+    // replaces it (same ts, id tie-break evicts the smaller), doc 4
+    // pairs with 2 only; the (1,4) flag is the arrival-order
+    // independence the cap documentedly trades for bounded state
+    val flags = StreamingOps.nearDupFlagsStream(df, col("doc_id"), col("text"),
+      "ts", n = 9, k = 12, rowsPerBand = 4, minMatches = 6,
+      watermarkDelay = "1 hour", maxBucketOccupancy = 1)
+    val q = flags.toDF().writeStream.format("memory").queryName("ndf_cap")
+      .outputMode("append").start()
+    try {
+      Seq(1L, 2L, 4L).foreach { id =>
+        input.addData((id, t0, docs(id))); q.processAllAvailable()
+      }
+      val got = spark.table("ndf_cap").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (0 until 3).flatMap(b => Seq((b, 1L, 2L), (b, 2L, 4L))).toSet
+      assert(got == want, s"capped run emitted $got, expected $want")
+    } finally q.stop()
+  }
 }
