@@ -154,7 +154,15 @@ object Bench {
     // round-17: the positional-match span audit is the newest
     // corpus-pass family (and its join volume is the quantity the
     // gram-size dial controls — a growth regression shows here first)
-    "llm119_longest_run_audit")
+    "llm119_longest_run_audit",
+    // round-18 (verdict #3): one codec-family row — the three big
+    // codec-seam failure modes (disk-backed ImageIO cache, AQE
+    // single-partition collapse, fixture render inside the timed
+    // body) are exactly what a slope exponent catches automatically,
+    // and none of the multimodal rows was slope-measured. llm121
+    // exercises the full path: prepare-written PNG fixture → ImageIO
+    // decode → dHash → banded candidate join → CC closure.
+    "llm121_image_clusters")
   private def runSlope(javaBin: String, jvmArgs: Seq[String], cp: String,
                        bigSfDir: String, bigTimes: Map[String, Double]): (Seq[(String, Double)], String) = {
     if (sys.env.get("SPARK_GRAFT_BENCH_SLOPE").contains("0")) return (Nil, "")

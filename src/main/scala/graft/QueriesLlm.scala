@@ -21,7 +21,8 @@ object QueriesLlm {
                         llm82, llm83, llm84, llm85, llm86, llm87, llm88, llm89, llm90, llm91, llm92, llm93, llm94, llm95, llm96, llm97,
                         llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
-                        llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122)
+                        llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
+                        llm123, llm124, llm125, llm126)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6182,4 +6183,342 @@ object QueriesLlm {
            |       WHEN n_cyrillic >= n_cjk THEN 'cyrillic' ELSE 'cjk' END AS dominant,
            |  (n_latin > n_cyrillic * 4 AND n_cyrillic > 0) AS homoglyph
            |FROM p ORDER BY doc_id""".stripMargin))
+
+  /** CORPUS-WIDE EXACT-SUBSTRING SPAN REMOVAL
+    * (Dedup.duplicateSpanScrub) — the production counterpart of
+    * llm119's longest-run AUDIT (Lee et al. 2022's ExactSubstr
+    * treatment: remove every duplicated span over the threshold
+    * corpus-wide, not just measure it): every 7th doc carries a
+    * planted legal-boilerplate PREFIX and every doc ≡3 (mod 7) a
+    * planted newsletter SUFFIX — plus whatever verbatim duplication
+    * the corpus has naturally (the generator's exact-dup twins lose
+    * their whole shared body from both copies, the documented
+    * remove-every-occurrence semantics — exact dedup runs first in a
+    * real pipeline). The operator finds maximal shared 16-gram runs,
+    * merges overlapping spans, cuts spans ≥ 40 chars, and emits per
+    * doc the cut ranges and the scrubbed text; the oracle replays
+    * grams, islands, interval merge, and the string surgery itself.
+    * Positions + 8-byte hashes are all that shuffles — the text is
+    * read (and cut) where it sits, and the merged range frame
+    * broadcasts back against the scan. */
+  private val llm124Slot = new TrackerSlot
+  private def llm124 = Q("llm124_exact_substring_scrub",
+    (s, dir) => {
+      val prefix = "all rights reserved reproduction without permission is strictly prohibited by law "
+      val suffix = " subscribe to our newsletter for updates terms of service and privacy policy apply"
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit(prefix), col("text")))
+          .when(col("doc_id") % 7 === 3, concat(col("text"), lit(suffix)))
+          .otherwise(col("text")).as("text"))
+      Dedup.duplicateSpanScrub(d, col("doc_id"), col("text"),
+          n = 16, minSpan = 40, tracker = Some(llm124Slot.fresh()))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id,
+            |    CASE WHEN doc_id % 7 = 0 THEN 'all rights reserved reproduction without permission is strictly prohibited by law ' || text
+            |         WHEN doc_id % 7 = 3 THEN text || ' subscribe to our newsletter for updates terms of service and privacy policy apply'
+            |         ELSE text END AS text
+            |  FROM documents),
+            |ph AS (
+            |  SELECT doc_id, i AS p, ${Portable.duckHash64("substr(text, i, 16)")} AS h
+            |  FROM (SELECT doc_id, text,
+            |          unnest(generate_series(1, greatest(length(text) - 15, 1))) AS i
+            |        FROM d)),
+            |shared AS (
+            |  SELECT h FROM ph GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+            |sp AS (
+            |  SELECT doc_id, p,
+            |    row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+            |  FROM ph JOIN shared USING (h)),
+            |runs AS (
+            |  SELECT doc_id, min(p) AS s, count(*) + 15 AS span_chars
+            |  FROM sp GROUP BY doc_id, p - rn
+            |  HAVING count(*) + 15 >= 40),
+            |rr AS (
+            |  SELECT doc_id, s, s + span_chars - 1 AS e,
+            |    max(s + span_chars - 1) OVER (PARTITION BY doc_id ORDER BY s
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+            |  FROM runs),
+            |grp AS (
+            |  SELECT doc_id, s, e,
+            |    sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END)
+            |      OVER (PARTITION BY doc_id ORDER BY s) AS gid
+            |  FROM rr),
+            |merged AS (
+            |  SELECT doc_id, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, gid),
+            |segs AS (
+            |  SELECT doc_id,
+            |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+            |    s - 1 AS ge
+            |  FROM merged
+            |  UNION ALL
+            |  SELECT m.doc_id, max(m.e) + 1 AS gs, max(length(d.text)) AS ge
+            |  FROM merged m JOIN d USING (doc_id) GROUP BY m.doc_id),
+            |scrub AS (
+            |  SELECT segs.doc_id,
+            |    string_agg(CASE WHEN ge >= gs THEN substr(d.text, CAST(gs AS BIGINT), CAST(ge - gs + 1 AS BIGINT)) ELSE '' END,
+            |               '' ORDER BY gs) AS scrubbed_text
+            |  FROM segs JOIN d USING (doc_id) GROUP BY segs.doc_id),
+            |cuts AS (
+            |  SELECT doc_id, count(*) AS n_cuts, sum(e - s + 1) AS cut_chars,
+            |    string_agg(s || ':' || (e - s + 1), ',' ORDER BY s) AS cut_ranges
+            |  FROM merged GROUP BY doc_id)
+            |SELECT d.doc_id,
+            |  coalesce(c.n_cuts, 0) AS n_cuts,
+            |  CAST(coalesce(c.cut_chars, 0) AS BIGINT) AS cut_chars,
+            |  coalesce(c.cut_ranges, '') AS cut_ranges,
+            |  coalesce(s.scrubbed_text, d.text) AS scrubbed_text
+            |FROM d LEFT JOIN cuts c USING (doc_id) LEFT JOIN scrub s USING (doc_id)
+            |ORDER BY d.doc_id""".stripMargin),
+    cleanup = Some(_ => llm124Slot.drain()))
+
+  /** llm123's fixture: the documents as a multi-file stream (3
+    * repartitioned files + an at-least-once redelivery file of every
+    * 5th doc — the sketch must absorb the duplicates without moving),
+    * written once per sf dir outside the bench timer. */
+  private val llm123Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llm123In(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    llm123Fixture.computeIfAbsent(dir, _ => {
+      val in = java.nio.file.Files.createTempDirectory("graft-llm123-in").toString
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source").as("g"), col("text"))
+      docs.repartition(3).write.mode("overwrite").parquet(in)
+      docs.filter(col("doc_id") % 5 === 0).write.mode("append").parquet(in)
+      in
+    })
+
+  /** STREAMING CONTAMINATION MONITOR, oracle-checked end-to-end
+    * (StreamingOps.kmvContainmentStream) — the continuous twin of the
+    * llm117 batch matrix: a REAL micro-batch pipeline runs inside the
+    * query — parquet file-source stream over the multi-file
+    * redelivery fixture (maxFilesPerTrigger=1 forces one micro-batch
+    * per file), the 9-shingle explode and portable hash scan-side,
+    * per-source KMV sketches accumulating in flatMapGroupsWithState
+    * (order-statistics union — constant ≤k-long state per source, no
+    * watermark, no eviction), the eval benchmarks' sketches riding
+    * the closure as a kilobyte broadcast, one refreshed containment
+    * row per (changed source × benchmark) per trigger, AvailableNow
+    * drain to parquet. The FINAL (max-n_seen) row per pair is what
+    * the driver hash-compares — by the KMV set property it equals the
+    * batch kmvContainment at full history whatever the batch
+    * boundaries, which is why the llm117-shaped oracle replays it.
+    * Redelivered docs change nothing (duplicates collapse in the
+    * sketch) — lost state would misestimate containment and fail
+    * values; a monitor that re-emitted unchanged sketches would still
+    * pass (the final row is version-ranked), which is exactly the
+    * freedom a live feed needs. */
+  private def llm123 = Q("llm123_contamination_stream",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      def shingle9(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("g"),
+          explode(sequence(lit(1), greatest(length(col("t")) - 8, lit(1)))).as("i"),
+          col("t"))
+        .select(col("g"), col("t").substr(col("i"), lit(9)).as("shingle"))
+      val in = llm123In(s, dir)
+      val docs = Tables.documents(s, dir)
+      // eval side: the llm117 benchmark groups, sketched batch-side
+      val evalItems = docs.filter(col("doc_id") % 10 < 3)
+        .select(concat(lit("bench"), col("doc_id") % 10).as("g"),
+          substring(col("text"), 1, 120).as("t"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 3)
+          .select(lit("bench_clean").as("g"),
+            concat(lit("held out prompt "), col("doc_id"), lit(" zz")).as("t")))
+      val evalSk = Sketches.kmvSketches(
+        shingle9(evalItems), col("g"), col("shingle"), k = 256)
+      val root = java.nio.file.Files.createTempDirectory("graft-llm123-run")
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val trainSh = shingle9(stream.select(col("g"), col("text").as("t")))
+      val updates = graft.streaming.StreamingOps.kmvContainmentStream(
+        trainSh, col("g"), col("shingle"), evalSk, k = 256)
+      // state fan-out sized to the corpus while the stream runs (llm98)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = updates.toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("train_source"), col("eval_name"))
+        .orderBy(col("n_seen").desc)
+      s.read.parquet(out)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("train_source"), col("eval_name"), col("k_used"),
+          col("intersect_est"), col("d_eval_est"), col("containment_est"))
+        .orderBy(col("train_source"), col("eval_name"))
+    },
+    Some(s"""WITH evi AS (
+            |  SELECT 'bench' || (doc_id % 10) AS g, substr(text, 1, 120) AS t
+            |  FROM documents WHERE doc_id % 10 < 3
+            |  UNION ALL
+            |  SELECT 'bench_clean', 'held out prompt ' || doc_id || ' zz'
+            |  FROM documents WHERE doc_id % 10 = 3),
+            |shT AS (SELECT DISTINCT source AS g, ${Portable.duckHash64("shingle")} AS h
+            |        FROM (SELECT source, substr(text, i, 9) AS shingle
+            |              FROM (SELECT source, text,
+            |                      unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+            |                    FROM documents))),
+            |shE AS (SELECT DISTINCT g, ${Portable.duckHash64("shingle")} AS h
+            |        FROM (SELECT g, substr(t, i, 9) AS shingle
+            |              FROM (SELECT g, t,
+            |                      unnest(generate_series(1, greatest(length(t) - 8, 1))) AS i
+            |                    FROM evi))),
+            |rT AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM shT),
+            |rE AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM shE),
+            |skT AS (SELECT g AS train_source, list_sort(list(h)) AS ka FROM rT WHERE rn <= 256 GROUP BY g),
+            |skE AS (SELECT g AS eval_name, list_sort(list(h)) AS kb FROM rE WHERE rn <= 256 GROUP BY g),
+            |p AS (SELECT train_source, eval_name, ka, kb,
+            |        list_sort(list_distinct(list_concat(ka, kb)))[1:256] AS u
+            |      FROM skT CROSS JOIN skE),
+            |e AS (SELECT train_source, eval_name,
+            |        CAST(len(u) AS BIGINT) AS k_used,
+            |        CAST(len(list_filter(u, x -> list_contains(ka, x)
+            |                                 AND list_contains(kb, x))) AS DOUBLE)
+            |          / CAST(len(u) AS DOUBLE)
+            |          * (CASE WHEN len(u) < 256 THEN CAST(len(u) AS DOUBLE)
+            |                  ELSE 255.0 * 1152921504606846976.0 / CAST(u[len(u)] AS DOUBLE)
+            |             END) AS intersect_est,
+            |        CASE WHEN len(kb) < 256 THEN CAST(len(kb) AS DOUBLE)
+            |             ELSE 255.0 * 1152921504606846976.0 / CAST(kb[len(kb)] AS DOUBLE)
+            |        END AS d_eval_est
+            |      FROM p)
+            |SELECT train_source, eval_name, k_used, intersect_est, d_eval_est,
+            |       least(1.0, intersect_est / d_eval_est) AS containment_est
+            |FROM e ORDER BY train_source, eval_name""".stripMargin),
+    prepare = Some((s, dir) => { llm123In(s, dir); () }))
+
+  /** llm125's fixture: one real ImageIO JPEG per doc with a
+    * handcrafted Exif APP1 spliced after SOI (byte order alternates
+    * II/MM by id) — written once per sf dir outside the bench timer. */
+  private val llm125Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llm125In(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val jpg = udf((id: Long) => graft.llm.Multimodal.fixtureJpegExif(id))
+    writeMediaFixture(s, llm125Fixture, dir, "llm125",
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id", jpg(col("doc_id")))
+  }
+
+  /** EXIF/TIFF IMAGE METADATA extraction (Multimodal.parseExif) — the
+    * metadata half of the media columns the reference carries as
+    * typed structs next to opaque payloads (SURVEY §1.3): a pure-JVM
+    * bounds-checked walk of the JPEG marker stream → APP1 `Exif\0\0`
+    * → TIFF IFD0, reading the capture staples dedup/curation key on
+    * (Make, Model, Orientation, DateTime) in BOTH byte orders. The
+    * fixture JPEGs are real (ImageIO-encoded, still decodable) with a
+    * handcrafted APP1 spliced in, every field a pure function of the
+    * id — so the oracle replays each parsed value from the generation
+    * formula while the bytes walk the real marker/IFD path, proving
+    * the round-trip. UDF only at the codec seam; what leaves the scan
+    * is a handful of short strings + two ints per image. */
+  private def llm125 = Q("llm125_exif_metadata",
+    (s, dir) => {
+      val parse = udf((bytes: Array[Byte]) => graft.llm.Multimodal.parseExif(bytes))
+      s.read.parquet(llm125In(s, dir))
+        .select(col("doc_id"), parse(col("media")).as("__m"))
+        .select(col("doc_id"),
+          col("__m._1").as("endian"),
+          col("__m._2").as("make"),
+          col("__m._3").as("model"),
+          col("__m._4").cast("long").as("orientation"),
+          col("__m._5").as("taken_at"),
+          col("__m._6").cast("long").as("n_ifd_entries"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+           |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+           |  'Cam' || (doc_id % 5) AS make,
+           |  'M-' || (doc_id % 3) AS model,
+           |  1 + doc_id % 8 AS orientation,
+           |  '2024:' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || ':' ||
+           |  lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' 10:00:00' AS taken_at,
+           |  CAST(4 AS BIGINT) AS n_ifd_entries
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    prepare = Some((s, dir) => { llm125In(s, dir); () }))
+
+  /** llm126's fixture: one PNG per doc with planted dHash bits AND an
+    * eXIf chunk (burst device + capture second) — bursts of 4 shots,
+    * every 3rd burst carrying a same-device same-window STRANGER. */
+  private val llm126Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llm126In(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val png = udf((id: Long) => graft.llm.Multimodal.fixturePngBurst(id))
+    writeMediaFixture(s, llm126Fixture, dir, "llm126",
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id", png(col("doc_id")))
+  }
+
+  /** BURST-SHOT DEDUP (Multimodal.burstShotClusters) — the capstone
+    * composing llm125's EXIF metadata with the image dHash family:
+    * photo bursts (4 shots per burst, planted pairwise Hamming ≤ 4)
+    * are discovered by CONTENT-BLIND blocking on (Make, Model,
+    * 10-second EXIF capture window) followed by a Hamming ≤ 6 verify
+    * and the connected-components closure; every 3rd burst plants a
+    * same-device same-window STRANGER with independent bits — the
+    * blocking admits it as a candidate and the content verify must
+    * reject it (it emerges as its own singleton burst). The oracle
+    * replays the planted bits, the EXIF formulas, the block join, the
+    * Hamming gate, and the recursive closure in SQL. At 100 TB the
+    * blocking is the story: device+time cuts candidates to
+    * within-block pairs at zero pixel cost — no LSH stage where llm70
+    * pays banding — and image bytes never cross an exchange. */
+  private val llm126SlotA = new TrackerSlot
+  private def llm126 = Q("llm126_burst_shot_dedup",
+    (s, dir) => {
+      graft.llm.Multimodal.burstShotClusters(
+          s.read.parquet(llm126In(s, dir)), col("doc_id"), col("media"),
+          maxHamming = 6, tracker = Some(llm126SlotA.fresh()))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE ids AS (
+            |  SELECT doc_id, doc_id // 4 AS burst, doc_id % 4 AS member,
+            |         (doc_id % 4 = 3 AND (doc_id // 4) % 3 = 0) AS stranger
+            |  FROM documents),
+            |bits AS (SELECT i.doc_id, g.b,
+            |    ((${Portable.duckHash64("CASE WHEN i.stranger THEN 'S' || i.burst || ':' || g.b ELSE i.burst || ':' || g.b END")} % 2)
+            |     + (CASE WHEN NOT i.stranger AND i.member >= 1
+            |             AND g.b >= 2 * (i.member - 1) AND g.b < 2 * i.member
+            |        THEN 1 ELSE 0 END)) % 2 AS v
+            |  FROM ids i CROSS JOIN generate_series(0, 63) g(b)),
+            |sig AS (SELECT doc_id,
+            |          CAST(sum(v * (CASE WHEN b = 63
+            |                 THEN -9223372036854775807 - 1
+            |                 ELSE CAST(1 AS BIGINT) << b END)) AS BIGINT) AS dh
+            |        FROM bits GROUP BY doc_id),
+            |meta AS (SELECT doc_id,
+            |    'Cam' || (burst % 5) AS make, 'M-' || (burst % 3) AS model,
+            |    '2024:01:' || lpad(CAST(1 + (burst // 1440) % 28 AS VARCHAR), 2, '0')
+            |      || ' ' || lpad(CAST((burst // 60) % 24 AS VARCHAR), 2, '0')
+            |      || ':' || lpad(CAST(burst % 60 AS VARCHAR), 2, '0') || ':0' AS tbucket
+            |  FROM ids),
+            |pairs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+            |          FROM meta a JOIN meta c
+            |            ON a.make = c.make AND a.model = c.model
+            |           AND a.tbucket = c.tbucket AND a.doc_id < c.doc_id),
+            |ok AS (SELECT p.id_a, p.id_b FROM pairs p
+            |       JOIN sig sa ON sa.doc_id = p.id_a
+            |       JOIN sig sc ON sc.doc_id = p.id_b
+            |       WHERE bit_count(xor(sa.dh, sc.dh)) <= 6),
+            |verts AS (SELECT id_a AS v FROM ok UNION SELECT id_b FROM ok),
+            |edges AS (SELECT id_a AS ea, id_b AS eb FROM ok
+            |          UNION SELECT id_b, id_a FROM ok),
+            |reach(v, r) AS (
+            |  SELECT v, v FROM verts
+            |  UNION
+            |  SELECT e.eb, reach.r FROM edges e JOIN reach ON reach.v = e.ea),
+            |cc AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
+            |labeled AS (SELECT i.doc_id,
+            |    coalesce(cc.cluster_id, i.doc_id) AS burst_id
+            |  FROM ids i LEFT JOIN cc ON cc.v = i.doc_id)
+            |SELECT doc_id, burst_id,
+            |       count(*) OVER (PARTITION BY burst_id) AS n_shots,
+            |       (burst_id = doc_id) AS keep
+            |FROM labeled ORDER BY doc_id""".stripMargin),
+    prepare = Some((s, dir) => { llm126In(s, dir); () }),
+    cleanup = Some(_ => llm126SlotA.drain()))
 }

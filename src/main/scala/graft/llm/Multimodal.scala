@@ -233,6 +233,219 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // EXIF/TIFF metadata (pure-JVM header parse at the codec seam —
+  // the capture-time/device signal the reference's media columns
+  // carry as metadata structs, SURVEY §1.3; public formats: JPEG
+  // ISO/IEC 10918-1 marker stream, TIFF 6.0 IFD layout, Exif 2.x)
+
+  /** Parsed image metadata: (endian "II"/"MM", make, model,
+    * orientation 1-8 (0 when absent), taken_at "YYYY:MM:DD HH:MM:SS"
+    * ("" when absent), n_ifd_entries). */
+  private[graft] type ExifMeta = (String, String, String, Int, String, Int)
+
+  /** EXIF/TIFF IFD0 parse — accepts a bare TIFF stream OR a JPEG whose
+    * APP1 segment carries the standard `Exif\0\0` + TIFF payload. The
+    * walk is fully bounds-checked: corrupt/truncated/foreign bytes
+    * yield None, never a throw (the decodeStub discipline — a bad blob
+    * must not kill a 100 TB scan). Reads the four IFD0 staples a
+    * dedup/curation pipeline keys on: Make (0x010F), Model (0x0110),
+    * Orientation (0x0112, SHORT), DateTime (0x0132). */
+  private[graft] def parseExif(bytes: Array[Byte]): Option[ExifMeta] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      def u8(o: Int): Int = bytes(o) & 0xff
+      // locate the TIFF header: bare TIFF, or inside the JPEG APP1
+      val tiffOff: Int =
+        if ((u8(0) == 0x49 && u8(1) == 0x49) ||
+            (u8(0) == 0x4D && u8(1) == 0x4D)) 0
+        else if (u8(0) == 0xFF && u8(1) == 0xD8) { // JPEG SOI: walk markers
+          var p = 2
+          var found = -1
+          var stop = false
+          while (!stop && found < 0 && p + 4 <= bytes.length && u8(p) == 0xFF) {
+            val marker = u8(p + 1)
+            if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) p += 2
+            else {
+              val len = (u8(p + 2) << 8) | u8(p + 3)
+              if (len < 2 || p + 2 + len > bytes.length) stop = true
+              else if (marker == 0xE1 && len >= 8 &&
+                       bytes(p + 4) == 'E' && bytes(p + 5) == 'x' &&
+                       bytes(p + 6) == 'i' && bytes(p + 7) == 'f' &&
+                       bytes(p + 8) == 0 && bytes(p + 9) == 0) found = p + 10
+              else if (marker == 0xDA) stop = true // SOS: entropy data follows
+              else p += 2 + len
+            }
+          }
+          found
+        } else if (bytes.length > 8 && u8(0) == 0x89 && u8(1) == 0x50 &&
+                   u8(2) == 0x4E && u8(3) == 0x47) { // PNG: walk chunks to eXIf
+          var p = 8
+          var found = -1
+          def be32(o: Int): Long =
+            (u8(o).toLong << 24) | (u8(o + 1).toLong << 16) |
+              (u8(o + 2).toLong << 8) | u8(o + 3).toLong
+          while (found < 0 && p + 12 <= bytes.length) {
+            val len = be32(p)
+            if (len < 0 || len > bytes.length || p + 12 + len > bytes.length) p = bytes.length
+            else {
+              val typ = new String(bytes, p + 4, 4,
+                java.nio.charset.StandardCharsets.US_ASCII)
+              if (typ == "eXIf") found = p + 8 // chunk data IS the TIFF
+              else if (typ == "IEND") p = bytes.length
+              else p += 12 + len.toInt
+            }
+          }
+          found
+        } else -1
+      if (tiffOff < 0 || tiffOff + 8 > bytes.length) return None
+      val le = u8(tiffOff) == 0x49
+      if (le && u8(tiffOff + 1) != 0x49) return None
+      if (!le && (u8(tiffOff) != 0x4D || u8(tiffOff + 1) != 0x4D)) return None
+      def u16(o: Int): Int =
+        if (o < 0 || o + 2 > bytes.length) -1
+        else if (le) u8(o) | (u8(o + 1) << 8) else (u8(o) << 8) | u8(o + 1)
+      def u32(o: Int): Long =
+        if (o < 0 || o + 4 > bytes.length) -1L
+        else if (le) u8(o).toLong | (u8(o + 1).toLong << 8) |
+          (u8(o + 2).toLong << 16) | (u8(o + 3).toLong << 24)
+        else (u8(o).toLong << 24) | (u8(o + 1).toLong << 16) |
+          (u8(o + 2).toLong << 8) | u8(o + 3).toLong
+      if (u16(tiffOff + 2) != 42) return None
+      val ifdRel = u32(tiffOff + 4)
+      if (ifdRel < 0 || tiffOff + ifdRel + 2 > bytes.length) return None
+      val ifd = tiffOff + ifdRel.toInt
+      val count = u16(ifd)
+      if (count < 0 || count > 512 ||
+          ifd + 2 + count * 12 > bytes.length) return None
+      var (make, model, dt) = ("", "", "")
+      var orient = 0
+      var i = 0
+      while (i < count) {
+        val e = ifd + 2 + i * 12
+        val tag = u16(e)
+        val typ = u16(e + 2)
+        val cnt = u32(e + 4)
+        def ascii(): String = {
+          if (typ != 2 || cnt <= 0 || cnt > 4096) ""
+          else {
+            val off = if (cnt <= 4) e + 8 else tiffOff + u32(e + 8).toInt
+            if (off < 0 || off + cnt > bytes.length) ""
+            else {
+              val raw = new String(bytes, off, cnt.toInt,
+                java.nio.charset.StandardCharsets.US_ASCII)
+              raw.takeWhile(_ != '\u0000')
+            }
+          }
+        }
+        tag match {
+          case 0x010F => make = ascii()
+          case 0x0110 => model = ascii()
+          case 0x0112 => if (typ == 3 && cnt == 1) orient = u16(e + 8)
+          case 0x0132 => dt = ascii()
+          case _      => ()
+        }
+        i += 1
+      }
+      Some((if (le) "II" else "MM", make, model, orient, dt, count))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Build a standard Exif APP1 segment (`FF E1 len "Exif\0\0"` +
+    * TIFF) carrying IFD0 entries Make/Model/Orientation/DateTime, in
+    * either byte order — the writer half the fixture uses; production
+    * only parses. */
+  private[llm] def buildExifApp1(le: Boolean, make: String, model: String,
+                                 orientation: Int, dateTime: String): Array[Byte] = {
+    val tiffBytes = buildTiffExif(le, make, model, orientation, dateTime)
+    val payload = "Exif\u0000\u0000".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) ++ tiffBytes
+    val app1 = java.nio.ByteBuffer.allocate(4 + payload.length)
+    app1.put(0xFF.toByte); app1.put(0xE1.toByte)
+    app1.putShort((payload.length + 2).toShort) // len includes itself
+    app1.put(payload)
+    app1.array()
+  }
+
+  /** The raw TIFF (header + IFD0 + out-of-line values) shared by the
+    * JPEG APP1 and PNG eXIf writers. */
+  private[llm] def buildTiffExif(le: Boolean, make: String, model: String,
+                                 orientation: Int, dateTime: String): Array[Byte] = {
+    val order = if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+                else java.nio.ByteOrder.BIG_ENDIAN
+    val makeB = (make + "\u0000").getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val modelB = (model + "\u0000").getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val dtB = (dateTime + "\u0000").getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    // layout: 8-byte header, IFD0 (2 + 4·12 + 4), then the out-of-line
+    // ASCII values (all three > 4 bytes in practice; ≤4 goes inline)
+    val dataStart = 8 + 2 + 4 * 12 + 4
+    val outOfLine = Seq(makeB, modelB, dtB).filter(_.length > 4)
+    val tiff = java.nio.ByteBuffer.allocate(
+      dataStart + outOfLine.map(_.length).sum).order(order)
+    tiff.put(if (le) "II".getBytes else "MM".getBytes)
+    tiff.putShort(42)
+    tiff.putInt(8) // IFD0 right after the header
+    tiff.putShort(4) // 4 entries
+    var cursor = dataStart
+    def asciiEntry(tag: Int, v: Array[Byte]): Unit = {
+      tiff.putShort(tag.toShort); tiff.putShort(2 /* ASCII */)
+      tiff.putInt(v.length)
+      if (v.length <= 4) {
+        val inline = java.util.Arrays.copyOf(v, 4)
+        tiff.put(inline) // inline value, zero-padded, order-independent
+      } else { tiff.putInt(cursor); cursor += v.length }
+    }
+    // tags ascending, per TIFF 6.0
+    asciiEntry(0x010F, makeB)
+    asciiEntry(0x0110, modelB)
+    tiff.putShort(0x0112); tiff.putShort(3 /* SHORT */); tiff.putInt(1)
+    tiff.putShort(orientation.toShort); tiff.putShort(0) // SHORT packs first
+    asciiEntry(0x0132, dtB)
+    tiff.putInt(0) // no IFD1
+    outOfLine.foreach(tiff.put)
+    tiff.array()
+  }
+
+  /** Insert an `eXIf` chunk (PNG 1.2 extension, standardized 2017:
+    * chunk data = the raw TIFF) right after IHDR - ancillary, so
+    * every PNG decoder still reads the image; [[parseExif]] walks the
+    * chunk list to it. */
+  private[llm] def pngWithExif(png: Array[Byte], tiff: Array[Byte]): Array[Byte] = {
+    // PNG layout: 8-byte signature, then chunks; IHDR is always first
+    // (4 len + 4 type + 13 data + 4 crc) -> insertion point is 33
+    val at = 8 + 4 + 4 + 13 + 4
+    require(png.length > at, "not a PNG")
+    val chunk = java.nio.ByteBuffer.allocate(12 + tiff.length)
+    chunk.putInt(tiff.length)
+    chunk.put("eXIf".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    chunk.put(tiff)
+    val crc = new java.util.zip.CRC32()
+    crc.update("eXIf".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    crc.update(tiff)
+    chunk.putInt(crc.getValue.toInt)
+    png.take(at) ++ chunk.array() ++ png.drop(at)
+  }
+
+  /** Deterministic JPEG-with-EXIF fixture: a real ImageIO-encoded
+    * JPEG (decodable end-to-end) with a handcrafted Exif APP1 spliced
+    * after SOI — metadata fields are pure functions of the id, byte
+    * order alternates II/MM, so the oracle replays every parsed field
+    * from the generation formula while the bytes walk the real
+    * marker/IFD path. */
+  private[graft] def fixtureJpegExif(id: Long): Array[Byte] = {
+    codecInit // JVM-global in-memory stream cache, first codec use
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(renderFixtureFrame(id, 24), "jpg", out)
+    val jpeg = out.toByteArray
+    val app1 = buildExifApp1(
+      le = id % 2 == 0,
+      make = s"Cam${id % 5}",
+      model = s"M-${id % 3}",
+      orientation = (1 + id % 8).toInt,
+      dateTime = f"2024:${1 + id % 12}%02d:${1 + id % 28}%02d 10:00:00")
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
+
   /** Deterministic synthetic VIDEO — the oracle-replayable fixture for
     * the keyframe pipeline: a REAL RIFF/AVI container (the same layout
     * [[parseAviMjpeg]] walks for production MJPEG) whose stream chunks
@@ -291,12 +504,102 @@ object Multimodal {
   private[graft] def fixturePngBits(id: Long): Array[Byte] = {
     val cid = id % 100000L
     val tier = (id / 100000L).toInt
-    def bit(b: Int): Boolean = {
+    encodePng(renderBitsImage { b =>
       val base = graft.functions.Portable.hash64Jvm(s"$cid:$b") % 2 == 1
       val m1 = tier >= 1 && b < 6
       val m2 = tier == 2 && b >= 6 && b < 12
       base ^ m1 ^ m2
-    }
+    })
+  }
+
+  /** The shared bit-planting renderer: a 24×16 grayscale image whose
+    * 64 dHash bits equal `bit(0..63)`, realized as per-row luminance
+    * walks of ±8 gray levels between lattice columns (strict
+    * inequality both directions — the REAL decode must reproduce the
+    * planted bits exactly). */
+  /** BURST fixture: PNG whose dHash bits are planted per (burst,
+    * member) and whose eXIf chunk carries the burst's device + a
+    * capture time inside the burst's 10-second window. docId encodes
+    * burst = id/4, member = id%4; members share the burst's base bit
+    * pattern with member m ≥ 1 flipping bits [2(m−1), 2m) — pairwise
+    * Hamming ≤ 4. Every 3rd burst's member 3 is a STRANGER: same
+    * device, same window (a different photographer's shot landing in
+    * the block), but independent bits — the content verify, not the
+    * blocking, must reject it. */
+  private[graft] def fixturePngBurst(docId: Long): Array[Byte] = {
+    val burst = docId / 4
+    val member = (docId % 4).toInt
+    val stranger = member == 3 && burst % 3 == 0
+    val png = encodePng(renderBitsImage { b =>
+      val seed = if (stranger) s"S$burst:$b" else s"$burst:$b"
+      val base = graft.functions.Portable.hash64Jvm(seed) % 2 == 1
+      val flip = !stranger && member >= 1 && b >= 2 * (member - 1) && b < 2 * member
+      base ^ flip
+    })
+    val dd = 1 + (burst / 1440) % 28
+    val hh = (burst / 60) % 24
+    val mm = burst % 60
+    pngWithExif(png, buildTiffExif(
+      le = burst % 2 == 0,
+      make = s"Cam${burst % 5}",
+      model = s"M-${burst % 3}",
+      orientation = 1,
+      dateTime = f"2024:01:$dd%02d $hh%02d:$mm%02d:0$member"))
+  }
+
+  /** BURST-SHOT near-dup clusters — EXIF-blocked perceptual dedup,
+    * the photo-library treatment (composing [[parseExif]]'s new
+    * device/time signal with the dHash family): candidates are pairs
+    * sharing (Make, Model, 10-second capture window) — CONTENT-BLIND
+    * blocking that never touches pixels, cutting the candidate space
+    * to within-block pairs (bursts are tens of shots, so blocks are
+    * tiny at ANY corpus size — no LSH stage needed where llm70 pays
+    * banding); the verify is Hamming ≤ `maxHamming` on the 64-bit
+    * dHash, and connected components turn verified pairs into burst
+    * clusters with a min-id representative. One codec pass (both
+    * UDFs at the scan), one shuffle on the (device, window) block
+    * key, one on the 8-byte cluster ids — image bytes never cross an
+    * exchange. The 10-second window is string-truncation of the EXIF
+    * DateTime (chars 1–18): tumbling semantics, zero timezone/parse
+    * ambiguity for cross-engine replay; a burst straddling a boundary
+    * splits (the standard tumbling trade — union a shifted bucketing
+    * for sliding semantics). */
+  def burstShotClusters(df: DataFrame, idCol: Column, bytesCol: Column,
+                        maxHamming: Int,
+                        tracker: Option[graft.operators.Materialize.Tracker] = None): DataFrame = {
+    val meta = udf((bytes: Array[Byte]) => parseExif(bytes))
+    val dh = udf((bytes: Array[Byte]) => dhash64(bytes))
+    val shots0 = df
+      .select(idCol.cast("long").as("doc_id"),
+        meta(bytesCol).as("__x"), dh(bytesCol).as("dhash"))
+      .where(col("__x").isNotNull && col("dhash").isNotNull)
+      .select(col("doc_id"),
+        col("__x._2").as("make"), col("__x._3").as("model"),
+        substring(col("__x._5"), 1, 18).as("tbucket"), col("dhash"))
+    // one codec pass feeds the self-join's both sides and the output
+    val shots = graft.operators.Materialize.eager(shots0)
+    tracker.foreach(_.track(shots))
+    val a = shots.select(col("doc_id").as("id_a"), col("make"), col("model"),
+      col("tbucket"), col("dhash").as("__ha"))
+    val b = shots.select(col("doc_id").as("id_b"), col("make"), col("model"),
+      col("tbucket"), col("dhash").as("__hb"))
+    val pairs = a.join(b, Seq("make", "model", "tbucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(pairs, tracker = tracker)
+      .withColumnRenamed("doc_id", "__d")
+    val labeled = shots.select(col("doc_id"))
+      .join(cc, col("doc_id") === col("__d"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("burst_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("burst_id"))
+    labeled
+      .withColumn("n_shots", count(lit(1)).over(w))
+      .withColumn("keep", col("burst_id") === col("doc_id"))
+  }
+
+  private def renderBitsImage(bit: Int => Boolean): java.awt.image.BufferedImage = {
     val (w, h) = (24, 16)
     // lattice columns for w=24: xpx(gx) = min(gx*24/9, 23)
     val xpx = (0 to 8).map(gx => math.min(gx * w / 9, w - 1))
@@ -313,7 +616,7 @@ object Multimodal {
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
       }
     }
-    encodePng(img)
+    img
   }
 
   private def renderHashedFrame(cid: Long, scene: Int,

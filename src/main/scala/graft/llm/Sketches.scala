@@ -503,4 +503,66 @@ object Sketches {
       .select(col("train_source"), col("eval_name"), col("k_used"),
         col("intersect_est"), col("d_eval_est"), col("containment_est"))
   }
+
+  /** Collect per-group KMV value sketches to the driver — the bounded
+    * hop that feeds [[kmvContainment]]'s continuous twin
+    * ([[graft.streaming.StreamingOps.kmvContainmentStream]]): the
+    * frame is ≤ groups rows of ≤ k longs (kilobytes for the eval
+    * dimension — benchmarks number in the tens), the same k-sized
+    * driver hop as k-means' centroids. Arrays come back ascending
+    * (TreeSet order) — the order [[containmentEst]] requires. */
+  def kmvSketches(df: DataFrame, groupCol: Column, valueCol: Column,
+                  k: Int = 256): Seq[(String, Array[Long])] = {
+    require(k >= 2, "kmv needs k >= 2")
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.select(groupCol.as("g"), Portable.hash64(valueCol).as("h"))
+      .groupBy(col("g"))
+      .agg(ColumnBridge.column(
+        graft.functions.KmvValues(ColumnBridge.expression(col("h")), k)
+          .toAggregateExpression()).as("kmv"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+      .toSeq
+  }
+
+  /** JVM mirror of [[kmvContainment]]'s estimator algebra, for state
+    * code that holds the sketches as plain arrays (the streaming
+    * monitor's flatMapGroupsWithState). BOTH inputs must be ascending
+    * ≤k-entry KMV sketches over [[Portable.hash64]] values (TreeSet
+    * order — what [[graft.functions.KmvValues]] emits). Returns
+    * (k_used, intersect_est, d_eval_est, containment_est), bit-equal
+    * to the Column path: u = first k of the sorted distinct union,
+    * D_∪ exact below k else (k−1)·2^60/u.last, ρ = |u ∩ ka ∩ kb|/|u|,
+    * directional denominator from the eval sketch, clamped to 1. */
+  def containmentEst(ka: Array[Long], kb: Array[Long], k: Int):
+      (Long, Double, Double, Double) = {
+    // merge two ascending arrays into the ascending distinct union,
+    // keeping at most k entries — the slice(array_sort(array_union))
+    val u = new Array[Long](math.min(ka.length + kb.length, k))
+    var (i, j, n) = (0, 0, 0)
+    var last = 0L
+    var haveLast = false
+    while (n < k && (i < ka.length || j < kb.length)) {
+      val v =
+        if (i >= ka.length) { val x = kb(j); j += 1; x }
+        else if (j >= kb.length) { val x = ka(i); i += 1; x }
+        else if (ka(i) <= kb(j)) { val x = ka(i); i += 1; x }
+        else { val x = kb(j); j += 1; x }
+      if (!haveLast || v != last) { u(n) = v; n += 1; last = v; haveLast = true }
+    }
+    val kUsed = n.toLong
+    def contains(arr: Array[Long], v: Long): Boolean =
+      java.util.Arrays.binarySearch(arr, v) >= 0
+    val dUnion =
+      if (n < k) n.toDouble
+      else (k - 1).toDouble * HashSpace / u(n - 1).toDouble
+    var both = 0
+    var x = 0
+    while (x < n) { if (contains(ka, u(x)) && contains(kb, u(x))) both += 1; x += 1 }
+    val intersectEst = both.toDouble / kUsed.toDouble * dUnion
+    val dEval =
+      if (kb.length < k) kb.length.toDouble
+      else (k - 1).toDouble * HashSpace / kb(kb.length - 1).toDouble
+    (kUsed, intersectEst, dEval, math.min(1.0, intersectEst / dEval))
+  }
 }

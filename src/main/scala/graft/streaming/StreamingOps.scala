@@ -702,4 +702,92 @@ object StreamingOps {
     if (st.stage > 0 && state.getOption.forall(_ != st)) state.update(st)
     out.result().iterator
   }
+
+  final case class KmvIn(g: String, h: Long)
+  final case class KmvSrcState(hashes: Array[Long], nSeen: Long)
+  final case class KmvUpdate(train_source: String, eval_name: String,
+                             k_used: Long, intersect_est: Double,
+                             d_eval_est: Double, containment_est: Double,
+                             n_seen: Long)
+
+  /** STREAMING CONTAMINATION MONITOR — the continuous twin of the
+    * batch train×eval matrix (graft.llm.Sketches.kmvContainment,
+    * llm117): a stream of training values maintains one KMV sketch
+    * per source in flatMapGroupsWithState (KMV merges by
+    * order-statistics union, so the sketch is a natural streaming
+    * accumulator); the eval benchmarks' sketches are computed ONCE
+    * batch-side ([[graft.llm.Sketches.kmvSketches]] — a kilobyte-
+    * sized driver hop) and ride the closure like a broadcast. Each
+    * trigger emits, for every source whose sketch CHANGED, the
+    * refreshed containment row against every benchmark — the
+    * monitoring feed a pipeline alerts on (reference precedent for
+    * continuous per-sink index maintenance:
+    * debezium-server-milvus/.../MilvusChangeConsumer.java:133-151).
+    *
+    * Replay discipline: the sketch after absorbing the full history
+    * is the k smallest distinct hashes over everything seen — a SET
+    * property, independent of batch boundaries, arrival order, and
+    * at-least-once redelivery (duplicates collapse inside the
+    * TreeSet; a redelivered batch changes nothing and emits nothing).
+    * `n_seen` (values absorbed, monotone per source) versions the
+    * emissions: the max-n_seen row per (source, eval) IS the batch
+    * kmvContainment row, which is what the oracle replays —
+    * intermediate rows are the monitor's live feed and depend on
+    * batch boundaries by design (they are snapshots in time).
+    *
+    * State at 100 TB: ≤ k longs + one counter per SOURCE (tens of
+    * rows, fixed-width — this never grows with the corpus), no
+    * watermark, no eviction: the whole point of a sketch-grain
+    * monitor is constant state. One shuffle on the source tag; the
+    * heavy work (hashing) happens scan-side in codegen before the
+    * shuffle, and what shuffles is (tag, 8-byte hash). */
+  def kmvContainmentStream(df: DataFrame, groupCol: Column, valueCol: Column,
+                           evalSketches: Seq[(String, Array[Long])],
+                           k: Int = 256): Dataset[KmvUpdate] = {
+    require(k >= 2, "kmv needs k >= 2")
+    require(evalSketches.nonEmpty, "need at least one eval sketch")
+    val evals = evalSketches.sortBy(_._1) // deterministic emission order
+    df.select(groupCol.cast("string").as("g"),
+        graft.functions.Portable.hash64(valueCol).as("h"))
+      .as(Encoders.product[KmvIn])
+      .groupByKey(_.g)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        kmvGroup(evals, k))(
+        Encoders.product[KmvSrcState], Encoders.product[KmvUpdate])
+  }
+
+  private def kmvGroup(evals: Seq[(String, Array[Long])], k: Int)(
+      g: String, events: Iterator[KmvIn],
+      state: GroupState[KmvSrcState]): Iterator[KmvUpdate] = {
+    val prev = state.getOption.getOrElse(KmvSrcState(Array.empty[Long], 0L))
+    // same buffer discipline as the KmvValues aggregate: bounded
+    // TreeSet, duplicates collapse, k smallest survive
+    val set = new java.util.TreeSet[java.lang.Long]()
+    prev.hashes.foreach(h => set.add(h))
+    var changed = false
+    var n = prev.nSeen
+    events.foreach { e =>
+      n += 1
+      if (set.size < k) { if (set.add(e.h)) changed = true }
+      else if (e.h < set.last() && set.add(e.h)) { set.pollLast(); changed = true }
+    }
+    if (n == prev.nSeen) Iterator.empty // redelivery-only invocation
+    else {
+      val hashes = new Array[Long](set.size)
+      var i = 0
+      val it = set.iterator()
+      while (it.hasNext) { hashes(i) = it.next(); i += 1 }
+      state.update(KmvSrcState(hashes, n))
+      // emit only when the sketch moved: a batch of already-absorbed
+      // values refreshes nothing a reader could act on (the final
+      // max-n_seen row is unaffected — later unchanged invocations
+      // would emit the identical estimates)
+      if (!changed) Iterator.empty
+      else evals.iterator.map { case (name, kb) =>
+        val (kUsed, inter, dEval, cont) =
+          graft.llm.Sketches.containmentEst(hashes, kb, k)
+        KmvUpdate(g, name, kUsed, inter, dEval, cont, n)
+      }
+    }
+  }
 }

@@ -784,4 +784,41 @@ class PlanSpec extends SparkSpec {
            !p.toString.contains("BroadcastNestedLoopJoin"),
       s"fingerprint candidate join degenerated to a product:\n$p")
   }
+
+  test("llm124: span scrub — positions + hashes key every shuffle; the cut ranges broadcast back") {
+    val df = Queries.byName("llm124_exact_substring_scrub")(spark, sfSmoke)
+    val p = planOf(df)
+    val keys = shufflePartitionings(p)
+    // the positional pass, the shared-gram aggregate, and the island
+    // windows all key on (doc_id, pos, 8-byte hash) — document text
+    // must never be a shuffle key; the only stage that touches text is
+    // the scrub projection, fed by a BROADCAST of the merged ranges
+    assert(!keys.exists(s => s.contains("text#") || s.contains("__t#")),
+      s"span scrub must key shuffles on positions/hashes only: $keys")
+    assert(p.toString.contains("BroadcastHashJoin"),
+      s"the cut-range frame must broadcast back against the scan:\n$p")
+    assert(!p.toString.contains("CartesianProduct") &&
+           !p.toString.contains("BroadcastNestedLoopJoin"),
+      s"shared-gram join degenerated to a product:\n$p")
+  }
+
+  test("llm126: burst dedup — image bytes die at the codec seam; the block join is an equi-join, never a product") {
+    val df = Queries.byName("llm126_burst_shot_dedup")(spark, sfSmoke)
+    val p = planOf(df)
+    assert(!shuffleInputs(p).contains("media"),
+      "image bytes must never cross an exchange — both UDFs run at the scan")
+    assert(!p.toString.contains("CartesianProduct") &&
+           !p.toString.contains("BroadcastNestedLoopJoin"),
+      s"the (device, window) block join degenerated to a product:\n$p")
+  }
+
+  test("llm125: exif parse — jpeg bytes die at the codec seam; only the output sort exchanges") {
+    val df = Queries.byName("llm125_exif_metadata")(spark, sfSmoke)
+    val p = planOf(df)
+    assert(!shuffleInputs(p).contains("media"),
+      "image bytes must never cross an exchange — the parse is map-side")
+    val shuffles = shufflePartitionings(p)
+    assert(shuffles.forall(_.contains("rangepartitioning")),
+      s"exif extraction is one scan-side projection — only the ORDER BY may exchange: $shuffles")
+  }
 }

@@ -1189,6 +1189,94 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) == "other" && out(4L) == "other", out.toString)
   }
 
+  test("duplicateSpanScrub: shared spans cut from every carrier; overlapping islands merge; unique docs untouched") {
+    import spark.implicits._
+    // doc 1 = X ++ Y overlapping at 'IJ' (X at 1..10, Y at 9..18):
+    // doc 2 carries X, doc 3 carries Y — doc 1's two islands (gram
+    // positions 1-7 and 9-15) overlap char-wise at 9..10 and must
+    // merge into ONE 1..18 cut; docs 2/3 lose their copy; doc 4 is
+    // unique and passes through verbatim
+    val docs = Seq(
+      (1L, "ABCDEFGHIJKLMNOPQRzz"),
+      (2L, "xxABCDEFGHIJxx"),
+      (3L, "yyIJKLMNOPQRyy"),
+      (4L, "unique content entirely")).toDF("id", "t")
+    val out = Dedup.duplicateSpanScrub(docs, col("id"), col("t"),
+        n = 4, minSpan = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(out(1L) == ((1L, 18L, "1:18", "zz")), out(1L).toString)
+    assert(out(2L) == ((1L, 10L, "3:10", "xxxx")), out(2L).toString)
+    assert(out(3L) == ((1L, 10L, "3:10", "yyyy")), out(3L).toString)
+    assert(out(4L) == ((0L, 0L, "", "unique content entirely")), out(4L).toString)
+  }
+
+  test("parseExif: round-trips the handcrafted APP1 in both byte orders; the spliced JPEG still decodes") {
+    val ii = Multimodal.fixtureJpegExif(0L) // id 0 → little-endian
+    val mm = Multimodal.fixtureJpegExif(1L) // id 1 → big-endian
+    assert(Multimodal.parseExif(ii) ==
+      Some(("II", "Cam0", "M-0", 1, "2024:01:01 10:00:00", 4)))
+    assert(Multimodal.parseExif(mm) ==
+      Some(("MM", "Cam1", "M-1", 2, "2024:02:02 10:00:00", 4)))
+    // the splice must not break the image itself
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ii))
+    assert(img != null && img.getWidth == 24 && img.getHeight == 16)
+    // bare TIFF (no JPEG wrapper) parses too
+    val app1 = Multimodal.buildExifApp1(le = false, "Maker", "Mod",
+      orientation = 6, dateTime = "2020:12:31 23:59:59")
+    val tiff = java.util.Arrays.copyOfRange(app1, 10, app1.length)
+    assert(Multimodal.parseExif(tiff) ==
+      Some(("MM", "Maker", "Mod", 6, "2020:12:31 23:59:59", 4)))
+  }
+
+  test("parseExif: PNG eXIf chunk parses and the chunk splice keeps the PNG decodable bit-exactly") {
+    val tiff = Multimodal.buildTiffExif(le = true, "CamX", "M-X",
+      orientation = 3, dateTime = "2024:06:15 08:30:00")
+    val plain = Multimodal.fixturePng(9L)
+    val withExif = Multimodal.pngWithExif(plain, tiff)
+    assert(Multimodal.parseExif(withExif) ==
+      Some(("II", "CamX", "M-X", 3, "2024:06:15 08:30:00", 4)))
+    // ancillary chunk: pixels must survive exactly (lossless container)
+    val a = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(plain))
+    val b = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(withExif))
+    assert(b != null && b.getWidth == a.getWidth && b.getHeight == a.getHeight)
+    val same = (0 until a.getHeight).forall(y => (0 until a.getWidth).forall(x =>
+      a.getRGB(x, y) == b.getRGB(x, y)))
+    assert(same, "eXIf splice changed pixel data")
+  }
+
+  test("burstShotClusters: device+window blocking + Hamming verify groups bursts; the planted stranger stays out") {
+    import spark.implicits._
+    // burst 0 (docs 0-3): member 3 is the STRANGER (same Cam0, same
+    // 10 s window, independent bits); burst 1 (docs 4-7): clean
+    val media = udf((id: Long) => Multimodal.fixturePngBurst(id))
+    val df = (0L to 7L).toDF("doc_id").withColumn("media", media(col("doc_id")))
+    val out = Multimodal.burstShotClusters(df, col("doc_id"), col("media"),
+        maxHamming = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out(0L) == ((0L, 3L, true)) && out(1L) == ((0L, 3L, false)) &&
+           out(2L) == ((0L, 3L, false)), out.toString)
+    assert(out(3L) == ((3L, 1L, true)), s"stranger must be its own singleton: ${out(3L)}")
+    assert(out(4L) == ((4L, 4L, true)) && out(7L) == ((4L, 4L, false)), out.toString)
+  }
+
+  test("parseExif fuzz: random, truncated, and foreign bytes yield None, never a throw") {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(b)
+      Multimodal.parseExif(b) // must not throw
+    }
+    val valid = Multimodal.fixtureJpegExif(5L)
+    (0 until valid.length by 7).foreach { cut =>
+      Multimodal.parseExif(java.util.Arrays.copyOf(valid, cut)) // must not throw
+    }
+    // a plain PNG has no EXIF: clean None
+    assert(Multimodal.parseExif(Multimodal.fixturePng(3L)).isEmpty)
+    assert(Multimodal.parseExif(null).isEmpty)
+  }
+
   test("longestSharedRun: the islands trick finds the verbatim span; an edit splits the run; min-run gates noise") {
     import spark.implicits._
     val train = Seq((10L, "abcdefghijklmnopqrstuvwxyz0123456789")).toDF("id", "t")

@@ -809,4 +809,61 @@ class StreamingSpec extends SparkSpec {
       assert(got == want, s"capped run emitted $got, expected $want")
     } finally q.stop()
   }
+
+  test("kmvContainmentStream: final rows equal batch kmvContainment under any split; redeliveries absorb") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8 // small k → srcBig runs in the ESTIMATED regime
+    // two sources: one bigger than k (order-statistic estimates), one
+    // smaller (exact); eval benchmarks overlap srcBig heavily
+    val rows: Seq[(String, String)] =
+      (1 to 40).map(i => ("srcBig", s"tok_$i")) ++
+      (1 to 3).map(i => ("srcSmall", s"small_$i"))
+    val evalDf = ((1 to 30).map(i => ("benchHot", s"tok_$i")) ++
+      (1 to 4).map(i => ("benchCold", s"held_$i"))).toDF("g", "v")
+    val evalSk = graft.llm.Sketches.kmvSketches(evalDf, col("g"), col("v"), k)
+    val trainDf = rows.toDF("g", "v")
+    val expected = graft.llm.Sketches.kmvContainment(
+        trainDf, col("g"), col("v"), evalDf, col("g"), col("v"), k)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(expected(("srcBig", "benchHot"))._4 > 0.5, "fixture must plant containment")
+
+    def run(batches: Seq[Seq[(String, String)]], name: String)
+        : Map[(String, String), (Long, Double, Double, Double)] = {
+      val input = MemoryStream[(String, String)]
+      val updates = StreamingOps.kmvContainmentStream(
+        input.toDF().toDF("g", "v"), col("g"), col("v"), evalSk, k)
+      val q = updates.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("train_source"), col("eval_name"))
+          .orderBy(col("n_seen").desc)
+        spark.table(name)
+          .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("__rn") === 1)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(rows), "kmv_one")
+    assert(oneShot == expected, s"one-batch run diverged:\n$oneShot\nvs\n$expected")
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { case_i =>
+      val order = rnd.shuffle(rows)
+      val cuts = (0 until rnd.nextInt(3)).map(_ => 1 + rnd.nextInt(rows.size - 1))
+        .sorted.distinct
+      val batches0 = (Seq(0) ++ cuts ++ Seq(rows.size)).distinct.sliding(2)
+        .map { case Seq(a, b) => order.slice(a, b) }.filter(_.nonEmpty).toSeq
+      // redeliver the first batch's rows again at the end — the
+      // sketch must absorb without moving
+      val batches = batches0 :+ batches0.head
+      val got = run(batches, s"kmv_prop_$case_i")
+      assert(got == expected, s"split $case_i diverged:\n$got\nvs\n$expected")
+    }
+  }
 }
