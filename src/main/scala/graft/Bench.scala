@@ -162,7 +162,11 @@ object Bench {
     // and none of the multimodal rows was slope-measured. llm121
     // exercises the full path: prepare-written PNG fixture → ImageIO
     // decode → dHash → banded candidate join → CC closure.
-    "llm121_image_clusters")
+    "llm121_image_clusters",
+    // round-18: the span scrub is the newest corpus-pass family (its
+    // shared-gram join volume is what the min≠max gate controls — a
+    // growth regression shows here first)
+    "llm124_exact_substring_scrub")
   private def runSlope(javaBin: String, jvmArgs: Seq[String], cp: String,
                        bigSfDir: String, bigTimes: Map[String, Double]): (Seq[(String, Double)], String) = {
     if (sys.env.get("SPARK_GRAFT_BENCH_SLOPE").contains("0")) return (Nil, "")

@@ -22,7 +22,7 @@ object QueriesLlm {
                         llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
-                        llm123, llm124, llm125, llm126)
+                        llm123, llm124, llm125, llm126, llm127)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6521,4 +6521,59 @@ object QueriesLlm {
             |FROM labeled ORDER BY doc_id""".stripMargin),
     prepare = Some((s, dir) => { llm126In(s, dir); () }),
     cleanup = Some(_ => llm126SlotA.drain()))
+
+  /** llm127's fixture: PNG pairs sharing planted normalized-space
+    * bits — member 0 upright (Orientation 1), member 1 stored
+    * physically rotated (180°/90°CW/90°CCW cycling by pair) with the
+    * matching eXIf Orientation tag. */
+  private val llm127Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llm127In(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val png = udf((id: Long) => graft.llm.Multimodal.fixturePngOriented(id))
+    writeMediaFixture(s, llm127Fixture, dir, "llm127",
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id", png(col("doc_id")))
+  }
+
+  /** ROTATION-NORMALIZED IMAGE DEDUP
+    * (Multimodal.rotationNormalizedPairs) — the dedup the EXIF
+    * Orientation tag unlocks: every pair's second member stores its
+    * pixels PHYSICALLY ROTATED (180°, 90° CW, 90° CCW cycling by
+    * pair) with the matching Orientation tag, the way cameras write
+    * sideways sensor buffers — byte hashes scatter AND the naive
+    * dHash scatters (the lattice walks a rotated luminance field),
+    * so only the normalize-then-hash path recovers the collision.
+    * Candidates come from equality of the normalized 8-byte hash —
+    * content defines the buckets, never all-pairs — and the oracle
+    * replays the planted normalized-space bits, so the real
+    * PNG→ImageIO→rotate-back→dHash path must reproduce them exactly
+    * for every orientation branch. */
+  private val llm127SlotA = new TrackerSlot
+  private def llm127 = Q("llm127_rotation_dedup",
+    (s, dir) => {
+      graft.llm.Multimodal.rotationNormalizedPairs(
+          s.read.parquet(llm127In(s, dir)), col("doc_id"), col("media"),
+          tracker = Some(llm127SlotA.fresh()))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH ids AS (
+            |  SELECT doc_id, doc_id // 2 AS pair, doc_id % 2 AS member FROM documents),
+            |bits AS (SELECT i.doc_id, g.b,
+            |    ${Portable.duckHash64("'R' || i.pair || ':' || g.b")} % 2 AS v
+            |  FROM ids i CROSS JOIN generate_series(0, 63) g(b)),
+            |sig AS (SELECT doc_id,
+            |          CAST(sum(v * (CASE WHEN b = 63
+            |                 THEN -9223372036854775807 - 1
+            |                 ELSE CAST(1 AS BIGINT) << b END)) AS BIGINT) AS dh
+            |        FROM bits GROUP BY doc_id),
+            |o AS (SELECT i.doc_id, s.dh,
+            |        CAST(CASE WHEN i.member = 0 THEN 1
+            |             WHEN i.pair % 3 = 0 THEN 3
+            |             WHEN i.pair % 3 = 1 THEN 6
+            |             ELSE 8 END AS INT) AS orient
+            |      FROM ids i JOIN sig s USING (doc_id))
+            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            |       a.orient AS orient_a, b.orient AS orient_b
+            |FROM o a JOIN o b ON a.dh = b.dh AND a.doc_id < b.doc_id
+            |ORDER BY id_a, id_b""".stripMargin),
+    prepare = Some((s, dir) => { llm127In(s, dir); () }),
+    cleanup = Some(_ => llm127SlotA.drain()))
 }

@@ -170,21 +170,142 @@ object Multimodal {
       codecInit // JVM-global in-memory stream cache, first codec use
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else Some(dhashOfImage(img))
+    } catch { case _: Throwable => None }
+  }
+
+  /** The dHash bit math over an already-decoded image — shared by the
+    * raw and orientation-normalized paths. */
+  private def dhashOfImage(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    def lum1000(x: Int, y: Int): Long = {
+      val rgb = img.getRGB(x, y)
+      299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+    }
+    def px(gx: Int): Int = math.min(gx * w / 9, w - 1)
+    def py(gy: Int): Int = math.min(gy * h / 8, h - 1)
+    var hash = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8)
+      if (lum1000(px(gx + 1), py(gy)) > lum1000(px(gx), py(gy)))
+        hash |= 1L << (gy * 8 + gx)
+    hash
+  }
+
+  /** Undo the EXIF Orientation transform (tags 3/6/8 — 180°, 90° CW,
+    * 90° CCW display rotations; the mirrored tags 2/4/5/7 are rare in
+    * camera output and pass through) so perceptual hashing sees the
+    * image AS DISPLAYED: a camera that stored the sensor buffer
+    * sideways scatters a naive dHash, while the normalized hash of
+    * the original and its rotated re-upload are bit-identical. */
+  private[llm] def normalizeOrientation(img: java.awt.image.BufferedImage,
+                                        o: Int): java.awt.image.BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    def build(dw: Int, dh: Int)(src: (Int, Int) => (Int, Int)) = {
+      val out = new java.awt.image.BufferedImage(dw, dh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until dh; x <- 0 until dw) {
+        val (sx, sy) = src(x, y)
+        out.setRGB(x, y, img.getRGB(sx, sy))
+      }
+      out
+    }
+    o match {
+      case 3 => build(w, h)((x, y) => (w - 1 - x, h - 1 - y))
+      case 6 => build(h, w)((x, y) => (y, h - 1 - x)) // stored rotates CW to display
+      case 8 => build(h, w)((x, y) => (w - 1 - y, x)) // stored rotates CCW to display
+      case _ => img
+    }
+  }
+
+  /** Orientation-normalized perceptual hash: decode, read the EXIF
+    * Orientation (PNG eXIf / JPEG APP1; absent → 1), undo the display
+    * rotation, dHash the result. Returns (normalized dhash,
+    * orientation); None for undecodable bytes. */
+  private[llm] def orientedDHash(bytes: Array[Byte]): Option[(Long, Int)] = {
+    if (bytes == null) None
+    else try {
+      codecInit // JVM-global in-memory stream cache, first codec use
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        def lum1000(x: Int, y: Int): Long = {
-          val rgb = img.getRGB(x, y)
-          299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
-        }
-        def px(gx: Int): Int = math.min(gx * w / 9, w - 1)
-        def py(gy: Int): Int = math.min(gy * h / 8, h - 1)
-        var hash = 0L
-        for (gy <- 0 until 8; gx <- 0 until 8)
-          if (lum1000(px(gx + 1), py(gy)) > lum1000(px(gx), py(gy)))
-            hash |= 1L << (gy * 8 + gx)
-        Some(hash)
+        val o = parseExif(bytes).map(_._4).filter(_ > 0).getOrElse(1)
+        Some((dhashOfImage(normalizeOrientation(img, o)), o))
       }
     } catch { case _: Throwable => None }
+  }
+
+  /** ROTATION-NORMALIZED exact near-dup pairs — the dedup the EXIF
+    * Orientation tag unlocks: candidates come from equality of the
+    * orientation-normalized dHash (one equi-join on the 8-byte hash —
+    * content defines the buckets, never all-pairs), so a re-upload
+    * stored sideways with the matching Orientation tag collides with
+    * its original where both the byte hash AND the naive dHash
+    * scatter. One codec pass (materialized for the self-join's two
+    * sides), image bytes never cross an exchange. */
+  def rotationNormalizedPairs(df: DataFrame, idCol: Column, bytesCol: Column,
+                              tracker: Option[graft.operators.Materialize.Tracker] = None): DataFrame = {
+    val f = udf((bytes: Array[Byte]) => orientedDHash(bytes))
+    val hashed0 = df
+      .select(idCol.cast("long").as("doc_id"), f(bytesCol).as("__x"))
+      .where(col("__x").isNotNull)
+      .select(col("doc_id"), col("__x._1").as("ndhash"),
+        col("__x._2").as("orientation"))
+    val hashed = graft.operators.Materialize.eager(hashed0)
+    tracker.foreach(_.track(hashed))
+    val a = hashed.select(col("doc_id").as("id_a"), col("ndhash"),
+      col("orientation").as("orient_a"))
+    val b = hashed.select(col("doc_id").as("id_b"), col("ndhash"),
+      col("orientation").as("orient_b"))
+    a.join(b, Seq("ndhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("orient_a"), col("orient_b"))
+  }
+
+  /** llm127 fixture: pairs of PNGs sharing planted NORMALIZED-space
+    * dHash bits — member 0 stores the display image (Orientation 1),
+    * member 1 stores the pixels physically rotated with the matching
+    * eXIf Orientation tag (180°/90°CW/90°CCW cycling by pair), so
+    * only the orientation-normalized hash recovers the collision.
+    * docId encodes pair = id/2, member = id%2. */
+  private[graft] def fixturePngOriented(docId: Long): Array[Byte] = {
+    val pair = docId / 2
+    val member = (docId % 2).toInt
+    val n = renderBitsImage { b =>
+      graft.functions.Portable.hash64Jvm(s"R$pair:$b") % 2 == 1
+    }
+    val (w, h) = (n.getWidth, n.getHeight)
+    val orientation = if (member == 0) 1 else (pair % 3) match {
+      case 0 => 3
+      case 1 => 6
+      case 2 => 8
+    }
+    // store the INVERSE of the display transform, so normalization
+    // reproduces n exactly (all-integer pixel moves, PNG lossless)
+    val stored = orientation match {
+      case 1 => n
+      case 3 =>
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          out.setRGB(x, y, n.getRGB(w - 1 - x, h - 1 - y))
+        out
+      case 6 => // stored is h×w; display(x,y) = stored(y, w-1-x) must equal n(x,y)
+        val out = new java.awt.image.BufferedImage(h, w,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (sy <- 0 until w; sx <- 0 until h)
+          out.setRGB(sx, sy, n.getRGB(w - 1 - sy, sx))
+        out
+      case 8 => // display(x,y) = stored(w'-1-y, x), w' = h
+        val out = new java.awt.image.BufferedImage(h, w,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (sy <- 0 until w; sx <- 0 until h)
+          out.setRGB(sx, sy, n.getRGB(sy, h - 1 - sx))
+        out
+    }
+    pngWithExif(encodePng(stored), buildTiffExif(
+      le = pair % 2 == 0, make = s"Cam${pair % 5}", model = s"M-${pair % 3}",
+      orientation = orientation,
+      dateTime = "2024:01:01 10:00:00"))
   }
 
   /** Per-image dHash frame: (doc_id, dhash) with dhash null for

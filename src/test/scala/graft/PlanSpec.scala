@@ -812,6 +812,16 @@ class PlanSpec extends SparkSpec {
       s"the (device, window) block join degenerated to a product:\n$p")
   }
 
+  test("llm127: rotation dedup — image bytes die at the codec seam; candidates via hash equality, never a product") {
+    val df = Queries.byName("llm127_rotation_dedup")(spark, sfSmoke)
+    val p = planOf(df)
+    assert(!shuffleInputs(p).contains("media"),
+      "image bytes must never cross an exchange — normalize+hash runs at the scan")
+    assert(!p.toString.contains("CartesianProduct") &&
+           !p.toString.contains("BroadcastNestedLoopJoin"),
+      s"the normalized-hash candidate join degenerated to a product:\n$p")
+  }
+
   test("llm125: exif parse — jpeg bytes die at the codec seam; only the output sort exchanges") {
     val df = Queries.byName("llm125_exif_metadata")(spark, sfSmoke)
     val p = planOf(df)

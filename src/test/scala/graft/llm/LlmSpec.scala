@@ -1261,6 +1261,22 @@ class LlmSpec extends SparkSpec {
     assert(out(4L) == ((4L, 4L, true)) && out(7L) == ((4L, 4L, false)), out.toString)
   }
 
+  test("orientedDHash: normalization recovers the planted hash for every orientation branch; the naive hash scatters") {
+    // pairs 0/1/2 exercise orientations 3, 6, 8 respectively
+    (0L to 2L).foreach { pair =>
+      val upright = Multimodal.fixturePngOriented(pair * 2)
+      val rotated = Multimodal.fixturePngOriented(pair * 2 + 1)
+      val Some((h0, o0)) = Multimodal.orientedDHash(upright)
+      val Some((h1, o1)) = Multimodal.orientedDHash(rotated)
+      assert(o0 == 1 && o1 == Seq(3, 6, 8)(pair.toInt % 3), s"pair $pair: $o0/$o1")
+      assert(h0 == h1, s"pair $pair: normalized hashes diverged")
+      // the naive (orientation-blind) hash must NOT collide — the
+      // normalization is load-bearing, not decorative
+      val naive = Multimodal.dhash64(rotated).get
+      assert(naive != h1, s"pair $pair: rotation did not scatter the naive hash")
+    }
+  }
+
   test("parseExif fuzz: random, truncated, and foreign bytes yield None, never a throw") {
     val rnd = new scala.util.Random(7)
     (1 to 200).foreach { _ =>
