@@ -22,7 +22,7 @@ object QueriesLlm {
                         llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
-                        llm123, llm124, llm125, llm126, llm127)
+                        llm123, llm124, llm125, llm126, llm127, llm128)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6576,4 +6576,76 @@ object QueriesLlm {
             |ORDER BY id_a, id_b""".stripMargin),
     prepare = Some((s, dir) => { llm127In(s, dir); () }),
     cleanup = Some(_ => llm127SlotA.drain()))
+
+  /** WINNOWING FINGERPRINT OVERLAP (Winnowing.fingerprints +
+    * overlapPairs) — the MOSS local fingerprinting algorithm
+    * (Schleimer/Wilkerson/Aiken 2003): rightmost-min-hash per window
+    * of w consecutive 16-gram hashes; any shared substring >= w+k-1
+    * chars is GUARANTEED to contribute a shared fingerprint (the
+    * partial-copy detector MinHash's global sample can't promise).
+    * Fixture: every 11th doc carries one of four ~125-char planted
+    * passages (license text, pangram filler, list-unsubscribe
+    * boilerplate, ASR disclaimer) — docs sharing a variant must pair;
+    * the corpus's natural exact-dup twins surface with the highest
+    * shared counts. The oracle replays gram hashes, the window
+    * expansion, per-window minima, and the distinct-hash overlap
+    * join. Tie position (rightmost vs leftmost argmin) provably
+    * cannot affect this output — the pair join consumes HASH VALUES
+    * and the per-window minimum VALUE is tie-free; the rightmost-pos
+    * selection itself is pinned in WinnowingSpec. */
+  private def llm128 = Q("llm128_winnowing_overlap",
+    (s, dir) => {
+      import graft.llm.Winnowing
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" "),
+          Llm128Passages((expr("doc_id DIV 11") % 4).cast("int"))))
+          .otherwise(col("text")).as("text"))
+      val fps = Winnowing.fingerprints(d, col("doc_id"), col("text"), k = 16, w = 8)
+      Winnowing.overlapPairs(fps, minShared = 5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id,
+            |    CASE WHEN doc_id % 11 = 0 THEN text || ' ' ||
+            |      CASE (doc_id // 11) % 4
+            |        WHEN 0 THEN '${Llm128P(0)}'
+            |        WHEN 1 THEN '${Llm128P(1)}'
+            |        WHEN 2 THEN '${Llm128P(2)}'
+            |        ELSE '${Llm128P(3)}' END
+            |    ELSE text END AS text
+            |  FROM documents),
+            |ph AS (
+            |  SELECT doc_id, length(text) - 15 AS m, i AS p,
+            |         ${Portable.duckHash64("substr(text, i, 16)")} AS h
+            |  FROM (SELECT doc_id, text,
+            |          unnest(generate_series(1, length(text) - 15)) AS i
+            |        FROM d WHERE length(text) >= 16)),
+            |win AS (
+            |  SELECT doc_id, h,
+            |    unnest(generate_series(greatest(1, p - 7),
+            |                           least(p, greatest(m - 7, 1)))) AS i
+            |  FROM ph),
+            |sel AS (SELECT doc_id, i, min(h) AS h FROM win GROUP BY doc_id, i),
+            |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+            |sz AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+            |pr AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2 HAVING count(*) >= 5)
+            |SELECT doc_a, doc_b, n_shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+            |  (n_shared * 100) // least(sa.n_fp, sb.n_fp) AS overlap_pct
+            |FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id
+            |        JOIN sz sb ON pr.doc_b = sb.doc_id
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** llm128's planted passages — four ~125-char blocks of the
+    * boilerplate kinds winnowing exists to catch. */
+  private val Llm128P = Seq(
+    "permission is hereby granted free of charge to any person obtaining a copy of this software and associated documentation files",
+    "the quick brown fox jumps over the lazy dog while the diligent archivist catalogs every scroll in the ancient library basement",
+    "unsubscribe from this mailing list at any time by clicking the link below and confirming your address in the following form",
+    "this transcript was produced by automatic speech recognition and may contain errors that the editorial team has not reviewed")
+  private def Llm128Passages(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(v === 0, lit(Llm128P(0))).when(v === 1, lit(Llm128P(1)))
+      .when(v === 2, lit(Llm128P(2))).otherwise(lit(Llm128P(3)))
 }

@@ -831,4 +831,17 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.forall(_.contains("rangepartitioning")),
       s"exif extraction is one scan-side projection — only the ORDER BY may exchange: $shuffles")
   }
+
+  test("llm128: winnowing — text dies in the gram projection; the w-fold window blowup collapses map-side") {
+    val df = Queries.byName("llm128_winnowing_overlap")(spark, sfSmoke)
+    val p = planOf(df)
+    val keys = shufflePartitionings(p)
+    assert(!shuffleInputs(p).exists(n => n.startsWith("text") || n.startsWith("__t")),
+      "document text must never cross an exchange — grams hash at the scan")
+    assert(!keys.exists(s => s.contains("text#") || s.contains("__t#")),
+      s"winnowing shuffles key on (doc, window) / hash only: $keys")
+    assert(!p.toString.contains("CartesianProduct") &&
+           !p.toString.contains("BroadcastNestedLoopJoin"),
+      s"the fingerprint overlap join degenerated to a product:\n$p")
+  }
 }
