@@ -22,7 +22,7 @@ object QueriesLlm {
                         llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
-                        llm123, llm124, llm125, llm126, llm127, llm128)
+                        llm123, llm124, llm125, llm126, llm127, llm128, llm129)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6637,6 +6637,69 @@ object QueriesLlm {
             |FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id
             |        JOIN sz sb ON pr.doc_b = sb.doc_id
             |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** CONTENT-DEFINED CHUNK DEDUP (Chunking.chunkDedupStats) — the
+    * Manber/LBFS/rsync storage-dedup treatment at corpus grain: split
+    * every doc where the 8-char window hash ≡ 0 (mod 47), so chunk
+    * boundaries depend only on LOCAL content and a passage shared at
+    * DIFFERENT offsets chunks identically in both docs — what
+    * fixed-size blocking cannot do. Fixture: every 7th doc carries a
+    * planted license PREAMBLE and every 5th a privacy-policy SUFFIX
+    * (offset-shifting the body), plus the corpus's natural exact-dup
+    * twins; per source the operator reports total vs distinct vs
+    * cross-doc-shared chunk volume — the dedup-able bytes. The oracle
+    * replays window hashes, cut positions, per-chunk content hashes,
+    * and all three grains. Boundaries AND chunk hashes compute in ONE
+    * projection over the scan (higher-order functions on the text
+    * where it sits); only (source, 8-byte hash, int len) rows cross
+    * any exchange. */
+  private def llm129 = Q("llm129_cdc_chunk_dedup",
+    (s, dir) => {
+      import graft.llm.Chunking
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        concat(
+          when(col("doc_id") % 7 === 0, concat(lit(Llm129A + " "), col("text")))
+            .otherwise(col("text")),
+          when(col("doc_id") % 5 === 0, lit(" " + Llm129B)).otherwise(lit("")))
+          .as("text"))
+      Chunking.chunkDedupStats(d, col("doc_id"), col("text"), col("source"),
+          win = 8, modulus = 47)
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, source,
+            |    CASE WHEN doc_id % 7 = 0 THEN '$Llm129A ' || text ELSE text END ||
+            |    CASE WHEN doc_id % 5 = 0 THEN ' $Llm129B' ELSE '' END AS text
+            |  FROM documents),
+            |ph AS (
+            |  SELECT doc_id, i AS p, ${Portable.duckHash64("substr(text, i, 8)")} AS h
+            |  FROM (SELECT doc_id, text,
+            |          unnest(generate_series(1, length(text) - 7)) AS i
+            |        FROM d WHERE length(text) >= 8)),
+            |allb AS (
+            |  SELECT DISTINCT doc_id, c FROM (
+            |    SELECT doc_id, p + 7 AS c FROM ph WHERE h % 47 = 0
+            |    UNION ALL
+            |    SELECT doc_id, length(text) AS c FROM d WHERE length(text) >= 1)),
+            |ch AS (
+            |  SELECT b.doc_id, d.source,
+            |    ${Portable.duckHash64("substr(d.text, CAST(coalesce(lag(b.c) OVER (PARTITION BY b.doc_id ORDER BY b.c), 0) + 1 AS BIGINT), CAST(b.c - coalesce(lag(b.c) OVER (PARTITION BY b.doc_id ORDER BY b.c), 0) AS BIGINT))")} AS h,
+            |    CAST(b.c - coalesce(lag(b.c) OVER (PARTITION BY b.doc_id ORDER BY b.c), 0) AS BIGINT) AS len
+            |  FROM allb b JOIN d USING (doc_id)),
+            |bh AS (SELECT h, min(doc_id) <> max(doc_id) AS crossdoc FROM ch GROUP BY h),
+            |sh AS (SELECT source, h, count(*) AS cnt, max(len) AS len FROM ch GROUP BY 1, 2)
+            |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+            |  CAST(sum(cnt*len) AS BIGINT) AS total_chars,
+            |  count(*) AS n_distinct_chunks,
+            |  CAST(sum(len) AS BIGINT) AS distinct_chars,
+            |  CAST(sum(CASE WHEN crossdoc THEN cnt ELSE 0 END) AS BIGINT) AS dup_chunks,
+            |  CAST(sum(CASE WHEN crossdoc THEN cnt*len ELSE 0 END) AS BIGINT) AS dup_chars,
+            |  CAST(sum(CASE WHEN crossdoc THEN cnt*len ELSE 0 END) * 100 //
+            |       sum(cnt*len) AS BIGINT) AS dup_pct
+            |FROM sh JOIN bh USING (h) GROUP BY source ORDER BY source""".stripMargin))
+
+  private val Llm129A = "this material is distributed under the creative commons attribution license and may be shared or adapted provided that appropriate credit is given and changes are indicated"
+  private val Llm129B = "for more information about our privacy practices and how we handle personal data please review the policy documents published on our official website"
 
   /** llm128's planted passages — four ~125-char blocks of the
     * boilerplate kinds winnowing exists to catch. */

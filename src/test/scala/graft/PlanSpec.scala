@@ -844,4 +844,14 @@ class PlanSpec extends SparkSpec {
            !p.toString.contains("BroadcastNestedLoopJoin"),
       s"the fingerprint overlap join degenerated to a product:\n$p")
   }
+
+  test("llm129: cdc chunking — boundaries and chunk hashes compute at the scan; text never exchanges") {
+    val df = Queries.byName("llm129_cdc_chunk_dedup")(spark, sfSmoke)
+    val p = planOf(df)
+    assert(!shuffleInputs(p).exists(n => n.startsWith("text") || n.startsWith("__t")),
+      "document text must never cross an exchange — the whole chunk pass is one scan projection")
+    assert(!p.toString.contains("CartesianProduct") &&
+           !p.toString.contains("BroadcastNestedLoopJoin"),
+      s"chunk-grain joins degenerated to a product:\n$p")
+  }
 }
