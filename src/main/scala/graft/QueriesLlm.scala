@@ -22,7 +22,8 @@ object QueriesLlm {
                         llm98, llm99, llm100, llm101, llm102, llm103, llm104, llm105,
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
-                        llm123, llm124, llm125, llm126, llm127, llm128, llm129)
+                        llm123, llm124, llm125, llm126, llm127, llm128, llm129,
+                        llm130)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6697,6 +6698,67 @@ object QueriesLlm {
             |  CAST(sum(CASE WHEN crossdoc THEN cnt*len ELSE 0 END) * 100 //
             |       sum(cnt*len) AS BIGINT) AS dup_pct
             |FROM sh JOIN bh USING (h) GROUP BY source ORDER BY source""".stripMargin))
+
+  /** PAIRWISE PREFERENCE AGGREGATION (Preference.aggregate) — the
+    * RLHF preference-data ranking operator: raw (a, b, winner)
+    * comparisons fold to per-matchup majorities, Copeland scores
+    * (doubled to stay integral), Borda-style total wins, and
+    * Condorcet-winner detection — all integer-exact and
+    * arrival-order-independent, unlike Elo (order-dependent) or
+    * Bradley-Terry MLE (iterative floats that diverge across
+    * engines). Fixture: 12 synthetic "responses" with planted
+    * strength = item index; each documents row contributes one
+    * comparison (items and noise hash-derived, both engines replay
+    * the same md5 draws), winner decided by noise < 50 + 4·(a−b) —
+    * the Copeland order must recover the planted strengths within
+    * sampling noise. */
+  private def llm130 = Q("llm130_preference_rank",
+    (s, dir) => {
+      import graft.llm.Preference
+      val c = Tables.documents(s, dir).select(
+        (Portable.hash64(concat(lit("pa:"), col("doc_id"))) % 12).as("a"),
+        (Portable.hash64(concat(lit("pb:"), col("doc_id"))) % 12).as("b"),
+        (Portable.hash64(concat(lit("pw:"), col("doc_id"))) % 100).as("noise"))
+        .where(col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          when(col("noise") < lit(50) + (col("a") - col("b")) * 4, col("a"))
+            .otherwise(col("b")).as("winner"))
+      Preference.aggregate(c, col("a"), col("b"), col("winner"))
+        .orderBy(col("item"))
+    },
+    Some(s"""WITH c AS (
+            |  SELECT ${Portable.duckHash64("'pa:' || doc_id")} % 12 AS a,
+            |         ${Portable.duckHash64("'pb:' || doc_id")} % 12 AS b,
+            |         ${Portable.duckHash64("'pw:' || doc_id")} % 100 AS noise
+            |  FROM documents),
+            |cw AS (
+            |  SELECT a, b, CASE WHEN noise < 50 + 4*(a - b) THEN a ELSE b END AS winner
+            |  FROM c WHERE a <> b),
+            |norm AS (
+            |  SELECT least(a,b) AS lo, greatest(a,b) AS hi,
+            |         CASE WHEN winner = least(a,b) THEN 1 ELSE 0 END AS lo_win
+            |  FROM cw),
+            |mu AS (
+            |  SELECT lo, hi, count(*) AS n, CAST(sum(lo_win) AS BIGINT) AS lo_wins
+            |  FROM norm GROUP BY 1,2),
+            |sides AS (
+            |  SELECT lo AS item, n, lo_wins AS wins,
+            |    CASE WHEN lo_wins*2 > n THEN 1 ELSE 0 END AS beat,
+            |    CASE WHEN lo_wins*2 = n THEN 1 ELSE 0 END AS tie
+            |  FROM mu
+            |  UNION ALL
+            |  SELECT hi AS item, n, n - lo_wins AS wins,
+            |    CASE WHEN lo_wins*2 < n THEN 1 ELSE 0 END AS beat,
+            |    CASE WHEN lo_wins*2 = n THEN 1 ELSE 0 END AS tie
+            |  FROM mu)
+            |SELECT item, count(*) AS n_matchups, CAST(sum(n) AS BIGINT) AS n_comps,
+            |  CAST(sum(wins) AS BIGINT) AS n_wins,
+            |  CAST(sum(beat) AS BIGINT) AS n_beaten,
+            |  CAST(sum(tie) AS BIGINT) AS n_tied,
+            |  CAST(2*sum(beat) + sum(tie) AS BIGINT) AS copeland2,
+            |  (sum(beat) = count(*)) AS condorcet,
+            |  CAST(sum(wins) * 100 // sum(n) AS BIGINT) AS win_pct
+            |FROM sides GROUP BY item ORDER BY item""".stripMargin))
 
   private val Llm129A = "this material is distributed under the creative commons attribution license and may be shared or adapted provided that appropriate credit is given and changes are indicated"
   private val Llm129B = "for more information about our privacy practices and how we handle personal data please review the policy documents published on our official website"
