@@ -23,7 +23,7 @@ object QueriesLlm {
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
-                        llm130)
+                        llm130, llm131)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6759,6 +6759,58 @@ object QueriesLlm {
             |  (sum(beat) = count(*)) AS condorcet,
             |  CAST(sum(wins) * 100 // sum(n) AS BIGINT) AS win_pct
             |FROM sides GROUP BY item ORDER BY item""".stripMargin))
+
+  /** BLOCKLIST GATE with obfuscation folding
+    * (TextAnalysis.blocklistGate) — the C4 badwords curation stage
+    * hardened against zero-width insertion and leet substitution.
+    * Fixture plants all three evasion channels deterministically
+    * (both engines replay the same concat): doc_id%7 appends a leet
+    * `m0d3l`, %11 a leet `7oxic m0d3l`, %13 a zero-width-split
+    * `gp<zwsp>u`; the gate must fold every one back onto the
+    * blocklist {model, toxic, gpu} and report per-source flag rates.
+    * 100 TB shape: one codegen projection over the scan feeding one
+    * hash aggregate — which-terms-matched rides a per-doc bitmask
+    * folded with bit_or, so the exchange carries four fixed-width
+    * fields per doc and nothing else. */
+  private def llm131 = Q("llm131_blocklist_gate",
+    (s, dir) => {
+      import graft.llm.TextAnalysis
+      val d = Tables.documents(s, dir).select(col("source"),
+        concat(lower(col("text")),
+          when(col("doc_id") % 7 === 0, " m0d3l").otherwise(""),
+          when(col("doc_id") % 11 === 0, " 7oxic m0d3l").otherwise(""),
+          when(col("doc_id") % 13 === 0, " gp\u200bu").otherwise("")).as("t"))
+      TextAnalysis.blocklistGate(d, col("source"), col("t"),
+          Seq("model", "toxic", "gpu"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH inj AS (
+           |  SELECT source,
+           |    lower(text) ||
+           |      CASE WHEN doc_id % 7 = 0 THEN ' m0d3l' ELSE '' END ||
+           |      CASE WHEN doc_id % 11 = 0 THEN ' 7oxic m0d3l' ELSE '' END ||
+           |      CASE WHEN doc_id % 13 = 0 THEN ' gp' || chr(8203) || 'u' ELSE '' END AS t
+           |  FROM documents),
+           |perdoc AS (
+           |  SELECT source,
+           |    len(list_filter(ftoks, x -> list_contains(['model','toxic','gpu'], x))) AS hits,
+           |    (CASE WHEN list_contains(ftoks, 'model') THEN 1 ELSE 0 END
+           |     + CASE WHEN list_contains(ftoks, 'toxic') THEN 2 ELSE 0 END
+           |     + CASE WHEN list_contains(ftoks, 'gpu') THEN 4 ELSE 0 END)::BIGINT AS mask
+           |  FROM (
+           |    SELECT source,
+           |      list_transform(
+           |        regexp_split_to_array(
+           |          translate(t, chr(8203)||chr(8204)||chr(8205)||chr(65279), ''),
+           |          '[^a-z0-9@$]+'),
+           |        x -> translate(x, '0134578@$', 'oieastbas')) AS ftoks
+           |    FROM inj))
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+           |  CAST(sum(hits) AS BIGINT) AS hits,
+           |  CAST(bit_count(bit_or(mask)) AS BIGINT) AS n_terms,
+           |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 100 // count(*) AS BIGINT) AS flag_pct
+           |FROM perdoc GROUP BY source ORDER BY source""".stripMargin))
 
   private val Llm129A = "this material is distributed under the creative commons attribution license and may be shared or adapted provided that appropriate credit is given and changes are indicated"
   private val Llm129B = "for more information about our privacy practices and how we handle personal data please review the policy documents published on our official website"

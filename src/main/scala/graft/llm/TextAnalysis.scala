@@ -465,4 +465,69 @@ object TextAnalysis {
       .withColumn("homoglyph",
         col("n_latin") > col("n_cyrillic") * 4 && col("n_cyrillic") > 0)
   }
+
+  /** Characters the obfuscation fold deletes (zero-width space /
+    * non-joiner / joiner, BOM) before tokenizing — the classic
+    * blocklist-evasion insertions. */
+  val ZeroWidth = "\u200b\u200c\u200d\ufeff"
+
+  /** Leet-speak fold map applied per token: digits and symbols that
+    * visually substitute letters map back (0→o 1→i 3→e 4→a 5→s 7→t
+    * 8→b @→a $→s). */
+  val LeetFrom = "0134578@$"
+  val LeetTo   = "oieastbas"
+
+  /** BLOCKLIST GATE with obfuscation folding — the C4 "badwords"
+    * curation stage (Raffel et al. 2020 §2.2 drops any page with a
+    * blocklisted word), hardened against the two evasions a naive
+    * token match misses: zero-width insertions (`gp​u`) and
+    * leet substitutions (`m0d3l`, `7oxic`). The fold is
+    * normalization-then-match: strip zero-width chars, lowercase,
+    * split on non-token chars (digits/@/$ stay INSIDE tokens so the
+    * leet fold can see them), map each token through the leet table,
+    * and match against the blocklist.
+    *
+    * Reference scope: the reference ships no content gating; this is
+    * the training-data curation surface next to [[gopherGates]] /
+    * the C4 line cleaner.
+    *
+    * Scale shape (100 TB): the whole gate is ONE codegen projection
+    * over the scan feeding ONE hash aggregate — tokenize/fold/match
+    * are higher-order array ops on the text column where it already
+    * sits, the blocklist is a constant-folded literal array, which-
+    * terms-matched is a per-doc BITMASK (bit i = blocklist(i)
+    * present) folded per source with bit_or, so distinct-term
+    * counting needs no explode, no second corpus pass, and no
+    * string shuffle keys: the only rows reaching the exchange are
+    * (source, hits, flag, mask) — four fixed-width fields per doc,
+    * map-side combined. The ≤64-term mask covers a per-language
+    * blocklist tier; a larger list swaps the mask for an
+    * explode(array_intersect)+countDistinct leg or a broadcast join
+    * after explode — same scan, one extra narrow shuffle.
+    *
+    * @return one row per source:
+    *   (source, n_docs, flagged, hits, n_terms, flag_pct) */
+  def blocklistGate(df: DataFrame, sourceCol: Column, textCol: Column,
+                    blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty && blocklist.size <= 64,
+      "bitmask gate covers <=64 terms; see scaladoc for the large-list variant")
+    val bl = array(blocklist.map(lit): _*)
+    val toks = split(lower(translate(textCol, ZeroWidth, "")), "[^a-z0-9@$]+")
+    // bits are disjoint, so + is bitwise-or
+    val mask = blocklist.zipWithIndex.map { case (term, i) =>
+      when(array_contains(col("__ft"), term), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(
+        sourceCol.as("source"),
+        transform(toks, t => translate(t, LeetFrom, LeetTo)).as("__ft"))
+      .select(col("source"),
+        size(filter(col("__ft"), t => array_contains(bl, t))).cast("long").as("hits"),
+        mask.as("mask"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("flagged"),
+        sum(col("hits")).as("hits"),
+        expr("bit_count(bit_or(mask))").cast("long").as("n_terms"))
+      .withColumn("flag_pct", expr("flagged * 100 DIV n_docs"))
+  }
 }

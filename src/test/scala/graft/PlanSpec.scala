@@ -854,4 +854,17 @@ class PlanSpec extends SparkSpec {
            !p.toString.contains("BroadcastNestedLoopJoin"),
       s"chunk-grain joins degenerated to a product:\n$p")
   }
+
+  test("llm131: blocklist gate — one scan projection, one aggregate; no explode, no text keys") {
+    val df = Queries.byName("llm131_blocklist_gate")(spark, sfSmoke)
+    val p = planOf(df)
+    val s = p.toString
+    assert(!shuffleInputs(p).exists(n => n.startsWith("text") || n.startsWith("__")),
+      "the gate folds to (source, hits, flag, mask) before any exchange")
+    assert(!s.linesIterator.exists(_.trim.startsWith("Generate")),
+      s"distinct-term counting must ride the bitmask, not an explode:\n$s")
+    // exactly the partial/final agg exchange + the output sort
+    assert(shufflePartitionings(p).size <= 2,
+      s"expected agg + sort exchanges only: ${shufflePartitionings(p)}")
+  }
 }
