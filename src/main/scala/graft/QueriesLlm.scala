@@ -23,7 +23,7 @@ object QueriesLlm {
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
-                        llm130, llm131)
+                        llm130, llm131, llm132)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6811,6 +6811,87 @@ object QueriesLlm {
            |  CAST(bit_count(bit_or(mask)) AS BIGINT) AS n_terms,
            |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 100 // count(*) AS BIGINT) AS flag_pct
            |FROM perdoc GROUP BY source ORDER BY source""".stripMargin))
+
+  /** llm132's reference license texts — genericized boilerplate in
+    * the three families corpus curation keys on (MIT-flavored
+    * permissive, GPL-flavored copyleft, CC-flavored attribution). */
+  private val Llm132P = "permission is hereby granted free of charge to any person obtaining a copy of this software to deal in the software without restriction including the rights to use copy modify and distribute"
+  private val Llm132C = "this program is free software you can redistribute it and or modify it under the terms of the general public license as published by the free software foundation either version three or any later version"
+  private val Llm132A = "this work is licensed under a creative commons attribution license you are free to share and adapt the material provided appropriate credit is given and any changes are indicated"
+
+  /** LICENSE DETECTION (Licenses.detect) — tag each document with the
+    * reference license whose boilerplate it carries, by winnowing-
+    * fingerprint CONTAINMENT against a broadcast reference set (the
+    * stage The Stack-style permissive-corpus builds run first).
+    * Fixture plants full license texts (doc_id%6 permissive, %10
+    * copyleft, %15 attribution) and a HALF-license (%13, first 95
+    * chars of the permissive text) — full plants must detect at 100%
+    * containment, the half at its deterministic partial value, and
+    * multi-planted docs resolve by the (containment desc, license
+    * asc) argmax. 100 TB shape: text dies in the gram projection,
+    * the candidate join broadcasts the kilobyte reference
+    * fingerprint frame, and only true fingerprint hits reach the
+    * aggregation exchange. */
+  private def llm132 = Q("llm132_license_detect",
+    (s, dir) => {
+      import graft.llm.Licenses
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0, " " + Llm132P).otherwise(""),
+          when(col("doc_id") % 10 === 0, " " + Llm132C).otherwise(""),
+          when(col("doc_id") % 15 === 0, " " + Llm132A).otherwise(""),
+          when(col("doc_id") % 13 === 0, " " + Llm132P.take(95)).otherwise(""))
+          .as("text"))
+      Licenses.detect(d, col("doc_id"), col("text"),
+          Seq("attribution" -> Llm132A, "copyleft" -> Llm132C,
+              "permissive" -> Llm132P),
+          k = 16, w = 8, minPct = 25)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH refs AS (
+            |  SELECT * FROM (VALUES ('attribution', '$Llm132A'),
+            |    ('copyleft', '$Llm132C'), ('permissive', '$Llm132P')) r(license, ltext)),
+            |d AS (
+            |  SELECT doc_id,
+            |    text ||
+            |    CASE WHEN doc_id % 6 = 0 THEN ' $Llm132P' ELSE '' END ||
+            |    CASE WHEN doc_id % 10 = 0 THEN ' $Llm132C' ELSE '' END ||
+            |    CASE WHEN doc_id % 15 = 0 THEN ' $Llm132A' ELSE '' END ||
+            |    CASE WHEN doc_id % 13 = 0 THEN ' ${Llm132P.take(95)}' ELSE '' END AS text
+            |  FROM documents),
+            |dph AS (
+            |  SELECT doc_id, length(text) - 15 AS m, i AS p,
+            |         ${Portable.duckHash64("substr(text, i, 16)")} AS hh
+            |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 15)) AS i
+            |        FROM d WHERE length(text) >= 16)),
+            |dwin AS (
+            |  SELECT doc_id, hh, unnest(generate_series(greatest(1, p - 7),
+            |    least(p, greatest(m - 7, 1)))) AS i
+            |  FROM dph),
+            |dfp AS (SELECT DISTINCT doc_id, hh FROM
+            |  (SELECT doc_id, i, min(hh) AS hh FROM dwin GROUP BY 1,2)),
+            |rph AS (
+            |  SELECT license, length(ltext) - 15 AS m, i AS p,
+            |         ${Portable.duckHash64("substr(ltext, i, 16)")} AS hh
+            |  FROM (SELECT license, ltext, unnest(generate_series(1, length(ltext) - 15)) AS i
+            |        FROM refs WHERE length(ltext) >= 16)),
+            |rwin AS (
+            |  SELECT license, hh, unnest(generate_series(greatest(1, p - 7),
+            |    least(p, greatest(m - 7, 1)))) AS i
+            |  FROM rph),
+            |rfp AS (SELECT DISTINCT license, hh FROM
+            |  (SELECT license, i, min(hh) AS hh FROM rwin GROUP BY 1,2)),
+            |rsz AS (SELECT license, count(*) AS ref_fp FROM rfp GROUP BY 1),
+            |sc AS (
+            |  SELECT doc_id, license, n_shared, ref_fp,
+            |         n_shared * 100 // ref_fp AS containment_pct
+            |  FROM (SELECT doc_id, license, count(*) AS n_shared
+            |        FROM dfp JOIN rfp USING (hh) GROUP BY 1,2) JOIN rsz USING (license)
+            |  WHERE n_shared * 100 // ref_fp >= 25)
+            |SELECT doc_id, license, n_shared, ref_fp, containment_pct FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY doc_id
+            |    ORDER BY containment_pct DESC, license) AS rk FROM sc)
+            |WHERE rk = 1 ORDER BY doc_id""".stripMargin))
 
   private val Llm129A = "this material is distributed under the creative commons attribution license and may be shared or adapted provided that appropriate credit is given and changes are indicated"
   private val Llm129B = "for more information about our privacy practices and how we handle personal data please review the policy documents published on our official website"

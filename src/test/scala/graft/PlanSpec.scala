@@ -855,6 +855,19 @@ class PlanSpec extends SparkSpec {
       s"chunk-grain joins degenerated to a product:\n$p")
   }
 
+  test("llm132: license detect — text dies in the gram projection; the ref side broadcasts") {
+    val df = Queries.byName("llm132_license_detect")(spark, sfSmoke)
+    val p = planOf(df)
+    val s = p.toString
+    assert(!shuffleInputs(p).exists(n => n.startsWith("text") || n.startsWith("__t") ||
+        n.startsWith("ltext")),
+      "document and reference text must never cross an exchange")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"the reference fingerprint frame must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"the containment join degenerated to a product:\n$s")
+  }
+
   test("llm131: blocklist gate — one scan projection, one aggregate; no explode, no text keys") {
     val df = Queries.byName("llm131_blocklist_gate")(spark, sfSmoke)
     val p = planOf(df)
