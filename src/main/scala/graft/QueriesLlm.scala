@@ -23,7 +23,7 @@ object QueriesLlm {
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
-                        llm130, llm131, llm132)
+                        llm130, llm131, llm132, llm133)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6811,6 +6811,60 @@ object QueriesLlm {
            |  CAST(bit_count(bit_or(mask)) AS BIGINT) AS n_terms,
            |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 100 // count(*) AS BIGINT) AS flag_pct
            |FROM perdoc GROUP BY source ORDER BY source""".stripMargin))
+
+  /** LINK-GRAPH DOMAIN AUTHORITY (Html.extractLinks +
+    * LinkGraph.domainAuthority) — the CCNet/RefinedWeb crawl-quality
+    * prior: extract outlinks from page HTML, reduce to a domain-grain
+    * graph, rank domains by integer random-walk mass (q24's engine).
+    * Fixture: each doc becomes a page on domain d(doc_id%20) whose
+    * HTML embeds three deterministic links (targets hash-derived,
+    * anchors carrying an inner <b> tag so tag-stripping is exercised
+    * for real); the oracle regenerates the link formula and replays
+    * the 3-round mass propagation with q24's unrolled integer
+    * stages — so the Spark side's REAL regex extraction must
+    * reproduce exactly the links the formula plants. 100 TB shape:
+    * page HTML dies in the scan projection; everything downstream is
+    * domain-grain longs. */
+  private val llm133Slot = new TrackerSlot
+  private def llm133 = Q("llm133_domain_authority",
+    (s, dir) => {
+      import graft.llm.{Html, LinkGraph}
+      def idx(j: Int) = Portable.hash64(concat(lit(s"lnk$j:"), col("doc_id"))) % 20
+      def li(j: Int) = concat(lit("<li><a href=\"https://d"), idx(j),
+        lit(".example/p"), col("doc_id"), lit("\"><b>ref</b> "),
+        (col("doc_id") + j) % 3, lit("</a></li>"))
+      val pages = Tables.documents(s, dir).select(
+        concat(lit("d"), col("doc_id") % 20, lit(".example")).as("domain"),
+        concat(lit("<html><body><p>"), col("text"), lit("</p><ul>"),
+          li(1), li(2), li(3), lit("</ul></body></html>")).as("html"))
+      LinkGraph.domainAuthority(pages, col("domain"),
+          Html.extractLinks(col("html")), rounds = 3,
+          tracker = Some(llm133Slot.fresh()))
+        .orderBy(col("domain"))
+    },
+    Some {
+      val stages = (1 to 3).map { r =>
+        s"""m$r AS (SELECT e.dst AS id, CAST(sum(m.mass // d.deg) AS BIGINT) AS mass
+           |       FROM m${r - 1} m JOIN deg d ON d.src = m.id JOIN e ON e.src = m.id
+           |       GROUP BY e.dst HAVING sum(m.mass // d.deg) > 0)""".stripMargin
+      }.mkString(",\n        ")
+      s"""WITH lnk AS (
+         |  SELECT doc_id % 20 AS src,
+         |         ${Portable.duckHash64("'lnk' || j || ':' || doc_id")} % 20 AS dst,
+         |         'ref ' || (doc_id + j) % 3 AS anchor
+         |  FROM documents, generate_series(1, 3) g(j)),
+         |e AS (SELECT src, dst FROM lnk),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |m0 AS (SELECT id, CAST(1000000 AS BIGINT) AS mass FROM
+         |       (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+         |$stages
+         |SELECT 'd' || dst || '.example' AS domain, count(*) AS n_inlinks,
+         |       count(DISTINCT anchor) AS n_anchors,
+         |       coalesce(any_value(m.mass), 0) AS mass
+         |FROM lnk LEFT JOIN m3 m ON m.id = lnk.dst
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    cleanup = Some(_ => llm133Slot.drain()))
 
   /** llm132's reference license texts — genericized boilerplate in
     * the three families corpus curation keys on (MIT-flavored

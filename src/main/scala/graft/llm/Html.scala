@@ -76,6 +76,30 @@ object Html {
     rec.getField("words") >= lit(5) &&
       rec.getField("links") * lit(3) < rec.getField("words")
 
+  /** Outlink extraction: every `<a href="...">anchor</a>` in the
+    * markup as an array of (href, anchor) structs, in document order.
+    * Anchor text is tag-stripped and whitespace-normalized — the weak
+    * label web pipelines mine (anchor-text corpora, URL discovery,
+    * link-graph construction). One regexp_extract_all + a per-tag
+    * transform: stays inside the scan projection, no UDF, no shuffle;
+    * the per-element regexes run on the short tag slice, not the
+    * document. Both patterns mean the same thing in Java regex and
+    * RE2, keeping the DuckDB oracle replayable. */
+  def extractLinks(html: Column): Column =
+    transform(
+      regexp_extract_all(html, lit("(?s)<a\\s[^>]*href=\"[^\"]*\"[^>]*>.*?</a>"), lit(0)),
+      tag => struct(
+        regexp_extract(tag, "href=\"([^\"]*)\"", 1).as("href"),
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(tag, "(?s)^<a[^>]*>|</a>$", ""),
+            "(?s)<[^>]*>", " "),
+          "\\s+", " ")).as("anchor")))
+
+  /** Registrable-host slice of an URL — the link-graph node key. */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[a-z]+://([^/]+)", 1)
+
   /** Extraction summary for one document:
     * `(n_lines, n_kept, extracted)` — kept lines joined with `\n` in
     * document order. */

@@ -855,6 +855,17 @@ class PlanSpec extends SparkSpec {
       s"chunk-grain joins degenerated to a product:\n$p")
   }
 
+  test("llm133: domain authority — page HTML dies in the scan; the graph is domain-grain") {
+    val df = Queries.byName("llm133_domain_authority")(spark, sfSmoke)
+    val p = planOf(df)
+    assert(!shuffleInputs(p).exists(n => n.startsWith("html") || n.startsWith("text") ||
+        n.startsWith("__l")),
+      "page HTML and raw link structs must never cross an exchange")
+    assert(!p.toString.contains("CartesianProduct") &&
+           !p.toString.contains("BroadcastNestedLoopJoin"),
+      s"the label join-back degenerated to a product:\n$p")
+  }
+
   test("llm132: license detect — text dies in the gram projection; the ref side broadcasts") {
     val df = Queries.byName("llm132_license_detect")(spark, sfSmoke)
     val p = planOf(df)
