@@ -23,7 +23,7 @@ object QueriesLlm {
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
-                        llm130, llm131, llm132, llm133)
+                        llm130, llm131, llm132, llm133, llm134)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6865,6 +6865,49 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** ENCODING-DAMAGE (mojibake) AUDIT (TextAnalysis.encodingAudit) —
+    * the transcoding-debris gate: U+FFFD replacement chars, C1
+    * control codepoints (cp1252 bytes mis-promoted), and `Ã`+
+    * continuation pairs (UTF-8 read as latin-1, the classic
+    * double-encode). Fixture plants each signature deterministically:
+    * doc_id%9 a replacement char, %14 a double-encoded `Ã©`, %17 a
+    * C1 U+0085. 100 TB shape: one codegen projection (three
+    * length-difference / extract-all counters on the text where it
+    * sits) into one hash aggregate; (source, four ints) per doc on
+    * the exchange. */
+  private def llm134 = Q("llm134_mojibake_audit",
+    (s, dir) => {
+      import graft.llm.TextAnalysis
+      val d = Tables.documents(s, dir).select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 9 === 0, " caf\uFFFD menu").otherwise(""),
+          when(col("doc_id") % 14 === 0, " caf\u00C3\u00A9 again").otherwise(""),
+          when(col("doc_id") % 17 === 0, " broken\u0085line").otherwise(""))
+          .as("t"))
+      TextAnalysis.encodingAudit(d, col("source"), col("t"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+           |  SELECT source,
+           |    text ||
+           |    CASE WHEN doc_id % 9 = 0 THEN ' caf' || chr(65533) || ' menu' ELSE '' END ||
+           |    CASE WHEN doc_id % 14 = 0 THEN ' caf' || chr(195) || chr(169) || ' again' ELSE '' END ||
+           |    CASE WHEN doc_id % 17 = 0 THEN ' broken' || chr(133) || 'line' ELSE '' END AS t
+           |  FROM documents),
+           |m AS (
+           |  SELECT source,
+           |    length(t) - length(replace(t, chr(65533), '')) AS repl,
+           |    length(t) - length(regexp_replace(t, '[\x80-\x9F]', '', 'g')) AS c1,
+           |    len(regexp_extract_all(t, chr(195) || '[\xA0-\xBF]')) AS dbl
+           |  FROM d)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN repl + c1 + dbl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS damaged,
+           |  CAST(sum(repl) AS BIGINT) AS repl_chars,
+           |  CAST(sum(c1) AS BIGINT) AS c1_chars,
+           |  CAST(sum(dbl) AS BIGINT) AS dbl_seqs,
+           |  CAST(sum(CASE WHEN repl + c1 + dbl > 0 THEN 1 ELSE 0 END) * 100 // count(*) AS BIGINT) AS damaged_pct
+           |FROM m GROUP BY source ORDER BY source""".stripMargin))
 
   /** llm132's reference license texts — genericized boilerplate in
     * the three families corpus curation keys on (MIT-flavored

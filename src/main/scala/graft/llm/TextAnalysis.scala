@@ -530,4 +530,42 @@ object TextAnalysis {
         expr("bit_count(bit_or(mask))").cast("long").as("n_terms"))
       .withColumn("flag_pct", expr("flagged * 100 DIV n_docs"))
   }
+
+  /** ENCODING-DAMAGE (mojibake) AUDIT — the transcoding-debris gate
+    * crawl pipelines run before any text analysis, catching the three
+    * signatures of a mangled decode:
+    *
+    *  - U+FFFD replacement characters (a decoder already gave up);
+    *  - C1 control codepoints U+0080–U+009F (cp1252/latin-1 bytes
+    *    mis-promoted to codepoints — never legitimate in text);
+    *  - `Ã` + U+00A0–U+00BF pairs (UTF-8 two-byte sequences for the
+    *    Latin-1 block read AS latin-1: `é` → `Ã©` — the classic
+    *    double-encode).
+    *
+    * A damaged doc poisons tokenizers and dedup hashes alike, so the
+    * audit reports per-source damage rates for gating or re-decode
+    * routing.
+    *
+    * Scale shape (100 TB): one codegen projection over the scan —
+    * three counters from length-difference / regexp_extract_all on
+    * the text where it sits — feeding one hash aggregate; the
+    * exchange carries (source, four ints) per doc, map-side combined.
+    *
+    * @return one row per source: (source, n_docs, damaged,
+    *   repl_chars, c1_chars, dbl_seqs, damaged_pct) */
+  def encodingAudit(df: DataFrame, sourceCol: Column, textCol: Column): DataFrame =
+    df.select(sourceCol.as("source"),
+        (length(textCol) -
+          length(replace(textCol, lit("\uFFFD"), lit("")))).cast("long").as("repl"),
+        (length(textCol) -
+          length(regexp_replace(textCol, "[\\u0080-\\u009F]", ""))).cast("long").as("c1"),
+        size(regexp_extract_all(textCol,
+          lit("\\u00C3[\\u00A0-\\u00BF]"), lit(0))).cast("long").as("dbl"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("repl") + col("c1") + col("dbl") > 0, 1L).otherwise(0L)).as("damaged"),
+        sum(col("repl")).as("repl_chars"),
+        sum(col("c1")).as("c1_chars"),
+        sum(col("dbl")).as("dbl_seqs"))
+      .withColumn("damaged_pct", expr("damaged * 100 DIV n_docs"))
 }
