@@ -23,7 +23,7 @@ object QueriesLlm {
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
-                        llm130, llm131, llm132, llm133, llm134)
+                        llm130, llm131, llm132, llm133, llm134, llm135)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6865,6 +6865,101 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** HYBRID-RETRIEVAL RRF FUSION (Retrieval.rrfFuse) — reciprocal-
+    * rank fusion of a lexical BM25 ranking (llm90's batch machinery)
+    * and a semantic cosine ranking (llm03's exact brute-force) over
+    * the same 8 queries: each system's top-20 contributes
+    * 10⁹ DIV (60+rank) per (query, doc); docs surfacing in BOTH
+    * systems float up with no score calibration (ranks are
+    * scale-free where BM25 scores and cosines are incomparable).
+    * Queries are docs 0–7 (terms 1/3/5 for the lexical side, the
+    * doc's aligned embedding for the semantic side). 100 TB shape:
+    * corpus cost lives in the upstream rankers (one batch BM25 pass,
+    * one broadcast-query ANN pass); the fusion itself is one union +
+    * one hash aggregate + a per-query window over ≤ 2k rows/query. */
+  private def llm135 = Q("llm135_rrf_fusion",
+    (s, dir) => {
+      import graft.llm.{Retrieval, Similarity}
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val qsrc = d.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("qid"), Dedup.tokens(col("text")).as("tk"))
+      val queries = qsrc.select(col("qid"),
+          explode(array(element_at(col("tk"), 1), element_at(col("tk"), 3),
+                        element_at(col("tk"), 5))).as("term"))
+        .where(col("term").isNotNull)
+      val lex = Retrieval.bm25Batch(d, col("doc_id"), col("text"),
+          queries, col("qid"), col("term"), idfMode = Retrieval.OddsIdf)
+        .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= 20)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val qv = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val sem = Similarity.bruteForceTopK(corpus, "cid", "cv", qv, "qid", "qv",
+          k = 20, exact = true)
+        .select(col("qid"), col("cid").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, sem), kConst = 60, topK = 10)
+        .orderBy(col("qid"), col("fused_rank"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |              list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+           |            FROM documents),
+           |wl AS (SELECT doc_id, tk, len(tk) AS dl FROM t),
+           |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM wl),
+           |q AS (SELECT DISTINCT qid, term FROM (
+           |        SELECT doc_id AS qid, unnest([tk[1], tk[3], tk[5]]) AS term
+           |        FROM t WHERE doc_id < 8)
+           |      WHERE term IS NOT NULL),
+           |tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+           |       FROM (SELECT doc_id, dl, unnest(tk) AS tok FROM wl)
+           |       WHERE tok IN (SELECT term FROM q)
+           |       GROUP BY 1, 2, 3),
+           |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+           |sq AS (SELECT q.qid, tf.doc_id,
+           |        CAST(floor(
+           |          (((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           |           * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+           |              / (CAST(tf AS DOUBLE)
+           |                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+           |                                         / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))))
+           |          * 1e6) AS BIGINT) AS sq
+           |      FROM tf JOIN dfq USING (tok) JOIN q ON q.term = tf.tok CROSS JOIN stats),
+           |lagg AS (SELECT qid, doc_id, CAST(sum(sq) AS DOUBLE) / 1e6 AS score
+           |        FROM sq GROUP BY 1, 2),
+           |lex AS (SELECT qid, doc_id, rank FROM (
+           |         SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+           |           ORDER BY score DESC, doc_id) AS rank FROM lagg)
+           |        WHERE rank <= 20),
+           |qv AS (SELECT vec_id AS qid, embedding AS v FROM embeddings WHERE vec_id < 8),
+           |cv AS (SELECT vec_id AS cid, embedding AS v FROM embeddings),
+           |d AS (SELECT qid, cid,
+           |        sum(CAST(floor(CAST(q.v[i] AS DOUBLE) * 1e6) AS BIGINT)
+           |          * CAST(floor(CAST(c.v[i] AS DOUBLE) * 1e6) AS BIGINT)) AS dot,
+           |        sum(CAST(floor(CAST(q.v[i] AS DOUBLE) * 1e6) AS BIGINT)
+           |          * CAST(floor(CAST(q.v[i] AS DOUBLE) * 1e6) AS BIGINT)) AS nq,
+           |        sum(CAST(floor(CAST(c.v[i] AS DOUBLE) * 1e6) AS BIGINT)
+           |          * CAST(floor(CAST(c.v[i] AS DOUBLE) * 1e6) AS BIGINT)) AS nc
+           |      FROM qv q CROSS JOIN cv c CROSS JOIN generate_series(1, 64) AS g(i)
+           |      WHERE cid <> qid GROUP BY qid, cid),
+           |sem AS (SELECT qid, cid AS doc_id, rank FROM (
+           |         SELECT qid, cid,
+           |           CAST(row_number() OVER (PARTITION BY qid ORDER BY
+           |             CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) DESC,
+           |             cid) AS INT) AS rank FROM d)
+           |        WHERE rank <= 20),
+           |uni AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+           |fused AS (SELECT qid, doc_id, count(*) AS n_systems,
+           |            CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_scaled
+           |          FROM uni GROUP BY 1, 2)
+           |SELECT qid, doc_id, n_systems, rrf_scaled,
+           |       CAST(fused_rank AS INT) AS fused_rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid
+           |    ORDER BY rrf_scaled DESC, doc_id) AS fused_rank FROM fused)
+           |WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin))
 
   /** ENCODING-DAMAGE (mojibake) AUDIT (TextAnalysis.encodingAudit) —
     * the transcoding-debris gate: U+FFFD replacement chars, C1

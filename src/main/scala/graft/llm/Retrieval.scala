@@ -134,4 +134,42 @@ object Retrieval {
     bm25(docs, idCol, textCol, queryTerms, k1, b, idfMode)
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
+
+  /** RECIPROCAL-RANK FUSION (Cormack/Clarke/Buettcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: each system's ranked
+    * list contributes 1/(kConst + rank) per (query, doc), summed
+    * across systems; documents surfacing in SEVERAL systems' top
+    * lists float up without any score calibration between systems
+    * (ranks are scale-free — the whole point: BM25 scores and cosine
+    * similarities are not comparable, their ranks are).
+    *
+    * Contributions are held as 10⁹ DIV (kConst + rank) — exact
+    * integers, so the fusion is bit-identical across engines and
+    * arrival-order independent (floating 1/(k+r) sums would be
+    * neither). Ties break by doc id.
+    *
+    * Scale shape: input frames are ALREADY top-k'd per query (tiny
+    * relative to the corpus); the fusion is one union + one hash
+    * aggregate + one per-query window over ≤ systems×k rows per
+    * query. Corpus cost lives in the upstream rankers.
+    *
+    * @param rankings frames with (qid, doc_id, rank), rank 1-based
+    * @return (qid, doc_id, n_systems, rrf_scaled, fused_rank) */
+  def rrfFuse(rankings: Seq[DataFrame], kConst: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kConst >= 1 && topK >= 1, "kConst and topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = rankings
+      .map(_.select(col("qid"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = tagged
+      .withColumn("__c", expr(s"1000000000 DIV ($kConst + rank)"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_systems"), sum(col("__c")).as("rrf_scaled"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_scaled").desc, col("doc_id").asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+  }
 }
