@@ -23,7 +23,8 @@ object QueriesLlm {
                         llm106, llm107, llm108, llm109, llm110, llm111, llm112, llm113, llm114,
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
-                        llm130, llm131, llm132, llm133, llm134, llm135)
+                        llm130, llm131, llm132, llm133, llm134, llm135,
+                        llm136)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6865,6 +6866,61 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** LUHN-VALIDATED CARD AUDIT (Pii.cardAudit) — payment-card
+    * exposure rates per source, with the checksum that separates a
+    * real card shape from digit noise (a bare digit-run regex over
+    * 100 TB would flag timestamps and ids constantly). Fixture
+    * plants the public test numbers: doc_id%8 a spaced Visa test
+    * number (Luhn-valid), %12 the same with a broken check digit
+    * (must count as candidate, fail validation), %18 a 14-digit
+    * Diners test number (valid — exercises variable length). 100 TB
+    * shape: one codegen projection (extract/strip/checksum as array
+    * algebra where the text sits, candidates rare by construction)
+    * into one hash aggregate of (source, three ints) per doc. */
+  private def llm136 = Q("llm136_card_audit",
+    (s, dir) => {
+      import graft.llm.Pii
+      val d = Tables.documents(s, dir).select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 8 === 0, " pay 4111 1111 1111 1111 now").otherwise(""),
+          when(col("doc_id") % 12 === 0, " card 4111-1111-1111-1112 exp").otherwise(""),
+          when(col("doc_id") % 18 === 0, " acct 30569309025904 ok").otherwise(""))
+          .as("t"))
+      Pii.cardAudit(d, col("source"), col("t"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+           |  SELECT source,
+           |    text ||
+           |    CASE WHEN doc_id % 8 = 0 THEN ' pay 4111 1111 1111 1111 now' ELSE '' END ||
+           |    CASE WHEN doc_id % 12 = 0 THEN ' card 4111-1111-1111-1112 exp' ELSE '' END ||
+           |    CASE WHEN doc_id % 18 = 0 THEN ' acct 30569309025904 ok' ELSE '' END AS t
+           |  FROM documents),
+           |cand AS (
+           |  SELECT source,
+           |    list_filter(
+           |      list_transform(
+           |        regexp_extract_all(t, '[0-9](?:[0-9 -]{11,23})[0-9]'),
+           |        c -> regexp_replace(c, '[ -]', '', 'g')),
+           |      c -> length(c) BETWEEN 13 AND 19) AS cands
+           |  FROM d),
+           |v AS (
+           |  SELECT source, len(cands) AS n_cand,
+           |    len(list_filter(cands, c ->
+           |      list_sum(list_transform(range(1, length(c) + 1), i ->
+           |        CASE WHEN (length(c) - i) % 2 = 1
+           |          THEN CASE WHEN 2*(ascii(substr(c, i, 1)) - 48) > 9
+           |                 THEN 2*(ascii(substr(c, i, 1)) - 48) - 9
+           |                 ELSE 2*(ascii(substr(c, i, 1)) - 48) END
+           |          ELSE ascii(substr(c, i, 1)) - 48 END)) % 10 = 0)) AS n_valid
+           |  FROM cand)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(n_cand) AS BIGINT) AS candidates,
+           |  CAST(sum(n_valid) AS BIGINT) AS valid_cards,
+           |  CAST(sum(n_cand - n_valid) AS BIGINT) AS invalid_cards,
+           |  CAST(sum(CASE WHEN n_valid > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_valid
+           |FROM v GROUP BY source ORDER BY source""".stripMargin))
 
   /** HYBRID-RETRIEVAL RRF FUSION (Retrieval.rrfFuse) — reciprocal-
     * rank fusion of a lexical BM25 ranking (llm90's batch machinery)
