@@ -24,7 +24,7 @@ object QueriesLlm {
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
                         llm130, llm131, llm132, llm133, llm134, llm135,
-                        llm136)
+                        llm136, llm137)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6866,6 +6866,72 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** GENERATION-LOOP DEGENERACY AUDIT (TextAnalysis.degeneracyAudit)
+    * — the synthetic-data gate: per doc, the max fraction of tokens
+    * equal to the token p positions earlier (p=1..4) catches looped
+    * generations; per source, distinct-bigram diversity catches
+    * set-level mode collapse. Fixture plants a period-2 loop
+    * (" spam ham"×60) on doc_id%10 and a period-1 loop (" buy"×80)
+    * on %13 — sources src0/src10 (whose doc ids are all ≡0 mod 10)
+    * must flag every doc, others only their %13 members, and the
+    * argmax must report period 1 for the buy-loop docs. 100 TB
+    * shape: loop stats are one codegen projection + one hash agg;
+    * the diversity leg explodes 8-byte gram hashes only. */
+  private def llm137 = Q("llm137_degeneracy_audit",
+    (s, dir) => {
+      import graft.llm.TextAnalysis
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 10 === 0, concat_ws("", (1 to 60).map(_ => lit(" spam ham")): _*)).otherwise(""),
+          when(col("doc_id") % 13 === 0, concat_ws("", (1 to 80).map(_ => lit(" buy")): _*)).otherwise(""))
+          .as("t"))
+      TextAnalysis.degeneracyAudit(d, col("source"), col("t"),
+          maxPeriod = 4, threshold = 30)
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, source,
+            |    text ||
+            |    CASE WHEN doc_id % 10 = 0 THEN repeat(' spam ham', 60) ELSE '' END ||
+            |    CASE WHEN doc_id % 13 = 0 THEN repeat(' buy', 80) ELSE '' END AS t
+            |  FROM documents),
+            |tk AS (
+            |  SELECT doc_id, source,
+            |    list_filter(string_split_regex(t, '\\s+'), x -> len(x) > 0) AS tk
+            |  FROM d),
+            |lp AS (
+            |  SELECT doc_id, source, len(tk) AS n,
+            |    [CASE WHEN len(tk) > p THEN
+            |       CAST(list_sum(list_transform(range(1, len(tk) - p + 1),
+            |         i -> CASE WHEN tk[i + p] = tk[i] THEN 1 ELSE 0 END)) AS BIGINT)
+            |         * 100 // (len(tk) - p)
+            |     ELSE 0 END
+            |     for p in [1, 2, 3, 4]] AS lps
+            |  FROM tk),
+            |best AS (
+            |  SELECT doc_id, source,
+            |    greatest(lps[1], lps[2], lps[3], lps[4]) AS loop_pct,
+            |    CASE WHEN lps[1] >= lps[2] AND lps[1] >= lps[3] AND lps[1] >= lps[4] THEN 1
+            |         WHEN lps[2] >= lps[3] AND lps[2] >= lps[4] THEN 2
+            |         WHEN lps[3] >= lps[4] THEN 3 ELSE 4 END AS best_period
+            |  FROM lp),
+            |la AS (
+            |  SELECT source, count(*) AS n_docs,
+            |    CAST(sum(CASE WHEN loop_pct >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS degenerate,
+            |    CAST(sum(CASE WHEN loop_pct >= 30 AND best_period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS deg_p1,
+            |    CAST(max(loop_pct) AS BIGINT) AS max_loop_pct
+            |  FROM best GROUP BY source),
+            |grams AS (
+            |  SELECT source, ${Portable.duckHash64("g")} AS h
+            |  FROM (SELECT source, unnest(list_transform(range(1, len(tk)),
+            |          i -> tk[i] || ' ' || tk[i + 1])) AS g FROM tk)),
+            |gs AS (
+            |  SELECT source, count(DISTINCT h) * 100 // count(*) AS distinct2_pct
+            |  FROM grams GROUP BY source)
+            |SELECT source, n_docs, degenerate, deg_p1, max_loop_pct,
+            |  coalesce(distinct2_pct, 0) AS distinct2_pct
+            |FROM la LEFT JOIN gs USING (source) ORDER BY source""".stripMargin))
 
   /** LUHN-VALIDATED CARD AUDIT (Pii.cardAudit) — payment-card
     * exposure rates per source, with the checksum that separates a

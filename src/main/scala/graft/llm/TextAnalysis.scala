@@ -568,4 +568,72 @@ object TextAnalysis {
         sum(col("c1")).as("c1_chars"),
         sum(col("dbl")).as("dbl_seqs"))
       .withColumn("damaged_pct", expr("damaged * 100 DIV n_docs"))
+
+  /** GENERATION-LOOP (tandem-repeat) DEGENERACY AUDIT — the
+    * synthetic-data gate: model generations that collapse into a loop
+    * ("buy buy buy…", "spam ham spam ham…") carry a near-1 fraction
+    * of tokens equal to the token p positions earlier, for the loop's
+    * period p. Per doc the audit computes that match fraction for
+    * p = 1..maxPeriod (aligned-slice zip, the [[ngramsOfTokens]]
+    * discipline — `toks` evaluated a constant number of times, never
+    * per element), takes the max as `loop_pct`, its first-max argmax
+    * as the period, and flags docs at `threshold`. Natural prose
+    * scores low at every small period; [[repetitionGate]]'s GLOBAL
+    * duplicate fractions can't see short loops in a long doc, and a
+    * loop isn't a duplicated SPAN across docs — this is the in-doc
+    * periodicity detector.
+    *
+    * Per-source the audit adds distinct-bigram diversity
+    * (distinct 2-grams ×100 DIV total) — the corpus-grain mode-
+    * collapse signal for synthetic sets (each doc can be internally
+    * clean while the SET repeats itself).
+    *
+    * Scale shape (100 TB): the loop stats are one codegen projection
+    * into one hash aggregate of (source, three ints)/doc; the
+    * diversity leg explodes 8-byte GRAM HASHES (never gram strings)
+    * into two hash aggregates — the corpus-pass floor the gram
+    * family pays. Two scans of the text by design: materializing the
+    * tokenized corpus to save a scan would write ~corpus-size state.
+    *
+    * @return (source, n_docs, degenerate, deg_p1, max_loop_pct,
+    *          distinct2_pct) */
+  def degeneracyAudit(df: DataFrame, sourceCol: Column, textCol: Column,
+                      maxPeriod: Int = 4, threshold: Int = 30): DataFrame = {
+    require(maxPeriod >= 2, s"need maxPeriod >= 2, got $maxPeriod")
+    val base = df.select(sourceCol.as("source"), tokens(textCol).as("__tk"))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+    val withLp = (1 to maxPeriod).foldLeft(base) { (acc, p) =>
+      val len = greatest(size(col("__tk")) - p, lit(0))
+      acc.withColumn(s"__m$p",
+          when(col("__n") > p,
+            aggregate(
+              zip_with(slice(col("__tk"), lit(p + 1), len), slice(col("__tk"), lit(1), len),
+                (a, b) => when(a === b, lit(1L)).otherwise(lit(0L))),
+              lit(0L), (s, x) => s + x)).otherwise(lit(0L)))
+        .withColumn(s"__lp$p",
+          expr(s"CASE WHEN __n > $p THEN __m$p * 100 DIV (__n - $p) ELSE 0 END"))
+    }
+    val lps = (1 to maxPeriod).map(p => col(s"__lp$p"))
+    val best = lps.reduce(greatest(_, _))
+    // first-max argmax: period p wins iff lp_p >= every later lp_q
+    val period = (1 until maxPeriod).foldRight(lit(maxPeriod)) { (p, rest) =>
+      when(lps.drop(p).map(lps(p - 1) >= _).reduce(_ && _), lit(p)).otherwise(rest)
+    }
+    val perDoc = withLp.select(col("source"), best.as("__loop"), period.as("__period"))
+    val loopAgg = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__loop") >= threshold, 1L).otherwise(0L)).as("degenerate"),
+        sum(when(col("__loop") >= threshold && col("__period") === 1, 1L)
+          .otherwise(0L)).as("deg_p1"),
+        max(col("__loop")).as("max_loop_pct"))
+    val grams = df.select(sourceCol.as("source"),
+        explode(ngramsOfTokens(tokens(textCol), 2)).as("__g"))
+      .select(col("source"), Portable.hash64(col("__g")).as("__h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("__ng"), countDistinct(col("__h")).as("__nd"))
+      .select(col("source"), expr("__nd * 100 DIV __ng").as("distinct2_pct"))
+    loopAgg.join(grams, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("degenerate"), col("deg_p1"),
+        col("max_loop_pct"), coalesce(col("distinct2_pct"), lit(0L)).as("distinct2_pct"))
+  }
 }
