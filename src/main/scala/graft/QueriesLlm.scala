@@ -24,7 +24,7 @@ object QueriesLlm {
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
                         llm130, llm131, llm132, llm133, llm134, llm135,
-                        llm136, llm137)
+                        llm136, llm137, llm138)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6866,6 +6866,60 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** HTML TABLE EXTRACTION (Html.extractTables) — the structured-data
+    * seam table-QA / table-grounding corpora mine from crawl HTML:
+    * every <table> parsed to rows of tag-stripped cell texts. Fixture
+    * embeds a deterministic table per doc (2+doc_id%3 rows ×
+    * 2+doc_id%2 cols, header row in <th>, cell (r,c) = v(doc_id+
+    * 7r+3c mod 100), attribute noise on the table tag) inside the
+    * usual page skeleton; the oracle regenerates the cell matrix from
+    * the formula, so the REAL nested regex parse must reproduce every
+    * cell, the row/col counts, and the row-major content hash.
+    * 100 TB shape: one scan projection (nested extract_all on
+    * table/row slices), output rows are (doc, ints, 8-byte hash). */
+  private def llm138 = Q("llm138_table_extract",
+    (s, dir) => {
+      import graft.llm.Html
+      def cell(r: Int, c: Int) =
+        concat(lit("v"), (col("doc_id") + lit(7 * r + 3 * c)) % 100)
+      def cellHtml(r: Int, c: Int) = {
+        val tag = if (r == 0) "th" else "td"
+        when((col("doc_id") % 2) + 2 > c,
+          concat(lit(s"<$tag>"), cell(r, c), lit(s"</$tag>"))).otherwise("")
+      }
+      def rowHtml(r: Int) =
+        when((col("doc_id") % 3) + 2 > r,
+          concat(lit("<tr>"), cellHtml(r, 0), cellHtml(r, 1), cellHtml(r, 2),
+            lit("</tr>"))).otherwise("")
+      val page = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("<html><body><p>"), col("text"),
+          lit("</p><table class=\"data\" border=\"1\">"),
+          rowHtml(0), rowHtml(1), rowHtml(2), rowHtml(3),
+          lit("</table></body></html>")).as("html"))
+      page.select(col("doc_id"),
+          posexplode(Html.extractTables(col("html"))).as(Seq("table_idx", "tbl")))
+        .select(col("doc_id"), col("table_idx"),
+          size(col("tbl")).cast("long").as("n_rows"),
+          array_max(transform(col("tbl"), r => size(r))).cast("long").as("n_cols"),
+          aggregate(transform(col("tbl"), r => size(r)), lit(0L),
+            (a, x) => a + x).as("n_cells"),
+          Portable.hash64(array_join(flatten(col("tbl")), "\u001f")).as("cells_h"))
+        .orderBy(col("doc_id"), col("table_idx"))
+    },
+    Some(s"""WITH g AS (
+            |  SELECT doc_id, 2 + doc_id % 3 AS nr, 2 + doc_id % 2 AS nc
+            |  FROM documents),
+            |cells AS (
+            |  SELECT doc_id, nr, nc,
+            |    flatten(list_transform(range(0, nr), r ->
+            |      list_transform(range(0, nc), c ->
+            |        'v' || (doc_id + 7*r + 3*c) % 100))) AS cl
+            |  FROM g)
+            |SELECT doc_id, 0 AS table_idx, CAST(nr AS BIGINT) AS n_rows,
+            |  CAST(nc AS BIGINT) AS n_cols, CAST(nr * nc AS BIGINT) AS n_cells,
+            |  ${Portable.duckHash64("array_to_string(cl, chr(31))")} AS cells_h
+            |FROM cells ORDER BY doc_id, table_idx""".stripMargin))
 
   /** GENERATION-LOOP DEGENERACY AUDIT (TextAnalysis.degeneracyAudit)
     * — the synthetic-data gate: per doc, the max fraction of tokens

@@ -100,6 +100,24 @@ object Html {
   def urlHost(url: Column): Column =
     regexp_extract(url, "^[a-z]+://([^/]+)", 1)
 
+  /** Table extraction: every `<table>` as rows of tag-stripped,
+    * whitespace-normalized cell texts (`<td>` and `<th>` alike) —
+    * array<array<array<string>>> in document order. The structured-
+    * data seam table-QA / table-grounding corpora mine from crawl
+    * HTML. Same one-projection discipline as [[extractLinks]]:
+    * nested regexp_extract_all + per-slice transforms, no UDF, no
+    * shuffle; the inner regexes run on the table/row slices, not the
+    * document. */
+  def extractTables(html: Column): Column =
+    transform(
+      regexp_extract_all(html, lit("(?s)<table[^>]*>.*?</table>"), lit(0)),
+      t => transform(
+        regexp_extract_all(t, lit("(?s)<tr[^>]*>.*?</tr>"), lit(0)),
+        r => transform(
+          regexp_extract_all(r, lit("(?s)<t[dh][^>]*>.*?</t[dh]>"), lit(0)),
+          c => trim(regexp_replace(
+            regexp_replace(c, "(?s)<[^>]*>", " "), "\\s+", " ")))))
+
   /** Extraction summary for one document:
     * `(n_lines, n_kept, extracted)` — kept lines joined with `\n` in
     * document order. */
