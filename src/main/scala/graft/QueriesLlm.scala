@@ -24,7 +24,7 @@ object QueriesLlm {
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
                         llm130, llm131, llm132, llm133, llm134, llm135,
-                        llm136, llm137, llm138)
+                        llm136, llm137, llm138, llm139)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6866,6 +6866,50 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** EMBEDDING COVARIANCE TOP PAIRS (functions.VecOuterSum +
+    * Similarity.covarianceTopPairs) — the PCA/whitening/OPQ
+    * preprocessing read via a native one-pass second-moment
+    * aggregate: the corpus reduces to ONE fixed ~17 KB buffer
+    * (n, Σq_i, upper-triangle Σq_iq_j), so scaled covariance
+    * c_ij = n·Σq_iq_j − Σq_i·Σq_j derives integer-exactly with no
+    * per-vector pair explosion (the explode path would ship 2080
+    * rows per vector). The oracle computes the same integers the
+    * brute way — unnest (i,j) over every vector — so the native
+    * buffer's layout, merge, and triangle indexing are all
+    * value-checked. */
+  private def llm139 = Q("llm139_embedding_covariance",
+    (s, dir) => {
+      graft.llm.Similarity.covarianceTopPairs(
+          Tables.embeddings(s, dir), col("embedding"), d = 64, topK = 15)
+        .orderBy(abs(col("cov_scaled")).desc, col("i"), col("j"))
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |nn AS (SELECT count(*) AS n FROM q),
+           |s AS (SELECT i, CAST(sum(q[i]) AS BIGINT) AS s
+           |      FROM q CROSS JOIN generate_series(1, 64) g(i) GROUP BY i),
+           |p AS (SELECT i, j, CAST(sum(q[i] * q[j]) AS BIGINT) AS p
+           |      FROM q CROSS JOIN generate_series(1, 64) gi(i)
+           |                   CROSS JOIN generate_series(1, 64) gj(j)
+           |      WHERE j >= i GROUP BY i, j),
+           |c AS (
+           |  SELECT p.i - 1 AS i, p.j - 1 AS j,
+           |    n * p.p - si.s * sj.s AS cov_scaled,
+           |    n * pii.p - si.s * si.s AS var_i,
+           |    n * pjj.p - sj.s * sj.s AS var_j
+           |  FROM p
+           |  JOIN s si ON si.i = p.i
+           |  JOIN s sj ON sj.i = p.j
+           |  JOIN p pii ON pii.i = p.i AND pii.j = p.i
+           |  JOIN p pjj ON pjj.i = p.j AND pjj.j = p.j
+           |  CROSS JOIN nn
+           |  WHERE p.j > p.i)
+           |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           |       cov_scaled, var_i, var_j
+           |FROM c ORDER BY abs(cov_scaled) DESC, i, j LIMIT 15""".stripMargin))
 
   /** HTML TABLE EXTRACTION (Html.extractTables) — the structured-data
     * seam table-QA / table-grounding corpora mine from crawl HTML:

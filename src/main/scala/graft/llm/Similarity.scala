@@ -418,4 +418,47 @@ object Similarity {
       .select(col(qidCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("recall", col("n_hits") / lit(k))
   }
+
+  /** Embedding COVARIANCE via the native one-pass second-moment
+    * aggregate ([[graft.functions.VecOuterSum]]) — the PCA/whitening/
+    * OPQ preprocessing read: which dimension pairs carry the most
+    * (scaled) covariance. The corpus reduces to ONE fixed
+    * (1 + d(d+3)/2)-long buffer (n, per-dim sums, upper-triangle
+    * pair-product sums), merged by element-wise sum in partial
+    * aggregation — the explode-the-pairs alternative would ship
+    * d(d+1)/2 rows per VECTOR. Scaled covariance
+    * c_ij = n·Σq_iq_j − Σq_i·Σq_j derives integer-exactly from the
+    * buffer; the pair expansion downstream touches d² rows TOTAL
+    * (not per vector).
+    *
+    * @return top `topK` off-diagonal pairs by |c_ij|:
+    *   (i, j, cov_scaled, var_i, var_j), 0-based dims. */
+  def covarianceTopPairs(df: DataFrame, vecCol: Column, d: Int,
+                         topK: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val q = df.select(
+      transform(vecCol, x => floor(x.cast("double") * lit(1e6)).cast("long")).as("__q"))
+    val sk = q.agg(ColumnBridge.column(graft.functions.VecOuterSum(
+      ColumnBridge.expression(col("__q")), d, 0, 0)
+      .toAggregateExpression()).as("sk"))
+    def tri(i: Column, j: Column): Column =
+      i * d - (i * (i - lit(1))).cast("long") / lit(2) + (j - i)
+    def pairSum(i: Column, j: Column): Column =
+      element_at(col("sk"), (lit(2 + d) + tri(i, j)).cast("int"))
+    def dimSum(i: Column): Column =
+      element_at(col("sk"), (i + lit(2)).cast("int"))
+    val n = element_at(col("sk"), 1)
+    sk.select(col("sk"), explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .select(col("sk"), col("i"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .where(col("j") > col("i"))
+      .select(col("i"), col("j"),
+        (n * pairSum(col("i"), col("j")) - dimSum(col("i")) * dimSum(col("j")))
+          .as("cov_scaled"),
+        (n * pairSum(col("i"), col("i")) - dimSum(col("i")) * dimSum(col("i")))
+          .as("var_i"),
+        (n * pairSum(col("j"), col("j")) - dimSum(col("j")) * dimSum(col("j")))
+          .as("var_j"))
+      .orderBy(abs(col("cov_scaled")).desc, col("i"), col("j"))
+      .limit(topK)
+  }
 }
