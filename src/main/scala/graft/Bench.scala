@@ -166,7 +166,15 @@ object Bench {
     // round-18: the span scrub is the newest corpus-pass family (its
     // shared-gram join volume is what the min≠max gate controls — a
     // growth regression shows here first)
-    "llm124_exact_substring_scrub")
+    "llm124_exact_substring_scrub",
+    // round-18 session 2: the winnowing gram pass carries a w-fold
+    // in-map window blowup that MUST collapse map-side — a growth
+    // regression in that collapse (or in the fingerprint-join volume)
+    // shows in this exponent first; it also proxies for the
+    // license-detect row built on the same machinery
+    "llm128_winnowing_overlap",
+    // and the degeneracy audit is the newest two-scan gram family row
+    "llm137_degeneracy_audit")
   private def runSlope(javaBin: String, jvmArgs: Seq[String], cp: String,
                        bigSfDir: String, bigTimes: Map[String, Double]): (Seq[(String, Double)], String) = {
     if (sys.env.get("SPARK_GRAFT_BENCH_SLOPE").contains("0")) return (Nil, "")

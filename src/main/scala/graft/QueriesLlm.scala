@@ -24,7 +24,7 @@ object QueriesLlm {
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
                         llm130, llm131, llm132, llm133, llm134, llm135,
-                        llm136, llm137, llm138, llm139)
+                        llm136, llm137, llm138, llm139, llm140)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6866,6 +6866,77 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** SFT CONVERSATION VALIDATION (Sft.validateConversations) — the
+    * structural gate before chat-template rendering: role-alternation
+    * breaks, whitespace-only turns, template special tokens leaked
+    * into content, and dangling user turns all corrupt the loss mask
+    * (llm56's renderChatTemplate contract). Fixture builds 2–4-turn
+    * conversations from doc token slices and plants each violation
+    * deterministically: doc_id%7 repeats a role, %11 blanks a turn,
+    * %13 leaks `<|end|>` into content; odd turn counts end on a user
+    * turn structurally. 100 TB shape: all checks are array algebra on
+    * the conversation column in the scan; one hash aggregate of
+    * (source, five bools)/conversation. */
+  private def llm140 = Q("llm140_sft_validation",
+    (s, dir) => {
+      import graft.llm.Sft
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        Dedup.tokens(col("text")).as("tk"), ((col("doc_id") % 3) + 2).as("nt"))
+      def role(t: Int): org.apache.spark.sql.Column = {
+        val r = lit(if (t % 2 == 1) "user" else "assistant")
+        if (t == 2) when(col("doc_id") % 7 === 0, "user").otherwise(r) else r
+      }
+      def content(t: Int): org.apache.spark.sql.Column = {
+        val b = array_join(slice(col("tk"), lit(1 + 5 * (t - 1)), lit(5)), " ")
+        val withLeak =
+          if (t == 1) concat(b, when(col("doc_id") % 13 === 0, " <|end|>").otherwise(""))
+          else b
+        if (t == 2) when(col("doc_id") % 11 === 0, " ").otherwise(withLeak)
+        else withLeak
+      }
+      def turn(t: Int): org.apache.spark.sql.Column =
+        when(col("nt") >= t,
+          struct(role(t).as("role"), content(t).as("content")))
+      val conv = base.select(col("source"),
+        filter(array(turn(1), turn(2), turn(3), turn(4)),
+          m => m.isNotNull).as("conv"))
+      Sft.validateConversations(conv, col("source"), col("conv"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id, source,
+           |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk,
+           |    2 + doc_id % 3 AS nt
+           |  FROM documents),
+           |conv AS (
+           |  SELECT doc_id, source,
+           |    list_transform(range(1, nt + 1), t -> {
+           |      'role': CASE WHEN doc_id % 7 = 0 AND t = 2 THEN 'user'
+           |                   WHEN t % 2 = 1 THEN 'user' ELSE 'assistant' END,
+           |      'content': CASE WHEN doc_id % 11 = 0 AND t = 2 THEN ' '
+           |                      -- array_to_string([]) is NULL in DuckDB; Spark's
+           |                      -- array_join([]) is '' — coalesce to match
+           |                      ELSE coalesce(array_to_string(tk[(1 + 5*(t-1)):(5*t)], ' '), '') ||
+           |                           CASE WHEN doc_id % 13 = 0 AND t = 1 THEN ' <|end|>' ELSE '' END
+           |                 END}) AS conv
+           |  FROM tk),
+           |v AS (
+           |  SELECT source,
+           |    len(conv) > 0 AND conv[1].role = 'user' AND
+           |      list_bool_and(list_transform(range(1, len(conv)),
+           |        i -> conv[i].role <> conv[i + 1].role)) AS ok_alt,
+           |    NOT list_bool_or(list_transform(conv, m -> len(trim(m.content)) = 0)) AS ok_ne,
+           |    NOT list_bool_or(list_transform(conv, m -> contains(m.content, '<|'))) AS ok_sp,
+           |    len(conv) > 0 AND conv[len(conv)].role = 'assistant' AS ends_a
+           |  FROM conv)
+           |SELECT source, count(*) AS n_convs,
+           |  CAST(sum(CASE WHEN NOT ok_alt THEN 1 ELSE 0 END) AS BIGINT) AS bad_alt,
+           |  CAST(sum(CASE WHEN NOT ok_ne THEN 1 ELSE 0 END) AS BIGINT) AS bad_empty,
+           |  CAST(sum(CASE WHEN NOT ok_sp THEN 1 ELSE 0 END) AS BIGINT) AS bad_special,
+           |  CAST(sum(CASE WHEN NOT ends_a THEN 1 ELSE 0 END) AS BIGINT) AS ends_user,
+           |  CAST(sum(CASE WHEN ok_alt AND ok_ne AND ok_sp AND ends_a THEN 1 ELSE 0 END) AS BIGINT) AS valid
+           |FROM v GROUP BY source ORDER BY source""".stripMargin))
 
   /** EMBEDDING COVARIANCE TOP PAIRS (functions.VecOuterSum +
     * Similarity.covarianceTopPairs) — the PCA/whitening/OPQ

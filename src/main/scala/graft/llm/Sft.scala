@@ -46,4 +46,50 @@ object Sft {
         length(renderChatTemplate(slice(messages, lit(1), n - 1))))
       .otherwise(length(renderChatTemplate(messages)))
   }
+
+  /** CONVERSATION-STRUCTURE VALIDATION — the gate every SFT pipeline
+    * runs before rendering: malformed conversations (role repeats,
+    * empty turns, template special tokens leaked INTO content, a
+    * dangling user turn) silently corrupt the loss mask and teach the
+    * model the template itself. Checks, per conversation:
+    *
+    *  - `ok_alt`: roles strictly alternate and the first is `user`;
+    *  - `ok_nonempty`: no whitespace-only content;
+    *  - `ok_special`: no `<|` in any content (the template delimiter
+    *    must not be forgeable from data — [[renderChatTemplate]]'s
+    *    contract);
+    *  - `ends_assistant`: the final turn is trainable.
+    *
+    * All array algebra on the conversation column in the scan; one
+    * hash aggregate of (source, five ints)/conversation.
+    *
+    * @return (source, n_convs, bad_alt, bad_empty, bad_special,
+    *          ends_user, valid) */
+  def validateConversations(df: org.apache.spark.sql.DataFrame,
+                            sourceCol: Column, convCol: Column):
+      org.apache.spark.sql.DataFrame = {
+    val roles = transform(convCol, m => m.getField("role"))
+    val n = size(convCol)
+    val okAlt = (n > 0) && (element_at(roles, 1) === "user") &&
+      forall(zip_with(slice(roles, lit(1), greatest(n - 1, lit(0))),
+        slice(roles, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => a =!= b), x => x)
+    val okNonempty = !exists(convCol,
+      m => length(trim(m.getField("content"))) === 0)
+    val okSpecial = !exists(convCol,
+      m => m.getField("content").contains("<|"))
+    val endsAssistant = (n > 0) &&
+      (element_at(convCol, n).getField("role") === "assistant")
+    df.select(sourceCol.as("source"),
+        okAlt.as("__alt"), okNonempty.as("__ne"), okSpecial.as("__sp"),
+        endsAssistant.as("__ea"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_convs"),
+        sum(when(!col("__alt"), 1L).otherwise(0L)).as("bad_alt"),
+        sum(when(!col("__ne"), 1L).otherwise(0L)).as("bad_empty"),
+        sum(when(!col("__sp"), 1L).otherwise(0L)).as("bad_special"),
+        sum(when(!col("__ea"), 1L).otherwise(0L)).as("ends_user"),
+        sum(when(col("__alt") && col("__ne") && col("__sp") && col("__ea"),
+          1L).otherwise(0L)).as("valid"))
+  }
 }
