@@ -24,7 +24,7 @@ object QueriesLlm {
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
                         llm130, llm131, llm132, llm133, llm134, llm135,
-                        llm136, llm137, llm138, llm139, llm140)
+                        llm136, llm137, llm138, llm139, llm140, llm141)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6866,6 +6866,46 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** DEDUP RETENTION MATRIX (Dedup.retentionMatrix) — when duplicate
+    * clusters resolve by source priority, WHICH sources lose docs TO
+    * which: the attribution diagnostic behind "keep the most trusted
+    * copy" (losing to a peer = mirror/scrape signature; losing to
+    * itself = intra-source duplication). Fixture: doc_id%6 docs
+    * collapse onto 5 shared templates (cross-source clusters);
+    * priority = (3·srcnum+1) mod 20 — a deterministic scramble, so
+    * the winner is decided by priority, not name order. The argmin
+    * rides min(struct(prio, id, src)) — one row per cluster on the
+    * exchange, never the membership. */
+  private def llm141 = Q("llm141_retention_matrix",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("shared template "), col("doc_id") % 5))
+          .otherwise(col("text")).as("t"))
+        .withColumn("prio",
+          (substring(col("source"), 4, 10).cast("int") * 3 + 1) % 20)
+      graft.llm.Dedup.retentionMatrix(d, col("doc_id"),
+          Portable.hash64(col("t")), col("source"), col("prio"))
+        .orderBy(col("loser_source"), col("winner_source"))
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, source,
+            |    CASE WHEN doc_id % 6 = 0 THEN 'shared template ' || doc_id % 5
+            |         ELSE text END AS t
+            |  FROM documents),
+            |k AS (
+            |  SELECT doc_id, source, ${Portable.duckHash64("t")} AS key,
+            |    (3 * CAST(substr(source, 4) AS INT) + 1) % 20 AS prio
+            |  FROM d),
+            |w AS (
+            |  SELECT key, min(struct_pack(p := prio, i := doc_id, s := source)) AS win
+            |  FROM k GROUP BY key)
+            |SELECT k.source AS loser_source, w.win.s AS winner_source,
+            |       count(*) AS n_dropped
+            |FROM k JOIN w USING (key)
+            |WHERE k.doc_id <> w.win.i
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   /** SFT CONVERSATION VALIDATION (Sft.validateConversations) — the
     * structural gate before chat-template rendering: role-alternation

@@ -1289,4 +1289,37 @@ object Dedup {
         (col("n_shared").cast("double") /
           least(col("n_a"), col("n_b")).cast("double")).as("containment"))
   }
+
+  /** PRIORITY-BASED DEDUP RETENTION MATRIX — the attribution
+    * diagnostic a multi-source dedup pass owes its operators: when
+    * duplicate clusters resolve by source priority ("keep the copy
+    * from the most trusted source"), WHICH sources lose documents TO
+    * which. Per duplicate-key cluster the winner is the (priority,
+    * doc id)-minimum; every other member becomes a (loser_source,
+    * winner_source) drop row. A source losing heavily to one peer is
+    * a mirror/scrape signature; losing to ITSELF is intra-source
+    * duplication — different remediations, same matrix.
+    *
+    * Scale shape (100 TB): one hash aggregate per key carrying a
+    * 3-field struct (the argmin rides `min(struct(prio, id, src))`
+    * through map-side combine — one row per cluster on the exchange,
+    * never the membership), one equi-join back on the 8-byte key,
+    * one (source, source) aggregate. Priorities are a per-row Column
+    * (broadcast-join a tiny map or compute from the source name).
+    *
+    * @return (loser_source, winner_source, n_dropped), losers only */
+  def retentionMatrix(docs: DataFrame, idCol: Column, keyCol: Column,
+                      sourceCol: Column, prioCol: Column): DataFrame = {
+    val k = docs.select(idCol.as("__id"), keyCol.as("__key"),
+      sourceCol.as("__src"), prioCol.as("__prio"))
+    val winners = k.groupBy(col("__key"))
+      .agg(min(struct(col("__prio"), col("__id"), col("__src"))).as("__w"))
+      .select(col("__key"), col("__w.__id").as("__wid"),
+        col("__w.__src").as("__wsrc"))
+    k.join(winners, "__key")
+      .where(col("__id") =!= col("__wid"))
+      .groupBy(col("__src").as("loser_source"),
+        col("__wsrc").as("winner_source"))
+      .agg(count(lit(1)).as("n_dropped"))
+  }
 }
