@@ -24,7 +24,8 @@ object QueriesLlm {
                         llm115, llm116, llm117, llm118, llm119, llm120, llm121, llm122,
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
                         llm130, llm131, llm132, llm133, llm134, llm135,
-                        llm136, llm137, llm138, llm139, llm140, llm141)
+                        llm136, llm137, llm138, llm139, llm140, llm141,
+                        llm142)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6866,6 +6867,78 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  private val llm142Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llm142In(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val wav = udf((id: Long, silence: Boolean, clip: Boolean) =>
+      graft.llm.Multimodal.fixtureWavQuality(id, silence, clip))
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    writeMediaFixture(s, llm142Fixture, dir, "llm142",
+      d.select(col("doc_id"),
+        (col("doc_id") % 5 === 0).as("sil"), (col("doc_id") % 7 === 0).as("clp")),
+      "doc_id", wav(col("doc_id"), col("sil"), col("clp")))
+  }
+
+  /** AUDIO QUALITY GATE (Multimodal.audioQualityQ) — the speech-
+    * corpus curation stage: silence fraction (dead air, truncated
+    * takes), clipping fraction (gain damage), integer loudness.
+    * Fixture plants 25% dead air on doc_id%5 and 5% full-scale
+    * clipping on %7 via pure integer overrides of the WAV formula
+    * (PCM is lossless — the REAL javax.sound decode must hand back
+    * exactly those samples, and the oracle replays every one).
+    * Thresholds: silent = |v| < 256 (natural uniform samples sit at
+    * ~0.7% baseline), clip = |v| >= 32700 (~0.2% baseline); gates at
+    * 20% / 2% flag exactly the plants. 100 TB shape: the decode+count
+    * UDF sits at the codec seam, media bytes die at the scan, and
+    * (source, four ints) per clip is all that reaches the exchange. */
+  private def llm142 = Q("llm142_audio_quality",
+    (s, dir) => {
+      val probe = udf { (bytes: Array[Byte]) =>
+        graft.llm.Multimodal.audioQualityQ(bytes, 256L, 32700L)
+          .map { case (n, sil, clp, sum) => Array(n, sil, clp, sum) }
+          .getOrElse(Array.empty[Long])
+      }
+      // media store carries (doc_id, media); source comes from the
+      // metadata table — the usual media-lake split
+      s.read.parquet(llm142In(s, dir))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), probe(col("media")).as("q"))
+        .where(size(col("q")) === 4)
+        .select(col("source"),
+          element_at(col("q"), 1).as("n"),
+          expr("element_at(q, 2) * 100 DIV element_at(q, 1)").as("sil_pct"),
+          expr("element_at(q, 3) * 100 DIV element_at(q, 1)").as("clip_pct"),
+          element_at(col("q"), 4).as("sum_abs"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(when(col("sil_pct") >= 20, 1L).otherwise(0L)).as("silent_heavy"),
+          sum(when(col("clip_pct") >= 2, 1L).otherwise(0L)).as("clipped"),
+          expr("sum(sum_abs) DIV sum(n)").as("mean_level"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH takes AS (
+           |  SELECT doc_id, source, doc_id % 5 = 0 AS sil, doc_id % 7 = 0 AS clp
+           |  FROM documents),
+           |sm AS (
+           |  SELECT t.doc_id, t.source,
+           |    CASE WHEN t.sil AND i >= 500 AND i < 1000 THEN 0
+           |         WHEN t.clp AND i >= 1500 AND i < 1600 THEN
+           |           CASE WHEN (t.doc_id * 7919 + i * 104729) % 65536 - 32768 >= 0
+           |                THEN 32767 ELSE -32768 END
+           |         ELSE (t.doc_id * 7919 + i * 104729) % 65536 - 32768 END AS v
+           |  FROM takes t CROSS JOIN generate_series(0, 1999) g(i)),
+           |per AS (
+           |  SELECT doc_id, source, count(*) AS n,
+           |    CAST(sum(CASE WHEN abs(v) < 256 THEN 1 ELSE 0 END) * 100 // count(*) AS BIGINT) AS sil_pct,
+           |    CAST(sum(CASE WHEN abs(v) >= 32700 THEN 1 ELSE 0 END) * 100 // count(*) AS BIGINT) AS clip_pct,
+           |    CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+           |  FROM sm GROUP BY 1, 2)
+           |SELECT source, count(*) AS n_clips,
+           |  CAST(sum(CASE WHEN sil_pct >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS silent_heavy,
+           |  CAST(sum(CASE WHEN clip_pct >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS clipped,
+           |  CAST(sum(sum_abs) // sum(n) AS BIGINT) AS mean_level
+           |FROM per GROUP BY source ORDER BY source""".stripMargin),
+    prepare = Some((s, dir) => { llm142In(s, dir); () }))
 
   /** DEDUP RETENTION MATRIX (Dedup.retentionMatrix) — when duplicate
     * clusters resolve by source priority, WHICH sources lose docs TO

@@ -954,6 +954,83 @@ object Multimodal {
     } catch { case _: Throwable => None }
   }
 
+  /** AUDIO QUALITY PROBE over the same real javax.sound decode as
+    * [[audioEnvelopeQ]] — the speech-corpus gate: silence fraction
+    * (dead air, truncated recordings), clipping fraction (gain
+    * damage), and an integer loudness level. All counters are
+    * integers over the decoded PCM magnitudes, so any engine replays
+    * them exactly from raw sample values.
+    *
+    * @return (nFrames, nSilent |v|<silenceThresh,
+    *          nClipped |v|>=clipThresh, sumAbs); None if undecodable */
+  private[graft] def audioQualityQ(bytes: Array[Byte], silenceThresh: Long,
+                                   clipThresh: Long): Option[(Long, Long, Long, Long)] = {
+    if (bytes == null) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val channels = fmt.getChannels
+        val data = ais.readAllBytes()
+        val bytesPerSample = bits / 8
+        val frameBytes = bytesPerSample * channels
+        val nFrames = if (frameBytes > 0) data.length / frameBytes else 0
+        if (nFrames <= 0 || bits != 16) None
+        else {
+          val signed = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val big = fmt.isBigEndian
+          var silent = 0L; var clipped = 0L; var sumAbs = 0L
+          var i = 0
+          while (i < nFrames) {
+            val off = i * frameBytes
+            val (b0, b1) = if (big) (data(off), data(off + 1)) else (data(off + 1), data(off))
+            val v = if (signed) (b0.toInt << 8) | (b1 & 0xff)
+                    else (((b0 & 0xff) << 8) | (b1 & 0xff)) - 32768
+            val a = math.abs(v.toLong)
+            if (a < silenceThresh) silent += 1
+            if (a >= clipThresh) clipped += 1
+            sumAbs += a
+            i += 1
+          }
+          Some((nFrames.toLong, silent, clipped, sumAbs))
+        }
+      } finally ais.close()
+    } catch { case _: Throwable => None }
+  }
+
+  /** [[fixtureWav]] with planted QUALITY defects: `silence` zeroes
+    * samples [500, 1000) (25% dead air), `clip` pins samples
+    * [1500, 1600) to full scale preserving sign (5% clipping) — both
+    * pure integer overrides of the base formula, so the oracle
+    * replays every sample. */
+  private[graft] def fixtureWavQuality(id: Long, silence: Boolean,
+                                       clip: Boolean): Array[Byte] = {
+    val n = 2000
+    val dataLen = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val v = ((id * 7919L + i * 104729L) % 65536L) - 32768L
+      val s =
+        if (silence && i >= 500 && i < 1000) 0L
+        else if (clip && i >= 1500 && i < 1600) { if (v >= 0) 32767L else -32768L }
+        else v
+      out.putShort(s.toShort)
+      i += 1
+    }
+    out.array()
+  }
+
   /** Deterministic synthetic WAV — the oracle-replayable audio
     * fixture, [[fixturePng]]'s audio sibling: mono PCM signed 16-bit
     * little-endian, 8 kHz, 2000 samples with
