@@ -25,7 +25,7 @@ object QueriesLlm {
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
                         llm130, llm131, llm132, llm133, llm134, llm135,
                         llm136, llm137, llm138, llm139, llm140, llm141,
-                        llm142)
+                        llm142, llm143)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6867,6 +6867,95 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  private val llm143Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llm143In(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val png = udf((id: Long, dark: Boolean, gray: Boolean) =>
+      graft.llm.Multimodal.fixturePngQuality(id, dark, gray))
+    writeMediaFixture(s, llm143Fixture, dir, "llm143",
+      Tables.documents(s, dir).select(col("doc_id"),
+        (col("doc_id") % 6 === 0).as("dk"),
+        (col("doc_id") % 9 === 0).as("gy")),
+      "doc_id", png(col("doc_id"), col("dk"), col("gy")))
+  }
+
+  /** IMAGE QUALITY GATE (Multimodal.imageQualityQ) — the vision-
+    * corpus curation stage: under-exposure (integer BT.601 luma),
+    * contrast collapse (scaled integer variance n·ΣL² − (ΣL)²), and
+    * grayscale detection, per source. Fixture plants dark frames
+    * (every channel ÷8, doc_id%6) and grayscale frames (all channels
+    * = red formula, %9) as pure integer overrides of the lossless
+    * PNG pixel formula — the REAL ImageIO decode must reproduce every
+    * channel value, and the oracle replays the per-pixel census.
+    * 100 TB shape: the decode+census UDF sits at the codec seam,
+    * image bytes die at the scan, and (source, four ints)/image is
+    * all that reaches the exchange. */
+  private def llm143 = Q("llm143_image_quality",
+    (s, dir) => {
+      val probe = udf { (bytes: Array[Byte]) =>
+        graft.llm.Multimodal.imageQualityQ(bytes)
+          .map { case (n, sl, sl2, g) => Array(n, sl, sl2, g) }
+          .getOrElse(Array.empty[Long])
+      }
+      s.read.parquet(llm143In(s, dir))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), probe(col("media")).as("q"))
+        .where(size(col("q")) === 4)
+        .select(col("source"),
+          element_at(col("q"), 1).as("n"),
+          expr("element_at(q, 2) DIV element_at(q, 1)").as("mean_luma"),
+          (element_at(col("q"), 1) * element_at(col("q"), 3) -
+            element_at(col("q"), 2) * element_at(col("q"), 2)).as("var_scaled"),
+          (element_at(col("q"), 4) === element_at(col("q"), 1)).as("is_gray"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(when(col("mean_luma") < 48, 1L).otherwise(0L)).as("dark"),
+          sum(when(col("is_gray"), 1L).otherwise(0L)).as("grayscale"),
+          sum(when(col("var_scaled") < 100000000L, 1L).otherwise(0L)).as("low_contrast"),
+          expr("sum(mean_luma * n) DIV sum(n)").as("mean_luma"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH px AS (
+           |  SELECT d.doc_id, d.source,
+           |    CASE WHEN d.doc_id % 6 = 0
+           |      THEN (CASE WHEN d.doc_id % 9 = 0
+           |              THEN (d.doc_id * 31 + x * 7 + y * 13) % 256
+           |              ELSE (d.doc_id * 31 + x * 7 + y * 13) % 256 END) // 8
+           |      ELSE (d.doc_id * 31 + x * 7 + y * 13) % 256 END AS r,
+           |    CASE WHEN d.doc_id % 9 = 0
+           |      THEN CASE WHEN d.doc_id % 6 = 0
+           |             THEN ((d.doc_id * 31 + x * 7 + y * 13) % 256) // 8
+           |             ELSE (d.doc_id * 31 + x * 7 + y * 13) % 256 END
+           |      ELSE CASE WHEN d.doc_id % 6 = 0
+           |             THEN ((d.doc_id * 17 + x * 11 + y * 3) % 256) // 8
+           |             ELSE (d.doc_id * 17 + x * 11 + y * 3) % 256 END END AS g,
+           |    CASE WHEN d.doc_id % 9 = 0
+           |      THEN CASE WHEN d.doc_id % 6 = 0
+           |             THEN ((d.doc_id * 31 + x * 7 + y * 13) % 256) // 8
+           |             ELSE (d.doc_id * 31 + x * 7 + y * 13) % 256 END
+           |      ELSE CASE WHEN d.doc_id % 6 = 0
+           |             THEN ((d.doc_id * 23 + x * 5 + y * 19) % 256) // 8
+           |             ELSE (d.doc_id * 23 + x * 5 + y * 19) % 256 END END AS b
+           |  FROM documents d
+           |  CROSS JOIN generate_series(0, 23) gx(x)
+           |  CROSS JOIN generate_series(0, 15) gy(y)),
+           |lm AS (
+           |  SELECT doc_id, source, (299 * r + 587 * g + 114 * b) // 1000 AS l,
+           |         CASE WHEN r = g AND g = b THEN 1 ELSE 0 END AS isg
+           |  FROM px),
+           |per AS (
+           |  SELECT doc_id, source, count(*) AS n,
+           |    CAST(sum(l) // count(*) AS BIGINT) AS mean_luma,
+           |    CAST(count(*) * sum(l * l) - sum(l) * sum(l) AS BIGINT) AS var_scaled,
+           |    sum(isg) = count(*) AS is_gray
+           |  FROM lm GROUP BY 1, 2)
+           |SELECT source, count(*) AS n_images,
+           |  CAST(sum(CASE WHEN mean_luma < 48 THEN 1 ELSE 0 END) AS BIGINT) AS dark,
+           |  CAST(sum(CASE WHEN is_gray THEN 1 ELSE 0 END) AS BIGINT) AS grayscale,
+           |  CAST(sum(CASE WHEN var_scaled < 100000000 THEN 1 ELSE 0 END) AS BIGINT) AS low_contrast,
+           |  CAST(sum(mean_luma * n) // sum(n) AS BIGINT) AS mean_luma
+           |FROM per GROUP BY source ORDER BY source""".stripMargin),
+    prepare = Some((s, dir) => { llm143In(s, dir); () }))
 
   private val llm142Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def llm142In(s: org.apache.spark.sql.SparkSession, dir: String): String = {

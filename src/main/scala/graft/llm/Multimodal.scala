@@ -347,6 +347,60 @@ object Multimodal {
     img
   }
 
+  /** IMAGE QUALITY PROBE through the real ImageIO decode — the
+    * vision-corpus gate: under/over-exposure (integer BT.601 luma),
+    * contrast (scaled integer variance n·ΣL² − (ΣL)²), and grayscale
+    * detection (r=g=b census). All counters are integers over decoded
+    * channel values, so any engine replays them exactly from the
+    * pixel formula of a lossless fixture.
+    *
+    * @return (nPixels, sumLuma, sumLumaSq, nGray); None if undecodable */
+  private[graft] def imageQualityQ(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (bytes == null) None
+    else try {
+      codecInit
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sumL = 0L; var sumL2 = 0L; var gray = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            val l = (299L * r + 587L * g + 114L * b) / 1000L
+            sumL += l; sumL2 += l * l
+            if (r == g && g == b) gray += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some((w.toLong * h, sumL, sumL2, gray))
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** [[fixturePng]] with planted QUALITY defects: `dark` divides every
+    * channel by 8 (under-exposure, variance drops 64×), `gray` copies
+    * the red formula into all three channels — pure integer overrides
+    * the oracle replays per pixel. */
+  private[graft] def fixturePngQuality(id: Long, dark: Boolean,
+                                       gray: Boolean): Array[Byte] = {
+    val (w, h) = (24, 16)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      def ch(a: Long, b: Long, c: Long): Int = ((id * a + x * b + y * c) % 256L).toInt
+      var (r, g, b2) = (ch(31, 7, 13), ch(17, 11, 3), ch(23, 5, 19))
+      if (gray) { g = r; b2 = r }
+      if (dark) { r /= 8; g /= 8; b2 /= 8 }
+      img.setRGB(x, y, (r << 16) | (g << 8) | b2)
+    }
+    encodePng(img)
+  }
+
   private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     codecInit // JVM-global in-memory stream cache, first codec use
     val out = new java.io.ByteArrayOutputStream()
