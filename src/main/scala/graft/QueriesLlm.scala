@@ -25,7 +25,7 @@ object QueriesLlm {
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
                         llm130, llm131, llm132, llm133, llm134, llm135,
                         llm136, llm137, llm138, llm139, llm140, llm141,
-                        llm142, llm143)
+                        llm142, llm143, llm144)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6867,6 +6867,49 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** PAIRED-BOOTSTRAP SIGNIFICANCE (EvalStats.pairedBootstrap) — the
+    * eval decision layer: per-item metric deltas resampled with
+    * DETERMINISTIC double-or-nothing hash weights (w ∈ {0,2},
+    * E[w]=1), one-sided p = fraction of resamples with weighted sum
+    * ≤ 0. No RNG state — the same (resample, item) always draws the
+    * same weight, so the test replays bit-exactly in any engine.
+    * Fixture: a 'weak' experiment (mean delta ≈ +0.2/item) that must
+    * NOT clear p ≤ 5% and a 'strong' one (≈ +5.5/item) that must —
+    * both hash-derived over 100 eval items, 200 resamples. */
+  private def llm144 = Q("llm144_paired_bootstrap",
+    (s, dir) => {
+      import graft.llm.EvalStats
+      val items = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("item"))
+      val d = items.select(lit("weak").as("exp"), col("item"),
+          (Portable.hash64(concat(lit("d:"), col("item"))) % 21 - 9).as("delta"))
+        .unionByName(items.select(lit("strong").as("exp"), col("item"),
+          (Portable.hash64(concat(lit("d:"), col("item"))) % 21 - 4).as("delta")))
+      EvalStats.pairedBootstrap(d, col("exp"), col("item"), col("delta"),
+          resamples = 200)
+        .orderBy(col("experiment"))
+    },
+    Some(s"""WITH it0 AS (
+            |  SELECT doc_id AS item, ${Portable.duckHash64("'d:' || doc_id")} % 21 AS h
+            |  FROM documents WHERE doc_id < 100),
+            |it AS (
+            |  SELECT 'weak' AS experiment, item, h - 9 AS delta FROM it0
+            |  UNION ALL
+            |  SELECT 'strong', item, h - 4 FROM it0),
+            |st AS (SELECT experiment, count(*) AS n_items,
+            |         CAST(sum(delta) AS BIGINT) AS sum_delta
+            |       FROM it GROUP BY 1),
+            |bs AS (
+            |  SELECT experiment, b,
+            |    sum((${Portable.duckHash64("'bs:' || b || ':' || item")} % 2) * 2 * delta) AS wsum
+            |  FROM it CROSS JOIN generate_series(0, 199) g(b) GROUP BY 1, 2),
+            |bt AS (SELECT experiment, count(*) AS n_resamples,
+            |         CAST(sum(CASE WHEN wsum <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos
+            |       FROM bs GROUP BY 1)
+            |SELECT experiment, n_items, sum_delta, n_resamples, n_nonpos,
+            |  CAST(n_nonpos * 100 // n_resamples AS BIGINT) AS p_pct
+            |FROM st JOIN bt USING (experiment) ORDER BY experiment""".stripMargin))
 
   private val llm143Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def llm143In(s: org.apache.spark.sql.SparkSession, dir: String): String = {
