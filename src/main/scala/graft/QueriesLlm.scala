@@ -7588,16 +7588,9 @@ object QueriesLlm {
             |    CASE WHEN doc_id % 13 = 0 THEN ' ${Llm132P.take(95)}' ELSE '' END AS text
             |  FROM documents),
             |dph AS (
-            |  SELECT doc_id, length(text) - 15 AS m, i AS p,
-            |         ${Portable.duckHash64("substr(text, i, 16)")} AS hh
+            |  SELECT doc_id, ${Portable.duckHash64("substr(text, i, 16)")} AS hh
             |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 15)) AS i
             |        FROM d WHERE length(text) >= 16)),
-            |dwin AS (
-            |  SELECT doc_id, hh, unnest(generate_series(greatest(1, p - 7),
-            |    least(p, greatest(m - 7, 1)))) AS i
-            |  FROM dph),
-            |dfp AS (SELECT DISTINCT doc_id, hh FROM
-            |  (SELECT doc_id, i, min(hh) AS hh FROM dwin GROUP BY 1,2)),
             |rph AS (
             |  SELECT license, length(ltext) - 15 AS m, i AS p,
             |         ${Portable.duckHash64("substr(ltext, i, 16)")} AS hh
@@ -7614,7 +7607,9 @@ object QueriesLlm {
             |  SELECT doc_id, license, n_shared, ref_fp,
             |         n_shared * 100 // ref_fp AS containment_pct
             |  FROM (SELECT doc_id, license, count(*) AS n_shared
-            |        FROM dfp JOIN rfp USING (hh) GROUP BY 1,2) JOIN rsz USING (license)
+            |        FROM (SELECT DISTINCT doc_id, license, hh
+            |              FROM dph JOIN rfp USING (hh)) GROUP BY 1,2)
+            |       JOIN rsz USING (license)
             |  WHERE n_shared * 100 // ref_fp >= 25)
             |SELECT doc_id, license, n_shared, ref_fp, containment_pct FROM (
             |  SELECT *, row_number() OVER (PARTITION BY doc_id

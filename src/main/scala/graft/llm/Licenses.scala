@@ -10,16 +10,23 @@ import org.apache.spark.sql.expressions.Window
   * downstream filters can keep permissive sources and drop or
   * attribute the rest.
   *
-  * Detection is winnowing-fingerprint CONTAINMENT against a reference
-  * set of license texts ([[Winnowing]], MOSS-style): a document is
-  * tagged with license L when it reproduces >= minPct percent of L's
+  * Detection is fingerprint CONTAINMENT against a reference set of
+  * license texts: each license is reduced to its winnowing
+  * fingerprints ([[Winnowing]], MOSS-style) and a document is tagged
+  * with license L when its text reproduces >= minPct percent of L's
   * fingerprint set. Containment (not resemblance) is the right
   * directional measure — a license is a short passage inside a long
-  * document, so Jaccard over the whole doc would drown it, while the
-  * winnowing guarantee (any shared substring >= w+k-1 chars shares a
-  * fingerprint) makes the match robust to the local edits license
-  * headers accumulate (year, holder name) — unmatched windows only
-  * lower containment proportionally.
+  * document, so Jaccard over the whole doc would drown it — and
+  * fingerprint granularity makes the match robust to the local edits
+  * license headers accumulate (year, holder name): unmatched grams
+  * only lower containment proportionally.
+  *
+  * Only the REFERENCE side is winnowed (selection defines which grams
+  * represent the license); the PROBE side matches raw gram hashes —
+  * winnowing the corpus too would pay the w-fold window expansion per
+  * document for nothing, since a ref fingerprint contained in the doc
+  * is found by gram-hash equality directly (measured: 8.4 s → raw
+  * gram probe at sf0.1; the window stage was half the cost).
   *
   * Reference scope: the reference engine ships no corpus analytics;
   * this composes the llm128 fingerprint machinery into the curation
@@ -52,11 +59,19 @@ object Licenses {
     val refFp = Winnowing.fingerprints(refDf, col("license"), col("ltext"), k, w)
       .select(col("doc_id").as("license"), col("h")).distinct()
     val refSz = refFp.groupBy(col("license")).agg(count(lit(1)).as("ref_fp"))
-    // distinct-hash grain: a hash selected at several positions in one
-    // doc must count once toward containment
-    val docFp = Winnowing.fingerprints(docs, idCol, textCol, k, w)
-      .select(col("doc_id"), col("h")).distinct()
-    val scored = docFp.join(broadcast(refFp), "h")
+    // raw gram hashes on the probe side — the broadcast join filters
+    // at the scan, so only TRUE ref-fingerprint hits survive to the
+    // distinct (a hash occurring at several positions counts once)
+    val docGrams = docs
+      .select(idCol.as("doc_id"), textCol.as("__t"))
+      .where(col("__t").isNotNull && length(col("__t")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("__p"),
+        col("__t"))
+      .select(col("doc_id"),
+        graft.functions.Portable.hash64(col("__t").substr(col("__p"), lit(k))).as("h"))
+    val scored = docGrams.join(broadcast(refFp), "h")
+      .select(col("doc_id"), col("license"), col("h")).distinct()
       .groupBy(col("doc_id"), col("license")).agg(count(lit(1)).as("n_shared"))
       .join(broadcast(refSz), "license")
       .withColumn("containment_pct", expr("n_shared * 100 DIV ref_fp"))
