@@ -25,7 +25,7 @@ object QueriesLlm {
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
                         llm130, llm131, llm132, llm133, llm134, llm135,
                         llm136, llm137, llm138, llm139, llm140, llm141,
-                        llm142, llm143, llm144)
+                        llm142, llm143, llm144, llm145)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6867,6 +6867,55 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** EMBEDDING INGESTION AUDIT (Similarity.ingestionAudit) — the
+    * upstream-bug gate before indexing: zero vectors (failed encoder
+    * calls), exact-duplicate vectors (retry storms), integer L1
+    * level per label. Fixture plants zeros on vec_id%11 and copies
+    * of vector 1 on %13 (broadcast 1-row lookup); zeros duplicate
+    * each other too — counted, matching the oracle. Duplicate
+    * detection keys on the quantized vector's 8-byte content hash —
+    * one narrow self-aggregate, vectors never shuffle twice. */
+  private def llm145 = Q("llm145_embedding_ingest_audit",
+    (s, dir) => {
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qv"))
+      val ref1 = q.filter(col("vec_id") === 1)
+        .select(col("qv").as("__ref"))
+      val planted = q.crossJoin(broadcast(ref1))
+        .select(col("label"),
+          when(col("vec_id") % 11 === 0,
+            transform(col("qv"), _ => lit(0L)))
+          .when(col("vec_id") % 13 === 0, col("__ref"))
+          .otherwise(col("qv")).as("qv"))
+      Similarity.ingestionAudit(planted, col("label"), col("qv"), d = 64)
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH q AS (
+            |  SELECT vec_id, label,
+            |    CASE WHEN vec_id % 11 = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+            |         WHEN vec_id % 13 = 0 THEN
+            |           (SELECT list_transform(e2.embedding,
+            |              x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT))
+            |            FROM embeddings e2 WHERE e2.vec_id = 1)
+            |         ELSE list_transform(embedding,
+            |           x -> CAST(floor(CAST(x AS DOUBLE)*1e6) AS BIGINT)) END AS qv
+            |  FROM embeddings),
+            |m AS (
+            |  SELECT vec_id, label,
+            |    ${Portable.duckHash64("array_to_string(qv, ',')")} AS vh,
+            |    list_sum(list_transform(qv, x -> abs(x))) AS l1
+            |  FROM q),
+            |dups AS (SELECT vh, count(*) AS c FROM m GROUP BY vh)
+            |SELECT label, count(*) AS n_vecs,
+            |  CAST(sum(CASE WHEN l1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_vecs,
+            |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_vecs,
+            |  CAST(sum(l1) // (count(*) * 64) AS BIGINT) AS mean_l1_q
+            |FROM m JOIN dups USING (vh)
+            |GROUP BY label ORDER BY label""".stripMargin))
 
   /** PAIRED-BOOTSTRAP SIGNIFICANCE (EvalStats.pairedBootstrap) — the
     * eval decision layer: per-item metric deltas resampled with

@@ -419,6 +419,32 @@ object Similarity {
       .withColumn("recall", col("n_hits") / lit(k))
   }
 
+  /** EMBEDDING INGESTION AUDIT — the upstream-bug gate vector
+    * pipelines run before indexing: zero vectors (failed encoder
+    * calls), exact-duplicate vectors (retry storms, collapsed
+    * inputs), and the integer L1 level per group. Works on the
+    * QUANTIZED grid (floor(x·1e6) — the llm03 discipline), so
+    * "duplicate" is bit-meaningful across engines: the vector's
+    * 8-byte content hash keys one narrow self-aggregate, vectors
+    * themselves never shuffle twice.
+    *
+    * @param qvecCol array<long> quantized vector
+    * @return (label, n_vecs, zero_vecs, dup_vecs, mean_l1_q) */
+  def ingestionAudit(df: DataFrame, labelCol: Column, qvecCol: Column,
+                     d: Int): DataFrame = {
+    val m = df.select(labelCol.as("label"),
+        graft.functions.Portable.hash64(
+          array_join(transform(qvecCol, x => x.cast("string")), ",")).as("__vh"),
+        aggregate(transform(qvecCol, x => abs(x)), lit(0L), (a, x) => a + x).as("__l1"))
+    val dups = m.groupBy(col("__vh")).agg(count(lit(1)).as("__c"))
+    m.join(dups, "__vh")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("__l1") === 0, 1L).otherwise(0L)).as("zero_vecs"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("dup_vecs"),
+        expr(s"sum(__l1) DIV (count(1) * $d)").as("mean_l1_q"))
+  }
+
   /** Embedding COVARIANCE via the native one-pass second-moment
     * aggregate ([[graft.functions.VecOuterSum]]) — the PCA/whitening/
     * OPQ preprocessing read: which dimension pairs carry the most
