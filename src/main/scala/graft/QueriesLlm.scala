@@ -25,7 +25,7 @@ object QueriesLlm {
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
                         llm130, llm131, llm132, llm133, llm134, llm135,
                         llm136, llm137, llm138, llm139, llm140, llm141,
-                        llm142, llm143, llm144, llm145)
+                        llm142, llm143, llm144, llm145, llm146)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6867,6 +6867,45 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** FILL-IN-MIDDLE TRANSFORM (Sft.fimTransform) — the code-model
+    * infilling prep: deterministic hash-derived cut points, PSM
+    * ordering `<PRE>p<SUF>s<MID>m`. Per-source stats plus a
+    * bounded-sum content check (Σ hash(fim) mod 10⁹ — the full
+    * transformed STRING is value-checked, not just the lengths;
+    * bounded so the int64 sum can't overflow where DuckDB raises).
+    * One scan projection: two hashes + three substrings per doc. */
+  private def llm146 = Q("llm146_fim_transform",
+    (s, dir) => {
+      import graft.llm.Sft
+      val f = Sft.fimTransform(Tables.documents(s, dir), col("doc_id"), col("text"))
+      f.join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("fim_docs"),
+          sum(col("pre_len")).as("pre_chars"),
+          sum(col("mid_len")).as("mid_chars"),
+          sum(col("suf_len")).as("suf_chars"),
+          sum(Portable.hash64(col("fim")) % 1000000000L).as("fim_hash_sum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source, text, length(text) AS n FROM documents),
+            |c AS (
+            |  SELECT doc_id, source, text, n,
+            |    1 + ${Portable.duckHash64("'fa:' || doc_id")} % (n // 3) AS a,
+            |    (1 + ${Portable.duckHash64("'fa:' || doc_id")} % (n // 3)) + 1 +
+            |      ${Portable.duckHash64("'fb:' || doc_id")} % (n // 3) AS b
+            |  FROM d WHERE n >= 30),
+            |f AS (
+            |  SELECT doc_id, source, n, a, b,
+            |    '<PRE>' || substr(text, 1, a) || '<SUF>' || substr(text, b + 1) ||
+            |    '<MID>' || substr(text, a + 1, b - a) AS fim
+            |  FROM c)
+            |SELECT source, count(*) AS fim_docs,
+            |  CAST(sum(a) AS BIGINT) AS pre_chars,
+            |  CAST(sum(b - a) AS BIGINT) AS mid_chars,
+            |  CAST(sum(n - b) AS BIGINT) AS suf_chars,
+            |  CAST(sum(${Portable.duckHash64("fim")} % 1000000000) AS BIGINT) AS fim_hash_sum
+            |FROM f GROUP BY source ORDER BY source""".stripMargin))
 
   /** EMBEDDING INGESTION AUDIT (Similarity.ingestionAudit) — the
     * upstream-bug gate before indexing: zero vectors (failed encoder

@@ -47,6 +47,43 @@ object Sft {
       .otherwise(length(renderChatTemplate(messages)))
   }
 
+  /** FILL-IN-MIDDLE transformation (Bavarian et al. 2022) — the code-
+    * model training-data staple: split each document at two
+    * DETERMINISTIC hash-derived cut points and emit the PSM ordering
+    * `<PRE>prefix<SUF>suffix<MID>middle`, teaching the model to
+    * infill. Cut points are pure integer functions of the doc id
+    * (each segment lands in [1, len/3+len/3] with every segment
+    * non-empty), so any engine replays the exact transformed string —
+    * no RNG to coordinate between training runs and data rebuilds.
+    * Documents shorter than `minLen` pass through ineligible (the
+    * caller keeps them in the plain causal stream).
+    *
+    * One scan projection: two hashes + three substrings per doc.
+    *
+    * @return (doc_id, pre_len, mid_len, suf_len, fim) for eligible docs */
+  def fimTransform(df: org.apache.spark.sql.DataFrame, idCol: Column,
+                   textCol: Column, minLen: Int = 30):
+      org.apache.spark.sql.DataFrame = {
+    val n = length(col("__t"))
+    val third = expr("length(__t) DIV 3")
+    val a = (lit(1) + pmodHash("fa:", col("__id")) % third).cast("int")
+    val b = (a + lit(1) + pmodHash("fb:", col("__id")) % third).cast("int")
+    df.select(idCol.as("__id"), textCol.as("__t"))
+      .where(length(col("__t")) >= minLen)
+      .select(col("__id").as("doc_id"), col("__t"), a.as("__a"), b.as("__b"), n.as("__n"))
+      .select(col("doc_id"),
+        col("__a").cast("long").as("pre_len"),
+        (col("__b") - col("__a")).cast("long").as("mid_len"),
+        (col("__n") - col("__b")).cast("long").as("suf_len"),
+        concat(lit("<PRE>"), col("__t").substr(lit(1), col("__a")),
+          lit("<SUF>"), col("__t").substr(col("__b") + 1, col("__n")),
+          lit("<MID>"), col("__t").substr(col("__a") + 1, col("__b") - col("__a")))
+          .as("fim"))
+  }
+
+  private def pmodHash(tag: String, id: Column): Column =
+    graft.functions.Portable.hash64(concat(lit(tag), id))
+
   /** CONVERSATION-STRUCTURE VALIDATION — the gate every SFT pipeline
     * runs before rendering: malformed conversations (role repeats,
     * empty turns, template special tokens leaked INTO content, a
