@@ -25,7 +25,7 @@ object QueriesLlm {
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
                         llm130, llm131, llm132, llm133, llm134, llm135,
                         llm136, llm137, llm138, llm139, llm140, llm141,
-                        llm142, llm143, llm144, llm145, llm146)
+                        llm142, llm143, llm144, llm145, llm146, llm147)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6867,6 +6867,70 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** llm147's fixture: the documents as a 3-file stream (one
+    * micro-batch per file), written once per sf dir outside the
+    * bench timer. */
+  private val llm147Fixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def llm147In(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    llm147Fixture.computeIfAbsent(dir, _ => {
+      val in = java.nio.file.Files.createTempDirectory("graft-llm147-in").toString
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .repartition(3).write.mode("overwrite").parquet(in)
+      in
+    })
+
+  /** STREAMING HEAVY-HITTERS MONITOR, oracle-checked end-to-end
+    * (StreamingOps.runningCountsStream) — the continuous top-terms
+    * view: a REAL micro-batch pipeline (parquet file stream,
+    * maxFilesPerTrigger=1), token explode scan-side, per-term exact
+    * running counts in flatMapGroupsWithState (one long of state per
+    * term — O(vocabulary); the CMS sketch is the documented dial for
+    * unbounded key spaces), one refreshed count row per moved term
+    * per trigger, AvailableNow drain. The final (max-count) row per
+    * term is batch-equal to a plain word count BY ADDITIVITY whatever
+    * the batch boundaries — the oracle replays the top-20 by (count
+    * desc, term). */
+  private def llm147 = Q("llm147_heavy_hitters_stream",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val in = llm147In(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-llm147-run")
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val terms = stream.select(explode(Dedup.tokens(col("text"))).as("term"))
+      val updates = graft.streaming.StreamingOps.runningCountsStream(
+        terms, col("term"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = updates.toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .groupBy(col("term")).agg(max(col("cnt")).as("cnt"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("term"))))
+        .filter(col("rnk") <= 20)
+        .orderBy(col("rnk"))
+    },
+    Some("""WITH t AS (
+           |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+           |           x -> len(x) > 0)) AS term
+           |  FROM documents),
+           |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term)
+           |SELECT term, cnt, CAST(rnk AS INT) AS rnk FROM (
+           |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+           |  FROM c)
+           |WHERE rnk <= 20 ORDER BY rnk""".stripMargin),
+    prepare = Some((s, dir) => { llm147In(s, dir); () }))
 
   /** FILL-IN-MIDDLE TRANSFORM (Sft.fimTransform) — the code-model
     * infilling prep: deterministic hash-derived cut points, PSM

@@ -741,6 +741,42 @@ object StreamingOps {
     * monitor is constant state. One shuffle on the source tag; the
     * heavy work (hashing) happens scan-side in codegen before the
     * shuffle, and what shuffles is (tag, 8-byte hash). */
+  final case class CountIn(term: String)
+  final case class TermCountState(n: Long)
+  final case class CountUpdate(term: String, cnt: Long)
+
+  /** STREAMING RUNNING COUNTS — the heavy-hitter monitor's state
+    * layer: per-key exact counts accumulate in flatMapGroupsWithState
+    * and one refreshed (key, running count) row emits per trigger in
+    * which the key moved. Counts are additive over any batch split,
+    * so the max-count row per key equals the batch count whatever the
+    * trigger boundaries — the batch-replayable contract every
+    * streaming row here carries. Downstream, a version-ranked read of
+    * the emission log yields current top-k at any moment.
+    *
+    * State is ONE long per distinct key — O(vocabulary), not
+    * O(stream); for corpora where the key space itself is unbounded
+    * (URLs, raw shingles) the bounded-state dial is the CMS sketch
+    * ([[graft.functions.CmsSketch]]) at the cost of ±εN counts. */
+  def runningCountsStream(df: DataFrame, keyCol: Column): Dataset[CountUpdate] =
+    df.select(keyCol.cast("string").as("term")).as(Encoders.product[CountIn])
+      .groupByKey(_.term)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        countGroup)(
+        Encoders.product[TermCountState], Encoders.product[CountUpdate])
+
+  private def countGroup(term: String, events: Iterator[CountIn],
+                         state: GroupState[TermCountState]): Iterator[CountUpdate] = {
+    var add = 0L
+    while (events.hasNext) { events.next(); add += 1 }
+    if (add == 0) Iterator.empty
+    else {
+      val n = state.getOption.map(_.n).getOrElse(0L) + add
+      state.update(TermCountState(n))
+      Iterator.single(CountUpdate(term, n))
+    }
+  }
+
   def kmvContainmentStream(df: DataFrame, groupCol: Column, valueCol: Column,
                            evalSketches: Seq[(String, Array[Long])],
                            k: Int = 256): Dataset[KmvUpdate] = {

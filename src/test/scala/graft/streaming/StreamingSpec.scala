@@ -866,4 +866,37 @@ class StreamingSpec extends SparkSpec {
       assert(got == expected, s"split $case_i diverged:\n$got\nvs\n$expected")
     }
   }
+
+  test("runningCountsStream: max-count rows equal the batch count under any split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows: Seq[String] =
+      Seq.fill(9)("alpha") ++ Seq.fill(5)("beta") ++ Seq.fill(2)("gamma") ++ Seq("delta")
+    val expected = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    def run(batches: Seq[Seq[String]], name: String): Map[String, Long] = {
+      val input = MemoryStream[String]
+      val updates = StreamingOps.runningCountsStream(
+        input.toDF().toDF("term"), col("term"))
+      val q = updates.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table(name)
+          .groupBy(col("term"))
+          .agg(org.apache.spark.sql.functions.max(col("cnt")).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      } finally q.stop()
+    }
+    assert(run(Seq(rows), "hh_one") == expected)
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { i =>
+      val order = rnd.shuffle(rows)
+      val cuts = (0 until 1 + rnd.nextInt(3)).map(_ => 1 + rnd.nextInt(rows.size - 1))
+        .sorted.distinct
+      val batches = (Seq(0) ++ cuts ++ Seq(rows.size)).distinct.sliding(2)
+        .map { case Seq(a, b) => order.slice(a, b) }.filter(_.nonEmpty).toSeq
+      assert(run(batches, s"hh_prop_$i") == expected, s"split $i diverged")
+    }
+  }
 }
