@@ -1293,6 +1293,27 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.parseExif(null).isEmpty)
   }
 
+  test("quality probes fuzz: random and truncated media yield None, never a throw") {
+    val rnd = new scala.util.Random(17)
+    (1 to 150).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(b)
+      Multimodal.audioQualityQ(b, 256L, 32700L)
+      Multimodal.imageQualityQ(b)
+    }
+    val wav = Multimodal.fixtureWavQuality(9L, silence = true, clip = true)
+    val png = Multimodal.fixturePngQuality(9L, dark = true, gray = false)
+    (0 until wav.length by 97).foreach { cut =>
+      Multimodal.audioQualityQ(java.util.Arrays.copyOf(wav, cut), 256L, 32700L)
+    }
+    (0 until png.length by 23).foreach { cut =>
+      Multimodal.imageQualityQ(java.util.Arrays.copyOf(png, cut))
+    }
+    // cross-codec confusion: a PNG fed to the audio probe and vice versa
+    assert(Multimodal.audioQualityQ(png, 256L, 32700L).isEmpty)
+    assert(Multimodal.imageQualityQ(wav).isEmpty)
+  }
+
   test("longestSharedRun: the islands trick finds the verbatim span; an edit splits the run; min-run gates noise") {
     import spark.implicits._
     val train = Seq((10L, "abcdefghijklmnopqrstuvwxyz0123456789")).toDF("id", "t")
