@@ -25,7 +25,8 @@ object QueriesLlm {
                         llm123, llm124, llm125, llm126, llm127, llm128, llm129,
                         llm130, llm131, llm132, llm133, llm134, llm135,
                         llm136, llm137, llm138, llm139, llm140, llm141,
-                        llm142, llm143, llm144, llm145, llm146, llm147)
+                        llm142, llm143, llm144, llm145, llm146, llm147,
+                        llm148)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6867,6 +6868,151 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** CURATION PIPELINE V2 (capstone) — the round-18 gates composed
+    * into one monotone funnel with a single SQL oracle, llm114's
+    * discipline over the NEW surface: mojibake gate (llm134's
+    * signatures) → blocklist gate with obfuscation folds (llm131) →
+    * generation-loop gate (llm137, division-free flag) → copyleft
+    * license filter (llm132's containment, ref-side winnowing,
+    * broadcast fingerprints) → fill-in-middle transform of the kept
+    * set (llm146, full-string hash-sum check). Four distinct planted
+    * defect classes (%7 leet blockword, %9 replacement char, %11
+    * period-1 loop, %13 copyleft boilerplate) drop at their own
+    * stages; at sf0.01 the funnel narrows 500 → 319 kept. 100 TB
+    * shape: the three text gates are ONE scan projection; the
+    * license stage pays the gram-hash pass on SURVIVORS only with a
+    * broadcast ref join; FIM is a projection of the kept set. */
+  private def llm148 = Q("llm148_curation_pipeline_v2",
+    (s, dir) => {
+      import graft.llm.{TextAnalysis, Licenses, Sft}
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, " 7oxic").otherwise(""),
+          when(col("doc_id") % 9 === 0, " caf\uFFFD").otherwise(""),
+          when(col("doc_id") % 11 === 0,
+            concat_ws("", (1 to 80).map(_ => lit(" buy")): _*)).otherwise(""),
+          when(col("doc_id") % 13 === 0, " " + Llm132C).otherwise(""))
+          .as("t"))
+      val s1 = d
+        .withColumn("enc_bad", TextAnalysis.encodingDamage(col("t")) > 0)
+        .withColumn("bl_bad",
+          TextAnalysis.blocklistHits(col("t"), Seq("toxic")) > 0)
+        .withColumn("loop_bad",
+          TextAnalysis.loopFlag(TextAnalysis.tokens(col("t")), 4, 30))
+        .withColumn("p_enc", !col("enc_bad"))
+        .withColumn("p_bl", col("p_enc") && !col("bl_bad"))
+        .withColumn("p_loop", col("p_bl") && !col("loop_bad"))
+      val survivors = s1.filter(col("p_loop"))
+        .select(col("doc_id"), col("source"), col("t"))
+      val lic = Licenses.detect(survivors, col("doc_id"), col("t"),
+          Seq("copyleft" -> Llm132C), k = 16, w = 8, minPct = 50)
+        .select(col("doc_id").as("__lid"))
+      val kept = survivors.join(lic,
+        survivors("doc_id") === col("__lid"), "left_anti")
+      val fim = Sft.fimTransform(kept, col("doc_id"), col("t"))
+        .select(col("doc_id"),
+          (Portable.hash64(col("fim")) % 1000000000L).as("__fh"))
+      val keptStats = kept.join(fim, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept"),
+          sum(coalesce(col("__fh"), lit(0L))).as("fim_hash_sum"))
+      val funnel = s1.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("enc_bad"), 1L).otherwise(0L)).as("drop_encoding"),
+        sum(when(col("p_enc") && col("bl_bad"), 1L).otherwise(0L)).as("drop_blocklist"),
+        sum(when(col("p_bl") && col("loop_bad"), 1L).otherwise(0L)).as("drop_loop"),
+        sum(when(col("p_loop"), 1L).otherwise(0L)).as("n_surv"))
+      funnel.join(keptStats, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("drop_encoding"),
+          col("drop_blocklist"), col("drop_loop"),
+          (col("n_surv") - coalesce(col("kept"), lit(0L))).as("drop_license"),
+          coalesce(col("kept"), lit(0L)).as("kept"),
+          coalesce(col("fim_hash_sum"), lit(0L)).as("fim_hash_sum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, source,
+            |    text ||
+            |    CASE WHEN doc_id % 7 = 0 THEN ' 7oxic' ELSE '' END ||
+            |    CASE WHEN doc_id % 9 = 0 THEN ' caf' || chr(65533) ELSE '' END ||
+            |    CASE WHEN doc_id % 11 = 0 THEN repeat(' buy', 80) ELSE '' END ||
+            |    CASE WHEN doc_id % 13 = 0 THEN ' $Llm132C' ELSE '' END AS t
+            |  FROM documents),
+            |fl AS (
+            |  SELECT doc_id, source, t,
+            |    (length(t) - length(replace(t, chr(65533), ''))
+            |     + length(t) - length(regexp_replace(t, '[\\x80-\\x9F]', '', 'g'))
+            |     + len(regexp_extract_all(t, chr(195) || '[\\xA0-\\xBF]'))) > 0 AS enc_bad,
+            |    len(list_filter(
+            |      list_transform(
+            |        regexp_split_to_array(
+            |          translate(lower(t), chr(8203)||chr(8204)||chr(8205)||chr(65279), ''),
+            |          '[^a-z0-9@$$]+'),
+            |        x -> translate(x, '0134578@$$', 'oieastbas')),
+            |      x -> x = 'toxic')) > 0 AS bl_bad,
+            |    list_bool_or(
+            |      [CASE WHEN len(tk) > p THEN
+            |         list_sum(list_transform(range(1, len(tk) - p + 1),
+            |           i -> CASE WHEN tk[i + p] = tk[i] THEN 1 ELSE 0 END)) * 100
+            |           >= 30 * (len(tk) - p)
+            |       ELSE false END for p in [1, 2, 3, 4]]) AS loop_bad
+            |  FROM (SELECT doc_id, source, t,
+            |          list_filter(string_split_regex(t, '\\s+'), x -> len(x) > 0) AS tk
+            |        FROM d)),
+            |s1 AS (
+            |  SELECT *, NOT enc_bad AS p_enc,
+            |    NOT enc_bad AND NOT bl_bad AS p_bl,
+            |    NOT enc_bad AND NOT bl_bad AND NOT loop_bad AS p_loop
+            |  FROM fl),
+            |surv AS (SELECT doc_id, source, t FROM s1 WHERE p_loop),
+            |refs AS (SELECT 'copyleft' AS license, '$Llm132C' AS ltext),
+            |rph AS (
+            |  SELECT license, length(ltext) - 15 AS m, i AS p,
+            |         ${Portable.duckHash64("substr(ltext, i, 16)")} AS hh
+            |  FROM (SELECT license, ltext, unnest(generate_series(1, length(ltext) - 15)) AS i
+            |        FROM refs)),
+            |rwin AS (
+            |  SELECT license, hh, unnest(generate_series(greatest(1, p - 7),
+            |    least(p, greatest(m - 7, 1)))) AS i FROM rph),
+            |rfp AS (SELECT DISTINCT license, hh FROM
+            |  (SELECT license, i, min(hh) AS hh FROM rwin GROUP BY 1,2)),
+            |rsz AS (SELECT license, count(*) AS ref_fp FROM rfp GROUP BY 1),
+            |dph AS (
+            |  SELECT doc_id, ${Portable.duckHash64("substr(t, i, 16)")} AS hh
+            |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 15)) AS i
+            |        FROM surv WHERE length(t) >= 16)),
+            |lic AS (
+            |  SELECT doc_id FROM (
+            |    SELECT doc_id, license, count(*) AS n_shared
+            |    FROM (SELECT DISTINCT doc_id, license, hh FROM dph JOIN rfp USING (hh))
+            |    GROUP BY 1,2)
+            |  JOIN rsz USING (license) WHERE n_shared * 100 // ref_fp >= 50),
+            |kept AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM lic)),
+            |fim AS (
+            |  SELECT doc_id,
+            |    ${Portable.duckHash64("'<PRE>' || substr(t, 1, a) || '<SUF>' || substr(t, b + 1) || '<MID>' || substr(t, a + 1, b - a)")} % 1000000000 AS fh
+            |  FROM (SELECT doc_id, t,
+            |          1 + ${Portable.duckHash64("'fa:' || doc_id")} % (length(t) // 3) AS a,
+            |          (1 + ${Portable.duckHash64("'fa:' || doc_id")} % (length(t) // 3)) + 1 +
+            |            ${Portable.duckHash64("'fb:' || doc_id")} % (length(t) // 3) AS b
+            |        FROM kept WHERE length(t) >= 30)),
+            |ks AS (
+            |  SELECT source, count(*) AS kept,
+            |    CAST(sum(coalesce(fh, 0)) AS BIGINT) AS fim_hash_sum
+            |  FROM kept LEFT JOIN fim USING (doc_id) GROUP BY source),
+            |fu AS (
+            |  SELECT source, count(*) AS n_docs,
+            |    CAST(sum(CASE WHEN enc_bad THEN 1 ELSE 0 END) AS BIGINT) AS drop_encoding,
+            |    CAST(sum(CASE WHEN p_enc AND bl_bad THEN 1 ELSE 0 END) AS BIGINT) AS drop_blocklist,
+            |    CAST(sum(CASE WHEN p_bl AND loop_bad THEN 1 ELSE 0 END) AS BIGINT) AS drop_loop,
+            |    CAST(sum(CASE WHEN p_loop THEN 1 ELSE 0 END) AS BIGINT) AS n_surv
+            |  FROM s1 GROUP BY source)
+            |SELECT source, n_docs, drop_encoding, drop_blocklist, drop_loop,
+            |  CAST(n_surv - coalesce(kept, 0) AS BIGINT) AS drop_license,
+            |  CAST(coalesce(kept, 0) AS BIGINT) AS kept,
+            |  CAST(coalesce(fim_hash_sum, 0) AS BIGINT) AS fim_hash_sum
+            |FROM fu LEFT JOIN ks USING (source) ORDER BY source""".stripMargin))
 
   /** llm147's fixture: the documents as a 3-file stream (one
     * micro-batch per file), written once per sf dir outside the

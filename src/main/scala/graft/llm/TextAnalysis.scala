@@ -569,6 +569,39 @@ object TextAnalysis {
         sum(col("dbl")).as("dbl_seqs"))
       .withColumn("damaged_pct", expr("damaged * 100 DIV n_docs"))
 
+  /** Per-document encoding-damage count — [[encodingAudit]]'s three
+    * signatures as one Column (for funnels that gate per doc). */
+  def encodingDamage(text: Column): Column =
+    (length(text) - length(replace(text, lit("\uFFFD"), lit("")))).cast("long") +
+    (length(text) - length(regexp_replace(text, "[-]", ""))).cast("long") +
+    size(regexp_extract_all(text, lit("Ã[ -¿]"), lit(0))).cast("long")
+
+  /** Per-document blocklist hit count with the [[blocklistGate]]
+    * obfuscation folds — zero-width strip, lowercase, leet map. */
+  def blocklistHits(text: Column, blocklist: Seq[String]): Column = {
+    val bl = array(blocklist.map(lit): _*)
+    val toks = split(lower(translate(text, ZeroWidth, "")), "[^a-z0-9@$]+")
+    size(filter(transform(toks, t => translate(t, LeetFrom, LeetTo)),
+      t => array_contains(bl, t))).cast("long")
+  }
+
+  /** Per-document generation-loop flag: true when the fraction of
+    * tokens equal to the token p positions earlier reaches
+    * `thresholdPct` for any period p ≤ maxPeriod. Division-free —
+    * the comparison is m_p·100 ≥ threshold·(n−p), pure integers, so
+    * any engine replays the flag exactly. */
+  def loopFlag(toks: Column, maxPeriod: Int, thresholdPct: Int): Column = {
+    val n = size(toks).cast("long")
+    (1 to maxPeriod).map { p =>
+      val len = greatest(size(toks) - p, lit(0))
+      val m = aggregate(
+        zip_with(slice(toks, lit(p + 1), len), slice(toks, lit(1), len),
+          (a, b) => when(a === b, lit(1L)).otherwise(lit(0L))),
+        lit(0L), (s, x) => s + x)
+      (n > p) && (m * 100 >= lit(thresholdPct.toLong) * (n - p))
+    }.reduce(_ || _)
+  }
+
   /** GENERATION-LOOP (tandem-repeat) DEGENERACY AUDIT — the
     * synthetic-data gate: model generations that collapse into a loop
     * ("buy buy buy…", "spam ham spam ham…") carry a near-1 fraction
