@@ -26,7 +26,7 @@ object QueriesLlm {
                         llm130, llm131, llm132, llm133, llm134, llm135,
                         llm136, llm137, llm138, llm139, llm140, llm141,
                         llm142, llm143, llm144, llm145, llm146, llm147,
-                        llm148)
+                        llm148, llm149)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6868,6 +6868,42 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** MULTIMODAL REFERENTIAL-INTEGRITY AUDIT
+    * (Multimodal.referentialAudit) — orphan documents (media
+    * reference resolves to nothing: the run crashes or silently
+    * trains text-only) and dangling media (paid storage, no training
+    * signal — the GC candidate list). Fixture: the media table drops
+    * every doc_id%3==0 (orphans) and adds +100000 rows for %4==0
+    * (dangling). Two hash joins on the 8-byte id; the dangling count
+    * broadcasts back as one row. */
+  private def llm149 = Q("llm149_referential_audit",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val media = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("media_id"))
+        .unionByName(docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 100000L).as("media_id")))
+      graft.llm.Multimodal.referentialAudit(
+          docs, col("doc_id"), col("source"), media, col("media_id"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH media AS (
+           |  SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 100000 FROM documents WHERE doc_id % 4 = 0),
+           |o AS (
+           |  SELECT d.source, count(*) AS n_docs,
+           |    CAST(sum(CASE WHEN m.media_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_docs
+           |  FROM documents d LEFT JOIN media m ON d.doc_id = m.media_id
+           |  GROUP BY d.source),
+           |g AS (
+           |  SELECT count(*) AS dangling_media
+           |  FROM media m LEFT JOIN documents d ON m.media_id = d.doc_id
+           |  WHERE d.doc_id IS NULL)
+           |SELECT source, n_docs, orphan_docs,
+           |  (SELECT dangling_media FROM g) AS dangling_media
+           |FROM o ORDER BY source""".stripMargin))
 
   /** CURATION PIPELINE V2 (capstone) — the round-18 gates composed
     * into one monotone funnel with a single SQL oracle, llm114's

@@ -1008,6 +1008,32 @@ object Multimodal {
     } catch { case _: Throwable => None }
   }
 
+  /** MULTIMODAL REFERENTIAL-INTEGRITY AUDIT — the lake-scale
+    * consistency check a media corpus owes its text side: documents
+    * whose media reference resolves to nothing (orphans — a training
+    * run either crashes or silently trains text-only) and media rows
+    * no document references (dangling — paid storage, no training
+    * signal; also the GC candidate list). Two anti-join-shaped hash
+    * joins keyed on the 8-byte id — the only rows on any exchange are
+    * (id) / (source, two longs); the dangling count broadcasts back
+    * as a one-row frame.
+    *
+    * @return (source, n_docs, orphan_docs, dangling_media) */
+  def referentialAudit(docs: DataFrame, docIdCol: Column, sourceCol: Column,
+                       media: DataFrame, mediaIdCol: Column): DataFrame = {
+    val m = media.select(mediaIdCol.as("__mid"))
+    val orphans = docs.select(docIdCol.as("__did"), sourceCol.as("source"))
+      .join(m, col("__did") === col("__mid"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__mid").isNull, 1L).otherwise(0L)).as("orphan_docs"))
+    val dangling = m
+      .join(docs.select(docIdCol.as("__did")),
+        col("__mid") === col("__did"), "left_anti")
+      .agg(count(lit(1)).as("dangling_media"))
+    orphans.crossJoin(broadcast(dangling))
+  }
+
   /** AUDIO QUALITY PROBE over the same real javax.sound decode as
     * [[audioEnvelopeQ]] — the speech-corpus gate: silence fraction
     * (dead air, truncated recordings), clipping fraction (gain
