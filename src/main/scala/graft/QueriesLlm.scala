@@ -6944,12 +6944,15 @@ object QueriesLlm {
       val lic = Licenses.detect(survivors, col("doc_id"), col("t"),
           Seq("copyleft" -> Llm132C), k = 16, w = 8, minPct = 50)
         .select(col("doc_id").as("__lid"))
-      val kept = survivors.join(lic,
+      // lic is a handful of ids — broadcast the anti-join; and project
+      // the text away before the fim join so no exchange carries it
+      val kept = survivors.join(broadcast(lic),
         survivors("doc_id") === col("__lid"), "left_anti")
       val fim = Sft.fimTransform(kept, col("doc_id"), col("t"))
         .select(col("doc_id"),
           (Portable.hash64(col("fim")) % 1000000000L).as("__fh"))
-      val keptStats = kept.join(fim, Seq("doc_id"), "left")
+      val keptStats = kept.select(col("doc_id"), col("source"))
+        .join(fim, Seq("doc_id"), "left")
         .groupBy("source")
         .agg(count(lit(1)).as("kept"),
           sum(coalesce(col("__fh"), lit(0L))).as("fim_hash_sum"))

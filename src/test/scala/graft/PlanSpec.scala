@@ -879,6 +879,17 @@ class PlanSpec extends SparkSpec {
       s"the containment join degenerated to a product:\n$s")
   }
 
+  test("llm148: curation funnel — document text never crosses an exchange; the license list broadcasts") {
+    val df = Queries.byName("llm148_curation_pipeline_v2")(spark, sfSmoke)
+    val p = planOf(df)
+    assert(!shuffleInputs(p).exists(n => n == "t" || n == "text" || n == "fim"),
+      "gates, license probe, and FIM all reduce text scan-side")
+    assert(p.toString.contains("BroadcastHashJoin") || p.toString.contains("BroadcastExchange"),
+      s"the license frames must broadcast:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"unexpected product in the funnel:\n$p")
+  }
+
   test("llm131: blocklist gate — one scan projection, one aggregate; no explode, no text keys") {
     val df = Queries.byName("llm131_blocklist_gate")(spark, sfSmoke)
     val p = planOf(df)
