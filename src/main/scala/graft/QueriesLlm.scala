@@ -6919,6 +6919,7 @@ object QueriesLlm {
     * shape: the three text gates are ONE scan projection; the
     * license stage pays the gram-hash pass on SURVIVORS only with a
     * broadcast ref join; FIM is a projection of the kept set. */
+  private val llm148Slot = new TrackerSlot
   private def llm148 = Q("llm148_curation_pipeline_v2",
     (s, dir) => {
       import graft.llm.{TextAnalysis, Licenses, Sft}
@@ -6939,8 +6940,14 @@ object QueriesLlm {
         .withColumn("p_enc", !col("enc_bad"))
         .withColumn("p_bl", col("p_enc") && !col("bl_bad"))
         .withColumn("p_loop", col("p_bl") && !col("loop_bad"))
-      val survivors = s1.filter(col("p_loop"))
-        .select(col("doc_id"), col("source"), col("t"))
+      // the survivor stage feeds THREE consumers (license probe,
+      // kept stats, FIM) — materialize once so the text gates run one
+      // pass, not one per consumer (9.5 → ~4 s at sf0.1; at scale a
+      // production funnel persists stage outputs the same way)
+      val survivors = llm148Slot.fresh().track(
+        graft.operators.Materialize.eager(
+          s1.filter(col("p_loop"))
+            .select(col("doc_id"), col("source"), col("t"))))
       val lic = Licenses.detect(survivors, col("doc_id"), col("t"),
           Seq("copyleft" -> Llm132C), k = 16, w = 8, minPct = 50)
         .select(col("doc_id").as("__lid"))
@@ -7051,7 +7058,8 @@ object QueriesLlm {
             |  CAST(n_surv - coalesce(kept, 0) AS BIGINT) AS drop_license,
             |  CAST(coalesce(kept, 0) AS BIGINT) AS kept,
             |  CAST(coalesce(fim_hash_sum, 0) AS BIGINT) AS fim_hash_sum
-            |FROM fu LEFT JOIN ks USING (source) ORDER BY source""".stripMargin))
+            |FROM fu LEFT JOIN ks USING (source) ORDER BY source""".stripMargin),
+    cleanup = Some(_ => llm148Slot.drain()))
 
   /** llm147's fixture: the documents as a 3-file stream (one
     * micro-batch per file), written once per sf dir outside the
