@@ -26,7 +26,7 @@ object QueriesLlm {
                         llm130, llm131, llm132, llm133, llm134, llm135,
                         llm136, llm137, llm138, llm139, llm140, llm141,
                         llm142, llm143, llm144, llm145, llm146, llm147,
-                        llm148, llm149)
+                        llm148, llm149, llm150)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6868,6 +6868,91 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** SCRUB-RECALL AUDIT (Pii.scrubAudit) — QA of the scrubber
+    * itself: detector counts before masking vs residuals after the
+    * full mask chain (emails, phones, Luhn-valid cards). The fixture
+    * plants all three PII types PLUS the adversarial adjacent-phone
+    * pair ('555-1234/555-6789', doc_id%8) whose second number the
+    * guard-consuming pattern only reveals once the first is masked —
+    * the audit must report exactly that leak as nonzero
+    * resid_phones while emails and cards scrub clean. One codegen
+    * projection for both passes + the mask chain; (source, six
+    * ints)/doc on the exchange. */
+  private def llm150 = Q("llm150_scrub_recall",
+    (s, dir) => {
+      import graft.llm.Pii
+      val d = Tables.documents(s, dir).select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" reach user"), col("doc_id"), lit("@example.com"))).otherwise(""),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+          when(col("doc_id") % 6 === 0, " pay 4111 1111 1111 1111 ok").otherwise(""),
+          when(col("doc_id") % 8 === 0, " dial 555-1234/555-6789 now").otherwise(""))
+          .as("t"))
+      Pii.scrubAudit(d, col("source"), col("t"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val em = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ph = "(^|[^0-9-])(([0-9]{3}-)?[0-9]{3}-[0-9]{4})($|[^0-9-])"
+      val card = "[0-9](?:[0-9 -]{11,23})[0-9]"
+      def luhn(v: String) =
+        s"""list_sum(list_transform(range(1, length($v) + 1), i ->
+           |   CASE WHEN (length($v) - i) % 2 = 1
+           |     THEN CASE WHEN 2*(ascii(substr($v, i, 1)) - 48) > 9
+           |            THEN 2*(ascii(substr($v, i, 1)) - 48) - 9
+           |            ELSE 2*(ascii(substr($v, i, 1)) - 48) END
+           |     ELSE ascii(substr($v, i, 1)) - 48 END)) % 10 = 0""".stripMargin
+      def validCards(src: String) =
+        s"""len(list_filter(
+           |  list_transform(regexp_extract_all($src, '$card'),
+           |    x -> regexp_replace(x, '[ -]', '', 'g')),
+           |  c -> length(c) BETWEEN 13 AND 19 AND ${luhn("c")}))""".stripMargin
+      def maskCards(src: String) =
+        s"""list_reduce(
+           |  list_prepend($src,
+           |    list_transform(
+           |      list_filter(
+           |        list_transform(regexp_extract_all($src, '$card'),
+           |          x -> {'o': x, 'cc': regexp_replace(x, '[ -]', '', 'g')}),
+           |        s -> length(s.cc) BETWEEN 13 AND 19 AND ${luhn("s.cc")}),
+           |      s -> s.o)),
+           |  (acc, x) -> replace(acc, x, '<CARD>'))""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    text ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' reach user' || doc_id || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 6 = 0 THEN ' pay 4111 1111 1111 1111 ok' ELSE '' END ||
+         |    CASE WHEN doc_id % 8 = 0 THEN ' dial 555-1234/555-6789 now' ELSE '' END AS t
+         |  FROM documents),
+         |pre AS (
+         |  SELECT doc_id, source, t,
+         |    len(regexp_extract_all(t, '$em')) AS pe,
+         |    len(regexp_extract_all(t, '$ph')) AS pp,
+         |    ${validCards("t")} AS pc
+         |  FROM d),
+         |m0 AS (
+         |  SELECT doc_id, source, pe, pp, pc,
+         |    regexp_replace(regexp_replace(t, '$em', '<EMAIL>', 'g'),
+         |      '$ph', '\\1<PHONE>\\4', 'g') AS masked0
+         |  FROM pre),
+         |mk AS (SELECT doc_id, source, pe, pp, pc, ${maskCards("masked0")} AS masked FROM m0),
+         |post AS (
+         |  SELECT source, pe, pp, pc,
+         |    len(regexp_extract_all(masked, '$em')) AS re,
+         |    len(regexp_extract_all(masked, '$ph')) AS rp,
+         |    ${validCards("masked")} AS rc
+         |  FROM mk)
+         |SELECT source,
+         |  CAST(sum(pe) AS BIGINT) AS planted_emails, CAST(sum(re) AS BIGINT) AS resid_emails,
+         |  CAST(sum(pp) AS BIGINT) AS planted_phones, CAST(sum(rp) AS BIGINT) AS resid_phones,
+         |  CAST(sum(pc) AS BIGINT) AS planted_cards,  CAST(sum(rc) AS BIGINT) AS resid_cards
+         |FROM post GROUP BY source ORDER BY source""".stripMargin
+    })
 
   /** MULTIMODAL REFERENTIAL-INTEGRITY AUDIT
     * (Multimodal.referentialAudit) — orphan documents (media

@@ -77,6 +77,55 @@ object Pii {
     (total % 10 === 0) && (n >= 13)
   }
 
+  /** Count of Luhn-VALID card numbers in the text. */
+  def validCardCount(text: Column): Column =
+    size(filter(cardCandidates(text), luhnValid _)).cast("long")
+
+  /** Redact Luhn-valid card numbers (separator forms included): the
+    * candidate runs are extracted, validated, and each ORIGINAL form
+    * folded out of the text with a literal replace — an in-expression
+    * fold over the (rare) valid candidates, so the text is rewritten
+    * once per true card, never rescanned per pattern. Invalid digit
+    * runs (timestamps, ids) are left alone — redacting them would
+    * mangle data that is not PII. */
+  def maskCards(text: Column): Column = {
+    val valids = transform(
+      filter(
+        transform(regexp_extract_all(text, lit(CardPattern), lit(0)),
+          x => struct(x.as("o"), regexp_replace(x, "[ -]", "").as("cc"))),
+        s => length(s.getField("cc")).between(13, 19) &&
+          luhnValid(s.getField("cc"))),
+      s => s.getField("o"))
+    aggregate(valids, text, (acc, x) => replace(acc, x, lit("<CARD>")))
+  }
+
+  /** SCRUB-RECALL AUDIT — QA of the scrubber itself: detector counts
+    * BEFORE masking (planted exposure) vs AFTER ([[mask]] +
+    * [[maskCards]] residuals), per source. A nonzero residual is a
+    * leak in the masking pass that the matching detector can still
+    * see — e.g. the documented adjacent-phone guard consumption
+    * (PhonePattern: two phones sharing a separator, only the first
+    * masked — the second becomes visible once the first is gone).
+    *
+    * Scale shape: one codegen projection computes both detector
+    * passes and the mask chain on the text where it sits; the
+    * exchange carries (source, six ints) per doc. */
+  def scrubAudit(df: org.apache.spark.sql.DataFrame, sourceCol: Column,
+                 textCol: Column): org.apache.spark.sql.DataFrame = {
+    val masked = maskCards(mask(textCol))
+    df.select(sourceCol.as("source"),
+        emailCount(textCol).cast("long").as("pe"),
+        phoneCount(textCol).cast("long").as("pp"),
+        validCardCount(textCol).as("pc"),
+        emailCount(masked).cast("long").as("re"),
+        phoneCount(masked).cast("long").as("rp"),
+        validCardCount(masked).as("rc"))
+      .groupBy("source")
+      .agg(sum(col("pe")).as("planted_emails"), sum(col("re")).as("resid_emails"),
+        sum(col("pp")).as("planted_phones"), sum(col("rp")).as("resid_phones"),
+        sum(col("pc")).as("planted_cards"), sum(col("rc")).as("resid_cards"))
+  }
+
   /** Per-source card-exposure audit: candidate digit runs, how many
     * pass the Luhn checksum (real card shapes), how many fail (digit
     * noise), and how many docs carry at least one valid card.
