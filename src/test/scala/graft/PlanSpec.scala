@@ -879,6 +879,18 @@ class PlanSpec extends SparkSpec {
       s"the containment join degenerated to a product:\n$s")
   }
 
+  test("llm142/llm143: quality gates — media bytes die at the codec seam") {
+    for (name <- Seq("llm142_audio_quality", "llm143_image_quality")) {
+      val df = Queries.byName(name)(spark, sfSmoke)
+      val p = planOf(df)
+      assert(!shuffleInputs(p).exists(n => n == "media" || n.startsWith("media#")),
+        s"$name: media bytes must never cross an exchange")
+      assert(!p.toString.contains("CartesianProduct") &&
+             !p.toString.contains("BroadcastNestedLoopJoin"),
+        s"$name: the metadata join degenerated to a product:\n$p")
+    }
+  }
+
   test("llm148: curation funnel — document text never crosses an exchange; the license list broadcasts") {
     val df = Queries.byName("llm148_curation_pipeline_v2")(spark, sfSmoke)
     val p = planOf(df)
