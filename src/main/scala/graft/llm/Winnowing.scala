@@ -47,29 +47,35 @@ object Winnowing {
   def fingerprints(docs: DataFrame, idCol: Column, textCol: Column,
                    k: Int, w: Int): DataFrame = {
     require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
-    // (doc, p, h, m): positional k-gram hashes + gram count m per doc.
-    val ph = docs
+    // IN-ROW form (round-18 A/B, measured): gram hashes, per-window
+    // rightmost minima, and the distinct selected set all compute as
+    // array algebra inside the scan row — the w-fold window expansion
+    // never becomes ROWS at all, so nothing reaches the exchange but
+    // the ~2/(w+1) selected fingerprints. The earlier explode +
+    // partial-agg form (windows as rows collapsing map-side) measured
+    // 8.4 s isolated at sf0.1; this form replaces the 8× row blowup +
+    // hash-agg machinery with O(m·w) in-row struct comparisons.
+    // Semantics are pinned identical in WinnowingSpec: per window of
+    // w consecutive gram hashes, min of (h asc, position desc) — the
+    // struct (h, -p) minimum — and selected (p, h) pairs dedup.
+    val base = docs
       .select(idCol.as("doc_id"), textCol.as("__t"))
       .where(col("__t").isNotNull && length(col("__t")) >= k)
-      .select(col("doc_id"), (length(col("__t")) - (k - 1)).as("m"),
-        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("p"),
-        col("__t"))
-      .select(col("doc_id"), col("m"), col("p"),
-        Portable.hash64(col("__t").substr(col("p"), lit(k))).as("h"))
-    // Window membership: gram p belongs to window starts
-    // i in [max(1, p-w+1), min(p, max(m-w+1, 1))] — the clamp makes a
-    // doc with fewer than w grams one whole-doc window (i = 1).
-    val win = ph.select(col("doc_id"), col("p"), col("h"),
-      explode(sequence(
-        greatest(lit(1), col("p") - (w - 1)),
-        least(col("p"), greatest(col("m") - (w - 1), lit(1))))).as("i"))
-    // Rightmost minimal hash per window: min over (h asc, p desc),
-    // then the distinct selected set is the fingerprint.
-    win.groupBy(col("doc_id"), col("i"))
-      .agg(min(struct(col("h"), (-col("p")).as("np"))).as("b"))
-      .select(col("doc_id"), (-col("b.np")).cast("long").as("p"),
-        col("b.h").as("h"))
-      .distinct()
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(col("__t")) - (k - 1)),
+          i => Portable.hash64(col("__t").substr(i, lit(k)))).as("__gh"))
+      .select(col("doc_id"), col("__gh"), size(col("__gh")).as("__m"))
+      .select(col("doc_id"),
+        zip_with(col("__gh"), sequence(lit(1), col("__m")),
+          (h, p) => struct(h.as("h"), (-p).as("np"))).as("__st"),
+        col("__m"))
+    base
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), greatest(col("__m") - (w - 1), lit(1))),
+            i => array_min(slice(col("__st"), i, lit(w)))))).as("__s"))
+      .select(col("doc_id"), (-col("__s.np")).cast("long").as("p"),
+        col("__s.h").as("h"))
   }
 
   /** Candidate partial-copy pairs from shared winnowing fingerprints:
