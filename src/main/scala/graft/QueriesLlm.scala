@@ -26,7 +26,7 @@ object QueriesLlm {
                         llm130, llm131, llm132, llm133, llm134, llm135,
                         llm136, llm137, llm138, llm139, llm140, llm141,
                         llm142, llm143, llm144, llm145, llm146, llm147,
-                        llm148, llm149, llm150)
+                        llm148, llm149, llm150, llm151)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6868,6 +6868,59 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** LANGUAGE-RUN SEGMENTATION (TextAnalysis.languageRuns) — the
+    * routing stage after mixed-language detection (llm113): split a
+    * mixed doc into contiguous single-language runs via per-marker
+    * lang-id + the islands trick over consecutive marker positions.
+    * Fixture plants 6-marker German (%6) and French (%8) tails;
+    * scattered natural English markers never reach minRun=3
+    * consecutive positions, so exactly the planted runs emit. 100 TB
+    * shape: the explode filters to marker rows immediately, so the
+    * exchange carries (doc, pos, 2-char lang) for a few percent of
+    * tokens; islands are one window + one aggregate. */
+  private def llm151 = Q("llm151_language_runs",
+    (s, dir) => {
+      import graft.llm.TextAnalysis
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0, " der und die der und die").otherwise(""),
+          when(col("doc_id") % 8 === 0, " le et les le et les").otherwise(""))
+          .as("t"))
+      TextAnalysis.languageRuns(d, col("doc_id"), col("t"), minRun = 3)
+        .orderBy(col("doc_id"), col("start_pos"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id,
+           |    text ||
+           |    CASE WHEN doc_id % 6 = 0 THEN ' der und die der und die' ELSE '' END ||
+           |    CASE WHEN doc_id % 8 = 0 THEN ' le et les le et les' ELSE '' END AS t
+           |  FROM documents),
+           |tok AS (
+           |  SELECT doc_id, i AS pos, tk[i] AS tok
+           |  FROM (SELECT doc_id, list_filter(string_split_regex(t, '\s+'),
+           |                 x -> len(x) > 0) AS tk
+           |        FROM d), unnest(generate_series(1, len(tk))) g(i)),
+           |lng AS (
+           |  SELECT doc_id, pos,
+           |    CASE WHEN tok IN ('der','und','die') THEN 'de'
+           |         WHEN tok IN ('the','and','of') THEN 'en'
+           |         WHEN tok IN ('el','y','los') THEN 'es'
+           |         WHEN tok IN ('le','et','les') THEN 'fr'
+           |         ELSE 'xx' END AS lang
+           |  FROM tok),
+           |isl AS (
+           |  SELECT doc_id, lang, pos,
+           |    pos - row_number() OVER (PARTITION BY doc_id, lang ORDER BY pos) AS grp
+           |  FROM lng WHERE lang <> 'xx'),
+           |runs AS (
+           |  SELECT doc_id, lang, min(pos) AS start_pos, count(*) AS run_len
+           |  FROM isl GROUP BY doc_id, lang, grp
+           |  HAVING count(*) >= 3)
+           |SELECT doc_id, lang, CAST(start_pos AS INT) AS start_pos,
+           |  CAST(run_len AS BIGINT) AS run_len,
+           |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) AS INT) AS run_idx
+           |FROM runs ORDER BY doc_id, start_pos""".stripMargin))
 
   /** SCRUB-RECALL AUDIT (Pii.scrubAudit) — QA of the scrubber
     * itself: detector counts before masking vs residuals after the

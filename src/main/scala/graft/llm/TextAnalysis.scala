@@ -569,6 +569,47 @@ object TextAnalysis {
         sum(col("dbl")).as("dbl_seqs"))
       .withColumn("damaged_pct", expr("damaged * 100 DIV n_docs"))
 
+  /** LANGUAGE-RUN SEGMENTATION — the routing stage after
+    * [[mixedLanguage]]-style detection: split a mixed-language
+    * document into contiguous single-language RUNS so each can route
+    * to its language-specific pipeline (lang-id per marker token,
+    * islands over consecutive marker positions, runs shorter than
+    * `minRun` dropped as noise — scattered lone markers never form a
+    * run). Marker-based like [[langId]]: deterministic, oracle-
+    * replayable, and honest about coverage (non-marker tokens carry
+    * no evidence and do not break a run's consecutiveness test
+    * because islands group CONSECUTIVE POSITIONS of one language).
+    *
+    * Scale shape (100 TB): the token explode filters to MARKER rows
+    * immediately — a few percent of tokens — so the exchange carries
+    * (doc, pos, 2-char lang) for markers only; islands are one
+    * window + one aggregate over those rows (llm119's trick).
+    *
+    * @return (doc_id, lang, start_pos, run_len, run_idx) */
+  def languageRuns(df: DataFrame, idCol: Column, textCol: Column,
+                   minRun: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langOf = (t: Column) =>
+      langMarkers.foldRight(lit("xx")) { case ((lang, ms), rest) =>
+        when(t.isin(ms.map(lit(_)): _*), lang).otherwise(rest)
+      }
+    val markers = df
+      .select(idCol.as("doc_id"), posexplode(tokens(textCol)).as(Seq("__p0", "__tok")))
+      .select(col("doc_id"), (col("__p0") + 1).as("pos"),
+        langOf(col("__tok")).as("lang"))
+      .where(col("lang") =!= "xx")
+    markers
+      .withColumn("__grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("lang")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("lang"), col("__grp"))
+      .agg(min(col("pos")).as("start_pos"), count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minRun)
+      .withColumn("run_idx", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("start_pos"))))
+      .select(col("doc_id"), col("lang"), col("start_pos"),
+        col("run_len"), col("run_idx"))
+  }
+
   /** Per-document encoding-damage count — [[encodingAudit]]'s three
     * signatures as one Column (for funnels that gate per doc). */
   def encodingDamage(text: Column): Column =
