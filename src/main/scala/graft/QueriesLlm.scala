@@ -26,7 +26,7 @@ object QueriesLlm {
                         llm130, llm131, llm132, llm133, llm134, llm135,
                         llm136, llm137, llm138, llm139, llm140, llm141,
                         llm142, llm143, llm144, llm145, llm146, llm147,
-                        llm148, llm149, llm150, llm151)
+                        llm148, llm149, llm150, llm151, llm152)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6868,6 +6868,59 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** PREFERENCE LENGTH-BIAS AUDIT (Preference.lengthBias) — the
+    * verbosity-bias diagnostic for RLHF comparisons: longer-side win
+    * rate bucketed by |len_a − len_b|. The fixture PLANTS the bias
+    * (winner odds shift by the length delta), so the audit must
+    * recover the dose-response curve — 54% at near-equal lengths
+    * rising to 85% at the widest bucket — which a single overall
+    * rate hides behind mostly-equal pairs. Item lengths broadcast
+    * into the comparison scan; one hash aggregate over
+    * (bucket, two ints). */
+  private def llm152 = Q("llm152_length_bias",
+    (s, dir) => {
+      import graft.llm.Preference
+      val lens = s.range(0, 12).select(col("id").as("item"),
+        (lit(50) + Portable.hash64(concat(lit("ln:"), col("id"))) % 200).as("len"))
+      val c = Tables.documents(s, dir).select(
+          (Portable.hash64(concat(lit("pa:"), col("doc_id"))) % 12).as("a"),
+          (Portable.hash64(concat(lit("pb:"), col("doc_id"))) % 12).as("b"),
+          (Portable.hash64(concat(lit("pw:"), col("doc_id"))) % 100).as("noise"))
+        .where(col("a") =!= col("b"))
+        .join(broadcast(lens.select(col("item").as("ia"), col("len").as("la"))),
+          col("a") === col("ia"))
+        .join(broadcast(lens.select(col("item").as("ib"), col("len").as("lb"))),
+          col("b") === col("ib"))
+        .select(col("a"), col("b"),
+          when(col("noise") < lit(50) + expr("(la - lb) DIV 4"), col("a"))
+            .otherwise(col("b")).as("winner"))
+      Preference.lengthBias(c, col("a"), col("b"), col("winner"),
+          lens, col("item"), col("len"), bucketWidth = 50)
+        .orderBy(col("delta_bucket"))
+    },
+    Some(s"""WITH lens AS (
+            |  SELECT i AS item, 50 + ${Portable.duckHash64("'ln:' || i")} % 200 AS len
+            |  FROM generate_series(0, 11) g(i)),
+            |c AS (
+            |  SELECT ${Portable.duckHash64("'pa:' || doc_id")} % 12 AS a,
+            |         ${Portable.duckHash64("'pb:' || doc_id")} % 12 AS b,
+            |         ${Portable.duckHash64("'pw:' || doc_id")} % 100 AS noise
+            |  FROM documents),
+            |cw AS (
+            |  SELECT c.a, c.b, la.len AS len_a, lb.len AS len_b,
+            |    CASE WHEN noise < 50 + (la.len - lb.len) // 4 THEN c.a ELSE c.b END AS winner
+            |  FROM c JOIN lens la ON la.item = c.a JOIN lens lb ON lb.item = c.b
+            |  WHERE c.a <> c.b),
+            |m AS (
+            |  SELECT abs(len_a - len_b) // 50 AS delta_bucket,
+            |    CASE WHEN (winner = a AND len_a > len_b) OR (winner = b AND len_b > len_a)
+            |         THEN 1 ELSE 0 END AS lw
+            |  FROM cw WHERE len_a <> len_b)
+            |SELECT delta_bucket, count(*) AS n_comps,
+            |  CAST(sum(lw) AS BIGINT) AS longer_wins,
+            |  CAST(sum(lw) * 100 // count(*) AS BIGINT) AS longer_win_pct
+            |FROM m GROUP BY delta_bucket ORDER BY delta_bucket""".stripMargin))
 
   /** LANGUAGE-RUN SEGMENTATION (TextAnalysis.languageRuns) — the
     * routing stage after mixed-language detection (llm113): split a

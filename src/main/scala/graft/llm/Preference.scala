@@ -64,4 +64,41 @@ object Preference {
         (col("n_beaten") === col("n_matchups")).as("condorcet"),
         expr("n_wins * 100 DIV n_comps").as("win_pct"))
   }
+
+  /** LENGTH-BIAS AUDIT — the verbosity-bias diagnostic for preference
+    * data (raters and reward models systematically prefer longer
+    * responses; training on biased comparisons teaches padding, not
+    * quality): bucket comparisons by |len_a − len_b| and report the
+    * longer-side win rate per bucket. Unbiased data sits near 50%
+    * flat; verbosity bias shows as a DOSE-RESPONSE curve — win rate
+    * rising with the length gap — which a single overall rate can
+    * hide behind mostly-equal-length pairs.
+    *
+    * Scale shape: the item-length map is broadcast twice into the
+    * comparison scan (items are responses — thousands); one hash
+    * aggregate over (bucket, two ints).
+    *
+    * @param lens (item, len) frame — small, broadcast
+    * @return (delta_bucket, n_comps, longer_wins, longer_win_pct),
+    *   equal-length pairs excluded */
+  def lengthBias(comps: DataFrame, aCol: Column, bCol: Column,
+                 winnerCol: Column, lens: DataFrame, itemCol: Column,
+                 lenCol: Column, bucketWidth: Int = 50): DataFrame = {
+    val lm = lens.select(itemCol.as("__it"), lenCol.as("__len"))
+    val joined = comps.select(aCol.as("__a"), bCol.as("__b"), winnerCol.as("__w"))
+      .where(col("__a") =!= col("__b"))
+      .join(broadcast(lm.select(col("__it").as("__ita"), col("__len").as("len_a"))),
+        col("__a") === col("__ita"))
+      .join(broadcast(lm.select(col("__it").as("__itb"), col("__len").as("len_b"))),
+        col("__b") === col("__itb"))
+      .where(col("len_a") =!= col("len_b"))
+      .select(
+        expr(s"abs(len_a - len_b) DIV $bucketWidth").as("delta_bucket"),
+        when((col("__w") === col("__a") && col("len_a") > col("len_b")) ||
+             (col("__w") === col("__b") && col("len_b") > col("len_a")), 1L)
+          .otherwise(0L).as("__lw"))
+    joined.groupBy(col("delta_bucket"))
+      .agg(count(lit(1)).as("n_comps"), sum(col("__lw")).as("longer_wins"))
+      .withColumn("longer_win_pct", expr("longer_wins * 100 DIV n_comps"))
+  }
 }

@@ -53,4 +53,18 @@ class PreferenceSpec extends SparkSpec {
       .agg(sum("n_comps")).first().getLong(0)
     assert(x == comps.size * 2) // each comparison counts once per side
   }
+
+  test("length bias: buckets, longer-win attribution, equal-length exclusion") {
+    val lens = Seq((1L, 100L), (2L, 100L), (3L, 220L)).toDF("item", "len")
+    val c = Seq(
+      (1L, 3L, 3L),  // delta 120 -> bucket 2, longer (3) wins
+      (3L, 1L, 1L),  // delta 120 -> bucket 2, shorter (1) wins
+      (1L, 2L, 1L),  // equal lengths: excluded
+      (2L, 3L, 3L))  // delta 120 -> bucket 2, longer wins
+      .toDF("a", "b", "w")
+    val out = Preference.lengthBias(c, col("a"), col("b"), col("w"),
+        lens, col("item"), col("len"), bucketWidth = 50)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(2L -> (3L, 2L, 66L)))
+  }
 }
