@@ -26,7 +26,7 @@ object QueriesLlm {
                         llm130, llm131, llm132, llm133, llm134, llm135,
                         llm136, llm137, llm138, llm139, llm140, llm141,
                         llm142, llm143, llm144, llm145, llm146, llm147,
-                        llm148, llm149, llm150, llm151, llm152)
+                        llm148, llm149, llm150, llm151, llm152, llm153)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6868,6 +6868,63 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** SOURCE-INTERLEAVE AUDIT (Sampling.interleaveBySource +
+    * sourceRunStats) — the anti-clumping epoch reorder a data loader
+    * wants, with its quality measure: per source, the longest run of
+    * consecutive positions (islands over the global sequence). The
+    * query audits BOTH orderings — the source-sorted baseline must
+    * read max_run = |source| = 25 everywhere and the deterministic
+    * interleave must read max_run = 1 — so the permutation formula
+    * and the audit verify each other. One window per source + one
+    * projection for the reorder; the audit is two windows + two
+    * aggregates over (source, int) rows. */
+  private def llm153 = Q("llm153_interleave_audit",
+    (s, dir) => {
+      import graft.llm.Sampling
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        substring(col("source"), 4, 10).cast("int").as("si"))
+      val inter = Sampling.interleaveBySource(docs, col("doc_id"), col("si"), 20)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val clump = docs.withColumn("position",
+        row_number().over(Window.orderBy(col("si"), col("doc_id"))).cast("long"))
+      val a = Sampling.sourceRunStats(inter, col("position"), col("source"))
+        .withColumn("ordering", lit("interleaved"))
+      val b = Sampling.sourceRunStats(clump, col("position"), col("source"))
+        .withColumn("ordering", lit("clumped"))
+      a.unionByName(b)
+        .select(col("ordering"), col("source"), col("n_runs"),
+          col("max_run"), col("n"))
+        .orderBy(col("ordering"), col("source"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS si
+           |  FROM documents),
+           |inter AS (
+           |  SELECT doc_id, source,
+           |    (row_number() OVER (PARTITION BY si ORDER BY doc_id) - 1) * 20 + si AS position
+           |  FROM d),
+           |clump AS (
+           |  SELECT doc_id, source,
+           |    row_number() OVER (ORDER BY si, doc_id) AS position
+           |  FROM d),
+           |runs AS (
+           |  SELECT 'interleaved' AS ordering, source, grp, count(*) AS run FROM (
+           |    SELECT source,
+           |      row_number() OVER (ORDER BY position)
+           |        - row_number() OVER (PARTITION BY source ORDER BY position) AS grp
+           |    FROM inter) GROUP BY 1, 2, 3
+           |  UNION ALL
+           |  SELECT 'clumped', source, grp, count(*) FROM (
+           |    SELECT source,
+           |      row_number() OVER (ORDER BY position)
+           |        - row_number() OVER (PARTITION BY source ORDER BY position) AS grp
+           |    FROM clump) GROUP BY 1, 2, 3)
+           |SELECT ordering, source, count(*) AS n_runs,
+           |  CAST(max(run) AS BIGINT) AS max_run, CAST(sum(run) AS BIGINT) AS n
+           |FROM runs GROUP BY ordering, source
+           |ORDER BY ordering, source""".stripMargin))
 
   /** PREFERENCE LENGTH-BIAS AUDIT (Preference.lengthBias) — the
     * verbosity-bias diagnostic for RLHF comparisons: longer-side win

@@ -227,4 +227,46 @@ object Sampling {
     }
     df.filter(unitInterval(idCol, salt) < rate)
   }
+
+  /** DETERMINISTIC SOURCE INTERLEAVE — the anti-clumping reorder a
+    * data loader wants: documents of one source spread evenly through
+    * the epoch instead of arriving in blocks (clumped batches bias
+    * gradients toward one domain at a time). Position =
+    * within-source rank × n_sources + source index — a pure integer
+    * permutation, reproducible across rebuilds, no RNG. Sources of
+    * unequal size stay evenly spread at stride n_sources until they
+    * run out.
+    *
+    * Scale shape: one window per source (rank) + one projection —
+    * the shuffle keys are (source), never text.
+    *
+    * @param srcIdxCol integer source index in [0, nSources) */
+  def interleaveBySource(df: DataFrame, idCol: Column,
+                         srcIdxCol: Column, nSources: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(idCol.as("doc_id"), srcIdxCol.as("__si"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__si")).orderBy(col("doc_id"))))
+      .select(col("doc_id"),
+        ((col("__r") - 1) * nSources + col("__si")).cast("long").as("position"))
+  }
+
+  /** SOURCE-RUN AUDIT of any ordering: per source, the LONGEST run of
+    * consecutive positions occupied by that source (islands over the
+    * global sequence) — the clumping measure [[interleaveBySource]]
+    * exists to minimize. A well-interleaved epoch reads max_run = 1
+    * everywhere; a source-sorted epoch reads max_run = |source|. */
+  def sourceRunStats(df: DataFrame, posCol: Column,
+                     sourceCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(sourceCol.as("source"), posCol.as("__p"))
+      .withColumn("__seq", row_number().over(Window.orderBy(col("__p"))))
+      .withColumn("__grp", col("__seq") - row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("__seq"))))
+      .groupBy(col("source"), col("__grp"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_runs"), max(col("__run")).as("max_run"),
+        sum(col("__run")).as("n"))
+  }
 }
