@@ -26,7 +26,8 @@ object QueriesLlm {
                         llm130, llm131, llm132, llm133, llm134, llm135,
                         llm136, llm137, llm138, llm139, llm140, llm141,
                         llm142, llm143, llm144, llm145, llm146, llm147,
-                        llm148, llm149, llm150, llm151, llm152, llm153)
+                        llm148, llm149, llm150, llm151, llm152, llm153,
+                        llm154)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6868,6 +6869,61 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** PER-DOC INTERNAL REDUNDANCY (Chunking.docRedundancy) — the
+    * template-spam flag at CHUNK grain: a long paragraph pasted
+    * twice inside one doc is invisible to token-duplicate fractions
+    * (llm19) and periodic-loop detection (llm137), but the
+    * content-defined chunks of the second copy hash identically
+    * wherever it lands (llm129's offset invariance). Fixture pastes
+    * each %9 doc's own first 240 chars twice; at threshold 15% the
+    * plants flag with zero false positives (48/56 — the misses are
+    * short docs whose paste clips). One chunk projection + two hash
+    * aggregates over (8-byte hash + int) rows. */
+  private def llm154 = Q("llm154_doc_redundancy",
+    (s, dir) => {
+      import graft.llm.Chunking
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(" "), substring(col("text"), 1, 240),
+            lit(" "), substring(col("text"), 1, 240)))
+          .otherwise(col("text")).as("t"))
+      Chunking.docRedundancy(d, col("doc_id"), col("t"), col("source"),
+          win = 8, modulus = 47, minDupPct = 15)
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, source,
+            |    CASE WHEN doc_id % 9 = 0
+            |         THEN text || ' ' || substr(text, 1, 240) || ' ' || substr(text, 1, 240)
+            |         ELSE text END AS t
+            |  FROM documents),
+            |ph AS (
+            |  SELECT doc_id, i AS p, ${Portable.duckHash64("substr(t, i, 8)")} AS wh
+            |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 7)) AS i
+            |        FROM d WHERE length(t) >= 8)),
+            |allb AS (
+            |  SELECT DISTINCT doc_id, c FROM (
+            |    SELECT doc_id, p + 7 AS c FROM ph WHERE wh % 47 = 0
+            |    UNION ALL
+            |    SELECT doc_id, length(t) AS c FROM d WHERE length(t) >= 1)),
+            |ch AS (
+            |  SELECT b.doc_id, d.source,
+            |    ${Portable.duckHash64("substr(d.t, CAST(coalesce(lag(b.c) OVER (PARTITION BY b.doc_id ORDER BY b.c), 0) + 1 AS BIGINT), CAST(b.c - coalesce(lag(b.c) OVER (PARTITION BY b.doc_id ORDER BY b.c), 0) AS BIGINT))")} AS hh,
+            |    CAST(b.c - coalesce(lag(b.c) OVER (PARTITION BY b.doc_id ORDER BY b.c), 0) AS BIGINT) AS len
+            |  FROM allb b JOIN d USING (doc_id)),
+            |pd AS (
+            |  SELECT doc_id, source,
+            |    CAST(sum(cnt * len) AS BIGINT) AS total,
+            |    CAST(sum((cnt - 1) * len) AS BIGINT) AS intdup
+            |  FROM (SELECT doc_id, source, hh, count(*) AS cnt, max(len) AS len
+            |        FROM ch GROUP BY 1, 2, 3)
+            |  GROUP BY 1, 2),
+            |pp AS (SELECT doc_id, source, intdup * 100 // total AS pct FROM pd)
+            |SELECT source, count(*) AS n_docs,
+            |  CAST(sum(CASE WHEN pct >= 15 THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+            |  CAST(max(pct) AS BIGINT) AS max_intdup_pct
+            |FROM pp GROUP BY source ORDER BY source""".stripMargin))
 
   /** SOURCE-INTERLEAVE AUDIT (Sampling.interleaveBySource +
     * sourceRunStats) — the anti-clumping epoch reorder a data loader

@@ -112,4 +112,34 @@ object Chunking {
               .cast("long").as("len")))).as("c"))
       .select(col("doc_id"), col("source"), col("c.h"), col("c.len"))
   }
+
+  /** PER-DOCUMENT internal redundancy — the template-spam flag at
+    * CHUNK grain: characters attributable to a chunk's repeat
+    * occurrences WITHIN one document ((cnt−1)·len summed over its
+    * chunk classes). Token-level repetition (llm19) and periodic
+    * loops (llm137) cannot see a long paragraph pasted twice — the
+    * content-defined chunking does, and offset-invariantly (the
+    * second copy chunks identically wherever it lands). Per-source
+    * rollup flags docs at `minDupPct`.
+    *
+    * Scale shape: [[chunkHashes]]' one-projection pass, then two hash
+    * aggregates at (doc, hash) and (source) grain — (8-byte hash +
+    * ints) rows only.
+    *
+    * @return (source, n_docs, flagged, max_intdup_pct) */
+  def docRedundancy(docs: DataFrame, idCol: Column, textCol: Column,
+                    sourceCol: Column, win: Int = 8, modulus: Int = 47,
+                    minDupPct: Int = 15): DataFrame = {
+    val perDoc = chunkHashes(docs, idCol, textCol, sourceCol, win, modulus)
+      .groupBy(col("doc_id"), col("source"), col("h"))
+      .agg(count(lit(1)).as("__cnt"), max(col("len")).as("__len"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("__cnt") * col("__len")).as("__total"),
+        sum((col("__cnt") - 1) * col("__len")).as("__intdup"))
+      .withColumn("__pct", expr("__intdup * 100 DIV __total"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__pct") >= minDupPct, 1L).otherwise(0L)).as("flagged"),
+        max(col("__pct")).as("max_intdup_pct"))
+  }
 }
