@@ -27,7 +27,7 @@ object QueriesLlm {
                         llm136, llm137, llm138, llm139, llm140, llm141,
                         llm142, llm143, llm144, llm145, llm146, llm147,
                         llm148, llm149, llm150, llm151, llm152, llm153,
-                        llm154)
+                        llm154, llm155)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6869,6 +6869,44 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** LENGTH-DISTRIBUTION DRIFT (CorpusStats.lengthDrift) — the third
+    * drift axis (llm86 vocabulary, llm107 embeddings): a
+    * deterministic integer two-sample KS over bucketed lengths,
+    * cross-multiplied so both engines agree bit-for-bit. Fixture: v2
+    * doubles every 7th doc's text (a concatenation-bug shape); the
+    * statistic must localize the shifted mass. Each version reduces
+    * to bucket counts in one hash aggregate; the cumulative window
+    * runs over the dozens-of-rows bucket frame. */
+  private def llm155 = Q("llm155_length_drift",
+    (s, dir) => {
+      import graft.llm.CorpusStats
+      val v1 = Tables.documents(s, dir).select(col("text"))
+      val v2 = Tables.documents(s, dir).select(
+        when(col("doc_id") % 7 === 0, concat(col("text"), col("text")))
+          .otherwise(col("text")).as("text"))
+      CorpusStats.lengthDrift(v1, col("text"), v2, col("text"), bucketWidth = 50)
+    },
+    Some("""WITH v1 AS (SELECT length(text) // 50 AS b FROM documents),
+           |v2 AS (SELECT length(CASE WHEN doc_id % 7 = 0 THEN text || text
+           |                          ELSE text END) // 50 AS b FROM documents),
+           |c1 AS (SELECT b, count(*) AS c FROM v1 GROUP BY b),
+           |c2 AS (SELECT b, count(*) AS c FROM v2 GROUP BY b),
+           |al AS (
+           |  SELECT coalesce(c1.b, c2.b) AS b, coalesce(c1.c, 0) AS c1,
+           |         coalesce(c2.c, 0) AS c2
+           |  FROM c1 FULL JOIN c2 ON c1.b = c2.b),
+           |cum AS (
+           |  SELECT b, sum(c1) OVER (ORDER BY b) AS k1,
+           |         sum(c2) OVER (ORDER BY b) AS k2,
+           |    (SELECT sum(c1) FROM al) AS n1, (SELECT sum(c2) FROM al) AS n2
+           |  FROM al),
+           |st AS (SELECT b, abs(k1 * n2 - k2 * n1) AS d, n1, n2 FROM cum)
+           |SELECT CAST(max(d) AS BIGINT) AS ks_scaled,
+           |  CAST(min(CASE WHEN d = (SELECT max(d) FROM st) THEN b END) AS INT) AS at_bucket,
+           |  CAST(any_value(n1) AS BIGINT) AS n1, CAST(any_value(n2) AS BIGINT) AS n2,
+           |  CAST(max(d) * 100 // (any_value(n1) * any_value(n2)) AS BIGINT) AS ks_pct
+           |FROM st""".stripMargin))
 
   /** PER-DOC INTERNAL REDUNDANCY (Chunking.docRedundancy) — the
     * template-spam flag at CHUNK grain: a long paragraph pasted

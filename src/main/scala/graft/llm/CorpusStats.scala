@@ -180,4 +180,47 @@ object CorpusStats {
             (col("n_terms") * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
           .as("slope"))
   }
+
+  /** LENGTH-DISTRIBUTION DRIFT between two corpus versions — the
+    * third drift axis next to [[termDrift]] (vocabulary) and the
+    * embedding-drift family: a DETERMINISTIC two-sample
+    * Kolmogorov–Smirnov statistic over bucketed document lengths.
+    * Cross-multiplied integers keep it exact: the statistic is
+    * max_b |K1(b)·n2 − K2(b)·n1| (K = cumulative bucket counts), so
+    * both engines agree bit-for-bit where the usual float CDF
+    * difference would not, and ks_pct = that max ×100 DIV (n1·n2) is
+    * the familiar D×100. A length shift (truncation bug, boilerplate
+    * injection, concatenation change) moves this before any content
+    * metric notices.
+    *
+    * Scale shape: each version reduces to per-BUCKET counts in one
+    * hash aggregate (the corpus never sorts); the cumulative window
+    * runs over the tiny bucket frame — the audit's documented
+    * single-partition moment, dozens of rows.
+    *
+    * @return one row: (ks_scaled, at_bucket, n1, n2, ks_pct) */
+  def lengthDrift(v1: DataFrame, t1: Column, v2: DataFrame, t2: Column,
+                  bucketWidth: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: DataFrame, t: Column, as: String) =
+      df.select(length(t).cast("long").as("__l"))
+        .select(expr(s"__l DIV $bucketWidth").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as(as))
+    val al = counts(v1, t1, "c1").join(counts(v2, t2, "c2"), Seq("b"), "full")
+      .select(col("b"), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val w = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = al
+      .withColumn("k1", sum(col("c1")).over(w))
+      .withColumn("k2", sum(col("c2")).over(w))
+    val tot = cum.agg(max(col("k1")).as("n1"), max(col("k2")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("b"), abs(col("k1") * col("n2") - col("k2") * col("n1")).as("d"),
+        col("n1"), col("n2"))
+      .orderBy(col("d").desc, col("b").asc)
+      .limit(1)
+      .select(col("d").as("ks_scaled"), col("b").cast("int").as("at_bucket"),
+        col("n1"), col("n2"),
+        expr("d * 100 DIV (n1 * n2)").as("ks_pct"))
+  }
 }
