@@ -15,7 +15,7 @@ object QueriesRelational {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
                         q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-                        q25, q26, q27, q28, q29, q30, q31, q32, q33)
+                        q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
 
   /** TPC-H Q1 shape: big scan + hash aggregate. The filter and the
     * 4-column projection push down to the parquet scan; sums are
@@ -1158,4 +1158,50 @@ object QueriesRelational {
             |       CAST(min_x <= 6 AND max_x >= 3 AS INT) AS scan_x_3_6,
             |       CAST(min_y <= 13 AND max_y >= 10 AS INT) AS scan_y_10_13
             |FROM g ORDER BY bucket""".stripMargin))
+
+  /** SHUFFLE-SKEW DIAGNOSIS — the pre-salting measurement feeding
+    * operators.Skew: hash the join key into the 32 shuffle buckets
+    * and report the bucket histogram's peak against the uniform
+    * expectation (skew_x100 = max·buckets·100 DIV total — 100 means
+    * perfectly uniform) plus the hottest KEY and its share (the salt
+    * candidate). The fixture plants a classic hot key: 30% of
+    * lineitem rows collapse onto key 1 — the diagnosis must localize
+    * it and read its bucket's inflation. Two hash aggregates over
+    * (8-byte key/bucket, count) rows; at any scale this is the cheap
+    * probe you run BEFORE a join melts an executor. */
+  private def q34 = Q("q34_skew_diagnosis",
+    (s, dir) => {
+      val keys = Tables.lineitem(s, dir).select(
+        when(col("l_orderkey") % 10 < 3, lit(1L))
+          .otherwise(col("l_suppkey").cast("long")).as("k"))
+      val bucketed = keys.select(col("k"),
+        pmod(graft.functions.Portable.hash64(col("k")), lit(32)).as("bucket"))
+      val stats = bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("n_buckets"),
+          max(col("n")).as("max_bucket_n"))
+        .withColumn("skew_x100", expr("max_bucket_n * 32 * 100 DIV total"))
+      val hot = bucketed.groupBy(col("k")).agg(count(lit(1)).as("kn"))
+        .orderBy(col("kn").desc, col("k")).limit(1)
+        .select(col("k").as("hot_key"), col("kn").as("hot_n"))
+      stats.crossJoin(hot)
+        .select(col("total"), col("n_buckets"), col("max_bucket_n"),
+          col("skew_x100"), col("hot_key"), col("hot_n"),
+          expr("hot_n * 100 DIV total").as("hot_share_pct"))
+    },
+    Some(s"""WITH k AS (
+            |  SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1
+            |              ELSE CAST(l_suppkey AS BIGINT) END AS k
+            |  FROM lineitem),
+            |b AS (SELECT k, ${graft.functions.Portable.duckHash64("k")} % 32 AS bucket FROM k),
+            |bb AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+            |st AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_buckets,
+            |              CAST(max(n) AS BIGINT) AS max_bucket_n FROM bb),
+            |hot AS (SELECT k AS hot_key, CAST(count(*) AS BIGINT) AS hot_n
+            |        FROM b GROUP BY k ORDER BY count(*) DESC, k LIMIT 1)
+            |SELECT total, n_buckets, max_bucket_n,
+            |  CAST(max_bucket_n * 32 * 100 // total AS BIGINT) AS skew_x100,
+            |  hot_key, hot_n,
+            |  CAST(hot_n * 100 // total AS BIGINT) AS hot_share_pct
+            |FROM st CROSS JOIN hot""".stripMargin))
 }
