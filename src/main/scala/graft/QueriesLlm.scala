@@ -27,7 +27,7 @@ object QueriesLlm {
                         llm136, llm137, llm138, llm139, llm140, llm141,
                         llm142, llm143, llm144, llm145, llm146, llm147,
                         llm148, llm149, llm150, llm151, llm152, llm153,
-                        llm154, llm155)
+                        llm154, llm155, llm156)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6869,6 +6869,81 @@ object QueriesLlm {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     cleanup = Some(_ => llm133Slot.drain()))
+
+  /** MULTI-PROBE LSH RECALL TRADE (Similarity.lshMultiProbeCandidates)
+    * — Lv et al. 2007's memory-side dial, MEASURED in-query: for the
+    * same 8-plane signature, single-probe (the llm04 baseline) vs
+    * probing the query's 8 Hamming-1 neighbor buckets, each scored
+    * against the exact brute-force top-10 truth (llm03's machinery).
+    * Multi-probe must dominate: more candidates per query, never
+    * fewer truth hits — the recall a production deployment buys
+    * without re-indexing the corpus (an extra band re-indexes;
+    * an extra probe only adds a row to the broadcast query side). */
+  private def llm156 = Q("llm156_multiprobe_lsh",
+    (s, dir) => {
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val truth = Similarity.bruteForceTopK(corpus, "cid", "cv",
+          queries, "qid", "qv", k = 10, exact = true)
+        .select(col("qid"), col("cid"))
+      def audit(probes: Int, label: String) = {
+        val cand = Similarity.lshMultiProbeCandidates(corpus, "cid", "cv",
+          queries, "qid", "qv", dims = 64, planes = 8, probes = probes)
+        val hits = cand.join(truth, Seq("qid", "cid"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+        cand.groupBy(col("qid")).agg(count(lit(1)).as("n_cand"))
+          .join(hits, Seq("qid"), "left")
+          .select(lit(label).as("method"), col("qid"), col("n_cand"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      }
+      audit(0, "single").unionByName(audit(8, "multiprobe"))
+        .withColumn("recall_pct", expr("n_hits * 100 DIV 10"))
+        .orderBy(col("method"), col("qid"))
+    },
+    Some(s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cv,
+            |             ${duckRhpBucket("embedding", 64, 8)} AS bucket FROM embeddings),
+            |qs AS (SELECT vec_id AS qid, embedding AS qv,
+            |         ${duckRhpBucket("embedding", 64, 8)} AS sig
+            |       FROM embeddings WHERE vec_id < 5),
+            |qp AS (
+            |  SELECT qid, qv, 'single' AS method, sig AS bucket FROM qs
+            |  UNION ALL
+            |  SELECT qid, qv, 'multiprobe', p FROM (
+            |    SELECT qid, qv, unnest([sig, xor(sig, 1), xor(sig, 2), xor(sig, 4),
+            |      xor(sig, 8), xor(sig, 16), xor(sig, 32), xor(sig, 64),
+            |      xor(sig, 128)]) AS p
+            |    FROM qs)),
+            |cand AS (
+            |  SELECT DISTINCT method, qid, cid
+            |  FROM qp JOIN cb USING (bucket) WHERE cid <> qid),
+            |d AS (SELECT q.qid, c.cid,
+            |        sum(CAST(floor(CAST(q.qv[i] AS DOUBLE) * 1e6) AS BIGINT)
+            |          * CAST(floor(CAST(c.cv[i] AS DOUBLE) * 1e6) AS BIGINT)) AS dot,
+            |        sum(CAST(floor(CAST(q.qv[i] AS DOUBLE) * 1e6) AS BIGINT)
+            |          * CAST(floor(CAST(q.qv[i] AS DOUBLE) * 1e6) AS BIGINT)) AS nq,
+            |        sum(CAST(floor(CAST(c.cv[i] AS DOUBLE) * 1e6) AS BIGINT)
+            |          * CAST(floor(CAST(c.cv[i] AS DOUBLE) * 1e6) AS BIGINT)) AS nc
+            |      FROM qs q CROSS JOIN cb c CROSS JOIN generate_series(1, 64) AS g(i)
+            |      WHERE c.cid <> q.qid GROUP BY q.qid, c.cid),
+            |truth AS (
+            |  SELECT qid, cid FROM (
+            |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY
+            |      CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) DESC,
+            |      cid) AS rank FROM d)
+            |  WHERE rank <= 10),
+            |res AS (
+            |  SELECT cand.method, cand.qid,
+            |    count(*) AS n_cand,
+            |    CAST(sum(CASE WHEN truth.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            |  FROM cand LEFT JOIN truth
+            |    ON cand.qid = truth.qid AND cand.cid = truth.cid
+            |  GROUP BY 1, 2)
+            |SELECT method, qid, n_cand, n_hits,
+            |  CAST(n_hits * 100 // 10 AS BIGINT) AS recall_pct
+            |FROM res ORDER BY method, qid""".stripMargin))
 
   /** LENGTH-DISTRIBUTION DRIFT (CorpusStats.lengthDrift) — the third
     * drift axis (llm86 vocabulary, llm107 embeddings): a

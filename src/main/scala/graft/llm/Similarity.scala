@@ -121,6 +121,36 @@ object Similarity {
     graft.functions.RhpSignatures(vec, rhpCoefficients(dims, planes),
       dims, bandSize = planes, bands = 1).getItem(0)
 
+  /** MULTI-PROBE LSH candidate generation (Lv et al., VLDB 2007) —
+    * the memory-side dial of the LSH trade: instead of adding hash
+    * tables (bands) to recover recall, probe the query's OWN bucket
+    * plus its `probes` Hamming-1 neighbors (flip one signature bit —
+    * the buckets a near neighbor most likely fell into when one
+    * hyperplane cut between the pair). At 100 TB each extra band
+    * re-indexes the corpus; an extra probe only adds one row to the
+    * BROADCAST query side, so candidates grow per query, not per
+    * corpus. `probes = 0` is plain single-probe bucket equality —
+    * the baseline the recall comparison measures against.
+    *
+    * @return (qid, cid) candidate pairs, deduplicated by construction
+    *   (a corpus vector lives in exactly one bucket, and probe
+    *   buckets are distinct values) */
+  def lshMultiProbeCandidates(corpus: DataFrame, idCol: String, vecCol: String,
+                              queries: DataFrame, qidCol: String, qvecCol: String,
+                              dims: Int, planes: Int, probes: Int): DataFrame = {
+    require(probes >= 0 && probes <= planes,
+      s"probes must be in [0, planes], got $probes")
+    val cb = corpus.withColumn("bucket", rhpSignature(col(vecCol), dims, planes))
+    val qb = queries
+      .withColumn("__sig", rhpSignature(col(qvecCol), dims, planes))
+      .select(col(qidCol), explode(array(
+        (col("__sig") +: (0 until probes).map(b =>
+          col("__sig").bitwiseXOR(lit(1L << b)))): _*)).as("bucket"))
+    cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col(qidCol) =!= col(idCol))
+      .select(col(qidCol), col(idCol))
+  }
+
   /** Banded random-hyperplane signatures — the scale path for
     * embedding NEAR-DUP candidate generation, where BOTH join sides
     * are the corpus (unlike [[lshTopK]], whose query side is
