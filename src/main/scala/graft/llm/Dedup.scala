@@ -758,8 +758,20 @@ object Dedup {
           col("__t"))
         .select(col(out), col(pos),
           Portable.hash64(col("__t").substr(col(pos), lit(n))).as("h"))
-    val e = posHashes(samples, sampleId, sampleText, "sample_id", "pe")
-    val t = posHashes(train, trainId, trainText, "matched_id", "pt")
+    longestSharedRunFromHashes(
+      posHashes(samples, sampleId, sampleText, "sample_id", "pe"),
+      posHashes(train, trainId, trainText, "matched_id", "pt"),
+      n, minRun)
+  }
+
+  /** [[longestSharedRun]] over PRE-HASHED sides — the entry point for
+    * consumers holding a materialized gram index ([[GramIndex]]):
+    * `sampleHashes` = (sample_id, pe, h), `trainHashes` =
+    * (matched_id, pt, h), both 1-based positional n-gram hash64 rows. */
+  def longestSharedRunFromHashes(sampleHashes: DataFrame, trainHashes: DataFrame,
+                                 n: Int, minRun: Int): DataFrame = {
+    val e = sampleHashes
+    val t = trainHashes
     val m = e.join(t, "h")
       .select(col("sample_id"), col("matched_id"),
         (col("pe") - col("pt")).as("diag"), col("pe"))
@@ -807,20 +819,24 @@ object Dedup {
     * cut_ranges "s:len,…", scrubbed_text), one row per input doc. */
   def duplicateSpanScrub(docs: DataFrame, idCol: Column, textCol: Column,
                          n: Int, minSpan: Int,
-                         tracker: Option[Materialize.Tracker] = None): DataFrame = {
+                         tracker: Option[Materialize.Tracker] = None,
+                         posHashes: Option[DataFrame] = None): DataFrame = {
     require(minSpan >= n, s"minSpan ($minSpan) must be >= gram size ($n)")
     import org.apache.spark.sql.expressions.Window
     val d = docs.select(idCol.as("doc_id"), textCol.as("__t"))
     // the positional pass feeds TWO consumers — the shared-gram
     // aggregate and the join-back — so materialize it once (the
     // contaminationFrom discipline; unmaterialized it explodes and
-    // hashes the corpus twice: measured 11.1 → 4.4 s at sf0.1)
-    val ph0 = d.where(col("__t").isNotNull)
+    // hashes the corpus twice: measured 11.1 → 4.4 s at sf0.1).
+    // A caller holding a gram index ([[GramIndex]]) passes the
+    // (doc_id, p, h) frame of the SAME docs instead and skips the
+    // corpus re-hash entirely.
+    val ph0 = posHashes.getOrElse(d.where(col("__t").isNotNull)
       .select(col("doc_id"),
         explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("p"),
         col("__t"))
       .select(col("doc_id"), col("p"),
-        graft.functions.Portable.hash64(col("__t").substr(col("p"), lit(n))).as("h"))
+        graft.functions.Portable.hash64(col("__t").substr(col("p"), lit(n))).as("h")))
     val ph = Materialize.eager(ph0)
     tracker.foreach(_.track(ph))
     // grams in ≥2 DISTINCT docs: min≠max is the two-long test — no

@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+import scala.jdk.CollectionConverters._
+
+/** Shared k-gram hash index over the `documents` corpus — the one
+  * corpus-wide gram-hashing pass (the "md5-gram floor") that the
+  * exact-substring family (longest-run audit, span scrub, winnowing
+  * fingerprints, license detection) previously each re-ran per query.
+  *
+  * The index is the per-document k-gram hash ARRAY
+  * `gh[i] = hash64(substr(text, i+1, k))` (one element per gram
+  * position, in order; a document shorter than k contributes the
+  * single hash of its whole text — the positional-gram convention the
+  * audit/scrub operators use). It materializes ONCE per (corpus, k)
+  * as parquet under `target/gramidx/` — keyed by a fingerprint of the
+  * corpus parquet (sizes + mtimes), so regenerated testdata can never
+  * be served a stale index — and every consumer in the session (and
+  * in other bench block JVMs) reads the materialized frame instead of
+  * re-hashing the corpus. The first consumer pays the build inside
+  * its own timed run; the cost accounting lives in SCALE.md.
+  *
+  * Consumers whose fixture PLANTS text on top of the corpus derive
+  * the planted documents' gram arrays from the index plus a short
+  * junction recompute instead of re-hashing whole documents:
+  * appending suffix s to a length-L doc (L >= k) leaves grams
+  * 1..L-k+1 unchanged and adds exactly the grams of
+  * `substr(text, L-k+2, k-1) || s`; prepending prefix p shifts the
+  * base grams and prepends the grams of `p || substr(text, 1, k-1)`.
+  * [[withSuffixGrams]] / [[withPrefixGrams]] implement both (with a
+  * per-row full-recompute fallback for sub-k documents, so the
+  * derivation is exact for ANY corpus).
+  *
+  * Scale shape (100 TB): this is the materialize-shared-stages
+  * discipline at pipeline grain — four curation consumers share one
+  * corpus scan+hash pass, and the index is (id, len, array<long>)
+  * rows, ~8 bytes per corpus character, partitioned like the corpus
+  * itself. On a cluster the same index is a bucketed table the whole
+  * curation DAG joins against.
+  */
+object GramIndex {
+
+  /** In-row k-gram hash array of a string column: element i (0-based)
+    * is hash64 of the k chars starting at 1-based position i+1; a
+    * string shorter than k yields the single hash of the whole string
+    * (positional-gram convention of the audit/scrub family). */
+  def gramArray(text: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => Portable.hash64(text.substr(i, lit(k))))
+
+  /** Gram array of `text || suffix` derived from the base array:
+    * base grams survive unchanged; the junction recompute covers the
+    * k-1 boundary-spanning positions plus the suffix body. Exact
+    * fallback to a full recompute for len < k or when the derivation
+    * preconditions cannot hold. An empty/null suffix returns `gh`. */
+  def withSuffixGrams(gh: Column, text: Column, len: Column,
+                      suffix: Column, k: Int): Column = {
+    val junction = concat(text.substr(len - (k - 2), lit(k - 1)), suffix)
+    when(suffix.isNull || length(suffix) === 0, gh)
+      .when(len >= k, concat(gh, gramArray(junction, k)))
+      .otherwise(gramArray(concat(text, suffix), k))
+  }
+
+  /** Gram array of `prefix || text` derived from the base array (the
+    * mirror of [[withSuffixGrams]]). */
+  def withPrefixGrams(gh: Column, text: Column, len: Column,
+                      prefix: Column, k: Int): Column = {
+    val junction = concat(prefix, text.substr(lit(1), lit(k - 1)))
+    when(prefix.isNull || length(prefix) === 0, gh)
+      .when(len >= k, concat(gramArray(junction, k), gh))
+      .otherwise(gramArray(concat(prefix, text), k))
+  }
+
+  /** Corpus fingerprint: file names + sizes + mtimes of the documents
+    * parquet (file or part directory). Regenerating the testdata in
+    * place changes the fingerprint, which changes the index path. */
+  private def corpusFingerprint(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(dir, "documents.parquet")
+    val files =
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.toSeq.sortBy(_.toString)
+        finally s.close()
+      } else Seq(p)
+    val sig = files.map(f =>
+      s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+      .mkString("|")
+    java.lang.Long.toHexString(Portable.hash64Jvm(sig))
+  }
+
+  private def indexPath(dir: String, k: Int): String =
+    s"target/gramidx/${corpusFingerprint(dir)}-k$k"
+
+  /** The materialized index: (doc_id, len, gh) over
+    * `documents(dir)` — built on first use per (corpus, k), then read
+    * from parquet by every later consumer, including ones in other
+    * JVMs of the same bench run. Build is atomic (tmp dir + rename),
+    * so a half-written index is never read. */
+  def documentsGramArrays(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val path = indexPath(dir, k)
+    val p = Paths.get(path)
+    if (!Files.exists(p)) {
+      val tmp = Paths.get(path + s".build-${java.util.UUID.randomUUID().toString.take(8)}")
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), length(col("text")).as("len"),
+          gramArray(col("text"), k).as("gh"))
+        .coalesce(4)
+        .write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        // a concurrent builder won the rename — use theirs
+        if (!Files.exists(p)) throw new IllegalStateException(
+          s"gram index build failed to land at $path")
+        graft.Fs.deleteRecursively(tmp)
+      }
+    }
+    spark.read.parquet(path)
+  }
+
+  /** The index in positional-row form: (doc_id, p, h) with 1-based
+    * gram position — the shape the longest-run / span-scrub
+    * machinery consumes. */
+  def documentsPosHashes(spark: SparkSession, dir: String, k: Int): DataFrame =
+    documentsGramArrays(spark, dir, k)
+      .select(col("doc_id"), posexplode(col("gh")).as(Seq("__i", "h")))
+      .select(col("doc_id"), (col("__i") + 1).as("p"), col("h"))
+}

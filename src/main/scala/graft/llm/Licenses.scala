@@ -52,7 +52,7 @@ object Licenses {
     *   (doc_id, license, n_shared, ref_fp, containment_pct) */
   def detect(docs: DataFrame, idCol: Column, textCol: Column,
              refs: Seq[(String, String)], k: Int = 16, w: Int = 8,
-             minPct: Int = 25): DataFrame = {
+             minPct: Int = 25, probeGrams: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val refDf = refs.toDF("license", "ltext")
@@ -61,15 +61,17 @@ object Licenses {
     val refSz = refFp.groupBy(col("license")).agg(count(lit(1)).as("ref_fp"))
     // raw gram hashes on the probe side — the broadcast join filters
     // at the scan, so only TRUE ref-fingerprint hits survive to the
-    // distinct (a hash occurring at several positions counts once)
-    val docGrams = docs
+    // distinct (a hash occurring at several positions counts once).
+    // A caller holding a gram index ([[GramIndex]]) passes the
+    // (doc_id, h) frame instead and skips the corpus re-hash.
+    val docGrams = probeGrams.getOrElse(docs
       .select(idCol.as("doc_id"), textCol.as("__t"))
       .where(col("__t").isNotNull && length(col("__t")) >= k)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("__p"),
         col("__t"))
       .select(col("doc_id"),
-        graft.functions.Portable.hash64(col("__t").substr(col("__p"), lit(k))).as("h"))
+        graft.functions.Portable.hash64(col("__t").substr(col("__p"), lit(k))).as("h")))
     val scored = docGrams.join(broadcast(refFp), "h")
       .select(col("doc_id"), col("license"), col("h")).distinct()
       .groupBy(col("doc_id"), col("license")).agg(count(lit(1)).as("n_shared"))

@@ -58,13 +58,24 @@ object Winnowing {
     // Semantics are pinned identical in WinnowingSpec: per window of
     // w consecutive gram hashes, min of (h asc, position desc) — the
     // struct (h, -p) minimum — and selected (p, h) pairs dedup.
-    val base = docs
+    fingerprintsFromGrams(docs
       .select(idCol.as("doc_id"), textCol.as("__t"))
       .where(col("__t").isNotNull && length(col("__t")) >= k)
       .select(col("doc_id"),
         transform(sequence(lit(1), length(col("__t")) - (k - 1)),
-          i => Portable.hash64(col("__t").substr(i, lit(k)))).as("__gh"))
-      .select(col("doc_id"), col("__gh"), size(col("__gh")).as("__m"))
+          i => Portable.hash64(col("__t").substr(i, lit(k)))).as("gh")), w)
+  }
+
+  /** The winnowing SELECTION over pre-computed gram-hash arrays — the
+    * entry point for consumers holding a materialized gram index
+    * ([[GramIndex]]): `grams` = (doc_id, gh) where gh(i) is the hash
+    * of the k-gram at 1-based position i+1. Callers must have already
+    * dropped sub-k documents (a GramIndex row with len < k holds the
+    * whole-short-text hash, which is not a k-gram). */
+  def fingerprintsFromGrams(grams: DataFrame, w: Int): DataFrame = {
+    require(w >= 2, s"need w >= 2, got w=$w")
+    val base = grams
+      .select(col("doc_id"), col("gh").as("__gh"), size(col("gh")).as("__m"))
       .select(col("doc_id"),
         zip_with(col("__gh"), sequence(lit(1), col("__m")),
           (h, p) => struct(h.as("h"), (-p).as("np"))).as("__st"),
