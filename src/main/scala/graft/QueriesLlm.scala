@@ -5962,8 +5962,16 @@ object QueriesLlm {
         .unionByName(src.select((col("doc_id") + 700000L).as("sid"),
           concat(lit("fresh sample "), col("doc_id"),
             lit(" with novel held out content zz")).as("stext")))
-      Dedup.longestSharedRun(samples, col("sid"), col("stext"),
-          d, col("doc_id"), col("text"), n = 16, minRun = 5)
+      // train side = the PLAIN corpus — served by the shared gram
+      // index (GramIndex, round-19: one corpus md5-gram pass shared
+      // with llm124/llm128/llm132 instead of four rescans); the small
+      // derived sample side hashes fresh
+      val e = samples.select(col("sid").as("sample_id"),
+          posexplode(graft.llm.GramIndex.gramArray(col("stext"), 16)).as(Seq("__i", "h")))
+        .select(col("sample_id"), (col("__i") + 1).as("pe"), col("h"))
+      val t = graft.llm.GramIndex.documentsPosHashes(s, dir, 16)
+        .select(col("doc_id").as("matched_id"), col("p").as("pt"), col("h"))
+      Dedup.longestSharedRunFromHashes(e, t, n = 16, minRun = 5)
         .orderBy(col("sample_id"))
     },
     Some(s"""WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
@@ -6211,12 +6219,27 @@ object QueriesLlm {
     (s, dir) => {
       val prefix = "all rights reserved reproduction without permission is strictly prohibited by law "
       val suffix = " subscribe to our newsletter for updates terms of service and privacy policy apply"
-      val d = Tables.documents(s, dir).select(col("doc_id"),
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val d = base.select(col("doc_id"),
         when(col("doc_id") % 7 === 0, concat(lit(prefix), col("text")))
           .when(col("doc_id") % 7 === 3, concat(col("text"), lit(suffix)))
           .otherwise(col("text")).as("text"))
+      // positional hashes derived from the shared gram index + the
+      // planted docs' junction recompute — the corpus is md5-gram
+      // hashed once per session (GramIndex), not once per query
+      import graft.llm.GramIndex
+      val ph = base.join(GramIndex.documentsGramArrays(s, dir, 16), "doc_id")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            GramIndex.withPrefixGrams(col("gh"), col("text"), col("len"), lit(prefix), 16))
+          .when(col("doc_id") % 7 === 3,
+            GramIndex.withSuffixGrams(col("gh"), col("text"), col("len"), lit(suffix), 16))
+          .otherwise(col("gh")).as("gh"))
+        .select(col("doc_id"), posexplode(col("gh")).as(Seq("__i", "h")))
+        .select(col("doc_id"), (col("__i") + 1).as("p"), col("h"))
       Dedup.duplicateSpanScrub(d, col("doc_id"), col("text"),
-          n = 16, minSpan = 40, tracker = Some(llm124Slot.fresh()))
+          n = 16, minSpan = 40, tracker = Some(llm124Slot.fresh()),
+          posHashes = Some(ph))
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH d AS (
@@ -6600,12 +6623,22 @@ object QueriesLlm {
     * selection itself is pinned in WinnowingSpec. */
   private def llm128 = Q("llm128_winnowing_overlap",
     (s, dir) => {
-      import graft.llm.Winnowing
-      val d = Tables.documents(s, dir).select(col("doc_id"),
-        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" "),
-          Llm128Passages((expr("doc_id DIV 11") % 4).cast("int"))))
-          .otherwise(col("text")).as("text"))
-      val fps = Winnowing.fingerprints(d, col("doc_id"), col("text"), k = 16, w = 8)
+      import graft.llm.{GramIndex, Winnowing}
+      // gram arrays derived from the shared index (GramIndex): the
+      // planted ~125-char passage appends as one junction recompute;
+      // sub-k rows drop (fingerprintsFromGrams contract) via the
+      // modified-length filter
+      val sfx = concat(lit(" "), Llm128Passages((expr("doc_id DIV 11") % 4).cast("int")))
+      val grams = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .join(GramIndex.documentsGramArrays(s, dir, 16), "doc_id")
+        .select(col("doc_id"), col("len"),
+          when(col("doc_id") % 11 === 0,
+            GramIndex.withSuffixGrams(col("gh"), col("text"), col("len"), sfx, 16))
+          .otherwise(col("gh")).as("gh"),
+          (col("len") + when(col("doc_id") % 11 === 0, length(sfx)).otherwise(0)).as("__mlen"))
+        .where(col("__mlen") >= 16)
+        .select(col("doc_id"), col("gh"))
+      val fps = Winnowing.fingerprintsFromGrams(grams, w = 8)
       Winnowing.overlapPairs(fps, minShared = 5)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -6741,7 +6774,7 @@ object QueriesLlm {
             |norm AS (
             |  SELECT least(a,b) AS lo, greatest(a,b) AS hi,
             |         CASE WHEN winner = least(a,b) THEN 1 ELSE 0 END AS lo_win
-            |  FROM cw),
+            |  FROM cw WHERE winner = a OR winner = b),
             |mu AS (
             |  SELECT lo, hi, count(*) AS n, CAST(sum(lo_win) AS BIGINT) AS lo_wins
             |  FROM norm GROUP BY 1,2),
@@ -7506,6 +7539,8 @@ object QueriesLlm {
       import org.apache.spark.sql.streaming.Trigger
       val in = llm147In(s, dir)
       val root = java.nio.file.Files.createTempDirectory("graft-llm147-run")
+      llm147Runs.add(root.toString) // reaped in cleanup — repeated
+      // bench samples must not accumulate stream out/ckpt dirs in /tmp
       val out = root.resolve("out").toString
       val ckpt = root.resolve("ckpt").toString
       val schema = s.read.parquet(in).schema
@@ -7540,7 +7575,16 @@ object QueriesLlm {
            |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
            |  FROM c)
            |WHERE rnk <= 20 ORDER BY rnk""".stripMargin),
-    prepare = Some((s, dir) => { llm147In(s, dir); () }))
+    prepare = Some((s, dir) => { llm147In(s, dir); () }),
+    cleanup = Some(_ => {
+      var p = llm147Runs.poll()
+      while (p != null) {
+        try graft.Fs.deleteRecursively(java.nio.file.Paths.get(p)) catch { case _: Throwable => () }
+        p = llm147Runs.poll()
+      }
+    }))
+
+  private val llm147Runs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   /** FILL-IN-MIDDLE TRANSFORM (Sft.fimTransform) — the code-model
     * infilling prep: deterministic hash-derived cut points, PSM
@@ -8324,18 +8368,28 @@ object QueriesLlm {
     * aggregation exchange. */
   private def llm132 = Q("llm132_license_detect",
     (s, dir) => {
-      import graft.llm.Licenses
+      import graft.llm.{GramIndex, Licenses}
+      val sfx = concat(
+        when(col("doc_id") % 6 === 0, " " + Llm132P).otherwise(""),
+        when(col("doc_id") % 10 === 0, " " + Llm132C).otherwise(""),
+        when(col("doc_id") % 15 === 0, " " + Llm132A).otherwise(""),
+        when(col("doc_id") % 13 === 0, " " + Llm132P.take(95)).otherwise(""))
       val d = Tables.documents(s, dir).select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 6 === 0, " " + Llm132P).otherwise(""),
-          when(col("doc_id") % 10 === 0, " " + Llm132C).otherwise(""),
-          when(col("doc_id") % 15 === 0, " " + Llm132A).otherwise(""),
-          when(col("doc_id") % 13 === 0, " " + Llm132P.take(95)).otherwise(""))
-          .as("text"))
+        concat(col("text"), sfx).as("text"))
+      // probe grams derived from the shared index (GramIndex): the
+      // planted license suffixes append as one junction recompute per
+      // doc; the corpus is never re-hashed per query
+      val probe = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .join(GramIndex.documentsGramArrays(s, dir, 16), "doc_id")
+        .select(col("doc_id"),
+          GramIndex.withSuffixGrams(col("gh"), col("text"), col("len"), sfx, 16).as("gh"),
+          (col("len") + length(sfx)).as("__mlen"))
+        .where(col("__mlen") >= 16)
+        .select(col("doc_id"), explode(col("gh")).as("h"))
       Licenses.detect(d, col("doc_id"), col("text"),
           Seq("attribution" -> Llm132A, "copyleft" -> Llm132C,
               "permissive" -> Llm132P),
-          k = 16, w = 8, minPct = 25)
+          k = 16, w = 8, minPct = 25, probeGrams = Some(probe))
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH refs AS (

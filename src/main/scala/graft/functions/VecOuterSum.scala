@@ -44,27 +44,34 @@ case class VecOuterSum(child: Expression, d: Int,
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](1 + d + pairs)
 
+  /** NULL vectors are skipped (standard aggregate null semantics —
+    * same as built-in sum/avg); a NON-NULL vector whose length is not
+    * `d` throws, because silently dropping it would yield covariance
+    * statistics over an undisclosed subset of a ragged column. */
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      if (arr.numElements() == d) {
-        val q = new Array[Long](d)
-        var i = 0
-        while (i < d) { q(i) = arr.getLong(i); i += 1 }
-        buffer(0) += 1L
-        i = 0
-        var k = 1 + d
-        while (i < d) {
-          buffer(1 + i) += q(i)
-          var j = i
-          while (j < d) {
-            buffer(k) += q(i) * q(j)
-            k += 1
-            j += 1
-          }
-          i += 1
+      if (arr.numElements() != d) {
+        throw new IllegalArgumentException(
+          s"VecOuterSum(d=$d) got a vector of length ${arr.numElements()} — " +
+            "ragged embedding column (filter or pad upstream)")
+      }
+      val q = new Array[Long](d)
+      var i = 0
+      while (i < d) { q(i) = arr.getLong(i); i += 1 }
+      buffer(0) += 1L
+      i = 0
+      var k = 1 + d
+      while (i < d) {
+        buffer(1 + i) += q(i)
+        var j = i
+        while (j < d) {
+          buffer(k) += q(i) * q(j)
+          k += 1
+          j += 1
         }
+        i += 1
       }
     }
     buffer

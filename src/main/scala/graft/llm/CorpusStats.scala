@@ -49,8 +49,9 @@ object CorpusStats {
     // `%` (remainder, dividend sign — truncation semantics) here AND in
     // the llm57 oracle (`fd - fd % 50 + 50`, the same form): Spark's `%`
     // and DuckDB's `%` both truncate toward zero, so the bin agrees for
-    // every id, negative included. (Floor-division `//` or `pmod` would
-    // diverge from this form on negative ids — don't mix the two.)
+    // every id, negative included. (DuckDB `//` ALSO truncates toward
+    // zero — verified: -7 // 4 = -1 — matching Spark `DIV`; only `pmod`
+    // or a hand-rolled floor-division formula diverge on negative ids.)
     val bin = (c: Column) => (c - c % lit(binWidth) + lit(binWidth)).as("checkpoint")
 
     val firstSeen = base

@@ -151,7 +151,7 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else Some((img.getWidth, img.getHeight, luminanceLattice(img, dim)))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** 64-bit difference hash (dHash) of a decoded image — the standard
@@ -171,7 +171,7 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else Some(dhashOfImage(img))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** The dHash bit math over an already-decoded image — shared by the
@@ -231,7 +231,7 @@ object Multimodal {
         val o = parseExif(bytes).map(_._4).filter(_ > 0).getOrElse(1)
         Some((dhashOfImage(normalizeOrientation(img, o)), o))
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** ROTATION-NORMALIZED exact near-dup pairs — the dedup the EXIF
@@ -379,7 +379,7 @@ object Multimodal {
         }
         Some((w.toLong * h, sumL, sumL2, gray))
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** [[fixturePng]] with planted QUALITY defects: `dark` divides every
@@ -523,7 +523,7 @@ object Multimodal {
         i += 1
       }
       Some((if (le) "II" else "MM", make, model, orient, dt, count))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Build a standard Exif APP1 segment (`FF E1 len "Exif\0\0"` +
@@ -951,7 +951,7 @@ object Multimodal {
           Some((fmt.getSampleRate, channels, durationUs, feats))
         }
       } finally ais.close()
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** INTEGER-EXACT loudness envelope over the SAME real javax.sound
@@ -1005,7 +1005,7 @@ object Multimodal {
             math.round(nFrames * 1e6d / fmt.getSampleRate), env))
         }
       } finally ais.close()
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** MULTIMODAL REFERENTIAL-INTEGRITY AUDIT — the lake-scale
@@ -1077,7 +1077,7 @@ object Multimodal {
           Some((nFrames.toLong, silent, clipped, sumAbs))
         }
       } finally ais.close()
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** [[fixtureWav]] with planted QUALITY defects: `silence` zeroes
@@ -1216,7 +1216,7 @@ object Multimodal {
         }
       }.find { case (w, h) => w > 0 && h > 0 }
       durationMs.map(d => (d, dims.map(_._1).getOrElse(0), dims.map(_._2).getOrElse(0)))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** REAL ISO-BMFF sample extraction for JPEG-coded video tracks
@@ -1300,7 +1300,7 @@ object Multimodal {
           frames.toSeq
         }
       }.nextOption()
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** REAL video features for Motion-JPEG in MP4/MOV: container
@@ -1328,7 +1328,7 @@ object Multimodal {
             while (j < dim) { acc(j) += f(j); j += 1 }
             n += 1
           }
-        } catch { case _: Throwable => () } // one bad frame never kills the row
+        } catch { case scala.util.control.NonFatal(_) => () } // one bad frame never kills the row
       }
       if (n == 0) None
       else {
@@ -1382,7 +1382,7 @@ object Multimodal {
         val h = le4(s + 36).toInt
         (usPerFrame * totalFrames / 1000L, w, h, frames.toSeq)
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** REAL video features for MJPEG-AVI: sample up to `maxFrames`
@@ -1409,7 +1409,7 @@ object Multimodal {
             while (j < dim) { acc(j) += f(j); j += 1 }
             n += 1
           }
-        } catch { case _: Throwable => () } // one bad frame never kills the row
+        } catch { case scala.util.control.NonFatal(_) => () } // one bad frame never kills the row
       }
       if (n == 0) None
       else Some((durMs, w, h, Array.tabulate(dim)(j => (acc(j) / n).toFloat)))

@@ -37,9 +37,14 @@ object Preference {
     *    copeland2, condorcet, win_pct) */
   def aggregate(comps: DataFrame, aCol: Column, bCol: Column,
                 winnerCol: Column): DataFrame = {
-    val norm = comps.select(
-      least(aCol, bCol).as("lo"), greatest(aCol, bCol).as("hi"),
-      when(winnerCol === least(aCol, bCol), lit(1L)).otherwise(lit(0L)).as("lo_win"))
+    // malformed rows (tie sentinels, typo'd winner ids) are REJECTED,
+    // not silently credited to the greater item — a winner must be one
+    // of the two compared items
+    val norm = comps
+      .where(winnerCol === aCol || winnerCol === bCol)
+      .select(
+        least(aCol, bCol).as("lo"), greatest(aCol, bCol).as("hi"),
+        when(winnerCol === least(aCol, bCol), lit(1L)).otherwise(lit(0L)).as("lo_win"))
       .where(col("lo") =!= col("hi"))
     val mu = norm.groupBy(col("lo"), col("hi"))
       .agg(count(lit(1)).as("n"), sum(col("lo_win")).as("lo_wins"))

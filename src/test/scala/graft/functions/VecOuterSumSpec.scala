@@ -35,12 +35,23 @@ class VecOuterSumSpec extends SparkSpec {
     assert(VecOuterSum.triIndex(2, 2, 3) == 5)
   }
 
-  test("nulls and wrong-length vectors are skipped, not crashed") {
-    val rows = Seq(Some(Seq(1L, 1L, 1L)), None, Some(Seq(9L, 9L))).toDF("q")
+  test("nulls are skipped (aggregate null semantics)") {
+    val rows = Seq(Some(Seq(1L, 1L, 1L)), None, Some(Seq(2L, 2L, 2L))).toDF("q")
     val sk = rows.agg(ColumnBridge.column(VecOuterSum(
         ColumnBridge.expression(col("q")), d, 0, 0)
       .toAggregateExpression()).as("sk"))
       .first().getSeq[Long](0).toArray
-    assert(sk(0) == 1L && sk(1) == 1L)
+    assert(sk(0) == 2L && sk(1) == 3L)
+  }
+
+  test("a ragged (wrong-length) vector throws instead of silently narrowing the sample") {
+    val rows = Seq(Some(Seq(1L, 1L, 1L)), Some(Seq(9L, 9L))).toDF("q")
+    val e = intercept[org.apache.spark.SparkException] {
+      rows.agg(ColumnBridge.column(VecOuterSum(
+          ColumnBridge.expression(col("q")), d, 0, 0)
+        .toAggregateExpression()).as("sk")).first()
+    }
+    assert(e.getMessage.contains("ragged") ||
+      Option(e.getCause).exists(_.getMessage.contains("ragged")))
   }
 }

@@ -47,6 +47,17 @@ class PreferenceSpec extends SparkSpec {
     assert(x == y)
   }
 
+  test("malformed winners (tie sentinel / typo id) are rejected, not credited") {
+    // winner 99 names neither side, winner 0 is a tie sentinel: both
+    // rows must drop entirely — identical output to the clean input
+    val dirty = comps ++ Seq((1, 2, 99), (2, 3, 0))
+    val x = Preference.aggregate(comps.toDF("a", "b", "w"), col("a"), col("b"), col("w"))
+      .orderBy("item").collect().toSeq
+    val y = Preference.aggregate(dirty.toDF("a", "b", "w"), col("a"), col("b"), col("w"))
+      .orderBy("item").collect().toSeq
+    assert(x == y)
+  }
+
   test("self-comparisons are dropped") {
     val withSelf = comps :+ ((1, 1, 1))
     val x = Preference.aggregate(withSelf.toDF("a", "b", "w"), col("a"), col("b"), col("w"))
