@@ -191,7 +191,13 @@ object Bench {
     // license-detect row built on the same machinery
     "llm128_winnowing_overlap",
     // and the degeneracy audit is the newest two-scan gram family row
-    "llm137_degeneracy_audit")
+    "llm137_degeneracy_audit",
+    // round-19 (verdict #4): the two heaviest round-18 rows without
+    // exponents — llm123 gives the first slope point for the
+    // flatMapGroupsWithState KMV family (its cost should be checkpoint
+    // machinery, near-flat in data), llm132 for license detection
+    // (gram-floor dominated, now GramIndex-served)
+    "llm123_contamination_stream", "llm132_license_detect")
   private def runSlope(javaBin: String, jvmArgs: Seq[String], cp: String,
                        bigSfDir: String, bigTimes: Map[String, Double]): (Seq[(String, Double)], String) = {
     if (sys.env.get("SPARK_GRAFT_BENCH_SLOPE").contains("0")) return (Nil, "")

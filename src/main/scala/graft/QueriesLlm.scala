@@ -27,7 +27,7 @@ object QueriesLlm {
                         llm136, llm137, llm138, llm139, llm140, llm141,
                         llm142, llm143, llm144, llm145, llm146, llm147,
                         llm148, llm149, llm150, llm151, llm152, llm153,
-                        llm154, llm155, llm156)
+                        llm154, llm155, llm156, llm157)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -1462,14 +1462,18 @@ object QueriesLlm {
     * shared recursive-CTE prefix (word split → per-word BPE fixpoint →
     * final symbol lists in `fin(doc_id, ord, syms)`) used by llm35
     * (ids) and llm36 (counts feeding packing). */
-  private def bpeMergeLoopCtes: String = {
+  private def bpeMergeLoopCtes: String = bpeMergeLoopCtesFrom("documents")
+
+  /** [[bpeMergeLoopCtes]] over an arbitrary (doc_id, text) relation —
+    * llm157 tokenizes train ∪ eval in one pass. */
+  private def bpeMergeLoopCtesFrom(rel: String): String = {
     val mlist = bpeMergesFixture
       .map { case (x, y) => s"'$x $y'" }.mkString("[", ",", "]")
     s"""words AS (
        |  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS ord
        |  FROM (SELECT doc_id,
        |          regexp_extract_all(lower(text), '${graft.llm.Tokenizer.WordPattern}') AS ws
-       |        FROM documents)),
+       |        FROM $rel)),
        |bpe(doc_id, ord, syms, step) AS (
        |  SELECT doc_id, ord, str_split(word, '') AS syms, 0 FROM words
        |  UNION ALL
@@ -6977,6 +6981,117 @@ object QueriesLlm {
             |SELECT method, qid, n_cand, n_hits,
             |  CAST(n_hits * 100 // 10 AS BIGINT) AS recall_pct
             |FROM res ORDER BY method, qid""".stripMargin))
+
+  /** TOKEN-GRAIN DECONTAMINATION — llm16's eval-overlap audit moved
+    * from character shingles to BPE TOKEN 8-grams (the
+    * industry-standard variant: n-gram overlap in token space, which
+    * survives the whitespace/punctuation perturbations that shift or
+    * break every char shingle). Composes two green pieces: the real
+    * BPE tokenizer (broadcast merge table, map-only) feeding the
+    * rare-shingle-prefiltered containment machinery
+    * (Dedup.contamination). The fixture PROVES the token-grain
+    * advantage: eval tier A is a train doc with every space DOUBLED —
+    * token-identical (whitespace never becomes a token), so token
+    * overlap reads ~1.0 where char 9-grams scatter; tier B is novel
+    * held-out text (must not flag — and correctly emits no row, since
+    * none of its grams exist in train); tier C is a doubled-space
+    * HALF of a train doc plus a novel continuation — it STILL flags
+    * at ~1.0 because the measure is DIRECTIONAL containment over the
+    * eval item's train-present rare grams (novel grams can't dilute
+    * the signal): a fragment-level leak is a leak, llm16's exact
+    * semantics at token grain. The oracle replays tokenization itself through
+    * the recursive-CTE merge loop over train ∪ eval, then the same
+    * rare-gram containment. 100 TB shape: tokenization is map-only
+    * behind the broadcast merge table; grams travel as 8-byte hashes
+    * from the explode on; the rare-df prefilter bounds the posting
+    * join exactly as llm16 (shape shared — llm16's slope 0.45
+    * transfers: same join algebra, narrower gram stream since
+    * |tokens| < |chars|). */
+  private def llm157 = Q("llm157_token_decontamination",
+    (s, dir) => {
+      val bpe = graft.llm.Tokenizer.fromMergesText(bpeMergesText)
+      val train = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val src = train.filter(col("doc_id") % 50 === 0)
+      val evalSet = src.select((col("doc_id") + 200000L).as("doc_id"),
+          regexp_replace(col("text"), " ", "  ").as("text"))
+        .unionByName(src.select((col("doc_id") + 300000L).as("doc_id"),
+          concat(lit("fresh eval item "), col("doc_id"),
+            lit(" with held out token content")).as("text")))
+        .unionByName(src.select((col("doc_id") + 400000L).as("doc_id"),
+          concat(regexp_replace(expr("substr(text, 1, length(text) DIV 2)"), " ", "  "),
+            lit(" followed by totally novel continuation material never in training"))
+            .as("text")))
+      // token 8-gram arrays: ids → join 8-slices as strings (short
+      // docs contribute their whole sequence — the positional-gram
+      // convention)
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          graft.llm.Tokenizer.tokenIds(s, bpe)(col("text"))
+            .cast("array<string>").as("__ids"))
+        .select(col("doc_id"),
+          when(size(col("__ids")) >= 8,
+            transform(sequence(lit(1), size(col("__ids")) - 7),
+              i => array_join(slice(col("__ids"), i, lit(8)), "-")))
+          .otherwise(array(array_join(col("__ids"), "-"))).as("g"))
+      Dedup.contamination(
+          grams(train), col("doc_id"), col("g"),
+          grams(evalSet), col("doc_id"), col("g"),
+          maxDf = 20, tracker = Some(llm157Slot.fresh()))
+        .withColumn("contaminated", col("overlap") >= 0.8)
+        .orderBy(col("eval_id"))
+    },
+    Some(s"""WITH RECURSIVE
+            |corpus AS (
+            |  SELECT doc_id, text FROM documents
+            |  UNION ALL SELECT doc_id + 200000, regexp_replace(text, ' ', '  ', 'g')
+            |    FROM documents WHERE doc_id % 50 = 0
+            |  UNION ALL SELECT doc_id + 300000,
+            |    'fresh eval item ' || doc_id || ' with held out token content'
+            |    FROM documents WHERE doc_id % 50 = 0
+            |  UNION ALL SELECT doc_id + 400000,
+            |    regexp_replace(substr(text, 1, length(text) // 2), ' ', '  ', 'g') ||
+            |    ' followed by totally novel continuation material never in training'
+            |    FROM documents WHERE doc_id % 50 = 0),
+            |${bpeMergeLoopCtesFrom("corpus")},
+            |toks AS (SELECT doc_id, ord, unnest(syms) AS tok,
+            |           unnest(range(1, len(syms)+1)) AS p FROM fin),
+            |ids AS (
+            |  SELECT doc_id, ord, p,
+            |    CASE WHEN length(tok) = 1 THEN unicode(tok)
+            |         ELSE 255 + coalesce(nullif(list_position(
+            |                [replace(m, ' ', '') for m in ${bpeMergesFixture
+      .map { case (x, y) => s"'$x $y'" }.mkString("[", ",", "]")}], tok), 0), -256)
+            |    END AS id
+            |  FROM toks),
+            |seqs AS (SELECT doc_id, list(CAST(id AS VARCHAR) ORDER BY ord, p) AS idl
+            |         FROM ids GROUP BY doc_id),
+            |grams AS (
+            |  SELECT doc_id, unnest(
+            |    CASE WHEN len(idl) >= 8
+            |         THEN [array_to_string(idl[i:i+7], '-') for i in range(1, len(idl) - 6)]
+            |         ELSE [array_to_string(idl, '-')] END) AS g
+            |  FROM seqs),
+            |tsh AS (SELECT DISTINCT doc_id AS train_id, g FROM grams WHERE doc_id < 200000),
+            |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM tsh GROUP BY g) t
+            |         WHERE df <= 20),
+            |trare AS (SELECT train_id, g FROM tsh JOIN rare USING (g)),
+            |esh AS (SELECT DISTINCT doc_id AS eval_id, g FROM grams WHERE doc_id >= 200000),
+            |erare AS (SELECT eval_id, g FROM esh JOIN rare USING (g)),
+            |ec AS (SELECT eval_id, count(*) AS n_eval FROM erare GROUP BY 1),
+            |shared AS (SELECT eval_id, train_id, count(*) AS n_shared
+            |           FROM erare JOIN trare USING (g) GROUP BY 1, 2),
+            |scored AS (SELECT s.eval_id, s.train_id,
+            |             CAST(s.n_shared AS DOUBLE) / CAST(ec.n_eval AS DOUBLE) AS overlap,
+            |             row_number() OVER (PARTITION BY s.eval_id
+            |               ORDER BY CAST(s.n_shared AS DOUBLE) / CAST(ec.n_eval AS DOUBLE) DESC,
+            |                        s.train_id DESC) AS rn
+            |           FROM shared s JOIN ec USING (eval_id))
+            |SELECT eval_id, train_id, overlap, overlap >= 0.8 AS contaminated
+            |FROM scored WHERE rn = 1
+            |ORDER BY eval_id""".stripMargin),
+    cleanup = Some(_ => llm157Slot.drain()))
+
+  private val llm157Slot = new TrackerSlot
 
   /** LENGTH-DISTRIBUTION DRIFT (CorpusStats.lengthDrift) — the third
     * drift axis (llm86 vocabulary, llm107 embeddings): a
