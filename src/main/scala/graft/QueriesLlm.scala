@@ -27,7 +27,7 @@ object QueriesLlm {
                         llm136, llm137, llm138, llm139, llm140, llm141,
                         llm142, llm143, llm144, llm145, llm146, llm147,
                         llm148, llm149, llm150, llm151, llm152, llm153,
-                        llm154, llm155, llm156, llm157)
+                        llm154, llm155, llm156, llm157, llm158)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -7092,6 +7092,58 @@ object QueriesLlm {
     cleanup = Some(_ => llm157Slot.drain()))
 
   private val llm157Slot = new TrackerSlot
+
+  /** INCREMENTAL GRAM-INDEX REFRESH (GramIndex.refresh) — the
+    * change-rate-cost maintenance path for the materialized gram
+    * index the exact-substring family shares: a CDC epoch's document
+    * changelog (updates, deletes, inserts — the cdc39 mutation rules
+    * plus an insert wave) folds into the index by one anti-join
+    * (untouched docs pass through WITHOUT re-reading their text) plus
+    * a map-only re-hash of the changed docs. The oracle is the
+    * REBUILD: a full gram pass over the mutated corpus — refresh must
+    * equal rebuild per doc (gram count + bounded hash sum), which
+    * pins both the delta algebra and the no-stale-rows property. At
+    * 100 TB the full rebuild is paid once (GramIndex build); every
+    * epoch after costs O(changed docs). */
+  private def llm158 = Q("llm158_gram_index_refresh",
+    (s, dir) => {
+      import graft.llm.GramIndex
+      val idx = GramIndex.documentsGramArrays(s, dir, 16)
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val changes = base.filter(col("doc_id") % 6 === 0 || col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 0, "d").otherwise("u").as("op"),
+          when(col("doc_id") % 9 === 0, lit(null).cast("string"))
+            .otherwise(concat(col("text"), lit(" revised edition"))).as("text"))
+        .unionByName(base.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 500000L).as("doc_id"), lit("c").as("op"),
+            concat(lit("new appended document "), col("doc_id") + 500000L,
+              lit(" arriving in this epoch with fresh content")).as("text")))
+      GramIndex.refresh(idx, changes, 16)
+        .select(col("doc_id"), col("len").cast("long").as("len"),
+          size(col("gh")).cast("long").as("n_grams"),
+          aggregate(col("gh"), lit(0L),
+            (acc, h) => acc + h % 1000000000L).as("hash_sum"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH mut AS (
+            |  SELECT doc_id,
+            |    CASE WHEN doc_id % 6 = 0 THEN text || ' revised edition'
+            |         ELSE text END AS text
+            |  FROM documents WHERE doc_id % 9 <> 0
+            |  UNION ALL
+            |  SELECT doc_id + 500000,
+            |    'new appended document ' || (doc_id + 500000) ||
+            |    ' arriving in this epoch with fresh content'
+            |  FROM documents WHERE doc_id % 10 = 7),
+            |g AS (SELECT doc_id, length(text) AS len,
+            |        ${Portable.duckHash64("substr(text, i, 16)")} % 1000000000 AS hm
+            |      FROM (SELECT doc_id, text,
+            |              unnest(generate_series(1, greatest(length(text) - 15, 1))) AS i
+            |            FROM mut))
+            |SELECT doc_id, CAST(min(len) AS BIGINT) AS len,
+            |       count(*) AS n_grams, CAST(sum(hm) AS BIGINT) AS hash_sum
+            |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   /** LENGTH-DISTRIBUTION DRIFT (CorpusStats.lengthDrift) — the third
     * drift axis (llm86 vocabulary, llm107 embeddings): a

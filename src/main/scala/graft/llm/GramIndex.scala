@@ -121,6 +121,31 @@ object GramIndex {
     spark.read.parquet(path)
   }
 
+  /** INCREMENTAL index refresh — the production complement of the
+    * materialized build: given the current index and a CHANGELOG of
+    * document mutations (upserts carrying new text, deletes), produce
+    * the refreshed index touching ONLY changed documents. Untouched
+    * rows pass through an anti-join (their text is never re-read, let
+    * alone re-hashed); upserted docs re-hash map-only; deleted docs
+    * drop. At 100 TB this is the change-rate-cost maintenance path a
+    * curation DAG runs per CDC epoch — a full rebuild is never paid
+    * after the first.
+    *
+    * @param index   (doc_id, len, gh) — [[documentsGramArrays]] shape
+    * @param changes (doc_id, op, text): op 'd' deletes, anything else
+    *                upserts with the new text (one row per doc — feed
+    *                the LATEST change per key, e.g. apply-changes
+    *                output)
+    * @return the refreshed (doc_id, len, gh) */
+  def refresh(index: DataFrame, changes: DataFrame, k: Int): DataFrame = {
+    val keys = changes.select(col("doc_id")).distinct()
+    val untouched = index.join(keys, Seq("doc_id"), "left_anti")
+    val upserts = changes.filter(col("op") =!= "d")
+      .select(col("doc_id"), length(col("text")).as("len"),
+        gramArray(col("text"), k).as("gh"))
+    untouched.unionByName(upserts)
+  }
+
   /** The index in positional-row form: (doc_id, p, h) with 1-based
     * gram position — the shape the longest-run / span-scrub
     * machinery consumes. */
