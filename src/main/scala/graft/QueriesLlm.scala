@@ -7021,18 +7021,13 @@ object QueriesLlm {
           concat(regexp_replace(expr("substr(text, 1, length(text) DIV 2)"), " ", "  "),
             lit(" followed by totally novel continuation material never in training"))
             .as("text")))
-      // token 8-gram arrays: ids → join 8-slices as strings (short
-      // docs contribute their whole sequence — the positional-gram
-      // convention)
+      // token 8-gram arrays, built INSIDE the tokenizer UDF (one
+      // encode per doc; a Column HOF over the UDF result would
+      // re-tokenize per lambda element after projection collapse —
+      // the llm19 trap, measured 111 s vs 3.6 s at sf0.1)
       def grams(df: org.apache.spark.sql.DataFrame) = df
         .select(col("doc_id"),
-          graft.llm.Tokenizer.tokenIds(s, bpe)(col("text"))
-            .cast("array<string>").as("__ids"))
-        .select(col("doc_id"),
-          when(size(col("__ids")) >= 8,
-            transform(sequence(lit(1), size(col("__ids")) - 7),
-              i => array_join(slice(col("__ids"), i, lit(8)), "-")))
-          .otherwise(array(array_join(col("__ids"), "-"))).as("g"))
+          graft.llm.Tokenizer.tokenGramStrings(s, bpe, 8)(col("text")).as("g"))
       Dedup.contamination(
           grams(train), col("doc_id"), col("g"),
           grams(evalSet), col("doc_id"), col("g"),

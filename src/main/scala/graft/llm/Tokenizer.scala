@@ -168,6 +168,28 @@ object Tokenizer {
       .apply(textCol)
   }
 
+  /** n-token gram strings per document — the token-grain shingle
+    * stream (ids '-'-joined per consecutive n-window; a doc shorter
+    * than n tokens yields its whole sequence as ONE gram, the
+    * positional-gram convention). Built INSIDE the UDF: a Column-side
+    * HOF over a UDF result re-evaluates the tokenizer per lambda
+    * element once projection collapse inlines it (the llm19 trap —
+    * measured 111 s vs 3.6 s for llm157 at sf0.1), while here encode
+    * runs once per doc and the gram build is a linear string loop.
+    * Same broadcast + memo + map-only shape as [[tokenIds]]. */
+  def tokenGramStrings(spark: SparkSession, bpe: Bpe, n: Int)(textCol: Column): Column = {
+    val b = spark.sparkContext.broadcast(bpe)
+    udf { (text: String) =>
+      if (text == null) Seq.empty[String]
+      else {
+        val ids = b.value.encode(text)
+        if (ids.isEmpty) Seq.empty[String]
+        else if (ids.length < n) Seq(ids.mkString("-"))
+        else ids.sliding(n).map(_.mkString("-")).toSeq
+      }
+    }.apply(textCol)
+  }
+
   /** Per-word token counts → array<int> in word order: the FERTILITY
     * measure (tokens the model spends per pre-tokenized word — the
     * standard tokenizer-fit diagnostic; ~1 means the vocabulary covers
