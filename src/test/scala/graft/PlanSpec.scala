@@ -902,6 +902,32 @@ class PlanSpec extends SparkSpec {
       s"unexpected product in the funnel:\n$p")
   }
 
+  test("llm157: token decontamination — grams hash scan-side; no gram strings or text on exchanges") {
+    val df = Queries.byName("llm157_token_decontamination")(spark, sfSmoke)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("xxhash64"),
+      "token grams must travel as 8-byte hashes from the explode on")
+    val p = planOf(df)
+    assert(!shuffleInputs(p).exists(n => n.startsWith("text") || n.startsWith("g#") ||
+        n.startsWith("__t")),
+      "document text and gram strings must never cross an exchange")
+    assert(!p.toString.contains("CartesianProduct") &&
+           !p.toString.contains("BroadcastNestedLoopJoin"),
+      s"the containment join degenerated to a product:\n$p")
+  }
+
+  test("llm158: index refresh — untouched rows pass an anti-join; no products; text only for changed docs") {
+    val df = Queries.byName("llm158_gram_index_refresh")(spark, sfSmoke)
+    val p = planOf(df)
+    val s = p.toString
+    assert(s.contains("LeftAnti"),
+      s"untouched index rows must pass through an anti-join, not a rebuild:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"the changed-keys join degenerated to a product:\n$s")
+    assert(!shuffleInputs(p).exists(n => n.startsWith("text")),
+      "raw text must never cross an exchange — changed docs hash map-side")
+  }
+
   test("llm131: blocklist gate — one scan projection, one aggregate; no explode, no text keys") {
     val df = Queries.byName("llm131_blocklist_gate")(spark, sfSmoke)
     val p = planOf(df)
