@@ -27,7 +27,7 @@ object QueriesLlm {
                         llm136, llm137, llm138, llm139, llm140, llm141,
                         llm142, llm143, llm144, llm145, llm146, llm147,
                         llm148, llm149, llm150, llm151, llm152, llm153,
-                        llm154, llm155, llm156, llm157, llm158)
+                        llm154, llm155, llm156, llm157, llm158, llm159)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -6981,6 +6981,43 @@ object QueriesLlm {
             |SELECT method, qid, n_cand, n_hits,
             |  CAST(n_hits * 100 // 10 AS BIGINT) AS recall_pct
             |FROM res ORDER BY method, qid""".stripMargin))
+
+  /** WEIGHTED SAMPLE WITHOUT REPLACEMENT (Sampling.weightedSample) —
+    * sequential Poisson / PPS order sampling: per source, the k
+    * smallest deterministic priorities u/w win, giving longer
+    * (heavier) documents proportionally higher inclusion odds while
+    * the sample stays a pure function of (salt, doc_id) —
+    * reproducible across engines, runs, and cluster sizes, where an
+    * RNG reservoir is partition-order dependent. Weight = whitespace
+    * token count. The oracle replays hash, priority, and the
+    * per-source order statistic. 100 TB shape: priorities compute in
+    * the scan; only (id, source, weight, one double) reach the one
+    * per-source rank exchange. */
+  private def llm159 = Q("llm159_weighted_sample",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.weightedSample(d, col("doc_id"), col("source"),
+          col("n_tokens"), k = 5)
+        .select(col("grp").as("source"), col("doc_id"), col("w"),
+          col("priority"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, source,
+            |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS w
+            |  FROM documents),
+            |p AS (
+            |  SELECT source, doc_id, w,
+            |    CAST(${Portable.duckHash64("'pps:' || doc_id")} AS DOUBLE) / CAST(w AS DOUBLE) AS priority
+            |  FROM d WHERE w > 0),
+            |r AS (
+            |  SELECT source, doc_id, w, priority,
+            |    CAST(row_number() OVER (PARTITION BY source
+            |      ORDER BY priority ASC, doc_id ASC) AS INT) AS rk
+            |  FROM p)
+            |SELECT source, doc_id, w, priority, rk FROM r
+            |WHERE rk <= 5 ORDER BY source, rk""".stripMargin))
 
   /** TOKEN-GRAIN DECONTAMINATION — llm16's eval-overlap audit moved
     * from character shingles to BPE TOKEN 8-grams (the

@@ -228,6 +228,45 @@ object Sampling {
     df.filter(unitInterval(idCol, salt) < rate)
   }
 
+  /** WEIGHTED SAMPLE WITHOUT REPLACEMENT per group — sequential
+    * Poisson / probability-proportional-to-size sampling (Ohlsson
+    * 1998; the order-sampling family Efraimidis-Spirakis's u^(1/w)
+    * belongs to): each row draws a DETERMINISTIC hash-derived uniform
+    * u and the k smallest priorities u/w per group win — heavier rows
+    * draw proportionally smaller priorities, so inclusion probability
+    * approaches w_i/Σw (the standard PPS approximation), yet the
+    * sample is a pure function of (salt, id): reproducible on any
+    * engine, run, or cluster size, where RNG reservoir sampling is
+    * partition-order dependent. The one float op is a single IEEE
+    * division of exact integers — bit-identical across engines (no
+    * pow/log; u^(1/w) would need libm, u/w is the same order
+    * statistic family with linear weighting).
+    *
+    * Scale shape: priorities compute in the scan projection; the only
+    * shuffle is the per-group window rank (k small — the bounded
+    * groupRanks scan is the documented dial for mega-groups), and
+    * nothing but (id, group, weight, one double) ever exchanges.
+    *
+    * @return rows of the winning sample with `priority` and `rk`. */
+  def weightedSample(df: DataFrame, idCol: Column, groupCol: Column,
+                     weightCol: Column, k: Int,
+                     salt: String = "pps"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = graft.functions.Portable.hash64(
+      concat(lit(s"$salt:"), idCol.cast("string")))
+    // filter BEFORE the division — ANSI mode raises on u/0, and the
+    // projection computes priority in the same select as the rename
+    val scored = df.where(weightCol.cast("long") > 0)
+      .select(idCol.as("doc_id"), groupCol.as("grp"),
+        weightCol.cast("long").as("w"),
+        (u.cast("double") / weightCol.cast("long").cast("double")).as("priority"))
+    val win = Window.partitionBy(col("grp"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+  }
+
   /** DETERMINISTIC SOURCE INTERLEAVE — the anti-clumping reorder a
     * data loader wants: documents of one source spread evenly through
     * the epoch instead of arriving in blocks (clumped batches bias
