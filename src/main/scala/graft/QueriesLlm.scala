@@ -27,7 +27,7 @@ object QueriesLlm {
                         llm136, llm137, llm138, llm139, llm140, llm141,
                         llm142, llm143, llm144, llm145, llm146, llm147,
                         llm148, llm149, llm150, llm151, llm152, llm153,
-                        llm154, llm155, llm156, llm157, llm158, llm159)
+                        llm154, llm155, llm156, llm157, llm158, llm159, llm160)
 
   /** Per-query tracker slot for operators that materialize frames the
     * result still references ([[graft.operators.Materialize.Tracker]]):
@@ -7018,6 +7018,45 @@ object QueriesLlm {
             |  FROM p)
             |SELECT source, doc_id, w, priority, rk FROM r
             |WHERE rk <= 5 ORDER BY source, rk""".stripMargin))
+
+  /** INDEX-BACKED SUBSTRING SEARCH (corpus grep) — the retrieval use
+    * of the shared gram index: a query string of length ≥ k must
+    * reproduce its leading k-gram verbatim in any containing
+    * document, so candidates come from ONE equi-join of the query's
+    * k-gram hash against the materialized index (GramIndex) and only
+    * candidates pay the substring verify — the corpus text is read
+    * solely for docs that share the 8-byte probe hash, never scanned
+    * with contains() wholesale. Queries are corpus-derived substrings
+    * (deterministic in both engines); the corpus's natural exact-dup
+    * twins make several docs match each probe. The oracle is the
+    * ground truth the index path must reproduce exactly: a plain
+    * instr() scan. 100 TB shape: the query frame is kilobytes
+    * (broadcast); the index join keys on the 8-byte hash; the verify
+    * join touches candidate docs only. */
+  private def llm160 = Q("llm160_index_substring_search",
+    (s, dir) => {
+      import graft.llm.GramIndex
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // three probe strings: 20-char substrings of docs 0 / 7 / 13
+      val probes = d.filter(col("doc_id").isin(0L, 7L, 13L))
+        .select(col("doc_id").as("qid"), substring(col("text"), 5, 20).as("q"))
+      val probeGram = probes.select(col("qid"), col("q"),
+        Portable.hash64(substring(col("q"), 1, 16)).as("h"))
+      val idx = GramIndex.documentsPosHashes(s, dir, 16)
+      val cand = idx.join(broadcast(probeGram), Seq("h"))
+        .select(col("qid"), col("q"), col("doc_id")).distinct()
+      cand.join(d, "doc_id")
+        .filter(instr(col("text"), col("q")) > 0)
+        .select(col("qid"), col("doc_id")).distinct()
+        .orderBy(col("qid"), col("doc_id"))
+    },
+    Some("""WITH probes AS (
+           |  SELECT doc_id AS qid, substr(text, 5, 20) AS q
+           |  FROM documents WHERE doc_id IN (0, 7, 13))
+           |SELECT p.qid, d.doc_id
+           |FROM probes p JOIN documents d ON instr(d.text, p.q) > 0
+           |GROUP BY 1, 2
+           |ORDER BY qid, doc_id""".stripMargin))
 
   /** TOKEN-GRAIN DECONTAMINATION — llm16's eval-overlap audit moved
     * from character shingles to BPE TOKEN 8-grams (the
