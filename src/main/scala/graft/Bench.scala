@@ -104,13 +104,15 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
     val cp = System.getProperty("java.class.path")
-    val groups = {
-      val (isolated, normal) = catalog.partition(q => IsolateTagged.contains(q.name))
-      val per = ((normal.size + blocks - 1) / blocks).max(1)
-      normal.grouped(per).toSeq ++ isolated.map(Seq(_))
-    }
-    val blockFiles = groups.zipWithIndex.map { case (g, i) =>
-      val outFile = s"target/bench_block_$i.json"
+    val (isolatedQs, normalQs) = catalog.partition(q => IsolateTagged.contains(q.name))
+    val per = ((normalQs.size + blocks - 1) / blocks).max(1)
+    val normalGroups = normalQs.grouped(per).toSeq
+    val groups = normalGroups ++ isolatedQs.map(Seq(_))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def asMap(n: com.fasterxml.jackson.databind.JsonNode): Seq[(String, Double)] =
+      n.properties().asScala.toSeq.map(e => e.getKey -> e.getValue.asDouble())
+    def runBlock(g: Seq[Q], label: String, ordinal: String): com.fasterxml.jackson.databind.JsonNode = {
+      val outFile = s"target/bench_block_$label.json"
       val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
@@ -122,19 +124,52 @@ object Bench {
       // artifact — discard it, the block FILE is canonical
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
-      System.err.println(s"[bench] block ${i + 1}/${groups.size}: " +
+      System.err.println(s"[bench] block $ordinal: " +
         s"${g.size} queries (${g.head.name}..${g.last.name}) in a fresh JVM")
       val p = pb.start()
       val rc = p.waitFor()
-      require(rc == 0, s"bench block $i exited $rc")
-      outFile
+      require(rc == 0, s"bench block $label exited $rc")
+      om.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(outFile)))
     }
-    // merge the block artifacts (Jackson ships with Spark)
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    def asMap(n: com.fasterxml.jackson.databind.JsonNode): Seq[(String, Double)] =
-      n.properties().asScala.toSeq.map(e => e.getKey -> e.getValue.asDouble())
-    val parsed = blockFiles.map(f => om.readTree(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(f))))
+    val firstPass = groups.zipWithIndex.map { case (g, i) =>
+      runBlock(g, i.toString, s"${i + 1}/${groups.size}")
+    }
+    // Canary-gated rerun for the ISOLATED single-query blocks
+    // (round-19 verdict #1): the fresh-JVM isolation closed the
+    // JVM-aging theory, but llm91 still anchored the r19 artifact at
+    // 11.9 s because its own JVM ran inside a 1.47× all-core steal
+    // window — below the 2.5× throttle trigger, far above the host's
+    // real variance (clean sessions sit within ~1.1× of baseline).
+    // For these blocks only, the single row IS the whole reading, so
+    // one extra ~15 s rerun is cheap insurance: when the block's
+    // median all-core canary exceeds ISOGATE (default 1.25×) the
+    // session baseline (min over every block), rerun the block once
+    // in another fresh JVM and keep the lower-canary attempt — the
+    // same lower-canary-wins rule the in-child throttle rerun uses.
+    // Both attempts' (sec, canary_par) land in `isolated_rerun` so a
+    // reader can verify which attempt was kept and why.
+    val basePSession = firstPass.flatMap(p => asMap(p.get("canary_par_ms")).map(_._2)).min
+    val isoGate = sys.env.get("SPARK_GRAFT_BENCH_ISOGATE").map(_.toDouble).getOrElse(1.25)
+    val isoRerun = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val parsed = firstPass.zipWithIndex.map { case (p, i) =>
+      if (i < normalGroups.size) p
+      else {
+        val (qname, c0) = asMap(p.get("canary_par_ms")).head
+        if (c0 <= isoGate * basePSession) p
+        else {
+          System.err.println(f"[bench] isolated block $qname ran under an elevated " +
+            f"all-core canary ($c0%.1f ms vs session baseline $basePSession%.1f, " +
+            f">${isoGate}%.2f×) — re-running once in a fresh JVM")
+          val p2 = runBlock(groups(i), s"${i}_retry", s"${i + 1}r/${groups.size}")
+          val c1 = asMap(p2.get("canary_par_ms")).head._2
+          val s0 = asMap(p.get("queries")).head._2
+          val s1 = asMap(p2.get("queries")).head._2
+          isoRerun ++= Seq(s"$qname:initial_sec" -> s0, s"$qname:initial_canary_par" -> c0,
+            s"$qname:retry_sec" -> s1, s"$qname:retry_canary_par" -> c1)
+          if (c1 < c0) p2 else p
+        }
+      }
+    }
     val queries = parsed.flatMap(p => asMap(p.get("queries")))
     val canaries = parsed.flatMap(p => asMap(p.get("canary_ms")))
     val canariesPar = parsed.flatMap(p => asMap(p.get("canary_par_ms")))
@@ -144,7 +179,8 @@ object Bench {
     val sfDir = parsed.head.get("sf").asText()
     val (slope, slopeSmallDir) = runSlope(javaBin, jvmArgs, cp, sfDir, queries.toMap)
     emit(queries, canaries, canariesPar, reruns, throttled, nThreads, sfDir,
-      blocks = groups.size, slope = slope, slopeSmallDir = slopeSmallDir)
+      blocks = groups.size, slope = slope, slopeSmallDir = slopeSmallDir,
+      isolatedRerun = isoRerun.toSeq)
   }
 
   /** Round-15 verdict #5 — empirical scale-slope guard: re-run a
@@ -197,7 +233,12 @@ object Bench {
     // flatMapGroupsWithState KMV family (its cost should be checkpoint
     // machinery, near-flat in data), llm132 for license detection
     // (gram-floor dominated, now GramIndex-served)
-    "llm123_contamination_stream", "llm132_license_detect")
+    "llm123_contamination_stream", "llm132_license_detect",
+    // round-20 (verdict #4): the 4th-heaviest r19 row — token-grain
+    // decontamination. The llm16-shape-transfer argument (map-only BPE
+    // behind a broadcast merge table, rare-df-bounded posting join)
+    // was plausible but unmeasured; this makes it measured.
+    "llm157_token_decontamination")
   private def runSlope(javaBin: String, jvmArgs: Seq[String], cp: String,
                        bigSfDir: String, bigTimes: Map[String, Double]): (Seq[(String, Double)], String) = {
     if (sys.env.get("SPARK_GRAFT_BENCH_SLOPE").contains("0")) return (Nil, "")
@@ -253,7 +294,8 @@ object Bench {
                    canariesPar: Seq[(String, Double)], reruns: Seq[(String, Double)],
                    throttled: Boolean, nThreads: Int, sfDir: String,
                    blocks: Int, slope: Seq[(String, Double)] = Nil,
-                   slopeSmallDir: String = ""): Unit = {
+                   slopeSmallDir: String = "",
+                   isolatedRerun: Seq[(String, Double)] = Nil): Unit = {
     // fail loudly BEFORE the mins (round-15 advice): an empty catalog
     // slice — bad SPARK_GRAFT_BENCH_ONLY prefix, or a block file with
     // an empty queries map — would otherwise surface as an opaque
@@ -280,11 +322,16 @@ object Bench {
     val slopeJson = if (slope.isEmpty) "" else
       s""""slope_exponent":${jmap(slope.map { case (k, v) => k -> math.rint(v * 1000) / 1000 })},""" +
         s""""slope_small_sf":${jstr(slopeSmallDir)},"slope_assumed_ratio":10,"""
+    // canary-gated isolated-block retries (round-19 verdict #1): both
+    // attempts' sec + all-core canary, so the artifact proves which
+    // reading was kept and whether both attempts ran under steal
+    val isoJson = if (isolatedRerun.isEmpty) "" else
+      s""""isolated_rerun":${jmap(isolatedRerun)},"""
     val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
       s""""canary_ms":${jmap(canaries)},"canary_par_ms":${jmap(canariesPar)},""" +
       s""""canary_baseline_ms":$base1Min,""" +
       s""""canary_par_baseline_ms":$basePMin,""" +
-      slopeJson +
+      slopeJson + isoJson +
       s""""canary_threads":$nThreads,"blocks":$blocks,""" +
       s""""throttled":$throttled,"rerun_initial":${jmap(reruns)},"sf":${jstr(sfDir)}}"""
     val outPath = java.nio.file.Paths.get(
