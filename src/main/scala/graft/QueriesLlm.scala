@@ -46,6 +46,15 @@ object QueriesLlm {
     def drain(): Unit = Option(ref.getAndSet(null)).foreach(_.releaseAll())
   }
 
+  /** Untimed prepare hook for the GramIndex consumer family (round-19
+    * verdict #5): forces the materialized (corpus, k=16) index to
+    * exist BEFORE the clock starts, so no family row's reading
+    * depends on which bench block reached the index first. The build
+    * cost has one deterministic owner instead: llm158 runs the full
+    * corpus gram pass inside its timed body on every run. */
+  private val ensureGramIndex: Option[(org.apache.spark.sql.SparkSession, String) => Unit] =
+    Some((s, dir) => { graft.llm.GramIndex.documentsGramArrays(s, dir, 16); () })
+
   /** Sub-document (passage-level) dedup stats (Dedup.passages /
     * passageDupStats): Dolma-style paragraph dedup generalized to
     * fixed 8-token chunks. Half the corpus is planted as a duplicated
@@ -6005,7 +6014,8 @@ object QueriesLlm {
             |         FROM runs WHERE run >= 5)
             |SELECT sid AS sample_id, mid AS matched_id, run AS longest_run,
             |       run + 15 AS longest_chars
-            |FROM best WHERE rn = 1 ORDER BY sample_id""".stripMargin))
+            |FROM best WHERE rn = 1 ORDER BY sample_id""".stripMargin),
+    prepare = ensureGramIndex)
 
   /** AUDIO NEAR-DEDUP by envelope fingerprints — the audio member of
     * the multimodal dedup family (images llm69/70, video llm116/118),
@@ -6303,6 +6313,7 @@ object QueriesLlm {
             |  coalesce(s.scrubbed_text, d.text) AS scrubbed_text
             |FROM d LEFT JOIN cuts c USING (doc_id) LEFT JOIN scrub s USING (doc_id)
             |ORDER BY d.doc_id""".stripMargin),
+    prepare = ensureGramIndex,
     cleanup = Some(_ => llm124Slot.drain()))
 
   /** llm123's fixture: the documents as a multi-file stream (3
@@ -6678,7 +6689,8 @@ object QueriesLlm {
             |  (n_shared * 100) // least(sa.n_fp, sb.n_fp) AS overlap_pct
             |FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id
             |        JOIN sz sb ON pr.doc_b = sb.doc_id
-            |ORDER BY doc_a, doc_b""".stripMargin))
+            |ORDER BY doc_a, doc_b""".stripMargin),
+    prepare = ensureGramIndex)
 
   /** CONTENT-DEFINED CHUNK DEDUP (Chunking.chunkDedupStats) — the
     * Manber/LBFS/rsync storage-dedup treatment at corpus grain: split
@@ -7040,8 +7052,15 @@ object QueriesLlm {
       // three probe strings: 20-char substrings of docs 0 / 7 / 13
       val probes = d.filter(col("doc_id").isin(0L, 7L, 13L))
         .select(col("doc_id").as("qid"), substring(col("text"), 5, 20).as("q"))
+      // the probe hashes its first k=16 chars, so a sub-16-char probe
+      // could only ever match sub-k whole-text index entries and would
+      // silently under-return vs the instr() oracle — fail loudly on a
+      // fixture change instead (round-19 advice)
       val probeGram = probes.select(col("qid"), col("q"),
-        Portable.hash64(substring(col("q"), 1, 16)).as("h"))
+        when(length(col("q")) >= 16, Portable.hash64(substring(col("q"), 1, 16)))
+          .otherwise(raise_error(concat(
+            lit("llm160: probe shorter than k=16 chars breaks the index probe: "),
+            col("q"))).cast("long")).as("h"))
       val idx = GramIndex.documentsPosHashes(s, dir, 16)
       val cand = idx.join(broadcast(probeGram), Seq("h"))
         .select(col("qid"), col("q"), col("doc_id")).distinct()
@@ -7056,7 +7075,8 @@ object QueriesLlm {
            |SELECT p.qid, d.doc_id
            |FROM probes p JOIN documents d ON instr(d.text, p.q) > 0
            |GROUP BY 1, 2
-           |ORDER BY qid, doc_id""".stripMargin))
+           |ORDER BY qid, doc_id""".stripMargin),
+    prepare = ensureGramIndex)
 
   /** TOKEN-GRAIN DECONTAMINATION — llm16's eval-overlap audit moved
     * from character shingles to BPE TOKEN 8-grams (the
@@ -7175,11 +7195,19 @@ object QueriesLlm {
     * equal rebuild per doc (gram count + bounded hash sum), which
     * pins both the delta algebra and the no-stale-rows property. At
     * 100 TB the full rebuild is paid once (GramIndex build); every
-    * epoch after costs O(changed docs). */
+    * epoch after costs O(changed docs).
+    *
+    * Bench accounting (round-19 verdict #5): THIS row is the
+    * deterministic owner of the one-time index-build cost — its timed
+    * body runs the full corpus gram pass (freshGramArrays) on every
+    * run, while every other family consumer forces the materialized
+    * index in its untimed prepare hook. The row therefore measures
+    * "full build + one epoch refresh", the pair a production DAG
+    * actually pays. */
   private def llm158 = Q("llm158_gram_index_refresh",
     (s, dir) => {
       import graft.llm.GramIndex
-      val idx = GramIndex.documentsGramArrays(s, dir, 16)
+      val idx = GramIndex.freshGramArrays(s, dir, 16)
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val changes = base.filter(col("doc_id") % 6 === 0 || col("doc_id") % 9 === 0)
         .select(col("doc_id"),
@@ -7317,8 +7345,10 @@ object QueriesLlm {
     * read max_run = |source| = 25 everywhere and the deterministic
     * interleave must read max_run = 1 — so the permutation formula
     * and the audit verify each other. One window per source + one
-    * projection for the reorder; the audit is two windows + two
-    * aggregates over (source, int) rows. */
+    * projection for the reorder; the audit's global sequence number
+    * rides PrefixSum's bucketed two-level scan (no unpartitioned
+    * row-grain window anywhere in the plan — round-19 verdict #2);
+    * the only unpartitioned frames are over bucket/source TOTALS. */
   private def llm153 = Q("llm153_interleave_audit",
     (s, dir) => {
       import graft.llm.Sampling
@@ -7327,8 +7357,20 @@ object QueriesLlm {
         substring(col("source"), 4, 10).cast("int").as("si"))
       val inter = Sampling.interleaveBySource(docs, col("doc_id"), col("si"), 20)
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      val clump = docs.withColumn("position",
-        row_number().over(Window.orderBy(col("si"), col("doc_id"))).cast("long"))
+      // clumped baseline WITHOUT a global (si, doc_id) window (round-19
+      // verdict #2): rank within source is a PARTITIONED window; the
+      // cross-source offset is an exclusive prefix over the 20
+      // per-source counts — an unpartitioned frame bounded by the
+      // SOURCE count, not the row count, broadcast back in
+      val bySrc = docs.withColumn("__r",
+        row_number().over(Window.partitionBy(col("si")).orderBy(col("doc_id"))))
+      val offs = docs.groupBy(col("si")).agg(count(lit(1)).as("__c"))
+        .withColumn("__off", coalesce(sum(col("__c")).over(
+          Window.orderBy(col("si")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("si"), col("__off"))
+      val clump = bySrc.join(broadcast(offs), "si")
+        .withColumn("position", (col("__off") + col("__r")).cast("long"))
       val a = Sampling.sourceRunStats(inter, col("position"), col("source"))
         .withColumn("ordering", lit("interleaved"))
       val b = Sampling.sourceRunStats(clump, col("position"), col("source"))
@@ -8668,7 +8710,8 @@ object QueriesLlm {
             |SELECT doc_id, license, n_shared, ref_fp, containment_pct FROM (
             |  SELECT *, row_number() OVER (PARTITION BY doc_id
             |    ORDER BY containment_pct DESC, license) AS rk FROM sc)
-            |WHERE rk = 1 ORDER BY doc_id""".stripMargin))
+            |WHERE rk = 1 ORDER BY doc_id""".stripMargin),
+    prepare = ensureGramIndex)
 
   private val Llm129A = "this material is distributed under the creative commons attribution license and may be shared or adapted provided that appropriate credit is given and changes are indicated"
   private val Llm129B = "for more information about our privacy practices and how we handle personal data please review the policy documents published on our official website"

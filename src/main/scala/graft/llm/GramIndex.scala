@@ -15,12 +15,19 @@ import scala.jdk.CollectionConverters._
   * position, in order; a document shorter than k contributes the
   * single hash of its whole text — the positional-gram convention the
   * audit/scrub operators use). It materializes ONCE per (corpus, k)
-  * as parquet under `target/gramidx/` — keyed by a fingerprint of the
-  * corpus parquet (sizes + mtimes), so regenerated testdata can never
-  * be served a stale index — and every consumer in the session (and
-  * in other bench block JVMs) reads the materialized frame instead of
-  * re-hashing the corpus. The first consumer pays the build inside
-  * its own timed run; the cost accounting lives in SCALE.md.
+  * as parquet under `target/gramidx/` — keyed by a (corpus-dir,
+  * fingerprint) pair where the fingerprint covers file sizes +
+  * mtimes, so regenerated testdata can never be served a stale index
+  * — and every consumer in the session (and in other bench block
+  * JVMs) reads the materialized frame instead of re-hashing the
+  * corpus. Cost accounting (round-19 verdict #5): the build is
+  * charged DETERMINISTICALLY — llm158 runs the full corpus gram pass
+  * ([[freshGramArrays]]) inside its timed body on every run, and
+  * every other family consumer forces the materialized build in its
+  * UNTIMED prepare hook, so no consumer row's reading depends on
+  * block order. Stale sibling indexes (same corpus dir, older
+  * fingerprint) are reaped at build time so regenerations don't leak
+  * orphaned parquet on disk.
   *
   * Consumers whose fixture PLANTS text on top of the corpus derive
   * the planted documents' gram arrays from the index plus a short
@@ -75,8 +82,11 @@ object GramIndex {
 
   /** Corpus fingerprint: file names + sizes + mtimes of the documents
     * parquet (file or part directory). Regenerating the testdata in
-    * place changes the fingerprint, which changes the index path. */
-  private def corpusFingerprint(dir: String): String = {
+    * place changes the fingerprint, which changes the index path.
+    * `private[graft]` so other stamp-keyed fixture caches (cdc39's
+    * WAL render) share the same staleness protection instead of
+    * trusting a directory-level mtime. */
+  private[graft] def corpusFingerprint(dir: String): String = {
     import java.nio.file.{Files, Paths}
     val p = Paths.get(dir, "documents.parquet")
     val files =
@@ -91,8 +101,28 @@ object GramIndex {
     java.lang.Long.toHexString(Portable.hash64Jvm(sig))
   }
 
-  private def indexPath(dir: String, k: Int): String =
-    s"target/gramidx/${corpusFingerprint(dir)}-k$k"
+  /** Stable token for the corpus DIRECTORY (not its contents) — lets
+    * the reaper recognize stale siblings of the SAME corpus whose
+    * fingerprint changed, without ever touching other corpora's
+    * entries. */
+  private def dirToken(dir: String): String =
+    java.lang.Long.toHexString(Portable.hash64Jvm(
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString))
+
+  // private[llm]: GramIndexSpec's reap test needs the deterministic
+  // entry name — target/gramidx accumulates entries for EVERY corpus
+  // dir the session touched, so "any current-format entry" is wrong
+  private[llm] def indexPath(dir: String, k: Int): String =
+    s"target/gramidx/${dirToken(dir)}-${corpusFingerprint(dir)}-k$k"
+
+  /** The full corpus gram pass, UNmaterialized: the frame
+    * [[documentsGramArrays]] persists. llm158 runs this inside its
+    * timed body so the one-time build cost has a deterministic owner
+    * row in the bench (round-19 verdict #5). */
+  def freshGramArrays(spark: SparkSession, dir: String, k: Int): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("len"),
+        gramArray(col("text"), k).as("gh"))
 
   /** The materialized index: (doc_id, len, gh) over
     * `documents(dir)` — built on first use per (corpus, k), then read
@@ -105,9 +135,7 @@ object GramIndex {
     val p = Paths.get(path)
     if (!Files.exists(p)) {
       val tmp = Paths.get(path + s".build-${java.util.UUID.randomUUID().toString.take(8)}")
-      graft.Tables.documents(spark, dir)
-        .select(col("doc_id"), length(col("text")).as("len"),
-          gramArray(col("text"), k).as("gh"))
+      freshGramArrays(spark, dir, k)
         .coalesce(4)
         .write.mode("overwrite").parquet(tmp.toString)
       try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
@@ -117,8 +145,37 @@ object GramIndex {
           s"gram index build failed to land at $path")
         graft.Fs.deleteRecursively(tmp)
       }
+      reapStaleSiblings(dir, k, keep = p.getFileName.toString)
     }
     spark.read.parquet(path)
+  }
+
+  /** Reap orphaned index entries so corpus regenerations don't leak
+    * parquet under target/gramidx/ (round-19 advice): deletes (a)
+    * same-corpus same-k entries whose fingerprint is no longer
+    * current — a concurrent session on the SAME live corpus shares
+    * the current fingerprint, so its entries are never touched — and
+    * (b) legacy-format `<fp>-k<n>` entries no reader resolves
+    * anymore. Other corpora's entries (different dir token) and other
+    * k values stay. */
+  private def reapStaleSiblings(dir: String, k: Int, keep: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get("target/gramidx")
+    if (!Files.isDirectory(root)) return
+    val sameCorpus = s"^${dirToken(dir)}-[0-9a-f]+-k$k$$".r
+    val legacy = "^[0-9a-f]+-k[0-9]+$".r
+    val entries = {
+      val s = Files.list(root)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    entries.foreach { e =>
+      val name = e.getFileName.toString
+      val stale = name != keep &&
+        (sameCorpus.findFirstIn(name).isDefined || legacy.findFirstIn(name).isDefined)
+      if (stale)
+        try graft.Fs.deleteRecursively(e)
+        catch { case _: Throwable => () } // best-effort hygiene only
+    }
   }
 
   /** INCREMENTAL index refresh — the production complement of the
@@ -133,14 +190,17 @@ object GramIndex {
     *
     * @param index   (doc_id, len, gh) — [[documentsGramArrays]] shape
     * @param changes (doc_id, op, text): op 'd' deletes, anything else
-    *                upserts with the new text (one row per doc — feed
-    *                the LATEST change per key, e.g. apply-changes
-    *                output)
+    *                — INCLUDING a null op — upserts with the new text
+    *                (one row per doc — feed the LATEST change per
+    *                key, e.g. apply-changes output)
     * @return the refreshed (doc_id, len, gh) */
   def refresh(index: DataFrame, changes: DataFrame, k: Int): DataFrame = {
     val keys = changes.select(col("doc_id")).distinct()
     val untouched = index.join(keys, Seq("doc_id"), "left_anti")
-    val upserts = changes.filter(col("op") =!= "d")
+    // coalesce so a NULL op upserts per the contract above — bare
+    // `op =!= "d"` is null-valued on null and would silently DELETE
+    // the doc (its key is anti-joined out either way)
+    val upserts = changes.filter(coalesce(col("op"), lit("u")) =!= "d")
       .select(col("doc_id"), length(col("text")).as("len"),
         gramArray(col("text"), k).as("gh"))
     untouched.unionByName(upserts)

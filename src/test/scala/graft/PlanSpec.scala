@@ -534,6 +534,23 @@ class PlanSpec extends SparkSpec {
       s"expected one coverage Window in:\n$p")
   }
 
+  test("llm153: no row-grain single-partition Window anywhere in the audit plan") {
+    // round-19 verdict #2: the global sequence number must ride
+    // PrefixSum's bucketed two-level scan, never an unpartitioned
+    // Window over scan-grain rows (a one-reducer sort of the whole
+    // epoch at 100 TB). Unpartitioned windows over AGGREGATED grains
+    // (bucket/source totals — bounded by design) are the template's
+    // own offset frames and stay legal.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = Queries.byName("llm153_interleave_audit")(spark, sfSmoke)
+    val offenders = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window over non-aggregated row-grain input:\n${offenders.mkString("\n")}")
+  }
+
   test("llm62: schedule is one source window + literal weights — no weight-table join") {
     val df = Queries.byName("llm62_curriculum_schedule")(spark, sfSmoke)
     val p = planOf(df)

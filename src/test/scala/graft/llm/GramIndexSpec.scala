@@ -76,6 +76,43 @@ class GramIndexSpec extends SparkSpec {
     assert(b.count() === a.count())
   }
 
+  test("refresh: a NULL op upserts (documented contract), 'd' deletes") {
+    import spark.implicits._
+    val index = Seq((1L, 5, Seq(11L)), (2L, 5, Seq(22L)), (3L, 5, Seq(33L)))
+      .toDF("doc_id", "len", "gh") // len is INT — documentsGramArrays' length() type
+    val changes = Seq(
+      (1L, null.asInstanceOf[String], "abc"), // null op => upsert, NOT delete
+      (2L, "d", null.asInstanceOf[String])).toDF("doc_id", "op", "text")
+    val out = GramIndex.refresh(index, changes, k)
+      .select(col("doc_id")).as[Long].collect().sorted
+    assert(out === Array(1L, 3L)) // 1 re-hashed, 2 deleted, 3 untouched
+    val doc1 = GramIndex.refresh(index, changes, k)
+      .filter(col("doc_id") === 1L).select(col("len")).head().getInt(0)
+    assert(doc1 === 3) // proves doc 1 took the NEW text, not the old row
+  }
+
+  test("build reaps stale siblings: same-corpus old fingerprints and legacy names") {
+    import java.nio.file.{Files, Paths}
+    GramIndex.documentsGramArrays(spark, sfSmoke, k) // ensure current entry exists
+    val root = Paths.get("target/gramidx")
+    // THIS corpus's entry, by name — the dir accumulates entries for
+    // every corpus the session touched, so "any 2-dash entry" is wrong
+    val current = Paths.get(GramIndex.indexPath(sfSmoke, k)).getFileName.toString
+    val tok = current.split("-")(0)
+    val staleSame = root.resolve(s"$tok-abc123-k$k") // same corpus, old fingerprint
+    val legacy = root.resolve(s"deadbeefdeadbeef-k$k") // pre-dir-token format
+    val otherCorpus = root.resolve(s"ffff000011112222-abc123-k$k") // different dir token
+    Seq(staleSame, legacy, otherCorpus).foreach(Files.createDirectories(_))
+    // force a rebuild so the reaper runs
+    graft.Fs.deleteRecursively(root.resolve(current))
+    GramIndex.documentsGramArrays(spark, sfSmoke, k)
+    assert(Files.exists(root.resolve(current)), "current index must land again")
+    assert(!Files.exists(staleSame), "stale same-corpus fingerprint must be reaped")
+    assert(!Files.exists(legacy), "legacy-format entry must be reaped")
+    assert(Files.exists(otherCorpus), "another corpus's entry must survive")
+    graft.Fs.deleteRecursively(otherCorpus)
+  }
+
   test("positional form is 1-based and matches the per-doc array") {
     val dir = sfSmoke
     val pos = GramIndex.documentsPosHashes(spark, dir, k)

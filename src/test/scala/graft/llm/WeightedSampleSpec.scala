@@ -21,6 +21,17 @@ class WeightedSampleSpec extends SparkSpec {
     assert(ids("a") !== ids("b")) // 40-choose-5 — collision would be a hash defect
   }
 
+  test("fractional weight column is rejected loudly (round-19 advice)") {
+    // the priority truncates the weight to long, so a double weight in
+    // (0,1) would silently drop and 1.9 vs 1.0 would tie — require
+    // integral instead of diverging quietly
+    val frac = rows.withColumn("w", col("w").cast("double"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedSample(frac, col("id"), col("g"), col("w"), k = 5)
+    }
+    assert(e.getMessage.contains("integral weight column"))
+  }
+
   test("per-group k and zero-weight exclusion") {
     val two = rows.withColumn("g", when(col("id") % 2 === 0, "even").otherwise("odd"))
       .withColumn("w", when(col("id") === 7, 0L).otherwise(col("w")))
