@@ -17,7 +17,7 @@ object QueriesCdc {
 
   def all: Seq[Q] = Seq(cdc01, cdc02, cdc03, cdc04, cdc05, cdc06, cdc07, cdc08, cdc09, cdc10, cdc11,
                         cdc12, cdc13, cdc14, cdc15, cdc16, cdc17, cdc18, cdc19, cdc20, cdc21,
-                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31, cdc32, cdc33, cdc34, cdc35, cdc36, cdc37, cdc38, cdc39)
+                        cdc22, cdc23, cdc24, cdc25, cdc26, cdc27, cdc28, cdc29, cdc30, cdc31, cdc32, cdc33, cdc34, cdc35, cdc36, cdc37, cdc38, cdc39, cdc40)
 
   /** op mapping used throughout: signup→c(reate), error→d(elete),
     * everything else → u(pdate). */
@@ -2600,8 +2600,12 @@ object QueriesCdc {
   private def cdc39Db(s: org.apache.spark.sql.SparkSession, dir: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(dir, "documents.parquet")
+    // per-file fingerprint (names+sizes+mtimes), NOT dir mtime/size:
+    // for a parquet DIRECTORY the dir-level stamp can miss part files
+    // rewritten in place, serving a regenerated corpus a stale WAL —
+    // the staleness class GramIndex.corpusFingerprint exists to stop
     val stamp = if (Files.exists(src))
-      s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}" else "nosrc"
+      graft.llm.GramIndex.corpusFingerprint(dir) else "nosrc"
     val db = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft-cdc39-${graft.functions.Portable.hash64Jvm(s"$dir|$stamp")}")
     if (!Files.exists(db.resolve("wal").resolve("_SUCCESS"))) this.synchronized {
@@ -2768,4 +2772,86 @@ object QueriesCdc {
   }
 
   private val cdc39Runs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** CDC EPOCH → INDEX REFRESH → INDEX-BACKED SEARCH (round-19
+    * verdict #7, the full production composition): the three
+    * individually-green pieces — cdc39's document change stream,
+    * llm158's incremental gram-index refresh, llm160's index-backed
+    * substring search — run as ONE query. The epoch's maintenance
+    * traffic (updates + deletes; the insert wave IS the snapshot the
+    * index was built from) reads through the graft-cdc source's
+    * bounded batch path, folds latest-per-key, feeds BOTH the
+    * index refresh and the corpus upsert view, and the search then
+    * serves FRESH documents: probe 1 (' revised edition', exactly
+    * k=16 chars) can only match post-refresh text, probe 3 is drawn
+    * from a doc the epoch deletes, probe 2 from an untouched
+    * survivor. The oracle replays the mutation rules and runs the
+    * ground-truth instr() scan over the refreshed corpus — so a stale
+    * index row, a leaked deleted doc, or a missed junction gram all
+    * fail rows_match. 100 TB shape: changes are change-rate-sized,
+    * the refresh anti-join never re-reads untouched text, probes
+    * broadcast, and the verify join touches candidate docs only. */
+  private def cdc40 = Q("cdc40_refresh_search_pipeline",
+    (s, dir) => {
+      import graft.llm.GramIndex
+      import org.apache.spark.sql.expressions.Window
+      val records = s.read.format("graft-cdc")
+        .option("path", cdc39Db(s, dir).toString)
+        .option("keySchema", "doc_id BIGINT").option("rowSchema", cdc39RowDdl)
+        .option("table.include.list", "corpus.documents")
+        .load()
+        .where(col("value.op") =!= "c") // epoch maintenance traffic only
+      val latest = records.select(col("key.doc_id").as("doc_id"),
+          col("value.op").as("op"), col("value.after.text").as("text"),
+          col("value.source.lsn").as("lsn"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("lsn").desc)))
+        .where(col("__rn") === 1).drop("__rn", "lsn")
+      // the refreshed index: llm158's delta fold over this epoch
+      val idx = GramIndex.refresh(
+        GramIndex.documentsGramArrays(s, dir, 16), latest, 16)
+      // the refreshed corpus view (what the upsert sink would hold) —
+      // the verify side of the search reads THIS, not the stale base
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mut = base.join(latest.select(col("doc_id"), col("op").as("__op"),
+          col("text").as("__new")), Seq("doc_id"), "left")
+        .where(coalesce(col("__op"), lit("k")) =!= "d")
+        .select(col("doc_id"), coalesce(col("__new"), col("text")).as("text"))
+      val probes = s.range(1)
+        .select(lit(1L).as("qid"), lit(" revised edition").as("q"))
+        .unionByName(base.filter(col("doc_id").isin(7L, 18L))
+          .select(when(col("doc_id") === 7, lit(2L)).otherwise(lit(3L)).as("qid"),
+            substring(col("text"), 5, 20).as("q")))
+      // llm160's probe contract: sub-16-char probes fail loudly
+      val probeGram = probes.select(col("qid"), col("q"),
+        when(length(col("q")) >= 16, Portable.hash64(substring(col("q"), 1, 16)))
+          .otherwise(raise_error(concat(
+            lit("cdc40: probe shorter than k=16 chars breaks the index probe: "),
+            col("q"))).cast("long")).as("h"))
+      val cand = idx.select(col("doc_id"), explode(col("gh")).as("h"))
+        .join(broadcast(probeGram), Seq("h"))
+        .select(col("qid"), col("q"), col("doc_id")).distinct()
+      cand.join(mut, "doc_id")
+        .filter(instr(col("text"), col("q")) > 0)
+        .select(col("qid"), col("doc_id")).distinct()
+        .orderBy(col("qid"), col("doc_id"))
+    },
+    Some("""WITH mut AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 6 = 0 THEN text || ' revised edition'
+           |              ELSE text END AS text
+           |  FROM documents WHERE doc_id % 9 <> 0),
+           |probes AS (
+           |  SELECT CAST(1 AS BIGINT) AS qid, ' revised edition' AS q
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT), substr(text, 5, 20) FROM documents WHERE doc_id = 7
+           |  UNION ALL
+           |  SELECT CAST(3 AS BIGINT), substr(text, 5, 20) FROM documents WHERE doc_id = 18)
+           |SELECT p.qid, m.doc_id
+           |FROM probes p JOIN mut m ON instr(m.text, p.q) > 0
+           |GROUP BY 1, 2
+           |ORDER BY qid, doc_id""".stripMargin),
+    prepare = Some((s, dir) => {
+      cdc39Db(s, dir); graft.llm.GramIndex.documentsGramArrays(s, dir, 16); ()
+    }))
 }
