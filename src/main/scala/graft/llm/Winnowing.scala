@@ -66,27 +66,57 @@ object Winnowing {
           i => Portable.hash64(col("__t").substr(i, lit(k)))).as("gh")), w)
   }
 
+  /** The monotonic-deque sliding-window-minimum scan, one doc's gram
+    * array in, its distinct selected (1-based position, hash) pairs
+    * out — O(m) amortized vs the O(m·w) per-window slice+min the
+    * in-row array-algebra form pays (and HOF lambdas evaluate
+    * INTERPRETED, so those were boxed struct comparisons, not
+    * codegen). Tie rule identical to `array_min(struct(h, -p))`:
+    * smaller hash wins, equal hashes resolve to the RIGHTMOST
+    * position — in deque terms a newer element pops an equal-hash
+    * older one. Degenerate m < w: one window over the whole array. */
+  private[llm] def winnowScan(gh: IndexedSeq[Long], w: Int): Seq[(Long, Long)] = {
+    val m = gh.length
+    if (m == 0) return Nil
+    val win = math.min(w, m)
+    val dq = new java.util.ArrayDeque[Int]()
+    val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    var i = 0
+    while (i < m) {
+      while (!dq.isEmpty && gh(i) <= gh(dq.peekLast())) dq.pollLast()
+      dq.addLast(i)
+      if (dq.peekFirst() <= i - win) dq.pollFirst()
+      if (i >= win - 1) {
+        val j = dq.peekFirst()
+        out += (((j + 1).toLong, gh(j)))
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
   /** The winnowing SELECTION over pre-computed gram-hash arrays — the
     * entry point for consumers holding a materialized gram index
     * ([[GramIndex]]): `grams` = (doc_id, gh) where gh(i) is the hash
     * of the k-gram at 1-based position i+1. Callers must have already
     * dropped sub-k documents (a GramIndex row with len < k holds the
-    * whole-short-text hash, which is not a k-gram). */
+    * whole-short-text hash, which is not a k-gram).
+    *
+    * Round-20 A/B: the selection runs as ONE scalar call per document
+    * ([[winnowScan]], O(m) deque) instead of the in-row
+    * slice+array_min algebra (O(m·w) INTERPRETED struct comparisons —
+    * higher-order-function lambdas never reach codegen, so the "stay
+    * in the codegen stage" rationale for the array form did not
+    * actually hold for the selection itself). Semantics pinned
+    * unchanged in WinnowingSpec (reference-scan equality incl. ties,
+    * substring guarantee, density). */
   def fingerprintsFromGrams(grams: DataFrame, w: Int): DataFrame = {
     require(w >= 2, s"need w >= 2, got w=$w")
-    val base = grams
-      .select(col("doc_id"), col("gh").as("__gh"), size(col("gh")).as("__m"))
-      .select(col("doc_id"),
-        zip_with(col("__gh"), sequence(lit(1), col("__m")),
-          (h, p) => struct(h.as("h"), (-p).as("np"))).as("__st"),
-        col("__m"))
-    base
-      .select(col("doc_id"),
-        explode(array_distinct(
-          transform(sequence(lit(1), greatest(col("__m") - (w - 1), lit(1))),
-            i => array_min(slice(col("__st"), i, lit(w)))))).as("__s"))
-      .select(col("doc_id"), (-col("__s.np")).cast("long").as("p"),
-        col("__s.h").as("h"))
+    val sel = udf((gh: scala.collection.Seq[Long]) =>
+      if (gh == null) Nil else winnowScan(gh.toIndexedSeq, w))
+    grams
+      .select(col("doc_id"), explode(sel(col("gh"))).as("__s"))
+      .select(col("doc_id"), col("__s._1").as("p"), col("__s._2").as("h"))
   }
 
   /** Candidate partial-copy pairs from shared winnowing fingerprints:
