@@ -51,6 +51,20 @@ object Md5Prefix64 {
     val md = digests.get()
     md.reset()
     val d = md.digest(s.getBytes)
+    fold(d)
+  }
+
+  /** Same hash over a raw utf8 byte slice — the allocation-free form
+    * the gram-array scan ([[graft.llm.GramIndex.gramArrayJvm]]) calls
+    * once per gram position, skipping the UTF8String wrapper + copy. */
+  def hash(bytes: Array[Byte], offset: Int, len: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    md.update(bytes, offset, len)
+    fold(md.digest())
+  }
+
+  private def fold(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

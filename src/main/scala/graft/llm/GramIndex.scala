@@ -52,10 +52,58 @@ object GramIndex {
   /** In-row k-gram hash array of a string column: element i (0-based)
     * is hash64 of the k chars starting at 1-based position i+1; a
     * string shorter than k yields the single hash of the whole string
-    * (positional-gram convention of the audit/scrub family). */
-  def gramArray(text: Column, k: Int): Column =
+    * (positional-gram convention of the audit/scrub family).
+    *
+    * Round-20: computed by ONE scalar call per document
+    * ([[gramArrayJvm]]) instead of a `transform` lambda — higher-order
+    * -function lambdas evaluate INTERPRETED (per element: a boxed
+    * sequence index, a Substring eval, an expression-tree hash call),
+    * so the corpus-hash floor paid per-element interpreter overhead on
+    * top of the md5 work. The JVM scan walks the utf8 bytes once for
+    * code-point offsets (Spark substr is code-point based — byte
+    * slicing must respect it) and md5s each gram's byte slice
+    * directly. Equality with the composed column form is pinned in
+    * GramIndexSpec. */
+  def gramArray(text: Column, k: Int): Column = {
+    val f = udf((s: String) => if (s == null) null else gramArrayJvm(s, k))
+    f(text)
+  }
+
+  /** The pre-round-20 column-algebra form of [[gramArray]] — kept as
+    * the CONTRACT for the equality property test (the rendering any
+    * engine with substr+md5 reproduces, mirroring the DuckDB oracle). */
+  private[llm] def gramArrayComposed(text: Column, k: Int): Column =
     transform(sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => Portable.hash64(text.substr(i, lit(k))))
+
+  /** JVM scan behind [[gramArray]]: one pass over the utf8 bytes for
+    * the code-point start offsets, then one md5 per gram position over
+    * the byte slice — no per-element interpreter machinery. */
+  private[llm] def gramArrayJvm(s: String, k: Int): Array[Long] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // char-start byte offsets (Spark substr counts CODE POINTS, so a
+    // byte-sliced gram must start/end on code-point boundaries)
+    val starts = new Array[Int](bytes.length + 1)
+    var n = 0
+    var b = 0
+    while (b < bytes.length) {
+      starts(n) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      n += 1
+    }
+    starts(n) = bytes.length
+    val m = math.max(n - (k - 1), 1)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s0 = starts(i)
+      val e = starts(math.min(i + k, n))
+      out(i) = graft.functions.Md5Prefix64.hash(bytes, s0, e - s0)
+      i += 1
+    }
+    out
+  }
 
   /** Gram array of `text || suffix` derived from the base array:
     * base grams survive unchanged; the junction recompute covers the

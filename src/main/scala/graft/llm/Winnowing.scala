@@ -61,9 +61,9 @@ object Winnowing {
     fingerprintsFromGrams(docs
       .select(idCol.as("doc_id"), textCol.as("__t"))
       .where(col("__t").isNotNull && length(col("__t")) >= k)
-      .select(col("doc_id"),
-        transform(sequence(lit(1), length(col("__t")) - (k - 1)),
-          i => Portable.hash64(col("__t").substr(i, lit(k)))).as("gh")), w)
+      // identical to the inline transform for len >= k rows (the
+      // filter above), via the round-20 JVM gram scan
+      .select(col("doc_id"), GramIndex.gramArray(col("__t"), k).as("gh")), w)
   }
 
   /** The monotonic-deque sliding-window-minimum scan, one doc's gram

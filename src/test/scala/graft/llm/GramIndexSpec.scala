@@ -76,6 +76,36 @@ class GramIndexSpec extends SparkSpec {
     assert(b.count() === a.count())
   }
 
+  test("gramArray (JVM scan) equals the composed substr+md5 column form") {
+    import spark.implicits._
+    // code-point-heavy cases: Spark substr counts CODE POINTS, so the
+    // byte-sliced JVM scan must agree on multi-byte and astral chars
+    val texts = Seq(
+      "",                                        // empty -> single hash of ""
+      "short",                                   // sub-k -> whole-text hash
+      "exactly sixteen!",                        // len == k -> one gram
+      "the quick brown fox jumps over the lazy dog",
+      "héllo wörld with àccénts répéated héllo wörld", // 2-byte chars
+      "emoji 😀 inside 🌀 the text padded out",  // astral (4-byte)
+      "日本語のテキストとasciiの混在したやや長い行です")  // 3-byte chars
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), GramIndex.gramArray(col("text"), k).as("gh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val want = df.select(col("doc_id"), GramIndex.gramArrayComposed(col("text"), k).as("gh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got === want)
+    // property sweep over random alphanumerics too
+    (1 to 4).foreach { seed =>
+      val cases = sample(Gen.listOfN(20, textGen), 500L + seed)
+      val rdf = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val g = rdf.select(col("doc_id"), GramIndex.gramArray(col("text"), k).as("gh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      val e = rdf.select(col("doc_id"), GramIndex.gramArrayComposed(col("text"), k).as("gh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      assert(g === e, s"seed=$seed")
+    }
+  }
+
   test("refresh: a NULL op upserts (documented contract), 'd' deletes") {
     import spark.implicits._
     val index = Seq((1L, 5, Seq(11L)), (2L, 5, Seq(22L)), (3L, 5, Seq(33L)))
