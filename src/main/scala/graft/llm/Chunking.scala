@@ -84,6 +84,67 @@ object Chunking {
     * already dropped). */
   def chunkHashes(docs: DataFrame, idCol: Column, textCol: Column,
                   sourceCol: Column, win: Int, modulus: Int): DataFrame = {
+    // Round-20: one scalar call per document (same treatment as
+    // GramIndex.gramArray) — the boundary filter and per-chunk hash
+    // lambdas evaluated INTERPRETED, paying per-position boxed
+    // Substring/expression-tree overhead on top of the md5 floor.
+    // Column-form equality is pinned in ChunkingSpec
+    // (chunkHashesComposed).
+    val f = udf((s: String) =>
+      if (s == null) Array.empty[(Long, Long)] else chunkHashesJvm(s, win, modulus))
+    docs.select(idCol.as("doc_id"), sourceCol.as("source"), textCol.as("__t"))
+      .where(col("__t").isNotNull && length(col("__t")) >= 1)
+      .select(col("doc_id"), col("source"), explode(f(col("__t"))).as("c"))
+      .select(col("doc_id"), col("source"),
+        col("c._1").as("h"), col("c._2").as("len"))
+  }
+
+  /** JVM scan behind [[chunkHashes]]: code-point start offsets in one
+    * pass, then one md5 per boundary window and one per chunk — no
+    * per-element interpreter machinery. Semantics identical to the
+    * composed form below: cut AFTER a window whose hash ≡ 0 mod
+    * `modulus`; the doc end is always a cut; chunk len counts CODE
+    * POINTS (Spark substr/length semantics). */
+  private[llm] def chunkHashesJvm(s: String, win: Int,
+                                  modulus: Int): Array[(Long, Long)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.Md5Prefix64
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val starts = new Array[Int](bytes.length + 1)
+    var n = 0
+    var b = 0
+    while (b < bytes.length) {
+      starts(n) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      n += 1
+    }
+    starts(n) = bytes.length
+    if (n == 0) return Array.empty
+    val bounds = scala.collection.mutable.ArrayBuffer(0)
+    var p = 1
+    while (p <= n - win + 1) { // no iterations when n < win
+      val h = Md5Prefix64.hash(bytes, starts(p - 1), starts(p - 1 + win) - starts(p - 1))
+      if (h % modulus == 0) bounds += p + (win - 1) // cut after the window
+      p += 1
+    }
+    if (bounds.last != n) bounds += n // doc end always cuts (dedup'd)
+    val out = new Array[(Long, Long)](bounds.length - 1)
+    var j = 0
+    while (j < out.length) {
+      val b0 = bounds(j)
+      val b1 = bounds(j + 1)
+      out(j) = (Md5Prefix64.hash(bytes, starts(b0), starts(b1) - starts(b0)),
+        (b1 - b0).toLong)
+      j += 1
+    }
+    out
+  }
+
+  /** The pre-round-20 column-algebra form of [[chunkHashes]] — kept as
+    * the CONTRACT for the equality pin (the rendering the DuckDB
+    * oracle mirrors). */
+  private[llm] def chunkHashesComposed(docs: DataFrame, idCol: Column, textCol: Column,
+                                       sourceCol: Column, win: Int, modulus: Int): DataFrame = {
     val base = docs.select(idCol.as("doc_id"), sourceCol.as("source"),
         textCol.as("__t"))
       .where(col("__t").isNotNull && length(col("__t")) >= 1)

@@ -43,6 +43,27 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("JVM scan equals the composed column form, incl. multi-byte code points") {
+    // Spark substr/length count CODE POINTS — the byte-sliced JVM scan
+    // must agree on 2/3/4-byte chars, where String.substring (UTF-16
+    // units) would NOT be a valid reference
+    val docs = Seq(
+      1L -> ("the quick brown fox jumps over the lazy dog " * 6),
+      2L -> "héllo wörld with àccénts répéated many many times héllo wörld",
+      3L -> ("emoji 😀 inside 🌀 the text " * 5),
+      4L -> ("日本語のテキストとasciiの混在したやや長い行です" * 3),
+      5L -> "tiny")
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    def collectChunks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val got = collectChunks(Chunking.chunkHashes(docs,
+      col("doc_id"), col("text"), col("source"), W, M))
+    val want = collectChunks(Chunking.chunkHashesComposed(docs,
+      col("doc_id"), col("text"), col("source"), W, M))
+    assert(got === want)
+  }
+
   test("content locality: an offset-shifted shared passage chunks identically") {
     val passage = (1 to 300).map(i => ('a' + (Portable.hash64Jvm(s"p$i") % 26)).toChar).mkString
     val a = s"PREFIX-OF-DOC-A $passage"
