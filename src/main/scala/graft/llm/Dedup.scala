@@ -137,10 +137,47 @@ object Dedup {
   /** Character n-gram shingles (distinct) as an array column. Pure
     * Column algebra (sequence/transform/substr are codegen'd builtins),
     * no UDF on the scan path. */
-  def shingles(textCol: Column, n: Int): Column =
+  def shingles(textCol: Column, n: Int): Column = {
+    // Round-20: one scalar call per document (the GramIndex.gramArray
+    // treatment) — the transform lambda evaluated INTERPRETED, paying
+    // a boxed index + Substring eval per position. Code-point slicing
+    // preserved (Spark substr semantics); distinct keeps first-seen
+    // order like array_distinct. Composed-form equality is pinned in
+    // DedupScrubPropertySpec.
+    val f = udf((s: String) => if (s == null) null else shinglesJvm(s, n))
+    f(textCol)
+  }
+
+  /** The pre-round-20 column-algebra form of [[shingles]] — the
+    * contract the equality pin replays. */
+  private[llm] def shinglesComposed(textCol: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(length(textCol) - (n - 1), lit(1))),
       i => textCol.substr(i, lit(n))))
+
+  private[llm] def shinglesJvm(s: String, n: Int): Array[String] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val starts = new Array[Int](bytes.length + 1)
+    var cp = 0
+    var b = 0
+    while (b < bytes.length) {
+      starts(cp) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      cp += 1
+    }
+    starts(cp) = bytes.length
+    val m = math.max(cp - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < m) {
+      val s0 = starts(i)
+      val e = starts(math.min(i + n, cp))
+      seen.add(new String(bytes, s0, e - s0, java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
 
   /** Word token array: split on whitespace runs, dropping empties. */
   def tokens(textCol: Column): Column =
