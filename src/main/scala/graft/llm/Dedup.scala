@@ -680,6 +680,15 @@ object Dedup {
   /** n-gram Jaccard similarity between two shingle-set columns: a
     * single deterministic double division over exact set sizes. */
   def jaccard(a: Column, b: Column): Column =
+    // round-20: native one-pass expression over primitive longs —
+    // the composed intersect/union form built four boxed hash tables
+    // and two intermediate arrays per PAIR (the verify-stage floor of
+    // llm09/llm87/llm148). Value contract pinned in LongJaccardSpec.
+    graft.functions.LongJaccard(a, b)
+
+  /** The pre-round-20 composed form of [[jaccard]] — the contract the
+    * equality pin replays (works for any element type). */
+  private[llm] def jaccardComposed(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
