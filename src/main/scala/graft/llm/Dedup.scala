@@ -486,6 +486,18 @@ object Dedup {
     * lambda then reads an attribute, not a recomputed expression. */
   def passages(toks: Column, n: Int): Column = {
     require(n >= 1, "passage size must be >= 1")
+    // round-20: one scalar call per document — the transform lambda
+    // (slice + concat_ws per chunk) evaluated interpreted. Equality
+    // with the composed form is pinned in LlmSpec.
+    val f = udf((ts: scala.collection.Seq[String]) =>
+      if (ts == null) null else passagesJvm(ts, n))
+    f(toks)
+  }
+
+  /** The pre-round-20 column-algebra form of [[passages]] — the
+    * contract the equality pin replays. */
+  private[llm] def passagesComposed(toks: Column, n: Int): Column = {
+    require(n >= 1, "passage size must be >= 1")
     val cnt = (size(toks) / n).cast("int")
     // sequence(1, 0) yields a DESCENDING [1, 0], not empty — guard the
     // under-one-chunk case explicitly
@@ -493,6 +505,26 @@ object Dedup {
       transform(sequence(lit(1), cnt),
         i => concat_ws(" ", slice(toks, (i - lit(1)) * n + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  private[llm] def passagesJvm(ts: scala.collection.Seq[String], n: Int): Array[String] = {
+    val cnt = ts.length / n
+    val out = new Array[String](cnt)
+    val idx = ts.toIndexedSeq
+    var i = 0
+    while (i < cnt) {
+      val sb = new java.lang.StringBuilder()
+      var j = i * n
+      val e = j + n
+      while (j < e) {
+        if (j > i * n) sb.append(' ')
+        sb.append(idx(j)) // tokens() never emits null/empty tokens
+        j += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
   }
 
   /** Per-document passage-duplication stats over a corpus: how much of

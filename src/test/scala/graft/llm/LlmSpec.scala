@@ -1486,6 +1486,21 @@ class LlmSpec extends SparkSpec {
     assert(none.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("passages: JVM scan equals the composed transform form") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q tail"),
+      (2L, "one two"),
+      (3L, "  spaced   out   tokens   here   now   and   then   more   pad  "),
+      (4L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+    def run(c: org.apache.spark.sql.Column) =
+      docs.select(col("doc_id"), c.as("p")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(run(Dedup.passages(col("toks"), 4)) ===
+           run(Dedup.passagesComposed(col("toks"), 4)))
+  }
+
   test("passages: full chunks only, short docs yield none, within-doc repeats are not corpus dups") {
     val docs = Seq(
       (1L, "a b c d e f g h tail dropped"),        // 10 toks → one 8-chunk, tail dropped
