@@ -24,12 +24,13 @@ import graft.functions.Portable
   * the dedup-able storage and repeated-passage training signal).
   *
   * Scale shape (100 TB): boundaries AND chunk hashes compute in ONE
-  * projection over the scan — the boundary test and the per-chunk
-  * hash are higher-order-function array ops over the text column
-  * where it already sits, so no join, no explode of text, and the
-  * only rows that ever cross an exchange are (source, 8-byte chunk
-  * hash, int length). Work is O(chars) hashes per document, the same
-  * md5-pass floor as the gram-dedup family (llm16/119/124/128).
+  * scalar pass per document over the text column where it already
+  * sits (round 20: a JVM byte scan — the earlier higher-order-function
+  * array ops evaluated interpreted per position), so no join, no
+  * explode of text, and the only rows that ever cross an exchange are
+  * (source, 8-byte chunk hash, int length). Work is O(chars) hashes
+  * per document, the same md5-pass floor as the gram-dedup family
+  * (llm16/119/124/128).
   */
 object Chunking {
 

@@ -26,17 +26,17 @@ import graft.functions.Portable
   * which COMPOSE with it: winnowing finds the candidate pairs cheaply,
   * the exact-substring machinery verifies and cuts).
   *
-  * Scale shape (100 TB): the gram pass emits (id, pos, 8-byte hash)
-  * straight off the scan — text never leaves the scan projection. The
-  * window expansion multiplies those rows by w, but each window
-  * collapses to ONE row in the map-side partial aggregate (min of a
-  * 16-byte struct keyed by (doc, window)), so what crosses the one
-  * exchange is the per-window minima — O(grams) rows of three longs,
-  * and the distinct fingerprint set after it is the 2/(w+1) sample.
-  * A mapPartitions monotonic-deque scan could cut the in-map blowup to
-  * O(1) amortized per gram, but it would trade whole-stage codegen and
-  * require a per-doc sort; the explode form keeps everything inside
-  * one codegen stage and the blowup never crosses an exchange.
+  * Scale shape (100 TB): the selection is a monotonic-deque sliding-
+  * window-minimum scan, ONE scalar call per document over its gram
+  * array — O(grams) amortized, no window expansion in any form, and
+  * nothing reaches the exchange but the ~2/(w+1) selected (position,
+  * 8-byte hash) fingerprints. (History: round 18 replaced the
+  * explode+partial-agg form with in-row slice+array_min algebra;
+  * round 20 replaced that with the deque after measuring that
+  * higher-order-function lambdas evaluate INTERPRETED — the "stay in
+  * the codegen stage" rationale never actually applied to the lambda
+  * bodies, and the O(m·w) boxed struct comparisons dominated. llm128
+  * read 7.25→2.75 s isolated at sf0.1.)
   */
 object Winnowing {
 
