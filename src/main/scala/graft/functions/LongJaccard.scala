@@ -54,6 +54,44 @@ case class LongJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sibling expression: asymmetric set containment
+  * `|A∩B| / |A|` (distinct intersection over RAW |A| — exactly the
+  * composed `size(array_intersect(a,b)) / size(a)`, where size counts
+  * duplicates; inputs are distinct sets in practice so the two grains
+  * coincide, but the contract mirrors the composed form precisely).
+  * Same null semantics and the same deliberate NaN-for-0/0 divergence
+  * as [[LongJaccard]]. */
+case class LongContainment(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "long_containment"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"long_containment requires two array<bigint> inputs, got $l / $r")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LongJaccard.computeContainment(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.LongJaccard.computeContainment($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): LongContainment =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongContainment {
+  /** Column-API entry point. */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      LongContainment(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
 object LongJaccard {
   /** Column-API entry point. */
   def apply(a: Column, b: Column): Column =
@@ -119,6 +157,36 @@ object LongJaccard {
     val nullUnion = if (aNull || bNull) 1 else 0
     val interAll = inter + nullInter
     val unionAll = aDistinct + bExtra + nullUnion
-    interAll.toDouble / unionAll.toDouble // 0/0 => NaN, like the composed form
+    interAll.toDouble / unionAll.toDouble // 0/0 => NaN (deliberate, see scaladoc)
+  }
+
+  /** `|A∩B| (distinct, null-in-both counts once) / |A| (RAW element
+    * count, duplicates and nulls included — size() semantics)`.
+    * Public static for the codegen call. */
+  def computeContainment(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val aSet = new Table(na)
+    var aNull = false
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) aNull = true
+      else aSet.add(a.getLong(i))
+      i += 1
+    }
+    val bSeen = new Table(nb)
+    var inter = 0
+    var bNull = false
+    var j = 0
+    while (j < nb) {
+      if (b.isNullAt(j)) bNull = true
+      else {
+        val v = b.getLong(j)
+        if (bSeen.add(v) && aSet.contains(v)) inter += 1
+      }
+      j += 1
+    }
+    val interAll = inter + (if (aNull && bNull) 1 else 0)
+    interAll.toDouble / na.toDouble // 0/0 => NaN (deliberate, see scaladoc)
   }
 }

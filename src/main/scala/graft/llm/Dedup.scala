@@ -732,6 +732,12 @@ object Dedup {
     * container. Same hashed-shingle-set inputs as [[jaccard]]; use
     * both on candidate pairs and gate on either. */
   def containment(a: Column, b: Column): Column =
+    // round-20: native one-pass sibling of LongJaccard (pinned in
+    // LongJaccardSpec); the composed form below is the contract
+    graft.functions.LongContainment(a, b)
+
+  /** The pre-round-20 composed form of [[containment]]. */
+  private[llm] def containmentComposed(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(a).cast("double")
 
   /** Edit-distance verification of candidate pairs — the

@@ -37,6 +37,26 @@ class LongJaccardSpec extends SparkSpec {
     }
   }
 
+  test("long containment matches the composed intersect/size form") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { i =>
+      def arr() = Array.fill(1 + rnd.nextInt(40))(rnd.nextInt(25).toLong)
+      (i.toLong, arr(), arr())
+    } ++ Seq((1002L, Array(1L, 1L, 2L), Array(1L)), // raw |A|=3, inter=1
+             (1003L, Array(5L), Array.empty[Long]))
+    val df = rows.toDF("id", "a", "b")
+    val composedC = size(array_intersect(col("a"), col("b"))).cast("double") /
+      size(col("a")).cast("double")
+    val out = df.select(col("id"),
+        LongContainment(col("a"), col("b")).as("native"),
+        composedC.as("algebra"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"id=${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
+    }
+  }
+
   test("empty/empty yields NaN (the composed form RAISES under ANSI — the one deliberate divergence)") {
     // production inputs (hashed shingle sets) are never empty, but a
     // degenerate row must not kill the job the way ANSI division does
