@@ -3744,9 +3744,21 @@ object QueriesLlm {
         .select(col("source"), col("text"),
           explode(sequence(lit(1), greatest(length(col("text")) - 8, lit(1)))).as("__i"))
         .select(col("source"), col("text").substr(col("__i"), lit(9)).as("term"))
-      val hll = Sketches.hllSketch(terms, Seq(col("source")), col("term"), m = 64)
-      val exact = terms.groupBy(col("source"))
-        .agg(count_distinct(Portable.hash64(col("term"))).as("n_exact"))
+      // Round-21 (guide §2.3/§2.4): hash each shingle ONCE and collapse
+      // to the distinct (source, h) frame first — the old shape ran the
+      // position-explode + md5 pass TWICE (once under the HLL sketch,
+      // once under count_distinct) and shuffled the string-hash stream
+      // through count_distinct's two-phase expand. HLL registers over
+      // distinct hashes are identical (max over duplicates = max over
+      // distincts); count over the distinct frame IS count_distinct.
+      // The two consumers share the one (source, h) exchange via
+      // ReuseExchange, so the corpus-scan floor is paid once.
+      val dist = terms
+        .select(col("source"), Portable.hash64(col("term")).as("__h"))
+        .distinct()
+      val hll = Sketches.hllSketchHashed(dist, Seq(col("source")), col("__h"), m = 64)
+      val exact = dist.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_exact"))
       exact.join(hll, "source")
         .select(col("source"), col("n_exact"),
           Sketches.hllZeroRegisters(col("hll")).as("n_zero"),
@@ -3801,16 +3813,28 @@ object QueriesLlm {
         .select(col("source"), col("text"),
           explode(sequence(lit(1), greatest(length(col("text")) - 8, lit(1)))).as("__i"))
         .select(col("source"), col("text").substr(col("__i"), lit(9)).as("term"))
-      val perSource = Sketches.hllSketch(shingles, Seq(col("source")), col("term"), m = 64)
+      // Round-21: same one-md5-pass collapse as llm88 — the distinct
+      // (source, h) frame feeds BOTH the per-source sketches and the
+      // exact stats, sharing one exchange instead of re-exploding and
+      // re-hashing the corpus per consumer (HLL registers and both
+      // count_distincts are unchanged over the distinct frame).
+      val dist = shingles
+        .select(col("source"), Portable.hash64(col("term")).as("__h"))
+        .distinct()
+      val perSource = Sketches.hllSketchHashed(dist, Seq(col("source")), col("__h"), m = 64)
       // merge by element-wise max across the 20 per-source arrays
       val merged = perSource
         .select(posexplode(col("hll")).as(Seq("bucket", "reg")))
         .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
         .agg(sort_array(collect_list(struct(col("bucket"), col("reg")))).as("br"))
         .select(transform(col("br"), x => x.getField("reg")).as("hll"))
-      val stats = shingles.agg(
-        count_distinct(col("source")).as("n_sources"),
-        count_distinct(Portable.hash64(col("term"))).as("n_exact"))
+      // n_sources is the per-source sketch frame's row count (one row
+      // per distinct source by construction) — a 20-row count instead
+      // of a second distinct aggregate; a lone count_distinct(__h)
+      // avoids the two-distinct Expand that doubled the stream.
+      val nSources = perSource.agg(count(lit(1)).as("n_sources"))
+      val stats = dist.agg(count_distinct(col("__h")).as("n_exact"))
+        .crossJoin(broadcast(nSources))
       stats.crossJoin(merged)
         .select(col("n_sources"), col("n_exact"),
           Sketches.hllZeroRegisters(col("hll")).as("n_zero"),
@@ -7117,14 +7141,17 @@ object QueriesLlm {
           concat(regexp_replace(expr("substr(text, 1, length(text) DIV 2)"), " ", "  "),
             lit(" followed by totally novel continuation material never in training"))
             .as("text")))
-      // token 8-gram arrays, built INSIDE the tokenizer UDF (one
+      // token 8-gram HASHES, built INSIDE the tokenizer UDF (one
       // encode per doc; a Column HOF over the UDF result would
       // re-tokenize per lambda element after projection collapse —
-      // the llm19 trap, measured 111 s vs 3.6 s at sf0.1)
+      // the llm19 trap, measured 111 s vs 3.6 s at sf0.1). Round-21:
+      // the UDF emits the xxhash64 values directly (bit-identical to
+      // hashing the gram strings — Tokenizer.gramHashesOf), so the
+      // ~8M gram strings are never allocated, exploded, or re-hashed.
       def grams(df: org.apache.spark.sql.DataFrame) = df
         .select(col("doc_id"),
-          graft.llm.Tokenizer.tokenGramStrings(s, bpe, 8)(col("text")).as("g"))
-      Dedup.contamination(
+          graft.llm.Tokenizer.tokenGramHashes(s, bpe, 8)(col("text")).as("g"))
+      Dedup.contaminationHashed(
           grams(train), col("doc_id"), col("g"),
           grams(evalSet), col("doc_id"), col("g"),
           maxDf = 20, tracker = Some(llm157Slot.fresh()))
@@ -7670,14 +7697,22 @@ object QueriesLlm {
         .withColumn("p_enc", !col("enc_bad"))
         .withColumn("p_bl", col("p_enc") && !col("bl_bad"))
         .withColumn("p_loop", col("p_bl") && !col("loop_bad"))
-      // the survivor stage feeds THREE consumers (license probe,
-      // kept stats, FIM) — materialize once so the text gates run one
-      // pass, not one per consumer (9.5 → ~4 s at sf0.1; at scale a
-      // production funnel persists stage outputs the same way)
-      val survivors = llm148Slot.fresh().track(
+      // the flagged stage feeds FOUR consumers (license probe, kept
+      // stats, FIM, and the funnel aggregate) — materialize the gate
+      // flags once so the text gates run ONE pass, not one per
+      // consumer (9.5 → ~4 s at sf0.1 when the survivor stage was
+      // first materialized; round-21 folds the funnel's second full
+      // gate pass into the same materialization — the funnel now
+      // aggregates the persisted flags instead of re-running
+      // encodingDamage/blocklist/loop over the corpus. At scale a
+      // production funnel persists stage outputs the same way.)
+      val flagged = llm148Slot.fresh().track(
         graft.operators.Materialize.eager(
-          s1.filter(col("p_loop"))
-            .select(col("doc_id"), col("source"), col("t"))))
+          s1.select(col("doc_id"), col("source"), col("t"),
+            col("enc_bad"), col("bl_bad"), col("loop_bad"),
+            col("p_enc"), col("p_bl"), col("p_loop"))))
+      val survivors = flagged.filter(col("p_loop"))
+        .select(col("doc_id"), col("source"), col("t"))
       val lic = Licenses.detect(survivors, col("doc_id"), col("t"),
           Seq("copyleft" -> Llm132C), k = 16, w = 8, minPct = 50)
         .select(col("doc_id").as("__lid"))
@@ -7693,7 +7728,7 @@ object QueriesLlm {
         .groupBy("source")
         .agg(count(lit(1)).as("kept"),
           sum(coalesce(col("__fh"), lit(0L))).as("fim_hash_sum"))
-      val funnel = s1.groupBy("source").agg(
+      val funnel = flagged.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("enc_bad"), 1L).otherwise(0L)).as("drop_encoding"),
         sum(when(col("p_enc") && col("bl_bad"), 1L).otherwise(0L)).as("drop_blocklist"),

@@ -358,16 +358,62 @@ object Dedup {
           .getField("shh")).as("__h"))
       .groupBy(col("__h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-    // pass 2 — string recovery for the tiny heavy-hitter set only
-    val hashed = df.select(idCol.as("doc_id"), textCol.as("__t"))
+    // pass 2 — string recovery for the tiny heavy-hitter set only.
+    // Round-21: ONE JVM scan per doc against the broadcast hot-hash
+    // map emits ONLY the matching grams (with their df) — the old
+    // shape materialized EVERY position's substring, hashed it again,
+    // and joined; >99.9% of those strings were allocated to be
+    // dropped. The hot set is minDf-bounded and tiny by definition;
+    // collecting it for the broadcast map is the same driver-sized
+    // hop the broadcast join already paid. Hashes are XXH64 over the
+    // same utf8 byte slices (code-point boundaries — Spark substr
+    // semantics), so the match set is bit-identical.
+    val hotMap = scala.collection.immutable.LongMap(
+      hot.collect().map(r => r.getLong(0) -> r.getLong(1)): _*)
+    val hotB = df.sparkSession.sparkContext.broadcast(hotMap)
+    val matchesUdf = udf { (s: String) =>
+      if (s == null) Array.empty[(String, Long)]
+      else boilerplateMatchesJvm(s, n, hotB.value)
+    }
+    df.select(textCol.as("__t"))
       .where(col("__t").isNotNull)
-      .select(col("doc_id"), col("__t"),
-        explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"))
-      .select(col("__t").substr(col("__i"), lit(n)).as("__s"))
-      .select(col("__s"), xxhash64(col("__s")).as("__h"))
-    hashed.join(broadcast(hot), Seq("__h"))
-      .groupBy(col("__s").as("shingle"))
-      .agg(max(col("df")).as("df"))
+      .select(explode(matchesUdf(col("__t"))).as("__m"))
+      .select(col("__m._1").as("shingle"), col("__m._2").as("__df"))
+      .groupBy(col("shingle"))
+      .agg(max(col("__df")).as("df"))
+  }
+
+  /** JVM scan behind [[boilerplateShingles]]' recovery pass: hash each
+    * n-gram byte slice (XXH64, Spark's string seed) and emit only the
+    * grams present in the hot map, with their document frequency. */
+  private[llm] def boilerplateMatchesJvm(s: String, n: Int,
+      hot: scala.collection.immutable.LongMap[Long]): Array[(String, Long)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val starts = new Array[Int](bytes.length + 1)
+    var cp = 0
+    var b = 0
+    while (b < bytes.length) {
+      starts(cp) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      cp += 1
+    }
+    starts(cp) = bytes.length
+    val m = math.max(cp - (n - 1), 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var i = 0
+    while (i < m) {
+      val s0 = starts(i)
+      val len = starts(math.min(i + n, cp)) - s0
+      val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + s0, len, 42L)
+      val df = hot.getOrElse(h, Long.MinValue)
+      if (df != Long.MinValue)
+        out += ((new String(bytes, s0, len, java.nio.charset.StandardCharsets.UTF_8), df))
+      i += 1
+    }
+    out.toArray
   }
 
   /** Shared signature aggregation: k universal-hash min()s over the
@@ -710,7 +756,13 @@ object Dedup {
   }
 
   /** n-gram Jaccard similarity between two shingle-set columns: a
-    * single deterministic double division over exact set sizes. */
+    * single deterministic double division over exact set sizes.
+    * INPUT CONTRACT (round-20 advice, made explicit): the native
+    * expression requires `array<bigint>` inputs — the hashed-set
+    * representation every pipeline stage in this module produces —
+    * and fails loudly at analysis for anything else; a caller with
+    * string-shingle arrays hashes them first (or uses
+    * [[jaccardComposed]], which accepts any element type). */
   def jaccard(a: Column, b: Column): Column =
     // round-20: native one-pass expression over primitive longs —
     // the composed intersect/union form built four boxed hash tables
@@ -1101,8 +1153,13 @@ object Dedup {
     def save(df: DataFrame): DataFrame = Materialize.eagerOrCheckpoint(df, checkpointDir)
     val reliable = checkpointDir.isDefined
     val p0 = save(pairs)
+    // the edge frame joins on `b` EVERY superstep — materialize it
+    // pre-partitioned on that key so the published hash-partitioning
+    // satisfies each round's join distribution and only the label side
+    // exchanges per superstep (round-21, guide §2.4)
     val edges = save(p0.select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionByName(p0.select(col("id_b").as("a"), col("id_a").as("b"))))
+      .unionByName(p0.select(col("id_b").as("a"), col("id_a").as("b")))
+      .repartition(col("b")))
     Materialize.release(p0) // edges is materialized; nothing reads p0 again
     var labels = save(edges.select(col("a").as("v")).distinct()
       .withColumn("label", col("v")))
@@ -1232,6 +1289,20 @@ object Dedup {
     contaminationFrom(posHashes(train, trainId, trainText, "train_id"),
       posHashes(evalDf, evalId, evalText, "eval_id"), maxDf, checkpointDir, tracker)
   }
+
+  /** [[contamination]] over PRE-HASHED shingle/gram arrays — each
+    * element already the xxhash64 value the string path would have
+    * computed (e.g. [[Tokenizer.tokenGramHashes]]). Value-identical to
+    * hashing the string arrays here; the gram strings are never
+    * materialized, exploded, or re-hashed (round-21, llm157's floor). */
+  def contaminationHashed(train: DataFrame, trainId: Column, trainHashesCol: Column,
+                          evalDf: DataFrame, evalId: Column, evalHashesCol: Column,
+                          maxDf: Int, checkpointDir: Option[String] = None,
+                          tracker: Option[Materialize.Tracker] = None): DataFrame =
+    contaminationFrom(
+      train.select(trainId.as("train_id"), explode(trainHashesCol).as("sh")),
+      evalDf.select(evalId.as("eval_id"), explode(evalHashesCol).as("sh")),
+      maxDf, checkpointDir, tracker)
 
   /** ROUGE-N RECALL of candidate documents against a reference/eval
     * set — the bag-WITH-COUNTS n-gram overlap the set-based tiers

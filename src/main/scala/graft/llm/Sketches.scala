@@ -310,6 +310,23 @@ object Sketches {
     else hashed.groupBy(hashed.columns.init.map(col): _*).agg(agg)
   }
 
+  /** [[hllSketch]] over an ALREADY-[[Portable.hash64]]-hashed column —
+    * for callers that also need the hash for other consumers (an exact
+    * distinct count, a join) and must not pay the md5 pass twice.
+    * Registers are identical to [[hllSketch]] of the raw values by
+    * construction (the aggregate's input contract IS the hashed
+    * value). */
+  def hllSketchHashed(df: DataFrame, groupCols: Seq[Column], hashCol: Column,
+                      m: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hashed = df.select(groupCols :+ hashCol.as("__h"): _*)
+    val agg = ColumnBridge.column(graft.functions.HllSketch(
+      ColumnBridge.expression(col("__h")), m, 0, 0)
+      .toAggregateExpression()).as("hll")
+    if (groupCols.isEmpty) hashed.agg(agg)
+    else hashed.groupBy(hashed.columns.init.map(col): _*).agg(agg)
+  }
+
   /** RAW HyperLogLog estimate off a register array — pure Column
     * algebra with CROSS-ENGINE EXACT arithmetic: every term
     * 1 / 2^register is an exact power of two, and the 64 terms sum

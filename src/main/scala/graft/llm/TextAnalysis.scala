@@ -618,20 +618,70 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("Ã[ -¿]"), lit(0))).cast("long")
 
   /** Per-document blocklist hit count with the [[blocklistGate]]
-    * obfuscation folds — zero-width strip, lowercase, leet map. */
+    * obfuscation folds — zero-width strip, lowercase, leet map.
+    * Round-21: the leet fold + membership test run as ONE JVM scan
+    * over the codegen'd token split — the transform/filter HOF
+    * lambdas evaluate INTERPRETED (the round-20 structural finding),
+    * paying a boxed expression-tree eval per token. The tokenize
+    * itself (translate/lower/split) stays in codegen'd builtins, so
+    * the only thing the UDF sees is the token array. Composed-form
+    * equality is pinned in TextGatePropertySpec. */
   def blocklistHits(text: Column, blocklist: Seq[String]): Column = {
+    val toks = split(lower(translate(text, ZeroWidth, "")), "[^a-z0-9@$]+")
+    val blSet = blocklist.toSet
+    val f = udf((ts: scala.collection.Seq[String]) =>
+      if (ts == null) null.asInstanceOf[java.lang.Long]
+      else {
+        var n = 0L
+        val it = ts.iterator
+        while (it.hasNext) if (blSet.contains(leetFold(it.next()))) n += 1
+        java.lang.Long.valueOf(n)
+      })
+    f(toks)
+  }
+
+  /** The pre-round-21 column-algebra form of [[blocklistHits]] — the
+    * contract the equality pin replays. */
+  private[llm] def blocklistHitsComposed(text: Column, blocklist: Seq[String]): Column = {
     val bl = array(blocklist.map(lit): _*)
     val toks = split(lower(translate(text, ZeroWidth, "")), "[^a-z0-9@$]+")
     size(filter(transform(toks, t => translate(t, LeetFrom, LeetTo)),
       t => array_contains(bl, t))).cast("long")
   }
 
+  /** JVM mirror of `translate(t, LeetFrom, LeetTo)` (both tables are
+    * ASCII single chars, so char-level mapping is exact). */
+  private[llm] def leetFold(t: String): String = {
+    val sb = new java.lang.StringBuilder(t.length)
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      val j = LeetFrom.indexOf(c)
+      sb.append(if (j >= 0) LeetTo.charAt(j) else c)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Per-document generation-loop flag: true when the fraction of
     * tokens equal to the token p positions earlier reaches
     * `thresholdPct` for any period p ≤ maxPeriod. Division-free —
     * the comparison is m_p·100 ≥ threshold·(n−p), pure integers, so
-    * any engine replays the flag exactly. */
+    * any engine replays the flag exactly.
+    * Round-21: one JVM scan over the token array — the composed form
+    * paid interpreted slice+zip_with+aggregate lambdas PER PERIOD
+    * (4× the token stream through boxed HOF eval). Composed-form
+    * equality is pinned in TextGatePropertySpec. */
   def loopFlag(toks: Column, maxPeriod: Int, thresholdPct: Int): Column = {
+    val f = udf((ts: scala.collection.Seq[String]) =>
+      if (ts == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(loopFlagJvm(ts, maxPeriod, thresholdPct)))
+    f(toks)
+  }
+
+  /** The pre-round-21 column-algebra form of [[loopFlag]] — the
+    * contract the equality pin replays. */
+  private[llm] def loopFlagComposed(toks: Column, maxPeriod: Int, thresholdPct: Int): Column = {
     val n = size(toks).cast("long")
     (1 to maxPeriod).map { p =>
       val len = greatest(size(toks) - p, lit(0))
@@ -641,6 +691,55 @@ object TextAnalysis {
         lit(0L), (s, x) => s + x)
       (n > p) && (m * 100 >= lit(thresholdPct.toLong) * (n - p))
     }.reduce(_ || _)
+  }
+
+  /** Per-period repeated-token match counts m_p for p = 1..maxPeriod
+    * in one pass — the shared JVM floor of [[loopFlag]] and
+    * [[degeneracyAudit]] (m_p = |{i : toks(i) == toks(i−p)}|; 0 when
+    * n ≤ p, matching the composed form's `when(n > p, …).otherwise(0)`). */
+  private[llm] def loopMatchCountsJvm(ts: scala.collection.Seq[String],
+                                      maxPeriod: Int): Array[Long] = {
+    val arr = ts match {
+      case is: scala.collection.IndexedSeq[String] => is
+      case other => other.toIndexedSeq
+    }
+    val n = arr.length
+    val out = new Array[Long](maxPeriod)
+    var p = 1
+    while (p <= maxPeriod) {
+      var m = 0L
+      var i = p
+      while (i < n) {
+        if (arr(i) == arr(i - p)) m += 1
+        i += 1
+      }
+      out(p - 1) = m
+      p += 1
+    }
+    out
+  }
+
+  private[llm] def loopFlagJvm(ts: scala.collection.Seq[String],
+                               maxPeriod: Int, thresholdPct: Int): Boolean = {
+    val n = ts.length
+    val arr = ts match {
+      case is: scala.collection.IndexedSeq[String] => is
+      case other => other.toIndexedSeq
+    }
+    var p = 1
+    while (p <= maxPeriod) {
+      if (n > p) {
+        var m = 0L
+        var i = p
+        while (i < n) {
+          if (arr(i) == arr(i - p)) m += 1
+          i += 1
+        }
+        if (m * 100 >= thresholdPct.toLong * (n - p)) return true
+      }
+      p += 1
+    }
+    false
   }
 
   /** GENERATION-LOOP (tandem-repeat) DEGENERACY AUDIT — the
@@ -676,16 +775,18 @@ object TextAnalysis {
     require(maxPeriod >= 2, s"need maxPeriod >= 2, got $maxPeriod")
     val base = df.select(sourceCol.as("source"), tokens(textCol).as("__tk"))
       .withColumn("__n", size(col("__tk")).cast("long"))
-    val withLp = (1 to maxPeriod).foldLeft(base) { (acc, p) =>
-      val len = greatest(size(col("__tk")) - p, lit(0))
-      acc.withColumn(s"__m$p",
-          when(col("__n") > p,
-            aggregate(
-              zip_with(slice(col("__tk"), lit(p + 1), len), slice(col("__tk"), lit(1), len),
-                (a, b) => when(a === b, lit(1L)).otherwise(lit(0L))),
-              lit(0L), (s, x) => s + x)).otherwise(lit(0L)))
-        .withColumn(s"__lp$p",
-          expr(s"CASE WHEN __n > $p THEN __m$p * 100 DIV (__n - $p) ELSE 0 END"))
+    // Round-21: ONE JVM scan computes the per-period match counts —
+    // the composed form paid interpreted slice+zip_with+aggregate
+    // lambdas per period (maxPeriod× the token stream through boxed
+    // HOF eval; the round-20 finding). Equality with the composed
+    // counts is pinned in TextGatePropertySpec.
+    val mCounts = udf((ts: scala.collection.Seq[String]) =>
+      if (ts == null) null.asInstanceOf[Array[Long]]
+      else loopMatchCountsJvm(ts, maxPeriod))
+    val withLp = (1 to maxPeriod).foldLeft(
+      base.withColumn("__ms", mCounts(col("__tk")))) { (acc, p) =>
+      acc.withColumn(s"__lp$p",
+        expr(s"CASE WHEN __n > $p THEN element_at(__ms, $p) * 100 DIV (__n - $p) ELSE 0 END"))
     }
     val lps = (1 to maxPeriod).map(p => col(s"__lp$p"))
     val best = lps.reduce(greatest(_, _))

@@ -190,6 +190,62 @@ object Tokenizer {
     }.apply(textCol)
   }
 
+  /** xxhash64 (seed 42 — Spark's `xxhash64`) of each n-token gram
+    * string, emitted DIRECTLY from the tokenizer UDF — value-identical
+    * to `xxhash64` over [[tokenGramStrings]]'s elements, without ever
+    * materializing/exploding/re-hashing the gram strings (round-21:
+    * llm157's grams only feed hashed decontamination joins, so the
+    * strings were pure allocation; the hash computes over the same
+    * '-'-joined decimal-id bytes the string path would have produced).
+    * Same broadcast + memo + map-only shape as [[tokenIds]]. */
+  def tokenGramHashes(spark: SparkSession, bpe: Bpe, n: Int)(textCol: Column): Column = {
+    val b = spark.sparkContext.broadcast(bpe)
+    udf { (text: String) =>
+      if (text == null) Array.empty[Long]
+      else {
+        val ids = b.value.encode(text)
+        if (ids.isEmpty) Array.empty[Long]
+        else Tokenizer.gramHashesOf(ids, n)
+      }
+    }.apply(textCol)
+  }
+
+  /** Hash the '-'-joined decimal windows of `ids` without building the
+    * strings: assemble each window's ASCII bytes into a reused buffer
+    * and XXH64 them with Spark's string seed (42) — bit-identical to
+    * `xxhash64(lit(window.mkString("-")))`. */
+  private[llm] def gramHashesOf(ids: Seq[Int], n: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val idArr = ids.toArray
+    val idBytes = new Array[Array[Byte]](idArr.length)
+    var t = 0
+    while (t < idArr.length) {
+      idBytes(t) = java.lang.Integer.toString(idArr(t))
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      t += 1
+    }
+    val windows = if (idArr.length < n) 1 else idArr.length - n + 1
+    val w = math.min(n, idArr.length)
+    val buf = new Array[Byte](12 * n)
+    val out = new Array[Long](windows)
+    var i = 0
+    while (i < windows) {
+      var len = 0
+      var j = 0
+      while (j < w) {
+        if (j > 0) { buf(len) = '-'; len += 1 }
+        val bs = idBytes(i + j)
+        System.arraycopy(bs, 0, buf, len, bs.length)
+        len += bs.length
+        j += 1
+      }
+      out(i) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      i += 1
+    }
+    out
+  }
+
   /** Per-word token counts → array<int> in word order: the FERTILITY
     * measure (tokens the model spends per pre-tokenized word — the
     * standard tokenizer-fit diagnostic; ~1 means the vocabulary covers

@@ -33,9 +33,14 @@ object Graph {
               tracker: Option[Materialize.Tracker] = None): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     // every round joins the edge frame — materialize once, not a
-    // re-run of the upstream scan per superstep
+    // re-run of the upstream scan per superstep; PRE-PARTITIONED on
+    // the join key (src), so the materialized leaf's published
+    // hash-partitioning satisfies every round's join distribution and
+    // only the (small) frontier side exchanges per superstep — the
+    // static edge frame never re-shuffles (round-21, guide §2.4)
     val e = Materialize.eager(
-      edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst")))
+      edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
+        .repartition(col("src")))
     var visited = Materialize.eager(
       sources.select(sourceIdCol.cast("long").as("id")).distinct()
         .withColumn("hops", lit(0)))
@@ -96,32 +101,37 @@ object Graph {
     // lineage would re-run the upstream scan/union per superstep)
     val e = Materialize.eager(
       edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst")))
-    val outDeg = Materialize.eager(
-      e.groupBy(col("src")).agg(count(lit(1)).as("__deg")))
     val nodes = Materialize.eager(
       e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct())
     var mass = Materialize.eager(nodes.withColumn("mass", lit(initMass)))
     Materialize.release(nodes)
-    // fresh column names per consumer: outDeg and the per-round edge
-    // join both derive from the SAME materialized edge leaf, and
-    // Spark's ambiguous-self-join detection (rightly) rejects raw
-    // e("src") references across that shared lineage
-    val ej = e.withColumnRenamed("src", "__esrc").withColumnRenamed("dst", "__edst")
+    // Round-21 (guide §2.4, §3): the out-degree joins onto the edge
+    // frame ONCE, up front — the old shape joined mass⋈deg⋈edges EVERY
+    // round, paying a second join and a second exchange of the static
+    // edge side per superstep. The degree-annotated edge frame is
+    // materialized PRE-PARTITIONED on the join key (src), so its
+    // published hash-partitioning satisfies every round's join
+    // distribution: per round only the mass side exchanges, and
+    // `sum(mass DIV __deg)` per destination is the identical integer
+    // arithmetic (share = mass DIV deg attached per edge, summed by
+    // dst) the two-join form computed.
+    val e2 = Materialize.eager(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), Seq("src"))
+        .select(col("src").as("__esrc"), col("dst").as("__edst"), col("__deg"))
+        .repartition(col("__esrc")))
+    Materialize.release(e)
     for (_ <- 1 to rounds) {
       val next = Materialize.eager(
-        mass.join(outDeg, mass("id") === outDeg("src"))
-          .select(col("id"), expr("mass DIV __deg").as("__share"))
-          .join(ej, col("id") === col("__esrc"))
+        mass.join(e2, col("id") === col("__esrc"))
           .groupBy(col("__edst").as("nid"))
-          .agg(sum(col("__share")).as("mass"))
+          .agg(sum(expr("mass DIV __deg")).as("mass"))
           .filter(col("mass") > 0)
           .withColumnRenamed("nid", "id"))
       Materialize.release(mass)
       mass = next
     }
-    Materialize.release(outDeg)
-    Materialize.release(e)
+    Materialize.release(e2)
     tracker.foreach(_.track(mass))
     mass
   }
@@ -149,14 +159,17 @@ object Graph {
                     tracker: Option[Materialize.Tracker] = None): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     // every round joins the edge frame — materialize once; loud
-    // failure on a negative weight (the require above can't see data)
+    // failure on a negative weight (the require above can't see data).
+    // Pre-partitioned on the join key (__esrc) like massPropagate's
+    // edge frame: the static side never re-shuffles across rounds.
     val e = Materialize.eager(
       edges.select(srcCol.cast("long").as("__esrc"),
                    dstCol.cast("long").as("__edst"),
                    weightCol.cast("long").as("__w"))
         .withColumn("__w",
           when(col("__w") < 0, raise_error(lit("shortestPaths: negative edge weight")))
-            .otherwise(col("__w"))))
+            .otherwise(col("__w")))
+        .repartition(col("__esrc")))
     var dist = Materialize.eager(
       sources.select(sourceIdCol.cast("long").as("id")).distinct()
         .withColumn("dist", lit(0L)))

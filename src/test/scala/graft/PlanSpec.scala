@@ -922,8 +922,12 @@ class PlanSpec extends SparkSpec {
   test("llm157: token decontamination — grams hash scan-side; no gram strings or text on exchanges") {
     val df = Queries.byName("llm157_token_decontamination")(spark, sfSmoke)
     val analyzed = df.queryExecution.analyzed.toString
-    assert(analyzed.contains("xxhash64"),
-      "token grams must travel as 8-byte hashes from the explode on")
+    // round-21: the tokenizer UDF emits the xxhash64 values DIRECTLY
+    // (Tokenizer.tokenGramHashes, equality-pinned in TokenizerSpec), so
+    // no Column-side xxhash64 re-hash of gram strings may remain — the
+    // grams are born as 8-byte hashes and never exist as strings.
+    assert(!analyzed.contains("xxhash64"),
+      "gram strings must not be re-hashed Column-side — the UDF emits hashes")
     val p = planOf(df)
     assert(!shuffleInputs(p).exists(n => n.startsWith("text") || n.startsWith("g#") ||
         n.startsWith("__t")),

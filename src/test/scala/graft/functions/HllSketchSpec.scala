@@ -50,6 +50,25 @@ class HllSketchSpec extends SparkSpec {
     assert(est > 2.0 && est < 8.0, s"corrected estimate $est far from 4")
   }
 
+  test("hllSketchHashed over pre-hashed values equals hllSketch over raw values (round-21 llm88/89)") {
+    val df = Seq(("s1", "a"), ("s1", "b"), ("s1", "a"), ("s2", "c"),
+      ("s2", "c"), ("s2", "d"), ("s2", "e")).toDF("source", "v")
+    val raw = Sketches.hllSketch(df, Seq(col("source")), col("v"), m = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val hashed = Sketches.hllSketchHashed(
+        df.select(col("source"), graft.functions.Portable.hash64(col("v")).as("h")),
+        Seq(col("source")), col("h"), m = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(raw == hashed)
+    // and over the DISTINCT hashed frame (the llm88/89 shape): max over
+    // duplicates == max over distincts
+    val distinctHashed = Sketches.hllSketchHashed(
+        df.select(col("source"), graft.functions.Portable.hash64(col("v")).as("h")).distinct(),
+        Seq(col("source")), col("h"), m = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(raw == distinctHashed)
+  }
+
   test("rho matches the bin-length contract at the edges") {
     assert(HllSketch.rho(0L) == 55L)
     assert(HllSketch.rho(1L) == 54L)

@@ -84,4 +84,27 @@ class TokenizerSpec extends SparkSpec {
     assert(Tokenizer.Bpe(IndexedSeq(("a", "b"))).encodeWordSymbols("abab")
       == Vector("ab", "ab"))
   }
+
+  test("tokenGramHashes equals xxhash64 over tokenGramStrings (round-21 llm157 floor)") {
+    val bpe = Tokenizer.fromMergesText(mergesText)
+    val clef = new String(Character.toChars(0x1D11E))
+    val df = Seq(
+      (1L, "the rest of the rest and then the rest again"),
+      (2L, "th"),                      // fewer tokens than n → one whole-sequence gram
+      (3L, ""),                        // empty → no grams
+      (4L, null.asInstanceOf[String]), // null → no grams
+      (5L, s"café $clef 日本 the rest"), // multi-byte + astral code points
+      (6L, "a"))                       // single 1-char token
+      .toDF("doc_id", "text")
+    for (n <- Seq(2, 8)) {
+      val got = df.select(col("doc_id"),
+          Tokenizer.tokenGramHashes(spark, bpe, n)(col("text")).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      val want = df.select(col("doc_id"),
+          transform(Tokenizer.tokenGramStrings(spark, bpe, n)(col("text")),
+            g => xxhash64(g)).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(got == want, s"n=$n")
+    }
+  }
 }
