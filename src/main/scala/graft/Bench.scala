@@ -95,7 +95,15 @@ object Bench {
     * reads inflated in the official artifact after this, the cause is
     * definitively host-side, not JVM aging. */
   private val IsolateTagged = Seq("llm91_contrastive_pairs",
-    "llm108_influence_weights", "llm119_longest_run_audit")
+    "llm108_influence_weights", "llm119_longest_run_audit",
+    // round-21 (round-20 verdict #1): the canary-gated isolation fixed
+    // llm91 (11.90 → 2.18 official); these three carried +3-4.7 s of
+    // pure host steal in BENCH_r20 (official vs same-day closing runs
+    // of identical code: llm157 10.84 vs 6.15, llm120 6.12 vs 2.11,
+    // q24 6.09 vs 3.02) while NOT being isolation-gated. Measurement
+    // robustness only — the queries themselves are unchanged.
+    "llm157_token_decontamination", "llm120_audio_neardup",
+    "q24_walk_centrality")
 
   private def runBlocks(blocks: Int, catalog: Seq[Q]): Unit = {
     import scala.jdk.CollectionConverters._
@@ -148,24 +156,36 @@ object Bench {
     // same lower-canary-wins rule the in-child throttle rerun uses.
     // Both attempts' (sec, canary_par) land in `isolated_rerun` so a
     // reader can verify which attempt was kept and why.
-    val basePSession = firstPass.flatMap(p => asMap(p.get("canary_par_ms")).map(_._2)).min
+    // round-20 advice: never assume a block artifact carries the key —
+    // a missing map degrades to "no gate" instead of an NPE, and the
+    // canary statistic is the MEDIAN over the block's entries (for the
+    // single-query isolated blocks that IS the one entry, matching the
+    // comment; a multi-query group no longer gates on an arbitrary head)
+    def parCanaries(p: com.fasterxml.jackson.databind.JsonNode): Seq[Double] =
+      Option(p.get("canary_par_ms")).map(asMap(_).map(_._2)).getOrElse(Nil)
+    val basePSession = firstPass.flatMap(parCanaries)
+      .minOption.getOrElse(Double.MaxValue) // no canaries anywhere → gate never fires
     val isoGate = sys.env.get("SPARK_GRAFT_BENCH_ISOGATE").map(_.toDouble).getOrElse(1.25)
     val isoRerun = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val parsed = firstPass.zipWithIndex.map { case (p, i) =>
       if (i < normalGroups.size) p
       else {
-        val (qname, c0) = asMap(p.get("canary_par_ms")).head
-        if (c0 <= isoGate * basePSession) p
+        val qname = groups(i).head.name
+        val c0s = parCanaries(p)
+        val c0 = if (c0s.isEmpty) 0.0 else median(c0s)
+        if (c0s.isEmpty || c0 <= isoGate * basePSession) p
         else {
           System.err.println(f"[bench] isolated block $qname ran under an elevated " +
             f"all-core canary ($c0%.1f ms vs session baseline $basePSession%.1f, " +
             f">${isoGate}%.2f×) — re-running once in a fresh JVM")
           val p2 = runBlock(groups(i), s"${i}_retry", s"${i + 1}r/${groups.size}")
-          val c1 = asMap(p2.get("canary_par_ms")).head._2
-          val s0 = asMap(p.get("queries")).head._2
-          val s1 = asMap(p2.get("queries")).head._2
-          isoRerun ++= Seq(s"$qname:initial_sec" -> s0, s"$qname:initial_canary_par" -> c0,
-            s"$qname:retry_sec" -> s1, s"$qname:retry_canary_par" -> c1)
+          val c1s = parCanaries(p2)
+          val c1 = if (c1s.isEmpty) Double.MaxValue else median(c1s)
+          def sec(n: com.fasterxml.jackson.databind.JsonNode): Double =
+            Option(n.get("queries")).map(asMap(_)).getOrElse(Nil)
+              .find(_._1 == qname).map(_._2).getOrElse(0.0)
+          isoRerun ++= Seq(s"$qname:initial_sec" -> sec(p), s"$qname:initial_canary_par" -> c0,
+            s"$qname:retry_sec" -> sec(p2), s"$qname:retry_canary_par" -> c1)
           if (c1 < c0) p2 else p
         }
       }
