@@ -26,9 +26,15 @@ import org.apache.spark.sql.types._
   * counts as one distinct value on each side (intersecting only if
   * both sides carry one), a null ARRAY yields null. ONE deliberate
   * divergence: two empty sets yield IEEE NaN where the composed
-  * division RAISES under ANSI mode — production inputs (hashed
-  * shingle sets) are never empty, and a degenerate row must not kill
-  * the job (the same posture as Similarity.safeCosDiv).
+  * division RAISES under ANSI mode and yields NULL under non-ANSI —
+  * production inputs (hashed shingle sets) are never empty, and a
+  * degenerate row must not kill the job (the same posture as
+  * Similarity.safeCosDiv). BEWARE the filter consequence (round-20
+  * advice): Spark orders NaN GREATER than every double, so an
+  * empty/empty pair PASSES `jaccard >= threshold` predicates where
+  * the non-ANSI composed form's NULL would have dropped it — a caller
+  * gating untrusted inputs on a threshold must exclude empty arrays
+  * (or `isnan`) explicitly. Pinned in LongJaccardSpec.
   */
 case class LongJaccard(left: Expression, right: Expression)
     extends BinaryExpression {

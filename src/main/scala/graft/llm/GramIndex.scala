@@ -205,7 +205,11 @@ object GramIndex {
     * the current fingerprint, so its entries are never touched — and
     * (b) legacy-format `<fp>-k<n>` entries no reader resolves
     * anymore. Other corpora's entries (different dir token) and other
-    * k values stay. */
+    * k values stay. Best-effort by design: a long-lived CONCURRENT
+    * session whose corpus was regenerated mid-session can still be
+    * lazily reading an older-fingerprint entry when the reap deletes
+    * it — that session's read fails and re-resolves on retry; accepted
+    * for a target/-scoped cache (round-20 advice, noted explicitly). */
   private def reapStaleSiblings(dir: String, k: Int, keep: String): Unit = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get("target/gramidx")
@@ -222,7 +226,10 @@ object GramIndex {
         (sameCorpus.findFirstIn(name).isDefined || legacy.findFirstIn(name).isDefined)
       if (stale)
         try graft.Fs.deleteRecursively(e)
-        catch { case _: Throwable => () } // best-effort hygiene only
+        // best-effort hygiene only — but NonFatal, never Throwable:
+        // swallowing InterruptedException/OOM here would mask a dying
+        // session (round-20 advice)
+        catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

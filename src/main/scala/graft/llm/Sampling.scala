@@ -327,7 +327,17 @@ object Sampling {
                      sourceCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(sourceCol.as("source"), posCol.cast("long").as("__p"))
-    val range = base.agg(min(col("__p")).as("lo"), max(col("__p")).as("hi")).head()
+    // the distinct-positions contract is ENFORCED, not just documented
+    // (round-20 advice — ties share __seq under PrefixSum's RANGE frame
+    // and would return silently wrong run stats): the count/distinct
+    // pair rides the SAME single-row aggregation job the bucket sizing
+    // already pays, so the loud guard costs no extra pass.
+    val range = base.agg(min(col("__p")).as("lo"), max(col("__p")).as("hi"),
+      count(lit(1)).as("n"), count_distinct(col("__p")).as("nd")).head()
+    require(range.isNullAt(0) || range.getLong(2) == range.getLong(3),
+      s"sourceRunStats: positions must be distinct non-null (a permutation) — " +
+        s"got ${if (range.isNullAt(0)) 0L else range.getLong(2)} rows over " +
+        s"${if (range.isNullAt(0)) 0L else range.getLong(3)} distinct positions")
     val width =
       if (range.isNullAt(0)) 1L // empty input: any width, result is empty
       else ((range.getLong(1) - range.getLong(0)) / 65536L).max(1L)
