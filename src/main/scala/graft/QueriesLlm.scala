@@ -3342,10 +3342,12 @@ object QueriesLlm {
     * their xxhash64 keys (the llm24 collision trade), and every
     * double operation is the same left-associated sequence, so the
     * per-position quantized scores match bit for bit. */
+  private val llm79Slot = new TrackerSlot
   private def llm79 = Q("llm79_trigram_typicality",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-      LanguageModel.trigramScore(d, col("doc_id"), col("text"))
+      LanguageModel.trigramScore(d, col("doc_id"), col("text"),
+          tracker = Some(llm79Slot.fresh()))
         .orderBy(col("doc_id"))
     },
     Some("""WITH t AS (SELECT doc_id,
@@ -3376,7 +3378,8 @@ object QueriesLlm {
            |SELECT doc_id, count(*) AS n_trigrams,
            |       CAST(sum(q) AS DOUBLE) / count(*) / 1e9 AS avg_interp_p
            |FROM q GROUP BY doc_id
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin),
+    cleanup = Some(_ => llm79Slot.drain()))
 
   /** Per-dimension embedding statistics (Similarity.dimStats): the
     * preprocessing pass standardization/whitening/quantizer training
@@ -3532,11 +3535,13 @@ object QueriesLlm {
     * overlapping each of them only slightly. Spark attributes hashed
     * shingles, the oracle distinct shingle strings — the llm09
     * collision trade. */
+  private val llm84Slot = new TrackerSlot
   private def llm84 = Q("llm84_source_novelty",
     (s, dir) => {
       import graft.llm.CorpusStats
       CorpusStats.sourceNovelty(Tables.documents(s, dir),
-          col("source"), col("text"), n = 9)
+          col("source"), col("text"), n = 9,
+          tracker = Some(llm84Slot.fresh()))
         .orderBy(col("source"))
     },
     Some("""WITH sh AS (SELECT DISTINCT source, substr(text, i, 9) AS shingle
@@ -3550,7 +3555,8 @@ object QueriesLlm {
            |       CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new,
            |       CAST(coalesce(nn.n_new, 0) AS DOUBLE) / CAST(per.n_shingles AS DOUBLE) AS novelty
            |FROM per LEFT JOIN nn ON nn.source = per.source
-           |ORDER BY per.source""".stripMargin))
+           |ORDER BY per.source""".stripMargin),
+    cleanup = Some(_ => llm84Slot.drain()))
 
   private val llm85Slot = new TrackerSlot
   /** SOFT dedup: instead of dropping near-duplicates, weight every
@@ -3804,6 +3810,7 @@ object QueriesLlm {
     * estimate for estimate — the metamorphic check that per-shard
     * sketches can be combined without touching data (cross-datacenter
     * distinct counts, incremental corpus unions). */
+  private val llm89Slot = new TrackerSlot
   private def llm89 = Q("llm89_hll_union",
     (s, dir) => {
       import graft.llm.Sketches
@@ -3813,15 +3820,24 @@ object QueriesLlm {
         .select(col("source"), col("text"),
           explode(sequence(lit(1), greatest(length(col("text")) - 8, lit(1)))).as("__i"))
         .select(col("source"), col("text").substr(col("__i"), lit(9)).as("term"))
-      // Round-21: same one-md5-pass collapse as llm88 — the distinct
-      // (source, h) frame feeds BOTH the per-source sketches and the
-      // exact stats, sharing one exchange instead of re-exploding and
-      // re-hashing the corpus per consumer (HLL registers and both
-      // count_distincts are unchanged over the distinct frame).
-      val dist = shingles
-        .select(col("source"), Portable.hash64(col("term")).as("__h"))
-        .distinct()
-      val perSource = Sketches.hllSketchHashed(dist, Seq(col("source")), col("__h"), m = 64)
+      // Round-21: one md5 pass — the distinct (source, h) frame feeds
+      // all three consumers (per-source sketches → merge, row count =
+      // n_sources, global exact count). The consumers' column pruning
+      // DIVERGES (the exact branch prunes to __h alone, the
+      // source-count branch to source alone), so the planner sees three
+      // non-canonical subtrees and AQE exchange reuse never fires — an
+      // un-materialized dist re-scanned the corpus three times
+      // (verified on the executed plan). Materialize the 8-byte-pair
+      // frame ONCE (guide §8: decide on the lightweight proxy, scan the
+      // heavy bytes once); every consumer reads the leaf. perSource is
+      // a 20-row frame — materializing it lets the merge and the
+      // n_sources count share one aggregation instead of re-running it.
+      val tr = llm89Slot.fresh()
+      val dist = tr.track(graft.operators.Materialize.eager(
+        shingles.select(col("source"), Portable.hash64(col("term")).as("__h"))
+          .distinct()))
+      val perSource = tr.track(graft.operators.Materialize.eager(
+        Sketches.hllSketchHashed(dist, Seq(col("source")), col("__h"), m = 64)))
       // merge by element-wise max across the 20 per-source arrays
       val merged = perSource
         .select(posexplode(col("hll")).as(Seq("bucket", "reg")))
@@ -3829,9 +3845,9 @@ object QueriesLlm {
         .agg(sort_array(collect_list(struct(col("bucket"), col("reg")))).as("br"))
         .select(transform(col("br"), x => x.getField("reg")).as("hll"))
       // n_sources is the per-source sketch frame's row count (one row
-      // per distinct source by construction) — a 20-row count instead
-      // of a second distinct aggregate; a lone count_distinct(__h)
-      // avoids the two-distinct Expand that doubled the stream.
+      // per distinct source by construction) — a 20-row count; the lone
+      // count_distinct(__h) plans without the two-distinct Expand that
+      // doubled the stream in the pre-round-21 shape.
       val nSources = perSource.agg(count(lit(1)).as("n_sources"))
       val stats = dist.agg(count_distinct(col("__h")).as("n_exact"))
         .crossJoin(broadcast(nSources))
@@ -3866,7 +3882,8 @@ object QueriesLlm {
          |       CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE) * CAST(64 AS DOUBLE) /
          |         ($chain) AS raw_est
          |FROM st CROSS JOIN rl""".stripMargin
-    })
+    },
+    cleanup = Some(_ => llm89Slot.drain()))
 
   /** BATCH BM25 retrieval + reciprocal-rank eval
     * (Retrieval.bm25Batch): 20 queries — each the 1st/3rd/5th token
@@ -3931,6 +3948,7 @@ object QueriesLlm {
 
   private val llm91Cache =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+  private val llm91Slot = new TrackerSlot
   /** Contrastive-pair MINING for embedding training: every anchor
     * takes its most-similar LSH-candidate at Jaccard >= 0.5 as the
     * POSITIVE and its least-similar candidate in [0.05, 0.5) as the
@@ -3967,21 +3985,33 @@ object QueriesLlm {
       val pairs = Dedup.candidatePairs(Dedup.lshBuckets(docs, k = 12, rowsPerBand = 2))
       val a = docs.select(col("doc_id").as("id_a"), col("shh").as("sh_a"))
       val b = docs.select(col("doc_id").as("id_b"), col("shh").as("sh_b"))
-      // symmetrize so every member of a pair can anchor
-      val scored0 = pairs.join(a, "id_a").join(b, "id_b")
-        .select(col("id_a"), col("id_b"),
-          Dedup.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      // symmetrize so every member of a pair can anchor.
+      // round-21 (guide §1.2 step 1): the verify join (pairs ⋈ sets ⋈
+      // sets + native Jaccard) is the query's floor, and the old shape
+      // executed it FOUR times — the symmetrize union duplicated its
+      // subtree and the pos/neg branches each consumed both copies.
+      // Materialize the scored pair frame once (LSH-candidate-bounded);
+      // the flip is a projection of the leaf, and pos/neg collapse into
+      // ONE conditional aggregate per anchor (min ignores the rows the
+      // other tier's when() nulls out; anchors lacking either tier drop
+      // exactly like the old inner join).
+      val tr91 = llm91Slot.fresh()
+      val scored0 = tr91.track(graft.operators.Materialize.eager(
+        pairs.join(a, "id_a").join(b, "id_b")
+          .select(col("id_a"), col("id_b"),
+            Dedup.jaccard(col("sh_a"), col("sh_b")).as("j"))))
       val scored = scored0.unionByName(
         scored0.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("j")))
-      val pos = scored.filter(col("j") >= 0.5)
-        .groupBy(col("id_a").as("anchor"))
-        .agg(min(struct((-col("j")).as("nj"), col("id_b"))).as("p"))
-        .select(col("anchor"), col("p.id_b").as("positive"))
-      val neg = scored.filter(col("j") >= 0.05 && col("j") < 0.5)
-        .groupBy(col("id_a").as("anchor"))
-        .agg(min(struct(col("j"), col("id_b"))).as("n"))
-        .select(col("anchor"), col("n.id_b").as("negative"))
-      pos.join(neg, "anchor").orderBy(col("anchor"))
+      scored.groupBy(col("id_a").as("anchor"))
+        .agg(
+          min(when(col("j") >= 0.5,
+            struct((-col("j")).as("nj"), col("id_b")))).as("p"),
+          min(when(col("j") >= 0.05 && col("j") < 0.5,
+            struct(col("j"), col("id_b")))).as("n"))
+        .filter(col("p").isNotNull && col("n").isNotNull)
+        .select(col("anchor"), col("p.id_b").as("positive"),
+          col("n.id_b").as("negative"))
+        .orderBy(col("anchor"))
     },
     Some {
       val tail = " end of excerpt boilerplate tail common to every preview snippet"
@@ -4034,7 +4064,10 @@ object QueriesLlm {
          |FROM pos JOIN neg ON neg.anchor = pos.anchor
          |ORDER BY pos.anchor""".stripMargin
     },
-    cleanup = Some(_ => Option(llm91Cache.getAndSet(null)).foreach(_.unpersist())))
+    cleanup = Some(_ => {
+      Option(llm91Cache.getAndSet(null)).foreach(_.unpersist())
+      llm91Slot.drain()
+    }))
 
   /** MEMORIZATION audit of generated text against the training
     * corpus: per generated sample, the fraction of its 9-gram
@@ -4321,12 +4354,21 @@ object QueriesLlm {
       val flagged = m.select(rules.map { case (nm, c) => c.as(nm) }: _*)
         .withColumn("__nfail",
           rules.map { case (nm, _) => when(!col(nm), 1).otherwise(0) }.reduce(_ + _))
-      val perRule = rules.map { case (nm, _) =>
-        flagged.agg(lit(nm).as("rule"),
-          sum(when(!col(nm), 1L).otherwise(0L)).as("n_fail"),
-          sum(when(!col(nm) && col("__nfail") === 1, 1L).otherwise(0L)).as("n_unique_fail"))
-      }
-      perRule.reduce(_ unionByName _).orderBy(col("rule"))
+      // round-21 (guide §1.2 step 1 — don't compute things twice): the
+      // old shape unioned one .agg() PER RULE, re-scanning the corpus
+      // and re-computing every text metric 7×. All 14 sums now ride ONE
+      // aggregate over one scan; the per-rule rows come off the single
+      // result row by an explode of a 7-element literal array.
+      val aggs = rules.flatMap { case (nm, _) => Seq(
+        sum(when(!col(nm), 1L).otherwise(0L)).as(s"__f_$nm"),
+        sum(when(!col(nm) && col("__nfail") === 1, 1L).otherwise(0L)).as(s"__u_$nm")) }
+      flagged.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(rules.map { case (nm, _) =>
+          struct(lit(nm).as("rule"), col(s"__f_$nm").as("n_fail"),
+            col(s"__u_$nm").as("n_unique_fail")) }: _*)).as("__r"))
+        .select(col("__r.rule").as("rule"), col("__r.n_fail").as("n_fail"),
+          col("__r.n_unique_fail").as("n_unique_fail"))
+        .orderBy(col("rule"))
     },
     Some("""WITH t AS (
            |  SELECT doc_id, text,
@@ -4759,10 +4801,11 @@ object QueriesLlm {
   private def llm104 = Q("llm104_ccnet_buckets",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
+      val tracker = llm104Slot.fresh()
       val scored = LanguageModel.bigramScoreQ(docs, col("doc_id"), col("text"))
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
       val ranked = graft.llm.Sketches.groupRanks(scored, col("source"),
-        -col("score_q"), col("doc_id"), tracker = Some(llm104Slot.fresh()))
+        -col("score_q"), col("doc_id"), tracker = Some(tracker))
       val totals = ranked.groupBy(col("g")).agg(count(lit(1)).as("n"))
       ranked.join(broadcast(totals), "g")
         .select(col("g").as("source"), (-col("v")).as("score_q"),
@@ -4830,9 +4873,15 @@ object QueriesLlm {
       val pairs = tracker.track(graft.operators.Materialize.eager(
         Dedup.candidatePairs(Dedup.lshBuckets(sigs, k = 12, rowsPerBand = 4))))
       val clusters = Dedup.connectedComponents(pairs, tracker = Some(tracker))
-      val units = corpus.select(col("doc_id"))
-        .join(clusters, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("unit"))
+      // round-21 (guide §8): units feeds THREE consumers (the safe
+      // split, the naive split, and both leak audits' assignment
+      // joins) — materialize the 16-byte (doc_id, unit) proxy once
+      // instead of re-scanning the corpus and re-joining clusters per
+      // consumer.
+      val units = tracker.track(graft.operators.Materialize.eager(
+        corpus.select(col("doc_id"))
+          .join(clusters, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("unit"))))
       val safe = graft.llm.Sampling.hashSplit(units, col("unit"),
         Seq("train" -> 0.8, "eval" -> 0.2), salt = "ndsplit")
       val naive = graft.llm.Sampling.hashSplit(units.select(col("doc_id")), col("doc_id"),

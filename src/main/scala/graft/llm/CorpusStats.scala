@@ -126,13 +126,24 @@ object CorpusStats {
     * distinct, one min-aggregate keyed on the 8-byte hash, one
     * source-grain rollup — strings never shuffle. */
   def sourceNovelty(df: DataFrame, sourceCol: Column, textCol: Column,
-                    n: Int): DataFrame = {
-    val sh = df.select(sourceCol.as("source"), textCol.as("__t"))
+                    n: Int,
+                    tracker: Option[graft.operators.Materialize.Tracker] = None): DataFrame = {
+    // round-21 (guide §8): the distinct (source, h) frame feeds two
+    // aggregations whose column pruning diverges (per-source counts vs
+    // first-owner-per-hash), so the planner sees two non-canonical
+    // subtrees and the corpus was scanned twice (verified on the
+    // executed plan — the optimizer collapses distinct+aggregate on one
+    // branch). With a tracker the 8-byte-pair frame materializes once.
+    val sh0 = df.select(sourceCol.as("source"), textCol.as("__t"))
       .where(col("__t").isNotNull)
       .select(col("source"),
         explode(graft.functions.MinhashSigs(col("__t"), n, 1, withSet = true)
           .getField("shh")).as("__h"))
       .distinct()
+    val sh = tracker match {
+      case Some(t) => t.track(graft.operators.Materialize.eager(sh0))
+      case None => sh0
+    }
     val perSource = sh.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
     val firstOf = sh.groupBy(col("__h")).agg(min(col("source")).as("source"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_new"))

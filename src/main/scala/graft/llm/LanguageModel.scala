@@ -52,6 +52,33 @@ object LanguageModel {
           element_at(col("__toks"), col("__i") + 1))).as("__h12"),
         xxhash64(element_at(col("__toks"), col("__i"))).as("__h1"))
 
+  /** Per-token-position hash stream (doc_id, __h1, __h12): ONE row per
+    * token; __h12 is the bigram starting at this position (null at each
+    * doc's last token, so single-token docs still carry their
+    * vocabulary row). Round-21 (guide §8): the count tables, the
+    * vocabulary, and the per-bigram scoring join all derive from this
+    * one fixed-width proxy — materialized once by the caller instead of
+    * re-scanning and re-tokenizing the corpus per consumer. Rows with
+    * __h12 non-null are EXACTLY [[bigramStream]]'s rows; distinct __h1
+    * over all rows is EXACTLY [[vocabSize]]'s input. */
+  private def tokenHashStream(toks: DataFrame): DataFrame =
+    toks.filter(size(col("__toks")) >= 1)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")))).as("__i"))
+      .select(col("doc_id"),
+        xxhash64(element_at(col("__toks"), col("__i"))).as("__h1"),
+        when(col("__i") < size(col("__toks")),
+          xxhash64(concat_ws(" ",
+            element_at(col("__toks"), col("__i")),
+            element_at(col("__toks"), col("__i") + 1)))).as("__h12"))
+
+  private def maybeEager(df: DataFrame,
+                         tracker: Option[graft.operators.Materialize.Tracker]): DataFrame =
+    tracker match {
+      case Some(t) => t.track(graft.operators.Materialize.eager(df))
+      case None => df
+    }
+
   /** One-row vocabulary size of a tokenized frame (hashed distinct). */
   private def vocabSize(toks: DataFrame, as: String): DataFrame =
     toks.select(explode(col("__toks")).as("__t"))
@@ -74,11 +101,18 @@ object LanguageModel {
     * unigram) each one hash-keyed groupBy, the bigram and unigram
     * tables joined TWICE (context and event roles); vocab+token
     * totals ride a broadcast one-row frame. */
-  def trigramScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+  def trigramScore(df: DataFrame, idCol: Column, textCol: Column,
+                   tracker: Option[graft.operators.Materialize.Tracker] = None): DataFrame = {
     val toks = tokenized(df, idCol, textCol)
+    // round-21 (guide §1.2 step 1, §8): the old shape tokenized the
+    // corpus five times (c123, cB, cU, vn, scoring join). The per-token
+    // hash stream (cB/cU/vn — three consumers) and the per-trigram
+    // frame (c123 + the scoring join) each materialize once when a
+    // tracker is supplied: two corpus scans total.
+    val st = maybeEager(tokenHashStream(toks), tracker)
     // (doc_id, h123, h12, h23, h2, h3) per trigram position, one
     // codegen'd projection off the position explode
-    val tri = toks.filter(size(col("__toks")) >= 3)
+    val tri0 = toks.filter(size(col("__toks")) >= 3)
       .select(col("doc_id"), col("__toks"),
         explode(sequence(lit(3), size(col("__toks")))).as("__i"))
       .select(col("doc_id"),
@@ -94,15 +128,16 @@ object LanguageModel {
           element_at(col("__toks"), col("__i")))).as("__h23"),
         xxhash64(element_at(col("__toks"), col("__i") - 1)).as("__h2"),
         xxhash64(element_at(col("__toks"), col("__i"))).as("__h3"))
+    val tri = maybeEager(tri0, tracker)
     val c123 = tri.groupBy(col("__h123")).agg(count(lit(1)).as("__c123"))
     // ONE bigram count table serves both the (w1,w2) context role and
     // the (w2,w3) event role; likewise one unigram table for w2/w3
-    val cB = bigramStream(toks).groupBy(col("__h12")).agg(count(lit(1)).as("__cb"))
-    val uni = toks.select(explode(col("__toks")).as("__t"))
-      .select(xxhash64(col("__t")).as("__hu"))
-    val cU = uni.groupBy(col("__hu")).agg(count(lit(1)).as("__cu"))
-    val vn = uni.agg(count_distinct(col("__hu")).as("__v"),
-                     count(lit(1)).as("__n"))
+    val cB = st.filter(col("__h12").isNotNull)
+      .groupBy(col("__h12")).agg(count(lit(1)).as("__cb"))
+    val cU = st.groupBy(col("__h1")).agg(count(lit(1)).as("__cu"))
+      .select(col("__h1").as("__hu"), col("__cu"))
+    val vn = st.agg(count_distinct(col("__h1")).as("__v"),
+                    count(lit(1)).as("__n"))
     val q = tri
       .join(c123, "__h123")
       .join(cB.select(col("__h12"), col("__cb").as("__c12")), "__h12")
@@ -144,6 +179,17 @@ object LanguageModel {
         expr("__sq DIV n_bigrams").as("score_q"))
 
   private def bigramDocSums(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    // round-21 note (measured, kept AS IS): two restructures of this
+    // shape were tried and REVERTED — (a) materializing the per-token
+    // hash stream for all consumers (+0.4-0.5 s at sf0.1: the eager job
+    // + leaf persist outweigh the saved re-scans at bench scale), and
+    // (b) counting at (h12, h1) grain with both tables rolled up from
+    // one shared exchange (tie standalone, but +1.3-3.9 s inside the
+    // eagerly-materialized groupRanks consumers llm104/llm108, where
+    // the shared exchange is not reused). The lazy 4-pass shape is the
+    // measured local optimum; at 100 TB the count tables are the
+    // vocabulary-sized artifacts a production run persists once
+    // (fitBigramModel) rather than recomputing per scoring pass.
     val toks = tokenized(df, idCol, textCol)
     val bi = bigramStream(toks)
     val c12 = bi.groupBy(col("__h12")).agg(count(lit(1)).as("__c12"))
@@ -178,6 +224,8 @@ object LanguageModel {
     * floor. Returns (doc_id, n_bigrams, avg_ratio). */
   def importanceScore(raw: DataFrame, rawId: Column, rawText: Column,
                       target: DataFrame, targetText: Column): DataFrame = {
+    // round-21: same measured verdict as bigramDocSums — the lazy
+    // per-table shape is the local optimum; see the note there.
     val rToks = tokenized(raw, rawId, rawText)
     val rBi = bigramStream(rToks)
     val rc12 = rBi.groupBy(col("__h12")).agg(count(lit(1)).as("__rc12"))

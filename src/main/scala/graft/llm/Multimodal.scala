@@ -1021,17 +1021,26 @@ object Multimodal {
     * @return (source, n_docs, orphan_docs, dangling_media) */
   def referentialAudit(docs: DataFrame, docIdCol: Column, sourceCol: Column,
                        media: DataFrame, mediaIdCol: Column): DataFrame = {
-    val m = media.select(mediaIdCol.as("__mid"))
-    val orphans = docs.select(docIdCol.as("__did"), sourceCol.as("source"))
-      .join(m, col("__did") === col("__mid"), "left")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("__mid").isNull, 1L).otherwise(0L)).as("orphan_docs"))
-    val dangling = m
-      .join(docs.select(docIdCol.as("__did")),
-        col("__mid") === col("__did"), "left_anti")
-      .agg(count(lit(1)).as("dangling_media"))
-    orphans.crossJoin(broadcast(dangling))
+    // round-21 (guide §2.4): BOTH audit legs ride ONE full-outer join —
+    // the old shape ran a left join (orphans) AND a left-anti join
+    // (dangling), scanning docs and media twice each. Doc-absent rows
+    // (dangling media) fold into the __isdoc=false group of the same
+    // aggregate; the global dangling count is attached by a window over
+    // the AGGREGATED frame (sources+1 rows — bounded by source count,
+    // the documented small-grain window exception).
+    import org.apache.spark.sql.expressions.Window
+    val j = docs.select(docIdCol.as("__did"), sourceCol.as("source"))
+      .join(media.select(mediaIdCol.as("__mid")),
+        col("__did") === col("__mid"), "full_outer")
+    j.groupBy(col("__did").isNotNull.as("__isdoc"), col("source"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__mid").isNull, 1L).otherwise(0L)).as("__orph"))
+      .withColumn("dangling_media",
+        coalesce(sum(when(!col("__isdoc"), col("__n")))
+          .over(Window.partitionBy()), lit(0L)))
+      .filter(col("__isdoc"))
+      .select(col("source"), col("__n").as("n_docs"),
+        col("__orph").as("orphan_docs"), col("dangling_media"))
   }
 
   /** AUDIO QUALITY PROBE over the same real javax.sound decode as
