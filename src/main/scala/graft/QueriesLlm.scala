@@ -3457,15 +3457,25 @@ object QueriesLlm {
     (s, dir) => {
       val pad = " tail padding block one two three four five six seven eight nine ten"
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val corpus = d.unionByName(
-        d.select((col("doc_id") + 100000L).as("doc_id"),
-                 concat(col("text"), lit(pad)).as("text")))
-      val sets = Dedup.hashedShingleSets(corpus, col("doc_id"), col("text"), n = 9)
-      val small = sets.filter(col("doc_id") < 100000L)
-        .select(col("doc_id"), col("shh").as("sh_a"))
-      val big = sets.filter(col("doc_id") >= 100000L)
-        .select((col("doc_id") - 100000L).as("doc_id"), col("shh").as("sh_b"))
-      small.join(big, "doc_id")
+      // Round-22 (guide §2.4/§8): the small and big sides of this
+      // verify are BORN PAIRED — big is the same row's text plus a
+      // constant pad (the +100000 id-shifted union branch). The old
+      // shape computed the shingle pass twice (one per filtered union
+      // side — 4 parquet scans in the executed plan, the +100000
+      // branch's filter never folds to false) and then JOINED the two
+      // 8×-text-width shingle-array frames on doc_id through two
+      // repartition exchanges, purely to re-pair rows that started on
+      // the same line. Both sets now build in ONE scan via the same
+      // native shingle primitive ([[Dedup.hashedShingleSet]]) and the
+      // pair compares in-row: zero joins, zero set-array shuffles.
+      // Output rows are identical: the inner join kept exactly the
+      // docs present on both sides = all non-null-text docs, which is
+      // the isNotNull filter (hashedShingleSets drops null text; a
+      // null text also nulls concat(text, pad)). Oracle unchanged.
+      d.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          Dedup.hashedShingleSet(col("text"), n = 9).as("sh_a"),
+          Dedup.hashedShingleSet(concat(col("text"), lit(pad)), n = 9).as("sh_b"))
         .select(col("doc_id"),
           size(col("sh_a")).cast("long").as("n_small"),
           size(col("sh_b")).cast("long").as("n_big"),
@@ -3895,6 +3905,7 @@ object QueriesLlm {
     * (score desc, doc_id) and its reciprocal rank — the MRR
     * ingredients, oracle-replayed with the exact llm25 double-op
     * spellings. */
+  private val llm90Slot = new TrackerSlot
   private def llm90 = Q("llm90_batch_retrieval_mrr",
     (s, dir) => {
       val d = Tables.documents(s, dir)
@@ -3905,7 +3916,8 @@ object QueriesLlm {
                         element_at(col("tk"), 5))).as("term"))
         .where(col("term").isNotNull)
       val scored = Retrieval.bm25Batch(d, col("doc_id"), col("text"),
-        queries, col("qid"), col("term"), idfMode = Retrieval.OddsIdf)
+        queries, col("qid"), col("term"), idfMode = Retrieval.OddsIdf,
+        tracker = Some(llm90Slot.fresh()))
       val ranked = scored.withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
@@ -3944,7 +3956,8 @@ object QueriesLlm {
            |SELECT qid, CAST(rank AS INT) AS rank,
            |       CAST(1 AS DOUBLE) / CAST(rank AS DOUBLE) AS rr
            |FROM r WHERE doc_id = qid
-           |ORDER BY qid""".stripMargin))
+           |ORDER BY qid""".stripMargin),
+    cleanup = Some(_ => llm90Slot.drain()))
 
   private val llm91Cache =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
@@ -8584,6 +8597,7 @@ object QueriesLlm {
     * corpus cost lives in the upstream rankers (one batch BM25 pass,
     * one broadcast-query ANN pass); the fusion itself is one union +
     * one hash aggregate + a per-query window over ≤ 2k rows/query. */
+  private val llm135Slot = new TrackerSlot
   private def llm135 = Q("llm135_rrf_fusion",
     (s, dir) => {
       import graft.llm.{Retrieval, Similarity}
@@ -8596,7 +8610,8 @@ object QueriesLlm {
                         element_at(col("tk"), 5))).as("term"))
         .where(col("term").isNotNull)
       val lex = Retrieval.bm25Batch(d, col("doc_id"), col("text"),
-          queries, col("qid"), col("term"), idfMode = Retrieval.OddsIdf)
+          queries, col("qid"), col("term"), idfMode = Retrieval.OddsIdf,
+          tracker = Some(llm135Slot.fresh()))
         .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("score").desc, col("doc_id"))))
         .filter(col("rank") <= 20)
@@ -8665,7 +8680,8 @@ object QueriesLlm {
            |       CAST(fused_rank AS INT) AS fused_rank FROM (
            |  SELECT *, row_number() OVER (PARTITION BY qid
            |    ORDER BY rrf_scaled DESC, doc_id) AS fused_rank FROM fused)
-           |WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin))
+           |WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin),
+    cleanup = Some(_ => llm135Slot.drain()))
 
   /** ENCODING-DAMAGE (mojibake) AUDIT (TextAnalysis.encodingAudit) —
     * the transcoding-debris gate: U+FFFD replacement chars, C1

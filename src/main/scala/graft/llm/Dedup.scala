@@ -324,15 +324,25 @@ object Dedup {
     * position-explode as [[minhashSignatureAndSets]] minus the k
     * signature aggregates. One long per distinct shingle per doc;
     * strings never shuffle. */
+  /** Column-level hashed shingle SET of one text expression — the
+    * per-row primitive behind [[hashedShingleSets]], exposed so a
+    * caller comparing two texts derived from the SAME row (a doc and
+    * its padded/suffixed variant) can build both sets in one scan
+    * instead of joining two corpus passes on the row id (round-22
+    * llm82: the join shuffled 8×-text-width shingle arrays both ways
+    * to pair rows that were born paired). Null text ⇒ null set —
+    * matching [[hashedShingleSets]]'s null-text drop when the caller
+    * filters on non-null. */
+  def hashedShingleSet(textCol: Column, n: Int): Column =
+    graft.functions.MinhashSigs(textCol, n, 1, withSet = true).getField("shh")
+
   def hashedShingleSets(df: DataFrame, idCol: Column, textCol: Column,
                         n: Int): DataFrame =
     // native one-pass set collection (k=1 signature rides along for
     // free) — map-only, no explode, no aggregate
     df.select(idCol.as("doc_id"), textCol.as("__t"))
       .where(col("__t").isNotNull)
-      .select(col("doc_id"),
-        graft.functions.MinhashSigs(col("__t"), n, 1, withSet = true)
-          .getField("shh").as("shh"))
+      .select(col("doc_id"), hashedShingleSet(col("__t"), n).as("shh"))
       .repartition(col("doc_id"))
 
   /** BOILERPLATE shingle mining: the n-gram strings that appear in at

