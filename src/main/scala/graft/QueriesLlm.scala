@@ -3453,6 +3453,7 @@ object QueriesLlm {
     * container. The doc-in-doc detection Jaccard structurally misses;
     * Spark intersects hashed shingle sets, the oracle counts distinct
     * shingle strings — the llm09 collision trade. */
+  private val llm82Slot = new TrackerSlot
   private def llm82 = Q("llm82_containment_verify",
     (s, dir) => {
       val pad = " tail padding block one two three four five six seven eight nine ten"
@@ -3472,7 +3473,21 @@ object QueriesLlm {
       // docs present on both sides = all non-null-text docs, which is
       // the isNotNull filter (hashedShingleSets drops null text; a
       // null text also nulls concat(text, pad)). Oracle unchanged.
-      d.where(col("text").isNotNull)
+      // Execution shape (probed at sf0.1/32c, each step measured):
+      //  - repartition with an EXPLICIT count (REPARTITION_BY_NUM):
+      //    AQE coalesces by-column shuffle reads of this tiny frame to
+      //    ONE partition, serializing the double-shingle stage (5.7 s
+      //    coalesced vs 0.8 s at real width); the count is the
+      //    session's shuffle-partition conf, not a constant;
+      //  - the heavy stage emits the 36 B result rows only;
+      //  - the eager leaf (house Materialize pattern) keeps the
+      //    orderBy's range-boundary SAMPLE pass from re-executing the
+      //    shingle stage (rangepartitioning replays its child lineage
+      //    up to the previous shuffle; at 100 TB that re-run IS the
+      //    query). Measured 3.3-3.8 s (old join shape) → 0.5-1.2 s.
+      val width = s.sessionState.conf.numShufflePartitions
+      val scored = d.where(col("text").isNotNull)
+        .repartition(width, col("doc_id"))
         .select(col("doc_id"),
           Dedup.hashedShingleSet(col("text"), n = 9).as("sh_a"),
           Dedup.hashedShingleSet(concat(col("text"), lit(pad)), n = 9).as("sh_b"))
@@ -3481,6 +3496,7 @@ object QueriesLlm {
           size(col("sh_b")).cast("long").as("n_big"),
           Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"),
           Dedup.containment(col("sh_a"), col("sh_b")).as("containment"))
+      llm82Slot.fresh().track(graft.operators.Materialize.eager(scored))
         .orderBy(col("doc_id"))
     },
     Some {
@@ -3505,7 +3521,8 @@ object QueriesLlm {
          |JOIN sizes sa ON sa.doc_id = i.doc_id
          |JOIN sizes sb ON sb.doc_id = i.doc_id + 100000
          |ORDER BY i.doc_id""".stripMargin
-    })
+    },
+    cleanup = Some(_ => llm82Slot.drain()))
 
   /** Zipf rank-frequency slope per source (CorpusStats.zipfSlope):
     * the power-law diagnostic fit over INTEGER log2 of rank and

@@ -58,10 +58,14 @@ object ScanAudit {
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
-                             durationNs: Long): Unit =
-        // the only action between resets is the noop write itself, so
-        // any successful execution between them is the one we graded
-        lastCounts = nodeCounts(qe.executedPlan)
+                             durationNs: Long): Unit = {
+        // queries with eager-materialization trackers run several
+        // executions during CONSTRUCTION (collects, eager jobs) before
+        // the noop write — grade only the write itself (its plan root
+        // is the noop OverwriteByExpression command)
+        val c = nodeCounts(qe.executedPlan)
+        if (c.contains("OverwriteByExpression")) lastCounts = c
+      }
       override def onFailure(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              exception: Exception): Unit = ()
