@@ -214,6 +214,24 @@ object Dedup {
     * Repeated shingles don't change a min(), so the array path's
     * array_distinct is unnecessary — signatures are value-identical
     * to `minhashSignature(df.withColumn("sh", shingles(t, n)), …)`. */
+  /** Publish at least the session's shuffle-partition width under a
+    * CPU-dense per-row pass (the MD5 digest stages below). Round 22:
+    * at bench SFs the whole corpus is ONE parquet row group, so the
+    * scan plans ONE input partition and the digest pass — the dominant
+    * cost of every minhash-family query — ran on a single task
+    * regardless of core count (measured: the llm05-shape signature
+    * pass 2.4 s serialized vs 0.6 s at width 32). The explicit
+    * partition count matters twice over: it comes from the session
+    * conf (scale-adaptive, not a constant), and REPARTITION_BY_NUM is
+    * exempt from AQE partition coalescing, which folds small
+    * by-column shuffle reads back to one partition. At real scale the
+    * scan already plans >= width input splits and this is a NO-OP —
+    * no extra corpus shuffle is ever paid where parallelism exists. */
+  private[llm] def atWidth(df: DataFrame, key: Column): DataFrame = {
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= width) df else df.repartition(width, key)
+  }
+
   def minhashSignatureText(df: DataFrame, idCol: Column, textCol: Column,
                            n: Int, k: Int): DataFrame = {
     // one native pass per document (graft.functions.MinhashSigs): no
@@ -226,8 +244,8 @@ object Dedup {
     // them — greatest() skips nulls, so it emitted one row with null
     // signature columns; the reference impls below carry the same
     // isNotNull filter so the parity property is exact.
-    val sigs = df.select(idCol.as("doc_id"), textCol.as("__t"))
-      .where(col("__t").isNotNull)
+    val sigs = atWidth(df.select(idCol.as("doc_id"), textCol.as("__t"))
+        .where(col("__t").isNotNull), col("doc_id"))
       .select(col("doc_id"),
         graft.functions.MinhashSigs(col("__t"), n, k, withSet = false).as("__mh"))
     // ONE hash exchange of fixed-width rows (the same shape the old
@@ -286,8 +304,8 @@ object Dedup {
     // loop — the whole (signatures + verify set) frame is now a
     // MAP-ONLY projection: the old form shuffled k mins + a
     // collect_set buffer per doc through a hash aggregate
-    val both = df.select(idCol.as("doc_id"), textCol.as("__t"))
-      .where(col("__t").isNotNull)
+    val both = atWidth(df.select(idCol.as("doc_id"), textCol.as("__t"))
+        .where(col("__t").isNotNull), col("doc_id"))
       .select(col("doc_id"),
         graft.functions.MinhashSigs(col("__t"), n, k, withSet = true).as("__b"))
     // same reuse-exchange barrier as minhashSignatureText (see there)
@@ -340,8 +358,8 @@ object Dedup {
                         n: Int): DataFrame =
     // native one-pass set collection (k=1 signature rides along for
     // free) — map-only, no explode, no aggregate
-    df.select(idCol.as("doc_id"), textCol.as("__t"))
-      .where(col("__t").isNotNull)
+    atWidth(df.select(idCol.as("doc_id"), textCol.as("__t"))
+        .where(col("__t").isNotNull), col("doc_id"))
       .select(col("doc_id"), hashedShingleSet(col("__t"), n).as("shh"))
       .repartition(col("doc_id"))
 
@@ -361,8 +379,8 @@ object Dedup {
     // pass 1 — df counts: per-doc DISTINCT hashes come from the
     // native in-row set pass (MinhashSigs withSet), so no
     // (doc, hash) distinct exchange precedes the count aggregate
-    val hot = df.select(idCol.as("doc_id"), textCol.as("__t"))
-      .where(col("__t").isNotNull)
+    val hot = atWidth(df.select(idCol.as("doc_id"), textCol.as("__t"))
+        .where(col("__t").isNotNull), col("doc_id"))
       .select(explode(
         graft.functions.MinhashSigs(col("__t"), n, 1, withSet = true)
           .getField("shh")).as("__h"))
@@ -385,8 +403,8 @@ object Dedup {
       if (s == null) Array.empty[(String, Long)]
       else boilerplateMatchesJvm(s, n, hotB.value)
     }
-    df.select(textCol.as("__t"))
-      .where(col("__t").isNotNull)
+    atWidth(df.select(idCol.as("doc_id"), textCol.as("__t"))
+        .where(col("__t").isNotNull), col("doc_id"))
       .select(explode(matchesUdf(col("__t"))).as("__m"))
       .select(col("__m._1").as("shingle"), col("__m._2").as("__df"))
       .groupBy(col("shingle"))
