@@ -7227,9 +7227,14 @@ object QueriesLlm {
       // the UDF emits the xxhash64 values directly (bit-identical to
       // hashing the gram strings — Tokenizer.gramHashesOf), so the
       // ~8M gram strings are never allocated, exploded, or re-hashed.
-      def grams(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"),
-          graft.llm.Tokenizer.tokenGramHashes(s, bpe, 8)(col("text")).as("g"))
+      // Round-22: widen BEFORE the UDF — the BPE encode is the
+      // heaviest per-row pass in the catalog and was running on the
+      // scan's single input partition (Dedup.atWidth: gated, no-op at
+      // real scale where the scan plans enough splits).
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        Dedup.atWidth(df, col("doc_id"))
+          .select(col("doc_id"),
+            graft.llm.Tokenizer.tokenGramHashes(s, bpe, 8)(col("text")).as("g"))
       Dedup.contaminationHashed(
           grams(train), col("doc_id"), col("g"),
           grams(evalSet), col("doc_id"), col("g"),

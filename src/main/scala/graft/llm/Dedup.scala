@@ -227,7 +227,7 @@ object Dedup {
     * by-column shuffle reads back to one partition. At real scale the
     * scan already plans >= width input splits and this is a NO-OP —
     * no extra corpus shuffle is ever paid where parallelism exists. */
-  private[llm] def atWidth(df: DataFrame, key: Column): DataFrame = {
+  private[graft] def atWidth(df: DataFrame, key: Column): DataFrame = {
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions >= width) df else df.repartition(width, key)
   }
@@ -1310,7 +1310,7 @@ object Dedup {
                         n: Int, maxDf: Int, checkpointDir: Option[String] = None,
                         tracker: Option[Materialize.Tracker] = None): DataFrame = {
     def posHashes(df: DataFrame, id: Column, text: Column, outId: String) =
-      df.select(id.as(outId), text.as("__t"))
+      atWidth(df.select(id.as(outId), text.as("__t")), col(outId))
         .select(col(outId), col("__t"),
           explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"))
         .select(col(outId), xxhash64(col("__t").substr(col("__i"), lit(n))).as("sh"))
@@ -1327,6 +1327,10 @@ object Dedup {
                           evalDf: DataFrame, evalId: Column, evalHashesCol: Column,
                           maxDf: Int, checkpointDir: Option[String] = None,
                           tracker: Option[Materialize.Tracker] = None): DataFrame =
+    // NB deliberately NOT widened here (round-22): llm157's caller
+    // already widens BEFORE its gram UDF (the right place — widening
+    // below the UDF cannot parallelize it), and a redundant atWidth at
+    // this seam A/B-measured +0.5 s of pure planning/exchange overhead.
     contaminationFrom(
       train.select(trainId.as("train_id"), explode(trainHashesCol).as("sh")),
       evalDf.select(evalId.as("eval_id"), explode(evalHashesCol).as("sh")),
