@@ -2010,7 +2010,8 @@ object QueriesLlm {
     * IEEE steps. */
   private def llm47 = Q("llm47_kmv_overlap",
     (s, dir) => {
-      val sh = Tables.documents(s, dir).select(col("source"), col("text"))
+      val sh = Dedup.atWidth(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
         .select(col("source"),
           explode(sequence(lit(1), greatest(length(col("text")) - 8, lit(1)))).as("i"),
           col("text"))
@@ -3771,9 +3772,9 @@ object QueriesLlm {
       // ~30 distinct words per source — linear-counting territory where
       // the raw estimate is biased by design; shingles give thousands
       // of distinct values per source, the regime the raw formula owns
-      val terms = Tables.documents(s, dir)
-        .select(col("source"), col("text"))
-        .where(col("text").isNotNull)
+      val terms = Dedup.atWidth(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+          .where(col("text").isNotNull), col("doc_id"))
         .select(col("source"), col("text"),
           explode(sequence(lit(1), greatest(length(col("text")) - 8, lit(1)))).as("__i"))
         .select(col("source"), col("text").substr(col("__i"), lit(9)).as("term"))
@@ -3841,9 +3842,9 @@ object QueriesLlm {
   private def llm89 = Q("llm89_hll_union",
     (s, dir) => {
       import graft.llm.Sketches
-      val shingles = Tables.documents(s, dir)
-        .select(col("source"), col("text"))
-        .where(col("text").isNotNull)
+      val shingles = Dedup.atWidth(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+          .where(col("text").isNotNull), col("doc_id"))
         .select(col("source"), col("text"),
           explode(sequence(lit(1), greatest(length(col("text")) - 8, lit(1)))).as("__i"))
         .select(col("source"), col("text").substr(col("__i"), lit(9)).as("term"))
@@ -7772,7 +7773,13 @@ object QueriesLlm {
             concat_ws("", (1 to 80).map(_ => lit(" buy")): _*)).otherwise(""),
           when(col("doc_id") % 13 === 0, " " + Llm132C).otherwise(""))
           .as("t"))
-      val s1 = d
+      // Round-22: widen BEFORE the gate projection — the regex/JVM
+      // gates are the heaviest per-row pass here and ran at the scan's
+      // single input partition inside the eager job; the materialized
+      // leaf inherits the width, so every consumer (license probe,
+      // kept stats, FIM, funnel) parallelizes too. Gated no-op at real
+      // scale (Dedup.atWidth).
+      val s1 = Dedup.atWidth(d, col("doc_id"))
         .withColumn("enc_bad", TextAnalysis.encodingDamage(col("t")) > 0)
         .withColumn("bl_bad",
           TextAnalysis.blocklistHits(col("t"), Seq("toxic")) > 0)

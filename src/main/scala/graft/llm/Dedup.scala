@@ -1460,8 +1460,11 @@ object Dedup {
         lit(0L).as("n_shared"), lit(0.0).as("containment"))
     val maskOf = map(srcs.zipWithIndex.flatMap {
       case (s, i) => Seq(lit(s), lit(1L << i)) }: _*)
-    val hashed = df.select(element_at(maskOf, sourceCol.cast("string")).as("m"),
-        textCol.as("__t"))
+    // widened before the md5 pass (round-22, see atWidth) — keyed on
+    // the text itself (no id column crosses this operator's seam; the
+    // source would be ~tens of values and skew the width)
+    val hashed = atWidth(df.select(element_at(maskOf, sourceCol.cast("string")).as("m"),
+        textCol.as("__t")), col("__t"))
       .select(col("m"),
         explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"),
         col("__t"))

@@ -32,6 +32,11 @@ object LanguageModel {
 
   /** Tokenized frame: (doc_id, __toks). */
   private def tokenized(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    // NB deliberately NOT widened (round-22): unlike the MD5/BPE digest
+    // passes (Dedup.atWidth), the whitespace split is cheap enough that
+    // the extra exchange + per-call planning LOST on every consumer
+    // (llm24 1.18→1.37, llm26 1.43→1.79, llm79 1.36→2.10, llm104
+    // 1.82→2.39, llm108 4.95→5.87 — A/B at 32c, clean canaries).
     df.select(idCol.as("doc_id"), Dedup.tokens(textCol).as("__toks"))
 
   /** Bigram stream (doc_id, __h12, __h1) by POSITION explode: no
