@@ -134,8 +134,10 @@ object CorpusStats {
     // subtrees and the corpus was scanned twice (verified on the
     // executed plan — the optimizer collapses distinct+aggregate on one
     // branch). With a tracker the 8-byte-pair frame materializes once.
-    val sh0 = df.select(sourceCol.as("source"), textCol.as("__t"))
-      .where(col("__t").isNotNull)
+    // widened before the md5 set pass (round-22, Dedup.atWidth) — keyed
+    // on the text (source is ~tens of values and would skew the width)
+    val sh0 = Dedup.atWidth(df.select(sourceCol.as("source"), textCol.as("__t"))
+        .where(col("__t").isNotNull), col("__t"))
       .select(col("source"),
         explode(graft.functions.MinhashSigs(col("__t"), n, 1, withSet = true)
           .getField("shh")).as("__h"))
