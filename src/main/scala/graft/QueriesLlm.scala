@@ -5732,13 +5732,27 @@ object QueriesLlm {
       val out = root.resolve("out").toString
       val ckpt = root.resolve("ckpt").toString
       val stream = s.readStream.schema(llmStreamDocs(s, dir).schema).parquet(in)
+      // round-22 (llm123's pattern): each micro-batch plans one scan
+      // task per fixture file, so the MinhashSigs digest — the batch's
+      // real compute — ran on 1-2 tasks regardless of core count.
+      // Widen the narrow doc rows to session width BEFORE the digest;
+      // the (band, bucket) state op keeps its own pinned fan-out.
+      // Values unchanged: the flag set is arrival-order independent by
+      // contract (within-batch pairs evaluate in ascending-id order in
+      // the group function), and repartition preserves each row's
+      // micro-batch membership.
+      val width = s.conf.get("spark.sql.shuffle.partitions").toInt
       val flags = graft.streaming.StreamingOps.nearDupFlagsStream(
-        stream, col("doc_id"), col("text"), "ts",
+        stream.repartition(width, col("doc_id")), col("doc_id"), col("text"), "ts",
         n = 9, k = 12, rowsPerBand = 4, minMatches = 6, watermarkDelay = "2 hours")
       // state fan-out sized to the corpus while the stream runs (see llm98)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
+        // measurement hook (plan evidence for the stream side; see
+        // llm123 — here the LAST AvailableNow batch is an empty
+        // watermark flush, so the pre-start plan is the evidence)
+        if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) flags.toDF().explain()
         val q = flags.toDF()
           .writeStream.format("parquet")
           .option("path", out).option("checkpointLocation", ckpt)
